@@ -2,18 +2,24 @@
 
 from .cleansing import (  # noqa: F401
     backfill_unit_price,
+    category_id_from_key,
+    coalesce_zero,
     int_yyyymmdd_to_date,
     map_codes,
     null_if_future,
+    prefer_source,
+    product_number_from_key,
     recompute_amount,
     strip_chars,
     strip_prefix,
     trim_columns,
 )
 from .text import (  # noqa: F401
+    approx_bpe_token_count,
     doc_fingerprint,
     language_id,
     quality_score,
+    stopword_ratio,
     token_count,
 )
 from .vectors import cosine_similarity, dot_product, l2_norm  # noqa: F401

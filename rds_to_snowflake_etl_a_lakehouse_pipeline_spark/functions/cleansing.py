@@ -1,4 +1,8 @@
-"""Cleansing / repair rules (reference SURVEY.md §2.10, R2–R10).
+"""Cleansing / repair rules (reference SURVEY.md §2.10: R2–R5, R7–R11).
+
+R1 (dedup-latest) and R6 (SCD-2 close) are window operators — see
+``operators/windows.py``. R12 (current-rows filter) is a plain
+``filter(isNull)`` applied in the gold builders (``plans/medallion.py``).
 
 Each rule from the reference's silver layer is a pure, composable
 function. All of them compile to built-in Catalyst expressions — no
@@ -122,6 +126,48 @@ def backfill_unit_price(
     p = F.col(price) if isinstance(price, str) else price
     divisor = F.when(q != 0, q).otherwise(F.lit(1))
     return F.when(p.isNull() | (p <= 0), s / divisor).otherwise(p.cast("double"))
+
+
+def coalesce_zero(col: Column | str) -> Column:
+    """R5: NULL numeric → 0 (``coalesce(prd_cost, 0)``).
+
+    Reference: silver/crm_prd_info_silver.py:57-58.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(0))
+
+
+def category_id_from_key(col: Column | str) -> Column:
+    """R4c: first 5 chars of a product key, ``-`` → ``_`` (joins px_cat.id).
+
+    ``CO-RF-FR-R92B-58`` → ``CO_RF``.
+    Reference: silver/crm_prd_info_silver.py:53-54.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.substring(c, 1, 5), "-", "_")
+
+
+def product_number_from_key(col: Column | str) -> Column:
+    """R4d: chars 7..end of a product key (joins sales.sls_prd_key).
+
+    ``CO-RF-FR-R92B-58`` → ``FR-R92B-58``. The reference passed a Column
+    as substring length (silver/crm_prd_info_silver.py:56) — intended
+    semantics is substring-to-end.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.substr(F.lit(7), F.length(c))
+
+
+def prefer_source(primary: Column | str, fallback: Column | str, na: str = "n/a") -> Column:
+    """R11: primary value wins unless it equals ``na`` (or is NULL), else
+    fallback, else ``na``.
+
+    Reference: gold-snowflake/dim_customers_gold.py:48-49 (CRM gender wins
+    unless 'n/a', else ERP gen, else 'n/a').
+    """
+    p = F.col(primary) if isinstance(primary, str) else primary
+    f_ = F.col(fallback) if isinstance(fallback, str) else fallback
+    return F.when(p.isNotNull() & (p != na), p).otherwise(F.coalesce(f_, F.lit(na)))
 
 
 def null_if_future(col: Column | str, as_of: str | Column | None = None) -> Column:

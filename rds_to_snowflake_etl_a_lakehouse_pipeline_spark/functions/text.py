@@ -1,0 +1,121 @@
+"""Text-analysis functions for LLM-data-pipeline workloads.
+
+All functions are built-in Catalyst expressions (no Python UDFs): they
+run JVM-side inside whole-stage codegen, so at 100 TB they fuse into the
+enclosing scan stage and cost one pass over the data. Each is designed to
+be expressible in ANSI SQL too, so the DuckDB oracle can verify it.
+
+Operates on the driver's ``documents(doc_id, text, lang, source,
+n_chars)`` fixture, but the functions take any string Column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Kept tiny and LIKE-expressible so the oracle SQL can mirror
+# the exact same scoring.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "es": ("el", "la", "que", "es"),
+    "fr": ("le", "les", "et", "est"),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text → 0. Returns BIGINT."""
+    c = _col(col)
+    t = F.trim(c)
+    return (
+        F.when(c.isNull(), F.lit(None))
+        .when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("bigint")
+    )
+
+
+def approx_bpe_token_count(col: Column | str, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token estimate: ``ceil(len/4)`` (the classic ~4 chars/token
+    heuristic). Cheap scale path when exact tokenization is too hot.
+    """
+    c = _col(col)
+    return F.ceil(F.length(c) / F.lit(chars_per_token)).cast("bigint")
+
+
+def _marker_score(col: Column, words: tuple[str, ...]) -> Column:
+    """Number of marker words present as whole tokens (0..len(words))."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    score: Column = F.lit(0)
+    for w in words:
+        score = score + F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+    return score
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-marker language ID over ``LANG_MARKERS``.
+
+    Scores each language by how many of its marker words occur as tokens;
+    returns the argmax with a fixed priority order (en > de > es > fr) on
+    ties, ``'und'`` (undetermined) when every score is 0.
+    """
+    c = _col(col)
+    scores = {lang: _marker_score(c, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:  # dict order = priority order
+        expr = expr.when(scores[lang] == best, lang)
+    return expr.otherwise("und")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1] (round 6).
+
+    0.5·alpha_ratio + 0.3·(1 − punct_ratio) + 0.2·min(len/500, 1) —
+    pure per-row double arithmetic, so Spark and any SQL oracle agree
+    bit-for-bit. Empty/NULL text → 0.0.
+    """
+    c = _col(col)
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, "[^.,;:!?]", "")).cast("double")
+    score = (
+        F.lit(0.5) * (alpha / n)
+        + F.lit(0.3) * (F.lit(1.0) - punct / n)
+        + F.lit(0.2) * F.least(n / F.lit(500.0), F.lit(1.0))
+    )
+    return F.round(F.when(c.isNull() | (n == 0), F.lit(0.0)).otherwise(score), 6)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-collapsed,
+    lower-cased text. md5 (not xxhash64) so DuckDB computes the identical
+    value. Use for exact-dup detection across shards.
+    """
+    c = _col(col)
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are (English) stopwords — crude fluency
+    signal; round 6 for oracle-stable doubles."""
+    c = _col(col)
+    tokens = token_count(c)
+    hits: Column = F.lit(0)
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    for w in stopwords:
+        # count occurrences of " w " — overlapping occurrences are not a
+        # concern for single-space-joined prose
+        hits = hits + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(f" {w} "), F.lit(""))))
+            / F.lit(len(w) + 2)
+        ).cast("bigint")
+    return F.round(
+        F.when(tokens > 0, hits.cast("double") / tokens.cast("double")).otherwise(F.lit(0.0)), 6
+    )

@@ -1,0 +1,41 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Built on ``F.zip_with`` / ``F.aggregate`` higher-order functions: the
+fold runs JVM-side per row (no Python), sequentially left-to-right, so
+results are deterministic and reproducible against a SQL oracle that
+folds the same way. Elements are cast to double before multiply/add so
+a float32-stored embedding accumulates at double precision.
+
+At 100 TB these are the per-row kernels; the scale story (block-wise
+top-k, LSH bucketing) lives in ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ at double precision (sequential fold)."""
+    x, y = _col(a), _col(b)
+    prods = F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def l2_norm(a: Column | str) -> Column:
+    """‖a‖₂ at double precision."""
+    x = _col(a)
+    sq = F.transform(x, lambda u: u.cast("double") * u.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, p: acc + p))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖); NULL when either norm is 0."""
+    x, y = _col(a), _col(b)
+    denom = l2_norm(x) * l2_norm(y)
+    return F.when(denom != 0, dot_product(x, y) / denom)

@@ -1,0 +1,121 @@
+"""Window operators: dedup-latest (W1), surrogate keys (W2), SCD-2 close (W3).
+
+Reference sites (intent, not code):
+- W1  silver/crm_cust_info_silver.py:55,72-74 (row_number per key, keep 1)
+- W2  gold-snowflake/dim_customers_gold.py:36-40, dim_products_gold.py:33-37
+      (global row_number surrogate key)
+- W3  silver/crm_prd_info_silver.py:50-51,67-69 (lead(start) - 1 day)
+
+Scale notes: W1/W3 partition by the business key — Spark shuffles once on
+that key and the window sort is per-partition; fine at 100 TB (AQE splits
+skewed keys). The reference's W2 uses an UNPARTITIONED window = every row
+through one task; ``surrogate_key`` keeps that form for small dims /
+parity, ``surrogate_key_two_phase`` is the scale path (range partition →
+local rank + partition offsets, no global sort on one task).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(cols: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def dedupe_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str | Column,
+    tiebreakers: Sequence[str | Column] = (),
+    keep_nulls: bool = False,
+) -> DataFrame:
+    """W1/R1: keep the newest row per key (``row_number() == 1`` over
+    ``PARTITION BY keys ORDER BY order_col DESC [, tiebreakers DESC]``).
+
+    Pass ``tiebreakers`` covering any ``order_col`` ties so the kept row
+    is deterministic. Rows with a NULL key are dropped unless
+    ``keep_nulls`` (the reference's NULL ``cst_id`` rows wash out).
+    """
+    order = [(F.col(order_col) if isinstance(order_col, str) else order_col).desc()]
+    order += [c.desc() for c in _cols(tiebreakers)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if not keep_nulls:
+        for k in keys:
+            out = out.filter(F.col(k).isNotNull())
+    return out
+
+
+def scd2_close(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str = "end_dt",
+    step: str = "INTERVAL 1 DAY",
+    tiebreakers: Sequence[str | Column] = (),
+) -> DataFrame:
+    """W3/R6: close each version the instant before the next one starts:
+    ``end = LEAD(start) OVER (PARTITION BY keys ORDER BY start) - step``;
+    the current (latest) version keeps ``end IS NULL``.
+    """
+    order = _cols([start_col, *tiebreakers])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(start_col)).over(w)
+    return df.withColumn(end_col, nxt - F.expr(step))
+
+
+def surrogate_key(
+    df: DataFrame, order_cols: Sequence[str | Column], key_col: str = "surrogate_key"
+) -> DataFrame:
+    """W2 (reference-faithful): dense 1-based key via global-window
+    ``row_number``. ⚠ Unpartitioned window → single-task sort; use only
+    for dim-sized data, or call :func:`surrogate_key_two_phase` at scale.
+    ``order_cols`` must be a unique ordering for determinism.
+    """
+    w = Window.orderBy(*_cols(order_cols))
+    return df.withColumn(key_col, F.row_number().over(w).cast("bigint"))
+
+
+def surrogate_key_two_phase(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    key_col: str = "surrogate_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W2 (scale path): identical output to :func:`surrogate_key` without
+    a global single-task sort.
+
+    Phase 1: range-partition on ``order_cols`` (ordered, disjoint ranges)
+    and rank locally within each partition. Phase 2: count rows per
+    partition (tiny driver-side list, one row per partition) and add the
+    cumulative offset of all earlier ranges. Global order is preserved
+    because ranges are ordered and ranks are local — no row ever moves
+    through a single reducer. ``order_cols`` must be unique per row.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # One row per partition — trivially collectable even at 10⁵ partitions.
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, running = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    offset_expr = F.lit(0)
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(offset_expr)
+    local_w = Window.partitionBy("_pid").orderBy(*_cols(order_cols))
+    return (
+        ranged.withColumn("_local_rn", F.row_number().over(local_w))
+        .withColumn(key_col, (offset_expr + F.col("_local_rn")).cast("bigint"))
+        .drop("_pid", "_local_rn")
+    )

@@ -28,10 +28,18 @@ def get_spark(
     All settings below also hold on a multi-executor cluster; only
     memory/parallelism sizing changes.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*").strip() or "*"
+    if cpus != "*":
+        try:
+            cpus = str(max(int(cpus), 1))
+        except ValueError:
+            cpus = "*"
+    local = master is None
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+        # Only derive from the local CPU count for local masters; on a real
+        # cluster leave Spark's default (AQE coalesces down anyway).
+        shuffle_partitions = 32 if (not local or cpus == "*") else int(cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -42,6 +50,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # ANSI off: match the reference's permissive Glue/Spark-3 semantics
+        # (e.g. to_date on an invalid 8-digit value yields NULL, not error).
+        .config("spark.sql.ansi.enabled", "false")
         # Deterministic timestamps: parquet timestamps compare equal to the
         # DuckDB oracle only with a pinned UTC session zone.
         .config("spark.sql.session.timeZone", "UTC")
@@ -62,5 +73,26 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str):
-    """Read one testdata table (columnar parquet scan — pushdown-capable)."""
+    """Read one testdata table (columnar parquet scan — pushdown-capable).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark cannot read natively: read nanos as long (runtime conf) and
+    truncate to a microsecond timestamp with integer division (``div`` —
+    a double division would lose precision on ~1.7e18 nano values).
+
+    Also pins the runtime confs the engine's semantics depend on, so the
+    queries behave identically under a caller-provided session (the
+    driver passes its own): ANSI off (permissive to_date, reference
+    semantics) and UTC session zone (oracle-deterministic timestamps).
+    """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
