@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is timed end-to-end (plan + execute). Wide results are
+executed via the ``noop`` sink so nothing funnels through the driver;
+small aggregates are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as ent  # noqa: E402
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import get_spark, load  # noqa: E402
+
+
+def _exec(df, wide: bool):
+    if wide:
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.collect()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = ent.queries()
+
+    def q_fact_join_agg(spark, d):
+        # join-heavy: fact x 2 dims -> grouped revenue (broadcast dims)
+        li = load(spark, d, "lineitem").alias("l")
+        o = load(spark, d, "orders").alias("o")
+        c = load(spark, d, "customer").alias("c")
+        return (
+            li.join(F.broadcast(o), F.col("l.l_orderkey") == F.col("o.o_orderkey"), "left")
+            .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"), "left")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    bench = {
+        "q1_lineitem_agg": (qs["a1_groupby_agg"], False),
+        "q2_fact_join_agg": (q_fact_join_agg, False),
+        "q3_dedup_latest": (qs["w1_dedup_latest"], True),
+        "q4_topk_revenue": (qs["o1_topk"], False),
+        "q5_scd2_window": (qs["w3_scd2_close"], True),
+        "q6_text_stats": (qs["t_quality_score"], True),
+        "q7_vector_topk": (qs["v_cosine_topk"], False),
+        "q8_session_window": (qs["x1_session_window"], True),
+        "q9_exact_dedup": (qs["t_exact_dedup"], True),
+        "q10_rollup": (qs["a1_rollup"], False),
+    }
+
+    # Warm the JVM/session so q1 doesn't absorb startup cost.
+    load(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name, (fn, wide) in bench.items():
+        t0 = time.time()
+        _exec(fn(spark, sf_dir), wide)
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, local[32]",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Window operators: W1 dedup-latest, W2 surrogate keys, W3 SCD-2."""
+
+from __future__ import annotations
+
+import datetime
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+    dedupe_latest,
+    scd2_close,
+    surrogate_key,
+    surrogate_key_two_phase,
+)
+
+D = datetime.date
+
+
+def test_dedupe_latest_keeps_newest_per_key(spark):
+    rows = [
+        (1, "old", D(2020, 1, 1)),
+        (1, "new", D(2021, 1, 1)),
+        (2, "only", D(2020, 6, 1)),
+        (None, "nullkey", D(2022, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id int, tag string, dt date")
+    out = dedupe_latest(df, ["id"], "dt").orderBy("id").collect()
+    assert [(r["id"], r["tag"]) for r in out] == [(1, "new"), (2, "only")]
+
+
+def test_dedupe_latest_tiebreak_deterministic(spark):
+    rows = [(1, "a", D(2020, 1, 1)), (1, "b", D(2020, 1, 1))]
+    df = spark.createDataFrame(rows, "id int, tag string, dt date")
+    out = dedupe_latest(df, ["id"], "dt", tiebreakers=["tag"]).collect()
+    assert [r["tag"] for r in out] == ["b"]  # desc tiebreak
+
+
+def test_dedupe_latest_one_row_per_key(spark):
+    rows = [(i % 10, f"t{i}", D(2020, 1, 1 + i % 27)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, tag string, dt date")
+    out = dedupe_latest(df, ["id"], "dt", tiebreakers=["tag"])
+    assert out.count() == 10
+    assert out.select("id").distinct().count() == 10
+
+
+def test_scd2_close_lead_minus_one_day(spark):
+    rows = [
+        ("k1", D(2020, 1, 1)),
+        ("k1", D(2020, 3, 1)),
+        ("k1", D(2020, 6, 1)),
+        ("k2", D(2021, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "key string, start date")
+    out = {
+        (r["key"], r["start"]): r["end_dt"]
+        for r in scd2_close(df, ["key"], "start").collect()
+    }
+    assert out[("k1", D(2020, 1, 1))] == D(2020, 2, 29)
+    assert out[("k1", D(2020, 3, 1))] == D(2020, 5, 31)
+    assert out[("k1", D(2020, 6, 1))] is None  # current version stays open
+    assert out[("k2", D(2021, 1, 1))] is None
+
+
+def test_surrogate_key_dense_and_ordered(spark):
+    df = spark.createDataFrame([(30,), (10,), (20,)], "id int")
+    out = surrogate_key(df, ["id"], "sk").orderBy("sk").collect()
+    assert [(r["sk"], r["id"]) for r in out] == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_surrogate_two_phase_matches_faithful(spark):
+    df = spark.createDataFrame([(i,) for i in range(997, -1, -1)], "id int")
+    faithful = {r["id"]: r["sk"] for r in surrogate_key(df, ["id"], "sk").collect()}
+    two_phase = {
+        r["id"]: r["sk"]
+        for r in surrogate_key_two_phase(df, ["id"], "sk", num_partitions=7).collect()
+    }
+    assert faithful == two_phase
+    assert sorted(two_phase.values()) == list(range(1, 999))
