@@ -1,0 +1,104 @@
+"""Data-quality gates (S9).
+
+The reference runs ``EvaluateDataQuality().process_rows`` with the DQDL
+ruleset ``ColumnCount > 0`` before every sink (bronze/crm_cust_info_bronze.py
+:17-21,30-35; every silver job). Here the rule engine is Spark-native:
+
+- ``evaluate_now``: one aggregate job computes every rule's violation
+  count in a single pass (no per-rule scans).
+- ``attach_observation``: zero-extra-pass variant — piggybacks the same
+  metrics on the next action (the sink write) via ``df.observe``, the
+  scale-correct way to gate a 100 TB write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class DQRule:
+    """One rule. kind ∈ {column_count, row_count, not_null, unique,
+    predicate}. ``column`` for not_null/unique; ``predicate`` is a Column
+    that is TRUE for GOOD rows; ``threshold`` is the min for count kinds.
+    """
+
+    name: str
+    kind: str
+    column: str | None = None
+    predicate: Column | None = None
+    threshold: int = 1
+
+
+@dataclass(frozen=True)
+class DQResult:
+    rule: str
+    passed: bool
+    observed: float
+
+
+def _metrics(df: DataFrame, rules: list[DQRule]) -> list[Column]:
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_dq_rows")]
+    for r in rules:
+        if r.kind == "not_null":
+            aggs.append(
+                F.sum(F.col(r.column).isNull().cast("long")).alias(f"_dq_{r.name}")
+            )
+        elif r.kind == "unique":
+            # approx at observe-time would be cheaper at 100 TB; exact here
+            aggs.append(F.count_distinct(F.col(r.column)).alias(f"_dq_{r.name}"))
+        elif r.kind == "predicate":
+            aggs.append(
+                F.sum((~r.predicate).cast("long")).alias(f"_dq_{r.name}")
+            )
+    return aggs
+
+
+def _results(df: DataFrame, rules: list[DQRule], row: dict) -> list[DQResult]:
+    n_rows = row["_dq_rows"]
+    out = []
+    for r in rules:
+        if r.kind == "column_count":
+            observed = len(df.columns)
+            out.append(DQResult(r.name, observed >= r.threshold, observed))
+        elif r.kind == "row_count":
+            out.append(DQResult(r.name, n_rows >= r.threshold, n_rows))
+        elif r.kind == "not_null":
+            nulls = row[f"_dq_{r.name}"] or 0
+            out.append(DQResult(r.name, nulls == 0, nulls))
+        elif r.kind == "unique":
+            distinct = row[f"_dq_{r.name}"]
+            out.append(DQResult(r.name, distinct == n_rows, distinct))
+        elif r.kind == "predicate":
+            bad = row[f"_dq_{r.name}"] or 0
+            out.append(DQResult(r.name, bad == 0, bad))
+        else:
+            raise ValueError(f"unknown DQ rule kind: {r.kind}")
+    return out
+
+
+def evaluate_now(df: DataFrame, rules: list[DQRule]) -> list[DQResult]:
+    """Evaluate all rules in ONE aggregate pass over df."""
+    row = df.agg(*_metrics(df, rules)).first().asDict()
+    return _results(df, rules, row)
+
+
+def attach_observation(df: DataFrame, rules: list[DQRule], name: str = "dq"):
+    """Attach rules as a ``df.observe`` so the NEXT action (e.g. the sink
+    write) produces the metrics for free. Returns (df, finish) where
+    ``finish()`` — called after the action — returns the DQResults.
+
+    ``unique`` rules are excluded (count_distinct is not an allowed
+    observe metric); run those via :func:`evaluate_now`.
+    """
+    obs_rules = [r for r in rules if r.kind in ("row_count", "not_null", "predicate", "column_count")]
+    obs = Observation(name)
+    observed = df.observe(obs, *_metrics(df, [r for r in obs_rules if r.kind != "column_count"]))
+
+    def finish() -> list[DQResult]:
+        return _results(df, obs_rules, dict(obs.get))
+
+    return observed, finish

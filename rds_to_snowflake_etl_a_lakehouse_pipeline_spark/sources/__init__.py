@@ -1,0 +1,11 @@
+"""IO layer: sources (parquet/csv/jdbc) and sinks (parquet table,
+warehouse) behind one interface."""
+
+from .io import (  # noqa: F401
+    WarehouseSink,
+    connection_config,
+    read_csv,
+    read_jdbc,
+    read_parquet,
+    write_table,
+)

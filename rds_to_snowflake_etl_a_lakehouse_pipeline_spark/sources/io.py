@@ -1,0 +1,144 @@
+"""Sources and sinks (SURVEY.md §2.1, S1–S8).
+
+The reference reads RDS tables through the Glue Catalog and writes
+S3 Parquet with catalog registration (bronze/crm_cust_info_bronze.py:24-47)
+plus a Snowflake sink for gold (dim_customers_gold.py:72-81). Here the
+Spark session catalog plays the Glue Catalog's role: ``saveAsTable``
+registers, ``spark.table`` resolves. JDBC reads are partitioned so a
+1000-executor cluster ingests in parallel instead of through one
+connection.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S5: path-based parquet scan (recursive; pushdown/pruning free)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """S4: CSV with explicit schema (no inference job at 100 TB — pass the
+    DDL; inference reads the data twice). Mirrors the reference's headered
+    bulk loads (crm_data_load.sql:2-20, ``IGNORE 1 LINES``).
+    """
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """S2/S3: JDBC source (MySQL ``jdbc:mysql://``, Postgres
+    ``jdbc:postgresql://``). With ``partition_column`` bounds, Spark opens
+    ``num_partitions`` parallel cursors — the scale path for RDS ingest;
+    without them the read is single-connection (dev only).
+
+    Requires the matching JDBC driver jar on the classpath; this
+    environment has none, so live reads are exercised only on a real
+    cluster (the call shape is what the reference's Glue catalog
+    connection resolved to — bronze/crm_cust_info_bronze.py:24-27).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_table(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """S6: Parquet+Snappy table write with catalog registration — the
+    Spark-native form of the reference's ``getSink(...glueparquet,
+    snappy) + setCatalogInfo`` (bronze/crm_cust_info_bronze.py:37-47).
+
+    The reference writes unpartitioned (``partitionKeys=[]``); pass
+    ``partition_by`` (e.g. order-date month on facts) to get partition
+    pruning at scale.
+    """
+    writer = df.write.mode(mode).format("parquet").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
+
+
+def connection_config(prefix: str, keys: tuple[str, ...]) -> dict[str, str]:
+    """S8: env-backed connection config (offline stand-in for the
+    reference's Secrets Manager fetch, utils.py:5-16). Reads
+    ``{PREFIX}_{KEY}`` env vars; missing keys are omitted.
+    """
+    out = {}
+    for k in keys:
+        v = os.environ.get(f"{prefix}_{k}".upper())
+        if v is not None:
+            out[k.lower()] = v
+    return out
+
+
+@dataclass
+class WarehouseSink:
+    """S7: warehouse sink abstraction (the reference's Snowflake writer,
+    dim_customers_gold.py:72-81, with the intended ``.option("dbtable",…)``
+    semantics — the original chained ``.options(...)`` positionally, which
+    is invalid PySpark).
+
+    backend="catalog" (default) writes to the session catalog via
+    ``saveAsTable`` — the locally-testable stand-in. backend="jdbc" /
+    "snowflake" build the real connector writes (need driver jars;
+    untested in this offline environment).
+    """
+
+    backend: str = "catalog"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        if self.backend == "catalog":
+            write_table(df, table, mode=mode)
+        elif self.backend == "jdbc":
+            writer = df.write.format("jdbc").option("dbtable", table).mode(mode)
+            for k, v in self.options.items():
+                writer = writer.option(k, v)
+            writer.save()
+        elif self.backend == "snowflake":
+            writer = (
+                df.write.format("snowflake").option("dbtable", table).mode(mode)
+            )
+            for k, v in self.options.items():
+                writer = writer.option(k, v)
+            writer.save()
+        else:
+            raise ValueError(f"unknown warehouse backend: {self.backend}")

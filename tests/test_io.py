@@ -1,0 +1,58 @@
+"""IO layer: CSV source with schema, parquet table sink round-trip,
+warehouse sink, env config provider."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import (
+    WarehouseSink,
+    connection_config,
+    read_csv,
+    write_table,
+)
+
+
+def test_read_csv_with_schema(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "data.csv")
+        with open(path, "w") as f:
+            f.write("id,name,amount\n1, jon ,10.5\n2,arya,\n")
+        df = read_csv(spark, path, schema="id int, name string, amount double")
+        rows = df.orderBy("id").collect()
+        assert df.schema.simpleString() == "struct<id:int,name:string,amount:double>"
+        assert rows[0]["name"] == " jon "  # no silent trimming at ingest
+        assert rows[1]["amount"] is None
+
+
+def test_write_table_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    write_table(df, "io_test_roundtrip")
+    back = spark.table("io_test_roundtrip").orderBy("id").collect()
+    assert [(r["id"], r["v"]) for r in back] == [(1, "a"), (2, "b")]
+    # overwrite mode replaces
+    write_table(df.filter("id = 1"), "io_test_roundtrip")
+    assert spark.table("io_test_roundtrip").count() == 1
+
+
+def test_write_table_partitioned(spark):
+    df = spark.createDataFrame(
+        [(1, "2021-01", 5.0), (2, "2021-02", 6.0)], "id int, month string, v double"
+    )
+    write_table(df, "io_test_part", partition_by=["month"])
+    back = spark.table("io_test_part")
+    assert back.filter("month = '2021-01'").count() == 1
+
+
+def test_warehouse_sink_catalog_backend(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    WarehouseSink().write(df, "io_test_wh")
+    assert spark.table("io_test_wh").count() == 1
+
+
+def test_connection_config_env(monkeypatch):
+    monkeypatch.setenv("MYDB_USER", "u")
+    monkeypatch.setenv("MYDB_PASSWORD", "p")
+    cfg = connection_config("mydb", ("user", "password", "warehouse"))
+    assert cfg == {"user": "u", "password": "p"}
