@@ -1,0 +1,272 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four tiers, all pure Catalyst expressions (higher-order functions, no
+Python UDFs) so they run JVM-side at 100 TB:
+
+- exact:        content fingerprint → one shuffle, keep deterministic row
+- MinHash-LSH:  shingle → k-permutation minhash → banded buckets →
+                bucket-join (NEVER all-pairs) → signature-estimated Jaccard
+- SimHash:      64-bit sign-sum sketch → prefix buckets → hamming filter
+- n-gram Jaccard: exact set similarity on candidate pairs via shingle
+                inverted-index join (document-frequency-capped for skew)
+
+Scale notes: every candidate generation step is a hash-partitioned join
+on a bucket key. Hot buckets (boilerplate shingles) are capped with
+``max_df``; AQE skew-join splitting handles the rest. The all-pairs
+variants simply don't exist here by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    tokens = F.split(F.trim(text), r"\s+")
+    count = F.size(tokens) - F.lit(n - 1)
+    # sequence(1, 0) counts DOWN to [1, 0] — guard short docs explicitly
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep exactly one row per distinct content (xxhash64+md5 double
+    fingerprint → collision-safe in practice). Deterministic: the kept row
+    is the min of ``order_col`` (or the first content column). One shuffle
+    on the fingerprint — at 100 TB this is the cheapest possible exact
+    dedup (hash-partitioned, map-side combine on the window).
+    """
+    fp = F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in content_cols]))
+    order = order_col or content_cols[0]
+    w = Window.partitionBy(fp).orderBy(F.col(order).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_n: int = 3
+) -> Column:
+    """array<bigint> minhash signature: for seed i, min over shingles of
+    xxhash64(i, shingle). Empty shingle sets get a NULL signature."""
+    sh = _shingles(text, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+    return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes//bands`` rows;
+    docs sharing any band bucket become candidates (join on
+    (band, bucket-hash) — work is proportional to bucket sizes, not n²).
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b and
+    signature-estimated Jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    ).filter(F.col("_sig").isNotNull())
+
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated jaccard = matching signature components / num_hashes
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: for every LSH pair above threshold, the
+    higher id is removed (greedy min-id representative — one anti-join;
+    at 100 TB this is pairs-sized, not corpus-sized).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash sketch: sign-sum of per-shingle hash bits → bigint.
+
+    Single pass over the shingle array: each xxhash64 is expanded to its
+    fixed-width two's-complement bit string (``bin`` + ``lpad``), the ±1
+    contributions are summed per position with ``zip_with``, and the sign
+    vector folds MSB-first back into one bigint (wrap-around multiply is
+    the desired two's-complement behavior; the session runs ANSI off).
+    All higher-order functions — no Python UDFs, no per-bit passes.
+    """
+    sh = _shingles(text, shingle_n)
+    bit_strings = F.transform(
+        sh, lambda s: F.split(F.lpad(F.bin(F.xxhash64(s)), bits, "0"), "")
+    )
+    sums = F.aggregate(
+        bit_strings,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, v: F.zip_with(
+            acc, v, lambda a, b: a + F.when(b == "1", 1).otherwise(-1)
+        ),
+    )
+    return F.aggregate(
+        sums,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc * F.lit(2).cast("bigint")
+        + F.when(w > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bucket_bits: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs whose simhashes agree on the top
+    ``bucket_bits`` (bucket join) and are within ``max_hamming`` overall
+    (exact filter via bit_count(xor))."""
+    sketched = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col), 64, shingle_n).alias("_sh")
+    ).withColumn("_bucket", F.shiftrightunsigned(F.col("_sh"), 64 - bucket_bits))
+    a, b = sketched.alias("a"), sketched.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "hamming"
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
+    shingle, via an inverted-index self-join (explode → join on shingle →
+    count intersections). ``max_df`` drops shingles present in more than
+    that many docs — boilerplate shingles otherwise create quadratic hot
+    buckets at scale (the classic skew bomb).
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    if max_df is not None:
+        rare = (
+            ex.groupBy("shingle")
+            .agg(F.count_distinct("_id").alias("df_count"))
+            .filter(F.col("df_count") <= max_df)
+            .select("shingle")
+        )
+        ex = ex.join(rare, "shingle")
+    sizes = ex.groupBy("_id").agg(F.count_distinct("shingle").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``brute_force_topk``: exact cosine top-k of the corpus against a query
+  set — the corpus is scanned once, queries are broadcast, per-query
+  ranking is a hash-partitioned window. The right baseline, and at 100 TB
+  still the right answer when the query set is small (one scan, no index).
+- ``lsh_topk``: random-hyperplane (sign) LSH — corpus bucketed by bit
+  signature once, queries probe their own bucket (+ optional multi-probe
+  neighbors); exact cosine only inside buckets. The scale path for large
+  query sets: candidate work ∝ bucket size, not corpus size.
+
+Hyperplanes are generated driver-side from a fixed seed (numpy) and
+shipped as literal arrays — deterministic, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, cos_sim, rank).
+
+    ``queries`` must be small enough to broadcast (it is pinned with a
+    broadcast hint); ranking shuffles once on query_id. Ties break on
+    vec_id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(float).tolist()
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bit signature as bigint: bit i = 1 iff dot(v, plane_i)>0."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH.
+
+    ``n_tables`` independent hash tables, each with its own ``n_planes``
+    random hyperplanes; a corpus vector lands in one bucket per table
+    (posexplode → n_tables index rows per vector). A query probes, per
+    table, its own bucket plus every bucket within ``multiprobe_bits``
+    bit flips; exact cosine runs only inside the probed buckets, and
+    duplicates across tables collapse before ranking. Recall for a pair
+    with per-bit collision prob p is 1-(1-p^b)^L — the classic
+    memory-for-recall trade: the index is n_tables× the corpus key set,
+    but candidate work stays ∝ bucket size, never corpus². At 100 TB,
+    raise n_planes to keep buckets bounded and tune n_tables to the
+    recall target; the join key (table, bucket) is hash-partitioned so
+    AQE handles residual bucket skew.
+
+    Output schema matches :func:`brute_force_topk`; rank is within the
+    probed candidate set, so recall < 1.0 by construction.
+    """
+    all_planes = _hyperplanes(dim, n_tables * n_planes, seed)
+    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+
+    def sig_array(vec: Column) -> Column:
+        return F.array(*[lsh_signature(vec, tp) for tp in tables])
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(sig_array(F.col(vec_col))).alias("_tbl", "_bucket"),
+    )
+    probe_offsets = [0]
+    if multiprobe_bits >= 1:
+        probe_offsets += [1 << i for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        probe_offsets += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    q_sig = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.posexplode(sig_array(F.col(vec_col))).alias("_tbl", "_qbucket"),
+    )
+    probes = q_sig.select(
+        "_qid",
+        "_qvec",
+        "_tbl",
+        F.explode(
+            F.array(*[F.col("_qbucket").bitwiseXOR(F.lit(o)) for o in probe_offsets])
+        ).alias("_bucket"),
+    ).dropDuplicates(["_qid", "_tbl", "_bucket"])
+
+    cand = (
+        c.join(F.broadcast(probes), ["_tbl", "_bucket"])
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

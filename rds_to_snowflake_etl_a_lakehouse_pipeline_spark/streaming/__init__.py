@@ -1,0 +1,10 @@
+"""Event-time windowed analytics: batch-first builders that run
+unchanged on Structured-Streaming DataFrames."""
+
+from .events import (  # noqa: F401
+    run_available_now,
+    sessionized,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)

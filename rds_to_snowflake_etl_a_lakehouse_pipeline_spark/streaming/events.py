@@ -1,0 +1,106 @@
+"""Event-time windowed analytics (SURVEY.md §2.9 extension).
+
+The reference is batch-only; these builders are batch-first and — by
+Structured Streaming's unified API — run UNCHANGED on a streaming
+DataFrame: the same ``F.window``/``session_window`` aggregation compiles
+to an incremental stateful plan under ``readStream``. ``watermark``
+bounds state for late data; without it a streaming session/tumbling agg
+would hold state forever (fine in batch, fatal in a long-running job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling window per event_type: count + value sum."""
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window counts."""
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def sessionized(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions per user: start, end, event count, value sum."""
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA
+) -> DataFrame:
+    """File-source stream over a directory of parquet event files — the
+    local stand-in for a Kafka/queue source; same downstream code."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_available_now(sdf: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming aggregation over all currently-available input
+    (trigger=availableNow) into an in-memory sink; returns the result
+    table. Complete output mode — correct for these full-window aggs."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(query_name)

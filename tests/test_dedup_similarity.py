@@ -1,0 +1,104 @@
+"""Dedup tiers (exact, MinHash-LSH, SimHash, n-gram Jaccard) and
+similarity search (brute-force + LSH) on small controlled corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token change -> near-dup
+FAR = "completely different content about spark shuffles and parquet row groups"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, FAR), (5, "")],
+        "doc_id bigint, text string",
+    )
+
+
+def test_exact_dedup_deterministic(spark, docs):
+    out = exact_dedup(docs, ["text"], order_col="doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 (dup of 1) dropped, min id kept
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # identical
+    assert (1, 3) in found or (2, 3) in found  # near-dup
+    assert all(4 not in p for p in found)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_dedup_keeps_representatives(spark, docs):
+    out = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept  # exact dup removed (higher id loses)
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((1, 2)) == 0  # identical text -> identical sketch
+    assert all(4 not in p for p in found)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.3 < got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_brute_force_topk_exact(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame([(0, [1.0, 0.0])], "query_id bigint, embedding array<float>")
+    out = brute_force_topk(corpus, queries, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_lsh_topk_recall_on_testdata(spark):
+    # LSH must retrieve most of the exact top-10 on the real fixture
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = brute_force_topk(corpus, queries, k=10)
+    approx = lsh_topk(corpus, queries, k=10, dim=64, n_planes=8, multiprobe_bits=1)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

@@ -1,0 +1,85 @@
+"""Multimodal binary-column plumbing and batch/stream parity."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+    attach_fake_blobs,
+    decode_images,
+    extract_features,
+    sample_frames,
+)
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming import (
+    run_available_now,
+    sessionized,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "spark")], "id int, text string")
+    blobs = attach_fake_blobs(docs, "text")
+    assert dict(blobs.dtypes)["content"] == "binary"
+    decoded = decode_images(blobs)
+    rows = decoded.orderBy("id").collect()
+    assert {r["id"] for r in rows} == {1, 2}
+    for r in rows:
+        assert 64 <= r["width"] <= 255 and 64 <= r["height"] <= 255
+        assert r["media_meta"]["size_bytes"] == len(bytes(r["content"]))
+    # deterministic: same bytes -> same dims on rerun
+    again = decode_images(blobs).orderBy("id").collect()
+    assert [(r["width"], r["height"]) for r in rows] == [
+        (r["width"], r["height"]) for r in again
+    ]
+
+
+def test_multimodal_features_shape(spark):
+    docs = spark.createDataFrame([(1, "abc")], "id int, text string")
+    out = extract_features(attach_fake_blobs(docs, "text"), dim=8).first()
+    assert len(out["features"]) == 8
+    assert all(-1.0 <= f <= 1.0 for f in out["features"])
+
+
+def test_sample_frames(spark):
+    docs = spark.createDataFrame([(1, "x" * 100)], "id int, text string")
+    frames = sample_frames(
+        attach_fake_blobs(docs, "text"), frame_bytes=16, every_n=2
+    ).collect()
+    # 100 bytes -> 6 frames (0..5), every 2nd -> indices 0,2,4
+    assert [r["frame_index"] for r in frames] == [0, 2, 4]
+    assert all(len(bytes(r["frame"])) == 16 for r in frames[:2])
+
+
+def test_stream_batch_parity_tumbling(spark):
+    batch = load(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream-src")
+        batch.write.parquet(src)
+        sdf = stream_events(spark, src)
+        assert sdf.isStreaming
+        stream_result = run_available_now(
+            tumbling_counts(sdf, watermark="1 hour"), "tumbling_parity"
+        )
+        batch_result = tumbling_counts(batch)
+        assert sorted(map(tuple, stream_result.collect())) == sorted(
+            map(tuple, batch_result.collect())
+        )
+
+
+def test_stream_batch_parity_sessions(spark):
+    batch = load(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream-src")
+        batch.write.parquet(src)
+        sdf = stream_events(spark, src)
+        stream_result = run_available_now(
+            sessionized(sdf, watermark="1 hour"), "session_parity"
+        )
+        batch_result = sessionized(batch)
+        assert sorted(map(tuple, stream_result.collect())) == sorted(
+            map(tuple, batch_result.collect())
+        )
