@@ -31,6 +31,21 @@ from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
     surrogate_key,
     surrogate_key_two_phase,
 )
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+    attach_fake_blobs,
+    decode_images,
+    sample_frames,
+)
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+    lsh_topk,
+)
 from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
 
 SF0001 = "/root/testdata/sf0.001"
@@ -475,6 +490,70 @@ def _q_v_cosine_topk(spark, sf_dir):
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20)
 
 
+# Dedup tiers (operators/dedup.py) ----------------------------------------
+
+
+def _q_d_exact_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_dedup(d, ["text"], order_col="doc_id")
+
+
+def _q_d_ngram_jaccard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+def _q_d_minhash_pairs(spark, sf_dir):
+    # rows-only: candidate selection depends on Spark's xxhash64, which
+    # DuckDB cannot reproduce; exact-Jaccard semantics are oracle-checked
+    # via d_ngram_jaccard and pytest covers the LSH guarantees.
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+def _q_d_minhash_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, "doc_id", "text", threshold=0.5)
+
+
+def _q_d_simhash_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+# Similarity search (operators/similarity.py) ------------------------------
+
+
+def _q_v_lsh_topk(spark, sf_dir):
+    # rows-only: approximate by construction (recall < 1); the exact
+    # baseline v_cosine_topk is the oracle-checked reference.
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e.filter(F.col("vec_id") >= 3), q, k=10, dim=64)
+
+
+# Multimodal plumbing (operators/multimodal.py) ----------------------------
+
+
+def _q_m_decode_images(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = attach_fake_blobs(d, "text")
+    return decode_images(blobs).select("doc_id", "width", "height", "channels")
+
+
+def _q_m_frame_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = attach_fake_blobs(d, "text")
+    frames = sample_frames(blobs, frame_bytes=16, every_n=2)
+    return frames.select(
+        "doc_id",
+        F.col("frame_index").cast("bigint").alias("frame_index"),
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
 # Event-time windows ------------------------------------------------------
 
 
@@ -558,6 +637,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_sliding_window": _q_x1_sliding_window,
         "x1_session_window": _q_x1_session_window,
+        "d_exact_dedup": _q_d_exact_dedup,
+        "d_ngram_jaccard": _q_d_ngram_jaccard,
+        "d_minhash_pairs": _q_d_minhash_pairs,
+        "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_simhash_pairs": _q_d_simhash_pairs,
+        "v_lsh_topk": _q_v_lsh_topk,
+        "m_decode_images": _q_m_decode_images,
+        "m_frame_sample": _q_m_frame_sample,
     }
 
 
@@ -819,5 +906,55 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
             "SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start, "
             "count(*) AS n_events FROM sessions GROUP BY user_id, session_id"
+        ),
+        "d_exact_dedup": (
+            "SELECT doc_id, text FROM (SELECT doc_id, text FROM documents) "
+            "QUALIFY row_number() OVER (PARTITION BY md5(coalesce(CAST(text AS VARCHAR), '')) "
+            "ORDER BY doc_id) = 1"
+        ),
+        # word-3-gram shingle inverted index -> exact Jaccard on pairs
+        # sharing >=1 shingle; mirrors operators/dedup.ngram_jaccard_pairs
+        # (max_df=1000 boilerplate cap is a no-op at 500 docs but kept for
+        # structural fidelity).
+        "d_ngram_jaccard": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), "
+            "ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s), "
+            "rare AS (SELECT shingle FROM ex0 GROUP BY shingle "
+            "HAVING count(DISTINCT doc_id) <= 1000), "
+            "ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN rare USING (shingle)), "
+            "sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz FROM ex GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2"
+        ),
+        # deterministic fake decode: dims derived from sha256 of the blob
+        # (documents are pure ASCII, so sha256(text) == sha256 of the
+        # UTF-8 payload); hex-pair -> byte via strpos arithmetic.
+        "m_decode_images": (
+            "WITH h AS (SELECT doc_id, sha256(text) AS s FROM documents) "
+            "SELECT doc_id, "
+            "CAST(64 + ((strpos('0123456789abcdef', substring(s, 1, 1)) - 1) * 16 "
+            "+ strpos('0123456789abcdef', substring(s, 2, 1)) - 1) % 192 AS INT) AS width, "
+            "CAST(64 + ((strpos('0123456789abcdef', substring(s, 3, 1)) - 1) * 16 "
+            "+ strpos('0123456789abcdef', substring(s, 4, 1)) - 1) % 192 AS INT) AS height, "
+            "CAST(3 AS INT) AS channels FROM h"
+        ),
+        # every-2nd 16-byte frame; ASCII corpus -> char substring ==
+        # byte substring, hex() is uppercase on both engines.
+        "m_frame_sample": (
+            "WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS blen "
+            "FROM documents), "
+            "f AS (SELECT doc_id, text, "
+            "unnest([i for i in generate_series(0, greatest(blen // 16 - 1, 0)) "
+            "if i % 2 = 0]) AS frame_index FROM b) "
+            "SELECT doc_id, frame_index, "
+            "hex(substring(text, CAST(frame_index * 16 + 1 AS INT), 16)) AS frame_hex FROM f"
         ),
     }
