@@ -554,6 +554,406 @@ def _q_m_frame_sample(spark, sf_dir):
     )
 
 
+# Full medallion pipeline (plans/medallion.py) -----------------------------
+# CRM/ERP-shaped inputs are synthesized deterministically from the TPC-H
+# tables (the same %-pattern dirt-injection used by r7/r8/r9), run through
+# the real silver transforms + gold builders, and matched against a DuckDB
+# oracle that replays the identical arithmetic.
+
+
+def _synth_crm_cust_info(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("cst_id"),
+        F.col("c_name").alias("cst_key"),
+        F.concat(F.lit("  "), F.col("c_name")).alias("cst_firstname"),
+        F.concat(F.upper("c_mktsegment"), F.lit(" ")).alias("cst_lastname"),
+        F.when(F.col("c_custkey") % 3 == 0, "S")
+        .when(F.col("c_custkey") % 3 == 1, "M")
+        .otherwise("X")
+        .alias("cst_marital_status"),
+        F.when(F.col("c_custkey") % 2 == 0, "F")
+        .when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise("M")
+        .alias("cst_gndr"),
+        F.date_add(
+            F.to_date(F.lit("1995-01-01")), (F.col("c_custkey") % 1000).cast("int")
+        ).alias("cst_create_date"),
+    )
+    stale = (
+        base.filter(F.col("cst_id") % 10 == 0)
+        .withColumn("cst_create_date", F.date_sub(F.col("cst_create_date"), 30))
+        .withColumn("cst_firstname", F.lit(" stale "))
+    )
+    return base.unionByName(stale)
+
+
+_SQL_CRM_CUST = (
+    "base AS (SELECT c_custkey AS cst_id, c_name AS cst_key, "
+    "'  ' || c_name AS cst_firstname, upper(c_mktsegment) || ' ' AS cst_lastname, "
+    "CASE WHEN c_custkey % 3 = 0 THEN 'S' WHEN c_custkey % 3 = 1 THEN 'M' "
+    "ELSE 'X' END AS cst_marital_status, "
+    "CASE WHEN c_custkey % 2 = 0 THEN 'F' WHEN c_custkey % 5 = 0 THEN NULL "
+    "ELSE 'M' END AS cst_gndr, "
+    "DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT) AS cst_create_date "
+    "FROM customer), "
+    "crm AS (SELECT * FROM base UNION ALL "
+    "SELECT cst_id, cst_key, ' stale ', cst_lastname, cst_marital_status, "
+    "cst_gndr, cst_create_date - 30 FROM base WHERE cst_id % 10 = 0), "
+    "silver_cust AS (SELECT cst_id, cst_key, trim(cst_firstname) AS cst_firstname, "
+    "trim(cst_lastname) AS cst_lastname, "
+    "CASE upper(trim(cst_marital_status)) WHEN 'S' THEN 'Single' "
+    "WHEN 'M' THEN 'Married' ELSE 'n/a' END AS cst_marital_status, "
+    "CASE upper(trim(cst_gndr)) WHEN 'F' THEN 'Female' WHEN 'M' THEN 'Male' "
+    "ELSE 'n/a' END AS cst_gndr, cst_create_date FROM ("
+    "SELECT * FROM crm QUALIFY row_number() OVER (PARTITION BY cst_id "
+    "ORDER BY cst_create_date DESC) = 1) WHERE cst_id IS NOT NULL)"
+)
+
+
+def _synth_erp_cust_az12(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 4 != 0).select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.concat(F.lit("NAS"), F.col("c_name"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("cid"),
+        F.when(F.col("c_custkey") % 11 == 0, F.to_date(F.lit("2050-01-01")))
+        .otherwise(
+            F.date_add(
+                F.to_date(F.lit("1960-01-01")), (F.col("c_custkey") % 9000).cast("int")
+            )
+        )
+        .alias("bdate"),
+        F.when(F.col("c_custkey") % 6 == 0, "FEMALE")
+        .when(F.col("c_custkey") % 6 == 1, "MALE")
+        .when(F.col("c_custkey") % 6 == 2, "F")
+        .when(F.col("c_custkey") % 6 == 3, "")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("gen"),
+    )
+
+
+_SQL_ERP_AZ12 = (
+    "az12 AS (SELECT CASE WHEN c_custkey % 2 = 0 THEN 'NAS' || c_name "
+    "ELSE c_name END AS cid, "
+    "CASE WHEN c_custkey % 11 = 0 THEN DATE '2050-01-01' "
+    "ELSE DATE '1960-01-01' + CAST(c_custkey % 9000 AS INT) END AS bdate, "
+    "CASE WHEN c_custkey % 6 = 0 THEN 'FEMALE' WHEN c_custkey % 6 = 1 THEN 'MALE' "
+    "WHEN c_custkey % 6 = 2 THEN 'F' WHEN c_custkey % 6 = 3 THEN '' "
+    "ELSE NULL END AS gen FROM customer WHERE c_custkey % 4 <> 0), "
+    "silver_az12 AS (SELECT "
+    "CASE WHEN cid LIKE 'NAS%' THEN substring(cid, 4) ELSE cid END AS cid, "
+    "CASE WHEN bdate > TIMESTAMP '1995-06-01' THEN NULL ELSE bdate END AS bdate, "
+    "CASE upper(trim(gen)) WHEN 'F' THEN 'Female' WHEN 'FEMALE' THEN 'Female' "
+    "WHEN 'M' THEN 'Male' WHEN 'MALE' THEN 'Male' ELSE 'n/a' END AS gen FROM az12)"
+)
+
+
+def _synth_erp_loc_a101(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 5 != 1).select(
+        F.concat(
+            F.substring("c_name", 1, 3), F.lit("-"), F.expr("substring(c_name, 4)")
+        ).alias("cid"),
+        F.when(F.col("c_custkey") % 7 == 0, "DE")
+        .when(F.col("c_custkey") % 7 == 1, "US")
+        .when(F.col("c_custkey") % 7 == 2, "USA")
+        .when(F.col("c_custkey") % 7 == 3, "")
+        .when(F.col("c_custkey") % 7 == 4, F.lit(None).cast("string"))
+        .when(F.col("c_custkey") % 7 == 5, " France ")
+        .otherwise("Canada")
+        .alias("cntry"),
+    )
+
+
+_SQL_ERP_LOC = (
+    "loc AS (SELECT substring(c_name, 1, 3) || '-' || substring(c_name, 4) AS cid, "
+    "CASE WHEN c_custkey % 7 = 0 THEN 'DE' WHEN c_custkey % 7 = 1 THEN 'US' "
+    "WHEN c_custkey % 7 = 2 THEN 'USA' WHEN c_custkey % 7 = 3 THEN '' "
+    "WHEN c_custkey % 7 = 4 THEN NULL WHEN c_custkey % 7 = 5 THEN ' France ' "
+    "ELSE 'Canada' END AS cntry FROM customer WHERE c_custkey % 5 <> 1), "
+    "silver_loc AS (SELECT regexp_replace(cid, '-', '', 'g') AS cid, "
+    "CASE WHEN trim(cntry) IS NULL OR trim(cntry) = '' THEN 'n/a' "
+    "WHEN trim(cntry) = 'DE' THEN 'Germany' "
+    "WHEN trim(cntry) IN ('US', 'USA') THEN 'United States' "
+    "ELSE trim(cntry) END AS cntry FROM loc)"
+)
+
+_SQL_DIMC_CTE = (
+    "dimc AS (SELECT row_number() OVER (ORDER BY ci.cst_id) AS customer_key, "
+    "ci.cst_id AS customer_id, ci.cst_key AS customer_number, "
+    "ci.cst_firstname AS first_name, ci.cst_lastname AS last_name, "
+    "la.cntry AS country, ci.cst_marital_status AS marital_status, "
+    "CASE WHEN ci.cst_gndr IS NOT NULL AND ci.cst_gndr <> 'n/a' THEN ci.cst_gndr "
+    "ELSE coalesce(ca.gen, 'n/a') END AS gender, "
+    "CAST(CAST(ca.bdate AS DATE) AS VARCHAR) AS birthdate, "
+    "CAST(ci.cst_create_date AS VARCHAR) AS create_date "
+    "FROM silver_cust ci LEFT JOIN silver_az12 ca ON ci.cst_key = ca.cid "
+    "LEFT JOIN silver_loc la ON ci.cst_key = la.cid)"
+)
+
+_SQL_DIM_CUSTOMERS = (
+    f"WITH {_SQL_CRM_CUST}, {_SQL_ERP_AZ12}, {_SQL_ERP_LOC}, {_SQL_DIMC_CTE} "
+    "SELECT * FROM dimc"
+)
+
+
+def _q_g_dim_customers(spark, sf_dir, scale_safe=False):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
+        gold_dim_customers,
+        silver_crm_cust_info,
+        silver_erp_cust_az12,
+        silver_erp_loc_a101,
+    )
+
+    cust = silver_crm_cust_info(_synth_crm_cust_info(spark, sf_dir))
+    az12 = silver_erp_cust_az12(_synth_erp_cust_az12(spark, sf_dir), as_of="1995-06-01")
+    loc = silver_erp_loc_a101(_synth_erp_loc_a101(spark, sf_dir))
+    dim = gold_dim_customers(cust, az12, loc, scale_safe=scale_safe)
+    return dim.withColumn("birthdate", F.col("birthdate").cast("string")).withColumn(
+        "create_date", F.col("create_date").cast("string")
+    )
+
+
+def _q_g_dim_customers_scale_safe(spark, sf_dir):
+    return _q_g_dim_customers(spark, sf_dir, scale_safe=True)
+
+
+def _synth_crm_prd_info(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    base = p.select(
+        F.col("p_partkey").alias("prd_id"),
+        F.concat_ws(
+            "-",
+            F.substring("p_type", 1, 2),
+            F.substring("p_brand", 1, 2),
+            F.concat(F.lit("P"), F.col("p_partkey").cast("string")),
+        ).alias("prd_key"),
+        F.col("p_name").alias("prd_nm"),
+        F.when(F.col("p_partkey") % 23 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("p_retailprice"))
+        .alias("prd_cost"),
+        F.when(F.col("p_partkey") % 5 == 0, "M")
+        .when(F.col("p_partkey") % 5 == 1, "R")
+        .when(F.col("p_partkey") % 5 == 2, "S")
+        .when(F.col("p_partkey") % 5 == 3, "T")
+        .otherwise("Q")
+        .alias("prd_line"),
+        F.date_add(
+            F.to_date(F.lit("1995-01-01")), (F.col("p_partkey") % 500).cast("int")
+        ).alias("prd_start_dt"),
+    )
+    v2 = base.filter(F.col("prd_id") % 4 == 0).withColumn(
+        "prd_start_dt", F.date_add(F.col("prd_start_dt"), 200)
+    )
+    return base.unionByName(v2)
+
+
+_SQL_CRM_PRD = (
+    "pbase AS (SELECT p_partkey AS prd_id, "
+    "substring(p_type, 1, 2) || '-' || substring(p_brand, 1, 2) || '-P' || p_partkey"
+    " AS prd_key, p_name AS prd_nm, "
+    "CASE WHEN p_partkey % 23 = 0 THEN NULL ELSE p_retailprice END AS prd_cost, "
+    "CASE WHEN p_partkey % 5 = 0 THEN 'M' WHEN p_partkey % 5 = 1 THEN 'R' "
+    "WHEN p_partkey % 5 = 2 THEN 'S' WHEN p_partkey % 5 = 3 THEN 'T' "
+    "ELSE 'Q' END AS prd_line, "
+    "DATE '1995-01-01' + CAST(p_partkey % 500 AS INT) AS prd_start_dt FROM part), "
+    "prd AS (SELECT * FROM pbase UNION ALL "
+    "SELECT prd_id, prd_key, prd_nm, prd_cost, prd_line, prd_start_dt + 200 "
+    "FROM pbase WHERE prd_id % 4 = 0), "
+    "silver_prd0 AS (SELECT prd_id, prd_key AS full_key, prd_nm, "
+    "coalesce(prd_cost, 0) AS prd_cost, "
+    "CASE upper(trim(prd_line)) WHEN 'M' THEN 'Mountain' WHEN 'R' THEN 'Road' "
+    "WHEN 'S' THEN 'Other Sales' WHEN 'T' THEN 'Touring' ELSE 'n/a' END AS prd_line, "
+    "prd_start_dt FROM prd), "
+    "silver_prd AS (SELECT prd_id, "
+    "replace(substring(full_key, 1, 5), '-', '_') AS cat_id, "
+    "substring(full_key, 7) AS prd_key, prd_nm, prd_cost, prd_line, prd_start_dt, "
+    "CAST(lead(prd_start_dt) OVER (PARTITION BY full_key "
+    "ORDER BY prd_start_dt) - INTERVAL 1 DAY AS DATE) AS prd_end_dt "
+    "FROM silver_prd0)"
+)
+
+
+def _synth_px_cat(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    ids = p.select(
+        F.concat_ws(
+            "_", F.substring("p_type", 1, 2), F.substring("p_brand", 1, 2)
+        ).alias("id")
+    ).distinct()
+    return ids.select(
+        "id",
+        F.concat(F.lit("CAT-"), F.col("id")).alias("cat"),
+        F.concat(F.lit("SUB-"), F.col("id")).alias("subcat"),
+        F.when(F.substring("id", 1, 1) <= "M", "Yes").otherwise("No").alias(
+            "maintenance"
+        ),
+    )
+
+
+_SQL_PX_CAT = (
+    "cats AS (SELECT id, 'CAT-' || id AS cat, 'SUB-' || id AS subcat, "
+    "CASE WHEN substring(id, 1, 1) <= 'M' THEN 'Yes' ELSE 'No' END AS maintenance "
+    "FROM (SELECT DISTINCT substring(p_type, 1, 2) || '_' || "
+    "substring(p_brand, 1, 2) AS id FROM part))"
+)
+
+_SQL_DIMP_CTE = (
+    "dimp AS (SELECT row_number() OVER (ORDER BY pn.prd_start_dt, pn.prd_key) "
+    "AS product_key, pn.prd_id AS product_id, pn.prd_key AS product_number, "
+    "pn.prd_nm AS product_name, pn.cat_id AS category_id, pc.cat AS category, "
+    "pc.subcat AS subcategory, pc.maintenance, pn.prd_cost AS cost, "
+    "pn.prd_line AS product_line, CAST(pn.prd_start_dt AS VARCHAR) AS start_date "
+    "FROM silver_prd pn LEFT JOIN cats pc ON pn.cat_id = pc.id "
+    "WHERE pn.prd_end_dt IS NULL)"
+)
+
+_SQL_DIM_PRODUCTS = (
+    f"WITH {_SQL_CRM_PRD}, {_SQL_PX_CAT}, {_SQL_DIMP_CTE} SELECT * FROM dimp"
+)
+
+
+def _q_g_dim_products(spark, sf_dir):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
+        gold_dim_products,
+        silver_crm_prd_info,
+        silver_erp_px_cat_g1v2,
+    )
+
+    prd = silver_crm_prd_info(_synth_crm_prd_info(spark, sf_dir))
+    cat = silver_erp_px_cat_g1v2(_synth_px_cat(spark, sf_dir))
+    dim = gold_dim_products(prd, cat)
+    return dim.withColumn("start_date", F.col("start_date").cast("string"))
+
+
+def _synth_crm_sales_details(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    sd = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return sd.select(
+        F.concat(F.lit("SO"), F.col("l_orderkey").cast("string")).alias("sls_ord_num"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("sls_prd_key"),
+        F.col("o_custkey").alias("sls_cust_id"),
+        F.when(F.col("l_orderkey") % 100 == 0, 0)
+        .when(F.col("l_orderkey") % 101 == 0, 20231301)
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd").cast("int"))
+        .alias("sls_order_dt"),
+        F.date_format("l_shipdate", "yyyyMMdd").cast("int").alias("sls_ship_dt"),
+        F.date_format(F.date_add("l_shipdate", 30), "yyyyMMdd")
+        .cast("int")
+        .alias("sls_due_dt"),
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None).cast("double"))
+        .when(F.col("l_orderkey") % 17 == 0, -1.0)
+        .when(F.col("l_orderkey") % 19 == 0, F.col("l_extendedprice") + 1.0)
+        .otherwise(F.col("l_extendedprice"))
+        .alias("sls_sales"),
+        F.col("l_quantity").alias("sls_quantity"),
+        F.when(F.col("l_orderkey") % 23 == 0, F.lit(None).cast("double"))
+        .when(F.col("l_orderkey") % 29 == 0, -5.0)
+        .otherwise(F.col("l_extendedprice") / F.col("l_quantity"))
+        .alias("sls_price"),
+    )
+
+
+_SQL_CRM_SALES = (
+    "sdraw AS (SELECT 'SO' || l_orderkey AS sls_ord_num, "
+    "'P' || l_partkey AS sls_prd_key, o_custkey AS sls_cust_id, "
+    "CASE WHEN l_orderkey % 100 = 0 THEN 0 WHEN l_orderkey % 101 = 0 THEN 20231301 "
+    "ELSE CAST(strftime(o_orderdate, '%Y%m%d') AS INT) END AS sls_order_dt, "
+    "CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS sls_ship_dt, "
+    "CAST(strftime(CAST(l_shipdate AS DATE) + 30, '%Y%m%d') AS INT) AS sls_due_dt, "
+    "CASE WHEN l_orderkey % 13 = 0 THEN NULL WHEN l_orderkey % 17 = 0 THEN -1.0 "
+    "WHEN l_orderkey % 19 = 0 THEN l_extendedprice + 1.0 "
+    "ELSE l_extendedprice END AS sls_sales, "
+    "l_quantity AS sls_quantity, "
+    "CASE WHEN l_orderkey % 23 = 0 THEN NULL WHEN l_orderkey % 29 = 0 THEN -5.0 "
+    "ELSE l_extendedprice / l_quantity END AS sls_price "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+    "silver_sales AS (SELECT sls_ord_num, sls_prd_key, sls_cust_id, "
+    "CASE WHEN sls_order_dt = 0 OR length(CAST(sls_order_dt AS VARCHAR)) <> 8 "
+    "THEN NULL ELSE CAST(try_strptime(CAST(sls_order_dt AS VARCHAR), '%Y%m%d') AS DATE)"
+    " END AS sls_order_dt, "
+    "CAST(try_strptime(CAST(sls_ship_dt AS VARCHAR), '%Y%m%d') AS DATE) AS sls_ship_dt, "
+    "CAST(try_strptime(CAST(sls_due_dt AS VARCHAR), '%Y%m%d') AS DATE) AS sls_due_dt, "
+    "CAST(CASE WHEN sls_sales IS NULL OR sls_sales <= 0 "
+    "OR sls_sales <> sls_quantity * abs(sls_price) "
+    "THEN sls_quantity * abs(sls_price) ELSE sls_sales END AS DOUBLE) AS sls_sales_f, "
+    "sls_quantity, sls_price FROM sdraw), "
+    "silver_sd AS (SELECT sls_ord_num, sls_prd_key, sls_cust_id, sls_order_dt, "
+    "sls_ship_dt, sls_due_dt, sls_sales_f AS sls_sales, sls_quantity, "
+    "CASE WHEN sls_price IS NULL OR sls_price <= 0 THEN sls_sales_f / "
+    "(CASE WHEN sls_quantity <> 0 THEN sls_quantity ELSE 1 END) "
+    "ELSE CAST(sls_price AS DOUBLE) END AS sls_price FROM silver_sales)"
+)
+
+
+def _q_g_fact_sales(spark, sf_dir):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
+        gold_fact_sales,
+        silver_crm_sales_details,
+    )
+
+    sales = silver_crm_sales_details(_synth_crm_sales_details(spark, sf_dir))
+    dim_prod = _q_g_dim_products(spark, sf_dir)
+    dim_cust = _q_g_dim_customers(spark, sf_dir)
+    fact = gold_fact_sales(sales, dim_prod, dim_cust)
+    return (
+        fact.withColumn("order_date", F.col("order_date").cast("string"))
+        .withColumn("shipping_date", F.col("shipping_date").cast("string"))
+        .withColumn("due_date", F.col("due_date").cast("string"))
+    )
+
+
+_SQL_FACT_SALES = (
+    f"WITH {_SQL_CRM_CUST}, {_SQL_ERP_AZ12}, {_SQL_ERP_LOC}, {_SQL_DIMC_CTE}, "
+    f"{_SQL_CRM_PRD}, {_SQL_PX_CAT}, {_SQL_DIMP_CTE}, {_SQL_CRM_SALES} "
+    "SELECT sd.sls_ord_num AS order_number, pr.product_key, cu.customer_key, "
+    "CAST(sd.sls_order_dt AS VARCHAR) AS order_date, "
+    "CAST(sd.sls_ship_dt AS VARCHAR) AS shipping_date, "
+    "CAST(sd.sls_due_dt AS VARCHAR) AS due_date, "
+    "sd.sls_sales AS sales_amount, sd.sls_quantity AS quantity, "
+    "sd.sls_price AS price "
+    "FROM silver_sd sd "
+    "LEFT JOIN dimp pr ON sd.sls_prd_key = pr.product_number "
+    "LEFT JOIN dimc cu ON sd.sls_cust_id = cu.customer_id"
+)
+
+
+# DQ gate (plans/dq.py) ----------------------------------------------------
+
+
+def _q_s9_dq_gate(spark, sf_dir):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import (
+        DQRule,
+        _metrics,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    rules = [
+        DQRule("qty_not_null", "not_null", column="l_quantity"),
+        DQRule("okey_distinct", "unique", column="l_orderkey"),
+        DQRule(
+            "disc_range",
+            "predicate",
+            predicate=(F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+        ),
+    ]
+    return li.agg(*_metrics(li, rules))
+
+
+def _q_f17_current_timestamp(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        (F.current_timestamp() > F.lit("2020-01-01").cast("timestamp")).alias(
+            "ts_after_2020"
+        ),
+    )
+
+
 # Event-time windows ------------------------------------------------------
 
 
@@ -637,6 +1037,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_sliding_window": _q_x1_sliding_window,
         "x1_session_window": _q_x1_session_window,
+        "g_dim_customers": _q_g_dim_customers,
+        "g_dim_customers_scale_safe": _q_g_dim_customers_scale_safe,
+        "g_dim_products": _q_g_dim_products,
+        "g_fact_sales": _q_g_fact_sales,
+        "s9_dq_gate": _q_s9_dq_gate,
+        "f17_current_timestamp": _q_f17_current_timestamp,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
         "d_minhash_pairs": _q_d_minhash_pairs,
@@ -906,6 +1312,22 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
             "SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start, "
             "count(*) AS n_events FROM sessions GROUP BY user_id, session_id"
+        ),
+        "g_dim_customers": _SQL_DIM_CUSTOMERS,
+        "g_dim_customers_scale_safe": _SQL_DIM_CUSTOMERS,
+        "g_dim_products": _SQL_DIM_PRODUCTS,
+        "g_fact_sales": _SQL_FACT_SALES,
+        "s9_dq_gate": (
+            "SELECT count(*) AS _dq_rows, "
+            "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS _dq_qty_not_null, "
+            "count(DISTINCT l_orderkey) AS _dq_okey_distinct, "
+            "CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS _dq_disc_range FROM lineitem"
+        ),
+        "f17_current_timestamp": (
+            "SELECT n_nationkey, now() > TIMESTAMP '2020-01-01' AS ts_after_2020 "
+            "FROM nation"
         ),
         "d_exact_dedup": (
             "SELECT doc_id, text FROM (SELECT doc_id, text FROM documents) "
