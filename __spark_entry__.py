@@ -1105,6 +1105,67 @@ def _q_v_cosine_pairs(spark, sf_dir):
     )
 
 
+def _q_s4_json_source(spark, sf_dir):
+    """S4-adjacent: JSON-lines source with explicit schema."""
+    import os
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import read_json
+
+    out = f"/tmp/sg_json_{abs(hash(sf_dir)) % 10**8}/region"
+    if not os.path.exists(out):
+        load(spark, sf_dir, "region").write.mode("overwrite").json(out)
+    return read_json(spark, out, schema="r_regionkey bigint, r_name string")
+
+
+def _q_a1_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def _q_a1_approx_distinct(spark, sf_dir):
+    # rows-only: HLL sketches differ between engines by construction;
+    # the exact twin a1_count_distinct is the oracle-checked reference.
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust")
+    )
+
+
+def _q_o1_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def _q_p3_p5_p9_field_ops(spark, sf_dir):
+    """P3 field projection + P5 drop + P9 alias-qualified columns."""
+    n = load(spark, sf_dir, "nation").alias("n")
+    r = load(spark, sf_dir, "region").alias("r")
+    joined = n.join(r, F.col("n.n_regionkey") == F.col("r.r_regionkey"), "left")
+    return joined.select(
+        F.col("n.n_nationkey").alias("nation_id"),
+        F.col("n.n_name").alias("nation_name"),
+        F.col("r.r_name").alias("region_name"),
+        F.col("n.n_regionkey").alias("to_drop"),
+    ).drop("to_drop")
+
+
+def _q_v_ivf_topk(spark, sf_dir):
+    # rows-only: KMeans cell assignment is approximate/engine-specific;
+    # v_cosine_topk and v_cosine_pairs are the exact oracle-checked twins.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e.filter(F.col("vec_id") >= 3), q, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_parquet_scan": _q_s5_parquet_scan,
@@ -1165,6 +1226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample": _q_m_frame_sample,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "s4_csv_source": _q_s4_csv_source,
+        "s4_json_source": _q_s4_json_source,
+        "a1_cube": _q_a1_cube,
+        "a1_approx_distinct": _q_a1_approx_distinct,
+        "o1_intersect": _q_o1_intersect,
+        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
+        "v_ivf_topk": _q_v_ivf_topk,
         "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
         "v_cosine_pairs": _q_v_cosine_pairs,
@@ -1449,6 +1516,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "s4_csv_source": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "s4_json_source": "SELECT r_regionkey, r_name FROM region",
+        "a1_cube": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+            "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+            "GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "o1_intersect": (
+            "SELECT c_nationkey AS nationkey FROM customer INTERSECT "
+            "SELECT s_nationkey AS nationkey FROM supplier"
+        ),
+        "p3_p5_p9_field_ops": (
+            "SELECT n_nationkey AS nation_id, n_name AS nation_name, "
+            "r_name AS region_name FROM nation n "
+            "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"
+        ),
         "s6_s1_table_roundtrip": "SELECT * FROM region",
         "s7_warehouse_sink": "SELECT n_nationkey, n_name FROM nation",
         "v_cosine_pairs": (

@@ -77,6 +77,67 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    MLlib KMeans learns ``n_clusters`` centroids (on a ``fit_fraction``
+    sample at scale — the model only needs representative centers, not
+    every row); each corpus vector is assigned to its nearest centroid
+    (one JVM-side model.transform pass). A query probes its ``n_probe``
+    nearest cells — centroid distances are computed in one numpy matmul
+    per Arrow batch since the centroid matrix is tiny — and exact cosine
+    runs only inside probed cells. The classic recall/compute dial:
+    n_probe/n_clusters bounds the fraction of the corpus scanned per
+    query. At 100 TB, persist the assigned corpus as a bucketed table
+    partitioned by cell id so probes prune partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+    fit_df = c_vec.sample(fit_fraction, seed=seed) if fit_fraction else c_vec
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
+    ).fit(fit_df)
+    indexed = model.transform(c_vec).select(
+        F.col(id_col), F.col(vec_col), F.col("_cell")
+    )
+
+    centroids = np.stack([np.asarray(ct, dtype=np.float64) for ct in model.clusterCenters()])
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # squared euclidean to every centroid: ||v||² - 2 v·c + ||c||²
+        d = (V**2).sum(1)[:, None] - 2 * V @ centroids.T + (centroids**2).sum(1)[None, :]
+        nearest = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in nearest])
+
+    probes = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    cand = indexed.join(F.broadcast(probes), "_cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

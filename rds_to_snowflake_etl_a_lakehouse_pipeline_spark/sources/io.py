@@ -42,6 +42,20 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines source with explicit schema (inference = a full extra
+    pass at 100 TB; always pass the DDL in production)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -15,6 +15,7 @@ from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
 )
 from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -86,6 +87,27 @@ def test_brute_force_topk_exact(spark):
     out = brute_force_topk(corpus, queries, k=2).orderBy("rank").collect()
     assert [r["vec_id"] for r in out] == [1, 2]
     assert out[0]["cos_sim"] == 1.0
+
+
+def test_ivf_topk_full_probe_equals_exact(spark):
+    # probing every cell degenerates IVF to exact search — deterministic
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(
+            corpus, queries, k=10, n_clusters=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
 
 
 def test_lsh_topk_recall_on_testdata(spark):
