@@ -1,0 +1,112 @@
+"""Property-based tests (SURVEY.md §5 item 4, hypothesis).
+
+Each property runs a handful of examples (every example is a Spark job,
+so max_examples stays small); the properties themselves are the point:
+- R7 is TOTAL on arbitrary ints and internally consistent (non-null
+  results round-trip through date_format).
+- R8/R9 repairs are IDEMPOTENT (repairing repaired data is a no-op).
+- R1 dedup-latest returns exactly one row per distinct non-null key.
+- exact_dedup keeps exactly one row per distinct content.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions import cleansing as cl
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import exact_dedup
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+    dedupe_latest,
+)
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(xs=st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=25))
+@PROP
+def test_r7_total_and_roundtrip(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "v int")
+    out = df.select(
+        "v",
+        cl.int_yyyymmdd_to_date("v").alias("d"),
+        F.date_format(cl.int_yyyymmdd_to_date("v"), "yyyyMMdd").alias("rt"),
+    ).collect()
+    for r in out:  # never throws; non-null results round-trip
+        if r["v"] == 0 or len(str(r["v"])) != 8:
+            assert r["d"] is None
+        if r["d"] is not None:
+            assert r["rt"] == str(r["v"])
+
+
+_money = st.one_of(
+    st.none(),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_money, st.integers(0, 50), _money), min_size=1, max_size=25
+    )
+)
+@PROP
+def test_r8_r9_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [(s, float(q), p) for s, q, p in rows], "s double, q double, p double"
+    )
+    once = df.select(
+        "q",
+        "p",
+        cl.recompute_amount("s", "q", "p").alias("s1"),
+        cl.backfill_unit_price(cl.recompute_amount("s", "q", "p"), "q", "p").alias(
+            "p1"
+        ),
+    )
+    # R8 again with the SAME price, R9 again with the repaired sales:
+    # both must be no-ops (bit-exact, not approximately)
+    twice = once.select(
+        "s1",
+        "p1",
+        cl.recompute_amount("s1", "q", "p").alias("s2"),
+        cl.backfill_unit_price("s1", "q", "p1").alias("p2"),
+    )
+    bad = twice.filter(
+        ~F.col("s1").eqNullSafe(F.col("s2")) | ~F.col("p1").eqNullSafe(F.col("p2"))
+    ).count()
+    assert bad == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=40
+    )
+)
+@PROP
+def test_r1_one_row_per_key(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ord int")
+    out = dedupe_latest(df, ["k"], "ord", tiebreakers=["ord"])
+    got = out.groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in got)
+    assert {r["k"] for r in got} == {k for k, _ in rows}
+    # and the kept row is the max ord per key
+    kept = {r["k"]: r["ord"] for r in out.collect()}
+    expected = {}
+    for k, o in rows:
+        expected[k] = max(expected.get(k, -1), o)
+    assert kept == expected
+
+
+@given(texts=st.lists(st.text(max_size=20), min_size=1, max_size=30))
+@PROP
+def test_exact_dedup_one_per_content(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = exact_dedup(df, ["text"], order_col="doc_id")
+    assert out.count() == len(set(texts))

@@ -1,0 +1,57 @@
+"""Physical-plan audit for the headline queries (see SCALE.md).
+
+Prints broadcast/sort-merge join counts, shuffle counts, and
+single-partition exchanges per query, plus scan pushdown detail for the
+aggregation query. Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDIT = [
+    "a1_groupby_agg",
+    "j1_j2_enrich",
+    "j3_broadcast_join",
+    "j4_j5_fact_join",
+    "g_dim_customers",
+    "g_dim_customers_scale_safe",
+    "g_dim_products",
+    "g_fact_sales",
+    "d_minhash_pairs",
+    "v_lsh_topk",
+    "w2_surrogate_key",
+    "w2_surrogate_two_phase",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import __spark_entry__ as ent
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    qs = ent.queries()
+    for name in AUDIT:
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        print(
+            f"{name}: broadcast_joins="
+            f"{plan.count('BroadcastHashJoin')} "
+            f"sortmerge_joins={plan.count('SortMergeJoin')} "
+            f"shuffles={plan.count('Exchange hashpartitioning') + plan.count('Exchange rangepartitioning')} "
+            f"single_partition_exchanges={plan.count('Exchange SinglePartition')}"
+        )
+
+    print("\n--- a1_groupby_agg scan detail (pushdown/pruning) ---")
+    plan = qs["a1_groupby_agg"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "FileScan" in line or "PushedFilters" in line:
+            print(line.strip()[:250])
+
+
+if __name__ == "__main__":
+    main()
