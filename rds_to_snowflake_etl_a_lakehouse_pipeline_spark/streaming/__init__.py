@@ -3,6 +3,7 @@ unchanged on Structured-Streaming DataFrames."""
 
 from .events import (  # noqa: F401
     run_available_now,
+    running_user_totals,
     sessionized,
     sliding_counts,
     stream_events,

@@ -83,6 +83,56 @@ def sessionized(
     )
 
 
+def running_user_totals(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum
+    via ``applyInPandasWithState`` — the escape hatch for semantics the
+    built-in window aggregates can't express (cross-batch running state).
+
+    State is one tiny tuple per user key, partitioned by ``user_col``
+    (hash shuffle). Pass ``timeout_minutes`` on a CONTINUOUS trigger to
+    evict keys after processing-time silence — bounded state at any
+    scale. Leave it None for ``availableNow`` runs: a processing-time
+    timeout keeps the availableNow query alive waiting to service
+    timeouts, so it never terminates (measured).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{user_col} bigint, n_events bigint, total_value double"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
+
+
 def stream_events(
     spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA
 ) -> DataFrame:
@@ -91,14 +141,17 @@ def stream_events(
     return spark.readStream.schema(schema).parquet(path)
 
 
-def run_available_now(sdf: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    sdf: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming aggregation over all currently-available input
     (trigger=availableNow) into an in-memory sink; returns the result
-    table. Complete output mode — correct for these full-window aggs."""
+    table. Complete mode for full-window aggs; pass ``update`` for
+    stateful operators (``applyInPandasWithState``) that emit deltas."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

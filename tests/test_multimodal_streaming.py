@@ -83,3 +83,29 @@ def test_stream_batch_parity_sessions(spark):
         assert sorted(map(tuple, stream_result.collect())) == sorted(
             map(tuple, batch_result.collect())
         )
+
+
+def test_stateful_running_totals(spark):
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming import (
+        running_user_totals,
+    )
+
+    batch = load(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream-src")
+        batch.write.parquet(src)
+        sdf = stream_events(spark, src)
+        got = run_available_now(
+            running_user_totals(sdf), "stateful_totals", output_mode="update"
+        ).collect()
+    expected = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t")
+        )
+        .collect()
+    }
+    assert {r["user_id"]: (r["n_events"], r["total_value"]) for r in got} == expected

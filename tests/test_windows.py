@@ -74,3 +74,26 @@ def test_surrogate_two_phase_matches_faithful(spark):
     }
     assert faithful == two_phase
     assert sorted(two_phase.values()) == list(range(1, 999))
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        salted_join,
+    )
+
+    # hot key 1 dominates the left side
+    left = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 100), (3, 200)], "k int, lv int"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k int, rv string")
+    plain = left.join(right, "k", "inner").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", salt=8, how="inner").select("k", "lv", "rv")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left_outer parity too (unmatched key 3 must survive with NULL rv)
+    plain_l = left.join(right, "k", "left").select("k", "lv", "rv")
+    salted_l = salted_join(left, right, "k", salt=8, how="left").select("k", "lv", "rv")
+    assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(
+        map(tuple, plain_l.collect()), key=str
+    )
