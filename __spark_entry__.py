@@ -51,6 +51,14 @@ from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _fixture_key(sf_dir: str) -> str:
+    """Deterministic /tmp fixture key (process-salted hash() would remap
+    paths every run and could collide across scale factors)."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+
+
 # ---------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dedup-latest + two broadcast left joins + surrogate key +
@@ -1015,7 +1023,7 @@ def _q_x1_tumbling_stream(spark, sf_dir):
     # the streaming file source needs a DIRECTORY; symlink the single
     # parquet file into one (a real deployment streams from a landing dir)
     src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = f"/tmp/sg_stream_{abs(hash(sf_dir)) % 10**8}"
+    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
@@ -1042,7 +1050,7 @@ def _q_s4_csv_source(spark, sf_dir):
 
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import read_csv
 
-    out = f"/tmp/sg_csv_{abs(hash(sf_dir)) % 10**8}/nation"
+    out = "/tmp/sg_csv_" + _fixture_key(sf_dir) + "/nation"
     if not os.path.exists(out):
         load(spark, sf_dir, "nation").write.mode("overwrite").option(
             "header", "true"
@@ -1060,7 +1068,7 @@ def _q_s6_s1_table_roundtrip(spark, sf_dir):
     trip works under any caller-provided session)."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import read_parquet
 
-    path = f"/tmp/sg_tbl_{abs(hash(sf_dir)) % 10**8}/region"
+    path = "/tmp/sg_tbl_" + _fixture_key(sf_dir) + "/region"
     (
         load(spark, sf_dir, "region")
         .write.mode("overwrite")
@@ -1077,7 +1085,7 @@ def _q_s7_warehouse_sink(spark, sf_dir):
     interface carries JDBC/Snowflake options on a real cluster)."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import WarehouseSink
 
-    path = f"/tmp/sg_wh_{abs(hash(sf_dir)) % 10**8}/nation"
+    path = "/tmp/sg_wh_" + _fixture_key(sf_dir) + "/nation"
     sink = WarehouseSink(backend="catalog")
     df = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     df.write.mode("overwrite").format("parquet").option("path", path).saveAsTable(
@@ -1111,7 +1119,7 @@ def _q_s4_json_source(spark, sf_dir):
 
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import read_json
 
-    out = f"/tmp/sg_json_{abs(hash(sf_dir)) % 10**8}/region"
+    out = "/tmp/sg_json_" + _fixture_key(sf_dir) + "/region"
     if not os.path.exists(out):
         load(spark, sf_dir, "region").write.mode("overwrite").json(out)
     return read_json(spark, out, schema="r_regionkey bigint, r_name string")
