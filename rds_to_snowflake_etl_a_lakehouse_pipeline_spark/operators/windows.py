@@ -101,8 +101,17 @@ def surrogate_key_two_phase(
     through a single reducer. ``order_cols`` must be unique per row.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    from pyspark import StorageLevel
+
+    # PERSIST before reading twice: repartitionByRange SAMPLES its
+    # boundaries per evaluation, so the count collection below and the
+    # final ranked query would otherwise see two different partitionings
+    # and the offsets would not match the local ranks (observed at
+    # sf0.1). The cache pins one materialized partitioning for both.
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # One row per partition — trivially collectable even at 10⁵ partitions.
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
