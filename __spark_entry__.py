@@ -457,6 +457,18 @@ def _q_t_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", lf.doc_fingerprint("text").alias("fp"))
 
 
+def _q_t_regex_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", lf.regex_token_count("text").alias("n_bpe_tokens"))
+
+
+def _q_t_winnow(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return lf.winnow_fingerprints(
+        d, "text", out_col="fps", k=5, window=4, hash="md5"
+    ).select("doc_id", "fps")
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -1211,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality_score": _q_t_quality_score,
         "t_language_id": _q_t_language_id,
         "t_doc_fingerprint": _q_t_doc_fingerprint,
+        "t_regex_tokens": _q_t_regex_tokens,
+        "t_winnow": _q_t_winnow,
         "t_exact_dedup": _q_t_exact_dedup,
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
@@ -1473,6 +1487,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, lang, {_sql_language_id()} AS lang_guess FROM documents"
         ),
         "t_doc_fingerprint": f"SELECT doc_id, {fp} AS fp FROM documents",
+        # GPT-2-ish pretokenizer; '' doubles the quote inside the SQL literal
+        "t_regex_tokens": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'"
+            ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        # winnowing over md5-prefix k-gram hashes; window min is the
+        # lexicographic min, identical across engines
+        "t_winnow": (
+            "WITH t AS (SELECT doc_id, "
+            "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN length(s) - 4 >= 1 THEN "
+            "[substring(md5(s[i:i+4]), 1, 8) "
+            "for i in generate_series(1, length(s) - 4)] END AS gh FROM t), "
+            "w AS (SELECT doc_id, CASE "
+            "WHEN len(gh) - 3 >= 1 THEN list_sort(list_distinct("
+            "[list_min(gh[i:i+3]) for i in generate_series(1, len(gh) - 3)])) "
+            "WHEN len(gh) >= 1 THEN [list_min(gh)] END AS fps FROM g) "
+            "SELECT doc_id, fps FROM w"
+        ),
         "t_exact_dedup": (
             f"SELECT {fp} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY 1"

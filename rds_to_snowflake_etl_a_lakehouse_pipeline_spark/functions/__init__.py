@@ -19,7 +19,9 @@ from .text import (  # noqa: F401
     doc_fingerprint,
     language_id,
     quality_score,
+    regex_token_count,
     stopword_ratio,
     token_count,
+    winnow_fingerprints,
 )
 from .vectors import cosine_similarity, dot_product, l2_norm  # noqa: F401

@@ -49,6 +49,82 @@ def approx_bpe_token_count(col: Column | str, chars_per_token: float = 4.0) -> C
     return F.ceil(F.length(c) / F.lit(chars_per_token)).cast("bigint")
 
 
+# GPT-2-ish pretokenizer pattern: contractions, letter runs, digit runs,
+# punctuation runs, whitespace-attached. Kept RE2/Java/DuckDB-portable
+# (no possessive quantifiers / lookahead): an approximation of the real
+# 's|'t|'re|... class, good enough for token-budget estimation.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def regex_token_count(col: Column | str, pattern: str = BPE_REGEX) -> Column:
+    """BPE-ish token count: number of GPT-2-style pretokenizer matches.
+
+    JVM-side ``regexp_count`` — one codegen'd pass, no Python. Much
+    closer to a real tokenizer's budget than ``ceil(len/4)`` (which
+    stays as the cheap path in :func:`approx_bpe_token_count`).
+    """
+    c = _col(col)
+    return (
+        F.when(c.isNull(), F.lit(None))
+        .otherwise(F.regexp_count(c, F.lit(pattern)))
+        .cast("bigint")
+    )
+
+
+def winnow_fingerprints(
+    df,
+    col: str,
+    out_col: str = "fps",
+    k: int = 5,
+    window: int = 4,
+    hash: str = "crc32",
+):
+    """Winnowing (Schleimer et al., SIGMOD '03) rolling fingerprints:
+    hash every k-gram (character shingle), then keep the MIN hash of
+    each sliding window of ``window`` consecutive k-gram hashes —
+    ``array_distinct`` of the selected mins, appended as ``out_col``.
+
+    Guarantees any shared substring ≥ k+window−1 chars yields at least
+    one common fingerprint — the standard near-dup/plagiarism sketch.
+    Pure higher-order built-ins (sequence/transform/slice/array_min).
+
+    DataFrame-level (``df, col → df``) on purpose: the k-gram hash array
+    MUST be bound as its own projected attribute before the window pass —
+    as a single nested Column expression every one of the O(n) window
+    mins would re-evaluate the whole O(n) hash array (O(n²) hashing per
+    row; measured as a multi-minute blowup at sf0.01).
+
+    ``hash="crc32"`` → ``array<bigint>`` (fast path);
+    ``hash="md5"`` → ``array<string>`` of 8-hex-char prefixes, where the
+    window min is the LEXICOGRAPHIC min — chosen because any SQL engine
+    with md5 computes the identical value (the DuckDB oracle does).
+    """
+    t = F.lower(F.trim(F.regexp_replace(_col(col), r"\s+", " ")))
+    n_grams = F.length(t) - F.lit(k - 1)
+    if hash == "crc32":
+        gram = lambda i: F.crc32(F.substring(t, i, k).cast("binary"))  # noqa: E731
+    elif hash == "md5":
+        gram = lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 8)  # noqa: E731
+    else:
+        raise ValueError(f"unknown winnowing hash: {hash}")
+    gh = F.when(n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram))
+    bound = df.withColumn("_wf_gh", gh)
+    arr = F.col("_wf_gh")
+    n_windows = F.size(arr) - F.lit(window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(F.slice(arr, i, window)),
+                )
+            )
+        ),
+    ).otherwise(F.when(F.size(arr) >= 1, F.array(F.array_min(arr))))
+    return bound.withColumn(out_col, mins).drop("_wf_gh")
+
+
 def _marker_score(col: Column, words: tuple[str, ...]) -> Column:
     """Number of marker words present as whole tokens (0..len(words))."""
     padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))

@@ -94,6 +94,7 @@ def write_table(
     table: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
     compression: str = "snappy",
 ) -> None:
     """S6: Parquet+Snappy table write with catalog registration — the
@@ -102,11 +103,18 @@ def write_table(
 
     The reference writes unpartitioned (``partitionKeys=[]``); pass
     ``partition_by`` (e.g. order-date month on facts) to get partition
-    pruning at scale.
+    pruning at scale, and/or ``bucket_by=(n, cols)`` to hash-bucket +
+    sort on the join key: two tables bucketed the same way join with
+    ZERO exchanges (the shuffle is paid once at write time, amortized
+    over every later join — the co-located-join strategy for repeated
+    fact⋈fact joins at 100 TB).
     """
     writer = df.write.mode(mode).format("parquet").option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(table)
 
 

@@ -56,3 +56,22 @@ def test_connection_config_env(monkeypatch):
     monkeypatch.setenv("MYDB_PASSWORD", "p")
     cfg = connection_config("mydb", ("user", "password", "warehouse"))
     assert cfg == {"user": "u", "password": "p"}
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed+sorted on the join key must join with zero
+    exchanges (the 100 TB co-located join strategy)."""
+    a = spark.createDataFrame([(i, i * 10) for i in range(100)], "k int, av int")
+    b = spark.createDataFrame([(i, str(i)) for i in range(100)], "k int, bv string")
+    write_table(a, "bkt_a", bucket_by=(4, ["k"]))
+    write_table(b, "bkt_b", bucket_by=(4, ["k"]))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
