@@ -1013,6 +1013,50 @@ def _q_x1_session_window(spark, sf_dir):
     )
 
 
+def _q_x2_asof_join(spark, sf_dir):
+    """Backward as-of join (union-trick, one shuffle): each purchase
+    picks up the latest click at-or-before it by the same user. Oracle
+    is DuckDB's native ASOF LEFT JOIN — an independent implementation
+    of the same point-in-time semantics."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.col("right_ts").cast("string").alias("click_ts"),
+        F.col("right_value").alias("click_value"),
+    )
+
+
+def _q_x2_range_join(spark, sf_dir):
+    """Binned interval join (equi-join on epoch bins, exact post-filter
+    — never a nested loop): every error within 5 minutes after any
+    signup, no equality key. Oracle is DuckDB's inequality join (IEJoin)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import range_join
+
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("signup_ts")
+    )
+    x = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    out = range_join(s, x, "signup_ts", "error_ts", 300.0)
+    return out.select("signup_id", "error_id")
+
+
 def _q_x1_tumbling_stream(spark, sf_dir):
     """Structured Streaming path: the SAME tumbling aggregation as
     x1_tumbling_window compiled as an incremental stateful plan
@@ -1229,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
+        "x2_asof_join": _q_x2_asof_join,
+        "x2_range_join": _q_x2_range_join,
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_sliding_window": _q_x1_sliding_window,
         "x1_session_window": _q_x1_session_window,
@@ -1524,6 +1570,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ts is parquet TIMESTAMP(NANOS): cast to µs TIMESTAMP to match the
         # engine's truncation (session.load) before bucketing/printing.
+        "x2_asof_join": (
+            "WITH p AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts, "
+            "CAST(c.ts AS VARCHAR) AS click_ts, c.value AS click_value "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "x2_range_join": (
+            "SELECT s.event_id AS signup_id, x.event_id AS error_id "
+            "FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s "
+            "JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') x "
+            "ON x.ts >= s.ts AND x.ts <= s.ts + INTERVAL 300 SECOND"
+        ),
         "x1_tumbling_window": (
             "SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)"
             " AS window_start, "

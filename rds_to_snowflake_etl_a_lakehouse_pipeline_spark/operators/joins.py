@@ -39,6 +39,123 @@ def star_join(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] = (),
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key
+    (classic point-in-time lookup: latest click before each purchase,
+    last quote before each trade).
+
+    Spark has no ASOF JOIN; the naive encoding (equi-join on key +
+    range filter + row_number) explodes on high-fanout keys — a user
+    with k clicks and m purchases materializes k·m rows before ranking.
+    This is the **union trick** instead: tag both sides, union on
+    (key, ts), and carry the latest right values forward with
+    ``last(..., ignorenulls=True)`` over a window ordered by
+    (ts, tag). Cost is ONE shuffle of |L|+|R| rows partitioned by key
+    and a per-key sort — no intermediate blowup, no skew amplification;
+    at 100 TB this is the same shape as any groupBy on the key.
+
+    Right rows sort before left rows at equal ts (tag 0 < 1), so a
+    right row at exactly ``left_ts`` matches — DuckDB/pandas
+    ``merge_asof`` backward semantics. Ties on ``right_ts`` resolve to
+    the row latest in (ts, remaining-column) order, deterministically.
+
+    ``right_cols`` are the value columns to attach (default: all
+    non-key, non-ts columns), each emitted as ``right_<name>``; the
+    matched timestamp is emitted as ``right_<right_ts>``.
+    ``tolerance_seconds`` nulls the attached values when the match is
+    older than ``left_ts − tolerance`` (pandas ``merge_asof``
+    tolerance semantics).
+    """
+    from pyspark.sql import Window
+
+    if not right_cols:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    attached = [f"right_{c}" for c in [right_ts, *right_cols]]
+
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_ts).alias(f"right_{right_ts}"),
+        *[F.col(c).alias(f"right_{c}") for c in right_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(  # noqa: E741
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(t).alias(c) for c, t in zip(attached, [dict(right.dtypes)[right_ts]] + [dict(right.dtypes)[c] for c in right_cols])],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        "_k",
+        "_ts",
+        "_tag",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in attached],
+        *[f"_l_{c}" for c in left.columns],
+    )
+    out = filled.filter(F.col("_tag") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("_ts").cast("double")
+            - F.col(f"right_{right_ts}").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        for c in attached:
+            out = out.withColumn(c, F.when(in_tol, F.col(c)))
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns], *attached
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: float,
+    extra_on: Column | None = None,
+) -> DataFrame:
+    """Interval join: all (left, right) pairs with
+    ``left_ts ≤ right_ts ≤ left_ts + max_gap_seconds`` — *without* an
+    equality key (e.g. "every error within 5 minutes after any signup").
+
+    A bare inequality join in Spark is a BroadcastNestedLoopJoin —
+    O(|L|·|R|) comparisons, a non-starter at scale. This **bins** both
+    sides into epochs of ``max_gap_seconds`` width and equi-joins on the
+    bin: a right row in bin b can only match left rows in bins b and
+    b−1, so the left side is exploded into (b, b+1) — bounded 2×
+    duplication — and the exact range predicate filters the candidates.
+    The nested loop becomes a hash/sort-merge equi-join on the bin key;
+    per-bin volume is data-density-bounded, and AQE skew-split handles
+    hot bins. ``extra_on`` adds any further predicate (e.g. same
+    region) to the post-filter.
+    """
+    width_us = int(max_gap_seconds * 1_000_000)  # exact integer micros
+    lbin = F.floor(F.unix_micros(F.col(left_ts)) / width_us)
+    rbin = F.floor(F.unix_micros(F.col(right_ts)) / width_us)
+    l = left.withColumn("_bin", F.explode(F.array(lbin, lbin + 1)))  # noqa: E741
+    r = right.withColumn("_bin", rbin)
+    gap = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    cond = (gap >= 0) & (gap <= F.lit(width_us))
+    if extra_on is not None:
+        cond = cond & extra_on
+    return l.join(r, on="_bin").filter(cond).drop("_bin")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

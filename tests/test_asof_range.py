@@ -1,0 +1,105 @@
+"""As-of join (union-trick) and binned range join."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+    asof_join,
+    range_join,
+)
+
+T = datetime.datetime
+
+
+def _events(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", T(2024, 1, 1, 10, 0, 0), 9.0),
+            (2, "u1", T(2024, 1, 1, 12, 0, 0), 8.0),
+            (3, "u2", T(2024, 1, 1, 11, 0, 0), 7.0),
+            (4, "u3", T(2024, 1, 1, 11, 0, 0), 6.0),  # no clicks at all
+        ],
+        "event_id int, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", T(2024, 1, 1, 9, 30, 0), 1.0),
+            ("u1", T(2024, 1, 1, 11, 59, 0), 2.0),
+            ("u1", T(2024, 1, 1, 13, 0, 0), 3.0),  # after everything
+            ("u2", T(2024, 1, 1, 11, 0, 0), 4.0),  # exact tie with event 3
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_backward_basic(spark):
+    left, right = _events(spark)
+    out = asof_join(left, right, "user_id", "ts", "ts", ["value"])
+    got = {r["event_id"]: r["right_value"] for r in out.collect()}
+    # 10:00 → 9:30 click; 12:00 → 11:59 click; 11:00@u2 → equal-ts match
+    assert got == {1: 1.0, 2: 2.0, 3: 4.0, 4: None}
+    # schema: left columns preserved + right_ts + right_value appended
+    assert out.columns == ["event_id", "user_id", "ts", "value", "right_ts", "right_value"]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _events(spark)
+    out = asof_join(
+        left, right, "user_id", "ts", "ts", ["value"],
+        tolerance_seconds=60.0,
+    )
+    got = {r["event_id"]: r["right_value"] for r in out.collect()}
+    # only the 12:00 purchase has a click within 60s (11:59); u2's
+    # equal-ts match has gap 0 and survives
+    assert got == {1: None, 2: 2.0, 3: 4.0, 4: None}
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left, right = _events(spark)
+    assert asof_join(left, right, "user_id", "ts", "ts", ["value"]).count() == left.count()
+
+
+def test_range_join_matches_naive(spark):
+    base = T(2024, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [(i, base + i * 7 * sec) for i in range(60)],
+        "lid int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, base + i * 11 * sec) for i in range(40)],
+        "rid int, rts timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "lts", "rts", 10.0).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 10 SECONDS")),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_extra_predicate(spark):
+    left = spark.createDataFrame(
+        [(1, "eu", T(2024, 1, 1)), (2, "us", T(2024, 1, 1))],
+        "lid int, region string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, "eu", T(2024, 1, 1, 0, 0, 30))],
+        "rid int, rregion string, rts timestamp",
+    )
+    out = range_join(
+        left, right, "lts", "rts", 60.0,
+        extra_on=F.col("region") == F.col("rregion"),
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in out] == [(1, 10)]
