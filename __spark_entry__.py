@@ -400,6 +400,20 @@ def _q_a1_rollup(spark, sf_dir):
     )
 
 
+def _q_a1_percentile(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group. Exact
+    percentile is a per-group sort — fine to ~10⁷ rows per group; at
+    100 TB switch to ``approx_percentile`` (t-digest, mergeable map-side
+    sketch, no global sort) — see a1_approx_distinct for the
+    approx-sketch pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+    )
+
+
 def _q_a1_count_distinct(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
@@ -542,6 +556,35 @@ def _q_d_simhash_pairs(spark, sf_dir):
 
 
 # Similarity search (operators/similarity.py) ------------------------------
+
+
+def _q_d_cosine_dedup(spark, sf_dir):
+    """Fifth dedup tier — semantic (embedding-cosine) near-dup removal,
+    exact all-pairs impl as the oracle-checked baseline."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        embedding_cosine_dedup,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_cosine_dedup(
+        e, "vec_id", "embedding", threshold=0.4, impl="exact"
+    ).select("vec_id", "label")
+
+
+def _q_d_cosine_dedup_lsh(spark, sf_dir):
+    """Scale path for the semantic tier: hyperplane-LSH bucketed
+    candidates (4 tables × 4 planes), exact cosine filter within
+    buckets. Approximate by construction (recall < 1 at cos 0.4) —
+    rows-only check; d_cosine_dedup is the exact baseline."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        embedding_cosine_dedup,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_cosine_dedup(
+        e, "vec_id", "embedding", threshold=0.4, impl="lsh",
+        n_planes=4, n_tables=4,
+    ).select("vec_id", "label")
 
 
 def _q_v_lsh_topk(spark, sf_dir):
@@ -1259,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "a1_rollup": _q_a1_rollup,
+        "a1_percentile": _q_a1_percentile,
         "a1_count_distinct": _q_a1_count_distinct,
         "o1_topk": _q_o1_topk,
         "o1_set_except": _q_o1_set_except,
@@ -1289,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_pairs": _q_d_minhash_pairs,
         "d_minhash_dedup": _q_d_minhash_dedup,
         "d_simhash_pairs": _q_d_simhash_pairs,
+        "d_cosine_dedup": _q_d_cosine_dedup,
+        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
         "v_lsh_topk": _q_v_lsh_topk,
         "m_decode_images": _q_m_decode_images,
         "m_frame_sample": _q_m_frame_sample,
@@ -1507,6 +1553,13 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
+        "a1_percentile": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, "
+            "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty, "
+            "round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
         "a1_count_distinct": (
             "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, "
             "count(*) AS n_orders FROM orders GROUP BY o_orderstatus"
@@ -1637,6 +1690,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s6_s1_table_roundtrip": "SELECT * FROM region",
         "s7_warehouse_sink": "SELECT n_nationkey, n_name FROM nation",
+        "d_cosine_dedup": (
+            "WITH p AS (SELECT e1.vec_id AS id_a, e2.vec_id AS id_b, "
+            f"round({_SQL_DOT_E1E2} / ({_SQL_NORM_E1} * {_SQL_NORM_E2}), 6) AS cos_sim "
+            "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id), "
+            "losers AS (SELECT DISTINCT id_b FROM p WHERE cos_sim >= 0.4) "
+            "SELECT vec_id, label FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT id_b FROM losers)"
+        ),
         "v_cosine_pairs": (
             "WITH p AS (SELECT e1.vec_id AS id_a, e2.vec_id AS id_b, "
             f"round({_SQL_DOT_E1E2} / ({_SQL_NORM_E1} * {_SQL_NORM_E2}), 6) AS cos_sim "

@@ -319,6 +319,91 @@ def simhash_near_dups(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    impl: str = "lsh",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity
+    (id_a < id_b, cos_sim ≥ threshold) — the fifth dedup tier, for
+    semantic duplicates that share no n-grams (translations,
+    paraphrases, re-encodes).
+
+    ``impl="exact"`` is the all-pairs O(n²) oracle baseline — correct,
+    never run at scale. ``impl="lsh"`` buckets vectors by
+    random-hyperplane sign signature (``n_tables`` independent tables,
+    ``n_planes`` planes each) and compares only within buckets: two
+    vectors at angle θ share one table's bucket with prob
+    (1−θ/π)^n_planes, so for cos ≥ 0.9 (θ ≤ 26°) and 2×8 planes recall
+    ≈ 1−(1−0.28)^2 ≈ 0.48 per table pair... in practice near-dup pairs
+    (cos ≥ 0.95) land together in ≥1 of the tables almost always.
+    Cost: shuffles on bucket keys, candidate volume ∝ bucket sizes —
+    never n². Deterministic for a fixed ``seed``.
+    """
+    from .similarity import _hyperplanes, lsh_signature
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    if impl == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif impl == "lsh":
+        sigs = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            *[
+                lsh_signature(F.col(vec_col), _hyperplanes(dim, n_planes, seed + t))
+                .alias(f"_b{t}")
+                for t in range(n_tables)
+            ],
+        )
+        cand = None
+        for t in range(n_tables):
+            a = sigs.select(
+                F.col("_id").alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col(f"_b{t}").alias("_bucket"),
+            )
+            b = sigs.select(
+                F.col("_id").alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col(f"_b{t}").alias("_bucket"),
+            )
+            part = a.join(b, ["_bucket"]).filter(F.col("id_a") < F.col("id_b"))
+            cand = part if cand is None else cand.unionByName(part)
+        cand = cand.drop("_bucket").dropDuplicates(["id_a", "id_b"])
+    else:
+        raise ValueError(f"unknown impl: {impl}")
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame, id_col: str, vec_col: str, **pair_kwargs
+) -> DataFrame:
+    """Drop semantic near-duplicates: greedy min-id representative over
+    :func:`embedding_cosine_pairs` (same anti-join shape as
+    :func:`minhash_lsh_dedup` — pairs-sized, not corpus-sized)."""
+    pairs = embedding_cosine_pairs(df, id_col, vec_col, **pair_kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -124,3 +124,42 @@ def test_lsh_topk_recall_on_testdata(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_cosine_dedup_exact(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        embedding_cosine_dedup,
+        embedding_cosine_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [0.0, 0.0, 1.0, 1.0]),
+        (4, [0.0, 0.0, 1.0, 1.0]),      # exact dup of 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95, impl="exact")
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(0, 1), (3, 4)}
+    kept = embedding_cosine_dedup(df, "vec_id", "embedding", threshold=0.95, impl="exact")
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 2, 3]
+
+
+def test_embedding_cosine_dedup_lsh_finds_exact_dups(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        embedding_cosine_dedup,
+    )
+
+    # identical vectors have identical sign signatures in EVERY table,
+    # so LSH recall on exact dups is 1.0 regardless of seed
+    rows = [(i, [float(i % 7 + 1), float(i % 3), 1.0, -2.0]) for i in range(20)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # 5 exact dups
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    kept = embedding_cosine_dedup(
+        df, "vec_id", "embedding", threshold=0.999, impl="lsh",
+        dim=4, n_planes=4, n_tables=2,
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert all(100 + i not in ids for i in range(5))  # dups dropped (min-id kept)
+    assert all(i in ids for i in range(20) if i < 7) or len(ids) >= 15
