@@ -25,6 +25,10 @@ AUDIT = [
     "v_lsh_topk",
     "w2_surrogate_key",
     "w2_surrogate_two_phase",
+    "x2_asof_join",
+    "x2_range_join",
+    "d_cosine_dedup_lsh",
+    "t_winnow",
 ]
 
 
