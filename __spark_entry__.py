@@ -606,6 +606,31 @@ def _q_m_decode_images(spark, sf_dir):
     return decode_images(blobs).select("doc_id", "width", "height", "channels")
 
 
+def _q_m_resize_images(spark, sf_dir):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = attach_fake_blobs(d, "text")
+    out = resize_images(blobs, target_w=64, target_h=64)
+    return out.select(
+        "doc_id", F.lower(F.hex("resized")).alias("resized_hex"), "width", "height"
+    )
+
+
+def _q_m_decode_audio(spark, sf_dir):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = attach_fake_blobs(d, "text", mime="audio/fake")
+    return decode_audio(blobs).select(
+        "doc_id", "sample_rate", "n_channels", "duration_seconds"
+    )
+
+
 def _q_m_frame_sample(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     blobs = attach_fake_blobs(d, "text")
@@ -1139,6 +1164,46 @@ def _q_x1_tumbling_stream(spark, sf_dir):
     )
 
 
+def _q_x1_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup: the input directory carries TWO
+    copies of every event (simulated at-least-once redelivery);
+    ``dropDuplicatesWithinWatermark`` on event_id restores exactly one.
+    Duplicate rows are identical, so the kept-row choice is immaterial
+    and the result hash-matches the batch DuckDB oracle."""
+    import os
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        dedup_events,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = "/tmp/sg_stream_dup_" + _fixture_key(sf_dir)
+    os.makedirs(stream_dir, exist_ok=True)
+    for copy in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(stream_dir, copy)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = dedup_events(sdf, ("event_id",), watermark="2 hours")
+    out = run_available_now(deduped, "x1_stream_dedup_tbl", output_mode="append")
+    return out.select(
+        "event_id",
+        F.col("ts").cast("string").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 # IO layer (sources/io.py) -------------------------------------------------
 
 
@@ -1337,8 +1402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
         "v_lsh_topk": _q_v_lsh_topk,
         "m_decode_images": _q_m_decode_images,
+        "m_resize_images": _q_m_resize_images,
+        "m_decode_audio": _q_m_decode_audio,
         "m_frame_sample": _q_m_frame_sample,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "x1_stream_dedup": _q_x1_stream_dedup,
         "s4_csv_source": _q_s4_csv_source,
         "s4_json_source": _q_s4_json_source,
         "a1_cube": _q_a1_cube,
@@ -1672,6 +1740,10 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "x1_stream_dedup": (
+            "SELECT event_id, CAST(ts AS VARCHAR) AS ts, user_id, "
+            "event_type, value FROM events"
+        ),
         "s4_csv_source": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "s4_json_source": "SELECT r_regionkey, r_name FROM region",
         "a1_cube": (
@@ -1758,6 +1830,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 + ((strpos('0123456789abcdef', substring(s, 3, 1)) - 1) * 16 "
             "+ strpos('0123456789abcdef', substring(s, 4, 1)) - 1) % 192 AS INT) AS height, "
             "CAST(3 AS INT) AS channels FROM h"
+        ),
+        "m_resize_images": (
+            "SELECT doc_id, sha256(text || '64x64') AS resized_hex, "
+            "CAST(64 AS INT) AS width, CAST(64 AS INT) AS height FROM documents"
+        ),
+        "m_decode_audio": (
+            "WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n, "
+            "sha256(text) AS s FROM documents), "
+            "d AS (SELECT doc_id, n, "
+            "(strpos('0123456789abcdef', substring(s, 1, 1)) - 1) * 16 "
+            "+ strpos('0123456789abcdef', substring(s, 2, 1)) - 1 AS b0, "
+            "(strpos('0123456789abcdef', substring(s, 3, 1)) - 1) * 16 "
+            "+ strpos('0123456789abcdef', substring(s, 4, 1)) - 1 AS b1 FROM h) "
+            "SELECT doc_id, "
+            "CAST(CASE b0 % 4 WHEN 0 THEN 16000 WHEN 1 THEN 22050 "
+            "WHEN 2 THEN 44100 ELSE 48000 END AS INT) AS sample_rate, "
+            "CAST(1 + b1 % 2 AS INT) AS n_channels, "
+            "CAST(n AS DOUBLE) / (CASE b0 % 4 WHEN 0 THEN 16000 WHEN 1 THEN 22050 "
+            "WHEN 2 THEN 44100 ELSE 48000 END * 2 * (1 + b1 % 2)) "
+            "AS duration_seconds FROM d"
         ),
         # every-2nd 16-byte frame; ASCII corpus -> char substring ==
         # byte substring, hex() is uppercase on both engines.

@@ -119,6 +119,74 @@ def extract_features(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    content_col: str = "content",
+    target_w: int = 64,
+    target_h: int = 64,
+) -> DataFrame:
+    """Resize plumbing: replace the payload with its resized rendition
+    and pin (width, height) to the target. STUB — the "resized" payload
+    is the sha256 digest of (bytes ‖ "WxH"), a deterministic stand-in
+    with the same schema/batch shape a PIL ``Image.resize`` would have;
+    swap the inner loop for a real codec in a container that has one.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", resized binary, width int, height int"
+
+    tag = f"{target_w}x{target_h}".encode()
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            resized = []
+            for data in pdf[content_col]:
+                b = bytes(data) if data is not None else b""
+                if _HAVE_PIL and b[:4] == b"\x89PNG":  # pragma: no cover
+                    pass  # real path: Image.open(...).resize(...).tobytes()
+                resized.append(hashlib.sha256(b + tag).digest())
+            pdf["resized"] = resized
+            pdf["width"] = target_w
+            pdf["height"] = target_h
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append (sample_rate, n_channels, duration_seconds) "decoded" from
+    an audio binary column. STUB header parse (sha256-derived, marked)
+    — real path is soundfile/librosa; the Arrow ``mapInPandas`` batch
+    shape, schema, and metadata-first pruning are the actual design.
+    Duration = size_bytes / (rate · 2 bytes · channels), i.e. 16-bit PCM.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", sample_rate int, n_channels int, duration_seconds double"
+
+    rates = (16000, 22050, 44100, 48000)
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            rate, chans, dur = [], [], []
+            for data in pdf[content_col]:
+                b = bytes(data) if data is not None else b""
+                h = hashlib.sha256(b).digest()
+                r = rates[h[0] % 4]
+                c = 1 + h[1] % 2
+                rate.append(r)
+                chans.append(c)
+                # single IEEE division of exact ints — bit-identical in
+                # any engine computing size/(rate*2*ch), so no rounding
+                dur.append(len(b) / (r * 2 * c))
+            pdf["sample_rate"] = rate
+            pdf["n_channels"] = chans
+            pdf["duration_seconds"] = dur
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     content_col: str = "content",

@@ -133,6 +133,29 @@ def running_user_totals(
     )
 
 
+def dedup_events(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Exactly-once-ification: drop duplicate deliveries by key.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state holds one entry
+    per key only inside the watermark horizon, so an at-least-once
+    source (Kafka redelivery, file re-list, replayed batch) becomes
+    exactly-once downstream with BOUNDED state; without the watermark
+    bound the key set grows forever. Batch: plain ``dropDuplicates``
+    (same result on the same input — unified API).
+    """
+    keys = list(key_cols)
+    if df.isStreaming:
+        if watermark:
+            return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+        return df.dropDuplicates(keys)
+    return df.dropDuplicates(keys)
+
+
 def stream_events(
     spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA
 ) -> DataFrame:

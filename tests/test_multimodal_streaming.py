@@ -109,3 +109,50 @@ def test_stateful_running_totals(spark):
         .collect()
     }
     assert {r["user_id"]: (r["n_events"], r["total_value"]) for r in got} == expected
+
+
+def test_stream_dedup_exactly_once(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        dedup_events,
+    )
+
+    batch = load(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream-src")
+        # simulate at-least-once delivery: every event lands twice
+        batch.write.parquet(src)
+        batch.write.mode("append").parquet(src)
+        sdf = stream_events(spark, src)
+        got = run_available_now(
+            dedup_events(sdf, ("event_id",), watermark="1 hour"),
+            "stream_dedup_t",
+            output_mode="append",
+        )
+        assert got.count() == batch.count()
+        # batch path: same builder, same answer
+        doubled = spark.read.parquet(src)
+        assert dedup_events(doubled, ("event_id",)).count() == batch.count()
+
+
+def test_resize_and_audio_stubs(spark):
+    import hashlib
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        attach_fake_blobs,
+        decode_audio,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(1, "hello world"), (2, None)], "id int, text string")
+    blobs = attach_fake_blobs(df, "text")
+    r = {x["id"]: x for x in resize_images(blobs, target_w=32, target_h=16).collect()}
+    assert r[1]["width"] == 32 and r[1]["height"] == 16
+    assert bytes(r[1]["resized"]) == hashlib.sha256(b"hello world" + b"32x16").digest()
+    a = {x["id"]: x for x in decode_audio(blobs).collect()}
+    h = hashlib.sha256(b"hello world").digest()
+    rate = (16000, 22050, 44100, 48000)[h[0] % 4]
+    ch = 1 + h[1] % 2
+    assert a[1]["sample_rate"] == rate and a[1]["n_channels"] == ch
+    assert a[1]["duration_seconds"] == 11 / (rate * 2 * ch)
+    # null payload -> empty bytes, duration 0
+    assert a[2]["duration_seconds"] == 0.0
