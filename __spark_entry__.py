@@ -1226,6 +1226,37 @@ def _q_s4_csv_source(spark, sf_dir):
     )
 
 
+def _q_s6_partition_pruning(spark, sf_dir):
+    """S6 at scale: partitioned parquet table write, then a filtered
+    read that PRUNES — only the selected partition's files are listed
+    or scanned (plan shows the partition filter; asserted in
+    tests/test_io.py::test_partitioned_write_prunes). At 100 TB this is
+    the difference between scanning 2 TB and 100 TB for a one-segment
+    query."""
+    import os
+
+    path = "/tmp/sg_part_" + _fixture_key(sf_dir) + "/orders_by_status"
+    if not os.path.exists(path):
+        (
+            load(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("compression", "snappy")
+            .partitionBy("o_orderstatus")
+            .option("path", path)
+            .saveAsTable("sg_orders_part")
+        )
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def _q_s6_s1_table_roundtrip(spark, sf_dir):
     """S6 + S1: parquet+snappy write with catalog registration, then a
     catalog table scan reads it back (external location so the round
@@ -1415,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "v_ivf_topk": _q_v_ivf_topk,
         "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
+        "s6_partition_pruning": _q_s6_partition_pruning,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
         "v_cosine_pairs": _q_v_cosine_pairs,
     }
@@ -1761,6 +1793,11 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"
         ),
         "s6_s1_table_roundtrip": "SELECT * FROM region",
+        "s6_partition_pruning": (
+            "SELECT o_orderpriority, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
+        ),
         "s7_warehouse_sink": "SELECT n_nationkey, n_name FROM nation",
         "d_cosine_dedup": (
             "WITH p AS (SELECT e1.vec_id AS id_a, e2.vec_id AS id_b, "

@@ -58,6 +58,24 @@ def test_connection_config_env(monkeypatch):
     assert cfg == {"user": "u", "password": "p"}
 
 
+def test_partitioned_write_prunes(spark):
+    """A filter on the partition column must reach the scan as a
+    PartitionFilter — only that partition's files are read. At 100 TB
+    this is the difference between scanning one segment and the whole
+    table."""
+    df = spark.createDataFrame(
+        [(i, "F" if i % 2 else "O", float(i)) for i in range(20)],
+        "id int, status string, v double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "part_tbl")
+        df.write.mode("overwrite").partitionBy("status").parquet(path)
+        back = spark.read.parquet(path).filter("status = 'F'")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "status" in plan, plan
+        assert back.count() == 10
+
+
 def test_bucketed_join_no_shuffle(spark):
     """Two tables bucketed+sorted on the join key must join with zero
     exchanges (the 100 TB co-located join strategy)."""
