@@ -1222,7 +1222,7 @@ def _q_s4_csv_source(spark, sf_dir):
     return read_csv(
         spark,
         out,
-        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+        schema="n_nationkey int, n_name string, n_regionkey int",
     )
 
 
@@ -1317,7 +1317,7 @@ def _q_s4_json_source(spark, sf_dir):
     out = "/tmp/sg_json_" + _fixture_key(sf_dir) + "/region"
     if not os.path.exists(out):
         load(spark, sf_dir, "region").write.mode("overwrite").json(out)
-    return read_json(spark, out, schema="r_regionkey bigint, r_name string")
+    return read_json(spark, out, schema="r_regionkey int, r_name string")
 
 
 def _q_a1_cube(spark, sf_dir):

@@ -83,6 +83,14 @@ def main() -> None:
 
     spark.range(1000).select(_warm("id")).count()
 
+    @pandas_udf("array<bigint>")
+    def _warm_str(s: pd.Series) -> pd.Series:
+        return pd.Series([[len(x)] for x in s])
+
+    spark.range(1000, numPartitions=32).select(
+        _warm_str(F.col("id").cast("string"))
+    ).count()
+
     timings: dict[str, float] = {}
     for name, (fn, wide) in bench.items():
         t0 = time.time()

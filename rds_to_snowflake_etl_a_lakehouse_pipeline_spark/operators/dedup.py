@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only when the scan is under-parallel (e.g. one small
+    parquet file → one task), so a Python/Arrow stage can use every core.
+    At warehouse scale the input already has thousands of splits and this
+    is a no-op — no gratuitous full-data shuffle."""
+    target = min_partitions or min(
+        df.sparkSession.sparkContext.defaultParallelism, 16
+    )
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 def _shingles(text: Column, n: int) -> Column:
     """Word n-gram shingles as an array<string> (distinct)."""
     tokens = F.split(F.trim(text), r"\s+")
@@ -166,16 +179,16 @@ def minhash_lsh_pairs(
     ``impl``: "arrow" (default — JVM shingle hashing + vectorized numpy
     min-mix, ~60× faster) or "catalyst" (pure built-in expressions).
 
-    ``persist_index``: cache the banded signature table so the self-join
-    computes signatures once, not once per side (at warehouse scale you
-    would write this index to a table instead; MEMORY_AND_DISK spills
-    rather than OOMs). Callers doing one-shot pipelines can release it
-    with ``spark.catalog.clearCache()``.
+    ``persist_index``: cache the (_id, _sig) signature table so the
+    self-join computes signatures once, not once per side (at warehouse
+    scale you would write this index to a table instead). Callers doing
+    one-shot pipelines can release it with
+    ``spark.catalog.clearCache()``.
     """
     rows_per_band = num_hashes // bands
     if impl == "arrow":
         sig = with_minhash_signature_arrow(
-            df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+            _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col))),
             text_col,
             num_hashes=num_hashes,
             shingle_n=shingle_n,
@@ -186,6 +199,17 @@ def minhash_lsh_pairs(
             minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
         )
     sig = sig.filter(F.col("_sig").isNotNull())
+    if persist_index:
+        from pyspark import StorageLevel
+
+        # Persist the narrow (_id, _sig) table — NOT the 16×-exploded
+        # banded table — and materialize eagerly so the self-join's two
+        # scans don't each run the signature UDF. The banding explode is
+        # cheap Catalyst and recomputes from cache. (At warehouse scale
+        # you would write this index to a table instead;
+        # MEMORY_AND_DISK spills rather than OOMs.)
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        sig.count()
 
     banded = sig.select(
         "_id",
@@ -208,14 +232,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
-    if persist_index:
-        from pyspark import StorageLevel
-
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # estimated jaccard = matching signature components / num_hashes.
+    # Computed BEFORE the pair-dedup and thresholded immediately, so the
+    # dropDuplicates shuffle moves 3 narrow columns per candidate — not
+    # two 64-element bigint signatures (~1 KB/row) per banded match.
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a._sig"), F.col("b._sig"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -225,23 +259,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
+            F.round(est, 6).alias("jaccard_est"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # estimated jaccard = matching signature components / num_hashes
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
-    return (
-        cand.select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
