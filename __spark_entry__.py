@@ -918,7 +918,9 @@ def _q_g_dim_products(spark, sf_dir):
 
 
 def _synth_crm_sales_details(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    # parallel=True: the silver repair chain downstream is expression-heavy
+    # per row, so widening a single-row-group scan pays for its exchange.
+    li = load(spark, sf_dir, "lineitem", parallel=True)
     o = load(spark, sf_dir, "orders")
     sd = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
     return sd.select(

@@ -25,17 +25,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition only when the scan is under-parallel (e.g. one small
-    parquet file → one task), so a Python/Arrow stage can use every core.
-    At warehouse scale the input already has thousands of splits and this
-    is a no-op — no gratuitous full-data shuffle."""
-    target = min_partitions or min(
-        df.sparkSession.sparkContext.defaultParallelism, 16
-    )
-    if df.rdd.getNumPartitions() < min(target, 8):
-        return df.repartition(target)
-    return df
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import (
+    ensure_parallelism as _ensure_parallelism,
+)
 
 
 def _shingles(text: Column, n: int) -> Column:

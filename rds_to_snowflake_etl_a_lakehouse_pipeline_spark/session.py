@@ -72,8 +72,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str):
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition ONLY when the scan is under-parallel.
+
+    A parquet file with a single row group is one non-splittable task no
+    matter what ``spark.sql.files.maxPartitionBytes`` says — locally that
+    serializes a whole pipeline onto one core. A warehouse-scale table
+    has thousands of row groups, so this is a no-op there (no gratuitous
+    full-data shuffle); the guard only fires for small/badly-written
+    inputs.
+    """
+    target = min_partitions or min(
+        df.sparkSession.sparkContext.defaultParallelism, 16
+    )
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str, parallel: bool = False):
     """Read one testdata table (columnar parquet scan — pushdown-capable).
+
+    ``parallel=True`` applies :func:`ensure_parallelism` after the scan.
+    Opt in ONLY where downstream work per row is heavy (wide silver
+    expression chains, Arrow UDF stages): the round-robin exchange costs
+    one pass over the data, so for scan→partial-agg shapes whose
+    map-side combine already collapses the data it is a net loss. Off by
+    default so simple scans keep exchange-free plans (filters still push
+    down to the scan either way).
 
     The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark cannot read natively: read nanos as long (runtime conf) and
@@ -94,5 +120,6 @@ def load(spark: SparkSession, sf_dir: str, name: str):
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return ensure_parallelism(df) if parallel else df
+    df = spark.read.parquet(table_path(sf_dir, name))
+    return ensure_parallelism(df) if parallel else df
