@@ -71,10 +71,13 @@ def read_jdbc(
     ``num_partitions`` parallel cursors — the scale path for RDS ingest;
     without them the read is single-connection (dev only).
 
-    Requires the matching JDBC driver jar on the classpath; this
-    environment has none, so live reads are exercised only on a real
-    cluster (the call shape is what the reference's Glue catalog
-    connection resolved to — bronze/crm_cust_info_bronze.py:24-27).
+    Requires the matching JDBC driver jar on the classpath. Round-trip
+    (write + 4-cursor partitioned read) is exercised against embedded
+    Derby — the driver Spark ships — in
+    ``tests/test_io.py::test_jdbc_roundtrip_embedded_derby``; only the
+    URL/driver differ for MySQL/Postgres (the call shape is what the
+    reference's Glue catalog connection resolved to —
+    bronze/crm_cust_info_bronze.py:24-27).
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
@@ -139,9 +142,11 @@ class WarehouseSink:
     is invalid PySpark).
 
     backend="catalog" (default) writes to the session catalog via
-    ``saveAsTable`` — the locally-testable stand-in. backend="jdbc" /
-    "snowflake" build the real connector writes (need driver jars;
-    untested in this offline environment).
+    ``saveAsTable`` — the locally-testable stand-in. backend="jdbc" is
+    tested against embedded Derby
+    (``tests/test_io.py::test_jdbc_roundtrip_embedded_derby``);
+    backend="snowflake" builds the real connector write (needs the
+    Snowflake connector jar; untested offline).
     """
 
     backend: str = "catalog"
