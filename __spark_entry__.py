@@ -1166,6 +1166,43 @@ def _q_x1_tumbling_stream(spark, sf_dir):
     )
 
 
+def _q_x1_session_stream(spark, sf_dir):
+    """Structured Streaming session windows: the SAME gap-based
+    sessionization as x1_session_window compiled as an incremental
+    stateful plan (session_window + watermark merges adjacent state
+    across micro-batches) — must hash-match the identical batch DuckDB
+    oracle."""
+    import os
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        run_available_now,
+        sessionized,
+    )
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = sessionized(sdf, "30 minutes", watermark="2 hours")
+    out = run_available_now(sess, "x1_session_stream_tbl")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        "n_events",
+    )
+
+
 def _q_x1_stream_dedup(spark, sf_dir):
     """Streaming exactly-once dedup: the input directory carries TWO
     copies of every event (simulated at-least-once redelivery);
@@ -1439,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_audio": _q_m_decode_audio,
         "m_frame_sample": _q_m_frame_sample,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "x1_session_stream": _q_x1_session_stream,
         "x1_stream_dedup": _q_x1_stream_dedup,
         "s4_csv_source": _q_s4_csv_source,
         "s4_json_source": _q_s4_json_source,
@@ -1773,6 +1811,20 @@ def oracle_sql() -> dict[str, str]:
             " AS window_start, "
             "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        # identical sessionization oracle as x1_session_window — the
+        # streaming plan must converge to the same sessions
+        "x1_session_stream": (
+            "WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), "
+            "gaps AS (SELECT user_id, ts, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL '30 minutes' OR lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_session FROM ev), "
+            "sessions AS (SELECT user_id, ts, "
+            "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
+            "SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start, "
+            "count(*) AS n_events FROM sessions GROUP BY user_id, session_id"
         ),
         "x1_stream_dedup": (
             "SELECT event_id, CAST(ts AS VARCHAR) AS ts, user_id, "
