@@ -483,6 +483,31 @@ def _q_t_winnow(spark, sf_dir):
     ).select("doc_id", "fps")
 
 
+def _q_t_curation_pipeline(spark, sf_dir):
+    """End-to-end LLM-data curation: language-ID filter → quality
+    threshold → exact near-whitespace dedup (keep lowest doc_id per
+    fingerprint) → token counts. One Catalyst pass + one fingerprint
+    shuffle — the composition a 100 TB pre-training cleanup actually
+    runs, demonstrated as a single declarative plan."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        lf.doc_fingerprint("text").alias("fp"),
+        lf.token_count("text").alias("n_tokens"),
+        lf.quality_score("text").alias("quality"),
+        lf.language_id("text").alias("lang_guess"),
+    )
+    filtered = scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -1448,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_doc_fingerprint": _q_t_doc_fingerprint,
         "t_regex_tokens": _q_t_regex_tokens,
         "t_winnow": _q_t_winnow,
+        "t_curation_pipeline": _q_t_curation_pipeline,
         "t_exact_dedup": _q_t_exact_dedup,
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
@@ -1749,6 +1775,15 @@ def oracle_sql() -> dict[str, str]:
         "t_exact_dedup": (
             f"SELECT {fp} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY 1"
+        ),
+        "t_curation_pipeline": (
+            f"WITH scored AS (SELECT doc_id, {fp} AS fp, {tok} AS n_tokens, "
+            f"{quality} AS quality, {_sql_language_id()} AS lang_guess FROM documents), "
+            "filtered AS (SELECT * FROM scored "
+            "WHERE lang_guess = 'en' AND quality >= 0.5), "
+            "dedup AS (SELECT *, row_number() OVER "
+            "(PARTITION BY fp ORDER BY doc_id) AS rn FROM filtered) "
+            "SELECT doc_id, n_tokens, quality FROM dedup WHERE rn = 1"
         ),
         "v_l2_norm": f"SELECT vec_id, round({norm_sql}, 6) AS norm FROM embeddings",
         "v_dot_product": (
