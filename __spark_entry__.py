@@ -1108,6 +1108,27 @@ def _q_x1_session_window(spark, sf_dir):
     )
 
 
+def _q_j_salted_skew(spark, sf_dir):
+    """Skew-defeating salted join (operators/joins.py::salted_join —
+    see SCALE.md): events.user_id is a hot-key distribution (10k events
+    over 150 users). Salting is semantics-preserving, so the result
+    hash-matches a plain SQL join — which is exactly the point: same
+    answer, hot key spread over ``salt`` reducers."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        salted_join,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def _q_x2_asof_join(spark, sf_dir):
     """Backward as-of join (union-trick, one shuffle): each purchase
     picks up the latest click at-or-before it by the same user. Oracle
@@ -1478,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
+        "j_salted_skew": _q_j_salted_skew,
         "x2_asof_join": _q_x2_asof_join,
         "x2_range_join": _q_x2_range_join,
         "x1_tumbling_window": _q_x1_tumbling_window,
@@ -1798,6 +1820,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ts is parquet TIMESTAMP(NANOS): cast to µs TIMESTAMP to match the
         # engine's truncation (session.load) before bucketing/printing.
+        "j_salted_skew": (
+            "SELECT c.c_mktsegment, count(*) AS n_events, "
+            "round(sum(e.value), 2) AS total_value "
+            "FROM events e JOIN customer c ON c.c_custkey = e.user_id "
+            "GROUP BY c.c_mktsegment"
+        ),
         "x2_asof_join": (
             "WITH p AS (SELECT event_id, user_id, ts, value FROM events "
             "WHERE event_type = 'purchase'), "
