@@ -400,6 +400,19 @@ def _q_a1_rollup(spark, sf_dir):
     )
 
 
+def _q_a1_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): revenue per orderpriority × orderstatus.
+    Explicit pivot values keep the schema static — at scale an implicit
+    pivot runs a distinct-values job over the whole fact first."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"O": "open_total", "F": "fulfilled_total", "P": "pending_total"})
+    )
+
+
 def _q_a1_percentile(spark, sf_dir):
     """Exact percentiles (linear interpolation) per group. Exact
     percentile is a per-group sort — fine to ~10⁷ rows per group; at
@@ -1483,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "a1_rollup": _q_a1_rollup,
+        "a1_pivot": _q_a1_pivot,
         "a1_percentile": _q_a1_percentile,
         "a1_count_distinct": _q_a1_count_distinct,
         "o1_topk": _q_o1_topk,
@@ -1740,6 +1754,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
             "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "a1_pivot": (
+            "SELECT o_orderpriority, "
+            "round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)"
+            " AS open_total, "
+            "round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)"
+            " AS fulfilled_total, "
+            "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)"
+            " AS pending_total "
+            "FROM orders GROUP BY o_orderpriority"
         ),
         "a1_percentile": (
             "SELECT l_returnflag, "

@@ -29,6 +29,10 @@ AUDIT = [
     "x2_range_join",
     "d_cosine_dedup_lsh",
     "t_winnow",
+    "t_curation_pipeline",
+    "j_salted_skew",
+    "s6_partition_pruning",
+    "a1_pivot",
 ]
 
 
