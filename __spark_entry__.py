@@ -1121,6 +1121,28 @@ def _q_x1_session_window(spark, sf_dir):
     )
 
 
+def _q_w4_merge_upsert(spark, sf_dir):
+    """W4 (extension): CDC-style merge/upsert — updates overwrite
+    matching keys, new keys insert, unmatched target rows survive. One
+    key shuffle (union + dedup-latest), no join; see
+    operators/windows.py::merge_upsert."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        merge_upsert,
+    )
+
+    t = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    changed = (
+        t.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    )
+    new = t.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.concat(F.lit("NEW"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    return merge_upsert(t, changed.unionByName(new), ["c_custkey"])
+
+
 def _q_j_salted_skew(spark, sf_dir):
     """Skew-defeating salted join (operators/joins.py::salted_join —
     see SCALE.md): events.user_id is a hot-key distribution (10k events
@@ -1513,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
+        "w4_merge_upsert": _q_w4_merge_upsert,
         "j_salted_skew": _q_j_salted_skew,
         "x2_asof_join": _q_x2_asof_join,
         "x2_range_join": _q_x2_range_join,
@@ -1844,6 +1867,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ts is parquet TIMESTAMP(NANOS): cast to µs TIMESTAMP to match the
         # engine's truncation (session.load) before bucketing/printing.
+        "w4_merge_upsert": (
+            "WITH t AS (SELECT c_custkey, c_name, c_mktsegment FROM customer), "
+            "u AS (SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment "
+            "FROM t WHERE c_custkey % 7 = 0 "
+            "UNION ALL SELECT c_custkey + 100000, "
+            "'NEW' || CAST(c_custkey AS VARCHAR), 'NEWSEG' "
+            "FROM t WHERE c_custkey % 11 = 0) "
+            "SELECT * FROM u "
+            "UNION ALL SELECT * FROM t "
+            "WHERE c_custkey NOT IN (SELECT c_custkey FROM u)"
+        ),
         "j_salted_skew": (
             "SELECT c.c_mktsegment, count(*) AS n_events, "
             "round(sum(e.value), 2) AS total_value "

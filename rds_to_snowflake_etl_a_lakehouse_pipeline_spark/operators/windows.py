@@ -128,3 +128,35 @@ def surrogate_key_two_phase(
         .withColumn(key_col, (offset_expr + F.col("_local_rn")).cast("bigint"))
         .drop("_pid", "_local_rn")
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Merge/upsert (W4 extension): updates win over target rows with the
+    same key; unmatched target rows survive; new keys are inserted. The
+    incremental-load primitive the reference's full-overwrite gold jobs
+    would need for CDC-style RDS→warehouse sync.
+
+    Implemented as union + dedup-latest instead of a join: ONE shuffle on
+    the key, identical skew profile to a groupBy, and — unlike
+    left-anti + union — a single pass that also dedups within
+    ``updates`` (last writer wins by ``order_col``, updates preferred on
+    ties). Schemas must match (``unionByName``).
+    """
+    keyed = [F.col(k) for k in keys]
+    tagged = target.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    order = [F.col("_src").desc()] + (
+        [F.col(order_col).desc()] if order_col else []
+    )
+    w = Window.partitionBy(*keyed).orderBy(*order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )

@@ -76,6 +76,24 @@ def test_surrogate_two_phase_matches_faithful(spark):
     assert sorted(two_phase.values()) == list(range(1, 999))
 
 
+def test_merge_upsert(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, ver int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B1", 2), (2, "B2", 3), (4, "d", 1)], "k int, v string, ver int"
+    )
+    out = merge_upsert(target, updates, ["k"], order_col="ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in out.collect()}
+    # unmatched target survives; updates win; within-updates last version
+    # wins; new key inserted
+    assert got == {1: ("a", 1), 2: ("B2", 3), 3: ("c", 1), 4: ("d", 1)}
+
+
 def test_salted_join_matches_plain_join(spark):
     from pyspark.sql import functions as F
 
