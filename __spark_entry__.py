@@ -521,6 +521,33 @@ def _q_t_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_t_repetition_ratio(spark, sf_dir):
+    """Duplicate-bigram fraction per document — Gopher/C4-style
+    repetition quality signal (functions/text.py::repetition_ratio)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", lf.repetition_ratio("text").alias("rep_ratio"))
+
+
+def _q_t_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split (80/10/10) keyed on
+    doc_id — stable across runs/engines/partitioning, leak-proof for
+    grouped keys (functions/text.py::hash_split)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lf.hash_bucket("doc_id").alias("bucket"),
+        lf.hash_split("doc_id").alias("split"),
+    )
+
+
+def _q_t_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-token-window chunking (32-token chunks, 8-token
+    overlap) — the pre-training/RAG windowing step; zero-shuffle
+    posexplode (functions/text.py::chunk_documents)."""
+    d = load(spark, sf_dir, "documents")
+    return lf.chunk_documents(d, "text", chunk_tokens=32, overlap=8)
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -1532,6 +1559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_winnow": _q_t_winnow,
         "t_curation_pipeline": _q_t_curation_pipeline,
         "t_exact_dedup": _q_t_exact_dedup,
+        "t_repetition_ratio": _q_t_repetition_ratio,
+        "t_hash_split": _q_t_hash_split,
+        "t_chunk_documents": _q_t_chunk_documents,
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
@@ -1844,6 +1874,41 @@ def oracle_sql() -> dict[str, str]:
         "t_exact_dedup": (
             f"SELECT {fp} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY 1"
+        ),
+        "t_repetition_ratio": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT doc_id, len(t) - 1 AS total, "
+            "CASE WHEN len(t) >= 2 THEN "
+            "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+            "ELSE [] END AS g FROM toks) "
+            "SELECT doc_id, round(CASE WHEN total > 0 THEN "
+            "1.0 - len(list_distinct(g))::DOUBLE / total::DOUBLE "
+            "ELSE 0.0 END, 6) AS rep_ratio FROM grams"
+        ),
+        # nibble arithmetic on the md5 hex prefix == Spark's conv(_,16,10)
+        "t_hash_split": (
+            "WITH b AS (SELECT doc_id, "
+            "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR),1,1))-1)*4096 "
+            "+(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR),2,1))-1)*256 "
+            "+(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR),3,1))-1)*16 "
+            "+(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR),4,1))-1)) % 100 "
+            "AS bucket FROM documents) "
+            "SELECT doc_id, CAST(bucket AS INT) AS bucket, "
+            "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM b"
+        ),
+        "t_chunk_documents": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sized AS (SELECT doc_id, t, CASE WHEN len(t) <= 32 THEN 1 "
+            "ELSE CAST(ceil((len(t) - 32)::DOUBLE / 24) AS INT) + 1 END AS n_chunks "
+            "FROM toks) "
+            "SELECT s.doc_id, CAST(c.i AS INT) AS chunk_id, "
+            "array_to_string(s.t[c.i*24+1 : c.i*24+32], ' ') AS chunk_text, "
+            "CAST(len(s.t[c.i*24+1 : c.i*24+32]) AS INT) AS chunk_n_tokens "
+            "FROM sized s CROSS JOIN LATERAL "
+            "(SELECT unnest(range(0, s.n_chunks)) AS i) c"
         ),
         "t_curation_pipeline": (
             f"WITH scored AS (SELECT doc_id, {fp} AS fp, {tok} AS n_tokens, "

@@ -16,10 +16,14 @@ from .cleansing import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     approx_bpe_token_count,
+    chunk_documents,
     doc_fingerprint,
+    hash_bucket,
+    hash_split,
     language_id,
     quality_score,
     regex_token_count,
+    repetition_ratio,
     stopword_ratio,
     token_count,
     winnow_fingerprints,

@@ -178,6 +178,101 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
 
 
+def repetition_ratio(col: Column | str, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction: ``1 − distinct_ngrams/total_ngrams``
+    in [0, 1] — the Gopher/C4-style repetition quality signal (high value
+    = boilerplate/looping text). Pure higher-order built-ins
+    (split → transform → array_distinct), one codegen pass, no shuffle.
+    Texts with < n tokens (no n-grams) → 0.0. Round 6 for oracle-stable
+    doubles.
+    """
+    c = _col(col)
+    toks = F.split(F.trim(c), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    total = F.size(toks) - F.lit(n - 1)
+    ratio = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    return F.round(
+        F.when(c.isNull(), F.lit(None)).when(total > 0, ratio).otherwise(F.lit(0.0)), 6
+    )
+
+
+# train/val/test thresholds as cumulative percentages of the 0..99 bucket.
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (("train", 80), ("val", 90), ("test", 100))
+
+
+def hash_split(
+    key: Column | str, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
+) -> Column:
+    """Deterministic train/val/test assignment: bucket 0..99 from the
+    first 4 hex chars of ``md5(key)``, mapped through cumulative
+    percentage thresholds (default 80/10/10).
+
+    Hash-based (not ``rand()``) so the assignment is stable across runs,
+    engines, and re-partitioning — and so every row with the same key
+    (e.g. a dedup-cluster id) lands in the same split, preventing
+    train/test leakage between near-duplicates. md5 (not xxhash64)
+    because any SQL engine computes the identical value.
+    """
+    bucket = hash_bucket(key)
+    expr = None
+    for name, threshold in splits:
+        cond = bucket < threshold
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(F.lit(None))
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from md5(key) —
+    the primitive under :func:`hash_split`, also usable for hash-based
+    sampling (``hash_bucket(k) < pct``)."""
+    c = _col(key).cast("string")
+    return (F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("bigint") % n_buckets).cast(
+        "int"
+    )
+
+
+def chunk_documents(
+    df,
+    col: str,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    out_prefix: str = "chunk",
+):
+    """Split documents into overlapping fixed-token-count chunks — the
+    standard pre-training/RAG windowing step. Returns one row per chunk:
+    ``id_cols + (chunk_id, chunk_text, chunk_n_tokens)``.
+
+    Chunk *i* covers tokens ``[i·step, i·step + chunk_tokens)`` with
+    ``step = chunk_tokens − overlap``; the last chunk may be short but
+    every token is covered exactly ``ceil`` times. All higher-order
+    built-ins (split → transform → posexplode): embarrassingly parallel,
+    zero shuffles, output partitioning inherits the input's — at 100 TB
+    this fuses into the scan stage and only multiplies row count.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(step)) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * step + 1, chunk_tokens), " "),
+    )
+    exploded = df.select(
+        *id_cols, F.posexplode(chunks).alias(f"{out_prefix}_id", f"{out_prefix}_text")
+    )
+    return exploded.withColumn(
+        f"{out_prefix}_n_tokens", F.size(F.split(F.col(f"{out_prefix}_text"), r"\s+"))
+    )
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
     """Fraction of tokens that are (English) stopwords — crude fluency
     signal; round 6 for oracle-stable doubles."""

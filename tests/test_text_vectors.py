@@ -64,3 +64,52 @@ def test_cosine_zero_vector_null(spark):
         [([0.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>"
     )
     assert df.select(lf.cosine_similarity("a", "b").alias("c")).first()["c"] is None
+
+
+def test_repetition_ratio_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            ("a b a b a b",),  # bigrams: ab ba ab ba ab -> 2 distinct / 5
+            ("all words differ here",),  # 3 distinct bigrams / 3
+            ("one",),  # no bigrams
+            ("",),
+            (None,),
+        ],
+        ["text"],
+    )
+    out = [r["r"] for r in df.select(lf.repetition_ratio("text").alias("r")).collect()]
+    assert out[0] == 0.6
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    assert out[4] is None
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = df.select(
+        lf.hash_bucket("k").alias("b"), lf.hash_split("k").alias("s")
+    )
+    rows = out.collect()
+    assert all(0 <= r["b"] < 100 for r in rows)
+    assert {r["s"] for r in rows} == {"train", "val", "test"}
+    # stable across evaluations (hash, not rand)
+    assert rows == out.collect()
+    frac_train = sum(r["s"] == "train" for r in rows) / len(rows)
+    assert 0.7 < frac_train < 0.9
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(75))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    out = lf.chunk_documents(df, "text", chunk_tokens=32, overlap=8)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 75 tokens, step 24 -> ceil((75-32)/24)+1 = 3 chunks
+    assert {k for k in rows} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    c0, c1, c2 = (rows[(1, i)]["chunk_text"].split(" ") for i in range(3))
+    assert c0 == [f"t{i}" for i in range(32)]
+    assert c1 == [f"t{i}" for i in range(24, 56)]
+    assert c2 == [f"t{i}" for i in range(48, 75)]  # short tail chunk
+    assert c0[24:] == c1[:8]  # 8-token overlap
+    assert rows[(1, 2)]["chunk_n_tokens"] == 27
+    assert rows[(2, 0)]["chunk_text"] == "short doc"
