@@ -548,6 +548,23 @@ def _q_t_chunk_documents(spark, sf_dir):
     return lf.chunk_documents(d, "text", chunk_tokens=32, overlap=8)
 
 
+def _q_t_pii_scrub(spark, sf_dir):
+    """PII redaction (functions/text.py::scrub_pii). The fixture corpus
+    has no PII, so the query splices a synthetic email/URL/phone tail
+    onto each document, then scrubs — exercising every pattern on every
+    row while staying oracle-reproducible."""
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or call 5551234567"),
+    )
+    return d.select("doc_id", lf.scrub_pii(dirty).alias("clean_text"))
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -1560,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_curation_pipeline": _q_t_curation_pipeline,
         "t_exact_dedup": _q_t_exact_dedup,
         "t_repetition_ratio": _q_t_repetition_ratio,
+        "t_pii_scrub": _q_t_pii_scrub,
         "t_hash_split": _q_t_hash_split,
         "t_chunk_documents": _q_t_chunk_documents,
         "v_l2_norm": _q_v_l2_norm,
@@ -1874,6 +1892,16 @@ def oracle_sql() -> dict[str, str]:
         "t_exact_dedup": (
             f"SELECT {fp} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY 1"
+        ),
+        "t_pii_scrub": (
+            "WITH dirty AS (SELECT doc_id, text || ' contact user' || "
+            "doc_id::VARCHAR || '@example.com via https://ex.com/d/' || "
+            "doc_id::VARCHAR || ' or call 5551234567' AS t FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'https?://[^\\s]+', '<URL>', 'g'), "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), "
+            "'[0-9][0-9]{6,}', '<NUM>', 'g') AS clean_text FROM dirty"
         ),
         "t_repetition_ratio": (
             "WITH toks AS (SELECT doc_id, "

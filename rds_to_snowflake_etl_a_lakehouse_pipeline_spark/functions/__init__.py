@@ -24,6 +24,7 @@ from .text import (  # noqa: F401
     quality_score,
     regex_token_count,
     repetition_ratio,
+    scrub_pii,
     stopword_ratio,
     token_count,
     winnow_fingerprints,

@@ -273,6 +273,28 @@ def chunk_documents(
     )
 
 
+# Redaction patterns, applied in order (URLs before emails so an address
+# inside a query string is eaten by <URL>). RE2/Java/DuckDB-portable:
+# no lookaround, no possessive quantifiers.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9][0-9]{6,}", "<NUM>"),  # 7+ digit runs: phones, SSNs, CC fragments
+)
+
+
+def scrub_pii(col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Redact URLs, email addresses, and long digit runs with placeholder
+    tokens — the standard pre-training redaction pass. Chained
+    ``regexp_replace`` built-ins: one codegen'd pass over the text, no
+    Python, no shuffle; at 100 TB this fuses into the scan stage.
+    """
+    c = _col(col)
+    for pattern, replacement in patterns:
+        c = F.regexp_replace(c, pattern, replacement)
+    return c
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
     """Fraction of tokens that are (English) stopwords — crude fluency
     signal; round 6 for oracle-stable doubles."""

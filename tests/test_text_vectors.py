@@ -113,3 +113,20 @@ def test_chunk_documents_covers_all_tokens_with_overlap(spark):
     assert c0[24:] == c1[:8]  # 8-token overlap
     assert rows[(1, 2)]["chunk_n_tokens"] == 27
     assert rows[(2, 0)]["chunk_text"] == "short doc"
+
+
+def test_scrub_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.bloggs+x@my-site.co.uk today",),
+            ("see https://a.b/c?d=e&f=g now",),
+            ("call 5551234567 not 123456",),
+            ("clean text stays",),
+        ],
+        ["text"],
+    )
+    out = [r["t"] for r in df.select(lf.scrub_pii("text").alias("t")).collect()]
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "see <URL> now"
+    assert out[2] == "call <NUM> not 123456"  # short digit runs kept
+    assert out[3] == "clean text stays"
