@@ -565,6 +565,28 @@ def _q_t_pii_scrub(spark, sf_dir):
     return d.select("doc_id", lf.scrub_pii(dirty).alias("clean_text"))
 
 
+def _q_t_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary stats: term frequency + document frequency,
+    top-50. explode is narrow (no shuffle); the groupBy partial-aggregates
+    map-side so the single shuffle moves one row per distinct term per
+    partition — the canonical 100 TB vocab-build shape. Deterministic
+    (tf DESC, term ASC) ordering for the oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    return (
+        toks.groupBy(F.lower(F.col("tok")).alias("term"))
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(50)
+    )
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -1578,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_exact_dedup": _q_t_exact_dedup,
         "t_repetition_ratio": _q_t_repetition_ratio,
         "t_pii_scrub": _q_t_pii_scrub,
+        "t_vocab_topk": _q_t_vocab_topk,
         "t_hash_split": _q_t_hash_split,
         "t_chunk_documents": _q_t_chunk_documents,
         "v_l2_norm": _q_v_l2_norm,
@@ -1892,6 +1915,12 @@ def oracle_sql() -> dict[str, str]:
         "t_exact_dedup": (
             f"SELECT {fp} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY 1"
+        ),
+        "t_vocab_topk": (
+            "SELECT lower(tok) AS term, count(*) AS tf, "
+            "count(DISTINCT doc_id) AS df FROM "
+            "(SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok "
+            "FROM documents) GROUP BY 1 ORDER BY tf DESC, term LIMIT 50"
         ),
         "t_pii_scrub": (
             "WITH dirty AS (SELECT doc_id, text || ' contact user' || "
