@@ -1313,6 +1313,41 @@ def _q_x1_tumbling_stream(spark, sf_dir):
     )
 
 
+def _q_x1_stream_enrich(spark, sf_dir):
+    """Stream-static join: event stream enriched with the (static)
+    customer dim — broadcast per micro-batch, zero shuffle, zero
+    streaming state (streaming/events.py::stream_static_join) — then a
+    stateful agg by segment×type; hash-matches the batch join oracle."""
+    import os
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        run_available_now,
+        stream_static_join,
+    )
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream_static_join(sdf, cust, F.col("c_custkey") == F.col("user_id"))
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_available_now(agg, "x1_stream_enrich_tbl")
+
+
 def _q_x1_session_stream(spark, sf_dir):
     """Structured Streaming session windows: the SAME gap-based
     sessionization as x1_session_window compiled as an incremental
@@ -1632,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_audio": _q_m_decode_audio,
         "m_frame_sample": _q_m_frame_sample,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_session_stream": _q_x1_session_stream,
         "x1_stream_dedup": _q_x1_stream_dedup,
         "s4_csv_source": _q_s4_csv_source,
@@ -2048,6 +2084,12 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
             "SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start, "
             "count(*) AS n_events FROM sessions GROUP BY user_id, session_id"
+        ),
+        "x1_stream_enrich": (
+            "SELECT c.c_mktsegment, e.event_type, count(*) AS n_events, "
+            "round(sum(e.value), 2) AS total_value "
+            "FROM events e JOIN customer c ON c.c_custkey = e.user_id "
+            "GROUP BY 1, 2"
         ),
         "x1_tumbling_stream": (
             "SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)"

@@ -180,3 +180,16 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(query_name)
+
+
+def stream_static_join(
+    stream_df: DataFrame, dim_df: DataFrame, join_expr, how: str = "inner"
+) -> DataFrame:
+    """Enrich a stream with a static dimension table — the standard
+    streaming-ETL lookup. The static side is broadcast, so each
+    micro-batch joins map-side with ZERO shuffle and zero streaming
+    state; Spark re-reads the dim source per batch, picking up slowly
+    changing dims for free. Works identically on batch inputs (unified
+    API) — which is how the DuckDB oracle verifies it.
+    """
+    return stream_df.join(F.broadcast(dim_df), join_expr, how)
