@@ -33,6 +33,10 @@ AUDIT = [
     "j_salted_skew",
     "s6_partition_pruning",
     "a1_pivot",
+    "t_chunk_documents",
+    "t_vocab_topk",
+    "t_pii_scrub",
+    "t_hash_split",
 ]
 
 
