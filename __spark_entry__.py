@@ -587,6 +587,42 @@ def _q_t_vocab_topk(spark, sf_dir):
     )
 
 
+def _q_t_tfidf_topterms(spark, sf_dir):
+    """Per-document TF-IDF top-3 terms: explode → (doc,term) TF agg →
+    term DF agg → join back + 1-row broadcast corpus count → windowed
+    top-k. The DF table and corpus count are vocabulary-/scalar-sized,
+    so both join back as broadcasts — the big (doc,term) side shuffles
+    once for its own agg and never again; the final window partitions by
+    doc_id (uniform, no skew)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -1636,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition_ratio": _q_t_repetition_ratio,
         "t_pii_scrub": _q_t_pii_scrub,
         "t_vocab_topk": _q_t_vocab_topk,
+        "t_tfidf_topterms": _q_t_tfidf_topterms,
         "t_hash_split": _q_t_hash_split,
         "t_chunk_documents": _q_t_chunk_documents,
         "v_l2_norm": _q_v_l2_norm,
@@ -1951,6 +1988,20 @@ def oracle_sql() -> dict[str, str]:
         "t_exact_dedup": (
             f"SELECT {fp} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies "
             "FROM documents GROUP BY 1"
+        ),
+        "t_tfidf_topterms": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "scored AS (SELECT t.doc_id, t.term, "
+            "round(t.tf * ln(n.n_docs::DOUBLE / i.df), 6) AS tfidf "
+            "FROM tf t JOIN idf i USING (term) CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored) "
+            "SELECT doc_id, term, tfidf FROM r WHERE rn <= 3"
         ),
         "t_vocab_topk": (
             "SELECT lower(tok) AS term, count(*) AS tf, "
