@@ -156,3 +156,32 @@ def test_resize_and_audio_stubs(spark):
     assert a[1]["duration_seconds"] == 11 / (rate * 2 * ch)
     # null payload -> empty bytes, duration 0
     assert a[2]["duration_seconds"] == 0.0
+
+
+def test_stream_static_join_parity(spark):
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_static_join,
+    )
+
+    batch = load(spark, "/root/testdata/sf0.001", "events")
+    dim = load(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cond = F.col("c_custkey") == F.col("user_id")
+
+    def agg(df):
+        return df.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream-src")
+        batch.write.parquet(src)
+        sdf = stream_events(spark, src)
+        joined = stream_static_join(sdf, dim, cond)
+        assert joined.isStreaming
+        stream_result = run_available_now(agg(joined), "enrich_parity")
+        batch_result = agg(stream_static_join(batch, dim, cond))
+        assert sorted(map(tuple, stream_result.collect())) == sorted(
+            map(tuple, batch_result.collect())
+        )

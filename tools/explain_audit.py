@@ -37,6 +37,7 @@ AUDIT = [
     "t_vocab_topk",
     "t_pii_scrub",
     "t_hash_split",
+    "t_tfidf_topterms",
 ]
 
 
