@@ -490,10 +490,18 @@ def _q_t_regex_tokens(spark, sf_dir):
 
 
 def _q_t_winnow(spark, sf_dir):
+    # Serialized to one CSV string per doc: the driver's canonicalizer
+    # sorts result columns pandas-side and cannot hash array cells. The
+    # fingerprint set is sorted-distinct, so the CSV is canonical and
+    # loses nothing. (concat_ws, NOT explode: a Generate over the
+    # projected array defeats the O(n) binding inside
+    # winnow_fingerprints — the optimizer inlines the k-gram hash array
+    # into the generator and the per-row cost goes O(n²), measured as a
+    # multi-minute stall at sf0.01. The single concat_ws reference keeps
+    # the bound projection intact.)
     d = load(spark, sf_dir, "documents")
-    return lf.winnow_fingerprints(
-        d, "text", out_col="fps", k=5, window=4, hash="md5"
-    ).select("doc_id", "fps")
+    fps = lf.winnow_fingerprints(d, "text", out_col="fps", k=5, window=4, hash="md5")
+    return fps.select("doc_id", F.concat_ws(",", "fps").alias("fps_csv"))
 
 
 def _q_t_curation_pipeline(spark, sf_dir):
@@ -1152,6 +1160,40 @@ _SQL_FACT_SALES = (
 )
 
 
+def _q_g_pipeline_runner(spark, sf_dir):
+    """Execute the full 15-node medallion DAG through plans/runner.py
+    (topological order, catalog sinks per node, observe-piggybacked DQ
+    gates, warehouse double-write) and return the terminal
+    gold.fact_sales table. The runner-wired twin of _q_g_fact_sales:
+    same oracle, but the rows travelled bronze → silver → gold through
+    materialized catalog tables exactly like the reference's job graph
+    (SURVEY.md §3 — 6 bronze → 6 silver → 3 gold via S3/catalog
+    handoff). scale_safe=True exercises the two-phase surrogate-key
+    path end-to-end."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
+        build_pipeline,
+    )
+
+    pipe = build_pipeline(as_of="1995-06-01", scale_safe=True)
+    pipe.run(
+        spark,
+        sources={
+            "crm_cust_info": _synth_crm_cust_info(spark, sf_dir),
+            "crm_prd_info": _synth_crm_prd_info(spark, sf_dir),
+            "crm_sales_details": _synth_crm_sales_details(spark, sf_dir),
+            "erp_cust_az12": _synth_erp_cust_az12(spark, sf_dir),
+            "erp_loc_a101": _synth_erp_loc_a101(spark, sf_dir),
+            "erp_px_cat_g1v2": _synth_px_cat(spark, sf_dir),
+        },
+    )
+    fact = spark.table("gold.fact_sales")
+    return (
+        fact.withColumn("order_date", F.col("order_date").cast("string"))
+        .withColumn("shipping_date", F.col("shipping_date").cast("string"))
+        .withColumn("due_date", F.col("due_date").cast("string"))
+    )
+
+
 # DQ gate (plans/dq.py) ----------------------------------------------------
 
 
@@ -1627,8 +1669,74 @@ def _q_v_ivf_topk(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order is load-bearing: the driver's correctness
+    harness verifies the FIRST 50 entries only. The front 50 is a
+    covering set — every §2 family plus every extension tier gets at
+    least one oracle verdict; redundant singles already proven in
+    CORRECTNESS_r02.json sit behind the cap."""
     return {
+        # gold end-to-end (the engine's headline correctness claim)
+        "g_dim_customers": _q_g_dim_customers,
+        "g_dim_customers_scale_safe": _q_g_dim_customers_scale_safe,
+        "g_dim_products": _q_g_dim_products,
+        "g_fact_sales": _q_g_fact_sales,
+        "g_pipeline_runner": _q_g_pipeline_runner,
+        # dedup tiers (exact → ngram → minhash → simhash → cosine)
+        "d_exact_dedup": _q_d_exact_dedup,
+        "d_ngram_jaccard": _q_d_ngram_jaccard,
+        "d_minhash_pairs": _q_d_minhash_pairs,
+        "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_simhash_pairs": _q_d_simhash_pairs,
+        "d_cosine_dedup": _q_d_cosine_dedup,
+        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        # streaming (batch + structured-streaming twins)
+        "x1_tumbling_window": _q_x1_tumbling_window,
+        "x1_sliding_window": _q_x1_sliding_window,
+        "x1_session_window": _q_x1_session_window,
+        "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "x1_stream_enrich": _q_x1_stream_enrich,
+        "x1_session_stream": _q_x1_session_stream,
+        "x1_stream_dedup": _q_x1_stream_dedup,
+        # sources / sinks / DQ
+        "s4_csv_source": _q_s4_csv_source,
+        "s4_json_source": _q_s4_json_source,
+        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
+        "s6_partition_pruning": _q_s6_partition_pruning,
+        "s7_warehouse_sink": _q_s7_warehouse_sink,
+        "s9_dq_gate": _q_s9_dq_gate,
+        # temporal / skew joins, merge
+        "x2_asof_join": _q_x2_asof_join,
+        "x2_range_join": _q_x2_range_join,
+        "w4_merge_upsert": _q_w4_merge_upsert,
+        "j_salted_skew": _q_j_salted_skew,
+        # vector similarity (ANN paths)
+        "v_lsh_topk": _q_v_lsh_topk,
+        "v_ivf_topk": _q_v_ivf_topk,
+        "v_cosine_pairs": _q_v_cosine_pairs,
+        # multimodal plumbing
+        "m_decode_images": _q_m_decode_images,
+        "m_resize_images": _q_m_resize_images,
+        "m_decode_audio": _q_m_decode_audio,
+        "m_frame_sample": _q_m_frame_sample,
+        # remaining untested singles
+        "a1_cube": _q_a1_cube,
+        "a1_approx_distinct": _q_a1_approx_distinct,
+        "o1_intersect": _q_o1_intersect,
+        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
+        "f17_current_timestamp": _q_f17_current_timestamp,
+        "t_winnow": _q_t_winnow,
+        # one representative per already-green §2 family (keeps every
+        # family inside the verified window)
         "s5_parquet_scan": _q_s5_parquet_scan,
+        "w1_dedup_latest": _q_w1_dedup_latest,
+        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
+        "w3_scd2_close": _q_w3_scd2_close,
+        "j4_j5_fact_join": _q_j4_j5_fact_join,
+        "a1_groupby_agg": _q_a1_groupby_agg,
+        "r8_recompute_amount": _q_r8_recompute_amount,
+        "t_curation_pipeline": _q_t_curation_pipeline,
+        # ---- driver cap boundary (entry 50) ----
+        # proven green in CORRECTNESS_r02.json; kept registered for users
         "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -1640,20 +1748,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_product_key_split": _q_r4_product_key_split,
         "r5_coalesce_zero": _q_r5_coalesce_zero,
         "r7_int_date": _q_r7_int_date,
-        "r8_recompute_amount": _q_r8_recompute_amount,
         "r9_backfill_price": _q_r9_backfill_price,
         "r10_null_if_future": _q_r10_null_if_future,
         "r11_prefer_source": _q_r11_prefer_source,
         "f16_date_arith": _q_f16_date_arith,
-        "w1_dedup_latest": _q_w1_dedup_latest,
         "w2_surrogate_key": _q_w2_surrogate_key,
-        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
-        "w3_scd2_close": _q_w3_scd2_close,
         "r12_current_rows": _q_r12_current_rows,
         "j1_j2_enrich": _q_j1_j2_enrich,
         "j3_broadcast_join": _q_j3_broadcast_join,
-        "j4_j5_fact_join": _q_j4_j5_fact_join,
-        "a1_groupby_agg": _q_a1_groupby_agg,
         "a1_rollup": _q_a1_rollup,
         "a1_pivot": _q_a1_pivot,
         "a1_percentile": _q_a1_percentile,
@@ -1666,8 +1768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_language_id": _q_t_language_id,
         "t_doc_fingerprint": _q_t_doc_fingerprint,
         "t_regex_tokens": _q_t_regex_tokens,
-        "t_winnow": _q_t_winnow,
-        "t_curation_pipeline": _q_t_curation_pipeline,
         "t_exact_dedup": _q_t_exact_dedup,
         "t_repetition_ratio": _q_t_repetition_ratio,
         "t_pii_scrub": _q_t_pii_scrub,
@@ -1678,46 +1778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
-        "w4_merge_upsert": _q_w4_merge_upsert,
-        "j_salted_skew": _q_j_salted_skew,
-        "x2_asof_join": _q_x2_asof_join,
-        "x2_range_join": _q_x2_range_join,
-        "x1_tumbling_window": _q_x1_tumbling_window,
-        "x1_sliding_window": _q_x1_sliding_window,
-        "x1_session_window": _q_x1_session_window,
-        "g_dim_customers": _q_g_dim_customers,
-        "g_dim_customers_scale_safe": _q_g_dim_customers_scale_safe,
-        "g_dim_products": _q_g_dim_products,
-        "g_fact_sales": _q_g_fact_sales,
-        "s9_dq_gate": _q_s9_dq_gate,
-        "f17_current_timestamp": _q_f17_current_timestamp,
-        "d_exact_dedup": _q_d_exact_dedup,
-        "d_ngram_jaccard": _q_d_ngram_jaccard,
-        "d_minhash_pairs": _q_d_minhash_pairs,
-        "d_minhash_dedup": _q_d_minhash_dedup,
-        "d_simhash_pairs": _q_d_simhash_pairs,
-        "d_cosine_dedup": _q_d_cosine_dedup,
-        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
-        "v_lsh_topk": _q_v_lsh_topk,
-        "m_decode_images": _q_m_decode_images,
-        "m_resize_images": _q_m_resize_images,
-        "m_decode_audio": _q_m_decode_audio,
-        "m_frame_sample": _q_m_frame_sample,
-        "x1_tumbling_stream": _q_x1_tumbling_stream,
-        "x1_stream_enrich": _q_x1_stream_enrich,
-        "x1_session_stream": _q_x1_session_stream,
-        "x1_stream_dedup": _q_x1_stream_dedup,
-        "s4_csv_source": _q_s4_csv_source,
-        "s4_json_source": _q_s4_json_source,
-        "a1_cube": _q_a1_cube,
-        "a1_approx_distinct": _q_a1_approx_distinct,
-        "o1_intersect": _q_o1_intersect,
-        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
-        "v_ivf_topk": _q_v_ivf_topk,
-        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
-        "s6_partition_pruning": _q_s6_partition_pruning,
-        "s7_warehouse_sink": _q_s7_warehouse_sink,
-        "v_cosine_pairs": _q_v_cosine_pairs,
     }
 
 
@@ -1983,7 +2043,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN len(gh) - 3 >= 1 THEN list_sort(list_distinct("
             "[list_min(gh[i:i+3]) for i in generate_series(1, len(gh) - 3)])) "
             "WHEN len(gh) >= 1 THEN [list_min(gh)] END AS fps FROM g) "
-            "SELECT doc_id, fps FROM w"
+            "SELECT doc_id, coalesce(array_to_string(fps, ','), '') AS fps_csv FROM w"
         ),
         "t_exact_dedup": (
             f"SELECT {fp} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies "
@@ -2207,6 +2267,9 @@ def oracle_sql() -> dict[str, str]:
         "g_dim_customers_scale_safe": _SQL_DIM_CUSTOMERS,
         "g_dim_products": _SQL_DIM_PRODUCTS,
         "g_fact_sales": _SQL_FACT_SALES,
+        # runner-wired twin: identical result contract, rows travelled
+        # through the materialized bronze/silver/gold catalog DAG
+        "g_pipeline_runner": _SQL_FACT_SALES,
         "s9_dq_gate": (
             "SELECT count(*) AS _dq_rows, "
             "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
@@ -2219,10 +2282,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_nationkey, now() > TIMESTAMP '2020-01-01' AS ts_after_2020 "
             "FROM nation"
         ),
+        # partition directly by the content column: grouping by any
+        # injective encoding (the Spark side's length-prefixed NULL-safe
+        # fingerprint) == grouping by the value itself
         "d_exact_dedup": (
-            "SELECT doc_id, text FROM (SELECT doc_id, text FROM documents) "
-            "QUALIFY row_number() OVER (PARTITION BY md5(coalesce(CAST(text AS VARCHAR), '')) "
-            "ORDER BY doc_id) = 1"
+            "SELECT doc_id, text FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
         ),
         # word-3-gram shingle inverted index -> exact Jaccard on pairs
         # sharing >=1 shingle; mirrors operators/dedup.ngram_jaccard_pairs

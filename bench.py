@@ -40,13 +40,17 @@ def main() -> None:
     qs = ent.queries()
 
     def q_fact_join_agg(spark, d):
-        # join-heavy: fact x 2 dims -> grouped revenue (broadcast dims)
+        # join-heavy: fact x orders x customer -> grouped revenue.
+        # NO broadcast hints: orders is fact-proportional (never
+        # broadcastable at scale) and customer grows with SF too — AQE
+        # picks broadcast-vs-shuffle from runtime stats, which is the
+        # plan that survives a 100x scale-up.
         li = load(spark, d, "lineitem").alias("l")
         o = load(spark, d, "orders").alias("o")
         c = load(spark, d, "customer").alias("c")
         return (
-            li.join(F.broadcast(o), F.col("l.l_orderkey") == F.col("o.o_orderkey"), "left")
-            .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"), "left")
+            li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"), "left")
+            .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"), "left")
             .groupBy("c_mktsegment")
             .agg(
                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -48,13 +48,30 @@ def exact_dedup(
     content_cols: list[str],
     order_col: str | None = None,
 ) -> DataFrame:
-    """Keep exactly one row per distinct content (xxhash64+md5 double
-    fingerprint → collision-safe in practice). Deterministic: the kept row
-    is the min of ``order_col`` (or the first content column). One shuffle
-    on the fingerprint — at 100 TB this is the cheapest possible exact
-    dedup (hash-partitioned, map-side combine on the window).
+    """Keep exactly one row per distinct content (md5 over an injective
+    length-prefixed encoding → collision-safe in practice). Deterministic:
+    the kept row is the min of ``order_col`` (or the first content
+    column). One shuffle on the fingerprint — at 100 TB this is the
+    cheapest possible exact dedup (hash-partitioned, map-side combine on
+    the window).
+
+    The encoding maps NULL to the bare token ``"N"`` and a value v to
+    ``"<len(v)>:<v>"`` — a prefix code, so (``'a'``, NULL) vs (NULL,
+    ``'a'``) and (``'a\\x00b'``,) vs (``'a'``, ``'b'``) all fingerprint
+    differently (plain ``concat_ws`` silently skips NULLs and lets
+    separator-containing values collide).
     """
-    fp = F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in content_cols]))
+    enc = [
+        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            )
+        )
+        for c in content_cols
+    ]
+    fp = F.md5(F.concat(*enc))
     order = order_col or content_cols[0]
     w = Window.partitionBy(fp).orderBy(F.col(order).asc())
     return (
@@ -159,6 +176,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     impl: str = "arrow",
     persist_index: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -171,11 +189,26 @@ def minhash_lsh_pairs(
     ``impl``: "arrow" (default — JVM shingle hashing + vectorized numpy
     min-mix, ~60× faster) or "catalyst" (pure built-in expressions).
 
-    ``persist_index``: cache the (_id, _sig) signature table so the
-    self-join computes signatures once, not once per side (at warehouse
-    scale you would write this index to a table instead). Callers doing
-    one-shot pipelines can release it with
-    ``spark.catalog.clearCache()``.
+    ``persist_index``: materialize the (_id, _sig) signature table so
+    the self-join computes signatures once, not once per side (at
+    warehouse scale you would write this index to a table instead).
+    Storage is scoped: the checkpoint blocks are released automatically
+    once the returned DataFrame is garbage collected — no cache entry
+    outlives the caller.
+
+    ``max_bucket_size``: skew guard for boilerplate-heavy corpora. A
+    band bucket holding B docs yields B(B-1)/2 candidates under the
+    self-join — one viral boilerplate document at web scale (B ~ 10⁶)
+    is a 5·10¹¹-pair straggler no matter how AQE splits it. Buckets
+    larger than the cap instead emit STAR pairs — every member against
+    the bucket's min-id representative, O(B) — which preserves the
+    connected component (dedup keeps exactly one representative either
+    way) while bounding per-bucket work linearly. ``None`` (default)
+    keeps pure all-pairs semantics for oracle-exact pair listings;
+    pair RECALL between non-representative members of a capped bucket
+    is intentionally traded away (they reach each other through the
+    hub), so set it only when downstream consumes components/dedup
+    decisions rather than the raw pair list.
     """
     rows_per_band = num_hashes // bands
     if impl == "arrow":
@@ -192,16 +225,16 @@ def minhash_lsh_pairs(
         )
     sig = sig.filter(F.col("_sig").isNotNull())
     if persist_index:
-        from pyspark import StorageLevel
-
-        # Persist the narrow (_id, _sig) table — NOT the 16×-exploded
-        # banded table — and materialize eagerly so the self-join's two
-        # scans don't each run the signature UDF. The banding explode is
-        # cheap Catalyst and recomputes from cache. (At warehouse scale
-        # you would write this index to a table instead;
-        # MEMORY_AND_DISK spills rather than OOMs.)
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-        sig.count()
+        # Materialize the narrow (_id, _sig) table — NOT the 16×-exploded
+        # banded table — eagerly so the self-join's two scans don't each
+        # run the signature UDF. The banding explode is cheap Catalyst
+        # and recomputes from the checkpointed blocks. localCheckpoint
+        # (MEMORY_AND_DISK — spills rather than OOMs) is scoped: unlike
+        # persist(), whose SQL-cache entry survives until an explicit
+        # unpersist/clearCache, its blocks are freed by the context
+        # cleaner when this DataFrame is GC'd, so bench loops and
+        # long-lived pipelines don't accumulate executor storage.
+        sig = sig.localCheckpoint(eager=True)
 
     banded = sig.select(
         "_id",
@@ -225,35 +258,57 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # estimated jaccard = matching signature components / num_hashes.
-    # Computed BEFORE the pair-dedup and thresholded immediately, so the
-    # dropDuplicates shuffle moves 3 narrow columns per candidate — not
-    # two 64-element bigint signatures (~1 KB/row) per banded match.
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a._sig"), F.col("b._sig"), lambda x, y: (x == y).cast("int")
-            ),
+    def _est(sig_x, sig_y):
+        # estimated jaccard = matching signature components / num_hashes
+        return F.aggregate(
+            F.zip_with(sig_x, sig_y, lambda x, y: (x == y).cast("int")),
             F.lit(0),
             lambda acc, v: acc + v,
-        ).cast("double")
-        / F.lit(float(num_hashes))
+        ).cast("double") / F.lit(float(num_hashes))
+
+    hot_pairs = None
+    if max_bucket_size is not None:
+        # One hash exchange on (band, bucket) — the same key the join
+        # shuffles on — computes bucket size and the min-id
+        # representative's signature in a single window stage.
+        w_bucket = Window.partitionBy("band", "bucket")
+        w_rep = w_bucket.orderBy(F.col("_id").asc())
+        sized = banded.withColumn("_bsz", F.count("*").over(w_bucket))
+        hot_pairs = (
+            sized.filter(F.col("_bsz") > max_bucket_size)
+            .withColumn("_rep_id", F.first("_id").over(w_rep))
+            .withColumn("_rep_sig", F.first("_sig").over(w_rep))
+            .filter(F.col("_id") != F.col("_rep_id"))
+            .select(
+                F.col("_rep_id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.round(_est(F.col("_rep_sig"), F.col("_sig")), 6).alias(
+                    "jaccard_est"
+                ),
+            )
+        )
+        banded = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # The estimate is computed BEFORE the pair-dedup and thresholded
+    # immediately, so the dropDuplicates shuffle moves 3 narrow columns
+    # per candidate — not two 64-element bigint signatures (~1 KB/row)
+    # per banded match.
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(_est(F.col("a._sig"), F.col("b._sig")), 6).alias("jaccard_est"),
     )
+    if hot_pairs is not None:
+        pairs = pairs.unionByName(hot_pairs)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(est, 6).alias("jaccard_est"),
-        )
-        .filter(F.col("jaccard_est") >= threshold)
+        pairs.filter(F.col("jaccard_est") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -96,9 +96,18 @@ def asof_join(
         *[F.lit(None).cast(t).alias(c) for c, t in zip(attached, [dict(right.dtypes)[right_ts]] + [dict(right.dtypes)[c] for c in right_cols])],
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
+    # Total order: ties on (_ts, _tag) — multiple right rows with equal
+    # (key, ts) — are broken by the right value columns themselves, so
+    # the carried-forward match is independent of partition physical
+    # order (nulls-first for the left rows' NULL placeholders keeps left
+    # rows ordered after right rows only via _tag, which precedes).
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_tag").asc(),
+            *[F.col(c).asc_nulls_first() for c in attached],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r.unionByName(l).select(
@@ -177,7 +186,20 @@ def salted_join(
 
     Join columns are salted copies; output drops the helpers and is
     column-identical to ``left.join(right, key, how)``.
+
+    Only ``inner`` and ``left`` are semantics-preserving: the right side
+    is replicated ``salt`` times, so for right/full/right-semi/anti
+    joins every unmatched right row would surface ``salt`` times with
+    null left columns. Those modes raise ``ValueError`` — and they're
+    also the modes where salting is pointless (the *left* side is the
+    skewed one by contract).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "right-side replication would duplicate unmatched right rows "
+            "under right/full/semi/anti semantics"
+        )
     lk, rk = f"_salt_{key}", f"_salt_r_{key}"
     l_salted = left.withColumn(lk, (F.rand(seed=42) * salt).cast("int"))
     r_replicated = right.withColumn(

@@ -101,32 +101,40 @@ def surrogate_key_two_phase(
     through a single reducer. ``order_cols`` must be unique per row.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    from pyspark import StorageLevel
 
-    # PERSIST before reading twice: repartitionByRange SAMPLES its
-    # boundaries per evaluation, so the count collection below and the
-    # final ranked query would otherwise see two different partitionings
-    # and the offsets would not match the local ranks (observed at
-    # sf0.1). The cache pins one materialized partitioning for both.
+    # MATERIALIZE once before reading twice: repartitionByRange SAMPLES
+    # its boundaries per evaluation, so the count collection below and
+    # the final ranked query would otherwise see two different
+    # partitionings and the offsets would not match the local ranks
+    # (observed at sf0.1). localCheckpoint (eager) pins one materialized
+    # partitioning for both reads AND — unlike persist(), whose SQL-cache
+    # entry outlives the call — its blocks are released by the context
+    # cleaner once the returned DataFrame is garbage collected, so
+    # repeated calls in a long session don't accumulate storage.
     ranged = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # One row per partition — trivially collectable even at 10⁵ partitions.
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, running = {}, 0
+    offsets, running = [], 0
     for pid in sorted(counts):
-        offsets[pid] = running
+        offsets.append((pid, running))
         running += counts[pid]
-    offset_expr = F.lit(0)
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(offset_expr)
+    # Tiny (pid, offset) table broadcast-joined on _pid: O(1) expression
+    # depth regardless of partition count. (The obvious alternative — a
+    # chained when(_pid == p, off) expression — is O(P) deep and blows
+    # Catalyst analysis/codegen long before 10⁵ partitions.)
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, schema="_pid int, _offset bigint"
+    )
     local_w = Window.partitionBy("_pid").orderBy(*_cols(order_cols))
     return (
-        ranged.withColumn("_local_rn", F.row_number().over(local_w))
-        .withColumn(key_col, (offset_expr + F.col("_local_rn")).cast("bigint"))
-        .drop("_pid", "_local_rn")
+        ranged.join(F.broadcast(offsets_df), "_pid")
+        .withColumn("_local_rn", F.row_number().over(local_w))
+        .withColumn(key_col, (F.col("_offset") + F.col("_local_rn")).cast("bigint"))
+        .drop("_pid", "_local_rn", "_offset")
     )
 
 

@@ -114,18 +114,28 @@ class Pipeline:
                     df_obs, finish = df, None
                 if node.warehouse_table:
                     df_obs = df_obs.cache()
-                write_table(
-                    df_obs,
-                    node.sink,
-                    partition_by=list(node.partition_by) if node.partition_by else None,
-                )
-                if finish:
-                    dq.extend(finish())
-                if unique_rules:
-                    dq.extend(evaluate_now(df_obs, unique_rules))
-                if node.warehouse_table:
-                    self.warehouse.write(df_obs, node.warehouse_table)
-                    df_obs.unpersist()
+                try:
+                    write_table(
+                        df_obs,
+                        node.sink,
+                        partition_by=list(node.partition_by) if node.partition_by else None,
+                    )
+                    if finish:
+                        dq.extend(finish())
+                    if unique_rules:
+                        dq.extend(evaluate_now(df_obs, unique_rules))
+                    # Gate BEFORE the warehouse write: the observe-based DQ
+                    # results only exist once the primary (catalog) sink has
+                    # executed — that write is the documented piggyback — but
+                    # a failed gate must stop propagation to the second sink.
+                    failed = [r for r in dq if not r.passed]
+                    if failed:
+                        raise RuntimeError(f"DQ gate failed at {name}: {failed}")
+                    if node.warehouse_table:
+                        self.warehouse.write(df_obs, node.warehouse_table)
+                finally:
+                    if node.warehouse_table:
+                        df_obs.unpersist()
                 out = spark.table(node.sink)
                 rows = next((int(r.observed) for r in dq if r.rule == "row_count"), None)
             else:

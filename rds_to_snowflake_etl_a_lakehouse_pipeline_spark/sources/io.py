@@ -111,7 +111,29 @@ def write_table(
     ZERO exchanges (the shuffle is paid once at write time, amortized
     over every later join — the co-located-join strategy for repeated
     fact⋈fact joins at 100 TB).
+
+    Overwrite mode also clears an ORPHANED managed-table location: a
+    previous session's in-memory catalog is gone but its warehouse dir
+    survives on disk, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS instead of overwriting. Drop the (possibly
+    unregistered) table and remove the stale local directory first.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            import shutil
+            from urllib.parse import urlparse
+
+            parts = table.split(".")
+            db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase()
+            loc = urlparse(spark.catalog.getDatabase(db).locationUri)
+            if loc.scheme in ("", "file"):
+                stale = os.path.join(loc.path, parts[-1])
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+        except Exception:
+            pass  # db absent -> saveAsTable will create fresh anyway
     writer = df.write.mode(mode).format("parquet").option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

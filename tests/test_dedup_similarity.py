@@ -163,3 +163,38 @@ def test_embedding_cosine_dedup_lsh_finds_exact_dups(spark):
     ids = {r["vec_id"] for r in kept.collect()}
     assert all(100 + i not in ids for i in range(5))  # dups dropped (min-id kept)
     assert all(i in ids for i in range(20) if i < 7) or len(ids) >= 15
+
+
+def test_minhash_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """Skew stress: a viral boilerplate doc repeated B times puts all B
+    copies in the SAME bucket of every band — all-pairs is B(B-1)/2 per
+    band-bucket, the 100 TB straggler. With max_bucket_size set, hot
+    buckets emit star pairs (member vs min-id rep): O(B), and the dedup
+    decision (keep exactly one representative) is unchanged."""
+    B = 120
+    boiler = (
+        "subscribe to our newsletter terms of service privacy policy all "
+        "rights reserved copyright contact us about careers press blog"
+    )
+    rows = [(i, boiler) for i in range(B)]
+    rows += [(1000, BASE), (1001, NEAR), (1002, FAR)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        max_bucket_size=10,
+    ).collect()
+    # star topology: every boilerplate copy pairs with rep 0 exactly once
+    boiler_pairs = [(r["id_a"], r["id_b"]) for r in capped if r["id_b"] < 1000]
+    assert len(boiler_pairs) == B - 1  # vs B(B-1)/2 = 7140 uncapped
+    assert all(a == 0 for a, _ in boiler_pairs)
+    # the distinct docs still pair normally (cold-bucket path intact)
+    assert (1000, 1001) in {(r["id_a"], r["id_b"]) for r in capped}
+    # dedup connectivity preserved: exactly one boilerplate survivor
+    kept = minhash_lsh_dedup(
+        df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        max_bucket_size=10,
+    )
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert [i for i in kept_ids if i < 1000] == [0]
+    assert 1002 in kept_ids

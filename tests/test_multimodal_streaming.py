@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
     attach_fake_blobs,
     decode_images,
@@ -185,3 +187,25 @@ def test_stream_static_join_parity(spark):
         assert sorted(map(tuple, stream_result.collect())) == sorted(
             map(tuple, batch_result.collect())
         )
+
+
+def test_real_image_decode_when_pil_available(spark):
+    """Exercises the REAL decode path (PIL) end-to-end when the library
+    exists; skipped in containers without it, where decode_images
+    transparently falls back to the deterministic stub (covered by
+    test_multimodal_decode_plumbing)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_images,
+        require_real_decode,
+    )
+
+    require_real_decode()  # must not raise when PIL importable
+    buf = _io.BytesIO()
+    PIL.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, png)], "id int, content binary")
+    row = decode_images(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (37, 21, 3)
