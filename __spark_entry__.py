@@ -703,6 +703,31 @@ def _q_d_simhash_pairs(spark, sf_dir):
     return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
 
 
+def _q_d_cc_dedup(spark, sf_dir):
+    """Component-based dedup: every document labeled with the MIN doc_id
+    of its near-dup connected component (transitive closure over the
+    exact n-gram-Jaccard pair graph — same edges as d_ngram_jaccard).
+    Pair-greedy dedup over-deletes on chains; this is the semantics a
+    curation pipeline actually wants, and the oracle proves the
+    distributed label propagation (operators/dedup.connected_components)
+    equals DuckDB's recursive-CTE transitive closure."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+    labels = connected_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+
+
 # Similarity search (operators/similarity.py) ------------------------------
 
 
@@ -1157,6 +1182,30 @@ _SQL_FACT_SALES = (
     "FROM silver_sd sd "
     "LEFT JOIN dimp pr ON sd.sls_prd_key = pr.product_number "
     "LEFT JOIN dimc cu ON sd.sls_cust_id = cu.customer_id"
+)
+
+
+# Word-3-gram shingle inverted index -> exact Jaccard on pairs sharing
+# >=1 (rare) shingle; mirrors operators/dedup.ngram_jaccard_pairs.
+# Shared by d_ngram_jaccard (pair listing) and d_cc_dedup (transitive
+# closure over the same edges).
+_SQL_NGRAM_PAIR_CTES = (
+    "t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+    "FROM documents), "
+    "s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), "
+    "ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s), "
+    "rare AS (SELECT shingle FROM ex0 GROUP BY shingle "
+    "HAVING count(DISTINCT doc_id) <= 1000), "
+    "ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN rare USING (shingle)), "
+    "sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz FROM ex GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+    "FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+    "JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2)"
 )
 
 
@@ -1689,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": _q_d_simhash_pairs,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        "d_cc_dedup": _q_d_cc_dedup,
         # streaming (batch + structured-streaming twins)
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_sliding_window": _q_x1_sliding_window,
@@ -1734,9 +1784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "r8_recompute_amount": _q_r8_recompute_amount,
-        "t_curation_pipeline": _q_t_curation_pipeline,
         # ---- driver cap boundary (entry 50) ----
-        # proven green in CORRECTNESS_r02.json; kept registered for users
+        # proven green in CORRECTNESS_r02.json (t_curation_pipeline also
+        # re-verified locally in round 3); kept registered for users
+        "t_curation_pipeline": _q_t_curation_pipeline,
         "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -2294,22 +2345,21 @@ def oracle_sql() -> dict[str, str]:
         # (max_df=1000 boilerplate cap is a no-op at 500 docs but kept for
         # structural fidelity).
         "d_ngram_jaccard": (
-            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
-            "FROM documents), "
-            "s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') "
-            "for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), "
-            "ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s), "
-            "rare AS (SELECT shingle FROM ex0 GROUP BY shingle "
-            "HAVING count(DISTINCT doc_id) <= 1000), "
-            "ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN rare USING (shingle)), "
-            "sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz FROM ex GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-            "FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-            "GROUP BY 1, 2) "
-            "SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard "
-            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
-            "JOIN sizes sb ON sb.doc_id = id_b "
-            "WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2"
+            "WITH " + _SQL_NGRAM_PAIR_CTES + " SELECT id_a, id_b, jaccard FROM pairs"
+        ),
+        # transitive closure of the same pair graph via recursive CTE;
+        # component label = min reachable doc_id — exactly what the
+        # distributed min-label propagation converges to
+        "d_cc_dedup": (
+            "WITH RECURSIVE " + _SQL_NGRAM_PAIR_CTES + ", "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+            "comp AS (SELECT a AS id, least(a, min(b)) AS component "
+            "FROM reach GROUP BY a) "
+            "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component "
+            "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
         ),
         # deterministic fake decode: dims derived from sha256 of the blob
         # (documents are pure ASCII, so sha256(text) == sha256 of the

@@ -328,6 +328,82 @@ def minhash_lsh_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``, where component =
+    the MIN vertex id reachable from it (undirected).
+
+    Pair-based dedup (drop every ``id_b``) over-deletes on chains: with
+    edges a–b and b–c, both b and c are dropped even though c's only
+    near-dup b is already gone. Component-based dedup keeps exactly one
+    representative per transitive cluster — the semantics corpus
+    curation actually wants.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own and its neighbors' labels — one shuffle join + one
+    shuffle agg per round, converging in O(component diameter) rounds.
+    Near-dup graphs are unions of quasi-cliques (diameter 2–3), so a
+    handful of rounds suffices at any corpus size; work per round is
+    edge-list-sized, never n². Labels are localCheckpoint-ed each round
+    so the plan does not grow with iterations (blocks released on GC),
+    and the loop exits early when a round changes nothing. For graphs
+    with genuinely large diameters switch to large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC '14) — O(log n) rounds; unnecessary for dedup graphs.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct().localCheckpoint(eager=True)
+    labels = e.select(F.col("a").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr = e.join(
+            labels.select(F.col("id").alias("_b"), "comp"),
+            F.col("b") == F.col("_b"),
+        ).select(F.col("a").alias("id"), "comp")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def cc_dedup(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (the min id) per connected component of
+    ``pairs``; rows never appearing in a pair survive untouched. Use
+    with any pair generator (ngram_jaccard_pairs, minhash_lsh_pairs,
+    simhash_near_dups, embedding_cosine_pairs) when transitive cluster
+    semantics are wanted instead of the greedy per-pair drop.
+    """
+    labels = connected_components(pairs, src=src, dst=dst)
+    losers = labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
     """SimHash sketch: sign-sum of per-shingle hash bits → bigint.
 

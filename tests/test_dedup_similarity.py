@@ -198,3 +198,41 @@ def test_minhash_lsh_hot_bucket_cap_bounds_candidates(spark):
     kept_ids = sorted(r["doc_id"] for r in kept.collect())
     assert [i for i in kept_ids if i < 1000] == [0]
     assert 1002 in kept_ids
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3 and clique 10-11-12 plus isolated edge 20-21: labels
+    are min-reachable ids; pair-greedy would over-delete on the chain."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        cc_dedup,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    labels = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 12, 20, 21, 99)],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(r["doc_id"] for r in cc_dedup(docs, "doc_id", edges).collect())
+    assert kept == [1, 10, 20, 99]  # one rep per component + untouched isolate
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path needs ~diameter rounds — exercises the iteration
+    + early-exit logic well past the quasi-clique case."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint"
+    )
+    labels = connected_components(edges, max_iter=30).collect()
+    assert {r["component"] for r in labels} == {0}
+    assert len(labels) == 12
