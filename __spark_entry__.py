@@ -1717,6 +1717,26 @@ def _q_v_ivf_topk(spark, sf_dir):
     return ivf_topk(e.filter(F.col("vec_id") >= 3), q, k=10)
 
 
+def _q_v_ivf_index_topk(spark, sf_dir):
+    # rows-only (same reason as v_ivf_topk). The write-once/query-many
+    # form: builds the cell-PARTITIONED catalog index table, then
+    # queries it with a static partition filter (directories pruned at
+    # listing time — asserted in tests/test_dedup_similarity.py).
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = ivf_build_index(
+        e.filter(F.col("vec_id") >= 3), "ivf_index_embeddings", n_clusters=16
+    )
+    return ivf_query_index(spark, "ivf_index_embeddings", q, centroids, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only. The front 50 is a
@@ -1829,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
+        "v_ivf_index_topk": _q_v_ivf_index_topk,
     }
 
 

@@ -138,6 +138,93 @@ def ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    table: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index :func:`ivf_topk` computes on the fly:
+    fit the KMeans coarse quantizer, assign every corpus vector its
+    nearest cell, and write the assigned corpus as a parquet catalog
+    table **partitioned by cell id** — each cell is its own directory,
+    so a probe that touches ``n_probe`` of ``n_clusters`` cells lists
+    and scans only those directories. This is the write-once /
+    query-many form for 100 TB corpora: the KMeans fit samples
+    (``fit_fraction``), the assignment is one JVM model.transform pass,
+    and queries (:func:`ivf_query_index`) never rescan or re-cluster.
+    Returns the centroid matrix to hand to ``ivf_query_index`` (at
+    warehouse scale you would store it beside the table; it is
+    n_clusters × dim floats — tiny).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.io import write_table
+
+    c_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+    fit_df = c_vec.sample(fit_fraction, seed=seed) if fit_fraction else c_vec
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
+    ).fit(fit_df)
+    indexed = model.transform(c_vec).select(
+        F.col(id_col), F.col(vec_col), F.col("_cell")
+    )
+    write_table(indexed, table, partition_by=["_cell"])
+    return [list(map(float, ct)) for ct in model.clusterCenters()]
+
+
+def ivf_query_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k against a persisted :func:`ivf_build_index` table.
+
+    Probe cells are computed per query (one numpy matmul against the
+    tiny centroid matrix per Arrow batch), then the index scan is
+    filtered with a LITERAL ``_cell IN (...)`` — a static partition
+    filter that prunes whole directories at file-listing time
+    (asserted in ``tests/test_dedup_similarity.py``), which a
+    broadcast-join-only formulation would reach just at runtime via
+    dynamic partition pruning. The distinct probed-cell collect is
+    bounded by |queries| × n_probe (the query set is broadcast-small
+    by contract — same contract as brute_force_topk).
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
+        nearest = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in nearest])
+
+    probes = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    cells = [r["_cell"] for r in probes.select("_cell").distinct().collect()]
+    indexed = spark.table(table).filter(F.col("_cell").isin(cells))
+    cand = indexed.join(F.broadcast(probes), "_cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

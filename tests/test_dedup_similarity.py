@@ -236,3 +236,45 @@ def test_connected_components_long_path_converges(spark):
     labels = connected_components(edges, max_iter=30).collect()
     assert {r["component"] for r in labels} == {0}
     assert len(labels) == 12
+
+
+def test_ivf_index_table_prunes_partitions(spark):
+    """ivf_build_index writes a cell-partitioned table; ivf_query_index
+    must hit it with a static partition filter (directories pruned at
+    listing time) and return exactly what the on-the-fly ivf_topk
+    returns for the same quantizer settings."""
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + j, rng.standard_normal(8).tolist()) for j in range(3)],
+        "query_id bigint, embedding array<float>",
+    )
+    centroids = ivf_build_index(corpus, "ivf_idx_test", n_clusters=8, seed=42)
+    assert len(centroids) == 8 and len(centroids[0]) == 8
+
+    out = ivf_query_index(
+        spark, "ivf_idx_test", queries, centroids, k=5, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_cell" in m.group(1), f"no static partition filter: {m}"
+
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()
+    }
+    # same quantizer (full fit, same seed) on the fly must agree exactly
+    ref = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=2, seed=42)
+    want = {(r["query_id"], r["rank"]): r["vec_id"] for r in ref.collect()}
+    assert got == want and len(got) == 15
