@@ -74,6 +74,7 @@ def main() -> None:
         "q11_minhash_dedup": (qs["d_minhash_dedup"], True),
         "q12_lsh_topk": (qs["v_lsh_topk"], False),
         "q13_gold_pipeline": (qs["g_fact_sales"], True),
+        "q14_cc_dedup": (qs["d_cc_dedup"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

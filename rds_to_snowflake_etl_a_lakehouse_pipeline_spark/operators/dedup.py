@@ -317,13 +317,23 @@ def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    transitive: bool = False,
     **lsh_kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: for every LSH pair above threshold, the
-    higher id is removed (greedy min-id representative — one anti-join;
-    at 100 TB this is pairs-sized, not corpus-sized).
+    """Drop near-duplicates found by MinHash-LSH.
+
+    Default (greedy): for every pair above threshold the higher id is
+    removed — one anti-join, pairs-sized work, but over-deletes on
+    chains (a–b, b–c removes c whose only near-dup b is already gone).
+    ``transitive=True`` instead keeps exactly one representative (the
+    min id) per CONNECTED COMPONENT of the pair graph — the curation
+    semantics — via :func:`connected_components` (a few edge-list-sized
+    rounds). Combine with ``max_bucket_size`` for boilerplate-heavy
+    corpora: star pairs preserve exactly the connectivity CC needs.
     """
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    if transitive:
+        return cc_dedup(df, id_col, pairs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -366,19 +376,21 @@ def connected_components(
             labels.select(F.col("id").alias("_b"), "comp"),
             F.col("b") == F.col("_b"),
         ).select(F.col("a").alias("id"), "comp")
-        new_labels = (
+        # ONE job per round: the lazy checkpoint is materialized by the
+        # convergence count itself (the count scans every row, saving
+        # the blocks as a side effect), instead of an eager-checkpoint
+        # job followed by a separate change-count job. _old rides along
+        # so change detection needs no second join against the
+        # pre-update labels.
+        upd = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .join(labels.select("id", F.col("comp").alias("_old")), "id")
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("comp") != F.col("_old")).count()
+        labels = upd.select("id", "comp")
         if changed == 0:
             break
     return labels.select("id", F.col("comp").alias("component"))
@@ -561,20 +573,32 @@ def ngram_jaccard_pairs(
     count intersections). ``max_df`` drops shingles present in more than
     that many docs — boilerplate shingles otherwise create quadratic hot
     buckets at scale (the classic skew bomb).
+
+    The (id, shingle) inverted index is consumed FOUR times (document
+    frequencies, per-doc sizes, both self-join sides), so it is widened
+    past an under-parallel scan (one parquet row group = one task
+    otherwise serializes the tokenize+explode) and materialized once
+    via scoped localCheckpoint — at warehouse scale you would write it
+    to a table, exactly like the minhash signature index.
     """
-    ex = df.select(
+    ex = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
+    # _shingles is array_distinct per doc, so (_id, shingle) rows are
+    # already unique: plain count == count_distinct, without the
+    # two-phase distinct-aggregate expansion (one shuffle each, with
+    # map-side partial aggregation).
     if max_df is not None:
         rare = (
             ex.groupBy("shingle")
-            .agg(F.count_distinct("_id").alias("df_count"))
+            .agg(F.count("*").alias("df_count"))
             .filter(F.col("df_count") <= max_df)
             .select("shingle")
         )
         ex = ex.join(rare, "shingle")
-    sizes = ex.groupBy("_id").agg(F.count_distinct("shingle").alias("sz"))
+    ex = ex.localCheckpoint(eager=True)
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(

@@ -278,3 +278,12 @@ def test_ivf_index_table_prunes_partitions(spark):
     ref = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=2, seed=42)
     want = {(r["query_id"], r["rank"]): r["vec_id"] for r in ref.collect()}
     assert got == want and len(got) == 15
+
+
+def test_minhash_lsh_dedup_transitive(spark, docs):
+    """transitive=True keeps exactly one representative per connected
+    component of the pair graph (min id), composing cc over LSH pairs."""
+    out = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5, transitive=True)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in kept and 4 in kept and 5 in kept  # reps + unpaired docs
+    assert 2 not in kept  # exact dup collapses into doc 1's component
