@@ -1275,6 +1275,27 @@ def _q_f17_current_timestamp(spark, sf_dir):
     )
 
 
+# JSON payload extraction (§2.8 extension — reference uses no JSON) ---------
+
+
+def _q_e_json_extract(spark, sf_dir):
+    """Parse the events table's JSON ``props`` payload with an explicit
+    schema (``from_json`` — JVM-side, codegen'd, no UDF) and aggregate
+    the extracted field. The reference's operator surface has no JSON
+    functions (SURVEY §2.8: None); the events fixture carries one, so
+    the engine covers the family."""
+    e = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.count("*").alias("n_events"),
+            F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
 # Event-time windows ------------------------------------------------------
 
 
@@ -1803,11 +1824,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_scd2_close": _q_w3_scd2_close,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_groupby_agg": _q_a1_groupby_agg,
-        "r8_recompute_amount": _q_r8_recompute_amount,
+        "e_json_extract": _q_e_json_extract,
         # ---- driver cap boundary (entry 50) ----
-        # proven green in CORRECTNESS_r02.json (t_curation_pipeline also
-        # re-verified locally in round 3); kept registered for users
+        # proven green in CORRECTNESS_r02.json (t_curation_pipeline and
+        # r8 also re-verified locally in round 3); kept registered
         "t_curation_pipeline": _q_t_curation_pipeline,
+        "r8_recompute_amount": _q_r8_recompute_amount,
         "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -2240,6 +2262,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s "
             "JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') x "
             "ON x.ts >= s.ts AND x.ts <= s.ts + INTERVAL 300 SECOND"
+        ),
+        "e_json_extract": (
+            "SELECT event_type, "
+            "round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k, "
+            "count(*) AS n_events, "
+            "CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_high "
+            "FROM events GROUP BY event_type"
         ),
         "x1_tumbling_window": (
             "SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)"
