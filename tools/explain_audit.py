@@ -38,6 +38,9 @@ AUDIT = [
     "t_pii_scrub",
     "t_hash_split",
     "t_tfidf_topterms",
+    "d_ngram_jaccard",
+    "d_cc_dedup",
+    "e_json_extract",
 ]
 
 
