@@ -110,3 +110,67 @@ def test_exact_dedup_one_per_content(spark, texts):
     )
     out = exact_dedup(df, ["text"], order_col="doc_id")
     assert out.count() == len(set(texts))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@PROP
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == driver-side union-find on
+    arbitrary small graphs (cycles, self-merges, disconnected parts)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="ab:0N", max_size=4)),
+            st.one_of(st.none(), st.text(alphabet="ab:0N", max_size=4)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@PROP
+def test_exact_dedup_null_safe_injective(spark, rows):
+    """Survivor count == number of DISTINCT tuples, including NULL-vs-''
+    and separator-collision shapes ('a:','b' vs 'a',':b') the plain
+    concat_ws fingerprint conflated."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "rid int, c1 string, c2 string",
+    )
+    out = exact_dedup(df, ["c1", "c2"], order_col="rid")
+    assert out.count() == len({(a, b) for a, b in rows})
