@@ -1461,6 +1461,52 @@ def _q_x1_tumbling_stream(spark, sf_dir):
     )
 
 
+def _q_x1_stream_warehouse(spark, sf_dir):
+    """Streaming→warehouse: the tumbling aggregation landed through
+    foreachBatch into the SAME WarehouseSink the batch gold writes use
+    (streaming/events.py::stream_to_warehouse — the streaming twin of
+    the reference's gold→Snowflake write, dim_customers_gold.py:72-81).
+    The landed table must hash-match the identical batch oracle."""
+    import os
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        WarehouseSink,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_to_warehouse,
+        tumbling_counts,
+    )
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_counts(sdf, "1 hour", watermark="2 hours")
+    with tempfile.TemporaryDirectory() as ck:
+        stream_to_warehouse(
+            agg, WarehouseSink(), "wh_stream_tumbling_q", ck,
+            query_name="x1_stream_wh",
+        )
+    return spark.table("wh_stream_tumbling_q").select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 def _q_x1_stream_enrich(spark, sf_dir):
     """Stream-static join: event stream enriched with the (static)
     customer dim — broadcast per micro-batch, zero shuffle, zero
@@ -1788,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_session_stream": _q_x1_session_stream,
         "x1_stream_dedup": _q_x1_stream_dedup,
+        "x1_stream_warehouse": _q_x1_stream_warehouse,
         # sources / sinks / DQ
         "s4_csv_source": _q_s4_csv_source,
         "s4_json_source": _q_s4_json_source,
@@ -1819,7 +1866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one representative per already-green §2 family (keeps every
         # family inside the verified window)
         "s5_parquet_scan": _q_s5_parquet_scan,
-        "w1_dedup_latest": _q_w1_dedup_latest,
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
         "w3_scd2_close": _q_w3_scd2_close,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
@@ -1830,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 also re-verified locally in round 3); kept registered
         "t_curation_pipeline": _q_t_curation_pipeline,
         "r8_recompute_amount": _q_r8_recompute_amount,
+        "w1_dedup_latest": _q_w1_dedup_latest,
         "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -2305,6 +2352,14 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"
         ),
         "x1_tumbling_stream": (
+            "SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)"
+            " AS window_start, "
+            "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # identical tumbling oracle — the foreachBatch-landed warehouse
+        # table must contain exactly the batch aggregation
+        "x1_stream_warehouse": (
             "SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)"
             " AS window_start, "
             "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "

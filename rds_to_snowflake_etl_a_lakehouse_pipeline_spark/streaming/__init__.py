@@ -7,5 +7,7 @@ from .events import (  # noqa: F401
     sessionized,
     sliding_counts,
     stream_events,
+    stream_static_join,
+    stream_to_warehouse,
     tumbling_counts,
 )

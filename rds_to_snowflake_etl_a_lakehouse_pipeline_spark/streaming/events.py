@@ -182,6 +182,42 @@ def run_available_now(
     return sdf.sparkSession.table(query_name)
 
 
+def stream_to_warehouse(
+    sdf: DataFrame,
+    sink,
+    table: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    query_name: str = "stream_to_warehouse",
+):
+    """Land a streaming result in the warehouse via ``foreachBatch`` —
+    the streaming twin of the reference's gold→Snowflake write
+    (dim_customers_gold.py:72-81): each micro-batch is a plain
+    DataFrame handed to the same :class:`~..sources.io.WarehouseSink`
+    the batch pipeline uses, so catalog/JDBC/Snowflake backends all
+    work unchanged. Complete mode overwrites the target per batch
+    (idempotent for full-window aggs); append mode appends. The
+    checkpoint directory gives exactly-once batch tracking across
+    restarts. Runs with trigger=availableNow and blocks until the
+    available input is drained — swap the trigger for a continuous
+    deployment.
+    """
+    mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write(batch_df, table, mode=mode)
+
+    q = (
+        sdf.writeStream.foreachBatch(_land)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_static_join(
     stream_df: DataFrame, dim_df: DataFrame, join_expr, how: str = "inner"
 ) -> DataFrame:

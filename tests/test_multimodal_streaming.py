@@ -209,3 +209,34 @@ def test_real_image_decode_when_pil_available(spark):
     df = spark.createDataFrame([(1, png)], "id int, content binary")
     row = decode_images(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (37, 21, 3)
+
+
+def test_stream_to_warehouse_foreachbatch(spark):
+    """Streaming tumbling agg landed in the warehouse via foreachBatch
+    must equal the batch aggregation — the streaming twin of the
+    reference's gold->Snowflake write, through the same WarehouseSink."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        WarehouseSink,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming import (
+        stream_to_warehouse,
+        tumbling_counts,
+    )
+
+    batch = load(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream-src")
+        ck = os.path.join(d, "ck")
+        batch.write.parquet(src)
+        sdf = stream_events(spark, src)
+        stream_to_warehouse(
+            tumbling_counts(sdf, watermark="1 hour"),
+            WarehouseSink(),
+            "wh_stream_tumbling",
+            ck,
+        )
+        got = spark.table("wh_stream_tumbling")
+        want = tumbling_counts(batch)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
