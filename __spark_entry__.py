@@ -1507,6 +1507,41 @@ def _q_x1_stream_warehouse(spark, sf_dir):
     )
 
 
+def _q_x1_stateful_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals. Drained with availableNow over a single input file
+    (= one micro-batch), every user emits exactly one complete-state
+    row, so the result equals the plain batch GROUP BY — an exact
+    oracle for the escape-hatch operator the built-in aggregates can't
+    express incrementally."""
+    import os
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        run_available_now,
+        running_user_totals,
+    )
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = run_available_now(
+        running_user_totals(sdf), "x1_stateful_tbl", output_mode="update"
+    )
+    return out.select("user_id", "n_events", "total_value")
+
+
 def _q_x1_stream_enrich(spark, sf_dir):
     """Stream-static join: event stream enriched with the (static)
     customer dim — broadcast per micro-batch, zero shuffle, zero
@@ -1828,13 +1863,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_cc_dedup": _q_d_cc_dedup,
         # streaming (batch + structured-streaming twins)
         "x1_tumbling_window": _q_x1_tumbling_window,
-        "x1_sliding_window": _q_x1_sliding_window,
         "x1_session_window": _q_x1_session_window,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_session_stream": _q_x1_session_stream,
         "x1_stream_dedup": _q_x1_stream_dedup,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
+        "x1_stateful_totals": _q_x1_stateful_totals,
         # sources / sinks / DQ
         "s4_csv_source": _q_s4_csv_source,
         "s4_json_source": _q_s4_json_source,
@@ -1877,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_curation_pipeline": _q_t_curation_pipeline,
         "r8_recompute_amount": _q_r8_recompute_amount,
         "w1_dedup_latest": _q_w1_dedup_latest,
+        "x1_sliding_window": _q_x1_sliding_window,
         "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -2356,6 +2392,12 @@ def oracle_sql() -> dict[str, str]:
             " AS window_start, "
             "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        # drained in one availableNow micro-batch, the custom stateful
+        # operator's complete-state rows equal the plain batch GROUP BY
+        "x1_stateful_totals": (
+            "SELECT user_id, count(*) AS n_events, "
+            "round(sum(value), 2) AS total_value FROM events GROUP BY user_id"
         ),
         # identical tumbling oracle — the foreachBatch-landed warehouse
         # table must contain exactly the batch aggregation
