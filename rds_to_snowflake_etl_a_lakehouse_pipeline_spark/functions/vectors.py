@@ -35,7 +35,25 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """dot(a,b) / (‖a‖·‖b‖); NULL when either norm is 0."""
+    """dot(a,b) / (‖a‖·‖b‖); NULL when either norm is 0.
+
+    Inside a pair/candidate JOIN prefer :func:`cosine_from_norms` with
+    norms projected per side BEFORE the join: this form re-derives both
+    norms per PAIR (3× the interpreted work of the dot product alone),
+    which is O(pairs·dim) wasted at any scale.
+    """
     x, y = _col(a), _col(b)
     denom = l2_norm(x) * l2_norm(y)
     return F.when(denom != 0, dot_product(x, y) / denom)
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """cos(a,b) given precomputed ‖a‖, ‖b‖ — the join-friendly form:
+    norms are O(dim) per ROW projected once on each join side; the
+    per-pair cost is only the dot product. Same expression tree as
+    :func:`cosine_similarity` (dot / (na·nb), NULL when either norm is
+    0), so results are bit-identical."""
+    x, y, n1, n2 = _col(a), _col(b), _col(na), _col(nb)
+    return F.when((n1 != 0) & (n2 != 0), dot_product(x, y) / (n1 * n2))

@@ -512,17 +512,30 @@ def embedding_cosine_pairs(
     from .similarity import _hyperplanes, lsh_signature
 
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.vectors import (
-        cosine_similarity,
+        cosine_from_norms,
+        l2_norm,
     )
 
+    # Norms are projected per ROW on each join side (O(dim) once), so
+    # the per-PAIR cost is only the dot product — cosine_similarity
+    # inline would re-derive both norms per pair, 3× the work.
     if impl == "exact":
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            l2_norm(F.col(vec_col)).alias("_na"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            l2_norm(F.col(vec_col)).alias("_nb"),
+        )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     elif impl == "lsh":
         sigs = df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_n"),
             *[
                 lsh_signature(F.col(vec_col), _hyperplanes(dim, n_planes, seed + t))
                 .alias(f"_b{t}")
@@ -534,11 +547,13 @@ def embedding_cosine_pairs(
             a = sigs.select(
                 F.col("_id").alias("id_a"),
                 F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
                 F.col(f"_b{t}").alias("_bucket"),
             )
             b = sigs.select(
                 F.col("_id").alias("id_b"),
                 F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
                 F.col(f"_b{t}").alias("_bucket"),
             )
             part = a.join(b, ["_bucket"]).filter(F.col("id_a") < F.col("id_b"))
@@ -550,7 +565,9 @@ def embedding_cosine_pairs(
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms("_va", "_vb", "_na", "_nb"), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_from_norms, l2_norm
 
 
 def brute_force_topk(
@@ -41,13 +41,23 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    scored = corpus.crossJoin(q).select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    # norms projected per row on each side BEFORE the cross join: the
+    # per-(query, doc) cost is only the dot product
+    scored = (
+        corpus.withColumn("_cn", l2_norm(F.col(vec_col)))
+        .crossJoin(q)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_from_norms(F.col(vec_col), F.col("_qvec"), "_cn", "_qn"), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -127,12 +137,19 @@ def ivf_topk(
     probes = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
     )
-    cand = indexed.join(F.broadcast(probes), "_cell").select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    cand = (
+        indexed.withColumn("_cn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "_cell")
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_from_norms(F.col(vec_col), F.col("_qvec"), "_cn", "_qn"), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -212,14 +229,21 @@ def ivf_query_index(
     probes = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
     )
     cells = [r["_cell"] for r in probes.select("_cell").distinct().collect()]
     indexed = spark.table(table).filter(F.col("_cell").isin(cells))
-    cand = indexed.join(F.broadcast(probes), "_cell").select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+    cand = (
+        indexed.withColumn("_cn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "_cell")
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_from_norms(F.col(vec_col), F.col("_qvec"), "_cn", "_qn"), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -286,6 +310,7 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         F.posexplode(sig_array(F.col(vec_col))).alias("_tbl", "_bucket"),
     )
     probe_offsets = [0]
@@ -300,11 +325,13 @@ def lsh_topk(
     q_sig = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.posexplode(sig_array(F.col(vec_col))).alias("_tbl", "_qbucket"),
     )
     probes = q_sig.select(
         "_qid",
         "_qvec",
+        "_qn",
         "_tbl",
         F.explode(
             F.array(*[F.col("_qbucket").bitwiseXOR(F.lit(o)) for o in probe_offsets])
@@ -317,7 +344,7 @@ def lsh_topk(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
             F.round(
-                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+                cosine_from_norms(F.col(vec_col), F.col("_qvec"), "_cn", "_qn"), 6
             ).alias("cos_sim"),
         )
         .dropDuplicates([query_id_col, id_col])
