@@ -707,7 +707,9 @@ def _q_d_cc_dedup(spark, sf_dir):
     """Component-based dedup: every document labeled with the MIN doc_id
     of its near-dup connected component (transitive closure over the
     exact n-gram-Jaccard pair graph — same edges as d_ngram_jaccard).
-    Pair-greedy dedup over-deletes on chains; this is the semantics a
+    Pair-greedy dedup under-deletes on some pair topologies (survivors
+    = ids never appearing as id_b, a superset of the component minima);
+    one-per-cluster is the semantics a
     curation pipeline actually wants, and the oracle proves the
     distributed label propagation (operators/dedup.connected_components)
     equals DuckDB's recursive-CTE transitive closure."""

@@ -330,13 +330,15 @@ def minhash_lsh_dedup(
     """Drop near-duplicates found by MinHash-LSH.
 
     Default (greedy): for every pair above threshold the higher id is
-    removed — one anti-join, pairs-sized work, but over-deletes on
-    chains (a–b, b–c removes c whose only near-dup b is already gone).
-    ``transitive=True`` instead keeps exactly one representative (the
-    min id) per CONNECTED COMPONENT of the pair graph — the curation
-    semantics — via :func:`connected_components` (a few edge-list-sized
-    rounds). Combine with ``max_bucket_size`` for boilerplate-heavy
-    corpora: star pairs preserve exactly the connectivity CC needs.
+    removed — one anti-join, pairs-sized work, but it under-deletes on
+    some topologies: survivors are every id never appearing as id_b, so
+    pairs (1,3)+(2,3) keep BOTH 1 and 2, transitive near-dups of each
+    other through the dropped 3. ``transitive=True`` instead keeps
+    exactly one representative (the min id) per CONNECTED COMPONENT of
+    the pair graph — topology-independent curation semantics — via
+    :func:`connected_components` (a few edge-list-sized rounds).
+    Combine with ``max_bucket_size`` for boilerplate-heavy corpora:
+    star pairs preserve exactly the connectivity CC needs.
     """
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
     if transitive:
@@ -354,11 +356,13 @@ def connected_components(
     """(id, component) for every vertex in ``edges``, where component =
     the MIN vertex id reachable from it (undirected).
 
-    Pair-based dedup (drop every ``id_b``) over-deletes on chains: with
-    edges a–b and b–c, both b and c are dropped even though c's only
-    near-dup b is already gone. Component-based dedup keeps exactly one
-    representative per transitive cluster — the semantics corpus
-    curation actually wants.
+    Pair-greedy dedup (drop every ``id_b``) keeps exactly the ids that
+    never appear on the right of a pair — a SUPERSET of the component
+    minima, i.e. it under-deletes: with pairs (1,3) and (2,3), both 1
+    and 2 survive even though they are transitive near-dups of each
+    other through the dropped 3. Component-based dedup keeps exactly
+    one representative per transitive cluster, independent of pair
+    topology — the semantics corpus curation actually wants.
 
     Iterative min-label propagation: each round every vertex takes the
     min of its own and its neighbors' labels — one shuffle join + one

@@ -202,7 +202,7 @@ def test_minhash_lsh_hot_bucket_cap_bounds_candidates(spark):
 
 def test_connected_components_chain_and_clique(spark):
     """Chain 1-2-3 and clique 10-11-12 plus isolated edge 20-21: labels
-    are min-reachable ids; pair-greedy would over-delete on the chain."""
+    are min-reachable ids, independent of pair topology."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
         cc_dedup,
         connected_components,
@@ -287,3 +287,25 @@ def test_minhash_lsh_dedup_transitive(spark, docs):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert 1 in kept and 4 in kept and 5 in kept  # reps + unpaired docs
     assert 2 not in kept  # exact dup collapses into doc 1's component
+
+
+def test_cc_dedup_beats_greedy_on_star_topology(spark):
+    """Pairs (1,3) and (2,3): greedy (drop id_b) keeps BOTH 1 and 2 —
+    transitive near-dups through the dropped 3 — while component dedup
+    keeps only the cluster min."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        cc_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 9)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a bigint, id_b bigint")
+    greedy = docs.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    assert sorted(r["doc_id"] for r in greedy.collect()) == [1, 2, 9]
+    kept = cc_dedup(docs, "doc_id", pairs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 9]
