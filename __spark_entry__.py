@@ -504,6 +504,23 @@ def _q_t_winnow(spark, sf_dir):
     return fps.select("doc_id", F.concat_ws(",", "fps").alias("fps_csv"))
 
 
+def _q_t_gopher_flags(spark, sf_dir):
+    """Gopher-style web-corpus quality heuristics (Rae et al. 2021) —
+    word/line-shape measures + stopword requirement, all codegen'd
+    higher-order builtins, zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    return lf.gopher_quality_flags(d, "text", min_words=20).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "stopword_hits",
+        "pass_gopher",
+    )
+
+
 def _q_t_curation_pipeline(spark, sf_dir):
     """End-to-end LLM-data curation: language-ID filter → quality
     threshold → exact near-whitespace dedup (keep lowest doc_id per
@@ -1968,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
         "v_ivf_index_topk": _q_v_ivf_index_topk,
+        "t_gopher_flags": _q_t_gopher_flags,
     }
 
 
@@ -2405,6 +2423,39 @@ def oracle_sql() -> dict[str, str]:
             " AS window_start, "
             "event_type, count(*) AS n_events, round(sum(value), 2) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        # Gopher quality heuristics: same tokenize/line splits in SQL
+        "t_gopher_flags": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(toks) AS BIGINT) AS n_words, "
+            "round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)"
+            " / len(toks), 6) AS mean_word_len, "
+            "round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))"
+            " AS DOUBLE) / len(toks), 6) AS alpha_word_ratio, "
+            "round(CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') "
+            "OR starts_with(trim(l), '•'))) AS DOUBLE) / len(lines), 6)"
+            " AS bullet_line_ratio, "
+            "round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))"
+            " AS DOUBLE) / len(lines), 6) AS ellipsis_line_ratio, "
+            "CAST(len(list_filter(['the','be','to','of','and','that','have','with'],"
+            " s -> list_contains(list_transform(toks, w -> lower(w)), s)))"
+            " AS BIGINT) AS stopword_hits, "
+            "(len(toks) >= 20 AND len(toks) <= 100000 "
+            "AND round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)"
+            " / len(toks), 6) BETWEEN 3.0 AND 10.0 "
+            "AND round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))"
+            " AS DOUBLE) / len(toks), 6) >= 0.8 "
+            "AND round(CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') "
+            "OR starts_with(trim(l), '•'))) AS DOUBLE) / len(lines), 6) <= 0.9 "
+            "AND round(CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))"
+            " AS DOUBLE) / len(lines), 6) <= 0.3 "
+            "AND len(list_filter(['the','be','to','of','and','that','have','with'],"
+            " s -> list_contains(list_transform(toks, w -> lower(w)), s))) >= 2)"
+            " AS pass_gopher "
+            "FROM t"
         ),
         # drained in one availableNow micro-batch, the custom stateful
         # operator's complete-state rows equal the plain batch GROUP BY

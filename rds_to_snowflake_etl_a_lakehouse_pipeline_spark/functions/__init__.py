@@ -18,6 +18,7 @@ from .text import (  # noqa: F401
     approx_bpe_token_count,
     chunk_documents,
     doc_fingerprint,
+    gopher_quality_flags,
     hash_bucket,
     hash_split,
     language_id,

@@ -312,3 +312,84 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS[
     return F.round(
         F.when(tokens > 0, hits.cast("double") / tokens.cast("double")).otherwise(F.lit(0.0)), 6
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df,
+    col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+):
+    """Gopher-style document quality heuristics (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition/quality
+    filters — the public web-corpus recipe): word-count bounds, mean
+    word length bounds, alphabetic-word ratio, bullet/ellipsis line
+    ratios, and a required-stopword count. All pure higher-order
+    built-ins over one tokenize pass — zero shuffles, zero Python;
+    appends the individual measures plus a ``pass_gopher`` verdict so
+    pipelines can filter on the verdict or re-weight on the measures.
+    """
+    c = _col(col)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words)
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+        / n_words,
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words,
+        6,
+    )
+    lines = F.split(c, "\n")
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("•"),
+            )
+        ).cast("double")
+        / F.size(lines),
+        6,
+    )
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("..."))).cast("double")
+        / F.size(lines),
+        6,
+    )
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    out = (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("alpha_word_ratio", alpha_ratio)
+        .withColumn("bullet_line_ratio", bullet_ratio)
+        .withColumn("ellipsis_line_ratio", ellipsis_ratio)
+        .withColumn("stopword_hits", stop_hits.cast("bigint"))
+    )
+    return out.withColumn(
+        "pass_gopher",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_line_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
+        & (F.col("stopword_hits") >= min_stopword_hits),
+    )

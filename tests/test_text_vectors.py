@@ -130,3 +130,24 @@ def test_scrub_pii_patterns(spark):
     assert out[1] == "see <URL> now"
     assert out[2] == "call <NUM> not 123456"  # short digit runs kept
     assert out[3] == "clean text stays"
+
+
+def test_gopher_quality_flags(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    good = (
+        "the quick brown fox and the lazy dog have agreed to cooperate "
+        "with all of the animals that live near the old farm in peace"
+    )
+    bullets = "- one\n- two\n- three\n- four"
+    dots = "wait...\nmore...\nstill..."
+    rows = [(1, good), (2, bullets), (3, dots), (4, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df, "text", min_words=10).collect()}
+    assert out[1]["pass_gopher"] is True
+    assert out[2]["bullet_line_ratio"] == 1.0 and out[2]["pass_gopher"] is False
+    assert out[3]["ellipsis_line_ratio"] == 1.0 and out[3]["pass_gopher"] is False
+    assert out[4]["pass_gopher"] is False  # too few words, no stopwords
+    assert out[1]["stopword_hits"] >= 5
