@@ -573,6 +573,31 @@ def _q_t_chunk_documents(spark, sf_dir):
     return lf.chunk_documents(d, "text", chunk_tokens=32, overlap=8)
 
 
+def _q_t_chunk_dedup(spark, sf_dir):
+    """Paragraph-granularity exact dedup: chunk every document into
+    overlapping token windows, then keep ONE copy of each distinct
+    chunk text corpus-wide (min (doc_id, chunk_id) survives, with the
+    replica count attached) — the sub-document dedup pass a
+    pretraining pipeline runs to strip boilerplate shared across
+    otherwise-distinct pages. One shuffle on chunk_text."""
+    d = load(spark, sf_dir, "documents")
+    ch = lf.chunk_documents(d, "text", chunk_tokens=32, overlap=8)
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    return (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count("*").over(Window.partitionBy("chunk_text"))
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
 def _q_t_pii_scrub(spark, sf_dir):
     """PII redaction (functions/text.py::scrub_pii). The fixture corpus
     has no PII, so the query splices a synthetic email/URL/phone tail
@@ -1986,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_cosine_topk": _q_v_cosine_topk,
         "v_ivf_index_topk": _q_v_ivf_index_topk,
         "t_gopher_flags": _q_t_gopher_flags,
+        "t_chunk_dedup": _q_t_chunk_dedup,
     }
 
 
@@ -2321,6 +2347,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(s.t[c.i*24+1 : c.i*24+32]) AS INT) AS chunk_n_tokens "
             "FROM sized s CROSS JOIN LATERAL "
             "(SELECT unnest(range(0, s.n_chunks)) AS i) c"
+        ),
+        # same chunk CTEs + one-per-distinct-chunk-text window
+        "t_chunk_dedup": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sized AS (SELECT doc_id, t, CASE WHEN len(t) <= 32 THEN 1 "
+            "ELSE CAST(ceil((len(t) - 32)::DOUBLE / 24) AS INT) + 1 END AS n_chunks "
+            "FROM toks), "
+            "chunks AS (SELECT s.doc_id, CAST(c.i AS INT) AS chunk_id, "
+            "array_to_string(s.t[c.i*24+1 : c.i*24+32], ' ') AS chunk_text "
+            "FROM sized s CROSS JOIN LATERAL "
+            "(SELECT unnest(range(0, s.n_chunks)) AS i) c) "
+            "SELECT doc_id, chunk_id, chunk_text, n_copies FROM ("
+            "SELECT doc_id, chunk_id, chunk_text, "
+            "CAST(count(*) OVER (PARTITION BY chunk_text) AS BIGINT) AS n_copies, "
+            "row_number() OVER (PARTITION BY chunk_text "
+            "ORDER BY doc_id, chunk_id) AS rn FROM chunks) WHERE rn = 1"
         ),
         "t_curation_pipeline": (
             f"WITH scored AS (SELECT doc_id, {fp} AS fp, {tok} AS n_tokens, "
