@@ -598,6 +598,21 @@ def _q_t_chunk_dedup(spark, sf_dir):
     )
 
 
+def _q_t_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    'eval suite'; every other document sharing ≥1 distinct word 8-gram
+    with that set is dropped (operators/dedup.decontaminate — broadcast
+    shingle semi-join + anti-join). Returns surviving doc_ids."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text").select("doc_id")
+
+
 def _q_t_pii_scrub(spark, sf_dir):
     """PII redaction (functions/text.py::scrub_pii). The fixture corpus
     has no PII, so the query splices a synthetic email/URL/phone tail
@@ -2012,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ivf_index_topk": _q_v_ivf_index_topk,
         "t_gopher_flags": _q_t_gopher_flags,
         "t_chunk_dedup": _q_t_chunk_dedup,
+        "t_decontaminate": _q_t_decontaminate,
     }
 
 
@@ -2347,6 +2363,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(s.t[c.i*24+1 : c.i*24+32]) AS INT) AS chunk_n_tokens "
             "FROM sized s CROSS JOIN LATERAL "
             "(SELECT unnest(range(0, s.n_chunks)) AS i) c"
+        ),
+        # benchmark shingles (8-grams) semi-join; NOT IN drops hits
+        "t_decontaminate": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+            "s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+7], ' ') "
+            "for i in generate_series(1, greatest(len(toks) - 7, 0))]) AS sh FROM t), "
+            "bsh AS (SELECT DISTINCT unnest(sh) AS shingle FROM s "
+            "WHERE doc_id % 97 = 0), "
+            "ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s "
+            "WHERE doc_id % 97 <> 0), "
+            "contaminated AS (SELECT DISTINCT ex.doc_id FROM ex "
+            "JOIN bsh USING (shingle)) "
+            "SELECT doc_id FROM documents WHERE doc_id % 97 <> 0 "
+            "AND doc_id NOT IN (SELECT doc_id FROM contaminated)"
         ),
         # same chunk CTEs + one-per-distinct-chunk-text window
         "t_chunk_dedup": (

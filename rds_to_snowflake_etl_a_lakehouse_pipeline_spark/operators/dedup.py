@@ -407,6 +407,57 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    shingle_n: int = 8,
+    min_hits: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents sharing ≥
+    ``min_hits`` distinct word ``shingle_n``-grams with an evaluation /
+    benchmark set — the standard pretraining hygiene pass (asymmetric,
+    unlike dedup: the benchmark set is external and always kept).
+
+    Inverted-index semi-join: the benchmark's distinct shingle set
+    (eval suites are small — broadcast by default) joins the corpus
+    shingle explosion; documents with enough hits are anti-joined away.
+    Corpus-side work is one explode + one join + one aggregate, all
+    shuffle-free on the corpus side when the benchmark side broadcasts;
+    set ``broadcast_bench=False`` for giant benchmark unions and let
+    AQE pick the strategy. 8-gram default follows common practice
+    (long enough that chance collisions are negligible, short enough to
+    catch partial inclusions).
+    """
+    bsh = (
+        bench.select(
+            F.explode(
+                _shingles(F.col(bench_text_col or text_col), shingle_n)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    if broadcast_bench:
+        bsh = F.broadcast(bsh)
+    csh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    # corpus shingles are distinct per doc, so count(*) == distinct
+    # shared shingles per document
+    hits = (
+        csh.join(bsh, "shingle")
+        .groupBy("_id")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") >= min_hits)
+        .select(F.col("_id").alias(id_col))
+    )
+    return df.join(hits, on=id_col, how="left_anti")
+
+
 def cc_dedup(
     df: DataFrame,
     id_col: str,

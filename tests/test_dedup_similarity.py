@@ -309,3 +309,26 @@ def test_cc_dedup_beats_greedy_on_star_topology(spark):
     assert sorted(r["doc_id"] for r in greedy.collect()) == [1, 2, 9]
     kept = cc_dedup(docs, "doc_id", pairs)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 9]
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """Doc 2 contains a benchmark sentence verbatim -> dropped; doc 3
+    shares nothing -> kept; the benchmark set itself is external."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    bench_text = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been the capital since the tenth century"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (2, "intro text " + bench_text + " outro text"),  # contains it
+            (3, FAR + " totally unrelated prose about engines and planes"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id bigint, text string")
+    kept = decontaminate(corpus, bench, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
