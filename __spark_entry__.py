@@ -77,7 +77,7 @@ def entry(spark: SparkSession) -> DataFrame:
             (nation.alias("n"), F.col("c.c_nationkey") == F.col("n.n_nationkey"), "left"),
         ],
     )
-    keyed = surrogate_key(enriched, ["o_custkey"], "customer_key")
+    keyed = surrogate_key_two_phase(enriched, ["o_custkey"], "customer_key")
     return keyed.select(
         "customer_key",
         F.col("o_custkey").alias("customer_id"),
@@ -1020,7 +1020,7 @@ _SQL_DIM_CUSTOMERS = (
 )
 
 
-def _q_g_dim_customers(spark, sf_dir, scale_safe=False):
+def _q_g_dim_customers(spark, sf_dir, scale_safe=True):
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
         gold_dim_customers,
         silver_crm_cust_info,
@@ -1037,8 +1037,10 @@ def _q_g_dim_customers(spark, sf_dir, scale_safe=False):
     )
 
 
-def _q_g_dim_customers_scale_safe(spark, sf_dir):
-    return _q_g_dim_customers(spark, sf_dir, scale_safe=True)
+def _q_g_dim_customers_faithful(spark, sf_dir):
+    """Reference-faithful parity mode: global-window surrogate key
+    (single-task sort — parity testing only; the default is two-phase)."""
+    return _q_g_dim_customers(spark, sf_dir, scale_safe=False)
 
 
 def _synth_crm_prd_info(spark, sf_dir):
@@ -1914,11 +1916,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness verifies the FIRST 50 entries only. The front 50 is a
     covering set — every §2 family plus every extension tier gets at
     least one oracle verdict; redundant singles already proven in
-    CORRECTNESS_r02.json sit behind the cap."""
+    CORRECTNESS_r02/r03.json sit behind the cap, and entries ROTATE
+    across rounds so every registered query keeps a recent driver
+    verdict (round 4: x1_sliding_window, v_ivf_index_topk,
+    t_gopher_flags, t_chunk_dedup, t_decontaminate rotated in for
+    five double-verified singles)."""
     return {
         # gold end-to-end (the engine's headline correctness claim)
         "g_dim_customers": _q_g_dim_customers,
-        "g_dim_customers_scale_safe": _q_g_dim_customers_scale_safe,
+        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
         "g_dim_products": _q_g_dim_products,
         "g_fact_sales": _q_g_fact_sales,
         "g_pipeline_runner": _q_g_pipeline_runner,
@@ -1942,7 +1948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_stateful_totals": _q_x1_stateful_totals,
         # sources / sinks / DQ
         "s4_csv_source": _q_s4_csv_source,
-        "s4_json_source": _q_s4_json_source,
         "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
         "s6_partition_pruning": _q_s6_partition_pruning,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -1955,34 +1960,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vector similarity (ANN paths)
         "v_lsh_topk": _q_v_lsh_topk,
         "v_ivf_topk": _q_v_ivf_topk,
+        "v_ivf_index_topk": _q_v_ivf_index_topk,
         "v_cosine_pairs": _q_v_cosine_pairs,
         # multimodal plumbing
         "m_decode_images": _q_m_decode_images,
         "m_resize_images": _q_m_resize_images,
         "m_decode_audio": _q_m_decode_audio,
         "m_frame_sample": _q_m_frame_sample,
+        # rotated in for round 4 (never driver-verified before)
+        "x1_sliding_window": _q_x1_sliding_window,
+        "t_gopher_flags": _q_t_gopher_flags,
+        "t_chunk_dedup": _q_t_chunk_dedup,
+        "t_decontaminate": _q_t_decontaminate,
         # remaining untested singles
         "a1_cube": _q_a1_cube,
         "a1_approx_distinct": _q_a1_approx_distinct,
-        "o1_intersect": _q_o1_intersect,
-        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
-        "f17_current_timestamp": _q_f17_current_timestamp,
         "t_winnow": _q_t_winnow,
         # one representative per already-green §2 family (keeps every
         # family inside the verified window)
-        "s5_parquet_scan": _q_s5_parquet_scan,
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
         "w3_scd2_close": _q_w3_scd2_close,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "e_json_extract": _q_e_json_extract,
         # ---- driver cap boundary (entry 50) ----
-        # proven green in CORRECTNESS_r02.json (t_curation_pipeline and
-        # r8 also re-verified locally in round 3); kept registered
+        # proven green in CORRECTNESS_r02/r03.json; kept registered and
+        # rotated back into the window in future rounds
+        "s4_json_source": _q_s4_json_source,
+        "s5_parquet_scan": _q_s5_parquet_scan,
+        "o1_intersect": _q_o1_intersect,
+        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
+        "f17_current_timestamp": _q_f17_current_timestamp,
         "t_curation_pipeline": _q_t_curation_pipeline,
         "r8_recompute_amount": _q_r8_recompute_amount,
         "w1_dedup_latest": _q_w1_dedup_latest,
-        "x1_sliding_window": _q_x1_sliding_window,
         "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -2024,10 +2035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
-        "v_ivf_index_topk": _q_v_ivf_index_topk,
-        "t_gopher_flags": _q_t_gopher_flags,
-        "t_chunk_dedup": _q_t_chunk_dedup,
-        "t_decontaminate": _q_t_decontaminate,
     }
 
 
@@ -2367,7 +2374,7 @@ def oracle_sql() -> dict[str, str]:
         # benchmark shingles (8-grams) semi-join; NOT IN drops hits
         "t_decontaminate": (
             "WITH t AS (SELECT doc_id, "
-            "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
             "s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+7], ' ') "
             "for i in generate_series(1, greatest(len(toks) - 7, 0))]) AS sh FROM t), "
             "bsh AS (SELECT DISTINCT unnest(sh) AS shingle FROM s "
@@ -2601,7 +2608,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM p WHERE cos_sim >= 0.3"
         ),
         "g_dim_customers": _SQL_DIM_CUSTOMERS,
-        "g_dim_customers_scale_safe": _SQL_DIM_CUSTOMERS,
+        "g_dim_customers_faithful": _SQL_DIM_CUSTOMERS,
         "g_dim_products": _SQL_DIM_PRODUCTS,
         "g_fact_sales": _SQL_FACT_SALES,
         # runner-wired twin: identical result contract, rows travelled

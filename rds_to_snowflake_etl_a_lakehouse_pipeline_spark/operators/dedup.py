@@ -416,11 +416,18 @@ def decontaminate(
     shingle_n: int = 8,
     min_hits: int = 1,
     broadcast_bench: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: drop corpus documents sharing ≥
     ``min_hits`` distinct word ``shingle_n``-grams with an evaluation /
     benchmark set — the standard pretraining hygiene pass (asymmetric,
     unlike dedup: the benchmark set is external and always kept).
+
+    Both sides are normalized before shingling (lowercase; whitespace
+    collapse is implicit in tokenization — same canonical form as
+    ``functions.text.doc_fingerprint``), so trivial case/format variants
+    of a benchmark string don't escape the filter. ``normalize=False``
+    restores raw-text matching.
 
     Inverted-index semi-join: the benchmark's distinct shingle set
     (eval suites are small — broadcast by default) joins the corpus
@@ -432,10 +439,11 @@ def decontaminate(
     (long enough that chance collisions are negligible, short enough to
     catch partial inclusions).
     """
+    canon = (lambda c: F.lower(c)) if normalize else (lambda c: c)
     bsh = (
         bench.select(
             F.explode(
-                _shingles(F.col(bench_text_col or text_col), shingle_n)
+                _shingles(canon(F.col(bench_text_col or text_col)), shingle_n)
             ).alias("shingle")
         )
         .distinct()
@@ -444,7 +452,7 @@ def decontaminate(
         bsh = F.broadcast(bsh)
     csh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        F.explode(_shingles(canon(F.col(text_col)), shingle_n)).alias("shingle"),
     )
     # corpus shingles are distinct per doc, so count(*) == distinct
     # shared shingles per document

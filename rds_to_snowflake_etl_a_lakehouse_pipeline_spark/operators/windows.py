@@ -89,52 +89,73 @@ def surrogate_key_two_phase(
     order_cols: Sequence[str],
     key_col: str = "surrogate_key",
     num_partitions: int | None = None,
+    rows_per_bucket: int = 4_000_000,
+    boundary_sample: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """W2 (scale path): identical output to :func:`surrogate_key` without
-    a global single-task sort.
+    a global single-task sort — and without materializing the input.
 
-    Phase 1: range-partition on ``order_cols`` (ordered, disjoint ranges)
-    and rank locally within each partition. Phase 2: count rows per
-    partition (tiny driver-side list, one row per partition) and add the
-    cumulative offset of all earlier ranges. Global order is preserved
-    because ranges are ordered and ranks are local — no row ever moves
-    through a single reducer. ``order_cols`` must be unique per row.
+    Phase 0 (narrow, column-pruned): count rows and sample the order-key
+    tuples with a fixed seed; pick range boundaries in the driver. The
+    bucket count auto-scales — ``ceil(count / rows_per_bucket)`` capped
+    at ``num_partitions`` — so dim-sized inputs get ONE bucket (a single
+    sorted partition is the right plan below ~4M rows) and only genuinely
+    large inputs pay the multi-bucket machinery.
+
+    Phase 1 (the only wide pass): assign each row its range bucket with a
+    deterministic struct-comparison expression against the literal
+    boundaries — monotone in the sort key, so bucket order == global
+    order. No ``repartitionByRange`` (whose boundary sampling re-executes
+    the upstream plan) and no checkpoint: every re-evaluation agrees by
+    construction, lineage is preserved (executor loss just recomputes —
+    safe under dynamic allocation / spot nodes), and the upstream plan is
+    fully evaluated exactly once, in the window shuffle itself.
+
+    Phase 2: per-bucket counts (narrow) → cumulative offsets broadcast-
+    joined on the bucket id (O(1) expression depth at any bucket count);
+    global key = offset + local ``row_number``. ``order_cols`` must be
+    non-NULL and unique per row.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    keys = list(order_cols)
+    cnt = df.select(keys[0]).count()  # narrow: column-pruned scan
+    max_buckets = num_partitions or spark.sparkContext.defaultParallelism
+    n_buckets = max(1, min(max_buckets, -(-cnt // rows_per_bucket)))
 
-    # MATERIALIZE once before reading twice: repartitionByRange SAMPLES
-    # its boundaries per evaluation, so the count collection below and
-    # the final ranked query would otherwise see two different
-    # partitionings and the offsets would not match the local ranks
-    # (observed at sf0.1). localCheckpoint (eager) pins one materialized
-    # partitioning for both reads AND — unlike persist(), whose SQL-cache
-    # entry outlives the call — its blocks are released by the context
-    # cleaner once the returned DataFrame is garbage collected, so
-    # repeated calls in a long session don't accumulate storage.
-    ranged = (
-        df.repartitionByRange(n, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # One row per partition — trivially collectable even at 10⁵ partitions.
-    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    if n_buckets == 1:
+        # Window.partitionBy(lit) — one partition by DESIGN (cnt is known
+        # to be bucket-sized), not an accidental unpartitioned window.
+        w = Window.partitionBy(F.lit(0)).orderBy(*_cols(keys))
+        return df.withColumn(key_col, F.row_number().over(w).cast("bigint"))
+
+    # Phase 0: seeded sample of the key columns only → driver-side
+    # boundaries (n_buckets - 1 equal-spaced quantiles of the sample).
+    frac = min(1.0, (n_buckets * boundary_sample) / cnt)
+    sample = sorted(map(tuple, df.select(*keys).sample(False, frac, seed).collect()))
+    boundaries = []
+    if sample:
+        step = len(sample) / n_buckets
+        boundaries = [sample[int(i * step)] for i in range(1, n_buckets)]
+    key_struct = F.struct(*_cols(keys))
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + (key_struct >= F.struct(*[F.lit(v) for v in b])).cast("int")
+    tagged = df.withColumn("_bkt", bucket)
+
+    # Phase 2: narrow per-bucket counts → broadcast offsets.
+    counts = {r["_bkt"]: r["cnt"] for r in tagged.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()}
     offsets, running = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, running))
-        running += counts[pid]
-    # Tiny (pid, offset) table broadcast-joined on _pid: O(1) expression
-    # depth regardless of partition count. (The obvious alternative — a
-    # chained when(_pid == p, off) expression — is O(P) deep and blows
-    # Catalyst analysis/codegen long before 10⁵ partitions.)
-    offsets_df = df.sparkSession.createDataFrame(
-        offsets, schema="_pid int, _offset bigint"
-    )
-    local_w = Window.partitionBy("_pid").orderBy(*_cols(order_cols))
+    for b in sorted(counts):
+        offsets.append((b, running))
+        running += counts[b]
+    offsets_df = spark.createDataFrame(offsets, schema="_bkt int, _offset bigint")
+    local_w = Window.partitionBy("_bkt").orderBy(*_cols(keys))
     return (
-        ranged.join(F.broadcast(offsets_df), "_pid")
+        tagged.join(F.broadcast(offsets_df), "_bkt")
         .withColumn("_local_rn", F.row_number().over(local_w))
         .withColumn(key_col, (F.col("_offset") + F.col("_local_rn")).cast("bigint"))
-        .drop("_pid", "_local_rn", "_offset")
+        .drop("_bkt", "_local_rn", "_offset")
     )
 
 

@@ -9,9 +9,11 @@ surrogate keys, R11–R12).
 Scale notes: silver transforms are single-pass Catalyst expressions over
 one shuffle (the W1/W3 window key) at most. Gold joins broadcast only
 genuinely small dims (product categories); customer-sized joins are left
-to AQE. Surrogate keys default to the reference-faithful global window —
-pass ``scale_safe=True`` for the two-phase range-partitioned form on
-big dims.
+to AQE. Surrogate keys default to the two-phase range-partitioned form
+(``scale_safe=True``) — no single-task global window in any default
+plan; pass ``scale_safe=False`` only for bit-exact parity runs against
+the reference's global ``row_number`` (same output, single-reducer
+plan).
 """
 
 from __future__ import annotations
@@ -115,7 +117,7 @@ def silver_erp_px_cat_g1v2(df: DataFrame) -> DataFrame:
 
 
 def gold_dim_customers(
-    cust: DataFrame, az12: DataFrame, loc: DataFrame, scale_safe: bool = False
+    cust: DataFrame, az12: DataFrame, loc: DataFrame, scale_safe: bool = True
 ) -> DataFrame:
     """gold-snowflake/dim_customers_gold.py:23-52 — J1+J2 left joins on
     cst_key, R11 gender source preference, W2 surrogate key by cst_id."""
@@ -147,7 +149,7 @@ def gold_dim_customers(
 
 
 def gold_dim_products(
-    prd: DataFrame, cat: DataFrame, scale_safe: bool = False
+    prd: DataFrame, cat: DataFrame, scale_safe: bool = True
 ) -> DataFrame:
     """gold-snowflake/dim_products_gold.py:23-51 — R12 current rows only,
     J3 broadcast join to the tiny category dim, W2 surrogate key by
@@ -215,7 +217,7 @@ def gold_fact_sales(sales: DataFrame, dim_prod: DataFrame, dim_cust: DataFrame) 
 # ------------------------------------------------------------- pipeline
 
 
-def build_pipeline(as_of: str | None = None, scale_safe: bool = False, warehouse=None):
+def build_pipeline(as_of: str | None = None, scale_safe: bool = True, warehouse=None):
     """The full 15-node medallion DAG over the six CRM/ERP source tables
     (external inputs: crm_cust_info, crm_prd_info, crm_sales_details,
     erp_cust_az12, erp_loc_a101, erp_px_cat_g1v2)."""

@@ -112,34 +112,61 @@ def write_table(
     over every later join — the co-located-join strategy for repeated
     fact⋈fact joins at 100 TB).
 
-    Overwrite mode also clears an ORPHANED managed-table location: a
-    previous session's in-memory catalog is gone but its warehouse dir
-    survives on disk, and ``saveAsTable`` then fails with
-    LOCATION_ALREADY_EXISTS instead of overwriting. Drop the (possibly
-    unregistered) table and remove the stale local directory first.
+    Overwrite is fail-safe (write-then-swap): when the target already
+    exists, the new data is fully materialized into a ``__stage`` table
+    first, and only then is the old table dropped and the stage renamed
+    into place (``ALTER TABLE RENAME`` moves the managed location). A
+    failed write therefore never destroys existing data, and a plan that
+    READS the target table overwrites it correctly — the read is consumed
+    by the stage write before the drop. The only destructive-before-write
+    path left is the LOCATION_ALREADY_EXISTS retry, which clears a stale
+    directory that is provably unregistered (an orphan from a previous
+    session whose in-memory catalog is gone).
     """
     spark = df.sparkSession
-    if mode == "overwrite":
-        try:
-            spark.sql(f"DROP TABLE IF EXISTS {table}")
-            import shutil
-            from urllib.parse import urlparse
-
-            parts = table.split(".")
-            db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase()
-            loc = urlparse(spark.catalog.getDatabase(db).locationUri)
-            if loc.scheme in ("", "file"):
-                stale = os.path.join(loc.path, parts[-1])
-                if os.path.exists(stale):
-                    shutil.rmtree(stale)
-        except Exception:
-            pass  # db absent -> saveAsTable will create fresh anyway
     writer = df.write.mode(mode).format("parquet").option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if bucket_by:
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    if mode == "overwrite" and spark.catalog.tableExists(table):
+        stage = f"{table}__stage"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        _save_with_orphan_retry(spark, writer, stage)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    else:
+        _save_with_orphan_retry(spark, writer, table)
+
+
+def _save_with_orphan_retry(spark: SparkSession, writer, table: str) -> None:
+    """``saveAsTable`` with one retry for LOCATION_ALREADY_EXISTS: the
+    table is absent from the catalog but its managed directory survives on
+    local disk (previous session's in-memory catalog is gone). Clear
+    exactly that stale directory and retry; every other error re-raises
+    untouched with no deletion.
+    """
+    try:
+        writer.saveAsTable(table)
+        return
+    except Exception as e:  # noqa: BLE001 — re-raised unless the orphan case
+        error_class = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "LOCATION_ALREADY_EXISTS" not in error_class and (
+            "LOCATION_ALREADY_EXISTS" not in str(e)
+        ):
+            raise
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    parts = table.split(".")
+    db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase()
+    loc = urlparse(spark.catalog.getDatabase(db).locationUri)
+    if loc.scheme in ("", "file"):
+        stale = os.path.join(loc.path, parts[-1])
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     writer.saveAsTable(table)
 
 

@@ -332,3 +332,33 @@ def test_decontaminate_drops_benchmark_overlap(spark):
     bench = spark.createDataFrame([(100, bench_text)], "doc_id bigint, text string")
     kept = decontaminate(corpus, bench, "doc_id", "text")
     assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+
+def test_decontaminate_catches_case_and_whitespace_variants(spark):
+    """Normalization (lowercase + whitespace-collapse via tokenization)
+    catches trivial reformattings of a benchmark string; normalize=False
+    restores raw matching and misses them."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    bench_text = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been the capital since the tenth century"
+    )
+    variant = (
+        "What  Is The CAPITAL of France   the Capital of FRANCE is Paris "
+        "and it HAS been\tthe capital since the TENTH century"
+    )
+    corpus = spark.createDataFrame(
+        [(2, "intro " + variant + " outro"), (3, "unrelated prose about engines")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id bigint, text string")
+    assert sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, "doc_id", "text").collect()
+    ) == [3]
+    # raw mode misses the variant
+    assert sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", normalize=False).collect()
+    ) == [2, 3]

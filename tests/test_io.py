@@ -124,3 +124,46 @@ def test_bucketed_join_no_shuffle(spark):
         assert joined.count() == 100
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_overwrite_failed_write_preserves_previous(spark):
+    """A failing overwrite must NOT destroy the existing table (the write
+    is attempted before anything is dropped)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    good = spark.createDataFrame([(1, "keep")], "id int, v string")
+    write_table(good, "io_test_failsafe")
+    bad = spark.createDataFrame([(1, "boom")], "id int, v string").withColumn(
+        "v", F.raise_error(F.lit("injected failure"))
+    )
+    with pytest.raises(Exception, match="injected failure"):
+        write_table(bad, "io_test_failsafe")
+    # previous data survived the failed overwrite
+    assert [r["v"] for r in spark.table("io_test_failsafe").collect()] == ["keep"]
+
+
+def test_overwrite_from_self_read_works(spark):
+    """Overwriting a table from a plan that reads it WORKS: the stage
+    write consumes the read before the old table is dropped."""
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    write_table(df, "io_test_selfread")
+    self_read = spark.table("io_test_selfread").filter("id = 1")
+    write_table(self_read, "io_test_selfread")
+    assert [r["id"] for r in spark.table("io_test_selfread").collect()] == [1]
+
+
+def test_overwrite_clears_orphaned_location(spark):
+    """An unregistered stale warehouse dir (previous session's managed
+    table, in-memory catalog gone) is cleared on the retry path."""
+    from urllib.parse import urlparse
+
+    df = spark.createDataFrame([(7,)], "id int")
+    loc = urlparse(spark.catalog.getDatabase(spark.catalog.currentDatabase()).locationUri)
+    stale = os.path.join(loc.path, "io_test_orphan")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "leftover.parquet"), "w") as f:
+        f.write("stale bytes")
+    spark.sql("DROP TABLE IF EXISTS io_test_orphan")
+    write_table(df, "io_test_orphan")
+    assert spark.table("io_test_orphan").collect()[0]["id"] == 7

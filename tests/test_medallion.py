@@ -182,9 +182,11 @@ def test_warehouse_double_write(spark, run):
     assert spark.table("warehouse.fact_sales").count() == 5
 
 
-def test_scale_safe_pipeline_matches(spark, sources):
-    dim_faithful = spark.table("gold.dim_customers").collect()
-    pipe2 = build_pipeline(as_of=AS_OF, scale_safe=True)
-    pipe2.run(spark, sources)
+def test_faithful_pipeline_matches_default(spark, sources):
+    # default is scale_safe=True; the reference-faithful global-window
+    # parity mode must produce identical rows (incl. surrogate keys)
     dim_scale = spark.table("gold.dim_customers").collect()
+    pipe2 = build_pipeline(as_of=AS_OF, scale_safe=False)
+    pipe2.run(spark, sources)
+    dim_faithful = spark.table("gold.dim_customers").collect()
     assert sorted(map(tuple, dim_faithful)) == sorted(map(tuple, dim_scale))

@@ -76,6 +76,37 @@ def test_surrogate_two_phase_matches_faithful(spark):
     assert sorted(two_phase.values()) == list(range(1, 999))
 
 
+def test_surrogate_two_phase_multibucket_path(spark):
+    # force the ranged multi-bucket path (tiny rows_per_bucket) and a
+    # multi-column ordering with strings + dates — same result as the
+    # global-window form
+    rows = [(D(2020, 1, 1 + i % 27), f"k{i:04d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "start date, key string").repartition(11)
+    order = ["start", "key"]
+    faithful = {
+        (r["start"], r["key"]): r["sk"]
+        for r in surrogate_key(df, order, "sk").collect()
+    }
+    ranged = surrogate_key_two_phase(
+        df, order, "sk", num_partitions=8, rows_per_bucket=50
+    )
+    got = {(r["start"], r["key"]): r["sk"] for r in ranged.collect()}
+    assert got == faithful
+    # re-evaluation (no checkpoint) must be deterministic
+    again = {(r["start"], r["key"]): r["sk"] for r in ranged.collect()}
+    assert again == faithful
+
+
+def test_surrogate_two_phase_single_bucket_no_global_window(spark):
+    # dim-sized input -> one designed bucket; plan must not contain an
+    # unpartitioned window (the WindowExec all-to-one-task warning shape)
+    df = spark.createDataFrame([(i,) for i in range(100)], "id int")
+    out = surrogate_key_two_phase(df, ["id"], "sk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert out.count() == 100
+
+
 def test_merge_upsert(spark):
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
         merge_upsert,

@@ -18,7 +18,7 @@ AUDIT = [
     "j3_broadcast_join",
     "j4_j5_fact_join",
     "g_dim_customers",
-    "g_dim_customers_scale_safe",
+    "g_dim_customers_faithful",
     "g_dim_products",
     "g_fact_sales",
     "d_minhash_pairs",
