@@ -1483,35 +1483,46 @@ def _q_x2_range_join(spark, sf_dir):
     return out.select("signup_id", "error_id")
 
 
+def _stream_events_src(spark, sf_dir, suffix="", copies=("events.parquet",)):
+    """Shared streaming-source setup for the x1_*_stream queries.
+
+    The streaming file source needs a DIRECTORY; symlink the testdata
+    parquet file into one (a real deployment streams from a landing
+    dir — ``copies`` > 1 simulates at-least-once redelivery). The ts
+    physical layout (nanos / NTZ-micros / LTZ-micros — it has varied
+    across testdata generations) is detected from the parquet footer by
+    :func:`stream_events_auto` and normalized to a UTC-session
+    TIMESTAMP, matching ``session.load``.
+    """
+    import os
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_events_auto,
+    )
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = "/tmp/sg_stream_" + suffix + _fixture_key(sf_dir)
+    os.makedirs(stream_dir, exist_ok=True)
+    for name in copies:
+        link = os.path.join(stream_dir, name)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    return stream_events_auto(spark, stream_dir)
+
+
 def _q_x1_tumbling_stream(spark, sf_dir):
     """Structured Streaming path: the SAME tumbling aggregation as
     x1_tumbling_window compiled as an incremental stateful plan
     (readStream → window agg → availableNow memory sink) — and it must
     hash-match the identical batch DuckDB oracle."""
-    import os
-
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
         run_available_now,
         tumbling_counts,
     )
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    # the streaming file source needs a DIRECTORY; symlink the single
-    # parquet file into one (a real deployment streams from a landing dir)
-    src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    sdf = spark.readStream.schema(schema).parquet(stream_dir)
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = _stream_events_src(spark, sf_dir)
     agg = tumbling_counts(sdf, "1 hour", watermark="2 hours")
     out = run_available_now(agg, "x1_stream_tbl")
     return out.select(
@@ -1528,7 +1539,6 @@ def _q_x1_stream_warehouse(spark, sf_dir):
     (streaming/events.py::stream_to_warehouse — the streaming twin of
     the reference's gold→Snowflake write, dim_customers_gold.py:72-81).
     The landed table must hash-match the identical batch oracle."""
-    import os
     import tempfile
 
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
@@ -1539,21 +1549,7 @@ def _q_x1_stream_warehouse(spark, sf_dir):
         tumbling_counts,
     )
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    sdf = spark.readStream.schema(schema).parquet(stream_dir)
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = _stream_events_src(spark, sf_dir)
     agg = tumbling_counts(sdf, "1 hour", watermark="2 hours")
     with tempfile.TemporaryDirectory() as ck:
         stream_to_warehouse(
@@ -1575,28 +1571,12 @@ def _q_x1_stateful_totals(spark, sf_dir):
     row, so the result equals the plain batch GROUP BY — an exact
     oracle for the escape-hatch operator the built-in aggregates can't
     express incrementally."""
-    import os
-
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
         run_available_now,
         running_user_totals,
     )
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    sdf = spark.readStream.schema(schema).parquet(stream_dir)
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = _stream_events_src(spark, sf_dir)
     out = run_available_now(
         running_user_totals(sdf), "x1_stateful_tbl", output_mode="update"
     )
@@ -1608,27 +1588,12 @@ def _q_x1_stream_enrich(spark, sf_dir):
     customer dim — broadcast per micro-batch, zero shuffle, zero
     streaming state (streaming/events.py::stream_static_join) — then a
     stateful agg by segment×type; hash-matches the batch join oracle."""
-    import os
-
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
         run_available_now,
         stream_static_join,
     )
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    sdf = _stream_events_src(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = stream_static_join(sdf, cust, F.col("c_custkey") == F.col("user_id"))
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
@@ -1644,28 +1609,12 @@ def _q_x1_session_stream(spark, sf_dir):
     stateful plan (session_window + watermark merges adjacent state
     across micro-batches) — must hash-match the identical batch DuckDB
     oracle."""
-    import os
-
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
         run_available_now,
         sessionized,
     )
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = "/tmp/sg_stream_" + _fixture_key(sf_dir)
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    sdf = spark.readStream.schema(schema).parquet(stream_dir)
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = _stream_events_src(spark, sf_dir)
     sess = sessionized(sdf, "30 minutes", watermark="2 hours")
     out = run_available_now(sess, "x1_session_stream_tbl")
     return out.select(
@@ -1681,29 +1630,15 @@ def _q_x1_stream_dedup(spark, sf_dir):
     ``dropDuplicatesWithinWatermark`` on event_id restores exactly one.
     Duplicate rows are identical, so the kept-row choice is immaterial
     and the result hash-matches the batch DuckDB oracle."""
-    import os
-
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
         dedup_events,
         run_available_now,
     )
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
+    sdf = _stream_events_src(
+        spark, sf_dir, suffix="dup_",
+        copies=("events_a.parquet", "events_b.parquet"),
     )
-    src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = "/tmp/sg_stream_dup_" + _fixture_key(sf_dir)
-    os.makedirs(stream_dir, exist_ok=True)
-    for copy in ("events_a.parquet", "events_b.parquet"):
-        link = os.path.join(stream_dir, copy)
-        if not os.path.exists(link):
-            os.symlink(src, link)
-    sdf = spark.readStream.schema(schema).parquet(stream_dir)
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     deduped = dedup_events(sdf, ("event_id",), watermark="2 hours")
     out = run_available_now(deduped, "x1_stream_dedup_tbl", output_mode="append")
     return out.select(

@@ -152,13 +152,19 @@ def range_join(
     per-bin volume is data-density-bounded, and AQE skew-split handles
     hot bins. ``extra_on`` adds any further predicate (e.g. same
     region) to the post-filter.
+
+    Timestamp columns may be TIMESTAMP or TIMESTAMP_NTZ: ``unix_micros``
+    only accepts the former, so both sides are cast (a no-op for
+    TIMESTAMP; exact for NTZ under the engine's pinned UTC session zone).
     """
     width_us = int(max_gap_seconds * 1_000_000)  # exact integer micros
-    lbin = F.floor(F.unix_micros(F.col(left_ts)) / width_us)
-    rbin = F.floor(F.unix_micros(F.col(right_ts)) / width_us)
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    lbin = F.floor(l_us / width_us)
+    rbin = F.floor(r_us / width_us)
     l = left.withColumn("_bin", F.explode(F.array(lbin, lbin + 1)))  # noqa: E741
     r = right.withColumn("_bin", rbin)
-    gap = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    gap = r_us - l_us
     cond = (gap >= 0) & (gap <= F.lit(width_us))
     if extra_on is not None:
         cond = cond & extra_on

@@ -87,6 +87,35 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _bounded_fit(
+    c_vec: DataFrame,
+    fit_fraction: float | None,
+    seed: int,
+    fit_target_rows: int,
+) -> DataFrame:
+    """The DataFrame the KMeans coarse quantizer fits on.
+
+    Explicit ``fit_fraction`` wins. Default (``None``) is a size-aware
+    bound: one narrow ``count()`` of the corpus, then a
+    ``min(1.0, fit_target_rows / n)`` sample — so at test scale (n ≤
+    target) the fit sees every row and results are unchanged, while at
+    100 TB the quantizer fit stays a bounded job instead of becoming
+    THE job. KMeans only needs representative centers; 100k rows
+    estimate n_clusters ≤ a few hundred centroids to well within the
+    cell-assignment noise floor.
+    """
+    if fit_fraction is not None:
+        return (
+            c_vec.sample(fit_fraction, seed=seed)
+            if fit_fraction < 1.0
+            else c_vec
+        )
+    n = c_vec.count()
+    if n <= fit_target_rows:
+        return c_vec
+    return c_vec.sample(fit_target_rows / n, seed=seed)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,19 +124,23 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     fit_fraction: float | None = None,
+    fit_target_rows: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
-    MLlib KMeans learns ``n_clusters`` centroids (on a ``fit_fraction``
-    sample at scale — the model only needs representative centers, not
-    every row); each corpus vector is assigned to its nearest centroid
-    (one JVM-side model.transform pass). A query probes its ``n_probe``
-    nearest cells — centroid distances are computed in one numpy matmul
-    per Arrow batch since the centroid matrix is tiny — and exact cosine
-    runs only inside probed cells. The classic recall/compute dial:
+    MLlib KMeans learns ``n_clusters`` centroids on a bounded sample —
+    ``fit_fraction`` if given, else a size-aware
+    ``min(1.0, fit_target_rows / n)`` default (see :func:`_bounded_fit`;
+    the model only needs representative centers, not every row, and an
+    unbounded fit over a 100 TB corpus would dominate the query). Each
+    corpus vector is assigned to its nearest centroid (one JVM-side
+    model.transform pass). A query probes its ``n_probe`` nearest cells
+    — centroid distances are computed in one numpy matmul per Arrow
+    batch since the centroid matrix is tiny — and exact cosine runs
+    only inside probed cells. The classic recall/compute dial:
     n_probe/n_clusters bounds the fraction of the corpus scanned per
     query. At 100 TB, persist the assigned corpus as a bucketed table
     partitioned by cell id so probes prune partitions.
@@ -116,7 +149,7 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     c_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
-    fit_df = c_vec.sample(fit_fraction, seed=seed) if fit_fraction else c_vec
+    fit_df = _bounded_fit(c_vec, fit_fraction, seed, fit_target_rows)
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
     ).fit(fit_df)
@@ -161,6 +194,7 @@ def ivf_build_index(
     n_clusters: int = 16,
     seed: int = 42,
     fit_fraction: float | None = None,
+    fit_target_rows: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
@@ -171,7 +205,8 @@ def ivf_build_index(
     so a probe that touches ``n_probe`` of ``n_clusters`` cells lists
     and scans only those directories. This is the write-once /
     query-many form for 100 TB corpora: the KMeans fit samples
-    (``fit_fraction``), the assignment is one JVM model.transform pass,
+    (``fit_fraction``, else the size-aware ``fit_target_rows`` bound of
+    :func:`_bounded_fit`), the assignment is one JVM model.transform pass,
     and queries (:func:`ivf_query_index`) never rescan or re-cluster.
     Returns the centroid matrix to hand to ``ivf_query_index`` (at
     warehouse scale you would store it beside the table; it is
@@ -183,7 +218,7 @@ def ivf_build_index(
     from ..sources.io import write_table
 
     c_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
-    fit_df = c_vec.sample(fit_fraction, seed=seed) if fit_fraction else c_vec
+    fit_df = _bounded_fit(c_vec, fit_fraction, seed, fit_target_rows)
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
     ).fit(fit_df)

@@ -101,10 +101,15 @@ def load(spark: SparkSession, sf_dir: str, name: str, parallel: bool = False):
     default so simple scans keep exchange-free plans (filters still push
     down to the scan either way).
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark cannot read natively: read nanos as long (runtime conf) and
-    truncate to a microsecond timestamp with integer division (``div`` —
-    a double division would lose precision on ~1.7e18 nano values).
+    The ``events`` table's ``ts`` physical layout varies across testdata
+    generations — parquet TIMESTAMP(NANOS) (unreadable natively: read
+    nanos as long via runtime conf, truncate with integer ``div`` — a
+    double division would lose precision on ~1.7e18 nano values), or
+    TIMESTAMP(MICROS) with ``isAdjustedToUTC`` false (arrives as
+    TIMESTAMP_NTZ) or true (plain TIMESTAMP). All three normalize to the
+    same session-zone TIMESTAMP here, so every downstream operator sees
+    one dtype regardless of how the files were written (the NTZ→LTZ cast
+    is exact under the pinned UTC session zone).
 
     Also pins the runtime confs the engine's semantics depend on, so the
     queries behave identically under a caller-provided session (the
@@ -116,10 +121,13 @@ def load(spark: SparkSession, sf_dir: str, name: str, parallel: bool = False):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return ensure_parallelism(df) if parallel else df
     df = spark.read.parquet(table_path(sf_dir, name))
     return ensure_parallelism(df) if parallel else df

@@ -164,6 +164,53 @@ def stream_events(
     return spark.readStream.schema(schema).parquet(path)
 
 
+def stream_events_auto(spark: SparkSession, path: str) -> DataFrame:
+    """:func:`stream_events` with the ``ts`` physical layout detected
+    from one parquet footer, normalized to a session-zone TIMESTAMP.
+
+    File streams require a declared schema, and the testdata ``events``
+    table's ``ts`` layout has varied across generations: parquet
+    TIMESTAMP(NANOS) (Spark can't read natively — declare ``bigint``
+    under ``nanosAsLong`` and integer-``div`` down to micros),
+    TIMESTAMP(MICROS) ``isAdjustedToUTC=false`` (declare
+    ``timestamp_ntz``, cast — exact under the engine's pinned UTC
+    session zone), or ``=true`` (plain ``timestamp``). One footer read
+    on the driver (metadata only, no data pages) picks the branch, so
+    the same streaming queries run against any generation — the exact
+    batch twin of ``session.load``'s events normalization.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    arrow_schema = pq.read_schema(files[0]) if files else None
+    ts_type = (
+        arrow_schema.field("ts").type
+        if arrow_schema is not None and "ts" in arrow_schema.names
+        else None
+    )
+    unit = getattr(ts_type, "unit", None)
+    tz = getattr(ts_type, "tz", "")
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        sdf = stream_events(
+            spark, path, EVENTS_SCHEMA.replace("ts timestamp", "ts bigint")
+        )
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit is not None and tz is None:
+        sdf = stream_events(
+            spark, path, EVENTS_SCHEMA.replace("ts timestamp", "ts timestamp_ntz")
+        )
+        return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream_events(spark, path)
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

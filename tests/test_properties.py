@@ -174,3 +174,46 @@ def test_exact_dedup_null_safe_injective(spark, rows):
     )
     out = exact_dedup(df, ["c1", "c2"], order_col="rid")
     assert out.count() == len({(a, b) for a, b in rows})
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@PROP
+def test_connected_components_star_matches_union_find(spark, edges):
+    """Large-star/small-star == driver-side union-find on arbitrary
+    small graphs — same property as the label-propagation path, so the
+    two distributed algorithms are transitively property-equal."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert got == want
