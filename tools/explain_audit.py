@@ -68,6 +68,53 @@ def main() -> None:
         if "FileScan" in line or "PushedFilters" in line:
             print(line.strip()[:250])
 
+    salted_skew_evidence(spark)
+
+
+def salted_skew_evidence(spark) -> None:
+    """Runtime proof that salting spreads a hot join key across
+    reducers (SCALE.md `j_salted_skew` row). A synthetic 30%-hot-key
+    left side is joined to a dim with AQE disabled (so the comparison
+    isolates the salting itself, not AQE's skew splitting); the number
+    of distinct shuffle partitions that carry the hot key's output rows
+    is measured via spark_partition_id() before any post-join exchange.
+    Unsalted: 1 reducer owns the hot key. Salted: ~`salt` reducers.
+    """
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        salted_join,
+    )
+
+    print("\n--- j_salted_skew reducer evidence (hot key = 30% of rows) ---")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n = 300_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 3, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        # defeat broadcast so both plans shuffle on the join key
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def hot_reducers(df):
+            return (
+                df.withColumn("_pid", F.spark_partition_id())
+                .filter(F.col("k") == 7)
+                .select("_pid").distinct().count()
+            )
+
+        plain = left.join(right, "k")
+        salted = salted_join(left, right, "k", salt=8)
+        print(f"unsalted join: hot key rows on {hot_reducers(plain)} reducer(s)")
+        print(f"salted join (salt=8): hot key rows on {hot_reducers(salted)} reducer(s)")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
 
 if __name__ == "__main__":
     main()
