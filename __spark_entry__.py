@@ -1846,6 +1846,88 @@ def _q_v_ivf_index_topk(spark, sf_dir):
     return ivf_query_index(spark, "ivf_index_embeddings", q, centroids, k=10)
 
 
+# Curation operators (operators/curation.py) ------------------------------
+
+
+def _q_t_pack_sequences(spark, sf_dir):
+    """Sequence packing: every document assigned to a fixed-budget
+    training sequence by contiguous offset binning within md5 shards
+    (operators/curation.py::pack_sequences — one partitioned window,
+    never global). n_chars stands in for the token count (a column, so
+    the oracle needs no tokenizer)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pack_sequences(d, "n_chars", budget=2000, order_col="doc_id", n_shards=8)
+    return out.select(
+        "doc_id", "seq_id", F.col("_seq_offset").alias("seq_offset")
+    )
+
+
+def _q_t_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (operators/curation.py::
+    stratified_sample): md5-bucket thresholds per stratum, stable across
+    engines/runs/partitionings — the oracle applies the identical
+    arithmetic and must select the identical rows."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 0.1},
+        key_col="doc_id",
+        seed=42,
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_t_best_per_lang(spark, sf_dir):
+    """Per-group selection (operators/curation.py::topk_per_group): the
+    5 highest-quality documents per language. Ordering uses the ROUNDED
+    quality score so Spark and the oracle rank identically."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        topk_per_group,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", lf.quality_score("text").alias("quality")
+    )
+    return topk_per_group(
+        d,
+        ["lang"],
+        [F.desc("quality"), F.asc("doc_id")],
+        k=5,
+        rank_col="rank",
+    ).select("lang", F.col("rank").cast("bigint").alias("rank"), "doc_id", "quality")
+
+
+def _q_t_mixture_weights(spark, sf_dir):
+    """Mixture reweighting (operators/curation.py::mixture_weights):
+    per-language sampling weights toward a target mix — two-stage agg
+    plus a 1-row broadcast total, no second pass over the corpus."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        mixture_weights,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    out = mixture_weights(
+        d, "lang",
+        {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15},
+    )
+    return out.select(
+        "lang",
+        "n_rows",
+        F.round("observed_share", 6).alias("observed_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only. The front 50 is a
@@ -1901,7 +1983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_images": _q_m_decode_images,
         "m_resize_images": _q_m_resize_images,
         "m_decode_audio": _q_m_decode_audio,
-        "m_frame_sample": _q_m_frame_sample,
         # rotated in for round 4 (never driver-verified before)
         "x1_sliding_window": _q_x1_sliding_window,
         "t_gopher_flags": _q_t_gopher_flags,
@@ -1914,13 +1995,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one representative per already-green §2 family (keeps every
         # family inside the verified window)
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
-        "w3_scd2_close": _q_w3_scd2_close,
-        "j4_j5_fact_join": _q_j4_j5_fact_join,
-        "a1_groupby_agg": _q_a1_groupby_agg,
         "e_json_extract": _q_e_json_extract,
+        # new in round 4: curation tier (operators/curation.py) — first
+        # driver verdicts, so they take front-50 slots from four
+        # double-verified singles (w3_scd2_close, j4_j5_fact_join,
+        # a1_groupby_agg, m_frame_sample — all green r02+r03+local)
+        "t_pack_sequences": _q_t_pack_sequences,
+        "t_stratified_sample": _q_t_stratified_sample,
+        "t_best_per_lang": _q_t_best_per_lang,
+        "t_mixture_weights": _q_t_mixture_weights,
         # ---- driver cap boundary (entry 50) ----
         # proven green in CORRECTNESS_r02/r03.json; kept registered and
         # rotated back into the window in future rounds
+        "w3_scd2_close": _q_w3_scd2_close,
+        "j4_j5_fact_join": _q_j4_j5_fact_join,
+        "a1_groupby_agg": _q_a1_groupby_agg,
         "s4_json_source": _q_s4_json_source,
         "s5_parquet_scan": _q_s5_parquet_scan,
         "o1_intersect": _q_o1_intersect,
@@ -1970,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_l2_norm": _q_v_l2_norm,
         "v_dot_product": _q_v_dot_product,
         "v_cosine_topk": _q_v_cosine_topk,
+        "m_frame_sample": _q_m_frame_sample,
     }
 
 
@@ -2283,6 +2373,44 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END, 6) AS rep_ratio FROM grams"
         ),
         # nibble arithmetic on the md5 hex prefix == Spark's conv(_,16,10)
+        "t_pack_sequences": (
+            "WITH s AS (SELECT doc_id, n_chars, "
+            "('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 8 AS shard "
+            "FROM documents), "
+            "c AS (SELECT doc_id, shard, "
+            "CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) "
+            "- n_chars AS BIGINT) AS pre FROM s) "
+            "SELECT doc_id, "
+            "CAST(shard * 4294967296 + pre // 2000 AS BIGINT) AS seq_id, "
+            "CAST(pre % 2000 AS BIGINT) AS seq_offset FROM c"
+        ),
+        "t_stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,8))::BIGINT "
+            "% 10000 < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 "
+            "WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 "
+            "ELSE 0.0 END * 10000 AS BIGINT)"
+        ),
+        "t_best_per_lang": (
+            f"WITH q AS (SELECT doc_id, lang, {quality} AS quality "
+            "FROM documents) "
+            "SELECT lang, rank, doc_id, quality FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY quality DESC, doc_id) AS rank FROM q) WHERE rank <= 5"
+        ),
+        "t_mixture_weights": (
+            "WITH c AS (SELECT lang, count(*) AS n_rows FROM documents "
+            "GROUP BY lang), t AS (SELECT sum(n_rows) AS total FROM c) "
+            "SELECT lang, n_rows, "
+            "round(n_rows::DOUBLE / total, 6) AS observed_share, "
+            "CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 "
+            "WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15 WHEN 'zh' THEN 0.15 "
+            "ELSE 0.0 END AS target_share, "
+            "round((CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 "
+            "WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.15 WHEN 'zh' THEN 0.15 "
+            "ELSE 0.0 END) / (n_rows::DOUBLE / total), 6) AS weight "
+            "FROM c, t"
+        ),
         "t_hash_split": (
             "WITH b AS (SELECT doc_id, "
             "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR),1,1))-1)*4096 "

@@ -1,0 +1,166 @@
+"""Corpus-curation operators for training-data pipelines: sequence
+packing, stratified sampling, per-group selection, mixture reweighting.
+
+These extend the engine past the reference's ETL surface (the reference
+has no corpus tooling) with the operations a large-scale LLM data
+pipeline runs between dedup and tokenization. Every operator is a pure
+Catalyst composition — no Python in the hot path, no global windows, no
+driver-side data. Determinism is cross-engine by construction (md5
+bucketing, not ``rand()``/``xxhash64``), so each has an exact DuckDB
+oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _det_bucket(key: Column | str, modulus: int) -> Column:
+    """Uniform deterministic bucket in [0, modulus) from the first 8 hex
+    chars of md5(key) — the cross-engine primitive under the samplers.
+    Residue bias for modulus 10_000 over a 16^8 domain is < 2e-6 of a
+    bucket: irrelevant for sampling. md5 (not xxhash64) so any SQL
+    engine computes the identical value."""
+    c = key if isinstance(key, Column) else F.col(key)
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % modulus
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    n_shards: int = 64,
+    shard_col: str | None = None,
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training sequence:
+    within each shard, documents are laid out in ``order_col`` order and
+    a document belongs to the sequence where its token stream STARTS
+    (``floor(tokens_before_it / budget)``) — contiguous offset binning,
+    the deterministic, one-pass form of sequence packing. A sequence may
+    overflow by at most one document (the straddler finishes its
+    sequence); packs that must never overflow instead truncate/split the
+    straddler at tokenization time, which needs no different plan.
+
+    Scale: documents are sharded by a deterministic md5 bucket of
+    ``order_col`` (or a caller-provided ``shard_col`` — e.g. a date or
+    source partition), so the running sum is a window PARTITIONED by
+    shard: |shard| rows per task, never a global single-task window.
+    One hash shuffle total. ``seq_id`` is globally unique:
+    ``shard << 32 | seq_within_shard``.
+    """
+    shard = (
+        F.col(shard_col)
+        if shard_col is not None
+        else _det_bucket(order_col, n_shards)
+    )
+    w = Window.partitionBy("_shard").orderBy(order_col)
+    pre = (F.sum(token_col).over(w) - F.col(token_col)).cast("bigint")
+    return (
+        df.withColumn("_shard", shard.cast("bigint"))
+        .withColumn(
+            seq_col,
+            F.shiftleft(F.col("_shard"), 32) + F.floor(pre / budget),
+        )
+        .withColumn("_seq_offset", pre % budget)
+        .drop("_shard")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows (language/source/quality-band
+    rebalancing), deterministically: a row survives iff its md5 bucket
+    of ``(key, seed)`` falls under its stratum's threshold. Hash-based
+    (not ``sample()``/``rand()``) so the selection is stable across
+    runs, engines and repartitioning, and so the same key always gets
+    the same verdict — a near-dup cluster sampled by cluster id can
+    never leak across the cut.
+
+    Scale: the fraction lookup is a literal ``create_map`` for the
+    dict-sized strata this signature takes (broadcast-join a rates table
+    instead if strata number in the millions); the filter fuses into the
+    scan — zero shuffles, zero extra passes.
+    """
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs += [F.lit(k), F.lit(float(v))]
+    rate = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)], F.lit(float(default_fraction))
+    )
+    bucket = _det_bucket(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")), 10_000)
+    return df.filter(bucket < (rate * 10_000).cast("bigint"))
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep the top ``k`` rows per group (best-quality documents per
+    language, newest snapshot per domain, …). ``order_by`` must be a
+    total order (add a unique id tiebreak) for a deterministic answer.
+
+    Scale: one hash shuffle on the group key; Spark's WindowGroupLimit
+    pushes the per-group limit below the exchange (map-side top-k), so
+    only ≤ k rows per group per mapper ever shuffle — the same shape as
+    a rank-filter in any warehouse, safe at any group cardinality.
+    Skewed groups still cap at k rows out per mapper, which also bounds
+    hot-group reducer input.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    if rank_col is None:
+        return ranked.drop("_rn")
+    return ranked.withColumnRenamed("_rn", rank_col)
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """Per-group sampling weights that reshape the corpus toward a
+    target mixture (domain/language reweighting à la published LLM data
+    recipes): ``weight = target_share / observed_share``. Downstream,
+    repeat-or-drop each document ``weight`` times in expectation (e.g.
+    ``floor(weight) + (bucket < frac(weight))`` with
+    :func:`stratified_sample`'s bucket) to hit the target mix.
+
+    Returns one row per group: ``(group, n_rows, observed_share,
+    target_share, weight)``. Groups absent from ``target_shares`` get
+    weight 0 (dropped from the mixture).
+
+    Scale: one partial-agg shuffle for the group counts (group-cardinality
+    rows), then the grand total joins back as a 1-row broadcast — no
+    global window, no second pass over the data.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    pairs: list[Column] = []
+    for k, v in target_shares.items():
+        pairs += [F.lit(k), F.lit(float(v))]
+    target = F.coalesce(F.create_map(*pairs)[F.col(group_col)], F.lit(0.0))
+    return (
+        counts.join(F.broadcast(total))
+        .withColumn("observed_share", F.col("n_rows") / F.col("_total"))
+        .withColumn("target_share", target)
+        .withColumn(
+            "weight", F.col("target_share") / F.col("observed_share")
+        )
+        .drop("_total")
+    )

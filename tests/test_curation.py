@@ -1,0 +1,131 @@
+"""Curation operators: sequence packing, stratified sampling, per-group
+top-k, mixture reweighting (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+    mixture_weights,
+    pack_sequences,
+    stratified_sample,
+    topk_per_group,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
+
+    return load(spark, SF, "documents")
+
+
+def test_pack_sequences_invariants(docs):
+    budget = 1000
+    out = pack_sequences(
+        docs.select("doc_id", "n_chars"), "n_chars", budget=budget,
+        order_col="doc_id", n_shards=4,
+    ).cache()
+    # lossless: every document assigned exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # a document starts strictly inside its sequence's budget window
+    assert out.filter(
+        (F.col("_seq_offset") < 0) | (F.col("_seq_offset") >= budget)
+    ).count() == 0
+    # within a sequence, total tokens excluding the final straddler fit
+    # the budget: start offset + own tokens ≤ budget for all but the max
+    # doc_id of the sequence
+    w_max = out.groupBy("seq_id").agg(F.max("doc_id").alias("_last"))
+    inner = out.join(w_max, "seq_id").filter(F.col("doc_id") != F.col("_last"))
+    assert inner.filter(
+        F.col("_seq_offset") + F.col("n_chars") > budget
+    ).count() == 0
+    out.unpersist()
+
+
+def test_pack_sequences_shard_isolation(spark):
+    """Explicit shard column: sequences never mix shards, and seq ids
+    from different shards never collide (shard << 32 namespacing)."""
+    df = spark.createDataFrame(
+        [(i, 300, i % 3) for i in range(60)], "id bigint, toks int, shard int"
+    )
+    out = pack_sequences(
+        df, "toks", budget=1000, order_col="id", shard_col="shard"
+    )
+    per_seq = out.groupBy("seq_id").agg(
+        F.countDistinct("shard").alias("n_shards")
+    )
+    assert per_seq.filter(F.col("n_shards") > 1).count() == 0
+    assert out.filter(
+        F.shiftright(F.col("seq_id"), 32) != F.col("shard").cast("bigint")
+    ).count() == 0
+
+
+def test_stratified_sample_deterministic_and_exact(docs):
+    fr = {"en": 0.5, "de": 1.0}
+    a = stratified_sample(docs, "lang", fr, "doc_id").select("doc_id")
+    b = stratified_sample(docs, "lang", fr, "doc_id").select("doc_id")
+    assert sorted(r[0] for r in a.collect()) == sorted(r[0] for r in b.collect())
+    # fraction 1.0 keeps every row of the stratum
+    n_de = docs.filter(F.col("lang") == "de").count()
+    kept_de = stratified_sample(docs, "lang", fr, "doc_id").filter(
+        F.col("lang") == "de"
+    ).count()
+    assert kept_de == n_de
+    # strata absent from the dict default to fraction 0 (dropped)
+    assert stratified_sample(docs, "lang", fr, "doc_id").filter(
+        ~F.col("lang").isin("en", "de")
+    ).count() == 0
+    # en rate lands near 0.5 (binomial tolerance on a small table)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept_en = stratified_sample(docs, "lang", fr, "doc_id").filter(
+        F.col("lang") == "en"
+    ).count()
+    assert abs(kept_en / n_en - 0.5) < 0.2
+
+
+def test_stratified_sample_seed_changes_selection(docs):
+    fr = {"en": 0.5}
+    a = {r[0] for r in stratified_sample(docs, "lang", fr, "doc_id", seed=1)
+         .select("doc_id").collect()}
+    b = {r[0] for r in stratified_sample(docs, "lang", fr, "doc_id", seed=2)
+         .select("doc_id").collect()}
+    assert a != b  # astronomically unlikely to collide if seed is wired
+
+
+def test_topk_per_group(docs):
+    out = topk_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        ["lang"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        k=3,
+        rank_col="rank",
+    ).cache()
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in sizes.values())
+    # the selected rows really are the maxima: the worst selected
+    # n_chars per lang >= the best unselected n_chars per lang
+    worst_sel = out.groupBy("lang").agg(F.min("n_chars").alias("w"))
+    unsel = docs.join(out.select("doc_id"), "doc_id", "left_anti")
+    best_unsel = unsel.groupBy("lang").agg(F.max("n_chars").alias("b"))
+    bad = worst_sel.join(best_unsel, "lang").filter(F.col("w") < F.col("b"))
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_mixture_weights_algebra(docs):
+    target = {"en": 0.6, "de": 0.4}
+    out = {r["lang"]: r for r in mixture_weights(docs, "lang", target).collect()}
+    total = sum(r["n_rows"] for r in out.values())
+    for lang, r in out.items():
+        assert r["observed_share"] == pytest.approx(r["n_rows"] / total)
+        want = target.get(lang, 0.0)
+        assert r["target_share"] == pytest.approx(want)
+        assert r["weight"] == pytest.approx(want / (r["n_rows"] / total))
+    # absent-from-target strata get weight 0, never NULL
+    assert all(r["weight"] is not None for r in out.values())
