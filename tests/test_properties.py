@@ -217,3 +217,48 @@ def test_connected_components_star_matches_union_find(spark, edges):
         for r in connected_components(df, algorithm="star").collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 400)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    budget=st.sampled_from([100, 250, 1000]),
+)
+@PROP
+def test_pack_sequences_matches_python_reference(spark, rows, budget):
+    """pack_sequences == a straightforward per-shard Python scan: lay
+    docs out in order, a doc's sequence is floor(tokens_before/budget)
+    and its offset the remainder — for arbitrary ids/token counts."""
+    import hashlib
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    n_shards = 4
+
+    def shard_of(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_shards
+
+    want = {}
+    by_shard: dict[int, list] = {}
+    for i, toks in sorted(rows):
+        by_shard.setdefault(shard_of(i), []).append((i, toks))
+    for sh, docs in by_shard.items():
+        pre = 0
+        for i, toks in docs:
+            want[i] = ((sh << 32) + pre // budget, pre % budget)
+            pre += toks
+
+    df = spark.createDataFrame(rows, "doc_id bigint, toks bigint")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["_seq_offset"])
+        for r in pack_sequences(
+            df, "toks", budget=budget, order_col="doc_id", n_shards=n_shards
+        ).collect()
+    }
+    assert got == want
