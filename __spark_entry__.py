@@ -1533,6 +1533,27 @@ def _q_x1_tumbling_stream(spark, sf_dir):
     )
 
 
+def _q_x1_sliding_stream(spark, sf_dir):
+    """Structured Streaming twin of x1_sliding_window: the identical
+    hopping-window aggregation compiled incrementally (readStream →
+    window(1h, 30m) agg → availableNow memory sink) — hash-matches the
+    same batch DuckDB oracle, completing stream/batch parity for every
+    window shape the engine ships (tumbling, sliding, session)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        run_available_now,
+        sliding_counts,
+    )
+
+    sdf = _stream_events_src(spark, sf_dir)
+    agg = sliding_counts(sdf, "1 hour", "30 minutes", watermark="2 hours")
+    out = run_available_now(agg, "x1_sliding_stream_tbl")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "n_events",
+        "total_value",
+    )
+
+
 def _q_x1_stream_warehouse(spark, sf_dir):
     """Streaming→warehouse: the tumbling aggregation landed through
     foreachBatch into the SAME WarehouseSink the batch gold writes use
@@ -1963,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_stream_dedup": _q_x1_stream_dedup,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_stateful_totals": _q_x1_stateful_totals,
+        "x1_sliding_stream": _q_x1_sliding_stream,
         # sources / sinks / DQ
         "s4_csv_source": _q_s4_csv_source,
         "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
@@ -1991,7 +2013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining untested singles
         "a1_cube": _q_a1_cube,
         "a1_approx_distinct": _q_a1_approx_distinct,
-        "t_winnow": _q_t_winnow,
         # one representative per already-green §2 family (keeps every
         # family inside the verified window)
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
@@ -2010,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_scd2_close": _q_w3_scd2_close,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_groupby_agg": _q_a1_groupby_agg,
+        "t_winnow": _q_t_winnow,
         "s4_json_source": _q_s4_json_source,
         "s5_parquet_scan": _q_s5_parquet_scan,
         "o1_intersect": _q_o1_intersect,
@@ -2536,6 +2558,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "x1_sliding_window": (
+            "SELECT CAST(ws AS VARCHAR) AS window_start, count(*) AS n_events, "
+            "round(sum(value), 2) AS total_value FROM ("
+            "SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS ws, value"
+            " FROM events "
+            "UNION ALL "
+            "SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) "
+            "- INTERVAL '30 minutes' AS ws, value FROM events) GROUP BY ws"
+        ),
+        "x1_sliding_stream": (
             "SELECT CAST(ws AS VARCHAR) AS window_start, count(*) AS n_events, "
             "round(sum(value), 2) AS total_value FROM ("
             "SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS ws, value"
