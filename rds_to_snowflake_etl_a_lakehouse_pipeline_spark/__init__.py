@@ -10,8 +10,10 @@ Spark-first:
   builders compiled to Catalyst expressions (no Python UDFs in hot paths).
 - ``operators``  — relational operators: windowed dedup, SCD-2 close,
   surrogate keys (reference-faithful and scale-safe), star joins,
-  aggregation surface, dedup (exact/MinHash-LSH/SimHash/Jaccard),
-  similarity search (brute-force + LSH-bucketed ANN).
+  aggregation surface, dedup (exact/MinHash-LSH/SimHash/Jaccard/
+  connected-component), similarity search (brute-force + LSH/IVF ANN),
+  corpus curation (sequence packing, stratified sampling, per-group
+  top-k, mixture reweighting).
 - ``sources``    — readers (parquet/csv/json/jdbc) and sinks (parquet
   table, warehouse/Snowflake-shaped) behind one interface.
 - ``plans``      — the medallion pipeline (bronze/silver/gold builders for

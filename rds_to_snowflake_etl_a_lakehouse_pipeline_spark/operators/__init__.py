@@ -1,6 +1,13 @@
 """Relational / dataflow operators: windows, joins, aggregates,
-dedup (exact + fuzzy), similarity search, multimodal plumbing."""
+dedup (exact + fuzzy), similarity search, multimodal plumbing,
+corpus curation (packing / sampling / selection / reweighting)."""
 
+from .curation import (  # noqa: F401
+    mixture_weights,
+    pack_sequences,
+    stratified_sample,
+    topk_per_group,
+)
 from .joins import star_join  # noqa: F401
 from .windows import (  # noqa: F401
     dedupe_latest,
