@@ -227,7 +227,14 @@ def hash_split(
 def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
     """Uniform deterministic bucket in [0, n_buckets) from md5(key) —
     the primitive under :func:`hash_split`, also usable for hash-based
-    sampling (``hash_bucket(k) < pct``)."""
+    sampling (``hash_bucket(k) < pct``).
+
+    Residue bias: the 4-hex-digit domain (16⁴ = 65 536) is not a
+    multiple of 100, so buckets 0–35 are hit by 656 residues and 36–99
+    by 655 — a ≤0.16% relative skew, irrelevant for split assignment
+    (and exactly mirrored by any oracle computing the same formula).
+    ``operators/curation._det_bucket`` widens to 8 hex digits where
+    finer thresholds matter."""
     c = _col(key).cast("string")
     return (F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("bigint") % n_buckets).cast(
         "int"
@@ -297,18 +304,16 @@ def scrub_pii(col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PAT
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
     """Fraction of tokens that are (English) stopwords — crude fluency
-    signal; round 6 for oracle-stable doubles."""
+    signal; round 6 for oracle-stable doubles. Exact token-level count
+    via a higher-order ``filter`` over the whitespace tokenization (the
+    earlier replace-based substring count consumed the shared space
+    between immediately-consecutive stopwords and undercounted
+    "the the"-style runs)."""
     c = _col(col)
     tokens = token_count(c)
-    hits: Column = F.lit(0)
-    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
-    for w in stopwords:
-        # count occurrences of " w " — overlapping occurrences are not a
-        # concern for single-space-joined prose
-        hits = hits + (
-            (F.length(padded) - F.length(F.replace(padded, F.lit(f" {w} "), F.lit(""))))
-            / F.lit(len(w) + 2)
-        ).cast("bigint")
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    stops = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
     return F.round(
         F.when(tokens > 0, hits.cast("double") / tokens.cast("double")).otherwise(F.lit(0.0)), 6
     )

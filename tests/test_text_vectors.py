@@ -151,3 +151,22 @@ def test_gopher_quality_flags(spark):
     assert out[3]["ellipsis_line_ratio"] == 1.0 and out[3]["pass_gopher"] is False
     assert out[4]["pass_gopher"] is False  # too few words, no stopwords
     assert out[1]["stopword_hits"] >= 5
+
+
+def test_stopword_ratio_counts_consecutive_stopwords(spark):
+    """'the the the cat' = 3 stopword tokens of 4 — the replace-based
+    count this replaced saw only 2 (shared spaces)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        stopword_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "no stop words here at all"),
+         (3, ""), (4, None)],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["r"] for r in
+           df.select("id", stopword_ratio("text").alias("r")).collect()}
+    assert got[1] == 0.75
+    assert got[2] == 0.0
+    assert got[3] == 0.0
