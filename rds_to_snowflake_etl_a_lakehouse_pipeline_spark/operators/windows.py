@@ -154,14 +154,15 @@ def surrogate_key_two_phase(
     keys = list(order_cols)
 
     est_bytes = None
-    try:
-        # py4j returns a plain int for scala BigInt; str() also covers a
-        # raw java.math.BigInteger, should a Spark version hand one back.
-        est_bytes = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
-    except Exception:  # noqa: BLE001 — estimate is best-effort; fall through to count
-        pass
+    if small_bytes > 0:  # small_bytes <= 0 opts out: always count+bucket
+        try:
+            # py4j returns a plain int for scala BigInt; str() also covers
+            # a raw java.math.BigInteger from other Spark versions.
+            est_bytes = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:  # noqa: BLE001 — best-effort; fall through to count
+            pass
     if est_bytes is not None and est_bytes <= small_bytes:
         return _single_bucket_key(df, keys, key_col)
 
@@ -183,9 +184,16 @@ def surrogate_key_two_phase(
         step = len(sample) / n_buckets
         boundaries = [sample[int(i * step)] for i in range(1, n_buckets)]
     key_struct = F.struct(*_cols(keys))
+    # boundary literals must carry the key columns' exact types: a
+    # Python int samples back as an INT literal, and Spark refuses
+    # STRUCT<BIGINT> >= STRUCT<INT> (no struct-wide coercion)
+    key_types = [df.schema[k].dataType for k in keys]
     bucket = F.lit(0)
     for b in boundaries:
-        bucket = bucket + (key_struct >= F.struct(*[F.lit(v) for v in b])).cast("int")
+        lit_struct = F.struct(
+            *[F.lit(v).cast(t) for v, t in zip(b, key_types)]
+        )
+        bucket = bucket + (key_struct >= lit_struct).cast("int")
     tagged = df.withColumn("_bkt", bucket)
 
     # Phase 2: narrow per-bucket counts → broadcast offsets.

@@ -68,9 +68,13 @@ def test_surrogate_key_dense_and_ordered(spark):
 def test_surrogate_two_phase_matches_faithful(spark):
     df = spark.createDataFrame([(i,) for i in range(997, -1, -1)], "id int")
     faithful = {r["id"]: r["sk"] for r in surrogate_key(df, ["id"], "sk").collect()}
+    # small_bytes=0 disables the dim-size estimate fast path so this
+    # genuinely runs the counted single-bucket branch
     two_phase = {
         r["id"]: r["sk"]
-        for r in surrogate_key_two_phase(df, ["id"], "sk", num_partitions=7).collect()
+        for r in surrogate_key_two_phase(
+            df, ["id"], "sk", num_partitions=7, small_bytes=0
+        ).collect()
     }
     assert faithful == two_phase
     assert sorted(two_phase.values()) == list(range(1, 999))
@@ -87,12 +91,17 @@ def test_surrogate_two_phase_multibucket_path(spark):
         (r["start"], r["key"]): r["sk"]
         for r in surrogate_key(df, order, "sk").collect()
     }
+    # small_bytes=0 disables the estimate fast path; tiny rows_per_bucket
+    # then forces the genuinely-bucketed branch (multiple range buckets,
+    # broadcast offsets join)
     ranged = surrogate_key_two_phase(
-        df, order, "sk", num_partitions=8, rows_per_bucket=50
+        df, order, "sk", num_partitions=8, rows_per_bucket=50, small_bytes=0
     )
     got = {(r["start"], r["key"]): r["sk"] for r in ranged.collect()}
     assert got == faithful
-    # re-evaluation (no checkpoint) must be deterministic
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan  # the bucketed path, not a single window
+    # re-evaluation must be deterministic
     again = {(r["start"], r["key"]): r["sk"] for r in ranged.collect()}
     assert again == faithful
 
@@ -146,3 +155,20 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(
         map(tuple, plain_l.collect()), key=str
     )
+
+
+def test_surrogate_two_phase_at_default_scale_threshold(spark):
+    """5M rows crosses the default 4M rows_per_bucket, so the REAL
+    multi-bucket branch runs with production defaults (estimate
+    fast-path included — spark.range's estimate is accurate and small,
+    so disable it explicitly). Ordering by id makes the exact answer
+    id+1, checkable distributed without a faithful twin."""
+    from pyspark.sql import functions as F
+
+    n = 5_000_000
+    df = spark.range(n)  # columns: id
+    out = surrogate_key_two_phase(
+        df, ["id"], "sk", materialize=False, small_bytes=0
+    )
+    bad = out.filter(F.col("sk") != F.col("id") + 1).count()
+    assert bad == 0
