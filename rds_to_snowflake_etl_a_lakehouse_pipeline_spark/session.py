@@ -44,6 +44,16 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode: driver == all executors, but Spark's default heap
+        # is 1g — 32 concurrent tasks of Arrow batches OOM long before
+        # the machine is full (measured: a 50k-doc minhash pass died at
+        # the default). Only effective for the process's FIRST session
+        # (the JVM is sized at launch); a cluster deployment sizes
+        # executors via spark-submit instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # AQE: runtime partition coalescing, skew-join splitting, dynamic
         # join-strategy switch — the scale story for unknown data shapes.
         .config("spark.sql.adaptive.enabled", "true")

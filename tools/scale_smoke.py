@@ -1,0 +1,118 @@
+"""Scale smoke: run the heavy operators on an N×-replicated corpus and
+print per-stage wall-clock + output sanity. The point is not absolute
+speed but SCALING SHAPE — a stage whose time grows faster than the
+corpus has a hidden n² or single-task path (that is how the 5M-row
+surrogate-key type bug was caught; see SCALE.md).
+
+Usage: python tools/scale_smoke.py [multiplier] [sf_dir]
+Builds <multiplier>× documents/embeddings in /tmp by unioning the base
+corpus with offset ids and per-copy token perturbation (so copies are
+near-dups of each other, exercising the dedup tiers realistically).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        cc_dedup,
+        exact_dedup,
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import get_spark, load
+
+    spark = get_spark("scale-smoke")
+    base_docs = load(spark, sf_dir, "documents")
+    base_emb = load(spark, sf_dir, "embeddings")
+    n_base = base_docs.count()
+
+    copies = [
+        base_docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            # perturb each copy so replicas are near- (not exact-) dups
+            F.concat(F.col("text"), F.lit(f" copymark{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(mult)
+    ]
+    docs_path = f"/tmp/scale_smoke_docs_{mult}x"
+    if not os.path.exists(docs_path):
+        d = copies[0]
+        for c in copies[1:]:
+            d = d.unionByName(c)
+        d.repartition(32).write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+
+    emb_copies = [
+        base_emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"), "embedding"
+        )
+        for i in range(mult)
+    ]
+    emb = emb_copies[0]
+    for c in emb_copies[1:]:
+        emb = emb.unionByName(c)
+    emb = emb.repartition(32).localCheckpoint(eager=True)
+    n_emb = emb.count()
+
+    timings: dict[str, float] = {}
+    stats: dict[str, int] = {"n_docs": n_docs, "n_base": n_base, "n_emb": n_emb}
+
+    def stage(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 2)
+        return out
+
+    stats["exact_survivors"] = stage(
+        "exact_dedup", lambda: exact_dedup(docs, ["text"], order_col="doc_id").count()
+    )
+    stats["minhash_survivors"] = stage(
+        "minhash_dedup",
+        lambda: minhash_lsh_dedup(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+            max_bucket_size=64,
+        ).count(),
+    )
+
+    def _cc():
+        pairs = ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.2, max_df=2000
+        )
+        return cc_dedup(docs, "doc_id", pairs).count()
+
+    stats["cc_survivors"] = stage("ngram_cc_dedup", _cc)
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    stats["topk_rows"] = stage(
+        "cosine_topk",
+        lambda: brute_force_topk(emb.filter(F.col("vec_id") >= 3), q, k=10).count(),
+    )
+
+    print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
