@@ -1867,6 +1867,42 @@ def _q_v_ivf_index_topk(spark, sf_dir):
     return ivf_query_index(spark, "ivf_index_embeddings", q, centroids, k=10)
 
 
+def _q_s10_incremental_load(spark, sf_dir):
+    """CDC-style incremental ingestion (plans/incremental.py): run 1
+    full-loads orders into a catalog target; run 2 pulls only the delta
+    at-or-after the target's high watermark (updated rows carry
+    o_orderdate + 10 days, so every update clears the bound) and MERGEs
+    it (updates win per key). The oracle replays the same two-batch
+    semantics in SQL, proving both the watermark filter and the merge."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.incremental import (
+        incremental_upsert,
+    )
+
+    table = "inc_orders_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    incremental_upsert(
+        spark, o, table, keys=["o_orderkey"], watermark_col="o_orderdate"
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 100, 2).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("o_orderdate"),
+    )
+    final = incremental_upsert(
+        spark, updates, table, keys=["o_orderkey"], watermark_col="o_orderdate"
+    )
+    return final.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+    )
+
+
 # Curation operators (operators/curation.py) ------------------------------
 
 
@@ -1991,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_partition_pruning": _q_s6_partition_pruning,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
         "s9_dq_gate": _q_s9_dq_gate,
+        "s10_incremental_load": _q_s10_incremental_load,
         # temporal / skew joins, merge
         "x2_asof_join": _q_x2_asof_join,
         "x2_range_join": _q_x2_range_join,
@@ -2011,7 +2048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_chunk_dedup": _q_t_chunk_dedup,
         "t_decontaminate": _q_t_decontaminate,
         # remaining untested singles
-        "a1_cube": _q_a1_cube,
         "a1_approx_distinct": _q_a1_approx_distinct,
         # one representative per already-green §2 family (keeps every
         # family inside the verified window)
@@ -2032,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "t_winnow": _q_t_winnow,
+        "a1_cube": _q_a1_cube,
         "s4_json_source": _q_s4_json_source,
         "s5_parquet_scan": _q_s5_parquet_scan,
         "o1_intersect": _q_o1_intersect,
@@ -2715,6 +2752,21 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT l_orderkey) AS _dq_okey_distinct, "
             "CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1) "
             "THEN 1 ELSE 0 END) AS BIGINT) AS _dq_disc_range FROM lineitem"
+        ),
+        "s10_incremental_load": (
+            "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, "
+            "o_orderdate FROM orders), "
+            "wm AS (SELECT max(o_orderdate) AS m FROM base), "
+            "upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, "
+            "round(o_totalprice + 100, 2) AS o_totalprice, "
+            "o_orderdate + INTERVAL 10 DAY AS o_orderdate "
+            "FROM base WHERE o_orderkey % 3 = 0), "
+            "kept AS (SELECT u.* FROM upd u, wm WHERE u.o_orderdate >= wm.m) "
+            "SELECT b.o_orderkey, "
+            "coalesce(k.o_orderstatus, b.o_orderstatus) AS o_orderstatus, "
+            "round(coalesce(k.o_totalprice, b.o_totalprice), 2) AS o_totalprice, "
+            "CAST(coalesce(k.o_orderdate, b.o_orderdate) AS VARCHAR) "
+            "AS o_orderdate FROM base b LEFT JOIN kept k USING (o_orderkey)"
         ),
         "f17_current_timestamp": (
             "SELECT n_nationkey, now() > TIMESTAMP '2020-01-01' AS ts_after_2020 "

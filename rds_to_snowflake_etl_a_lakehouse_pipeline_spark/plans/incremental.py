@@ -1,0 +1,86 @@
+"""Incremental (CDC-style) loads: high-watermark extraction + idempotent
+merge into a catalog target.
+
+The reference's jobs re-read whole RDS tables and overwrite gold every
+run (e.g. ``gold-snowflake/dim_customers_gold.py:72-81`` overwrites the
+Snowflake table); a production RDS→warehouse sync instead pulls only
+rows newer than the last high-watermark and MERGEs them. This module is
+that pattern, Spark-first: the watermark is read from the target itself
+(one max() over a pruned column — no separate state store to drift out
+of sync), the merge is :func:`~..operators.windows.merge_upsert` (one
+shuffle, last-writer-wins), and the write goes through
+``sources.io.write_table``'s stage-and-swap (safe to read the target
+inside the plan that overwrites it; a failed write never destroys the
+previous table).
+
+At scale: the watermark ``max()`` is a column-pruned scan (on a table
+partitioned by the watermark column it reads one partition's footer
+stats); the source filter pushes the watermark predicate down to the
+JDBC source / parquet scan, so each run moves only the delta.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def high_watermark(spark: SparkSession, table: str, col: str):
+    """Max ``col`` of ``table``, or None when the table does not exist /
+    is empty — the resume point for the next incremental pull."""
+    if not spark.catalog.tableExists(table):
+        return None
+    return spark.table(table).agg(F.max(col).alias("wm")).first()["wm"]
+
+
+def incremental_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    watermark_col: str,
+    order_col: str | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """One incremental run: filter ``source`` to rows at-or-after the
+    target's high watermark, merge them in (updates win, within-batch
+    last-writer-wins by ``order_col``), stage-swap the result into
+    ``table``, and return the new table.
+
+    ``inclusive=True`` (default) re-reads rows AT the watermark: a batch
+    cut mid-timestamp (two source rows sharing the boundary value, one
+    extracted last run, one not) would silently lose the straggler under
+    a strict ``>`` filter. The re-read rows merge onto themselves, so
+    inclusivity costs one boundary value's volume and the run stays
+    idempotent — re-running the same batch is a no-op. Pass
+    ``inclusive=False`` only when the watermark column is known
+    strictly monotonic (e.g. an auto-increment id).
+
+    ``order_col`` defaults to ``watermark_col`` — last-writer-wins by
+    event time, the CDC semantics a change feed wants.
+    """
+    from ..sources.io import write_table
+
+    order = order_col or watermark_col
+    wm = high_watermark(spark, table, watermark_col)
+    if wm is None:
+        fresh = source
+    else:
+        bound = F.col(watermark_col) >= F.lit(wm) if inclusive else (
+            F.col(watermark_col) > F.lit(wm)
+        )
+        fresh = source.filter(bound)
+
+    if spark.catalog.tableExists(table):
+        from ..operators.windows import merge_upsert
+
+        merged = merge_upsert(spark.table(table), fresh, list(keys), order_col=order)
+    else:
+        # first run: within-batch dedup with the same last-writer-wins
+        from ..operators.windows import dedupe_latest
+
+        merged = dedupe_latest(fresh, list(keys), order)
+    write_table(merged, table)
+    return spark.table(table)
