@@ -1867,6 +1867,33 @@ def _q_v_ivf_index_topk(spark, sf_dir):
     return ivf_query_index(spark, "ivf_index_embeddings", q, centroids, k=10)
 
 
+def _q_d_minhash_index_dedup(spark, sf_dir):
+    """Write-once MinHash index + incremental batch dedup
+    (operators/dedup.py::minhash_build_index / minhash_incremental_dedup
+    — the text-tier twin of the IVF vector index): even doc_ids are
+    indexed as the standing corpus, odd doc_ids arrive as a batch and
+    keep only documents that near-dup neither the index nor an earlier
+    batch document. Rows-only by design (sketch internals); the exact
+    twin d_ngram_jaccard and the d_minhash_* queries are the
+    oracle-anchored relatives, and pytest proves the index/append
+    behavior on known corpora."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+    )
+
+    table = "mh_idx_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    minhash_build_index(corpus, table)
+    surv = minhash_incremental_dedup(
+        spark, table, batch, threshold=0.5, append=False
+    )
+    return surv.select("doc_id").orderBy("doc_id")
+
+
 def _q_s10_incremental_load(spark, sf_dir):
     """CDC-style incremental ingestion (plans/incremental.py): run 1
     full-loads orders into a catalog target; run 2 pulls only the delta
@@ -2005,8 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup tiers (exact → ngram → minhash → simhash → cosine)
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
-        "d_minhash_pairs": _q_d_minhash_pairs,
         "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
         "d_simhash_pairs": _q_d_simhash_pairs,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
@@ -2069,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_groupby_agg": _q_a1_groupby_agg,
         "t_winnow": _q_t_winnow,
         "a1_cube": _q_a1_cube,
+        "d_minhash_pairs": _q_d_minhash_pairs,
         "s4_json_source": _q_s4_json_source,
         "s5_parquet_scan": _q_s5_parquet_scan,
         "o1_intersect": _q_o1_intersect,

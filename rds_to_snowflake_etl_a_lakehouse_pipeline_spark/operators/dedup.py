@@ -175,6 +175,184 @@ def with_minhash_signature_arrow(
     return df.withColumn(out_col, sig(F.col(text_col)))
 
 
+def _signature_table(df, id_col, text_col, num_hashes, shingle_n, impl):
+    """Narrow (_id, _sig) MinHash signature table (Arrow kernel by
+    default; Catalyst reference impl for oracle parity checks)."""
+    if impl == "arrow":
+        sig = with_minhash_signature_arrow(
+            _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col))),
+            text_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+        ).select("_id", "_sig")
+    else:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+        )
+    return sig.filter(F.col("_sig").isNotNull())
+
+
+def _band_explode(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, _sig) → (_id, _sig, band, bucket): one row per band, bucket
+    = hash of that band's signature slice. Pure Catalyst explode."""
+    return sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+
+
+def _jaccard_est(sig_x, sig_y, num_hashes: int):
+    """Estimated jaccard = matching signature components / num_hashes."""
+    return F.aggregate(
+        F.zip_with(sig_x, sig_y, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_hashes))
+
+
+def minhash_build_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    impl: str = "arrow",
+    n_buckets: int = 32,
+) -> None:
+    """Write the banded MinHash signature index as a bucketed catalog
+    table — the write-once / query-many form the
+    :func:`minhash_lsh_pairs` docstring points to for warehouse scale
+    (the text-tier twin of ``similarity.ivf_build_index``).
+
+    The table holds (doc_id, sig, band, bucket), hash-bucketed on the
+    LSH ``bucket`` column: every later probe joins on (band, bucket),
+    so the corpus side of that join is pre-shuffled at write time and
+    never moves again — incremental batches pay only their own
+    signatures. Append-friendly: new survivors insert into the same
+    bucketing (see :func:`minhash_incremental_dedup`).
+    """
+    from ..sources.io import write_table
+
+    banded = _band_explode(
+        _signature_table(df, id_col, text_col, num_hashes, shingle_n, impl),
+        bands,
+        num_hashes // bands,
+    ).select(F.col("_id").alias(id_col), F.col("_sig").alias("sig"), "band", "bucket")
+    write_table(banded, table, bucket_by=(n_buckets, ["bucket"]))
+
+
+def minhash_query_index(
+    spark,
+    table: str,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard_est) for every new document whose
+    estimated jaccard against an indexed corpus document clears the
+    threshold. Signature parameters must match the index build. Only
+    the new batch is signed and exploded; the corpus index streams out
+    of its bucketed table into the (band, bucket) join."""
+    idx = spark.table(table)
+    nb = _band_explode(
+        _signature_table(new_df, id_col, text_col, num_hashes, shingle_n, impl),
+        bands,
+        num_hashes // bands,
+    )
+    return (
+        nb.alias("n")
+        .join(
+            idx.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n._id").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.round(
+                _jaccard_est(F.col("n._sig"), F.col("c.sig"), num_hashes), 6
+            ).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+
+def minhash_incremental_dedup(
+    spark,
+    table: str,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    append: bool = True,
+    **sig_kwargs,
+) -> DataFrame:
+    """Incremental corpus curation: drop new documents that are
+    near-dups of the ALREADY-INDEXED corpus or of an earlier document
+    in the same batch, then (``append=True``) add the survivors'
+    signatures to the index — so the next batch dedups against
+    everything that came before. The streaming-corpus form of
+    :func:`minhash_lsh_dedup`: each batch costs its own signatures plus
+    one bucketed join against the index, never a corpus re-scan.
+    """
+    num_hashes = sig_kwargs.get("num_hashes", 64)
+    bands = sig_kwargs.get("bands", 16)
+    shingle_n = sig_kwargs.get("shingle_n", 5)
+    impl = sig_kwargs.get("impl", "arrow")
+
+    vs_corpus = minhash_query_index(
+        spark, table, new_df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, impl=impl,
+    ).select(F.col("new_id").alias(id_col))
+    within = minhash_lsh_pairs(
+        new_df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, impl=impl,
+    ).select(F.col("id_b").alias(id_col))
+    losers = vs_corpus.unionByName(within).distinct()
+    survivors = new_df.join(losers, id_col, "left_anti").localCheckpoint(eager=True)
+
+    if append:
+        from ..sources.io import write_table
+
+        banded = _band_explode(
+            _signature_table(survivors, id_col, text_col, num_hashes, shingle_n, impl),
+            bands,
+            num_hashes // bands,
+        ).select(
+            F.col("_id").alias(id_col), F.col("_sig").alias("sig"), "band", "bucket"
+        )
+        write_table(banded, table, mode="append", bucket_by=(32, ["bucket"]))
+    return survivors
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -231,19 +409,7 @@ def minhash_lsh_pairs(
     rather than the raw pair list.
     """
     rows_per_band = num_hashes // bands
-    if impl == "arrow":
-        sig = with_minhash_signature_arrow(
-            _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col))),
-            text_col,
-            num_hashes=num_hashes,
-            shingle_n=shingle_n,
-        ).select("_id", "_sig")
-    else:
-        sig = df.select(
-            F.col(id_col).alias("_id"),
-            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
-        )
-    sig = sig.filter(F.col("_sig").isNotNull())
+    sig = _signature_table(df, id_col, text_col, num_hashes, shingle_n, impl)
     if persist_index:
         # Materialize the narrow (_id, _sig) table — NOT the 16×-exploded
         # banded table — eagerly so the self-join's two scans don't each
@@ -256,35 +422,10 @@ def minhash_lsh_pairs(
         # long-lived pipelines don't accumulate executor storage.
         sig = sig.localCheckpoint(eager=True)
 
-    banded = sig.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    banded = _band_explode(sig, bands, rows_per_band)
 
     def _est(sig_x, sig_y):
-        # estimated jaccard = matching signature components / num_hashes
-        return F.aggregate(
-            F.zip_with(sig_x, sig_y, lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double") / F.lit(float(num_hashes))
+        return _jaccard_est(sig_x, sig_y, num_hashes)
 
     hot_pairs = None
     if max_bucket_size is not None:

@@ -508,3 +508,69 @@ def test_approx_count_distinct_within_rsd(spark):
     assert est.keys() == exact.keys()
     for k, v in exact.items():
         assert abs(est[k] - v) <= max(1, 0.10 * v), (k, est[k], v)
+
+
+def test_minhash_index_build_query_incremental(spark):
+    """Write-once banded signature index: batch 1 builds it; batch 2's
+    exact copies are flagged against the INDEX (not a corpus re-scan),
+    fresh docs survive and are appended; batch 3 re-sending a batch-2
+    survivor is now flagged — proving the append extended the corpus."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+        minhash_query_index,
+    )
+
+    t = "mh_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely unrelated text " * 3)],
+        "doc_id bigint, text string",
+    )
+    minhash_build_index(corpus, t)
+
+    batch2 = spark.createDataFrame(
+        [(10, base),                                   # exact dup of doc 1
+         (11, "fresh new content nothing like the corpus at all " * 3)],
+        "doc_id bigint, text string",
+    )
+    hits = minhash_query_index(spark, t, batch2, threshold=0.9)
+    assert {r["new_id"] for r in hits.collect()} == {10}
+
+    surv2 = minhash_incremental_dedup(spark, t, batch2, threshold=0.9)
+    assert {r["doc_id"] for r in surv2.collect()} == {11}
+
+    batch3 = spark.createDataFrame(
+        [(20, "fresh new content nothing like the corpus at all " * 3),  # dup of 11
+         (21, "yet another brand new unique document body here " * 3)],
+        "doc_id bigint, text string",
+    )
+    surv3 = minhash_incremental_dedup(spark, t, batch3, threshold=0.9)
+    assert {r["doc_id"] for r in surv3.collect()} == {21}
+
+
+def test_minhash_index_within_batch_dedup(spark):
+    """Two near-identical docs arriving in the SAME batch: only the
+    lower id survives (greedy within-batch pass), and only the survivor
+    is appended to the index."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+    )
+
+    t = "mh_idx_batch_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    minhash_build_index(
+        spark.createDataFrame([(1, "seed corpus doc " * 10)], "doc_id bigint, text string"),
+        t,
+    )
+    dup_text = "twin payload words repeated for signature stability " * 3
+    batch = spark.createDataFrame(
+        [(30, dup_text), (31, dup_text)], "doc_id bigint, text string"
+    )
+    surv = minhash_incremental_dedup(spark, t, batch, threshold=0.9)
+    assert {r["doc_id"] for r in surv.collect()} == {30}
+    # index holds signatures for docs 1 and 30 only
+    indexed = {r["doc_id"] for r in spark.table(t).select("doc_id").distinct().collect()}
+    assert indexed == {1, 30}
