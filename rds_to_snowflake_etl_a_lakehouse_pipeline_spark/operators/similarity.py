@@ -229,6 +229,44 @@ def ivf_build_index(
     return [list(map(float, ct)) for ct in model.clusterCenters()]
 
 
+def ivf_append_index(
+    new_vectors: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted :func:`ivf_build_index` table:
+    assign each new vector to its nearest EXISTING centroid (one numpy
+    matmul against the tiny centroid matrix per Arrow batch — no
+    re-clustering, no corpus re-scan) and append into the same
+    cell-partitioned layout, so :func:`ivf_query_index` probes see old
+    and new vectors alike. The streaming-ingest form of the vector
+    index, mirroring ``dedup.minhash_incremental_dedup`` for text.
+
+    Quantizer drift: appended data is binned by the ORIGINAL centroids.
+    If the new distribution shifts far from the fit, cells skew and
+    probe recall decays — monitor cell-size balance (one
+    ``groupBy("_cell").count()``) and rebuild with
+    :func:`ivf_build_index` when it degrades; rebuild cost is one fit on
+    a bounded sample plus one assignment pass.
+    """
+    from ..sources.io import write_table
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    assigned = new_vectors.select(
+        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
+    )
+    write_table(assigned, table, mode="append", partition_by=["_cell"])
+
+
 def ivf_query_index(
     spark,
     table: str,

@@ -574,3 +574,37 @@ def test_minhash_index_within_batch_dedup(spark):
     # index holds signatures for docs 1 and 30 only
     indexed = {r["doc_id"] for r in spark.table(t).select("doc_id").distinct().collect()}
     assert indexed == {1, 30}
+
+
+def test_ivf_append_index_extends_probes(spark):
+    """Vectors appended with ivf_append_index are found by
+    ivf_query_index probes (cell assignment matches the model's own),
+    and the partitioned layout is preserved."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    t = "ivf_append_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)  # appended later
+    centroids = ivf_build_index(base, t, n_clusters=8)
+
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = ivf_query_index(spark, t, q, centroids, k=5, n_probe=8)
+    # before the append, a query vector cannot find itself in the index
+    assert before.filter(F.col("vec_id") == F.col("query_id")).count() == 0
+
+    ivf_append_index(extra, t, centroids)
+    after = ivf_query_index(spark, t, q, centroids, k=5, n_probe=8)
+    # n_probe=8 == n_clusters -> exhaustive probe: every query now finds
+    # itself at cos_sim 1.0, rank 1
+    self_hits = after.filter(
+        (F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1)
+    )
+    assert self_hits.count() == q.count()
