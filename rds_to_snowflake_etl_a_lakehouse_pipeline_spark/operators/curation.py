@@ -52,6 +52,12 @@ def pack_sequences(
     shard: |shard| rows per task, never a global single-task window.
     One hash shuffle total. ``seq_id`` is globally unique:
     ``shard << 32 | seq_within_shard``.
+
+    Contract: ``order_col`` must be unique per row within a shard (the
+    running sum's default RANGE frame gives tied rows identical
+    offsets) and non-NULL; caller-provided ``shard_col`` values must be
+    non-negative and < 2³¹ (the seq-id namespacing shifts them into the
+    high bits).
     """
     shard = (
         F.col(shard_col)
@@ -91,6 +97,11 @@ def stratified_sample(
     dict-sized strata this signature takes (broadcast-join a rates table
     instead if strata number in the millions); the filter fuses into the
     scan — zero shuffles, zero extra passes.
+
+    NULL handling: a NULL ``key_col`` hashes to NULL and is DROPPED
+    (the threshold comparison is never true), and a NULL stratum falls
+    to ``default_fraction`` — make keys non-NULL upstream if every row
+    must be eligible.
     """
     pairs: list[Column] = []
     for k, v in fractions.items():

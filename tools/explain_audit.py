@@ -41,6 +41,11 @@ AUDIT = [
     "d_ngram_jaccard",
     "d_cc_dedup",
     "e_json_extract",
+    "t_pack_sequences",
+    "t_stratified_sample",
+    "t_best_per_lang",
+    "t_mixture_weights",
+    "s10_incremental_load",
 ]
 
 
