@@ -2012,6 +2012,27 @@ def _q_t_mixture_weights(spark, sf_dir):
     )
 
 
+def _q_t_apply_mixture(spark, sf_dir):
+    """Materialized mixture resampling (operators/curation.py::
+    apply_mixture): every document repeated floor(weight) times plus a
+    deterministic md5-bucket extra with probability frac(weight) — the
+    oracle replays the identical weight arithmetic and bucketing, so
+    the exact multiset of (doc_id, copy_idx) must match."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        apply_mixture,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    out = apply_mixture(
+        d,
+        "lang",
+        {"en": 0.3, "de": 0.25, "fr": 0.2, "es": 0.15, "zh": 0.1},
+        key_col="doc_id",
+        seed=7,
+    )
+    return out.select("doc_id", "lang", "copy_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only. The front 50 is a
@@ -2049,7 +2070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_stateful_totals": _q_x1_stateful_totals,
         "x1_sliding_stream": _q_x1_sliding_stream,
         # sources / sinks / DQ
-        "s4_csv_source": _q_s4_csv_source,
         "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
         "s6_partition_pruning": _q_s6_partition_pruning,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -2088,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": _q_t_stratified_sample,
         "t_best_per_lang": _q_t_best_per_lang,
         "t_mixture_weights": _q_t_mixture_weights,
+        "t_apply_mixture": _q_t_apply_mixture,
         # ---- driver cap boundary (entry 50) ----
         # proven green in CORRECTNESS_r02/r03.json; kept registered and
         # rotated back into the window in future rounds
@@ -2097,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_winnow": _q_t_winnow,
         "a1_cube": _q_a1_cube,
         "d_minhash_pairs": _q_d_minhash_pairs,
+        "s4_csv_source": _q_s4_csv_source,
         "s4_json_source": _q_s4_json_source,
         "s5_parquet_scan": _q_s5_parquet_scan,
         "o1_intersect": _q_o1_intersect,
@@ -2484,6 +2506,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, rank, doc_id, quality FROM ("
             "SELECT *, row_number() OVER (PARTITION BY lang "
             "ORDER BY quality DESC, doc_id) AS rank FROM q) WHERE rank <= 5"
+        ),
+        "t_apply_mixture": (
+            "WITH c AS (SELECT lang, count(*) AS n_rows FROM documents "
+            "GROUP BY lang), t AS (SELECT sum(n_rows) AS total FROM c), "
+            "w AS (SELECT lang, (CASE lang WHEN 'en' THEN 0.3 "
+            "WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.15 "
+            "WHEN 'zh' THEN 0.1 ELSE 0.0 END) / (n_rows::DOUBLE / total) "
+            "AS weight FROM c, t), "
+            "d AS (SELECT doc_id, d0.lang, weight, "
+            "CAST(floor(weight) AS BIGINT) AS base, "
+            "('0x'||substr(md5(doc_id::VARCHAR || '#7'),1,8))::BIGINT "
+            "% 10000 AS bucket FROM documents d0 JOIN w USING (lang)), "
+            "n AS (SELECT doc_id, lang, base + CASE WHEN bucket < "
+            "CAST(floor((weight - base) * 10000) AS BIGINT) THEN 1 ELSE 0 "
+            "END AS n FROM d) "
+            "SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_idx "
+            "FROM n"
         ),
         "t_mixture_weights": (
             "WITH c AS (SELECT lang, count(*) AS n_rows FROM documents "

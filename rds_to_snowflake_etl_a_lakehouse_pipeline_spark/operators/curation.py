@@ -175,3 +175,45 @@ def mixture_weights(
         )
         .drop("_total")
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize :func:`mixture_weights`: emit each row
+    ``floor(weight)`` times plus one more with probability
+    ``frac(weight)`` — deterministic repeat-or-drop via the same md5
+    bucketing as :func:`stratified_sample`, so the expected group
+    volumes hit the target mixture and re-runs emit the identical
+    rows. Output gains ``copy_col`` (1-based repeat index) so
+    downstream shuffles/dedup can tell copies apart.
+
+    Scale: the (group → weight) table is group-cardinality rows,
+    broadcast onto the corpus; the explode is ``weight``-bounded per
+    row (upsampling factors in data recipes are single digits) and
+    fuses into the scan stage — one aggregation pass for the weights,
+    one map-side pass for the materialization, no extra shuffle.
+    """
+    weights = mixture_weights(df, group_col, target_shares).select(
+        group_col, "weight"
+    )
+    bucket = _det_bucket(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")), 10_000
+    )
+    base = F.floor("weight").cast("bigint")
+    frac = F.col("weight") - base
+    n = base + (bucket < (frac * 10_000).cast("bigint")).cast("bigint")
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0] — guard n < 1
+    copies = F.when(n >= 1, F.sequence(F.lit(1).cast("bigint"), n)).otherwise(
+        F.array()
+    )
+    return (
+        df.join(F.broadcast(weights), group_col)
+        .withColumn(copy_col, F.explode(copies))
+        .drop("weight")
+    )

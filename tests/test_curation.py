@@ -129,3 +129,36 @@ def test_mixture_weights_algebra(docs):
         assert r["weight"] == pytest.approx(want / (r["n_rows"] / total))
     # absent-from-target strata get weight 0, never NULL
     assert all(r["weight"] is not None for r in out.values())
+
+
+def test_apply_mixture_materializes_expected_volumes(docs):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        apply_mixture,
+        mixture_weights,
+    )
+
+    target = {"en": 0.6, "de": 0.4}
+    out = apply_mixture(docs, "lang", target, key_col="doc_id").cache()
+    # deterministic: re-run emits the identical multiset
+    again = apply_mixture(docs, "lang", target, key_col="doc_id")
+    assert sorted(map(tuple, out.select("doc_id", "copy_idx").collect())) == \
+        sorted(map(tuple, again.select("doc_id", "copy_idx").collect()))
+    # groups absent from the target are dropped entirely
+    assert out.filter(~F.col("lang").isin("en", "de")).count() == 0
+    # per-group output volume == n_rows * weight within the one-extra
+    # granularity of repeat-or-drop (expectation exact, realization
+    # within ±group size of the md5 draw; use a generous band)
+    w = {r["lang"]: (r["n_rows"], r["weight"])
+         for r in mixture_weights(docs, "lang", target).collect()}
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang in ("en", "de"):
+        n_rows, weight = w[lang]
+        expected = n_rows * weight
+        assert abs(got[lang] - expected) < 0.25 * n_rows + 1
+    # copy_idx is a dense 1..k per doc
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy_idx").alias("mx")
+    )
+    assert per_doc.filter(F.col("n") != F.col("mx")).count() == 0
+    out.unpersist()
