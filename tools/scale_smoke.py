@@ -110,6 +110,27 @@ def main() -> None:
         lambda: brute_force_topk(emb.filter(F.col("vec_id") >= 3), q, k=10).count(),
     )
 
+    # incremental index forms: build once on the big corpus, then dedup a
+    # base-sized batch against the index (the per-batch steady-state cost)
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+    )
+
+    idx = f"mh_scale_idx_{mult}x"
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    stage("minhash_index_build", lambda: minhash_build_index(docs, idx))
+    batch = base_docs.select(
+        (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" batchmark")).alias("text"),
+    )
+    stats["index_batch_survivors"] = stage(
+        "minhash_index_batch_dedup",
+        lambda: minhash_incremental_dedup(
+            spark, idx, batch, threshold=0.5, append=False
+        ).count(),
+    )
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
