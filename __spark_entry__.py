@@ -2012,6 +2012,39 @@ def _q_t_mixture_weights(spark, sf_dir):
     )
 
 
+def _q_a1_unpivot(spark, sf_dir):
+    """Unpivot/melt (the inverse of a1_pivot): part's two numeric
+    measures stacked into (part, measure, value) rows via ``F.stack`` —
+    pure Catalyst projection+generate, shuffle-free, the standard
+    wide→long reshape for metric tables."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice, 'size', "
+            "CAST(p_size AS DOUBLE)) AS (measure, value)"
+        ),
+    )
+
+
+def _q_w5_moving_avg(spark, sf_dir):
+    """Rolling window frame (ROWS BETWEEN): per-user 3-event moving
+    average of event value in time order — the frame-spec side of the
+    window family (W1–W3 cover ranking/offset functions). Partitioned
+    by user: never a global window."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg3"),
+    )
+
+
 def _q_t_apply_mixture(spark, sf_dir):
     """Materialized mixture resampling (operators/curation.py::
     apply_mixture): every document repeated floor(weight) times plus a
@@ -2070,7 +2103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_stateful_totals": _q_x1_stateful_totals,
         "x1_sliding_stream": _q_x1_sliding_stream,
         # sources / sinks / DQ
-        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
         "s6_partition_pruning": _q_s6_partition_pruning,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
         "s9_dq_gate": _q_s9_dq_gate,
@@ -2088,7 +2120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "m_decode_images": _q_m_decode_images,
         "m_resize_images": _q_m_resize_images,
-        "m_decode_audio": _q_m_decode_audio,
+        # new in round 4: frame-spec window + unpivot (first verdicts)
+        "w5_moving_avg": _q_w5_moving_avg,
+        "a1_unpivot": _q_a1_unpivot,
         # rotated in for round 4 (never driver-verified before)
         "x1_sliding_window": _q_x1_sliding_window,
         "t_gopher_flags": _q_t_gopher_flags,
@@ -2118,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_winnow": _q_t_winnow,
         "a1_cube": _q_a1_cube,
         "d_minhash_pairs": _q_d_minhash_pairs,
+        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
+        "m_decode_audio": _q_m_decode_audio,
         "s4_csv_source": _q_s4_csv_source,
         "s4_json_source": _q_s4_json_source,
         "s5_parquet_scan": _q_s5_parquet_scan,
@@ -2506,6 +2542,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, rank, doc_id, quality FROM ("
             "SELECT *, row_number() OVER (PARTITION BY lang "
             "ORDER BY quality DESC, doc_id) AS rank FROM q) WHERE rank <= 5"
+        ),
+        "a1_unpivot": (
+            "SELECT p_partkey, 'retailprice' AS measure, "
+            "p_retailprice AS value FROM part "
+            "UNION ALL SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) "
+            "FROM part"
+        ),
+        "w5_moving_avg": (
+            "SELECT event_id, user_id, round(avg(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3 "
+            "FROM events"
         ),
         "t_apply_mixture": (
             "WITH c AS (SELECT lang, count(*) AS n_rows FROM documents "
