@@ -184,6 +184,7 @@ def apply_mixture(
     key_col: str,
     seed: int = 42,
     copy_col: str = "copy_idx",
+    max_weight: float = 100.0,
 ) -> DataFrame:
     """Materialize :func:`mixture_weights`: emit each row
     ``floor(weight)`` times plus one more with probability
@@ -198,9 +199,16 @@ def apply_mixture(
     row (upsampling factors in data recipes are single digits) and
     fuses into the scan stage — one aggregation pass for the weights,
     one map-side pass for the materialization, no extra shuffle.
+
+    ``max_weight`` (default 100) clamps per-group upsampling: a tiny
+    group given a large target share yields weight = target/observed
+    that can reach thousands — one misconfigured share would then
+    explode the output by that factor. The clamp bounds blast radius
+    at the price of undershooting the target for that group; raise it
+    deliberately when extreme upsampling is intended.
     """
     weights = mixture_weights(df, group_col, target_shares).select(
-        group_col, "weight"
+        group_col, F.least(F.col("weight"), F.lit(float(max_weight))).alias("weight")
     )
     bucket = _det_bucket(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")), 10_000

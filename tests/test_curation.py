@@ -162,3 +162,22 @@ def test_apply_mixture_materializes_expected_volumes(docs):
     )
     assert per_doc.filter(F.col("n") != F.col("mx")).count() == 0
     out.unpersist()
+
+
+def test_apply_mixture_clamps_extreme_upsampling(spark):
+    """A 1-row group with a large target share would get weight
+    target/observed in the hundreds; max_weight bounds the blast
+    radius."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        apply_mixture,
+    )
+
+    rows = [(i, "big") for i in range(999)] + [(9999, "rare")]
+    df = spark.createDataFrame(rows, "id bigint, g string")
+    out = apply_mixture(
+        df, "g", {"big": 0.5, "rare": 0.5}, key_col="id", max_weight=10.0
+    )
+    n_rare = out.filter(F.col("g") == "rare").count()
+    # unclamped weight would be 0.5/(1/1000) = 500 copies; clamp -> <=10
+    assert n_rare <= 10
+    assert n_rare >= 9  # floor(10) with frac 0 -> exactly 10 expected
