@@ -2532,9 +2532,9 @@ def oracle_sql() -> dict[str, str]:
         "t_stratified_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,8))::BIGINT "
-            "% 10000 < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 "
-            "WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 "
-            "ELSE 0.0 END * 10000 AS BIGINT)"
+            "% 10000 < CAST(floor(CASE lang WHEN 'en' THEN 0.5 "
+            "WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25 "
+            "WHEN 'zh' THEN 0.1 ELSE 0.0 END * 10000) AS BIGINT)"
         ),
         "t_best_per_lang": (
             f"WITH q AS (SELECT doc_id, lang, {quality} AS quality "
