@@ -80,6 +80,25 @@ def main() -> None:
             )
         )
 
+    def q_curation_compose(spark, d):
+        # curation tier composed: per-language stratified downsample ->
+        # fixed-budget sequence packing. Scan-fused filter + one shard
+        # shuffle; see operators/curation.py.
+        from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+            pack_sequences,
+            stratified_sample,
+        )
+
+        docs = load(spark, d, "documents")
+        kept = stratified_sample(
+            docs, "lang", {"en": 0.5, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.25},
+            key_col="doc_id",
+        )
+        return pack_sequences(
+            kept.select("doc_id", "n_chars"), "n_chars", budget=4000,
+            order_col="doc_id",
+        )
+
     bench = {
         "q1_lineitem_agg": (qs["a1_groupby_agg"], False),
         "q2_fact_join_agg": (q_fact_join_agg, False),
@@ -95,6 +114,7 @@ def main() -> None:
         "q12_lsh_topk": (qs["v_lsh_topk"], False),
         "q13_gold_pipeline": (qs["g_fact_sales"], True),
         "q14_cc_dedup": (qs["d_cc_dedup"], True),
+        "q15_curation_pack": (q_curation_compose, True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11
