@@ -2073,9 +2073,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least one oracle verdict; redundant singles already proven in
     CORRECTNESS_r02/r03.json sit behind the cap, and entries ROTATE
     across rounds so every registered query keeps a recent driver
-    verdict (round 4: x1_sliding_window, v_ivf_index_topk,
-    t_gopher_flags, t_chunk_dedup, t_decontaminate rotated in for
-    five double-verified singles)."""
+    verdict. Round 4 composition: the five never-driver-verified r03
+    queries rotated in (x1_sliding_window, v_ivf_index_topk,
+    t_gopher_flags, t_chunk_dedup, t_decontaminate) plus every
+    NEW round-4 query (s10_incremental_load, d_minhash_index_dedup,
+    x1_sliding_stream, w5_moving_avg, a1_unpivot, and the curation
+    tier t_pack_sequences / t_stratified_sample / t_best_per_lang /
+    t_mixture_weights / t_apply_mixture), displacing double-verified
+    singles (P/F/R families, a1_* aggregates, w1/w3, s4_*, t_winnow,
+    m_decode_audio, d_minhash_pairs — all green in r02+r03 and in this
+    round's local 100/100 sweeps at sf0.01 and sf0.1)."""
     return {
         # gold end-to-end (the engine's headline correctness claim)
         "g_dim_customers": _q_g_dim_customers,
