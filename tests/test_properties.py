@@ -262,3 +262,36 @@ def test_pack_sequences_matches_python_reference(spark, rows, budget):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    frac=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+    seed=st.integers(0, 3),
+)
+@PROP
+def test_stratified_sample_matches_python_reference(spark, ids, frac, seed):
+    """stratified_sample's md5-threshold selection == a pure-Python
+    replay of the same arithmetic, for arbitrary keys/fractions/seeds —
+    the determinism the train/test-leakage guarantee rests on."""
+    import hashlib
+    import math
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    def bucket(i):
+        return int(
+            hashlib.md5(f"{i}#{seed}".encode()).hexdigest()[:8], 16
+        ) % 10_000
+
+    thresh = math.floor(frac * 10_000)
+    want = {i for i in ids if bucket(i) < thresh}
+
+    df = spark.createDataFrame([(i, "g") for i in ids], "k bigint, grp string")
+    got = {
+        r["k"]
+        for r in stratified_sample(df, "grp", {"g": frac}, "k", seed=seed).collect()
+    }
+    assert got == want
