@@ -181,3 +181,25 @@ def test_apply_mixture_clamps_extreme_upsampling(spark):
     # unclamped weight would be 0.5/(1/1000) = 500 copies; clamp -> <=10
     assert n_rare <= 10
     assert n_rare >= 9  # floor(10) with frac 0 -> exactly 10 expected
+
+
+def test_registry_contract_consistency():
+    """Driver-contract meta-checks: every oracle_sql key has a queries()
+    entry, names are unique, and the verified front-50 window contains
+    at most the known rows-only set (a regression here silently removes
+    a query from driver verification)."""
+    import __spark_entry__ as ent
+
+    qs = list(ent.queries().keys())
+    oracles = ent.oracle_sql()
+    assert len(qs) == len(set(qs))
+    unknown = [k for k in oracles if k not in qs]
+    assert unknown == [], f"oracle_sql keys without queries(): {unknown}"
+    front = qs[:50]
+    rows_only_front = [q for q in front if q not in oracles]
+    # sketch/ANN internals are the only sanctioned rows-only entries
+    assert set(rows_only_front) <= {
+        "d_minhash_pairs", "d_minhash_dedup", "d_minhash_index_dedup",
+        "d_simhash_pairs", "d_cosine_dedup_lsh", "v_lsh_topk",
+        "v_ivf_topk", "v_ivf_index_topk", "a1_approx_distinct",
+    }, f"unexpected rows-only queries in the verified window: {rows_only_front}"
