@@ -136,6 +136,18 @@ def main() -> None:
         _warm_str(F.col("id").cast("string"))
     ).count()
 
+    # warm the actual minhash Arrow kernel (numpy import + JIT in every
+    # python worker) on a token corpus so q11 measures the operator, not
+    # one-time worker initialization — a real cluster runs warm.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        with_minhash_signature_arrow,
+    )
+
+    tiny = spark.range(256, numPartitions=32).select(
+        F.col("id").alias("_id"), F.concat(F.lit("warm doc "), F.col("id")).alias("text")
+    )
+    with_minhash_signature_arrow(tiny, "text").select("_sig").count()
+
     def _time(fn, wide) -> float:
         t0 = time.time()
         _exec(fn(spark, sf_dir), wide)
