@@ -265,6 +265,49 @@ def stream_to_warehouse(
     q.awaitTermination()
 
 
+def stream_incremental_merge(
+    sdf: DataFrame,
+    table: str,
+    keys: tuple[str, ...],
+    watermark_col: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+    query_name: str = "stream_incremental_merge",
+):
+    """Streaming CDC landing: every micro-batch is MERGEd into the
+    catalog target through ``plans.incremental.incremental_upsert``
+    (high-watermark filter + last-writer-wins upsert + stage-and-swap
+    write) instead of complete-mode overwrite — the streaming form of
+    an RDS→warehouse sync where the source is a change feed. Updates
+    within and across micro-batches resolve by ``order_col`` (default:
+    the watermark column), re-delivered rows merge onto themselves
+    (idempotent), and the checkpoint gives exactly-once batch tracking
+    across restarts. Runs with trigger=availableNow and blocks until
+    the available input is drained.
+    """
+    from ..plans.incremental import incremental_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_upsert(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            list(keys),
+            watermark_col,
+            order_col=order_col,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_static_join(
     stream_df: DataFrame, dim_df: DataFrame, join_expr, how: str = "inner"
 ) -> DataFrame:

@@ -89,3 +89,38 @@ def test_source_filter_pushes_down(spark):
     fresh = src.filter(F.col("ts") >= F.lit(wm))
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
+
+
+def test_stream_incremental_merge_lands_cdc_batches(spark, tmp_path):
+    """Streaming CDC landing: a change feed split across files, each
+    micro-batch MERGEd into the catalog target — the final table holds
+    exactly the last version per key."""
+    import datetime as dt
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_incremental_merge,
+    )
+
+    t = "inc_t_stream"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    src = str(tmp_path / "feed")
+    b1 = spark.createDataFrame(
+        [(1, "a", dt.datetime(2020, 1, 1)), (2, "b", dt.datetime(2020, 1, 2))],
+        "k int, v string, ts timestamp",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b-v2", dt.datetime(2020, 1, 3)), (3, "c", dt.datetime(2020, 1, 4))],
+        "k int, v string, ts timestamp",
+    )
+    b1.write.parquet(src + "/f1")
+    b2.write.parquet(src + "/f2")
+    sdf = (
+        spark.readStream.schema("k int, v string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    stream_incremental_merge(
+        sdf, t, ("k",), "ts", checkpoint_dir=str(tmp_path / "ck")
+    )
+    got = {r["k"]: r["v"] for r in spark.table(t).collect()}
+    assert got == {1: "a", 2: "b-v2", 3: "c"}
