@@ -41,10 +41,14 @@ def pack_sequences(
     within each shard, documents are laid out in ``order_col`` order and
     a document belongs to the sequence where its token stream STARTS
     (``floor(tokens_before_it / budget)``) — contiguous offset binning,
-    the deterministic, one-pass form of sequence packing. A sequence may
-    overflow by at most one document (the straddler finishes its
-    sequence); packs that must never overflow instead truncate/split the
-    straddler at tokenization time, which needs no different plan.
+    the deterministic, one-pass form of sequence packing. A straddling
+    document finishes in later bins (a document longer than ``budget``
+    spans several — its bin ids are simply skipped for starts); packs
+    that must never overflow instead truncate/split the straddler at
+    tokenization time, which needs no different plan. A NULL
+    ``token_col`` yields a NULL assignment (the window sum skips it, so
+    neighbors are unaffected) — coalesce upstream if every row must be
+    placed.
 
     Scale: documents are sharded by a deterministic md5 bucket of
     ``order_col`` (or a caller-provided ``shard_col`` — e.g. a date or
