@@ -217,11 +217,21 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     order_col: str | None = None,
+    prefer: str = "updates",
 ) -> DataFrame:
     """Merge/upsert (W4 extension): updates win over target rows with the
     same key; unmatched target rows survive; new keys are inserted. The
     incremental-load primitive the reference's full-overwrite gold jobs
     would need for CDC-style RDS→warehouse sync.
+
+    ``prefer="updates"`` (default) makes the updates side authoritative:
+    an update row replaces the target row for its key regardless of
+    ``order_col`` (which then only resolves duplicates WITHIN updates).
+    ``prefer="order"`` resolves by ``order_col`` FIRST across both sides
+    (updates preferred only on exact ties) — required when update
+    batches are not event-time ordered (e.g. a streaming change feed
+    whose micro-batches arrive in file-discovery order), where an
+    older-timestamp row landing later must NOT clobber a newer one.
 
     Implemented as union + dedup-latest instead of a join: ONE shuffle on
     the key, identical skew profile to a groupBy, and — unlike
@@ -229,13 +239,19 @@ def merge_upsert(
     ``updates`` (last writer wins by ``order_col``, updates preferred on
     ties). Schemas must match (``unionByName``).
     """
+    if prefer not in ("updates", "order"):
+        raise ValueError(f"prefer must be 'updates' or 'order', got {prefer!r}")
+    if prefer == "order" and order_col is None:
+        raise ValueError("prefer='order' requires order_col")
     keyed = [F.col(k) for k in keys]
     tagged = target.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1))
     )
-    order = [F.col("_src").desc()] + (
-        [F.col(order_col).desc()] if order_col else []
-    )
+    order_cols = [F.col(order_col).desc()] if order_col else []
+    if prefer == "updates":
+        order = [F.col("_src").desc()] + order_cols
+    else:
+        order = order_cols + [F.col("_src").desc()]
     w = Window.partitionBy(*keyed).orderBy(*order)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))

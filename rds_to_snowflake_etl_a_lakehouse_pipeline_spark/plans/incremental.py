@@ -43,11 +43,29 @@ def incremental_upsert(
     watermark_col: str,
     order_col: str | None = None,
     inclusive: bool = True,
+    filter_stale: bool = True,
+    prefer: str = "updates",
 ) -> DataFrame:
     """One incremental run: filter ``source`` to rows at-or-after the
     target's high watermark, merge them in (updates win, within-batch
     last-writer-wins by ``order_col``), stage-swap the result into
     ``table``, and return the new table.
+
+    ``filter_stale=False`` skips the watermark filter and merges the
+    whole batch: required when batches are NOT in event-time order
+    (e.g. a change feed landed by Structured Streaming, where file
+    discovery order is arbitrary — a later-timestamp batch arriving
+    first would otherwise raise the watermark and silently drop
+    earlier-but-unseen rows). The merge's last-writer-wins by
+    ``order_col`` already resolves out-of-order updates correctly;
+    the filter is purely a volume optimization for pull-based
+    extraction where the source re-serves old rows every run.
+
+    ``prefer`` is forwarded to :func:`~..operators.windows.merge_upsert`:
+    ``"updates"`` (default) makes each batch authoritative for its keys —
+    correct when batches arrive in event-time order; pass ``"order"``
+    together with ``filter_stale=False`` for out-of-order feeds so the
+    newest ``order_col`` value wins regardless of arrival order.
 
     ``inclusive=True`` (default) re-reads rows AT the watermark: a batch
     cut mid-timestamp (two source rows sharing the boundary value, one
@@ -64,7 +82,7 @@ def incremental_upsert(
     from ..sources.io import write_table
 
     order = order_col or watermark_col
-    wm = high_watermark(spark, table, watermark_col)
+    wm = high_watermark(spark, table, watermark_col) if filter_stale else None
     if wm is None:
         fresh = source
     else:
@@ -76,7 +94,9 @@ def incremental_upsert(
     if spark.catalog.tableExists(table):
         from ..operators.windows import merge_upsert
 
-        merged = merge_upsert(spark.table(table), fresh, list(keys), order_col=order)
+        merged = merge_upsert(
+            spark.table(table), fresh, list(keys), order_col=order, prefer=prefer
+        )
     else:
         # first run: within-batch dedup with the same last-writer-wins
         from ..operators.windows import dedupe_latest

@@ -276,14 +276,21 @@ def stream_incremental_merge(
 ):
     """Streaming CDC landing: every micro-batch is MERGEd into the
     catalog target through ``plans.incremental.incremental_upsert``
-    (high-watermark filter + last-writer-wins upsert + stage-and-swap
-    write) instead of complete-mode overwrite — the streaming form of
-    an RDS→warehouse sync where the source is a change feed. Updates
-    within and across micro-batches resolve by ``order_col`` (default:
-    the watermark column), re-delivered rows merge onto themselves
-    (idempotent), and the checkpoint gives exactly-once batch tracking
-    across restarts. Runs with trigger=availableNow and blocks until
-    the available input is drained.
+    (last-writer-wins upsert + stage-and-swap write) instead of
+    complete-mode overwrite — the streaming form of an RDS→warehouse
+    sync where the source is a change feed. Updates within and across
+    micro-batches resolve by ``order_col`` (default: the watermark
+    column), re-delivered rows merge onto themselves (idempotent), and
+    the checkpoint gives exactly-once batch tracking across restarts.
+
+    The batch path's high-watermark filter is deliberately OFF here
+    (``filter_stale=False``): micro-batches arrive in file-discovery
+    order, not event-time order, so a later-timestamp batch landing
+    first would raise the watermark and silently drop earlier rows the
+    stream simply hadn't delivered yet. The checkpoint already ensures
+    each input file is processed exactly once; out-of-order updates are
+    resolved by the merge itself. Runs with trigger=availableNow and
+    blocks until the available input is drained.
     """
     from ..plans.incremental import incremental_upsert
 
@@ -295,6 +302,8 @@ def stream_incremental_merge(
             list(keys),
             watermark_col,
             order_col=order_col,
+            filter_stale=False,
+            prefer="order",
         )
 
     q = (

@@ -94,8 +94,14 @@ def test_source_filter_pushes_down(spark):
 def test_stream_incremental_merge_lands_cdc_batches(spark, tmp_path):
     """Streaming CDC landing: a change feed split across files, each
     micro-batch MERGEd into the catalog target — the final table holds
-    exactly the last version per key."""
+    exactly the last version per key EVEN when micro-batches arrive out
+    of event-time order. The file source picks files oldest-mtime-first,
+    so writing the newest-timestamp rows first forces the adversarial
+    order: a watermark-filtering merge would drop (1,a) and (2,b-v2) as
+    "stale"; an updates-always-win merge would let the late-arriving
+    older (2,b) clobber (2,b-v2)."""
     import datetime as dt
+    import time
 
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
         stream_incremental_merge,
@@ -104,16 +110,17 @@ def test_stream_incremental_merge_lands_cdc_batches(spark, tmp_path):
     t = "inc_t_stream"
     spark.sql(f"DROP TABLE IF EXISTS {t}")
     src = str(tmp_path / "feed")
-    b1 = spark.createDataFrame(
-        [(1, "a", dt.datetime(2020, 1, 1)), (2, "b", dt.datetime(2020, 1, 2))],
-        "k int, v string, ts timestamp",
-    )
-    b2 = spark.createDataFrame(
+    newest_first = spark.createDataFrame(
         [(2, "b-v2", dt.datetime(2020, 1, 3)), (3, "c", dt.datetime(2020, 1, 4))],
         "k int, v string, ts timestamp",
     )
-    b1.write.parquet(src + "/f1")
-    b2.write.parquet(src + "/f2")
+    oldest_last = spark.createDataFrame(
+        [(1, "a", dt.datetime(2020, 1, 1)), (2, "b", dt.datetime(2020, 1, 2))],
+        "k int, v string, ts timestamp",
+    )
+    newest_first.coalesce(1).write.parquet(src + "/f1")
+    time.sleep(1.1)  # distinct mtimes → deterministic discovery order
+    oldest_last.coalesce(1).write.parquet(src + "/f2")
     sdf = (
         spark.readStream.schema("k int, v string, ts timestamp")
         .option("maxFilesPerTrigger", 1)

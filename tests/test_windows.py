@@ -134,6 +134,33 @@ def test_merge_upsert(spark):
     assert got == {1: ("a", 1), 2: ("B2", 3), 3: ("c", 1), 4: ("d", 1)}
 
 
+def test_merge_upsert_prefer_order_keeps_newer_target(spark):
+    """prefer='order': an update batch carrying an OLDER version than the
+    target (out-of-order CDC arrival) must not clobber the newer row;
+    ties go to the updates side. prefer='updates' (the W4 default) is
+    batch-authoritative and does clobber — both contracts pinned here."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "new", 5), (2, "same", 3)], "k int, v string, ver int"
+    )
+    late = spark.createDataFrame(
+        [(1, "old", 2), (2, "tie", 3), (3, "ins", 1)], "k int, v string, ver int"
+    )
+    by_order = {
+        r["k"]: r["v"]
+        for r in merge_upsert(target, late, ["k"], order_col="ver", prefer="order").collect()
+    }
+    assert by_order == {1: "new", 2: "tie", 3: "ins"}
+    by_updates = {
+        r["k"]: r["v"]
+        for r in merge_upsert(target, late, ["k"], order_col="ver").collect()
+    }
+    assert by_updates == {1: "old", 2: "tie", 3: "ins"}
+
+
 def test_salted_join_matches_plain_join(spark):
     from pyspark.sql import functions as F
 
