@@ -311,6 +311,7 @@ def minhash_incremental_dedup(
     text_col: str = "text",
     threshold: float = 0.8,
     append: bool = True,
+    n_buckets: int = 32,
     **sig_kwargs,
 ) -> DataFrame:
     """Incremental corpus curation: drop new documents that are
@@ -320,36 +321,62 @@ def minhash_incremental_dedup(
     everything that came before. The streaming-corpus form of
     :func:`minhash_lsh_dedup`: each batch costs its own signatures plus
     one bucketed join against the index, never a corpus re-scan.
+
+    ``n_buckets`` must match the ``minhash_build_index`` call that
+    created ``table`` — appends with a different bucket count would
+    either fail or silently break the pre-shuffled join layout.
+
+    The batch is SIGNED ONCE: the checkpointed (_id, _sig) table feeds
+    the corpus probe, the within-batch self-join, and the survivor
+    append alike (the signature kernel is the dominant per-batch cost;
+    re-running it per consumer would triple it).
     """
     num_hashes = sig_kwargs.get("num_hashes", 64)
     bands = sig_kwargs.get("bands", 16)
     shingle_n = sig_kwargs.get("shingle_n", 5)
     impl = sig_kwargs.get("impl", "arrow")
 
-    vs_corpus = minhash_query_index(
-        spark, table, new_df, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        threshold=threshold, impl=impl,
-    ).select(F.col("new_id").alias(id_col))
-    within = minhash_lsh_pairs(
-        new_df, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        threshold=threshold, impl=impl,
-    ).select(F.col("id_b").alias(id_col))
+    sig = _signature_table(
+        new_df, id_col, text_col, num_hashes, shingle_n, impl
+    ).localCheckpoint(eager=True)
+    banded = _band_explode(sig, bands, num_hashes // bands)
+
+    idx = spark.table(table)
+    vs_corpus = (
+        banded.alias("n")
+        .join(
+            idx.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .filter(_jaccard_est(F.col("n._sig"), F.col("c.sig"), num_hashes) >= threshold)
+        .select(F.col("n._id").alias(id_col))
+    )
+    within = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(_jaccard_est(F.col("a._sig"), F.col("b._sig"), num_hashes) >= threshold)
+        .select(F.col("b._id").alias(id_col))
+    )
     losers = vs_corpus.unionByName(within).distinct()
     survivors = new_df.join(losers, id_col, "left_anti").localCheckpoint(eager=True)
 
     if append:
         from ..sources.io import write_table
 
-        banded = _band_explode(
-            _signature_table(survivors, id_col, text_col, num_hashes, shingle_n, impl),
-            bands,
-            num_hashes // bands,
+        surv_banded = banded.join(
+            survivors.select(F.col(id_col).alias("_id")), "_id"
         ).select(
             F.col("_id").alias(id_col), F.col("_sig").alias("sig"), "band", "bucket"
         )
-        write_table(banded, table, mode="append", bucket_by=(32, ["bucket"]))
+        write_table(
+            surv_banded, table, mode="append", bucket_by=(n_buckets, ["bucket"])
+        )
     return survivors
 
 
