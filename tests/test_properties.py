@@ -295,3 +295,55 @@ def test_stratified_sample_matches_python_reference(spark, ids, frac, seed):
         for r in stratified_sample(df, "grp", {"g": frac}, "k", seed=seed).collect()
     }
     assert got == want
+
+
+@given(
+    updates=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 30)),  # (key, version)
+        min_size=1,
+        max_size=12,
+    ),
+    cut=st.integers(1, 11),
+    data=st.data(),
+)
+@PROP
+def test_cdc_merge_is_arrival_order_invariant(spark, updates, cut, data):
+    """Folding a change feed into a table with prefer='order' merges must
+    converge to the same final state for ANY batch arrival order — the
+    property the streaming CDC landing relies on (micro-batches arrive in
+    file-discovery order, not event-time order). Versions are made unique
+    per key (real change feeds have monotonically increasing versions per
+    key; ties are resolved by the updates side and would legitimately
+    differ between orders)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        merge_upsert,
+    )
+
+    seen: set[tuple[int, int]] = set()
+    rows = []
+    for k, ver in updates:
+        while (k, ver) in seen:
+            ver += 1
+        seen.add((k, ver))
+        rows.append((k, ver, f"v{k}.{ver}"))
+
+    cut = min(cut, len(rows))
+    batches = [rows[:cut], rows[cut:]]
+    batches = [b for b in batches if b]
+    perm = data.draw(st.permutations(range(len(batches))))
+
+    def fold(order):
+        acc = spark.createDataFrame([], "k int, ver int, v string")
+        for i in order:
+            b = spark.createDataFrame(batches[i], "k int, ver int, v string")
+            acc = merge_upsert(acc, b, ["k"], order_col="ver", prefer="order")
+        return {r["k"]: (r["ver"], r["v"]) for r in acc.collect()}
+
+    forward = fold(range(len(batches)))
+    shuffled = fold(perm)
+    want = {}
+    for k, ver, v in rows:
+        if k not in want or ver > want[k][0]:
+            want[k] = (ver, v)
+    assert forward == want
+    assert shuffled == want
