@@ -1483,6 +1483,74 @@ def _q_x2_range_join(spark, sf_dir):
     return out.select("signup_id", "error_id")
 
 
+def _q_x2_interval_join(spark, sf_dir):
+    """Equi-key + time-interval join (streaming/events.py::interval_join):
+    every purchase by the same user within 2 hours AFTER each click —
+    the attribution join. Batch compilation: one shuffle per side on
+    user_id, range predicate as join filter. The oracle is DuckDB's
+    inequality join over the same predicate."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        interval_join,
+    )
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = interval_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts", "2 hours"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("string").alias("click_ts"),
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+    )
+
+
+def _q_x1_interval_stream(spark, sf_dir):
+    """Stream-stream interval join: the SAME attribution join as
+    x2_interval_join with BOTH sides under readStream — Spark's
+    symmetric stateful join, state bounded by the two watermarks plus
+    the range condition (clicks evict after watermark + 2 h, purchases
+    after watermark). Drained with availableNow in append mode (each
+    match emits exactly once when it forms) and must hash-match the
+    identical batch DuckDB oracle."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        interval_join,
+        run_available_now,
+    )
+
+    s1 = _stream_events_src(spark, sf_dir)
+    s2 = _stream_events_src(spark, sf_dir)
+    clicks = s1.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = s2.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts", "2 hours",
+        watermark="2 hours",
+    )
+    out = run_available_now(joined, "x1_interval_stream_tbl", output_mode="append")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("string").alias("click_ts"),
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+    )
+
+
 def _stream_events_src(spark, sf_dir, suffix="", copies=("events.parquet",)):
     """Shared streaming-source setup for the x1_*_stream queries.
 
@@ -2077,12 +2145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries rotated in (x1_sliding_window, v_ivf_index_topk,
     t_gopher_flags, t_chunk_dedup, t_decontaminate) plus every
     NEW round-4 query (s10_incremental_load, d_minhash_index_dedup,
-    x1_sliding_stream, w5_moving_avg, a1_unpivot, and the curation
-    tier t_pack_sequences / t_stratified_sample / t_best_per_lang /
-    t_mixture_weights / t_apply_mixture), displacing double-verified
-    singles (P/F/R families, a1_* aggregates, w1/w3, s4_*, t_winnow,
-    m_decode_audio, d_minhash_pairs — all green in r02+r03 and in this
-    round's local 100/100 sweeps at sf0.01 and sf0.1)."""
+    x1_sliding_stream, w5_moving_avg, a1_unpivot, the stream-stream
+    interval join pair x2_interval_join / x1_interval_stream, and the
+    curation tier t_pack_sequences / t_stratified_sample /
+    t_best_per_lang / t_mixture_weights / t_apply_mixture), displacing
+    double-verified singles (P/F/R families, a1_* aggregates, w1/w3,
+    s4_*, t_winnow, m_decode_audio, m_resize_images, d_minhash_pairs,
+    x1_tumbling_stream — all green in r02+r03 and in this round's
+    local 100/100 sweeps at sf0.01 and sf0.1)."""
     return {
         # gold end-to-end (the engine's headline correctness claim)
         "g_dim_customers": _q_g_dim_customers,
@@ -2102,13 +2172,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch + structured-streaming twins)
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,
-        "x1_tumbling_stream": _q_x1_tumbling_stream,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_session_stream": _q_x1_session_stream,
         "x1_stream_dedup": _q_x1_stream_dedup,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_stateful_totals": _q_x1_stateful_totals,
         "x1_sliding_stream": _q_x1_sliding_stream,
+        # new in round 4: stream-stream interval join (batch + stream
+        # twins, first verdicts) — displaces x1_tumbling_stream and
+        # m_resize_images (both green r03 + this round's local sweeps)
+        "x2_interval_join": _q_x2_interval_join,
+        "x1_interval_stream": _q_x1_interval_stream,
         # sources / sinks / DQ
         "s6_partition_pruning": _q_s6_partition_pruning,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -2126,7 +2200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_cosine_pairs": _q_v_cosine_pairs,
         # multimodal plumbing
         "m_decode_images": _q_m_decode_images,
-        "m_resize_images": _q_m_resize_images,
         # new in round 4: frame-spec window + unpivot (first verdicts)
         "w5_moving_avg": _q_w5_moving_avg,
         "a1_unpivot": _q_a1_unpivot,
@@ -2154,6 +2227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proven green in CORRECTNESS_r02/r03.json; kept registered and
         # rotated back into the window in future rounds
         "w3_scd2_close": _q_w3_scd2_close,
+        "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "m_resize_images": _q_m_resize_images,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "t_winnow": _q_t_winnow,
@@ -2213,6 +2288,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_cosine_topk": _q_v_cosine_topk,
         "m_frame_sample": _q_m_frame_sample,
     }
+
+
+_INTERVAL_JOIN_SQL = (
+    # shared by x2_interval_join (batch) and x1_interval_stream (the
+    # stream-stream twin): purchases by the same user within 2 h after
+    # each click, via DuckDB's inequality join
+    "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, "
+    "CAST(c.ts AS VARCHAR) AS click_ts, CAST(p.ts AS VARCHAR) AS purchase_ts "
+    "FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c "
+    "JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p "
+    "ON p.user_id = c.user_id "
+    "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2702,6 +2790,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') x "
             "ON x.ts >= s.ts AND x.ts <= s.ts + INTERVAL 300 SECOND"
         ),
+        "x2_interval_join": _INTERVAL_JOIN_SQL,
+        "x1_interval_stream": _INTERVAL_JOIN_SQL,
         "e_json_extract": (
             "SELECT event_type, "
             "round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k, "

@@ -317,6 +317,46 @@ def stream_incremental_merge(
     q.awaitTermination()
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    lower: str = "0 seconds",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key + time-interval join: each ``left`` row matches ``right``
+    rows with the same ``key`` and ``right_ts`` in
+    ``[left_ts + lower, left_ts + upper]`` — the attribution/correlation
+    join (click→purchase within 2 h, signup→first error, …).
+
+    Batch: compiles to one shuffle per side on ``key`` with the range
+    predicate as a join filter — never a nested loop. Streaming (both
+    sides under ``readStream``): Spark's symmetric stateful join; the
+    time-range condition plus a ``watermark`` on BOTH sides lets the
+    engine evict left rows older than ``watermark + upper`` and right
+    rows older than ``watermark`` from state, so state is bounded on an
+    unbounded feed (without the watermark an inner join still runs but
+    state grows forever). Emit mode is append — a match emits exactly
+    once, when it forms.
+
+    ``left_ts`` and ``right_ts`` must be DIFFERENT names (rename one
+    side), and non-key columns must be disjoint — the joined row carries
+    both sides' columns. ``key`` appears once in the output.
+    """
+    l = _maybe_watermark(left, left_ts, watermark).alias("l")
+    r = _maybe_watermark(right, right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
+
+
 def stream_static_join(
     stream_df: DataFrame, dim_df: DataFrame, join_expr, how: str = "inner"
 ) -> DataFrame:

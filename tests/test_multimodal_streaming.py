@@ -240,3 +240,57 @@ def test_stream_to_warehouse_foreachbatch(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         )
+
+
+def test_stream_batch_parity_interval_join(spark):
+    """Stream-stream interval join (symmetric stateful join, watermarks
+    on both sides) must equal the identical batch join — including when
+    matches span micro-batches: each side streams one file per trigger,
+    so click/purchase pairs form across triggers from buffered state."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        interval_join,
+    )
+
+    batch = load(spark, "/root/testdata/sf0.001", "events")
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return clicks, purchases
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream-src")
+        # two files so maxFilesPerTrigger=1 forces cross-batch matches
+        batch.filter(F.col("event_id") % 2 == 0).write.parquet(src + "/f1")
+        batch.filter(F.col("event_id") % 2 == 1).write.parquet(src + "/f2")
+        sdf = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        sc, sp = sides(sdf)
+        joined = interval_join(
+            sc, sp, "user_id", "click_ts", "purchase_ts", "6 hours",
+            watermark="30 days",
+        )
+        stream_result = run_available_now(
+            joined, "interval_parity", output_mode="append"
+        )
+        bc, bp = sides(batch)
+        batch_result = interval_join(
+            bc, bp, "user_id", "click_ts", "purchase_ts", "6 hours"
+        )
+        assert sorted(map(tuple, stream_result.collect())) == sorted(
+            map(tuple, batch_result.collect())
+        )
+        assert len(batch_result.collect()) > 0
