@@ -46,6 +46,7 @@ AUDIT = [
     "t_best_per_lang",
     "t_mixture_weights",
     "s10_incremental_load",
+    "x2_interval_join",
 ]
 
 
