@@ -294,3 +294,42 @@ def test_stream_batch_parity_interval_join(spark):
             map(tuple, batch_result.collect())
         )
         assert len(batch_result.collect()) > 0
+
+
+def test_interval_join_lower_bound_and_left_outer(spark):
+    """Contract pins: the lower bound excludes matches before
+    left_ts+lower, and how='left' keeps unmatched left rows with NULL
+    right columns."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        interval_join,
+    )
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, T(2020, 1, 1, 12, 0)), (2, 11, T(2020, 1, 1, 12, 0))],
+        "user_id int, click_id int, click_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, T(2020, 1, 1, 12, 0, 30)),   # 30s after: below lower
+            (1, 21, T(2020, 1, 1, 12, 2)),       # 2min after: in [1m, 5m]
+            (1, 22, T(2020, 1, 1, 12, 10)),      # 10min after: above upper
+        ],
+        "user_id int, purchase_id int, purchase_ts timestamp",
+    )
+    inner = interval_join(
+        left, right, "user_id", "click_ts", "purchase_ts",
+        upper="5 minutes", lower="1 minute",
+    )
+    assert [(r["click_id"], r["purchase_id"]) for r in inner.collect()] == [(10, 21)]
+
+    outer = interval_join(
+        left, right, "user_id", "click_ts", "purchase_ts",
+        upper="5 minutes", lower="1 minute", how="left",
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in outer.collect()}
+    assert got == {(10, 21), (11, None)}  # user 2 survives unmatched
