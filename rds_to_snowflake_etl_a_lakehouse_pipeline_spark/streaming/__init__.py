@@ -2,11 +2,15 @@
 unchanged on Structured-Streaming DataFrames."""
 
 from .events import (  # noqa: F401
+    dedup_events,
+    interval_join,
     run_available_now,
     running_user_totals,
     sessionized,
     sliding_counts,
     stream_events,
+    stream_events_auto,
+    stream_incremental_merge,
     stream_static_join,
     stream_to_warehouse,
     tumbling_counts,
