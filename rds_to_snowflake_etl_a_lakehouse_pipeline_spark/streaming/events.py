@@ -345,8 +345,17 @@ def interval_join(
 
     ``left_ts`` and ``right_ts`` must be DIFFERENT names (rename one
     side), and non-key columns must be disjoint — the joined row carries
-    both sides' columns. ``key`` appears once in the output.
+    both sides' columns. ``key`` appears once in the output (the LEFT
+    side's value), so only ``inner``/``left`` joins are accepted: a
+    right/full join would surface right-only rows with a NULL key after
+    the drop. Swap the sides (the interval is directional — also negate
+    the bounds) instead of asking for a right join.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left', got {how!r} "
+            "(swap the sides and negate the bounds for the right-join form)"
+        )
     l = _maybe_watermark(left, left_ts, watermark).alias("l")
     r = _maybe_watermark(right, right_ts, watermark).alias("r")
     cond = (

@@ -333,3 +333,19 @@ def test_interval_join_lower_bound_and_left_outer(spark):
     )
     got = {(r["click_id"], r["purchase_id"]) for r in outer.collect()}
     assert got == {(10, 21), (11, None)}  # user 2 survives unmatched
+
+
+def test_interval_join_rejects_right_and_full(spark):
+    """Right/full joins would surface right-only rows with a NULL key
+    (the right key column is dropped) — rejected with guidance."""
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        interval_join,
+    )
+
+    df = spark.createDataFrame([(1, None)], "user_id int, a_ts timestamp")
+    df2 = spark.createDataFrame([(1, None)], "user_id int, b_ts timestamp")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="swap the sides"):
+            interval_join(df, df2, "user_id", "a_ts", "b_ts", "1 hour", how=how)
