@@ -349,7 +349,13 @@ def minhash_incremental_dedup(
             (F.col("n.band") == F.col("c.band"))
             & (F.col("n.bucket") == F.col("c.bucket")),
         )
-        .filter(_jaccard_est(F.col("n._sig"), F.col("c.sig"), num_hashes) >= threshold)
+        .filter(
+            # round-to-6 before the threshold, matching minhash_query_index /
+            # minhash_lsh_pairs (differs only for non-power-of-2 num_hashes,
+            # where k/num_hashes is inexact in binary)
+            F.round(_jaccard_est(F.col("n._sig"), F.col("c.sig"), num_hashes), 6)
+            >= threshold
+        )
         .select(F.col("n._id").alias(id_col))
     )
     within = (
@@ -360,7 +366,10 @@ def minhash_incremental_dedup(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .filter(_jaccard_est(F.col("a._sig"), F.col("b._sig"), num_hashes) >= threshold)
+        .filter(
+            F.round(_jaccard_est(F.col("a._sig"), F.col("b._sig"), num_hashes), 6)
+            >= threshold
+        )
         .select(F.col("b._id").alias(id_col))
     )
     losers = vs_corpus.unionByName(within).distinct()
