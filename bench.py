@@ -170,7 +170,13 @@ def main() -> None:
     ]
     for name in suspects:
         fn, wide = bench[name]
-        timings[name] = min(timings[name], _time(fn, wide))
+        # up to two re-times: a globally-slow window can produce two slow
+        # samples in a row (observed: q13 at exactly 1.3x in one run,
+        # back to 1.06x the next); stop as soon as one sample clears.
+        for _ in range(2):
+            timings[name] = min(timings[name], _time(fn, wide))
+            if timings[name] <= threshold * prev[name]:
+                break
     regressions = {
         n: {"prev": prev[n], "now": timings[n],
             "ratio": round(timings[n] / prev[n], 2)}
