@@ -250,6 +250,12 @@ def minhash_build_index(
     never moves again — incremental batches pay only their own
     signatures. Append-friendly: new survivors insert into the same
     bucketing (see :func:`minhash_incremental_dedup`).
+
+    Hot-bucket protection lives on the PROBE side
+    (``max_bucket_size`` on :func:`minhash_query_index` /
+    :func:`minhash_incremental_dedup`), not at build time: bucket
+    sizes change as appends accrete, so capping is re-evaluated per
+    probe over the buckets each batch actually hits.
     """
     from ..sources.io import write_table
 
@@ -259,6 +265,38 @@ def minhash_build_index(
         num_hashes // bands,
     ).select(F.col("_id").alias(id_col), F.col("_sig").alias("sig"), "band", "bucket")
     write_table(banded, table, bucket_by=(n_buckets, ["bucket"]))
+
+
+def _split_index_hot_buckets(
+    idx: DataFrame,
+    probe_banded: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None,
+):
+    """Split an index into (cold_rows, hot_representatives) by per-
+    (band, bucket) size, counting ONLY buckets the probe batch actually
+    hits — a semi-join on the batch's distinct buckets keeps the sizing
+    pass proportional to the batch, not the accreted index. Hot buckets
+    (size > cap) collapse to their min-``id_col`` representative row, so
+    the probe join does O(1) work per hot bucket instead of O(B).
+    Returns (idx, None) when ``max_bucket_size`` is None."""
+    if max_bucket_size is None:
+        return idx, None
+    hit = probe_banded.select("band", "bucket").distinct()
+    idx_hit = idx.join(hit, ["band", "bucket"])
+    w_bucket = Window.partitionBy("band", "bucket")
+    sized = idx_hit.withColumn("_bsz", F.count("*").over(w_bucket))
+    cold = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    hot = (
+        sized.filter(F.col("_bsz") > max_bucket_size)
+        .withColumn(
+            "_rn",
+            F.row_number().over(w_bucket.orderBy(F.col(id_col).asc())),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_bsz", "_rn")
+    )
+    return cold, hot
 
 
 def minhash_query_index(
@@ -272,22 +310,34 @@ def minhash_query_index(
     shingle_n: int = 5,
     threshold: float = 0.8,
     impl: str = "arrow",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(new_id, corpus_id, jaccard_est) for every new document whose
     estimated jaccard against an indexed corpus document clears the
     threshold. Signature parameters must match the index build. Only
     the new batch is signed and exploded; the corpus index streams out
-    of its bucketed table into the (band, bucket) join."""
+    of its bucketed table into the (band, bucket) join.
+
+    ``max_bucket_size``: hot-bucket skew guard, the index-probe twin of
+    :func:`minhash_lsh_pairs`'s cap. An index bucket that accretes B
+    boilerplate documents across appends costs every probe O(B) per
+    batch row landing in it; buckets over the cap instead match probes
+    against the bucket's min-id REPRESENTATIVE only, threshold-exempt
+    (star semantics — the probe doc is merged into the boilerplate
+    cluster; per-member pair recall inside the hot bucket is traded
+    away). Sizing is computed per probe over only the buckets the batch
+    hits, so it stays proportional to the batch."""
     idx = spark.table(table)
     nb = _band_explode(
         _signature_table(new_df, id_col, text_col, num_hashes, shingle_n, impl),
         bands,
         num_hashes // bands,
     )
-    return (
+    idx_cold, idx_hot = _split_index_hot_buckets(idx, nb, id_col, max_bucket_size)
+    cold = (
         nb.alias("n")
         .join(
-            idx.alias("c"),
+            idx_cold.alias("c"),
             (F.col("n.band") == F.col("c.band"))
             & (F.col("n.bucket") == F.col("c.bucket")),
         )
@@ -299,8 +349,29 @@ def minhash_query_index(
             ).alias("jaccard_est"),
         )
         .filter(F.col("jaccard_est") >= threshold)
-        .dropDuplicates(["new_id", "corpus_id"])
     )
+    if idx_hot is not None:
+        # Star pairs vs the hot bucket's min-id representative are
+        # threshold-EXEMPT, matching minhash_lsh_pairs: they merge the
+        # probe document into the boilerplate cluster the bucket
+        # represents (see the max_bucket_size docstring there).
+        hot = (
+            nb.alias("n")
+            .join(
+                idx_hot.alias("c"),
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.bucket") == F.col("c.bucket")),
+            )
+            .select(
+                F.col("n._id").alias("new_id"),
+                F.col(f"c.{id_col}").alias("corpus_id"),
+                F.round(
+                    _jaccard_est(F.col("n._sig"), F.col("c.sig"), num_hashes), 6
+                ).alias("jaccard_est"),
+            )
+        )
+        cold = cold.unionByName(hot)
+    return cold.dropDuplicates(["new_id", "corpus_id"])
 
 
 def minhash_incremental_dedup(
@@ -312,6 +383,7 @@ def minhash_incremental_dedup(
     threshold: float = 0.8,
     append: bool = True,
     n_buckets: int = 32,
+    max_bucket_size: int | None = None,
     **sig_kwargs,
 ) -> DataFrame:
     """Incremental corpus curation: drop new documents that are
@@ -330,6 +402,19 @@ def minhash_incremental_dedup(
     the corpus probe, the within-batch self-join, and the survivor
     append alike (the signature kernel is the dominant per-batch cost;
     re-running it per consumer would triple it).
+
+    ``max_bucket_size`` caps hot (band, bucket) keys in BOTH joins —
+    the steady-state path a standing pipeline runs per arriving batch,
+    where an uncapped boilerplate bucket goes O(B²) within the batch
+    and O(B·batch_hits) against an index that accretes the bucket
+    across appends. Within the batch, hot buckets emit star losers
+    (every non-min-id member is dropped as a dup of the bucket
+    representative, threshold-exempt — exactly what
+    ``minhash_lsh_dedup`` with a cap does); against the index, probes
+    landing in a hot bucket are dropped as members of that boilerplate
+    cluster via its representative (see
+    :func:`minhash_query_index`). Index bucket sizing is restricted to
+    buckets the batch hits, so the guard costs O(batch), not O(index).
     """
     num_hashes = sig_kwargs.get("num_hashes", 64)
     bands = sig_kwargs.get("bands", 16)
@@ -342,10 +427,11 @@ def minhash_incremental_dedup(
     banded = _band_explode(sig, bands, num_hashes // bands)
 
     idx = spark.table(table)
+    idx_cold, idx_hot = _split_index_hot_buckets(idx, banded, id_col, max_bucket_size)
     vs_corpus = (
         banded.alias("n")
         .join(
-            idx.alias("c"),
+            idx_cold.alias("c"),
             (F.col("n.band") == F.col("c.band"))
             & (F.col("n.bucket") == F.col("c.bucket")),
         )
@@ -358,10 +444,43 @@ def minhash_incremental_dedup(
         )
         .select(F.col("n._id").alias(id_col))
     )
+    if idx_hot is not None:
+        # Probes landing in a hot index bucket are members of its
+        # boilerplate cluster: drop them, threshold-exempt (star
+        # semantics, see the docstring).
+        vs_hot = (
+            banded.alias("n")
+            .join(
+                idx_hot.alias("c"),
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.bucket") == F.col("c.bucket")),
+            )
+            .select(F.col("n._id").alias(id_col))
+        )
+        vs_corpus = vs_corpus.unionByName(vs_hot)
+
+    within_banded = banded
+    within_star = None
+    if max_bucket_size is not None:
+        # Within-batch star capping, mirroring minhash_lsh_pairs: hot
+        # batch buckets drop every non-representative member (greedy
+        # dedup keeps the min id either way), bounding the self-join's
+        # per-bucket work to O(B) instead of O(B²).
+        w_bucket = Window.partitionBy("band", "bucket")
+        sized = banded.withColumn("_bsz", F.count("*").over(w_bucket))
+        within_star = (
+            sized.filter(F.col("_bsz") > max_bucket_size)
+            .withColumn(
+                "_rep_id", F.first("_id").over(w_bucket.orderBy(F.col("_id").asc()))
+            )
+            .filter(F.col("_id") != F.col("_rep_id"))
+            .select(F.col("_id").alias(id_col))
+        )
+        within_banded = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     within = (
-        banded.alias("a")
+        within_banded.alias("a")
         .join(
-            banded.alias("b"),
+            within_banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
@@ -372,6 +491,8 @@ def minhash_incremental_dedup(
         )
         .select(F.col("b._id").alias(id_col))
     )
+    if within_star is not None:
+        within = within.unionByName(within_star)
     losers = vs_corpus.unionByName(within).distinct()
     survivors = new_df.join(losers, id_col, "left_anti").localCheckpoint(eager=True)
 

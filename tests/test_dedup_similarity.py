@@ -576,6 +576,82 @@ def test_minhash_index_within_batch_dedup(spark):
     assert indexed == {1, 30}
 
 
+def test_minhash_index_hot_bucket_cap_bounds_candidates(spark):
+    """Index-probe twin of the standalone hot-bucket stress: an index
+    holding 120 boilerplate copies puts them all in the SAME bucket of
+    every band, so one probe landing there is O(B) pairs per band
+    uncapped. With max_bucket_size, the probe matches only the bucket
+    representative (one star pair, threshold-exempt), and
+    minhash_incremental_dedup keeps identical survivors either way."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+        minhash_query_index,
+    )
+
+    B = 120
+    boiler = (
+        "subscribe to our newsletter terms of service privacy policy all "
+        "rights reserved copyright contact us about careers press blog"
+    )
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(B)] + [(900, "unique corpus doc body " * 5)],
+        "doc_id bigint, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1000, boiler), (1001, "entirely fresh probe content here " * 5)],
+        "doc_id bigint, text string",
+    )
+
+    for t in ("mh_hot_uncapped", "mh_hot_capped"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        minhash_build_index(corpus, t)
+
+    uncapped = minhash_query_index(spark, "mh_hot_uncapped", probe, threshold=0.9)
+    capped = minhash_query_index(
+        spark, "mh_hot_capped", probe, threshold=0.9, max_bucket_size=10
+    )
+    assert uncapped.count() == B          # probe 1000 vs every boilerplate copy
+    hits = capped.collect()
+    assert len(hits) == 1                  # star pair vs the min-id rep only
+    assert (hits[0]["new_id"], hits[0]["corpus_id"]) == (1000, 0)
+
+    surv_u = {
+        r["doc_id"]
+        for r in minhash_incremental_dedup(
+            spark, "mh_hot_uncapped", probe, threshold=0.9, append=False
+        ).collect()
+    }
+    surv_c = {
+        r["doc_id"]
+        for r in minhash_incremental_dedup(
+            spark, "mh_hot_capped", probe, threshold=0.9, append=False,
+            max_bucket_size=10,
+        ).collect()
+    }
+    assert surv_u == surv_c == {1001}
+
+    # within-batch star capping: a boilerplate-heavy BATCH keeps only
+    # the min id, same as uncapped greedy, with O(B) bucket work
+    t = "mh_hot_batch"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    minhash_build_index(
+        spark.createDataFrame(
+            [(1, "seed corpus doc " * 10)], "doc_id bigint, text string"
+        ),
+        t,
+    )
+    boiler_batch = spark.createDataFrame(
+        [(i, boiler) for i in range(2000, 2000 + B)]
+        + [(3000, "one genuinely new doc in the batch " * 5)],
+        "doc_id bigint, text string",
+    )
+    surv = minhash_incremental_dedup(
+        spark, t, boiler_batch, threshold=0.9, append=False, max_bucket_size=10
+    )
+    assert {r["doc_id"] for r in surv.collect()} == {2000, 3000}
+
+
 def test_ivf_append_index_extends_probes(spark):
     """Vectors appended with ivf_append_index are found by
     ivf_query_index probes (cell assignment matches the model's own),
