@@ -32,6 +32,36 @@ from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import (
 )
 
 
+def _materialize(df: DataFrame, storage: str, eager: bool = True) -> DataFrame:
+    """Materialize an intermediate so downstream consumers reuse its
+    blocks instead of recomputing.
+
+    ``storage="checkpoint"``: ``localCheckpoint`` — truncates lineage
+    (iterative plans stay flat) and its blocks are released by the
+    context cleaner on GC, but they are NOT recomputable: losing an
+    executor (spot/preemptible nodes, dynamic-allocation downscale)
+    fails the job.
+
+    ``storage="persist"``: ``persist(MEMORY_AND_DISK)`` — lineage is
+    retained, so lost blocks are recomputed and the job survives
+    executor loss; the durable choice for preemptible clusters. Costs:
+    iterative callers' plans grow with rounds (bounded by ``max_iter``),
+    and blocks occupy executor storage until ``unpersist()`` (iterative
+    callers here unpersist each superseded round; the final result's
+    blocks are released when the caller drops the DataFrame).
+    """
+    if storage == "checkpoint":
+        return df.localCheckpoint(eager=eager)
+    if storage == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            df.count()
+        return df
+    raise ValueError(f"unknown storage strategy: {storage!r} (checkpoint|persist)")
+
+
 def _shingles(text: Column, n: int) -> Column:
     """Word n-gram shingles as an array<string> (distinct)."""
     tokens = F.split(F.trim(text), r"\s+")
@@ -384,6 +414,7 @@ def minhash_incremental_dedup(
     append: bool = True,
     n_buckets: int = 32,
     max_bucket_size: int | None = None,
+    storage: str = "checkpoint",
     **sig_kwargs,
 ) -> DataFrame:
     """Incremental corpus curation: drop new documents that are
@@ -415,15 +446,21 @@ def minhash_incremental_dedup(
     cluster via its representative (see
     :func:`minhash_query_index`). Index bucket sizing is restricted to
     buckets the batch hits, so the guard costs O(batch), not O(index).
+
+    ``storage``: materialization strategy for the signature table and
+    the survivor set — ``"checkpoint"`` (default; scoped blocks, fails
+    on executor loss) or ``"persist"`` (lineage kept, survives executor
+    loss — use on preemptible clusters). See :func:`_materialize`.
     """
     num_hashes = sig_kwargs.get("num_hashes", 64)
     bands = sig_kwargs.get("bands", 16)
     shingle_n = sig_kwargs.get("shingle_n", 5)
     impl = sig_kwargs.get("impl", "arrow")
 
-    sig = _signature_table(
-        new_df, id_col, text_col, num_hashes, shingle_n, impl
-    ).localCheckpoint(eager=True)
+    sig = _materialize(
+        _signature_table(new_df, id_col, text_col, num_hashes, shingle_n, impl),
+        storage,
+    )
     banded = _band_explode(sig, bands, num_hashes // bands)
 
     idx = spark.table(table)
@@ -494,7 +531,7 @@ def minhash_incremental_dedup(
     if within_star is not None:
         within = within.unionByName(within_star)
     losers = vs_corpus.unionByName(within).distinct()
-    survivors = new_df.join(losers, id_col, "left_anti").localCheckpoint(eager=True)
+    survivors = _materialize(new_df.join(losers, id_col, "left_anti"), storage)
 
     if append:
         from ..sources.io import write_table
@@ -521,6 +558,7 @@ def minhash_lsh_pairs(
     impl: str = "arrow",
     persist_index: bool = True,
     max_bucket_size: int | None = None,
+    storage: str = "checkpoint",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -536,14 +574,16 @@ def minhash_lsh_pairs(
     ``persist_index``: materialize the (_id, _sig) signature table so
     the self-join computes signatures once, not once per side (at
     warehouse scale you would write this index to a table instead).
-    Storage is scoped: the checkpoint blocks are released automatically
-    once the returned DataFrame is garbage collected — no cache entry
-    outlives the caller. Trade-off vs ``persist()``: localCheckpoint
-    truncates lineage, so its blocks are NOT recomputable — losing an
-    executor (spot nodes, dynamic-allocation downscale) fails the job
-    instead of recomputing the lost partitions. For long-running cluster
-    deployments on preemptible hardware, write the signature index to a
-    real table (the stated warehouse-scale form) instead.
+    ``storage`` picks the materialization strategy (see
+    :func:`_materialize`): the default ``"checkpoint"`` is scoped —
+    blocks are released automatically once the returned DataFrame is
+    garbage collected — but NOT recomputable, so an executor loss
+    (spot nodes, dynamic-allocation downscale) fails the job.
+    ``"persist"`` keeps lineage, surviving executor loss at the price
+    of a cache entry that lives until the result is dropped — the
+    right knob for preemptible clusters. For long-running deployments,
+    write the signature index to a real table instead
+    (:func:`minhash_build_index`, the stated warehouse-scale form).
 
     ``max_bucket_size``: skew guard for boilerplate-heavy corpora. A
     band bucket holding B docs yields B(B-1)/2 candidates under the
@@ -577,7 +617,7 @@ def minhash_lsh_pairs(
         # unpersist/clearCache, its blocks are freed by the context
         # cleaner when this DataFrame is GC'd, so bench loops and
         # long-lived pipelines don't accumulate executor storage.
-        sig = sig.localCheckpoint(eager=True)
+        sig = _materialize(sig, storage)
 
     banded = _band_explode(sig, bands, rows_per_band)
 
@@ -665,6 +705,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     algorithm: str = "label",
+    storage: str = "checkpoint",
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``, where component =
     the MIN vertex id reachable from it (undirected).
@@ -691,48 +732,60 @@ def connected_components(
     variants, social/citation graphs). Same output contract; property-
     tested equal to the label path on random graphs.
 
-    Both paths localCheckpoint intermediate state each round so the plan
-    does not grow with iterations (blocks released on GC) and exit early
-    at a fixed point. localCheckpoint trades lineage for scoped cleanup:
-    blocks are unrecoverable on executor loss, so a lost executor
-    (spot/preemptible nodes, dynamic-allocation downscale) fails the job
-    — for those deployments use reliable ``checkpoint()`` by setting a
-    checkpoint dir, or persist the edge list to a table between rounds.
+    Both paths materialize intermediate state each round and exit early
+    at a fixed point. ``storage="checkpoint"`` (default) uses
+    ``localCheckpoint``: the plan stays flat across iterations and
+    blocks are released on GC, but they are unrecoverable — a lost
+    executor (spot/preemptible nodes, dynamic-allocation downscale)
+    fails the job. ``storage="persist"`` keeps lineage (lost blocks
+    recompute; the job survives preemption) at the price of a plan
+    that grows with rounds — bounded by ``max_iter``, and each
+    superseded round is unpersisted as soon as the next is
+    materialized, so storage stays one-round-sized. Use "persist" on
+    preemptible hardware, or reliable ``checkpoint()`` via a
+    checkpoint dir for very high round counts.
     Raises RuntimeWarning when ``max_iter`` rounds elapse before
     convergence — the returned labels would otherwise silently split a
     wide component (under-deleting in dedup) with no signal.
     """
     if algorithm == "star":
-        return _connected_components_star(edges, src, dst, max_iter)
+        return _connected_components_star(edges, src, dst, max_iter, storage)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm: {algorithm!r} (label|star)")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.distinct().localCheckpoint(eager=True)
+    e = _materialize(e.distinct(), storage)
     labels = e.select(F.col("a").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
     changed = 0
+    prev_upd = None
     for _ in range(max_iter):
         nbr = e.join(
             labels.select(F.col("id").alias("_b"), "comp"),
             F.col("b") == F.col("_b"),
         ).select(F.col("a").alias("id"), "comp")
-        # ONE job per round: the lazy checkpoint is materialized by the
+        # ONE job per round: the lazy materialization is saved by the
         # convergence count itself (the count scans every row, saving
-        # the blocks as a side effect), instead of an eager-checkpoint
-        # job followed by a separate change-count job. _old rides along
+        # the blocks as a side effect), instead of an eager job
+        # followed by a separate change-count job. _old rides along
         # so change detection needs no second join against the
         # pre-update labels.
-        upd = (
+        upd = _materialize(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .join(labels.select("id", F.col("comp").alias("_old")), "id")
-            .localCheckpoint(eager=False)
+            .join(labels.select("id", F.col("comp").alias("_old")), "id"),
+            storage,
+            eager=False,
         )
         changed = upd.filter(F.col("comp") != F.col("_old")).count()
         labels = upd.select("id", "comp")
+        if storage == "persist" and prev_upd is not None:
+            # the new round is materialized; the superseded round's
+            # blocks back nothing downstream — release them now
+            prev_upd.unpersist()
+        prev_upd = upd
         if changed == 0:
             break
     if changed != 0:
@@ -748,7 +801,7 @@ def connected_components(
 
 
 def _connected_components_star(
-    edges: DataFrame, src: str, dst: str, max_iter: int
+    edges: DataFrame, src: str, dst: str, max_iter: int, storage: str = "checkpoint"
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al., SoCC
     '14): round count is O(log² n) — in practice ~log n — regardless of
@@ -772,14 +825,14 @@ def _connected_components_star(
     :func:`connected_components`; vertices appear iff they occur in
     ``edges``.
     """
-    e = (
+    e = _materialize(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        storage,
     )
 
     def signature(df: DataFrame) -> tuple:
@@ -791,6 +844,7 @@ def _connected_components_star(
 
     sig = signature(e)
     converged = False
+    prev_e = e
     for _ in range(max_iter):
         # large-star: undirected neighborhoods; each neighbor strictly
         # greater than u re-attaches to the neighborhood min. Output
@@ -809,14 +863,20 @@ def _connected_components_star(
         # small-star: per node u (all neighbors < u), hook u and every
         # non-min neighbor onto the neighborhood min.
         sized = ls.withColumn("_m", F.min("b").over(Window.partitionBy("a")))
-        e = (
+        # lazy: the signature agg is the round's one action and saves
+        # the blocks as a side effect
+        e = _materialize(
             sized.filter(F.col("b") != F.col("_m"))
             .select(F.col("b").alias("a"), F.col("_m").alias("b"))
             .unionByName(sized.select("a", F.col("_m").alias("b")))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            storage,
+            eager=False,
         )
         new_sig = signature(e)
+        if storage == "persist" and prev_e is not None:
+            prev_e.unpersist()
+        prev_e = e
         if new_sig == sig:
             converged = True
             break
@@ -908,6 +968,7 @@ def cc_dedup(
     src: str = "id_a",
     dst: str = "id_b",
     algorithm: str = "label",
+    storage: str = "checkpoint",
 ) -> DataFrame:
     """Keep one representative (the min id) per connected component of
     ``pairs``; rows never appearing in a pair survive untouched. Use
@@ -915,9 +976,13 @@ def cc_dedup(
     simhash_near_dups, embedding_cosine_pairs) when transitive cluster
     semantics are wanted instead of the greedy per-pair drop.
     ``algorithm`` selects the :func:`connected_components` path
-    ("label" for shallow near-dup graphs, "star" for high-diameter).
+    ("label" for shallow near-dup graphs, "star" for high-diameter);
+    ``storage`` its per-round materialization strategy
+    (checkpoint|persist — see :func:`_materialize`).
     """
-    labels = connected_components(pairs, src=src, dst=dst, algorithm=algorithm)
+    labels = connected_components(
+        pairs, src=src, dst=dst, algorithm=algorithm, storage=storage
+    )
     losers = labels.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

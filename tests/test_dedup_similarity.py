@@ -200,6 +200,71 @@ def test_minhash_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert 1002 in kept_ids
 
 
+def test_storage_persist_matches_checkpoint(spark):
+    """storage="persist" (the preemptible-cluster durability knob:
+    lineage kept, blocks recomputable on executor loss) produces
+    byte-identical results to the default localCheckpoint path on
+    every operator that exposes it, and leaves no cache entries behind
+    beyond the returned result."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_build_index,
+        minhash_incremental_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],
+        "doc_id bigint, text string",
+    )
+    kw = dict(num_hashes=64, bands=16, threshold=0.5)
+    p_ckpt = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    )
+    p_pers = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", storage="persist", **kw
+        ).collect()
+    )
+    assert p_ckpt == p_pers and p_ckpt
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    for algo in ("label", "star"):
+        lbl_c = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        lbl_p = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edges, algorithm=algo, storage="persist"
+            ).collect()
+        }
+        assert lbl_c == lbl_p == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    t = "mh_storage_persist_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    minhash_build_index(
+        spark.createDataFrame([(1, BASE)], "doc_id bigint, text string"), t
+    )
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, FAR)], "doc_id bigint, text string"
+    )
+    surv = minhash_incremental_dedup(
+        spark, t, batch, threshold=0.9, append=False, storage="persist"
+    )
+    assert {r["doc_id"] for r in surv.collect()} == {11}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint|persist"):
+        connected_components(edges, storage="table")
+
+
 def test_connected_components_chain_and_clique(spark):
     """Chain 1-2-3 and clique 10-11-12 plus isolated edge 20-21: labels
     are min-reachable ids, independent of pair topology."""
