@@ -1965,10 +1965,12 @@ def _q_d_minhash_index_dedup(spark, sf_dir):
 def _q_s10_incremental_load(spark, sf_dir):
     """CDC-style incremental ingestion (plans/incremental.py): run 1
     full-loads orders into a catalog target; run 2 pulls only the delta
-    at-or-after the target's high watermark (updated rows carry
-    o_orderdate + 10 days, so every update clears the bound) and MERGEs
-    it (updates win per key). The oracle replays the same two-batch
-    semantics in SQL, proving both the watermark filter and the merge."""
+    at-or-after the target's high watermark — updated rows carry
+    corpus-max-date + (1..30) key-derived days, so EVERY update clears
+    the bound and the MERGE is exercised for every key%3 row, not a
+    thin date slice — and MERGEs it (updates win per key). The oracle
+    replays the same two-batch semantics in SQL, proving both the
+    watermark filter and the merge."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.incremental import (
         incremental_upsert,
     )
@@ -1981,11 +1983,18 @@ def _q_s10_incremental_load(spark, sf_dir):
     incremental_upsert(
         spark, o, table, keys=["o_orderkey"], watermark_col="o_orderdate"
     )
-    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
-        "o_orderkey",
-        F.lit("U").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") + 100, 2).alias("o_totalprice"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("o_orderdate"),
+    maxd = o.agg(F.max("o_orderdate").alias("_m"))
+    updates = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .join(F.broadcast(maxd))
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 100, 2).alias("o_totalprice"),
+            F.date_add(
+                F.col("_m"), (F.col("o_orderkey") % 30 + 1).cast("int")
+            ).alias("o_orderdate"),
+        )
     )
     final = incremental_upsert(
         spark, updates, table, keys=["o_orderkey"], watermark_col="o_orderdate"
@@ -2653,10 +2662,13 @@ def oracle_sql() -> dict[str, str]:
         "t_apply_mixture": (
             "WITH c AS (SELECT lang, count(*) AS n_rows FROM documents "
             "GROUP BY lang), t AS (SELECT sum(n_rows) AS total FROM c), "
-            "w AS (SELECT lang, (CASE lang WHEN 'en' THEN 0.3 "
+            # least(…, 100) mirrors apply_mixture's max_weight=100 blast-
+            # radius clamp, so a skewed corpus can't silently diverge the
+            # engines (ADVICE r04)
+            "w AS (SELECT lang, least((CASE lang WHEN 'en' THEN 0.3 "
             "WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.15 "
-            "WHEN 'zh' THEN 0.1 ELSE 0.0 END) / (n_rows::DOUBLE / total) "
-            "AS weight FROM c, t), "
+            "WHEN 'zh' THEN 0.1 ELSE 0.0 END) / (n_rows::DOUBLE / total), "
+            "100.0) AS weight FROM c, t), "
             "d AS (SELECT doc_id, d0.lang, weight, "
             "CAST(floor(weight) AS BIGINT) AS base, "
             "('0x'||substr(md5(doc_id::VARCHAR || '#7'),1,8))::BIGINT "
@@ -2971,8 +2983,8 @@ def oracle_sql() -> dict[str, str]:
             "wm AS (SELECT max(o_orderdate) AS m FROM base), "
             "upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, "
             "round(o_totalprice + 100, 2) AS o_totalprice, "
-            "o_orderdate + INTERVAL 10 DAY AS o_orderdate "
-            "FROM base WHERE o_orderkey % 3 = 0), "
+            "CAST(wm.m + INTERVAL 1 DAY * (o_orderkey % 30 + 1) AS DATE) "
+            "AS o_orderdate FROM base, wm WHERE o_orderkey % 3 = 0), "
             "kept AS (SELECT u.* FROM upd u, wm WHERE u.o_orderdate >= wm.m) "
             "SELECT b.o_orderkey, "
             "coalesce(k.o_orderstatus, b.o_orderstatus) AS o_orderstatus, "

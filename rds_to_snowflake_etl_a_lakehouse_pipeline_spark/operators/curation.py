@@ -12,6 +12,8 @@ oracle in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,6 +28,17 @@ def _det_bucket(key: Column | str, modulus: int) -> Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     ) % modulus
+
+
+def _rate_threshold(rate: float, modulus: int = 10_000) -> int:
+    """Integer bucket threshold for a sampling rate, computed
+    DRIVER-SIDE in decimal: ``floor(Decimal(str(rate)) * modulus)``.
+    Multiplying the rate as a double inside the plan truncates wrong
+    for fractions whose product rounds just below the integer
+    (0.7 → 6999.999… → 6999), diverging from a SQL oracle's exact
+    decimal ``floor(0.7 * 10000) = 7000`` — the literal int keeps both
+    engines byte-identical for every representable rate."""
+    return int(Decimal(str(float(rate))) * modulus)
 
 
 def pack_sequences(
@@ -107,14 +120,18 @@ def stratified_sample(
     to ``default_fraction`` — make keys non-NULL upstream if every row
     must be eligible.
     """
+    # thresholds are integer LITERALS computed driver-side in decimal
+    # (see _rate_threshold) — a double multiply in the plan truncates
+    # 0.7 to 6999/10000 and breaks cross-engine determinism
     pairs: list[Column] = []
     for k, v in fractions.items():
-        pairs += [F.lit(k), F.lit(float(v))]
-    rate = F.coalesce(
-        F.create_map(*pairs)[F.col(strata_col)], F.lit(float(default_fraction))
+        pairs += [F.lit(k), F.lit(_rate_threshold(v))]
+    threshold = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)],
+        F.lit(_rate_threshold(default_fraction)),
     )
     bucket = _det_bucket(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")), 10_000)
-    return df.filter(bucket < (rate * 10_000).cast("bigint"))
+    return df.filter(bucket < threshold)
 
 
 def topk_per_group(

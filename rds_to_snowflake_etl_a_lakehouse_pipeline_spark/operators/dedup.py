@@ -825,13 +825,21 @@ def _connected_components_star(
     :func:`connected_components`; vertices appear iff they occur in
     ``edges``.
     """
+    norm = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("a"),
+        F.least(F.col(src), F.col(dst)).alias("b"),
+    )
+    # Self-loop-only vertices must still appear in the output labeled
+    # as their own component — matching the label-propagation path's
+    # contract on degenerate input. They re-enter at the final agg
+    # (same shuffle, no extra stage).
+    self_loops = (
+        norm.filter(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("id"), F.col("a").alias("component"))
+        .distinct()
+    )
     e = _materialize(
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("a"),
-            F.least(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct(),
+        norm.filter(F.col("a") != F.col("b")).distinct(),
         storage,
     )
 
@@ -897,6 +905,7 @@ def _connected_components_star(
         .unionByName(
             e.select(F.col("b").alias("id"), F.col("b").alias("component"))
         )
+        .unionByName(self_loops)
         .groupBy("id")
         .agg(F.min("component").alias("component"))
     )

@@ -250,18 +250,30 @@ def ivf_append_index(
     ``groupBy("_cell").count()``) and rebuild with
     :func:`ivf_build_index` when it degrades; rebuild cost is one fit on
     a bounded sample plus one assignment pass.
+
+    Input hygiene: external incremental batches are the one path fed by
+    arbitrary upstreams, so NULL or wrong-dimension embeddings are
+    FILTERED OUT before assignment (a single NULL would otherwise fail
+    the whole append inside the UDF) — count the batch yourself upstream
+    if dropped rows must be an error. Empty batches write nothing.
     """
     from ..sources.io import write_table
 
     C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
 
     @pandas_udf("int")
     def nearest_cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="int32")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
-    assigned = new_vectors.select(
+    # size(NULL) is NULL, so this single predicate drops NULL and
+    # ragged vectors alike before they reach the kernel
+    valid = new_vectors.filter(F.size(F.col(vec_col)) == dim)
+    assigned = valid.select(
         F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
     )
     write_table(assigned, table, mode="append", partition_by=["_cell"])

@@ -88,6 +88,40 @@ def test_stratified_sample_deterministic_and_exact(docs):
     assert abs(kept_en / n_en - 0.5) < 0.2
 
 
+def test_stratified_sample_threshold_is_decimal_exact(spark):
+    """Rates like 0.7/0.15, whose double product rounds just BELOW the
+    integer (0.7*10000 = 6999.999…), must still use the exact decimal
+    threshold (7000/1500) — computed driver-side, matching what any SQL
+    oracle's decimal floor(rate*10000) yields. A pure-Python md5 replay
+    with the exact integer thresholds must select identical rows."""
+    import hashlib
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        _rate_threshold,
+    )
+
+    assert _rate_threshold(0.7) == 7000
+    assert _rate_threshold(0.15) == 1500
+    assert _rate_threshold(1.0) == 10000
+    assert _rate_threshold(0.0) == 0
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    fr = {"en": 0.7, "fr": 0.15}
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", fr, "doc_id", seed=42).collect()
+    }
+
+    def bucket(key: int) -> int:
+        return int(hashlib.md5(f"{key}#42".encode()).hexdigest()[:8], 16) % 10_000
+
+    expected = {
+        i for i, lang in rows if bucket(i) < {"en": 7000, "fr": 1500}[lang]
+    }
+    assert kept == expected
+
+
 def test_stratified_sample_seed_changes_selection(docs):
     fr = {"en": 0.5}
     a = {r[0] for r in stratified_sample(docs, "lang", fr, "doc_id", seed=1)

@@ -265,6 +265,25 @@ def test_storage_persist_matches_checkpoint(spark):
         connected_components(edges, storage="table")
 
 
+def test_connected_components_self_loops_both_algorithms(spark):
+    """Degenerate input contract: a self-loop-only vertex appears in
+    the output labeled as its own component on BOTH algorithm paths
+    (the star path previously dropped it while label kept it)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], "id_a bigint, id_b bigint"
+    )
+    for algo in ("label", "star"):
+        labels = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert labels == {1: 1, 2: 1, 7: 7}, algo
+
+
 def test_connected_components_chain_and_clique(spark):
     """Chain 1-2-3 and clique 10-11-12 plus isolated edge 20-21: labels
     are min-reachable ids, independent of pair topology."""
@@ -749,3 +768,54 @@ def test_ivf_append_index_extends_probes(spark):
         (F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1)
     )
     assert self_hits.count() == q.count()
+
+
+def test_ivf_append_index_tolerates_dirty_batches(spark):
+    """External incremental batches are the path fed by arbitrary
+    upstreams: NULL embeddings, wrong-dimension vectors, and fully
+    empty batches must not fail the append — invalid rows are filtered,
+    valid ones land and are probe-visible."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    t = "ivf_append_dirty_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    centroids = ivf_build_index(base, t, n_clusters=8)
+    dim = len(centroids[0])
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    good = emb.filter(F.col("vec_id") == 450).first()
+    dirty = spark.createDataFrame(
+        [
+            (9001, None),                         # NULL embedding
+            (9002, [1.0] * (dim + 3)),            # ragged dimension
+            (int(good["vec_id"]), list(good["embedding"])),  # valid
+        ],
+        schema,
+    )
+    ivf_append_index(dirty, t, centroids)          # must not raise
+    indexed = {r["vec_id"] for r in spark.table(t).select("vec_id").collect()}
+    assert good["vec_id"] in indexed
+    assert 9001 not in indexed and 9002 not in indexed
+
+    before = spark.table(t).count()
+    ivf_append_index(dirty.filter(F.lit(False)), t, centroids)  # empty batch
+    assert spark.table(t).count() == before
+
+    q = spark.createDataFrame(
+        [(1, list(good["embedding"]))], "query_id bigint, embedding array<float>"
+    )
+    hit = ivf_query_index(spark, t, q, centroids, k=1, n_probe=8)
+    assert hit.first()["vec_id"] == good["vec_id"]
