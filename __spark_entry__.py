@@ -1882,6 +1882,26 @@ def _q_a1_approx_distinct(spark, sf_dir):
     )
 
 
+def _q_a1_approx_percentile(spark, sf_dir):
+    """The 100 TB form of a1_percentile: approx_percentile's mergeable
+    map-side sketch (Greenwald-Khanna in Spark) replaces the per-group
+    sort — no per-group materialization, partial-aggregated like any
+    sum. Rows-only: sketch estimates differ between engines by
+    construction; the exact twin a1_percentile is oracle-checked, and
+    tests/test_cleansing.py::test_approx_percentile_within_bound pins
+    the estimate against the exact values with the accuracy-parameter
+    error bound."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = 10_000  # max rank error = n / acc
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_quantity, 0.5, {acc})").alias("median_qty"),
+        F.expr(f"approx_percentile(l_quantity, 0.9, {acc})").alias("p90_qty"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.25, {acc})").alias(
+            "p25_price"
+        ),
+    )
+
+
 def _q_o1_intersect(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -2219,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_decontaminate": _q_t_decontaminate,
         # remaining untested singles
         "a1_approx_distinct": _q_a1_approx_distinct,
+        "a1_approx_percentile": _q_a1_approx_percentile,
         # one representative per already-green §2 family (keeps every
         # family inside the verified window)
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,

@@ -119,3 +119,51 @@ def test_prefer_source_r11(spark):
     df = spark.createDataFrame(rows, "crm string, erp string")
     out = df.select(lf.prefer_source("crm", "erp").alias("g")).collect()
     assert [r["g"] for r in out] == ["F", "Male", "Male", "n/a"]
+
+
+def test_approx_percentile_within_bound(spark):
+    """Error-bound for the a1_approx_percentile query (the 100 TB twin
+    of the exact a1_percentile): approx_percentile(col, p, acc) returns
+    an actual element whose RANK is within n/acc of the target rank
+    p*n — the Greenwald-Khanna guarantee. With acc=10_000 this is a
+    deterministic bound, not a statistical one."""
+    import bisect
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
+
+    acc = 10_000
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    est = {
+        r["l_returnflag"]: (r["median_qty"], r["p90_qty"], r["p25_price"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"approx_percentile(l_quantity, 0.5, {acc})").alias("median_qty"),
+            F.expr(f"approx_percentile(l_quantity, 0.9, {acc})").alias("p90_qty"),
+            F.expr(f"approx_percentile(l_extendedprice, 0.25, {acc})").alias(
+                "p25_price"
+            ),
+        )
+        .collect()
+    }
+    rows = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    by_flag: dict[str, tuple[list, list]] = {}
+    for r in rows:
+        qty, price = by_flag.setdefault(r["l_returnflag"], ([], []))
+        qty.append(r["l_quantity"])
+        price.append(r["l_extendedprice"])
+    assert est.keys() == by_flag.keys()
+    for flag, (qty, price) in by_flag.items():
+        qty.sort()
+        price.sort()
+        for value, p, vals in (
+            (est[flag][0], 0.5, qty),
+            (est[flag][1], 0.9, qty),
+            (est[flag][2], 0.25, price),
+        ):
+            n = len(vals)
+            tol = n / acc + 1  # rank slack: GK bound + tie/rounding slop
+            lo = bisect.bisect_left(vals, value)
+            hi = bisect.bisect_right(vals, value)
+            assert lo < hi, (flag, p, value)  # an actual element
+            target = p * n
+            assert lo - tol <= target <= hi + tol, (flag, p, value, lo, hi, n)
