@@ -188,6 +188,31 @@ def ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _centroid_dist(vec_col: str, cell_col: str, centroids: list[list[float]]) -> Column:
+    """Euclidean distance from a vector to its assigned centroid, as a
+    pure Catalyst expression: the centroid matrix ships as a literal
+    array-of-arrays (n_clusters × dim floats — tiny), indexed by the
+    cell id, then a zip_with/aggregate squared-diff fold. No Python in
+    the pass that scans the vectors."""
+    lit_c = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    assigned = F.element_at(lit_c, F.col(cell_col) + 1)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                assigned,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _drift_stats_table(table: str) -> str:
+    return f"{table}_drift_stats"
+
+
 def ivf_build_index(
     corpus: DataFrame,
     table: str,
@@ -211,6 +236,14 @@ def ivf_build_index(
     Returns the centroid matrix to hand to ``ivf_query_index`` (at
     warehouse scale you would store it beside the table; it is
     n_clusters × dim floats — tiny).
+
+    Also records the BUILD-TIME quantization-distance distribution
+    (mean / p95 distance of each corpus vector to its assigned
+    centroid) in a one-row companion table ``{table}_drift_stats``:
+    :func:`ivf_append_index` compares every appended batch against it
+    and recommends a rebuild when the quantizer has drifted. The stats
+    pass scans the just-written index table, not the raw corpus — no
+    second ``model.transform``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -226,7 +259,20 @@ def ivf_build_index(
         F.col(id_col), F.col(vec_col), F.col("_cell")
     )
     write_table(indexed, table, partition_by=["_cell"])
-    return [list(map(float, ct)) for ct in model.clusterCenters()]
+    centroids = [list(map(float, ct)) for ct in model.clusterCenters()]
+
+    spark = corpus.sparkSession
+    stats = (
+        spark.table(table)
+        .withColumn("_dist", _centroid_dist(vec_col, "_cell", centroids))
+        .agg(
+            F.avg("_dist").alias("mean_dist"),
+            F.expr("approx_percentile(_dist, 0.95, 10000)").alias("p95_dist"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+    write_table(stats, _drift_stats_table(table))
+    return centroids
 
 
 def ivf_append_index(
@@ -235,7 +281,8 @@ def ivf_append_index(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    drift_threshold: float = 1.5,
+) -> dict:
     """Incrementally extend a persisted :func:`ivf_build_index` table:
     assign each new vector to its nearest EXISTING centroid (one numpy
     matmul against the tiny centroid matrix per Arrow batch — no
@@ -246,16 +293,22 @@ def ivf_append_index(
 
     Quantizer drift: appended data is binned by the ORIGINAL centroids.
     If the new distribution shifts far from the fit, cells skew and
-    probe recall decays — monitor cell-size balance (one
-    ``groupBy("_cell").count()``) and rebuild with
-    :func:`ivf_build_index` when it degrades; rebuild cost is one fit on
-    a bounded sample plus one assignment pass.
+    probe recall decays. Every append therefore MEASURES drift — the
+    batch's mean/p95 distance to its assigned centroids vs the
+    build-time distribution :func:`ivf_build_index` recorded — and the
+    returned dict carries ``rebuild_recommended=True`` when the batch
+    p95 exceeds ``drift_threshold ×`` the build p95 (an
+    out-of-distribution batch quantizes visibly worse; an
+    in-distribution one tracks the build stats). Rebuild cost is one
+    fit on a bounded sample plus one assignment pass. Indexes built
+    before stats existed yield ``build_p95=None`` and no
+    recommendation.
 
     Input hygiene: external incremental batches are the one path fed by
     arbitrary upstreams, so NULL or wrong-dimension embeddings are
     FILTERED OUT before assignment (a single NULL would otherwise fail
-    the whole append inside the UDF) — count the batch yourself upstream
-    if dropped rows must be an error. Empty batches write nothing.
+    the whole append inside the UDF) — the returned dict counts them in
+    ``n_dropped``. Empty batches write nothing.
     """
     from ..sources.io import write_table
 
@@ -272,11 +325,48 @@ def ivf_append_index(
 
     # size(NULL) is NULL, so this single predicate drops NULL and
     # ragged vectors alike before they reach the kernel
+    n_input = new_vectors.count()
     valid = new_vectors.filter(F.size(F.col(vec_col)) == dim)
+    # one narrow checkpoint so the assignment kernel runs once for the
+    # write AND the drift agg (batch-sized, not corpus-sized)
     assigned = valid.select(
         F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
-    )
+    ).localCheckpoint(eager=True)
     write_table(assigned, table, mode="append", partition_by=["_cell"])
+
+    row = (
+        assigned.withColumn("_dist", _centroid_dist(vec_col, "_cell", centroids))
+        .agg(
+            F.avg("_dist").alias("mean_dist"),
+            F.expr("approx_percentile(_dist, 0.95, 10000)").alias("p95_dist"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    build_mean = build_p95 = None
+    spark = new_vectors.sparkSession
+    try:
+        srow = spark.table(_drift_stats_table(table)).first()
+        if srow is not None:
+            build_mean, build_p95 = srow["mean_dist"], srow["p95_dist"]
+    except Exception:
+        pass  # pre-stats index: drift unmeasurable, never fail the append
+    batch_p95 = row["p95_dist"]
+    drift_ratio = (
+        batch_p95 / build_p95 if batch_p95 is not None and build_p95 else None
+    )
+    return {
+        "n_appended": row["n"],
+        "n_dropped": n_input - row["n"],
+        "batch_mean_dist": row["mean_dist"],
+        "batch_p95_dist": batch_p95,
+        "build_mean_dist": build_mean,
+        "build_p95_dist": build_p95,
+        "drift_ratio": drift_ratio,
+        "rebuild_recommended": bool(
+            drift_ratio is not None and drift_ratio > drift_threshold
+        ),
+    }
 
 
 def ivf_query_index(

@@ -770,6 +770,45 @@ def test_ivf_append_index_extends_probes(spark):
     assert self_hits.count() == q.count()
 
 
+def test_ivf_append_drift_detection(spark):
+    """ivf_build_index records the build-time quantization-distance
+    distribution; ivf_append_index measures each batch against it. An
+    in-distribution append must NOT recommend a rebuild; a shifted
+    batch (every component +25) quantizes far worse and must trip the
+    recommendation."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+    )
+
+    t = "ivf_drift_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}_drift_stats")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    centroids = ivf_build_index(base, t, n_clusters=8)
+
+    srow = spark.table(f"{t}_drift_stats").first()
+    assert srow["p95_dist"] > 0 and srow["n_vectors"] == base.count()
+
+    in_dist = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    m1 = ivf_append_index(in_dist, t, centroids)
+    assert m1["n_appended"] == in_dist.count() and m1["n_dropped"] == 0
+    assert m1["rebuild_recommended"] is False
+    assert 0 < m1["drift_ratio"] < 1.5
+
+    shifted = emb.filter(F.col("vec_id") >= 450).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.lit(25.0)
+        ).alias("embedding"),
+    )
+    m2 = ivf_append_index(shifted, t, centroids)
+    assert m2["rebuild_recommended"] is True
+    assert m2["drift_ratio"] > 1.5
+    assert m2["build_p95_dist"] == srow["p95_dist"]
+
+
 def test_ivf_append_index_tolerates_dirty_batches(spark):
     """External incremental batches are the path fed by arbitrary
     upstreams: NULL embeddings, wrong-dimension vectors, and fully
