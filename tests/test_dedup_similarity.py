@@ -594,6 +594,42 @@ def test_approx_count_distinct_within_rsd(spark):
         assert abs(est[k] - v) <= max(1, 0.10 * v), (k, est[k], v)
 
 
+def test_decontaminate_both_join_strategies_agree(spark):
+    """The broadcast_bench=False branch (the one a giant multi-benchmark
+    union actually hits — AQE picks the strategy instead of a forced
+    broadcast) must keep EXACTLY the survivors the oracle-checked
+    broadcast path keeps, on the same corpus/bench split the
+    t_decontaminate registry query uses, plus normalize/min_hits
+    variants."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        decontaminate,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    for kw in (
+        {},
+        {"normalize": False},
+        {"min_hits": 2, "shingle_n": 5},
+    ):
+        bcast = {
+            r["doc_id"]
+            for r in decontaminate(
+                corpus, bench, "doc_id", "text", broadcast_bench=True, **kw
+            ).select("doc_id").collect()
+        }
+        plain = {
+            r["doc_id"]
+            for r in decontaminate(
+                corpus, bench, "doc_id", "text", broadcast_bench=False, **kw
+            ).select("doc_id").collect()
+        }
+        assert bcast == plain, kw
+        assert 0 < len(bcast) < corpus.count()  # the filter actually bites
+
+
 def test_minhash_index_build_query_incremental(spark):
     """Write-once banded signature index: batch 1 builds it; batch 2's
     exact copies are flagged against the INDEX (not a corpus re-scan),
