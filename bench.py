@@ -99,6 +99,32 @@ def main() -> None:
             order_col="doc_id",
         )
 
+    # q16 setup: persist the MinHash index ONCE (untimed — a standing
+    # pipeline builds once and then pays only per-batch cost, which is
+    # the number q16 tracks round-over-round). append=False keeps the
+    # index immutable so regression re-times measure the same work.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+    )
+
+    inc_table = "bench_mh_index"
+    spark.sql(f"DROP TABLE IF EXISTS {inc_table}")
+    minhash_build_index(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0),
+        inc_table,
+    )
+
+    def q_incremental_minhash(spark, d):
+        # steady state of a standing corpus: sign one arriving batch
+        # (10% of documents), probe the persisted bucketed index, drop
+        # near-dups of the corpus or of earlier batch rows; hot-bucket
+        # capped on both joins.
+        batch = load(spark, d, "documents").filter(F.col("doc_id") % 10 == 0)
+        return minhash_incremental_dedup(
+            spark, inc_table, batch, append=False, max_bucket_size=64
+        )
+
     bench = {
         "q1_lineitem_agg": (qs["a1_groupby_agg"], False),
         "q2_fact_join_agg": (q_fact_join_agg, False),
@@ -115,6 +141,7 @@ def main() -> None:
         "q13_gold_pipeline": (qs["g_fact_sales"], True),
         "q14_cc_dedup": (qs["d_cc_dedup"], True),
         "q15_curation_pack": (q_curation_compose, True),
+        "q16_incremental_minhash": (q_incremental_minhash, True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11
