@@ -349,3 +349,110 @@ def test_interval_join_rejects_right_and_full(spark):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="swap the sides"):
             interval_join(df, df2, "user_id", "a_ts", "b_ts", "1 hour", how=how)
+
+
+def test_interval_join_watermark_drops_late_right_rows(spark):
+    """Watermark EVICTION under genuinely late data, micro-batch by
+    micro-batch (availableNow, one file per trigger). Stream-stream
+    join semantics: a left click is evicted once
+    ``watermark > click_ts + upper``, and a right purchase arriving
+    with ``purchase_ts < watermark - upper`` is dropped because every
+    left row it could match is provably gone. Batch 1 advances the
+    watermark to 12:50 (both sides); batch 2 runs WITH that watermark,
+    so at its end the 11:00 click is evicted (11:00 + 1h < 12:50 —
+    eviction is lazy: it uses the watermark current DURING a batch,
+    which trails the data by one batch). Batch 3's 11:40 purchase —
+    inside that click's interval, and a real match in batch mode
+    (asserted) — must produce nothing, while a 12:55 purchase still
+    matches the 12:45 click buffered since batch 1."""
+    import datetime as dt
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        interval_join,
+    )
+
+    T = dt.datetime
+    schema = "user_id int, event_id int, event_type string, ts timestamp"
+    f1_rows = [
+        (1, 100, "click", T(2020, 1, 1, 11, 0)),
+        (1, 200, "purchase", T(2020, 1, 1, 11, 30)),  # in-batch match
+        (2, 101, "click", T(2020, 1, 1, 12, 45)),
+        # driver rows push BOTH sides' max event time to 13:00, so the
+        # query watermark after batch 1 is 12:50 (min over both sides)
+        (8, 102, "click", T(2020, 1, 1, 13, 0)),
+        (9, 201, "purchase", T(2020, 1, 1, 13, 0)),
+    ]
+    f2_rows = [
+        # filler batch: runs under watermark 12:50 so its END evicts
+        # click 100 from state; adds no matches and no new max event
+        (7, 103, "click", T(2020, 1, 1, 12, 55)),
+    ]
+    f3_rows = [
+        # 11:40 < watermark - upper = 11:50: its only possible match
+        # (click 100 at 11:00, interval [11:00, 12:00]) was evicted at
+        # the end of batch 2 — the row must produce nothing
+        (1, 202, "purchase", T(2020, 1, 1, 11, 40)),
+        # 12:55: inside [12:45, 13:45] of the still-buffered click 101
+        (2, 203, "purchase", T(2020, 1, 1, 12, 55)),
+    ]
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return clicks, purchases
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream-src")
+        spark.createDataFrame(f1_rows, schema).coalesce(1).write.parquet(src + "/f1")
+        spark.createDataFrame(f2_rows, schema).coalesce(1).write.parquet(src + "/f2")
+        spark.createDataFrame(f3_rows, schema).coalesce(1).write.parquet(src + "/f3")
+        # file source processes oldest-mtime first: pin the order so f1
+        # is batch 1 regardless of write timing granularity
+        now = dt.datetime.now().timestamp()
+        for sub, mtime in (("f1", now - 180), ("f2", now - 120), ("f3", now - 60)):
+            for fname in _os.listdir(f"{src}/{sub}"):
+                _os.utime(f"{src}/{sub}/{fname}", (mtime, mtime))
+        sdf = (
+            spark.readStream.schema(
+                spark.createDataFrame(f1_rows, schema).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        sc, sp = sides(sdf)
+        joined = interval_join(
+            sc, sp, "user_id", "click_ts", "purchase_ts",
+            upper="1 hour", watermark="10 minutes",
+        )
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in run_available_now(
+                joined, "interval_late_drop", output_mode="append"
+            ).collect()
+        }
+        # batch mode on the union of both files DOES match (100, 202):
+        # the streaming miss below is watermark eviction, not the
+        # interval predicate
+        all_rows = spark.createDataFrame(f1_rows + f2_rows + f3_rows, schema)
+        bc, bp = sides(all_rows)
+        batch_pairs = {
+            (r["click_id"], r["purchase_id"])
+            for r in interval_join(
+                bc, bp, "user_id", "click_ts", "purchase_ts", upper="1 hour"
+            ).collect()
+        }
+        assert (100, 202) in batch_pairs
+    assert (100, 202) not in got          # beyond-watermark row dropped
+    assert (100, 200) in got              # in-batch match
+    assert (101, 203) in got              # in-window cross-batch match
