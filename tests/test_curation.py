@@ -236,4 +236,5 @@ def test_registry_contract_consistency():
         "d_minhash_pairs", "d_minhash_dedup", "d_minhash_index_dedup",
         "d_simhash_pairs", "d_cosine_dedup_lsh", "v_lsh_topk",
         "v_ivf_topk", "v_ivf_index_topk", "a1_approx_distinct",
+        "a1_approx_percentile",
     }, f"unexpected rows-only queries in the verified window: {rows_only_front}"
