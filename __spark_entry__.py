@@ -2027,6 +2027,48 @@ def _q_s10_incremental_load(spark, sf_dir):
     )
 
 
+def _q_s11_versioned_merge(spark, sf_dir):
+    """Snapshot-versioned table (sources/versioned.py): version 1
+    overwrites a base slice of orders partitioned by o_orderstatus,
+    version 2 atomically APPENDS a disjoint slice (parent files reused,
+    never rewritten), version 3 MERGEs a CDC batch (+50 on price for
+    every even key — updates win per key, unmatched keys insert) via
+    partition-scoped copy-on-write: only the touched status partitions
+    are rewritten; untouched parent directories are carried forward
+    with exclusion predicates (pure partition pruning). The oracle
+    replays base ∪ append, then the upsert, in SQL."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt-s11-"))
+    vt.write(
+        o.filter(F.col("o_orderkey") % 3 != 0), partition_by=["o_orderstatus"]
+    )
+    vt.write(
+        o.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 4 == 0)),
+        mode="append",
+    )
+    batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") + 50, 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt.merge(batch, keys=["o_orderkey"])
+    return vt.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+    )
+
+
 # Curation operators (operators/curation.py) ------------------------------
 
 
@@ -2173,11 +2215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     current data) and the stale tranche rotates IN — the r02/r03
     singles (P/F families, a1_* aggregates, text tier, vector
     functions, s4/s5 sources, batch streaming twins) plus the new
-    a1_approx_percentile. After r05 every registered query has an
-    r04-or-r05 verdict except 11 repair/window singles (r3-r12, w1,
-    w3) deferred to r06 — each of those is compositionally exercised
-    inside the r04-green g_* gold pipeline, so their logic does carry
-    a current verdict via composition."""
+    a1_approx_percentile and the new s11_versioned_merge (first-ever
+    verdict beats refreshing v_dot_product, which is composed inside
+    every r04-green cosine query). After r05 every registered query
+    has an r04-or-r05 verdict except 12 repair/window/vector singles
+    (r3-r12, w1, w3, v_dot_product) deferred to r06 — each is
+    compositionally exercised inside an r04-green g_*/v_* query, so
+    their logic does carry a current verdict via composition."""
     return {
         # ---- round-5 front 50: everything whose last direct verdict
         # ---- predates the round-4 testdata regeneration
@@ -2237,7 +2281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_curation_pipeline": _q_t_curation_pipeline,
         # vector functions
         "v_l2_norm": _q_v_l2_norm,
-        "v_dot_product": _q_v_dot_product,
+        # new in round 5: snapshot-versioned table (atomic append +
+        # partition-scoped COW merge) — first driver verdict this round
+        "s11_versioned_merge": _q_s11_versioned_merge,
         # ---- driver cap boundary (entry 50) ----
         # verified against CURRENT testdata in CORRECTNESS_r04.json
         "g_dim_customers": _q_g_dim_customers,
@@ -2296,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04-green v_cosine_pairs), so the logic carries a current
         # verdict
         "v_cosine_topk": _q_v_cosine_topk,
+        "v_dot_product": _q_v_dot_product,
         "w1_dedup_latest": _q_w1_dedup_latest,
         "w3_scd2_close": _q_w3_scd2_close,
         "r3_map_codes": _q_r3_map_codes,
@@ -3002,6 +3049,21 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(k.o_totalprice, b.o_totalprice), 2) AS o_totalprice, "
             "CAST(coalesce(k.o_orderdate, b.o_orderdate) AS VARCHAR) "
             "AS o_orderdate FROM base b LEFT JOIN kept k USING (o_orderkey)"
+        ),
+        "s11_versioned_merge": (
+            "WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice, "
+            "o_orderdate FROM orders), "
+            "base AS (SELECT * FROM src WHERE o_orderkey % 3 <> 0 "
+            "UNION ALL SELECT * FROM src "
+            "WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 = 0), "
+            "batch AS (SELECT o_orderkey, o_orderstatus, "
+            "round(o_totalprice + 50, 2) AS o_totalprice, o_orderdate "
+            "FROM src WHERE o_orderkey % 2 = 0) "
+            "SELECT o_orderkey, o_orderstatus, "
+            "round(o_totalprice, 2) AS o_totalprice, "
+            "CAST(o_orderdate AS VARCHAR) AS o_orderdate FROM "
+            "(SELECT * FROM base WHERE o_orderkey NOT IN "
+            "(SELECT o_orderkey FROM batch) UNION ALL SELECT * FROM batch)"
         ),
         "f17_current_timestamp": (
             "SELECT n_nationkey, now() > TIMESTAMP '2020-01-01' AS ts_after_2020 "

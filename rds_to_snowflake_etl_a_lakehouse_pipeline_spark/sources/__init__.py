@@ -9,3 +9,4 @@ from .io import (  # noqa: F401
     read_parquet,
     write_table,
 )
+from .versioned import CommitConflictError, VersionedTable  # noqa: F401

@@ -1,0 +1,193 @@
+"""Snapshot-versioned parquet tables: atomic publish, snapshot isolation,
+time travel, partition-scoped copy-on-write MERGE, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+    CommitConflictError,
+    VersionedTable,
+)
+
+
+@pytest.fixture
+def root():
+    return tempfile.mkdtemp(prefix="vt-")
+
+
+def _rows(df):
+    # partitioned reads surface partition columns last; normalize order
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def _mk(spark, data, cols=("id", "part", "val")):
+    return spark.createDataFrame(data, list(cols))
+
+
+def test_overwrite_append_time_travel(spark, root):
+    vt = VersionedTable(spark, root)
+    v1 = vt.write(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    v2 = vt.write(_mk(spark, [(3, "a", 30)]), mode="append")
+    assert (v1, v2) == (1, 2)
+    assert _rows(vt.read()) == [(1, "a", 10), (2, "b", 20), (3, "a", 30)]
+    # time travel: version 1 unchanged
+    assert _rows(vt.read(version=1)) == [(1, "a", 10), (2, "b", 20)]
+    # overwrite replaces logical content but v2 stays readable
+    vt.write(_mk(spark, [(9, "z", 99)]))
+    assert _rows(vt.read()) == [(9, "z", 99)]
+    assert _rows(vt.read(version=2)) == [(1, "a", 10), (2, "b", 20), (3, "a", 30)]
+    ops = [m["operation"] for m in vt.history()]
+    assert ops == ["overwrite", "append", "overwrite"]
+
+
+def test_append_requires_matching_schema(spark, root):
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10)]))
+    bad = spark.createDataFrame([(1, "a")], ["id", "part"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        vt.write(bad, mode="append")
+    # same columns, different order: fine (order-insensitive check)
+    reordered = _mk(spark, [(4, "c", 40)]).select("val", "id", "part")
+    vt.write(reordered, mode="append")
+    assert _rows(vt.read()) == [(1, "a", 10), (4, "c", 40)]
+
+
+def test_crashed_write_leaves_old_version_intact(spark, root):
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10)]))
+    # simulate a writer that crashed after materializing data but before
+    # committing a manifest: orphan directory, no new version
+    vt._new_data_dir(_mk(spark, [(2, "b", 20)]), [])
+    assert vt.latest_version() == 1
+    assert _rows(vt.read()) == [(1, "a", 10)]
+    # vacuum reclaims the orphan, latest still readable
+    deleted = vt.vacuum(retain_last=1)
+    assert len(deleted) == 1
+    assert _rows(vt.read()) == [(1, "a", 10)]
+
+
+def test_concurrent_commit_conflicts_cleanly(spark, root):
+    vt_a = VersionedTable(spark, root)
+    vt_b = VersionedTable(spark, root)
+    vt_a.write(_mk(spark, [(1, "a", 10)]))
+    # both writers materialize data against parent=1; first commit wins
+    manifest = {
+        "parent": 1,
+        "operation": "append",
+        "partition_by": [],
+        "schema": vt_a._load_manifest(1)["schema"],
+        "entries": vt_a._load_manifest(1)["entries"],
+    }
+    vt_a._commit(dict(manifest))
+    with pytest.raises(CommitConflictError):
+        vt_b._commit(dict(manifest))
+    # loser retries against the new parent and succeeds
+    manifest["parent"] = 2
+    assert vt_b._commit(dict(manifest)) == 3
+
+
+def test_snapshot_isolation_under_concurrent_overwrite(spark, root):
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    snapshot = vt.read()  # resolved at version 1
+    vt.write(_mk(spark, [(7, "q", 70)]))  # version 2 lands mid-read
+    # the held snapshot still reads version 1's immutable files
+    assert _rows(snapshot) == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_merge_partition_scoped_rewrites_only_touched(spark, root):
+    vt = VersionedTable(spark, root)
+    base = _mk(
+        spark,
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+    )
+    vt.write(base, partition_by=["part"])
+    dirs_v1 = {e["dir"] for e in vt._load_manifest(1)["entries"]}
+    # CDC batch: update id=1 (partition a), insert id=5 (partition a)
+    batch = _mk(spark, [(1, "a", 11), (5, "a", 50)])
+    vt.merge(batch, keys=["id"])
+    m2 = vt._load_manifest(2)
+    # parent dir carried forward with partition a excluded; one new dir
+    carried = [e for e in m2["entries"] if e["dir"] in dirs_v1]
+    fresh = [e for e in m2["entries"] if e["dir"] not in dirs_v1]
+    assert len(carried) == 1 and len(fresh) == 1
+    assert {"part": "a"} in carried[0]["exclude"]
+    # the new dir contains ONLY partition a (b/c untouched on disk)
+    fresh_parts = {
+        r["part"]
+        for r in spark.read.parquet(os.path.join(root, fresh[0]["dir"]))
+        .select("part").distinct().collect()
+    }
+    assert fresh_parts == {"a"}
+    assert _rows(vt.read()) == [
+        (1, "a", 11), (2, "a", 20), (3, "b", 30), (4, "c", 40), (5, "a", 50)
+    ]
+    # and equals the full-upsert semantics on the unpartitioned twin
+    twin = VersionedTable(spark, tempfile.mkdtemp(prefix="vt-twin-"))
+    twin.write(base)
+    twin.merge(batch, keys=["id"])
+    assert _rows(twin.read()) == _rows(vt.read())
+    assert twin._load_manifest(2)["operation"] == "merge-full"
+
+
+def test_merge_chain_and_compact(spark, root):
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10), (3, "b", 30)]), partition_by=["part"])
+    vt.merge(_mk(spark, [(1, "a", 11)]), keys=["id"])
+    vt.merge(_mk(spark, [(3, "b", 31), (6, "b", 60)]), keys=["id"])
+    expect = [(1, "a", 11), (3, "b", 31), (6, "b", 60)]
+    assert _rows(vt.read()) == expect
+    v = vt.compact()
+    assert _rows(vt.read(version=v)) == expect
+    m = vt._load_manifest(v)
+    assert len(m["entries"]) == 1 and m["entries"][0]["exclude"] == []
+
+
+def test_delete_cow(spark, root):
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
+    vt.delete(F.col("part") == "b")
+    assert _rows(vt.read()) == [(1, "a", 10)]
+    vt2 = VersionedTable(spark, root)
+    vt2.delete("val = 10")
+    assert _rows(vt2.read()) == []
+
+
+def test_vacuum_retention(spark, root):
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10)]))
+    vt.write(_mk(spark, [(2, "b", 20)]))
+    vt.write(_mk(spark, [(3, "c", 30)]))
+    deleted = vt.vacuum(retain_last=2)
+    assert len(deleted) == 1  # version 1's dir gone
+    assert vt.versions() == [2, 3]
+    assert _rows(vt.read(version=2)) == [(2, "b", 20)]
+    assert _rows(vt.read()) == [(3, "c", 30)]
+    with pytest.raises(FileNotFoundError):
+        vt._load_manifest(1)
+
+
+def test_manifest_values_are_json_round_trippable(spark, root):
+    """Date-typed partition columns survive the manifest (stored as
+    isoformat strings, cast back in the exclusion filter)."""
+    import datetime
+
+    vt = VersionedTable(spark, root)
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1), 10), (2, datetime.date(2024, 1, 2), 20)],
+        ["id", "day", "val"],
+    )
+    vt.write(df, partition_by=["day"])
+    batch = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1), 99)], ["id", "day", "val"]
+    )
+    vt.merge(batch, keys=["id"])
+    with open(vt._manifest_path(2)) as f:
+        json.load(f)  # must not raise
+    assert _rows(vt.read().select("id", "val")) == [(1, 99), (2, 20)]
