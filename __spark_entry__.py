@@ -829,6 +829,24 @@ def _q_v_lsh_topk(spark, sf_dir):
     return lsh_topk(e.filter(F.col("vec_id") >= 3), q, k=10, dim=64)
 
 
+def _q_v_semantic_dedup(spark, sf_dir):
+    """SemDeDup tier (operators/dedup.py::semantic_dedup): KMeans cells
+    over the embedding space, one Arrow matmul per cell, greedy min-id
+    survivors. Rows-only by design — KMeans cell boundaries are not
+    reproducible in SQL; the exact all-pairs twin d_cosine_dedup is the
+    oracle-checked baseline, and
+    test_semantic_dedup_matches_exact_on_separated_clusters pins
+    survivor equality with the exact tier when no pair crosses cells."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.4, n_clusters=8, seed=42
+    ).select("vec_id", "label")
+
+
 # Multimodal plumbing (operators/multimodal.py) ----------------------------
 
 
@@ -2298,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": _q_d_simhash_pairs,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        "v_semantic_dedup": _q_v_semantic_dedup,
         "d_cc_dedup": _q_d_cc_dedup,
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,

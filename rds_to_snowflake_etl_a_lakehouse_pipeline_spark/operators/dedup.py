@@ -1223,3 +1223,123 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def semantic_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+    fit_target_rows: int = 100_000,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs: k-means-cluster the embedding
+    space, then compare ONLY within clusters (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper; no code reused).
+
+    Complements :func:`embedding_cosine_pairs`'s hyperplane-LSH tier:
+    LSH buckets are similarity-randomized (recall decays smoothly with
+    angle), k-means cells follow the DATA's density, which is what makes
+    SemDeDup effective on web corpora where duplicates concentrate in
+    dense regions. Cost model: balanced cells of c ≈ n/k rows cost
+    Σc² ≈ n²/k comparisons — pick ``n_clusters`` so n/k stays in the
+    tens of thousands (the paper also uses k large, not cores-sized; a
+    cell exceeding ``max_cluster_size`` raises with that guidance
+    rather than silently going quadratic).
+
+    Plan shape: bounded-sample KMeans fit (same ``_bounded_fit`` policy
+    as the IVF index), one JVM ``model.transform`` assignment pass, one
+    shuffle on the cell id, then a per-cell Arrow kernel that computes
+    the full cosine matrix with ONE numpy matmul per cell — no per-pair
+    Catalyst fold, no all-pairs join. NULL embeddings never pair (they
+    are dropped before clustering; :func:`semantic_dedup` keeps them as
+    survivors).
+
+    Within-cluster-only comparison is the documented recall trade: a
+    near-dup pair split across two cells is missed (the paper accepts
+    this; raise ``n_clusters`` recall via the exact
+    :func:`embedding_cosine_pairs` oracle on samples). Deterministic
+    for a fixed seed/data.
+
+    Returns ``(id_a, id_b, cos_sim, cell)`` with id_a < id_b,
+    cos_sim ≥ threshold.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .similarity import _bounded_fit
+
+    vec = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    if n_clusters <= 1:
+        # degenerate single cell (exact all-pairs through the same
+        # kernel — MLlib KMeans requires k >= 2)
+        assigned = vec.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.lit(0).alias("_cell"),
+        )
+    else:
+        c_vec = vec.withColumn("_v", array_to_vector(F.col(vec_col)))
+        fit_df = _bounded_fit(c_vec, fit_fraction, seed, fit_target_rows)
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
+        ).fit(fit_df)
+        assigned = model.transform(c_vec).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "_cell"
+        )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"id_a {id_type}, id_b {id_type}, cos_sim double, cell int"
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cluster_size:
+            raise ValueError(
+                f"semantic_pairs: cell {int(pdf['_cell'].iloc[0])} has "
+                f"{n} rows > max_cluster_size={max_cluster_size}; "
+                "increase n_clusters (cost is quadratic per cell)"
+            )
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": [], "cell": []}
+            )
+        # deterministic output: sort by id so i<j == id_a<id_b
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cos := 0, never pairs
+        sims = (V @ V.T) / norms[:, None] / norms[None, :]
+        iu, ju = np.triu_indices(n, k=1)
+        keep = np.round(sims[iu, ju], 6) >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": pdf["_id"].to_numpy()[iu[keep]],
+                "id_b": pdf["_id"].to_numpy()[ju[keep]],
+                "cos_sim": np.round(sims[iu, ju][keep], 6),
+                "cell": int(pdf["_cell"].iloc[0]),
+            }
+        )
+
+    return assigned.groupBy("_cell").applyInPandas(cell_pairs, out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame, id_col: str, vec_col: str, **pair_kwargs
+) -> DataFrame:
+    """Drop semantic near-duplicates found by :func:`semantic_pairs`:
+    greedy min-id representative (losers = id_b of any qualifying pair
+    — the same pairs-sized anti-join contract as
+    :func:`embedding_cosine_dedup` / :func:`minhash_lsh_dedup`, so the
+    three tiers are drop-in comparable). Rows with NULL embeddings
+    survive by definition (nothing to compare)."""
+    pairs = semantic_pairs(df, id_col, vec_col, **pair_kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

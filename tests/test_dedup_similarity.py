@@ -894,3 +894,81 @@ def test_ivf_append_index_tolerates_dirty_batches(spark):
     )
     hit = ivf_query_index(spark, t, q, centroids, k=1, n_probe=8)
     assert hit.first()["vec_id"] == good["vec_id"]
+
+
+def test_semantic_dedup_matches_exact_on_separated_clusters(spark):
+    """Two well-separated clusters with planted near-dups inside each:
+    within-cluster comparison loses nothing, so SemDeDup's survivors
+    must equal the exact all-pairs tier's."""
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        embedding_cosine_dedup,
+        embedding_cosine_pairs,
+        semantic_dedup,
+        semantic_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for cluster, center in [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 10.0, 10.0])]:
+        for i in range(20):
+            base = np.array(center) + rng.normal(0, 0.4, 4)
+            rows.append((cluster * 100 + i, [float(x) for x in base]))
+            if i < 4:  # plant a near-dup of the first 4 per cluster
+                rows.append(
+                    (cluster * 100 + 50 + i, [float(x) for x in base + 1e-4])
+                )
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    kept_sem = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9999, n_clusters=2, seed=3
+    )
+    kept_exact = embedding_cosine_dedup(
+        df, "vec_id", "embedding", threshold=0.9999, impl="exact"
+    )
+    assert sorted(r["vec_id"] for r in kept_sem.collect()) == sorted(
+        r["vec_id"] for r in kept_exact.collect()
+    )
+    # pair output is id-ordered and matches the exact all-pairs tier
+    # (clusters are separated, so nothing crosses cells)
+    pairs = semantic_pairs(
+        df, "vec_id", "embedding", threshold=0.9999, n_clusters=2, seed=3
+    ).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    exact = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.9999, impl="exact"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (r["id_a"], r["id_b"]) for r in exact
+    }
+
+
+def test_semantic_dedup_null_embeddings_survive(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 1e-6]),  # near-dups
+        (2, None), (3, None),               # null embeddings: both kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    kept = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.99, n_clusters=1, seed=1
+    )
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 2, 3]
+
+
+def test_semantic_pairs_oversized_cell_raises(spark):
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        semantic_pairs,
+    )
+
+    rows = [(i, [1.0, float(i) * 1e-3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    with _pytest.raises(Exception, match="max_cluster_size"):
+        semantic_pairs(
+            df, "vec_id", "embedding", n_clusters=1, max_cluster_size=10
+        ).collect()
