@@ -2087,6 +2087,34 @@ def _q_s11_versioned_merge(spark, sf_dir):
     )
 
 
+def _q_s12_zorder_roundtrip(spark, sf_dir):
+    """Z-order layout rewrite (sources/layout.py): orders clustered on
+    (o_custkey, o_orderdate) — quantile buckets from one bounded
+    approxQuantile pass, Morton interleave in pure bitwise Catalyst,
+    one repartitionByRange shuffle — written and read back. The oracle
+    is the identity projection: the rewrite must preserve content
+    exactly (the pruning-effectiveness claims are pinned by
+    tests/test_layout.py against parquet footer statistics)."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.layout import (
+        zorder_write,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="zorder-s12-") + "/orders"
+    zorder_write(o, path, ["o_custkey", "o_orderdate"], bits=4,
+                 target_partitions=16)
+    return spark.read.parquet(path).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+    )
+
+
 # Curation operators (operators/curation.py) ------------------------------
 
 
@@ -2332,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_warehouse_sink": _q_s7_warehouse_sink,
         "s9_dq_gate": _q_s9_dq_gate,
         "s10_incremental_load": _q_s10_incremental_load,
+        "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
         "x2_asof_join": _q_x2_asof_join,
         "x2_range_join": _q_x2_range_join,
         "w4_merge_upsert": _q_w4_merge_upsert,
@@ -3083,6 +3112,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(o_orderdate AS VARCHAR) AS o_orderdate FROM "
             "(SELECT * FROM base WHERE o_orderkey NOT IN "
             "(SELECT o_orderkey FROM batch) UNION ALL SELECT * FROM batch)"
+        ),
+        "s12_zorder_roundtrip": (
+            "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, "
+            "CAST(o_orderdate AS VARCHAR) AS o_orderdate FROM orders"
         ),
         "f17_current_timestamp": (
             "SELECT n_nationkey, now() > TIMESTAMP '2020-01-01' AS ts_after_2020 "

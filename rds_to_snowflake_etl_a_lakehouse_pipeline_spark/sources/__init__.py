@@ -9,4 +9,5 @@ from .io import (  # noqa: F401
     read_parquet,
     write_table,
 )
+from .layout import pruning_stats, zorder_by, zorder_write  # noqa: F401
 from .versioned import CommitConflictError, VersionedTable  # noqa: F401

@@ -1,0 +1,88 @@
+"""Z-order layout: multi-dimensional clustering for footer-stat pruning."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
+from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.layout import (
+    pruning_stats,
+    zorder_by,
+    zorder_value,
+    zorder_write,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_zorder_roundtrip_preserves_content(spark):
+    o = load(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    out = zorder_by(o, ["o_custkey", "o_orderdate"], bits=3)
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in o.collect()
+    )
+
+
+def test_zorder_improves_pruning_on_both_dims(spark):
+    """Z-ordered files must need fewer row-group reads per equality
+    probe than the shuffled baseline layout, on BOTH clustered columns."""
+    o = (
+        load(spark, SF, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .withColumn(
+            "o_odate_int", F.col("o_orderdate").cast("timestamp").cast("long")
+        )
+        .drop("o_orderdate")
+    )
+    n_files = 16
+    zpath = tempfile.mkdtemp(prefix="zord-") + "/t"
+    bpath = tempfile.mkdtemp(prefix="base-") + "/t"
+    zorder_write(o, zpath, ["o_custkey", "o_odate_int"], bits=4,
+                 target_partitions=n_files)
+    # baseline: same file count, hash-shuffled (the layout a plain
+    # repartition write produces)
+    o.repartition(n_files).write.mode("overwrite").parquet(bpath)
+    for col in ("o_custkey", "o_odate_int"):
+        z = pruning_stats(zpath, col)
+        b = pruning_stats(bpath, col)
+        assert z["n_row_groups"] >= n_files
+        # every probe hits ~all shuffled row groups; z-order must cut
+        # the expected scan fraction at least in half on each dimension
+        assert z["avg_overlap_fraction"] < 0.5 * b["avg_overlap_fraction"], (
+            col, z, b,
+        )
+
+
+def test_zorder_value_stays_in_jvm_and_bounds(spark):
+    o = load(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    z = o.select(
+        zorder_value(o, ["o_custkey", "o_totalprice"], bits=4).alias("z")
+    )
+    stats = z.agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()[0]
+    assert 0 <= stats["lo"] <= stats["hi"] < (1 << 8)  # 2 cols x 4 bits
+    # no Python stage in the plan
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_zorder_string_column_buckets_point_lookups(spark):
+    c = load(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    path = tempfile.mkdtemp(prefix="zstr-") + "/t"
+    zorder_write(c, path, ["c_mktsegment"], bits=3, target_partitions=4)
+    got = spark.read.parquet(path)
+    assert sorted(r["c_custkey"] for r in got.collect()) == sorted(
+        r["c_custkey"] for r in c.collect()
+    )
+    # 5 market segments hash into few buckets: each segment's rows land
+    # in a narrow band of files
+    seg_files = (
+        got.withColumn("_f", F.input_file_name())
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("_f").alias("nf"))
+        .collect()
+    )
+    assert max(r["nf"] for r in seg_files) <= 2
