@@ -2087,6 +2087,62 @@ def _q_s11_versioned_merge(spark, sf_dir):
     )
 
 
+def _q_x1_versioned_stream(spark, sf_dir):
+    """Streaming CDC landing into a snapshot-versioned table
+    (streaming/events.py::stream_versioned_merge): run 1 streams the
+    raw event feed and commits the latest-event-per-user snapshot;
+    run 2 streams an update feed (every event_id%5==0 event re-emitted
+    one year later with value+1000) and MERGEs it — each micro-batch
+    is one committed snapshot version, winners resolved by
+    (ts, event_id) within the batch AND against the current snapshot,
+    so arrival order can't change the result. The oracle replays both
+    feeds and the same winner resolution in SQL."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_events_auto,
+        stream_versioned_merge,
+    )
+
+    root = tempfile.mkdtemp(prefix="vt-x1-")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    sdf1 = _stream_events_src(spark, sf_dir, suffix="vm").select(*cols)
+    stream_versioned_merge(
+        sdf1, root, ("user_id",), "ts",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ck-x1vm1-"),
+        tiebreakers=("event_id",), query_name="x1_vm_run1",
+    )
+    updates = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 YEAR")).alias("ts"),
+            "user_id",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+        )
+    )
+    upd_dir = tempfile.mkdtemp(prefix="vt-x1-upd-") + "/feed"
+    updates.write.parquet(upd_dir)
+    sdf2 = stream_events_auto(spark, upd_dir).select(*cols)
+    stream_versioned_merge(
+        sdf2, root, ("user_id",), "ts",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ck-x1vm2-"),
+        tiebreakers=("event_id",), query_name="x1_vm_run2",
+    )
+    return VersionedTable(spark, root).read().select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.col("ts").cast("string").alias("ts"),
+    )
+
+
 def _q_s12_zorder_roundtrip(spark, sf_dir):
     """Z-order layout rewrite (sources/layout.py): orders clustered on
     (o_custkey, o_orderdate) — quantile buckets from one bounded
@@ -2361,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_dq_gate": _q_s9_dq_gate,
         "s10_incremental_load": _q_s10_incremental_load,
         "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
+        "x1_versioned_stream": _q_x1_versioned_stream,
         "x2_asof_join": _q_x2_asof_join,
         "x2_range_join": _q_x2_range_join,
         "w4_merge_upsert": _q_w4_merge_upsert,
@@ -3116,6 +3173,20 @@ def oracle_sql() -> dict[str, str]:
         "s12_zorder_roundtrip": (
             "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, "
             "CAST(o_orderdate AS VARCHAR) AS o_orderdate FROM orders"
+        ),
+        "x1_versioned_stream": (
+            "WITH ev AS (SELECT event_id, ts, user_id, event_type, value "
+            "FROM events), "
+            "run1 AS (SELECT * FROM ev QUALIFY row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1), "
+            "upd AS (SELECT event_id, ts + INTERVAL 1 YEAR AS ts, user_id, "
+            "event_type, value + 1000 AS value FROM ev WHERE event_id % 5 = 0), "
+            "upd1 AS (SELECT * FROM upd QUALIFY row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1), "
+            "allv AS (SELECT * FROM run1 UNION ALL SELECT * FROM upd1) "
+            "SELECT user_id, event_id, event_type, round(value, 2) AS value, "
+            "CAST(ts AS VARCHAR) AS ts FROM allv QUALIFY row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
         ),
         "f17_current_timestamp": (
             "SELECT n_nationkey, now() > TIMESTAMP '2020-01-01' AS ts_after_2020 "

@@ -13,5 +13,6 @@ from .events import (  # noqa: F401
     stream_incremental_merge,
     stream_static_join,
     stream_to_warehouse,
+    stream_versioned_merge,
     tumbling_counts,
 )

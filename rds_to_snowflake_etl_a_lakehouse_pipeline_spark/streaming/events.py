@@ -197,6 +197,20 @@ def stream_events_auto(spark: SparkSession, path: str) -> DataFrame:
     )
     unit = getattr(ts_type, "unit", None)
     tz = getattr(ts_type, "tz", "")
+    if files and ts_type is not None:
+        # pyarrow reports legacy INT96 timestamps (Spark's default
+        # parquet writer output) as timestamp[ns] — same as real
+        # TIMESTAMP(NANOS), which Spark CANNOT read as timestamp. Only
+        # the physical type in the column chunk metadata tells them
+        # apart; INT96 reads natively as a session-zone timestamp.
+        md = pq.ParquetFile(files[0]).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get("ts")
+        if (
+            idx is not None
+            and md.num_row_groups > 0
+            and md.row_group(0).column(idx).physical_type == "INT96"
+        ):
+            return stream_events(spark, path)
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         sdf = stream_events(
@@ -377,3 +391,74 @@ def stream_static_join(
     API) — which is how the DuckDB oracle verifies it.
     """
     return stream_df.join(F.broadcast(dim_df), join_expr, how)
+
+
+def stream_versioned_merge(
+    sdf: DataFrame,
+    root: str,
+    keys: tuple[str, ...],
+    order_col: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    tiebreakers: tuple[str, ...] = (),
+    query_name: str = "stream_versioned_merge",
+):
+    """Streaming CDC landing into a :class:`~..sources.versioned.
+    VersionedTable`: every micro-batch commits ONE new snapshot version
+    via partition-scoped copy-on-write MERGE, so downstream readers
+    always see a complete, committed snapshot — never a half-applied
+    batch — and can time-travel to any earlier micro-batch's state.
+    This is the transactional upgrade of :func:`stream_incremental_merge`
+    (whose stage-and-swap target has a visibility gap during the swap).
+
+    ``order_col`` (+ ``tiebreakers``) is the arrival-order-invariance
+    contract: within a micro-batch it resolves duplicate keys (last
+    writer wins), and ACROSS batches each batch's rows are resolved
+    against the current snapshot's rows for the same keys before the
+    merge — micro-batches arrive in file-discovery order, not
+    event-time order, so a late-arriving OLDER version of a key must
+    lose to the newer one already in the table (same contract as
+    :func:`stream_incremental_merge`'s ``prefer="order"``). The
+    resolution join is key-bounded (semi-join of current on the batch's
+    keys), re-delivered rows resolve onto themselves, and a batch
+    replayed after a crash (committed to the table but not yet to the
+    stream checkpoint) re-applies the identical merge — an extra
+    version, same content: idempotent where it matters. ``partition_by``
+    bounds each commit's rewrite to the touched partitions (see
+    ``VersionedTable.merge``'s key-migration contract).
+
+    Runs with trigger=availableNow and blocks until drained.
+    """
+    from ..operators.windows import dedupe_latest
+    from ..sources.versioned import VersionedTable
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = dedupe_latest(
+            batch_df, list(keys), order_col, tiebreakers=list(tiebreakers)
+        )
+        vt = VersionedTable(batch_df.sparkSession, root)
+        if vt.latest_version() is None:
+            vt.write(b, partition_by=partition_by)
+            return
+        relevant = vt.read().join(
+            b.select(*keys).distinct(), list(keys), "leftsemi"
+        )
+        resolved = dedupe_latest(
+            relevant.unionByName(b.select(*relevant.columns)),
+            list(keys),
+            order_col,
+            tiebreakers=list(tiebreakers),
+        )
+        vt.merge(resolved, list(keys))
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -131,3 +131,56 @@ def test_stream_incremental_merge_lands_cdc_batches(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in spark.table(t).collect()}
     assert got == {1: "a", 2: "b-v2", 3: "c"}
+
+
+def test_stream_versioned_merge_commits_snapshot_per_batch(spark, tmp_path):
+    """Streaming CDC landing into a VersionedTable: each micro-batch is
+    ONE committed snapshot (time travel exposes every intermediate
+    state), within-batch duplicate keys resolve last-writer-wins by
+    order_col before the merge, and out-of-event-time-order batches
+    still converge to last-version-per-key."""
+    import datetime as dt
+    import time
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_versioned_merge,
+    )
+
+    root = str(tmp_path / "vt")
+    src = str(tmp_path / "feed")
+    # batch 1 (newest event times first = adversarial arrival order),
+    # including an intra-batch duplicate for k=3: ts 04 must win
+    b1 = spark.createDataFrame(
+        [
+            (2, "b-v2", dt.datetime(2020, 1, 3)),
+            (3, "c-old", dt.datetime(2020, 1, 2)),
+            (3, "c", dt.datetime(2020, 1, 4)),
+        ],
+        "k int, v string, ts timestamp",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a", dt.datetime(2020, 1, 1)), (2, "b", dt.datetime(2020, 1, 2))],
+        "k int, v string, ts timestamp",
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(src + "/f2")
+    sdf = (
+        spark.readStream.schema("k int, v string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    stream_versioned_merge(
+        sdf, root, ("k",), "ts", checkpoint_dir=str(tmp_path / "ck")
+    )
+    vt = VersionedTable(spark, root)
+    # one committed version per micro-batch
+    assert vt.versions() == [1, 2]
+    final = {r["k"]: r["v"] for r in vt.read().collect()}
+    assert final == {1: "a", 2: "b-v2", 3: "c"}
+    # time travel: version 1 is exactly batch 1 post-dedup
+    v1 = {r["k"]: r["v"] for r in vt.read(version=1).collect()}
+    assert v1 == {2: "b-v2", 3: "c"}
