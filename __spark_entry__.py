@@ -474,6 +474,34 @@ def _q_t_quality_score(spark, sf_dir):
     return d.select("doc_id", lf.quality_score("text").alias("quality"))
 
 
+def _q_t_quality_model(spark, sf_dir):
+    """Trained quality-classifier tier (functions/quality_model.py):
+    logistic regression fit on a labeled seed (here: the oracle-green
+    heuristic quality_score thresholded at its corpus median — a
+    self-contained deterministic labeling), then the whole corpus
+    scored in one JVM model.transform pass. Rows-only: classifier
+    probabilities are model internals, not SQL-expressible; the
+    heuristic twin t_quality_score is the oracle baseline, and
+    separation/determinism are pinned in tests/test_text_vectors.py."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.quality_model import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    med = (
+        d.select(lf.quality_score("text").alias("q"))
+        .stat.approxQuantile("q", [0.5], 0.001)[0]
+    )
+    labeled = d.withColumn(
+        "label", (lf.quality_score("text") >= F.lit(med)).cast("int")
+    )
+    model = fit_quality_classifier(labeled, "text", "label")
+    return score_quality(d, model, "text").select(
+        "doc_id", (F.col("quality_prob") >= 0.5).alias("keep")
+    )
+
+
 def _q_t_language_id(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", lf.language_id("text").alias("lang_guess"))
@@ -2401,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
         "v_semantic_dedup": _q_v_semantic_dedup,
+        "t_quality_model": _q_t_quality_model,
         "d_cc_dedup": _q_d_cc_dedup,
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,

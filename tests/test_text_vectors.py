@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from rds_to_snowflake_etl_a_lakehouse_pipeline_spark import functions as lf
 
 
@@ -170,3 +172,71 @@ def test_stopword_ratio_counts_consecutive_stopwords(spark):
     assert got[1] == 0.75
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+# --- trained quality classifier (functions/quality_model.py) -------------
+
+
+def _quality_corpus(spark, n=60, seed=7):
+    """Synthetic clean-English vs garbage docs with disjoint doc_ids."""
+    import random
+
+    rng = random.Random(seed)
+    clean_words = (
+        "the quick brown fox jumps over a lazy dog and then runs to "
+        "the old mill where it finds some food for the long winter"
+    ).split()
+    rows = []
+    for i in range(n):
+        words = [rng.choice(clean_words) for _ in range(rng.randint(30, 60))]
+        rows.append((i, " ".join(words), 1))
+    for i in range(n):
+        junk = "".join(
+            rng.choice("#@$%&*0123456789XYZQWK") for _ in range(rng.randint(80, 160))
+        )
+        rows.append((1000 + i, junk, 0))
+    return spark.createDataFrame(rows, "doc_id int, text string, label int")
+
+
+def test_quality_classifier_separates_holdout(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.quality_model import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    corpus = _quality_corpus(spark)
+    train = corpus.filter(F.col("doc_id") % 3 != 0)
+    test = corpus.filter(F.col("doc_id") % 3 == 0)
+    model = fit_quality_classifier(train, "text", "label")
+    scored = score_quality(test, model, "text")
+    means = (
+        scored.groupBy("label")
+        .agg(F.avg("quality_prob").alias("p"))
+        .collect()
+    )
+    by_label = {r["label"]: r["p"] for r in means}
+    assert by_label[1] > 0.8 and by_label[0] < 0.2
+    # holdout accuracy at tau=0.5
+    acc = scored.withColumn(
+        "_ok",
+        ((F.col("quality_prob") >= 0.5) == (F.col("label") == 1)).cast("int"),
+    ).agg(F.avg("_ok")).collect()[0][0]
+    assert acc >= 0.95
+
+
+def test_quality_scoring_is_deterministic_and_jvm_side(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.quality_model import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    corpus = _quality_corpus(spark, n=30)
+    model = fit_quality_classifier(corpus, "text", "label")
+    a = {r["doc_id"]: r["quality_prob"] for r in score_quality(corpus, model, "text").collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in score_quality(corpus, model, "text").collect()}
+    assert a == b
+    plan = (
+        score_quality(corpus, model, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan  # featurization stays in Catalyst
