@@ -400,6 +400,21 @@ def _q_a1_rollup(spark, sf_dir):
     )
 
 
+def _q_a1_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the general form rollup/cube are
+    shorthands of: ((flag, status), (status), ()) skips the (flag)
+    level a rollup would force. SQL API on a temp view (grouping sets
+    have no DataFrame builder); one shuffle, partial aggregation
+    map-side like any hash aggregate."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS sum_qty FROM _li_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+        "(l_linestatus), ())"
+    )
+
+
 def _q_a1_pivot(spark, sf_dir):
     """Pivot (wide aggregation): revenue per orderpriority × orderstatus.
     Explicit pivot values keep the schema static — at scale an implicit
@@ -2345,11 +2360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     current data) and the stale tranche rotates IN — the r02/r03
     singles (P/F families, a1_* aggregates, text tier, vector
     functions, s4/s5 sources, batch streaming twins) plus the new
-    a1_approx_percentile and the new s11_versioned_merge (first-ever
-    verdict beats refreshing v_dot_product, which is composed inside
-    every r04-green cosine query). After r05 every registered query
-    has an r04-or-r05 verdict except 12 repair/window/vector singles
-    (r3-r12, w1, w3, v_dot_product) deferred to r06 — each is
+    a1_approx_percentile plus the new s11_versioned_merge and
+    a1_grouping_sets (first-ever verdicts beat refreshing
+    v_dot_product / f17_current_timestamp, which are composed inside
+    r04-green cosine / gold queries). After r05 every registered query
+    has an r04-or-r05 verdict except 13 repair/window/scalar singles
+    (r3-r12, w1, w3, v_dot_product, f17) deferred to r06 — each is
     compositionally exercised inside an r04-green g_*/v_* query, so
     their logic does carry a current verdict via composition."""
     return {
@@ -2361,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
         "a1_rollup": _q_a1_rollup,
+        "a1_grouping_sets": _q_a1_grouping_sets,  # new round 5
         "a1_pivot": _q_a1_pivot,
         "a1_percentile": _q_a1_percentile,
         "a1_approx_percentile": _q_a1_approx_percentile,  # new round 5
@@ -2379,7 +2396,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_isin": _q_f8_isin,
         "f_trim_upper": _q_f_trim_upper,
         "f16_date_arith": _q_f16_date_arith,
-        "f17_current_timestamp": _q_f17_current_timestamp,
         "r8_recompute_amount": _q_r8_recompute_amount,
         # joins / windows / set ops
         "j1_j2_enrich": _q_j1_j2_enrich,
@@ -2477,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdict
         "v_cosine_topk": _q_v_cosine_topk,
         "v_dot_product": _q_v_dot_product,
+        "f17_current_timestamp": _q_f17_current_timestamp,
         "w1_dedup_latest": _q_w1_dedup_latest,
         "w3_scd2_close": _q_w3_scd2_close,
         "r3_map_codes": _q_r3_map_codes,
@@ -3183,6 +3200,12 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(k.o_totalprice, b.o_totalprice), 2) AS o_totalprice, "
             "CAST(coalesce(k.o_orderdate, b.o_orderdate) AS VARCHAR) "
             "AS o_orderdate FROM base b LEFT JOIN kept k USING (o_orderkey)"
+        ),
+        "a1_grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+            "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+            "(l_linestatus), ())"
         ),
         "s11_versioned_merge": (
             "WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice, "

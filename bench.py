@@ -125,6 +125,42 @@ def main() -> None:
             spark, inc_table, batch, append=False, max_bucket_size=64
         )
 
+    # q17 setup: commit the base versioned table ONCE (untimed — the
+    # standing-lakehouse analog of q16's index build). The timed query
+    # resets the table to version 1 (manifest unlink + vacuum: driver
+    # file ops, microseconds) so every sample — including regression
+    # re-times — measures the identical partition-scoped COW merge of
+    # one CDC batch onto the same base snapshot.
+    import os as _os
+    import tempfile as _tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    vt_root = _tempfile.mkdtemp(prefix="bench-vt-")
+    _orders_cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    VersionedTable(spark, vt_root).write(
+        load(spark, sf_dir, "orders").select(*_orders_cols),
+        partition_by=["o_orderstatus"],
+    )
+
+    def q_versioned_merge(spark, d):
+        vt = VersionedTable(spark, vt_root)
+        for v in vt.versions()[1:]:
+            _os.unlink(vt._manifest_path(v))
+        vt.vacuum(retain_last=1)
+        batch = load(spark, d, "orders").filter(
+            F.col("o_orderkey") % 100 == 0
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") + 50, 2).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        vt.merge(batch, keys=["o_orderkey"])
+        return vt.read().groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
     bench = {
         "q1_lineitem_agg": (qs["a1_groupby_agg"], False),
         "q2_fact_join_agg": (q_fact_join_agg, False),
@@ -142,6 +178,7 @@ def main() -> None:
         "q14_cc_dedup": (qs["d_cc_dedup"], True),
         "q15_curation_pack": (q_curation_compose, True),
         "q16_incremental_minhash": (q_incremental_minhash, True),
+        "q17_versioned_merge": (q_versioned_merge, False),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

@@ -112,7 +112,23 @@ def fit_quality_classifier(
         regParam=reg_param,
         standardization=True,
     )
-    return lr.fit(fit_df)
+    model = lr.fit(fit_df)
+    # Detach the training summary: scoring serializes the model into
+    # tasks, and the summary holds the fit DataFrame whose session
+    # state (e.g. the ObservationManager once any df.observe ran in
+    # the session) is not serializable. A save/load roundtrip yields
+    # the same weights with hasSummary=False.
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    tmp = tempfile.mkdtemp(prefix="quality-model-")
+    try:
+        model.write().overwrite().save(tmp + "/m")
+        return LogisticRegressionModel.load(tmp + "/m")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_quality(
