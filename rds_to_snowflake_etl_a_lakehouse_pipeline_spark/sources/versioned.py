@@ -38,10 +38,16 @@ one partition, not the table. The exclusion filters are equality
 predicates on partition columns — Catalyst turns them into partition
 pruning, so excluded directories are never scanned for those values.
 
-This is deliberately NOT Delta/Iceberg (no file-level stats, no schema
-evolution, no distributed commit service): it is the smallest layout
-that gives atomic publish + snapshot isolation + time travel + bounded
-MERGE on any filesystem with atomic rename (HDFS, local; on S3 use a
+Schema evolution is ADDITIVE only (``allow_new_columns=True`` on
+append/merge): the manifest records the widened schema and readers
+surface pre-evolution rows with typed NULLs for the new columns —
+the one evolution plain parquet supports without rewrites. Renames,
+drops, and type changes require an overwrite.
+
+This is deliberately NOT Delta/Iceberg (no file-level stats, no
+distributed commit service): it is the smallest layout that gives
+atomic publish + snapshot isolation + time travel + bounded MERGE on
+any filesystem with atomic rename (HDFS, local; on S3 use a
 rename-capable layer or a real table format).
 """
 
@@ -179,15 +185,58 @@ class VersionedTable:
             [f.name, f.dataType.simpleString()] for f in df.schema.fields
         )
 
-    def _check_schema(self, df: DataFrame, manifest: dict) -> None:
+    def _check_schema(
+        self, df: DataFrame, manifest: dict, allow_new_columns: bool = False
+    ) -> list[list[str]]:
+        """Validate ``df`` against the manifest schema; returns the
+        (possibly widened) schema the new commit should record.
+
+        Default: exact match (order-insensitive). With
+        ``allow_new_columns`` (additive schema evolution — the only
+        evolution plain parquet supports safely): incoming may carry
+        NEW columns (recorded in the new manifest; older directories
+        surface them as NULL on read), existing columns must keep
+        their types, and dropping columns is still a mismatch."""
         got = self._schema_fingerprint(df)
-        if got != manifest["schema"]:
-            raise ValueError(
-                f"schema mismatch vs version {manifest['version']}: "
-                f"table has {manifest['schema']}, incoming {got}. "
-                "VersionedTable does not do schema evolution; overwrite "
-                "to change the schema."
+        if got == manifest["schema"]:
+            return got
+        if allow_new_columns:
+            table = dict(map(tuple, manifest["schema"]))
+            incoming = dict(map(tuple, got))
+            conflicts = {
+                n for n, t in incoming.items()
+                if n in table and table[n] != t
+            }
+            missing = set(table) - set(incoming)
+            if not conflicts and not missing:
+                return sorted([n, t] for n, t in {**table, **incoming}.items())
+            detail = (
+                f"type conflicts on {sorted(conflicts)}" if conflicts
+                else f"incoming drops columns {sorted(missing)}"
             )
+            raise ValueError(
+                f"schema evolution rejected vs version "
+                f"{manifest['version']}: {detail} (only ADDING columns "
+                "is supported)"
+            )
+        raise ValueError(
+            f"schema mismatch vs version {manifest['version']}: "
+            f"table has {manifest['schema']}, incoming {got}. "
+            "Pass allow_new_columns=True for additive evolution, or "
+            "overwrite to change the schema."
+        )
+
+    def _align(self, df: DataFrame, schema: list[list[str]]) -> DataFrame:
+        """Project ``df`` onto the manifest schema: missing columns
+        (written before an additive evolution) become typed NULLs;
+        column order normalizes to the manifest's."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in schema
+            ]
+        )
 
     # ----------------------------------------------------------------- write
 
@@ -196,15 +245,20 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        allow_new_columns: bool = False,
     ) -> int:
         """Commit ``df`` as a new version. ``mode="overwrite"`` replaces
         the logical content (old files stay for time travel);
         ``mode="append"`` adds a data directory and REUSES every parent
         file — an atomic append, unlike ``saveAsTable(mode=append)``
-        which is visible file-by-file. Returns the committed version."""
+        which is visible file-by-file. ``allow_new_columns`` permits
+        additive schema evolution on append: the new manifest records
+        the widened schema, and rows in older directories surface the
+        new columns as NULL on read. Returns the committed version."""
         parent = self.latest_version()
         if mode == "overwrite":
             part = list(partition_by or [])
+            schema = self._schema_fingerprint(df)
         elif mode == "append":
             if parent is None:
                 raise ValueError("append to a table with no versions; write overwrite first")
@@ -214,7 +268,7 @@ class VersionedTable:
                     f"append partition_by {partition_by} != table's {pm['partition_by']}"
                 )
             part = pm["partition_by"]
-            self._check_schema(df, pm)
+            schema = self._check_schema(df, pm, allow_new_columns)
         else:
             raise ValueError(f"unknown mode: {mode!r} (overwrite|append)")
         data_dir = self._new_data_dir(df, part)
@@ -226,7 +280,7 @@ class VersionedTable:
                 "parent": parent,
                 "operation": mode,
                 "partition_by": part,
-                "schema": self._schema_fingerprint(df),
+                "schema": schema,
                 "entries": entries,
             }
         )
@@ -256,7 +310,9 @@ class VersionedTable:
         parts = []
         for entry in m["entries"]:
             d = self.spark.read.parquet(os.path.join(self.root, entry["dir"]))
-            parts.append(self._exclusion_filter(d, entry["exclude"]))
+            parts.append(
+                self._align(self._exclusion_filter(d, entry["exclude"]), m["schema"])
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -264,7 +320,10 @@ class VersionedTable:
 
     # ----------------------------------------------------------------- merge
 
-    def merge(self, source: DataFrame, keys: list[str]) -> int:
+    def merge(
+        self, source: DataFrame, keys: list[str],
+        allow_new_columns: bool = False,
+    ) -> int:
         """Copy-on-write upsert: source rows replace current rows with the
         same key tuple; unmatched source rows insert.
 
@@ -287,9 +346,10 @@ class VersionedTable:
         if parent is None:
             raise ValueError("merge into a table with no versions; write first")
         pm = self._load_manifest(parent)
-        self._check_schema(source, pm)
+        schema = self._check_schema(source, pm, allow_new_columns)
         part = pm["partition_by"]
-        current = self.read(parent)
+        current = self._align(self.read(parent), schema)
+        source = self._align(source, schema)
         if part:
             touched = [
                 {c: _json_safe(row[c]) for c in part}
@@ -324,7 +384,7 @@ class VersionedTable:
                 "parent": parent,
                 "operation": op,
                 "partition_by": part,
-                "schema": pm["schema"],
+                "schema": schema,
                 "entries": entries,
             }
         )

@@ -191,3 +191,48 @@ def test_manifest_values_are_json_round_trippable(spark, root):
     with open(vt._manifest_path(2)) as f:
         json.load(f)  # must not raise
     assert _rows(vt.read().select("id", "val")) == [(1, 99), (2, 20)]
+
+
+def test_additive_schema_evolution(spark, root):
+    """allow_new_columns: append/merge may ADD columns; older rows
+    surface them as typed NULLs; drops and type changes still raise."""
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    widened = spark.createDataFrame(
+        [(3, "c", 30, "extra")], "id bigint, part string, val bigint, note string"
+    )
+    # strict append still rejects
+    with pytest.raises(ValueError, match="schema mismatch"):
+        vt.write(widened, mode="append")
+    vt.write(widened, mode="append", allow_new_columns=True)
+    got = {r["id"]: r["note"] for r in vt.read().collect()}
+    assert got == {1: None, 2: None, 3: "extra"}
+    # merge with the widened schema updates and inserts
+    batch = spark.createDataFrame(
+        [(1, "a", 11, "upd"), (4, "d", 40, "new")],
+        "id bigint, part string, val bigint, note string",
+    )
+    vt.merge(batch, keys=["id"], allow_new_columns=True)
+    rows = {r["id"]: (r["val"], r["note"]) for r in vt.read().collect()}
+    assert rows == {1: (11, "upd"), 2: (20, None), 3: (30, "extra"), 4: (40, "new")}
+    # a second widening on merge works too
+    wider = spark.createDataFrame(
+        [(2, "b", 21, None, 7.5)],
+        "id bigint, part string, val bigint, note string, score double",
+    )
+    vt.merge(wider, keys=["id"], allow_new_columns=True)
+    r2 = {r["id"]: r["score"] for r in vt.read().collect()}
+    assert r2 == {1: None, 2: 7.5, 3: None, 4: None}
+    # type change rejected even with evolution on
+    bad_type = spark.createDataFrame(
+        [(9, "z", "NaN", None, 1.0)],
+        "id bigint, part string, val string, note string, score double",
+    )
+    with pytest.raises(ValueError, match="type conflicts"):
+        vt.merge(bad_type, keys=["id"], allow_new_columns=True)
+    # dropping a column rejected
+    narrower = _mk(spark, [(9, "z", 90)])
+    with pytest.raises(ValueError, match="drops columns"):
+        vt.merge(narrower, keys=["id"], allow_new_columns=True)
+    # time travel to the pre-evolution snapshot keeps the old schema
+    assert sorted(vt.read(version=1).columns) == ["id", "part", "val"]

@@ -47,6 +47,11 @@ AUDIT = [
     "t_mixture_weights",
     "s10_incremental_load",
     "x2_interval_join",
+    "a1_grouping_sets",
+    "s11_versioned_merge",
+    "s12_zorder_roundtrip",
+    "v_semantic_dedup",
+    "t_quality_model",
 ]
 
 
