@@ -347,3 +347,77 @@ def test_cdc_merge_is_arrival_order_invariant(spark, updates, cut, data):
             want[k] = (ver, v)
     assert forward == want
     assert shuffled == want
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["overwrite", "append", "merge", "delete"]),
+            st.lists(
+                st.tuples(st.integers(1, 6), st.integers(0, 3), st.integers(0, 99)),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@PROP
+def test_versioned_table_matches_dict_model(spark, ops):
+    """Model-based check: any sequence of overwrite/append/merge/delete
+    commits against a partitioned VersionedTable must equal folding the
+    same operations into a plain python dict keyed by id — and EVERY
+    intermediate version must still time-travel to its recorded state.
+    (Append batches are pre-filtered against live keys to respect
+    append's no-duplicate-key contract; partition values are derived
+    from the key so the COW merge's key-immutability contract holds.)"""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt-prop-"))
+    model: dict[int, tuple[str, int]] = {}
+    snapshots: list[dict] = []
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, f"p{k % 2}", v) for k, _, v in rows],
+            "id bigint, part string, val bigint",
+        )
+
+    wrote = False
+    for op, rows in ops:
+        # one row per key within a batch (merge/append see deduped feeds)
+        batch = list({k: (k, g, v) for k, g, v in rows}.values())
+        if not wrote or op == "overwrite":
+            vt.write(df_of(batch), partition_by=["part"])
+            model = {k: ("p%d" % (k % 2), v) for k, _, v in batch}
+            wrote = True
+        elif op == "append":
+            fresh = [r for r in batch if r[0] not in model]
+            if not fresh:
+                continue
+            vt.write(df_of(fresh), mode="append")
+            model.update({k: ("p%d" % (k % 2), v) for k, _, v in fresh})
+        elif op == "merge":
+            vt.merge(df_of(batch), keys=["id"])
+            model.update({k: ("p%d" % (k % 2), v) for k, _, v in batch})
+        else:  # delete rows with val below a batch-derived cutoff
+            cutoff = batch[0][2]
+            vt.delete(F.col("val") < F.lit(cutoff))
+            model = {k: pv for k, pv in model.items() if pv[1] >= cutoff}
+        snapshots.append(dict(model))
+
+    def table_state(version=None):
+        return {
+            r["id"]: (r["part"], r["val"])
+            for r in vt.read(version=version).collect()
+        }
+
+    assert table_state() == model
+    # every committed version time-travels to its recorded state
+    for v, snap in zip(vt.versions(), snapshots):
+        assert table_state(version=v) == snap
