@@ -86,3 +86,35 @@ def test_zorder_string_column_buckets_point_lookups(spark):
         .collect()
     )
     assert max(r["nf"] for r in seg_files) <= 2
+
+
+def test_zorder_scan_skips_row_groups_end_to_end(spark):
+    """Not just footer math: Spark's vectorized parquet reader must
+    EMIT fewer rows from the z-ordered layout under a selective pushed
+    predicate (row-group pruning happens before rows reach the scan
+    output), while both layouts return identical query results."""
+    o = load(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    zpath = tempfile.mkdtemp(prefix="zscan-") + "/t"
+    bpath = tempfile.mkdtemp(prefix="bscan-") + "/t"
+    zorder_write(o, zpath, ["o_custkey"], bits=4, target_partitions=16)
+    o.repartition(16).write.mode("overwrite").parquet(bpath)
+
+    probe = o.agg(F.min("o_custkey")).collect()[0][0]
+
+    def scan_rows(path):
+        df = spark.read.parquet(path).filter(F.col("o_custkey") == probe)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+        # walk to the leaf scan node and read its output-rows metric
+        node = plan
+        while node.children().nonEmpty():
+            node = node.children().head()
+        return node.metrics().apply("numOutputRows").value()
+
+    z_rows, b_rows = scan_rows(zpath), scan_rows(bpath)
+    # identical answers...
+    zr = spark.read.parquet(zpath).filter(F.col("o_custkey") == probe).count()
+    br = spark.read.parquet(bpath).filter(F.col("o_custkey") == probe).count()
+    assert zr == br > 0
+    # ...but the z-ordered scan surfaced far fewer rows to the filter
+    assert z_rows < 0.5 * b_rows, (z_rows, b_rows)
