@@ -412,16 +412,36 @@ class VersionedTable:
 
     # ----------------------------------------------------------- maintenance
 
-    def compact(self) -> int:
+    def compact(
+        self,
+        zorder: list[str] | None = None,
+        zorder_bits: int = 4,
+        target_partitions: int | None = None,
+    ) -> int:
         """Rewrite the latest snapshot into one fresh directory with empty
         exclusion lists. Run periodically on merge-heavy tables: exclusion
         lists and carried directories grow per merge; compaction resets
-        both (and re-packs small files from append batches)."""
+        both (and re-packs small files from append batches).
+
+        ``zorder`` additionally clusters the rewrite on those columns
+        (:func:`.layout.zorder_by`) — the ``OPTIMIZE ... ZORDER BY``
+        maintenance form: the same commit that resets the manifest also
+        lays files out for multi-dimensional footer-stat pruning.
+        Readers are never blocked either way — compaction is just
+        another snapshot commit."""
         parent = self.latest_version()
         if parent is None:
             raise ValueError("compact a table with no versions")
         pm = self._load_manifest(parent)
-        data_dir = self._new_data_dir(self.read(parent), pm["partition_by"])
+        snap = self.read(parent)
+        if zorder:
+            from .layout import zorder_by
+
+            snap = zorder_by(
+                snap, zorder, bits=zorder_bits,
+                target_partitions=target_partitions,
+            )
+        data_dir = self._new_data_dir(snap, pm["partition_by"])
         return self._commit(
             {
                 "parent": parent,

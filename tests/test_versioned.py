@@ -236,3 +236,31 @@ def test_additive_schema_evolution(spark, root):
         vt.merge(narrower, keys=["id"], allow_new_columns=True)
     # time travel to the pre-evolution snapshot keeps the old schema
     assert sorted(vt.read(version=1).columns) == ["id", "part", "val"]
+
+
+def test_compact_with_zorder_improves_pruning(spark):
+    """compact(zorder=...) = OPTIMIZE ZORDER: same content, same
+    snapshot semantics, but the rewritten files carry tight min/max
+    ranges on the clustered column."""
+    import tempfile as _tf
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import load
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.layout import (
+        pruning_stats,
+    )
+
+    o = load(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    r = _tf.mkdtemp(prefix="vt-zc-")
+    vt = VersionedTable(spark, r)
+    vt.write(o.repartition(16))  # shuffled baseline layout
+    before = pruning_stats(
+        os.path.join(r, vt._load_manifest(1)["entries"][0]["dir"]), "o_custkey"
+    )
+    v = vt.compact(zorder=["o_custkey"], target_partitions=16)
+    after = pruning_stats(
+        os.path.join(r, vt._load_manifest(v)["entries"][0]["dir"]), "o_custkey"
+    )
+    assert after["avg_overlap_fraction"] < 0.5 * before["avg_overlap_fraction"]
+    assert _rows(vt.read()) == _rows(vt.read(version=1))
