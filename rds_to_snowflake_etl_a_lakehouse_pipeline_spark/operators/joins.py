@@ -219,3 +219,54 @@ def salted_join(
     for c in dup_right:
         out = out.drop(r_replicated[c])
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str] | str,
+    top_n: int = 10,
+    target_rows_per_task: int = 5_000_000,
+) -> dict:
+    """Diagnose shuffle-key skew BEFORE paying for a bad join/agg: one
+    count-per-key aggregation (map-side partial combine, same shuffle
+    the real operation would do once — the point is to pay it in a
+    bounded diagnostic instead of discovering a 6-hour straggler), a
+    top-``top_n`` heavy-hitter list, and a per-hot-key suggested salt
+    factor ``ceil(freq / target_rows_per_task)`` sized so the hottest
+    key spreads to tasks of roughly ``target_rows_per_task`` rows.
+
+    Reading the result: ``skew_ratio`` = heaviest key count over the
+    mean per-key count. Under ~8, AQE's skew-join splitting (on by
+    default in session.py) handles it; above that, or when a single
+    key exceeds ``target_rows_per_task``, reach for
+    :func:`salted_join` with the suggested ``salt``.
+
+    Driver-side cost: ``top_n`` rows + 3 scalars — never the key list.
+    """
+    import math
+
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("_n").alias("n_rows"),
+        F.max("_n").alias("max_n"),
+    ).collect()[0]
+    top = [
+        {
+            "key": {c: r[c] for c in key_cols},
+            "rows": r["_n"],
+            "suggested_salt": max(1, math.ceil(r["_n"] / target_rows_per_task)),
+        }
+        for r in counts.orderBy(F.desc("_n"), *key_cols).limit(top_n).collect()
+    ]
+    n_keys = stats["n_keys"] or 0
+    mean = (stats["n_rows"] / n_keys) if n_keys else 0.0
+    return {
+        "n_rows": stats["n_rows"] or 0,
+        "n_keys": n_keys,
+        "mean_rows_per_key": round(mean, 2),
+        "max_rows_per_key": stats["max_n"] or 0,
+        "skew_ratio": round((stats["max_n"] / mean), 2) if mean else 0.0,
+        "top": top,
+    }

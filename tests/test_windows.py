@@ -199,3 +199,20 @@ def test_surrogate_two_phase_at_default_scale_threshold(spark):
     )
     bad = out.filter(F.col("sk") != F.col("id") + 1).count()
     assert bad == 0
+
+
+def test_skew_report_finds_hot_key_and_sizes_salt(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        skew_report,
+    )
+
+    rows = [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    rep = skew_report(df, "k", top_n=3, target_rows_per_task=100)
+    assert rep["n_rows"] == 1000 and rep["n_keys"] == 101
+    hot = rep["top"][0]
+    assert hot["key"] == {"k": 1} and hot["rows"] == 900
+    assert hot["suggested_salt"] == 9  # ceil(900 / 100)
+    assert rep["skew_ratio"] > 80  # 900 vs ~9.9 mean
+    # uniform tail keys suggest no salting
+    assert all(t["suggested_salt"] == 1 for t in rep["top"][1:])
