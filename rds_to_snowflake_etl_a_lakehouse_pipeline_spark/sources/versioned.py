@@ -323,9 +323,17 @@ class VersionedTable:
     def merge(
         self, source: DataFrame, keys: list[str],
         allow_new_columns: bool = False,
+        retries: int = 0,
     ) -> int:
         """Copy-on-write upsert: source rows replace current rows with the
         same key tuple; unmatched source rows insert.
+
+        ``retries`` > 0 resolves optimistic-concurrency losses
+        automatically: on :class:`CommitConflictError` the merge is
+        RE-DERIVED against the winner's snapshot (re-read, re-merge,
+        re-write — never a blind re-commit of stale data) up to that
+        many times. The losing attempt's data directory becomes an
+        orphan, reclaimed by :meth:`vacuum`.
 
         If the table is partitioned and the source carries the partition
         columns, only the partitions present in the source are rewritten
@@ -342,6 +350,18 @@ class VersionedTable:
         partition B only rewrites B, so K's old row in A would survive as
         a duplicate. If keys can migrate across partitions, leave the
         table unpartitioned or route those keys through delete+merge."""
+        attempt = 0
+        while True:
+            try:
+                return self._merge_once(source, keys, allow_new_columns)
+            except CommitConflictError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+
+    def _merge_once(
+        self, source: DataFrame, keys: list[str], allow_new_columns: bool
+    ) -> int:
         parent = self.latest_version()
         if parent is None:
             raise ValueError("merge into a table with no versions; write first")
@@ -407,6 +427,24 @@ class VersionedTable:
                 "partition_by": pm["partition_by"],
                 "schema": pm["schema"],
                 "entries": [{"dir": data_dir, "exclude": []}],
+            }
+        )
+
+    def restore(self, version: int) -> int:
+        """Roll the table back (or forward) to an earlier version's
+        content as a NEW commit (Delta RESTORE): metadata-only — the new
+        manifest simply re-references the target version's directories,
+        which also re-protects them from :meth:`vacuum`. History is
+        preserved; a restore of a vacuumed version raises (its manifest
+        is gone)."""
+        target = self._load_manifest(version)
+        return self._commit(
+            {
+                "parent": self.latest_version(),
+                "operation": f"restore({version})",
+                "partition_by": target["partition_by"],
+                "schema": target["schema"],
+                "entries": target["entries"],
             }
         )
 

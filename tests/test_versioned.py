@@ -264,3 +264,50 @@ def test_compact_with_zorder_improves_pruning(spark):
     )
     assert after["avg_overlap_fraction"] < 0.5 * before["avg_overlap_fraction"]
     assert _rows(vt.read()) == _rows(vt.read(version=1))
+
+
+def test_merge_retry_rederives_against_winner(spark, root):
+    """A merge losing the optimistic-concurrency race with retries>0
+    must re-derive against the winner's snapshot — the winner's rows
+    survive unless the retried batch overwrites their keys."""
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10), (2, "b", 20)]), partition_by=["part"])
+
+    # sabotage the first commit attempt: another writer lands version 2
+    # between this merge's derivation and its commit
+    real_commit = vt._commit
+    state = {"raced": False}
+
+    def racing_commit(manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            other = VersionedTable(spark, root)
+            other.merge(_mk(spark, [(2, "b", 99)]), keys=["id"])
+        return real_commit(manifest)
+
+    vt._commit = racing_commit
+    vt.merge(_mk(spark, [(1, "a", 11)]), keys=["id"], retries=2)
+    vt._commit = real_commit
+    # both the winner's update (2->99) and the retried one (1->11) hold
+    assert _rows(vt.read()) == [(1, "a", 11), (2, "b", 99)]
+    # without retries the same race raises
+    state["raced"] = False
+    vt._commit = racing_commit
+    with pytest.raises(CommitConflictError):
+        vt.merge(_mk(spark, [(1, "a", 12)]), keys=["id"])
+
+
+def test_restore_rolls_back_as_new_commit(spark, root):
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10)]))
+    vt.merge(_mk(spark, [(1, "a", 11), (2, "b", 20)]), keys=["id"])
+    v3 = vt.restore(1)
+    assert v3 == 3
+    assert _rows(vt.read()) == [(1, "a", 10)]
+    # history preserved: version 2 still readable
+    assert _rows(vt.read(version=2)) == [(1, "a", 11), (2, "b", 20)]
+    # restored dirs survive vacuum because the new manifest references them
+    vt.vacuum(retain_last=1)
+    assert _rows(vt.read()) == [(1, "a", 10)]
+    with pytest.raises(FileNotFoundError):
+        vt.restore(2)  # vacuumed manifest is gone

@@ -131,6 +131,37 @@ def main() -> None:
         ).count(),
     )
 
+    # versioned-table merge chain: overwrite the big corpus once, then
+    # land 8 successive CDC batches (0.5% of keys each) as COW merges —
+    # the steady-state lakehouse path. The per-merge time should stay
+    # flat (each rewrites only the touched partitions); the final
+    # compact(zorder) resets the accreted exclusion lists and measures
+    # the maintenance cost.
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="scale-vt-"))
+    vt_docs = docs.withColumn("part", F.pmod(F.col("doc_id"), F.lit(16)))
+    stage("versioned_write", lambda: vt.write(vt_docs, partition_by=["part"]))
+    merge_times = []
+    for i in range(8):
+        b = vt_docs.filter(F.pmod(F.col("doc_id"), 200) == i).withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" merged{i}"))
+        )
+        t0 = time.time()
+        vt.merge(b, keys=["doc_id"])
+        merge_times.append(round(time.time() - t0, 2))
+    timings["versioned_merge_each"] = merge_times
+    stats["versioned_versions"] = len(vt.versions())
+    stage(
+        "versioned_compact_zorder",
+        lambda: vt.compact(zorder=["doc_id"], target_partitions=32),
+    )
+    stats["versioned_rows"] = stage("versioned_read", lambda: vt.read().count())
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
