@@ -517,6 +517,27 @@ def _q_t_quality_model(spark, sf_dir):
     )
 
 
+def _q_t_bpe_tokens(spark, sf_dir):
+    """Learned-BPE token counting (functions/bpe.py): merge table
+    learned driver-side from a seeded bounded sample (Sennrich BPE),
+    applied corpus-wide as an Arrow kernel with a distinct-word cache.
+    Rows-only: the learned vocabulary is not SQL-expressible; the
+    whitespace/regex twins t_token_count / t_regex_tokens are the
+    oracle-checked baselines, and tests/test_text_vectors.py pins
+    determinism, losslessness, and parity with the driver-side
+    reference segmenter."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.bpe import (
+        bpe_token_count,
+        learn_bpe,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe(d, "text", num_merges=120, sample_rows=2000, seed=7)
+    return d.select(
+        "doc_id", bpe_token_count("text", merges).alias("n_bpe_tokens")
+    )
+
+
 def _q_t_language_id(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", lf.language_id("text").alias("lang_guess"))
@@ -2446,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
         "v_semantic_dedup": _q_v_semantic_dedup,
         "t_quality_model": _q_t_quality_model,
+        "t_bpe_tokens": _q_t_bpe_tokens,
         "d_cc_dedup": _q_d_cc_dedup,
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,

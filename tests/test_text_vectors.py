@@ -240,3 +240,64 @@ def test_quality_scoring_is_deterministic_and_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan  # featurization stays in Catalyst
+
+
+# --- learned BPE tokenizer (functions/bpe.py) ----------------------------
+
+
+def test_learn_bpe_learns_frequent_pairs_deterministically(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.bpe import (
+        learn_bpe,
+    )
+
+    rows = [(i, "the theme there then the other lather") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    m1 = learn_bpe(df, "text", num_merges=30)
+    m2 = learn_bpe(df, "text", num_merges=30)
+    assert m1 == m2  # deterministic
+    # the dominant word fully merges into one token
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.bpe import (
+        segment_word,
+    )
+
+    ranks = {tuple(m): i for i, m in enumerate(m1)}
+    assert segment_word("the", ranks) == ["the</w>"]
+    assert ("h", "e") in m1[:3]  # lexicographic tie-break is stable
+
+
+def test_bpe_tokens_roundtrip_and_count(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.bpe import (
+        bpe_token_count,
+        bpe_tokens,
+        learn_bpe,
+        segment_word,
+    )
+
+    rows = [
+        (0, "spark merge merge spark"),
+        (1, "the merge of spark streams"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    merges = learn_bpe(df, "text", num_merges=50)
+    got = df.select(
+        "doc_id",
+        bpe_tokens("text", merges).alias("toks"),
+        bpe_token_count("text", merges).alias("n"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    # count column == len(tokens); NULL text -> 0 tokens
+    for r in got:
+        assert r["n"] == len(r["toks"])
+    assert by_id[2]["n"] == 0
+    # lossless: stripping </w> and concatenating reconstructs the text
+    recon = "".join(by_id[1]["toks"]).replace("</w>", " ").strip()
+    assert recon == "the merge of spark streams"
+    # distributed segmentation matches the driver-side reference
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    want = []
+    for w in "the merge of spark streams".split():
+        want.extend(segment_word(w, ranks))
+    assert list(by_id[1]["toks"]) == want
+    # a fully-merged frequent word becomes ONE token
+    assert by_id[0]["n"] < len("spark merge merge spark".replace(" ", "")) + 4
