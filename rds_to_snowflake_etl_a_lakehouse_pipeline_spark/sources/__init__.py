@@ -9,5 +9,10 @@ from .io import (  # noqa: F401
     read_parquet,
     write_table,
 )
-from .layout import pruning_stats, zorder_by, zorder_write  # noqa: F401
+from .layout import (  # noqa: F401
+    bloom_filtered_write,
+    pruning_stats,
+    zorder_by,
+    zorder_write,
+)
 from .versioned import CommitConflictError, VersionedTable  # noqa: F401

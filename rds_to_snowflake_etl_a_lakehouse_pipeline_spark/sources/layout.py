@@ -122,6 +122,41 @@ def zorder_write(
     )
 
 
+def bloom_filtered_write(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Write parquet with per-column BLOOM FILTERS — the point-lookup
+    complement to :func:`zorder_write`: min/max footer stats prune
+    range-correlated layouts, but an equality probe on a HIGH-CARDINALITY
+    column in an unsorted table (a uuid, a user id) finds every row
+    group's [min,max] straddling the probe. A bloom filter answers
+    "definitely absent" per row group regardless of ordering, so Spark's
+    reader (``spark.sql.parquet.filterPushdown``, on by default) skips
+    the group entirely for misses and for hits prunes to the few groups
+    that might contain the key.
+
+    Cost: ~1.2 bytes/item at fpp=0.01 per column — pay it on the join/
+    lookup keys only, not every column. ``expected_items`` defaults to
+    a rows-per-group estimate from the DataFrame size; set it when you
+    know the per-file distinct count."""
+    if expected_items is None:
+        # bounded: one count; NDV per row group won't exceed its rows
+        expected_items = max(1024, df.count() // max(1, df.rdd.getNumPartitions()))
+    writer = df.write.mode(mode).option("compression", compression)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_items)
+        )
+    writer = writer.option("parquet.bloom.filter.fpp", str(fpp))
+    writer.parquet(path)
+
+
 def pruning_stats(path: str, col: str) -> dict:
     """Footer-stats pruning effectiveness for equality probes on
     ``col``: for each row group, the [min, max] interval from parquet

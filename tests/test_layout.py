@@ -118,3 +118,34 @@ def test_zorder_scan_skips_row_groups_end_to_end(spark):
     assert zr == br > 0
     # ...but the z-ordered scan surfaced far fewer rows to the filter
     assert z_rows < 0.5 * b_rows, (z_rows, b_rows)
+
+
+def test_bloom_filter_write_skips_absent_probes(spark):
+    """Bloom-filtered parquet: an equality probe for an ABSENT key in
+    range (where min/max can never help on an unsorted layout) must
+    emit (near-)zero rows from the scan, vs the full corpus without
+    blooms."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.layout import (
+        bloom_filtered_write,
+    )
+
+    # high-cardinality pseudo-random keys; probe an odd value (absent)
+    df = spark.range(0, 20000, numPartitions=8).select(
+        (F.xxhash64("id") * 2).alias("k"), F.col("id").alias("v")
+    )
+    bpath = tempfile.mkdtemp(prefix="bloom-") + "/t"
+    npath = tempfile.mkdtemp(prefix="nobloom-") + "/t"
+    bloom_filtered_write(df, bpath, ["k"])
+    df.write.mode("overwrite").parquet(npath)
+
+    def scan_rows(path, probe):
+        d = spark.read.parquet(path).filter(F.col("k") == probe)
+        d.collect()
+        node = d._jdf.queryExecution().executedPlan()
+        while node.children().nonEmpty():
+            node = node.children().head()
+        return node.metrics().apply("numOutputRows").value()
+
+    probe = 12345  # odd -> cannot be any k (all k are even)
+    assert scan_rows(bpath, probe) == 0
+    assert scan_rows(npath, probe) > 0  # no bloom: groups can't be skipped
