@@ -415,6 +415,30 @@ def _q_a1_grouping_sets(spark, sf_dir):
     )
 
 
+def _q_a1_hll_rollup(spark, sf_dir):
+    """Mergeable distinct-count sketches (operators/sketches.py):
+    per-(status, priority) DataSketches-HLL sketches of distinct
+    customers, merged up to per-status WITHOUT rescanning orders — the
+    persisted-sketch pattern a 100 TB pipeline uses for incremental
+    distinct counts. Rows-only: sketch estimates are engine internals;
+    the exact twin a1_count_distinct is oracle-green, and
+    test_hll_sketches_merge_losslessly pins merge-of-sketches ==
+    sketch-of-union plus a 5% error bound against the exact count."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_sketches,
+        sketch_estimate,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    fine = distinct_sketches(
+        o, ["o_orderstatus", "o_orderpriority"], "o_custkey", lgk=13
+    )
+    return rollup_sketches(fine, ["o_orderstatus"]).select(
+        "o_orderstatus", sketch_estimate().alias("approx_customers")
+    )
+
+
 def _q_a1_pivot(spark, sf_dir):
     """Pivot (wide aggregation): revenue per orderpriority × orderstatus.
     Explicit pivot values keep the schema static — at scale an implicit
@@ -2468,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_semantic_dedup": _q_v_semantic_dedup,
         "t_quality_model": _q_t_quality_model,
         "t_bpe_tokens": _q_t_bpe_tokens,
+        "a1_hll_rollup": _q_a1_hll_rollup,
         "d_cc_dedup": _q_d_cc_dedup,
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,

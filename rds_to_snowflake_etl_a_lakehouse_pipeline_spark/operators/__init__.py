@@ -8,7 +8,12 @@ from .curation import (  # noqa: F401
     stratified_sample,
     topk_per_group,
 )
-from .joins import star_join  # noqa: F401
+from .joins import skew_report, star_join  # noqa: F401
+from .sketches import (  # noqa: F401
+    distinct_sketches,
+    rollup_sketches,
+    sketch_estimate,
+)
 from .windows import (  # noqa: F401
     dedupe_latest,
     merge_upsert,

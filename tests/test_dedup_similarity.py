@@ -972,3 +972,42 @@ def test_semantic_pairs_oversized_cell_raises(spark):
         semantic_pairs(
             df, "vec_id", "embedding", n_clusters=1, max_cluster_size=10
         ).collect()
+
+
+def test_hll_sketches_merge_losslessly(spark):
+    """The property the persisted-sketch pattern rests on: merging
+    per-partition sketches gives the SAME estimate as sketching the
+    union directly, and the estimate lands within the lgK error bound
+    of the true distinct count."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_sketches,
+        sketch_estimate,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4).alias("day"),
+        (F.col("id") % 2).alias("src"),
+        (F.pmod(F.xxhash64("id"), 5000)).alias("user"),
+    )
+    fine = distinct_sketches(df, ["day", "src"], "user", lgk=13)
+    merged = rollup_sketches(fine, ["day"])
+    direct = distinct_sketches(df, ["day"], "user", lgk=13)
+    m = {r["day"]: r for r in merged.select(
+        "day", sketch_estimate().alias("est")).collect()}
+    d = {r["day"]: r for r in direct.select(
+        "day", sketch_estimate().alias("est")).collect()}
+    truth = {
+        r["day"]: r["n"]
+        for r in df.groupBy("day").agg(
+            F.countDistinct("user").alias("n")).collect()
+    }
+    assert set(m) == set(d) == set(truth)
+    for day in truth:
+        assert m[day]["est"] == d[day]["est"]  # lossless merge
+        assert abs(m[day]["est"] - truth[day]) / truth[day] < 0.05
+    # global rollup (no keys) matches too
+    total = rollup_sketches(fine, []).select(
+        sketch_estimate().alias("est")).collect()[0]["est"]
+    true_total = df.select(F.countDistinct("user")).collect()[0][0]
+    assert abs(total - true_total) / true_total < 0.05
