@@ -562,6 +562,18 @@ def _q_t_bpe_tokens(spark, sf_dir):
     )
 
 
+def _q_t_corpus_report(spark, sf_dir):
+    """Corpus datasheet (plans/report.py): per-language composition,
+    token volume, mean quality, exact dup rate — one scan + one agg
+    shuffle + a tiny-frame share window, fully oracle-checked (the
+    deterministic 'datasheet for datasets' numbers)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.report import (
+        corpus_report,
+    )
+
+    return corpus_report(load(spark, sf_dir, "documents"))
+
+
 def _q_t_language_id(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", lf.language_id("text").alias("lang_guess"))
@@ -2493,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality_model": _q_t_quality_model,
         "t_bpe_tokens": _q_t_bpe_tokens,
         "a1_hll_rollup": _q_a1_hll_rollup,
+        "t_corpus_report": _q_t_corpus_report,
         "d_cc_dedup": _q_d_cc_dedup,
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,
@@ -3247,6 +3260,27 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(k.o_totalprice, b.o_totalprice), 2) AS o_totalprice, "
             "CAST(coalesce(k.o_orderdate, b.o_orderdate) AS VARCHAR) "
             "AS o_orderdate FROM base b LEFT JOIN kept k USING (o_orderkey)"
+        ),
+        "t_corpus_report": (
+            "WITH per AS (SELECT lang, text, "
+            "CASE WHEN text IS NULL THEN NULL WHEN length(trim(text)) = 0 "
+            "THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+            "AS n_tokens, "
+            "round(CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 ELSE "
+            "0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "AS DOUBLE) / CAST(length(text) AS DOUBLE)) + "
+            "0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', "
+            "'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) + "
+            "0.2 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) END, 6) "
+            "AS q FROM documents), "
+            "agg AS (SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "round(avg(q), 6) AS avg_quality, "
+            "count(DISTINCT text) AS distinct_texts FROM per GROUP BY lang) "
+            "SELECT lang, n_docs, total_tokens, avg_quality, distinct_texts, "
+            "round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS share, "
+            "round(1.0 - CAST(distinct_texts AS DOUBLE) / n_docs, 6) "
+            "AS dup_rate FROM agg"
         ),
         "a1_grouping_sets": (
             "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
