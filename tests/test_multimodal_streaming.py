@@ -6,6 +6,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
     attach_fake_blobs,
@@ -456,3 +457,32 @@ def test_interval_join_watermark_drops_late_right_rows(spark):
     assert (100, 202) not in got          # beyond-watermark row dropped
     assert (100, 200) in got              # in-batch match
     assert (101, 203) in got              # in-window cross-batch match
+
+
+def test_multimodal_features_feed_embedding_dedup(spark):
+    """Cross-tier composition: blobs → deterministic feature vectors →
+    the embedding-cosine dedup tier. Byte-identical blobs produce
+    identical features (cos = 1.0), so image-level exact dups fall out
+    of the SAME dedup operators the text tier uses — the
+    image-dedup-by-embedding pipeline with the encoder stubbed."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        embedding_cosine_dedup,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        attach_fake_blobs,
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "photo of a cat"), (2, "photo of a cat"), (3, "diagram of spark")],
+        "doc_id bigint, text string",
+    )
+    feats = extract_features(attach_fake_blobs(df, "text"), dim=16)
+    kept = embedding_cosine_dedup(
+        feats.select("doc_id", F.col("features").alias("embedding")),
+        "doc_id",
+        "embedding",
+        threshold=0.9999,
+        impl="exact",
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
