@@ -99,6 +99,7 @@ def write_table(
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
     compression: str = "snappy",
+    bloom_filter_cols: list[str] | None = None,
 ) -> None:
     """S6: Parquet+Snappy table write with catalog registration — the
     Spark-native form of the reference's ``getSink(...glueparquet,
@@ -125,6 +126,11 @@ def write_table(
     """
     spark = df.sparkSession
     writer = df.write.mode(mode).format("parquet").option("compression", compression)
+    for c in bloom_filter_cols or []:
+        # point-lookup row-group skipping on unsorted high-cardinality
+        # keys (see sources/layout.py::bloom_filtered_write for the
+        # rationale + the reader-level proof test)
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if bucket_by:

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import (
     WarehouseSink,
     connection_config,
@@ -167,3 +169,11 @@ def test_overwrite_clears_orphaned_location(spark):
     spark.sql("DROP TABLE IF EXISTS io_test_orphan")
     write_table(df, "io_test_orphan")
     assert spark.table("io_test_orphan").collect()[0]["id"] == 7
+
+
+def test_write_table_accepts_bloom_filter_cols(spark):
+    t = "io_bloom_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_table(df, t, bloom_filter_cols=["k"])
+    assert spark.table(t).count() == 500
