@@ -2424,7 +2424,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has an r04-or-r05 verdict except 13 repair/window/scalar singles
     (r3-r12, w1, w3, v_dot_product, f17) deferred to r06 — each is
     compositionally exercised inside an r04-green g_*/v_* query, so
-    their logic does carry a current verdict via composition."""
+    their logic does carry a current verdict via composition. The r06
+    front-50 should take those 13 plus the round-5 behind-cap
+    additions (s12_zorder_roundtrip, x1_versioned_stream,
+    t_corpus_report, a1_grouping_sets twin-checks aside —
+    v_semantic_dedup, t_quality_model, t_bpe_tokens, a1_hll_rollup),
+    all locally 107/107 oracle-green at both SFs this round."""
     return {
         # ---- round-5 front 50: everything whose last direct verdict
         # ---- predates the round-4 testdata regeneration
