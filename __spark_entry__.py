@@ -929,6 +929,25 @@ def _q_v_lsh_topk(spark, sf_dir):
     return lsh_topk(e.filter(F.col("vec_id") >= 3), q, k=10, dim=64)
 
 
+def _q_v_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination (operators/dedup.py::
+    decontaminate_semantic): vec_id < 10 plays the eval suite; every
+    corpus vector within cosine 0.4 of ANY bench vector is dropped.
+    Exact impl — the bench side broadcasts, so this is |corpus|×|bench|
+    JVM dot products with no corpus shuffle; the oracle replays the
+    same cosine threshold with NOT EXISTS."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        decontaminate_semantic,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    return decontaminate_semantic(
+        corpus, bench, "vec_id", "embedding", threshold=0.4
+    ).select("vec_id", "label")
+
+
 def _q_v_semantic_dedup(spark, sf_dir):
     """SemDeDup tier (operators/dedup.py::semantic_dedup): KMeans cells
     over the embedding space, one Arrow matmul per cell, greedy min-id
@@ -2507,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
         "v_semantic_dedup": _q_v_semantic_dedup,
+        "v_decontaminate": _q_v_decontaminate,
         "t_quality_model": _q_t_quality_model,
         "t_bpe_tokens": _q_t_bpe_tokens,
         "a1_hll_rollup": _q_a1_hll_rollup,
@@ -3265,6 +3285,20 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(k.o_totalprice, b.o_totalprice), 2) AS o_totalprice, "
             "CAST(coalesce(k.o_orderdate, b.o_orderdate) AS VARCHAR) "
             "AS o_orderdate FROM base b LEFT JOIN kept k USING (o_orderkey)"
+        ),
+        "v_decontaminate": (
+            "WITH corp AS (SELECT vec_id, label, embedding FROM embeddings "
+            "WHERE vec_id >= 10), "
+            "bench AS (SELECT embedding FROM embeddings WHERE vec_id < 10), "
+            "hits AS (SELECT DISTINCT c.vec_id FROM corp c JOIN bench b ON "
+            "round(list_sum(list_transform(range(1, 65), i -> "
+            "CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+            " / (sqrt(list_sum(list_transform(c.embedding, x -> "
+            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "sqrt(list_sum(list_transform(b.embedding, x -> "
+            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.4) "
+            "SELECT c.vec_id, c.label FROM corp c LEFT JOIN hits h "
+            "ON c.vec_id = h.vec_id WHERE h.vec_id IS NULL"
         ),
         "t_corpus_report": (
             "WITH per AS (SELECT lang, text, "

@@ -1343,3 +1343,77 @@ def semantic_dedup(
     pairs = semantic_pairs(df, id_col, vec_col, **pair_kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def decontaminate_semantic(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench_vec_col: str | None = None,
+    threshold: float = 0.9,
+    impl: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop corpus documents
+    whose embedding is within cosine ``threshold`` of ANY benchmark
+    item — the semantic complement of the n-gram :func:`decontaminate`
+    (paraphrased or translated eval questions share no shingles but sit
+    next to the original in embedding space).
+
+    ``impl="exact"`` is exact AND scalable here, unlike corpus
+    self-join dedup: the benchmark side is eval-suite-sized, so the
+    broadcast cross join costs |corpus| × |bench| JVM-side dot products
+    — one corpus scan, no shuffle on the corpus. For giant benchmark
+    unions, ``impl="lsh"`` buckets both sides by hyperplane sign
+    signature (``n_tables`` tables) and compares only within buckets
+    (approximate: recall < 1 near the threshold), or set
+    ``broadcast_bench=False`` to let AQE pick the join.
+
+    NULL corpus embeddings survive (nothing to compare — same contract
+    as :func:`semantic_dedup`)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+
+    bvec = bench_vec_col or vec_col
+    a = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = bench.filter(F.col(bvec).isNotNull()).select(
+        F.col(bvec).alias("_vb"), l2_norm(F.col(bvec)).alias("_nb")
+    )
+    if impl == "exact":
+        if broadcast_bench:
+            b = F.broadcast(b)
+        cand = a.join(b)
+    elif impl == "lsh":
+        from .similarity import _hyperplanes, lsh_signature
+
+        cand = None
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + t)
+            at = a.withColumn("_bkt", lsh_signature(F.col("_va"), planes))
+            bt = b.withColumn("_bkt", lsh_signature(F.col("_vb"), planes))
+            if broadcast_bench:
+                bt = F.broadcast(bt)
+            part = at.join(bt, "_bkt").drop("_bkt")
+            cand = part if cand is None else cand.unionByName(part)
+    else:
+        raise ValueError(f"unknown impl: {impl}")
+    hits = (
+        cand.filter(
+            F.round(cosine_from_norms("_va", "_vb", "_na", "_nb"), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, on=id_col, how="left_anti")

@@ -1011,3 +1011,34 @@ def test_hll_sketches_merge_losslessly(spark):
         sketch_estimate().alias("est")).collect()[0]["est"]
     true_total = df.select(F.countDistinct("user")).collect()[0][0]
     assert abs(total - true_total) / true_total < 0.05
+
+
+def test_decontaminate_semantic_drops_bench_neighbors(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        decontaminate_semantic,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),       # = bench item
+            (2, [0.999, 0.02, 0.0]),    # paraphrase-near bench
+            (3, [0.0, 1.0, 0.0]),       # unrelated
+            (4, None),                  # null embedding survives
+        ],
+        "doc_id bigint, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "qid bigint, embedding array<float>"
+    )
+    kept = decontaminate_semantic(
+        corpus, bench, "doc_id", "embedding", threshold=0.95
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+    # LSH impl finds the exact-duplicate contamination (recall 1.0 on
+    # identical vectors) and never drops the unrelated doc
+    kept_lsh = decontaminate_semantic(
+        corpus, bench, "doc_id", "embedding", threshold=0.95,
+        impl="lsh", dim=3, n_planes=4, n_tables=2,
+    )
+    ids = sorted(r["doc_id"] for r in kept_lsh.collect())
+    assert 1 not in ids and 3 in ids and 4 in ids
