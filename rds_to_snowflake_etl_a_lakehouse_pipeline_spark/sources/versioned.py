@@ -307,9 +307,19 @@ class VersionedTable:
         if v is None:
             raise FileNotFoundError(f"no committed versions under {self.root}")
         m = self._load_manifest(v)
+        # Read with the MANIFEST schema, not inference: a commit whose
+        # result was empty (delete-all, merge of an empty partition set)
+        # produces a data directory with no parquet footers, which
+        # inference cannot read; the manifest is the source of truth for
+        # the snapshot schema anyway (simpleString is DDL round-trippable),
+        # and by-name parquet resolution also surfaces pre-evolution
+        # directories' missing columns as typed NULLs.
+        ddl = ", ".join(f"`{n}` {t}" for n, t in m["schema"])
         parts = []
         for entry in m["entries"]:
-            d = self.spark.read.parquet(os.path.join(self.root, entry["dir"]))
+            d = self.spark.read.schema(ddl).parquet(
+                os.path.join(self.root, entry["dir"])
+            )
             parts.append(
                 self._align(self._exclusion_filter(d, entry["exclude"]), m["schema"])
             )
