@@ -887,6 +887,79 @@ def _q_d_cc_dedup(spark, sf_dir):
     )
 
 
+# Entity resolution (operators/entity.py) ----------------------------------
+
+
+def _er_dirty_customers(spark, sf_dir):
+    """Deterministic dirty-entity fixture: every customer, plus — for
+    custkey % 7 == 0 — a typo variant (2nd char dropped, id offset by
+    1e8) standing in for the same real-world entity arriving from a
+    second system. The last-6-chars block key survives the typo (the
+    digits are untouched) and is unique per custkey at any SF, so each
+    block holds exactly {original, variant}."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    variants = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 100000000).cast("bigint").alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 1), F.expr("substring(c_name, 3)")
+        ).alias("c_name"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return base.unionByName(variants)
+
+
+def _q_er_resolve(spark, sf_dir):
+    """Entity resolution end-to-end: block on right(name, 6), score
+    normalized Levenshtein inside blocks, cluster transitively, label
+    every record with its entity id (operators/entity.resolve_entities).
+    The general form of the reference's hand-written key-conformance
+    surgery (SURVEY.md §2.3 — strip NAS / strip hyphens / split
+    prd_key), for when two systems encode one entity with typos instead
+    of a fixed rewrite. Oracle replays blocking + levenshtein + a
+    recursive-CTE transitive closure."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        resolve_entities,
+    )
+
+    dirty = _er_dirty_customers(spark, sf_dir)
+    return resolve_entities(
+        dirty, "id", "c_name", F.expr("right(c_name, 6)"), threshold=0.9
+    ).select("id", "entity_id")
+
+
+def _q_er_golden(spark, sf_dir):
+    """Survivorship over the resolved clusters: one golden record per
+    entity — membership count, min-id row's name ("earliest" system of
+    record), max account balance, deterministic-mode market segment
+    (operators/entity.golden_records)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        golden_records,
+        resolve_entities,
+    )
+
+    dirty = _er_dirty_customers(spark, sf_dir)
+    resolved = resolve_entities(
+        dirty, "id", "c_name", F.expr("right(c_name, 6)"), threshold=0.9
+    )
+    return golden_records(
+        resolved,
+        "entity_id",
+        "id",
+        {
+            "name": ("c_name", "earliest"),
+            "max_acctbal": ("c_acctbal", "max"),
+            "segment": ("c_mktsegment", "mode"),
+        },
+    )
+
+
 # Similarity search (operators/similarity.py) ------------------------------
 
 
@@ -1380,6 +1453,31 @@ _SQL_FACT_SALES = (
     "FROM silver_sd sd "
     "LEFT JOIN dimp pr ON sd.sls_prd_key = pr.product_number "
     "LEFT JOIN dimc cu ON sd.sls_cust_id = cu.customer_id"
+)
+
+
+# Entity-resolution CTEs shared by er_resolve / er_golden: the dirty
+# fixture (_er_dirty_customers), last-6-chars blocking, normalized-
+# levenshtein scoring, and a recursive-CTE transitive closure mirroring
+# operators/entity.resolve_entities + dedup.connected_components.
+_SQL_ER_CTES = (
+    "base AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name, "
+    "c_acctbal AS bal, c_mktsegment AS seg FROM customer "
+    "UNION ALL "
+    "SELECT CAST(c_custkey + 100000000 AS BIGINT), "
+    "substring(c_name, 1, 1) || substring(c_name, 3), c_acctbal, "
+    "c_mktsegment FROM customer WHERE c_custkey % 7 = 0), "
+    "blk AS (SELECT id, name, right(name, 6) AS b FROM base), "
+    "cand AS (SELECT a.id AS id_a, b.id AS id_b "
+    "FROM blk a JOIN blk b ON a.b = b.b AND a.id < b.id "
+    "WHERE round(1 - levenshtein(a.name, b.name) "
+    "/ greatest(length(a.name), length(b.name)), 6) >= 0.9), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM cand "
+    "UNION SELECT id_b, id_a FROM cand), "
+    "reach AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+    "comp AS (SELECT a AS id, least(a, min(b)) AS component "
+    "FROM reach GROUP BY a)"
 )
 
 
@@ -2453,7 +2551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-5 front 50: everything whose last direct verdict
         # ---- predates the round-4 testdata regeneration
         # batch streaming twins + batch windows
-        "x1_tumbling_stream": _q_x1_tumbling_stream,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -2487,7 +2584,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_union": _q_o1_union,
         "o1_intersect": _q_o1_intersect,
         # dedup / multimodal singles
-        "d_minhash_pairs": _q_d_minhash_pairs,
         "m_resize_images": _q_m_resize_images,
         "m_decode_audio": _q_m_decode_audio,
         "m_frame_sample": _q_m_frame_sample,
@@ -2511,7 +2607,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5: snapshot-versioned table (atomic append +
         # partition-scoped COW merge) — first driver verdict this round
         "s11_versioned_merge": _q_s11_versioned_merge,
+        # new in round 5: entity resolution (blocking -> levenshtein ->
+        # transitive clustering -> survivorship) — first driver verdict
+        # this round. Displaced to make room: d_minhash_pairs (rows-only
+        # — a driver verdict adds little beyond pytest + its oracle-green
+        # exact twin d_ngram_jaccard, r04) and x1_tumbling_stream (its
+        # batch twin x1_tumbling_window is r04-hash-green on current
+        # data); both rotate back in r06.
+        "er_resolve": _q_er_resolve,
+        "er_golden": _q_er_golden,
         # ---- driver cap boundary (entry 50) ----
+        "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "d_minhash_pairs": _q_d_minhash_pairs,
         # verified against CURRENT testdata in CORRECTNESS_r04.json
         "g_dim_customers": _q_g_dim_customers,
         "g_dim_customers_faithful": _q_g_dim_customers_faithful,
@@ -3391,6 +3498,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM reach GROUP BY a) "
             "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component "
             "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
+        ),
+        "er_resolve": (
+            "WITH RECURSIVE " + _SQL_ER_CTES + " "
+            "SELECT base.id, coalesce(comp.component, base.id) AS entity_id "
+            "FROM base LEFT JOIN comp ON comp.id = base.id"
+        ),
+        "er_golden": (
+            "WITH RECURSIVE " + _SQL_ER_CTES + ", "
+            "resolved AS (SELECT base.id, base.name, base.bal, base.seg, "
+            "coalesce(comp.component, base.id) AS entity_id "
+            "FROM base LEFT JOIN comp ON comp.id = base.id), "
+            "agg AS (SELECT entity_id, count(*) AS n_members, "
+            "arg_min(name, id) AS name, max(bal) AS max_acctbal "
+            "FROM resolved GROUP BY entity_id), "
+            "m AS (SELECT entity_id, seg, row_number() OVER ("
+            "PARTITION BY entity_id ORDER BY count(*) DESC, seg ASC) AS rn "
+            "FROM resolved WHERE seg IS NOT NULL GROUP BY entity_id, seg) "
+            "SELECT agg.entity_id, agg.n_members, agg.name, agg.max_acctbal, "
+            "m.seg AS segment FROM agg "
+            "LEFT JOIN m ON m.entity_id = agg.entity_id AND m.rn = 1"
         ),
         # deterministic fake decode: dims derived from sha256 of the blob
         # (documents are pure ASCII, so sha256(text) == sha256 of the

@@ -1,12 +1,19 @@
 """Relational / dataflow operators: windows, joins, aggregates,
 dedup (exact + fuzzy), similarity search, multimodal plumbing,
-corpus curation (packing / sampling / selection / reweighting)."""
+corpus curation (packing / sampling / selection / reweighting),
+entity resolution (blocking / scoring / clustering / survivorship)."""
 
 from .curation import (  # noqa: F401
+    global_shuffle,
     mixture_weights,
     pack_sequences,
     stratified_sample,
     topk_per_group,
+)
+from .entity import (  # noqa: F401
+    er_candidate_pairs,
+    golden_records,
+    resolve_entities,
 )
 from .joins import skew_report, star_join  # noqa: F401
 from .sketches import (  # noqa: F401

@@ -1,0 +1,226 @@
+"""Entity resolution: blocking → pairwise scoring → transitive
+clustering → golden-record survivorship.
+
+The reference manufactures join-key conformance by hand-written string
+surgery (strip ``NAS``, strip hyphens, split ``prd_key`` —
+Glue-spark/scripts/silver/erp_cust_az12_silver.py:54-58,
+erp_loc_a101_silver.py:50-53, crm_prd_info_silver.py:53-56) because its
+CRM and ERP systems encode THE SAME entity under different keys. That
+works only when the mapping is a deterministic rewrite. This module is
+the general form a large-scale pipeline needs when records for one
+real-world entity differ by typos/formatting rather than by a fixed
+rule: resolve fuzzy duplicates into entity clusters and survive one
+golden record per entity.
+
+Classic three-stage shape (Fellegi-Sunter-style pipelines, as used in
+open-source ER systems such as Zingg/Splink — pattern only, no code):
+
+1. **Blocking** — a cheap deterministic key (prefix, phonetic bucket,
+   last-n chars, array of keys for multi-blocking) so candidate
+   generation is an equi-join on the key, never an all-pairs cross
+   product. O(sum of block²) with small blocks ≈ linear.
+2. **Scoring** — pairwise similarity inside blocks only. Default:
+   normalized Levenshtein ``1 - lev(a,b)/greatest(len(a),len(b))``
+   (JVM-side ``F.levenshtein``, whole-stage codegen — no Python).
+3. **Clustering** — similarity edges → :func:`..dedup.connected_components`
+   (min-label propagation or large-star/small-star), so transitively
+   linked records share one ``entity_id`` regardless of pair topology.
+4. **Survivorship** — :func:`golden_records` folds each cluster to one
+   row under per-attribute rules (min/max/earliest/mode).
+
+Scale notes (100 TB):
+- The only joins are (a) the within-block self-join on the block key
+  and (b) edge-sized joins inside connected components. No cross joins.
+- ``max_block_size`` SKIPS oversized blocks rather than star-collapsing
+  them (deliberately different from ``dedup.minhash_lsh_pairs``'s cap):
+  an oversized ER block means the blocking key is non-discriminative
+  there (e.g. blank names), and merging its members through a
+  representative would collapse DISTINCT entities — ER is
+  precision-first, where boilerplate dedup is recall-first. Skipped
+  blocks should get a better key (multi-blocking), not a forced merge.
+- Similarity is computed only inside blocks and entirely JVM-side;
+  scoring cost is bounded by ``max_block_size``² per block.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from .dedup import connected_components
+
+__all__ = [
+    "levenshtein_similarity",
+    "er_candidate_pairs",
+    "resolve_entities",
+    "golden_records",
+]
+
+
+def levenshtein_similarity(a: Column, b: Column) -> Column:
+    """``1 - levenshtein(a, b) / greatest(length(a), length(b))`` in
+    [0, 1]; 1.0 = identical. Pure Catalyst (codegen'd JVM loop), exactly
+    reproducible in ANSI SQL for oracle checks."""
+    return F.lit(1.0) - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+
+
+def _blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_key: Column | str,
+    max_block_size: int | None,
+) -> DataFrame:
+    """(_id, _txt, _blk) with one row per (record, block key); an
+    array-typed key explodes into multi-blocking. Oversized blocks are
+    dropped entirely (see module docstring — precision-first)."""
+    bk = F.col(block_key) if isinstance(block_key, str) else block_key
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        bk.alias("_blk"),
+    )
+    if isinstance(b.schema["_blk"].dataType, ArrayType):
+        b = b.withColumn("_blk", F.explode("_blk"))
+    b = b.filter(F.col("_blk").isNotNull())
+    if max_block_size is not None:
+        w = Window.partitionBy("_blk")
+        b = (
+            b.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_block_size)
+            .drop("_bsz")
+        )
+    return b
+
+
+def er_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_key: Column | str,
+    threshold: float = 0.9,
+    max_block_size: int | None = None,
+    similarity: Callable[[Column, Column], Column] | None = None,
+) -> DataFrame:
+    """(id_a, id_b, similarity) for every within-block record pair
+    whose similarity clears ``threshold`` (id_a < id_b, one row per
+    pair even under multi-blocking).
+
+    ``block_key``: a column name or Column expression; an array-typed
+    expression blocks each record under every element (multi-blocking —
+    union of candidate sets, standard recall lever).
+    ``similarity``: optional ``(Column, Column) -> Column`` override;
+    default :func:`levenshtein_similarity`. Scores are rounded to 6
+    decimals BEFORE thresholding so oracle SQL replays bit-identically.
+    """
+    sim_fn = similarity or levenshtein_similarity
+    b = _blocked(df, id_col, text_col, block_key, max_block_size)
+    return (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(sim_fn(F.col("a._txt"), F.col("b._txt")), 6).alias(
+                "similarity"
+            ),
+        )
+        .filter(F.col("similarity") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_key: Column | str,
+    threshold: float = 0.9,
+    max_block_size: int | None = None,
+    similarity: Callable[[Column, Column], Column] | None = None,
+    entity_col: str = "entity_id",
+    algorithm: str = "label",
+    max_iter: int = 20,
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """``df`` plus ``entity_col``: the MIN ``id_col`` of each record's
+    transitive similarity cluster (records with no match resolve to
+    themselves). Transitive closure means A~B and B~C share one entity
+    even when A and C never co-occur in a block — the contract pair-
+    greedy matching cannot give (see
+    :func:`..dedup.connected_components`, whose ``algorithm`` /
+    ``storage`` knobs pass through)."""
+    pairs = er_candidate_pairs(
+        df, id_col, text_col, block_key, threshold, max_block_size, similarity
+    )
+    labels = connected_components(
+        pairs, max_iter=max_iter, algorithm=algorithm, storage=storage
+    ).withColumnRenamed("id", id_col)
+    return (
+        df.join(labels, id_col, "left")
+        .withColumn(entity_col, F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+
+
+def golden_records(
+    df: DataFrame,
+    entity_col: str,
+    id_col: str,
+    rules: dict[str, tuple[str, str]],
+    count_col: str = "n_members",
+) -> DataFrame:
+    """One survived row per entity: ``count_col`` membership count plus
+    one output column per ``rules`` entry ``out_col: (src_col, how)``.
+
+    ``how``:
+    - ``"min"`` / ``"max"`` — extremum of the attribute;
+    - ``"earliest"`` — the value carried by the cluster's min-``id_col``
+      row (``F.min_by`` — the deterministic "first system of record"
+      rule; ids are unique so there are no ties);
+    - ``"mode"`` — most frequent non-null value, ties broken by value
+      ascending (deterministic, cross-engine reproducible).
+
+    Scale: min/max/earliest fold into ONE partial-agg shuffle on
+    ``entity_col``. Each ``mode`` rule costs one extra
+    (entity, value)-grained aggregation plus an entity-keyed window —
+    group-cardinality-sized, joined back broadcast-style by AQE.
+    """
+    aggs = [F.count("*").alias(count_col)]
+    mode_rules: list[tuple[str, str]] = []
+    for out, (src, how) in rules.items():
+        if how == "min":
+            aggs.append(F.min(src).alias(out))
+        elif how == "max":
+            aggs.append(F.max(src).alias(out))
+        elif how == "earliest":
+            aggs.append(F.min_by(src, id_col).alias(out))
+        elif how == "mode":
+            mode_rules.append((out, src))
+        else:
+            raise ValueError(
+                f"unknown survivorship rule {how!r} for {out!r} "
+                "(min|max|earliest|mode)"
+            )
+    out_df = df.groupBy(entity_col).agg(*aggs)
+    for out, src in mode_rules:
+        w = Window.partitionBy(entity_col).orderBy(
+            F.col("_n").desc(), F.col(src).asc()
+        )
+        m = (
+            df.filter(F.col(src).isNotNull())
+            .groupBy(entity_col, src)
+            .agg(F.count("*").alias("_n"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(entity_col, F.col(src).alias(out))
+        )
+        out_df = out_df.join(m, entity_col, "left")
+    return out_df
