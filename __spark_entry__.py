@@ -621,6 +621,21 @@ def _q_t_gopher_flags(spark, sf_dir):
     )
 
 
+def _q_t_global_shuffle(spark, sf_dir):
+    """Deterministic shuffle-then-shard export layout
+    (operators/curation.global_shuffle): every document gets a
+    (shard, shard_pos) slot from the md5 hash order — a reproducible
+    random permutation with NO global sort (hash exchange + per-shard
+    sort). The oracle replays the md5 bucket + hash-ordered
+    row_number in SQL."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        global_shuffle,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return global_shuffle(d.select("doc_id"), "doc_id", n_shards=8, seed=42)
+
+
 def _q_t_curation_pipeline(spark, sf_dir):
     """End-to-end LLM-data curation: language-ID filter → quality
     threshold → exact near-whitespace dedup (keep lowest doc_id per
@@ -2558,7 +2573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_grouping_sets": _q_a1_grouping_sets,  # new round 5
         "a1_pivot": _q_a1_pivot,
         "a1_percentile": _q_a1_percentile,
-        "a1_approx_percentile": _q_a1_approx_percentile,  # new round 5
+        # new in round 5: deterministic shuffle-shard export layout
+        "t_global_shuffle": _q_t_global_shuffle,
         "a1_count_distinct": _q_a1_count_distinct,
         # sources
         "s4_csv_source": _q_s4_csv_source,
@@ -2619,6 +2635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver cap boundary (entry 50) ----
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "d_minhash_pairs": _q_d_minhash_pairs,
+        # rows-only (rsd-bound pytest + exact twin a1_percentile in the
+        # front-50); displaced for t_global_shuffle, rotates back r06
+        "a1_approx_percentile": _q_a1_approx_percentile,
         # verified against CURRENT testdata in CORRECTNESS_r04.json
         "g_dim_customers": _q_g_dim_customers,
         "g_dim_customers_faithful": _q_g_dim_customers_faithful,
@@ -3033,6 +3052,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST(shard * 4294967296 + pre // 2000 AS BIGINT) AS seq_id, "
             "CAST(pre % 2000 AS BIGINT) AS seq_offset FROM c"
+        ),
+        "t_global_shuffle": (
+            "WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || '#42') AS h "
+            "FROM documents), "
+            "b AS (SELECT doc_id, h, "
+            "CAST(('0x'||substr(h,1,8))::BIGINT % 8 AS INT) AS shard FROM s) "
+            "SELECT doc_id, shard, CAST(row_number() OVER ("
+            "PARTITION BY shard ORDER BY h, doc_id) - 1 AS INT) AS shard_pos "
+            "FROM b"
         ),
         "t_stratified_sample": (
             "SELECT doc_id, lang FROM documents "

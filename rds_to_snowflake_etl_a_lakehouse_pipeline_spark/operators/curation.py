@@ -161,6 +161,61 @@ def topk_per_group(
     return ranked.withColumnRenamed("_rn", rank_col)
 
 
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic pseudo-random permutation of the corpus into
+    ``n_shards`` shards with a stable within-shard order — the
+    shuffle-then-shard step a training-data export runs last, so
+    sequential readers of shard files see documents in random order
+    without any train-time shuffling.
+
+    Each row gets ``shard_col`` = md5-bucket of ``key_col#seed`` (every
+    shard is a uniform random sample of the corpus) and ``pos_col`` =
+    its 0-based rank within the shard, ordered by the same hash (ties —
+    md5 collisions — broken by the key itself, so the permutation is
+    total). Re-runs on the same corpus + seed reproduce the identical
+    layout; changing ``seed`` draws a fresh permutation. md5 rather
+    than ``F.rand`` keeps it replayable cross-engine (oracle) and
+    cross-run (a re-export after a crash lands every row in the same
+    place).
+
+    Scale: one hash exchange on the shard id + a per-shard sort — an
+    embarrassingly parallel ``repartition + sortWithinPartitions``
+    shape, NO global sort and no single-task window. Shards are
+    hash-balanced, so the per-shard sorts are uniform; size
+    ``n_shards`` so a shard (corpus / n_shards) fits an executor's
+    sort buffer or spills modestly.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_gs_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_gs_h", h)
+        # shard = the same 8-hex-prefix bucket primitive as _det_bucket
+        # (cross-engine: '0x'||substr(md5,1,8) in any SQL dialect);
+        # within-shard order = the full hex digest (lexicographic on
+        # ASCII hex — identical collation everywhere)
+        .withColumn(
+            shard_col,
+            (
+                F.conv(F.substring("_gs_h", 1, 8), 16, 10).cast("bigint")
+                % n_shards
+            ).cast("int"),
+        )
+        .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
+        .drop("_gs_h")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,

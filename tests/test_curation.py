@@ -238,3 +238,71 @@ def test_registry_contract_consistency():
         "v_ivf_topk", "v_ivf_index_topk", "a1_approx_distinct",
         "a1_approx_percentile",
     }, f"unexpected rows-only queries in the verified window: {rows_only_front}"
+
+
+def test_global_shuffle_is_a_permutation(docs):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        global_shuffle,
+    )
+
+    out = global_shuffle(docs.select("doc_id"), "doc_id", n_shards=8).cache()
+    n = docs.count()
+    # lossless: every doc appears once, with a unique (shard, pos) slot
+    assert out.count() == n
+    assert out.select("shard", "shard_pos").distinct().count() == n
+    # positions are dense 0..k-1 within every shard
+    bad = (
+        out.groupBy("shard")
+        .agg(
+            F.count("*").alias("k"),
+            F.min("shard_pos").alias("lo"),
+            F.max("shard_pos").alias("hi"),
+        )
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("k") - 1))
+    )
+    assert bad.count() == 0
+    # shards are hash-balanced: no shard more than 2x the mean
+    sizes = [r.k for r in out.groupBy("shard").agg(F.count("*").alias("k")).collect()]
+    assert max(sizes) <= 2 * (n / len(sizes))
+    out.unpersist()
+
+
+def test_global_shuffle_deterministic_and_seed_sensitive(docs):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        global_shuffle,
+    )
+
+    d = docs.select("doc_id").limit(200)
+    a = {(r.doc_id): (r.shard, r.shard_pos)
+         for r in global_shuffle(d, "doc_id", 4, seed=1).collect()}
+    b = {(r.doc_id): (r.shard, r.shard_pos)
+         for r in global_shuffle(d, "doc_id", 4, seed=1).collect()}
+    c = {(r.doc_id): (r.shard, r.shard_pos)
+         for r in global_shuffle(d, "doc_id", 4, seed=2).collect()}
+    assert a == b  # replayable
+    assert a != c  # seed draws a fresh permutation
+
+
+def test_global_shuffle_actually_shuffles(docs):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        global_shuffle,
+    )
+
+    # within a shard, hash order must decorrelate from source order:
+    # adjacent doc_ids should rarely be adjacent in shard positions
+    out = global_shuffle(docs.select("doc_id"), "doc_id", n_shards=1)
+    rows = sorted(
+        ((r.shard_pos, r.doc_id) for r in out.collect())
+    )
+    seq = [doc for _, doc in rows]
+    adjacent = sum(1 for x, y in zip(seq, seq[1:]) if abs(x - y) == 1)
+    assert adjacent < len(seq) * 0.05
+
+
+def test_global_shuffle_rejects_bad_shards(docs):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        global_shuffle,
+    )
+
+    with pytest.raises(ValueError, match="n_shards"):
+        global_shuffle(docs, "doc_id", 0)
