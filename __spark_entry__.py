@@ -2060,6 +2060,29 @@ def _q_s6_s1_table_roundtrip(spark, sf_dir):
     return spark.table("sg_region_rt")
 
 
+def _q_s13_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan (sources/io.py): write nation as an ORC+snappy
+    catalog table through the same stage-and-swap writer as parquet,
+    read it back, and aggregate — proving the second columnar lake
+    format end-to-end. The oracle computes the same aggregate straight
+    off the parquet fixture (the round trip must be lossless)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import write_table
+
+    table = "sg_nation_orc_" + _fixture_key(sf_dir)
+    write_table(
+        load(spark, sf_dir, "nation"), table, format="orc",
+        bloom_filter_cols=["n_name"],
+    )
+    return (
+        spark.table(table)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+    )
+
+
 def _q_s7_warehouse_sink(spark, sf_dir):
     """S7: warehouse-sink abstraction (catalog backend locally; the same
     interface carries JDBC/Snowflake options on a real cluster)."""
@@ -2597,8 +2620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_surrogate_key": _q_w2_surrogate_key,
         "o1_topk": _q_o1_topk,
         "o1_set_except": _q_o1_set_except,
-        "o1_union": _q_o1_union,
         "o1_intersect": _q_o1_intersect,
+        # new in round 5: second columnar lake format (ORC) end-to-end
+        "s13_orc_roundtrip": _q_s13_orc_roundtrip,
         # dedup / multimodal singles
         "m_resize_images": _q_m_resize_images,
         "m_decode_audio": _q_m_decode_audio,
@@ -2638,6 +2662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (rsd-bound pytest + exact twin a1_percentile in the
         # front-50); displaced for t_global_shuffle, rotates back r06
         "a1_approx_percentile": _q_a1_approx_percentile,
+        # displaced for s13_orc_roundtrip (set-op siblings o1_set_except
+        # / o1_intersect stay in the front-50); rotates back r06
+        "o1_union": _q_o1_union,
         # verified against CURRENT testdata in CORRECTNESS_r04.json
         "g_dim_customers": _q_g_dim_customers,
         "g_dim_customers_faithful": _q_g_dim_customers_faithful,
@@ -3377,6 +3404,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
         ),
         "s7_warehouse_sink": "SELECT n_nationkey, n_name FROM nation",
+        "s13_orc_roundtrip": (
+            "SELECT n_regionkey, count(*) AS n_nations, "
+            "min(n_name) AS first_name FROM nation GROUP BY n_regionkey"
+        ),
         "d_cosine_dedup": (
             "WITH p AS (SELECT e1.vec_id AS id_a, e2.vec_id AS id_b, "
             f"round({_SQL_DOT_E1E2} / ({_SQL_NORM_E1} * {_SQL_NORM_E2}), 6) AS cos_sim "

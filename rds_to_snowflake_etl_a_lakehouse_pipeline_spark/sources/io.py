@@ -23,6 +23,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Path-based ORC scan. Same columnar pushdown/pruning class as
+    parquet (ORC ships min/max stripe stats and optional bloom
+    filters); the lake interchange format when the surrounding stack is
+    Hive/Trino-flavored rather than parquet-flavored."""
+    return spark.read.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -100,6 +108,7 @@ def write_table(
     bucket_by: tuple[int, list[str]] | None = None,
     compression: str = "snappy",
     bloom_filter_cols: list[str] | None = None,
+    format: str = "parquet",
 ) -> None:
     """S6: Parquet+Snappy table write with catalog registration — the
     Spark-native form of the reference's ``getSink(...glueparquet,
@@ -123,14 +132,26 @@ def write_table(
     path left is the LOCATION_ALREADY_EXISTS retry, which clears a stale
     directory that is provably unregistered (an orphan from a previous
     session whose in-memory catalog is gone).
+
+    ``format``: ``"parquet"`` (default) or ``"orc"`` — both columnar
+    with snappy compression, stats-based skipping, and per-column bloom
+    filters (ORC spells them ``orc.bloom.filter.columns``); the
+    stage-and-swap / partition / bucket semantics are identical.
     """
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported table format {format!r} (parquet|orc)")
     spark = df.sparkSession
-    writer = df.write.mode(mode).format("parquet").option("compression", compression)
-    for c in bloom_filter_cols or []:
-        # point-lookup row-group skipping on unsorted high-cardinality
-        # keys (see sources/layout.py::bloom_filtered_write for the
-        # rationale + the reader-level proof test)
-        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer = df.write.mode(mode).format(format).option("compression", compression)
+    if bloom_filter_cols and format == "orc":
+        writer = writer.option(
+            "orc.bloom.filter.columns", ",".join(bloom_filter_cols)
+        )
+    elif format == "parquet":
+        for c in bloom_filter_cols or []:
+            # point-lookup row-group skipping on unsorted high-cardinality
+            # keys (see sources/layout.py::bloom_filtered_write for the
+            # rationale + the reader-level proof test)
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if bucket_by:

@@ -177,3 +177,40 @@ def test_write_table_accepts_bloom_filter_cols(spark):
     df = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
     write_table(df, t, bloom_filter_cols=["k"])
     assert spark.table(t).count() == 500
+
+
+def test_orc_table_roundtrip_with_bloom(spark, tmp_path):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        read_orc,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i:04d}", float(i)) for i in range(100)],
+        "id long, key string, v double",
+    )
+    write_table(df, "sg_orc_rt", format="orc", bloom_filter_cols=["key"])
+    back = spark.table("sg_orc_rt")
+    assert back.count() == 100
+    assert dict(back.dtypes) == dict(df.dtypes)
+    # stage-and-swap also applies to orc overwrites
+    write_table(df.filter("id < 10"), "sg_orc_rt", format="orc")
+    assert spark.table("sg_orc_rt").count() == 10
+    # path-based orc scan reads what the table writer laid down
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED sg_orc_rt")
+        .filter("col_name = 'Location'")
+        .collect()[0][1]
+    )
+    assert read_orc(spark, loc).count() == 10
+    spark.sql("DROP TABLE sg_orc_rt")
+
+
+def test_write_table_rejects_unknown_format(spark):
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import write_table
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="unsupported table format"):
+        write_table(df, "sg_bad_fmt", format="avro")
