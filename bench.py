@@ -179,6 +179,9 @@ def main() -> None:
         "q15_curation_pack": (q_curation_compose, True),
         "q16_incremental_minhash": (q_incremental_minhash, True),
         "q17_versioned_merge": (q_versioned_merge, False),
+        # blocking join + in-block levenshtein + label-propagation CC
+        # over ~16.5k dirty customer records at sf0.1
+        "q18_entity_resolution": (qs["er_resolve"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

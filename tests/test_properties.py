@@ -421,3 +421,64 @@ def test_versioned_table_matches_dict_model(spark, ops):
     # every committed version time-travels to its recorded state
     for v, snap in zip(vt.versions(), snapshots):
         assert table_state(version=v) == snap
+
+
+@given(
+    names=st.lists(
+        st.sampled_from(
+            ["alpha corp", "alpha crop", "alpha  corp", "beta gmbh",
+             "beta gmb", "gamma ltd", "gamma ltd.", "delta inc"]
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 0.95]),
+)
+@PROP
+def test_resolve_entities_matches_python_model(spark, names, threshold):
+    """resolve_entities == a driver-side replay: block on the first 2
+    chars, score python-Levenshtein, union-find the closure. Catches
+    drift in blocking, rounding-before-threshold, and cluster labeling
+    on adversarial near-threshold name pools with duplicates."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        resolve_entities,
+    )
+
+    rows = [(i, n) for i, n in enumerate(names)]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    parent: dict[int, int] = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and a[:2] == b[:2]:
+                s = round(1 - lev(a, b) / max(len(a), len(b)), 6)
+                if s >= threshold:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+    want = {i: find(i) for i, _ in rows}
+
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {
+        r.id: r.entity_id
+        for r in resolve_entities(
+            df, "id", "name", F.substring("name", 1, 2), threshold=threshold
+        ).collect()
+    }
+    assert got == want
