@@ -636,6 +636,24 @@ def _q_t_global_shuffle(spark, sf_dir):
     return global_shuffle(d.select("doc_id"), "doc_id", n_shards=8, seed=42)
 
 
+def _q_t_charlm_score(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality (functions/charlm.py):
+    add-k char-trigram LM trained on the corpus, every document scored
+    with its mean negative log-likelihood — the classic LM-based
+    quality rank, as two bounded aggregations + broadcast-join scoring,
+    zero Python. Oracle replays the full train+score pipeline in SQL
+    (identical smoothing arithmetic; avg rounded to 6 per the
+    cross-engine float-aggregate convention)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.charlm import (
+        score_char_lm,
+        train_char_lm,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lm = train_char_lm(d, "text", n=3, add_k=0.5)
+    return score_char_lm(d, lm, "doc_id", "text")
+
+
 def _q_t_curation_pipeline(spark, sf_dir):
     """End-to-end LLM-data curation: language-ID filter → quality
     threshold → exact near-whitespace dedup (keep lowest doc_id per
@@ -2626,7 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / multimodal singles
         "m_resize_images": _q_m_resize_images,
         "m_decode_audio": _q_m_decode_audio,
-        "m_frame_sample": _q_m_frame_sample,
+        # new in round 5: char-LM perplexity-proxy quality scoring
+        "t_charlm_score": _q_t_charlm_score,
         # text tier
         "t_token_count": _q_t_token_count,
         "t_quality_score": _q_t_quality_score,
@@ -2665,6 +2684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced for s13_orc_roundtrip (set-op siblings o1_set_except
         # / o1_intersect stay in the front-50); rotates back r06
         "o1_union": _q_o1_union,
+        # displaced for t_charlm_score (multimodal siblings
+        # m_resize_images / m_decode_audio stay in front); rotates r06
+        "m_frame_sample": _q_m_frame_sample,
         # verified against CURRENT testdata in CORRECTNESS_r04.json
         "g_dim_customers": _q_g_dim_customers,
         "g_dim_customers_faithful": _q_g_dim_customers_faithful,
@@ -3079,6 +3101,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST(shard * 4294967296 + pre // 2000 AS BIGINT) AS seq_id, "
             "CAST(pre % 2000 AS BIGINT) AS seq_offset FROM c"
+        ),
+        "t_charlm_score": (
+            "WITH s AS (SELECT doc_id, CASE WHEN length(text) >= 3 THEN "
+            "[substr(text, i, 3) for i in "
+            "generate_series(1, length(text) - 2)] "
+            "ELSE [] END AS gl FROM documents), "
+            "g AS (SELECT doc_id, unnest(gl) AS gram FROM s), "
+            "sp AS (SELECT doc_id, substr(gram, 1, 2) AS ctx, "
+            "substr(gram, 3, 1) AS ch FROM g), "
+            "counts AS (SELECT ctx, ch, count(*) AS c FROM sp "
+            "GROUP BY ctx, ch), "
+            "v AS (SELECT count(DISTINCT ch) AS vs FROM counts), "
+            "totals AS (SELECT ctx, sum(c) AS tot FROM counts GROUP BY ctx), "
+            "lm AS (SELECT ctx, ch, ln((c + 0.5) / (tot + 0.5 * vs)) AS logp "
+            "FROM counts JOIN totals USING (ctx) CROSS JOIN v), "
+            "sc AS (SELECT doc_id, count(*) AS n_grams, "
+            "round(-avg(logp), 6) AS nll FROM sp "
+            "JOIN lm USING (ctx, ch) GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams, sc.nll "
+            "FROM documents d LEFT JOIN sc USING (doc_id)"
         ),
         "t_global_shuffle": (
             "WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || '#42') AS h "

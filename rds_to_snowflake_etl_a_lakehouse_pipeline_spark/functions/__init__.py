@@ -1,5 +1,10 @@
 """Scalar function surface: cleansing/repair rules, text analysis, vectors."""
 
+from .charlm import (  # noqa: F401
+    CharLM,
+    score_char_lm,
+    train_char_lm,
+)
 from .cleansing import (  # noqa: F401
     backfill_unit_price,
     category_id_from_key,
