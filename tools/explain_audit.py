@@ -52,6 +52,11 @@ AUDIT = [
     "s12_zorder_roundtrip",
     "v_semantic_dedup",
     "t_quality_model",
+    "er_resolve",
+    "er_golden",
+    "t_global_shuffle",
+    "t_charlm_score",
+    "s13_orc_roundtrip",
 ]
 
 
