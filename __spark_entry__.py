@@ -967,6 +967,37 @@ def _q_er_resolve(spark, sf_dir):
     ).select("id", "entity_id")
 
 
+def _q_er_incremental(spark, sf_dir):
+    """Steady-state entity resolution (operators/entity.er_incremental):
+    the original customers are resolved once and persisted as a
+    bucketed ER index; the typo-variant batch then resolves against the
+    index only — blocking join + batch-sized clustering, no corpus
+    re-resolve — and appends under its assigned labels. The oracle is
+    the FULL-resolution recursive CTE over the union, because
+    er_incremental's contract (property-tested) is exact equality with
+    from-scratch resolution for any split."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_build_index,
+        er_entity_labels,
+        er_incremental,
+        resolve_entities,
+    )
+
+    table = "er_idx_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__relabel")
+    dirty = _er_dirty_customers(spark, sf_dir)
+    key = F.expr("right(c_name, 6)")
+    base = dirty.filter(F.col("id") < 100000000)
+    batch = dirty.filter(F.col("id") >= 100000000)
+    er_build_index(
+        resolve_entities(base, "id", "c_name", key, threshold=0.9),
+        table, "id", "c_name", key,
+    )
+    er_incremental(spark, table, batch, "id", "c_name", key, threshold=0.9)
+    return er_entity_labels(spark, table)
+
+
 def _q_er_golden(spark, sf_dir):
     """Survivorship over the resolved clusters: one golden record per
     entity — membership count, min-id row's name ("earliest" system of
@@ -2643,7 +2674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_orc_roundtrip": _q_s13_orc_roundtrip,
         # dedup / multimodal singles
         "m_resize_images": _q_m_resize_images,
-        "m_decode_audio": _q_m_decode_audio,
         # new in round 5: char-LM perplexity-proxy quality scoring
         "t_charlm_score": _q_t_charlm_score,
         # text tier
@@ -2675,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data); both rotate back in r06.
         "er_resolve": _q_er_resolve,
         "er_golden": _q_er_golden,
+        "er_incremental": _q_er_incremental,
         # ---- driver cap boundary (entry 50) ----
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "d_minhash_pairs": _q_d_minhash_pairs,
@@ -2684,9 +2715,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced for s13_orc_roundtrip (set-op siblings o1_set_except
         # / o1_intersect stay in the front-50); rotates back r06
         "o1_union": _q_o1_union,
-        # displaced for t_charlm_score (multimodal siblings
-        # m_resize_images / m_decode_audio stay in front); rotates r06
+        # displaced for t_charlm_score / er_incremental (multimodal
+        # sibling m_resize_images stays in front); rotate back r06
         "m_frame_sample": _q_m_frame_sample,
+        "m_decode_audio": _q_m_decode_audio,
         # verified against CURRENT testdata in CORRECTNESS_r04.json
         "g_dim_customers": _q_g_dim_customers,
         "g_dim_customers_faithful": _q_g_dim_customers_faithful,
@@ -3601,6 +3633,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
         ),
         "er_resolve": (
+            "WITH RECURSIVE " + _SQL_ER_CTES + " "
+            "SELECT base.id, coalesce(comp.component, base.id) AS entity_id "
+            "FROM base LEFT JOIN comp ON comp.id = base.id"
+        ),
+        # same oracle as er_resolve: er_incremental's contract is exact
+        # equality with from-scratch resolution over the union
+        "er_incremental": (
             "WITH RECURSIVE " + _SQL_ER_CTES + " "
             "SELECT base.id, coalesce(comp.component, base.id) AS entity_id "
             "FROM base LEFT JOIN comp ON comp.id = base.id"

@@ -57,6 +57,10 @@ __all__ = [
     "er_candidate_pairs",
     "resolve_entities",
     "golden_records",
+    "er_build_index",
+    "er_incremental",
+    "er_entity_labels",
+    "er_compact_index",
 ]
 
 
@@ -168,6 +172,229 @@ def resolve_entities(
         .withColumn(entity_col, F.coalesce("component", F.col(id_col)))
         .drop("component")
     )
+
+
+def _relabel_tbl(table: str) -> str:
+    return f"{table}__relabel"
+
+
+def _relabel_closure(spark, table: str) -> dict:
+    """The (old entity → final entity) mapping from the index's relabel
+    side table, transitively resolved driver-side. Bounded by the
+    number of entity-MERGE events since the last compaction (rare in
+    steady state — a merge needs a new record bridging two previously
+    separate entities), so the collect is metadata-sized."""
+    t = _relabel_tbl(table)
+    if not spark.catalog.tableExists(t):
+        return {}
+    m = {r.old_id: r.new_id for r in spark.table(t).collect()}
+    out = {}
+    for k in m:
+        v = m[k]
+        seen = {k}
+        while v in m and v not in seen:
+            seen.add(v)
+            v = m[v]
+        out[k] = v
+    return out
+
+
+def _apply_relabels(df: DataFrame, col: str, rel: dict) -> DataFrame:
+    if not rel:
+        return df
+    pairs: list[Column] = []
+    for k, v in rel.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return df.withColumn(
+        col, F.coalesce(F.create_map(*pairs)[F.col(col)], F.col(col))
+    )
+
+
+def er_build_index(
+    resolved: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    block_key: Column | str,
+    entity_col: str = "entity_id",
+    n_buckets: int = 32,
+) -> None:
+    """Persist an already-resolved corpus (:func:`resolve_entities`
+    output) as the standing ER index: one row per (record, block key)
+    — ``(id, text, entity, blk)`` — hash-bucketed on the block key, so
+    every later :func:`er_incremental` probe joins pre-shuffled corpus
+    buckets and a batch pays only its own side of the shuffle. The
+    ``block_key`` expression must be reused verbatim on every probe
+    and append (it defines the join layout)."""
+    from ..sources.io import write_table
+
+    bk = F.col(block_key) if isinstance(block_key, str) else block_key
+    rows = resolved.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.col(entity_col).alias("entity"),
+        bk.alias("_blk"),
+    )
+    if isinstance(rows.schema["_blk"].dataType, ArrayType):
+        rows = rows.withColumn("_blk", F.explode("_blk"))
+    write_table(
+        rows.filter(F.col("_blk").isNotNull()),
+        table,
+        bucket_by=(n_buckets, ["_blk"]),
+    )
+
+
+def er_incremental(
+    spark,
+    table: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_key: Column | str,
+    threshold: float = 0.9,
+    max_block_size: int | None = None,
+    similarity: Callable[[Column, Column], Column] | None = None,
+    append: bool = True,
+    algorithm: str = "label",
+    max_iter: int = 20,
+    storage: str = "checkpoint",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Resolve an arriving batch against the standing index WITHOUT
+    re-resolving the corpus: each batch pays its own blocking + one
+    bucketed join against the index + a batch-sized clustering. The
+    steady-state form of :func:`resolve_entities` for continuous
+    mastering (the ER twin of ``dedup.minhash_incremental_dedup``).
+
+    Exact contract (property-tested): after any sequence of incremental
+    batches, :func:`er_entity_labels` equals a from-scratch
+    :func:`resolve_entities` over the full union — including
+    TRANSITIVE effects. A batch record similar to members of two
+    existing entities MERGES them: the losing entity's relabel is
+    recorded in a side table (``<table>__relabel``) rather than
+    rewriting the index (bounded per-batch cost; compact with
+    :func:`er_compact_index`). This works because clustering runs over
+    batch↔batch pairs plus batch↔anchor edges, where an anchor is an
+    existing entity label — itself the min id of its cluster — so
+    component minima over {batch ids ∪ anchors} equal the full-graph
+    minima.
+
+    ``max_block_size`` skips oversized blocks on BOTH sides
+    (precision-first, same rationale as :func:`er_candidate_pairs`);
+    index block sizing counts only blocks the batch hits, so the guard
+    costs O(batch), not O(index).
+
+    Returns the batch's ``(id, entity_id)`` assignment. With
+    ``append=True`` the batch rows join the index under their assigned
+    labels and any merge relabels are recorded, so the next batch
+    resolves against everything seen so far.
+    """
+    from ..sources.io import write_table
+
+    sim_fn = similarity or levenshtein_similarity
+    rel = _relabel_closure(spark, table)
+    idx = _apply_relabels(spark.table(table), "entity", rel)
+
+    b = _blocked(batch, id_col, text_col, block_key, max_block_size)
+    hit = b.select("_blk").distinct()
+    idx_hit = idx.join(hit, "_blk")
+    if max_block_size is not None:
+        w = Window.partitionBy("_blk")
+        idx_hit = (
+            idx_hit.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_block_size)
+            .drop("_bsz")
+        )
+    cross_edges = (
+        b.alias("n")
+        .join(idx_hit.alias("c"), "_blk")
+        .filter(
+            F.round(sim_fn(F.col("n._txt"), F.col("c.text")), 6)
+            >= threshold
+        )
+        .select(F.col("n._id").alias("id_a"), F.col("c.entity").alias("id_b"))
+        .distinct()
+    )
+    batch_edges = er_candidate_pairs(
+        batch, id_col, text_col, block_key, threshold, max_block_size, similarity
+    ).select("id_a", "id_b")
+    labels = connected_components(
+        batch_edges.unionByName(cross_edges),
+        max_iter=max_iter,
+        algorithm=algorithm,
+        storage=storage,
+    )
+    assigned = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("entity_id"),
+        )
+    )
+    if append:
+        # anchors whose component label changed = entity merges; record
+        # (old -> new) instead of rewriting the losing entity's rows
+        anchors = cross_edges.select(F.col("id_b").alias("id")).distinct()
+        relabels = (
+            anchors.join(labels, "id")
+            .filter(F.col("component") != F.col("id"))
+            .select(
+                F.col("id").alias("old_id"),
+                F.col("component").alias("new_id"),
+            )
+        )
+        new_rel = [(r.old_id, r.new_id) for r in relabels.collect()]
+        bk = F.col(block_key) if isinstance(block_key, str) else block_key
+        rows = batch.join(
+            assigned.withColumnRenamed(id_col, "__k"),
+            F.col(id_col) == F.col("__k"),
+        ).select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("text"),
+            F.col("entity_id").alias("entity"),
+            bk.alias("_blk"),
+        )
+        if isinstance(rows.schema["_blk"].dataType, ArrayType):
+            rows = rows.withColumn("_blk", F.explode("_blk"))
+        write_table(
+            rows.filter(F.col("_blk").isNotNull()),
+            table,
+            mode="append",
+            bucket_by=(n_buckets, ["_blk"]),
+        )
+        if new_rel:
+            rel_df = spark.createDataFrame(new_rel, "old_id bigint, new_id bigint")
+            write_table(rel_df, _relabel_tbl(table), mode="append")
+    return assigned
+
+
+def er_entity_labels(spark, table: str) -> DataFrame:
+    """Current (id, entity_id) state of the index — one row per record,
+    with merge relabels applied. Equals a from-scratch
+    :func:`resolve_entities` over everything ingested so far (the
+    property :func:`er_incremental` maintains)."""
+    rel = _relabel_closure(spark, table)
+    labels = spark.table(table).select("id", "entity").distinct()
+    return _apply_relabels(labels, "entity", rel).select(
+        "id", F.col("entity").alias("entity_id")
+    )
+
+
+def er_compact_index(spark, table: str, n_buckets: int = 32) -> None:
+    """Fold the relabel side table into the index (rewrite rows under
+    their final entity labels) and drop it. Run periodically — probe
+    cost doesn't grow with relabels (they apply as a tiny broadcast
+    map), but an unbounded relabel log makes the driver-side closure
+    collect grow; compaction resets it."""
+    from ..sources.io import write_table
+
+    rel = _relabel_closure(spark, table)
+    rows = _apply_relabels(spark.table(table), "entity", rel)
+    # stage through a temp view snapshot: write_table's stage-and-swap
+    # materializes before dropping, so reading the target is safe
+    write_table(rows, table, bucket_by=(n_buckets, ["_blk"]))
+    spark.sql(f"DROP TABLE IF EXISTS {_relabel_tbl(table)}")
 
 
 def golden_records(

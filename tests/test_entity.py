@@ -131,3 +131,118 @@ def test_similarity_matches_sql_levenshtein(spark):
 def test_unknown_rule_raises(people):
     with pytest.raises(ValueError, match="survivorship"):
         golden_records(people, "state", "id", {"x": ("bal", "median")})
+
+
+# ---- incremental ER against a persisted index ----
+
+
+def _resolve_and_index(spark, df, table, key):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_build_index,
+        resolve_entities,
+    )
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__relabel")
+    resolved = resolve_entities(df, "id", "name", key, threshold=0.85)
+    er_build_index(resolved, table, "id", "name", key)
+    return resolved
+
+
+def test_er_incremental_matches_existing_entity(spark, people):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_incremental,
+    )
+
+    key = F.expr("right(name, 4)")
+    _resolve_and_index(spark, people, "er_idx_a", key)
+    batch = spark.createDataFrame(
+        [(100, "Acme Corporation", "TX", 1.0),   # matches entity 1 via "tion"
+         (101, "Umbrella Co", "NV", 2.0)],       # brand new
+        "id long, name string, state string, bal double",
+    )
+    got = {r.id: r.entity_id for r in er_incremental(
+        spark, "er_idx_a", batch, "id", "name", key, threshold=0.85
+    ).collect()}
+    assert got[100] == 1
+    assert got[101] == 101
+
+
+def test_er_incremental_next_batch_sees_appended_rows(spark, people):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_entity_labels,
+        er_incremental,
+    )
+
+    key = F.expr("right(name, 4)")
+    _resolve_and_index(spark, people, "er_idx_b", key)
+    b1 = spark.createDataFrame(
+        [(100, "Umbrella Corp", "NV", 1.0)], "id long, name string, state string, bal double"
+    )
+    er_incremental(spark, "er_idx_b", b1, "id", "name", key, threshold=0.85)
+    b2 = spark.createDataFrame(
+        [(200, "Umbrela Corp", "NV", 2.0)],  # near-dup of the batch-1
+        # row; typo keeps the right-4 block "Corp" (lev 1 -> sim 0.923)
+        "id long, name string, state string, bal double",
+    )
+    got = {r.id: r.entity_id for r in er_incremental(
+        spark, "er_idx_b", b2, "id", "name", key, threshold=0.85
+    ).collect()}
+    assert got[200] == 100
+    labels = {r.id: r.entity_id for r in er_entity_labels(spark, "er_idx_b").collect()}
+    assert labels[100] == 100 and labels[200] == 100
+
+
+def test_er_incremental_bridge_merges_entities_and_compact(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_compact_index,
+        er_entity_labels,
+        er_incremental,
+    )
+
+    key = F.substring("name", 1, 2)
+    base = spark.createDataFrame(
+        [(1, "abcdefgh"), (5, "abcdxxgh")],  # sim 0.75 < 0.9: two entities
+        "id long, name string",
+    )
+    _resolve_and_index(spark, base, "er_idx_c", key)
+    pre = {r.id: r.entity_id for r in er_entity_labels(spark, "er_idx_c").collect()}
+    assert pre == {1: 1, 5: 5}
+    # bridge: within 1 edit of BOTH -> merges entities 1 and 5 into 1
+    bridge = spark.createDataFrame([(9, "abcdefghx")], "id long, name string")
+    # lev(bridge, abcdefgh)=1 -> sim 1-1/9=0.888…; use threshold 0.85
+    # lev(bridge, abcdxxgh)=3 -> too far; make a closer bridge instead
+    bridge = spark.createDataFrame([(9, "abcdexgh")], "id long, name string")
+    # lev vs abcdefgh = 1 (f->x ... actually abcdefgh vs abcdexgh: pos6 f/x) = 1 -> 0.875
+    # lev vs abcdxxgh = 1 (pos5 e/x? abcdxxgh vs abcdexgh: pos5 x/e) ... = 1 -> 0.875
+    got = {r.id: r.entity_id for r in er_incremental(
+        spark, "er_idx_c", bridge, "id", "name", key, threshold=0.85
+    ).collect()}
+    assert got[9] == 1
+    labels = {r.id: r.entity_id for r in er_entity_labels(spark, "er_idx_c").collect()}
+    assert labels == {1: 1, 5: 1, 9: 1}
+    # relabel side table recorded the merge; compaction folds + drops it
+    assert spark.catalog.tableExists("er_idx_c__relabel")
+    er_compact_index(spark, "er_idx_c")
+    assert not spark.catalog.tableExists("er_idx_c__relabel")
+    labels2 = {r.id: r.entity_id for r in er_entity_labels(spark, "er_idx_c").collect()}
+    assert labels2 == labels
+
+
+def test_er_incremental_oversized_index_block_skipped(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_incremental,
+    )
+
+    key = F.lit("all")
+    base = spark.createDataFrame(
+        [(i, f"Entity nr {i:03d}") for i in range(30)], "id long, name string"
+    )
+    _resolve_and_index(spark, base, "er_idx_d", key)
+    batch = spark.createDataFrame([(100, "Entity nr 001")], "id long, name string")
+    got = er_incremental(
+        spark, "er_idx_d", batch, "id", "name", key,
+        threshold=0.9, max_block_size=10, append=False,
+    ).collect()
+    # the only block is oversized on the index side -> no match possible
+    assert got[0].entity_id == 100

@@ -482,3 +482,59 @@ def test_resolve_entities_matches_python_model(spark, names, threshold):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.sampled_from(
+            ["acme corp", "acme crop", "acme corq", "beta gmbh",
+             "beta gmbq", "beta bmbh", "ceta gmbh", "delta inc"]
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    cut=st.integers(1, 9),
+)
+@PROP
+def test_er_incremental_equals_full_resolution(spark, names, cut):
+    """The er_incremental contract: for ANY corpus split, resolving the
+    first part, indexing it, and incrementally resolving the second
+    part (with append + relabel bookkeeping) yields EXACTLY the labels
+    a from-scratch resolve_entities over the union gives — including
+    batch records that bridge two previously separate entities."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_build_index,
+        er_entity_labels,
+        er_incremental,
+        resolve_entities,
+    )
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    cut = min(cut, len(rows) - 1)
+    key = F.substring("name", 1, 2)
+    schema = "id bigint, name string"
+
+    full = {
+        r.id: r.entity_id
+        for r in resolve_entities(
+            spark.createDataFrame(rows, schema), "id", "name", key, 0.85
+        ).collect()
+    }
+
+    spark.sql("DROP TABLE IF EXISTS er_prop_idx")
+    spark.sql("DROP TABLE IF EXISTS er_prop_idx__relabel")
+    part1 = spark.createDataFrame(rows[:cut], schema)
+    part2 = spark.createDataFrame(rows[cut:], schema)
+    er_build_index(
+        resolve_entities(part1, "id", "name", key, 0.85),
+        "er_prop_idx", "id", "name", key,
+    )
+    if rows[cut:]:
+        er_incremental(
+            spark, "er_prop_idx", part2, "id", "name", key, threshold=0.85
+        )
+    got = {
+        r.id: r.entity_id
+        for r in er_entity_labels(spark, "er_prop_idx").collect()
+    }
+    assert got == full
