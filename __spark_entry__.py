@@ -998,6 +998,51 @@ def _q_er_incremental(spark, sf_dir):
     return er_entity_labels(spark, table)
 
 
+def _q_x1_er_stream(spark, sf_dir):
+    """Streaming entity mastering
+    (streaming/events.stream_entity_resolution): the typo-variant feed
+    arrives as a file stream in single-file micro-batches, each
+    resolved against the standing ER index via er_incremental. Because
+    the incremental contract is exact for any split, the final label
+    state is micro-batching-invariant and the oracle is again the
+    full-resolution recursive CTE."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_build_index,
+        er_entity_labels,
+        resolve_entities,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_entity_resolution,
+    )
+
+    table = "er_idx_s_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__relabel")
+    dirty = _er_dirty_customers(spark, sf_dir)
+    key = F.expr("right(c_name, 6)")
+    base = dirty.filter(F.col("id") < 100000000)
+    batch = dirty.filter(F.col("id") >= 100000000)
+    er_build_index(
+        resolve_entities(base, "id", "c_name", key, threshold=0.9),
+        table, "id", "c_name", key,
+    )
+    feed = tempfile.mkdtemp(prefix="er-feed-") + "/feed"
+    batch.repartition(3).write.parquet(feed)
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_entity_resolution(
+        sdf, table, "id", "c_name", key,
+        checkpoint_dir=tempfile.mkdtemp(prefix="ck-er-"),
+        threshold=0.9,
+    )
+    return er_entity_labels(spark, table)
+
+
 def _q_er_golden(spark, sf_dir):
     """Survivorship over the resolved clusters: one golden record per
     entity — membership count, min-id row's name ("earliest" system of
@@ -2689,7 +2734,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_tfidf_topterms": _q_t_tfidf_topterms,
         "t_hash_split": _q_t_hash_split,
         "t_chunk_documents": _q_t_chunk_documents,
-        "t_winnow": _q_t_winnow,
         "t_curation_pipeline": _q_t_curation_pipeline,
         # vector functions
         "v_l2_norm": _q_v_l2_norm,
@@ -2706,7 +2750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_resolve": _q_er_resolve,
         "er_golden": _q_er_golden,
         "er_incremental": _q_er_incremental,
+        "x1_er_stream": _q_x1_er_stream,
         # ---- driver cap boundary (entry 50) ----
+        # displaced for x1_er_stream (winnowing's chunk-dedup kin
+        # t_chunk_dedup is r04-green); rotates back r06
+        "t_winnow": _q_t_winnow,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "d_minhash_pairs": _q_d_minhash_pairs,
         # rows-only (rsd-bound pytest + exact twin a1_percentile in the
@@ -3640,6 +3688,12 @@ def oracle_sql() -> dict[str, str]:
         # same oracle as er_resolve: er_incremental's contract is exact
         # equality with from-scratch resolution over the union
         "er_incremental": (
+            "WITH RECURSIVE " + _SQL_ER_CTES + " "
+            "SELECT base.id, coalesce(comp.component, base.id) AS entity_id "
+            "FROM base LEFT JOIN comp ON comp.id = base.id"
+        ),
+        # micro-batching-invariant by the er_incremental contract
+        "x1_er_stream": (
             "WITH RECURSIVE " + _SQL_ER_CTES + " "
             "SELECT base.id, coalesce(comp.component, base.id) AS entity_id "
             "FROM base LEFT JOIN comp ON comp.id = base.id"

@@ -331,6 +331,59 @@ def stream_incremental_merge(
     q.awaitTermination()
 
 
+def stream_entity_resolution(
+    sdf: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    block_key,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    max_block_size: int | None = None,
+    query_name: str = "stream_entity_resolution",
+):
+    """Streaming master-data resolution: every micro-batch of arriving
+    records resolves against the standing ER index through
+    ``operators.entity.er_incremental`` (blocking join + batch-sized
+    clustering + append + relabel bookkeeping) — the streaming form of
+    continuous entity mastering over a record feed.
+
+    Because ``er_incremental``'s contract is exact equality with
+    from-scratch resolution for ANY split, the final
+    ``er_entity_labels`` state is invariant to how the stream happened
+    to be micro-batched — including a bridging record arriving before
+    or after the entities it merges. The checkpoint gives exactly-once
+    file tracking; re-delivered records resolve onto themselves (their
+    id already carries their entity, similarity 1.0 → same label).
+    Runs with trigger=availableNow and blocks until input is drained.
+    """
+    from ..operators.entity import er_incremental
+
+    def _resolve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        er_incremental(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            id_col,
+            text_col,
+            block_key,
+            threshold=threshold,
+            max_block_size=max_block_size,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_resolve)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -246,3 +246,46 @@ def test_er_incremental_oversized_index_block_skipped(spark):
     ).collect()
     # the only block is oversized on the index side -> no match possible
     assert got[0].entity_id == 100
+
+
+def test_stream_entity_resolution_bridge_across_microbatches(spark, tmp_path):
+    """A bridging record in a LATER micro-batch must still merge the
+    two entities (micro-batching invariance of the er_incremental
+    contract), exercised through the real foreachBatch stream."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_entity_labels,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_entity_resolution,
+    )
+
+    key = F.substring("name", 1, 2)
+    base = spark.createDataFrame(
+        [(1, "abcdefgh"), (5, "abcdxxgh")], "id long, name string"
+    )
+    _resolve_and_index(spark, base, "er_idx_stream", key)
+
+    feed = str(tmp_path / "feed")
+    schema = "id long, name string"
+    # file 0: unrelated new entity; file 1: the bridge (1 edit from both)
+    spark.createDataFrame([(7, "zzzzzz")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    spark.createDataFrame([(9, "abcdexgh")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_entity_resolution(
+        sdf, "er_idx_stream", "id", "name", key,
+        checkpoint_dir=str(tmp_path / "ck"), threshold=0.85,
+    )
+    labels = {
+        r.id: r.entity_id
+        for r in er_entity_labels(spark, "er_idx_stream").collect()
+    }
+    assert labels == {1: 1, 5: 1, 7: 7, 9: 1}
