@@ -216,6 +216,36 @@ def global_shuffle(
     )
 
 
+def export_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize :func:`global_shuffle` as the on-disk training
+    layout: parquet partitioned by ``shard``, rows inside every shard
+    file in ``shard_pos`` order — so a sequential reader of
+    ``shard=K/`` streams documents in the deterministic pseudo-random
+    order with zero train-time shuffling.
+
+    One ``repartition(shard)`` exchange + an in-partition sort by
+    (shard, pos) — the sort is local to each shard's partition, no
+    global ordering pass. ``n_shards`` files of corpus/n_shards rows
+    each: size it to your trainer's file-parallelism and executor sort
+    memory.
+    """
+    out = global_shuffle(df, key_col, n_shards, seed)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,

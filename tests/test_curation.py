@@ -306,3 +306,32 @@ def test_global_shuffle_rejects_bad_shards(docs):
 
     with pytest.raises(ValueError, match="n_shards"):
         global_shuffle(docs, "doc_id", 0)
+
+
+def test_export_shards_layout_and_order(docs, tmp_path):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        export_shards,
+        global_shuffle,
+    )
+
+    spark = docs.sparkSession
+    path = str(tmp_path / "shards")
+    export_shards(docs.select("doc_id", "n_chars"), path, "doc_id", n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(r.shard for r in back.select("shard").distinct().collect()) == {0, 1, 2, 3}
+    # a sequential read of one shard partition sees shard_pos order
+    # (file order == row-group order for a single sorted write)
+    one = spark.read.parquet(path + "/shard=2").select("shard_pos").collect()
+    seq = [r.shard_pos for r in one]
+    assert seq == sorted(seq)
+    # layout is exactly the global_shuffle assignment
+    want = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in global_shuffle(
+            docs.select("doc_id"), "doc_id", 4
+        ).collect()
+    }
+    got = {(r.doc_id, r.shard, r.shard_pos) for r in back.select(
+        "doc_id", "shard", "shard_pos").collect()}
+    assert got == want

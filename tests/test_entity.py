@@ -289,3 +289,28 @@ def test_stream_entity_resolution_bridge_across_microbatches(spark, tmp_path):
         for r in er_entity_labels(spark, "er_idx_stream").collect()
     }
     assert labels == {1: 1, 5: 1, 7: 7, 9: 1}
+
+
+def test_er_index_probe_does_not_reshuffle_index_side(spark, people):
+    """The bucketed ER index must enter the probe join WITHOUT an
+    exchange on its side: only the (small) batch shuffles to the index's
+    bucket layout — the claim SCALE.md's incremental-ER row makes."""
+    key = F.expr("right(name, 4)")
+    _resolve_and_index(spark, people, "er_idx_plan", key)
+    batch = spark.createDataFrame(
+        [(100, "Acme Corporation")], "id long, name string"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = batch.select(
+            F.col("id").alias("_id"), F.col("name").alias("_txt"), key.alias("_blk")
+        )
+        probe = spark.table("er_idx_plan").join(b, "_blk")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # exactly one hash exchange: the batch side; the bucketed scan
+        # of the index feeds the SMJ directly
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

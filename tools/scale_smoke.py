@@ -162,6 +162,58 @@ def main() -> None:
     )
     stats["versioned_rows"] = stage("versioned_read", lambda: vt.read().count())
 
+    # entity resolution: full resolve on a mult-x dirty corpus, then the
+    # incremental steady state — index built once, one base-sized batch
+    # resolved against it. Full-resolve time may grow with the corpus;
+    # the per-batch incremental time should track BATCH size.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_build_index,
+        er_incremental,
+        resolve_entities,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    er_copies = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(i * 10_000_000)).cast("bigint").alias("id"),
+            F.concat(F.col("c_name"), F.lit(f"-{i:02d}")).alias("name"),
+        )
+        for i in range(mult)
+    ]
+    er_corpus = er_copies[0]
+    for c in er_copies[1:]:
+        er_corpus = er_corpus.unionByName(c)
+    er_corpus = er_corpus.repartition(32).localCheckpoint(eager=True)
+    stats["er_rows"] = er_corpus.count()
+    # block on the 9-digit customer number (copy-mark-invariant), so the
+    # mult near-dup variants of each customer share a block and resolve
+    # into one entity; block size == mult, bounded
+    er_key = F.substring("name", 10, 9)
+    resolved = stage(
+        "er_full_resolve",
+        lambda: resolve_entities(
+            er_corpus, "id", "name", er_key, threshold=0.8
+        ).localCheckpoint(eager=True),
+    )
+    stats["er_entities"] = resolved.select("entity_id").distinct().count()
+    er_idx = f"er_scale_idx_{mult}x"
+    spark.sql(f"DROP TABLE IF EXISTS {er_idx}")
+    spark.sql(f"DROP TABLE IF EXISTS {er_idx}__relabel")
+    stage(
+        "er_index_build",
+        lambda: er_build_index(resolved, er_idx, "id", "name", er_key),
+    )
+    er_batch = cust.select(
+        (F.col("c_custkey") + F.lit(900_000_000)).cast("bigint").alias("id"),
+        F.concat(F.col("c_name"), F.lit("-zz")).alias("name"),
+    )
+    stats["er_batch_rows"] = stage(
+        "er_incremental_batch",
+        lambda: er_incremental(
+            spark, er_idx, er_batch, "id", "name", er_key, threshold=0.8
+        ).count(),
+    )
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
