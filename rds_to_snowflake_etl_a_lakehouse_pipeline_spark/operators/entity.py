@@ -53,6 +53,8 @@ from pyspark.sql.types import ArrayType
 from .dedup import connected_components
 
 __all__ = [
+    "normalize_name",
+    "phonetic_key",
     "levenshtein_similarity",
     "er_candidate_pairs",
     "resolve_entities",
@@ -62,6 +64,32 @@ __all__ = [
     "er_entity_labels",
     "er_compact_index",
 ]
+
+
+def normalize_name(col: Column | str) -> Column:
+    """Canonical ER preprocessing: lowercase, strip punctuation to
+    spaces, collapse runs of whitespace, trim. Formatting variants
+    ("Acme, Inc." / "acme inc") converge BEFORE blocking/scoring, so
+    the similarity threshold only has to absorb genuine typos — the
+    general form of the reference's hand-rolled key surgery
+    (upper/trim at silver/crm_cust_info_silver.py:58-61, hyphen
+    stripping at silver/erp_loc_a101_silver.py:50-53). Pure Catalyst."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "), r"\s+", " "
+        )
+    )
+
+
+def phonetic_key(col: Column | str) -> Column:
+    """Soundex blocking key of the FIRST token of the normalized name —
+    the classic phonetic block (spelling-variant surnames share a
+    bucket: "smith"/"smyth" → S530). Combine with other keys via
+    ``F.array(...)`` multi-blocking for recall; soundex alone
+    over-blocks common name stems, so pair it with ``max_block_size``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.soundex(F.split(normalize_name(c), " ").getItem(0))
 
 
 def levenshtein_similarity(a: Column, b: Column) -> Column:

@@ -314,3 +314,35 @@ def test_er_index_probe_does_not_reshuffle_index_side(spark, people):
         assert "SortMergeJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_normalize_name_canonicalizes_formatting_variants(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        normalize_name,
+    )
+
+    df = spark.createDataFrame(
+        [("Acme, Inc.",), ("  acme   inc ",), ("ACME-INC",)], "name string"
+    )
+    got = {r.n for r in df.select(normalize_name("name").alias("n")).collect()}
+    assert got == {"acme inc"}
+
+
+def test_phonetic_key_blocks_spelling_variants(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        phonetic_key,
+        resolve_entities,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Smith & Co"), (2, "Smyth & Co"), (3, "Watson Ltd")],
+        "id long, name string",
+    )
+    keys = {r.id: r.k for r in df.select("id", phonetic_key("name").alias("k")).collect()}
+    assert keys[1] == keys[2] != keys[3]
+    # end-to-end: soundex blocking recovers pairs a lastn-block misses
+    resolved = resolve_entities(
+        df, "id", "name", phonetic_key("name"), threshold=0.85
+    )
+    ents = {r.id: r.entity_id for r in resolved.collect()}
+    assert ents[1] == ents[2] == 1 and ents[3] == 3
