@@ -214,3 +214,43 @@ def test_write_table_rejects_unknown_format(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError, match="unsupported table format"):
         write_table(df, "sg_bad_fmt", format="avro")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Spark's runtime row-level bloom filter (on by default in the
+    engine's session) must inject a might_contain predicate on the fact
+    side of a selective dim join — the runtime semi-join pruning a
+    100 TB fact scan relies on. Locally the 10 GB application-side
+    threshold never triggers, so the test lowers it to prove the
+    machinery is armed rather than silently disabled."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    spark.range(100_000).withColumn("v", F.rand(1)).write.parquet(
+        str(tmp_path / "fact")
+    )
+    spark.range(1_000).withColumn(
+        "cat", (F.col("id") % 10).cast("string")
+    ).write.parquet(str(tmp_path / "dim"))
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1B",
+    )
+    try:
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter("cat = '3'")
+        plan = (
+            fact.join(dim, "id")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
