@@ -182,6 +182,9 @@ def main() -> None:
         # blocking join + in-block levenshtein + label-propagation CC
         # over ~16.5k dirty customer records at sf0.1
         "q18_entity_resolution": (qs["er_resolve"], True),
+        # char-trigram LM train + full-corpus score (explode + broadcast
+        # joins + per-doc agg) over 5k documents at sf0.1
+        "q19_charlm_score": (qs["t_charlm_score"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

@@ -95,7 +95,12 @@ def train_char_lm(
     if n < 2:
         raise ValueError("n must be >= 2 (need a non-empty context)")
     grams = _grams(df.select(F.lit(1).alias("_one"), text_col), "_one", text_col, n)
-    counts = grams.groupBy("ctx", "ch").agg(F.count("*").alias("_c"))
+    # materialize the (bounded, <= charset^n rows) counts table so the
+    # vocab-size action and the totals aggregation reuse it instead of
+    # re-exploding the corpus — one training pass, not three
+    counts = grams.groupBy("ctx", "ch").agg(F.count("*").alias("_c")).localCheckpoint(
+        eager=True
+    )
     vocab_size = counts.select("ch").distinct().count()
     totals = counts.groupBy("ctx").agg(F.sum("_c").alias("_tot"))
     denom = F.col("_tot") + F.lit(add_k) * F.lit(float(vocab_size))
