@@ -654,6 +654,20 @@ def _q_t_charlm_score(spark, sf_dir):
     return score_char_lm(d, lm, "doc_id", "text")
 
 
+def _q_t_weighted_sample(spark, sf_dir):
+    """Quality-weighted selection (operators/curation.weighted_sample):
+    exact weighted-without-replacement top-k via Efraimidis-Spirakis
+    exponential keys on md5-derived uniforms — deterministic, so the
+    oracle replays the identical priorities and picks the identical
+    100 documents (weights = n_chars)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=100)
+
+
 def _q_t_curation_pipeline(spark, sf_dir):
     """End-to-end LLM-data curation: language-ID filter → quality
     threshold → exact near-whitespace dedup (keep lowest doc_id per
@@ -2755,6 +2769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced for x1_er_stream (winnowing's chunk-dedup kin
         # t_chunk_dedup is r04-green); rotates back r06
         "t_winnow": _q_t_winnow,
+        # new in round 5, behind the cap (front-50 already carries 8
+        # never-verified round-5 queries): first driver verdict in r06
+        "t_weighted_sample": _q_t_weighted_sample,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "d_minhash_pairs": _q_d_minhash_pairs,
         # rows-only (rsd-bound pytest + exact twin a1_percentile in the
@@ -3201,6 +3218,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lm USING (ctx, ch) GROUP BY doc_id) "
             "SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams, sc.nll "
             "FROM documents d LEFT JOIN sc USING (doc_id)"
+        ),
+        "t_weighted_sample": (
+            "WITH p AS (SELECT doc_id, lang, n_chars, "
+            "pow(((('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,8))::BIGINT)"
+            "::DOUBLE + 0.5) / 4294967296.0, 1.0 / n_chars::DOUBLE) AS pri "
+            "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) "
+            "SELECT doc_id, lang, n_chars FROM p "
+            "ORDER BY pri DESC, doc_id ASC LIMIT 100"
         ),
         "t_global_shuffle": (
             "WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || '#42') AS h "

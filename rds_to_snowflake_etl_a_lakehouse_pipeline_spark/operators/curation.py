@@ -216,6 +216,53 @@ def global_shuffle(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", 2006): each
+    row draws a uniform u from the md5 hash of its key and competes with
+    priority ``u^(1/weight)``; the global top-k by priority is an exact
+    weighted-without-replacement sample. The curation use: pick k
+    documents with probability proportional to a quality score, without
+    the rich-get-richer bias of independent per-row coin flips.
+
+    Determinism: u derives from ``md5(key#seed)`` (same primitive as
+    :func:`stratified_sample`), so re-runs and SQL oracles reproduce the
+    identical sample; a different ``seed`` draws a fresh one. Rows with
+    NULL or non-positive weight are excluded (they'd never win).
+
+    Scale: priorities are a narrow projection; the selection is a
+    global top-k (``orderBy(...).limit(k)`` — Spark's TakeOrdered:
+    per-partition heaps of k, then a k-sized driver merge), never a
+    full sort. k rows must fit the driver — this is a SAMPLE operator,
+    use :func:`stratified_sample` for rate-based downsampling.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_pri")
+    )
+
+
 def export_shards(
     df: DataFrame,
     path: str,

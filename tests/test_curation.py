@@ -335,3 +335,42 @@ def test_export_shards_layout_and_order(docs, tmp_path):
     got = {(r.doc_id, r.shard, r.shard_pos) for r in back.select(
         "doc_id", "shard", "shard_pos").collect()}
     assert got == want
+
+
+def test_weighted_sample_is_deterministic_and_sized(docs):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    d = docs.select("doc_id", "n_chars")
+    a = sorted(r.doc_id for r in weighted_sample(d, "doc_id", "n_chars", 50).collect())
+    b = sorted(r.doc_id for r in weighted_sample(d, "doc_id", "n_chars", 50).collect())
+    c = sorted(r.doc_id for r in weighted_sample(d, "doc_id", "n_chars", 50, seed=7).collect())
+    assert len(a) == 50 and a == b
+    assert a != c  # fresh seed, fresh sample
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    # 100 light rows (w=1) vs 100 heavy rows (w=50): a 50-sample should
+    # be dominated by heavy rows (each heavy ~50x more likely per draw)
+    rows = [(i, 1.0) for i in range(100)] + [(100 + i, 50.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample(df, "id", "w", 50).collect()]
+    heavy = sum(1 for i in got if i >= 100)
+    assert heavy >= 40
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None)], "id long, w double"
+    )
+    got = [r.id for r in weighted_sample(df, "id", "w", 10).collect()]
+    assert got == [1]
