@@ -538,3 +538,37 @@ def test_er_incremental_equals_full_resolution(spark, names, cut):
         for r in er_entity_labels(spark, "er_prop_idx").collect()
     }
     assert got == full
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 50)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 10),
+)
+@PROP
+def test_weighted_sample_matches_python_replay(spark, rows, k):
+    """weighted_sample == a driver-side replay of the exponential-key
+    priorities (md5-uniform, u^(1/w), top-k with id tie-break)."""
+    import hashlib
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"{i}#42".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return u ** (1.0 / w)
+
+    want = sorted(
+        (i for i, w in rows),
+        key=lambda i: (-pri(i, dict(rows)[i]), i),
+    )[:k]
+
+    df = spark.createDataFrame(rows, "id long, w int")
+    got = [r.id for r in weighted_sample(df, "id", "w", k).collect()]
+    assert sorted(got) == sorted(want)
