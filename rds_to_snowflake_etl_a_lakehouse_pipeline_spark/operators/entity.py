@@ -56,6 +56,7 @@ __all__ = [
     "normalize_name",
     "phonetic_key",
     "levenshtein_similarity",
+    "token_jaccard_similarity",
     "er_candidate_pairs",
     "resolve_entities",
     "golden_records",
@@ -97,6 +98,25 @@ def levenshtein_similarity(a: Column, b: Column) -> Column:
     [0, 1]; 1.0 = identical. Pure Catalyst (codegen'd JVM loop), exactly
     reproducible in ANSI SQL for oracle checks."""
     return F.lit(1.0) - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+
+
+def token_jaccard_similarity(a: Column, b: Column) -> Column:
+    """Jaccard of whitespace-token SETS — word-order-insensitive, so
+    "Corp Acme" ≡ "Acme Corp" scores 1.0 where edit distance scores
+    ~0.5 (the rapidfuzz token-set idea as pure Catalyst:
+    array_intersect/array_union over split). Empty-token pairs score
+    0.0. Pair with :func:`normalize_name` so punctuation and case don't
+    fragment tokens; pass as ``similarity=`` to any ER entry point."""
+    # split("") yields [""] — drop empty tokens so blank inputs score 0
+    ta = F.array_distinct(
+        F.filter(F.split(F.trim(a), r"\s+"), lambda x: x != "")
+    )
+    tb = F.array_distinct(
+        F.filter(F.split(F.trim(b), r"\s+"), lambda x: x != "")
+    )
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
 def _blocked(

@@ -346,3 +346,36 @@ def test_phonetic_key_blocks_spelling_variants(spark):
     )
     ents = {r.id: r.entity_id for r in resolved.collect()}
     assert ents[1] == ents[2] == 1 and ents[3] == 3
+
+
+def test_token_jaccard_similarity_word_order_insensitive(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        resolve_entities,
+        token_jaccard_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [("Corp Acme", "Acme Corp"), ("a b c", "a b d"), ("", "")],
+        "a string, b string",
+    )
+    got = [
+        r.s
+        for r in df.select(
+            F.round(token_jaccard_similarity(F.col("a"), F.col("b")), 6).alias("s")
+        ).collect()
+    ]
+    assert got[0] == 1.0
+    assert got[1] == pytest.approx(2 / 4, abs=1e-6)
+    assert got[2] == 0.0
+    # end-to-end: reordered names resolve as one entity under the token
+    # scorer where levenshtein would keep them apart
+    people = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "Corp Acme"), (3, "Other Firm")],
+        "id long, name string",
+    )
+    resolved = resolve_entities(
+        people, "id", "name", F.lit("b"), threshold=0.99,
+        similarity=token_jaccard_similarity,
+    )
+    ents = {r.id: r.entity_id for r in resolved.collect()}
+    assert ents == {1: 1, 2: 1, 3: 3}
