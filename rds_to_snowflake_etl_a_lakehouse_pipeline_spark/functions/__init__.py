@@ -22,6 +22,7 @@ from .cleansing import (  # noqa: F401
 from .text import (  # noqa: F401
     approx_bpe_token_count,
     chunk_documents,
+    dedupe_lines,
     doc_fingerprint,
     gopher_quality_flags,
     hash_bucket,

@@ -290,6 +290,18 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def dedupe_lines(col: Column | str) -> Column:
+    """Remove repeated lines within a document, keeping each line's
+    FIRST occurrence in order — the intra-document half of dedup
+    (boilerplate nav/footer lines repeated inside one page), applied
+    before corpus-level near-dup tiers so repeated chrome doesn't
+    dominate shingle sets. Pure Catalyst: split on newlines,
+    ``array_distinct`` (order-preserving on first occurrence), rejoin.
+    """
+    c = _col(col)
+    return F.array_join(F.array_distinct(F.split(c, "\n")), "\n")
+
+
 def scrub_pii(col: Column | str, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
     """Redact URLs, email addresses, and long digit runs with placeholder
     tokens — the standard pre-training redaction pass. Chained

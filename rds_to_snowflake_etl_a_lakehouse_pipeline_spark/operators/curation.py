@@ -183,7 +183,9 @@ def global_shuffle(
     layout; changing ``seed`` draws a fresh permutation. md5 rather
     than ``F.rand`` keeps it replayable cross-engine (oracle) and
     cross-run (a re-export after a crash lands every row in the same
-    place).
+    place). ``key_col`` must uniquely identify rows — duplicate keys
+    draw the same hash, making their relative order (and thus the
+    layout) nondeterministic between runs.
 
     Scale: one hash exchange on the shard id + a per-shard sort — an
     embarrassingly parallel ``repartition + sortWithinPartitions``
@@ -235,6 +237,8 @@ def weighted_sample(
     :func:`stratified_sample`), so re-runs and SQL oracles reproduce the
     identical sample; a different ``seed`` draws a fresh one. Rows with
     NULL or non-positive weight are excluded (they'd never win).
+    ``key_col`` must uniquely identify rows — duplicate keys share a
+    priority, making the boundary of the sample nondeterministic.
 
     Scale: priorities are a narrow projection; the selection is a
     global top-k (``orderBy(...).limit(k)`` — Spark's TakeOrdered:

@@ -301,3 +301,21 @@ def test_bpe_tokens_roundtrip_and_count(spark):
     assert list(by_id[1]["toks"]) == want
     # a fully-merged frequent word becomes ONE token
     assert by_id[0]["n"] < len("spark merge merge spark".replace(" ", "")) + 4
+
+
+def test_dedupe_lines_keeps_first_occurrence_order(spark):
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        dedupe_lines,
+    )
+
+    df = spark.createDataFrame(
+        [("nav\nbody one\nnav\nbody two\nnav",), ("single",)], "t string"
+    )
+    got = [r.d for r in df.select(dedupe_lines("t").alias("d")).collect()]
+    assert got[0] == "nav\nbody one\nbody two"
+    assert got[1] == "single"
+    # no Python in the plan
+    plan = df.select(dedupe_lines("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
