@@ -331,6 +331,61 @@ def stream_incremental_merge(
     q.awaitTermination()
 
 
+def stream_corpus_dedup(
+    sdf: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+    query_name: str = "stream_corpus_dedup",
+    **sig_kwargs,
+):
+    """Streaming corpus curation: every micro-batch of arriving
+    documents is near-dup-checked against the persisted MinHash index
+    (and within itself) through
+    ``operators.dedup.minhash_incremental_dedup``; survivors' signatures
+    append to the index so later batches dedup against everything seen.
+    The streaming form of a standing ingest pipeline — each batch pays
+    its own signatures plus one bucketed probe join, never a corpus
+    re-scan. Signature parameters must match the
+    ``minhash_build_index`` call that created ``table``.
+
+    Unlike exact ``dedup_events`` (state-store keyed dropDuplicates),
+    the dedup criterion here is NEAR-duplication — state lives in the
+    bucketed index table, not the streaming state store, so it
+    survives restarts and is queryable/compactable like any table.
+    Runs with trigger=availableNow and blocks until input is drained.
+    """
+    from ..operators.dedup import minhash_incremental_dedup
+
+    def _dedup(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        minhash_incremental_dedup(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            append=True,
+            max_bucket_size=max_bucket_size,
+            **sig_kwargs,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_dedup)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_entity_resolution(
     sdf: DataFrame,
     table: str,

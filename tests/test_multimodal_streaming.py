@@ -486,3 +486,52 @@ def test_multimodal_features_feed_embedding_dedup(spark):
         impl="exact",
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_stream_corpus_dedup_appends_survivors_across_batches(spark, tmp_path):
+    """Streaming near-dup curation against the persisted MinHash index:
+    batch 2's near-dup of a batch-1 SURVIVOR must be dropped (the index
+    accreted batch 1), and genuinely new documents must append."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_corpus_dedup,
+    )
+
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    other_text = " ".join(f"zz{i} qq{i}" for i in range(40))
+    third_text = " ".join(f"new{i} doc{i}" for i in range(40))
+    corpus = spark.createDataFrame([(1, base_text)], "doc_id long, text string")
+    spark.sql("DROP TABLE IF EXISTS stream_mh_idx")
+    minhash_build_index(corpus, "stream_mh_idx")
+
+    feed = str(tmp_path / "feed")
+    schema = "doc_id long, text string"
+    # batch 1: near-dup of the corpus (dropped) + a new doc (survives)
+    spark.createDataFrame(
+        [(10, base_text + " extra"), (11, other_text)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # batch 2: near-dup of batch 1's SURVIVOR + a brand-new doc
+    spark.createDataFrame(
+        [(20, other_text + " tail"), (21, third_text)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_corpus_dedup(
+        sdf, "stream_mh_idx", checkpoint_dir=str(tmp_path / "ck"),
+        threshold=0.5,
+    )
+    indexed = {
+        r.doc_id
+        for r in spark.table("stream_mh_idx").select("doc_id").distinct().collect()
+    }
+    # 10 dropped vs corpus; 20 dropped vs 11 (works only if batch 1's
+    # survivors were appended before batch 2 probed); 11 and 21 accreted
+    assert indexed == {1, 11, 21}
