@@ -161,6 +161,8 @@ def ivf_topk(
 
     @pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         # squared euclidean to every centroid: ||v||² - 2 v·c + ||c||²
         d = (V**2).sum(1)[:, None] - 2 * V @ centroids.T + (centroids**2).sum(1)[None, :]
@@ -396,6 +398,8 @@ def ivf_query_index(
 
     @pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
         nearest = np.argsort(d, axis=1)[:, :n_probe]
