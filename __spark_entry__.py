@@ -654,6 +654,45 @@ def _q_t_charlm_score(spark, sf_dir):
     return score_char_lm(d, lm, "doc_id", "text")
 
 
+def _q_t_pretrain_pipeline(spark, sf_dir):
+    """The composed pretraining-data pipeline, one declarative plan:
+    heuristic quality gate (>= 0.8) AND char-LM perplexity gate
+    (nll <= 0.8 nats/trigram, model trained on the corpus itself) →
+    exact weighted-without-replacement selection of 150 documents
+    (weight = n_chars) → deterministic shuffle-shard layout (4 shards,
+    dense positions). Every stage is an already-oracled primitive
+    (t_quality_score, t_charlm_score, t_weighted_sample,
+    t_global_shuffle); this query proves the COMPOSITION end-to-end —
+    the full curation-and-export chain a training run consumes."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.charlm import (
+        score_char_lm,
+        train_char_lm,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        global_shuffle,
+        weighted_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lm = train_char_lm(d, "text", n=3, add_k=0.5)
+    scored = (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            lf.quality_score("text").alias("quality"),
+        )
+        .join(score_char_lm(d, lm, "doc_id", "text"), "doc_id")
+        .filter((F.col("quality") >= 0.8) & (F.col("nll") <= 0.8))
+    )
+    picked = weighted_sample(
+        scored.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", k=150
+    )
+    return global_shuffle(picked, "doc_id", n_shards=4).select(
+        "doc_id", "lang", "shard", "shard_pos"
+    )
+
+
 def _q_t_weighted_sample(spark, sf_dir):
     """Quality-weighted selection (operators/curation.weighted_sample):
     exact weighted-without-replacement top-k via Efraimidis-Spirakis
@@ -2772,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5, behind the cap (front-50 already carries 8
         # never-verified round-5 queries): first driver verdict in r06
         "t_weighted_sample": _q_t_weighted_sample,
+        "t_pretrain_pipeline": _q_t_pretrain_pipeline,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "d_minhash_pairs": _q_d_minhash_pairs,
         # rows-only (rsd-bound pytest + exact twin a1_percentile in the
@@ -3218,6 +3258,43 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lm USING (ctx, ch) GROUP BY doc_id) "
             "SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams, sc.nll "
             "FROM documents d LEFT JOIN sc USING (doc_id)"
+        ),
+        # composition of the charlm / quality / weighted-sample /
+        # global-shuffle oracles, stacked as CTEs
+        "t_pretrain_pipeline": (
+            "WITH s AS (SELECT doc_id, CASE WHEN length(text) >= 3 THEN "
+            "[substr(text, i, 3) for i in "
+            "generate_series(1, length(text) - 2)] "
+            "ELSE [] END AS gl FROM documents), "
+            "g AS (SELECT doc_id, unnest(gl) AS gram FROM s), "
+            "sp AS (SELECT doc_id, substr(gram, 1, 2) AS ctx, "
+            "substr(gram, 3, 1) AS ch FROM g), "
+            "counts AS (SELECT ctx, ch, count(*) AS c FROM sp "
+            "GROUP BY ctx, ch), "
+            "v AS (SELECT count(DISTINCT ch) AS vs FROM counts), "
+            "totals AS (SELECT ctx, sum(c) AS tot FROM counts GROUP BY ctx), "
+            "lm AS (SELECT ctx, ch, ln((c + 0.5) / (tot + 0.5 * vs)) AS logp "
+            "FROM counts JOIN totals USING (ctx) CROSS JOIN v), "
+            "sc AS (SELECT doc_id, round(-avg(logp), 6) AS nll FROM sp "
+            "JOIN lm USING (ctx, ch) GROUP BY doc_id), "
+            f"q AS (SELECT doc_id, lang, n_chars, {quality} AS quality "
+            "FROM documents), "
+            "kept AS (SELECT q.doc_id, q.lang, q.n_chars FROM q "
+            "JOIN sc ON sc.doc_id = q.doc_id "
+            "WHERE q.quality >= 0.8 AND sc.nll <= 0.8), "
+            "pri AS (SELECT doc_id, lang, "
+            "pow(((('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,8))::BIGINT)"
+            "::DOUBLE + 0.5) / 4294967296.0, 1.0 / n_chars::DOUBLE) AS p "
+            "FROM kept WHERE n_chars IS NOT NULL AND n_chars > 0), "
+            "pick AS (SELECT doc_id, lang FROM pri "
+            "ORDER BY p DESC, doc_id ASC LIMIT 150), "
+            "sh AS (SELECT doc_id, lang, md5(doc_id::VARCHAR || '#42') AS h "
+            "FROM pick), "
+            "b AS (SELECT doc_id, lang, h, "
+            "CAST(('0x'||substr(h,1,8))::BIGINT % 4 AS INT) AS shard FROM sh) "
+            "SELECT doc_id, lang, shard, CAST(row_number() OVER ("
+            "PARTITION BY shard ORDER BY h, doc_id) - 1 AS INT) AS shard_pos "
+            "FROM b"
         ),
         "t_weighted_sample": (
             "WITH p AS (SELECT doc_id, lang, n_chars, "
