@@ -299,10 +299,34 @@ class VersionedTable:
             return df
         return df.filter(~reduce(lambda a, b: a | b, clauses))
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The committed snapshot at ``version`` (default: latest). The
-        returned DataFrame stays consistent under concurrent commits —
-        it references immutable directories."""
+    def version_as_of(self, timestamp: float) -> int:
+        """The latest version committed at or before ``timestamp``
+        (unix seconds) — Delta's ``TIMESTAMP AS OF`` lookup. Raises if
+        the table has no commit that old (earlier manifests may also
+        have been vacuumed away — the retention contract)."""
+        best = None
+        for v in self.versions():
+            if self._load_manifest(v)["timestamp"] <= timestamp:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version of {self.root} committed at or before "
+                f"{timestamp} (older versions may have been vacuumed)"
+            )
+        return best
+
+    def read(
+        self, version: int | None = None, as_of: float | None = None
+    ) -> DataFrame:
+        """The committed snapshot at ``version`` (default: latest), or —
+        with ``as_of`` (unix seconds) — at the newest version committed
+        by that wall-clock time. The returned DataFrame stays consistent
+        under concurrent commits — it references immutable
+        directories."""
+        if version is not None and as_of is not None:
+            raise ValueError("pass version OR as_of, not both")
+        if as_of is not None:
+            version = self.version_as_of(as_of)
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed versions under {self.root}")

@@ -311,3 +311,25 @@ def test_restore_rolls_back_as_new_commit(spark, root):
     assert _rows(vt.read()) == [(1, "a", 10)]
     with pytest.raises(FileNotFoundError):
         vt.restore(2)  # vacuumed manifest is gone
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.createDataFrame([(1,)], "id long"))
+    t1 = vt._load_manifest(1)["timestamp"]
+    vt.write(spark.createDataFrame([(2,)], "id long"))
+    t2 = vt._load_manifest(2)["timestamp"]
+    # at t1 (inclusive) the table held [1]; after t2 it holds [2]
+    assert [r.id for r in vt.read(as_of=t1).collect()] == [1]
+    assert [r.id for r in vt.read(as_of=t2 + 1).collect()] == [2]
+    assert vt.version_as_of((t1 + t2) / 2) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="at or before"):
+        vt.read(as_of=t1 - 10)
+    with _pytest.raises(ValueError, match="not both"):
+        vt.read(version=1, as_of=t1)
