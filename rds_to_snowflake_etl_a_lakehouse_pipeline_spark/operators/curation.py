@@ -245,6 +245,14 @@ def weighted_sample(
     per-partition heaps of k, then a k-sized driver merge), never a
     full sort. k rows must fit the driver — this is a SAMPLE operator,
     use :func:`stratified_sample` for rate-based downsampling.
+
+    Composition caveat: TakeOrdered applies when the limit TERMINATES
+    the plan. Consumed mid-plan (more operators after the sample),
+    Spark falls back to sort + single-partition GlobalLimit over the
+    input — fine when upstream gates have already shrunk the set (the
+    narrow (key, weight, priority) rows of a filtered candidate pool),
+    wrong over a raw 100 TB corpus. At that scale materialize the
+    sample first (write/checkpoint the k rows), then continue.
     """
     h = F.conv(
         F.substring(

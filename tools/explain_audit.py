@@ -57,6 +57,8 @@ AUDIT = [
     "t_global_shuffle",
     "t_charlm_score",
     "s13_orc_roundtrip",
+    "t_weighted_sample",
+    "t_pretrain_pipeline",
 ]
 
 
