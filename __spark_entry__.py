@@ -1164,6 +1164,30 @@ def _q_v_lsh_topk(spark, sf_dir):
     return lsh_topk(e.filter(F.col("vec_id") >= 3), q, k=10, dim=64)
 
 
+def _q_v_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/similarity.py::
+    pq_train/pq_encode/pq_topk): the memory tier of the ANN story —
+    m=8 one-byte codes replace 64 floats on the corpus side (64×), and
+    queries score codes via per-query lookup tables, never touching
+    corpus floats. Rows-only: quantization distortion is by
+    construction (recall pinned ≥ 0.4 vs the exact tier in
+    test_pq_topk_recall_vs_exact; exact twin v_cosine_topk is
+    oracle-checked)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 3)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = pq_train(corpus, m=8, n_codes=64)
+    return pq_topk(pq_encode(corpus, cb), q, cb, k=10)
+
+
 def _q_v_decontaminate(spark, sf_dir):
     """Embedding-space benchmark decontamination (operators/dedup.py::
     decontaminate_semantic): vec_id < 10 plays the eval suite; every
@@ -2812,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-verified round-5 queries): first driver verdict in r06
         "t_weighted_sample": _q_t_weighted_sample,
         "t_pretrain_pipeline": _q_t_pretrain_pipeline,
+        "v_pq_topk": _q_v_pq_topk,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "d_minhash_pairs": _q_d_minhash_pairs,
         # rows-only (rsd-bound pytest + exact twin a1_percentile in the

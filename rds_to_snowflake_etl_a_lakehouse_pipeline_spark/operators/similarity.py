@@ -530,3 +530,196 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------- product
+# quantization (Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — method only, no code). The memory side
+# of the ANN story: IVF prunes WHICH vectors are scored, PQ shrinks WHAT
+# is stored/scored — a 64-dim float corpus compresses 256/m-fold
+# (m=8 → one byte per 8 dims), which at 100 TB of embeddings is the
+# difference between codes fitting executor memory and not.
+
+
+class PQCodebook:
+    """Trained product quantizer: ``m`` subspace codebooks of
+    ``n_codes`` centroids each (numpy array shaped (m, n_codes,
+    dim/m)), plus the geometry needed to encode/score."""
+
+    def __init__(self, codebooks: "np.ndarray", dim: int, seed: int):
+        self.codebooks = codebooks
+        self.m, self.n_codes, self.sub = codebooks.shape
+        self.dim = dim
+        self.seed = seed
+
+
+def _kmeans_lloyd(X: "np.ndarray", k: int, seed: int, iters: int) -> "np.ndarray":
+    """Seeded Lloyd k-means on a driver-side sample (numpy). Bounded by
+    construction (the sample is bounded); deterministic for a given
+    seed. Empty clusters re-seed from the farthest points so all k
+    codes stay live."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        assign = d.argmin(1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(0)
+            else:
+                newC[j] = X[d.min(1).argmax()]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    fit_fraction: float | None = None,
+    fit_target_rows: int = 100_000,
+    seed: int = 42,
+    iters: int = 20,
+) -> PQCodebook:
+    """Fit the product quantizer: split the vector into ``m`` equal
+    subspaces and k-means each on a bounded sample (same
+    ``_bounded_fit`` policy as the IVF coarse quantizer — the fit is a
+    bounded job at any corpus size; codebooks total m × n_codes ×
+    dim/m floats, kilobytes)."""
+    sample = _bounded_fit(
+        corpus.select(F.col(vec_col).alias("_v")).filter(
+            F.col("_v").isNotNull()
+        ),
+        fit_fraction,
+        seed,
+        fit_target_rows,
+    ).collect()
+    X = np.stack([np.asarray(r._v, dtype=np.float64) for r in sample])
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books = np.stack(
+        [
+            _kmeans_lloyd(X[:, j * sub : (j + 1) * sub], n_codes, seed + j, iters)
+            for j in range(m)
+        ]
+    )
+    return PQCodebook(books, dim, seed)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: PQCodebook,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``code_col``: array<smallint> of length m — per subspace,
+    the index of the nearest codebook centroid. One Arrow kernel pass
+    (narrow map, no shuffle); the encoded column is what a 100 TB
+    deployment PERSISTS (dim/m × compression vs the float vector), the
+    raw vector column can be dropped or left cold."""
+    books = codebook.codebooks  # (m, k, sub)
+    sub = codebook.sub
+    m = codebook.m
+
+    @pandas_udf("array<smallint>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((len(V), m), dtype=np.int16)
+        for j in range(m):
+            S = V[:, j * sub : (j + 1) * sub]
+            B = books[j]
+            d = (S**2).sum(1)[:, None] - 2 * S @ B.T + (B**2).sum(1)[None, :]
+            out[:, j] = d.argmin(1).astype(np.int16)
+        return pd.Series([row.tolist() for row in out])
+
+    return corpus.withColumn(code_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebook: PQCodebook,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC):
+    per query, precompute the m × n_codes table of partial squared
+    distances query-subvector ↔ codebook centroid, then score each
+    corpus CODE as m table lookups — no float vectors are read on the
+    corpus side at all. Returns (query_id, vec_id, adc_dist, rank),
+    ascending distance (L2; ties break on id).
+
+    Scale: the ADC tables for ALL queries total |Q| × m × n_codes
+    doubles and broadcast with the kernel closure (query sets are
+    broadcast-small by the same contract as :func:`brute_force_topk`);
+    the corpus side streams codes through one Arrow matmul-free lookup
+    pass + a per-query top-k window. Approximate by construction
+    (quantization distortion) — pair with the exact tier when recall
+    must be 1."""
+    books = codebook.codebooks
+    sub = codebook.sub
+    m = codebook.m
+    q_rows = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    qids = [r._qid for r in q_rows]
+    Q = np.stack([np.asarray(r._qv, dtype=np.float64) for r in q_rows])
+    # (n_queries, m, n_codes) partial squared distances
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(2)[qi]
+                    for j in range(m)
+                ]
+            )
+            for qi in range(len(qids))
+        ]
+    )
+
+    @pandas_udf("array<double>")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])  # (b, m)
+        cols = np.arange(m)
+        # for each query: sum over subspaces of table[j, code_j]
+        dists = np.stack(
+            [tables[qi][cols, C].sum(1) for qi in range(len(qids))], axis=1
+        )  # (b, n_queries)
+        return pd.Series([row.tolist() for row in dists])
+
+    scored = (
+        encoded.select(F.col(id_col), adc(F.col(code_col)).alias("_d"))
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(q) for q in qids]).alias("qid"),
+                    F.col("_d").alias("dist"),
+                )
+            ).alias("_z"),
+        )
+        .select(
+            F.col("_z.qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(F.col("_z.dist"), 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
