@@ -645,33 +645,28 @@ def pq_encode(
     return corpus.withColumn(code_col, encode(F.col(vec_col)))
 
 
-def pq_topk(
+def _adc_scored(
     encoded: DataFrame,
     queries: DataFrame,
     codebook: PQCodebook,
-    k: int = 10,
-    id_col: str = "vec_id",
-    code_col: str = "pq_code",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
+    id_col: str,
+    code_col: str,
+    vec_col: str,
+    query_id_col: str,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """Approximate top-k by asymmetric distance computation (ADC):
-    per query, precompute the m × n_codes table of partial squared
-    distances query-subvector ↔ codebook centroid, then score each
-    corpus CODE as m table lookups — no float vectors are read on the
-    corpus side at all. Returns (query_id, vec_id, adc_dist, rank),
-    ascending distance (L2; ties break on id).
-
-    Scale: the ADC tables for ALL queries total |Q| × m × n_codes
-    doubles and broadcast with the kernel closure (query sets are
-    broadcast-small by the same contract as :func:`brute_force_topk`);
-    the corpus side streams codes through one Arrow matmul-free lookup
-    pass + a per-query top-k window. Approximate by construction
-    (quantization distortion) — pair with the exact tier when recall
-    must be 1."""
+    """(query_id, id, adc_dist [, passthrough…]) for every (query,
+    encoded row) pair: per query, the m × n_codes table of partial
+    squared distances query-subvector ↔ codebook centroid is built
+    driver-side (|Q| × m × n_codes doubles, broadcast with the kernel
+    closure — query sets are broadcast-small by the same contract as
+    :func:`brute_force_topk`); each corpus CODE then scores as m table
+    lookups in one Arrow pass. No float vectors are read on the corpus
+    side."""
     books = codebook.codebooks
     sub = codebook.sub
     m = codebook.m
+    extra = list(passthrough or [])
     q_rows = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
     ).collect()
@@ -702,10 +697,11 @@ def pq_topk(
         )  # (b, n_queries)
         return pd.Series([row.tolist() for row in dists])
 
-    scored = (
-        encoded.select(F.col(id_col), adc(F.col(code_col)).alias("_d"))
+    return (
+        encoded.select(F.col(id_col), *extra, adc(F.col(code_col)).alias("_d"))
         .select(
             id_col,
+            *extra,
             F.explode(
                 F.arrays_zip(
                     F.array(*[F.lit(q) for q in qids]).alias("qid"),
@@ -716,10 +712,89 @@ def pq_topk(
         .select(
             F.col("_z.qid").alias(query_id_col),
             F.col(id_col),
+            *extra,
             F.round(F.col("_z.dist"), 6).alias("adc_dist"),
         )
     )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebook: PQCodebook,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    the whole encoded corpus. Returns (query_id, vec_id, adc_dist,
+    rank), ascending distance (L2; ties break on id). Approximate by
+    construction (quantization distortion) — pair with the exact tier
+    when recall must be 1; see :func:`_adc_scored` for the cost model
+    and :func:`ivf_pq_index_topk` for the cell-pruned composition."""
+    scored = _adc_scored(
+        encoded, queries, codebook, id_col, code_col, vec_col, query_id_col
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_pq_index_topk(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebook: PQCodebook,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF × PQ — the full ANN composition over a persisted
+    :func:`ivf_build_index` table: coarse cells prune WHICH vectors are
+    touched (literal ``_cell IN (...)`` partition filter, directories
+    skipped at file-listing time), PQ shrinks WHAT is scored (codes via
+    :func:`pq_encode` — encode once and persist the ``code_col``
+    alongside the index in a real deployment; this function encodes the
+    pruned scan on the fly when the column is absent). Each query ranks
+    only candidates from ITS probed cells (semi-join on the bounded
+    (query, cell) probe pairs). Returns (query_id, vec_id, adc_dist,
+    rank), ascending ADC distance."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
+        nearest = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in nearest])
+
+    probes = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    cells = [r["_cell"] for r in probes.select("_cell").distinct().collect()]
+    pruned = spark.table(table).filter(F.col("_cell").isin(cells))
+    if code_col not in pruned.columns:
+        pruned = pq_encode(pruned, codebook, vec_col=vec_col, code_col=code_col)
+    scored = _adc_scored(
+        pruned, queries, codebook, id_col, code_col, vec_col, query_id_col,
+        passthrough=["_cell"],
+    )
+    cand = scored.join(
+        F.broadcast(probes),
+        (F.col(query_id_col) == F.col("_qid")) & (scored["_cell"] == probes["_cell"]),
+        "leftsemi",
+    ).drop("_cell")
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
