@@ -224,6 +224,7 @@ def ivf_build_index(
     fit_target_rows: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_codebook: "PQCodebook | None" = None,
 ) -> list[list[float]]:
     """Materialize the IVF index :func:`ivf_topk` computes on the fly:
     fit the KMeans coarse quantizer, assign every corpus vector its
@@ -260,6 +261,11 @@ def ivf_build_index(
     indexed = model.transform(c_vec).select(
         F.col(id_col), F.col(vec_col), F.col("_cell")
     )
+    if pq_codebook is not None:
+        # persist ADC codes beside the vectors: ivf_pq_index_topk then
+        # reads only (id, _cell, pq_code) — the m-byte column — and
+        # never touches the float vectors at query time
+        indexed = pq_encode(indexed, pq_codebook, vec_col=vec_col)
     write_table(indexed, table, partition_by=["_cell"])
     centroids = [list(map(float, ct)) for ct in model.clusterCenters()]
 

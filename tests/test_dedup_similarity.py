@@ -1160,11 +1160,14 @@ def test_ivf_pq_composition_prunes_and_ranks(spark, tmp_path):
         rows.append((i, (centers[c] + rng.standard_normal(16) * 0.3).tolist()))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     spark.sql("DROP TABLE IF EXISTS ivfpq_idx")
-    cents = ivf_build_index(df, "ivfpq_idx", n_clusters=4)
     # n_codes must resolve WITHIN-cluster geometry (spread 0.3 around
     # centers 5 apart): 256 codes/subspace → measured recall ~0.87;
     # 32 codes quantize too coarsely (~0.5)
     cb = pq_train(df, m=4, n_codes=256, iters=25)
+    cents = ivf_build_index(df, "ivfpq_idx", n_clusters=4, pq_codebook=cb)
+    # codes persisted at build: the query path reads the m-byte column
+    # and never re-encodes
+    assert "pq_code" in spark.table("ivfpq_idx").columns
     q = df.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
