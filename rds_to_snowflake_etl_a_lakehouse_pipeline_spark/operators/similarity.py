@@ -290,6 +290,7 @@ def ivf_append_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     drift_threshold: float = 1.5,
+    pq_codebook: "PQCodebook | None" = None,
 ) -> dict:
     """Incrementally extend a persisted :func:`ivf_build_index` table:
     assign each new vector to its nearest EXISTING centroid (one numpy
@@ -340,7 +341,22 @@ def ivf_append_index(
     assigned = valid.select(
         F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
     ).localCheckpoint(eager=True)
-    write_table(assigned, table, mode="append", partition_by=["_cell"])
+    to_write = assigned
+    spark = new_vectors.sparkSession
+    index_has_codes = "pq_code" in spark.table(table).columns
+    if index_has_codes and pq_codebook is None:
+        raise ValueError(
+            f"{table} stores PQ codes (built with pq_codebook=...); "
+            "appends must pass the SAME codebook so new rows carry codes"
+        )
+    if pq_codebook is not None:
+        if not index_has_codes:
+            raise ValueError(
+                f"{table} has no pq_code column; pass pq_codebook only "
+                "for indexes built with one"
+            )
+        to_write = pq_encode(assigned, pq_codebook, vec_col=vec_col)
+    write_table(to_write, table, mode="append", partition_by=["_cell"])
 
     row = (
         assigned.withColumn("_dist", _centroid_dist(vec_col, "_cell", centroids))
@@ -352,7 +368,6 @@ def ivf_append_index(
         .first()
     )
     build_mean = build_p95 = None
-    spark = new_vectors.sparkSession
     try:
         srow = spark.table(_drift_stats_table(table)).first()
         if srow is not None:

@@ -1192,3 +1192,38 @@ def test_ivf_pq_composition_prunes_and_ranks(spark, tmp_path):
     approx = {(r.query_id, r.vec_id) for r in res}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+
+
+def test_ivf_append_requires_matching_pq_codebook(spark):
+    """Appending to a PQ-enabled index without the codebook must raise
+    (silent schema drift would leave codeless rows the query path then
+    mis-scores); appending WITH it carries codes; passing a codebook to
+    a plain index also raises."""
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=4, n_codes=16)
+    spark.sql("DROP TABLE IF EXISTS ivfpq_app")
+    cents = ivf_build_index(df, "ivfpq_app", n_clusters=2, pq_codebook=cb)
+    batch = spark.createDataFrame(
+        [(200, rng.standard_normal(16).tolist())], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="SAME codebook"):
+        ivf_append_index(batch, "ivfpq_app", cents)
+    out = ivf_append_index(batch, "ivfpq_app", cents, pq_codebook=cb)
+    assert out["n_appended"] == 1
+    got = spark.table("ivfpq_app").filter(F.col("vec_id") == 200).collect()
+    assert got[0].pq_code is not None and len(got[0].pq_code) == 4
+    # plain index + codebook is also a misuse
+    spark.sql("DROP TABLE IF EXISTS ivf_plain_app")
+    cents2 = ivf_build_index(df, "ivf_plain_app", n_clusters=2)
+    with pytest.raises(ValueError, match="no pq_code column"):
+        ivf_append_index(batch, "ivf_plain_app", cents2, pq_codebook=cb)
