@@ -784,6 +784,23 @@ def _q_t_chunk_dedup(spark, sf_dir):
     )
 
 
+def _q_t_span_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, relational):
+    every duplicated 8-token span corpus-wide is removed except its
+    globally-first occurrence; surviving tokens are rejoined
+    (operators/dedup.span_dedup — fingerprint groupBy with map-side
+    partial aggregation + AQE-splittable join back, never a window
+    over the span key)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", k=8).select(
+        "doc_id", "deduped_text", "n_tokens_removed"
+    )
+
+
 def _q_t_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 play the
     'eval suite'; every other document sharing ≥1 distinct word 8-gram
@@ -2899,6 +2916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_sliding_window": _q_x1_sliding_window,
         "t_gopher_flags": _q_t_gopher_flags,
         "t_chunk_dedup": _q_t_chunk_dedup,
+        # new in round 5, behind the cap: span-level exact substring
+        # dedup (first driver verdict in r06)
+        "t_span_dedup": _q_t_span_dedup,
         "t_decontaminate": _q_t_decontaminate,
         "a1_approx_distinct": _q_a1_approx_distinct,
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
@@ -3451,6 +3471,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) OVER (PARTITION BY chunk_text) AS BIGINT) AS n_copies, "
             "row_number() OVER (PARTITION BY chunk_text "
             "ORDER BY doc_id, chunk_id) AS rn FROM chunks) WHERE rn = 1"
+        ),
+        "t_span_dedup": (
+            # exact-substring dedup replayed on raw span text (the
+            # engine groups on unhex(md5(span)) — same partition up to
+            # md5 collisions, i.e. identical): non-first occurrences of
+            # any corpus-duplicated 8-token span cover their tokens
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "spans AS (SELECT k.doc_id, CAST(s.i AS BIGINT) AS pos, "
+            "array_to_string(k.t[CAST(s.i AS INT):CAST(s.i AS INT)+7], ' ') AS g "
+            "FROM toks k CROSS JOIN LATERAL "
+            "(SELECT unnest(range(1, len(k.t) - 8 + 2)) AS i) s), "
+            "marked AS (SELECT doc_id, pos, "
+            "count(*) OVER (PARTITION BY g) AS cnt, "
+            "row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn "
+            "FROM spans), "
+            "hits AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn >= 2), "
+            "kept AS (SELECT k.doc_id, s.i AS j, k.t[CAST(s.i AS INT)] AS tok "
+            "FROM toks k CROSS JOIN LATERAL "
+            "(SELECT unnest(range(1, len(k.t) + 1)) AS i) s "
+            "WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = k.doc_id "
+            "AND h.pos <= s.i AND s.i <= h.pos + 7)), "
+            "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS kt, "
+            "count(*) AS nk FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "
+            "ELSE coalesce(a.kt, '') END AS deduped_text, "
+            "CASE WHEN d.text IS NULL THEN NULL ELSE "
+            "CAST(len(string_split_regex(trim(d.text), '\\s+')) "
+            "- coalesce(a.nk, 0) AS BIGINT) END AS n_tokens_removed "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "t_curation_pipeline": (
             f"WITH scored AS (SELECT doc_id, {fp} AS fp, {tok} AS n_tokens, "

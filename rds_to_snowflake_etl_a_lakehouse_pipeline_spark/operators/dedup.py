@@ -1417,3 +1417,138 @@ def decontaminate_semantic(
         .distinct()
     )
     return df.join(hits, on=id_col, how="left_anti")
+
+
+def duplicated_span_hits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """All NON-FIRST occurrences of duplicated k-token spans, as
+    ``(id, pos)`` rows (1-based token position of the span start).
+
+    A span is every window of ``k`` consecutive whitespace tokens. Any
+    span whose corpus-wide occurrence count reaches ``min_count`` is
+    "duplicated"; its globally-first occurrence (min ``(id, pos)``) is
+    exempt — the copy that :func:`span_dedup` keeps — and every other
+    occurrence is a hit. Counting includes repeats WITHIN one document,
+    so internal boilerplate repetition is caught too.
+
+    Plan shape (the exact-substring-dedup idea of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally instead of via suffix arrays):
+
+    1. explode one row per span — narrow, fuses into the scan; rows
+       carry ``(id, pos, unhex(md5(span)) BINARY(16))``, never the
+       span text, so shuffle bytes are constant per token regardless
+       of ``k`` (128-bit fingerprints: collisions are negligible far
+       beyond 100 TB — birthday bound ~2^64 spans);
+    2. ``groupBy(fingerprint)`` with ``count`` + ``min(struct(id,
+       pos))`` — ONE shuffle whose map side partially aggregates, so a
+       boilerplate span repeated millions of times arrives at its
+       reducer as one partial row per map task, not one row per copy;
+    3. join the exploded spans back to the surviving fingerprints —
+       hash join on the fingerprint; a hot duplicated span skews only
+       this join, which AQE's skew-join splitting handles (unlike a
+       window over the fingerprint, which pins every copy of a hot
+       span to one task by construction — deliberately avoided).
+    """
+    if k < 2:
+        raise ValueError("span length k must be >= 2 tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.size(toks) - F.lit(k - 1)
+    spans = F.when(
+        n_spans >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.unhex(F.md5(F.array_join(F.slice(toks, i, k), " "))).alias("_h"),
+            ),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_sid"), F.explode(spans).alias("_s")
+    ).select("_sid", F.col("_s.pos").alias("_pos"), F.col("_s._h").alias("_h"))
+    firsts = (
+        exploded.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col("_sid"), F.col("_pos"))).alias("_first"),
+        )
+        .filter(F.col("_cnt") >= min_count)
+        .select("_h", "_first")
+    )
+    return (
+        exploded.join(firsts, "_h")
+        .filter(
+            ~(
+                (F.col("_sid") == F.col("_first._sid"))
+                & (F.col("_pos") == F.col("_first._pos"))
+            )
+        )
+        .select(F.col("_sid").alias(id_col), F.col("_pos").alias("pos"))
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str = "deduped_text",
+    removed_col: str = "n_tokens_removed",
+) -> DataFrame:
+    """Exact substring deduplication: remove every duplicated k-token
+    span from the corpus, keeping its globally-first occurrence — the
+    span-level tier between document-level :func:`exact_dedup` and
+    chunk-level dedup, catching boilerplate shared across otherwise
+    distinct documents (Lee et al. 2022's ExactSubstr, relationally).
+
+    A token is dropped iff some non-first duplicated span covers it
+    (hit start ``p`` covers tokens ``p .. p+k-1``); surviving tokens
+    are rejoined with single spaces. Appends ``out_col`` (NULL text →
+    NULL; everything removed → empty string) and ``removed_col``.
+    ``id_col`` values must be unique.
+
+    Scale: :func:`duplicated_span_hits`'s two skew-tolerant shuffles,
+    then hits collapse per document (rows = hit count, not token
+    count) and join back to the corpus on ``id`` — the corpus itself
+    is shuffled once, by its unique id, so no key skew. The coverage
+    mask is a higher-order ``filter``/``exists`` pass, O(tokens ×
+    hits-per-doc) per row JVM-side; hits are sparse for real corpora
+    (a fully-boilerplate document degrades to O(n²/k) for that row
+    only).
+    """
+    hits = duplicated_span_hits(df, id_col, text_col, k=k, min_count=min_count)
+    per_doc = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_hitpos")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hp = F.coalesce(F.col("_hitpos"), F.array().cast("array<bigint>"))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            hp, lambda p: (p <= i + 1) & (i + 1 <= p + F.lit(k - 1))
+        ),
+    )
+    out = (
+        df.join(per_doc, on=id_col, how="left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.array_join(kept, " ")
+            ),
+        )
+        .withColumn(
+            removed_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint")).otherwise(
+                (F.size(toks) - F.size(kept)).cast("bigint")
+            ),
+        )
+        .drop("_hitpos")
+    )
+    return out

@@ -1227,3 +1227,66 @@ def test_ivf_append_requires_matching_pq_codebook(spark):
     cents2 = ivf_build_index(df, "ivf_plain_app", n_clusters=2)
     with pytest.raises(ValueError, match="no pq_code column"):
         ivf_append_index(batch, "ivf_plain_app", cents2, pq_codebook=cb)
+
+
+# ---------------------------------------------------------------------------
+# span-level exact substring dedup (Lee et al. 2022 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_keeps_first_occurrence_only(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "intro words alpha beta gamma delta tail end"),
+        (3, "x x x x x y unique tokens here"),
+        (4, None),
+        (5, ""),
+        (6, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.deduped_text, r.n_tokens_removed)
+        for r in span_dedup(df, "doc_id", "text", k=4).collect()
+    }
+    # doc 1 is the globally-first occurrence of the shared 4-gram: intact
+    assert got[1] == ("alpha beta gamma delta epsilon zeta eta theta", 0)
+    # doc 2's copy of the span is removed, surrounding text survives
+    assert got[2] == ("intro words tail end", 4)
+    # internal repetition: the second "x x x x" (pos 2) covers tokens 2-5
+    assert got[3] == ("x y unique tokens here", 4)
+    assert got[4] == (None, None)
+    assert got[5] == ("", 0)
+    assert got[6] == ("short doc", 0)
+
+
+def test_span_dedup_identical_docs_empty_the_later_copy(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    text = "one two three four five six"
+    df = spark.createDataFrame(
+        [(10, text), (20, text)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.deduped_text, r.n_tokens_removed)
+        for r in span_dedup(df, "doc_id", "text", k=3).collect()
+    }
+    assert got[10] == (text, 0)
+    assert got[20] == ("", 6)
+
+
+def test_span_dedup_validates_k_and_stays_jvm_side(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        span_dedup(df, "doc_id", "text", k=1)
+    plan = span_dedup(df, "doc_id", "text", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
