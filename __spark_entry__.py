@@ -439,6 +439,34 @@ def _q_a1_hll_rollup(spark, sf_dir):
     )
 
 
+def _q_a1_cms_topk(spark, sf_dir):
+    """Mergeable count-min frequency sketches (operators/sketches.py):
+    per-day CMS grids of event user_ids, merged across days WITHOUT
+    rescanning events, then candidate users ranked by estimated event
+    count — the persisted-sketch pattern for incremental heavy-hitter
+    tracking. Rows-only: cell hashing is engine-internal; CMS
+    guarantees (never underestimates, overestimate <= (e/width)·N)
+    are pinned by test_cms_lookup_never_underestimates_* and merge
+    losslessness by test_cms_merge_equals_sketch_of_union; the exact
+    twin (plain groupBy count top-k) is the oracle-green o1_topk
+    shape."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        cms_lookup,
+        cms_merge,
+        cms_sketch,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fine = cms_sketch(ev, ["day"], "user_id", depth=5, width=4096)
+    merged = cms_merge(fine, [])
+    probes = ev.select("user_id").distinct()
+    return (
+        cms_lookup(merged, probes, "user_id", depth=5, width=4096)
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )
+
+
 def _q_a1_pivot(spark, sf_dir):
     """Pivot (wide aggregation): revenue per orderpriority × orderstatus.
     Explicit pivot values keep the schema static — at scale an implicit
@@ -2884,6 +2912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality_model": _q_t_quality_model,
         "t_bpe_tokens": _q_t_bpe_tokens,
         "a1_hll_rollup": _q_a1_hll_rollup,
+        # new in round 5, behind the cap: mergeable CMS heavy hitters
+        # (rows-only; bounds + merge losslessness pinned by pytest)
+        "a1_cms_topk": _q_a1_cms_topk,
         "t_corpus_report": _q_t_corpus_report,
         "d_cc_dedup": _q_d_cc_dedup,
         "x1_tumbling_window": _q_x1_tumbling_window,

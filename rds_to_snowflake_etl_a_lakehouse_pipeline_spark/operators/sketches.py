@@ -55,3 +55,104 @@ def sketch_estimate(sketch_col: Column | str = "distinct_sketch") -> Column:
     """The distinct-count estimate for a sketch column."""
     c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
     return F.hll_sketch_estimate(c)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable approximate frequencies / heavy hitters
+# ---------------------------------------------------------------------------
+#
+# The frequency twin of the HLL tier above: sketch each batch/day ONCE
+# at ingest into a depth × width counter grid, persist the grid as
+# ordinary rows, and answer later point-frequency / heavy-hitter
+# queries over any union of batches by SUMMING grids instead of
+# rescanning raw events (Cormode & Muthukrishnan 2005). Counters only
+# add, so merge is lossless by construction: sketch(A ∪ B) ==
+# merge(sketch(A), sketch(B)) row for row.
+#
+# Representation is SPARSE — one row per touched (row, bucket) cell,
+# absent cell ⇒ 0 — so a sketch of a small batch costs rows
+# proportional to what it saw, bounded above by depth × width
+# (depth=5, width=2048 ⇒ ≤ 10,240 rows ≈ KBs per group, any corpus
+# size). Everything is xxhash64 + groupBy: JVM-side, one shuffle with
+# map-side partial aggregation, no Python.
+
+
+def _cms_cells(value: Column, depth: int, width: int, seed: int) -> Column:
+    """array<struct<row, bucket>> — the depth cells a value touches."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(F.xxhash64(value, F.lit(seed + r)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key count-min sketch of ``value_col`` occurrence counts —
+    the ingest-time pass. Returns ``keys + (row, bucket, cnt)`` cell
+    rows. Error bound: a lookup overestimates by at most
+    ``(e / width) · N`` with probability ``1 − e^−depth`` (N = total
+    occurrences in the sketched group); never underestimates. NULL
+    values are skipped (count them separately if needed)."""
+    cells = F.explode(
+        _cms_cells(F.col(value_col), depth, width, seed)
+    ).alias("_cell")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, cells)
+        .groupBy(*keys, F.col("_cell.row").alias("row"), F.col("_cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge sketches to a coarser grouping by summing cells — the
+    query-time pass. Input sketches MUST share depth/width/seed (cell
+    coordinates are only comparable under the same hashing). Output is
+    again a sketch: persist and merge further (day → month → year)."""
+    return sketches.groupBy(*keys, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    seed: int = 42,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[value_col]`` against a
+    single merged sketch (no grouping keys): min over the depth
+    counters each probe hashes to, absent counter ⇒ 0. Returns probes
+    + ``est_col``. Estimates are upper bounds on the true counts.
+
+    Candidate enumeration is the caller's job (a sketch cannot list
+    its keys): pair with per-batch exact top-M candidate sets, then
+    rank candidates by sketch estimate over the merged history —
+    probes are candidate-sized, so this join is broadcast-small."""
+    exploded = probes.select(
+        F.col(value_col).alias("_probe"),
+        F.explode(_cms_cells(F.col(value_col), depth, width, seed)).alias("_cell"),
+    ).select("_probe", F.col("_cell.row").alias("row"), F.col("_cell.bucket").alias("bucket"))
+    joined = exploded.join(sketch, ["row", "bucket"], "left").select(
+        "_probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("_c")
+    )
+    est = joined.groupBy("_probe").agg(F.min("_c").alias(est_col))
+    return probes.join(
+        est, probes[value_col] == est["_probe"], "left"
+    ).select(*probes.columns, F.coalesce(F.col(est_col), F.lit(0)).alias(est_col))

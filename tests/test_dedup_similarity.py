@@ -1290,3 +1290,63 @@ def test_span_dedup_validates_k_and_stays_jvm_side(spark):
         span_dedup(df, "doc_id", "text", k=1)
     plan = span_dedup(df, "doc_id", "text", k=2)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: mergeable frequency estimates
+# ---------------------------------------------------------------------------
+
+
+def _cms_mod():
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import sketches
+
+    return sketches
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    sk = _cms_mod()
+    a = spark.createDataFrame([(i % 7,) for i in range(200)], "v long")
+    b = spark.createDataFrame([(i % 11,) for i in range(300)], "v long")
+    union_sketch = sk.cms_sketch(a.union(b), [], "v", depth=3, width=64)
+    merged = sk.cms_merge(
+        sk.cms_sketch(a, [], "v", depth=3, width=64).union(
+            sk.cms_sketch(b, [], "v", depth=3, width=64)
+        ),
+        [],
+    )
+    # lossless merge: identical cell grids, row for row
+    assert union_sketch.exceptAll(merged).count() == 0
+    assert merged.exceptAll(union_sketch).count() == 0
+
+
+def test_cms_lookup_never_underestimates_and_bounds_overestimate(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    sk = _cms_mod()
+    # 500 skewed keys into a deliberately tiny grid to force collisions
+    rows = [(f"k{i % 50}",) for i in range(450)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, "v string")
+    sketch = sk.cms_sketch(df, [], "v", depth=4, width=32)
+    probes = df.select("v").distinct()
+    est = sk.cms_lookup(sketch, probes, "v", depth=4, width=32)
+    exact = df.groupBy("v").agg(F.count("*").alias("t"))
+    cmp = est.join(exact, "v").collect()
+    n = 500
+    eps_n = math.e / 32 * n  # CMS guarantee at this width
+    assert all(r.est_count >= r.t for r in cmp)
+    assert all(r.est_count - r.t <= eps_n for r in cmp)
+    # unseen probes estimate low (0 unless every row collides)
+    ghost = spark.createDataFrame([("never-seen",)], "v string")
+    g = sk.cms_lookup(sketch, ghost, "v", depth=4, width=32).first()
+    assert g.est_count <= eps_n
+
+
+def test_cms_plan_stays_jvm_side(spark):
+    sk = _cms_mod()
+    df = spark.createDataFrame([(1,)], "v long")
+    plan = (
+        sk.cms_sketch(df, [], "v")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
