@@ -960,6 +960,30 @@ def _q_v_cosine_topk(spark, sf_dir):
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20)
 
 
+def _q_v_mmr_rerank(spark, sf_dir):
+    """Retrieve-then-diversify: brute-force top-40 candidates for 3
+    query vectors, MMR re-rank (lam=0.7) to a diverse top-10 per query
+    (operators/similarity.mmr_rerank — applyInPandas per query group,
+    candidate-sized, never corpus-sized). Rows-only: greedy selection
+    is not SQL-expressible; lam=1.0 == plain relevance order is pinned
+    against brute_force_topk by test, and the retrieval tier itself is
+    the oracle-green v_cosine_pairs/v_cosine_topk shape."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(~F.col("vec_id").isin(0, 1, 2))
+    cand = brute_force_topk(corpus, queries, k=40).join(
+        corpus.select("vec_id", "embedding"), "vec_id"
+    )
+    return mmr_rerank(cand, k=10, lam=0.7)
+
+
 # Dedup tiers (operators/dedup.py) ----------------------------------------
 
 
@@ -2941,6 +2965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ivf_topk": _q_v_ivf_topk,
         "v_ivf_index_topk": _q_v_ivf_index_topk,
         "v_cosine_pairs": _q_v_cosine_pairs,
+        # new in round 5, behind the cap: MMR diversified re-rank
+        # (rows-only; lam=1.0 degeneracy pinned by pytest)
+        "v_mmr_rerank": _q_v_mmr_rerank,
         "m_decode_images": _q_m_decode_images,
         "w5_moving_avg": _q_w5_moving_avg,
         "a1_unpivot": _q_a1_unpivot,

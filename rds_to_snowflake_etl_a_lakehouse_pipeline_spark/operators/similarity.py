@@ -819,3 +819,84 @@ def ivf_pq_index_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    of per-query candidate sets: greedily pick the candidate maximizing
+    ``lam · relevance − (1 − lam) · max cosine to already-picked``, so
+    the final k trade relevance against diversity instead of returning
+    near-duplicate neighbors. ``lam=1.0`` degenerates to plain
+    relevance order (pinned against :func:`brute_force_topk` by test).
+
+    ``candidates`` is the OUTPUT of a cheap top-N retrieval (brute
+    force, IVF, LSH — any of this module's tiers, with N a few × k)
+    joined with its candidate vectors: one row per (query, candidate)
+    carrying ``id_col, vec_col, score_col``. NULL/empty vectors are
+    dropped up front (they cannot contribute a similarity).
+
+    Returns ``(query_id, id, score, mmr_rank)`` with ``mmr_rank``
+    1-based in selection order. Deterministic: equal MMR scores break
+    toward the candidate earlier in (relevance desc, id asc) order.
+
+    Scale: greedy selection is inherently sequential PER QUERY but
+    queries are independent — ``applyInPandas`` groups by query id, so
+    the work distributes across queries; each group is candidate-sized
+    (N ≤ a few hundred rows — the caller's retrieval already cut the
+    corpus), one O(N²·dim) numpy pass per group, never corpus-sized.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, {score_col} double, mmr_rank int"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[vec_col].notna()]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {query_id_col: [], id_col: [], score_col: [], "mmr_rank": []}
+            )
+        # stable candidate order: relevance desc, id asc (the tiebreak)
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        V = V / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        picked: list[int] = []
+        cand = np.ones(n, dtype=bool)
+        max_sim = np.zeros(n, dtype=np.float64)
+        while cand.any() and len(picked) < k:
+            if picked:
+                score = lam * rel - (1.0 - lam) * max_sim
+            else:
+                score = rel.copy()
+            score[~cand] = -np.inf
+            # argmax with lowest-index (= lowest-id after the sort) ties
+            best = int(np.argmax(score))
+            picked.append(best)
+            cand[best] = False
+            max_sim = np.maximum(max_sim, V @ V[best])
+        sel = pdf.iloc[picked]
+        return pd.DataFrame(
+            {
+                query_id_col: sel[query_id_col].to_numpy(),
+                id_col: sel[id_col].to_numpy(),
+                score_col: sel[score_col].to_numpy(),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return candidates.groupBy(query_id_col).applyInPandas(_mmr, out_schema)

@@ -1350,3 +1350,67 @@ def test_cms_plan_stays_jvm_side(spark):
         sk.cms_sketch(df, [], "v")._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+
+def _mmr_candidates(spark):
+    # query 1: three near-identical "A" vectors outscore one orthogonal
+    # "B" vector; plain top-3 returns A,A,A while MMR should slot B in
+    rows = [
+        (1, 101, [1.0, 0.0, 0.0], 0.99),
+        (1, 102, [0.999, 0.01, 0.0], 0.98),
+        (1, 103, [0.998, 0.02, 0.0], 0.97),
+        (1, 201, [0.0, 1.0, 0.0], 0.80),
+    ]
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, embedding array<double>, cos_sim double"
+    )
+
+
+def test_mmr_promotes_diverse_candidates(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    out = (
+        mmr_rerank(_mmr_candidates(spark), k=3, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r.vec_id for r in out[:2]] == [101, 201]  # diverse B jumps to #2
+    assert len(out) == 3
+
+
+def test_mmr_with_lam_one_is_plain_relevance_order(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    out = (
+        mmr_rerank(_mmr_candidates(spark), k=4, lam=1.0)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r.vec_id for r in out] == [101, 102, 103, 201]
+    assert [r.mmr_rank for r in out] == [1, 2, 3, 4]
+
+
+def test_mmr_drops_null_vectors_and_validates_lam(spark):
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, None, 0.9), (1, 2, [1.0, 0.0], 0.5)],
+        "query_id long, vec_id long, embedding array<double>, cos_sim double",
+    )
+    out = mmr_rerank(df, k=2, lam=0.5).collect()
+    assert [r.vec_id for r in out] == [2]
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, lam=1.5)
