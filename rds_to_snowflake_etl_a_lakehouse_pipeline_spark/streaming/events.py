@@ -570,3 +570,64 @@ def stream_versioned_merge(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_frequency_sketch(
+    sdf: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    value_col: str = "user_id",
+    depth: int = 5,
+    width: int = 4096,
+    seed: int = 42,
+    query_name: str = "stream_frequency_sketch",
+):
+    """Streaming heavy-hitter state: each micro-batch is count-min
+    sketched (``operators.sketches.cms_sketch``) and merged into the
+    persisted sketch table, so point-frequency / top-k-candidate
+    queries over the WHOLE stream history are answerable at any time
+    without replaying events — the frequency twin of
+    :func:`stream_corpus_dedup`'s index-table pattern. State lives in
+    an ordinary table (restart-proof, queryable, mergeable further),
+    not the streaming state store.
+
+    Per batch: one explode+groupBy over the batch (batch-sized), then
+    a merge with the existing sketch — which is BOUNDED at ``keys ×
+    depth × width`` cells regardless of stream length, so the
+    stage-and-swap rewrite each batch pays is KBs-to-MBs forever.
+    Sketch parameters must match across every writer to ``table``.
+    Runs with trigger=availableNow and blocks until input is drained.
+    """
+    from ..operators.sketches import cms_merge, cms_sketch
+    from ..sources.io import write_table
+
+    keys = keys or []
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sketch = cms_sketch(
+            batch_df, keys, value_col, depth=depth, width=width, seed=seed
+        )
+        if spark.catalog.tableExists(table):
+            merged = cms_merge(
+                spark.table(table).unionByName(batch_sketch), keys
+            )
+            # the union reads the table being overwritten: materialize
+            # the (bounded, cell-count-sized) merge before the swap
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = batch_sketch
+        write_table(merged, table)
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -535,3 +535,51 @@ def test_stream_corpus_dedup_appends_survivors_across_batches(spark, tmp_path):
     # 10 dropped vs corpus; 20 dropped vs 11 (works only if batch 1's
     # survivors were appended before batch 2 probed); 11 and 21 accreted
     assert indexed == {1, 11, 21}
+
+
+def test_stream_frequency_sketch_merges_batches_into_table(spark, tmp_path):
+    """Streaming CMS state: the persisted sketch after two micro-batches
+    must equal the sketch of the concatenated stream (merge losslessness
+    end-to-end), and lookups over it must upper-bound the true counts."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        cms_lookup,
+        cms_sketch,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_frequency_sketch,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS stream_cms")
+    feed = str(tmp_path / "cms_feed")
+    schema = "user_id long"
+    b1 = [(i % 5,) for i in range(40)]          # users 0-4, 8 each
+    b2 = [(3,)] * 30 + [(9,)] * 10              # user 3 goes hot
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(feed)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(feed)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_frequency_sketch(
+        sdf, "stream_cms", checkpoint_dir=str(tmp_path / "cms_ck"),
+        keys=[], value_col="user_id", depth=4, width=256,
+    )
+
+    whole = spark.createDataFrame(b1 + b2, schema)
+    direct = cms_sketch(whole, [], "user_id", depth=4, width=256)
+    streamed = spark.table("stream_cms")
+    assert streamed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(streamed).count() == 0
+
+    probes = whole.select("user_id").distinct()
+    est = {
+        r.user_id: r.est_count
+        for r in cms_lookup(streamed, probes, "user_id", depth=4, width=256).collect()
+    }
+    true = {r.user_id: r.t for r in whole.groupBy("user_id").agg(F.count("*").alias("t")).collect()}
+    assert all(est[u] >= true[u] for u in true)
+    assert est[3] >= 38  # the hot key's history survived the merge
