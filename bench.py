@@ -224,6 +224,9 @@ def main() -> None:
         "q19_charlm_score": (qs["t_charlm_score"], True),
         # ER steady state: ~2.1k-record batch vs the 15k-record index
         "q20_er_incremental": (q_er_incremental, True),
+        # exact substring dedup: ~1M 8-token span fingerprints over 5k
+        # docs at sf0.1 (explode + partial-agg groupBy + join-back)
+        "q21_span_dedup": (qs["t_span_dedup"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

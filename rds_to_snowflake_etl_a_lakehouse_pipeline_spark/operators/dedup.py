@@ -1469,7 +1469,10 @@ def duplicated_span_hits(
             ),
         ),
     )
-    exploded = df.select(
+    # per-row span hashing is heavy (k-token joins + md5 per position):
+    # spread an under-parallel scan before exploding (no-op on real
+    # multi-row-group tables)
+    exploded = _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_sid"), F.explode(spans).alias("_s")
     ).select("_sid", F.col("_s.pos").alias("_pos"), F.col("_s._h").alias("_h"))
     firsts = (
@@ -1529,26 +1532,35 @@ def span_dedup(
     )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     hp = F.coalesce(F.col("_hitpos"), F.array().cast("array<bigint>"))
-    kept = F.filter(
-        toks,
-        lambda t, i: ~F.exists(
-            hp, lambda p: (p <= i + 1) & (i + 1 <= p + F.lit(k - 1))
-        ),
-    )
+    # per_doc is usually small → BHJ leaves the corpus side's (possibly
+    # under-parallel) partitioning untouched; spread it first so the
+    # mask pass distributes. Bind _kept ONCE as its own projected
+    # attribute — deriving out_col and removed_col from one nested
+    # expression would evaluate the O(tokens × hits) mask twice per row.
     out = (
-        df.join(per_doc, on=id_col, how="left")
+        _ensure_parallelism(df)
+        .join(per_doc, on=id_col, how="left")
+        .withColumn(
+            "_kept",
+            F.filter(
+                toks,
+                lambda t, i: ~F.exists(
+                    hp, lambda p: (p <= i + 1) & (i + 1 <= p + F.lit(k - 1))
+                ),
+            ),
+        )
         .withColumn(
             out_col,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
-                F.array_join(kept, " ")
+                F.array_join(F.col("_kept"), " ")
             ),
         )
         .withColumn(
             removed_col,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint")).otherwise(
-                (F.size(toks) - F.size(kept)).cast("bigint")
+                (F.size(toks) - F.size(F.col("_kept"))).cast("bigint")
             ),
         )
-        .drop("_hitpos")
+        .drop("_hitpos", "_kept")
     )
     return out

@@ -59,6 +59,8 @@ AUDIT = [
     "s13_orc_roundtrip",
     "t_weighted_sample",
     "t_pretrain_pipeline",
+    "t_span_dedup",
+    "a1_cms_topk",
 ]
 
 
