@@ -1929,6 +1929,28 @@ def _q_j_salted_skew(spark, sf_dir):
     )
 
 
+def _q_j6_semi_anti_join(spark, sf_dir):
+    """Existence joins: customers WITH at least one open order
+    (left_semi) and customers WITHOUT any (left_anti), one flagged
+    union — the EXISTS / NOT EXISTS pair. Semi/anti never materialize
+    the probe side's payload: the build side reduces to its join key
+    (distinct-on-key at the exchange), so at 100 TB the shuffle carries
+    keys, not order rows, and AQE broadcasts the reduced side when it
+    fits."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey"
+    )
+    on = F.col("c_custkey") == F.col("o_custkey")
+    with_open = c.join(o, on, "left_semi").withColumn(
+        "order_status", F.lit("with_open_orders")
+    )
+    without = c.join(o, on, "left_anti").withColumn(
+        "order_status", F.lit("no_open_orders")
+    )
+    return with_open.unionByName(without)
+
+
 def _q_x2_asof_join(spark, sf_dir):
     """Backward as-of join (union-trick, one shuffle): each purchase
     picks up the latest click at-or-before it by the same user. Oracle
@@ -2823,8 +2845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front-50 should take those 13 plus the round-5 behind-cap
     additions (s12_zorder_roundtrip, x1_versioned_stream,
     t_corpus_report, a1_grouping_sets twin-checks aside —
-    v_semantic_dedup, t_quality_model, t_bpe_tokens, a1_hll_rollup),
-    all locally 107/107 oracle-green at both SFs this round."""
+    v_semantic_dedup, t_quality_model, t_bpe_tokens, a1_hll_rollup,
+    and the late-round-5 t_span_dedup, j6_semi_anti_join, a1_cms_topk,
+    v_mmr_rerank), all oracle-backed entries locally green this round
+    (118/118 at sf0.01)."""
     return {
         # ---- round-5 front 50: everything whose last direct verdict
         # ---- predates the round-4 testdata regeneration
@@ -2961,6 +2985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_range_join": _q_x2_range_join,
         "w4_merge_upsert": _q_w4_merge_upsert,
         "j_salted_skew": _q_j_salted_skew,
+        # new in round 5, behind the cap: EXISTS/NOT-EXISTS join pair
+        "j6_semi_anti_join": _q_j6_semi_anti_join,
         "v_lsh_topk": _q_v_lsh_topk,
         "v_ivf_topk": _q_v_ivf_topk,
         "v_ivf_index_topk": _q_v_ivf_index_topk,
@@ -3598,6 +3624,16 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(e.value), 2) AS total_value "
             "FROM events e JOIN customer c ON c.c_custkey = e.user_id "
             "GROUP BY c.c_mktsegment"
+        ),
+        "j6_semi_anti_join": (
+            "WITH o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') "
+            "SELECT c_custkey, c_mktsegment, 'with_open_orders' AS order_status "
+            "FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey) "
+            "UNION ALL "
+            "SELECT c_custkey, c_mktsegment, 'no_open_orders' AS order_status "
+            "FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)"
         ),
         "x2_asof_join": (
             "WITH p AS (SELECT event_id, user_id, ts, value FROM events "

@@ -214,6 +214,20 @@ def main() -> None:
         ).count(),
     )
 
+    # span-level exact substring dedup: the replicated corpus shares
+    # every 8-token span across copies, so the duplicated-span set is
+    # dense — worst-case-ish load for the fingerprint agg + join-back
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    stats["span_tokens_removed"] = stage(
+        "span_dedup",
+        lambda: span_dedup(docs, "doc_id", "text", k=8)
+        .agg(F.sum("n_tokens_removed"))
+        .first()[0],
+    )
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
