@@ -282,12 +282,21 @@ def export_shards(
     n_shards: int,
     seed: int = 42,
     mode: str = "overwrite",
+    format: str = "parquet",
+    compression: str | None = None,
 ) -> None:
     """Materialize :func:`global_shuffle` as the on-disk training
-    layout: parquet partitioned by ``shard``, rows inside every shard
+    layout: ``shard``-partitioned files, rows inside every shard
     file in ``shard_pos`` order — so a sequential reader of
     ``shard=K/`` streams documents in the deterministic pseudo-random
     order with zero train-time shuffling.
+
+    ``format="parquet"`` (default) or ``"json"`` — the latter writes
+    JSON Lines, the interchange format most LLM training/tokenizer
+    stacks consume directly; same layout and ordering guarantees
+    (row order within a JSONL part file is the write order).
+    ``compression`` e.g. ``"gzip"`` for JSONL, ``"snappy"``/``"zstd"``
+    for parquet; None = the format's Spark default.
 
     One ``repartition(shard)`` exchange + an in-partition sort by
     (shard, pos) — the sort is local to each shard's partition, no
@@ -295,14 +304,18 @@ def export_shards(
     each: size it to your trainer's file-parallelism and executor sort
     memory.
     """
+    if format not in ("parquet", "json"):
+        raise ValueError(f"unknown export format: {format!r} (parquet|json)")
     out = global_shuffle(df, key_col, n_shards, seed)
-    (
+    writer = (
         out.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "shard_pos")
         .write.mode(mode)
         .partitionBy("shard")
-        .parquet(path)
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.format(format).save(path)
 
 
 def mixture_weights(

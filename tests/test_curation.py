@@ -374,3 +374,48 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = [r.id for r in weighted_sample(df, "id", "w", 10).collect()]
     assert got == [1]
+
+
+def test_export_shards_jsonl_matches_parquet_layout(docs, tmp_path):
+    """JSONL export (the LLM-stack interchange format) must carry the
+    identical shard assignment and in-file ordering as the parquet
+    layout, and reject unknown formats."""
+    import json as _json
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        export_shards,
+        global_shuffle,
+    )
+
+    spark = docs.sparkSession
+    path = str(tmp_path / "jsonl_shards")
+    export_shards(
+        docs.select("doc_id", "n_chars"), path, "doc_id", n_shards=4,
+        format="json", compression="gzip",
+    )
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+    want = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in global_shuffle(docs.select("doc_id"), "doc_id", 4).collect()
+    }
+    got = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in back.select("doc_id", "shard", "shard_pos").collect()
+    }
+    assert got == want
+    # the raw JSONL bytes of one shard stream in shard_pos order
+    import gzip as _gzip
+
+    files = sorted(_glob.glob(path + "/shard=1/*.json.gz"))
+    assert files, "expected gzip JSONL part files"
+    seq = []
+    for f in files:
+        with _gzip.open(f, "rt") as fh:
+            seq.extend(_json.loads(line)["shard_pos"] for line in fh)
+    assert seq == sorted(seq)
+    with _pytest.raises(ValueError, match="unknown export format"):
+        export_shards(docs, path, "doc_id", 4, format="csv")
