@@ -572,3 +572,53 @@ def test_weighted_sample_matches_python_replay(spark, rows, k):
     df = spark.createDataFrame(rows, "id long, w int")
     got = [r.id for r in weighted_sample(df, "id", "w", k).collect()]
     assert sorted(got) == sorted(want)
+
+
+def _span_dedup_replay(docs: dict[int, str], k: int) -> dict[int, tuple[str, int]]:
+    """Pure-Python replay of span_dedup's contract: every duplicated
+    k-token span's non-first occurrence (global (id, pos) order) covers
+    its k tokens; kept tokens rejoin with single spaces."""
+    toks = {i: t.strip().split() if t.strip() else [""] for i, t in docs.items()}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - k + 1):
+            occ.setdefault(tuple(t[p : p + k]), []).append((i, p))
+    removed: dict[int, set[int]] = {i: set() for i in toks}
+    for span, places in occ.items():
+        if len(places) < 2:
+            continue
+        for (i, p) in places[1:]:  # first occurrence survives
+            removed[i].update(range(p, p + k))
+    out = {}
+    for i, t in toks.items():
+        kept = [w for j, w in enumerate(t) if j not in removed[i]]
+        out[i] = (" ".join(kept), len(t) - len(kept))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+@PROP
+def test_span_dedup_matches_pure_python_replay(spark, texts, k):
+    """span_dedup over tiny alphabet corpora (maximal span collisions)
+    equals the sequential keep-first replay, doc for doc."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.deduped_text, r.n_tokens_removed)
+        for r in span_dedup(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == _span_dedup_replay(docs, k)
