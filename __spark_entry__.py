@@ -2165,6 +2165,46 @@ def _q_x1_stream_warehouse(spark, sf_dir):
     )
 
 
+def _q_x1_cms_stream(spark, sf_dir):
+    """Streaming heavy-hitter state: the event stream's user_id
+    frequencies land as per-batch count-min grids merged into a
+    persisted sketch table (streaming/events.py::stream_frequency_sketch),
+    then the top-20 candidates rank by sketch estimate over the WHOLE
+    streamed history. Because CMS merge is lossless (sum of grids ==
+    grid of union, pinned by test_stream_frequency_sketch_*), this is
+    the batch a1_cms_topk computed incrementally — identical rows.
+    Rows-only for the same reason as its batch twin (cell hashing is
+    engine-internal)."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        cms_lookup,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_frequency_sketch,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS cms_stream_q")
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    sdf = _stream_events_src(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    with tempfile.TemporaryDirectory() as ck:
+        stream_frequency_sketch(
+            sdf, "cms_stream_q", ck, keys=["day"], value_col="user_id",
+            depth=5, width=4096, query_name="x1_cms_stream",
+        )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        cms_merge,
+    )
+
+    merged = cms_merge(spark.table("cms_stream_q"), [])
+    probes = ev.select("user_id").distinct()
+    return (
+        cms_lookup(merged, probes, "user_id", depth=5, width=4096)
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )
+
+
 def _q_x1_stateful_totals(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals. Drained with availableNow over a single input file
@@ -2963,6 +3003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5, behind the cap: mergeable CMS heavy hitters
         # (rows-only; bounds + merge losslessness pinned by pytest)
         "a1_cms_topk": _q_a1_cms_topk,
+        # ... and its streaming twin (lossless per-batch grid merge ==
+        # the batch sketch; rows-only like the batch form)
+        "x1_cms_stream": _q_x1_cms_stream,
         "t_corpus_report": _q_t_corpus_report,
         "d_cc_dedup": _q_d_cc_dedup,
         "x1_tumbling_window": _q_x1_tumbling_window,
