@@ -984,6 +984,26 @@ def _q_v_mmr_rerank(spark, sf_dir):
     return mmr_rerank(cand, k=10, lam=0.7)
 
 
+def _q_v_knn_classify(spark, sf_dir):
+    """kNN label propagation (operators/similarity.knn_classify):
+    vectors 0-4 play the unlabeled queries, the rest of the embeddings
+    corpus keeps its labels; each query takes the majority label of its
+    10 nearest neighbors by cosine, ties broken by nearest supporting
+    evidence. Exact retrieval tier — ranking AND voting replay fully
+    in SQL (the IVF impl is the sublinear scale path, agreement pinned
+    by test_knn_classify_ivf_agrees_on_separated_clusters)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") > 4)
+    return knn_classify(corpus, queries, k=10)
+
+
 # Dedup tiers (operators/dedup.py) ----------------------------------------
 
 
@@ -3037,6 +3057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5, behind the cap: MMR diversified re-rank
         # (rows-only; lam=1.0 degeneracy pinned by pytest)
         "v_mmr_rerank": _q_v_mmr_rerank,
+        # new in round 5, behind the cap: kNN label propagation (oracle)
+        "v_knn_classify": _q_v_knn_classify,
         "m_decode_images": _q_m_decode_images,
         "w5_moving_avg": _q_w5_moving_avg,
         "a1_unpivot": _q_a1_unpivot,
@@ -3648,6 +3670,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT e.vec_id AS vec_id, round({qdot} / ({enorm} * {qnorm}), 6) AS cos_sim "
             "FROM embeddings e, q WHERE e.vec_id <> 0 "
             "ORDER BY cos_sim DESC, vec_id LIMIT 20"
+        ),
+        "v_knn_classify": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding "
+            "FROM embeddings WHERE vec_id <= 4), "
+            f"scored AS (SELECT q.query_id, e.vec_id, e.label, "
+            f"round({qdot} / ({enorm} * {qnorm}), 6) AS cos_sim "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id > 4), "
+            "ranked AS (SELECT query_id, vec_id, label, cos_sim, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored), "
+            "votes AS (SELECT query_id, label, count(*) AS n_votes, "
+            "min(rnk) AS best FROM ranked WHERE rnk <= 10 "
+            "GROUP BY query_id, label) "
+            "SELECT query_id, label AS predicted_label, "
+            "CAST(n_votes AS BIGINT) AS n_votes FROM ("
+            "SELECT query_id, label, n_votes, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY n_votes DESC, best, label) AS rn "
+            "FROM votes) WHERE rn = 1"
         ),
         # ts is parquet TIMESTAMP(NANOS): cast to µs TIMESTAMP to match the
         # engine's truncation (session.load) before bucketing/printing.

@@ -900,3 +900,67 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_id_col).applyInPandas(_mmr, out_schema)
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    impl: str = "exact",
+    out_col: str = "predicted_label",
+    **impl_kwargs,
+):
+    """k-nearest-neighbor classification over an embedding corpus:
+    each query takes the majority label among its k nearest neighbors
+    by cosine — the label-propagation step pipelines use to spread
+    curated quality/domain/topic tags from a labeled seed set to the
+    whole corpus. Vote ties break deterministically: higher count,
+    then (min neighbor rank among the tied labels) — i.e. the tied
+    label with the closest supporting neighbor wins, matching the
+    intuition that nearer evidence is stronger.
+
+    ``impl="exact"`` retrieves via :func:`brute_force_topk` (the
+    oracle-replayable baseline — ranking and voting are plain SQL);
+    ``impl="ivf"`` via :func:`ivf_topk` (the sublinear scale path:
+    same voting over approximate neighbors; ``impl_kwargs`` forwarded,
+    e.g. n_clusters/n_probe).
+
+    Returns one row per query: ``(query_id, out_col, n_votes)``.
+    Scale: retrieval dominates (see the chosen tier); voting is k
+    rows per query — a per-query groupBy on an already-tiny frame.
+    """
+    if impl == "exact":
+        cand = brute_force_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+    elif impl == "ivf":
+        cand = ivf_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, **impl_kwargs,
+        )
+    else:
+        raise ValueError(f"unknown knn impl: {impl!r} (exact|ivf)")
+    labeled = cand.join(
+        corpus.select(F.col(id_col), F.col(label_col)), id_col
+    )
+    votes = labeled.groupBy(query_id_col, label_col).agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.min("rank").alias("_best_rank"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("n_votes"), F.asc("_best_rank"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            F.col(label_col).alias(out_col),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )

@@ -1414,3 +1414,83 @@ def test_mmr_drops_null_vectors_and_validates_lam(spark):
     assert [r.vec_id for r in out] == [2]
     with _pytest.raises(ValueError, match="lam"):
         mmr_rerank(df, lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# kNN label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "b"),
+            (4, [0.1, 0.9], "b"),
+            (5, [0.5, 0.5], "c"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (200, [0.05, 1.0])],
+        "query_id long, embedding array<double>",
+    )
+    got = {
+        r.query_id: (r.predicted_label, r.n_votes)
+        for r in knn_classify(corpus, q, k=3).collect()
+    }
+    # q100's 3 nearest: 1,2 (a) then 5 (c) -> majority a with 2 votes
+    assert got[100] == ("a", 2)
+    assert got[200] == ("b", 2)
+    # k=4 for q100: a=2 votes (ranks 1,2), then c and b one each -> a
+    got4 = {
+        r.query_id: r.predicted_label
+        for r in knn_classify(corpus, q, k=4).collect()
+    }
+    assert got4[100] == "a"
+    # tie-break: k=2 on an equidistant-pair query -> labels a and b tie
+    # 1-1; the label whose supporting neighbor ranks closer wins
+    qt = spark.createDataFrame(
+        [(300, [0.6, 0.59])], "query_id long, embedding array<double>"
+    )
+    r = knn_classify(corpus.filter("vec_id in (1, 3)"), qt, k=2).first()
+    assert r.n_votes == 1
+    assert r.predicted_label == "a"  # vec 1 (label a) is the nearer evidence
+
+
+def test_knn_classify_ivf_agrees_on_separated_clusters(spark):
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [10.0 + (i % 3) * 0.01, 0.0], "x"))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3) * 0.01], "y"))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    q = spark.createDataFrame(
+        [(1000, [9.0, 0.5]), (2000, [0.5, 9.0])],
+        "query_id long, embedding array<double>",
+    )
+    exact = {
+        r.query_id: r.predicted_label
+        for r in knn_classify(corpus, q, k=5).collect()
+    }
+    approx = {
+        r.query_id: r.predicted_label
+        for r in knn_classify(
+            corpus, q, k=5, impl="ivf", n_clusters=2, n_probe=1
+        ).collect()
+    }
+    assert exact == approx == {1000: "x", 2000: "y"}
+    with _pytest.raises(ValueError, match="unknown knn impl"):
+        knn_classify(corpus, q, impl="flann")
