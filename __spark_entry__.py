@@ -2577,6 +2577,35 @@ def _q_d_minhash_index_dedup(spark, sf_dir):
     return surv.select("doc_id").orderBy("doc_id")
 
 
+def _q_d_span_index_dedup(spark, sf_dir):
+    """Persisted span-fingerprint index + incremental exact-substring
+    dedup (operators/dedup.py::span_build_index /
+    span_incremental_dedup — the standing-state form of t_span_dedup):
+    even doc_ids are the indexed standard, odd doc_ids arrive as a
+    batch; batch tokens covered by historical or within-batch
+    duplicated 8-token spans are removed. DROP+rebuild keeps the query
+    deterministic; append=False so re-runs measure identical work.
+    Rows-only by design (fingerprint internals mirror the hashing the
+    oracle can't replay incrementally); the one-shot equivalence to the
+    oracle-green t_span_dedup is pinned by
+    test_span_incremental_matches_full_span_dedup_for_one_shot."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_build_index,
+        span_incremental_dedup,
+    )
+
+    table = "span_idx_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    span_build_index(corpus, table, k=8)
+    out = span_incremental_dedup(spark, table, batch, k=8, append=False)
+    return out.select("doc_id", "deduped_text", "n_tokens_removed").orderBy(
+        "doc_id"
+    )
+
+
 def _q_s10_incremental_load(spark, sf_dir):
     """CDC-style incremental ingestion (plans/incremental.py): run 1
     full-loads orders into a catalog target; run 2 pulls only the delta
@@ -3012,6 +3041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_jaccard": _q_d_ngram_jaccard,
         "d_minhash_dedup": _q_d_minhash_dedup,
         "d_minhash_index_dedup": _q_d_minhash_index_dedup,
+        # new in round 5, behind the cap: incremental exact-substring
+        # dedup against the persisted span index (rows-only)
+        "d_span_index_dedup": _q_d_span_index_dedup,
         "d_simhash_pairs": _q_d_simhash_pairs,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,

@@ -1419,6 +1419,85 @@ def decontaminate_semantic(
     return df.join(hits, on=id_col, how="left_anti")
 
 
+def _span_explode(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """One row per k-token span: ``(_sid, _pos, _h)`` with ``_h`` the
+    16-byte md5 of the space-joined span (never the span text — shuffle
+    bytes stay constant per token regardless of ``k``)."""
+    if k < 2:
+        raise ValueError("span length k must be >= 2 tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.size(toks) - F.lit(k - 1)
+    spans = F.when(
+        n_spans >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.struct(
+                i.cast("bigint").alias("pos"),
+                F.unhex(F.md5(F.array_join(F.slice(toks, i, k), " "))).alias("_h"),
+            ),
+        ),
+    )
+    # per-row span hashing is heavy (k-token joins + md5 per position):
+    # spread an under-parallel scan before exploding (no-op on real
+    # multi-row-group tables)
+    return (
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("_sid"), F.explode(spans).alias("_s"))
+        .select("_sid", F.col("_s.pos").alias("_pos"), F.col("_s._h").alias("_h"))
+    )
+
+
+def _apply_span_mask(
+    df: DataFrame,
+    hits: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    out_col: str,
+    removed_col: str,
+) -> DataFrame:
+    """Drop every token covered by a hit span (start ``p`` covers
+    ``p .. p+k-1``) and rejoin the survivors — the shared back half of
+    :func:`span_dedup` / :func:`span_incremental_dedup`. ``hits`` is an
+    ``(id_col, pos)`` DataFrame."""
+    per_doc = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_hitpos")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hp = F.coalesce(F.col("_hitpos"), F.array().cast("array<bigint>"))
+    # per_doc is usually small → BHJ leaves the corpus side's (possibly
+    # under-parallel) partitioning untouched; spread it first so the
+    # mask pass distributes. Bind _kept ONCE as its own projected
+    # attribute — deriving out_col and removed_col from one nested
+    # expression would evaluate the O(tokens × hits) mask twice per row.
+    return (
+        _ensure_parallelism(df)
+        .join(per_doc, on=id_col, how="left")
+        .withColumn(
+            "_kept",
+            F.filter(
+                toks,
+                lambda t, i: ~F.exists(
+                    hp, lambda p: (p <= i + 1) & (i + 1 <= p + F.lit(k - 1))
+                ),
+            ),
+        )
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.array_join(F.col("_kept"), " ")
+            ),
+        )
+        .withColumn(
+            removed_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint")).otherwise(
+                (F.size(toks) - F.size(F.col("_kept"))).cast("bigint")
+            ),
+        )
+        .drop("_hitpos", "_kept")
+    )
+
+
 def duplicated_span_hits(
     df: DataFrame,
     id_col: str,
@@ -1455,26 +1534,7 @@ def duplicated_span_hits(
        window over the fingerprint, which pins every copy of a hot
        span to one task by construction — deliberately avoided).
     """
-    if k < 2:
-        raise ValueError("span length k must be >= 2 tokens")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_spans = F.size(toks) - F.lit(k - 1)
-    spans = F.when(
-        n_spans >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_spans),
-            lambda i: F.struct(
-                i.cast("bigint").alias("pos"),
-                F.unhex(F.md5(F.array_join(F.slice(toks, i, k), " "))).alias("_h"),
-            ),
-        ),
-    )
-    # per-row span hashing is heavy (k-token joins + md5 per position):
-    # spread an under-parallel scan before exploding (no-op on real
-    # multi-row-group tables)
-    exploded = _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("_sid"), F.explode(spans).alias("_s")
-    ).select("_sid", F.col("_s.pos").alias("_pos"), F.col("_s._h").alias("_h"))
+    exploded = _span_explode(df, id_col, text_col, k)
     firsts = (
         exploded.groupBy("_h")
         .agg(
@@ -1527,40 +1587,92 @@ def span_dedup(
     only).
     """
     hits = duplicated_span_hits(df, id_col, text_col, k=k, min_count=min_count)
-    per_doc = hits.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("pos")).alias("_hitpos")
+    return _apply_span_mask(df, hits, id_col, text_col, k, out_col, removed_col)
+
+
+def span_build_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the corpus's distinct k-token span fingerprints as a
+    bucketed catalog table — the standing-state form of
+    :func:`span_dedup` for a pipeline that ingests batches forever
+    (the exact-substring twin of :func:`minhash_build_index`).
+
+    The table holds one 16-byte ``_h`` per DISTINCT span ever seen,
+    hash-bucketed on ``_h``: each later probe joins on ``_h`` against a
+    side that was pre-shuffled at write time. Size is bounded by the
+    corpus's distinct-span count (≤ its token count), and existence is
+    all the dedup semantics need — historical copies always outrank a
+    new batch, so no (id, pos) payload is stored. ``k`` is part of the
+    index contract: every probe/append must pass the same value.
+
+    Run :func:`span_dedup` over the initial corpus FIRST if it should
+    be self-deduped before becoming the standard; the index then
+    memorializes whatever text the caller passed here.
+    """
+    from ..sources.io import write_table
+
+    fps = _span_explode(df, id_col, text_col, k).select("_h").distinct()
+    write_table(fps, table, bucket_by=(n_buckets, ["_h"]))
+
+
+def span_incremental_dedup(
+    spark,
+    table: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    append: bool = True,
+    out_col: str = "deduped_text",
+    removed_col: str = "n_tokens_removed",
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """Exact substring dedup of ONE arriving batch against everything
+    ever seen: a batch token is dropped iff covered by a span that is
+    (a) already in the ``table`` index — any historical occurrence
+    outranks the batch — or (b) a non-first duplicate WITHIN the batch
+    (:func:`duplicated_span_hits` semantics). With ``append=True`` the
+    batch's distinct previously-unseen fingerprints then join the
+    index, so later batches dedup against this one. Returns the masked
+    batch (same contract as :func:`span_dedup`).
+
+    The hit set is MATERIALIZED (``storage``: checkpoint|persist, see
+    :func:`_materialize` for the durability trade-off) before the
+    append touches the index — the returned DataFrame is lazy, and an
+    un-materialized hit plan re-read at collect time would see the
+    index ALREADY containing this batch's own spans and mask every
+    token (caught by
+    ``test_span_incremental_dedup_against_persisted_index``).
+
+    Steady-state cost is batch-proportional: the batch pays its own
+    span explode, one bucket-key semi-join against the pre-shuffled
+    index (never an index scan-and-shuffle), its own within-batch
+    groupBy, and a distinct+anti-join for the append — the full-corpus
+    re-dedup never reruns. Eventually-masked text is what the CALLER
+    keeps; the index remembers original spans (by design: a span seen
+    once and masked later must still be recognized as seen).
+    """
+    idx = spark.table(table)
+    sb = _span_explode(batch, id_col, text_col, k)
+    # (a) historical hits: semi-join keeps the probe side's (id, pos)
+    hist_hits = sb.join(idx, "_h", "leftsemi").select(
+        F.col("_sid").alias(id_col), F.col("_pos").alias("pos")
     )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hp = F.coalesce(F.col("_hitpos"), F.array().cast("array<bigint>"))
-    # per_doc is usually small → BHJ leaves the corpus side's (possibly
-    # under-parallel) partitioning untouched; spread it first so the
-    # mask pass distributes. Bind _kept ONCE as its own projected
-    # attribute — deriving out_col and removed_col from one nested
-    # expression would evaluate the O(tokens × hits) mask twice per row.
-    out = (
-        _ensure_parallelism(df)
-        .join(per_doc, on=id_col, how="left")
-        .withColumn(
-            "_kept",
-            F.filter(
-                toks,
-                lambda t, i: ~F.exists(
-                    hp, lambda p: (p <= i + 1) & (i + 1 <= p + F.lit(k - 1))
-                ),
-            ),
-        )
-        .withColumn(
-            out_col,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
-                F.array_join(F.col("_kept"), " ")
-            ),
-        )
-        .withColumn(
-            removed_col,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint")).otherwise(
-                (F.size(toks) - F.size(F.col("_kept"))).cast("bigint")
-            ),
-        )
-        .drop("_hitpos", "_kept")
+    # (b) within-batch non-first duplicates
+    batch_hits = duplicated_span_hits(batch, id_col, text_col, k=k)
+    hits = _materialize(
+        hist_hits.unionByName(batch_hits).distinct(), storage
     )
-    return out
+    masked = _apply_span_mask(batch, hits, id_col, text_col, k, out_col, removed_col)
+    if append:
+        from ..sources.io import write_table
+
+        new_fps = sb.select("_h").distinct().join(idx, "_h", "leftanti")
+        write_table(new_fps, table, mode="append", bucket_by=(32, ["_h"]))
+    return masked

@@ -1494,3 +1494,85 @@ def test_knn_classify_ivf_agrees_on_separated_clusters(spark):
     assert exact == approx == {1000: "x", 2000: "y"}
     with _pytest.raises(ValueError, match="unknown knn impl"):
         knn_classify(corpus, q, impl="flann")
+
+
+def test_span_incremental_dedup_against_persisted_index(spark):
+    """Batch tokens covered by historically-seen spans are dropped even
+    though the batch itself has no internal duplication; appends extend
+    the standard so batch 2 dedups against batch 1's spans."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_build_index,
+        span_incremental_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    fresh = "totally new content nothing shared here"
+    spark.sql("DROP TABLE IF EXISTS span_idx_t")
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    span_build_index(corpus, "span_idx_t", k=4)
+
+    # batch 1: one doc repeating the corpus span, one genuinely new
+    b1 = spark.createDataFrame(
+        [(10, "intro " + base + " outro"), (11, fresh)],
+        "doc_id long, text string",
+    )
+    got1 = {
+        r.doc_id: (r.deduped_text, r.n_tokens_removed)
+        for r in span_incremental_dedup(
+            spark, "span_idx_t", b1, k=4
+        ).collect()
+    }
+    # hit spans start at positions 2-4 (the three historical 4-grams),
+    # covering tokens 2-7; the unseen boundary spans containing intro /
+    # outro don't hit, so those two tokens survive
+    assert got1[10] == ("intro outro", 6)
+    assert got1[11] == (fresh, 0)
+
+    # batch 2: repeats batch 1's NEW doc -> dropped via the appended index
+    b2 = spark.createDataFrame([(20, fresh)], "doc_id long, text string")
+    got2 = span_incremental_dedup(spark, "span_idx_t", b2, k=4).first()
+    assert got2.deduped_text == "" and got2.n_tokens_removed == 6
+
+    # append=False leaves the index unchanged
+    n_before = spark.table("span_idx_t").count()
+    b3 = spark.createDataFrame(
+        [(30, "another brand new span of words entirely")],
+        "doc_id long, text string",
+    )
+    span_incremental_dedup(spark, "span_idx_t", b3, k=4, append=False)
+    assert spark.table("span_idx_t").count() == n_before
+
+
+def test_span_incremental_matches_full_span_dedup_for_one_shot(spark):
+    """Empty index + a single batch == plain span_dedup of that batch
+    (the from-scratch equivalence anchor)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_build_index,
+        span_dedup,
+        span_incremental_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "x y a b c d tail"),
+        (3, "a b c d e f g"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    spark.sql("DROP TABLE IF EXISTS span_idx_empty")
+    span_build_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "span_idx_empty", k=4,
+    )
+    inc = {
+        r.doc_id: (r.deduped_text, r.n_tokens_removed)
+        for r in span_incremental_dedup(
+            spark, "span_idx_empty", batch, k=4, append=False
+        ).collect()
+    }
+    full = {
+        r.doc_id: (r.deduped_text, r.n_tokens_removed)
+        for r in span_dedup(batch, "doc_id", "text", k=4).collect()
+    }
+    assert inc == full
