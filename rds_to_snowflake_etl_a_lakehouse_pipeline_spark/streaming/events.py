@@ -631,3 +631,52 @@ def stream_frequency_sketch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_span_dedup(
+    sdf: DataFrame,
+    table: str,
+    sink_table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    query_name: str = "stream_span_dedup",
+):
+    """Streaming exact-substring curation: every micro-batch of
+    arriving documents is masked against the persisted span-fingerprint
+    index (and within itself) through
+    ``operators.dedup.span_incremental_dedup``, the masked batch
+    appends to ``sink_table``, and the batch's unseen span fingerprints
+    extend the index — so later batches dedup against everything ever
+    streamed. The exact-substring sibling of
+    :func:`stream_corpus_dedup` (near-dup) and
+    :func:`stream_frequency_sketch` (frequencies): state lives in a
+    bucketed table, not the streaming state store — restart-proof,
+    queryable, compactable. ``k`` must match the
+    ``span_build_index`` call that created ``table``. Runs with
+    trigger=availableNow and blocks until input is drained.
+    """
+    from ..operators.dedup import span_incremental_dedup
+    from ..sources.io import write_table
+
+    def _mask(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        masked = span_incremental_dedup(
+            batch_df.sparkSession, table, batch_df,
+            id_col=id_col, text_col=text_col, k=k, append=True,
+        )
+        spark = batch_df.sparkSession
+        mode = "append" if spark.catalog.tableExists(sink_table) else "overwrite"
+        write_table(masked, sink_table, mode=mode)
+
+    q = (
+        sdf.writeStream.foreachBatch(_mask)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

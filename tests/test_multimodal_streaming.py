@@ -583,3 +583,50 @@ def test_stream_frequency_sketch_merges_batches_into_table(spark, tmp_path):
     true = {r.user_id: r.t for r in whole.groupBy("user_id").agg(F.count("*").alias("t")).collect()}
     assert all(est[u] >= true[u] for u in true)
     assert est[3] >= 38  # the hot key's history survived the merge
+
+
+def test_stream_span_dedup_masks_across_microbatches(spark, tmp_path):
+    """Batch 2's copy of a batch-1 document must be emptied (the index
+    accreted batch 1's spans before batch 2 probed), and the masked
+    stream lands in the sink table."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_build_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_span_dedup,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS stream_span_idx")
+    spark.sql("DROP TABLE IF EXISTS stream_span_sink")
+    base = " ".join(f"tok{i}" for i in range(12))
+    novel = " ".join(f"new{i}" for i in range(12))
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    span_build_index(corpus, "stream_span_idx", k=4)
+
+    feed = str(tmp_path / "span_feed")
+    schema = "doc_id long, text string"
+    # batch 1: repeats the standard (masked) + a novel doc (kept intact)
+    spark.createDataFrame(
+        [(10, base), (11, novel)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # batch 2: copies batch 1's NOVEL doc -> must be masked via append
+    spark.createDataFrame([(20, novel)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_span_dedup(
+        sdf, "stream_span_idx", "stream_span_sink",
+        checkpoint_dir=str(tmp_path / "span_ck"), k=4,
+    )
+    got = {
+        r.doc_id: (r.deduped_text, r.n_tokens_removed)
+        for r in spark.table("stream_span_sink").collect()
+    }
+    assert got[10] == ("", 12)      # the standard's copy is fully masked
+    assert got[11] == (novel, 0)    # first sighting survives...
+    assert got[20] == ("", 12)      # ...and later copies don't
