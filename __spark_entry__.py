@@ -2936,8 +2936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     t_corpus_report, a1_grouping_sets twin-checks aside —
     v_semantic_dedup, t_quality_model, t_bpe_tokens, a1_hll_rollup,
     and the late-round-5 t_span_dedup, j6_semi_anti_join, a1_cms_topk,
-    v_mmr_rerank), all oracle-backed entries locally green this round
-    (118/118 at sf0.01)."""
+    x1_cms_stream, v_mmr_rerank, v_knn_classify, d_span_index_dedup),
+    all oracle-backed entries locally green this round (120/120 at
+    BOTH sf0.01 and sf0.1)."""
     return {
         # ---- round-5 front 50: everything whose last direct verdict
         # ---- predates the round-4 testdata regeneration
