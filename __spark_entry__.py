@@ -2204,19 +2204,23 @@ def _q_x1_cms_stream(spark, sf_dir):
         stream_frequency_sketch,
     )
 
-    spark.sql("DROP TABLE IF EXISTS cms_stream_q")
+    # per-(sf_dir) table name like every other stateful query here —
+    # a shared fixed name would let sf0.01/sf0.1 (or concurrent
+    # harness runs) clobber each other's sketch state
+    table = "cms_stream_q_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     sdf = _stream_events_src(spark, sf_dir).withColumn("day", F.to_date("ts"))
     with tempfile.TemporaryDirectory() as ck:
         stream_frequency_sketch(
-            sdf, "cms_stream_q", ck, keys=["day"], value_col="user_id",
+            sdf, table, ck, keys=["day"], value_col="user_id",
             depth=5, width=4096, query_name="x1_cms_stream",
         )
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
         cms_merge,
     )
 
-    merged = cms_merge(spark.table("cms_stream_q"), [])
+    merged = cms_merge(spark.table(table), [])
     probes = ev.select("user_id").distinct()
     return (
         cms_lookup(merged, probes, "user_id", depth=5, width=4096)

@@ -286,8 +286,12 @@ def minhash_build_index(
     :func:`minhash_incremental_dedup`), not at build time: bucket
     sizes change as appends accrete, so capping is re-evaluated per
     probe over the buckets each batch actually hits.
+
+    Signature parameters + ``n_buckets`` are recorded as table
+    properties; probes/appends validate against them (a mismatched
+    ``shingle_n``/``num_hashes`` silently estimates garbage jaccard).
     """
-    from ..sources.io import write_table
+    from ..sources.io import set_table_meta, write_table
 
     banded = _band_explode(
         _signature_table(df, id_col, text_col, num_hashes, shingle_n, impl),
@@ -295,6 +299,15 @@ def minhash_build_index(
         num_hashes // bands,
     ).select(F.col("_id").alias(id_col), F.col("_sig").alias("sig"), "band", "bucket")
     write_table(banded, table, bucket_by=(n_buckets, ["bucket"]))
+    set_table_meta(
+        df.sparkSession,
+        table,
+        kind="minhash",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        n_buckets=n_buckets,
+    )
 
 
 def _split_index_hot_buckets(
@@ -357,6 +370,11 @@ def minhash_query_index(
     cluster; per-member pair recall inside the hot bucket is traded
     away). Sizing is computed per probe over only the buckets the batch
     hits, so it stays proportional to the batch."""
+    from ..sources.io import check_table_meta
+
+    check_table_meta(
+        spark, table, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
     idx = spark.table(table)
     nb = _band_explode(
         _signature_table(new_df, id_col, text_col, num_hashes, shingle_n, impl),
@@ -412,7 +430,7 @@ def minhash_incremental_dedup(
     text_col: str = "text",
     threshold: float = 0.8,
     append: bool = True,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     max_bucket_size: int | None = None,
     storage: str = "checkpoint",
     **sig_kwargs,
@@ -425,9 +443,11 @@ def minhash_incremental_dedup(
     :func:`minhash_lsh_dedup`: each batch costs its own signatures plus
     one bucketed join against the index, never a corpus re-scan.
 
-    ``n_buckets`` must match the ``minhash_build_index`` call that
-    created ``table`` — appends with a different bucket count would
-    either fail or silently break the pre-shuffled join layout.
+    ``n_buckets`` defaults from the index's recorded table properties
+    (and is validated against them when passed explicitly) — appends
+    with a different bucket count would either fail or silently break
+    the pre-shuffled join layout. Signature parameters are validated
+    the same way (:func:`~..sources.io.check_table_meta`).
 
     The batch is SIGNED ONCE: the checkpointed (_id, _sig) table feeds
     the corpus probe, the within-batch self-join, and the survivor
@@ -456,6 +476,19 @@ def minhash_incremental_dedup(
     bands = sig_kwargs.get("bands", 16)
     shingle_n = sig_kwargs.get("shingle_n", 5)
     impl = sig_kwargs.get("impl", "arrow")
+
+    from ..sources.io import check_table_meta
+
+    meta = check_table_meta(
+        spark,
+        table,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        n_buckets=n_buckets,
+    )
+    if n_buckets is None:
+        n_buckets = int(meta.get("n_buckets", 32))
 
     sig = _materialize(
         _signature_table(new_df, id_col, text_col, num_hashes, shingle_n, impl),
@@ -1504,6 +1537,7 @@ def duplicated_span_hits(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """All NON-FIRST occurrences of duplicated k-token spans, as
     ``(id, pos)`` rows (1-based token position of the span start).
@@ -1533,8 +1567,15 @@ def duplicated_span_hits(
        this join, which AQE's skew-join splitting handles (unlike a
        window over the fingerprint, which pins every copy of a hot
        span to one task by construction — deliberately avoided).
+
+    ``exploded``: a pre-built ``(_sid, _pos, _h)`` frame (the
+    :func:`_span_explode` output, usually MATERIALIZED by the caller) —
+    the incremental path builds it once and feeds the historical probe,
+    this within-batch pass, and the index append from the same blocks
+    instead of paying the per-row k-token join + md5 pass per consumer.
     """
-    exploded = _span_explode(df, id_col, text_col, k)
+    if exploded is None:
+        exploded = _span_explode(df, id_col, text_col, k)
     firsts = (
         exploded.groupBy("_h")
         .agg(
@@ -1614,11 +1655,17 @@ def span_build_index(
     Run :func:`span_dedup` over the initial corpus FIRST if it should
     be self-deduped before becoming the standard; the index then
     memorializes whatever text the caller passed here.
+
+    ``k`` and ``n_buckets`` are recorded as table properties
+    (:func:`~..sources.io.set_table_meta`); probes and appends validate
+    against them — a silent ``k`` mismatch would never match any gram
+    and pass everything through undeduped.
     """
-    from ..sources.io import write_table
+    from ..sources.io import set_table_meta, write_table
 
     fps = _span_explode(df, id_col, text_col, k).select("_h").distinct()
     write_table(fps, table, bucket_by=(n_buckets, ["_h"]))
+    set_table_meta(df.sparkSession, table, kind="span", k=k, n_buckets=n_buckets)
 
 
 def span_incremental_dedup(
@@ -1632,6 +1679,7 @@ def span_incremental_dedup(
     out_col: str = "deduped_text",
     removed_col: str = "n_tokens_removed",
     storage: str = "checkpoint",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exact substring dedup of ONE arriving batch against everything
     ever seen: a batch token is dropped iff covered by a span that is
@@ -1657,15 +1705,31 @@ def span_incremental_dedup(
     re-dedup never reruns. Eventually-masked text is what the CALLER
     keeps; the index remembers original spans (by design: a span seen
     once and masked later must still be recognized as seen).
+
+    ``k`` is validated against the index's recorded contract and
+    ``n_buckets`` defaults from it (:func:`~..sources.io.check_table_meta`)
+    — a mismatched ``k`` would silently dedup nothing, and a mismatched
+    append bucket spec would fail (or break the pre-shuffled layout).
     """
+    from ..sources.io import check_table_meta
+
+    meta = check_table_meta(spark, table, k=k, n_buckets=n_buckets)
+    if n_buckets is None:
+        n_buckets = int(meta.get("n_buckets", 32))
+
     idx = spark.table(table)
-    sb = _span_explode(batch, id_col, text_col, k)
+    # exploded ONCE and materialized: the historical probe, the
+    # within-batch groupBy + join-back, and the append all reuse these
+    # blocks (the per-row k-token join + md5 pass is the dominant
+    # per-batch cost; lazily re-deriving it per consumer would pay it
+    # 3-4x).
+    sb = _materialize(_span_explode(batch, id_col, text_col, k), storage)
     # (a) historical hits: semi-join keeps the probe side's (id, pos)
     hist_hits = sb.join(idx, "_h", "leftsemi").select(
         F.col("_sid").alias(id_col), F.col("_pos").alias("pos")
     )
     # (b) within-batch non-first duplicates
-    batch_hits = duplicated_span_hits(batch, id_col, text_col, k=k)
+    batch_hits = duplicated_span_hits(batch, id_col, text_col, k=k, exploded=sb)
     hits = _materialize(
         hist_hits.unionByName(batch_hits).distinct(), storage
     )
@@ -1674,5 +1738,5 @@ def span_incremental_dedup(
         from ..sources.io import write_table
 
         new_fps = sb.select("_h").distinct().join(idx, "_h", "leftanti")
-        write_table(new_fps, table, mode="append", bucket_by=(32, ["_h"]))
+        write_table(new_fps, table, mode="append", bucket_by=(n_buckets, ["_h"]))
     return masked

@@ -855,8 +855,19 @@ def mmr_rerank(
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
-    out_schema = (
-        f"{query_id_col} long, {id_col} long, {score_col} double, mmr_rank int"
+    # output field types come from the candidate frame's actual schema —
+    # string doc ids / float scores must round-trip untouched, not be
+    # miscast through a hardcoded long/double
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    in_fields = {f.name: f for f in candidates.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[query_id_col],
+            in_fields[id_col],
+            in_fields[score_col],
+            StructField("mmr_rank", IntegerType()),
+        ]
     )
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:

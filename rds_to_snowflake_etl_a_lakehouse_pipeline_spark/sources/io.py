@@ -197,6 +197,60 @@ def _save_with_orphan_retry(spark: SparkSession, writer, table: str) -> None:
     writer.saveAsTable(table)
 
 
+_INDEX_META_PREFIX = "spark_graft.index."
+
+
+def set_table_meta(spark: SparkSession, table: str, **props) -> None:
+    """Record index-contract parameters (k, n_buckets, num_hashes, …) as
+    table properties on a catalog table, namespaced under
+    ``spark_graft.index.*``. Standing-index builders call this at build
+    time so probes/appends can validate their parameters against the
+    table's actual contract instead of trusting the caller (a ``k``
+    mismatch on a fingerprint index is otherwise SILENTLY wrong: the
+    grams never match and everything passes through undeduped)."""
+    kv = ", ".join(f"'{_INDEX_META_PREFIX}{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def get_table_meta(spark: SparkSession, table: str) -> dict[str, str]:
+    """Read back the ``spark_graft.index.*`` properties set by
+    :func:`set_table_meta`. Empty dict for tables that predate metadata
+    (or were built elsewhere) — callers treat missing keys as
+    unvalidatable, not as a mismatch."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    plen = len(_INDEX_META_PREFIX)
+    return {
+        r["key"][plen:]: r["value"]
+        for r in rows
+        if r["key"].startswith(_INDEX_META_PREFIX)
+    }
+
+
+def check_table_meta(spark: SparkSession, table: str, **expected) -> dict[str, str]:
+    """Validate probe/append parameters against a standing index's
+    recorded contract. Raises ``ValueError`` listing every mismatching
+    key; keys absent from the table's metadata are skipped (pre-metadata
+    indexes stay usable). Returns the full recorded metadata so callers
+    can default unspecified parameters (e.g. ``n_buckets``) from it."""
+    meta = get_table_meta(spark, table)
+    bad = {
+        k: (meta[k], str(v))
+        for k, v in expected.items()
+        if v is not None and k in meta and meta[k] != str(v)
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: index has {have!r}, caller passed {want!r}"
+            for k, (have, want) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"index contract mismatch on table {table!r}: {detail} "
+            "(parameters are fixed at build time; rebuild the index or "
+            "match its recorded values)"
+        )
+    return meta
+
+
 def connection_config(prefix: str, keys: tuple[str, ...]) -> dict[str, str]:
     """S8: env-backed connection config (offline stand-in for the
     reference's Secrets Manager fetch, utils.py:5-16). Reads

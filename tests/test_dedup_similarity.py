@@ -1399,6 +1399,34 @@ def test_mmr_with_lam_one_is_plain_relevance_order(spark):
     assert [r.mmr_rank for r in out] == [1, 2, 3, 4]
 
 
+def test_mmr_output_types_follow_input_schema(spark):
+    """String ids and float scores must round-trip untouched — the
+    output schema is derived from the candidate frame, not hardcoded
+    long/double (round-5 advice)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        ("q1", "docA", [1.0, 0.0], 0.99),
+        ("q1", "docB", [0.0, 1.0], 0.80),
+    ]
+    cands = spark.createDataFrame(
+        rows,
+        "query_id string, vec_id string, embedding array<double>, cos_sim float",
+    )
+    out = mmr_rerank(cands, k=2, lam=0.5)
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields) == {
+        "query_id": "string",
+        "vec_id": "string",
+        "cos_sim": "float",
+        "mmr_rank": "int",
+    }
+    got = out.orderBy("mmr_rank").collect()
+    assert [r.vec_id for r in got] == ["docA", "docB"]
+    assert got[0].query_id == "q1"
+
+
 def test_mmr_drops_null_vectors_and_validates_lam(spark):
     import pytest as _pytest
 
@@ -1541,6 +1569,59 @@ def test_span_incremental_dedup_against_persisted_index(spark):
     )
     span_incremental_dedup(spark, "span_idx_t", b3, k=4, append=False)
     assert spark.table("span_idx_t").count() == n_before
+
+
+def test_index_contract_metadata_validation(spark):
+    """Standing indexes record their build parameters as table
+    properties; probes/appends validate against them. A silent ``k``
+    mismatch on a span index would pass everything through undeduped —
+    it must raise instead — and a non-default ``n_buckets`` must be
+    picked up by the append automatically (the round-5 advice bug:
+    appends hardcoded 32 and crashed on any other build spec)."""
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_build_index,
+        span_build_index,
+        span_incremental_dedup,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS span_idx_meta")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    span_build_index(corpus, "span_idx_meta", k=4, n_buckets=8)
+    meta = get_table_meta(spark, "span_idx_meta")
+    assert meta["k"] == "4" and meta["n_buckets"] == "8" and meta["kind"] == "span"
+
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon extra")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="index contract mismatch"):
+        span_incremental_dedup(spark, "span_idx_meta", batch, k=5)
+
+    # n_buckets defaults from metadata: the append against the
+    # 8-bucket table succeeds without the caller restating it
+    got = span_incremental_dedup(spark, "span_idx_meta", batch, k=4).first()
+    # historical spans @1,@2 cover tokens 1..5 -> only "extra" survives
+    assert (got.deduped_text, got.n_tokens_removed) == ("extra", 5)
+    b2 = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon extra")], "doc_id long, text string"
+    )
+    got2 = span_incremental_dedup(spark, "span_idx_meta", b2, k=4).first()
+    assert got2.deduped_text == ""  # batch-1 append took effect
+
+    # minhash twin: signature-parameter mismatch raises
+    spark.sql("DROP TABLE IF EXISTS mh_idx_meta")
+    minhash_build_index(corpus, "mh_idx_meta", num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="index contract mismatch"):
+        minhash_incremental_dedup(
+            spark, "mh_idx_meta", batch, num_hashes=64, bands=16
+        )
 
 
 def test_span_incremental_matches_full_span_dedup_for_one_shot(spark):
