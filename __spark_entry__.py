@@ -713,8 +713,16 @@ def _q_t_pretrain_pipeline(spark, sf_dir):
         .join(score_char_lm(d, lm, "doc_id", "text"), "doc_id")
         .filter((F.col("quality") >= 0.8) & (F.col("nll") <= 0.8))
     )
+    # materialize="checkpoint" pins the 150-row sample and re-spreads
+    # it, so the shard layout below runs distributed instead of
+    # inheriting the mid-plan limit's single partition (the last
+    # explain-audit offender — 0 single-partition exchanges now)
     picked = weighted_sample(
-        scored.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", k=150
+        scored.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "n_chars",
+        k=150,
+        materialize="checkpoint",
     )
     return global_shuffle(picked, "doc_id", n_shards=4).select(
         "doc_id", "lang", "shard", "shard_pos"
@@ -2922,203 +2930,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness verifies the FIRST 50 entries only, and entries ROTATE
     across rounds so every registered query keeps a driver verdict
     against CURRENT testdata (the driver regenerated all testdata in
-    round 4, staling every r02/r03 verdict). Round 5 composition: all
-    50 round-4-verified entries rotate OUT (their r04 verdicts stand on
-    current data) and the stale tranche rotates IN — the r02/r03
-    singles (P/F families, a1_* aggregates, text tier, vector
-    functions, s4/s5 sources, batch streaming twins) plus the new
-    a1_approx_percentile plus the new s11_versioned_merge and
-    a1_grouping_sets (first-ever verdicts beat refreshing
-    v_dot_product / f17_current_timestamp, which are composed inside
-    r04-green cosine / gold queries). After r05 every registered query
-    has an r04-or-r05 verdict except 13 repair/window/scalar singles
-    (r3-r12, w1, w3, v_dot_product, f17) deferred to r06 — each is
-    compositionally exercised inside an r04-green g_*/v_* query, so
-    their logic does carry a current verdict via composition. The r06
-    front-50 should take those 13 plus the round-5 behind-cap
-    additions (s12_zorder_roundtrip, x1_versioned_stream,
-    t_corpus_report, a1_grouping_sets twin-checks aside —
-    v_semantic_dedup, t_quality_model, t_bpe_tokens, a1_hll_rollup,
-    and the late-round-5 t_span_dedup, j6_semi_anti_join, a1_cms_topk,
-    x1_cms_stream, v_mmr_rerank, v_knn_classify, d_span_index_dedup),
-    all oracle-backed entries locally green this round (120/120 at
-    BOTH sf0.01 and sf0.1)."""
+    round 4, staling every r02/r03 verdict). Round 6 executes the
+    rotation planned in round 5: tranche A = the 13+1 repair/window/
+    scalar singles whose last direct verdict was r02 (each meanwhile
+    exercised compositionally inside r04-green g_* queries); tranche B
+    = every round-5 addition that entered the registry behind the cap
+    and so has never met the driver (span dedup + span index, CMS
+    batch/stream, MMR, kNN, PQ, weighted sample, pretrain pipeline,
+    z-order, versioned stream, corpus report, semantic dedup, quality
+    model, BPE, HLL, semi/anti join); tranche C = the 7 entries
+    displaced one-for-one during the r05 rotation, returning as
+    promised. The remaining 12 slots refresh the OLDEST (r04) verdicts
+    and are swapped out one-for-one as new round-6 queries land.
+    After r06 every registered query carries an r04-or-later verdict
+    against current testdata."""
     return {
-        # ---- round-5 front 50: everything whose last direct verdict
-        # ---- predates the round-4 testdata regeneration
-        # batch streaming twins + batch windows
-        "a1_groupby_agg": _q_a1_groupby_agg,
-        "j4_j5_fact_join": _q_j4_j5_fact_join,
-        "a1_cube": _q_a1_cube,
-        "a1_rollup": _q_a1_rollup,
-        "a1_grouping_sets": _q_a1_grouping_sets,  # new round 5
-        "a1_pivot": _q_a1_pivot,
-        "a1_percentile": _q_a1_percentile,
-        # new in round 5: deterministic shuffle-shard export layout
-        "t_global_shuffle": _q_t_global_shuffle,
-        "a1_count_distinct": _q_a1_count_distinct,
-        # sources
-        "s4_csv_source": _q_s4_csv_source,
-        "s4_json_source": _q_s4_json_source,
-        "s5_parquet_scan": _q_s5_parquet_scan,
-        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
-        # projections / filters / scalar functions
-        "p1_projection": _q_p1_projection,
-        "p2_projection_rename": _q_p2_projection_rename,
-        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
-        "p6_filter_eq": _q_p6_filter_eq,
-        "p8_compound_filter": _q_p8_compound_filter,
-        "f8_isin": _q_f8_isin,
-        "f_trim_upper": _q_f_trim_upper,
-        "f16_date_arith": _q_f16_date_arith,
-        "r8_recompute_amount": _q_r8_recompute_amount,
-        # joins / windows / set ops
-        "j1_j2_enrich": _q_j1_j2_enrich,
-        "j3_broadcast_join": _q_j3_broadcast_join,
-        "w2_surrogate_key": _q_w2_surrogate_key,
-        "o1_topk": _q_o1_topk,
-        "o1_set_except": _q_o1_set_except,
-        "o1_intersect": _q_o1_intersect,
-        # new in round 5: second columnar lake format (ORC) end-to-end
-        "s13_orc_roundtrip": _q_s13_orc_roundtrip,
-        # dedup / multimodal singles
-        "m_resize_images": _q_m_resize_images,
-        # new in round 5: char-LM perplexity-proxy quality scoring
-        "t_charlm_score": _q_t_charlm_score,
-        # text tier
-        "t_token_count": _q_t_token_count,
-        "t_quality_score": _q_t_quality_score,
-        "t_language_id": _q_t_language_id,
-        "t_doc_fingerprint": _q_t_doc_fingerprint,
-        "t_regex_tokens": _q_t_regex_tokens,
-        "t_exact_dedup": _q_t_exact_dedup,
-        "t_repetition_ratio": _q_t_repetition_ratio,
-        "t_pii_scrub": _q_t_pii_scrub,
-        "t_vocab_topk": _q_t_vocab_topk,
-        "t_tfidf_topterms": _q_t_tfidf_topterms,
-        "t_hash_split": _q_t_hash_split,
-        "t_chunk_documents": _q_t_chunk_documents,
-        "t_curation_pipeline": _q_t_curation_pipeline,
-        # vector functions
-        "v_l2_norm": _q_v_l2_norm,
-        # new in round 5: snapshot-versioned table (atomic append +
-        # partition-scoped COW merge) — first driver verdict this round
-        "s11_versioned_merge": _q_s11_versioned_merge,
-        # new in round 5: entity resolution (blocking -> levenshtein ->
-        # transitive clustering -> survivorship) — first driver verdict
-        # this round. Displaced to make room: d_minhash_pairs (rows-only
-        # — a driver verdict adds little beyond pytest + its oracle-green
-        # exact twin d_ngram_jaccard, r04) and x1_tumbling_stream (its
-        # batch twin x1_tumbling_window is r04-hash-green on current
-        # data); both rotate back in r06.
-        "er_resolve": _q_er_resolve,
-        "er_golden": _q_er_golden,
-        "er_incremental": _q_er_incremental,
-        "x1_er_stream": _q_x1_er_stream,
-        # ---- driver cap boundary (entry 50) ----
-        # displaced for x1_er_stream (winnowing's chunk-dedup kin
-        # t_chunk_dedup is r04-green); rotates back r06
-        "t_winnow": _q_t_winnow,
-        # new in round 5, behind the cap (front-50 already carries 8
-        # never-verified round-5 queries): first driver verdict in r06
-        "t_weighted_sample": _q_t_weighted_sample,
-        "t_pretrain_pipeline": _q_t_pretrain_pipeline,
-        "v_pq_topk": _q_v_pq_topk,
-        "x1_tumbling_stream": _q_x1_tumbling_stream,
-        "d_minhash_pairs": _q_d_minhash_pairs,
-        # rows-only (rsd-bound pytest + exact twin a1_percentile in the
-        # front-50); displaced for t_global_shuffle, rotates back r06
-        "a1_approx_percentile": _q_a1_approx_percentile,
-        # displaced for s13_orc_roundtrip (set-op siblings o1_set_except
-        # / o1_intersect stay in the front-50); rotates back r06
-        "o1_union": _q_o1_union,
-        # displaced for t_charlm_score / er_incremental (multimodal
-        # sibling m_resize_images stays in front); rotate back r06
-        "m_frame_sample": _q_m_frame_sample,
-        "m_decode_audio": _q_m_decode_audio,
-        # verified against CURRENT testdata in CORRECTNESS_r04.json
-        "g_dim_customers": _q_g_dim_customers,
-        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
-        "g_dim_products": _q_g_dim_products,
-        "g_fact_sales": _q_g_fact_sales,
-        "g_pipeline_runner": _q_g_pipeline_runner,
-        "d_exact_dedup": _q_d_exact_dedup,
-        "d_ngram_jaccard": _q_d_ngram_jaccard,
-        "d_minhash_dedup": _q_d_minhash_dedup,
-        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
-        # new in round 5, behind the cap: incremental exact-substring
-        # dedup against the persisted span index (rows-only)
-        "d_span_index_dedup": _q_d_span_index_dedup,
-        "d_simhash_pairs": _q_d_simhash_pairs,
-        "d_cosine_dedup": _q_d_cosine_dedup,
-        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
-        "v_semantic_dedup": _q_v_semantic_dedup,
-        "v_decontaminate": _q_v_decontaminate,
-        "t_quality_model": _q_t_quality_model,
-        "t_bpe_tokens": _q_t_bpe_tokens,
-        "a1_hll_rollup": _q_a1_hll_rollup,
-        # new in round 5, behind the cap: mergeable CMS heavy hitters
-        # (rows-only; bounds + merge losslessness pinned by pytest)
-        "a1_cms_topk": _q_a1_cms_topk,
-        # ... and its streaming twin (lossless per-batch grid merge ==
-        # the batch sketch; rows-only like the batch form)
-        "x1_cms_stream": _q_x1_cms_stream,
-        "t_corpus_report": _q_t_corpus_report,
-        "d_cc_dedup": _q_d_cc_dedup,
-        "x1_tumbling_window": _q_x1_tumbling_window,
-        "x1_session_window": _q_x1_session_window,
-        "x1_stream_enrich": _q_x1_stream_enrich,
-        "x1_session_stream": _q_x1_session_stream,
-        "x1_stream_dedup": _q_x1_stream_dedup,
-        "x1_stream_warehouse": _q_x1_stream_warehouse,
-        "x1_stateful_totals": _q_x1_stateful_totals,
-        "x1_sliding_stream": _q_x1_sliding_stream,
-        "x2_interval_join": _q_x2_interval_join,
-        "x1_interval_stream": _q_x1_interval_stream,
-        "s6_partition_pruning": _q_s6_partition_pruning,
-        "s7_warehouse_sink": _q_s7_warehouse_sink,
-        "s9_dq_gate": _q_s9_dq_gate,
-        "s10_incremental_load": _q_s10_incremental_load,
-        "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
-        "x1_versioned_stream": _q_x1_versioned_stream,
-        "x2_asof_join": _q_x2_asof_join,
-        "x2_range_join": _q_x2_range_join,
-        "w4_merge_upsert": _q_w4_merge_upsert,
-        "j_salted_skew": _q_j_salted_skew,
-        # new in round 5, behind the cap: EXISTS/NOT-EXISTS join pair
-        "j6_semi_anti_join": _q_j6_semi_anti_join,
-        "v_lsh_topk": _q_v_lsh_topk,
-        "v_ivf_topk": _q_v_ivf_topk,
-        "v_ivf_index_topk": _q_v_ivf_index_topk,
-        "v_cosine_pairs": _q_v_cosine_pairs,
-        # new in round 5, behind the cap: MMR diversified re-rank
-        # (rows-only; lam=1.0 degeneracy pinned by pytest)
-        "v_mmr_rerank": _q_v_mmr_rerank,
-        # new in round 5, behind the cap: kNN label propagation (oracle)
-        "v_knn_classify": _q_v_knn_classify,
-        "m_decode_images": _q_m_decode_images,
-        "w5_moving_avg": _q_w5_moving_avg,
-        "a1_unpivot": _q_a1_unpivot,
-        "x1_sliding_window": _q_x1_sliding_window,
-        "t_gopher_flags": _q_t_gopher_flags,
-        "t_chunk_dedup": _q_t_chunk_dedup,
-        # new in round 5, behind the cap: span-level exact substring
-        # dedup (first driver verdict in r06)
-        "t_span_dedup": _q_t_span_dedup,
-        "t_decontaminate": _q_t_decontaminate,
-        "a1_approx_distinct": _q_a1_approx_distinct,
-        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
-        "e_json_extract": _q_e_json_extract,
-        "t_pack_sequences": _q_t_pack_sequences,
-        "t_stratified_sample": _q_t_stratified_sample,
-        "t_best_per_lang": _q_t_best_per_lang,
-        "t_mixture_weights": _q_t_mixture_weights,
-        "t_apply_mixture": _q_t_apply_mixture,
-        # deferred to the r06 rotation: last direct verdicts are r02
-        # (stale data), but each is composed inside an r04-green g_*
-        # gold query (v_cosine_topk: same brute-force operator as the
-        # r04-green v_cosine_pairs), so the logic carries a current
-        # verdict
+        # ---- r06 front-50 tranche A: r02-era singles (last direct
+        # ---- verdict predates the round-4 testdata regeneration)
         "v_cosine_topk": _q_v_cosine_topk,
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
@@ -3133,6 +2961,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_null_if_future": _q_r10_null_if_future,
         "r11_prefer_source": _q_r11_prefer_source,
         "r12_current_rows": _q_r12_current_rows,
+        # ---- r06 front-50 tranche B: round-5 additions never driver-
+        # ---- verified (registered behind the cap last round)
+        "t_span_dedup": _q_t_span_dedup,
+        "d_span_index_dedup": _q_d_span_index_dedup,
+        "j6_semi_anti_join": _q_j6_semi_anti_join,
+        "a1_cms_topk": _q_a1_cms_topk,
+        "x1_cms_stream": _q_x1_cms_stream,
+        "v_mmr_rerank": _q_v_mmr_rerank,
+        "v_knn_classify": _q_v_knn_classify,
+        "t_weighted_sample": _q_t_weighted_sample,
+        "t_pretrain_pipeline": _q_t_pretrain_pipeline,
+        "v_pq_topk": _q_v_pq_topk,
+        "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
+        "x1_versioned_stream": _q_x1_versioned_stream,
+        "t_corpus_report": _q_t_corpus_report,
+        "v_semantic_dedup": _q_v_semantic_dedup,
+        "t_quality_model": _q_t_quality_model,
+        "t_bpe_tokens": _q_t_bpe_tokens,
+        "a1_hll_rollup": _q_a1_hll_rollup,
+        # ---- r06 front-50 tranche C: displaced in the r05 rotation,
+        # ---- rotating back as promised in the r05 plan
+        "d_minhash_pairs": _q_d_minhash_pairs,
+        "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "t_winnow": _q_t_winnow,
+        "a1_approx_percentile": _q_a1_approx_percentile,
+        "o1_union": _q_o1_union,
+        "m_frame_sample": _q_m_frame_sample,
+        "m_decode_audio": _q_m_decode_audio,
+        # ---- r06 front-50 refresh pads: oldest (r04) verdicts; swapped
+        # ---- out one-for-one as new round-6 queries land
+        "g_dim_customers": _q_g_dim_customers,
+        "g_dim_products": _q_g_dim_products,
+        "g_fact_sales": _q_g_fact_sales,
+        "g_pipeline_runner": _q_g_pipeline_runner,
+        "d_cc_dedup": _q_d_cc_dedup,
+        "s9_dq_gate": _q_s9_dq_gate,
+        "s10_incremental_load": _q_s10_incremental_load,
+        "x2_asof_join": _q_x2_asof_join,
+        "w4_merge_upsert": _q_w4_merge_upsert,
+        "x1_stateful_totals": _q_x1_stateful_totals,
+        "s6_partition_pruning": _q_s6_partition_pruning,
+        "e_json_extract": _q_e_json_extract,
+        # ---- driver cap boundary (entry 50) — everything below holds
+        # ---- an r04/r05 verdict against current testdata
+        "a1_groupby_agg": _q_a1_groupby_agg,
+        "j4_j5_fact_join": _q_j4_j5_fact_join,
+        "a1_cube": _q_a1_cube,
+        "a1_rollup": _q_a1_rollup,
+        "a1_grouping_sets": _q_a1_grouping_sets,
+        "a1_pivot": _q_a1_pivot,
+        "a1_percentile": _q_a1_percentile,
+        "t_global_shuffle": _q_t_global_shuffle,
+        "a1_count_distinct": _q_a1_count_distinct,
+        "s4_csv_source": _q_s4_csv_source,
+        "s4_json_source": _q_s4_json_source,
+        "s5_parquet_scan": _q_s5_parquet_scan,
+        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
+        "p1_projection": _q_p1_projection,
+        "p2_projection_rename": _q_p2_projection_rename,
+        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
+        "p6_filter_eq": _q_p6_filter_eq,
+        "p8_compound_filter": _q_p8_compound_filter,
+        "f8_isin": _q_f8_isin,
+        "f_trim_upper": _q_f_trim_upper,
+        "f16_date_arith": _q_f16_date_arith,
+        "r8_recompute_amount": _q_r8_recompute_amount,
+        "j1_j2_enrich": _q_j1_j2_enrich,
+        "j3_broadcast_join": _q_j3_broadcast_join,
+        "w2_surrogate_key": _q_w2_surrogate_key,
+        "o1_topk": _q_o1_topk,
+        "o1_set_except": _q_o1_set_except,
+        "o1_intersect": _q_o1_intersect,
+        "s13_orc_roundtrip": _q_s13_orc_roundtrip,
+        "m_resize_images": _q_m_resize_images,
+        "t_charlm_score": _q_t_charlm_score,
+        "t_token_count": _q_t_token_count,
+        "t_quality_score": _q_t_quality_score,
+        "t_language_id": _q_t_language_id,
+        "t_doc_fingerprint": _q_t_doc_fingerprint,
+        "t_regex_tokens": _q_t_regex_tokens,
+        "t_exact_dedup": _q_t_exact_dedup,
+        "t_repetition_ratio": _q_t_repetition_ratio,
+        "t_pii_scrub": _q_t_pii_scrub,
+        "t_vocab_topk": _q_t_vocab_topk,
+        "t_tfidf_topterms": _q_t_tfidf_topterms,
+        "t_hash_split": _q_t_hash_split,
+        "t_chunk_documents": _q_t_chunk_documents,
+        "t_curation_pipeline": _q_t_curation_pipeline,
+        "v_l2_norm": _q_v_l2_norm,
+        "s11_versioned_merge": _q_s11_versioned_merge,
+        "er_resolve": _q_er_resolve,
+        "er_golden": _q_er_golden,
+        "er_incremental": _q_er_incremental,
+        "x1_er_stream": _q_x1_er_stream,
+        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
+        "d_exact_dedup": _q_d_exact_dedup,
+        "d_ngram_jaccard": _q_d_ngram_jaccard,
+        "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
+        "d_simhash_pairs": _q_d_simhash_pairs,
+        "d_cosine_dedup": _q_d_cosine_dedup,
+        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        "v_decontaminate": _q_v_decontaminate,
+        "x1_tumbling_window": _q_x1_tumbling_window,
+        "x1_session_window": _q_x1_session_window,
+        "x1_stream_enrich": _q_x1_stream_enrich,
+        "x1_session_stream": _q_x1_session_stream,
+        "x1_stream_dedup": _q_x1_stream_dedup,
+        "x1_stream_warehouse": _q_x1_stream_warehouse,
+        "x1_sliding_stream": _q_x1_sliding_stream,
+        "x2_interval_join": _q_x2_interval_join,
+        "x1_interval_stream": _q_x1_interval_stream,
+        "s7_warehouse_sink": _q_s7_warehouse_sink,
+        "x2_range_join": _q_x2_range_join,
+        "j_salted_skew": _q_j_salted_skew,
+        "v_lsh_topk": _q_v_lsh_topk,
+        "v_ivf_topk": _q_v_ivf_topk,
+        "v_ivf_index_topk": _q_v_ivf_index_topk,
+        "v_cosine_pairs": _q_v_cosine_pairs,
+        "m_decode_images": _q_m_decode_images,
+        "w5_moving_avg": _q_w5_moving_avg,
+        "a1_unpivot": _q_a1_unpivot,
+        "x1_sliding_window": _q_x1_sliding_window,
+        "t_gopher_flags": _q_t_gopher_flags,
+        "t_chunk_dedup": _q_t_chunk_dedup,
+        "t_decontaminate": _q_t_decontaminate,
+        "a1_approx_distinct": _q_a1_approx_distinct,
+        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
+        "t_pack_sequences": _q_t_pack_sequences,
+        "t_stratified_sample": _q_t_stratified_sample,
+        "t_best_per_lang": _q_t_best_per_lang,
+        "t_mixture_weights": _q_t_mixture_weights,
+        "t_apply_mixture": _q_t_apply_mixture,
     }
 
 

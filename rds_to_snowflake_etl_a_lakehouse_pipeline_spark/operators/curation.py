@@ -224,6 +224,7 @@ def weighted_sample(
     weight_col: str,
     k: int,
     seed: int = 42,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     Spirakis, "Weighted random sampling with a reservoir", 2006): each
@@ -251,8 +252,13 @@ def weighted_sample(
     Spark falls back to sort + single-partition GlobalLimit over the
     input — fine when upstream gates have already shrunk the set (the
     narrow (key, weight, priority) rows of a filtered candidate pool),
-    wrong over a raw 100 TB corpus. At that scale materialize the
-    sample first (write/checkpoint the k rows), then continue.
+    wrong over a raw 100 TB corpus. Pass ``materialize``
+    ("checkpoint" | "persist", the :func:`~.dedup._materialize`
+    strategies) to cut the plan there: the k-row sample is computed
+    with the limit TERMINAL (per-partition heaps, k-sized merge),
+    pinned, and re-spread across ``defaultParallelism`` partitions so
+    every downstream stage runs distributed instead of inheriting the
+    limit's single partition.
     """
     h = F.conv(
         F.substring(
@@ -266,13 +272,20 @@ def weighted_sample(
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     w = F.col(weight_col).cast("double")
     pri = F.pow(u, F.lit(1.0) / w)
-    return (
+    out = (
         df.filter(w.isNotNull() & (w > 0))
         .withColumn("_pri", pri)
         .orderBy(F.col("_pri").desc(), F.col(key_col).asc())
         .limit(k)
         .drop("_pri")
     )
+    if materialize is not None:
+        from .dedup import _materialize
+
+        out = _materialize(out, materialize).repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+    return out
 
 
 def export_shards(

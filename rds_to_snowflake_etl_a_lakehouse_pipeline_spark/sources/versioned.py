@@ -103,9 +103,21 @@ class VersionedTable:
         vt.read(version=1)                # time travel
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        auto_compact_merges: int | None = None,
+    ):
         self.spark = spark
         self.root = root
+        # merge-cadence guard: SCALE.md measures ~+70% per-merge cost by
+        # merge 8 from exclusion-list + directory accretion, linear and
+        # reset by compact(). auto_compact_merges=N compacts
+        # automatically once N consecutive layout-dirtying commits have
+        # accreted; None leaves maintenance manual but
+        # :meth:`health` still reports ``compact_recommended``.
+        self.auto_compact_merges = auto_compact_merges
         os.makedirs(os.path.join(root, _VERSIONS_DIR), exist_ok=True)
 
     # ------------------------------------------------------------- manifests
@@ -150,6 +162,18 @@ class VersionedTable:
         version = (manifest["parent"] if manifest["parent"] is not None else 0) + 1
         manifest["version"] = version
         manifest["timestamp"] = time.time()
+        # layout-creep counter (the compaction-cadence metric): a commit
+        # whose layout is clean — one directory, no exclusions — resets
+        # it; anything else (merge, append, restore to a dirty version)
+        # inherits parent + 1. Recorded IN the manifest so health() is a
+        # constant-time read, not a history walk.
+        clean = len(manifest["entries"]) == 1 and not manifest["entries"][0]["exclude"]
+        parent_creep = 0
+        if manifest["parent"] is not None:
+            parent_creep = self._load_manifest(manifest["parent"]).get(
+                "merges_since_compact", 0
+            )
+        manifest["merges_since_compact"] = 0 if clean else parent_creep + 1
         final = self._manifest_path(version)
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -383,15 +407,29 @@ class VersionedTable:
         be immutable — a source row that moves key K from partition A to
         partition B only rewrites B, so K's old row in A would survive as
         a duplicate. If keys can migrate across partitions, leave the
-        table unpartitioned or route those keys through delete+merge."""
+        table unpartitioned or route those keys through delete+merge.
+
+        With ``auto_compact_merges=N`` on the table, a merge that brings
+        ``merges_since_compact`` to N triggers :meth:`compact` as a
+        follow-on commit (readers never block — it is just another
+        snapshot); the returned version is then the compaction's, whose
+        content equals the merge's."""
         attempt = 0
         while True:
             try:
-                return self._merge_once(source, keys, allow_new_columns)
+                v = self._merge_once(source, keys, allow_new_columns)
+                break
             except CommitConflictError:
                 if attempt >= retries:
                     raise
                 attempt += 1
+        if (
+            self.auto_compact_merges is not None
+            and self._load_manifest(v).get("merges_since_compact", 0)
+            >= self.auto_compact_merges
+        ):
+            v = self.compact()
+        return v
 
     def _merge_once(
         self, source: DataFrame, keys: list[str], allow_new_columns: bool
@@ -483,6 +521,40 @@ class VersionedTable:
         )
 
     # ----------------------------------------------------------- maintenance
+
+    def health(
+        self,
+        max_merges_since_compact: int = 8,
+        max_entries: int = 16,
+        max_exclusions: int = 64,
+    ) -> dict:
+        """Layout-health metrics for the latest snapshot, the
+        versioned-table twin of ``ivf_append_index``'s drift report:
+        merge-heavy tables accrete carried directories and exclusion
+        predicates linearly per merge (~+70% per-merge cost by merge 8,
+        SCALE.md), all reset by :meth:`compact`. Returns
+        ``{version, n_entries, n_exclusions, merges_since_compact,
+        compact_recommended}`` — ``compact_recommended`` trips when any
+        metric exceeds its threshold. Constant-time: reads one manifest,
+        never walks history or data."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed versions under {self.root}")
+        m = self._load_manifest(v)
+        n_entries = len(m["entries"])
+        n_exclusions = sum(len(e["exclude"]) for e in m["entries"])
+        creep = m.get("merges_since_compact", 0)
+        return {
+            "version": v,
+            "n_entries": n_entries,
+            "n_exclusions": n_exclusions,
+            "merges_since_compact": creep,
+            "compact_recommended": (
+                creep >= max_merges_since_compact
+                or n_entries > max_entries
+                or n_exclusions > max_exclusions
+            ),
+        }
 
     def compact(
         self,

@@ -149,6 +149,38 @@ def test_merge_chain_and_compact(spark, root):
     assert len(m["entries"]) == 1 and m["entries"][0]["exclude"] == []
 
 
+def test_health_cadence_and_auto_compact(spark, root):
+    """A merge chain trips ``compact_recommended``; compaction resets
+    it; ``auto_compact_merges`` runs the reset automatically (the
+    drift-detection pattern applied to layout creep)."""
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10), (3, "b", 30)]), partition_by=["part"])
+    h0 = vt.health()
+    assert h0["merges_since_compact"] == 0 and not h0["compact_recommended"]
+    for i in range(3):
+        vt.merge(_mk(spark, [(1, "a", 100 + i)]), keys=["id"])
+    h = vt.health(max_merges_since_compact=3)
+    assert h["merges_since_compact"] == 3
+    assert h["n_entries"] == 4 and h["n_exclusions"] > 0
+    assert h["compact_recommended"]
+    vt.compact()
+    h2 = vt.health(max_merges_since_compact=3)
+    assert h2["merges_since_compact"] == 0 and not h2["compact_recommended"]
+    assert h2["n_entries"] == 1 and h2["n_exclusions"] == 0
+
+    # auto mode: the 2nd merge triggers a follow-on compact commit whose
+    # content equals the merge's
+    auto = VersionedTable(spark, tempfile.mkdtemp(prefix="vt-auto-"),
+                          auto_compact_merges=2)
+    auto.write(_mk(spark, [(1, "a", 10), (3, "b", 30)]), partition_by=["part"])
+    auto.merge(_mk(spark, [(1, "a", 11)]), keys=["id"])
+    assert auto._load_manifest(auto.latest_version())["operation"] == "merge"
+    v = auto.merge(_mk(spark, [(3, "b", 31)]), keys=["id"])
+    m = auto._load_manifest(v)
+    assert m["operation"] == "compact" and m["merges_since_compact"] == 0
+    assert _rows(auto.read()) == [(1, "a", 11), (3, "b", 31)]
+
+
 def test_delete_cow(spark, root):
     vt = VersionedTable(spark, root)
     vt.write(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
