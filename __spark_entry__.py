@@ -1356,6 +1356,44 @@ def _q_m_decode_audio(spark, sf_dir):
     )
 
 
+def _q_m_media_decode(spark, sf_dir):
+    """REAL-codec decode tier end-to-end with an arithmetic oracle
+    (operators/multimodal.py::_parse_bmp/_parse_wav — the pure-Python
+    uncompressed-format parsers, new round 6): a deterministic 24-bpp
+    BMP (width = 1 + doc_id % 13, height = 1 + doc_id % 7) and an
+    8 kHz mono WAV (100 + doc_id % 50 frames) are synthesized per
+    document, then decoded by the REAL header parsers — the stub tier
+    is unreachable for these bytes. The oracle recomputes the expected
+    dimensions/duration arithmetically, so a parser bug OR a silent
+    fall-through to the sha256 fake hash-mismatches immediately."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        encode_bmp,
+        encode_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            imgs, wavs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 13, 1 + did % 7
+                imgs.append(encode_bmp(w, h, bytes(w * h * 3)))
+                wavs.append(encode_wav(8000, 1, b"\x00\x00" * (100 + did % 50)))
+            pdf["img"] = imgs
+            pdf["wav"] = wavs
+            yield pdf
+
+    blobs = d.mapInPandas(make, "doc_id long, img binary, wav binary")
+    out = decode_audio(decode_images(blobs, "img"), "wav")
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        "sample_rate", "n_channels", "duration_seconds",
+    )
+
+
 def _q_m_frame_sample(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     blobs = attach_fake_blobs(d, "text")
@@ -3002,9 +3040,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_merge_upsert": _q_w4_merge_upsert,
         "x1_stateful_totals": _q_x1_stateful_totals,
         "s6_partition_pruning": _q_s6_partition_pruning,
-        "e_json_extract": _q_e_json_extract,
+        # new in round 6 (swapped for the e_json_extract pad, r04-green):
+        # REAL BMP/WAV decode with an arithmetic oracle
+        "m_media_decode": _q_m_media_decode,
         # ---- driver cap boundary (entry 50) — everything below holds
         # ---- an r04/r05 verdict against current testdata
+        "e_json_extract": _q_e_json_extract,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4099,6 +4140,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         # every-2nd 16-byte frame; ASCII corpus -> char substring ==
         # byte substring, hex() is uppercase on both engines.
+        "m_media_decode": (
+            # the REAL parsers must recover exactly the synthesized
+            # geometry/duration; fake-tier dims would mismatch instantly
+            "SELECT doc_id, "
+            "CAST(1 + doc_id % 13 AS INT) AS width, "
+            "CAST(1 + doc_id % 7 AS INT) AS height, "
+            "CAST(3 AS INT) AS channels, "
+            "CAST(8000 AS INT) AS sample_rate, "
+            "CAST(1 AS INT) AS n_channels, "
+            "CAST(100 + doc_id % 50 AS DOUBLE) / CAST(8000 AS DOUBLE) "
+            "AS duration_seconds "
+            "FROM documents"
+        ),
         "m_frame_sample": (
             "WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS blen "
             "FROM documents), "

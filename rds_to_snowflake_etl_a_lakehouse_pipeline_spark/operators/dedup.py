@@ -49,6 +49,17 @@ def _materialize(df: DataFrame, storage: str, eager: bool = True) -> DataFrame:
     and blocks occupy executor storage until ``unpersist()`` (iterative
     callers here unpersist each superseded round; the final result's
     blocks are released when the caller drops the DataFrame).
+
+    ``storage="table"``: write to a catalog stage table
+    (``sg_stage_<uuid>``) and read it back — the only strategy that
+    survives a FULL job/driver restart, not just executor loss: a
+    restarted job can resume from the written stage instead of
+    recomputing (long multi-stage curation jobs on preemptible
+    infrastructure). Costs a full write+read round trip per
+    materialization; stage tables persist until dropped — iterative
+    callers leave one per round, so reserve it for the coarse
+    per-batch materializations (signatures, hit sets, survivors) and
+    clean up with ``DROP TABLE sg_stage_*`` when the job retires.
     """
     if storage == "checkpoint":
         return df.localCheckpoint(eager=eager)
@@ -59,7 +70,15 @@ def _materialize(df: DataFrame, storage: str, eager: bool = True) -> DataFrame:
         if eager:
             df.count()
         return df
-    raise ValueError(f"unknown storage strategy: {storage!r} (checkpoint|persist)")
+    if storage == "table":
+        import uuid
+
+        name = f"sg_stage_{uuid.uuid4().hex[:12]}"
+        df.write.mode("errorifexists").format("parquet").saveAsTable(name)
+        return df.sparkSession.table(name)
+    raise ValueError(
+        f"unknown storage strategy: {storage!r} (checkpoint|persist|table)"
+    )
 
 
 def _shingles(text: Column, n: int) -> Column:
@@ -469,8 +488,9 @@ def minhash_incremental_dedup(
 
     ``storage``: materialization strategy for the signature table and
     the survivor set — ``"checkpoint"`` (default; scoped blocks, fails
-    on executor loss) or ``"persist"`` (lineage kept, survives executor
-    loss — use on preemptible clusters). See :func:`_materialize`.
+    on executor loss), ``"persist"`` (lineage kept, survives executor
+    loss — use on preemptible clusters), or ``"table"`` (written stage
+    table, survives full job restarts). See :func:`_materialize`.
     """
     num_hashes = sig_kwargs.get("num_hashes", 64)
     bands = sig_kwargs.get("bands", 16)
@@ -1020,7 +1040,7 @@ def cc_dedup(
     ``algorithm`` selects the :func:`connected_components` path
     ("label" for shallow near-dup graphs, "star" for high-diameter);
     ``storage`` its per-round materialization strategy
-    (checkpoint|persist — see :func:`_materialize`).
+    (checkpoint|persist|table — see :func:`_materialize`).
     """
     labels = connected_components(
         pairs, src=src, dst=dst, algorithm=algorithm, storage=storage
@@ -1690,7 +1710,7 @@ def span_incremental_dedup(
     index, so later batches dedup against this one. Returns the masked
     batch (same contract as :func:`span_dedup`).
 
-    The hit set is MATERIALIZED (``storage``: checkpoint|persist, see
+    The hit set is MATERIALIZED (``storage``: checkpoint|persist|table, see
     :func:`_materialize` for the durability trade-off) before the
     append touches the index — the returned DataFrame is lazy, and an
     un-materialized hit plan re-read at collect time would see the

@@ -44,6 +44,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -64,6 +65,7 @@ __all__ = [
     "er_incremental",
     "er_entity_labels",
     "er_compact_index",
+    "er_index_health",
 ]
 
 
@@ -226,15 +228,35 @@ def _relabel_tbl(table: str) -> str:
     return f"{table}__relabel"
 
 
-def _relabel_closure(spark, table: str) -> dict:
+_RELABEL_HARD_CAP = 200_000
+
+
+def _relabel_closure(spark, table: str, enforce_cap: bool = True) -> dict:
     """The (old entity → final entity) mapping from the index's relabel
     side table, transitively resolved driver-side. Bounded by the
     number of entity-MERGE events since the last compaction (rare in
     steady state — a merge needs a new record bridging two previously
-    separate entities), so the collect is metadata-sized."""
+    separate entities), so the collect is metadata-sized.
+
+    Guarded: past ``_RELABEL_HARD_CAP`` entries the collect (and the
+    literal-map expression :func:`_apply_relabels` builds from it)
+    stops being metadata-sized — raise with a compaction instruction
+    instead of silently degrading the driver. A pipeline should never
+    get here: :func:`er_incremental` surfaces the log size per batch
+    and recommends (or auto-runs) :func:`er_compact_index` far
+    earlier (``er_index_health``). :func:`er_compact_index` itself
+    bypasses the cap (``enforce_cap=False``) — compaction must remain
+    runnable as the escape hatch."""
     t = _relabel_tbl(table)
     if not spark.catalog.tableExists(t):
         return {}
+    n = spark.table(t).count()
+    if enforce_cap and n > _RELABEL_HARD_CAP:
+        raise RuntimeError(
+            f"relabel log for {table!r} has {n} entries "
+            f"(cap {_RELABEL_HARD_CAP}): run er_compact_index({table!r}) "
+            "to fold relabels into the index — see er_index_health()"
+        )
     m = {r.old_id: r.new_id for r in spark.table(t).collect()}
     out = {}
     for k in m:
@@ -247,14 +269,35 @@ def _relabel_closure(spark, table: str) -> dict:
     return out
 
 
+_RELABEL_LITERAL_MAP_MAX = 512
+
+
 def _apply_relabels(df: DataFrame, col: str, rel: dict) -> DataFrame:
+    """Rewrite ``col`` through the (old → final) relabel mapping. Small
+    maps inline as a ``create_map`` literal (zero join, folds into the
+    surrounding stage); past ``_RELABEL_LITERAL_MAP_MAX`` entries the
+    mapping applies as a BROADCAST left join instead — a 10k-literal
+    expression tree measurably slows planning/codegen (scale smoke:
+    2× per-batch cost at 10k relabels), while a broadcast hash join
+    of the same rows is constant-ish."""
     if not rel:
         return df
-    pairs: list[Column] = []
-    for k, v in rel.items():
-        pairs += [F.lit(k), F.lit(v)]
-    return df.withColumn(
-        col, F.coalesce(F.create_map(*pairs)[F.col(col)], F.col(col))
+    if len(rel) <= _RELABEL_LITERAL_MAP_MAX:
+        pairs: list[Column] = []
+        for k, v in rel.items():
+            pairs += [F.lit(k), F.lit(v)]
+        return df.withColumn(
+            col, F.coalesce(F.create_map(*pairs)[F.col(col)], F.col(col))
+        )
+    rel_df = df.sparkSession.createDataFrame(
+        list(rel.items()), "__rel_old bigint, __rel_new bigint"
+    )
+    return (
+        df.join(
+            F.broadcast(rel_df), F.col(col) == F.col("__rel_old"), "left"
+        )
+        .withColumn(col, F.coalesce("__rel_new", F.col(col)))
+        .drop("__rel_old", "__rel_new")
     )
 
 
@@ -307,6 +350,7 @@ def er_incremental(
     max_iter: int = 20,
     storage: str = "checkpoint",
     n_buckets: int = 32,
+    auto_compact_relabels: int | None = None,
 ) -> DataFrame:
     """Resolve an arriving batch against the standing index WITHOUT
     re-resolving the corpus: each batch pays its own blocking + one
@@ -336,6 +380,14 @@ def er_incremental(
     ``append=True`` the batch rows join the index under their assigned
     labels and any merge relabels are recorded, so the next batch
     resolves against everything seen so far.
+
+    Relabel-log guard (the IVF-drift pattern applied to ER): after an
+    appending batch, the relabel log's size is measured; past
+    ``er_index_health``'s threshold a compaction recommendation is
+    WARNED, and with ``auto_compact_relabels=N`` set,
+    :func:`er_compact_index` runs automatically once the log reaches N
+    entries — so the driver-side closure stays metadata-sized no
+    matter how bridge-heavy the feed.
     """
     from ..sources.io import write_table
 
@@ -414,6 +466,20 @@ def er_incremental(
         if new_rel:
             rel_df = spark.createDataFrame(new_rel, "old_id bigint, new_id bigint")
             write_table(rel_df, _relabel_tbl(table), mode="append")
+            health = er_index_health(spark, table)
+            if (
+                auto_compact_relabels is not None
+                and health["n_relabel_entries"] >= auto_compact_relabels
+            ):
+                er_compact_index(spark, table, n_buckets=n_buckets)
+            elif health["compact_recommended"]:
+                warnings.warn(
+                    f"ER relabel log for {table!r} has "
+                    f"{health['n_relabel_entries']} entries: run "
+                    "er_compact_index() to keep the driver-side closure "
+                    "metadata-sized (or pass auto_compact_relabels=)",
+                    stacklevel=2,
+                )
     return assigned
 
 
@@ -429,6 +495,26 @@ def er_entity_labels(spark, table: str) -> DataFrame:
     )
 
 
+def er_index_health(
+    spark, table: str, max_relabels: int = 10_000
+) -> dict:
+    """Relabel-log health for a standing ER index — the ER twin of
+    ``ivf_append_index``'s drift report and ``VersionedTable.health``:
+    ``{n_relabel_entries, hard_cap, compact_recommended}``. The log
+    grows one entry per entity-merge event; every probe pays a
+    driver-side closure over it, so past ``max_relabels`` the
+    recommendation trips and :func:`er_compact_index` should run
+    (``_RELABEL_HARD_CAP`` is the refuse-to-collect backstop).
+    Constant-time: one count on the metadata-sized side table."""
+    t = _relabel_tbl(table)
+    n = spark.table(t).count() if spark.catalog.tableExists(t) else 0
+    return {
+        "n_relabel_entries": n,
+        "hard_cap": _RELABEL_HARD_CAP,
+        "compact_recommended": n >= max_relabels,
+    }
+
+
 def er_compact_index(spark, table: str, n_buckets: int = 32) -> None:
     """Fold the relabel side table into the index (rewrite rows under
     their final entity labels) and drop it. Run periodically — probe
@@ -437,7 +523,7 @@ def er_compact_index(spark, table: str, n_buckets: int = 32) -> None:
     collect grow; compaction resets it."""
     from ..sources.io import write_table
 
-    rel = _relabel_closure(spark, table)
+    rel = _relabel_closure(spark, table, enforce_cap=False)
     rows = _apply_relabels(spark.table(table), "entity", rel)
     # stage through a temp view snapshot: write_table's stage-and-swap
     # materializes before dropping, so reading the target is safe

@@ -1,13 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The Spark-side design is the real deliverable here — schemas, batch
-shapes, partitioning — because the decode libraries (PIL/ffmpeg/librosa)
-are NOT in this container. Decoding is therefore stubbed: if PIL is
-importable it is used; otherwise a clearly-marked deterministic fake
-derives dimensions/features from the bytes, so every pipeline stage
-around the decode (schema evolution, batching, explode of frames) is
-fully testable and the swap-in point for real codecs is one function.
+Decode tiers, in preference order per blob:
+
+1. **Real, dependency-free**: uncompressed formats are parsed/decoded
+   in pure Python — BMP (24/32-bpp BI_RGB, header parse + true
+   nearest-neighbor resize) and WAV (RIFF/PCM via the stdlib ``wave``
+   module). These run in THIS container and prove the whole path on
+   genuine bytes.
+2. **Real, optional dependency**: PNG/JPEG through PIL when importable
+   (not in this container).
+3. **Deterministic fake**: anything else falls back to a clearly-marked
+   sha256-derived stub so the Spark plumbing (schema, Arrow batching,
+   frame explode) stays fully testable; ``require_real_decode`` is the
+   guard for callers that must not silently get fakes.
 
 At 100 TB: binary payloads ride in parquet alongside metadata; filters
 on metadata prune before any byte is decoded; ``mapInPandas`` streams
@@ -18,6 +24,7 @@ by row.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -29,6 +36,98 @@ try:  # pragma: no cover - not installed in this environment
     _HAVE_PIL = True
 except ImportError:
     _HAVE_PIL = False
+
+
+# --------------------------------------------------------------- real codecs
+# Pure-Python codecs for uncompressed formats — no third-party libs, so
+# the REAL branch is exercisable in any container. BMP: 24/32-bpp
+# BI_RGB (the uncompressed Windows bitmap); WAV: RIFF PCM via stdlib.
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize a top-down RGB (3 bytes/px, row-major) buffer as a
+    24-bpp BI_RGB .bmp — the fixture-side inverse of :func:`_parse_bmp`
+    (rows are flipped to BMP's bottom-up order and padded to 4 bytes)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer must be width*height*3 bytes")
+    row_raw = width * 3
+    pad = b"\x00" * ((4 - row_raw % 4) % 4)
+    rows = [
+        rgb[y * row_raw : (y + 1) * row_raw] + pad
+        for y in range(height - 1, -1, -1)
+    ]
+    data = b"".join(rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data
+
+
+def _parse_bmp(b: bytes):
+    """(width, height, channels, data_offset, bottom_up) for an
+    uncompressed BITMAPINFOHEADER 24/32-bpp BMP; None when ``b`` is not
+    one (caller falls through to the next decode tier)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", b, 10)[0]
+    hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if hsize < 40 or comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    return w, abs(h), bpp // 8, off, h > 0
+
+
+def _resize_bmp(b: bytes, tw: int, th: int) -> bytes | None:
+    """True nearest-neighbor resample of a parsed BMP, re-encoded as
+    24-bpp BMP. None when ``b`` is not an uncompressed BMP."""
+    p = _parse_bmp(b)
+    if p is None:
+        return None
+    w, h, ch, off, bottom_up = p
+    stride = (w * ch + 3) & ~3
+    out = bytearray()
+    for ty in range(th):
+        sy = min(ty * h // th, h - 1)
+        yy = (h - 1 - sy) if bottom_up else sy
+        rs = off + yy * stride
+        for tx in range(tw):
+            sx = min(tx * w // tw, w - 1)
+            px = b[rs + sx * ch : rs + sx * ch + 3]
+            out += px if len(px) == 3 else px.ljust(3, b"\x00")
+    return encode_bmp(tw, th, bytes(out))
+
+
+def _parse_wav(b: bytes):
+    """(sample_rate, n_channels, duration_seconds) for a RIFF/PCM WAV
+    via the stdlib ``wave`` module; None when ``b`` is not one."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            rate = wf.getframerate()
+            ch = wf.getnchannels()
+            return rate, ch, wf.getnframes() / rate
+    except Exception:
+        return None
+
+
+def encode_wav(sample_rate: int, n_channels: int, pcm16: bytes) -> bytes:
+    """Serialize raw 16-bit PCM frames as a RIFF WAV (fixture-side
+    inverse of :func:`_parse_wav`)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm16)
+    return buf.getvalue()
 
 
 def attach_fake_blobs(df: DataFrame, text_col: str, mime: str = "image/fake") -> DataFrame:
@@ -55,10 +154,11 @@ def _fake_dims(data: bytes) -> tuple[int, int, int]:
 def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Append (width, height, channels) decoded from the binary column.
 
-    Real path uses PIL when available; otherwise the deterministic fake
-    (the Spark plumbing — schema, Arrow batching — is identical either
-    way). Raises NotImplementedError for real decoding only when a
-    caller explicitly demands it via ``require_real_decode``.
+    Decode tiers per blob (module docstring): REAL pure-Python header
+    parse for uncompressed BMP; REAL PIL for PNG/JPEG when importable;
+    deterministic fake otherwise (the Spark plumbing — schema, Arrow
+    batching — is identical across tiers). Callers that must not get
+    fakes guard with ``require_real_decode``.
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -71,7 +171,10 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
             dims = []
             for data in pdf[content_col]:
                 b = bytes(data) if data is not None else b""
-                if _HAVE_PIL and b[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+                bmp = _parse_bmp(b)
+                if bmp is not None:
+                    dims.append((bmp[0], bmp[1], bmp[2]))
+                elif _HAVE_PIL and b[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
                     with Image.open(io.BytesIO(b)) as im:  # pragma: no cover
                         dims.append((im.width, im.height, len(im.getbands())))
                 else:
@@ -85,11 +188,16 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def require_real_decode() -> None:
-    """Guard for callers that need true pixel decoding."""
+    """Guard for callers that need true pixel decoding of COMPRESSED
+    formats (PNG/JPEG). Uncompressed BMP/WAV payloads always decode for
+    real (pure-Python tier); everything else needs PIL, and without it
+    falls back to the deterministic stub this guard refuses."""
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "real image decoding needs PIL/imageio, which this container "
-            "lacks; decode_images falls back to a deterministic stub"
+            "real PNG/JPEG decoding needs PIL/imageio, which this "
+            "container lacks; decode_images falls back to a "
+            "deterministic stub for those (BMP/WAV decode is real "
+            "regardless — pure-Python codecs)"
         )
 
 
@@ -125,11 +233,11 @@ def resize_images(
     target_w: int = 64,
     target_h: int = 64,
 ) -> DataFrame:
-    """Resize plumbing: replace the payload with its resized rendition
-    and pin (width, height) to the target. STUB — the "resized" payload
-    is the sha256 digest of (bytes ‖ "WxH"), a deterministic stand-in
-    with the same schema/batch shape a PIL ``Image.resize`` would have;
-    swap the inner loop for a real codec in a container that has one.
+    """Resize: replace the payload with its resized rendition and pin
+    (width, height) to the target. REAL nearest-neighbor resample for
+    uncompressed BMP payloads (pure Python, output is a valid 24-bpp
+    BMP); deterministic sha256 stand-in for codecs this container
+    lacks — same schema/batch shape either way.
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -142,9 +250,11 @@ def resize_images(
             resized = []
             for data in pdf[content_col]:
                 b = bytes(data) if data is not None else b""
-                if _HAVE_PIL and b[:4] == b"\x89PNG":  # pragma: no cover
-                    pass  # real path: Image.open(...).resize(...).tobytes()
-                resized.append(hashlib.sha256(b + tag).digest())
+                real = _resize_bmp(b, target_w, target_h)
+                resized.append(
+                    real if real is not None
+                    else hashlib.sha256(b + tag).digest()
+                )
             pdf["resized"] = resized
             pdf["width"] = target_w
             pdf["height"] = target_h
@@ -154,11 +264,13 @@ def resize_images(
 
 
 def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Append (sample_rate, n_channels, duration_seconds) "decoded" from
-    an audio binary column. STUB header parse (sha256-derived, marked)
-    — real path is soundfile/librosa; the Arrow ``mapInPandas`` batch
-    shape, schema, and metadata-first pruning are the actual design.
-    Duration = size_bytes / (rate · 2 bytes · channels), i.e. 16-bit PCM.
+    """Append (sample_rate, n_channels, duration_seconds) decoded from
+    an audio binary column. REAL RIFF/PCM parse (stdlib ``wave``) for
+    WAV payloads; sha256-derived deterministic fake for compressed
+    codecs this container lacks (real path there is soundfile/librosa).
+    Fake duration = size_bytes / (rate · 2 bytes · channels) (16-bit
+    PCM), a single IEEE division of exact ints — bit-identical in any
+    engine, so the stub tier stays oracle-replayable.
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -171,13 +283,17 @@ def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
             rate, chans, dur = [], [], []
             for data in pdf[content_col]:
                 b = bytes(data) if data is not None else b""
+                wav = _parse_wav(b)
+                if wav is not None:
+                    rate.append(wav[0])
+                    chans.append(wav[1])
+                    dur.append(wav[2])
+                    continue
                 h = hashlib.sha256(b).digest()
                 r = rates[h[0] % 4]
                 c = 1 + h[1] % 2
                 rate.append(r)
                 chans.append(c)
-                # single IEEE division of exact ints — bit-identical in
-                # any engine computing size/(rate*2*ch), so no rounding
                 dur.append(len(b) / (r * 2 * c))
             pdf["sample_rate"] = rate
             pdf["n_channels"] = chans

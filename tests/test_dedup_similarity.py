@@ -261,8 +261,75 @@ def test_storage_persist_matches_checkpoint(spark):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="checkpoint|persist"):
-        connected_components(edges, storage="table")
+    with _pytest.raises(ValueError, match="checkpoint"):
+        connected_components(edges, storage="disk")
+
+
+def test_storage_table_matches_checkpoint(spark):
+    """storage="table" (the full-restart durability tier completing the
+    checkpoint|persist|table trio): identical results on each consumer,
+    with the stage materialized as real ``sg_stage_*`` catalog tables
+    that would survive a driver restart."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_build_index,
+        minhash_incremental_dedup,
+        span_build_index,
+        span_incremental_dedup,
+    )
+
+    pre = {t.name for t in spark.catalog.listTables()}
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    lbl = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, storage="table").collect()
+    }
+    assert lbl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    t = "mh_storage_table_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    minhash_build_index(
+        spark.createDataFrame([(1, BASE)], "doc_id bigint, text string"), t
+    )
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, FAR)], "doc_id bigint, text string"
+    )
+    surv = minhash_incremental_dedup(
+        spark, t, batch, threshold=0.9, append=False, storage="table"
+    )
+    assert {r["doc_id"] for r in surv.collect()} == {11}
+
+    st = "span_storage_table_test"
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    span_build_index(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        ),
+        st,
+        k=4,
+    )
+    got = span_incremental_dedup(
+        spark,
+        st,
+        spark.createDataFrame(
+            [(9, "alpha beta gamma delta")], "doc_id long, text string"
+        ),
+        k=4,
+        append=False,
+        storage="table",
+    ).first()
+    assert got.deduped_text == "" and got.n_tokens_removed == 4
+
+    # the stages really are catalog tables (restart-durable), and only
+    # sg_stage_* names were introduced beyond the fixtures above
+    new = {t2.name for t2 in spark.catalog.listTables()} - pre
+    stages = {n for n in new if n.startswith("sg_stage_")}
+    assert stages, "table strategy should leave sg_stage_* tables"
+    for n in stages:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
 
 
 def test_connected_components_self_loops_both_algorithms(spark):

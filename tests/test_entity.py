@@ -229,6 +229,92 @@ def test_er_incremental_bridge_merges_entities_and_compact(spark):
     assert labels2 == labels
 
 
+def test_er_relabel_health_warns_and_auto_compacts(spark):
+    """The relabel-log guard: health() reports the log size, a merge
+    batch past the threshold WARNS recommending compaction, and
+    auto_compact_relabels runs it automatically; the refuse-to-collect
+    hard cap raises with the compaction instruction (compaction itself
+    bypasses the cap)."""
+    import warnings as _w
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import entity as E
+
+    key = F.substring("name", 1, 2)
+    base = spark.createDataFrame(
+        [(1, "abcdefgh"), (5, "abcdxxgh")], "id long, name string"
+    )
+    _resolve_and_index(spark, base, "er_idx_h", key)
+    assert E.er_index_health(spark, "er_idx_h") == {
+        "n_relabel_entries": 0,
+        "hard_cap": E._RELABEL_HARD_CAP,
+        "compact_recommended": False,
+    }
+    bridge = spark.createDataFrame([(9, "abcdexgh")], "id long, name string")
+    # threshold low enough that the bridge merges entity 5 into 1
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        E.er_incremental(spark, "er_idx_h", bridge, "id", "name", key,
+                         threshold=0.85)
+    # 1 relabel entry, under the default 10k threshold: no warning
+    assert not [w for w in caught if "relabel log" in str(w.message)]
+    assert E.er_index_health(spark, "er_idx_h")["n_relabel_entries"] == 1
+    # force the threshold down: next merging batch warns
+    b2 = spark.createDataFrame([(12, "qrstuvwx"), (13, "qrstuvwq")],
+                               "id long, name string")
+    E.er_incremental(spark, "er_idx_h", b2, "id", "name", key, threshold=0.99)
+    bridge2 = spark.createDataFrame([(14, "qrstuvwy")], "id long, name string")
+    orig = E.er_index_health
+    try:
+        E.er_index_health = lambda s, t, max_relabels=1: orig(s, t, 1)
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            E.er_incremental(spark, "er_idx_h", bridge2, "id", "name", key,
+                             threshold=0.85)
+        assert [w for w in caught if "relabel log" in str(w.message)]
+    finally:
+        E.er_index_health = orig
+    # auto mode: a batch that CAUSES a merge (new relabel entries bring
+    # the log to the threshold) compacts — relabel table folded+dropped
+    b3 = spark.createDataFrame([(20, "ghijklmn"), (21, "ghijklmo")],
+                               "id long, name string")
+    E.er_incremental(spark, "er_idx_h", b3, "id", "name", key, threshold=0.99)
+    labels_before = {r.id: r.entity_id
+                     for r in E.er_entity_labels(spark, "er_idx_h").collect()}
+    bridge3 = spark.createDataFrame([(22, "ghijklmp")], "id long, name string")
+    E.er_incremental(spark, "er_idx_h", bridge3, "id", "name", key,
+                     threshold=0.85, auto_compact_relabels=1)
+    assert not spark.catalog.tableExists("er_idx_h__relabel")
+    labels = {r.id: r.entity_id
+              for r in E.er_entity_labels(spark, "er_idx_h").collect()}
+    assert labels[22] == labels[20] == labels[21] == 20
+    assert labels[9] == labels[1] == 1
+    # pre-existing assignments survive compaction except the merged one
+    assert all(labels[k] == v for k, v in labels_before.items()
+               if k not in (21,))
+    # hard cap: an oversized log refuses the closure collect
+    try:
+        E._RELABEL_HARD_CAP = 0
+        b4 = spark.createDataFrame([(16, "qrstuvwa")], "id long, name string")
+        E.er_incremental(spark, "er_idx_h", b4, "id", "name", key,
+                         threshold=0.85)  # creates a relabel entry? no merge
+        # force one relabel entry then probe again
+        b5 = spark.createDataFrame([(17, "lmnopqrs"), (18, "lmnopqrt")],
+                                   "id long, name string")
+        E.er_incremental(spark, "er_idx_h", b5, "id", "name", key,
+                         threshold=0.99)
+        b6 = spark.createDataFrame([(19, "lmnopqru")], "id long, name string")
+        E.er_incremental(spark, "er_idx_h", b6, "id", "name", key,
+                         threshold=0.85)
+        with pytest.raises(RuntimeError, match="er_compact_index"):
+            E.er_incremental(spark, "er_idx_h", b6.withColumn(
+                "id", F.col("id") + 100), "id", "name", key, threshold=0.85)
+        # compaction remains runnable past the cap (escape hatch)
+        E.er_compact_index(spark, "er_idx_h")
+        assert not spark.catalog.tableExists("er_idx_h__relabel")
+    finally:
+        E._RELABEL_HARD_CAP = 200_000
+
+
 def test_er_incremental_oversized_index_block_skipped(spark):
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
         er_incremental,

@@ -161,6 +161,73 @@ def test_resize_and_audio_stubs(spark):
     assert a[2]["duration_seconds"] == 0.0
 
 
+def test_real_bmp_decode_and_resize(spark):
+    """The REAL pure-Python codec tier on genuine bytes, in this
+    container: a 24-bpp BMP round-trips through decode (true header
+    parse) and resize (true nearest-neighbor resample emitting a valid
+    BMP), distinguishing real outputs from the sha256 stub."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_images,
+        encode_bmp,
+        resize_images,
+    )
+
+    # 4x2 image, distinct pixel per column so resampling is observable
+    px = bytes(
+        [
+            255, 0, 0,   0, 255, 0,   0, 0, 255,   255, 255, 0,   # row 0
+            10, 10, 10,  20, 20, 20,  30, 30, 30,  40, 40, 40,    # row 1
+        ]
+    )
+    bmp = encode_bmp(4, 2, px)
+    df = spark.createDataFrame(
+        [(1, bmp), (2, b"not a bitmap")], "id int, content binary"
+    )
+    d = {r["id"]: r for r in decode_images(df).collect()}
+    assert (d[1]["width"], d[1]["height"], d[1]["channels"]) == (4, 2, 3)
+    # non-BMP falls to the deterministic fake tier (dims in 64..255)
+    assert 64 <= d[2]["width"] <= 255
+
+    r = {r["id"]: r for r in resize_images(df, target_w=2, target_h=1).collect()}
+    out = bytes(r[1]["resized"])
+    # output is itself a decodable 2x1 24-bpp BMP...
+    rd = decode_images(
+        spark.createDataFrame([(9, out)], "id int, content binary")
+    ).collect()[0]
+    assert (rd["width"], rd["height"], rd["channels"]) == (2, 1, 3)
+    # ...whose pixels are true nearest-neighbor picks from the source
+    # (top-down sy = ty*h//th = 0 -> row 0; sx = 0,2 -> red, blue).
+    # BMP stores rows bottom-up; single row here, raw BGR? we wrote RGB
+    # bytes verbatim, so compare verbatim.
+    data_off = out[10] | (out[11] << 8) | (out[12] << 16) | (out[13] << 24)
+    row = out[data_off : data_off + 6]
+    assert row == bytes([255, 0, 0, 0, 0, 255])
+
+
+def test_real_wav_decode(spark):
+    """The REAL RIFF/PCM tier (stdlib wave): sample rate, channels and
+    duration come from the actual header, not the sha256 fake."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    # 8000 Hz mono, 4000 frames of silence = 0.5 s
+    wav = encode_wav(8000, 1, b"\x00\x00" * 4000)
+    stereo = encode_wav(44100, 2, b"\x01\x02\x03\x04" * 441)  # 441 frames
+    df = spark.createDataFrame(
+        [(1, wav), (2, stereo), (3, b"mp3-ish garbage")],
+        "id int, content binary",
+    )
+    a = {r["id"]: r for r in decode_audio(df).collect()}
+    assert (a[1]["sample_rate"], a[1]["n_channels"]) == (8000, 1)
+    assert a[1]["duration_seconds"] == 0.5
+    assert (a[2]["sample_rate"], a[2]["n_channels"]) == (44100, 2)
+    assert abs(a[2]["duration_seconds"] - 0.01) < 1e-9
+    # non-WAV falls to the deterministic fake tier
+    assert a[3]["sample_rate"] in (16000, 22050, 44100, 48000)
+
+
 def test_stream_static_join_parity(spark):
     from pyspark.sql import functions as F
 

@@ -214,6 +214,51 @@ def main() -> None:
         ).count(),
     )
 
+    # adversarial bridge-heavy feed: each batch deliberately BRIDGES
+    # previously-separate entities (the worst case for the relabel log —
+    # every batch row is a merge event). Measures closure growth per
+    # batch and that er_index_health tracks it; the auto-compact knob
+    # is exercised on the final batch. Closure size should equal the
+    # cumulative merge count, and per-batch time should stay flat.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_index_health,
+    )
+
+    br_idx = f"er_bridge_idx_{mult}x"
+    spark.sql(f"DROP TABLE IF EXISTS {br_idx}")
+    spark.sql(f"DROP TABLE IF EXISTS {br_idx}__relabel")
+    # seed: two far-apart variants per customer that do NOT match each
+    # other (threshold 0.95) -> 2 entities per customer
+    seed = cust.select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.concat(F.col("c_name"), F.lit("-aaaaaa")).alias("name"),
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") + F.lit(50_000_000)).cast("bigint").alias("id"),
+            F.concat(F.col("c_name"), F.lit("-zzzzzz")).alias("name"),
+        )
+    )
+    seed_resolved = resolve_entities(seed, "id", "name", er_key, threshold=0.95)
+    er_build_index(seed_resolved, br_idx, "id", "name", er_key)
+    bridge_times, closure_sizes = [], []
+    for i in range(3):
+        # each batch bridges 1/3 of the customers: a mid-distance
+        # variant similar to BOTH seed variants at a lower threshold
+        bb = cust.filter(F.pmod(F.col("c_custkey"), 3) == i).select(
+            (F.col("c_custkey") + F.lit((i + 2) * 100_000_000))
+            .cast("bigint").alias("id"),
+            F.concat(F.col("c_name"), F.lit("-aaazzz")).alias("name"),
+        )
+        t0 = time.time()
+        er_incremental(
+            spark, br_idx, bb, "id", "name", er_key, threshold=0.6,
+            auto_compact_relabels=(10 ** 9 if i < 2 else 1),
+        )
+        bridge_times.append(round(time.time() - t0, 2))
+        closure_sizes.append(er_index_health(spark, br_idx)["n_relabel_entries"])
+    timings["er_bridge_batch_each"] = bridge_times
+    stats["er_bridge_closure_sizes"] = closure_sizes  # last = 0 (auto-compacted)
+
     # span-level exact substring dedup: the replicated corpus shares
     # every 8-token span across copies, so the duplicated-span set is
     # dense — worst-case-ish load for the fingerprint agg + join-back
