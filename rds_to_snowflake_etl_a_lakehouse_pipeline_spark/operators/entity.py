@@ -316,8 +316,10 @@ def er_build_index(
     every later :func:`er_incremental` probe joins pre-shuffled corpus
     buckets and a batch pays only its own side of the shuffle. The
     ``block_key`` expression must be reused verbatim on every probe
-    and append (it defines the join layout)."""
-    from ..sources.io import write_table
+    and append (it defines the join layout). ``n_buckets`` is recorded
+    as a table property; appends default from and validate against it
+    (:func:`~..sources.io.check_table_meta`)."""
+    from ..sources.io import set_table_meta, write_table
 
     bk = F.col(block_key) if isinstance(block_key, str) else block_key
     rows = resolved.select(
@@ -333,6 +335,7 @@ def er_build_index(
         table,
         bucket_by=(n_buckets, ["_blk"]),
     )
+    set_table_meta(resolved.sparkSession, table, kind="er", n_buckets=n_buckets)
 
 
 def er_incremental(
@@ -349,7 +352,7 @@ def er_incremental(
     algorithm: str = "label",
     max_iter: int = 20,
     storage: str = "checkpoint",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     auto_compact_relabels: int | None = None,
 ) -> DataFrame:
     """Resolve an arriving batch against the standing index WITHOUT
@@ -389,8 +392,11 @@ def er_incremental(
     entries — so the driver-side closure stays metadata-sized no
     matter how bridge-heavy the feed.
     """
-    from ..sources.io import write_table
+    from ..sources.io import check_table_meta, write_table
 
+    meta = check_table_meta(spark, table, n_buckets=n_buckets)
+    if n_buckets is None:
+        n_buckets = int(meta.get("n_buckets", 32))
     sim_fn = similarity or levenshtein_similarity
     rel = _relabel_closure(spark, table)
     idx = _apply_relabels(spark.table(table), "entity", rel)
@@ -515,19 +521,22 @@ def er_index_health(
     }
 
 
-def er_compact_index(spark, table: str, n_buckets: int = 32) -> None:
+def er_compact_index(spark, table: str, n_buckets: int | None = None) -> None:
     """Fold the relabel side table into the index (rewrite rows under
     their final entity labels) and drop it. Run periodically — probe
     cost doesn't grow with relabels (they apply as a tiny broadcast
     map), but an unbounded relabel log makes the driver-side closure
     collect grow; compaction resets it."""
-    from ..sources.io import write_table
+    from ..sources.io import get_table_meta, set_table_meta, write_table
 
+    if n_buckets is None:
+        n_buckets = int(get_table_meta(spark, table).get("n_buckets", 32))
     rel = _relabel_closure(spark, table, enforce_cap=False)
     rows = _apply_relabels(spark.table(table), "entity", rel)
     # stage through a temp view snapshot: write_table's stage-and-swap
     # materializes before dropping, so reading the target is safe
     write_table(rows, table, bucket_by=(n_buckets, ["_blk"]))
+    set_table_meta(spark, table, kind="er", n_buckets=n_buckets)
     spark.sql(f"DROP TABLE IF EXISTS {_relabel_tbl(table)}")
 
 

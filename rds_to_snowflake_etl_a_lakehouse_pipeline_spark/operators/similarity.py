@@ -215,6 +215,30 @@ def _drift_stats_table(table: str) -> str:
     return f"{table}_drift_stats"
 
 
+def _centroid_fingerprint(centroids: list[list[float]]) -> str:
+    """Stable md5 of the centroid matrix (values rounded to 9 dp) —
+    recorded as index metadata at build time and validated on every
+    probe/append, because both take ``centroids`` as an ARGUMENT: a
+    caller passing the matrix from a different (older, rebuilt) run
+    would otherwise bin/probe against cells that don't match the
+    on-disk layout, silently destroying recall."""
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        [[round(float(x), 9) for x in c] for c in centroids]
+    ).encode()
+    return hashlib.md5(payload).hexdigest()
+
+
+def _check_centroids(spark, table: str, centroids: list[list[float]]) -> None:
+    from ..sources.io import check_table_meta
+
+    check_table_meta(
+        spark, table, centroid_fp=_centroid_fingerprint(centroids)
+    )
+
+
 def ivf_build_index(
     corpus: DataFrame,
     table: str,
@@ -270,6 +294,17 @@ def ivf_build_index(
     centroids = [list(map(float, ct)) for ct in model.clusterCenters()]
 
     spark = corpus.sparkSession
+    from ..sources.io import set_table_meta
+
+    set_table_meta(
+        spark,
+        table,
+        kind="ivf",
+        n_clusters=n_clusters,
+        dim=len(centroids[0]),
+        pq=str(pq_codebook is not None).lower(),
+        centroid_fp=_centroid_fingerprint(centroids),
+    )
     stats = (
         spark.table(table)
         .withColumn("_dist", _centroid_dist(vec_col, "_cell", centroids))
@@ -321,6 +356,7 @@ def ivf_append_index(
     """
     from ..sources.io import write_table
 
+    _check_centroids(new_vectors.sparkSession, table, centroids)
     C = np.asarray(centroids, dtype=np.float64)
     dim = C.shape[1]
 
@@ -415,6 +451,7 @@ def ivf_query_index(
     bounded by |queries| × n_probe (the query set is broadcast-small
     by contract — same contract as brute_force_topk).
     """
+    _check_centroids(spark, table, centroids)
     C = np.asarray(centroids, dtype=np.float64)
 
     @pandas_udf("array<int>")
@@ -787,6 +824,7 @@ def ivf_pq_index_topk(
     only candidates from ITS probed cells (semi-join on the bounded
     (query, cell) probe pairs). Returns (query_id, vec_id, adc_dist,
     rank), ascending ADC distance."""
+    _check_centroids(spark, table, centroids)
     C = np.asarray(centroids, dtype=np.float64)
 
     @pandas_udf("array<int>")

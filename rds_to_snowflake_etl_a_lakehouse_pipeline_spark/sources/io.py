@@ -7,6 +7,25 @@ Spark session catalog plays the Glue Catalog's role: ``saveAsTable``
 registers, ``spark.table`` resolves. JDBC reads are partitioned so a
 1000-executor cluster ingests in parallel instead of through one
 connection.
+
+Standing-index contract (shared by every incremental index family —
+``minhash_*_index``, ``span_*_index``, ``ivf_*_index``, ``er_*_index``):
+
+- **build** writes the bucketed/partitioned table, then records its
+  immutable parameters via :func:`set_table_meta` (``kind`` plus the
+  layout/signature params: ``k``, ``n_buckets``, ``num_hashes``,
+  ``bands``, ``shingle_n``, ``n_clusters``, ``centroid_fp``, …);
+- **probe / append** call :func:`check_table_meta` first — explicit
+  parameters must MATCH the recorded contract (mismatches raise,
+  because a silent mismatch deduplicates/probes nothing), and layout
+  parameters left as ``None`` DEFAULT from it;
+- **compact / rebuild** re-record the contract after rewriting;
+- **health** is a cheap dict (``*_index_health`` / ``health()`` /
+  the append's returned drift dict) with a ``*_recommended`` flag the
+  pipeline can act on (or an ``auto_*`` knob that acts on it).
+
+A new index family implements those verbs against these helpers — the
+lifecycle itself is not re-invented per family.
 """
 
 from __future__ import annotations

@@ -1691,6 +1691,39 @@ def test_index_contract_metadata_validation(spark):
         )
 
 
+def test_ivf_centroid_fingerprint_contract(spark):
+    """The IVF index records a fingerprint of its centroid matrix;
+    probes/appends passing centroids from a DIFFERENT build (stale or
+    rebuilt matrix — silent recall destruction) are rejected."""
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    rows = [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    spark.sql("DROP TABLE IF EXISTS ivf_fp_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_fp_idx_drift_stats")
+    cents = ivf_build_index(corpus, "ivf_fp_idx", n_clusters=4, seed=1)
+    q = spark.createDataFrame(
+        [(100, [1.0, 2.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    assert ivf_query_index(spark, "ivf_fp_idx", q, cents, k=3).count() == 3
+    stale = [[c + 0.5 for c in row] for row in cents]
+    with pytest.raises(ValueError, match="index contract mismatch"):
+        ivf_query_index(spark, "ivf_fp_idx", q, stale, k=3)
+    batch = spark.createDataFrame(
+        [(200, [0.5, 0.5, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="index contract mismatch"):
+        ivf_append_index(batch, "ivf_fp_idx", stale)
+    out = ivf_append_index(batch, "ivf_fp_idx", cents)
+    assert out["n_appended"] == 1
+
+
 def test_span_incremental_matches_full_span_dedup_for_one_shot(spark):
     """Empty index + a single batch == plain span_dedup of that batch
     (the from-scratch equivalence anchor)."""
