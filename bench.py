@@ -184,6 +184,39 @@ def main() -> None:
         er_table, "id", "c_name", er_key,
     )
 
+    # q22 setup: reuse q16's standing index; write the arriving corpus
+    # as THREE parquet files (untimed) so maxFilesPerTrigger=1 forces 3
+    # sequential micro-batches. The timed query runs the streaming
+    # steady state end-to-end — foreachBatch scheduling + per-batch
+    # sign/probe against the bucketed index — with append=False so
+    # every sample (and regression re-time) measures identical work.
+    stream_src = _tempfile.mkdtemp(prefix="bench-stream-src-")
+    _docs = load(spark, sf_dir, "documents")
+    for res in (1, 4, 7):
+        _docs.filter(F.col("doc_id") % 10 == res).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_src)
+    _doc_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in _docs.schema.fields
+    )
+
+    def q_stream_corpus_dedup(spark, d):
+        from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+            stream_corpus_dedup,
+        )
+
+        sdf = (
+            spark.readStream.schema(_doc_ddl)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_src)
+        )
+        with _tempfile.TemporaryDirectory() as ck:
+            stream_corpus_dedup(
+                sdf, inc_table, ck, append=False, max_bucket_size=64,
+                query_name="bench_q22",
+            )
+        return spark.range(1).select(F.lit("drained").alias("status"))
+
     def q_er_incremental(spark, d):
         batch = load(spark, d, "customer").filter(
             F.col("c_custkey") % 7 == 0
@@ -227,6 +260,11 @@ def main() -> None:
         # exact substring dedup: ~1M 8-token span fingerprints over 5k
         # docs at sf0.1 (explode + partial-agg groupBy + join-back)
         "q21_span_dedup": (qs["t_span_dedup"], True),
+        # streaming steady state: 3 sequential micro-batches (10% of
+        # docs each) signed + probed against the standing index through
+        # foreachBatch — q16's per-batch cost plus the streaming
+        # machinery, regression-tracked as one number
+        "q22_stream_corpus_dedup": (q_stream_corpus_dedup, False),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

@@ -340,6 +340,7 @@ def stream_corpus_dedup(
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
     query_name: str = "stream_corpus_dedup",
+    append: bool = True,
     **sig_kwargs,
 ):
     """Streaming corpus curation: every micro-batch of arriving
@@ -357,6 +358,11 @@ def stream_corpus_dedup(
     bucketed index table, not the streaming state store, so it
     survives restarts and is queryable/compactable like any table.
     Runs with trigger=availableNow and blocks until input is drained.
+
+    ``append=False`` is the measure/dry-run mode: batches are still
+    signed and probed (identical per-batch cost) but survivors'
+    signatures don't extend the index — used by the bench's streaming
+    steady-state query so regression re-times measure identical work.
     """
     from ..operators.dedup import minhash_incremental_dedup
 
@@ -370,7 +376,7 @@ def stream_corpus_dedup(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
-            append=True,
+            append=append,
             max_bucket_size=max_bucket_size,
             **sig_kwargs,
         )
