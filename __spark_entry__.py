@@ -927,6 +927,73 @@ def _q_t_tfidf_topterms(spark, sf_dir):
     )
 
 
+def _q_a1_rfm_segments(spark, sf_dir):
+    """Classic RFM customer segmentation (new round 6): per-customer
+    recency (days since epoch of last order) / frequency / monetary
+    aggregates, each cut into quartiles by
+    operators/curation.py::percentile_buckets — three 3-element
+    threshold broadcasts over the already-aggregated customer frame,
+    zero global sorts — then the 4×4×4 segment grid's population.
+    Monetary goes through round(2)-then-double so both engines quantile
+    the identical values (decimal sums are exact and associative)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        percentile_buckets,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "recency"
+        ),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("monetary"),
+    )
+    b = percentile_buckets(rfm, "recency", 4, "r_q")
+    b = percentile_buckets(b, "frequency", 4, "f_q")
+    b = percentile_buckets(b, "monetary", 4, "m_q")
+    return b.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def _q_t_quality_deciles(spark, sf_dir):
+    """Quality-score calibration by decile
+    (operators/curation.py::percentile_buckets, new round 6): the
+    scalable NTILE — exact percentile thresholds as ONE corpus agg
+    broadcast into a scan-fused bucket comparison, never an
+    unpartitioned ntile window (which pins the whole table through one
+    task). Per-decile doc counts and min/max score (order statistics —
+    deterministic, unlike avg whose summation order varies)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        percentile_buckets,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", lf.quality_score("text").alias("q")
+    )
+    b = percentile_buckets(d, "q", n_buckets=10, out_col="decile")
+    return b.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("q"), 6).alias("min_q"),
+        F.round(F.max("q"), 6).alias("max_q"),
+    )
+
+
+def _q_t_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (functions/text.py::bm25_topk, new
+    round 6): top-20 documents for a 3-term query, scored with the
+    +1-smoothed idf and k1=1.2 / b=0.75. Postings are filtered to the
+    query terms BEFORE the (doc, term) aggregation (query-sized
+    shuffle), (N, avgdl) is the one sanctioned 1-row corpus agg, df
+    joins back broadcast. The oracle replays the identical arithmetic."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        bm25_topk,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return bm25_topk(d, ["vector", "stream", "hash"], k=20)
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -2061,6 +2128,21 @@ def _q_x2_range_join(spark, sf_dir):
     return out.select("signup_id", "error_id")
 
 
+def _q_x2_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase
+    (operators/windows.py::funnel_counts, new round 6): per-step user
+    counts where each stage must occur STRICTLY AFTER the user's
+    earliest qualifying previous stage. len(steps) user-keyed shuffles
+    over shrinking frontiers, scan pruned per event type; the oracle
+    replays the identical min-frontier recursion."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        funnel_counts,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def _q_x2_interval_join(spark, sf_dir):
     """Equi-key + time-interval join (streaming/events.py::interval_join):
     every purchase by the same user within 2 hours AFTER each click —
@@ -3035,17 +3117,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pipeline_runner": _q_g_pipeline_runner,
         "d_cc_dedup": _q_d_cc_dedup,
         "s9_dq_gate": _q_s9_dq_gate,
-        "s10_incremental_load": _q_s10_incremental_load,
-        "x2_asof_join": _q_x2_asof_join,
-        "w4_merge_upsert": _q_w4_merge_upsert,
-        "x1_stateful_totals": _q_x1_stateful_totals,
+        # new in round 6 (swapped for the s10_incremental_load pad,
+        # r04-green): RFM quartile segmentation
+        "a1_rfm_segments": _q_a1_rfm_segments,
         "s6_partition_pruning": _q_s6_partition_pruning,
+        # new in round 6 (swapped for the x2_asof_join pad, r04-green):
+        # percentile-threshold decile bucketing (scalable NTILE)
+        "t_quality_deciles": _q_t_quality_deciles,
+        # new in round 6 (swapped for the w4_merge_upsert pad,
+        # r04-green): ordered conversion-funnel analysis
+        "x2_funnel": _q_x2_funnel,
+        # new in round 6 (swapped for the x1_stateful_totals pad,
+        # r04-green): Okapi BM25 lexical retrieval
+        "t_bm25_topk": _q_t_bm25_topk,
         # new in round 6 (swapped for the e_json_extract pad, r04-green):
         # REAL BMP/WAV decode with an arithmetic oracle
         "m_media_decode": _q_m_media_decode,
         # ---- driver cap boundary (entry 50) — everything below holds
         # ---- an r04/r05 verdict against current testdata
         "e_json_extract": _q_e_json_extract,
+        "x1_stateful_totals": _q_x1_stateful_totals,
+        "w4_merge_upsert": _q_w4_merge_upsert,
+        "x2_asof_join": _q_x2_asof_join,
+        "s10_incremental_load": _q_s10_incremental_load,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4140,6 +4234,65 @@ def oracle_sql() -> dict[str, str]:
         ),
         # every-2nd 16-byte frame; ASCII corpus -> char substring ==
         # byte substring, hex() is uppercase on both engines.
+        "a1_rfm_segments": (
+            "WITH rfm AS (SELECT o_custkey, "
+            "date_diff('day', DATE '1970-01-01', max(o_orderdate)) AS recency, "
+            "count(*) AS frequency, "
+            "CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS monetary "
+            "FROM orders GROUP BY 1), "
+            "t AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS tr, "
+            "quantile_cont(frequency, [0.25, 0.5, 0.75]) AS tf, "
+            "quantile_cont(monetary, [0.25, 0.5, 0.75]) AS tm FROM rfm) "
+            "SELECT CAST(1 + len(list_filter(t.tr, x -> rfm.recency >= x)) AS INT) AS r_q, "
+            "CAST(1 + len(list_filter(t.tf, x -> rfm.frequency >= x)) AS INT) AS f_q, "
+            "CAST(1 + len(list_filter(t.tm, x -> rfm.monetary >= x)) AS INT) AS m_q, "
+            "count(*) AS n_customers FROM rfm CROSS JOIN t GROUP BY 1, 2, 3"
+        ),
+        "t_quality_deciles": (
+            "WITH q AS (SELECT doc_id, " + quality + " AS q FROM documents), "
+            "t AS (SELECT quantile_cont(q, "
+            "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS thr FROM q) "
+            "SELECT CAST(1 + len(list_filter(t.thr, x -> q.q >= x)) AS INT) "
+            "AS decile, count(*) AS n_docs, "
+            "round(min(q.q), 6) AS min_q, round(max(q.q), 6) AS max_q "
+            "FROM q CROSS JOIN t GROUP BY 1"
+        ),
+        "x2_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 USING (user_id) "
+            "WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1), "
+            "c AS (SELECT 1 AS step_index, 'view' AS step, "
+            "(SELECT count(*) FROM s1) AS n_users "
+            "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
+            "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)) "
+            "SELECT step_index, step, n_users, "
+            "round(n_users::DOUBLE / coalesce(lag(n_users) OVER "
+            "(ORDER BY step_index), n_users), 6) AS conversion_rate FROM c"
+        ),
+        "t_bm25_topk": (
+            "WITH base AS (SELECT doc_id, "
+            "len(string_split_regex(trim(lower(text)), '\\s+')) AS dl "
+            "FROM documents), "
+            "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base), "
+            "toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT t.doc_id, b.dl, t.term, count(*) AS tf "
+            "FROM toks t JOIN base b USING (doc_id) "
+            "WHERE t.term IN ('vector', 'stream', 'hash') GROUP BY 1, 2, 3), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1) "
+            "SELECT doc_id, round(sum("
+            "ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) / "
+            "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+            "), 6) AS bm25 "
+            "FROM tf JOIN dfq USING (term) CROSS JOIN stats "
+            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"
+        ),
         "m_media_decode": (
             # the REAL parsers must recover exactly the synthesized
             # geometry/duration; fake-tier dims would mismatch instantly

@@ -410,3 +410,64 @@ def gopher_quality_flags(
         & (F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
         & (F.col("stopword_hits") >= min_stopword_hits),
     )
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 ranking of documents against a bag of query terms —
+    the classic lexical-retrieval scorer (Robertson et al., TREC-3),
+    entirely in Catalyst so it is one declarative plan at 100 TB:
+
+    ``score(D,Q) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))``
+    with the +1-smoothed idf ``ln((N−df+0.5)/(df+0.5)+1)`` (always
+    positive, so stop-frequency terms dilute rather than invert).
+
+    Plan shape: per-doc length |D| is a scan-fused projection (no
+    shuffle); (N, avgdl) is ONE corpus agg — a sanctioned 1-row
+    broadcast like the TF-IDF denominator; the exploded token stream is
+    filtered to the query terms BEFORE its (doc, term) aggregation, so
+    the shuffle carries only matching postings (query-sized, not
+    corpus-sized); per-term df joins back as a broadcast. The terminal
+    orderBy+limit is Spark's TakeOrdered (per-partition heaps, k-sized
+    driver merge). Scores round to 6 dp so the SQL oracle replays
+    bit-identically. Ties break by ascending id.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.split(F.trim(F.lower(_col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("_dl"), toks.alias("_toks")
+    )
+    stats = base.agg(
+        F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        base.select(F.col(id_col), "_dl", F.explode("_toks").alias("_term"))
+        .filter(F.col("_term").isin(terms))
+        .groupBy(id_col, "_dl", "_term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count("*").alias("_df"))
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    denom = F.col("_tf") + k1 * (
+        1.0 - b + b * F.col("_dl") / F.col("_avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", idf * F.col("_tf") * (k1 + 1.0) / denom)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -416,3 +416,50 @@ def apply_mixture(
         .withColumn(copy_col, F.explode(copies))
         .drop("weight")
     )
+
+
+def percentile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Scalable NTILE: assign each row its n-quantile bucket (1-based)
+    using exact percentile THRESHOLDS — one corpus aggregation whose
+    (n_buckets − 1)-element result broadcasts into a scan-fused
+    comparison — instead of ``ntile() OVER (ORDER BY …)``, whose
+    unpartitioned window pins the ENTIRE table through one task.
+    ``bucket = 1 + #{thresholds ≤ value}``.
+
+    Semantic difference vs NTILE, deliberate: bucket membership is
+    VALUE-based, so boundary-equal rows always share a bucket
+    (deterministic, engine-independent) while NTILE splits ties by
+    arbitrary row order to force equal populations. Calibration /
+    scoring pipelines want the value-based rule. NULL values compare
+    false against every threshold and land in bucket 1 — filter them
+    first if that's not intended.
+
+    Scale: one partial-agg percentile pass + a broadcast; no shuffle of
+    the data itself, no global sort, no skew surface.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    ps = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    thr = df.agg(
+        F.expr(f"percentile({value_col}, array({ps}))").alias("_thr")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn(
+            out_col,
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.col("_thr"), lambda t: F.col(value_col) >= t
+                    )
+                )
+            ).cast("int"),
+        )
+        .drop("_thr")
+    )

@@ -258,3 +258,67 @@ def merge_upsert(
         .filter(F.col("_rn") == 1)
         .drop("_src", "_rn")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion-funnel analysis: how many users reach each
+    step of ``steps``, where "reaching" step i means an event of type
+    ``steps[i]`` STRICTLY AFTER the user's earliest qualifying event of
+    step i−1 (the standard product-analytics funnel — each stage must
+    happen in order, not merely co-occur).
+
+    Returns one row per step: ``(step_index, step, n_users,
+    conversion_rate)`` with ``conversion_rate`` = n_users ÷ previous
+    step's n_users (1.0 for the first step; rounded to 6 dp),
+    step_index 1-based.
+
+    Plan shape: per step, filter the scan to that event type (scan-
+    fused, pruned) → join to the previous step's per-user frontier →
+    min-ts aggregation keyed by user. len(steps) user-keyed shuffles of
+    strictly shrinking frontiers — never a global sort, never a per-user
+    event-list collect; user-key skew is bounded by one user's events of
+    ONE type, and AQE handles the rest. The final per-step counts are
+    len(steps) scalar aggregates unioned into a metadata-sized result.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    frontier = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if frontier is None:
+            frontier = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            frontier = (
+                ev.join(frontier, "_u")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        counts.append(
+            frontier.agg(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(step).alias("step"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("step_index")
+    return out.withColumn(
+        "conversion_rate",
+        F.round(
+            F.col("n_users")
+            / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
+            6,
+        ),
+    )

@@ -427,3 +427,87 @@ def test_export_shards_jsonl_matches_parquet_layout(docs, tmp_path):
     assert seq == sorted(seq)
     with _pytest.raises(ValueError, match="unknown export format"):
         export_shards(docs, path, "doc_id", 4, format="csv")
+
+
+def test_percentile_buckets_matches_rank_based_deciles(spark):
+    """Value-based quantile bucketing: thresholds are exact percentiles,
+    boundary-equal values share a bucket, NULLs land in bucket 1, and
+    for all-distinct values the population matches NTILE's within the
+    tie-free guarantee."""
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        percentile_buckets,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 101)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = percentile_buckets(df, "v", n_buckets=4, out_col="q")
+    got = {r.id: r.q for r in out.collect()}
+    # thresholds of 1..100 at [.25,.5,.75] = 25.75, 50.5, 75.25
+    assert got[25] == 1 and got[26] == 2 and got[50] == 2
+    assert got[51] == 3 and got[75] == 3 and got[76] == 4 and got[100] == 4
+    assert got[999] == 1  # NULL -> bucket 1 (documented)
+    # ties on the boundary share a bucket (value-based, not row-based)
+    tie = spark.createDataFrame(
+        [(i, 1.0) for i in range(6)] + [(9, 2.0), (10, 3.0)], "id long, v double"
+    )
+    tb = {r.id: r.q for r in percentile_buckets(tie, "v", 2, "q").collect()}
+    assert len({tb[i] for i in range(6)}) == 1
+    with _pytest.raises(ValueError, match="n_buckets"):
+        percentile_buckets(df, "v", n_buckets=1)
+
+
+def test_bm25_ranks_rarer_terms_higher(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "rare common common filler filler"),
+        (2, "common filler filler filler filler"),
+        (3, "rare rare common filler filler"),
+        (4, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["rare", "common"], k=4).collect()
+    ids = [r.doc_id for r in out]
+    # doc 3 (two 'rare' hits) beats doc 1 (one of each) beats doc 2
+    # (only the frequent term); doc 4 never matches
+    assert ids[:3] == [3, 1, 2] and 4 not in ids
+    assert all(out[i].bm25 >= out[i + 1].bm25 for i in range(len(out) - 1))
+
+
+def test_funnel_counts_requires_strict_order(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        funnel_counts,
+    )
+    import pytest as _pytest
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # user 2: clicks BEFORE viewing -> stops at view
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        # user 3: view+click, no purchase
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "click", "2024-01-01 08:01:00"),
+        # user 4: purchase only -> counted nowhere
+        (4, "purchase", "2024-01-01 07:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.step: r for r in funnel_counts(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"].n_users == 3
+    assert out["click"].n_users == 2      # users 1 and 3 (user 2 out of order)
+    assert out["purchase"].n_users == 1   # user 1
+    assert out["view"].conversion_rate == 1.0
+    assert out["click"].conversion_rate == round(2 / 3, 6)
+    assert out["purchase"].conversion_rate == 0.5
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(ev, [])
