@@ -927,6 +927,58 @@ def _q_t_tfidf_topterms(spark, sf_dir):
     )
 
 
+def _q_d_dup_stats(spark, sf_dir):
+    """Corpus duplication profile (new round 6): exact-dup cluster-size
+    histogram over the whitespace-normalized fingerprint — the
+    before/after measurement a dedup pipeline reports (what fraction of
+    the corpus is singleton vs boilerplate). Two partial-agg shuffles,
+    the second over cluster sizes (tiny domain)."""
+    d = load(spark, sf_dir, "documents")
+    sizes = d.groupBy(lf.doc_fingerprint("text").alias("fp")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+    )
+
+
+def _q_v_int8_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (functions/vectors.py::int8_quantize, new round 6) — the
+    codebook-free 4x compression tier below PQ. Per vector: the scale,
+    the quantized-code sum / extrema, and the L2 reconstruction error
+    of the dequantized vector — all sequential JVM folds the oracle
+    replays term-for-term (same pattern as v_dot_product)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.vectors import (
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.select("vec_id", "embedding", int8_quantize("embedding").alias("_qs"))
+    recon = int8_dequantize(F.col("_qs"))
+    err2 = F.aggregate(
+        F.zip_with(
+            recon,
+            F.col("embedding"),
+            lambda r, x: (r - x.cast("double")) * (r - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return qs.select(
+        "vec_id",
+        F.round(F.col("_qs.scale"), 6).alias("scale"),
+        F.aggregate(
+            F.col("_qs.q"), F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("q_sum"),
+        F.array_min("_qs.q").alias("q_min"),
+        F.array_max("_qs.q").alias("q_max"),
+        F.round(F.sqrt(err2), 6).alias("recon_err"),
+    )
+
+
 def _q_a1_rfm_segments(spark, sf_dir):
     """Classic RFM customer segmentation (new round 6): per-customer
     recency (days since epoch of last order) / frequency / monetary
@@ -3114,9 +3166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_dim_customers": _q_g_dim_customers,
         "g_dim_products": _q_g_dim_products,
         "g_fact_sales": _q_g_fact_sales,
-        "g_pipeline_runner": _q_g_pipeline_runner,
-        "d_cc_dedup": _q_d_cc_dedup,
         "s9_dq_gate": _q_s9_dq_gate,
+        # new in round 6 (swapped for the g_pipeline_runner pad,
+        # r04-green): exact-dup cluster-size histogram
+        "d_dup_stats": _q_d_dup_stats,
+        # new in round 6 (swapped for the d_cc_dedup pad, r04-green):
+        # codebook-free int8 embedding quantization
+        "v_int8_quantize": _q_v_int8_quantize,
         # new in round 6 (swapped for the s10_incremental_load pad,
         # r04-green): RFM quartile segmentation
         "a1_rfm_segments": _q_a1_rfm_segments,
@@ -3140,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_merge_upsert": _q_w4_merge_upsert,
         "x2_asof_join": _q_x2_asof_join,
         "s10_incremental_load": _q_s10_incremental_load,
+        "d_cc_dedup": _q_d_cc_dedup,
+        "g_pipeline_runner": _q_g_pipeline_runner,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4234,6 +4292,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         # every-2nd 16-byte frame; ASCII corpus -> char substring ==
         # byte substring, hex() is uppercase on both engines.
+        "d_dup_stats": (
+            "WITH c AS (SELECT md5(lower(trim(regexp_replace(text, "
+            "'\\s+', ' ', 'g')))) AS fp, count(*) AS cluster_size "
+            "FROM documents GROUP BY 1) "
+            "SELECT cluster_size, count(*) AS n_clusters, "
+            "cluster_size * count(*) AS n_docs FROM c GROUP BY 1"
+        ),
+        "v_int8_quantize": (
+            "WITH q AS (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings), "
+            "c AS (SELECT vec_id, embedding, scale, "
+            "CASE WHEN scale = 0 THEN "
+            "list_transform(embedding, x -> 0) "
+            "ELSE list_transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) END AS qc "
+            "FROM q) "
+            "SELECT vec_id, round(scale, 6) AS scale, "
+            "CAST(list_sum(qc) AS BIGINT) AS q_sum, "
+            "list_min(qc) AS q_min, list_max(qc) AS q_max, "
+            "round(sqrt(list_sum(list_transform(range(1, len(qc) + 1), "
+            "i -> (qc[i] * scale - CAST(embedding[i] AS DOUBLE)) * "
+            "(qc[i] * scale - CAST(embedding[i] AS DOUBLE))))), 6) "
+            "AS recon_err FROM c"
+        ),
         "a1_rfm_segments": (
             "WITH rfm AS (SELECT o_custkey, "
             "date_diff('day', DATE '1970-01-01', max(o_orderdate)) AS recency, "

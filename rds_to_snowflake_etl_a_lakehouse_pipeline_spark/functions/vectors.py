@@ -57,3 +57,33 @@ def cosine_from_norms(
     0), so results are bit-identical."""
     x, y, n1, n2 = _col(a), _col(b), _col(na), _col(nb)
     return F.when((n1 != 0) & (n2 != 0), dot_product(x, y) / (n1 * n2))
+
+
+def int8_quantize(a: Column | str) -> Column:
+    """Symmetric int8 quantization of an embedding: struct of
+    ``scale = max|aᵢ| / 127`` (double) and ``q = round(aᵢ / scale)``
+    (array<int> in [−127, 127]) — the 4× storage/bandwidth compression
+    tier below PQ (which compresses further but needs a trained
+    codebook; int8 is codebook-free and per-vector). All-zero / empty
+    vectors quantize to scale 0 with zero codes (guarded division).
+    Pure higher-order functions — JVM-side, oracle-replayable."""
+    x = _col(a)
+    amax = F.aggregate(
+        F.transform(x, lambda u: F.abs(u.cast("double"))),
+        F.lit(0.0),
+        lambda acc, u: F.greatest(acc, u),
+    )
+    scale = amax / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(x, lambda u: F.lit(0))).otherwise(
+        F.transform(x, lambda u: F.round(u.cast("double") / scale).cast("int"))
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def int8_dequantize(qstruct: Column | str) -> Column:
+    """Inverse of :func:`int8_quantize`: ``qᵢ · scale`` as
+    array<double> (lossy — error ≤ scale/2 per component)."""
+    s = _col(qstruct)
+    return F.transform(
+        s["q"], lambda u: u.cast("double") * s["scale"]
+    )

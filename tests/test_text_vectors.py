@@ -319,3 +319,39 @@ def test_dedupe_lines_keeps_first_occurrence_order(spark):
     # no Python in the plan
     plan = df.select(dedupe_lines("t"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_int8_quantize_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.vectors import (
+        int8_dequantize,
+        int8_quantize,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),      # all-zero: scale 0, codes 0
+        (3, [-0.003, 0.001, 0.002, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = df.select(
+        "vec_id",
+        int8_quantize("embedding").alias("qs"),
+    ).select(
+        "vec_id",
+        F.col("qs.scale").alias("scale"),
+        F.col("qs.q").alias("q"),
+        int8_dequantize(F.col("qs")).alias("recon"),
+        "qs",
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    # codes bounded by +-127, max-|x| component hits exactly +-127
+    assert by_id[1].q[3] == 127 and max(map(abs, by_id[1].q)) == 127
+    assert by_id[2].scale == 0.0 and by_id[2].q == [0, 0, 0, 0]
+    # reconstruction error per component <= scale/2 (+eps)
+    src = dict(rows)
+    for vid in (1, 3):
+        s = by_id[vid].scale
+        for got, want in zip(by_id[vid].recon, src[vid]):
+            assert abs(got - want) <= s / 2 + 1e-12
