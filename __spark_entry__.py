@@ -927,6 +927,52 @@ def _q_t_tfidf_topterms(spark, sf_dir):
     )
 
 
+def _q_s14_version_changes(spark, sf_dir):
+    """Row-level change feed between committed versions
+    (sources/versioned.py::VersionedTable.changes, new round 6 — the
+    Delta-CDF analog, DERIVED as a keyed diff of the two snapshots):
+    overwrite → partition-free COW merge (updates + inserts) → COW
+    delete, then changes(v1, v3) classifies every key as
+    insert / update_preimage / update_postimage / delete. The oracle
+    recomputes the same three logical states from the raw orders table
+    and replays the classification as set arithmetic."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.round(F.col("o_totalprice"), 2).cast("double").alias("p"),
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="sg-cdf-"))
+    vt.write(o.filter(F.col("k") % 50 < 25))
+    vt.merge(
+        o.filter(F.col("k") % 4 == 0).withColumn("p", F.col("p") + 10),
+        keys=["k"],
+    )
+    vt.delete(F.col("k") % 7 == 0)
+    return vt.changes(1, 3, keys=["k"])
+
+
+def _q_t_weighted_per_lang(spark, sf_dir):
+    """Per-group exact weighted sampling
+    (operators/curation.py::weighted_sample_per_group, new round 6):
+    the 20 highest-priority documents of EVERY language under
+    Efraimidis-Spirakis n_chars-weighted priorities — the per-stratum
+    form of t_weighted_sample with no driver-side k limit
+    (WindowGroupLimit map-side top-k). Oracle replays the identical
+    md5-derived priorities and rank."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_per_group(d, ["lang"], "doc_id", "n_chars", k=20)
+
+
 def _q_d_dup_stats(spark, sf_dir):
     """Corpus duplication profile (new round 6): exact-dup cluster-size
     histogram over the whitespace-normalized fingerprint — the
@@ -3169,8 +3215,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- out one-for-one as new round-6 queries land
         "g_dim_customers": _q_g_dim_customers,
         "g_dim_products": _q_g_dim_products,
-        "g_fact_sales": _q_g_fact_sales,
-        "s9_dq_gate": _q_s9_dq_gate,
+        # new in round 6 (swapped for the g_fact_sales pad, r04-green):
+        # per-group exact weighted sampling
+        "t_weighted_per_lang": _q_t_weighted_per_lang,
+        # new in round 6 (swapped for the s9_dq_gate pad, r04-green):
+        # derived change-data-feed between committed versions
+        "s14_version_changes": _q_s14_version_changes,
         # new in round 6 (swapped for the g_pipeline_runner pad,
         # r04-green): exact-dup cluster-size histogram
         "d_dup_stats": _q_d_dup_stats,
@@ -3202,6 +3252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_incremental_load": _q_s10_incremental_load,
         "d_cc_dedup": _q_d_cc_dedup,
         "g_pipeline_runner": _q_g_pipeline_runner,
+        "s9_dq_gate": _q_s9_dq_gate,
+        "g_fact_sales": _q_g_fact_sales,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4296,6 +4348,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         # every-2nd 16-byte frame; ASCII corpus -> char substring ==
         # byte substring, hex() is uppercase on both engines.
+        "s14_version_changes": (
+            "WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s, "
+            "CAST(round(o_totalprice, 2) AS DOUBLE) AS p FROM orders), "
+            "v1 AS (SELECT * FROM o WHERE k % 50 < 25), "
+            "b AS (SELECT k, s, p + 10 AS p FROM o WHERE k % 4 = 0), "
+            "v3 AS (SELECT * FROM ("
+            "SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM b) "
+            "UNION ALL SELECT * FROM b) WHERE k % 7 <> 0) "
+            "SELECT n.k, n.s, n.p, 'insert' AS _change FROM v3 n "
+            "WHERE n.k NOT IN (SELECT k FROM v1) "
+            "UNION ALL "
+            "SELECT o1.k, o1.s, o1.p, 'delete' FROM v1 o1 "
+            "WHERE o1.k NOT IN (SELECT k FROM v3) "
+            "UNION ALL "
+            "SELECT o1.k, o1.s, o1.p, 'update_preimage' FROM v1 o1 "
+            "JOIN v3 n ON o1.k = n.k WHERE o1.p <> n.p OR o1.s <> n.s "
+            "UNION ALL "
+            "SELECT n.k, n.s, n.p, 'update_postimage' FROM v1 o1 "
+            "JOIN v3 n ON o1.k = n.k WHERE o1.p <> n.p OR o1.s <> n.s"
+        ),
+        "t_weighted_per_lang": (
+            "WITH p AS (SELECT doc_id, lang, n_chars, "
+            "pow(((('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,8))::BIGINT)"
+            "::DOUBLE + 0.5) / 4294967296.0, 1.0 / n_chars::DOUBLE) AS pri "
+            "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), "
+            "r AS (SELECT doc_id, lang, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY pri DESC, doc_id ASC) AS rn FROM p) "
+            "SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20"
+        ),
         "d_dup_stats": (
             "WITH c AS (SELECT md5(lower(trim(regexp_replace(text, "
             "'\\s+', ' ', 'g')))) AS fp, count(*) AS cluster_size "

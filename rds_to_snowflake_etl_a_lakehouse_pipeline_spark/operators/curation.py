@@ -463,3 +463,45 @@ def percentile_buckets(
         )
         .drop("_thr")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact weighted-without-replacement sampling of ``k`` rows PER
+    GROUP (Efraimidis-Spirakis priorities, same md5-uniform primitive
+    as :func:`weighted_sample`) — per-language / per-source quality-
+    weighted selection in one plan with NO driver-side k limit: the
+    selection is a group-partitioned rank, so Spark's WindowGroupLimit
+    pushes the per-group top-k below the exchange (≤ k rows per group
+    per mapper ever shuffle). Scales to any group cardinality — the
+    global-k sibling is for "give me THE best k overall", this one for
+    "the best k of every stratum". Deterministic and oracle-replayable;
+    NULL/non-positive weights are excluded (they'd never win).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    scored = df.filter(w.isNotNull() & (w > 0)).withColumn("_pri", pri)
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("_pri").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_pri", "_rn")
+    )

@@ -520,6 +520,85 @@ class VersionedTable:
             }
         )
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions (the
+        Delta CDF / Iceberg changelog read, derived rather than stored —
+        this format keeps no per-commit change files, so the feed is
+        computed as a keyed diff of the two snapshots it references).
+
+        Requires ``keys`` (the table's logical key — same contract as
+        :meth:`merge`). Returns one row per changed key with ``_change``
+        ∈ {``insert``, ``update_preimage``, ``update_postimage``,
+        ``delete``}: inserts/postimages carry the ``to`` snapshot's
+        values, preimages/deletes the ``from`` snapshot's. Unchanged
+        rows (key present in both with identical non-key values) are
+        omitted.
+
+        Scale: one full-outer join keyed on ``keys`` — both snapshots
+        shuffle once on the key; the value comparison is an md5 over a
+        length-prefixed encoding (NULL-safe, injective), computed
+        scan-side. Derived CDF costs two snapshot reads; a pipeline
+        that needs per-commit feeds cheaply should consume the MERGE
+        batches themselves upstream.
+        """
+        if not keys:
+            raise ValueError("changes() requires the table's key columns")
+        to_version = self.latest_version() if to_version is None else to_version
+        old = self.read(from_version)
+        new = self.read(to_version)
+        cols = old.columns
+        val_cols = [c for c in cols if c not in keys]
+
+        def fp(df):
+            enc = [
+                F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                    F.concat(
+                        F.length(F.col(c).cast("string")).cast("string"),
+                        F.lit(":"),
+                        F.col(c).cast("string"),
+                    )
+                )
+                for c in val_cols
+            ]
+            return F.md5(F.concat(*enc)) if enc else F.lit("")
+
+        o = old.select(
+            *[F.col(c).alias(f"_o_{c}") for c in cols],
+            *[F.col(k).alias(k) for k in keys],
+            fp(old).alias("_o_fp"),
+        )
+        n = new.select(
+            *[F.col(c).alias(f"_n_{c}") for c in cols],
+            *[F.col(k).alias(k) for k in keys],
+            fp(new).alias("_n_fp"),
+        )
+        j = o.join(n, on=keys, how="full_outer")
+        ins = j.filter(F.col("_o_fp").isNull() & F.col("_n_fp").isNotNull())
+        del_ = j.filter(F.col("_n_fp").isNull() & F.col("_o_fp").isNotNull())
+        upd = j.filter(
+            F.col("_o_fp").isNotNull()
+            & F.col("_n_fp").isNotNull()
+            & (F.col("_o_fp") != F.col("_n_fp"))
+        )
+
+        def pick(side, df, change):
+            return df.select(
+                *[F.col(f"_{side}_{c}").alias(c) for c in cols],
+                F.lit(change).alias("_change"),
+            )
+
+        return (
+            pick("n", ins, "insert")
+            .unionByName(pick("o", upd, "update_preimage"))
+            .unionByName(pick("n", upd, "update_postimage"))
+            .unionByName(pick("o", del_, "delete"))
+        )
+
     # ----------------------------------------------------------- maintenance
 
     def health(

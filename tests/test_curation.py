@@ -511,3 +511,31 @@ def test_funnel_counts_requires_strict_order(spark):
     assert out["purchase"].conversion_rate == 0.5
     with _pytest.raises(ValueError, match="non-empty"):
         funnel_counts(ev, [])
+
+
+def test_weighted_sample_per_group_matches_global_within_group(spark):
+    """Per-group selection equals running the global sampler on each
+    group alone (same priorities, same tiebreak), and caps at k per
+    group."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g" + str(i % 3), float(1 + i % 7)) for i in range(90)]
+    rows += [(900, "g0", None), (901, "g1", 0.0)]  # excluded weights
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample_per_group(df, ["grp"], "id", "w", k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.grp, set()).add(r.id)
+    assert all(len(v) == 5 for v in got.values()) and len(got) == 3
+    assert 900 not in got["g0"] and 901 not in got["g1"]
+    for g in ("g0", "g1", "g2"):
+        solo = {
+            r.id
+            for r in weighted_sample(
+                df.filter(F.col("grp") == g), "id", "w", k=5
+            ).collect()
+        }
+        assert solo == got[g]

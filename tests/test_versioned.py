@@ -365,3 +365,40 @@ def test_read_as_of_timestamp(spark, tmp_path):
         vt.read(as_of=t1 - 10)
     with _pytest.raises(ValueError, match="not both"):
         vt.read(version=1, as_of=t1)
+
+
+def test_changes_classifies_insert_update_delete(spark, root):
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    vt.merge(_mk(spark, [(2, "a", 21), (4, "c", 40)]), keys=["id"])  # v2
+    vt.delete(F.col("id") == 1)                                      # v3
+    ch = {
+        (r.id, r._change): (r.part, r.val)
+        for r in vt.changes(1, 3, keys=["id"]).collect()
+    }
+    assert ch == {
+        (4, "insert"): ("c", 40),
+        (2, "update_preimage"): ("a", 20),
+        (2, "update_postimage"): ("a", 21),
+        (1, "delete"): ("a", 10),
+    }
+    # unchanged key 3 emits nothing; adjacent-pair feed sees only v2's
+    # changes
+    ch2 = {(r.id, r._change) for r in vt.changes(1, 2, keys=["id"]).collect()}
+    assert ch2 == {(4, "insert"), (2, "update_preimage"),
+                   (2, "update_postimage")}
+    # same-version diff is empty; keys are required
+    assert vt.changes(2, 2, keys=["id"]).count() == 0
+    with pytest.raises(ValueError, match="key columns"):
+        vt.changes(1, 3)
+
+
+def test_changes_null_safe_value_compare(spark, root):
+    """NULL→value and value→NULL transitions are updates (the md5
+    length-prefix encoding is NULL-safe and injective)."""
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, None, 10), (2, "x", None)]))
+    vt.merge(_mk(spark, [(1, "now", 10), (2, "x", 5)]), keys=["id"])
+    ch = {(r.id, r._change) for r in vt.changes(1, 2, keys=["id"]).collect()}
+    assert ch == {(1, "update_preimage"), (1, "update_postimage"),
+                  (2, "update_preimage"), (2, "update_postimage")}
