@@ -1029,13 +1029,15 @@ def _q_a1_rfm_segments(spark, sf_dir):
     """Classic RFM customer segmentation (new round 6): per-customer
     recency (days since epoch of last order) / frequency / monetary
     aggregates, each cut into quartiles by
-    operators/curation.py::percentile_buckets — three 3-element
-    threshold broadcasts over the already-aggregated customer frame,
-    zero global sorts — then the 4×4×4 segment grid's population.
-    Monetary goes through round(2)-then-double so both engines quantile
-    the identical values (decimal sums are exact and associative)."""
+    operators/curation.py::percentile_buckets_multi — ONE threshold
+    aggregation computing all three quantile arrays over the customer
+    rollup (nesting the single-column form re-evaluated the rollup per
+    column: 7 exchanges vs 3 in the plan audit), one broadcast, zero
+    global sorts — then the 4×4×4 segment grid's population. Monetary
+    goes through round(2)-then-double so both engines quantile the
+    identical values (decimal sums are exact and associative)."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
-        percentile_buckets,
+        percentile_buckets_multi,
     )
 
     o = load(spark, sf_dir, "orders")
@@ -1046,9 +1048,10 @@ def _q_a1_rfm_segments(spark, sf_dir):
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).cast("double").alias("monetary"),
     )
-    b = percentile_buckets(rfm, "recency", 4, "r_q")
-    b = percentile_buckets(b, "frequency", 4, "f_q")
-    b = percentile_buckets(b, "monetary", 4, "m_q")
+    b = percentile_buckets_multi(
+        rfm,
+        {"recency": (4, "r_q"), "frequency": (4, "f_q"), "monetary": (4, "m_q")},
+    )
     return b.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers")
     )

@@ -539,3 +539,22 @@ def test_weighted_sample_per_group_matches_global_within_group(spark):
             ).collect()
         }
         assert solo == got[g]
+
+
+def test_percentile_buckets_multi_matches_single(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        percentile_buckets,
+        percentile_buckets_multi,
+    )
+
+    rows = [(i, float(i % 17), float((i * 3) % 11)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    multi = percentile_buckets_multi(df, {"a": (4, "qa"), "b": (5, "qb")})
+    sa = percentile_buckets(df, "a", 4, "qa").select("id", "qa")
+    sb = percentile_buckets(df, "b", 5, "qb").select("id", "qb")
+    want = {
+        r.id: (r.qa, r.qb)
+        for r in sa.join(sb, "id").collect()
+    }
+    got = {r.id: (r.qa, r.qb) for r in multi.collect()}
+    assert got == want

@@ -622,3 +622,79 @@ def test_span_dedup_matches_pure_python_replay(spark, texts, k):
         for r in span_dedup(df, "doc_id", "text", k=k).collect()
     }
     assert got == _span_dedup_replay(docs, k)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 6),           # user
+            st.sampled_from(["a", "b", "c", "x"]),  # step or noise
+            st.integers(0, 50),          # second offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@PROP
+def test_funnel_counts_matches_python_reference(spark, events):
+    """funnel_counts == a per-user sequential min-frontier scan in
+    plain Python, on arbitrary (user, type, ts) multisets — including
+    duplicate timestamps and noise event types."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        funnel_counts,
+    )
+
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [(u, t, s) for u, t, s in events], "user_id long, event_type string, ts long"
+    )
+    got = {
+        r.step: r.n_users for r in funnel_counts(df, steps).collect()
+    }
+
+    by_user: dict[int, list[tuple[str, int]]] = {}
+    for u, t, s in events:
+        by_user.setdefault(u, []).append((t, s))
+    expect = {s: 0 for s in steps}
+    for evs in by_user.values():
+        frontier = None
+        for i, step in enumerate(steps):
+            cand = [
+                ts for t, ts in evs
+                if t == step and (frontier is None or ts > frontier)
+            ]
+            if not cand:
+                break
+            frontier = min(cand)
+            expect[step] += 1
+    assert got == expect
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2,
+        max_size=40,
+    ),
+    nb=st.sampled_from([2, 4, 5]),
+)
+@PROP
+def test_percentile_buckets_matches_numpy_reference(spark, vals, nb):
+    """percentile_buckets == numpy's linear-interpolation quantiles +
+    the same >=-threshold counting rule, for arbitrary doubles."""
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        percentile_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    got = {
+        r.id: r.b for r in percentile_buckets(df, "v", nb, "b").collect()
+    }
+    thr = np.quantile(np.array(vals, dtype=np.float64),
+                      [i / nb for i in range(1, nb)], method="linear")
+    for i, v in enumerate(vals):
+        assert got[i] == 1 + int(sum(v >= t for t in thr))

@@ -61,6 +61,16 @@ AUDIT = [
     "t_pretrain_pipeline",
     "t_span_dedup",
     "a1_cms_topk",
+    # round-6 additions
+    "t_bm25_topk",
+    "x2_funnel",
+    "t_quality_deciles",
+    "a1_rfm_segments",
+    "v_int8_quantize",
+    "d_dup_stats",
+    "t_weighted_per_lang",
+    "s14_version_changes",
+    "m_media_decode",
 ]
 
 
