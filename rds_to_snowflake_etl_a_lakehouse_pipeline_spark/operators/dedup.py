@@ -326,6 +326,7 @@ def minhash_build_index(
         bands=bands,
         shingle_n=shingle_n,
         n_buckets=n_buckets,
+        bucket_cols="bucket",
     )
 
 
@@ -1685,7 +1686,10 @@ def span_build_index(
 
     fps = _span_explode(df, id_col, text_col, k).select("_h").distinct()
     write_table(fps, table, bucket_by=(n_buckets, ["_h"]))
-    set_table_meta(df.sparkSession, table, kind="span", k=k, n_buckets=n_buckets)
+    set_table_meta(
+        df.sparkSession, table, kind="span", k=k, n_buckets=n_buckets,
+        bucket_cols="_h",
+    )
 
 
 def span_incremental_dedup(

@@ -335,7 +335,10 @@ def er_build_index(
         table,
         bucket_by=(n_buckets, ["_blk"]),
     )
-    set_table_meta(resolved.sparkSession, table, kind="er", n_buckets=n_buckets)
+    set_table_meta(
+        resolved.sparkSession, table, kind="er", n_buckets=n_buckets,
+        bucket_cols="_blk",
+    )
 
 
 def er_incremental(
@@ -536,7 +539,9 @@ def er_compact_index(spark, table: str, n_buckets: int | None = None) -> None:
     # stage through a temp view snapshot: write_table's stage-and-swap
     # materializes before dropping, so reading the target is safe
     write_table(rows, table, bucket_by=(n_buckets, ["_blk"]))
-    set_table_meta(spark, table, kind="er", n_buckets=n_buckets)
+    set_table_meta(
+        spark, table, kind="er", n_buckets=n_buckets, bucket_cols="_blk"
+    )
     spark.sql(f"DROP TABLE IF EXISTS {_relabel_tbl(table)}")
 
 

@@ -254,3 +254,64 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_index_table_health_and_generic_compact(spark):
+    """Append chains create one file per touched bucket per batch;
+    health() measures the creep and compact_index_table resets it
+    (same bucket spec, rows deduplicated, metadata preserved) with
+    probe results unchanged."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        span_build_index,
+        span_incremental_dedup,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        compact_index_table,
+        get_table_meta,
+        index_table_health,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS span_idx_compact_t")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    span_build_index(corpus, "span_idx_compact_t", k=4, n_buckets=4)
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(10 + i, f"fresh content number {i} varies widely here")],
+            "doc_id long, text string",
+        )
+        span_incremental_dedup(spark, "span_idx_compact_t", b, k=4)
+    h = index_table_health(spark, "span_idx_compact_t",
+                           max_files_per_bucket=1.5)
+    assert h["n_buckets"] == 4 and h["n_files"] > 4
+    assert h["compact_recommended"]
+    n_rows = spark.table("span_idx_compact_t").count()
+
+    compact_index_table(spark, "span_idx_compact_t")
+    h2 = index_table_health(spark, "span_idx_compact_t",
+                            max_files_per_bucket=1.5)
+    assert h2["n_files"] <= 4 and not h2["compact_recommended"]
+    assert spark.table("span_idx_compact_t").count() == n_rows
+    # metadata (incl. bucket spec + k contract) survives the rewrite
+    meta = get_table_meta(spark, "span_idx_compact_t")
+    assert meta["k"] == "4" and meta["bucket_cols"] == "_h"
+    # the compacted index still masks a repeat of batch 0's content
+    got = span_incremental_dedup(
+        spark,
+        "span_idx_compact_t",
+        spark.createDataFrame(
+            [(99, "fresh content number 0 varies widely here")],
+            "doc_id long, text string",
+        ),
+        k=4,
+        append=False,
+    ).first()
+    assert got.n_tokens_removed > 0
+
+    import pytest as _pytest
+
+    spark.sql("DROP TABLE IF EXISTS not_an_index_t")
+    spark.range(3).write.saveAsTable("not_an_index_t")
+    with _pytest.raises(ValueError, match="bucket spec"):
+        compact_index_table(spark, "not_an_index_t")
