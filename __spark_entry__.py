@@ -973,6 +973,25 @@ def _q_t_weighted_per_lang(spark, sf_dir):
     return weighted_sample_per_group(d, ["lang"], "doc_id", "n_chars", k=20)
 
 
+def _q_t_corpus_drift(spark, sf_dir):
+    """Snapshot-to-snapshot distribution drift (plans/report.py::
+    corpus_drift, new round 6): the even-doc_id half of the corpus
+    plays the OLD crawl, the odd half the NEW; per-term add-k-smoothed
+    log-frequency-ratios rank the top-25 movers — the pre-training
+    sanity monitor that catches a crawl gone wrong before a run trains
+    on it. Oracle replays the identical smoothing arithmetic."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.report import (
+        corpus_drift,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return corpus_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        k=25,
+    )
+
+
 def _q_d_dup_stats(spark, sf_dir):
     """Corpus duplication profile (new round 6): exact-dup cluster-size
     histogram over the whitespace-normalized fingerprint — the
@@ -1191,6 +1210,21 @@ def _q_d_exact_dedup(spark, sf_dir):
 def _q_d_ngram_jaccard(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+def _q_d_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT pairs
+    (operators/dedup.py::ngram_containment_pairs, new round 6): the
+    quote/subset near-dup signal — a short document wholly contained in
+    a long one scores ~1.0 containment but low Jaccard. Same
+    inverted-index plan + max_df skew cap as d_ngram_jaccard; the
+    oracle replays the set arithmetic exactly."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.6)
 
 
 def _q_d_minhash_pairs(spark, sf_dir):
@@ -3216,8 +3250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_audio": _q_m_decode_audio,
         # ---- r06 front-50 refresh pads: oldest (r04) verdicts; swapped
         # ---- out one-for-one as new round-6 queries land
-        "g_dim_customers": _q_g_dim_customers,
-        "g_dim_products": _q_g_dim_products,
+        # new in round 6 (swapped for the g_dim_customers pad,
+        # r04-green): snapshot-to-snapshot term drift monitor
+        "t_corpus_drift": _q_t_corpus_drift,
+        # new in round 6 (swapped for the g_dim_products pad,
+        # r04-green): asymmetric n-gram containment pairs
+        "d_containment_pairs": _q_d_containment_pairs,
         # new in round 6 (swapped for the g_fact_sales pad, r04-green):
         # per-group exact weighted sampling
         "t_weighted_per_lang": _q_t_weighted_per_lang,
@@ -3255,6 +3293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_incremental_load": _q_s10_incremental_load,
         "d_cc_dedup": _q_d_cc_dedup,
         "g_pipeline_runner": _q_g_pipeline_runner,
+        "g_dim_customers": _q_g_dim_customers,
+        "g_dim_products": _q_g_dim_products,
         "s9_dq_gate": _q_s9_dq_gate,
         "g_fact_sales": _q_g_fact_sales,
         "a1_groupby_agg": _q_a1_groupby_agg,
@@ -4267,6 +4307,31 @@ def oracle_sql() -> dict[str, str]:
         # sharing >=1 shingle; mirrors operators/dedup.ngram_jaccard_pairs
         # (max_df=1000 boilerplate cap is a no-op at 500 docs but kept for
         # structural fidelity).
+        "d_containment_pairs": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "list_distinct([array_to_string(toks[i:i+2], ' ') "
+            "for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh "
+            "FROM t), "
+            "ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s), "
+            "rare AS (SELECT shingle FROM ex0 GROUP BY shingle "
+            "HAVING count(DISTINCT doc_id) <= 1000), "
+            "ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 "
+            "JOIN rare USING (shingle)), "
+            "sizes AS (SELECT doc_id, count(DISTINCT shingle) AS sz "
+            "FROM ex GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM ex a "
+            "JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, i AS inter, "
+            "round(i / sa.sz, 6) AS containment_a, "
+            "round(i / sb.sz, 6) AS containment_b "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE round(i / sa.sz, 6) >= 0.6 OR round(i / sb.sz, 6) >= 0.6"
+        ),
         "d_ngram_jaccard": (
             "WITH " + _SQL_NGRAM_PAIR_CTES + " SELECT id_a, id_b, jaccard FROM pairs"
         ),
@@ -4379,6 +4444,27 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, lang, n_chars, row_number() OVER "
             "(PARTITION BY lang ORDER BY pri DESC, doc_id ASC) AS rn FROM p) "
             "SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20"
+        ),
+        "t_corpus_drift": (
+            "WITH co AS (SELECT term, count(*) AS c FROM (SELECT "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents WHERE doc_id % 2 = 0) GROUP BY 1), "
+            "cn AS (SELECT term, count(*) AS c FROM (SELECT "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents WHERE doc_id % 2 = 1) GROUP BY 1), "
+            "j AS (SELECT coalesce(co.term, cn.term) AS term, "
+            "coalesce(co.c, 0) AS c_old, coalesce(cn.c, 0) AS c_new "
+            "FROM co FULL OUTER JOIN cn ON co.term = cn.term "
+            "WHERE coalesce(co.c, 0) + coalesce(cn.c, 0) >= 5), "
+            "tot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new, "
+            "count(*) AS v FROM j) "
+            "SELECT term, c_old, c_new, "
+            "round(ln(((c_new + 0.5) / (n_new + 0.5 * v)) / "
+            "((c_old + 0.5) / (n_old + 0.5 * v))), 6) AS log_ratio "
+            "FROM j CROSS JOIN tot "
+            "ORDER BY abs(round(ln(((c_new + 0.5) / (n_new + 0.5 * v)) / "
+            "((c_old + 0.5) / (n_old + 0.5 * v))), 6)) DESC, term ASC "
+            "LIMIT 25"
         ),
         "d_dup_stats": (
             "WITH c AS (SELECT md5(lower(trim(regexp_replace(text, "

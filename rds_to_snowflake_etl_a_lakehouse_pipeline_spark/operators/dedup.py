@@ -1279,6 +1279,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for candidate pairs sharing ≥1 shingle:
+    ``containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|``
+    — the ASYMMETRIC near-dup signal Jaccard misses. A short document
+    quoted wholesale inside a long one has high containment but low
+    Jaccard (the union is dominated by the long side), so quote/subset
+    curation filters on containment, symmetric-dup removal on Jaccard
+    (Lee et al. 2022 use both). Emits ``(id_a, id_b, inter,
+    containment_a, containment_b)`` with id_a < id_b for every pair
+    where EITHER direction clears ``threshold``.
+
+    Same plan skeleton and skew posture as :func:`ngram_jaccard_pairs`
+    (inverted-index self-join, ``max_df`` boilerplate-shingle cap,
+    materialized index reused across all consumers — ``storage`` knob
+    as elsewhere); only the final arithmetic differs.
+    """
+    ex = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    if max_df is not None:
+        rare = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") <= max_df)
+            .select("shingle")
+        )
+        ex = ex.join(rare, "shingle")
+    ex = _materialize(ex, storage)
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment_a"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
 def semantic_pairs(
     df: DataFrame,
     id_col: str,

@@ -1757,3 +1757,35 @@ def test_span_incremental_matches_full_span_dedup_for_one_shot(spark):
         for r in span_dedup(batch, "doc_id", "text", k=4).collect()
     }
     assert inc == full
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment of
+    the short side ~1.0 while Jaccard stays under a symmetric-dedup
+    threshold — the signal this operator exists for."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " trailing words here"),
+        (3, "completely unrelated text about something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)][0] == 1.0  # short side contained
+    assert cont[(1, 2)][1] < 0.9                      # long side is not
+    assert not [k for k in cont if 3 in k]
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).collect()
+    assert jac == []  # symmetric similarity misses the quote entirely
