@@ -599,6 +599,30 @@ class VersionedTable:
             .unionByName(pick("o", del_, "delete"))
         )
 
+    def changes_feed(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Per-commit change feed: :meth:`changes` of every adjacent
+        version pair in ``(from_version, to_version]``, unioned with a
+        ``_commit_version`` column — the consumable CDC stream form
+        (each row says WHICH commit changed it), where :meth:`changes`
+        alone nets out intermediate states. Cost is one keyed diff per
+        commit in the range; bounded by the version count, which
+        :meth:`vacuum` retention keeps finite."""
+        to_version = self.latest_version() if to_version is None else to_version
+        if to_version <= from_version:
+            raise ValueError("to_version must be > from_version")
+        out = None
+        for v in range(from_version, to_version):
+            step = self.changes(v, v + 1, keys=keys).withColumn(
+                "_commit_version", F.lit(v + 1)
+            )
+            out = step if out is None else out.unionByName(step)
+        return out
+
     # ----------------------------------------------------------- maintenance
 
     def health(

@@ -402,3 +402,21 @@ def test_changes_null_safe_value_compare(spark, root):
     ch = {(r.id, r._change) for r in vt.changes(1, 2, keys=["id"]).collect()}
     assert ch == {(1, "update_preimage"), (1, "update_postimage"),
                   (2, "update_preimage"), (2, "update_postimage")}
+
+
+def test_changes_feed_tags_each_commit(spark, root):
+    """The per-commit feed exposes intermediate states the netted diff
+    hides: an insert-then-delete key appears in the feed (both ops,
+    different commits) but not in changes(1, 3)."""
+    vt = VersionedTable(spark, root)
+    vt.write(_mk(spark, [(1, "a", 10)]))
+    vt.merge(_mk(spark, [(5, "b", 50)]), keys=["id"])   # v2: insert 5
+    vt.delete(F.col("id") == 5)                          # v3: delete 5
+    feed = {
+        (r.id, r._change, r._commit_version)
+        for r in vt.changes_feed(1, keys=["id"]).collect()
+    }
+    assert feed == {(5, "insert", 2), (5, "delete", 3)}
+    assert vt.changes(1, 3, keys=["id"]).count() == 0  # netted out
+    with pytest.raises(ValueError, match="to_version"):
+        vt.changes_feed(3, 3, keys=["id"])
