@@ -71,6 +71,8 @@ AUDIT = [
     "t_weighted_per_lang",
     "s14_version_changes",
     "m_media_decode",
+    "d_containment_pairs",
+    "t_corpus_drift",
 ]
 
 
