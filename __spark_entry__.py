@@ -1596,6 +1596,26 @@ def _q_m_media_decode(spark, sf_dir):
     )
 
 
+def _q_m_video_dedup(spark, sf_dir):
+    """Container-level video near-dup detection
+    (operators/multimodal.py::frame_hash_pairs, new round 6): sampled
+    fixed-size frames → per-frame fingerprint → exact Jaccard over
+    distinct frame-hash sets via the shared inverted-index core
+    (dedup.set_jaccard_pairs) — re-encodes/trims that preserve most
+    sampled frames pair up, unrelated media share nothing. The oracle
+    reconstructs the same frame sets from the deterministic fixture
+    bytes and replays the set arithmetic."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        frame_hash_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = attach_fake_blobs(d, "text")
+    return frame_hash_pairs(
+        blobs, "doc_id", "content", frame_bytes=16, every_n=2, threshold=0.5
+    )
+
+
 def _q_m_frame_sample(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     blobs = attach_fake_blobs(d, "text")
@@ -3271,7 +3291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 6 (swapped for the s10_incremental_load pad,
         # r04-green): RFM quartile segmentation
         "a1_rfm_segments": _q_a1_rfm_segments,
-        "s6_partition_pruning": _q_s6_partition_pruning,
+        # new in round 6 (swapped for the s6_partition_pruning pad,
+        # r04-green — the last refresh pad): sampled-frame video dedup
+        "m_video_dedup": _q_m_video_dedup,
         # new in round 6 (swapped for the x2_asof_join pad, r04-green):
         # percentile-threshold decile bucketing (scalable NTILE)
         "t_quality_deciles": _q_t_quality_deciles,
@@ -3295,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pipeline_runner": _q_g_pipeline_runner,
         "g_dim_customers": _q_g_dim_customers,
         "g_dim_products": _q_g_dim_products,
+        "s6_partition_pruning": _q_s6_partition_pruning,
         "s9_dq_gate": _q_s9_dq_gate,
         "g_fact_sales": _q_g_fact_sales,
         "a1_groupby_agg": _q_a1_groupby_agg,
@@ -4549,6 +4572,30 @@ def oracle_sql() -> dict[str, str]:
             "), 6) AS bm25 "
             "FROM tf JOIN dfq USING (term) CROSS JOIN stats "
             "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"
+        ),
+        "m_video_dedup": (
+            "WITH b AS (SELECT doc_id, text, octet_length(encode(text)) "
+            "AS blen FROM documents), "
+            "f AS (SELECT doc_id, "
+            "unnest([i for i in generate_series(0, greatest(blen // 16 - 1, 0)) "
+            "if i % 2 = 0]) AS fi FROM b), "
+            "ex0 AS (SELECT DISTINCT f.doc_id, "
+            "hex(substring(b.text, CAST(fi * 16 + 1 AS INT), 16)) AS shingle "
+            "FROM f JOIN b USING (doc_id)), "
+            "rare AS (SELECT shingle FROM ex0 GROUP BY shingle "
+            "HAVING count(DISTINCT doc_id) <= 1000), "
+            "ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 "
+            "JOIN rare USING (shingle)), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, "
+            "count(*) AS i FROM ex a "
+            "JOIN ex b2 ON a.shingle = b2.shingle AND a.doc_id < b2.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "round(i / (sa.sz + sb.sz - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5"
         ),
         "m_media_decode": (
             # the REAL parsers must recover exactly the synthesized

@@ -1244,6 +1244,25 @@ def ngram_jaccard_pairs(
     # already unique: plain count == count_distinct, without the
     # two-phase distinct-aggregate expansion (one shuffle each, with
     # map-side partial aggregation).
+    return set_jaccard_pairs(ex, threshold=threshold, max_df=max_df)
+
+
+def set_jaccard_pairs(
+    ex: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """Exact Jaccard over arbitrary element sets: ``ex`` is an
+    ``(_id, shingle)`` frame with one UNIQUE row per (set, element) —
+    word shingles, sampled-frame hashes, feature codes, any set-valued
+    signature. The inverted-index core shared by
+    :func:`ngram_jaccard_pairs` (text) and
+    ``multimodal.frame_hash_pairs`` (video): candidate pairs share ≥1
+    element (equi-join on the element — never all-pairs), ``max_df``
+    caps boilerplate elements (the quadratic skew bomb), and the
+    materialized index (``storage`` knob) feeds document frequencies,
+    set sizes, and both self-join sides from one computation."""
     if max_df is not None:
         rare = (
             ex.groupBy("shingle")
@@ -1252,7 +1271,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         ex = ex.join(rare, "shingle")
-    ex = ex.localCheckpoint(eager=True)
+    ex = _materialize(ex, storage)
     sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (

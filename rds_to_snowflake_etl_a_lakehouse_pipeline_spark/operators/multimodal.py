@@ -326,3 +326,38 @@ def sample_frames(
         )
         .withColumnRenamed("_frame_idx", "frame_index")
     )
+
+
+def frame_hash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame_bytes: int = 16,
+    every_n: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """Near-duplicate VIDEO detection by sampled-frame fingerprints:
+    sample every Nth fixed-size frame (:func:`sample_frames`), hash
+    each frame, and score media pairs by exact Jaccard over their
+    distinct frame-hash SETS (``dedup.set_jaccard_pairs`` — the same
+    inverted-index core as text shingle dedup, with the same ``max_df``
+    boilerplate cap: an intro/outro frame shared by thousands of videos
+    must not go quadratic). Re-encodes, trims, and frame-rate changes
+    that preserve most sampled frames score high; unrelated media share
+    nothing. With a real decoder the hash input is the DECODED frame
+    (or a perceptual hash of it) — the set-Jaccard layer is unchanged;
+    here frames are byte slices, which is exactly right for the
+    container-level dedup a lake runs before any decode."""
+    frames = sample_frames(
+        df.select(id_col, content_col), content_col, frame_bytes, every_n
+    )
+    from .dedup import set_jaccard_pairs
+
+    ex = frames.select(
+        F.col(id_col).alias("_id"), F.hex("frame").alias("shingle")
+    ).distinct()
+    return set_jaccard_pairs(
+        ex, threshold=threshold, max_df=max_df, storage=storage
+    )
