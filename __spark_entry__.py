@@ -3215,14 +3215,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     z-order, versioned stream, corpus report, semantic dedup, quality
     model, BPE, HLL, semi/anti join); tranche C = the 7 entries
     displaced one-for-one during the r05 rotation, returning as
-    promised. The remaining 12 slots seeded as refresh pads over the
-    OLDEST (r04) verdicts; 9 were then swapped one-for-one for the
-    round-6 additions (m_media_decode, t_bm25_topk, x2_funnel,
-    t_quality_deciles, a1_rfm_segments, v_int8_quantize, d_dup_stats,
-    s14_version_changes, t_weighted_per_lang — each oracle-green
-    locally at sf0.01), leaving 3 r04 pads (g_dim_customers,
-    g_dim_products, s6_partition_pruning). After r06 every registered
-    query carries an r04-or-later verdict against current testdata."""
+    promised. The remaining 12 slots were seeded as refresh pads over
+    the OLDEST (r04) verdicts, then ALL swapped one-for-one for the
+    round-6 additions as they landed (m_media_decode, t_bm25_topk,
+    x2_funnel, t_quality_deciles, a1_rfm_segments, v_int8_quantize,
+    d_dup_stats, s14_version_changes, t_weighted_per_lang,
+    d_containment_pairs, t_corpus_drift, m_video_dedup — each
+    oracle-green locally, the full registry re-swept green at BOTH
+    sf0.01 and sf0.1 this round). After r06 every registered query
+    carries an r04-or-later verdict against current testdata."""
     return {
         # ---- r06 front-50 tranche A: r02-era singles (last direct
         # ---- verdict predates the round-4 testdata regeneration)

@@ -698,3 +698,52 @@ def test_percentile_buckets_matches_numpy_reference(spark, vals, nb):
                       [i / nb for i in range(1, nb)], method="linear")
     for i, v in enumerate(vals):
         assert got[i] == 1 + int(sum(v >= t for t in thr))
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["rare", "common", "filler", "other"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@PROP
+def test_bm25_matches_python_reference(spark, docs):
+    """bm25_topk == a direct Python implementation of the Okapi
+    formula on arbitrary small corpora (df/tf/length-normalization and
+    the +1-smoothed idf all exercised)."""
+    import math
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        bm25_topk,
+    )
+
+    terms = ["rare", "common"]
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=len(docs)).collect()}
+
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs) / n
+    dfreq = {
+        q: sum(1 for t in docs if q in t) for q in terms
+    }
+    expect = {}
+    for i, toks in enumerate(docs):
+        s = 0.0
+        for q in terms:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s != 0.0:
+            expect[i] = round(s, 6)
+    assert got == expect
