@@ -81,6 +81,20 @@ def _materialize(df: DataFrame, storage: str, eager: bool = True) -> DataFrame:
     )
 
 
+def cleanup_stage_tables(spark) -> list[str]:
+    """Drop every ``sg_stage_*`` table the ``storage="table"``
+    materialization strategy left behind (:func:`_materialize`) —
+    run when a job retires; stage tables exist precisely so they
+    SURVIVE restarts, so nothing drops them automatically. Returns the
+    dropped table names."""
+    dropped = []
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sg_stage_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            dropped.append(t.name)
+    return dropped
+
+
 def _shingles(text: Column, n: int) -> Column:
     """Word n-gram shingles as an array<string> (distinct)."""
     tokens = F.split(F.trim(text), r"\s+")

@@ -328,8 +328,16 @@ def test_storage_table_matches_checkpoint(spark):
     new = {t2.name for t2 in spark.catalog.listTables()} - pre
     stages = {n for n in new if n.startswith("sg_stage_")}
     assert stages, "table strategy should leave sg_stage_* tables"
-    for n in stages:
-        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    # the retirement sweep drops them all
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        cleanup_stage_tables,
+    )
+
+    dropped = cleanup_stage_tables(spark)
+    assert stages <= set(dropped)
+    left = {t3.name for t3 in spark.catalog.listTables()
+            if t3.name.startswith("sg_stage_")}
+    assert left == set()
 
 
 def test_connected_components_self_loops_both_algorithms(spark):
