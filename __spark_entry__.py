@@ -1044,6 +1044,22 @@ def _q_v_int8_quantize(spark, sf_dir):
     )
 
 
+def _q_a1_profile(spark, sf_dir):
+    """Column-level data profile of orders (plans/dq.py::
+    profile_columns, new round 6): nulls, null rate, exact distinct
+    count, stringified extrema per column — ONE aggregation pass (the
+    1-row result is pinned so the per-column pivot can't re-run it).
+    The oracle recomputes each metric directly."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import (
+        profile_columns,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderstatus", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+
 def _q_a1_rfm_segments(spark, sf_dir):
     """Classic RFM customer segmentation (new round 6): per-customer
     recency (days since epoch of last order) / frequency / monetary
@@ -3321,6 +3337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_partition_pruning": _q_s6_partition_pruning,
         "s9_dq_gate": _q_s9_dq_gate,
         "g_fact_sales": _q_g_fact_sales,
+        # new in round 6, behind the cap (front-50 already carries the
+        # 12 round-6 swaps): first driver verdict in r07
+        "a1_profile": _q_a1_profile,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4514,6 +4533,9 @@ def oracle_sql() -> dict[str, str]:
             "i -> (qc[i] * scale - CAST(embedding[i] AS DOUBLE)) * "
             "(qc[i] * scale - CAST(embedding[i] AS DOUBLE))))), 6) "
             "AS recon_err FROM c"
+        ),
+        "a1_profile": (
+            'SELECT \'o_orderstatus\' AS "column", count(*) AS n_rows, count(*) - count(o_orderstatus) AS n_null, round((count(*) - count(o_orderstatus)) / count(*)::DOUBLE, 6) AS null_rate, count(DISTINCT o_orderstatus) AS n_distinct, CAST(min(o_orderstatus) AS VARCHAR) AS min_value, CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT \'o_custkey\' AS "column", count(*) AS n_rows, count(*) - count(o_custkey) AS n_null, round((count(*) - count(o_custkey)) / count(*)::DOUBLE, 6) AS null_rate, count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT \'o_totalprice\' AS "column", count(*) AS n_rows, count(*) - count(o_totalprice) AS n_null, round((count(*) - count(o_totalprice)) / count(*)::DOUBLE, 6) AS null_rate, count(DISTINCT o_totalprice) AS n_distinct, CAST(min(o_totalprice) AS VARCHAR) AS min_value, CAST(max(o_totalprice) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT \'o_orderdate\' AS "column", count(*) AS n_rows, count(*) - count(o_orderdate) AS n_null, round((count(*) - count(o_orderdate)) / count(*)::DOUBLE, 6) AS null_rate, count(DISTINCT o_orderdate) AS n_distinct, CAST(min(o_orderdate) AS VARCHAR) AS min_value, CAST(max(o_orderdate) AS VARCHAR) AS max_value FROM orders'
         ),
         "a1_rfm_segments": (
             "WITH rfm AS (SELECT o_custkey, "

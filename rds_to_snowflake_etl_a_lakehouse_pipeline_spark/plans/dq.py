@@ -102,3 +102,57 @@ def attach_observation(df: DataFrame, rules: list[DQRule], name: str = "dq"):
         return _results(df, obs_rules, dict(obs.get))
 
     return observed, finish
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level data profile — the per-column summary a DQ
+    dashboard renders and a drift monitor diffs across loads: one row
+    per profiled column with ``(column, n_rows, n_null, null_rate,
+    n_distinct, min_value, max_value)`` (extrema as strings so numeric,
+    date and text columns share one schema).
+
+    Plan: ONE aggregation computes every metric — nulls and extrema
+    are plain aggregate expressions, distinct counts per column go
+    through Spark's expand-based multi-distinct (rows × |cols| into
+    the partial agg, still a single shuffle). The per-column pivot is
+    driver-side literal assembly over the 1-row result, not a data
+    operation. For very wide tables at 100 TB, swap the exact distinct
+    for ``approx_count_distinct`` — the plan shape is unchanged and
+    the expand multiplier disappears.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs: list[Column] = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    # pin the 1-row aggregate: the per-column union below references it
+    # |cols| times, and an unmaterialized plan would re-run the whole
+    # corpus aggregation per column (the same trap percentile_buckets_multi
+    # exists to avoid)
+    row = df.agg(*aggs).localCheckpoint(eager=True)
+    parts = []
+    for c in cols:
+        parts.append(
+            row.select(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                F.round(
+                    (F.col("_n") - F.col(f"_nn_{c}"))
+                    / F.col("_n").cast("double"),
+                    6,
+                ).alias("null_rate"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -190,3 +190,22 @@ def test_faithful_pipeline_matches_default(spark, sources):
     pipe2.run(spark, sources)
     dim_faithful = spark.table("gold.dim_customers").collect()
     assert sorted(map(tuple, dim_faithful)) == sorted(map(tuple, dim_scale))
+
+
+def test_profile_columns_metrics(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import (
+        profile_columns,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "a", None), (4, "b", 10.0)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_columns(df, ["s", "v"]).collect()}
+    assert prof["s"]["n_rows"] == 4 and prof["s"]["n_null"] == 1
+    assert prof["s"]["null_rate"] == 0.25 and prof["s"]["n_distinct"] == 2
+    assert (prof["s"]["min_value"], prof["s"]["max_value"]) == ("a", "b")
+    assert prof["v"]["n_distinct"] == 2 and prof["v"]["min_value"] == "10.0"
+    with _pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, [])
