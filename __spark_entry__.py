@@ -4574,8 +4574,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
             "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)) "
             "SELECT step_index, step, n_users, "
-            "round(n_users::DOUBLE / coalesce(lag(n_users) OVER "
-            "(ORDER BY step_index), n_users), 6) AS conversion_rate FROM c"
+            # prev = 0 must yield NULL (Spark's non-ANSI 0/0), not
+            # DuckDB's IEEE NaN — only reachable when a funnel step
+            # empties out, but the oracle must not diverge there
+            "round(CASE WHEN coalesce(lag(n_users) OVER "
+            "(ORDER BY step_index), n_users) = 0 THEN NULL "
+            "ELSE n_users::DOUBLE / coalesce(lag(n_users) OVER "
+            "(ORDER BY step_index), n_users) END, 6) AS conversion_rate FROM c"
         ),
         "t_bm25_topk": (
             "WITH base AS (SELECT doc_id, "

@@ -545,6 +545,11 @@ class VersionedTable:
         scan-side. Derived CDF costs two snapshot reads; a pipeline
         that needs per-commit feeds cheaply should consume the MERGE
         batches themselves upstream.
+
+        Columns are the FROM version's schema: across an additive
+        schema evolution, columns added after ``from_version`` are not
+        surfaced in the feed (diff the evolved range from the first
+        post-evolution version to see them).
         """
         if not keys:
             raise ValueError("changes() requires the table's key columns")
