@@ -322,3 +322,57 @@ def funnel_counts(
             6,
         ),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    interval_seconds: int = 3600,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Fixed-interval time-grid resampling with gap fill — the
+    hypertable-rollup shape: per key, one row for EVERY
+    ``interval_seconds`` bucket between that key's first and last
+    event (gaps included), carrying ``n_events`` (0 in gaps) and, when
+    ``value_col`` is given, the bucket sum (``bucket_value``, NULL in
+    gaps) plus ``filled_value`` — the last non-gap bucket sum carried
+    FORWARD (the standard last-observation-carried-forward series a
+    downstream model consumes without gap handling of its own).
+
+    Scale: bucket assignment is scan-fused arithmetic; the per-bucket
+    aggregation is one key+bucket shuffle with map-side combine; the
+    grid is a per-key ``sequence`` explode bounded by each key's OWN
+    time span ÷ interval (never a global calendar cross join); the
+    fill is a key-partitioned window — per-key rows, no global sort.
+    A key spanning years at 1-second resolution explodes that key's
+    span only; cap ``interval_seconds`` accordingly.
+    """
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds)
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("bucket_value"))
+    per_bucket = (
+        df.withColumn("_b", bucket.cast("bigint"))
+        .groupBy(F.col(key_col), F.col("_b"))
+        .agg(*aggs)
+    )
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = spans.select(
+        key_col, F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    out = grid.join(per_bucket, [key_col, "_b"], "left").withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0))
+    )
+    if value_col is not None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            "filled_value", F.last("bucket_value", ignorenulls=True).over(w)
+        )
+    return out.withColumnRenamed("_b", "bucket")

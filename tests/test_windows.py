@@ -216,3 +216,33 @@ def test_skew_report_finds_hot_key_and_sizes_salt(spark):
     assert rep["skew_ratio"] > 80  # 900 vs ~9.9 mean
     # uniform tail keys suggest no salting
     assert all(t["suggested_salt"] == 1 for t in rep["top"][1:])
+
+
+def test_resample_ffill_grid_and_locf(spark):
+    """Gap buckets appear with 0 events and NULL bucket_value; the
+    filled series carries the last observed bucket sum forward; grids
+    are per-key (no cross-key calendar join)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        resample_ffill,
+    )
+
+    rows = [
+        (1, 0, 10.0), (1, 30, 5.0),       # bucket 0 (two events)
+        (1, 3 * 3600 + 5, 7.0),           # bucket 3 -> gaps at 1, 2
+        (2, 7200, 1.0),                   # key 2 spans one bucket only
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    ev = ev.withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    out = {
+        (r.user_id, r.bucket): (r.n_events, r.bucket_value, r.filled_value)
+        for r in resample_ffill(ev, "user_id", "ts", 3600, "value").collect()
+    }
+    assert out[(1, 0)] == (2, 15.0, 15.0)
+    assert out[(1, 1)] == (0, None, 15.0)   # gap: LOCF carries 15.0
+    assert out[(1, 2)] == (0, None, 15.0)
+    assert out[(1, 3)] == (1, 7.0, 7.0)
+    assert out[(2, 2)] == (1, 1.0, 1.0)
+    # key 2's grid is its own span only — no rows at key 1's buckets
+    assert {k for k in out if k[0] == 2} == {(2, 2)}
