@@ -1044,6 +1044,25 @@ def _q_v_int8_quantize(spark, sf_dir):
     )
 
 
+def _q_a1_hist_quantile(spark, sf_dir):
+    """Mergeable histogram-quantile sketch (operators/sketches.py::
+    hist_sketch/hist_quantile, new round 6 — the quantile member of
+    the HLL/CMS/histogram trio): per-event-type p50/p90/p99 of value
+    from 256 equi-width bins over [0, 1000) (width 1000/256 — exactly
+    representable, so both engines bin identically). UNLIKE the
+    hash-based sketches this one is fully SQL-expressible, so it is
+    oracle-backed directly: the oracle replays binning, cumulative
+    counts, and the bin-edge estimate."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hist_quantile,
+        hist_sketch,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sk = hist_sketch(ev, ["event_type"], "value", 0.0, 1000.0, 256)
+    return hist_quantile(sk, ["event_type"], [0.5, 0.9, 0.99], 0.0, 1000.0, 256)
+
+
 def _q_a1_profile(spark, sf_dir):
     """Column-level data profile of orders (plans/dq.py::
     profile_columns, new round 6): nulls, null rate, exact distinct
@@ -3364,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 12 round-6 swaps): first driver verdict in r07
         "a1_profile": _q_a1_profile,
         "x2_resample_ffill": _q_x2_resample_ffill,
+        "a1_hist_quantile": _q_a1_hist_quantile,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4557,6 +4577,9 @@ def oracle_sql() -> dict[str, str]:
             "i -> (qc[i] * scale - CAST(embedding[i] AS DOUBLE)) * "
             "(qc[i] * scale - CAST(embedding[i] AS DOUBLE))))), 6) "
             "AS recon_err FROM c"
+        ),
+        "a1_hist_quantile": (
+            'WITH b AS (SELECT event_type, CAST(greatest(least(floor((CAST(value AS DOUBLE) - 0.0) / 3.90625), 255), 0) AS INT) AS bin FROM events WHERE value IS NOT NULL), sk AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), c AS (SELECT event_type, bin, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(cnt) OVER (PARTITION BY event_type) AS tot FROM sk), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q) SELECT c.event_type, qs.q, round(0.0 + (min(c.bin) + 1) * 3.90625, 6) AS quantile_est FROM c CROSS JOIN qs WHERE c.cum >= qs.q * c.tot GROUP BY 1, 2'
         ),
         "a1_profile": (
             'SELECT \'o_orderstatus\' AS "column", count(*) AS n_rows, count(*) - count(o_orderstatus) AS n_null, round((count(*) - count(o_orderstatus)) / count(*)::DOUBLE, 6) AS null_rate, count(DISTINCT o_orderstatus) AS n_distinct, CAST(min(o_orderstatus) AS VARCHAR) AS min_value, CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT \'o_custkey\' AS "column", count(*) AS n_rows, count(*) - count(o_custkey) AS n_null, round((count(*) - count(o_custkey)) / count(*)::DOUBLE, 6) AS null_rate, count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT \'o_totalprice\' AS "column", count(*) AS n_rows, count(*) - count(o_totalprice) AS n_null, round((count(*) - count(o_totalprice)) / count(*)::DOUBLE, 6) AS null_rate, count(DISTINCT o_totalprice) AS n_distinct, CAST(min(o_totalprice) AS VARCHAR) AS min_value, CAST(max(o_totalprice) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT \'o_orderdate\' AS "column", count(*) AS n_rows, count(*) - count(o_orderdate) AS n_null, round((count(*) - count(o_orderdate)) / count(*)::DOUBLE, 6) AS null_rate, count(DISTINCT o_orderdate) AS n_distinct, CAST(min(o_orderdate) AS VARCHAR) AS min_value, CAST(max(o_orderdate) AS VARCHAR) AS max_value FROM orders'

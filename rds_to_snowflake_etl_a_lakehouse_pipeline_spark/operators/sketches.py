@@ -156,3 +156,92 @@ def cms_lookup(
     return probes.join(
         est, probes[value_col] == est["_probe"], "left"
     ).select(*probes.columns, F.coalesce(F.col(est_col), F.lit(0)).alias(est_col))
+
+
+# ---------------------------------------------------------------------------
+# Histogram sketch: mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the sketch trio (HLL = distinct, CMS =
+# frequency): fixed-bin equi-width histograms over a declared value
+# range. Bin counts only add, so merge is lossless by construction —
+# sketch(A ∪ B) == merge(sketch(A), sketch(B)) row for row — and any
+# later quantile over any union of batches is answered from bin counts
+# (error ≤ one bin width) without rescanning raw data. The declared
+# [lo, hi] range is part of the sketch contract (like CMS depth/width):
+# values clamp to the edge bins, so a drifting distribution shows up as
+# edge-bin mass — monitor it and re-range like any sketch rebuild.
+
+
+def hist_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-key histogram sketch of ``value_col`` — the ingest-time
+    pass. Returns ``keys + (bin, cnt)`` sparse rows (≤ ``n_bins`` per
+    group, any corpus size). Values clamp into [lo, hi); NULLs are
+    skipped. One scan-fused projection + one partial-agg shuffle."""
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit((hi - lo) / n_bins))
+    b = F.greatest(F.least(raw, F.lit(n_bins - 1)), F.lit(0)).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge to a coarser grouping by summing bins — lossless; inputs
+    must share (lo, hi, n_bins). Output is again a sketch."""
+    return sketches.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-key quantile estimates from a histogram sketch: for each q,
+    the upper edge of the first bin whose cumulative count reaches
+    q·N — error bounded by one bin width (hi−lo)/n_bins. Returns
+    ``keys + (q, quantile_est)``. Group-cardinality-sized work: a
+    cumulative window per key over ≤ n_bins rows, never raw data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*keys)
+    width = (hi - lo) / n_bins
+    cum = sketch.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_tot", F.sum("cnt").over(tot)
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(F.col("_cum") >= F.lit(q) * F.col("_tot"))
+            .groupBy(*keys)
+            .agg(F.min("bin").alias("_bin"))
+            .select(
+                *keys,
+                F.lit(q).alias("q"),
+                F.round(
+                    F.lit(lo) + (F.col("_bin") + 1) * F.lit(width), 6
+                ).alias("quantile_est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -1797,3 +1797,57 @@ def test_containment_catches_quotes_jaccard_misses(spark):
         df, "doc_id", "text", shingle_n=3, threshold=0.5
     ).collect()
     assert jac == []  # symmetric similarity misses the quote entirely
+
+
+def test_hist_sketch_merges_losslessly_and_bounds_quantile_error(spark):
+    """The quantile member of the sketch trio: merge of per-batch
+    histograms == histogram of the union row-for-row, and quantile
+    estimates land within one bin width of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hist_merge,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    lo, hi, nb = 0.0, 100.0, 50  # bin width 2
+    rows = [(i % 3, float((i * 7) % 100)) for i in range(600)]
+    df = spark.createDataFrame(rows, "grp int, v double")
+    a = df.filter(F.col("grp") != 2)
+    b = df.filter(F.col("grp") == 2)
+    merged = hist_merge(
+        hist_sketch(a, ["grp"], "v", lo, hi, nb).unionByName(
+            hist_sketch(b, ["grp"], "v", lo, hi, nb)
+        ),
+        ["grp"],
+    )
+    direct = hist_sketch(df, ["grp"], "v", lo, hi, nb)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    est = {
+        (r.grp, r.q): r.quantile_est
+        for r in hist_quantile(direct, ["grp"], [0.5, 0.9], lo, hi, nb).collect()
+    }
+    exact = {
+        (r.grp, q): r[f"p{int(q*100)}"]
+        for r in df.groupBy("grp").agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+        ).collect()
+        for q in (0.5, 0.9)
+    }
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= 2.0 + 1e-9  # one bin width
+
+    # out-of-range values clamp to edge bins instead of vanishing
+    oob = spark.createDataFrame([(1, -50.0), (1, 500.0)], "grp int, v double")
+    cl = {r.bin: r.cnt for r in hist_sketch(oob, ["grp"], "v", lo, hi, nb).collect()}
+    assert cl == {0: 1, nb - 1: 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hi must be > lo"):
+        hist_sketch(df, ["grp"], "v", 5.0, 5.0, nb)
