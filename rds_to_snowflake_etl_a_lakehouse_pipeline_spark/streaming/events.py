@@ -639,6 +639,55 @@ def stream_frequency_sketch(
     q.awaitTermination()
 
 
+def stream_histogram_sketch(
+    sdf: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 256,
+    query_name: str = "stream_histogram_sketch",
+):
+    """Streaming quantile state — the histogram member of the sketch
+    trio's streaming twins (:func:`stream_frequency_sketch` =
+    frequencies, HLL rollups = distincts): each micro-batch is binned
+    (``operators.sketches.hist_sketch``) and merged losslessly into
+    the persisted sketch table, so any-quantile-over-the-whole-history
+    (``hist_quantile``) is answerable at any time without replaying
+    events. State is BOUNDED at ``keys × n_bins`` rows forever; the
+    (lo, hi, n_bins) range is part of the table's contract like CMS
+    depth/width. Runs with trigger=availableNow and blocks."""
+    from ..operators.sketches import hist_merge, hist_sketch
+    from ..sources.io import write_table
+
+    keys = keys or []
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sketch = hist_sketch(batch_df, keys, value_col, lo, hi, n_bins)
+        if spark.catalog.tableExists(table):
+            merged = hist_merge(
+                spark.table(table).unionByName(batch_sketch), keys
+            ).localCheckpoint(eager=True)
+        else:
+            merged = batch_sketch
+        write_table(merged, table)
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_span_dedup(
     sdf: DataFrame,
     table: str,

@@ -697,3 +697,47 @@ def test_stream_span_dedup_masks_across_microbatches(spark, tmp_path):
     assert got[10] == ("", 12)      # the standard's copy is fully masked
     assert got[11] == (novel, 0)    # first sighting survives...
     assert got[20] == ("", 12)      # ...and later copies don't
+
+
+def test_stream_histogram_sketch_merges_batches_into_table(spark, tmp_path):
+    """Two streamed micro-batches of values produce bin counts
+    identical to a direct sketch of the concatenation (lossless merge),
+    and quantiles over the merged table match the batch form."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hist_quantile,
+        hist_sketch,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_histogram_sketch,
+    )
+
+    rows = [(i % 2, float((i * 13) % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp int, value double")
+    src = str(tmp_path / "hist-src")
+    df.filter(F.col("grp") == 0).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("grp") == 1).coalesce(1).write.mode("append").parquet(src)
+    spark.sql("DROP TABLE IF EXISTS hist_stream_t")
+    sdf = (
+        spark.readStream.schema("grp int, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_histogram_sketch(
+        sdf, "hist_stream_t", str(tmp_path / "ck"), keys=["grp"],
+        value_col="value", lo=0.0, hi=100.0, n_bins=50,
+    )
+    direct = hist_sketch(df, ["grp"], "value", 0.0, 100.0, 50)
+    assert sorted(map(tuple, spark.table("hist_stream_t").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    qs = {
+        (r.grp, r.q): r.quantile_est
+        for r in hist_quantile(
+            spark.table("hist_stream_t"), ["grp"], [0.5], 0.0, 100.0, 50
+        ).collect()
+    }
+    qd = {
+        (r.grp, r.q): r.quantile_est
+        for r in hist_quantile(direct, ["grp"], [0.5], 0.0, 100.0, 50).collect()
+    }
+    assert qs == qd
