@@ -3281,7 +3281,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     d_containment_pairs, t_corpus_drift, m_video_dedup — each
     oracle-green locally, the full registry re-swept green at BOTH
     sf0.01 and sf0.1 this round). After r06 every registered query
-    carries an r04-or-later verdict against current testdata."""
+    carries an r04-or-later verdict against current testdata.
+
+    r07 rotation plan: front the round-6 behind-cap additions that
+    have never met the driver (a1_profile, x2_resample_ffill,
+    a1_hist_quantile) plus the twelve entries displaced from the pad
+    slots this round (g_dim_customers, g_dim_products, g_fact_sales,
+    g_pipeline_runner, d_cc_dedup, s9_dq_gate, s10_incremental_load,
+    x2_asof_join, w4_merge_upsert, x1_stateful_totals,
+    s6_partition_pruning, e_json_extract — all r04-green, now the
+    OLDEST verdicts in the registry); fill the remainder with the
+    r05-verified tranche, oldest first. Run the registry meta-test
+    after reordering."""
     return {
         # ---- r06 front-50 tranche A: r02-era singles (last direct
         # ---- verdict predates the round-4 testdata regeneration)

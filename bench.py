@@ -265,6 +265,9 @@ def main() -> None:
         # foreachBatch — q16's per-batch cost plus the streaming
         # machinery, regression-tracked as one number
         "q22_stream_corpus_dedup": (q_stream_corpus_dedup, False),
+        # hypertable resampling: ~1M-bucket per-user hourly grid with
+        # LOCF fill at sf0.1 (per-key sequence explode + fill window)
+        "q23_resample_ffill": (qs["x2_resample_ffill"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11
