@@ -2453,6 +2453,37 @@ def _stream_events_src(spark, sf_dir, suffix="", copies=("events.parquet",)):
     return stream_events_auto(spark, stream_dir)
 
 
+def _q_x1_hist_stream(spark, sf_dir):
+    """Streaming quantile state (streaming/events.py::
+    stream_histogram_sketch, new round 6): the event stream's values
+    land as per-batch histogram bins merged into a persisted sketch
+    table, then per-event-type p50/p90/p99 rank over the WHOLE streamed
+    history. Because histogram merge is lossless (bins only add), this
+    is the batch a1_hist_quantile computed incrementally — and unlike
+    the hash-based sketch streams it is ORACLE-BACKED: the oracle is
+    the identical batch binning SQL."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hist_quantile,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_histogram_sketch,
+    )
+
+    table = "hist_stream_q_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sdf = _stream_events_src(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ck:
+        stream_histogram_sketch(
+            sdf, table, ck, keys=["event_type"], value_col="value",
+            lo=0.0, hi=1000.0, n_bins=256, query_name="x1_hist_stream",
+        )
+    return hist_quantile(
+        spark.table(table), ["event_type"], [0.5, 0.9, 0.99], 0.0, 1000.0, 256
+    )
+
+
 def _q_x1_tumbling_stream(spark, sf_dir):
     """Structured Streaming path: the SAME tumbling aggregation as
     x1_tumbling_window compiled as an incremental stateful plan
@@ -3395,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_profile": _q_a1_profile,
         "x2_resample_ffill": _q_x2_resample_ffill,
         "a1_hist_quantile": _q_a1_hist_quantile,
+        "x1_hist_stream": _q_x1_hist_stream,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4588,6 +4620,9 @@ def oracle_sql() -> dict[str, str]:
             "i -> (qc[i] * scale - CAST(embedding[i] AS DOUBLE)) * "
             "(qc[i] * scale - CAST(embedding[i] AS DOUBLE))))), 6) "
             "AS recon_err FROM c"
+        ),
+        "x1_hist_stream": (
+            'WITH b AS (SELECT event_type, CAST(greatest(least(floor((CAST(value AS DOUBLE) - 0.0) / 3.90625), 255), 0) AS INT) AS bin FROM events WHERE value IS NOT NULL), sk AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), c AS (SELECT event_type, bin, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(cnt) OVER (PARTITION BY event_type) AS tot FROM sk), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q) SELECT c.event_type, qs.q, round(0.0 + (min(c.bin) + 1) * 3.90625, 6) AS quantile_est FROM c CROSS JOIN qs WHERE c.cum >= qs.q * c.tot GROUP BY 1, 2'
         ),
         "a1_hist_quantile": (
             'WITH b AS (SELECT event_type, CAST(greatest(least(floor((CAST(value AS DOUBLE) - 0.0) / 3.90625), 255), 0) AS INT) AS bin FROM events WHERE value IS NOT NULL), sk AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), c AS (SELECT event_type, bin, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(cnt) OVER (PARTITION BY event_type) AS tot FROM sk), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q) SELECT c.event_type, qs.q, round(0.0 + (min(c.bin) + 1) * 3.90625, 6) AS quantile_est FROM c CROSS JOIN qs WHERE c.cum >= qs.q * c.tot GROUP BY 1, 2'

@@ -747,3 +747,51 @@ def test_bm25_matches_python_reference(spark, docs):
         if s != 0.0:
             expect[i] = round(s, 6)
     assert got == expect
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    tw=st.integers(1, 8),
+    th=st.integers(1, 8),
+    data=st.data(),
+)
+@PROP
+def test_bmp_codec_roundtrip_and_resize_reference(spark, w, h, tw, th, data):
+    """encode → parse recovers exact geometry for arbitrary images, and
+    the pure-Python resize equals a nearest-neighbor reference pixel
+    for pixel (driver-side — the codec is plain Python, the Spark path
+    over it is covered by test_real_bmp_decode_and_resize)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        multimodal as M,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    bmp = M.encode_bmp(w, h, rgb)
+    parsed = M._parse_bmp(bmp)
+    assert parsed is not None and parsed[:3] == (w, h, 3)
+
+    out = M._resize_bmp(bmp, tw, th)
+    p2 = M._parse_bmp(out)
+    assert p2 is not None and p2[:3] == (tw, th, 3)
+
+    def px(buf, W, y, x):  # top-down pixel from raw rgb
+        o = (y * W + x) * 3
+        return buf[o : o + 3]
+
+    # decode the resized BMP back to top-down raw rgb
+    _, _, _, off, bottom_up = p2
+    stride = (tw * 3 + 3) & ~3
+    for ty in range(th):
+        yy = (th - 1 - ty) if bottom_up else ty
+        row = out[off + yy * stride : off + yy * stride + tw * 3]
+        for tx in range(tw):
+            sy = min(ty * h // th, h - 1)
+            sx = min(tx * w // tw, w - 1)
+            assert row[tx * 3 : tx * 3 + 3] == px(rgb, w, sy, sx)
