@@ -304,6 +304,7 @@ def ivf_build_index(
         dim=len(centroids[0]),
         pq=str(pq_codebook is not None).lower(),
         centroid_fp=_centroid_fingerprint(centroids),
+        partition_cols="_cell",
     )
     stats = (
         spark.table(table)

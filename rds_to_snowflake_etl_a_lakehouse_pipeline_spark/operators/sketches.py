@@ -245,3 +245,30 @@ def hist_quantile(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def hist_health(
+    sketch: DataFrame,
+    keys: list[str],
+    n_bins: int = 256,
+    max_edge_mass: float = 0.05,
+) -> DataFrame:
+    """Range-drift health per key for a histogram sketch: the fraction
+    of mass sitting in the two CLAMP bins (values at or beyond the
+    declared [lo, hi) range land there), with ``rerange_recommended``
+    when it exceeds ``max_edge_mass`` — the histogram twin of
+    ``ivf_append_index``'s drift report: a distribution walking off the
+    declared range degrades quantile resolution silently otherwise.
+    Group-cardinality-sized aggregation over bin rows, never raw
+    data."""
+    edge = F.when(
+        (F.col("bin") == 0) | (F.col("bin") == n_bins - 1), F.col("cnt")
+    ).otherwise(F.lit(0))
+    return sketch.groupBy(*keys).agg(
+        F.sum("cnt").alias("n_values"),
+        F.round(
+            F.sum(edge) / F.sum("cnt").cast("double"), 6
+        ).alias("edge_mass"),
+    ).withColumn(
+        "rerange_recommended", F.col("edge_mass") > max_edge_mass
+    )

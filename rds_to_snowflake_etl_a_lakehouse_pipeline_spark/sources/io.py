@@ -182,6 +182,11 @@ def write_table(
         _save_with_orphan_retry(spark, writer, stage)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        if partition_by:
+            # the rename moves the managed directory but NOT the
+            # catalog's partition entries — without recovery a swapped
+            # partitioned table lists zero partitions and reads empty
+            spark.sql(f"MSCK REPAIR TABLE {table}")
     else:
         _save_with_orphan_retry(spark, writer, table)
 
@@ -273,18 +278,22 @@ def check_table_meta(spark: SparkSession, table: str, **expected) -> dict[str, s
 def index_table_health(
     spark: SparkSession, table: str, max_files_per_bucket: float = 8.0
 ) -> dict:
-    """Small-file health for a bucketed standing index: every append
-    adds one file PER BUCKET it touches, so a long append chain turns
-    each bucket into dozens of small files and probe-side scan cost
-    creeps. Returns ``{n_files, n_buckets, files_per_bucket,
-    compact_recommended}`` — the minhash/span twin of
-    ``VersionedTable.health`` / ``er_index_health``, completing the
-    contract's health verb for every index family. Constant-time
-    metadata: a file listing, no data scan."""
+    """Small-file health for a bucketed or cell-partitioned standing
+    index: every append adds one file per bucket (or touched cell
+    directory), so a long append chain turns each into dozens of small
+    files and probe-side scan cost creeps. Returns ``{n_files,
+    n_buckets, files_per_bucket, compact_recommended}`` (for the IVF
+    family ``n_buckets`` is the recorded cell count) — the
+    minhash/span/IVF twin of ``VersionedTable.health`` /
+    ``er_index_health``, completing the contract's health verb for
+    every index family. Constant-time metadata: a file listing, no
+    data scan."""
     df = spark.table(table)
     n_files = len(df.inputFiles())
     meta = get_table_meta(spark, table)
-    n_buckets = int(meta.get("n_buckets", 0)) or 1
+    # bucketed families record n_buckets; the cell-partitioned IVF
+    # family records n_clusters — either is the per-append file fanout
+    n_buckets = int(meta.get("n_buckets", 0) or meta.get("n_clusters", 0)) or 1
     ratio = n_files / n_buckets
     return {
         "n_files": n_files,
@@ -303,16 +312,21 @@ def compact_index_table(spark: SparkSession, table: str) -> None:
     are unchanged — existence-set indexes (span) and signature indexes
     (minhash) both tolerate row dedup by construction."""
     meta = get_table_meta(spark, table)
-    if "bucket_cols" not in meta or "n_buckets" not in meta:
+    rows = spark.table(table).distinct()
+    if "bucket_cols" in meta and "n_buckets" in meta:
+        write_table(
+            rows,
+            table,
+            bucket_by=(int(meta["n_buckets"]), meta["bucket_cols"].split(",")),
+        )
+    elif "partition_cols" in meta:
+        write_table(rows, table, partition_by=meta["partition_cols"].split(","))
+    else:
         raise ValueError(
-            f"{table!r} records no bucket spec metadata; only indexes "
-            "built by this library's *_build_index functions are "
+            f"{table!r} records no bucket/partition layout metadata; only "
+            "indexes built by this library's *_build_index functions are "
             "compactable generically"
         )
-    cols = meta["bucket_cols"].split(",")
-    n = int(meta["n_buckets"])
-    rows = spark.table(table).distinct()
-    write_table(rows, table, bucket_by=(n, cols))
     set_table_meta(spark, table, **meta)
 
 

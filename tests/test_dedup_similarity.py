@@ -1851,3 +1851,62 @@ def test_hist_sketch_merges_losslessly_and_bounds_quantile_error(spark):
 
     with _pytest.raises(ValueError, match="hi must be > lo"):
         hist_sketch(df, ["grp"], "v", 5.0, 5.0, nb)
+
+
+def test_hist_health_flags_range_drift(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hist_health,
+        hist_sketch,
+    )
+
+    good = [(1, float(v)) for v in range(20, 80)]
+    drifted = [(2, float(v)) for v in range(20, 40)] + [(2, 500.0)] * 20
+    df = spark.createDataFrame(good + drifted, "grp int, v double")
+    sk = hist_sketch(df, ["grp"], "v", 0.0, 100.0, 50)
+    h = {r.grp: r for r in hist_health(sk, ["grp"], 50).collect()}
+    assert h[1].edge_mass == 0.0 and not h[1].rerange_recommended
+    assert h[2].edge_mass == 0.5 and h[2].rerange_recommended
+
+
+def test_ivf_index_generic_compact_and_health(spark):
+    """The IVF family joins the generic lifecycle: appends accrete one
+    file per touched cell; health measures it and compact_index_table
+    rewrites under the RECORDED partition layout with probes unchanged."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        compact_index_table,
+        get_table_meta,
+        index_table_health,
+    )
+
+    rows = [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    spark.sql("DROP TABLE IF EXISTS ivf_gc_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_gc_idx_drift_stats")
+    cents = ivf_build_index(corpus, "ivf_gc_idx", n_clusters=4, seed=1)
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(100 + i, [0.5 + i, 0.5, 1.0])], "vec_id long, embedding array<double>"
+        )
+        ivf_append_index(b, "ivf_gc_idx", cents)
+    h = index_table_health(spark, "ivf_gc_idx", max_files_per_bucket=1.0)
+    assert h["n_buckets"] == 4 and h["compact_recommended"]
+    q = spark.createDataFrame(
+        [(9, [1.0, 2.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    before = sorted(
+        map(tuple, ivf_query_index(spark, "ivf_gc_idx", q, cents, k=5).collect())
+    )
+    compact_index_table(spark, "ivf_gc_idx")
+    h2 = index_table_health(spark, "ivf_gc_idx", max_files_per_bucket=1.0)
+    assert h2["n_files"] <= h["n_files"] - 2
+    # contract metadata (incl. centroid fingerprint) survives
+    assert get_table_meta(spark, "ivf_gc_idx")["partition_cols"] == "_cell"
+    after = sorted(
+        map(tuple, ivf_query_index(spark, "ivf_gc_idx", q, cents, k=5).collect())
+    )
+    assert before == after

@@ -313,5 +313,5 @@ def test_index_table_health_and_generic_compact(spark):
 
     spark.sql("DROP TABLE IF EXISTS not_an_index_t")
     spark.range(3).write.saveAsTable("not_an_index_t")
-    with _pytest.raises(ValueError, match="bucket spec"):
+    with _pytest.raises(ValueError, match="layout metadata"):
         compact_index_table(spark, "not_an_index_t")
