@@ -671,15 +671,22 @@ def _q_t_charlm_score(spark, sf_dir):
     quality rank, as two bounded aggregations + broadcast-join scoring,
     zero Python. Oracle replays the full train+score pipeline in SQL
     (identical smoothing arithmetic; avg rounded to 6 per the
-    cross-engine float-aggregate convention)."""
+    cross-engine float-aggregate convention).
+
+    Self-scoring composition: the corpus gram explode — the dominant
+    cost — is paid ONCE: a materialized gram frame feeds both the fit
+    (train_char_lm_from_grams) and the scoring pass (grams=), instead
+    of re-exploding per consumer (round-6 perf fix, q19)."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.charlm import (
+        _grams,
         score_char_lm,
-        train_char_lm,
+        train_char_lm_from_grams,
     )
 
     d = load(spark, sf_dir, "documents")
-    lm = train_char_lm(d, "text", n=3, add_k=0.5)
-    return score_char_lm(d, lm, "doc_id", "text")
+    g = _grams(d, "doc_id", "text", 3).localCheckpoint(eager=True)
+    lm = train_char_lm_from_grams(g, n=3, add_k=0.5)
+    return score_char_lm(d, lm, "doc_id", "text", grams=g)
 
 
 def _q_t_pretrain_pipeline(spark, sf_dir):

@@ -95,11 +95,28 @@ def train_char_lm(
     if n < 2:
         raise ValueError("n must be >= 2 (need a non-empty context)")
     grams = _grams(df.select(F.lit(1).alias("_one"), text_col), "_one", text_col, n)
+    return train_char_lm_from_grams(grams, n=n, add_k=add_k)
+
+
+def train_char_lm_from_grams(
+    grams: DataFrame,
+    n: int = 3,
+    add_k: float = 0.5,
+) -> CharLM:
+    """Fit from an ALREADY-EXPLODED gram frame (the :func:`_grams`
+    output — any id column is ignored): the self-scoring composition
+    (train on the corpus, then score the same corpus) explodes the
+    corpus ONCE, materializes the gram frame, and feeds both this fit
+    and :func:`score_char_lm`'s ``grams=`` — instead of paying the
+    dominant explode pass twice. Identical model to
+    :func:`train_char_lm` by construction (same aggregations)."""
     # materialize the (bounded, <= charset^n rows) counts table so the
     # vocab-size action and the totals aggregation reuse it instead of
     # re-exploding the corpus — one training pass, not three
-    counts = grams.groupBy("ctx", "ch").agg(F.count("*").alias("_c")).localCheckpoint(
-        eager=True
+    counts = (
+        grams.groupBy("ctx", "ch").agg(F.count("*").alias("_c")).localCheckpoint(
+            eager=True
+        )
     )
     vocab_size = counts.select("ch").distinct().count()
     totals = counts.groupBy("ctx").agg(F.sum("_c").alias("_tot"))
@@ -125,6 +142,7 @@ def score_char_lm(
     text_col: str = "text",
     score_col: str = "nll",
     count_col: str = "n_grams",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """``df`` columns ``id_col`` + (``count_col``, ``score_col``):
     gram count and mean negative log-likelihood (nats/gram, rounded to
@@ -136,9 +154,15 @@ def score_char_lm(
     bounded model tables, one hash aggregation on ``id_col``, one left
     join back to carry zero-gram docs — the corpus never shuffles
     except for its own per-doc aggregation.
+
+    ``grams``: a pre-built (and usually materialized) :func:`_grams`
+    frame over ``df`` — pass the SAME frame that fed
+    :func:`train_char_lm_from_grams` in the self-scoring composition,
+    so the corpus explode is paid once for both passes.
     """
     uniform = -math.log(lm.vocab_size) if lm.vocab_size > 0 else 0.0
-    grams = _grams(df, id_col, text_col, lm.n)
+    if grams is None:
+        grams = _grams(df, id_col, text_col, lm.n)
     scored = (
         grams.join(F.broadcast(lm.ngrams), ["ctx", "ch"], "left")
         .join(F.broadcast(lm.contexts), "ctx", "left")
