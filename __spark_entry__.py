@@ -700,8 +700,9 @@ def _q_t_pretrain_pipeline(spark, sf_dir):
     t_global_shuffle); this query proves the COMPOSITION end-to-end —
     the full curation-and-export chain a training run consumes."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.charlm import (
+        _grams,
         score_char_lm,
-        train_char_lm,
+        train_char_lm_from_grams,
     )
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
         global_shuffle,
@@ -709,7 +710,10 @@ def _q_t_pretrain_pipeline(spark, sf_dir):
     )
 
     d = load(spark, sf_dir, "documents")
-    lm = train_char_lm(d, "text", n=3, add_k=0.5)
+    # one materialized gram explode feeds both the LM fit and the
+    # scoring pass (same round-6 perf fix as t_charlm_score)
+    g = _grams(d, "doc_id", "text", 3).localCheckpoint(eager=True)
+    lm = train_char_lm_from_grams(g, n=3, add_k=0.5)
     scored = (
         d.select(
             "doc_id",
@@ -717,7 +721,7 @@ def _q_t_pretrain_pipeline(spark, sf_dir):
             "n_chars",
             lf.quality_score("text").alias("quality"),
         )
-        .join(score_char_lm(d, lm, "doc_id", "text"), "doc_id")
+        .join(score_char_lm(d, lm, "doc_id", "text", grams=g), "doc_id")
         .filter((F.col("quality") >= 0.8) & (F.col("nll") <= 0.8))
     )
     # materialize="checkpoint" pins the 150-row sample and re-spreads
