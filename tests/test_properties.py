@@ -795,3 +795,47 @@ def test_bmp_codec_roundtrip_and_resize_reference(spark, w, h, tw, th, data):
             sy = min(ty * h // th, h - 1)
             sx = min(tx * w // tw, w - 1)
             assert row[tx * 3 : tx * 3 + 3] == px(rgb, w, sy, sx)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=10),
+        min_size=2,
+        max_size=6,
+    )
+)
+@PROP
+def test_containment_matches_python_reference(spark, docs):
+    """ngram_containment_pairs == direct set arithmetic over 2-gram
+    shingle sets for arbitrary small corpora (threshold 0 keeps every
+    candidate pair, so the whole inter/containment surface is checked)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    texts = [" ".join(t) for t in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.containment_a, r.containment_b)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", shingle_n=2, threshold=0.0, max_df=None
+        ).collect()
+    }
+
+    def sh(toks):
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = sh(docs[a]), sh(docs[b])
+            inter = len(sa & sb)
+            if inter and sa and sb:
+                expect[(a, b)] = (
+                    inter,
+                    round(inter / len(sa), 6),
+                    round(inter / len(sb), 6),
+                )
+    assert got == expect
