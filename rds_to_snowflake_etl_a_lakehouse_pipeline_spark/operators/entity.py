@@ -40,6 +40,11 @@ Scale notes (100 TB):
   blocks should get a better key (multi-blocking), not a forced merge.
 - Similarity is computed only inside blocks and entirely JVM-side;
   scoring cost is bounded by ``max_block_size``² per block.
+- Multi-attribute matching needs no extra operator: pack the fields in
+  a STRUCT column and pass a ``similarity`` that weights per-field
+  scores (e.g. ``0.7·lev(a["name"], b["name"]) +
+  0.3·token_jaccard(a["city"], b["city"])``) — pinned by
+  ``test_entity.py::test_er_multi_field_weighted_similarity_via_struct``.
 """
 
 from __future__ import annotations

@@ -465,3 +465,43 @@ def test_token_jaccard_similarity_word_order_insensitive(spark):
     )
     ents = {r.id: r.entity_id for r in resolved.collect()}
     assert ents == {1: 1, 2: 1, 3: 3}
+
+
+def test_er_multi_field_weighted_similarity_via_struct(spark):
+    """Weighted multi-attribute ER needs no new operator: pack the
+    fields in a STRUCT column and pass a similarity that weights
+    per-field scores (0.7·name-lev + 0.3·city-token-jaccard here) —
+    records matching on name but conflicting on city fall below the
+    threshold, same-city typo variants clear it."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        levenshtein_similarity,
+        resolve_entities,
+        token_jaccard_similarity,
+    )
+
+    rows = [
+        (1, "acme corporation", "new york"),
+        (2, "acme corporatio", "new york"),     # typo, same city -> match
+        (3, "acme corporation", "los angeles"), # same name, other city
+        (4, "initech", "austin"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, city string").select(
+        "id", F.struct("name", "city").alias("rec")
+    )
+
+    def sim(a, b):
+        return (
+            0.7 * levenshtein_similarity(a["name"], b["name"])
+            + 0.3 * token_jaccard_similarity(a["city"], b["city"])
+        )
+
+    out = {
+        r.id: r.entity_id
+        for r in resolve_entities(
+            df, "id", "rec",
+            F.substring(F.col("rec")["name"], 1, 4),
+            threshold=0.9, similarity=sim,
+        ).collect()
+    }
+    assert out[1] == out[2] == 1      # typo variant merges
+    assert out[3] == 3 and out[4] == 4  # city conflict keeps 3 separate
