@@ -1055,6 +1055,29 @@ def _q_v_int8_quantize(spark, sf_dir):
     )
 
 
+def _q_a1_outliers(spark, sf_dir):
+    """Tukey-fence outlier detection per order status
+    (plans/dq.py::iqr_outliers, new round 6): per-group counts of rows
+    outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of o_totalprice plus the
+    rounded fences. Quartiles are order statistics — deterministic
+    under any aggregation order, so the oracle replays them exactly
+    (no float-summation noise, unlike z-scores)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import (
+        iqr_outliers,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("double").alias("p")
+    )
+    flagged = iqr_outliers(o, "p", by=["o_orderstatus"], k=1.5)
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(F.min("_q1"), 6).alias("q1"),
+        F.round(F.min("_q3"), 6).alias("q3"),
+    )
+
+
 def _q_a1_hist_quantile(spark, sf_dir):
     """Mergeable histogram-quantile sketch (operators/sketches.py::
     hist_sketch/hist_quantile, new round 6 — the quantile member of
@@ -3438,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_resample_ffill": _q_x2_resample_ffill,
         "a1_hist_quantile": _q_a1_hist_quantile,
         "x1_hist_stream": _q_x1_hist_stream,
+        "a1_outliers": _q_a1_outliers,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4634,6 +4658,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x1_hist_stream": (
             'WITH b AS (SELECT event_type, CAST(greatest(least(floor((CAST(value AS DOUBLE) - 0.0) / 3.90625), 255), 0) AS INT) AS bin FROM events WHERE value IS NOT NULL), sk AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), c AS (SELECT event_type, bin, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(cnt) OVER (PARTITION BY event_type) AS tot FROM sk), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q) SELECT c.event_type, qs.q, round(0.0 + (min(c.bin) + 1) * 3.90625, 6) AS quantile_est FROM c CROSS JOIN qs WHERE c.cum >= qs.q * c.tot GROUP BY 1, 2'
+        ),
+        "a1_outliers": (
+            'WITH o AS (SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p FROM orders), q AS (SELECT o_orderstatus, quantile_cont(p, 0.25) AS q1, quantile_cont(p, 0.75) AS q3 FROM o GROUP BY 1) SELECT o.o_orderstatus, count(*) AS n_orders, CAST(sum(CASE WHEN o.p < q.q1 - 1.5 * (q.q3 - q.q1) OR o.p > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, round(min(q.q1), 6) AS q1, round(min(q.q3), 6) AS q3 FROM o JOIN q USING (o_orderstatus) GROUP BY 1'
         ),
         "a1_hist_quantile": (
             'WITH b AS (SELECT event_type, CAST(greatest(least(floor((CAST(value AS DOUBLE) - 0.0) / 3.90625), 255), 0) AS INT) AS bin FROM events WHERE value IS NOT NULL), sk AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), c AS (SELECT event_type, bin, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(cnt) OVER (PARTITION BY event_type) AS tot FROM sk), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q) SELECT c.event_type, qs.q, round(0.0 + (min(c.bin) + 1) * 3.90625, 6) AS quantile_est FROM c CROSS JOIN qs WHERE c.cum >= qs.q * c.tot GROUP BY 1, 2'

@@ -156,3 +156,44 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    k: float = 1.5,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Tukey-fence outlier flagging: a row is an outlier when its value
+    falls outside ``[q1 − k·IQR, q3 + k·IQR]`` of its group — the
+    standard box-plot rule, chosen over z-scores deliberately: quartiles
+    are ORDER STATISTICS (deterministic under any aggregation order and
+    exactly replayable in any engine), where mean/σ inherit float
+    summation-order noise; and the fences themselves are robust to the
+    very outliers being flagged.
+
+    Appends ``flag_col`` plus the group's ``_q1``/``_q3`` bounds.
+    Plan: one exact-percentile aggregation per group (partial-agg
+    shuffle, group-cardinality-sized result) joined back broadcast —
+    the data itself never shuffles. NULL values flag NULL.
+    """
+    by = by or []
+    v = F.col(value_col).cast("double")
+    agg = (df.groupBy(*by) if by else df.groupBy()).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+    )
+    joined = (
+        df.join(F.broadcast(agg), by, "left") if by
+        else df.crossJoin(F.broadcast(agg))
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.col("_q1") - F.lit(k) * iqr
+    hi = F.col("_q3") + F.lit(k) * iqr
+    return joined.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(
+            (v < lo) | (v > hi)
+        ),
+    )

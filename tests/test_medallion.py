@@ -209,3 +209,23 @@ def test_profile_columns_metrics(spark):
     assert prof["v"]["n_distinct"] == 2 and prof["v"]["min_value"] == "10.0"
     with _pytest.raises(ValueError, match="non-empty"):
         profile_columns(df, [])
+
+
+def test_iqr_outliers_flags_and_null_handling(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import (
+        iqr_outliers,
+    )
+
+    # group g: values 1..11 (q1=3.5, q3=8.5, IQR=5 -> fences [-4, 16])
+    # plus a 100.0 outlier and a NULL
+    rows = [("g", float(v)) for v in range(1, 12)] + [("g", 100.0), ("g", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {
+        (r.v,): r.is_outlier for r in iqr_outliers(df, "v", by=["grp"]).collect()
+    }
+    assert out[(100.0,)] is True
+    assert all(out[(float(v),)] is False for v in range(1, 12))
+    assert out[(None,)] is None
+    # global (no groups) path
+    g = iqr_outliers(df.select("v"), "v").filter(F.col("is_outlier")).collect()
+    assert [r.v for r in g] == [100.0]
