@@ -839,3 +839,52 @@ def test_containment_matches_python_reference(spark, docs):
                     round(inter / len(sb), 6),
                 )
     assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),        # key
+            st.integers(0, 20_000),   # epoch second
+            st.integers(-5, 5),       # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@PROP
+def test_resample_ffill_matches_python_reference(spark, events):
+    """resample_ffill == a per-key python grid + LOCF scan on arbitrary
+    event multisets (duplicate timestamps, negative values, sparse and
+    dense spans alike)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        resample_ffill,
+    )
+
+    I = 3600
+    df = spark.createDataFrame(
+        events, "user_id long, sec long, value long"
+    ).withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    got = {
+        (r.user_id, r.bucket): (r.n_events, r.bucket_value, r.filled_value)
+        for r in resample_ffill(df, "user_id", "ts", I, "value").collect()
+    }
+
+    per_key: dict[int, dict[int, list[int]]] = {}
+    for k, sec, v in events:
+        per_key.setdefault(k, {}).setdefault(sec // I, []).append(v)
+    expect = {}
+    for k, buckets in per_key.items():
+        lo, hi = min(buckets), max(buckets)
+        last = None
+        for b in range(lo, hi + 1):
+            vs = buckets.get(b)
+            if vs:
+                s = sum(vs)
+                last = s
+                expect[(k, b)] = (len(vs), s, s)
+            else:
+                expect[(k, b)] = (0, None, last)
+    assert got == expect
