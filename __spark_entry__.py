@@ -3350,7 +3350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r07 rotation plan: front the round-6 behind-cap additions that
     have never met the driver (a1_profile, x2_resample_ffill,
-    a1_hist_quantile) plus the twelve entries displaced from the pad
+    a1_hist_quantile, x1_hist_stream, a1_outliers) plus the twelve
+    entries displaced from the pad
     slots this round (g_dim_customers, g_dim_products, g_fact_sales,
     g_pipeline_runner, d_cc_dedup, s9_dq_gate, s10_incremental_load,
     x2_asof_join, w4_merge_upsert, x1_stateful_totals,
