@@ -1168,6 +1168,28 @@ def _q_t_quality_deciles(spark, sf_dir):
     )
 
 
+def _q_t_bm25_batch(spark, sf_dir):
+    """Batch BM25 retrieval (functions/text.py::bm25_topk_queries, new
+    round 6): three query term-sets ranked in ONE plan — corpus
+    tokenized once, postings filtered to the union of query terms,
+    scores fanned out per query via broadcast join, query-partitioned
+    top-10. Oracle replays with a literal queries CTE."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        bm25_topk_queries,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [
+            (1, "vector"), (1, "stream"),
+            (2, "hash"), (2, "join"), (2, "merge"),
+            (3, "window"),
+        ],
+        "query_id int, term string",
+    )
+    return bm25_topk_queries(d, q, k=10)
+
+
 def _q_t_bm25_topk(spark, sf_dir):
     """Okapi BM25 lexical retrieval (functions/text.py::bm25_topk, new
     round 6): top-20 documents for a 3-term query, scored with the
@@ -3350,7 +3372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r07 rotation plan: front the round-6 behind-cap additions that
     have never met the driver (a1_profile, x2_resample_ffill,
-    a1_hist_quantile, x1_hist_stream, a1_outliers) plus the twelve
+    a1_hist_quantile, x1_hist_stream, a1_outliers, t_bm25_batch) plus
+    the twelve
     entries displaced from the pad
     slots this round (g_dim_customers, g_dim_products, g_fact_sales,
     g_pipeline_runner, d_cc_dedup, s9_dq_gate, s10_incremental_load,
@@ -3463,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_hist_quantile": _q_a1_hist_quantile,
         "x1_hist_stream": _q_x1_hist_stream,
         "a1_outliers": _q_a1_outliers,
+        "t_bm25_batch": _q_t_bm25_batch,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
         "a1_cube": _q_a1_cube,
@@ -4659,6 +4683,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x1_hist_stream": (
             'WITH b AS (SELECT event_type, CAST(greatest(least(floor((CAST(value AS DOUBLE) - 0.0) / 3.90625), 255), 0) AS INT) AS bin FROM events WHERE value IS NOT NULL), sk AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), c AS (SELECT event_type, bin, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(cnt) OVER (PARTITION BY event_type) AS tot FROM sk), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q) SELECT c.event_type, qs.q, round(0.0 + (min(c.bin) + 1) * 3.90625, 6) AS quantile_est FROM c CROSS JOIN qs WHERE c.cum >= qs.q * c.tot GROUP BY 1, 2'
+        ),
+        "t_bm25_batch": (
+            "WITH qs AS (SELECT * FROM (VALUES (1, 'vector'), (1, 'stream'), (2, 'hash'), (2, 'join'), (2, 'merge'), (3, 'window')) t(query_id, term)), base AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS dl FROM documents), stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base), toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), tf AS (SELECT t.doc_id, b.dl, t.term, count(*) AS tf FROM toks t JOIN base b USING (doc_id) WHERE t.term IN (SELECT DISTINCT term FROM qs) GROUP BY 1, 2, 3), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), sc AS (SELECT qs.query_id, tf.doc_id, round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25 FROM tf JOIN dfq USING (term) JOIN qs USING (term) CROSS JOIN stats GROUP BY 1, 2), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank FROM sc) SELECT query_id, doc_id, bm25, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10"
         ),
         "a1_outliers": (
             'WITH o AS (SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p FROM orders), q AS (SELECT o_orderstatus, quantile_cont(p, 0.25) AS q1, quantile_cont(p, 0.75) AS q3 FROM o GROUP BY 1) SELECT o.o_orderstatus, count(*) AS n_orders, CAST(sum(CASE WHEN o.p < q.q1 - 1.5 * (q.q3 - q.q1) OR o.p > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, round(min(q.q1), 6) AS q1, round(min(q.q3), 6) AS q3 FROM o JOIN q USING (o_orderstatus) GROUP BY 1'

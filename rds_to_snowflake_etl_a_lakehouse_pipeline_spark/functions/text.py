@@ -471,3 +471,65 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_topk_queries(
+    df,
+    queries,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Batch form of :func:`bm25_topk`: rank documents for MANY queries
+    in one plan — ``queries`` is a ``(query_id, term)`` frame (one row
+    per query term). The production retrieval shape: the corpus is
+    tokenized ONCE, postings are filtered to the UNION of all query
+    terms (semi-join on the broadcast-small distinct-term set), scored
+    per (term, doc), fanned out to the queries that contain each term
+    (broadcast join — queries are small by contract, like
+    ``brute_force_topk``'s query set), summed per (query, doc), and
+    top-k'd with a query-partitioned rank (WindowGroupLimit map-side
+    top-k — no driver-side limit). idf/length normalization identical
+    to the single-query form; scores round to 6 dp for the oracle.
+    """
+    toks = F.split(F.trim(F.lower(_col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("_dl"), toks.alias("_toks")
+    )
+    stats = base.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    q = queries.select(
+        F.col(query_id_col), F.lower(F.col(term_col)).alias("_term")
+    ).distinct()
+    terms = q.select("_term").distinct()
+    tf = (
+        base.select(F.col(id_col), "_dl", F.explode("_toks").alias("_term"))
+        .join(F.broadcast(terms), "_term", "leftsemi")
+        .groupBy(id_col, "_dl", "_term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count("*").alias("_df"))
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", idf * F.col("_tf") * (k1 + 1.0) / denom)
+        .join(F.broadcast(q), "_term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

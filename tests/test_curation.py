@@ -558,3 +558,27 @@ def test_percentile_buckets_multi_matches_single(spark):
     }
     got = {r.id: (r.qa, r.qb) for r in multi.collect()}
     assert got == want
+
+
+def test_bm25_batch_matches_single_query_form(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        bm25_topk,
+        bm25_topk_queries,
+    )
+
+    rows = [
+        (1, "rare common common filler filler"),
+        (2, "common filler filler filler filler"),
+        (3, "rare rare common filler filler"),
+        (4, "other words entirely different here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(1, "rare"), (1, "common"), (2, "other")], "query_id int, term string"
+    )
+    batch = {}
+    for r in bm25_topk_queries(df, q, k=4).collect():
+        batch.setdefault(r.query_id, {})[r.doc_id] = r.bm25
+    for qid, terms in ((1, ["rare", "common"]), (2, ["other"])):
+        single = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=4).collect()}
+        assert batch[qid] == single
