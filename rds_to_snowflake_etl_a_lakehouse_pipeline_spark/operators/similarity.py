@@ -429,6 +429,25 @@ def ivf_append_index(
     }
 
 
+def _pruned_index_scan(spark, table: str, probes: DataFrame, n_cells: int):
+    """Index scan with a LITERAL ``_cell IN (...)`` static partition
+    filter — short-circuited: once the probed-cell set exceeds half of
+    ``n_cells`` the filter prunes (almost) nothing, so skip the driver
+    round-trip and scan the whole index unfiltered. Correctness never
+    depends on the filter — every caller joins the scan back to the
+    (query, cell) probe pairs, which is what enforces semantics — so
+    the filter is purely a directory-pruning optimization. The
+    detection collect is itself bounded by ``limit(threshold + 1)``,
+    never by \\|queries\\| × n_probe."""
+    threshold = max(1, n_cells // 2)
+    rows = probes.select("_cell").distinct().limit(threshold + 1).collect()
+    if len(rows) > threshold:
+        return spark.table(table)
+    return spark.table(table).filter(
+        F.col("_cell").isin([r["_cell"] for r in rows])
+    )
+
+
 def ivf_query_index(
     spark,
     table: str,
@@ -449,8 +468,10 @@ def ivf_query_index(
     (asserted in ``tests/test_dedup_similarity.py``), which a
     broadcast-join-only formulation would reach just at runtime via
     dynamic partition pruning. The distinct probed-cell collect is
-    bounded by |queries| × n_probe (the query set is broadcast-small
-    by contract — same contract as brute_force_topk).
+    bounded by ``n_cells // 2 + 1`` via a pushed-down LIMIT, and once
+    the probe set exceeds half the cells the filter (which would prune
+    almost nothing) is skipped entirely — the probe join alone carries
+    the semantics (see :func:`_pruned_index_scan`).
     """
     _check_centroids(spark, table, centroids)
     C = np.asarray(centroids, dtype=np.float64)
@@ -470,8 +491,7 @@ def ivf_query_index(
         l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
     )
-    cells = [r["_cell"] for r in probes.select("_cell").distinct().collect()]
-    indexed = spark.table(table).filter(F.col("_cell").isin(cells))
+    indexed = _pruned_index_scan(spark, table, probes, len(C))
     cand = (
         indexed.withColumn("_cn", l2_norm(F.col(vec_col)))
         .join(F.broadcast(probes), "_cell")
@@ -841,8 +861,7 @@ def ivf_pq_index_topk(
         F.col(query_id_col).alias("_qid"),
         F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
     )
-    cells = [r["_cell"] for r in probes.select("_cell").distinct().collect()]
-    pruned = spark.table(table).filter(F.col("_cell").isin(cells))
+    pruned = _pruned_index_scan(spark, table, probes, len(C))
     if code_col not in pruned.columns:
         pruned = pq_encode(pruned, codebook, vec_col=vec_col, code_col=code_col)
     scored = _adc_scored(

@@ -108,9 +108,18 @@ class VersionedTable:
         spark: SparkSession,
         root: str,
         auto_compact_merges: int | None = None,
+        max_touched_partitions: int = 4096,
     ):
         self.spark = spark
         self.root = root
+        # partition-scoped-merge guard: the touched-partition list is a
+        # driver collect AND becomes an OR-of-ANDs exclusion predicate
+        # evaluated per carried directory — both degrade past ~10^4
+        # values. Past the cap, merge falls back to a full-snapshot
+        # rewrite (the honest cost; same contract as an unpartitioned
+        # table) instead of stressing the driver/Catalyst. The collect
+        # itself is bounded by limit(cap + 1), never by batch width.
+        self.max_touched_partitions = max_touched_partitions
         # merge-cadence guard: SCALE.md measures ~+70% per-merge cost by
         # merge 8 from exclusion-list + directory accretion, linear and
         # reset by compact(). auto_compact_merges=N compacts
@@ -397,10 +406,15 @@ class VersionedTable:
         columns, only the partitions present in the source are rewritten
         — the manifest carries every untouched parent directory forward
         with the touched partition values excluded. The touched-partition
-        list is a driver-side collect, bounded by the number of distinct
-        partitions in the BATCH (CDC batches touch few), never by table
-        size. Unpartitioned tables fall back to a full rewrite (the
-        honest cost — partition your 100 TB tables).
+        list is a driver-side collect, bounded by
+        ``min(distinct partitions in the BATCH, max_touched_partitions
+        + 1)`` via a pushed-down LIMIT — never by table size. A batch
+        touching more than ``max_touched_partitions`` (default 4096)
+        falls back to a full-snapshot rewrite: past that width the
+        OR-of-ANDs exclusion predicate is slower than rewriting, and the
+        collect would stress the driver. Unpartitioned tables always
+        take the full rewrite (the honest cost — partition your 100 TB
+        tables).
 
         Contract of the partition-scoped path (same as a Delta MERGE
         whose condition pins the partition): a key's partition value must
@@ -443,9 +457,35 @@ class VersionedTable:
         current = self._align(self.read(parent), schema)
         source = self._align(source, schema)
         if part:
+            # bound the driver round-trip: collect at most cap+1 rows to
+            # DETECT overflow without ever materializing a huge list
+            cap = self.max_touched_partitions
+            touched_rows = (
+                source.select(*part).distinct().limit(cap + 1).collect()
+            )
+            if len(touched_rows) > cap:
+                # wide batch: partition scoping would build a >cap-term
+                # exclusion predicate; a full-snapshot rewrite is cheaper
+                # and driver-safe (mirrors the ER relabel-log guard)
+                merged = current.join(source, keys, "left_anti").unionByName(
+                    source
+                )
+                data_dir = self._new_data_dir(merged, part)
+                return self._commit(
+                    {
+                        "parent": parent,
+                        "operation": "merge-full",
+                        "partition_by": part,
+                        "schema": schema,
+                        "entries": [{"dir": data_dir, "exclude": []}],
+                        # over-cap sentinel: health() surfaces this so
+                        # operators see the batch width that forced a
+                        # full rewrite
+                        "touched_partitions": cap + 1,
+                    }
+                )
             touched = [
-                {c: _json_safe(row[c]) for c in part}
-                for row in source.select(*part).distinct().collect()
+                {c: _json_safe(row[c]) for c in part} for row in touched_rows
             ]
             cond = reduce(
                 lambda a, b: a | b,
@@ -466,11 +506,13 @@ class VersionedTable:
                 for e in pm["entries"]
             ] + [{"dir": data_dir, "exclude": []}]
             op = "merge"
+            n_touched = len(touched)
         else:
             merged = current.join(source, keys, "left_anti").unionByName(source)
             data_dir = self._new_data_dir(merged, part)
             entries = [{"dir": data_dir, "exclude": []}]
             op = "merge-full"
+            n_touched = 0
         return self._commit(
             {
                 "parent": parent,
@@ -478,6 +520,7 @@ class VersionedTable:
                 "partition_by": part,
                 "schema": schema,
                 "entries": entries,
+                "touched_partitions": n_touched,
             }
         )
 
@@ -657,6 +700,10 @@ class VersionedTable:
             "n_entries": n_entries,
             "n_exclusions": n_exclusions,
             "merges_since_compact": creep,
+            # width of the most recent merge's partition scope; a value
+            # of max_touched_partitions + 1 marks an over-cap batch that
+            # forced a full-snapshot rewrite (see merge())
+            "last_merge_touched_partitions": m.get("touched_partitions"),
             "compact_recommended": (
                 creep >= max_merges_since_compact
                 or n_entries > max_entries

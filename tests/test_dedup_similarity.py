@@ -3,6 +3,8 @@ similarity search (brute-force + LSH) on small controlled corpora."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -437,6 +439,59 @@ def test_ivf_index_table_prunes_partitions(spark):
     ref = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=2, seed=42)
     want = {(r["query_id"], r["rank"]): r["vec_id"] for r in ref.collect()}
     assert got == want and len(got) == 15
+
+
+def test_ivf_probe_short_circuits_wide_probe_sets(spark):
+    """When a query batch probes more than half the cells, the literal
+    _cell IN (...) partition filter prunes almost nothing — the scan
+    must go unfiltered (no driver round-trip building a useless cell
+    list), and results must be identical because the probe join alone
+    enforces the (query, cell) semantics."""
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    rng = np.random.default_rng(11)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(200)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + j, rng.standard_normal(8).tolist()) for j in range(6)],
+        "query_id bigint, embedding array<float>",
+    )
+    centroids = ivf_build_index(corpus, "ivf_sc_test", n_clusters=4, seed=42)
+
+    # n_probe = n_cells: every query probes all 4 cells > threshold 2
+    wide = ivf_query_index(
+        spark, "ivf_sc_test", queries, centroids, k=5, n_probe=4
+    )
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # the probe join may still push isnotnull(_cell); the literal
+    # IN-list / equality prune is what the short-circuit must drop
+    literal_prune = m and re.search(r"_cell#\d+ (IN|=) ", m.group(1))
+    assert not literal_prune, (
+        f"short-circuit failed — still filtering: {m.group(0)}"
+    )
+    # full probe == exact search: must equal brute force cosine top-k
+    exact = brute_force_topk(corpus, queries, k=5)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in wide.collect()}
+    want = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    assert got == want and len(got) == 30
+
+    # narrow probe on the same index still takes the filtered path
+    narrow = ivf_query_index(
+        spark, "ivf_sc_test", queries.limit(1), centroids, k=5, n_probe=1
+    )
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and re.search(r"_cell#\d+ (IN|=) ", m.group(1)), (
+        f"filtered path lost: {m.group(0) if m else plan[:200]}"
+    )
 
 
 def test_minhash_lsh_dedup_transitive(spark, docs):

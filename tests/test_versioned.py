@@ -136,6 +136,34 @@ def test_merge_partition_scoped_rewrites_only_touched(spark, root):
     assert twin._load_manifest(2)["operation"] == "merge-full"
 
 
+def test_merge_over_cap_falls_back_to_full_rewrite(spark, root):
+    """A batch touching more partitions than max_touched_partitions must
+    NOT build the per-partition exclusion predicate (driver/Catalyst
+    blowup at ~10^4 terms) — it takes the full-snapshot rewrite, with
+    identical merge semantics and an over-cap marker in health()."""
+    vt = VersionedTable(spark, root, max_touched_partitions=3)
+    base = _mk(spark, [(i, f"p{i % 6}", i * 10) for i in range(12)])
+    vt.write(base, partition_by=["part"])
+    dirs_v1 = {e["dir"] for e in vt._load_manifest(1)["entries"]}
+    # batch touches 5 partitions > cap of 3
+    batch = _mk(spark, [(i, f"p{i % 6}", i * 10 + 1) for i in range(5)])
+    vt.merge(batch, keys=["id"])
+    m2 = vt._load_manifest(2)
+    assert m2["operation"] == "merge-full"
+    # full rewrite: no carried dirs, no exclusion lists
+    assert all(e["dir"] not in dirs_v1 for e in m2["entries"])
+    assert all(e["exclude"] == [] for e in m2["entries"])
+    assert m2["touched_partitions"] == 4  # cap + 1 over-cap sentinel
+    assert vt.health()["last_merge_touched_partitions"] == 4
+    # semantics identical to an uncapped partition-scoped merge
+    twin = VersionedTable(spark, tempfile.mkdtemp(prefix="vt-cap-twin-"))
+    twin.write(base, partition_by=["part"])
+    twin.merge(batch, keys=["id"])
+    assert twin._load_manifest(2)["operation"] == "merge"
+    assert twin._load_manifest(2)["touched_partitions"] == 5
+    assert _rows(vt.read()) == _rows(twin.read())
+
+
 def test_merge_chain_and_compact(spark, root):
     vt = VersionedTable(spark, root)
     vt.write(_mk(spark, [(1, "a", 10), (3, "b", 30)]), partition_by=["part"])
