@@ -1656,12 +1656,17 @@ def _q_m_media_decode(spark, sf_dir):
     BMP (width = 1 + doc_id % 13, height = 1 + doc_id % 7) and an
     8 kHz mono WAV (100 + doc_id % 50 frames) are synthesized per
     document, then decoded by the REAL header parsers — the stub tier
-    is unreachable for these bytes. The oracle recomputes the expected
-    dimensions/duration arithmetically, so a parser bug OR a silent
-    fall-through to the sha256 fake hash-mismatches immediately."""
+    is unreachable for these bytes. Round 7 adds a third real codec:
+    a stdlib-zlib PNG (width = 1 + doc_id % 11, height = 1 + doc_id %
+    5, RGB/RGBA alternating by parity) decoded through the pure
+    inflate+unfilter tier (multimodal.py::_decode_png). The oracle
+    recomputes the expected dimensions/duration arithmetically, so a
+    parser bug OR a silent fall-through to the sha256 fake
+    hash-mismatches immediately."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
         decode_audio,
         encode_bmp,
+        encode_png,
         encode_wav,
     )
 
@@ -1669,20 +1674,35 @@ def _q_m_media_decode(spark, sf_dir):
 
     def make(it):
         for pdf in it:
-            imgs, wavs = [], []
+            imgs, wavs, pngs = [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 1 + did % 13, 1 + did % 7
                 imgs.append(encode_bmp(w, h, bytes(w * h * 3)))
                 wavs.append(encode_wav(8000, 1, b"\x00\x00" * (100 + did % 50)))
+                pw, ph = 1 + did % 11, 1 + did % 5
+                pch = 3 if did % 2 == 0 else 4
+                pngs.append(
+                    encode_png(pw, ph, bytes(pw * ph * pch), channels=pch)
+                )
             pdf["img"] = imgs
             pdf["wav"] = wavs
+            pdf["png"] = pngs
             yield pdf
 
-    blobs = d.mapInPandas(make, "doc_id long, img binary, wav binary")
-    out = decode_audio(decode_images(blobs, "img"), "wav")
+    blobs = d.mapInPandas(
+        make, "doc_id long, img binary, wav binary, png binary"
+    )
+    out = (
+        decode_images(blobs, "png")
+        .withColumnRenamed("width", "png_width")
+        .withColumnRenamed("height", "png_height")
+        .withColumnRenamed("channels", "png_channels")
+    )
+    out = decode_audio(decode_images(out, "img"), "wav")
     return out.select(
         "doc_id", "width", "height", "channels",
+        "png_width", "png_height", "png_channels",
         "sample_rate", "n_channels", "duration_seconds",
     )
 
@@ -4777,6 +4797,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 + doc_id % 13 AS INT) AS width, "
             "CAST(1 + doc_id % 7 AS INT) AS height, "
             "CAST(3 AS INT) AS channels, "
+            "CAST(1 + doc_id % 11 AS INT) AS png_width, "
+            "CAST(1 + doc_id % 5 AS INT) AS png_height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) "
+            "AS png_channels, "
             "CAST(8000 AS INT) AS sample_rate, "
             "CAST(1 AS INT) AS n_channels, "
             "CAST(100 + doc_id % 50 AS DOUBLE) / CAST(8000 AS DOUBLE) "

@@ -3,13 +3,14 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode tiers, in preference order per blob:
 
-1. **Real, dependency-free**: uncompressed formats are parsed/decoded
-   in pure Python — BMP (24/32-bpp BI_RGB, header parse + true
-   nearest-neighbor resize) and WAV (RIFF/PCM via the stdlib ``wave``
-   module). These run in THIS container and prove the whole path on
+1. **Real, dependency-free**: BMP (24/32-bpp BI_RGB, header parse +
+   true nearest-neighbor resize), WAV (RIFF/PCM via the stdlib
+   ``wave`` module), and 8-bit non-interlaced PNG (stdlib ``zlib``
+   inflate + full scanline unfiltering incl. Paeth, plus a matching
+   encoder). These run in THIS container and prove the whole path on
    genuine bytes.
-2. **Real, optional dependency**: PNG/JPEG through PIL when importable
-   (not in this container).
+2. **Real, optional dependency**: JPEG (and exotic PNG variants)
+   through PIL when importable (not in this container).
 3. **Deterministic fake**: anything else falls back to a clearly-marked
    sha256-derived stub so the Spark plumbing (schema, Arrow batching,
    frame explode) stays fully testable; ``require_real_decode`` is the
@@ -98,6 +99,133 @@ def _resize_bmp(b: bytes, tw: int, th: int) -> bytes | None:
     return encode_bmp(tw, th, bytes(out))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Serialize a top-down row-major 8-bit pixel buffer (gray / RGB /
+    gray+alpha / RGBA by ``channels``) as a non-interlaced PNG using
+    stdlib ``zlib`` — the fixture-side inverse of :func:`_decode_png`."""
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer must be width*height*channels bytes")
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(b: bytes):
+    """(width, height, channels) from the IHDR of an 8-bit
+    non-interlaced PNG; None when ``b`` is not one (caller falls
+    through to the next decode tier). Header-only — no inflate."""
+    if len(b) < 33 or b[:8] != _PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", b, 16
+    )
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    return w, h, _PNG_CHANNELS[color]
+
+
+def _decode_png(b: bytes):
+    """(width, height, channels, top-down row-major pixel bytes) for an
+    8-bit non-interlaced gray/RGB/gray+alpha/RGBA PNG — stdlib ``zlib``
+    inflate plus full scanline unfiltering (filters 0-4 incl. Paeth);
+    None when ``b`` is not such a PNG. Per-blob CPU work inside an
+    Arrow batch; payload-bounded, never corpus-bounded."""
+    import zlib
+
+    hdr = _parse_png(b)
+    if hdr is None:
+        return None
+    w, h, ch = hdr
+    # walk chunks, concatenating IDAT payloads
+    idat, pos = [], 8
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat.append(b[pos + 8 : pos + 8 + ln])
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        return None
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def _resize_png(b: bytes, tw: int, th: int) -> bytes | None:
+    """True nearest-neighbor resample of a decoded PNG, re-encoded as
+    PNG with the same channel count. None when ``b`` is not an 8-bit
+    non-interlaced PNG."""
+    p = _decode_png(b)
+    if p is None:
+        return None
+    w, h, ch, px = p
+    out = bytearray()
+    for ty in range(th):
+        sy = min(ty * h // th, h - 1)
+        rs = sy * w * ch
+        for tx in range(tw):
+            sx = min(tx * w // tw, w - 1)
+            out += px[rs + sx * ch : rs + (sx + 1) * ch]
+    return encode_png(tw, th, bytes(out), channels=ch)
+
+
 def _parse_wav(b: bytes):
     """(sample_rate, n_channels, duration_seconds) for a RIFF/PCM WAV
     via the stdlib ``wave`` module; None when ``b`` is not one."""
@@ -172,9 +300,14 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
             for data in pdf[content_col]:
                 b = bytes(data) if data is not None else b""
                 bmp = _parse_bmp(b)
+                png = _parse_png(b) if bmp is None else None
                 if bmp is not None:
                     dims.append((bmp[0], bmp[1], bmp[2]))
-                elif _HAVE_PIL and b[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+                elif png is not None:
+                    dims.append(png)
+                elif _HAVE_PIL and (
+                    b[:4] == b"\x89PNG" or b[:3] == b"\xff\xd8\xff"
+                ):
                     with Image.open(io.BytesIO(b)) as im:  # pragma: no cover
                         dims.append((im.width, im.height, len(im.getbands())))
                 else:
@@ -188,16 +321,19 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def require_real_decode() -> None:
-    """Guard for callers that need true pixel decoding of COMPRESSED
-    formats (PNG/JPEG). Uncompressed BMP/WAV payloads always decode for
-    real (pure-Python tier); everything else needs PIL, and without it
-    falls back to the deterministic stub this guard refuses."""
+    """Guard for callers that need true pixel decoding of JPEG — the
+    one format still behind PIL. BMP/WAV payloads decode for real via
+    the dependency-free pure-Python codecs, and 8-bit non-interlaced
+    PNG decodes for real via the stdlib-zlib tier
+    (:func:`_decode_png`); only JPEG (DCT entropy coding) needs PIL,
+    and without it falls back to the deterministic stub this guard
+    refuses."""
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "real PNG/JPEG decoding needs PIL/imageio, which this "
+            "real JPEG decoding needs PIL/imageio, which this "
             "container lacks; decode_images falls back to a "
-            "deterministic stub for those (BMP/WAV decode is real "
-            "regardless — pure-Python codecs)"
+            "deterministic stub for JPEG (BMP/WAV/PNG decode is real "
+            "regardless — pure-Python + stdlib-zlib codecs)"
         )
 
 
@@ -235,9 +371,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize: replace the payload with its resized rendition and pin
     (width, height) to the target. REAL nearest-neighbor resample for
-    uncompressed BMP payloads (pure Python, output is a valid 24-bpp
-    BMP); deterministic sha256 stand-in for codecs this container
-    lacks — same schema/batch shape either way.
+    uncompressed BMP (pure Python, output a valid 24-bpp BMP) and for
+    8-bit non-interlaced PNG (stdlib-zlib decode, output a valid PNG
+    with the source's channel count); deterministic sha256 stand-in
+    for codecs this container lacks — same schema/batch shape either
+    way.
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -251,6 +389,8 @@ def resize_images(
             for data in pdf[content_col]:
                 b = bytes(data) if data is not None else b""
                 real = _resize_bmp(b, target_w, target_h)
+                if real is None:
+                    real = _resize_png(b, target_w, target_h)
                 resized.append(
                     real if real is not None
                     else hashlib.sha256(b + tag).digest()

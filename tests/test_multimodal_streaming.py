@@ -257,18 +257,64 @@ def test_stream_static_join_parity(spark):
         )
 
 
-def test_real_image_decode_when_pil_available(spark):
-    """Exercises the REAL decode path (PIL) end-to-end when the library
-    exists; skipped in containers without it, where decode_images
-    transparently falls back to the deterministic stub (covered by
-    test_multimodal_decode_plumbing)."""
-    PIL = pytest.importorskip("PIL.Image")
-    import io as _io
-
+def test_real_png_decode_dependency_free(spark):
+    """Exercises the REAL PNG tier (stdlib zlib, no PIL) end-to-end:
+    encode a known pixel buffer, decode through the Spark path, and
+    pin both header dims and the exact unfiltered pixel bytes."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        decode_images,
+        encode_png,
+        resize_images,
+    )
+
+    w, h = 37, 21
+    rgb = bytes((x * 7 + y * 13 + c * 29) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    png = encode_png(w, h, rgb, channels=3)
+    # local roundtrip is pixel-exact (zlib deflate is lossless)
+    assert _decode_png(png) == (w, h, 3, rgb)
+    # RGBA too
+    rgba = bytes((x + y + c) % 256
+                 for y in range(4) for x in range(5) for c in range(4))
+    assert _decode_png(encode_png(5, 4, rgba, channels=4)) == (5, 4, 4, rgba)
+
+    df = spark.createDataFrame(
+        [(1, png), (2, b"not a png")], "id int, content binary"
+    )
+    rows = {r["id"]: r for r in decode_images(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (
+        w, h, 3,
+    )
+    # real nearest-neighbor PNG resize: output is itself a decodable PNG
+    out = {r["id"]: r for r in
+           resize_images(df, target_w=8, target_h=6).collect()}
+    rw, rh, rch, rpx = _decode_png(bytes(out[1]["resized"]))
+    assert (rw, rh, rch) == (8, 6, 3)
+    # corner pixel survives nearest-neighbor exactly
+    assert rpx[:3] == rgb[:3]
+    # non-PNG payload fell through to the sha256 stand-in
+    assert len(bytes(out[2]["resized"])) == 32
+
+
+def test_jpeg_tier_guard_and_pil_cross_validation(spark):
+    """Both branches are meaningful, so this never skips: without PIL
+    the JPEG guard must refuse loudly (no silent stub for callers that
+    demand real pixels); with PIL, a PIL-written PNG must decode to
+    the same dims through our pure tier."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _HAVE_PIL,
         decode_images,
         require_real_decode,
     )
+
+    if not _HAVE_PIL:
+        with pytest.raises(NotImplementedError, match="JPEG"):
+            require_real_decode()
+        return
+    import io as _io
+
+    from PIL import Image as PIL
 
     require_real_decode()  # must not raise when PIL importable
     buf = _io.BytesIO()
