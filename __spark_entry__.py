@@ -1205,6 +1205,24 @@ def _q_t_bm25_topk(spark, sf_dir):
     return bm25_topk(d, ["vector", "stream", "hash"], k=20)
 
 
+def _q_t_bm25_conjunctive(spark, sf_dir):
+    """Conjunctive (AND) BM25 retrieval (functions/text.py::bm25_topk
+    ``require_all_terms=True``, new round 7): identical scoring to
+    t_bm25_topk but only documents containing EVERY query term rank —
+    the per-doc matched-term count falls out of the same (doc, term)
+    aggregation as a post-agg HAVING, zero extra shuffles. Results are
+    a subset of the disjunctive top-k with identical scores (pinned by
+    pytest); the oracle replays the arithmetic with HAVING count = 3."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        bm25_topk,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, ["vector", "stream", "hash"], k=20, require_all_terms=True
+    )
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -3422,7 +3440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- r07 front-50 tranche C: refresh pads over the remaining
     # ---- oracle-backed r04-latest verdicts; swap-eligible one-for-one
     # ---- for oracle-backed round-7 additions
-        "a1_unpivot": _q_a1_unpivot,
+    # new in round 7 (swapped for the a1_unpivot pad, r04-green):
+    # conjunctive AND-semantics BM25 retrieval
+        "t_bm25_conjunctive": _q_t_bm25_conjunctive,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -3465,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ivf_topk": _q_v_ivf_topk,
         "v_lsh_topk": _q_v_lsh_topk,
     # ---- remainder: r05/r06-verified against current testdata
+        "a1_unpivot": _q_a1_unpivot,
         "v_cosine_topk": _q_v_cosine_topk,
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
@@ -4765,6 +4786,27 @@ def oracle_sql() -> dict[str, str]:
             "), 6) AS bm25 "
             "FROM tf JOIN dfq USING (term) CROSS JOIN stats "
             "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"
+        ),
+        "t_bm25_conjunctive": (
+            # disjunctive arithmetic + HAVING matched-terms = 3 (AND)
+            "WITH base AS (SELECT doc_id, "
+            "len(string_split_regex(trim(lower(text)), '\\s+')) AS dl "
+            "FROM documents), "
+            "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base), "
+            "toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT t.doc_id, b.dl, t.term, count(*) AS tf "
+            "FROM toks t JOIN base b USING (doc_id) "
+            "WHERE t.term IN ('vector', 'stream', 'hash') GROUP BY 1, 2, 3), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1) "
+            "SELECT doc_id, round(sum("
+            "ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) / "
+            "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+            "), 6) AS bm25 "
+            "FROM tf JOIN dfq USING (term) CROSS JOIN stats "
+            "GROUP BY doc_id HAVING count(*) = 3 "
+            "ORDER BY bm25 DESC, doc_id LIMIT 20"
         ),
         "m_video_dedup": (
             "WITH b AS (SELECT doc_id, text, octet_length(encode(text)) "

@@ -420,6 +420,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    require_all_terms: bool = False,
 ):
     """Okapi BM25 ranking of documents against a bag of query terms —
     the classic lexical-retrieval scorer (Robertson et al., TREC-3),
@@ -438,6 +439,15 @@ def bm25_topk(
     orderBy+limit is Spark's TakeOrdered (per-partition heaps, k-sized
     driver merge). Scores round to 6 dp so the SQL oracle replays
     bit-identically. Ties break by ascending id.
+
+    ``require_all_terms=True`` switches OR (bag-of-words) retrieval to
+    AND: only documents matching EVERY distinct query term rank —
+    precision holds on multi-term queries where one common term would
+    otherwise flood the top-k. Zero extra shuffles: the per-doc
+    matched-term count falls out of the same (doc, term) aggregation
+    (tf rows are unique per pair, so ``count(*)`` IS the distinct-term
+    count), applied as a post-agg HAVING. Conjunctive results are
+    always a subset of the disjunctive ranking with identical scores.
     """
     terms = [t.lower() for t in query_terms]
     toks = F.split(F.trim(F.lower(_col(text_col))), r"\s+")
@@ -465,9 +475,14 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .withColumn("_s", idf * F.col("_tf") * (k1 + 1.0) / denom)
     )
+    agged = scored.groupBy(id_col).agg(
+        F.round(F.sum("_s"), 6).alias("bm25"),
+        F.count("*").alias("_matched"),
+    )
+    if require_all_terms:
+        agged = agged.filter(F.col("_matched") == len(set(terms)))
     return (
-        scored.groupBy(id_col)
-        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        agged.drop("_matched")
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
@@ -483,6 +498,7 @@ def bm25_topk_queries(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    require_all_terms: bool = False,
 ):
     """Batch form of :func:`bm25_topk`: rank documents for MANY queries
     in one plan — ``queries`` is a ``(query_id, term)`` frame (one row
@@ -495,6 +511,12 @@ def bm25_topk_queries(
     top-k'd with a query-partitioned rank (WindowGroupLimit map-side
     top-k — no driver-side limit). idf/length normalization identical
     to the single-query form; scores round to 6 dp for the oracle.
+
+    ``require_all_terms=True`` keeps, per query, only documents that
+    match EVERY one of that query's distinct terms (AND semantics) —
+    the per-pair matched-term count falls out of the existing
+    (query, doc) aggregation, compared against a broadcast per-query
+    term count; no extra shuffle over the postings.
     """
     toks = F.split(F.trim(F.lower(_col(text_col))), r"\s+")
     base = df.select(
@@ -522,8 +544,17 @@ def bm25_topk_queries(
         .withColumn("_s", idf * F.col("_tf") * (k1 + 1.0) / denom)
         .join(F.broadcast(q), "_term")
         .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        .agg(
+            F.round(F.sum("_s"), 6).alias("bm25"),
+            F.count("*").alias("_matched"),
+        )
     )
+    if require_all_terms:
+        need = q.groupBy(query_id_col).agg(F.count("*").alias("_need"))
+        scored = scored.join(F.broadcast(need), query_id_col).filter(
+            F.col("_matched") == F.col("_need")
+        ).drop("_need")
+    scored = scored.drop("_matched")
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy(

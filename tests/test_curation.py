@@ -478,6 +478,44 @@ def test_bm25_ranks_rarer_terms_higher(spark):
     assert all(out[i].bm25 >= out[i + 1].bm25 for i in range(len(out) - 1))
 
 
+def test_bm25_conjunctive_is_subset_with_identical_scores(spark):
+    """require_all_terms=True keeps exactly the docs matching EVERY
+    query term, with scores unchanged from the disjunctive ranking —
+    in both the single-query and batch forms."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        bm25_topk,
+        bm25_topk_queries,
+    )
+
+    rows = [
+        (1, "rare common common filler filler"),
+        (2, "common filler filler filler filler"),
+        (3, "rare rare common filler filler"),
+        (4, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    disj = {r.doc_id: r.bm25 for r in bm25_topk(df, ["rare", "common"], k=4).collect()}
+    conj = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(
+            df, ["rare", "common"], k=4, require_all_terms=True
+        ).collect()
+    }
+    # only docs 1 and 3 contain both terms; scores identical to disjunctive
+    assert set(conj) == {1, 3}
+    assert set(conj) < set(disj)
+    assert all(conj[d] == disj[d] for d in conj)
+
+    # batch form: per-query AND against each query's own term set
+    q = spark.createDataFrame(
+        [(1, "rare"), (1, "common"), (2, "common")], "query_id int, term string"
+    )
+    got = {}
+    for r in bm25_topk_queries(df, q, k=4, require_all_terms=True).collect():
+        got.setdefault(r.query_id, set()).add(r.doc_id)
+    assert got == {1: {1, 3}, 2: {1, 2, 3}}
+
+
 def test_funnel_counts_requires_strict_order(spark):
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
         funnel_counts,
