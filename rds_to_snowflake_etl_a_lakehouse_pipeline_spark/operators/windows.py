@@ -330,6 +330,7 @@ def resample_ffill(
     ts_col: str,
     interval_seconds: int = 3600,
     value_col: str | None = None,
+    max_buckets_per_key: int | None = None,
 ) -> DataFrame:
     """Fixed-interval time-grid resampling with gap fill — the
     hypertable-rollup shape: per key, one row for EVERY
@@ -345,8 +346,14 @@ def resample_ffill(
     grid is a per-key ``sequence`` explode bounded by each key's OWN
     time span ÷ interval (never a global calendar cross join); the
     fill is a key-partitioned window — per-key rows, no global sort.
-    A key spanning years at 1-second resolution explodes that key's
-    span only; cap ``interval_seconds`` accordingly.
+    A key spanning years at 1-second resolution still explodes THAT
+    key's span (a decade at 1 s is ~3×10⁸ rows for one key — a
+    straggler task and a skewed window partition). Set
+    ``max_buckets_per_key`` to fail fast instead: if ANY key's span ÷
+    interval exceeds it, raise with the offending width so the caller
+    coarsens ``interval_seconds`` or splits the key — an executor-side
+    check (one assertion column on the spans frame), no extra driver
+    round-trip or shuffle.
     """
     bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds)
     aggs = [F.count("*").alias("n_events")]
@@ -360,8 +367,29 @@ def resample_ffill(
     spans = per_bucket.groupBy(key_col).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     )
+    hi = F.col("_hi")
+    if max_buckets_per_key is not None:
+        # guard feeds the sequence() input so column pruning can never
+        # elide it; fires on the executor the moment an over-wide key
+        # is seen, before any explosion materializes
+        width = F.col("_hi") - F.col("_lo") + 1
+        hi = F.when(width <= max_buckets_per_key, F.col("_hi")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("resample_ffill: key "),
+                    F.col(key_col).cast("string"),
+                    F.lit(" spans "),
+                    width.cast("string"),
+                    F.lit(
+                        f" buckets > max_buckets_per_key="
+                        f"{max_buckets_per_key}; coarsen interval_seconds "
+                        f"or split the key"
+                    ),
+                )
+            )
+        )
     grid = spans.select(
-        key_col, F.explode(F.sequence("_lo", "_hi")).alias("_b")
+        key_col, F.explode(F.sequence("_lo", hi)).alias("_b")
     )
     out = grid.join(per_bucket, [key_col, "_b"], "left").withColumn(
         "n_events", F.coalesce("n_events", F.lit(0))

@@ -745,6 +745,22 @@ def test_stream_span_dedup_masks_across_microbatches(spark, tmp_path):
     assert got[20] == ("", 12)      # ...and later copies don't
 
 
+def test_hist_stream_registry_entry_equals_batch_twin(spark):
+    """The registered x1_hist_stream (streamed per-batch bins merged
+    into a sketch table, then quantiles over the whole history) must be
+    ROW-IDENTICAL to the batch a1_hist_quantile on the same testdata —
+    histogram merge is lossless, so the incremental and one-shot plans
+    are the same function. This is the same exactness pin x1_cms_stream
+    carries, on the actual driver-facing entries."""
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    sf = "/root/testdata/sf0.001"
+    streamed = sorted(map(tuple, qs["x1_hist_stream"](spark, sf).collect()))
+    batch = sorted(map(tuple, qs["a1_hist_quantile"](spark, sf).collect()))
+    assert streamed == batch and len(streamed) > 0
+
+
 def test_stream_histogram_sketch_merges_batches_into_table(spark, tmp_path):
     """Two streamed micro-batches of values produce bin counts
     identical to a direct sketch of the concatenation (lossless merge),

@@ -246,3 +246,33 @@ def test_resample_ffill_grid_and_locf(spark):
     assert out[(2, 2)] == (1, 1.0, 1.0)
     # key 2's grid is its own span only — no rows at key 1's buckets
     assert {k for k in out if k[0] == 2} == {(2, 2)}
+
+
+def test_resample_ffill_max_buckets_guard(spark):
+    """max_buckets_per_key fails fast (executor-side, with the
+    offending key and width in the message) instead of exploding a
+    years-at-second-resolution key into 10^8 grid rows; in-bound spans
+    are unaffected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        resample_ffill,
+    )
+
+    rows = [(1, 0, 1.0), (1, 10 * 3600, 2.0), (2, 0, 3.0), (2, 3600, 4.0)]
+    ev = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    ev = ev.withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    # key 1 spans 11 hourly buckets > cap of 5 -> loud failure naming it
+    with _pytest.raises(Exception, match="key 1 spans 11 buckets"):
+        resample_ffill(
+            ev, "user_id", "ts", 3600, "value", max_buckets_per_key=5
+        ).collect()
+    # a cap wide enough for every key changes nothing
+    capped = resample_ffill(
+        ev, "user_id", "ts", 3600, "value", max_buckets_per_key=11
+    )
+    uncapped = resample_ffill(ev, "user_id", "ts", 3600, "value")
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
