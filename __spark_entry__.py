@@ -2450,6 +2450,81 @@ def _q_x2_resample_ffill(spark, sf_dir):
     )
 
 
+def _q_x2_sessionize(spark, sf_dir):
+    """Per-event session ASSIGNMENT rolled to session grain
+    (operators/windows.py::sessionize/session_stats, new round 7): an
+    event starts a new session when its gap to the user's previous
+    event exceeds 30 minutes; sessions then roll up to (n_events,
+    start, end, duration). One user-keyed shuffle carries the lag, the
+    running sum AND the rollup (same key); gap arithmetic is integer
+    microseconds so the oracle replays bit-identically via epoch_us."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        session_stats,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    out = session_stats(
+        ev, "user_id", "ts", 1800, tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "session_index",
+        "n_events",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "duration_seconds",
+    )
+
+
+def _q_x2_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/windows.py::
+    retention_cohorts, new round 7): users bucketed by the integer
+    week of their first event; per (cohort, week offset), how many
+    return, with retention_rate against the cohort size. Distinct
+    (user, week) pairs → per-user min-week → one (cohort, offset)
+    count-distinct shuffle — no event-grain window; the oracle replays
+    the identical integer-week arithmetic."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        retention_cohorts,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", 7 * 86400)
+
+
+def _q_w6_rolling_median(spark, sf_dir):
+    """EXACT rolling median of the trailing 5 events per user
+    (operators/windows.py::rolling_quantile, new round 7): Spark's
+    exact percentile aggregate over a row-bounded window — no approx
+    sketch, no Python, one key-partitioned sort. The oracle is
+    DuckDB's quantile_cont over the identical frame."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        rolling_quantile,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_quantile(
+        ev, "user_id", "value", 0.5, 5, ("ts", "event_id")
+    )
+    return out.select("event_id", "user_id", "rolling_q")
+
+
+def _q_x2_interarrival(spark, sf_dir):
+    """Per-event-type inter-arrival-gap profile (operators/windows.py::
+    interarrival_stats, new round 7): consecutive-event gaps in
+    microsecond-exact seconds aggregated to count/avg/exact-median/max
+    — the operational heartbeat question as one window + one agg on
+    the same key (a single shuffle end-to-end)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        interarrival_stats,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return interarrival_stats(
+        ev, "event_type", "ts", tiebreak_cols=["event_id"]
+    )
+
+
 def _q_x2_interval_join(spark, sf_dir):
     """Equi-key + time-interval join (streaming/events.py::interval_join):
     every purchase by the same user within 2 hours AFTER each click —
@@ -3443,10 +3518,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new in round 7 (swapped for the a1_unpivot pad, r04-green):
     # conjunctive AND-semantics BM25 retrieval
         "t_bm25_conjunctive": _q_t_bm25_conjunctive,
-        "d_cosine_dedup": _q_d_cosine_dedup,
-        "d_exact_dedup": _q_d_exact_dedup,
-        "d_ngram_jaccard": _q_d_ngram_jaccard,
-        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
+    # new in round 7 (swapped for the d_cosine_dedup pad, r04-green):
+    # per-event session assignment + session-grain rollup
+        "x2_sessionize": _q_x2_sessionize,
+    # new in round 7 (swapped for the d_exact_dedup pad, r04-green):
+    # weekly cohort retention matrix
+        "x2_retention": _q_x2_retention,
+    # new in round 7 (swapped for the d_ngram_jaccard pad, r04-green):
+    # exact rolling median over a row-bounded window
+        "w6_rolling_median": _q_w6_rolling_median,
+    # new in round 7 (swapped for the g_dim_customers_faithful pad,
+    # r04-green): per-key inter-arrival gap profile
+        "x2_interarrival": _q_x2_interarrival,
         "j_salted_skew": _q_j_salted_skew,
         "m_decode_images": _q_m_decode_images,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -3486,6 +3569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_lsh_topk": _q_v_lsh_topk,
     # ---- remainder: r05/r06-verified against current testdata
         "a1_unpivot": _q_a1_unpivot,
+        "d_cosine_dedup": _q_d_cosine_dedup,
+        "d_exact_dedup": _q_d_exact_dedup,
+        "d_ngram_jaccard": _q_d_ngram_jaccard,
+        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
         "v_cosine_topk": _q_v_cosine_topk,
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
@@ -4745,6 +4832,55 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
             "AS filled_value "
             "FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b"
+        ),
+        "x2_sessionize": (
+            "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "
+            "CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL "
+            "OR epoch_us(CAST(ts AS TIMESTAMP)) "
+            "- lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800 * 1000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS session_index FROM o) "
+            "SELECT user_id, session_index, count(*) AS n_events, "
+            "CAST(min(ts) AS VARCHAR) AS session_start, "
+            "CAST(max(ts) AS VARCHAR) AS session_end, "
+            "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) "
+            "AS duration_seconds FROM s GROUP BY 1, 2"
+        ),
+        "x2_retention": (
+            "WITH up AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) "
+            "/ (7 * 86400 * 1000000.0)) AS BIGINT) AS p FROM events), "
+            "f AS (SELECT user_id, min(p) AS cohort FROM up GROUP BY 1), "
+            "c AS (SELECT cohort AS cohort_period, p - cohort AS "
+            "period_offset, count(DISTINCT up.user_id) AS n_users "
+            "FROM up JOIN f USING (user_id) GROUP BY 1, 2) "
+            "SELECT cohort_period, period_offset, n_users, "
+            "round(n_users::DOUBLE / max(CASE WHEN period_offset = 0 "
+            "THEN n_users END) OVER (PARTITION BY cohort_period), 6) "
+            "AS retention_rate FROM c"
+        ),
+        "w6_rolling_median": (
+            "SELECT event_id, user_id, "
+            "round(quantile_cont(value, 0.5) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_q "
+            "FROM events"
+        ),
+        "x2_interarrival": (
+            "WITH g AS (SELECT event_type, "
+            "(epoch_us(CAST(ts AS TIMESTAMP)) "
+            "- lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER ("
+            "PARTITION BY event_type ORDER BY ts, event_id)) / 1000000.0 "
+            "AS gap FROM events) "
+            "SELECT event_type, count(*) AS n_gaps, "
+            "round(avg(gap), 6) AS avg_gap, "
+            "round(quantile_cont(gap, 0.5), 6) AS p50_gap, "
+            "round(max(gap), 6) AS max_gap "
+            "FROM g WHERE gap IS NOT NULL GROUP BY 1"
         ),
         "x2_funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

@@ -23,8 +23,13 @@ from .sketches import (  # noqa: F401
 )
 from .windows import (  # noqa: F401
     dedupe_latest,
+    interarrival_stats,
     merge_upsert,
+    retention_cohorts,
+    rolling_quantile,
     scd2_close,
+    session_stats,
+    sessionize,
     surrogate_key,
     surrogate_key_two_phase,
 )

@@ -404,3 +404,174 @@ def resample_ffill(
             "filled_value", F.last("bucket_value", ignorenulls=True).over(w)
         )
     return out.withColumnRenamed("_b", "bucket")
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-event session ASSIGNMENT (the telemetry twin of the
+    aggregate-only session window): an event starts a new session when
+    its gap to the key's previous event exceeds ``gap_seconds``.
+    Appends ``session_index`` (1-based per key) and ``session_id``
+    (``"<key>#<index>"`` — stable across reruns).
+
+    Gap arithmetic runs on integer MICROseconds (``unix_micros``), not
+    seconds, so sub-second event streams sessionize exactly and any
+    SQL engine replays it bit-identically (``epoch_us`` in DuckDB).
+    ``tiebreak_cols`` pins a total order under equal timestamps —
+    without it, ties make session boundaries nondeterministic.
+
+    Plan shape: ONE shuffle on the key; both the lag and the running
+    sum ride the same key-partitioned sort — Spark executes them in a
+    single Window stage, never a global sort. Key skew = one key's
+    events, the same bound every per-key window op in this module
+    carries.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = (
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000)
+    ).cast("int")
+    out = df.withColumn("session_index", F.sum(is_new).over(run))
+    return out.withColumn(
+        "session_id",
+        F.concat_ws("#", F.col(key_col).cast("string"), F.col("session_index")),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Session-level rollup over :func:`sessionize`: one row per
+    ``(key, session_index)`` with ``n_events``, ``session_start``,
+    ``session_end`` and ``duration_seconds`` (microsecond-exact,
+    rounded to 6 dp). The rollup reuses the sessionize shuffle's
+    partitioning (same key in the groupBy), so AQE plans it without a
+    second full exchange."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak_cols)
+    return s.groupBy(key_col, "session_index").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.round(
+            (
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            )
+            / 1_000_000.0,
+            6,
+        ).alias("duration_seconds"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: users grouped by the fixed-width period of
+    their FIRST event (the cohort); for every later period in which a
+    cohort member returns, count them. Returns ``(cohort_period,
+    period_offset, n_users, retention_rate)`` — offset 0 is the cohort
+    size itself, ``retention_rate`` = n_users ÷ cohort size rounded to
+    6 dp. Period ids are integer ``floor(epoch_seconds ÷ width)`` so
+    any engine replays them exactly.
+
+    Plan shape: distinct (user, period) pairs → per-user min-period
+    (one user-keyed shuffle, map-side combined) → broadcast-joined
+    back (per-user frontier is aggregate-sized) → one (cohort, offset)
+    count-distinct shuffle. No event-grain window, no global sort; the
+    wide (user, period) dedup is the same cardinality bound a weekly
+    active-users query already pays."""
+    period = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / (period_seconds * 1_000_000)
+    ).cast("bigint")
+    up = df.select(
+        F.col(key_col).alias("_u"), period.alias("_p")
+    ).distinct()
+    first = up.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    counts = (
+        up.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_period"),
+            (F.col("_p") - F.col("_cohort")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("_u").alias("n_users"))
+    )
+    w = Window.partitionBy("cohort_period")
+    base = F.max(
+        F.when(F.col("period_offset") == 0, F.col("n_users"))
+    ).over(w)
+    return counts.withColumn(
+        "retention_rate", F.round(F.col("n_users") / base, 6)
+    )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    q: float = 0.5,
+    n_rows: int = 5,
+    order_cols: Sequence[str] = ("ts",),
+    out_col: str = "rolling_q",
+) -> DataFrame:
+    """EXACT rolling quantile (default: median of the trailing
+    ``n_rows`` rows per key) via Spark's exact ``percentile`` aggregate
+    evaluated over a row-bounded window — no approx sketch, no Python.
+    The frame holds ≤ ``n_rows`` values, so the per-row cost is
+    O(n_rows log n_rows) inside the JVM; the plan is one key-partitioned
+    sort shared with any other window over the same key. Rounded to
+    6 dp for engine-exact replay (DuckDB: ``quantile_cont`` over the
+    same frame)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    return df.withColumn(
+        out_col,
+        F.round(F.expr(f"percentile({value_col}, {q})").over(w), 6),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key inter-arrival-gap profile: consecutive-event gaps
+    (microsecond-exact seconds) aggregated to ``(n_gaps, avg_gap,
+    p50_gap, max_gap)``, each rounded to 6 dp. The operational
+    heartbeat question — "how often does each event type fire, and how
+    ragged is it?" — as one window + one agg on the same key, a single
+    shuffle end-to-end. Exact ``percentile`` keeps the median
+    engine-replayable (no approx sketch)."""
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (us - F.lag(us).over(w)) / 1_000_000.0
+    return (
+        df.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("_gap"), 6).alias("avg_gap"),
+            F.round(F.expr("percentile(_gap, 0.5)"), 6).alias("p50_gap"),
+            F.round(F.max("_gap"), 6).alias("max_gap"),
+        )
+    )

@@ -276,3 +276,120 @@ def test_resample_ffill_max_buckets_guard(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_sessionize_gap_boundary_and_ids(spark):
+    """A gap EXACTLY equal to gap_seconds stays in the same session
+    (only strictly-greater gaps split); indexes are 1-based per key and
+    session_id embeds key#index."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        sessionize,
+    )
+
+    rows = [
+        (1, 0), (1, 1800),            # exactly 1800 s -> same session
+        (1, 1800 + 1801),             # 1801 s -> new session
+        (2, 50),                      # other key: independent numbering
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, sec long")
+    ev = ev.withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    out = {
+        (r.user_id, r.sec): (r.session_index, r.session_id)
+        for r in sessionize(ev, "user_id", "ts", 1800).collect()
+    }
+    assert out[(1, 0)] == (1, "1#1")
+    assert out[(1, 1800)] == (1, "1#1")
+    assert out[(1, 3601)] == (2, "1#2")
+    assert out[(2, 50)] == (1, "2#1")
+
+
+def test_session_stats_and_subsecond_gaps(spark):
+    """Rollup carries event counts and microsecond-exact durations;
+    sub-second gaps never split sessions spuriously (micros, not
+    seconds, drive the arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        session_stats,
+    )
+
+    # two events 0.5 s apart, then a 2 h jump
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00.200000"), (1, "2024-01-01 00:00:00.700000"),
+         (1, "2024-01-01 02:00:01.000000")],
+        "user_id long, t string",
+    ).withColumn("ts", F.to_timestamp("t"))
+    out = {
+        r.session_index: (r.n_events, r.duration_seconds)
+        for r in session_stats(ev, "user_id", "ts", 1800).collect()
+    }
+    assert out == {1: (2, 0.5), 2: (1, 0.0)}
+
+
+def test_retention_cohorts_rates(spark):
+    """Offset-0 rows carry the cohort size (rate 1.0); later offsets
+    count distinct returning users against it."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        retention_cohorts,
+    )
+
+    day = 86400
+    rows = [
+        (1, 0), (1, 7 * day), (1, 14 * day),   # cohort 0, returns w1+w2
+        (2, day), (2, 8 * day),                # cohort 0, returns w1
+        (3, 7 * day + 60),                     # cohort 1, never returns
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, sec long")
+    ev = ev.withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    got = {
+        (r.cohort_period, r.period_offset): (r.n_users, r.retention_rate)
+        for r in retention_cohorts(ev, "user_id", "ts", 7 * day).collect()
+    }
+    assert got == {
+        (0, 0): (2, 1.0), (0, 1): (2, 1.0), (0, 2): (1, 0.5),
+        (1, 0): (1, 1.0),
+    }
+
+
+def test_rolling_quantile_exact_frame(spark):
+    """The trailing-N frame is exact: early rows see only their own
+    prefix; the median is the true order statistic, not an approx."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        rolling_quantile,
+    )
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    rows = [(1, i, vals[i]) for i in range(6)]
+    ev = spark.createDataFrame(rows, "k long, pos long, value double")
+    out = {
+        r.pos: r.rolling_q
+        for r in rolling_quantile(
+            ev, "k", "value", 0.5, 3, order_cols=("pos",)
+        ).collect()
+    }
+    # frames: [3] [3,1] [3,1,4] [1,4,1] [4,1,5] [1,5,9]
+    assert out == {0: 3.0, 1: 2.0, 2: 3.0, 3: 1.0, 4: 4.0, 5: 5.0}
+
+
+def test_interarrival_stats_gaps(spark):
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        interarrival_stats,
+    )
+
+    rows = [("a", 0), ("a", 10), ("a", 40), ("b", 5)]
+    ev = spark.createDataFrame(rows, "event_type string, sec long")
+    ev = ev.withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    got = {
+        r.event_type: (r.n_gaps, r.avg_gap, r.p50_gap, r.max_gap)
+        for r in interarrival_stats(ev, "event_type", "ts").collect()
+    }
+    # key "b" has a single event -> no gaps -> no row
+    assert got == {"a": (2, 20.0, 20.0, 30.0)}
