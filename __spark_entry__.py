@@ -2653,6 +2653,41 @@ def _q_x1_hist_stream(spark, sf_dir):
     )
 
 
+def _q_x1_sessionize_stream(spark, sf_dir):
+    """Incremental sessionization (streaming/events.py::
+    stream_sessionize, new round 7): per-batch session intervals fused
+    into a persisted session table — order-insensitive by construction
+    (interval fusion reconstructs the unique session partition of the
+    streamed point set), so the table read back through
+    session_table_stats must HASH-MATCH the batch x2_sessionize oracle
+    exactly. State is one row per session and compacts as sessions
+    fuse; only batch-touched keys pass through the fuse window."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        session_table_stats,
+        stream_sessionize,
+    )
+
+    table = "sess_stream_q_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sdf = _stream_events_src(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ck:
+        stream_sessionize(
+            sdf, table, ck, key_col="user_id", ts_col="ts",
+            gap_seconds=1800, query_name="x1_sessionize_stream",
+        )
+    out = session_table_stats(spark, table, "user_id")
+    return out.select(
+        "user_id",
+        "session_index",
+        "n_events",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "duration_seconds",
+    )
+
+
 def _q_x1_tumbling_stream(spark, sf_dir):
     """Structured Streaming path: the SAME tumbling aggregation as
     x1_tumbling_window compiled as an incremental stateful plan
@@ -3530,7 +3565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new in round 7 (swapped for the g_dim_customers_faithful pad,
     # r04-green): per-key inter-arrival gap profile
         "x2_interarrival": _q_x2_interarrival,
-        "j_salted_skew": _q_j_salted_skew,
+    # new in round 7 (swapped for the j_salted_skew pad, r04-green):
+    # order-insensitive incremental sessionization stream twin
+        "x1_sessionize_stream": _q_x1_sessionize_stream,
         "m_decode_images": _q_m_decode_images,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
         "t_apply_mixture": _q_t_apply_mixture,
@@ -3569,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_lsh_topk": _q_v_lsh_topk,
     # ---- remainder: r05/r06-verified against current testdata
         "a1_unpivot": _q_a1_unpivot,
+        "j_salted_skew": _q_j_salted_skew,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -3673,6 +3711,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental": _q_er_incremental,
         "x1_er_stream": _q_x1_er_stream,
     }
+
+
+_SESSIONIZE_SQL = (
+    # shared by x2_sessionize (batch) and x1_sessionize_stream (the
+    # incremental interval-fusion twin): 30-min-gap sessions rolled to
+    # session grain, microsecond-exact
+    "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "
+    "CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL "
+    "OR epoch_us(CAST(ts AS TIMESTAMP)) "
+    "- lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800 * 1000000 "
+    "THEN 1 ELSE 0 END AS brk FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, CAST(sum(brk) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS session_index FROM o) "
+    "SELECT user_id, session_index, count(*) AS n_events, "
+    "CAST(min(ts) AS VARCHAR) AS session_start, "
+    "CAST(max(ts) AS VARCHAR) AS session_end, "
+    "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) "
+    "AS duration_seconds FROM s GROUP BY 1, 2"
+)
 
 
 _INTERVAL_JOIN_SQL = (
@@ -4833,23 +4893,8 @@ def oracle_sql() -> dict[str, str]:
             "AS filled_value "
             "FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b"
         ),
-        "x2_sessionize": (
-            "WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "
-            "CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL "
-            "OR epoch_us(CAST(ts AS TIMESTAMP)) "
-            "- lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800 * 1000000 "
-            "THEN 1 ELSE 0 END AS brk FROM events "
-            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER ("
-            "PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
-            "AS session_index FROM o) "
-            "SELECT user_id, session_index, count(*) AS n_events, "
-            "CAST(min(ts) AS VARCHAR) AS session_start, "
-            "CAST(max(ts) AS VARCHAR) AS session_end, "
-            "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) "
-            "AS duration_seconds FROM s GROUP BY 1, 2"
-        ),
+        "x2_sessionize": _SESSIONIZE_SQL,
+        "x1_sessionize_stream": _SESSIONIZE_SQL,
         "x2_retention": (
             "WITH up AS (SELECT DISTINCT user_id, "
             "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) "

@@ -6,11 +6,13 @@ from .events import (  # noqa: F401
     interval_join,
     run_available_now,
     running_user_totals,
+    session_table_stats,
     sessionized,
     sliding_counts,
     stream_events,
     stream_events_auto,
     stream_incremental_merge,
+    stream_sessionize,
     stream_static_join,
     stream_to_warehouse,
     stream_versioned_merge,

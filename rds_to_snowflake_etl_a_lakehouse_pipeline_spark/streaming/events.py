@@ -735,3 +735,136 @@ def stream_span_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def _fuse_intervals(intervals: DataFrame, key_col: str, gap_us: int) -> DataFrame:
+    """Fuse per-key session intervals whose inter-interval gap is at
+    most ``gap_us``: running-max end (not lag — out-of-order batches
+    can nest intervals) marks the break points, a running sum of
+    breaks groups them, one agg collapses each group. The session
+    partition of a point set is UNIQUE (split exactly where
+    consecutive gaps exceed the threshold) and adding points never
+    widens a gap, so interval fusion is exact — not an approximation
+    of batch sessionization."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("start_us", "end_us")
+    prev_end = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        prev_end.isNull() | ((F.col("start_us") - prev_end) > gap_us)
+    ).cast("int")
+    grp = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        intervals.withColumn("_g", grp)
+        .groupBy(key_col, "_g")
+        .agg(
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .drop("_g")
+    )
+
+
+def stream_sessionize(
+    sdf: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    query_name: str = "stream_sessionize",
+):
+    """Incremental sessionization — the streaming twin of
+    ``operators.windows.sessionize``: each micro-batch rolls to per-key
+    session INTERVALS ``(start_us, end_us, n_events)`` that merge into
+    a persisted session table, fusing with stored sessions when the
+    boundary gap is within ``gap_seconds``. ORDER-INSENSITIVE by
+    construction (see :func:`_fuse_intervals`): late or out-of-order
+    batches land inside / fuse onto the right session, so the table
+    always equals batch sessionization of everything streamed —
+    regardless of how events were split across batches.
+
+    Per batch, only keys PRESENT in the batch pass through the fuse
+    window; untouched keys' rows carry forward unchanged (an anti-join
+    pass-through, no window over them). State is one row per session —
+    it COMPACTS as sessions fuse, and grows only with genuinely new
+    sessions. Counts are additive: an at-least-once source must
+    dedup upstream (:func:`dedup_events`) or redelivered events
+    double-count ``n_events``.
+
+    Read the table back through :func:`session_table_stats` for the
+    same (session_index, start, end, duration) shape the batch
+    ``session_stats`` emits. Runs with trigger=availableNow and blocks.
+    """
+    from ..operators.windows import sessionize
+    from ..sources.io import write_table
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        s = sessionize(
+            batch_df.select(key_col, ts_col), key_col, ts_col, gap_seconds
+        )
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        batch_iv = s.groupBy(key_col, "session_index").agg(
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            F.count("*").alias("n_events"),
+        ).drop("session_index")
+        if spark.catalog.tableExists(table):
+            state = spark.table(table)
+            touched_keys = batch_iv.select(key_col).distinct()
+            touched = state.join(F.broadcast(touched_keys), key_col, "leftsemi")
+            untouched = state.join(
+                F.broadcast(touched_keys), key_col, "leftanti"
+            )
+            fused = _fuse_intervals(
+                touched.unionByName(batch_iv), key_col, gap_us
+            )
+            # the union reads the table being overwritten: materialize
+            # before the stage-and-swap (touched-keys-sized, not stream-
+            # history-sized)
+            merged = untouched.unionByName(fused).localCheckpoint(eager=True)
+        else:
+            merged = _fuse_intervals(batch_iv, key_col, gap_us)
+        write_table(merged, table)
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def session_table_stats(spark: SparkSession, table: str, key_col: str = "user_id") -> DataFrame:
+    """Session-grain view over a :func:`stream_sessionize` state table,
+    shaped exactly like the batch ``session_stats``: 1-based
+    ``session_index`` per key (by start time — session numbering is a
+    read-time concern, so late fusions never renumber state on disk),
+    event count, start/end timestamps and 6-dp duration."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("start_us")
+    t = spark.table(table)
+    return t.select(
+        F.col(key_col),
+        F.row_number().over(w).cast("bigint").alias("session_index"),
+        F.col("n_events"),
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        F.round((F.col("end_us") - F.col("start_us")) / 1_000_000.0, 6).alias(
+            "duration_seconds"
+        ),
+    )

@@ -803,3 +803,64 @@ def test_stream_histogram_sketch_merges_batches_into_table(spark, tmp_path):
         for r in hist_quantile(direct, ["grp"], [0.5], 0.0, 100.0, 50).collect()
     }
     assert qs == qd
+
+
+def test_stream_sessionize_order_insensitive_equals_batch(spark, tmp_path):
+    """Events split ADVERSARIALLY across micro-batches (interleaved,
+    with a later batch delivering events that fall INSIDE and BETWEEN
+    earlier sessions) must fuse into exactly the sessions batch
+    sessionization computes over the union — session partition of a
+    point set is unique, and interval fusion reconstructs it."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        session_stats,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        session_table_stats,
+        stream_sessionize,
+    )
+
+    gap = 100  # seconds
+    # user 1: batch1 sees minutes 0 and 500 (two sessions); batch2
+    # delivers 240 and 330 — 240 bridges nothing (gap 240>100 to 0,
+    # 90<=100 to 330, 170>100 to 500)... final: {0}, {240,330,500}? no:
+    # 330->500 gap 170>100. Expect {0}, {240,330}, {500}.
+    # user 2: batch2's 50 fuses batch1's 0 and 120 into one session.
+    rows_b1 = [(1, 0), (1, 500), (2, 0), (2, 120)]
+    rows_b2 = [(1, 240), (1, 330), (2, 50)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, sec long"
+    ).selectExpr("user_id", "to_timestamp(from_unixtime(sec)) AS ts")
+    feed = str(tmp_path / "sess-feed")
+    mk(rows_b1).coalesce(1).write.mode("append").parquet(feed)
+    mk(rows_b2).coalesce(1).write.mode("append").parquet(feed)
+
+    spark.sql("DROP TABLE IF EXISTS sess_stream_t")
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_sessionize(
+        sdf, "sess_stream_t", str(tmp_path / "sess-ck"),
+        key_col="user_id", ts_col="ts", gap_seconds=gap,
+    )
+    got = sorted(
+        map(tuple, session_table_stats(spark, "sess_stream_t").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            session_stats(mk(rows_b1 + rows_b2), "user_id", "ts", gap)
+            .select(
+                "user_id", "session_index", "n_events",
+                "session_start", "session_end", "duration_seconds",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # user 1 ended with 3 sessions, user 2 fused into 1
+    per_user = {}
+    for u, *_ in got:
+        per_user[u] = per_user.get(u, 0) + 1
+    assert per_user == {1: 3, 2: 1}
