@@ -2395,6 +2395,36 @@ def _q_x2_asof_join(spark, sf_dir):
     )
 
 
+def _q_x2_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (operators/joins.py::asof_join
+    direction=\"forward\", new round 7): each click picks up the
+    earliest purchase at-or-after it by the same user — the same
+    single-shuffle union walk as the backward form with the timestamp
+    order reversed. Oracle is DuckDB's native ASOF LEFT JOIN with the
+    comparison flipped (p.ts <= c.ts) — an independent implementation
+    of forward point-in-time semantics."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.col("right_ts").cast("string").alias("purchase_ts"),
+        F.col("right_value").alias("purchase_value"),
+    )
+
+
 def _q_x2_range_join(spark, sf_dir):
     """Binned interval join (equi-join on epoch bins, exact post-filter
     — never a nested loop): every error within 5 minutes after any
@@ -3569,7 +3599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order-insensitive incremental sessionization stream twin
         "x1_sessionize_stream": _q_x1_sessionize_stream,
         "m_decode_images": _q_m_decode_images,
-        "s7_warehouse_sink": _q_s7_warehouse_sink,
+    # new in round 7 (swapped for the s7_warehouse_sink pad,
+    # r04-green): forward-direction as-of join
+        "x2_asof_forward": _q_x2_asof_forward,
         "t_apply_mixture": _q_t_apply_mixture,
         "t_best_per_lang": _q_t_best_per_lang,
         "t_chunk_dedup": _q_t_chunk_dedup,
@@ -3607,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- remainder: r05/r06-verified against current testdata
         "a1_unpivot": _q_a1_unpivot,
         "j_salted_skew": _q_j_salted_skew,
+        "s7_warehouse_sink": _q_s7_warehouse_sink,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -4363,6 +4396,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(c.ts AS VARCHAR) AS click_ts, c.value AS click_value "
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "x2_asof_forward": (
+            "WITH c AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT c.event_id, c.user_id, CAST(c.ts AS VARCHAR) AS click_ts, "
+            "CAST(p.ts AS VARCHAR) AS purchase_ts, p.value AS purchase_value "
+            "FROM c ASOF LEFT JOIN p "
+            "ON c.user_id = p.user_id AND c.ts <= p.ts"
         ),
         "x2_range_join": (
             "SELECT s.event_id AS signup_id, x.event_id AS error_id "

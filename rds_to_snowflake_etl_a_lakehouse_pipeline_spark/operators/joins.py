@@ -47,11 +47,14 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] = (),
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with
-    the greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key
-    (classic point-in-time lookup: latest click before each purchase,
-    last quote before each trade).
+    """As-of join: for each left row, attach the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` (``direction="backward"``, the
+    default — classic point-in-time lookup: latest click before each
+    purchase, last quote before each trade) or the smallest
+    ``right_ts`` ≥ ``left_ts`` (``direction="forward"`` — next
+    response after each request) within the same ``on`` key.
 
     Spark has no ASOF JOIN; the naive encoding (equi-join on key +
     range filter + row_number) explodes on high-fanout keys — a user
@@ -64,19 +67,24 @@ def asof_join(
     at 100 TB this is the same shape as any groupBy on the key.
 
     Right rows sort before left rows at equal ts (tag 0 < 1), so a
-    right row at exactly ``left_ts`` matches — DuckDB/pandas
-    ``merge_asof`` backward semantics. Ties on ``right_ts`` resolve to
-    the row latest in (ts, remaining-column) order, deterministically.
+    right row at exactly ``left_ts`` matches in either direction —
+    DuckDB/pandas ``merge_asof`` semantics. Ties on ``right_ts``
+    resolve to the row last in the walk order over the remaining
+    columns, deterministically. ``direction="forward"`` is the same
+    single-shuffle union walk with the timestamp order REVERSED —
+    identical cost, no second implementation to trust.
 
     ``right_cols`` are the value columns to attach (default: all
     non-key, non-ts columns), each emitted as ``right_<name>``; the
     matched timestamp is emitted as ``right_<right_ts>``.
     ``tolerance_seconds`` nulls the attached values when the match is
-    older than ``left_ts − tolerance`` (pandas ``merge_asof``
-    tolerance semantics).
+    further than ``tolerance`` seconds from ``left_ts`` on the
+    direction's side (pandas ``merge_asof`` tolerance semantics).
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     if not right_cols:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     attached = [f"right_{c}" for c in [right_ts, *right_cols]]
@@ -101,10 +109,11 @@ def asof_join(
     # the carried-forward match is independent of partition physical
     # order (nulls-first for the left rows' NULL placeholders keeps left
     # rows ordered after right rows only via _tag, which precedes).
+    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
         .orderBy(
-            F.col("_ts").asc(),
+            ts_ord,
             F.col("_tag").asc(),
             *[F.col(c).asc_nulls_first() for c in attached],
         )
@@ -119,10 +128,12 @@ def asof_join(
     )
     out = filled.filter(F.col("_tag") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("_ts").cast("double")
-            - F.col(f"right_{right_ts}").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+        gap = F.col("_ts").cast("double") - F.col(f"right_{right_ts}").cast(
+            "double"
+        )
+        if direction == "forward":
+            gap = -gap
+        in_tol = gap <= F.lit(float(tolerance_seconds))
         for c in attached:
             out = out.withColumn(c, F.when(in_tol, F.col(c)))
     return out.select(

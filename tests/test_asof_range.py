@@ -58,6 +58,28 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert got == {1: None, 2: 2.0, 3: 4.0, 4: None}
 
 
+def test_asof_forward_basic_and_tolerance(spark):
+    """direction='forward' picks the EARLIEST right row at-or-after
+    each left ts; exact-ts ties still match; tolerance nulls matches
+    farther ahead than the bound."""
+    left, right = _events(spark)
+    out = asof_join(
+        left, right, "user_id", "ts", "ts", ["value"], direction="forward"
+    )
+    got = {r["event_id"]: r["right_value"] for r in out.collect()}
+    # 10:00 → 11:59 click ahead; 12:00 → 13:00; u2 11:00 → equal-ts
+    # match; u3 has no clicks
+    assert got == {1: 2.0, 2: 3.0, 3: 4.0, 4: None}
+    tol = asof_join(
+        left, right, "user_id", "ts", "ts", ["value"],
+        direction="forward", tolerance_seconds=3600.0,
+    )
+    got_tol = {r["event_id"]: r["right_value"] for r in tol.collect()}
+    # event 1's match is 119 min ahead -> nulled; event 2's is 60 min
+    # (exactly the bound) -> kept
+    assert got_tol == {1: None, 2: 3.0, 3: 4.0, 4: None}
+
+
 def test_asof_preserves_left_rowcount(spark):
     left, right = _events(spark)
     assert asof_join(left, right, "user_id", "ts", "ts", ["value"]).count() == left.count()
