@@ -1019,6 +1019,28 @@ def _q_d_dup_stats(spark, sf_dir):
     )
 
 
+def _q_v_sign_project(spark, sf_dir):
+    """Signed random projection 64→8 (functions/vectors.py::
+    sign_project, new round 7): Johnson-Lindenstrauss dimensionality
+    reduction with a ±1 matrix regenerated from md5 parity — the cheap
+    sketch tier below int8/PQ. Pure Catalyst (8 sequential folds of 64
+    JVM multiply-adds per row, matrix as literals, scan-fused, no
+    shuffle); the oracle regenerates the identical matrix from md5 in
+    SQL and replays the fold, so a single sign flip anywhere
+    hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.vectors import (
+        sign_project,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "vec_id", sign_project("embedding", 64, 8, seed=42).alias("_p")
+    )
+    return proj.select(
+        "vec_id", F.posexplode("_p").alias("k", "comp")
+    )
+
+
 def _q_v_int8_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization
     (functions/vectors.py::int8_quantize, new round 6) — the
@@ -3602,7 +3624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new in round 7 (swapped for the s7_warehouse_sink pad,
     # r04-green): forward-direction as-of join
         "x2_asof_forward": _q_x2_asof_forward,
-        "t_apply_mixture": _q_t_apply_mixture,
+    # new in round 7 (swapped for the t_apply_mixture pad,
+    # r04-green): md5-matrix Johnson-Lindenstrauss sign projection
+        "v_sign_project": _q_v_sign_project,
         "t_best_per_lang": _q_t_best_per_lang,
         "t_chunk_dedup": _q_t_chunk_dedup,
         "t_decontaminate": _q_t_decontaminate,
@@ -3640,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_unpivot": _q_a1_unpivot,
         "j_salted_skew": _q_j_salted_skew,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
+        "t_apply_mixture": _q_t_apply_mixture,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -4861,6 +4886,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1) "
             "SELECT cluster_size, count(*) AS n_clusters, "
             "cluster_size * count(*) AS n_docs FROM c GROUP BY 1"
+        ),
+        "v_sign_project": (
+            "WITH m AS (SELECT k, j, "
+            "CASE WHEN substr(md5('42:' || k || ':' || j), 1, 1) "
+            "BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END AS s "
+            "FROM range(8) t1(k), range(64) t2(j)), "
+            "e AS (SELECT vec_id, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings) "
+            "SELECT vec_id, CAST(k AS INT) AS k, "
+            "round(sum(CAST(v AS DOUBLE) * s) / sqrt(8), 6) AS comp "
+            "FROM e JOIN m USING (j) GROUP BY 1, 2"
         ),
         "v_int8_quantize": (
             "WITH q AS (SELECT vec_id, embedding, "

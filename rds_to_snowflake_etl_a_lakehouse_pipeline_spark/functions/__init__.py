@@ -40,5 +40,9 @@ from .vectors import (  # noqa: F401
     cosine_from_norms,
     cosine_similarity,
     dot_product,
+    int8_dequantize,
+    int8_quantize,
     l2_norm,
+    sign_matrix,
+    sign_project,
 )

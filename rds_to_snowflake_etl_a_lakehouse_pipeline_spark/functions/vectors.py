@@ -87,3 +87,56 @@ def int8_dequantize(qstruct: Column | str) -> Column:
     return F.transform(
         s["q"], lambda u: u.cast("double") * s["scale"]
     )
+
+
+def sign_matrix(in_dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """±1 projection matrix derived from md5 parity — deterministic,
+    engine-neutral (any SQL engine with md5 regenerates it exactly:
+    sign[k][j] = +1 iff the first hex digit of md5("seed:k:j") is
+    0-7). Driver-side, out_dim × in_dim entries, built once and
+    embedded as literals."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{k}:{j}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def sign_project(
+    a: Column | str, in_dim: int, out_dim: int, seed: int = 42
+) -> Column:
+    """Signed random projection (Achlioptas-style Johnson-Lindenstrauss):
+    ``y_k = (Σ_j sign[k][j] · a_j) / √out_dim`` with the ±1 matrix from
+    :func:`sign_matrix` — dimensionality reduction that preserves
+    pairwise distances within the JL distortion (~1/√out_dim), as the
+    cheap tier below PQ/int8 for ANN pre-filtering and sketching.
+
+    Pure Catalyst: out_dim sequential folds of in_dim JVM-side
+    multiply-adds per row, matrix embedded as literals — no Python, no
+    shuffle, scan-fused; and because the matrix regenerates from md5 in
+    ANY engine, the projection is oracle-replayable end-to-end (each
+    component rounds to 6 dp). Rows shorter than ``in_dim`` fold over
+    their actual length (zip_with pads with NULL → treated as 0)."""
+    import math
+
+    x = _col(a)
+    comps = []
+    for row in sign_matrix(in_dim, out_dim, seed):
+        arr = F.array(*[F.lit(s) for s in row])
+        prods = F.zip_with(
+            x, arr, lambda u, v: F.coalesce(u.cast("double") * v, F.lit(0.0))
+        )
+        comps.append(
+            F.round(
+                F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+                / math.sqrt(out_dim),
+                6,
+            )
+        )
+    return F.array(*comps)

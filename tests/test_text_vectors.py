@@ -355,3 +355,40 @@ def test_int8_quantize_roundtrip_error_bound(spark):
         s = by_id[vid].scale
         for got, want in zip(by_id[vid].recon, src[vid]):
             assert abs(got - want) <= s / 2 + 1e-12
+
+
+def test_sign_project_deterministic_and_jl_distortion(spark):
+    """The projection is literal-deterministic (same seed → identical
+    components across plans), seed-sensitive, and preserves pairwise
+    cosine structure within JL distortion at out_dim=32."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<float>"
+    )
+    p32 = df.select("vec_id", lf.sign_project("embedding", 64, 32).alias("p"))
+    a = {r.vec_id: r.p for r in p32.collect()}
+    b = {r.vec_id: r.p for r in p32.collect()}
+    assert a == b  # replayable
+    other = {
+        r.vec_id: r.p
+        for r in df.select(
+            "vec_id", lf.sign_project("embedding", 64, 32, seed=1).alias("p")
+        ).collect()
+    }
+    assert other != a  # seed-sensitive
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(y * y for y in v)))
+
+    errs = [
+        abs(cos(vecs[i], vecs[j]) - cos(a[i], a[j]))
+        for i, j in itertools.combinations(range(20), 2)
+    ]
+    # JL distortion ~1/sqrt(32) ≈ 0.18; mean error well inside it
+    assert sum(errs) / len(errs) < 0.2
+    assert max(errs) < 0.6
