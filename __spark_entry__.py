@@ -968,6 +968,38 @@ def _q_s14_version_changes(spark, sf_dir):
     return vt.changes(1, 3, keys=["k"])
 
 
+def _q_s15_snapshot_drift(spark, sf_dir):
+    """Schema + statistics drift between committed versions
+    (sources/versioned.py::VersionedTable.drift, new round 7): v1 is a
+    deterministic orders subset; v2 merges in modified rows AND a new
+    column (additive schema evolution via allow_new_columns). The
+    report rows — row_count, per-column present/null_rate and numeric
+    mean/min/max with deltas — come from the two manifests plus ONE
+    full-scan aggregate per snapshot (no join, no keyed diff). The
+    oracle reconstructs both logical states and replays every stat."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.round(F.col("o_totalprice"), 2).cast("double").alias("p"),
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="sg-drift-"))
+    vt.write(o.filter(F.col("k") % 2 == 0))
+    batch = o.filter(F.col("k") % 3 == 0).select(
+        "k", "s", (F.col("p") + 5).alias("p"),
+        F.when(F.col("k") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("k") % 10).cast("double"))
+        .alias("flag"),
+    )
+    vt.merge(batch, keys=["k"], allow_new_columns=True)
+    return vt.drift(1, 2)
+
+
 def _q_t_weighted_per_lang(spark, sf_dir):
     """Per-group exact weighted sampling
     (operators/curation.py::weighted_sample_per_group, new round 6):
@@ -3627,7 +3659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new in round 7 (swapped for the t_apply_mixture pad,
     # r04-green): md5-matrix Johnson-Lindenstrauss sign projection
         "v_sign_project": _q_v_sign_project,
-        "t_best_per_lang": _q_t_best_per_lang,
+    # new in round 7 (swapped for the t_best_per_lang pad,
+    # r04-green): versioned-snapshot schema/stat drift report
+        "s15_snapshot_drift": _q_s15_snapshot_drift,
         "t_chunk_dedup": _q_t_chunk_dedup,
         "t_decontaminate": _q_t_decontaminate,
         "t_gopher_flags": _q_t_gopher_flags,
@@ -3665,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_salted_skew": _q_j_salted_skew,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
         "t_apply_mixture": _q_t_apply_mixture,
+        "t_best_per_lang": _q_t_best_per_lang,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -4944,6 +4979,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 + len(list_filter(t.tf, x -> rfm.frequency >= x)) AS INT) AS f_q, "
             "CAST(1 + len(list_filter(t.tm, x -> rfm.monetary >= x)) AS INT) AS m_q, "
             "count(*) AS n_customers FROM rfm CROSS JOIN t GROUP BY 1, 2, 3"
+        ),
+        "s15_snapshot_drift": (
+            "WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, "
+            "round(o_totalprice, 2) AS p FROM orders), "
+            "v1 AS (SELECT k, s, p FROM base WHERE k % 2 = 0), "
+            "b AS (SELECT k, s, p + 5 AS p, CASE WHEN k % 5 = 0 THEN NULL "
+            "ELSE CAST(k % 10 AS DOUBLE) END AS flag FROM base "
+            "WHERE k % 3 = 0), "
+            "v2 AS (SELECT v1.k, v1.s, v1.p, CAST(NULL AS DOUBLE) AS flag "
+            "FROM v1 WHERE v1.k NOT IN (SELECT k FROM b) "
+            "UNION ALL SELECT * FROM b), "
+            "s1 AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "round(avg(CASE WHEN k IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_k, "
+            "round(avg(CAST(k AS DOUBLE)), 6) AS mean_k, "
+            "round(min(CAST(k AS DOUBLE)), 6) AS min_k, "
+            "round(max(CAST(k AS DOUBLE)), 6) AS max_k, "
+            "round(avg(CASE WHEN p IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_p, "
+            "round(avg(p), 6) AS mean_p, round(min(p), 6) AS min_p, "
+            "round(max(p), 6) AS max_p, "
+            "round(avg(CASE WHEN s IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_s "
+            "FROM v1), "
+            "s2 AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "round(avg(CASE WHEN k IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_k, "
+            "round(avg(CAST(k AS DOUBLE)), 6) AS mean_k, "
+            "round(min(CAST(k AS DOUBLE)), 6) AS min_k, "
+            "round(max(CAST(k AS DOUBLE)), 6) AS max_k, "
+            "round(avg(CASE WHEN p IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_p, "
+            "round(avg(p), 6) AS mean_p, round(min(p), 6) AS min_p, "
+            "round(max(p), 6) AS max_p, "
+            "round(avg(CASE WHEN s IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_s "
+            "FROM v2), "
+            "r AS ("
+            "SELECT '*' AS c, 'row_count' AS metric, s1.n AS v_old, s2.n AS v_new FROM s1, s2 "
+            "UNION ALL SELECT 'flag', 'present', 0.0, 1.0 "
+            "UNION ALL SELECT 'k', 'present', 1.0, 1.0 "
+            "UNION ALL SELECT 'k', 'null_rate', s1.null_k, s2.null_k FROM s1, s2 "
+            "UNION ALL SELECT 'k', 'mean', s1.mean_k, s2.mean_k FROM s1, s2 "
+            "UNION ALL SELECT 'k', 'min', s1.min_k, s2.min_k FROM s1, s2 "
+            "UNION ALL SELECT 'k', 'max', s1.max_k, s2.max_k FROM s1, s2 "
+            "UNION ALL SELECT 'p', 'present', 1.0, 1.0 "
+            "UNION ALL SELECT 'p', 'null_rate', s1.null_p, s2.null_p FROM s1, s2 "
+            "UNION ALL SELECT 'p', 'mean', s1.mean_p, s2.mean_p FROM s1, s2 "
+            "UNION ALL SELECT 'p', 'min', s1.min_p, s2.min_p FROM s1, s2 "
+            "UNION ALL SELECT 'p', 'max', s1.max_p, s2.max_p FROM s1, s2 "
+            "UNION ALL SELECT 's', 'present', 1.0, 1.0 "
+            "UNION ALL SELECT 's', 'null_rate', s1.null_s, s2.null_s FROM s1, s2) "
+            'SELECT c AS "column", metric, v_old, v_new, '
+            "round(v_new - v_old, 6) AS delta FROM r"
         ),
         "t_quality_deciles": (
             "WITH q AS (SELECT doc_id, " + quality + " AS q FROM documents), "

@@ -268,6 +268,10 @@ def main() -> None:
         # hypertable resampling: ~1M-bucket per-user hourly grid with
         # LOCF fill at sf0.1 (per-key sequence explode + fill window)
         "q23_resample_ffill": (qs["x2_resample_ffill"], True),
+        # sessionization: per-event assignment + session rollup over
+        # 100k events at sf0.1 — lag, running sum and rollup all ride
+        # ONE user-keyed exchange (plan-audited round 7)
+        "q24_sessionize": (qs["x2_sessionize"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

@@ -673,6 +673,72 @@ class VersionedTable:
 
     # ----------------------------------------------------------- maintenance
 
+    def drift(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Snapshot drift report between two committed versions — the
+        schema/statistics twin of :meth:`changes` (which is row-level):
+        one row per (column, metric) with the old value, new value and
+        delta, answering "what changed about this table's SHAPE between
+        v1 and v2" without a keyed diff.
+
+        Metrics: ``row_count`` (column ``*``); per-column ``present``
+        (0/1 — schema add/remove) and ``type_changed`` (1 when the
+        declared type differs; values NULL); for columns present in
+        both, ``null_rate``; for numeric columns, ``mean``/``min``/
+        ``max``. All values rounded to 6 dp.
+
+        Scale: schema metrics come from the two MANIFESTS (no scan);
+        stats are ONE full-scan aggregate per snapshot (all columns in
+        a single agg — map-side combined, metadata-sized result), then
+        the report assembles driver-side into a column-count-bounded
+        frame. No join, no shuffle beyond the two 1-row aggs."""
+        to_version = self.latest_version() if to_version is None else to_version
+        old_schema = dict(self._load_manifest(from_version)["schema"])
+        new_schema = dict(self._load_manifest(to_version)["schema"])
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        }
+
+        def stats(version, schema):
+            df = self.read(version)
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in sorted(schema):
+                aggs.append(
+                    F.avg(F.col(c).isNull().cast("double")).alias(f"__null_{c}")
+                )
+                if schema[c] in numeric or schema[c].startswith("decimal"):
+                    aggs.append(F.avg(F.col(c).cast("double")).alias(f"__mean_{c}"))
+                    aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
+                    aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+            return df.agg(*aggs).first().asDict()
+
+        s_old = stats(from_version, old_schema)
+        s_new = stats(to_version, new_schema)
+
+        def r6(x):
+            return None if x is None else round(float(x), 6)
+
+        rows = [("*", "row_count", float(s_old["__n"]), float(s_new["__n"]))]
+        for c in sorted(set(old_schema) | set(new_schema)):
+            in_old, in_new = c in old_schema, c in new_schema
+            rows.append((c, "present", float(in_old), float(in_new)))
+            if in_old and in_new and old_schema[c] != new_schema[c]:
+                rows.append((c, "type_changed", None, None))
+                continue
+            if not (in_old and in_new):
+                continue
+            rows.append((c, "null_rate", r6(s_old[f"__null_{c}"]), r6(s_new[f"__null_{c}"])))
+            if f"__mean_{c}" in s_old and f"__mean_{c}" in s_new:
+                for m in ("mean", "min", "max"):
+                    rows.append(
+                        (c, m, r6(s_old[f"__{m}_{c}"]), r6(s_new[f"__{m}_{c}"]))
+                    )
+        out = self.spark.createDataFrame(
+            rows, "column string, metric string, v_old double, v_new double"
+        )
+        return out.withColumn(
+            "delta", F.round(F.col("v_new") - F.col("v_old"), 6)
+        )
+
     def health(
         self,
         max_merges_since_compact: int = 8,

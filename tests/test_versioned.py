@@ -164,6 +164,36 @@ def test_merge_over_cap_falls_back_to_full_rewrite(spark, root):
     assert _rows(vt.read()) == _rows(twin.read())
 
 
+def test_drift_report_schema_and_stats(spark, root):
+    """drift() reports row_count, schema presence (add AND remove via
+    overwrite), type changes, null-rate and numeric mean/min/max with
+    deltas — manifests for schema, one agg per snapshot for stats."""
+    vt = VersionedTable(spark, root)
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None)], "k bigint, s string, p double"
+    )
+    vt.write(v1)
+    # overwrite: p removed, flag added, k re-typed to int
+    v2 = spark.createDataFrame(
+        [(1, "a", 7.0), (2, "b", 8.0), (3, "c", None)],
+        "k int, s string, flag double",
+    )
+    vt.write(v2)
+    rows = {
+        (r["column"], r["metric"]): (r["v_old"], r["v_new"], r["delta"])
+        for r in vt.drift(1, 2).collect()
+    }
+    assert rows[("*", "row_count")] == (2.0, 3.0, 1.0)
+    assert rows[("p", "present")] == (1.0, 0.0, -1.0)
+    assert rows[("flag", "present")] == (0.0, 1.0, 1.0)
+    assert rows[("k", "type_changed")] == (None, None, None)
+    assert rows[("s", "null_rate")] == (0.0, 0.0, 0.0)
+    # removed/added columns carry no stat rows; re-typed column stops
+    # at the type_changed marker
+    assert ("p", "mean") not in rows and ("flag", "null_rate") not in rows
+    assert ("k", "mean") not in rows
+
+
 def test_merge_chain_and_compact(spark, root):
     vt = VersionedTable(spark, root)
     vt.write(_mk(spark, [(1, "a", 10), (3, "b", 30)]), partition_by=["part"])
