@@ -2379,6 +2379,33 @@ def _q_w4_merge_upsert(spark, sf_dir):
     return merge_upsert(t, changed.unionByName(new), ["c_custkey"])
 
 
+def _q_j7_bloom_join(spark, sf_dir):
+    """Explicit bloom-pruned semi join (operators/joins.py::
+    bloom_semi_join, new round 7): a deterministic xxhash64 bloom built
+    over the urgent orders' keys (one driver round-trip of ≤ 1024
+    bigint words) prunes the lineitem SCAN before any exchange, then
+    the exact semi join runs on the survivors — false positives never
+    reach the result, so the bloom only cuts shuffle volume. The
+    oracle is the plain semi join: pruning is semantics-free by
+    construction, and a hash mismatch means the bloom dropped a true
+    match."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    hit = bloom_semi_join(li, urgent, "l_orderkey")
+    return hit.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def _q_j_salted_skew(spark, sf_dir):
     """Skew-defeating salted join (operators/joins.py::salted_join —
     see SCALE.md): events.user_id is a hot-key distribution (10k events
@@ -3665,7 +3692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_chunk_dedup": _q_t_chunk_dedup,
         "t_decontaminate": _q_t_decontaminate,
         "t_gopher_flags": _q_t_gopher_flags,
-        "t_mixture_weights": _q_t_mixture_weights,
+    # new in round 7 (swapped for the t_mixture_weights pad,
+    # r04-green): scan-side bloom-pruned exact semi join
+        "j7_bloom_join": _q_j7_bloom_join,
         "t_pack_sequences": _q_t_pack_sequences,
         "t_stratified_sample": _q_t_stratified_sample,
         "v_cosine_pairs": _q_v_cosine_pairs,
@@ -3700,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_warehouse_sink": _q_s7_warehouse_sink,
         "t_apply_mixture": _q_t_apply_mixture,
         "t_best_per_lang": _q_t_best_per_lang,
+        "t_mixture_weights": _q_t_mixture_weights,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -4466,6 +4496,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(p.ts AS VARCHAR) AS purchase_ts, p.value AS purchase_value "
             "FROM c ASOF LEFT JOIN p "
             "ON c.user_id = p.user_id AND c.ts <= p.ts"
+        ),
+        "j7_bloom_join": (
+            "SELECT l_returnflag, count(*) AS n_items, "
+            "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') GROUP BY 1"
         ),
         "x2_range_join": (
             "SELECT s.event_id AS signup_id, x.event_id AS error_id "

@@ -15,7 +15,13 @@ from .entity import (  # noqa: F401
     golden_records,
     resolve_entities,
 )
-from .joins import skew_report, star_join  # noqa: F401
+from .joins import (  # noqa: F401
+    bloom_prune,
+    bloom_semi_join,
+    build_key_bloom,
+    skew_report,
+    star_join,
+)
 from .sketches import (  # noqa: F401
     distinct_sketches,
     rollup_sketches,

@@ -281,3 +281,100 @@ def skew_report(
         "skew_ratio": round((stats["max_n"] / mean), 2) if mean else 0.0,
         "top": top,
     }
+
+
+def build_key_bloom(
+    df: DataFrame,
+    key: str,
+    num_bits: int = 1 << 16,
+    seeds: Sequence[int] = (7, 13),
+) -> list[int]:
+    """Build a bloom bitmask over ``df[key]`` as ``num_bits/64`` bigint
+    words (xxhash64 per seed → bit position; per-row word masks
+    explode → map-side ``bit_or`` combine → ≤ words-count rows to the
+    driver). Deterministic for a given (num_bits, seeds), so a filter
+    built once can be persisted and reused across jobs — an explicit,
+    cross-pipeline form of the runtime join filter AQE injects within
+    one query. Size the bits at ~10× the expected distinct keys for a
+    ~1-2% false-positive rate with two seeds."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    n_words = num_bits // 64
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(num_bits))
+            for s in seeds
+        ]
+    )
+    rows = (
+        df.select(F.explode(positions).alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("m"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["m"]
+    return words
+
+
+def bloom_prune(
+    df: DataFrame,
+    key: str,
+    bloom: Sequence[int],
+    seeds: Sequence[int] = (7, 13),
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``key`` MIGHT be in the bloom built
+    by :func:`build_key_bloom` (same num_bits/seeds contract as the
+    index-table parameter contracts elsewhere). The test is a pure
+    scan-side expression — literal word array + shiftright/AND — so it
+    prunes BEFORE any exchange: the classic use is cutting a fact
+    scan's shuffle volume to ~the dimension's key set ahead of a join
+    the optimizer can't runtime-filter (cross-job, or through a
+    barrier it won't traverse). False positives only — compose with
+    the exact join for exact results."""
+    num_bits = len(bloom) * 64
+    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in bloom])
+    out = df
+    tmp = []
+    conds = []
+    for i, s in enumerate(seeds):
+        p, w = f"_bp{i}", f"_bw{i}"
+        tmp += [p, w]
+        out = out.withColumn(
+            p, F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(num_bits))
+        ).withColumn(w, F.element_at(arr, (F.col(p) / 64).cast("int") + 1))
+        conds.append(
+            F.expr(
+                f"(shiftright({w}, CAST(pmod({p}, 64) AS INT)) "
+                f"& CAST(1 AS BIGINT)) = 1"
+            )
+        )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return out.filter(cond).drop(*tmp)
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    num_bits: int = 1 << 16,
+    seeds: Sequence[int] = (7, 13),
+    how: str = "leftsemi",
+) -> DataFrame:
+    """Exact join with an explicit bloom pre-prune: build the filter
+    over ``right[key]`` (one driver round-trip of ≤ num_bits/64
+    words), prune ``left`` scan-side, then run the exact join — the
+    bloom only reduces shuffle volume, never changes the result. Use
+    when the small side is known ahead of the big scan and AQE's own
+    runtime filter can't reach (separate stages/jobs)."""
+    bloom = build_key_bloom(right, key, num_bits, seeds)
+    return bloom_prune(left, key, bloom, seeds).join(right, key, how)

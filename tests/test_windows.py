@@ -393,3 +393,33 @@ def test_interarrival_stats_gaps(spark):
     }
     # key "b" has a single event -> no gaps -> no row
     assert got == {"a": (2, 20.0, 20.0, 30.0)}
+
+
+def test_bloom_semi_join_prunes_scan_side_and_stays_exact(spark):
+    """The bloom filter evaluates below the exchange (scan-side prune),
+    keeps all true matches plus a small false-positive tail, and the
+    composed exact join equals the plain semi join."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        bloom_prune,
+        bloom_semi_join,
+        build_key_bloom,
+    )
+
+    right = spark.range(0, 3000, 3).withColumnRenamed("id", "k")  # 1000 keys
+    left = spark.range(30000).withColumnRenamed("id", "k")
+    bloom = build_key_bloom(right, "k")
+    kept = bloom_prune(left, "k", bloom).count()
+    # no false negatives; FP rate small at 16 Kib bits / 1000 keys
+    assert 1000 <= kept <= 1000 + 30000 * 0.05
+
+    out = bloom_semi_join(left, right, "k")
+    plain = left.join(right, "k", "leftsemi")
+    assert sorted(r.k for r in out.collect()) == sorted(
+        r.k for r in plain.collect()
+    )
+    # the prune must sit BELOW the join (scan-side), so in the
+    # top-down optimized-plan print the Join line precedes the
+    # shiftright bit-test Filter that feeds its left child
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "shiftright" in plan
+    assert 0 <= plan.find("Join") < plan.find("shiftright")
