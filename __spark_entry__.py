@@ -1277,6 +1277,29 @@ def _q_t_bm25_conjunctive(spark, sf_dir):
     )
 
 
+def _q_t_dedupe_lines(spark, sf_dir):
+    """Intra-document line dedup (functions/text.py::dedupe_lines —
+    first oracle-backed entry, round 7): every word becomes its own
+    line (translate space→newline — deterministic, SQL-replayable),
+    then repeated lines drop keeping FIRST occurrence in order
+    (array_distinct is order-preserving). Returns the deduped text
+    plus before/after line counts; the oracle replays first-occurrence
+    selection as a min-position window + ordered string_agg."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        dedupe_lines,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lined = F.translate(F.col("text"), " ", "\n")
+    deduped = dedupe_lines(lined)
+    return d.select(
+        "doc_id",
+        deduped.alias("deduped"),
+        F.size(F.split(lined, "\n")).alias("n_lines"),
+        F.size(F.split(deduped, "\n")).alias("n_kept"),
+    )
+
+
 def _q_t_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return (
@@ -3695,7 +3718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new in round 7 (swapped for the t_mixture_weights pad,
     # r04-green): scan-side bloom-pruned exact semi join
         "j7_bloom_join": _q_j7_bloom_join,
-        "t_pack_sequences": _q_t_pack_sequences,
+    # new in round 7 (swapped for the t_pack_sequences pad,
+    # r04-green): first-occurrence intra-document line dedup
+        "t_dedupe_lines": _q_t_dedupe_lines,
         "t_stratified_sample": _q_t_stratified_sample,
         "v_cosine_pairs": _q_v_cosine_pairs,
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
@@ -3730,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_apply_mixture": _q_t_apply_mixture,
         "t_best_per_lang": _q_t_best_per_lang,
         "t_mixture_weights": _q_t_mixture_weights,
+        "t_pack_sequences": _q_t_pack_sequences,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -5146,6 +5172,19 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY step_index), n_users) = 0 THEN NULL "
             "ELSE n_users::DOUBLE / coalesce(lag(n_users) OVER "
             "(ORDER BY step_index), n_users) END, 6) AS conversion_rate FROM c"
+        ),
+        "t_dedupe_lines": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts "
+            "FROM documents), "
+            "w AS (SELECT doc_id, unnest(parts) AS w, "
+            "generate_subscripts(parts, 1) AS i, len(parts) AS n "
+            "FROM s), "
+            "f AS (SELECT doc_id, w, i, n, "
+            "min(i) OVER (PARTITION BY doc_id, w) AS fi FROM w) "
+            "SELECT doc_id, string_agg(w, chr(10) ORDER BY i) AS deduped, "
+            "CAST(any_value(n) AS INT) AS n_lines, "
+            "CAST(count(*) AS INT) AS n_kept "
+            "FROM f WHERE i = fi GROUP BY doc_id"
         ),
         "t_bm25_topk": (
             "WITH base AS (SELECT doc_id, "
