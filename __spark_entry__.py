@@ -1051,6 +1051,69 @@ def _q_d_dup_stats(spark, sf_dir):
     )
 
 
+def _q_a2_target_encode(spark, sf_dir):
+    """Smoothed target encoding (operators/features.py::target_encode,
+    new round 7): each order priority encodes to its damped mean total
+    price — (n·mean_cat + s·mean_global)/(n + s), s=10. One
+    category-count-sized agg + 1-row global mean broadcast back; the
+    orders side never shuffles. The oracle replays the smoothing
+    arithmetic per category."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
+        target_encode,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = target_encode(o, "o_orderpriority", "o_totalprice", smoothing=10.0)
+    return out.select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderpriority_te").alias("te")
+    )
+
+
+def _q_a2_feature_scale(spark, sf_dir):
+    """Per-group feature scaling (operators/features.py::zscore_scale +
+    minmax_scale, new round 7): z-score (population stddev, guarded
+    zero-variance) and min-max of the order total within each order
+    status — one stats agg per transform broadcast back, fact side
+    unshuffled. Oracle replays both normalizations."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
+        minmax_scale,
+        zscore_scale,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = minmax_scale(
+        zscore_scale(o, ["o_totalprice"], by=["o_orderstatus"]),
+        ["o_totalprice"],
+        by=["o_orderstatus"],
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice_z", "o_totalprice_mm"
+    )
+
+
+def _q_a2_one_hot(spark, sf_dir):
+    """Bounded one-hot encoding (operators/features.py::one_hot, new
+    round 7): indicator columns for the top-5 market segments (count
+    order, value tiebreak — deterministic) plus the fold-in other
+    column; a NULL category is 0 everywhere and 1 in _other (null-safe
+    equality). The category list is one TakeOrdered-bounded agg; the
+    indicators are scan-fused expressions."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
+        one_hot,
+    )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = one_hot(c, "c_mktsegment", top_k=5)
+    keep = ["c_custkey"] + sorted(
+        col for col in out.columns if "_oh_" in col
+    )
+    return out.select(*keep)
+
+
 def _q_v_sign_project(spark, sf_dir):
     """Signed random projection 64→8 (functions/vectors.py::
     sign_project, new round 7): Johnson-Lindenstrauss dimensionality
@@ -3721,10 +3784,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new in round 7 (swapped for the t_pack_sequences pad,
     # r04-green): first-occurrence intra-document line dedup
         "t_dedupe_lines": _q_t_dedupe_lines,
-        "t_stratified_sample": _q_t_stratified_sample,
+    # new in round 7 (swapped for the t_stratified_sample pad,
+    # r04-green): smoothed target encoding
+        "a2_target_encode": _q_a2_target_encode,
         "v_cosine_pairs": _q_v_cosine_pairs,
-        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
-        "w5_moving_avg": _q_w5_moving_avg,
+    # new in round 7 (swapped for the w2_surrogate_two_phase pad,
+    # r04-green): per-group z-score + min-max scaling
+        "a2_feature_scale": _q_a2_feature_scale,
+    # new in round 7 (swapped for the w5_moving_avg pad, r04-green):
+    # bounded null-safe one-hot encoding
+        "a2_one_hot": _q_a2_one_hot,
         "x1_interval_stream": _q_x1_interval_stream,
         "x1_session_stream": _q_x1_session_stream,
         "x1_session_window": _q_x1_session_window,
@@ -3756,6 +3825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_best_per_lang": _q_t_best_per_lang,
         "t_mixture_weights": _q_t_mixture_weights,
         "t_pack_sequences": _q_t_pack_sequences,
+        "t_stratified_sample": _q_t_stratified_sample,
+        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
+        "w5_moving_avg": _q_w5_moving_avg,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -5041,6 +5113,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 + len(list_filter(t.tf, x -> rfm.frequency >= x)) AS INT) AS f_q, "
             "CAST(1 + len(list_filter(t.tm, x -> rfm.monetary >= x)) AS INT) AS m_q, "
             "count(*) AS n_customers FROM rfm CROSS JOIN t GROUP BY 1, 2, 3"
+        ),
+        "a2_target_encode": (
+            "WITH pc AS (SELECT o_orderpriority AS c, "
+            "avg(o_totalprice) AS m, count(o_totalprice) AS n "
+            "FROM orders GROUP BY 1), "
+            "g AS (SELECT avg(o_totalprice) AS g FROM orders) "
+            "SELECT o.o_orderkey, o.o_orderpriority, "
+            "round((pc.n * pc.m + 10.0 * g.g) / (pc.n + 10.0), 6) AS te "
+            "FROM orders o JOIN pc ON pc.c = o.o_orderpriority CROSS JOIN g"
+        ),
+        "a2_feature_scale": (
+            "WITH s AS (SELECT o_orderstatus AS st, "
+            "avg(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sd, "
+            "min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+            "FROM orders GROUP BY 1) "
+            "SELECT o_orderkey, o_orderstatus, "
+            "round(CASE WHEN sd > 0 THEN (o_totalprice - mu) / sd END, 6) "
+            "AS o_totalprice_z, "
+            "round(CASE WHEN hi - lo > 0 THEN (o_totalprice - lo) / (hi - lo) "
+            "END, 6) AS o_totalprice_mm "
+            "FROM orders JOIN s ON st = o_orderstatus"
+        ),
+        "a2_one_hot": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END "
+            "AS c_mktsegment_oh_automobile, "
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END "
+            "AS c_mktsegment_oh_building, "
+            "CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END "
+            "AS c_mktsegment_oh_furniture, "
+            "CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END "
+            "AS c_mktsegment_oh_household, "
+            "CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END "
+            "AS c_mktsegment_oh_machinery, "
+            "CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING', "
+            "'FURNITURE', 'HOUSEHOLD', 'MACHINERY') THEN 0 ELSE 1 END "
+            "AS c_mktsegment_oh_other "
+            "FROM customer"
         ),
         "s15_snapshot_drift": (
             "WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, "

@@ -15,6 +15,12 @@ from .entity import (  # noqa: F401
     golden_records,
     resolve_entities,
 )
+from .features import (  # noqa: F401
+    minmax_scale,
+    one_hot,
+    target_encode,
+    zscore_scale,
+)
 from .joins import (  # noqa: F401
     bloom_prune,
     bloom_semi_join,

@@ -620,3 +620,61 @@ def test_bm25_batch_matches_single_query_form(spark):
     for qid, terms in ((1, ["rare", "common"]), (2, ["other"])):
         single = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=4).collect()}
         assert batch[qid] == single
+
+
+def test_target_encode_smoothing_shrinks_rare_categories(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
+        target_encode,
+    )
+
+    rows = [("big", 10.0)] * 100 + [("rare", 100.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {
+        r.c: r.c_te
+        for r in target_encode(df, "c", "y", smoothing=10.0)
+        .select("c", F.col("c_te"))
+        .distinct()
+        .collect()
+    }
+    g = (100 * 10.0 + 100.0) / 101  # global mean ≈ 10.89
+    # rare (n=1) shrinks almost to the global mean; big barely moves
+    assert abs(out["rare"] - (1 * 100.0 + 10 * g) / 11) < 1e-6
+    assert abs(out["big"] - (100 * 10.0 + 10 * g) / 110) < 1e-6
+    assert out["rare"] < 100.0 and out["rare"] > g
+
+
+def test_scaling_guards_degenerate_groups(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
+        minmax_scale,
+        zscore_scale,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), ("const", 5.0), ("const", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r.g, r.x): (r.x_z, r.x_mm)
+        for r in minmax_scale(
+            zscore_scale(df, ["x"], by=["g"]), ["x"], by=["g"]
+        ).collect()
+    }
+    assert out[("a", 1.0)] == (-1.0, 0.0)
+    assert out[("a", 3.0)] == (1.0, 1.0)
+    # zero-variance group: NULL, never ±inf/NaN
+    assert out[("const", 5.0)] == (None, None)
+
+
+def test_one_hot_bounded_and_null_safe(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
+        one_hot,
+    )
+
+    rows = [(1, "x"), (2, "x"), (3, "y"), (4, "z"), (5, None)]
+    df = spark.createDataFrame(rows, "id int, c string")
+    out = {r.id: r.asDict() for r in one_hot(df, "c", top_k=2).collect()}
+    # top-2 by count (x), tie y<z by value -> columns x and y only
+    cols = {k for k in out[1] if "_oh_" in k}
+    assert cols == {"c_oh_x", "c_oh_y", "c_oh_other"}
+    assert (out[1]["c_oh_x"], out[1]["c_oh_other"]) == (1, 0)
+    assert (out[4]["c_oh_x"], out[4]["c_oh_y"], out[4]["c_oh_other"]) == (0, 0, 1)
+    # NULL category: all indicators 0, other 1 (never NULL)
+    assert (out[5]["c_oh_x"], out[5]["c_oh_y"], out[5]["c_oh_other"]) == (0, 0, 1)
