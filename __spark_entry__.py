@@ -3712,14 +3712,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     advisory: a rows-only entry burns a front-50 slot that cannot go
     hash-green, and each already holds an r04 rows-only verdict plus
     an oracle-green exact twin); slot 50 = er_resolve, the first of
-    the r05 tranche to refresh. Tranche-C pads are swap-eligible
-    one-for-one for oracle-backed round-7 additions as they land.
+    the r05 tranche to refresh. Tranche-C pads were swap-eligible
+    one-for-one for oracle-backed round-7 additions, and FOURTEEN
+    swaps happened as additions landed (each annotated inline):
+    t_bm25_conjunctive, x2_sessionize, x2_retention, w6_rolling_median,
+    x2_interarrival, x1_sessionize_stream, x2_asof_forward,
+    v_sign_project, s15_snapshot_drift, j7_bloom_join, t_dedupe_lines,
+    a2_target_encode, a2_feature_scale, a2_one_hot — all oracle-backed,
+    so the whole front-50 can go hash-green. The fourteen displaced
+    pads (all r04-green) sit first behind the cap.
 
-    r08 rotation plan: front any round-7 additions still behind the
-    cap, the eight rows-only r04 entries (their rotation refresh is
-    now the oldest debt), and refresh pads over the r05-verified
-    tranche (er_golden onward, oldest first). Run the registry
-    meta-test after reordering."""
+    r08 rotation plan: front the fourteen r04-green pads displaced by
+    the round-7 swaps (a1_unpivot, j_salted_skew, s7_warehouse_sink,
+    t_apply_mixture, t_best_per_lang, t_mixture_weights,
+    t_pack_sequences, t_stratified_sample, w2_surrogate_two_phase,
+    w5_moving_avg, d_cosine_dedup, d_exact_dedup, d_ngram_jaccard,
+    g_dim_customers_faithful) plus the eight rows-only r04 entries
+    (their rotation refresh is then the oldest debt), and fill the
+    remainder with refresh pads over the r05-verified tranche
+    (er_golden onward, oldest first). Run the registry meta-test
+    after reordering."""
     return {
     # ---- r07 front-50 tranche A: never driver-verified (round-6
     # ---- behind-cap additions + v_decontaminate) — first verdicts

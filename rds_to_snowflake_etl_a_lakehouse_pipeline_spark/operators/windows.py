@@ -508,7 +508,11 @@ def retention_cohorts(
             F.col("_cohort").alias("cohort_period"),
             (F.col("_p") - F.col("_cohort")).alias("period_offset"),
         )
-        .agg(F.countDistinct("_u").alias("n_users"))
+        # (user, period) pairs are already distinct and each maps to
+        # exactly one (cohort, offset), so count(*) IS the distinct
+        # user count — a countDistinct here would buy nothing but an
+        # extra expand+shuffle
+        .agg(F.count("*").alias("n_users"))
     )
     w = Window.partitionBy("cohort_period")
     base = F.max(

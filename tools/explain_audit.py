@@ -73,6 +73,19 @@ AUDIT = [
     "m_media_decode",
     "d_containment_pairs",
     "t_corpus_drift",
+    # round-7 additions
+    "x2_sessionize",
+    "x2_retention",
+    "w6_rolling_median",
+    "x2_interarrival",
+    "x2_asof_forward",
+    "t_bm25_conjunctive",
+    "v_sign_project",
+    "j7_bloom_join",
+    "t_dedupe_lines",
+    "a2_target_encode",
+    "a2_feature_scale",
+    "a2_one_hot",
 ]
 
 
