@@ -2465,6 +2465,42 @@ def _q_w4_merge_upsert(spark, sf_dir):
     return merge_upsert(t, changed.unionByName(new), ["c_custkey"])
 
 
+def _q_j8_star_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped 6-table star join (round 7): revenue per nation
+    for orders in 1995 where the supplier and customer share the
+    nation — region ⟈ nation ⟈ customer ⟈ orders ⟈ lineitem ⟈
+    supplier. The classic multi-way OLAP join: tiny dims broadcast
+    (region/nation), the lineitem-orders spine shuffles on the key
+    once, the date filter pushes to the orders scan, and AQE reorders
+    the rest. Oracle is the identical SQL."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return out
+
+
 def _q_j7_bloom_join(spark, sf_dir):
     """Explicit bloom-pruned semi join (operators/joins.py::
     bloom_semi_join, new round 7): a deterministic xxhash64 bloom built
@@ -3815,7 +3851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_tumbling_window": _q_x1_tumbling_window,
-        "x2_interval_join": _q_x2_interval_join,
+    # new in round 7 (swapped for the x2_interval_join pad,
+    # r04-green): TPC-H-Q5-shaped 6-table star revenue join
+        "j8_star_revenue": _q_j8_star_revenue,
         "x2_range_join": _q_x2_range_join,
     # ---- slot 50: first refresh of the r05-verified tranche
         "er_resolve": _q_er_resolve,
@@ -3840,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": _q_t_stratified_sample,
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
         "w5_moving_avg": _q_w5_moving_avg,
+        "x2_interval_join": _q_x2_interval_join,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -4606,6 +4645,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(p.ts AS VARCHAR) AS purchase_ts, p.value AS purchase_value "
             "FROM c ASOF LEFT JOIN p "
             "ON c.user_id = p.user_id AND c.ts <= p.ts"
+        ),
+        "j8_star_revenue": (
+            "SELECT r_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-01-01' "
+            "GROUP BY 1, 2"
         ),
         "j7_bloom_join": (
             "SELECT l_returnflag, count(*) AS n_items, "
