@@ -272,6 +272,9 @@ def main() -> None:
         # 100k events at sf0.1 — lag, running sum and rollup all ride
         # ONE user-keyed exchange (plan-audited round 7)
         "q24_sessionize": (qs["x2_sessionize"], True),
+        # classic 6-table star join (TPC-H Q5 shape): broadcast dims,
+        # one spine shuffle, AQE join reordering
+        "q25_star_join": (qs["j8_star_revenue"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

@@ -86,6 +86,7 @@ AUDIT = [
     "a2_target_encode",
     "a2_feature_scale",
     "a2_one_hot",
+    "j8_star_revenue",
 ]
 
 
