@@ -888,3 +888,77 @@ def test_resample_ffill_matches_python_reference(spark, events):
             else:
                 expect[(k, b)] = (0, None, last)
     assert got == expect
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 5000)),  # (key, second)
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(0, 39), max_size=3),
+    gap=st.sampled_from([60, 300, 1800]),
+)
+@PROP
+def test_incremental_interval_fusion_matches_batch_sessionize(
+    spark, data, cuts, gap
+):
+    """Any split of an event multiset into ordered batches, fused
+    incrementally, equals one-shot batch sessionization — the
+    order-insensitivity claim stream_sessionize rests on, over random
+    keys/timestamps/splits (including duplicate timestamps and batches
+    that land inside earlier sessions)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        session_stats,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _fuse_intervals,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, sec long"
+        ).selectExpr("user_id", "to_timestamp(from_unixtime(sec)) AS ts")
+
+    # split the list at the (sorted, de-duped, in-range) cut points
+    idx = sorted({c for c in cuts if 0 < c < len(data)})
+    batches, prev = [], 0
+    for c in idx + [len(data)]:
+        if data[prev:c]:
+            batches.append(data[prev:c])
+        prev = c
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    state = None
+    for b in batches:
+        s = session_stats(mk(b), "user_id", "ts", gap)
+        iv = s.select(
+            "user_id",
+            F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+                "start_us"
+            ),
+            F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+                "end_us"
+            ),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        state = iv if state is None else _fuse_intervals(
+            state.unionByName(iv), "user_id", gap * 1_000_000
+        )
+    got = sorted(
+        map(tuple, state.select("user_id", "start_us", "end_us", "n_events").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            session_stats(mk(data), "user_id", "ts", gap)
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_start").cast("timestamp")).alias("s"),
+                F.unix_micros(F.col("session_end").cast("timestamp")).alias("e"),
+                F.col("n_events").cast("bigint"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
