@@ -2886,6 +2886,79 @@ def _q_x1_hist_stream(spark, sf_dir):
     )
 
 
+def _q_s16_quarantine(spark, sf_dir):
+    """Row-level DQ routing (plans/dq.py::quarantine_split, new round
+    7 — the dead-letter pattern): rows failing any row-expressible
+    rule route to quarantine carrying the SORTED list of every rule
+    they broke; clean rows pass unchanged. Two filters over one shared
+    scan-fused projection, no shuffle. Oracle replays the routing and
+    the failed-rule list as CASE arithmetic."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import (
+        DQRule,
+        quarantine_split,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    rules = [
+        DQRule("value_small", "predicate", predicate=F.col("value") < 50),
+        DQRule("no_errors", "predicate", predicate=F.col("event_type") != "error"),
+    ]
+    good, bad = quarantine_split(ev, rules)
+    return good.select(
+        "event_id", F.lit("good").alias("routed"), F.lit("").alias("failed_rules")
+    ).unionByName(
+        bad.select(
+            "event_id",
+            F.lit("quarantine").alias("routed"),
+            F.array_join("_dq_failed", ",").alias("failed_rules"),
+        )
+    )
+
+
+def _q_x1_quarantine_stream(spark, sf_dir):
+    """Streaming dead-letter routing (streaming/events.py::
+    stream_quarantine, new round 7): every micro-batch splits through
+    the same quarantine_split — clean rows append to one table,
+    violators (with their rule list) to another, so bad input never
+    stops the pipeline OR silently disappears. Reading both tables
+    back must hash-match the batch s16_quarantine oracle exactly."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import DQRule
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_quarantine,
+    )
+
+    key = _fixture_key(sf_dir)
+    good_t, bad_t = f"dq_good_{key}", f"dq_bad_{key}"
+    spark.sql(f"DROP TABLE IF EXISTS {good_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {bad_t}")
+    rules = [
+        DQRule("value_small", "predicate", predicate=F.col("value") < 50),
+        DQRule("no_errors", "predicate", predicate=F.col("event_type") != "error"),
+    ]
+    sdf = _stream_events_src(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ck:
+        stream_quarantine(
+            sdf, good_t, bad_t, ck, rules, query_name="x1_quarantine_stream"
+        )
+    return (
+        spark.table(good_t)
+        .select(
+            "event_id",
+            F.lit("good").alias("routed"),
+            F.lit("").alias("failed_rules"),
+        )
+        .unionByName(
+            spark.table(bad_t).select(
+                "event_id",
+                F.lit("quarantine").alias("routed"),
+                F.array_join("_dq_failed", ",").alias("failed_rules"),
+            )
+        )
+    )
+
+
 def _q_x1_sessionize_stream(spark, sf_dir):
     """Incremental sessionization (streaming/events.py::
     stream_sessionize, new round 7): per-batch session intervals fused
@@ -3854,9 +3927,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new in round 7 (swapped for the x2_interval_join pad,
     # r04-green): TPC-H-Q5-shaped 6-table star revenue join
         "j8_star_revenue": _q_j8_star_revenue,
-        "x2_range_join": _q_x2_range_join,
-    # ---- slot 50: first refresh of the r05-verified tranche
-        "er_resolve": _q_er_resolve,
+    # new in round 7 (swapped for the x2_range_join pad, r04-green):
+    # row-level DQ dead-letter routing
+        "s16_quarantine": _q_s16_quarantine,
+    # new in round 7 (swapped for the er_resolve slot-50 refresh,
+    # r05-green): streaming dead-letter twin, same oracle as batch
+        "x1_quarantine_stream": _q_x1_quarantine_stream,
     # ---- driver cap boundary (entry 50) — rows-only r04 entries
     # ---- ride here by design (oracle-green exact twins up front)
         "a1_approx_distinct": _q_a1_approx_distinct,
@@ -3879,6 +3955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
         "w5_moving_avg": _q_w5_moving_avg,
         "x2_interval_join": _q_x2_interval_join,
+        "x2_range_join": _q_x2_range_join,
+        "er_resolve": _q_er_resolve,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -3983,6 +4061,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental": _q_er_incremental,
         "x1_er_stream": _q_x1_er_stream,
     }
+
+
+_QUARANTINE_SQL = (
+    # shared by s16_quarantine (batch) and x1_quarantine_stream (the
+    # foreachBatch dead-letter twin): routing + full failed-rule list
+    "SELECT event_id, "
+    "CASE WHEN value >= 50 OR event_type = 'error' THEN 'quarantine' "
+    "ELSE 'good' END AS routed, "
+    "CASE WHEN event_type = 'error' AND value >= 50 "
+    "THEN 'no_errors,value_small' "
+    "WHEN event_type = 'error' THEN 'no_errors' "
+    "WHEN value >= 50 THEN 'value_small' ELSE '' END AS failed_rules "
+    "FROM events"
+)
 
 
 _SESSIONIZE_SQL = (
@@ -5293,6 +5385,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b"
         ),
         "x2_sessionize": _SESSIONIZE_SQL,
+        "s16_quarantine": _QUARANTINE_SQL,
+        "x1_quarantine_stream": _QUARANTINE_SQL,
         "x1_sessionize_stream": _SESSIONIZE_SQL,
         "x2_retention": (
             "WITH up AS (SELECT DISTINCT user_id, "

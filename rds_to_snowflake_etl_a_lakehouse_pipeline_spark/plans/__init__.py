@@ -1,4 +1,9 @@
 """Pipeline layer: medallion transforms, DQ gates, DAG runner."""
 
-from .dq import DQResult, DQRule, evaluate_now  # noqa: F401
+from .dq import (  # noqa: F401
+    DQResult,
+    DQRule,
+    evaluate_now,
+    quarantine_split,
+)
 from .runner import Node, Pipeline  # noqa: F401

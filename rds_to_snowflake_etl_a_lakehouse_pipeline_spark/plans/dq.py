@@ -197,3 +197,38 @@ def iqr_outliers(
             (v < lo) | (v > hi)
         ),
     )
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[DQRule]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level DQ routing — the dead-letter pattern: rows failing any
+    ROW-expressible rule (``not_null`` / ``predicate``) go to the
+    quarantine side with a sorted ``_dq_failed`` array naming every
+    rule they broke (all of them, not just the first — triage needs
+    the full diagnosis); clean rows pass through unchanged. A NULL
+    predicate result counts as a failure (unknown is not good).
+    Dataset-level kinds (row_count / unique / column_count) cannot
+    route individual rows and raise — gate those with
+    :func:`evaluate_now` / :func:`attach_observation`.
+
+    Pure scan-fused expressions — the split is two filters over one
+    shared projection, no shuffle, no second scan when the source
+    caches or the sink consumes both sides in one pass."""
+    marks = []
+    for r in rules:
+        if r.kind == "not_null":
+            bad = F.col(r.column).isNull()
+        elif r.kind == "predicate":
+            bad = ~F.coalesce(r.predicate, F.lit(False))
+        else:
+            raise ValueError(
+                f"rule {r.name!r}: kind {r.kind!r} is dataset-level — "
+                "quarantine_split routes rows, use evaluate_now for it"
+            )
+        marks.append(F.when(bad, F.lit(r.name)))
+    failed = F.array_sort(F.array_compact(F.array(*marks)))
+    out = df.withColumn("_dq_failed", failed)
+    good = out.filter(F.size("_dq_failed") == 0).drop("_dq_failed")
+    bad_rows = out.filter(F.size("_dq_failed") > 0)
+    return good, bad_rows

@@ -12,6 +12,7 @@ from .events import (  # noqa: F401
     stream_events,
     stream_events_auto,
     stream_incremental_merge,
+    stream_quarantine,
     stream_sessionize,
     stream_static_join,
     stream_to_warehouse,

@@ -868,3 +868,44 @@ def session_table_stats(spark: SparkSession, table: str, key_col: str = "user_id
             "duration_seconds"
         ),
     )
+
+
+def stream_quarantine(
+    sdf: DataFrame,
+    good_table: str,
+    quarantine_table: str,
+    checkpoint_dir: str,
+    rules,
+    query_name: str = "stream_quarantine",
+):
+    """Streaming dead-letter routing: every micro-batch splits through
+    ``plans.dq.quarantine_split`` — clean rows append to
+    ``good_table``, violators (with their sorted ``_dq_failed`` rule
+    list) to ``quarantine_table``. The pipeline keeps flowing under
+    bad input instead of failing the job or silently dropping rows,
+    and the quarantine side stays queryable for triage/replay.
+
+    Per batch: one shared projection, two appends — no shuffle. The
+    checkpoint makes each input file route exactly once; both sinks
+    are append-only so replays after a crash-before-checkpoint are the
+    only duplication source (same at-least-once contract as any
+    foreachBatch sink without an idempotent merge)."""
+    from ..plans.dq import quarantine_split
+    from ..sources.io import write_table
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        good, bad = quarantine_split(batch_df, rules)
+        write_table(good, good_table, mode="append")
+        write_table(bad, quarantine_table, mode="append")
+
+    q = (
+        sdf.writeStream.foreachBatch(_route)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -229,3 +229,41 @@ def test_iqr_outliers_flags_and_null_handling(spark):
     # global (no groups) path
     g = iqr_outliers(df.select("v"), "v").filter(F.col("is_outlier")).collect()
     assert [r.v for r in g] == [100.0]
+
+
+def test_quarantine_split_routes_and_diagnoses(spark):
+    """Violators carry EVERY failed rule (sorted); a NULL predicate
+    result is a failure (unknown is not good); clean rows pass through
+    unchanged; dataset-level kinds refuse to route."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import (
+        DQRule,
+        quarantine_split,
+    )
+
+    rows = [
+        (1, 10.0, "ok"),        # clean
+        (2, None, "ok"),        # null value -> not_null fails AND
+                                # predicate NULL -> counts as failure
+        (3, 99.0, "bad"),       # both predicates fail
+        (4, 99.0, "ok"),        # one predicate fails
+    ]
+    df = spark.createDataFrame(rows, "id int, v double, tag string")
+    rules = [
+        DQRule("v_present", "not_null", column="v"),
+        DQRule("v_small", "predicate", predicate=F.col("v") < 50),
+        DQRule("tag_ok", "predicate", predicate=F.col("tag") == "ok"),
+    ]
+    good, bad = quarantine_split(df, rules)
+    assert [r.id for r in good.collect()] == [1]
+    assert "_dq_failed" not in good.columns
+    got = {r.id: list(r._dq_failed) for r in bad.collect()}
+    assert got == {
+        2: ["v_present", "v_small"],
+        3: ["tag_ok", "v_small"],
+        4: ["v_small"],
+    }
+    with _pytest.raises(ValueError, match="dataset-level"):
+        quarantine_split(df, [DQRule("u", "unique", column="id")])
