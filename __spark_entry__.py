@@ -2758,6 +2758,62 @@ def _q_x2_interarrival(spark, sf_dir):
     )
 
 
+def _q_x1_retention_stream(spark, sf_dir):
+    """Streaming cohort retention (streaming/events.py::
+    stream_incremental_distinct + operators/windows.py::
+    retention_from_pairs, new round 7): the distinct (user, week)
+    pairs accumulate in an append-only state table (each batch
+    anti-joins the standing table and appends only NEW tuples —
+    tuple-level idempotent under redelivery), then the cohort rollup
+    reads the state instead of replaying the stream. Must hash-match
+    the batch x2_retention oracle exactly — distinct-pair accumulation
+    is order-insensitive by construction."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        retention_from_pairs,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_incremental_distinct,
+    )
+
+    table = "retention_pairs_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sdf = _stream_events_src(spark, sf_dir)
+    pairs = sdf.select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / (7 * 86400 * 1_000_000)
+        )
+        .cast("bigint")
+        .alias("period"),
+    )
+    with tempfile.TemporaryDirectory() as ck:
+        stream_incremental_distinct(
+            pairs, table, ck, ["user_id", "period"],
+            query_name="x1_retention_stream",
+        )
+    return retention_from_pairs(spark.table(table), "user_id", "period")
+
+
+def _q_x2_transitions(spark, sf_dir):
+    """Event path analysis (operators/windows.py::event_transitions,
+    new round 7): Markov transition counts over per-user event
+    streams — (from, to) pair counts plus each source's outgoing
+    share. One user-keyed lead window; the count agg and share window
+    run over the |event types|² transition domain (metadata-scale).
+    Oracle replays the lead + counts + share window."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        event_transitions,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+
+
 def _q_x2_interval_join(spark, sf_dir):
     """Equi-key + time-interval join (streaming/events.py::interval_join):
     every purchase by the same user within 2 hours AFTER each click —
@@ -3917,13 +3973,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_one_hot": _q_a2_one_hot,
         "x1_interval_stream": _q_x1_interval_stream,
         "x1_session_stream": _q_x1_session_stream,
-        "x1_session_window": _q_x1_session_window,
+    # new in round 7 (swapped for the x1_session_window pad,
+    # r04-green): Markov event-transition path analysis
+        "x2_transitions": _q_x2_transitions,
         "x1_sliding_stream": _q_x1_sliding_stream,
         "x1_sliding_window": _q_x1_sliding_window,
         "x1_stream_dedup": _q_x1_stream_dedup,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
-        "x1_tumbling_window": _q_x1_tumbling_window,
+    # new in round 7 (swapped for the x1_tumbling_window pad,
+    # r04-green): streaming retention over distinct-pair state
+        "x1_retention_stream": _q_x1_retention_stream,
     # new in round 7 (swapped for the x2_interval_join pad,
     # r04-green): TPC-H-Q5-shaped 6-table star revenue join
         "j8_star_revenue": _q_j8_star_revenue,
@@ -3957,6 +4017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_interval_join": _q_x2_interval_join,
         "x2_range_join": _q_x2_range_join,
         "er_resolve": _q_er_resolve,
+        "x1_tumbling_window": _q_x1_tumbling_window,
+        "x1_session_window": _q_x1_session_window,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
@@ -4061,6 +4123,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental": _q_er_incremental,
         "x1_er_stream": _q_x1_er_stream,
     }
+
+
+_RETENTION_SQL = (
+    # shared by x2_retention (batch) and x1_retention_stream (the
+    # append-only distinct-pair state twin): weekly cohort retention
+    "WITH up AS (SELECT DISTINCT user_id, "
+    "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) "
+    "/ (7 * 86400 * 1000000.0)) AS BIGINT) AS p FROM events), "
+    "f AS (SELECT user_id, min(p) AS cohort FROM up GROUP BY 1), "
+    "c AS (SELECT cohort AS cohort_period, p - cohort AS "
+    "period_offset, count(DISTINCT up.user_id) AS n_users "
+    "FROM up JOIN f USING (user_id) GROUP BY 1, 2) "
+    "SELECT cohort_period, period_offset, n_users, "
+    "round(n_users::DOUBLE / max(CASE WHEN period_offset = 0 "
+    "THEN n_users END) OVER (PARTITION BY cohort_period), 6) "
+    "AS retention_rate FROM c"
+)
 
 
 _QUARANTINE_SQL = (
@@ -5388,18 +5467,17 @@ def oracle_sql() -> dict[str, str]:
         "s16_quarantine": _QUARANTINE_SQL,
         "x1_quarantine_stream": _QUARANTINE_SQL,
         "x1_sessionize_stream": _SESSIONIZE_SQL,
-        "x2_retention": (
-            "WITH up AS (SELECT DISTINCT user_id, "
-            "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) "
-            "/ (7 * 86400 * 1000000.0)) AS BIGINT) AS p FROM events), "
-            "f AS (SELECT user_id, min(p) AS cohort FROM up GROUP BY 1), "
-            "c AS (SELECT cohort AS cohort_period, p - cohort AS "
-            "period_offset, count(DISTINCT up.user_id) AS n_users "
-            "FROM up JOIN f USING (user_id) GROUP BY 1, 2) "
-            "SELECT cohort_period, period_offset, n_users, "
-            "round(n_users::DOUBLE / max(CASE WHEN period_offset = 0 "
-            "THEN n_users END) OVER (PARTITION BY cohort_period), 6) "
-            "AS retention_rate FROM c"
+        "x2_retention": _RETENTION_SQL,
+        "x1_retention_stream": _RETENTION_SQL,
+        "x2_transitions": (
+            "WITH t AS (SELECT event_type, lead(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events), "
+            "c AS (SELECT event_type AS from_type, nxt AS to_type, "
+            "count(*) AS n FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) "
+            "AS share FROM c"
         ),
         "w6_rolling_median": (
             "SELECT event_id, user_id, "

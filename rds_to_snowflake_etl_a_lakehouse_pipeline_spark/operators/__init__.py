@@ -35,9 +35,11 @@ from .sketches import (  # noqa: F401
 )
 from .windows import (  # noqa: F401
     dedupe_latest,
+    event_transitions,
     interarrival_stats,
     merge_upsert,
     retention_cohorts,
+    retention_from_pairs,
     rolling_quantile,
     scd2_close,
     session_stats,

@@ -501,6 +501,19 @@ def retention_cohorts(
     up = df.select(
         F.col(key_col).alias("_u"), period.alias("_p")
     ).distinct()
+    return retention_from_pairs(up, "_u", "_p")
+
+
+def retention_from_pairs(
+    pairs: DataFrame, user_col: str, period_col: str
+) -> DataFrame:
+    """Cohort rollup over ALREADY-DISTINCT (user, period) pairs — the
+    shared tail of :func:`retention_cohorts`, exposed so an
+    incrementally-maintained distinct-pair state table (the streaming
+    twin) feeds the identical arithmetic without replaying events."""
+    up = pairs.select(
+        F.col(user_col).alias("_u"), F.col(period_col).alias("_p")
+    )
     first = up.groupBy("_u").agg(F.min("_p").alias("_cohort"))
     counts = (
         up.join(first, "_u")
@@ -578,4 +591,33 @@ def interarrival_stats(
             F.round(F.expr("percentile(_gap, 0.5)"), 6).alias("p50_gap"),
             F.round(F.max("_gap"), 6).alias("max_gap"),
         )
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Markov transition counts over per-key event streams: for every
+    consecutive (event, next event) pair within a key, count
+    occurrences and the share of each source event's outgoing
+    transitions — the path-analysis rollup behind "what do users do
+    after X". One key shuffle carries the lead window; the count agg
+    and the per-source share window are transition-domain-sized
+    (|event types|², metadata-scale). Rounded to 6 dp."""
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(type_col).over(w)
+    pairs = (
+        df.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), F.col("_next").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    share_w = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(share_w), 6)
     )

@@ -11,6 +11,7 @@ from .events import (  # noqa: F401
     sliding_counts,
     stream_events,
     stream_events_auto,
+    stream_incremental_distinct,
     stream_incremental_merge,
     stream_quarantine,
     stream_sessionize,

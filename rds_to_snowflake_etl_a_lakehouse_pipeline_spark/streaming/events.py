@@ -909,3 +909,48 @@ def stream_quarantine(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_incremental_distinct(
+    sdf: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    cols: list[str],
+    query_name: str = "stream_incremental_distinct",
+):
+    """Streaming DISTINCT state: the persisted table accumulates the
+    distinct ``cols`` tuples seen across the whole stream — each
+    micro-batch dedups itself, anti-joins the standing table, and
+    APPENDS only genuinely new tuples (never a rewrite — the
+    append-only little sibling of the minhash/ER index tables). Any
+    distinct-pairs rollup (weekly actives, cohort retention, reach)
+    then reads the state table instead of replaying the stream.
+
+    Per batch: one batch-sized distinct + one anti-join against the
+    state (shuffles on the tuple; at scale bucket the state table on
+    the same key to pre-shuffle the probe side). State grows only with
+    NEW tuples — redelivered or repeated events are absorbed by the
+    anti-join, making the sink idempotent at the tuple level. Runs
+    with trigger=availableNow and blocks."""
+    from ..sources.io import write_table
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = batch_df.select(*cols).distinct()
+        if spark.catalog.tableExists(table):
+            fresh = fresh.join(spark.table(table), cols, "left_anti")
+            write_table(fresh, table, mode="append")
+        else:
+            write_table(fresh, table)
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
