@@ -1056,14 +1056,20 @@ def _q_a2_target_encode(spark, sf_dir):
     new round 7): each order priority encodes to its damped mean total
     price — (n·mean_cat + s·mean_global)/(n + s), s=10. One
     category-count-sized agg + 1-row global mean broadcast back; the
-    orders side never shuffles. The oracle replays the smoothing
-    arithmetic per category."""
+    orders side never shuffles. Every 7th key's priority is NULLed so
+    the oracle exercises the NULL-category level end to end (round 9:
+    the join-back is eqNullSafe, so NULL encodes like any other level).
+    The oracle replays the smoothing arithmetic per category."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
         target_encode,
     )
 
     o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 != 0, F.col("o_orderpriority")
+        ).alias("o_orderpriority"),
+        "o_totalprice",
     )
     out = target_encode(o, "o_orderpriority", "o_totalprice", smoothing=10.0)
     return out.select(
@@ -2709,6 +2715,33 @@ def _q_x2_sessionize(spark, sf_dir):
     )
 
 
+def _q_x2_sessionize_chunked(spark, sf_dir):
+    """Skew-bounded sessionization (operators/windows.py::
+    _sessionize_chunked, new round 9): same 30-min-gap sessions as
+    x2_sessionize but pre-sessionized per (user, 1-hour chunk) and
+    fused on chunk-grain metadata — the hot-key straggler bound (one
+    task per key-chunk instead of one task per key's full history).
+    Output-identical by construction, so it shares x2_sessionize's
+    oracle SQL verbatim."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        session_stats,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    out = session_stats(
+        ev, "user_id", "ts", 1800, tiebreak_cols=["event_id"],
+        chunk_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        "session_index",
+        "n_events",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "duration_seconds",
+    )
+
+
 def _q_x2_retention(spark, sf_dir):
     """Weekly cohort retention (operators/windows.py::
     retention_cohorts, new round 7): users bucketed by the integer
@@ -3859,151 +3892,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only, and entries ROTATE
     across rounds so every registered query keeps a driver verdict
-    against CURRENT testdata. Round 7 executes the rotation exactly as
-    planned in round 6: tranche A = the seven queries that have NEVER
-    met the driver (the round-6 behind-cap additions a1_profile,
-    x2_resample_ffill, a1_hist_quantile, x1_hist_stream, a1_outliers,
-    t_bm25_batch, plus v_decontaminate) — after this round every
-    registered query carries a cumulative driver verdict; tranche B =
-    the twelve entries displaced from the pad slots in round 6
-    (g_dim_customers, g_dim_products, g_fact_sales, g_pipeline_runner,
-    d_cc_dedup, s9_dq_gate, s10_incremental_load, x2_asof_join,
-    w4_merge_upsert, x1_stateful_totals, s6_partition_pruning,
-    e_json_extract — all r04-green, the oldest verdicts in the
-    registry), returning as promised; tranche C = thirty refresh pads
-    over the remaining ORACLE-BACKED r04-latest verdicts (the eight
-    rows-only r04 entries — minhash/simhash/LSH/IVF/approx sketch
-    internals — deliberately ride behind the cap per the r06 audit
-    advisory: a rows-only entry burns a front-50 slot that cannot go
-    hash-green, and each already holds an r04 rows-only verdict plus
-    an oracle-green exact twin); slot 50 = er_resolve, the first of
-    the r05 tranche to refresh. Tranche-C pads were swap-eligible
-    one-for-one for oracle-backed round-7 additions, and FOURTEEN
-    swaps happened as additions landed (each annotated inline):
-    t_bm25_conjunctive, x2_sessionize, x2_retention, w6_rolling_median,
-    x2_interarrival, x1_sessionize_stream, x2_asof_forward,
-    v_sign_project, s15_snapshot_drift, j7_bloom_join, t_dedupe_lines,
-    a2_target_encode, a2_feature_scale, a2_one_hot — all oracle-backed,
-    so the whole front-50 can go hash-green. The fourteen displaced
-    pads (all r04-green) sit first behind the cap.
+    against CURRENT testdata. Round 9 executes the rotation exactly as
+    seeded in rounds 7/8 (round 8 shipped no commits, so this is the
+    carried-over plan): tranche A = the fourteen r04-green pads
+    displaced by the round-7 swaps plus the four r04-latest entries
+    displaced in round 6 — the oldest oracle-backed verdicts in the
+    registry; tranche B = the eight sanctioned rows-only r04 entries
+    (minhash/simhash/LSH/IVF/approx sketch internals — each holds an
+    oracle-green exact twin and bound pytests; their rotation refresh
+    was the registry's oldest debt); tranche C = twenty-four refresh
+    pads over the r05-verified tranche, oldest first (er_resolve, then
+    er_golden onward). After this round no registered query's newest
+    verdict predates r05. Tranche-C pads are swap-eligible one-for-one
+    for oracle-backed round-9 additions (annotate swaps inline).
 
-    r08 rotation plan: front the fourteen r04-green pads displaced by
-    the round-7 swaps (a1_unpivot, j_salted_skew, s7_warehouse_sink,
-    t_apply_mixture, t_best_per_lang, t_mixture_weights,
-    t_pack_sequences, t_stratified_sample, w2_surrogate_two_phase,
-    w5_moving_avg, d_cosine_dedup, d_exact_dedup, d_ngram_jaccard,
-    g_dim_customers_faithful) plus the eight rows-only r04 entries
-    (their rotation refresh is then the oldest debt), and fill the
-    remainder with refresh pads over the r05-verified tranche
-    (er_golden onward, oldest first). Run the registry meta-test
-    after reordering."""
+    r10 rotation plan: front the remainder of the r05 tranche (the 26
+    entries immediately behind the cap, f16_date_arith onward) plus any
+    tranche-C pads displaced by round-9 swaps, and fill the remainder
+    from the r06-verified tranche (v_cosine_topk onward, oldest first).
+    Run the registry meta-test after reordering."""
     return {
-    # ---- r07 front-50 tranche A: never driver-verified (round-6
-    # ---- behind-cap additions + v_decontaminate) — first verdicts
-        "a1_profile": _q_a1_profile,
-        "x2_resample_ffill": _q_x2_resample_ffill,
-        "a1_hist_quantile": _q_a1_hist_quantile,
-        "x1_hist_stream": _q_x1_hist_stream,
-        "a1_outliers": _q_a1_outliers,
-        "t_bm25_batch": _q_t_bm25_batch,
-        "v_decontaminate": _q_v_decontaminate,
-    # ---- r07 front-50 tranche B: displaced from the r06 pad slots,
-    # ---- rotating back as promised (oldest, r04, verdicts)
-        "g_dim_customers": _q_g_dim_customers,
-        "g_dim_products": _q_g_dim_products,
-        "g_fact_sales": _q_g_fact_sales,
-        "g_pipeline_runner": _q_g_pipeline_runner,
-        "d_cc_dedup": _q_d_cc_dedup,
-        "s9_dq_gate": _q_s9_dq_gate,
-        "s10_incremental_load": _q_s10_incremental_load,
-        "x2_asof_join": _q_x2_asof_join,
-        "w4_merge_upsert": _q_w4_merge_upsert,
-        "x1_stateful_totals": _q_x1_stateful_totals,
-        "s6_partition_pruning": _q_s6_partition_pruning,
-        "e_json_extract": _q_e_json_extract,
-    # ---- r07 front-50 tranche C: refresh pads over the remaining
-    # ---- oracle-backed r04-latest verdicts; swap-eligible one-for-one
-    # ---- for oracle-backed round-7 additions
-    # new in round 7 (swapped for the a1_unpivot pad, r04-green):
-    # conjunctive AND-semantics BM25 retrieval
-        "t_bm25_conjunctive": _q_t_bm25_conjunctive,
-    # new in round 7 (swapped for the d_cosine_dedup pad, r04-green):
-    # per-event session assignment + session-grain rollup
-        "x2_sessionize": _q_x2_sessionize,
-    # new in round 7 (swapped for the d_exact_dedup pad, r04-green):
-    # weekly cohort retention matrix
-        "x2_retention": _q_x2_retention,
-    # new in round 7 (swapped for the d_ngram_jaccard pad, r04-green):
-    # exact rolling median over a row-bounded window
-        "w6_rolling_median": _q_w6_rolling_median,
-    # new in round 7 (swapped for the g_dim_customers_faithful pad,
-    # r04-green): per-key inter-arrival gap profile
-        "x2_interarrival": _q_x2_interarrival,
-    # new in round 7 (swapped for the j_salted_skew pad, r04-green):
-    # order-insensitive incremental sessionization stream twin
-        "x1_sessionize_stream": _q_x1_sessionize_stream,
-        "m_decode_images": _q_m_decode_images,
-    # new in round 7 (swapped for the s7_warehouse_sink pad,
-    # r04-green): forward-direction as-of join
-        "x2_asof_forward": _q_x2_asof_forward,
-    # new in round 7 (swapped for the t_apply_mixture pad,
-    # r04-green): md5-matrix Johnson-Lindenstrauss sign projection
-        "v_sign_project": _q_v_sign_project,
-    # new in round 7 (swapped for the t_best_per_lang pad,
-    # r04-green): versioned-snapshot schema/stat drift report
-        "s15_snapshot_drift": _q_s15_snapshot_drift,
-        "t_chunk_dedup": _q_t_chunk_dedup,
-        "t_decontaminate": _q_t_decontaminate,
-        "t_gopher_flags": _q_t_gopher_flags,
-    # new in round 7 (swapped for the t_mixture_weights pad,
-    # r04-green): scan-side bloom-pruned exact semi join
-        "j7_bloom_join": _q_j7_bloom_join,
-    # new in round 7 (swapped for the t_pack_sequences pad,
-    # r04-green): first-occurrence intra-document line dedup
-        "t_dedupe_lines": _q_t_dedupe_lines,
-    # new in round 7 (swapped for the t_stratified_sample pad,
-    # r04-green): smoothed target encoding
-        "a2_target_encode": _q_a2_target_encode,
-        "v_cosine_pairs": _q_v_cosine_pairs,
-    # new in round 7 (swapped for the w2_surrogate_two_phase pad,
-    # r04-green): per-group z-score + min-max scaling
-        "a2_feature_scale": _q_a2_feature_scale,
-    # new in round 7 (swapped for the w5_moving_avg pad, r04-green):
-    # bounded null-safe one-hot encoding
-        "a2_one_hot": _q_a2_one_hot,
-        "x1_interval_stream": _q_x1_interval_stream,
-        "x1_session_stream": _q_x1_session_stream,
-    # new in round 7 (swapped for the x1_session_window pad,
-    # r04-green): Markov event-transition path analysis
-        "x2_transitions": _q_x2_transitions,
-        "x1_sliding_stream": _q_x1_sliding_stream,
-        "x1_sliding_window": _q_x1_sliding_window,
-        "x1_stream_dedup": _q_x1_stream_dedup,
-        "x1_stream_enrich": _q_x1_stream_enrich,
-        "x1_stream_warehouse": _q_x1_stream_warehouse,
-    # new in round 7 (swapped for the x1_tumbling_window pad,
-    # r04-green): streaming retention over distinct-pair state
-        "x1_retention_stream": _q_x1_retention_stream,
-    # new in round 7 (swapped for the x2_interval_join pad,
-    # r04-green): TPC-H-Q5-shaped 6-table star revenue join
-        "j8_star_revenue": _q_j8_star_revenue,
-    # new in round 7 (swapped for the x2_range_join pad, r04-green):
-    # row-level DQ dead-letter routing
-        "s16_quarantine": _q_s16_quarantine,
-    # new in round 7 (swapped for the er_resolve slot-50 refresh,
-    # r05-green): streaming dead-letter twin, same oracle as batch
-        "x1_quarantine_stream": _q_x1_quarantine_stream,
-    # ---- driver cap boundary (entry 50) — rows-only r04 entries
-    # ---- ride here by design (oracle-green exact twins up front)
-        "a1_approx_distinct": _q_a1_approx_distinct,
-        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
-        "d_minhash_dedup": _q_d_minhash_dedup,
-        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
-        "d_simhash_pairs": _q_d_simhash_pairs,
-        "v_ivf_index_topk": _q_v_ivf_index_topk,
-        "v_ivf_topk": _q_v_ivf_topk,
-        "v_lsh_topk": _q_v_lsh_topk,
-    # ---- remainder: r05/r06-verified against current testdata
+    # ---- r09 tranche A: the fourteen r04-green pads displaced by the
+    # ---- round-7 swaps, rotating back as promised (oldest oracle-
+    # ---- backed verdicts in the registry)
         "a1_unpivot": _q_a1_unpivot,
         "j_salted_skew": _q_j_salted_skew,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -4014,15 +3925,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": _q_t_stratified_sample,
         "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
         "w5_moving_avg": _q_w5_moving_avg,
-        "x2_interval_join": _q_x2_interval_join,
-        "x2_range_join": _q_x2_range_join,
-        "er_resolve": _q_er_resolve,
-        "x1_tumbling_window": _q_x1_tumbling_window,
-        "x1_session_window": _q_x1_session_window,
         "d_cosine_dedup": _q_d_cosine_dedup,
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
         "g_dim_customers_faithful": _q_g_dim_customers_faithful,
+    # ---- r09 tranche A': the four remaining r04-latest oracle-backed
+    # ---- entries (displaced in r06) — after this round NO registered
+    # ---- query's newest verdict predates r05
+        "x2_interval_join": _q_x2_interval_join,
+        "x2_range_join": _q_x2_range_join,
+        "x1_tumbling_window": _q_x1_tumbling_window,
+        "x1_session_window": _q_x1_session_window,
+    # ---- r09 tranche B: the eight sanctioned rows-only r04 entries
+    # ---- (sketch/ANN internals; each has an oracle-green exact twin
+    # ---- up front plus bound pytests) — their rotation refresh was
+    # ---- the oldest debt in the registry
+        "a1_approx_distinct": _q_a1_approx_distinct,
+        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
+        "d_simhash_pairs": _q_d_simhash_pairs,
+        "v_ivf_index_topk": _q_v_ivf_index_topk,
+        "v_ivf_topk": _q_v_ivf_topk,
+        "v_lsh_topk": _q_v_lsh_topk,
+    # ---- r09 tranche C: refresh pads over the r05-verified tranche,
+    # ---- oldest first (er_resolve, then er_golden onward); swap-
+    # ---- eligible one-for-one for oracle-backed round-9 additions
+        "er_resolve": _q_er_resolve,
+        "er_golden": _q_er_golden,
+        "er_incremental": _q_er_incremental,
+        "x1_er_stream": _q_x1_er_stream,
+        "a1_groupby_agg": _q_a1_groupby_agg,
+        "j4_j5_fact_join": _q_j4_j5_fact_join,
+        "a1_cube": _q_a1_cube,
+        "a1_rollup": _q_a1_rollup,
+        "a1_grouping_sets": _q_a1_grouping_sets,
+        "a1_pivot": _q_a1_pivot,
+        "a1_percentile": _q_a1_percentile,
+        "t_global_shuffle": _q_t_global_shuffle,
+        "a1_count_distinct": _q_a1_count_distinct,
+        "s4_csv_source": _q_s4_csv_source,
+        "s4_json_source": _q_s4_json_source,
+        "s5_parquet_scan": _q_s5_parquet_scan,
+        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
+        "p1_projection": _q_p1_projection,
+        "p2_projection_rename": _q_p2_projection_rename,
+        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
+        "p6_filter_eq": _q_p6_filter_eq,
+        "p8_compound_filter": _q_p8_compound_filter,
+        "f8_isin": _q_f8_isin,
+    # new in round 9 (swapped for the f_trim_upper pad, r05-green):
+    # skew-bounded chunked sessionization, same oracle as x2_sessionize
+        "x2_sessionize_chunked": _q_x2_sessionize_chunked,
+    # ---- driver cap boundary (entry 50) — remainder of the r05
+    # ---- tranche sits first behind the cap (next round's refresh
+    # ---- candidates, oldest verdicts first)
+        "f_trim_upper": _q_f_trim_upper,
+        "f16_date_arith": _q_f16_date_arith,
+        "r8_recompute_amount": _q_r8_recompute_amount,
+        "j1_j2_enrich": _q_j1_j2_enrich,
+        "j3_broadcast_join": _q_j3_broadcast_join,
+        "w2_surrogate_key": _q_w2_surrogate_key,
+        "o1_topk": _q_o1_topk,
+        "o1_set_except": _q_o1_set_except,
+        "o1_intersect": _q_o1_intersect,
+        "s13_orc_roundtrip": _q_s13_orc_roundtrip,
+        "m_resize_images": _q_m_resize_images,
+        "t_charlm_score": _q_t_charlm_score,
+        "t_token_count": _q_t_token_count,
+        "t_quality_score": _q_t_quality_score,
+        "t_language_id": _q_t_language_id,
+        "t_doc_fingerprint": _q_t_doc_fingerprint,
+        "t_regex_tokens": _q_t_regex_tokens,
+        "t_exact_dedup": _q_t_exact_dedup,
+        "t_repetition_ratio": _q_t_repetition_ratio,
+        "t_pii_scrub": _q_t_pii_scrub,
+        "t_vocab_topk": _q_t_vocab_topk,
+        "t_tfidf_topterms": _q_t_tfidf_topterms,
+        "t_hash_split": _q_t_hash_split,
+        "t_chunk_documents": _q_t_chunk_documents,
+        "t_curation_pipeline": _q_t_curation_pipeline,
+        "v_l2_norm": _q_v_l2_norm,
+        "s11_versioned_merge": _q_s11_versioned_merge,
+    # ---- r06-verified tranche
         "v_cosine_topk": _q_v_cosine_topk,
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
@@ -4073,55 +4058,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_funnel": _q_x2_funnel,
         "t_bm25_topk": _q_t_bm25_topk,
         "m_media_decode": _q_m_media_decode,
-        "a1_groupby_agg": _q_a1_groupby_agg,
-        "j4_j5_fact_join": _q_j4_j5_fact_join,
-        "a1_cube": _q_a1_cube,
-        "a1_rollup": _q_a1_rollup,
-        "a1_grouping_sets": _q_a1_grouping_sets,
-        "a1_pivot": _q_a1_pivot,
-        "a1_percentile": _q_a1_percentile,
-        "t_global_shuffle": _q_t_global_shuffle,
-        "a1_count_distinct": _q_a1_count_distinct,
-        "s4_csv_source": _q_s4_csv_source,
-        "s4_json_source": _q_s4_json_source,
-        "s5_parquet_scan": _q_s5_parquet_scan,
-        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
-        "p1_projection": _q_p1_projection,
-        "p2_projection_rename": _q_p2_projection_rename,
-        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
-        "p6_filter_eq": _q_p6_filter_eq,
-        "p8_compound_filter": _q_p8_compound_filter,
-        "f8_isin": _q_f8_isin,
-        "f_trim_upper": _q_f_trim_upper,
-        "f16_date_arith": _q_f16_date_arith,
-        "r8_recompute_amount": _q_r8_recompute_amount,
-        "j1_j2_enrich": _q_j1_j2_enrich,
-        "j3_broadcast_join": _q_j3_broadcast_join,
-        "w2_surrogate_key": _q_w2_surrogate_key,
-        "o1_topk": _q_o1_topk,
-        "o1_set_except": _q_o1_set_except,
-        "o1_intersect": _q_o1_intersect,
-        "s13_orc_roundtrip": _q_s13_orc_roundtrip,
-        "m_resize_images": _q_m_resize_images,
-        "t_charlm_score": _q_t_charlm_score,
-        "t_token_count": _q_t_token_count,
-        "t_quality_score": _q_t_quality_score,
-        "t_language_id": _q_t_language_id,
-        "t_doc_fingerprint": _q_t_doc_fingerprint,
-        "t_regex_tokens": _q_t_regex_tokens,
-        "t_exact_dedup": _q_t_exact_dedup,
-        "t_repetition_ratio": _q_t_repetition_ratio,
-        "t_pii_scrub": _q_t_pii_scrub,
-        "t_vocab_topk": _q_t_vocab_topk,
-        "t_tfidf_topterms": _q_t_tfidf_topterms,
-        "t_hash_split": _q_t_hash_split,
-        "t_chunk_documents": _q_t_chunk_documents,
-        "t_curation_pipeline": _q_t_curation_pipeline,
-        "v_l2_norm": _q_v_l2_norm,
-        "s11_versioned_merge": _q_s11_versioned_merge,
-        "er_golden": _q_er_golden,
-        "er_incremental": _q_er_incremental,
-        "x1_er_stream": _q_x1_er_stream,
+    # ---- r08-verified tranche (the displaced round-8 front-50 — the
+    # ---- freshest verdicts in the registry, so they queue last)
+        "a1_profile": _q_a1_profile,
+        "x2_resample_ffill": _q_x2_resample_ffill,
+        "a1_hist_quantile": _q_a1_hist_quantile,
+        "x1_hist_stream": _q_x1_hist_stream,
+        "a1_outliers": _q_a1_outliers,
+        "t_bm25_batch": _q_t_bm25_batch,
+        "v_decontaminate": _q_v_decontaminate,
+        "g_dim_customers": _q_g_dim_customers,
+        "g_dim_products": _q_g_dim_products,
+        "g_fact_sales": _q_g_fact_sales,
+        "g_pipeline_runner": _q_g_pipeline_runner,
+        "d_cc_dedup": _q_d_cc_dedup,
+        "s9_dq_gate": _q_s9_dq_gate,
+        "s10_incremental_load": _q_s10_incremental_load,
+        "x2_asof_join": _q_x2_asof_join,
+        "w4_merge_upsert": _q_w4_merge_upsert,
+        "x1_stateful_totals": _q_x1_stateful_totals,
+        "s6_partition_pruning": _q_s6_partition_pruning,
+        "e_json_extract": _q_e_json_extract,
+        "t_bm25_conjunctive": _q_t_bm25_conjunctive,
+        "x2_sessionize": _q_x2_sessionize,
+        "x2_retention": _q_x2_retention,
+        "w6_rolling_median": _q_w6_rolling_median,
+        "x2_interarrival": _q_x2_interarrival,
+        "x1_sessionize_stream": _q_x1_sessionize_stream,
+        "m_decode_images": _q_m_decode_images,
+        "x2_asof_forward": _q_x2_asof_forward,
+        "v_sign_project": _q_v_sign_project,
+        "s15_snapshot_drift": _q_s15_snapshot_drift,
+        "t_chunk_dedup": _q_t_chunk_dedup,
+        "t_decontaminate": _q_t_decontaminate,
+        "t_gopher_flags": _q_t_gopher_flags,
+        "j7_bloom_join": _q_j7_bloom_join,
+        "t_dedupe_lines": _q_t_dedupe_lines,
+        "a2_target_encode": _q_a2_target_encode,
+        "v_cosine_pairs": _q_v_cosine_pairs,
+        "a2_feature_scale": _q_a2_feature_scale,
+        "a2_one_hot": _q_a2_one_hot,
+        "x1_interval_stream": _q_x1_interval_stream,
+        "x1_session_stream": _q_x1_session_stream,
+        "x2_transitions": _q_x2_transitions,
+        "x1_sliding_stream": _q_x1_sliding_stream,
+        "x1_sliding_window": _q_x1_sliding_window,
+        "x1_stream_dedup": _q_x1_stream_dedup,
+        "x1_stream_enrich": _q_x1_stream_enrich,
+        "x1_stream_warehouse": _q_x1_stream_warehouse,
+        "x1_retention_stream": _q_x1_retention_stream,
+        "j8_star_revenue": _q_j8_star_revenue,
+        "s16_quarantine": _q_s16_quarantine,
+        "x1_quarantine_stream": _q_x1_quarantine_stream,
     }
 
 
@@ -5351,13 +5339,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_customers FROM rfm CROSS JOIN t GROUP BY 1, 2, 3"
         ),
         "a2_target_encode": (
-            "WITH pc AS (SELECT o_orderpriority AS c, "
+            "WITH o AS (SELECT o_orderkey, "
+            "CASE WHEN o_orderkey % 7 <> 0 THEN o_orderpriority END "
+            "AS o_orderpriority, o_totalprice FROM orders), "
+            "pc AS (SELECT o_orderpriority AS c, "
             "avg(o_totalprice) AS m, count(o_totalprice) AS n "
-            "FROM orders GROUP BY 1), "
-            "g AS (SELECT avg(o_totalprice) AS g FROM orders) "
+            "FROM o GROUP BY 1), "
+            "g AS (SELECT avg(o_totalprice) AS g FROM o) "
             "SELECT o.o_orderkey, o.o_orderpriority, "
             "round((pc.n * pc.m + 10.0 * g.g) / (pc.n + 10.0), 6) AS te "
-            "FROM orders o JOIN pc ON pc.c = o.o_orderpriority CROSS JOIN g"
+            "FROM o JOIN pc ON pc.c IS NOT DISTINCT FROM o.o_orderpriority "
+            "CROSS JOIN g"
         ),
         "a2_feature_scale": (
             "WITH s AS (SELECT o_orderstatus AS st, "
@@ -5464,6 +5456,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b"
         ),
         "x2_sessionize": _SESSIONIZE_SQL,
+        # the chunked variant is output-identical by construction —
+        # same oracle, verbatim
+        "x2_sessionize_chunked": _SESSIONIZE_SQL,
         "s16_quarantine": _QUARANTINE_SQL,
         "x1_quarantine_stream": _QUARANTINE_SQL,
         "x1_sessionize_stream": _SESSIONIZE_SQL,

@@ -39,14 +39,19 @@ def target_encode(
     )
     glob = df.agg(F.avg(label_col).alias("_g"))
     enc = per_cat.crossJoin(F.broadcast(glob)).select(
-        cat_col,
+        F.col(cat_col).alias("_te_cat"),
         F.round(
             (F.col("_n") * F.col("_m") + smoothing * F.col("_g"))
             / (F.col("_n") + smoothing),
             6,
         ).alias(out_col),
     )
-    return df.join(F.broadcast(enc), [cat_col], "left")
+    # eqNullSafe join-back so the NULL-category level (which groupBy
+    # keeps as its own row) matches its own encoding instead of
+    # silently falling out of a null-unsafe equality
+    return df.join(
+        F.broadcast(enc), df[cat_col].eqNullSafe(enc["_te_cat"]), "left"
+    ).drop("_te_cat")
 
 
 def zscore_scale(
@@ -134,8 +139,15 @@ def one_hot(
     ]
     out = df
     seen = None
+    used: dict[str, int] = {}
     for v in top:
         safe = str(v).strip().lower().replace(" ", "_").replace("-", "_")
+        # sanitization can collide for distinct values ('A' vs 'a',
+        # 'a b' vs 'a_b'); a frequency-rank suffix keeps one indicator
+        # per category instead of silently overwriting the earlier one
+        used[safe] = used.get(safe, 0) + 1
+        if used[safe] > 1:
+            safe = f"{safe}_{used[safe]}"
         # null-safe: a NULL category is 0 in every indicator (and 1 in
         # _other), never NULL
         hit = F.col(cat_col).eqNullSafe(F.lit(v))

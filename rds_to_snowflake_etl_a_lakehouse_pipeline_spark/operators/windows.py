@@ -412,6 +412,7 @@ def sessionize(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     tiebreak_cols: Sequence[str] = (),
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Per-event session ASSIGNMENT (the telemetry twin of the
     aggregate-only session window): an event starts a new session when
@@ -425,12 +426,23 @@ def sessionize(
     ``tiebreak_cols`` pins a total order under equal timestamps —
     without it, ties make session boundaries nondeterministic.
 
-    Plan shape: ONE shuffle on the key; both the lag and the running
-    sum ride the same key-partitioned sort — Spark executes them in a
-    single Window stage, never a global sort. Key skew = one key's
-    events, the same bound every per-key window op in this module
-    carries.
+    Plan shape (default): ONE shuffle on the key; both the lag and the
+    running sum ride the same key-partitioned sort — Spark executes
+    them in a single Window stage, never a global sort. Key skew = one
+    key's events land in one task; for a bot/service key carrying a
+    year of history that task is the straggler. Opt-in
+    ``chunk_seconds`` (must be >= ``gap_seconds``) bounds it: events
+    pre-sessionize per ``(key, floor(time / chunk))`` — one task per
+    key-chunk, not per key — and the chunk-grain session runs are
+    fused on a chunk-count-sized intermediate (a session can only span
+    ADJACENT chunks when the chunk is at least the gap, so one lag
+    over chunk metadata decides every cross-boundary merge). Identical
+    output, exchange key widened to ``(key, _chunk)``.
     """
+    if chunk_seconds is not None:
+        return _sessionize_chunked(
+            df, key_col, ts_col, gap_seconds, tiebreak_cols, chunk_seconds
+        )
     order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
     w = Window.partitionBy(key_col).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -446,20 +458,91 @@ def sessionize(
     )
 
 
+def _sessionize_chunked(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_cols: Sequence[str],
+    chunk_seconds: int,
+) -> DataFrame:
+    """Skew-bounded sessionize: local session runs per ``(key, chunk)``
+    + a chunk-grain fuse. With ``chunk >= gap``, consecutive events in
+    one session are at most ``gap`` apart, so a session never skips a
+    chunk: the ONLY cross-boundary decision is whether a chunk's first
+    event continues the previous ADJACENT chunk's last run (gap between
+    non-adjacent chunks is > chunk >= gap by construction). Global
+    index of local run ``i`` in chunk ``c`` is then
+    ``base(c) + i - merged(c)`` where ``base`` is the running count of
+    unfused runs in earlier chunks — all computed on the
+    (key x chunk)-sized aggregate, never the event grain.
+    """
+    if chunk_seconds < gap_seconds:
+        raise ValueError(
+            f"chunk_seconds ({chunk_seconds}) must be >= gap_seconds "
+            f"({gap_seconds}): a session may span non-adjacent chunks "
+            "otherwise and the adjacent-only fuse is unsound"
+        )
+    gap_us = gap_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = df.withColumn("_us", us).withColumn(
+        "_chunk",
+        F.floor(F.col("_us") / (chunk_seconds * 1_000_000)).cast("bigint"),
+    )
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    wc = Window.partitionBy(key_col, "_chunk").orderBy(*order)
+    run = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("_us").over(wc)
+    is_new = (prev.isNull() | ((F.col("_us") - prev) > gap_us)).cast("int")
+    d = d.withColumn("_local_idx", F.sum(is_new).over(run))
+    # chunk-grain metadata: (key x chunk)-sized, rides the same
+    # (key, chunk) exchange as the local window
+    meta = d.groupBy(key_col, "_chunk").agg(
+        F.max("_local_idx").alias("_n_local"),
+        F.min("_us").alias("_first_us"),
+        F.max("_us").alias("_last_us"),
+    )
+    wk = Window.partitionBy(key_col).orderBy("_chunk")
+    merged = (
+        (F.lag("_chunk").over(wk) == F.col("_chunk") - 1)
+        & ((F.col("_first_us") - F.lag("_last_us").over(wk)) <= gap_us)
+    ).cast("int")
+    meta = meta.withColumn("_merged", F.coalesce(merged, F.lit(0)))
+    base = F.sum(F.col("_n_local") - F.col("_merged")).over(
+        wk.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    meta = meta.select(
+        key_col,
+        "_chunk",
+        F.coalesce(base, F.lit(0)).alias("_base"),
+        "_merged",
+    )
+    out = d.join(meta, [key_col, "_chunk"]).withColumn(
+        "session_index", F.col("_base") + F.col("_local_idx") - F.col("_merged")
+    )
+    return out.withColumn(
+        "session_id",
+        F.concat_ws("#", F.col(key_col).cast("string"), F.col("session_index")),
+    ).drop("_us", "_chunk", "_local_idx", "_base", "_merged")
+
+
 def session_stats(
     df: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     tiebreak_cols: Sequence[str] = (),
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Session-level rollup over :func:`sessionize`: one row per
     ``(key, session_index)`` with ``n_events``, ``session_start``,
     ``session_end`` and ``duration_seconds`` (microsecond-exact,
     rounded to 6 dp). The rollup reuses the sessionize shuffle's
     partitioning (same key in the groupBy), so AQE plans it without a
-    second full exchange."""
-    s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak_cols)
+    second full exchange. ``chunk_seconds`` passes through to
+    :func:`sessionize` for the skew-bounded variant."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak_cols,
+                   chunk_seconds=chunk_seconds)
     return s.groupBy(key_col, "session_index").agg(
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("session_start"),
@@ -490,11 +573,13 @@ def retention_cohorts(
     any engine replays them exactly.
 
     Plan shape: distinct (user, period) pairs → per-user min-period
-    (one user-keyed shuffle, map-side combined) → broadcast-joined
-    back (per-user frontier is aggregate-sized) → one (cohort, offset)
-    count-distinct shuffle. No event-grain window, no global sort; the
-    wide (user, period) dedup is the same cardinality bound a weekly
-    active-users query already pays."""
+    (one user-keyed shuffle, map-side combined) → joined back on the
+    user key (the frontier is user-count-sized, so it stays an
+    unhinted sort-merge/shuffle join — AQE downgrades it to broadcast
+    only when runtime stats say the frontier actually fits) → one
+    (cohort, offset) count shuffle. No event-grain window, no global
+    sort; the wide (user, period) dedup is the same cardinality bound
+    a weekly active-users query already pays."""
     period = F.floor(
         F.unix_micros(F.col(ts_col).cast("timestamp")) / (period_seconds * 1_000_000)
     ).cast("bigint")

@@ -643,6 +643,34 @@ def test_target_encode_smoothing_shrinks_rare_categories(spark):
     assert out["rare"] < 100.0 and out["rare"] > g
 
 
+def test_target_encode_null_category_gets_its_own_encoding(spark):
+    """The NULL-category level must encode like any other level (the
+    docstring's promise): groupBy keeps NULL as a group, and the
+    eqNullSafe join-back must match it — a null-unsafe equality would
+    silently leave NULL-category rows with a NULL encoding."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
+        target_encode,
+    )
+
+    rows = [("a", 10.0), ("a", 20.0), (None, 50.0), (None, 70.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {
+        r.c: r.c_te
+        for r in target_encode(df, "c", "y", smoothing=2.0)
+        .select("c", "c_te")
+        .distinct()
+        .collect()
+    }
+    g = (10.0 + 20.0 + 50.0 + 70.0) / 4  # 37.5
+    expect_null = (2 * 60.0 + 2.0 * g) / (2 + 2.0)
+    expect_a = (2 * 15.0 + 2.0 * g) / (2 + 2.0)
+    assert out[None] is not None, "NULL category fell out of the join-back"
+    assert abs(out[None] - expect_null) < 1e-6
+    assert abs(out["a"] - expect_a) < 1e-6
+    # row count unchanged: the broadcast join-back is 1:1
+    assert target_encode(df, "c", "y").count() == 4
+
+
 def test_scaling_guards_degenerate_groups(spark):
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
         minmax_scale,
@@ -678,3 +706,32 @@ def test_one_hot_bounded_and_null_safe(spark):
     assert (out[4]["c_oh_x"], out[4]["c_oh_y"], out[4]["c_oh_other"]) == (0, 0, 1)
     # NULL category: all indicators 0, other 1 (never NULL)
     assert (out[5]["c_oh_x"], out[5]["c_oh_y"], out[5]["c_oh_other"]) == (0, 0, 1)
+
+
+def test_one_hot_sanitized_name_collisions_get_rank_suffix(spark):
+    """Distinct category values whose sanitized names collide ('A' vs
+    'a', 'a b' vs 'a_b') must each keep an indicator — the later one
+    takes a frequency-rank suffix instead of silently overwriting."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.features import (
+        one_hot,
+    )
+
+    rows = [(1, "A"), (2, "A"), (3, "a"), (4, "a b"), (5, "a_b"), (6, "a_b")]
+    df = spark.createDataFrame(rows, "id int, c string")
+    out = {r.id: r.asDict() for r in one_hot(df, "c", top_k=4).collect()}
+    cols = sorted(k for k in out[1] if "_oh_" in k)
+    # 'A'(n=2) -> c_oh_a; 'a_b'(n=2) -> c_oh_a_b; 'a'(n=1, later rank)
+    # -> c_oh_a_2; 'a b'(n=1, ties broken by value, 'a b' < 'a_b' ...
+    # actually 'a b' sorts before 'a_b') -> collision suffix on a_b
+    assert len(cols) == 5  # 4 indicators + other
+    assert len(set(cols)) == 5, f"collided indicator names: {cols}"
+    # every category hits exactly one indicator; none overwritten
+    for rid in (1, 3, 4, 5):
+        hits = sum(v for k, v in out[rid].items() if "_oh_" in k and k != "c_oh_other")
+        assert hits == 1, f"row {rid} hit {hits} indicators"
+    # distinct values keep distinct indicator columns
+    hit_cols = {
+        rid: [k for k, v in out[rid].items() if "_oh_" in k and v == 1][0]
+        for rid in (1, 3, 4, 5)
+    }
+    assert len(set(hit_cols.values())) == 4, hit_cols

@@ -305,6 +305,70 @@ def test_sessionize_gap_boundary_and_ids(spark):
     assert out[(2, 50)] == (1, "2#1")
 
 
+def test_sessionize_chunked_matches_unchunked_on_skewed_key(spark):
+    """The skew-bounded chunked variant must be output-identical to the
+    single-task-per-key default — including sessions that straddle
+    chunk boundaries, exact-gap edges, empty chunks between bursts, and
+    one hot key carrying most of the data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        sessionize,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    # hot key 1: 500 events in bursts with occasional multi-chunk gaps
+    t = 0
+    for i in range(500):
+        step = rng.choice([1, 60, 1800, 1801, 4000, 9000])
+        t += step
+        rows.append((1, t, i))
+    # cold keys: sparse
+    for u in range(2, 12):
+        t = rng.randrange(0, 100000)
+        for i in range(5):
+            t += rng.choice([30, 1800, 5000])
+            rows.append((u, t, 1000 * u + i))
+    ev = spark.createDataFrame(rows, "user_id long, sec long, event_id long")
+    ev = ev.withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    key = lambda r: (r.user_id, r.sec, r.event_id)  # noqa: E731
+    plain = {
+        key(r): (r.session_index, r.session_id)
+        for r in sessionize(ev, "user_id", "ts", 1800, ["event_id"]).collect()
+    }
+    chunked_df = sessionize(
+        ev, "user_id", "ts", 1800, ["event_id"], chunk_seconds=3600
+    )
+    chunked = {
+        key(r): (r.session_index, r.session_id) for r in chunked_df.collect()
+    }
+    assert chunked == plain
+    # the plan exchanges on (key, _chunk) — the skew bound — not on the
+    # bare key alone for the event-grain window
+    plan = chunked_df._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in plan and "hashpartitioning(user_id" in plan
+
+
+def test_sessionize_chunked_rejects_chunk_smaller_than_gap(spark):
+    """chunk < gap would let a session span non-adjacent chunks and the
+    adjacent-only fuse silently splits it — must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        sessionize,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 0)], "user_id long, sec long"
+    ).withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        sessionize(ev, "user_id", "ts", 1800, chunk_seconds=600)
+
+
 def test_session_stats_and_subsecond_gaps(spark):
     """Rollup carries event counts and microsecond-exact durations;
     sub-second gaps never split sessions spuriously (micros, not
