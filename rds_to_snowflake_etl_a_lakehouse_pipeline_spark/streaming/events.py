@@ -793,49 +793,25 @@ def stream_sessionize(
     window; untouched keys' rows carry forward unchanged (an anti-join
     pass-through, no window over them). State is one row per session —
     it COMPACTS as sessions fuse, and grows only with genuinely new
-    sessions. Counts are additive: an at-least-once source must
-    dedup upstream (:func:`dedup_events`) or redelivered events
-    double-count ``n_events``.
+    sessions.
+
+    CRASH-REPLAY IDEMPOTENT: every state rewrite stamps the batch id
+    it applied (``_applied_batch``, atomic with the data because the
+    whole state is staged-and-swapped), and a redelivered batch id is
+    skipped — so a crash between the sink write and the checkpoint
+    commit never double-counts ``n_events``. Source-level redelivery
+    (the same EVENT arriving under a new batch id) is still additive:
+    an at-least-once source must dedup upstream
+    (:func:`dedup_events`).
 
     Read the table back through :func:`session_table_stats` for the
     same (session_index, start, end, duration) shape the batch
     ``session_stats`` emits. Runs with trigger=availableNow and blocks.
     """
-    from ..operators.windows import sessionize
-    from ..sources.io import write_table
-
-    gap_us = gap_seconds * 1_000_000
-
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        s = sessionize(
-            batch_df.select(key_col, ts_col), key_col, ts_col, gap_seconds
+        _sessionize_merge_batch(
+            batch_df, batch_id, table, key_col, ts_col, gap_seconds
         )
-        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-        batch_iv = s.groupBy(key_col, "session_index").agg(
-            F.min(us).alias("start_us"),
-            F.max(us).alias("end_us"),
-            F.count("*").alias("n_events"),
-        ).drop("session_index")
-        if spark.catalog.tableExists(table):
-            state = spark.table(table)
-            touched_keys = batch_iv.select(key_col).distinct()
-            touched = state.join(F.broadcast(touched_keys), key_col, "leftsemi")
-            untouched = state.join(
-                F.broadcast(touched_keys), key_col, "leftanti"
-            )
-            fused = _fuse_intervals(
-                touched.unionByName(batch_iv), key_col, gap_us
-            )
-            # the union reads the table being overwritten: materialize
-            # before the stage-and-swap (touched-keys-sized, not stream-
-            # history-sized)
-            merged = untouched.unionByName(fused).localCheckpoint(eager=True)
-        else:
-            merged = _fuse_intervals(batch_iv, key_col, gap_us)
-        write_table(merged, table)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)
@@ -846,6 +822,63 @@ def stream_sessionize(
         .start()
     )
     q.awaitTermination()
+
+
+def _sessionize_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table: str,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> None:
+    """One :func:`stream_sessionize` micro-batch, exposed at module
+    level so the crash-replay contract is directly testable: firing the
+    SAME batch id twice must leave the state table unchanged."""
+    from ..operators.windows import sessionize
+    from ..sources.io import write_table
+
+    if batch_df.isEmpty():
+        return
+    gap_us = gap_seconds * 1_000_000
+    spark = batch_df.sparkSession
+    s = sessionize(
+        batch_df.select(key_col, ts_col), key_col, ts_col, gap_seconds
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    batch_iv = s.groupBy(key_col, "session_index").agg(
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        F.count("*").alias("n_events"),
+    ).drop("session_index")
+    if spark.catalog.tableExists(table):
+        state = spark.table(table)
+        if "_applied_batch" in state.columns:
+            # crash-replay guard: foreachBatch redelivers the SAME
+            # batch id after a crash-before-checkpoint; if the state
+            # already carries it, this exact batch was fully applied
+            # (the stamp is atomic with the data — same staged swap)
+            last = state.select(F.first("_applied_batch")).first()[0]
+            if last is not None and last == batch_id:
+                return
+            state = state.drop("_applied_batch")
+        touched_keys = batch_iv.select(key_col).distinct()
+        touched = state.join(F.broadcast(touched_keys), key_col, "leftsemi")
+        untouched = state.join(
+            F.broadcast(touched_keys), key_col, "leftanti"
+        )
+        fused = _fuse_intervals(
+            touched.unionByName(batch_iv), key_col, gap_us
+        )
+        # the union reads the table being overwritten: materialize
+        # before the stage-and-swap (touched-keys-sized, not stream-
+        # history-sized)
+        merged = untouched.unionByName(fused).localCheckpoint(eager=True)
+    else:
+        merged = _fuse_intervals(batch_iv, key_col, gap_us)
+    write_table(
+        merged.withColumn("_applied_batch", F.lit(batch_id)), table
+    )
 
 
 def session_table_stats(spark: SparkSession, table: str, key_col: str = "user_id") -> DataFrame:
@@ -885,20 +918,18 @@ def stream_quarantine(
     bad input instead of failing the job or silently dropping rows,
     and the quarantine side stays queryable for triage/replay.
 
-    Per batch: one shared projection, two appends — no shuffle. The
-    checkpoint makes each input file route exactly once; both sinks
-    are append-only so replays after a crash-before-checkpoint are the
-    only duplication source (same at-least-once contract as any
-    foreachBatch sink without an idempotent merge)."""
-    from ..plans.dq import quarantine_split
-    from ..sources.io import write_table
-
+    Per batch: one shared projection, two writes — no shuffle.
+    CRASH-REPLAY IDEMPOTENT: both sinks are partitioned by
+    ``_batch_id`` and each batch lands via DYNAMIC partition overwrite,
+    so a batch redelivered after a crash-before-checkpoint overwrites
+    its own partition with identical rows instead of appending a
+    duplicate copy — exactly-once at the batch level without a merge.
+    (Batch-id partitioning also gives the dead-letter side natural
+    batch-grain triage/replay and compaction units at scale.)"""
     def _route(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        good, bad = quarantine_split(batch_df, rules)
-        write_table(good, good_table, mode="append")
-        write_table(bad, quarantine_table, mode="append")
+        _quarantine_route_batch(
+            batch_df, batch_id, good_table, quarantine_table, rules
+        )
 
     q = (
         sdf.writeStream.foreachBatch(_route)
@@ -909,6 +940,46 @@ def stream_quarantine(
         .start()
     )
     q.awaitTermination()
+
+
+def _quarantine_route_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    good_table: str,
+    quarantine_table: str,
+    rules,
+) -> None:
+    """One :func:`stream_quarantine` micro-batch, exposed at module
+    level so the crash-replay contract is directly testable: each
+    batch lands in its own ``_batch_id`` partition via DYNAMIC
+    partition overwrite, so re-firing a batch id replaces that
+    partition with identical rows — both sinks byte-stable under
+    replay."""
+    from ..plans.dq import quarantine_split
+    from ..sources.io import write_table
+
+    if batch_df.isEmpty():
+        return
+    good, bad = quarantine_split(batch_df, rules)
+    for df, sink in ((good, good_table), (bad, quarantine_table)):
+        spark = df.sparkSession
+        stamped = df.withColumn("_batch_id", F.lit(batch_id))
+        if not spark.catalog.tableExists(sink):
+            write_table(stamped, sink, partition_by=["_batch_id"])
+            continue
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # insertInto matches by POSITION: pin the target's column
+            # order (partition column last) before inserting
+            cols = [c for c in spark.table(sink).columns if c != "_batch_id"]
+            stamped.select(*cols, "_batch_id").write.mode(
+                "overwrite"
+            ).insertInto(sink)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def stream_incremental_distinct(

@@ -864,3 +864,75 @@ def test_stream_sessionize_order_insensitive_equals_batch(spark, tmp_path):
     for u, *_ in got:
         per_user[u] = per_user.get(u, 0) + 1
     assert per_user == {1: 3, 2: 1}
+
+
+def _snap(spark, table):
+    return sorted(map(tuple, spark.table(table).collect()))
+
+
+def test_stream_sessionize_replay_same_batch_id_is_noop(spark):
+    """Crash-replay contract: foreachBatch redelivers the SAME batch id
+    after a crash between the sink write and the checkpoint commit.
+    Re-firing a batch id must leave the state byte-identical — interval
+    bounds AND n_events (which used to double-count on replay)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _sessionize_merge_batch,
+    )
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, sec long"
+    ).selectExpr("user_id", "to_timestamp(from_unixtime(sec)) AS ts")
+    t = "sess_replay_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _sessionize_merge_batch(mk([(1, 0), (1, 50), (2, 0)]), 0, t, "user_id", "ts", 100)
+    _sessionize_merge_batch(mk([(1, 120), (2, 500)]), 1, t, "user_id", "ts", 100)
+    after_b1 = _snap(spark, t)
+    # replay batch 1 (same id): state must not change — especially not
+    # n_events, which a naive re-fuse would re-add
+    _sessionize_merge_batch(mk([(1, 120), (2, 500)]), 1, t, "user_id", "ts", 100)
+    assert _snap(spark, t) == after_b1
+    n_events = {
+        r.user_id: r.n_events
+        for r in spark.table(t).groupBy("user_id").agg(
+            F.sum("n_events").alias("n_events")
+        ).collect()
+    }
+    assert n_events == {1: 3, 2: 2}
+    # a genuinely NEW batch id still applies
+    _sessionize_merge_batch(mk([(3, 7)]), 2, t, "user_id", "ts", 100)
+    assert len(_snap(spark, t)) == len(after_b1) + 1
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_quarantine_replay_same_batch_id_is_noop(spark):
+    """Re-firing a quarantine batch id must leave BOTH sinks unchanged:
+    each batch lands in its own _batch_id partition via dynamic
+    overwrite, so a replay replaces its partition with identical rows
+    instead of appending a duplicate copy."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.dq import DQRule
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _quarantine_route_batch,
+    )
+
+    rules = [DQRule("v_small", "predicate", predicate=F.col("v") < 50)]
+    mk = lambda rows: spark.createDataFrame(rows, "event_id long, v long")
+    gt, qt = "dq_replay_good", "dq_replay_bad"
+    spark.sql(f"DROP TABLE IF EXISTS {gt}")
+    spark.sql(f"DROP TABLE IF EXISTS {qt}")
+    _quarantine_route_batch(mk([(1, 10), (2, 99)]), 0, gt, qt, rules)
+    _quarantine_route_batch(mk([(3, 20), (4, 80)]), 1, gt, qt, rules)
+    good1, bad1 = _snap(spark, gt), _snap(spark, qt)
+    assert len(good1) == 2 and len(bad1) == 2
+    # replay batch 1: both sinks byte-stable
+    _quarantine_route_batch(mk([(3, 20), (4, 80)]), 1, gt, qt, rules)
+    assert _snap(spark, gt) == good1
+    assert _snap(spark, qt) == bad1
+    # a new batch id appends a new partition
+    _quarantine_route_batch(mk([(5, 5)]), 2, gt, qt, rules)
+    assert len(_snap(spark, gt)) == 3
+    spark.sql(f"DROP TABLE IF EXISTS {gt}")
+    spark.sql(f"DROP TABLE IF EXISTS {qt}")
