@@ -283,11 +283,22 @@ def skew_report(
     }
 
 
+def _bloom_capacity(
+    df: DataFrame, key: str, num_bits: int, bits_per_key: float = 10.0
+) -> tuple[int, bool]:
+    """(approx distinct keys, fits) — ``fits`` is False when the key
+    set needs more than ``num_bits`` at ``bits_per_key`` density (the
+    ~1-2%-FPR sizing rule for two seeds). One cheap HLL agg."""
+    ndv = int(df.agg(F.approx_count_distinct(key).alias("_n")).first()["_n"])
+    return ndv, ndv * bits_per_key <= num_bits
+
+
 def build_key_bloom(
     df: DataFrame,
     key: str,
     num_bits: int = 1 << 16,
     seeds: Sequence[int] = (7, 13),
+    check_capacity: bool = True,
 ) -> list[int]:
     """Build a bloom bitmask over ``df[key]`` as ``num_bits/64`` bigint
     words (xxhash64 per seed → bit position; per-row word masks
@@ -296,9 +307,38 @@ def build_key_bloom(
     built once can be persisted and reused across jobs — an explicit,
     cross-pipeline form of the runtime join filter AQE injects within
     one query. Size the bits at ~10× the expected distinct keys for a
-    ~1-2% false-positive rate with two seeds."""
+    ~1-2% false-positive rate with two seeds.
+
+    ``check_capacity`` (default on) spends one approx_count_distinct
+    pass to catch the silent failure mode: a filter sized far below
+    the key set saturates toward all-ones and prunes NOTHING while
+    still charging two hashes per probe row — it warns instead of
+    failing, because a saturated bloom is still correct (false
+    positives only). For dimensions in the 10⁸+ key range, a literal
+    word array this size no longer belongs in a plan: size num_bits
+    up only as far as ~10⁷ keys (200 MB of words at 10 bits/key is
+    already past broadcast comfort) and beyond that let Spark's own
+    runtime row-level filter handle it inside one query
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) or build a
+    JVM-side sketch via ``DataFrame.stat.bloomFilter`` for driver-side
+    membership tests."""
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
+    if check_capacity:
+        ndv, fits = _bloom_capacity(df, key, num_bits)
+        if not fits:
+            import warnings
+
+            warnings.warn(
+                f"build_key_bloom: ~{ndv} distinct '{key}' values need "
+                f"~{ndv * 10} bits for a useful FPR but num_bits="
+                f"{num_bits}; the filter will saturate and prune "
+                "(almost) nothing. Raise num_bits, or use Spark's "
+                "runtime bloom filter / DataFrame.stat.bloomFilter for "
+                "very large key sets.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     n_words = num_bits // 64
     positions = F.array(
         *[
@@ -375,6 +415,23 @@ def bloom_semi_join(
     words), prune ``left`` scan-side, then run the exact join — the
     bloom only reduces shuffle volume, never changes the result. Use
     when the small side is known ahead of the big scan and AQE's own
-    runtime filter can't reach (separate stages/jobs)."""
-    bloom = build_key_bloom(right, key, num_bits, seeds)
+    runtime filter can't reach (separate stages/jobs).
+
+    When the right key set is too large for ``num_bits`` (would
+    saturate — prune nothing, charge two hashes per left row), the
+    prune is SKIPPED and the plain exact join runs: same result,
+    none of the dead-weight filter cost."""
+    ndv, fits = _bloom_capacity(right, key, num_bits)
+    if not fits:
+        import warnings
+
+        warnings.warn(
+            f"bloom_semi_join: ~{ndv} distinct '{key}' values exceed "
+            f"num_bits={num_bits} capacity — skipping the saturated "
+            "prune and running the exact join directly.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return left.join(right, key, how)
+    bloom = build_key_bloom(right, key, num_bits, seeds, check_capacity=False)
     return bloom_prune(left, key, bloom, seeds).join(right, key, how)

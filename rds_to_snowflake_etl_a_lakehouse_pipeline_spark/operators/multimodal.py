@@ -149,18 +149,30 @@ def _parse_png(b: bytes):
     return w, h, _PNG_CHANNELS[color]
 
 
-def _decode_png(b: bytes):
+_MAX_PNG_PIXELS = 1 << 26  # 64 Mpx ≈ 256 MB RGBA — per-blob executor RAM cap
+
+
+def _decode_png(b: bytes, max_pixels: int = _MAX_PNG_PIXELS):
     """(width, height, channels, top-down row-major pixel bytes) for an
     8-bit non-interlaced gray/RGB/gray+alpha/RGBA PNG — stdlib ``zlib``
     inflate plus full scanline unfiltering (filters 0-4 incl. Paeth);
     None when ``b`` is not such a PNG. Per-blob CPU work inside an
-    Arrow batch; payload-bounded, never corpus-bounded."""
+    Arrow batch; payload-bounded, never corpus-bounded.
+
+    Decompression-bomb safe (untrusted-blob path): inflate is BOUNDED
+    at the size the IHDR promises — a crafted tiny IDAT that would
+    expand past it is cut off mid-stream (``unconsumed_tail``) and
+    rejected, never materialized; and the IHDR promise itself is
+    capped at ``max_pixels`` so a forged huge-dimensions header can't
+    turn the bound into the bomb."""
     import zlib
 
     hdr = _parse_png(b)
     if hdr is None:
         return None
     w, h, ch = hdr
+    if w * h > max_pixels:
+        return None
     # walk chunks, concatenating IDAT payloads
     idat, pos = [], 8
     while pos + 8 <= len(b):
@@ -171,12 +183,16 @@ def _decode_png(b: bytes):
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    stride = w * ch
+    expected = h * (1 + stride)
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = d.decompress(b"".join(idat), expected)
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
+    if d.unconsumed_tail or len(raw) != expected:
+        # more output was pending past the IHDR-promised size (bomb or
+        # corrupt stream), or the stream ended short — reject either way
         return None
     out = bytearray(h * stride)
     prev = bytearray(stride)

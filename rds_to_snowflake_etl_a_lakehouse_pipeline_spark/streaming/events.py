@@ -988,6 +988,7 @@ def stream_incremental_distinct(
     checkpoint_dir: str,
     cols: list[str],
     query_name: str = "stream_incremental_distinct",
+    state_buckets: int | None = 32,
 ):
     """Streaming DISTINCT state: the persisted table accumulates the
     distinct ``cols`` tuples seen across the whole stream — each
@@ -998,12 +999,18 @@ def stream_incremental_distinct(
     then reads the state table instead of replaying the stream.
 
     Per batch: one batch-sized distinct + one anti-join against the
-    state (shuffles on the tuple; at scale bucket the state table on
-    the same key to pre-shuffle the probe side). State grows only with
-    NEW tuples — redelivered or repeated events are absorbed by the
-    anti-join, making the sink idempotent at the tuple level. Runs
-    with trigger=availableNow and blocks."""
+    state. The state table is hash-BUCKETED on the tuple key
+    (``state_buckets``, default 32; None disables) so the bucketed
+    scan already satisfies the anti-join's partitioning — the
+    steady-state cost per batch is shuffling the BATCH to the bucket
+    count, never re-shuffling the ever-growing state side (the term
+    that would otherwise dominate as state approaches corpus size).
+    State grows only with NEW tuples — redelivered or repeated events
+    are absorbed by the anti-join, making the sink idempotent at the
+    tuple level. Runs with trigger=availableNow and blocks."""
     from ..sources.io import write_table
+
+    bucket_by = (state_buckets, list(cols)) if state_buckets else None
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1012,9 +1019,9 @@ def stream_incremental_distinct(
         fresh = batch_df.select(*cols).distinct()
         if spark.catalog.tableExists(table):
             fresh = fresh.join(spark.table(table), cols, "left_anti")
-            write_table(fresh, table, mode="append")
+            write_table(fresh, table, mode="append", bucket_by=bucket_by)
         else:
-            write_table(fresh, table)
+            write_table(fresh, table, bucket_by=bucket_by)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)

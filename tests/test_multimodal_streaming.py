@@ -297,6 +297,51 @@ def test_real_png_decode_dependency_free(spark):
     assert len(bytes(out[2]["resized"])) == 32
 
 
+def test_png_decode_rejects_decompression_bombs():
+    """Untrusted-blob hardening: a forged huge-IHDR header is rejected
+    before any inflate, and a tiny IDAT that expands far past the
+    IHDR-promised size is cut off at the bound (unconsumed_tail) and
+    rejected — never materialized executor-side. A well-formed PNG
+    still decodes."""
+    import struct
+    import zlib
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # (a) forged huge IHDR (2^15 x 2^15 = 1 Gpx) over a tiny IDAT:
+    # rejected by the pixel cap before any inflate happens
+    ihdr_huge = chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    )
+    tiny = chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+    assert _decode_png(sig + ihdr_huge + tiny + chunk(b"IEND", b"")) is None
+    # (b) honest small IHDR (4x4 gray) but an IDAT that inflates to
+    # ~50 MB: must be rejected WITHOUT materializing the 50 MB (the
+    # bounded inflate stops at the promised 4*(1+4)=20 bytes)
+    ihdr_small = chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    )
+    bomb = chunk(b"IDAT", zlib.compress(b"\x00" * (50 << 20)))
+    assert len(bomb) < 70000  # the blob itself is tiny
+    assert _decode_png(sig + ihdr_small + bomb + chunk(b"IEND", b"")) is None
+    # (c) truncated stream (inflates SHORT of the promise): rejected
+    short = chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+    assert _decode_png(sig + ihdr_small + short + chunk(b"IEND", b"")) is None
+    # (d) a well-formed PNG still decodes exactly
+    px = bytes(range(16))
+    assert _decode_png(encode_png(4, 4, px, channels=1)) == (4, 4, 1, px)
+
+
 def test_jpeg_tier_guard_and_pil_cross_validation(spark):
     """Both branches are meaningful, so this never skips: without PIL
     the JPEG guard must refuse loudly (no silent stub for callers that
@@ -868,6 +913,59 @@ def test_stream_sessionize_order_insensitive_equals_batch(spark, tmp_path):
 
 def _snap(spark, table):
     return sorted(map(tuple, spark.table(table).collect()))
+
+
+def test_incremental_distinct_state_is_bucketed_no_state_exchange(
+    spark, tmp_path
+):
+    """The distinct-pairs state table is hash-bucketed on the tuple
+    key, so the per-batch anti-join reads it pre-partitioned: the only
+    exchange in the steady-state plan is the (small) batch side — the
+    ever-growing state never re-shuffles."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_incremental_distinct,
+    )
+
+    t = "inc_distinct_bucketed_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    feed = str(tmp_path / "pairs-feed")
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long, period long")
+    mk([(1, 0), (1, 1), (2, 0)]).coalesce(1).write.mode("append").parquet(feed)
+    mk([(1, 1), (2, 2), (3, 0)]).coalesce(1).write.mode("append").parquet(feed)
+    sdf = (
+        spark.readStream.schema("user_id long, period long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_incremental_distinct(
+        sdf, t, str(tmp_path / "ck"), ["user_id", "period"], state_buckets=8
+    )
+    # tuple-level state: exactly the distinct pairs, appended across
+    # batches with redelivered tuples absorbed
+    assert _snap(spark, t) == [(1, 0), (1, 1), (2, 0), (2, 2), (3, 0)]
+    # the catalog records the bucket spec
+    ddl = spark.sql(f"SHOW CREATE TABLE {t}").first()[0]
+    assert "CLUSTERED BY" in ddl and "8 BUCKETS" in ddl
+    # steady-state anti-join plan: with broadcast disabled (scale
+    # shape), the state-side scan is bucketed and contributes NO
+    # exchange — exactly one exchange total (the batch side)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = mk([(9, 9), (1, 0)]).select("user_id", "period")
+        plan = (
+            batch.join(spark.table(t), ["user_id", "period"], "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_stream_sessionize_replay_same_batch_id_is_noop(spark):

@@ -487,3 +487,34 @@ def test_bloom_semi_join_prunes_scan_side_and_stays_exact(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "shiftright" in plan
     assert 0 <= plan.find("Join") < plan.find("shiftright")
+
+
+def test_bloom_undersized_guard_warns_and_skips_dead_prune(spark):
+    """A bloom sized far below the key set saturates — prunes nothing
+    while charging two hashes per probe row. build_key_bloom must warn;
+    bloom_semi_join must skip the dead prune entirely (plain exact
+    join, identical result, no bit-test filter in the plan)."""
+    import warnings
+
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        bloom_semi_join,
+        build_key_bloom,
+    )
+
+    # 10k distinct keys vs 64 bits: hopelessly undersized
+    right = spark.range(10000).withColumnRenamed("id", "k")
+    left = spark.range(20000).withColumnRenamed("id", "k")
+    with pytest.warns(RuntimeWarning, match="saturate"):
+        build_key_bloom(right, "k", num_bits=64)
+    with pytest.warns(RuntimeWarning, match="skipping the saturated"):
+        out = bloom_semi_join(left, right, "k", num_bits=64)
+    assert out.count() == 10000  # still exact
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "shiftright" not in plan  # no dead filter in the plan
+    # a correctly-sized bloom neither warns nor changes results
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ok = bloom_semi_join(left, right, "k", num_bits=1 << 17)
+    assert ok.count() == 10000
