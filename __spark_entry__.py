@@ -1871,6 +1871,69 @@ def _q_m_media_decode(spark, sf_dir):
     )
 
 
+def _q_m_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG tier end-to-end with an arithmetic oracle
+    (operators/jpeg.py, new round 9): a deterministic gradient image
+    (width = 8 + doc_id % 17, height = 8 + doc_id % 11; gray for odd
+    ids, RGB for even; 4:2:0 when doc_id % 4 == 0, restart markers
+    when doc_id % 8 == 0) is encoded per document by the pure-Python
+    encoder, decoded back by the pure-Python Huffman+IDCT decoder
+    inside the same Arrow batch (max pixel error vs the source,
+    within_tol = err <= 12), and its header re-parsed through the
+    decode_images Spark tier. The oracle recomputes dims
+    arithmetically and expects within_tol = 1 everywhere — a decoder
+    bug, an encoder bug, OR a silent fall-through to the sha256 fake
+    hash-mismatches immediately. JPEG is lossy, so the pinned contract
+    is a tolerance, never pixel bytes."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            blobs, errs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 17, 8 + did % 11
+                ch = 1 if did % 2 else 3
+                sub = "420" if (ch == 3 and did % 4 == 0) else "444"
+                dri = 2 if did % 8 == 0 else 0
+                # non-wrapping linear ramp (max 72+34+20+49 = 175): a
+                # smooth field keeps DCT error tiny; a mod-256 sawtooth
+                # would add Gibbs ringing at the wrap cliffs and make
+                # the tolerance flaky
+                px = bytes(
+                    x * 3 + y * 2 + c * 10 + did % 50
+                    for y in range(h) for x in range(w) for c in range(ch)
+                )
+                blob = encode_jpeg(
+                    w, h, px, channels=ch, quality=92,
+                    subsampling=sub, restart_interval=dri,
+                )
+                dec = decode_jpeg(blob)
+                if dec is None or dec[:3] != (w, h, ch):
+                    errs.append(255)
+                else:
+                    errs.append(max(abs(a - b) for a, b in zip(dec[3], px)))
+                blobs.append(blob)
+            pdf["content"] = blobs
+            pdf["px_max_err"] = errs
+            yield pdf
+
+    blobs = d.mapInPandas(make, "doc_id long, content binary, px_max_err int")
+    out = decode_images(blobs)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        (F.col("px_max_err") <= 12).cast("int").alias("within_tol"),
+    )
+
+
 def _q_m_video_dedup(spark, sf_dir):
     """Container-level video near-dup detection
     (operators/multimodal.py::frame_hash_pairs, new round 6): sampled
@@ -3973,13 +4036,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
         "p8_compound_filter": _q_p8_compound_filter,
-        "f8_isin": _q_f8_isin,
+    # new in round 9 (swapped for the f8_isin pad, r05-green): real
+    # pure-Python baseline-JPEG codec roundtrip w/ arithmetic oracle
+        "m_decode_jpeg": _q_m_decode_jpeg,
     # new in round 9 (swapped for the f_trim_upper pad, r05-green):
     # skew-bounded chunked sessionization, same oracle as x2_sessionize
         "x2_sessionize_chunked": _q_x2_sessionize_chunked,
     # ---- driver cap boundary (entry 50) — remainder of the r05
     # ---- tranche sits first behind the cap (next round's refresh
     # ---- candidates, oldest verdicts first)
+        "f8_isin": _q_f8_isin,
         "f_trim_upper": _q_f_trim_upper,
         "f16_date_arith": _q_f16_date_arith,
         "r8_recompute_amount": _q_r8_recompute_amount,
@@ -5459,6 +5525,15 @@ def oracle_sql() -> dict[str, str]:
         # the chunked variant is output-identical by construction —
         # same oracle, verbatim
         "x2_sessionize_chunked": _SESSIONIZE_SQL,
+        "m_decode_jpeg": (
+            # dims are pure doc_id arithmetic; within_tol = 1 asserts
+            # the lossy roundtrip stayed inside the pinned pixel
+            # tolerance (the Spark side computes the actual max error)
+            "SELECT doc_id, CAST(8 + doc_id % 17 AS INT) AS width, "
+            "CAST(8 + doc_id % 11 AS INT) AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) "
+            "AS channels, CAST(1 AS INT) AS within_tol FROM documents"
+        ),
         "s16_quarantine": _QUARANTINE_SQL,
         "x1_quarantine_stream": _QUARANTINE_SQL,
         "x1_sessionize_stream": _SESSIONIZE_SQL,

@@ -297,6 +297,70 @@ def test_real_png_decode_dependency_free(spark):
     assert len(bytes(out[2]["resized"])) == 32
 
 
+def test_real_jpeg_decode_dependency_free(spark):
+    """Exercises the REAL baseline-JPEG tier (pure Python, no PIL):
+    encode known pixel buffers, decode through both the local codec
+    and the Spark path, and pin dims exactly + pixels within a
+    quantization tolerance (JPEG is lossy — tolerance, not bytes)."""
+    import math
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_header,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+    )
+
+    w, h = 37, 29  # not multiples of 8 or 16: exercises edge blocks
+    gray = bytes(
+        int(127 + 120 * math.sin(x / 6) * math.cos(y / 5))
+        for y in range(h) for x in range(w)
+    )
+    rgb = bytes(
+        int(127 + 120 * math.sin((x + 40 * c) / 7) * math.cos(y / 6))
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    jg = encode_jpeg(w, h, gray, channels=1, quality=92)
+    jc = encode_jpeg(w, h, rgb, channels=3, quality=92)
+    assert parse_jpeg_header(jg) == (w, h, 1)
+    assert parse_jpeg_header(jc) == (w, h, 3)
+    for blob, src, ch in ((jg, gray, 1), (jc, rgb, 3)):
+        dw, dh, dc, px = decode_jpeg(blob)
+        assert (dw, dh, dc) == (w, h, ch)
+        errs = [abs(a - b) for a, b in zip(px, src)]
+        assert max(errs) <= 12 and sum(errs) / len(errs) <= 3.0
+    # 4:2:0 (the dominant real-world layout) and restart markers both
+    # roundtrip through the same decoder
+    for kw in (
+        {"subsampling": "420"},
+        {"restart_interval": 3},
+        {"subsampling": "420", "restart_interval": 2},
+    ):
+        blob = encode_jpeg(w, h, rgb, channels=3, quality=92, **kw)
+        dw, dh, dc, px = decode_jpeg(blob)
+        assert (dw, dh, dc) == (w, h, 3)
+        errs = [abs(a - b) for a, b in zip(px, rgb)]
+        assert max(errs) <= 40 and sum(errs) / len(errs) <= 4.0, kw
+    # progressive-ish / truncated payloads fall through, never crash
+    assert decode_jpeg(b"\xff\xd8\xff\xc2" + bytes(20)) is None
+    assert decode_jpeg(jc[:40]) is None
+
+    # Spark path: dims through decode_images, real resize output is
+    # itself a decodable baseline JPEG
+    df = spark.createDataFrame(
+        [(1, jc), (2, jg)], "id int, content binary"
+    )
+    rows = {r["id"]: r for r in decode_images(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (w, h, 3)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (w, h, 1)
+    out = {r["id"]: r for r in resize_images(df, target_w=8, target_h=6).collect()}
+    rw, rh, rc, _ = decode_jpeg(bytes(out[1]["resized"]))
+    assert (rw, rh, rc) == (8, 6, 3)
+
+
 def test_png_decode_rejects_decompression_bombs():
     """Untrusted-blob hardening: a forged huge-IHDR header is rejected
     before any inflate, and a tiny IDAT that expands far past the
@@ -343,19 +407,20 @@ def test_png_decode_rejects_decompression_bombs():
 
 
 def test_jpeg_tier_guard_and_pil_cross_validation(spark):
-    """Both branches are meaningful, so this never skips: without PIL
-    the JPEG guard must refuse loudly (no silent stub for callers that
-    demand real pixels); with PIL, a PIL-written PNG must decode to
-    the same dims through our pure tier."""
+    """Baseline JPEG decodes for real without PIL (round 9), so the
+    default guard passes unconditionally; only the residual
+    progressive-JPEG tier still demands PIL. With PIL, a PIL-written
+    PNG must decode to the same dims through our pure tier."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
         _HAVE_PIL,
         decode_images,
         require_real_decode,
     )
 
+    require_real_decode()  # baseline JPEG is dependency-free now
     if not _HAVE_PIL:
-        with pytest.raises(NotImplementedError, match="JPEG"):
-            require_real_decode()
+        with pytest.raises(NotImplementedError, match="progressive"):
+            require_real_decode(progressive_jpeg=True)
         return
     import io as _io
 
