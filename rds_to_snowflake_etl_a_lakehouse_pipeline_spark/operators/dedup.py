@@ -1784,7 +1784,16 @@ def span_build_index(
     """
     from ..sources.io import set_table_meta, write_table
 
-    fps = _span_explode(df, id_col, text_col, k).select("_h").distinct()
+    # _src_batch records which STREAMING batch first contributed a
+    # fingerprint (NULL for the base corpus): a crash-replayed batch
+    # can then probe the index as it stood before that batch ran —
+    # without it, replay would mask the batch against its own spans
+    fps = (
+        _span_explode(df, id_col, text_col, k)
+        .select("_h")
+        .distinct()
+        .withColumn("_src_batch", F.lit(None).cast("bigint"))
+    )
     write_table(fps, table, bucket_by=(n_buckets, ["_h"]))
     set_table_meta(
         df.sparkSession, table, kind="span", k=k, n_buckets=n_buckets,
@@ -1804,6 +1813,7 @@ def span_incremental_dedup(
     removed_col: str = "n_tokens_removed",
     storage: str = "checkpoint",
     n_buckets: int | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Exact substring dedup of ONE arriving batch against everything
     ever seen: a batch token is dropped iff covered by a span that is
@@ -1813,6 +1823,16 @@ def span_incremental_dedup(
     batch's distinct previously-unseen fingerprints then join the
     index, so later batches dedup against this one. Returns the masked
     batch (same contract as :func:`span_dedup`).
+
+    ``batch_id`` makes the call CRASH-REPLAY EXACT for a streaming
+    caller: appended fingerprints are stamped ``_src_batch =
+    batch_id``, and the historical probe EXCLUDES rows stamped with
+    the same id — so if a crash happened after the index extension but
+    before the sink committed, the redelivered batch probes the index
+    exactly as it stood before the first attempt (instead of masking
+    itself against its own spans), and the re-append is a no-op
+    (anti-join). Indexes built before the ``_src_batch`` column
+    existed degrade gracefully: no exclusion, unstamped append.
 
     The hit set is MATERIALIZED (``storage``: checkpoint|persist|table, see
     :func:`_materialize` for the durability trade-off) before the
@@ -1842,6 +1862,12 @@ def span_incremental_dedup(
         n_buckets = int(meta.get("n_buckets", 32))
 
     idx = spark.table(table)
+    probe_idx = idx
+    if batch_id is not None and "_src_batch" in idx.columns:
+        # replay view: the index as it stood BEFORE this batch first ran
+        probe_idx = idx.filter(
+            F.col("_src_batch").isNull() | (F.col("_src_batch") != batch_id)
+        )
     # exploded ONCE and materialized: the historical probe, the
     # within-batch groupBy + join-back, and the append all reuse these
     # blocks (the per-row k-token join + md5 pass is the dominant
@@ -1849,7 +1875,7 @@ def span_incremental_dedup(
     # 3-4x).
     sb = _materialize(_span_explode(batch, id_col, text_col, k), storage)
     # (a) historical hits: semi-join keeps the probe side's (id, pos)
-    hist_hits = sb.join(idx, "_h", "leftsemi").select(
+    hist_hits = sb.join(probe_idx, "_h", "leftsemi").select(
         F.col("_sid").alias(id_col), F.col("_pos").alias("pos")
     )
     # (b) within-batch non-first duplicates
@@ -1861,6 +1887,13 @@ def span_incremental_dedup(
     if append:
         from ..sources.io import write_table
 
+        # anti-join against the FULL index (not the replay view): a
+        # redelivered batch's fingerprints are already present, so the
+        # re-append is a no-op
         new_fps = sb.select("_h").distinct().join(idx, "_h", "leftanti")
+        if "_src_batch" in idx.columns:
+            new_fps = new_fps.withColumn(
+                "_src_batch", F.lit(batch_id).cast("bigint")
+            )
         write_table(new_fps, table, mode="append", bucket_by=(n_buckets, ["_h"]))
     return masked

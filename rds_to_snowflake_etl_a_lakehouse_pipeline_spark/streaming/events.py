@@ -578,6 +578,50 @@ def stream_versioned_merge(
     q.awaitTermination()
 
 
+def _replay_guarded_state(spark: SparkSession, table: str, batch_id: int):
+    """Whole-table crash-replay guard for additive state (sketches):
+    the state carries the last applied ``_applied_batch`` (atomic with
+    the data — same stage-and-swap); returns None when this exact
+    batch id was already merged (skip), else the state WITHOUT the
+    stamp column, ready to union with the batch. Without this, a batch
+    redelivered after a crash-before-checkpoint would re-ADD its
+    counts into the sketch."""
+    state = spark.table(table)
+    if "_applied_batch" in state.columns:
+        last = state.select(F.first("_applied_batch")).first()[0]
+        if last is not None and last == batch_id:
+            return None
+        state = state.drop("_applied_batch")
+    return state
+
+
+def _land_batch_partition(df: DataFrame, sink: str, batch_id: int) -> None:
+    """Land one micro-batch's rows in the sink's own ``_batch_id``
+    partition via DYNAMIC partition overwrite — a batch redelivered
+    after a crash-before-checkpoint overwrites its partition with
+    identical rows instead of appending a duplicate copy. Shared by
+    the quarantine and span-dedup sinks; batch-grain partitions double
+    as compaction/triage units at scale."""
+    from ..sources.io import write_table
+
+    spark = df.sparkSession
+    stamped = df.withColumn("_batch_id", F.lit(batch_id))
+    if not spark.catalog.tableExists(sink):
+        write_table(stamped, sink, partition_by=["_batch_id"])
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # insertInto matches by POSITION: pin the target's column
+        # order (partition column last) before inserting
+        cols = [c for c in spark.table(sink).columns if c != "_batch_id"]
+        stamped.select(*cols, "_batch_id").write.mode("overwrite").insertInto(
+            sink
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def stream_frequency_sketch(
     sdf: DataFrame,
     table: str,
@@ -618,15 +662,16 @@ def stream_frequency_sketch(
             batch_df, keys, value_col, depth=depth, width=width, seed=seed
         )
         if spark.catalog.tableExists(table):
-            merged = cms_merge(
-                spark.table(table).unionByName(batch_sketch), keys
-            )
+            state = _replay_guarded_state(spark, table, batch_id)
+            if state is None:  # this exact batch already merged
+                return
+            merged = cms_merge(state.unionByName(batch_sketch), keys)
             # the union reads the table being overwritten: materialize
             # the (bounded, cell-count-sized) merge before the swap
             merged = merged.localCheckpoint(eager=True)
         else:
             merged = batch_sketch
-        write_table(merged, table)
+        write_table(merged.withColumn("_applied_batch", F.lit(batch_id)), table)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)
@@ -670,12 +715,15 @@ def stream_histogram_sketch(
         spark = batch_df.sparkSession
         batch_sketch = hist_sketch(batch_df, keys, value_col, lo, hi, n_bins)
         if spark.catalog.tableExists(table):
+            state = _replay_guarded_state(spark, table, batch_id)
+            if state is None:  # this exact batch already merged
+                return
             merged = hist_merge(
-                spark.table(table).unionByName(batch_sketch), keys
+                state.unionByName(batch_sketch), keys
             ).localCheckpoint(eager=True)
         else:
             merged = batch_sketch
-        write_table(merged, table)
+        write_table(merged.withColumn("_applied_batch", F.lit(batch_id)), table)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)
@@ -713,18 +761,22 @@ def stream_span_dedup(
     trigger=availableNow and blocks until input is drained.
     """
     from ..operators.dedup import span_incremental_dedup
-    from ..sources.io import write_table
 
     def _mask(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # batch_id threading makes the whole step replay-exact: the
+        # probe EXCLUDES index rows this batch stamped (so a replay
+        # after the index extension doesn't mask the batch against its
+        # own spans), the re-append anti-joins to a no-op, and the
+        # sink lands in the batch's own partition via dynamic
+        # overwrite (identical rows, never a duplicate copy)
         masked = span_incremental_dedup(
             batch_df.sparkSession, table, batch_df,
             id_col=id_col, text_col=text_col, k=k, append=True,
+            batch_id=batch_id,
         )
-        spark = batch_df.sparkSession
-        mode = "append" if spark.catalog.tableExists(sink_table) else "overwrite"
-        write_table(masked, sink_table, mode=mode)
+        _land_batch_partition(masked, sink_table, batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(_mask)
@@ -778,6 +830,7 @@ def stream_sessionize(
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     query_name: str = "stream_sessionize",
+    state_partitions: int = 64,
 ):
     """Incremental sessionization — the streaming twin of
     ``operators.windows.sessionize``: each micro-batch rolls to per-key
@@ -789,20 +842,25 @@ def stream_sessionize(
     always equals batch sessionization of everything streamed —
     regardless of how events were split across batches.
 
-    Per batch, only keys PRESENT in the batch pass through the fuse
-    window; untouched keys' rows carry forward unchanged (an anti-join
-    pass-through, no window over them). State is one row per session —
+    PARTITION-SCOPED state rewrites (round 9): the state table is
+    hash-partitioned on ``pmod(xxhash64(key), state_partitions)``, and
+    each batch rewrites ONLY the partitions holding its keys via
+    dynamic partition overwrite — per-batch cost is O(touched
+    partitions), never O(total state), the same COW discipline the
+    versioned table's merge uses. Within touched partitions, only keys
+    PRESENT in the batch pass through the fuse window; bystander keys'
+    rows are copied forward unchanged. State is one row per session —
     it COMPACTS as sessions fuse, and grows only with genuinely new
     sessions.
 
-    CRASH-REPLAY IDEMPOTENT: every state rewrite stamps the batch id
-    it applied (``_applied_batch``, atomic with the data because the
-    whole state is staged-and-swapped), and a redelivered batch id is
-    skipped — so a crash between the sink write and the checkpoint
-    commit never double-counts ``n_events``. Source-level redelivery
-    (the same EVENT arriving under a new batch id) is still additive:
-    an at-least-once source must dedup upstream
-    (:func:`dedup_events`).
+    CRASH-REPLAY IDEMPOTENT per partition: every rewritten partition
+    is stamped with the batch id it applied (``_applied_batch``,
+    atomic with the partition's data), and a redelivered batch id
+    skips exactly the partitions already stamped — so a crash anywhere
+    between the sink write and the checkpoint commit never
+    double-counts ``n_events``. Source-level redelivery (the same
+    EVENT arriving under a new batch id) is still additive: an
+    at-least-once source must dedup upstream (:func:`dedup_events`).
 
     Read the table back through :func:`session_table_stats` for the
     same (session_index, start, end, duration) shape the batch
@@ -810,7 +868,8 @@ def stream_sessionize(
     """
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         _sessionize_merge_batch(
-            batch_df, batch_id, table, key_col, ts_col, gap_seconds
+            batch_df, batch_id, table, key_col, ts_col, gap_seconds,
+            state_partitions=state_partitions,
         )
 
     q = (
@@ -831,10 +890,12 @@ def _sessionize_merge_batch(
     key_col: str,
     ts_col: str,
     gap_seconds: int,
+    state_partitions: int = 64,
 ) -> None:
     """One :func:`stream_sessionize` micro-batch, exposed at module
     level so the crash-replay contract is directly testable: firing the
-    SAME batch id twice must leave the state table unchanged."""
+    SAME batch id twice must leave the state table unchanged, and a
+    batch must rewrite only the state partitions its keys hash into."""
     from ..operators.windows import sessionize
     from ..sources.io import write_table
 
@@ -842,6 +903,7 @@ def _sessionize_merge_batch(
         return
     gap_us = gap_seconds * 1_000_000
     spark = batch_df.sparkSession
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(state_partitions))
     s = sessionize(
         batch_df.select(key_col, ts_col), key_col, ts_col, gap_seconds
     )
@@ -851,34 +913,75 @@ def _sessionize_merge_batch(
         F.max(us).alias("end_us"),
         F.count("*").alias("n_events"),
     ).drop("session_index")
-    if spark.catalog.tableExists(table):
-        state = spark.table(table)
+
+    if not spark.catalog.tableExists(table):
+        merged = (
+            _fuse_intervals(batch_iv, key_col, gap_us)
+            .withColumn("_applied_batch", F.lit(batch_id))
+            .withColumn("_kb", bucket)
+        )
+        write_table(merged, table, partition_by=["_kb"])
+        return
+
+    state = spark.table(table)
+    if "_kb" not in state.columns:
+        # legacy unpartitioned state (pre-round-9 layout): full
+        # stage-and-swap rewrite with the whole-table replay stamp
         if "_applied_batch" in state.columns:
-            # crash-replay guard: foreachBatch redelivers the SAME
-            # batch id after a crash-before-checkpoint; if the state
-            # already carries it, this exact batch was fully applied
-            # (the stamp is atomic with the data — same staged swap)
             last = state.select(F.first("_applied_batch")).first()[0]
             if last is not None and last == batch_id:
                 return
             state = state.drop("_applied_batch")
         touched_keys = batch_iv.select(key_col).distinct()
         touched = state.join(F.broadcast(touched_keys), key_col, "leftsemi")
-        untouched = state.join(
-            F.broadcast(touched_keys), key_col, "leftanti"
-        )
-        fused = _fuse_intervals(
-            touched.unionByName(batch_iv), key_col, gap_us
-        )
-        # the union reads the table being overwritten: materialize
-        # before the stage-and-swap (touched-keys-sized, not stream-
-        # history-sized)
+        untouched = state.join(F.broadcast(touched_keys), key_col, "leftanti")
+        fused = _fuse_intervals(touched.unionByName(batch_iv), key_col, gap_us)
         merged = untouched.unionByName(fused).localCheckpoint(eager=True)
-    else:
-        merged = _fuse_intervals(batch_iv, key_col, gap_us)
-    write_table(
-        merged.withColumn("_applied_batch", F.lit(batch_id)), table
+        write_table(merged.withColumn("_applied_batch", F.lit(batch_id)), table)
+        return
+
+    batch_iv = batch_iv.withColumn("_kb", bucket)
+    # touched partitions: bounded by state_partitions, tiny collect
+    touched_kb = sorted(
+        r[0] for r in batch_iv.select("_kb").distinct().collect()
     )
+    # per-partition replay guard: a partition already stamped with this
+    # batch id was fully rewritten before the crash — skip exactly it
+    done_kb = {
+        r[0]
+        for r in state.filter(
+            F.col("_kb").isin(touched_kb)
+            & (F.col("_applied_batch") == batch_id)
+        ).select("_kb").distinct().collect()
+    }
+    todo_kb = [b for b in touched_kb if b not in done_kb]
+    if not todo_kb:
+        return
+    pstate = state.filter(F.col("_kb").isin(todo_kb)).drop("_applied_batch")
+    biv = batch_iv.filter(F.col("_kb").isin(todo_kb))
+    touched_keys = biv.select(key_col).distinct()
+    fuse_rows = pstate.join(F.broadcast(touched_keys), key_col, "leftsemi")
+    # bystander keys share a rewritten partition but weren't in the
+    # batch: copied forward unchanged (no window over them)
+    bystanders = pstate.join(F.broadcast(touched_keys), key_col, "leftanti")
+    fused = _fuse_intervals(
+        fuse_rows.drop("_kb").unionByName(biv.drop("_kb")), key_col, gap_us
+    ).withColumn("_kb", bucket)
+    out = bystanders.unionByName(fused).withColumn(
+        "_applied_batch", F.lit(batch_id)
+    )
+    # the plan reads the table being overwritten: materialize first
+    # (touched-partitions-sized, not total-state-sized)
+    out = out.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # insertInto matches by POSITION: pin the catalog's column
+        # order (partition column last)
+        cols = [c for c in spark.table(table).columns if c != "_kb"]
+        out.select(*cols, "_kb").write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def session_table_stats(spark: SparkSession, table: str, key_col: str = "user_id") -> DataFrame:
@@ -952,34 +1055,16 @@ def _quarantine_route_batch(
     """One :func:`stream_quarantine` micro-batch, exposed at module
     level so the crash-replay contract is directly testable: each
     batch lands in its own ``_batch_id`` partition via DYNAMIC
-    partition overwrite, so re-firing a batch id replaces that
-    partition with identical rows — both sinks byte-stable under
-    replay."""
+    partition overwrite (:func:`_land_batch_partition`), so re-firing
+    a batch id replaces that partition with identical rows — both
+    sinks byte-stable under replay."""
     from ..plans.dq import quarantine_split
-    from ..sources.io import write_table
 
     if batch_df.isEmpty():
         return
     good, bad = quarantine_split(batch_df, rules)
-    for df, sink in ((good, good_table), (bad, quarantine_table)):
-        spark = df.sparkSession
-        stamped = df.withColumn("_batch_id", F.lit(batch_id))
-        if not spark.catalog.tableExists(sink):
-            write_table(stamped, sink, partition_by=["_batch_id"])
-            continue
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # insertInto matches by POSITION: pin the target's column
-            # order (partition column last) before inserting
-            cols = [c for c in spark.table(sink).columns if c != "_batch_id"]
-            stamped.select(*cols, "_batch_id").write.mode(
-                "overwrite"
-            ).insertInto(sink)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _land_batch_partition(good, good_table, batch_id)
+    _land_batch_partition(bad, quarantine_table, batch_id)
 
 
 def stream_incremental_distinct(

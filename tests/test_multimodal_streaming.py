@@ -794,7 +794,9 @@ def test_stream_frequency_sketch_merges_batches_into_table(spark, tmp_path):
 
     whole = spark.createDataFrame(b1 + b2, schema)
     direct = cms_sketch(whole, [], "user_id", depth=4, width=256)
-    streamed = spark.table("stream_cms")
+    # _applied_batch is state metadata (the crash-replay stamp), not
+    # sketch content
+    streamed = spark.table("stream_cms").drop("_applied_batch")
     assert streamed.exceptAll(direct).count() == 0
     assert direct.exceptAll(streamed).count() == 0
 
@@ -899,9 +901,10 @@ def test_stream_histogram_sketch_merges_batches_into_table(spark, tmp_path):
         value_col="value", lo=0.0, hi=100.0, n_bins=50,
     )
     direct = hist_sketch(df, ["grp"], "value", 0.0, 100.0, 50)
-    assert sorted(map(tuple, spark.table("hist_stream_t").collect())) == sorted(
-        map(tuple, direct.collect())
-    )
+    # drop the crash-replay stamp: state metadata, not sketch content
+    assert sorted(
+        map(tuple, spark.table("hist_stream_t").drop("_applied_batch").collect())
+    ) == sorted(map(tuple, direct.collect()))
     qs = {
         (r.grp, r.q): r.quantile_est
         for r in hist_quantile(
@@ -913,6 +916,36 @@ def test_stream_histogram_sketch_merges_batches_into_table(spark, tmp_path):
         for r in hist_quantile(direct, ["grp"], [0.5], 0.0, 100.0, 50).collect()
     }
     assert qs == qd
+
+
+def test_sketch_state_replay_guard_skips_applied_batch(spark):
+    """Additive sketch state must not re-add a crash-redelivered batch:
+    the whole-table _applied_batch stamp (atomic with the staged swap)
+    makes the second merge of the same batch id a no-op."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hist_sketch,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        write_table,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _replay_guarded_state,
+    )
+
+    t = "sketch_replay_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = spark.createDataFrame([(float(v),) for v in range(20)], "value double")
+    sk = hist_sketch(df, [], "value", 0.0, 100.0, 10)
+    write_table(sk.withColumn("_applied_batch", F.lit(7)), t)
+    # same batch id -> skip signal (None)
+    assert _replay_guarded_state(spark, t, 7) is None
+    # different batch id -> state handed back without the stamp
+    state = _replay_guarded_state(spark, t, 8)
+    assert state is not None and "_applied_batch" not in state.columns
+    assert state.count() == sk.count()
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_stream_sessionize_order_insensitive_equals_batch(spark, tmp_path):
@@ -1066,6 +1099,22 @@ def test_stream_sessionize_replay_same_batch_id_is_noop(spark):
     # a genuinely NEW batch id still applies
     _sessionize_merge_batch(mk([(3, 7)]), 2, t, "user_id", "ts", 100)
     assert len(_snap(spark, t)) == len(after_b1) + 1
+    # partition-scoped rewrite: batch 2 touched only user 3's hash
+    # partition — any user in a DIFFERENT partition must still carry
+    # its pre-batch-2 stamp (proof the partition was not rewritten)
+    from pyspark.sql import functions as F
+
+    kb3 = spark.createDataFrame([(3,)], "user_id long").select(
+        F.pmod(F.xxhash64("user_id"), F.lit(64))
+    ).first()[0]
+    others = (
+        spark.table(t)
+        .filter(F.col("_kb") != kb3)
+        .select("_applied_batch")
+        .distinct()
+        .collect()
+    )
+    assert others and all(r[0] <= 1 for r in others)
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -87,6 +87,9 @@ AUDIT = [
     "a2_feature_scale",
     "a2_one_hot",
     "j8_star_revenue",
+    # round-9 additions
+    "x2_sessionize_chunked",
+    "m_decode_jpeg",
 ]
 
 
