@@ -1527,6 +1527,25 @@ def _q_d_cc_dedup(spark, sf_dir):
     )
 
 
+def _q_t_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/curation.py::
+    cluster_split, new round 9): near-dup clusters (connected
+    components over the exact n-gram-Jaccard pair graph — the same
+    edges d_cc_dedup proves against DuckDB's recursive closure) drive
+    the deterministic md5 split, so every member of a cluster lands in
+    the same split and no near-duplicate of a test document leaks into
+    train. The oracle replays the transitive closure AND the md5
+    bucket arithmetic end to end."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        cluster_split,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+    out = cluster_split(d.select("doc_id"), "doc_id", pairs)
+    return out.select("doc_id", "cluster_id", "split")
+
+
 # Entity resolution (operators/entity.py) ----------------------------------
 
 
@@ -4035,7 +4054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_projection_rename": _q_p2_projection_rename,
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
-        "p8_compound_filter": _q_p8_compound_filter,
+    # new in round 9 (swapped for the p8_compound_filter pad,
+    # r05-green): leakage-safe cluster-aware train/val/test split
+        "t_cluster_split": _q_t_cluster_split,
     # new in round 9 (swapped for the f8_isin pad, r05-green): real
     # pure-Python baseline-JPEG codec roundtrip w/ arithmetic oracle
         "m_decode_jpeg": _q_m_decode_jpeg,
@@ -4045,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- driver cap boundary (entry 50) — remainder of the r05
     # ---- tranche sits first behind the cap (next round's refresh
     # ---- candidates, oldest verdicts first)
+        "p8_compound_filter": _q_p8_compound_filter,
         "f8_isin": _q_f8_isin,
         "f_trim_upper": _q_f_trim_upper,
         "f16_date_arith": _q_f16_date_arith,
@@ -5221,6 +5243,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM reach GROUP BY a) "
             "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component "
             "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
+        ),
+        "t_cluster_split": (
+            # d_cc_dedup's transitive closure + t_hash_split's md5
+            # bucket arithmetic, keyed by the CLUSTER id — replays
+            # cluster_split end to end
+            "WITH RECURSIVE " + _SQL_NGRAM_PAIR_CTES + ", "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+            "comp AS (SELECT a AS id, least(a, min(b)) AS component "
+            "FROM reach GROUP BY a), "
+            "cl AS (SELECT d.doc_id, "
+            "coalesce(c.component, d.doc_id) AS cluster_id "
+            "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id), "
+            "b AS (SELECT doc_id, cluster_id, "
+            "((strpos('0123456789abcdef', substr(md5(cluster_id::VARCHAR),1,1))-1)*4096 "
+            "+(strpos('0123456789abcdef', substr(md5(cluster_id::VARCHAR),2,1))-1)*256 "
+            "+(strpos('0123456789abcdef', substr(md5(cluster_id::VARCHAR),3,1))-1)*16 "
+            "+(strpos('0123456789abcdef', substr(md5(cluster_id::VARCHAR),4,1))-1)) % 100 "
+            "AS bucket FROM cl) "
+            "SELECT doc_id, cluster_id, "
+            "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM b"
         ),
         "er_resolve": (
             "WITH RECURSIVE " + _SQL_ER_CTES + " "

@@ -541,3 +541,45 @@ def percentile_buckets_multi(
             .cast("int"),
         )
     return out.drop(*[f"_thr_{c}" for c in specs])
+
+
+def cluster_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    splits=None,
+    algorithm: str = "label",
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: rows are first joined
+    into near-dup CLUSTERS (connected components over ``pairs`` — any
+    pair generator works: n-gram Jaccard, MinHash-LSH, SimHash,
+    embedding cosine), then the deterministic md5 split
+    (``functions.text.hash_split``) is driven by the CLUSTER id (min
+    member id; rows in no pair are their own singleton cluster). Every
+    member of a near-dup cluster therefore lands in the SAME split —
+    the property a plain per-document hash split lacks, where a
+    near-duplicate of a test document leaks into train and inflates
+    eval. Appends ``cluster_id`` and ``split``.
+
+    Cost = the component labeling (pair-graph-sized iterations, see
+    :func:`~.dedup.connected_components`) + one label join-back +
+    scan-fused md5 arithmetic; the split itself adds zero shuffles.
+    Deterministic across runs/engines (md5, not rand), so reruns and
+    SQL oracles reproduce the identical assignment.
+    """
+    from ..functions.text import DEFAULT_SPLITS, hash_split
+    from .dedup import connected_components
+
+    labels = connected_components(
+        pairs, src=src, dst=dst, algorithm=algorithm, storage=storage
+    )
+    out = df.join(labels.withColumnRenamed("id", id_col), id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        out.withColumn("cluster_id", cluster)
+        .withColumn("split", hash_split(cluster, splits or DEFAULT_SPLITS))
+        .drop("component")
+    )

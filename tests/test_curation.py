@@ -217,6 +217,42 @@ def test_apply_mixture_clamps_extreme_upsampling(spark):
     assert n_rare >= 9  # floor(10) with frac 0 -> exactly 10 expected
 
 
+def test_cluster_split_prevents_near_dup_leakage(spark):
+    """Every member of a near-dup cluster must land in the SAME split
+    (the leakage guarantee a per-document hash split lacks); singletons
+    split exactly like a plain hash_split of their own id."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        hash_split,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        cluster_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    # two transitive clusters {1,2,3} (via 1-2, 2-3) and {7,8}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.cluster_id, r.split)
+           for r in cluster_split(df, "doc_id", pairs).collect()}
+    assert len(out) == 10  # 1:1 join-back, no row loss
+    # cluster co-travel: min-id label, identical split across members
+    assert out[1][0] == out[2][0] == out[3][0] == 1
+    assert out[1][1] == out[2][1] == out[3][1]
+    assert out[7][0] == out[8][0] == 7
+    assert out[7][1] == out[8][1]
+    # pairwise: no pair straddles splits (the leakage property itself)
+    for a, b in [(1, 2), (2, 3), (7, 8)]:
+        assert out[a][1] == out[b][1]
+    # singletons: own id as cluster, split == plain hash_split(id)
+    plain = {
+        r.doc_id: r.s
+        for r in df.withColumn("s", hash_split(F.col("doc_id"))).collect()
+    }
+    for sid in (4, 5, 6, 9, 10):
+        assert out[sid] == (sid, plain[sid])
+
+
 def test_registry_contract_consistency():
     """Driver-contract meta-checks: every oracle_sql key has a queries()
     entry, names are unique, and the verified front-50 window contains
