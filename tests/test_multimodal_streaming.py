@@ -1115,6 +1115,16 @@ def test_stream_sessionize_replay_same_batch_id_is_noop(spark):
         .collect()
     )
     assert others and all(r[0] <= 1 for r in others)
+    # read side: filtering the state on _kb prunes at the partition
+    # level (the scan the merge's touched-bucket probe runs)
+    plan = (
+        spark.table(t)
+        .filter(F.col("_kb").isin([int(kb3)]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "_kb" in plan.split("PartitionFilters")[1][:200]
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -962,3 +962,42 @@ def test_incremental_interval_fusion_matches_batch_sessionize(
         )
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20000)),
+        min_size=1,
+        max_size=40,
+    ),
+    chunk_mult=st.integers(1, 4),
+)
+@PROP
+def test_sessionize_chunked_equals_unchunked_property(spark, rows, chunk_mult):
+    """For ARBITRARY (key, second) multisets and any chunk width >= the
+    gap, the skew-bounded chunked sessionize must be row-identical to
+    the single-exchange default — duplicate timestamps, cross-chunk
+    sessions, empty chunks, and exact-gap edges included. event_id
+    tiebreak pins a total order so both paths see the same sequence."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.windows import (
+        sessionize,
+    )
+
+    gap = 600
+    data = [(u, s, i) for i, (u, s) in enumerate(rows)]
+    ev = spark.createDataFrame(
+        data, "user_id long, sec long, event_id long"
+    ).withColumn("ts", F.to_timestamp(F.from_unixtime("sec")))
+    key = lambda r: (r.user_id, r.sec, r.event_id)  # noqa: E731
+    plain = {
+        key(r): r.session_index
+        for r in sessionize(ev, "user_id", "ts", gap, ["event_id"]).collect()
+    }
+    chunked = {
+        key(r): r.session_index
+        for r in sessionize(
+            ev, "user_id", "ts", gap, ["event_id"],
+            chunk_seconds=gap * chunk_mult,
+        ).collect()
+    }
+    assert chunked == plain
