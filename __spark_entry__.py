@@ -2686,6 +2686,65 @@ def _q_x2_asof_join(spark, sf_dir):
     )
 
 
+def _q_j9_scd2_pit(spark, sf_dir):
+    """SCD-2 point-in-time join (operators/joins.py::scd2_pit_join,
+    new round 9): each lineitem attaches the price VERSION valid at
+    its ship date. Versions are synthesized deterministically from
+    part — three per key starting 1992/1994/1996 (even keys) or
+    1993/1995/1997 (odd), inclusive ends at next-start − 1 day; even
+    keys' last version CLOSES at 1996-12-31 (facts shipping later fall
+    in a validity gap → NULLs), odd keys' stays open. Exercises both
+    NULL paths (before-first-version and after-expiry) that a naive
+    as-of lookup would get wrong by attaching a stale version. One
+    |facts|+|versions| key exchange (asof union walk) + scan-fused
+    validity mask; the oracle replays the BETWEEN join directly."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        scd2_pit_join,
+    )
+
+    p = load(spark, sf_dir, "part")
+    v = p.select(
+        "p_partkey", "p_retailprice", F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("v")
+    )
+    start = F.make_date(
+        F.lit(1992) + 2 * F.col("v") + F.col("p_partkey") % 2,
+        F.lit(1), F.lit(1),
+    )
+    next_start = F.make_date(
+        F.lit(1994) + 2 * F.col("v") + F.col("p_partkey") % 2,
+        F.lit(1), F.lit(1),
+    )
+    dim = v.select(
+        "p_partkey",
+        start.alias("start_dt"),
+        F.when(F.col("v") < 2, F.date_sub(next_start, 1))
+        .when(F.col("p_partkey") % 2 == 0, F.lit("1996-12-31").cast("date"))
+        .alias("end_dt"),
+        F.round(F.col("p_retailprice").cast("double") + F.col("v"), 2).alias(
+            "version_price"
+        ),
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate")
+        # asof's union walk joins on a shared column name
+        .withColumnRenamed("l_partkey", "p_partkey")
+    )
+    out = scd2_pit_join(
+        li, dim, on="p_partkey", fact_ts="l_shipdate",
+        dim_cols=["version_price"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("l_shipdate").cast("string").alias("ship_date"),
+        F.col("right_start_dt").cast("string").alias("valid_from"),
+        F.col("right_end_dt").cast("string").alias("valid_to"),
+        F.col("right_version_price").alias("version_price"),
+    )
+
+
 def _q_x2_asof_forward(spark, sf_dir):
     """FORWARD as-of join (operators/joins.py::asof_join
     direction=\"forward\", new round 7): each click picks up the
@@ -4053,7 +4112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
-        "p6_filter_eq": _q_p6_filter_eq,
+    # new in round 9 (swapped for the p6_filter_eq pad, r05-green):
+    # SCD-2 point-in-time validity join w/ gap-NULL semantics
+        "j9_scd2_pit": _q_j9_scd2_pit,
     # new in round 9 (swapped for the p8_compound_filter pad,
     # r05-green): leakage-safe cluster-aware train/val/test split
         "t_cluster_split": _q_t_cluster_split,
@@ -4066,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- driver cap boundary (entry 50) — remainder of the r05
     # ---- tranche sits first behind the cap (next round's refresh
     # ---- candidates, oldest verdicts first)
+        "p6_filter_eq": _q_p6_filter_eq,
         "p8_compound_filter": _q_p8_compound_filter,
         "f8_isin": _q_f8_isin,
         "f_trim_upper": _q_f_trim_upper,
@@ -4882,6 +4944,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(c.ts AS VARCHAR) AS click_ts, c.value AS click_value "
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "j9_scd2_pit": (
+            # the oracle is the direct BETWEEN validity join — an
+            # independent encoding of the same point-in-time semantics
+            # the asof-walk + validity-mask computes
+            "WITH v AS (SELECT p_partkey, "
+            "make_date(1992 + 2*t.v + p_partkey % 2, 1, 1) AS start_dt, "
+            "CASE WHEN t.v < 2 "
+            "THEN make_date(1994 + 2*t.v + p_partkey % 2, 1, 1) - 1 "
+            "WHEN p_partkey % 2 = 0 THEN DATE '1996-12-31' END AS end_dt, "
+            "round(CAST(p_retailprice AS DOUBLE) + t.v, 2) AS version_price "
+            "FROM part, (VALUES (0),(1),(2)) t(v)) "
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, "
+            "CAST(l.l_shipdate AS VARCHAR) AS ship_date, "
+            "CAST(v.start_dt AS VARCHAR) AS valid_from, "
+            "CAST(v.end_dt AS VARCHAR) AS valid_to, v.version_price "
+            "FROM lineitem l LEFT JOIN v ON v.p_partkey = l.l_partkey "
+            "AND l.l_shipdate >= v.start_dt "
+            "AND (v.end_dt IS NULL OR l.l_shipdate <= v.end_dt)"
         ),
         "x2_asof_forward": (
             "WITH c AS (SELECT event_id, user_id, ts, value FROM events "

@@ -74,6 +74,13 @@ def asof_join(
     single-shuffle union walk with the timestamp order REVERSED —
     identical cost, no second implementation to trust.
 
+    The matched right row is carried forward as ONE struct (not
+    column-by-column): a NULL value INSIDE the matched row survives
+    attachment instead of being silently replaced by the previous
+    non-null value — ``last(col, ignorenulls=True)`` per column cannot
+    distinguish "no match yet" from "matched row holds NULL here"
+    (round 9; caught by scd2_pit_join's open-ended ``end_dt``).
+
     ``right_cols`` are the value columns to attach (default: all
     non-key, non-ts columns), each emitted as ``right_<name>``; the
     matched timestamp is emitted as ``right_<right_ts>``.
@@ -93,40 +100,46 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        F.col(right_ts).alias(f"right_{right_ts}"),
-        *[F.col(c).alias(f"right_{c}") for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias(f"right_{right_ts}"),
+            *[F.col(c).alias(f"right_{c}") for c in right_cols],
+        ).alias("_rv"),
         *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
     )
+    rv_type = r.schema["_rv"].dataType
     l = left.select(  # noqa: E741
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(t).alias(c) for c, t in zip(attached, [dict(right.dtypes)[right_ts]] + [dict(right.dtypes)[c] for c in right_cols])],
+        F.lit(None).cast(rv_type).alias("_rv"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     # Total order: ties on (_ts, _tag) — multiple right rows with equal
-    # (key, ts) — are broken by the right value columns themselves, so
-    # the carried-forward match is independent of partition physical
-    # order (nulls-first for the left rows' NULL placeholders keeps left
-    # rows ordered after right rows only via _tag, which precedes).
+    # (key, ts) — are broken by the right-row struct itself (field-wise
+    # lexicographic), so the carried-forward match is independent of
+    # partition physical order; left rows' NULL struct sorts first but
+    # follows right rows via _tag anyway.
     ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(
-            ts_ord,
-            F.col("_tag").asc(),
-            *[F.col(c).asc_nulls_first() for c in attached],
-        )
+        .orderBy(ts_ord, F.col("_tag").asc(), F.col("_rv").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r.unionByName(l).select(
         "_k",
         "_ts",
         "_tag",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in attached],
+        # the whole matched row carries atomically: NULL means "no
+        # right row yet", never "this field was NULL in the match"
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
         *[f"_l_{c}" for c in left.columns],
     )
-    out = filled.filter(F.col("_tag") == 1)
+    out = filled.filter(F.col("_tag") == 1).select(
+        "_k",
+        "_ts",
+        *[F.col(f"_rv.{c}").alias(c) for c in attached],
+        *[f"_l_{c}" for c in left.columns],
+    )
     if tolerance_seconds is not None:
         gap = F.col("_ts").cast("double") - F.col(f"right_{right_ts}").cast(
             "double"
@@ -139,6 +152,58 @@ def asof_join(
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns], *attached
     )
+
+
+def scd2_pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_ts: str,
+    start_col: str = "start_dt",
+    end_col: str = "end_dt",
+    dim_cols: Sequence[str] = (),
+    end_inclusive: bool = True,
+) -> DataFrame:
+    """Point-in-time (SCD-2 validity) join: attach to each fact row the
+    dimension VERSION whose validity interval covers the fact's
+    timestamp — ``start <= ts AND (ts <= end OR end IS NULL)`` under
+    the inclusive-end convention this engine's SCD-2 builder emits
+    (``operators/windows.py::scd2_close_dates``: end = next start − 1
+    day); ``end_inclusive=False`` selects the half-open convention.
+    Facts before a key's first version, or falling in a validity GAP
+    (key retired then re-added), attach NULLs — exactly what the
+    BETWEEN predicate yields, never a stale earlier version.
+
+    Plan shape: rides :func:`asof_join`'s single-shuffle union walk on
+    the version START (one |facts|+|versions| exchange on the key — no
+    fact × version blowup, no skew amplification), then a scan-fused
+    validity mask nulls matches whose interval had already closed. The
+    naive equi-join + BETWEEN filter materializes k·m rows per key
+    before filtering; this is the same cost as any groupBy on the fact
+    key. Attached columns come out as ``right_<name>`` (asof_join's
+    convention), including ``right_<start_col>`` / ``right_<end_col>``
+    for validity auditing.
+    """
+    if not dim_cols:
+        dim_cols = [c for c in dim.columns if c not in (on, start_col, end_col)]
+    out = asof_join(
+        fact, dim, on, fact_ts, start_col,
+        right_cols=[end_col, *dim_cols],
+    )
+    end_c = F.col(f"right_{end_col}")
+    ts_c = F.col(fact_ts)
+    # materialize the mask into its own column FIRST: the per-column
+    # when() loop rewrites right_<end_col>, and a predicate referencing
+    # it by name would silently change meaning mid-loop
+    out = out.withColumn(
+        "_pit_valid",
+        end_c.isNull() | ((ts_c <= end_c) if end_inclusive else (ts_c < end_c)),
+    )
+    for c in [start_col, end_col, *dim_cols]:
+        out = out.withColumn(
+            f"right_{c}", F.when(F.col("_pit_valid"), F.col(f"right_{c}"))
+        )
+    return out.drop("_pit_valid")
 
 
 def range_join(

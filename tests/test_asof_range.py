@@ -125,3 +125,83 @@ def test_range_join_extra_predicate(spark):
         extra_on=F.col("region") == F.col("rregion"),
     ).collect()
     assert [(r["lid"], r["rid"]) for r in out] == [(1, 10)]
+
+
+def test_asof_join_carries_null_values_in_matched_row(spark):
+    """A NULL VALUE inside the matched right row must survive
+    attachment — per-column last(ignorenulls) would silently substitute
+    the previous non-null value (the bug scd2_pit_join's open-ended
+    end_dt exposed): the matched row carries as one struct."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 5)), (1, T(2024, 1, 2))], "lid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 10), (1, T(2024, 1, 4), None)],
+        "lid long, ts timestamp, v int",
+    )
+    out = {
+        r.ts: r.right_v
+        for r in asof_join(
+            left, right, on="lid", left_ts="ts", right_ts="ts",
+            right_cols=["v"],
+        ).collect()
+    }
+    assert out[T(2024, 1, 2)] == 10
+    # the 2024-01-04 match holds v = NULL; 10 must NOT leak forward
+    assert out[T(2024, 1, 5)] is None
+
+
+def test_scd2_pit_join_validity_and_gap_nulls(spark):
+    """Point-in-time join semantics: facts attach the version covering
+    their date (inclusive end), facts BEFORE the first version or in a
+    validity GAP (closed last version) attach NULLs — never a stale
+    earlier version."""
+    from datetime import date
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        scd2_pit_join,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, date(2020, 1, 1), date(2020, 12, 31), "v1"),
+            (1, date(2021, 1, 1), date(2021, 12, 31), "v2"),  # gap after
+            (1, date(2023, 1, 1), None, "v3"),                # open-ended
+        ],
+        "k long, start_dt date, end_dt date, ver string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, date(2019, 6, 1)),   # before first version -> NULL
+            (101, date(2020, 12, 31)), # inclusive end boundary -> v1
+            (102, date(2021, 6, 1)),   # inside v2 -> v2
+            (103, date(2022, 6, 1)),   # in the 2022 GAP -> NULL
+            (104, date(2024, 6, 1)),   # open-ended current -> v3
+        ],
+        "fid long, d date",
+    ).withColumn("k", F.lit(1))
+    out = {
+        r.fid: (r.right_ver, r.right_start_dt)
+        for r in scd2_pit_join(
+            facts, dim, on="k", fact_ts="d", dim_cols=["ver"]
+        ).collect()
+    }
+    assert out[100] == (None, None)
+    assert out[101] == ("v1", date(2020, 1, 1))
+    assert out[102] == ("v2", date(2021, 1, 1))
+    assert out[103] == (None, None)  # gap: stale v2 must NOT attach
+    assert out[104] == ("v3", date(2023, 1, 1))
+    # half-open convention: the end boundary now falls out
+    half = {
+        r.fid: r.right_ver
+        for r in scd2_pit_join(
+            facts, dim, on="k", fact_ts="d", dim_cols=["ver"],
+            end_inclusive=False,
+        ).collect()
+    }
+    assert half[101] is None
+    assert half[102] == "v2" and half[104] == "v3"
