@@ -90,6 +90,8 @@ AUDIT = [
     # round-9 additions
     "x2_sessionize_chunked",
     "m_decode_jpeg",
+    "j9_scd2_pit",
+    "t_cluster_split",
 ]
 
 
