@@ -1103,8 +1103,12 @@ def stream_incremental_distinct(
         spark = batch_df.sparkSession
         fresh = batch_df.select(*cols).distinct()
         if spark.catalog.tableExists(table):
+            # a legacy (pre-bucketing) state table must keep appending
+            # unbucketed — a mismatched bucket spec on append is an error
+            ddl = spark.sql(f"SHOW CREATE TABLE {table}").first()[0]
+            bb = bucket_by if "CLUSTERED BY" in ddl else None
             fresh = fresh.join(spark.table(table), cols, "left_anti")
-            write_table(fresh, table, mode="append", bucket_by=bucket_by)
+            write_table(fresh, table, mode="append", bucket_by=bb)
         else:
             write_table(fresh, table, bucket_by=bucket_by)
 
