@@ -141,9 +141,12 @@ def asof_join(
         *[f"_l_{c}" for c in left.columns],
     )
     if tolerance_seconds is not None:
-        gap = F.col("_ts").cast("double") - F.col(f"right_{right_ts}").cast(
-            "double"
+        # via timestamp so DATE-typed ts columns work too (a direct
+        # date -> double cast is invalid)
+        secs = lambda c: (  # noqa: E731
+            F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
         )
+        gap = secs(F.col("_ts")) - secs(F.col(f"right_{right_ts}"))
         if direction == "forward":
             gap = -gap
         in_tol = gap <= F.lit(float(tolerance_seconds))
