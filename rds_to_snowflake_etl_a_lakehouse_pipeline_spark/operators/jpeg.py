@@ -112,9 +112,27 @@ _COS = [
     for u in range(8)
 ]
 
+# numpy fast path for the per-block transforms and whole-plane color
+# conversion — the semantics are identical to the pure-Python loops
+# (same matrices, same rounding); numpy ships in this container, but
+# the codec stays correct without it
+try:  # pragma: no cover - numpy is present here
+    import numpy as _np
 
-def _idct_2d(coef: list[float]) -> list[int]:
-    """Separable 8x8 inverse DCT + level shift + clamp to 0..255."""
+    _M = _np.array(_COS, dtype=_np.float64)        # [u, x]
+    _MT = _M.T.copy()
+except ImportError:  # pragma: no cover
+    _np = None
+
+
+def _idct_2d(coef: list[float]):
+    """Separable 8x8 inverse DCT + level shift + clamp to 0..255.
+    Returns an indexable of ints (numpy uint8 array on the fast path,
+    plain list on the fallback) — callers only slice + bytes() it."""
+    if _np is not None:
+        fm = _np.asarray(coef, dtype=_np.float64).reshape(8, 8)
+        p = (_MT @ fm @ _M) / 4.0 + 128.0
+        return _np.clip(_np.rint(p), 0, 255).astype(_np.uint8).reshape(64)
     # rows: tmp[y][x] = sum_u C[u][x] * coef[y*8+u]
     tmp = [[0.0] * 8 for _ in range(8)]
     for y in range(8):
@@ -141,8 +159,11 @@ def _idct_2d(coef: list[float]) -> list[int]:
     return out
 
 
-def _fdct_2d(px: list[int]) -> list[float]:
+def _fdct_2d(px) -> list[float]:
     """Separable 8x8 forward DCT over level-shifted samples."""
+    if _np is not None:
+        s = _np.asarray(px, dtype=_np.float64).reshape(8, 8) - 128.0
+        return ((_M @ s @ _MT) / 4.0).reshape(64).tolist()
     shifted = [p - 128 for p in px]
     tmp = [[0.0] * 8 for _ in range(8)]
     for y in range(8):
@@ -443,6 +464,26 @@ def _decode_jpeg_inner(b: bytes, max_pixels: int):
         return w, h, 1, bytes(out)
     # upsample chroma (nearest) + YCbCr -> RGB
     pws = [mcux * c[1] * 8 for c in comps]
+    phs = [mcuy * c[2] * 8 for c in comps]
+    if _np is not None:
+        # whole-plane vectorized path: fancy-index the nearest
+        # upsample, then one matrix of fused arithmetic per channel
+        up = []
+        for ci in range(3):
+            p2 = _np.frombuffer(bytes(planes[ci]), dtype=_np.uint8).reshape(
+                phs[ci], pws[ci]
+            )
+            ys = _np.arange(h) * comps[ci][2] // vmax
+            xs = _np.arange(w) * comps[ci][1] // hmax
+            up.append(p2[ys][:, xs].astype(_np.float64))
+        yv, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+        r = yv + 1.402 * cr
+        g = yv - 0.344136 * cb - 0.714136 * cr
+        bl = yv + 1.772 * cb
+        rgb = _np.stack(
+            [_np.floor(ch + 0.5) for ch in (r, g, bl)], axis=-1
+        )
+        return w, h, 3, _np.clip(rgb, 0, 255).astype(_np.uint8).tobytes()
     out = bytearray(w * h * 3)
     for y in range(h):
         yrow = y * w * 3
@@ -541,10 +582,15 @@ def _encode_block(
             sx = min(x0 + xx, pw - 1)
             block[yy * 8 + xx] = plane[sy * pw + sx]
     coef = _fdct_2d(block)
-    quant = [0] * 64
-    for k in range(64):
-        c = coef[k] / q[k]
-        quant[k] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+    if _np is not None:
+        c = _np.asarray(coef) / _np.asarray(q, dtype=_np.float64)
+        # round half away from zero, matching the pure-path int() trunc
+        quant = _np.trunc(c + _np.where(c >= 0, 0.5, -0.5)).astype(int).tolist()
+    else:
+        quant = [0] * 64
+        for k in range(64):
+            c = coef[k] / q[k]
+            quant[k] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
     diff = quant[0] - pred[ci]
     pred[ci] = quant[0]
     t, bits = _mag_bits(diff)
@@ -610,6 +656,19 @@ def encode_jpeg(
     if channels == 1:
         planes = [pixels]
         qts = [qluma]
+    elif _np is not None:
+        px = _np.frombuffer(pixels, dtype=_np.uint8).reshape(-1, 3).astype(
+            _np.float64
+        )
+        r, g, bl = px[:, 0], px[:, 1], px[:, 2]
+        yv = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128
+        planes = [
+            _np.clip(_np.floor(p + 0.5), 0, 255).astype(_np.uint8).tobytes()
+            for p in (yv, cb, cr)
+        ]
+        qts = [qluma, qchroma, qchroma]
     else:
         n = width * height
         ybuf = bytearray(n)
