@@ -139,19 +139,22 @@ def one_hot(
     ]
     out = df
     seen = None
-    used: dict[str, int] = {}
+    taken: set[str] = set()
     for v in top:
         safe = str(v).strip().lower().replace(" ", "_").replace("-", "_")
         # sanitization can collide for distinct values ('A' vs 'a',
-        # 'a b' vs 'a_b'); a frequency-rank suffix keeps one indicator
-        # per category instead of silently overwriting the earlier one
-        used[safe] = used.get(safe, 0) + 1
-        if used[safe] > 1:
-            safe = f"{safe}_{used[safe]}"
+        # 'a b' vs 'a_b'); suffix until unique AGAINST EVERY name taken
+        # so far — including earlier suffixed ones, so a literal 'a_2'
+        # can never overwrite a generated 'a_2' (or vice versa)
+        cand, i = safe, 2
+        while cand in taken:
+            cand = f"{safe}_{i}"
+            i += 1
+        taken.add(cand)
         # null-safe: a NULL category is 0 in every indicator (and 1 in
         # _other), never NULL
         hit = F.col(cat_col).eqNullSafe(F.lit(v))
-        out = out.withColumn(f"{cat_col}_oh_{safe}", hit.cast("int"))
+        out = out.withColumn(f"{cat_col}_oh_{cand}", hit.cast("int"))
         seen = hit if seen is None else (seen | hit)
     if other:
         out = out.withColumn(

@@ -195,13 +195,20 @@ def scd2_pit_join(
     )
     end_c = F.col(f"right_{end_col}")
     ts_c = F.col(fact_ts)
+    if end_inclusive and dict(dim.dtypes)[end_col] == "date":
+        # inclusive DATE end means "valid through the END of that day":
+        # a TIMESTAMP fact at 10:00 on the last valid day must match,
+        # but date->timestamp promotion would compare it against
+        # midnight — so compare strictly below the NEXT day instead
+        still_valid = ts_c < F.date_add(end_c, 1)
+    elif end_inclusive:
+        still_valid = ts_c <= end_c
+    else:
+        still_valid = ts_c < end_c
     # materialize the mask into its own column FIRST: the per-column
     # when() loop rewrites right_<end_col>, and a predicate referencing
     # it by name would silently change meaning mid-loop
-    out = out.withColumn(
-        "_pit_valid",
-        end_c.isNull() | ((ts_c <= end_c) if end_inclusive else (ts_c < end_c)),
-    )
+    out = out.withColumn("_pit_valid", end_c.isNull() | still_valid)
     for c in [start_col, end_col, *dim_cols]:
         out = out.withColumn(
             f"right_{c}", F.when(F.col("_pit_valid"), F.col(f"right_{c}"))
@@ -477,6 +484,7 @@ def bloom_semi_join(
     num_bits: int = 1 << 16,
     seeds: Sequence[int] = (7, 13),
     how: str = "leftsemi",
+    check_capacity: bool = True,
 ) -> DataFrame:
     """Exact join with an explicit bloom pre-prune: build the filter
     over ``right[key]`` (one driver round-trip of ≤ num_bits/64
@@ -488,7 +496,15 @@ def bloom_semi_join(
     When the right key set is too large for ``num_bits`` (would
     saturate — prune nothing, charge two hashes per left row), the
     prune is SKIPPED and the plain exact join runs: same result,
-    none of the dead-weight filter cost."""
+    none of the dead-weight filter cost. ``check_capacity=False``
+    skips the guard's approx_count_distinct pass for callers who
+    already sized ``num_bits`` against a known cardinality (repeated
+    joins against the same dim shouldn't re-pay the scan)."""
+    if not check_capacity:
+        bloom = build_key_bloom(
+            right, key, num_bits, seeds, check_capacity=False
+        )
+        return bloom_prune(left, key, bloom, seeds).join(right, key, how)
     ndv, fits = _bloom_capacity(right, key, num_bits)
     if not fits:
         import warnings

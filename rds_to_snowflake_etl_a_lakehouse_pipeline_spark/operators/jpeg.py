@@ -276,6 +276,19 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _next_marker(b: bytes, pos: int):
+    """(marker_code, offset_after_marker) at ``pos``, skipping the
+    OPTIONAL 0xFF fill bytes T.81 B.1.1.2 allows before any marker;
+    None when ``pos`` doesn't sit on a marker."""
+    if pos >= len(b) or b[pos] != 0xFF:
+        return None
+    while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+        pos += 1
+    if pos + 1 >= len(b):
+        return None
+    return b[pos + 1], pos + 2
+
+
 def parse_jpeg_header(b: bytes):
     """(width, height, n_components) from the SOF0 of a BASELINE JPEG;
     None for non-JPEG or non-baseline (progressive etc.) payloads —
@@ -284,24 +297,25 @@ def parse_jpeg_header(b: bytes):
         return None
     pos = 2
     while pos + 4 <= len(b):
-        if b[pos] != 0xFF:
+        nm = _next_marker(b, pos)
+        if nm is None:
             return None
-        m = b[pos + 1]
+        m, after = nm
         if m == 0xD9:
             return None
-        if m in (0x01,) or 0xD0 <= m <= 0xD7:
-            pos += 2
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            pos = after
             continue
-        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        (seglen,) = struct.unpack_from(">H", b, after)
         if m == 0xC0:  # SOF0 baseline only
-            prec, h, w, nc = struct.unpack_from(">BHHB", b, pos + 4)
+            prec, h, w, nc = struct.unpack_from(">BHHB", b, after + 2)
             if prec != 8 or w == 0 or h == 0 or nc not in (1, 3):
                 return None
             return w, h, nc
         if m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                  0xCD, 0xCE, 0xCF):
             return None  # extended/progressive/lossless/arithmetic
-        pos += 2 + seglen
+        pos = after + seglen
     return None
 
 
@@ -330,16 +344,17 @@ def _decode_jpeg_inner(b: bytes, max_pixels: int):
     pos = 2
     scan = None
     while pos + 4 <= len(b):
-        if b[pos] != 0xFF:
+        nm = _next_marker(b, pos)
+        if nm is None:
             return None
-        m = b[pos + 1]
+        m, after = nm
         if m == 0xD9:
             break
         if m == 0x01 or 0xD0 <= m <= 0xD7:
-            pos += 2
+            pos = after
             continue
-        (seglen,) = struct.unpack_from(">H", b, pos + 2)
-        seg = b[pos + 4 : pos + 2 + seglen]
+        (seglen,) = struct.unpack_from(">H", b, after)
+        seg = b[after + 2 : after + seglen]
         if m == 0xDB:  # DQT
             i = 0
             while i < len(seg):
@@ -383,11 +398,17 @@ def _decode_jpeg_inner(b: bytes, max_pixels: int):
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 15))
-            pos = pos + 2 + seglen
+            pos = after + seglen
             break
-        pos += 2 + seglen
+        pos = after + seglen
     if scan is None or not comps or w == 0:
         return None
+    if len(comps) == 1:
+        # a single-component scan is NON-interleaved (T.81 A.2.2):
+        # sampling factors only express ratios vs other components, so
+        # declared h/v > 1 (some encoders write 0x22) must not create
+        # multi-block MCUs — the block grid is just ceil(w/8) x ceil(h/8)
+        comps[0][1] = comps[0][2] = 1
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

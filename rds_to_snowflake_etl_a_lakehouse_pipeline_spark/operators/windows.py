@@ -520,10 +520,13 @@ def _sessionize_chunked(
     out = d.join(meta, [key_col, "_chunk"]).withColumn(
         "session_index", F.col("_base") + F.col("_local_idx") - F.col("_merged")
     )
-    return out.withColumn(
+    out = out.withColumn(
         "session_id",
         F.concat_ws("#", F.col(key_col).cast("string"), F.col("session_index")),
-    ).drop("_us", "_chunk", "_local_idx", "_base", "_merged")
+    )
+    # pin the default path's column order (the equi-join fronts its
+    # keys) so toggling chunk_seconds never breaks positional consumers
+    return out.select(*df.columns, "session_index", "session_id")
 
 
 def session_stats(

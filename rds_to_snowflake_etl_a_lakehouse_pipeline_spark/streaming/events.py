@@ -595,13 +595,36 @@ def _replay_guarded_state(spark: SparkSession, table: str, batch_id: int):
     return state
 
 
+def _dynamic_partition_overwrite(
+    df: DataFrame, table: str, part_col: str
+) -> None:
+    """Overwrite ONLY the target partitions present in ``df`` (dynamic
+    partition-overwrite ``insertInto`` with the conf saved/restored and
+    the catalog's column order pinned — insertInto matches columns by
+    POSITION, partition column last). Shared by every partition-scoped
+    sink/state writer so the dance exists once."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        cols = [c for c in spark.table(table).columns if c != part_col]
+        df.select(*cols, part_col).write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def _land_batch_partition(df: DataFrame, sink: str, batch_id: int) -> None:
     """Land one micro-batch's rows in the sink's own ``_batch_id``
     partition via DYNAMIC partition overwrite — a batch redelivered
     after a crash-before-checkpoint overwrites its partition with
     identical rows instead of appending a duplicate copy. Shared by
     the quarantine and span-dedup sinks; batch-grain partitions double
-    as compaction/triage units at scale."""
+    as compaction/triage units at scale.
+
+    LEGACY sinks (created by the pre-partitioning append path, no
+    ``_batch_id`` column) keep plain appends — their original
+    at-least-once contract — instead of failing the stream on a
+    column-count mismatch."""
     from ..sources.io import write_table
 
     spark = df.sparkSession
@@ -609,17 +632,10 @@ def _land_batch_partition(df: DataFrame, sink: str, batch_id: int) -> None:
     if not spark.catalog.tableExists(sink):
         write_table(stamped, sink, partition_by=["_batch_id"])
         return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # insertInto matches by POSITION: pin the target's column
-        # order (partition column last) before inserting
-        cols = [c for c in spark.table(sink).columns if c != "_batch_id"]
-        stamped.select(*cols, "_batch_id").write.mode("overwrite").insertInto(
-            sink
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if "_batch_id" not in spark.table(sink).columns:
+        write_table(df, sink, mode="append")
+        return
+    _dynamic_partition_overwrite(stamped, sink, "_batch_id")
 
 
 def stream_frequency_sketch(
@@ -913,6 +929,10 @@ def _sessionize_merge_batch(
         F.max(us).alias("end_us"),
         F.count("*").alias("n_events"),
     ).drop("session_index")
+    # materialized once: the touched-bucket collect, the replay probe
+    # and the fuse each ACTION on batch_iv — without this the per-batch
+    # sessionize window re-runs per action (batch-sized, cheap to pin)
+    batch_iv = batch_iv.localCheckpoint(eager=True)
 
     if not spark.catalog.tableExists(table):
         merged = (
@@ -927,11 +947,9 @@ def _sessionize_merge_batch(
     if "_kb" not in state.columns:
         # legacy unpartitioned state (pre-round-9 layout): full
         # stage-and-swap rewrite with the whole-table replay stamp
-        if "_applied_batch" in state.columns:
-            last = state.select(F.first("_applied_batch")).first()[0]
-            if last is not None and last == batch_id:
-                return
-            state = state.drop("_applied_batch")
+        state = _replay_guarded_state(spark, table, batch_id)
+        if state is None:  # this exact batch already applied
+            return
         touched_keys = batch_iv.select(key_col).distinct()
         touched = state.join(F.broadcast(touched_keys), key_col, "leftsemi")
         untouched = state.join(F.broadcast(touched_keys), key_col, "leftanti")
@@ -973,15 +991,7 @@ def _sessionize_merge_batch(
     # the plan reads the table being overwritten: materialize first
     # (touched-partitions-sized, not total-state-sized)
     out = out.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # insertInto matches by POSITION: pin the catalog's column
-        # order (partition column last)
-        cols = [c for c in spark.table(table).columns if c != "_kb"]
-        out.select(*cols, "_kb").write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _dynamic_partition_overwrite(out, table, "_kb")
 
 
 def session_table_stats(spark: SparkSession, table: str, key_col: str = "user_id") -> DataFrame:

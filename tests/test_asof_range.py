@@ -205,3 +205,19 @@ def test_scd2_pit_join_validity_and_gap_nulls(spark):
     }
     assert half[101] is None
     assert half[102] == "v2" and half[104] == "v3"
+    # TIMESTAMP facts against DATE validity columns: inclusive end
+    # means "through the END of that day" — a 10:00 fact on the last
+    # valid day must match (date->timestamp promotion would compare
+    # against midnight and wrongly report a gap)
+    ts_facts = spark.createDataFrame(
+        [(201, T(2020, 12, 31, 10, 0)), (202, T(2021, 1, 1, 0, 0))],
+        "fid long, d timestamp",
+    ).withColumn("k", F.lit(1))
+    ts_out = {
+        r.fid: r.right_ver
+        for r in scd2_pit_join(
+            ts_facts, dim, on="k", fact_ts="d", dim_cols=["ver"]
+        ).collect()
+    }
+    assert ts_out[201] == "v1"  # inside v1 through end of 2020-12-31
+    assert ts_out[202] == "v2"  # first instant of v2

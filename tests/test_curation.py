@@ -756,6 +756,26 @@ def test_one_hot_sanitized_name_collisions_get_rank_suffix(spark):
     df = spark.createDataFrame(rows, "id int, c string")
     out = {r.id: r.asDict() for r in one_hot(df, "c", top_k=4).collect()}
     cols = sorted(k for k in out[1] if "_oh_" in k)
+    # a LITERAL value that sanitizes to an already-generated suffixed
+    # name must not overwrite it either: 'a 2'(x3) -> a_2; 'A'(x2) -> a;
+    # 'a'(x1) -> collides with 'a' AND the generated 'a_2' -> a_3
+    tricky = spark.createDataFrame(
+        [(1, "a 2"), (2, "a 2"), (3, "a 2"), (4, "A"), (5, "A"), (6, "a")],
+        "id int, c string",
+    )
+    t_out = {r.id: r.asDict() for r in one_hot(tricky, "c", top_k=3).collect()}
+    t_cols = sorted(k for k in t_out[1] if "_oh_" in k and k != "c_oh_other")
+    assert len(t_cols) == 3 and len(set(t_cols)) == 3, t_cols
+    for rid, val in ((1, "a 2"), (4, "A"), (6, "a")):
+        hits = [k for k, v in t_out[rid].items()
+                if "_oh_" in k and k != "c_oh_other" and v == 1]
+        assert len(hits) == 1, (val, hits)
+    # three distinct values -> three distinct indicator columns hit
+    assert len({
+        [k for k, v in t_out[rid].items()
+         if "_oh_" in k and k != "c_oh_other" and v == 1][0]
+        for rid in (1, 4, 6)
+    }) == 3
     # 'A'(n=2) -> c_oh_a; 'a_b'(n=2) -> c_oh_a_b; 'a'(n=1, later rank)
     # -> c_oh_a_2; 'a b'(n=1, ties broken by value, 'a b' < 'a_b' ...
     # actually 'a b' sorts before 'a_b') -> collision suffix on a_b

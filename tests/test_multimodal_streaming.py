@@ -347,6 +347,24 @@ def test_real_jpeg_decode_dependency_free(spark):
     # progressive-ish / truncated payloads fall through, never crash
     assert decode_jpeg(b"\xff\xd8\xff\xc2" + bytes(20)) is None
     assert decode_jpeg(jc[:40]) is None
+    # spec-legal variants other encoders emit must NOT fall through to
+    # the stub tier: (a) 0xFF fill bytes before a marker (T.81 B.1.1.2)
+    filled = jg[:2] + b"\xff\xff" + jg[2:]
+    assert parse_jpeg_header(filled) == (w, h, 1)
+    df2 = decode_jpeg(filled)
+    assert df2 is not None and df2[:3] == (w, h, 1)
+    # (b) single-component SOF declaring 2x2 sampling: non-interleaved
+    # scan, factors are ratios only — block grid stays ceil(w/8)xceil(h/8)
+    import struct as _struct  # noqa: F401
+
+    sof = jg.index(b"\xff\xc0")
+    hv_off = sof + 4 + 6 + 1  # len(2) prec(1) h(2) w(2) nc(1) cid(1)
+    patched = bytearray(jg)
+    assert patched[hv_off] == 0x11
+    patched[hv_off] = 0x22
+    dp = decode_jpeg(bytes(patched))
+    assert dp is not None and dp[:3] == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(dp[3], gray)) <= 12
 
     # Spark path: dims through decode_images, real resize output is
     # itself a decodable baseline JPEG
