@@ -1001,3 +1001,69 @@ def test_sessionize_chunked_equals_unchunked_property(spark, rows, chunk_mult):
         ).collect()
     }
     assert chunked == plain
+
+
+@given(
+    versions=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20), st.integers(1, 8)),
+        min_size=1,
+        max_size=12,
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-2, 30)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@PROP
+def test_scd2_pit_join_equals_naive_between_join(spark, versions, facts):
+    """The asof-walk + validity-mask PIT join must equal the naive
+    equi-join + BETWEEN filter on ARBITRARY version layouts — gaps,
+    open ends, facts before/after everything. Versions are built
+    non-overlapping per key (start = cumulative offsets, end = start +
+    len - 1 inclusive, last end open for key 1)."""
+    from datetime import date, timedelta
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        scd2_pit_join,
+    )
+
+    base = date(2020, 1, 1)
+    rows = []
+    cursor: dict[int, int] = {}
+    for k, gap, length in versions:
+        start = cursor.get(k, 0) + gap
+        end = start + length - 1
+        cursor[k] = end + 1
+        rows.append((k, base + timedelta(start), base + timedelta(end)))
+    # key 1's LAST version becomes open-ended
+    for i in range(len(rows) - 1, -1, -1):
+        if rows[i][0] == 1:
+            rows[i] = (1, rows[i][1], None)
+            break
+    dim = spark.createDataFrame(
+        [(k, s, e, f"v{i}") for i, (k, s, e) in enumerate(rows)],
+        "k long, start_dt date, end_dt date, ver string",
+    )
+    fdf = spark.createDataFrame(
+        [(i, k, base + timedelta(d)) for i, (k, d) in enumerate(facts)],
+        "fid long, k long, d date",
+    )
+    got = sorted(
+        (r.fid, r.right_ver)
+        for r in scd2_pit_join(fdf, dim, "k", "d", dim_cols=["ver"]).collect()
+    )
+    naive = sorted(
+        (r.fid, r.ver)
+        for r in fdf.alias("f")
+        .join(
+            dim.alias("v"),
+            (F.col("f.k") == F.col("v.k"))
+            & (F.col("f.d") >= F.col("v.start_dt"))
+            & (F.col("v.end_dt").isNull() | (F.col("f.d") <= F.col("v.end_dt"))),
+            "left",
+        )
+        .select("f.fid", "v.ver")
+        .collect()
+    )
+    assert got == naive
