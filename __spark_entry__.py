@@ -2356,6 +2356,66 @@ _SQL_FACT_SALES = (
 )
 
 
+def _q_g_fact_sales_pit(spark, sf_dir):
+    """Point-in-time star join (operators/joins.py::scd2_pit_join over
+    the medallion silver layer, new round 9): each sales fact attaches
+    the SCD-2 product VERSION valid at its order date — cost and line
+    as they were when the order was placed, not the current row the
+    reference's gold join uses. Orders before a product's first
+    version (TPC-H dates start 1992, versions 1995+) and NULL order
+    dates attach NULLs; superseded versions (every 4th product gets a
+    +200-day v2) stop matching the day v2 starts. One
+    |facts|+|versions| exchange on the product key (asof union walk) +
+    scan-fused validity mask; the oracle replays the BETWEEN validity
+    join over the same silver CTEs."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.joins import (
+        scd2_pit_join,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
+        silver_crm_prd_info,
+        silver_crm_sales_details,
+    )
+
+    sales = silver_crm_sales_details(
+        _synth_crm_sales_details(spark, sf_dir)
+    ).select(
+        "sls_ord_num",
+        # asof's union walk joins on a shared column name
+        F.col("sls_prd_key").alias("prd_key"),
+        "sls_order_dt",
+    )
+    prd = silver_crm_prd_info(_synth_crm_prd_info(spark, sf_dir)).select(
+        "prd_key", "prd_start_dt", "prd_end_dt", "prd_cost", "prd_line"
+    )
+    out = scd2_pit_join(
+        sales, prd, on="prd_key", fact_ts="sls_order_dt",
+        start_col="prd_start_dt", end_col="prd_end_dt",
+        dim_cols=["prd_cost", "prd_line"],
+    )
+    return out.select(
+        F.col("sls_ord_num").alias("order_number"),
+        F.col("prd_key").alias("product_number"),
+        F.col("sls_order_dt").cast("string").alias("order_date"),
+        F.col("right_prd_start_dt").cast("string").alias("version_start"),
+        F.col("right_prd_cost").alias("version_cost"),
+        F.col("right_prd_line").alias("version_line"),
+    )
+
+
+_SQL_FACT_SALES_PIT = (
+    f"WITH {_SQL_CRM_PRD}, {_SQL_CRM_SALES} "
+    "SELECT sd.sls_ord_num AS order_number, "
+    "sd.sls_prd_key AS product_number, "
+    "CAST(sd.sls_order_dt AS VARCHAR) AS order_date, "
+    "CAST(p.prd_start_dt AS VARCHAR) AS version_start, "
+    "p.prd_cost AS version_cost, p.prd_line AS version_line "
+    "FROM silver_sd sd LEFT JOIN silver_prd p "
+    "ON p.prd_key = sd.sls_prd_key "
+    "AND sd.sls_order_dt >= p.prd_start_dt "
+    "AND (p.prd_end_dt IS NULL OR sd.sls_order_dt <= p.prd_end_dt)"
+)
+
+
 # Entity-resolution CTEs shared by er_resolve / er_golden: the dirty
 # fixture (_er_dirty_customers), last-6-chars blocking, normalized-
 # levenshtein scoring, and a recursive-CTE transitive closure mirroring
@@ -4111,7 +4171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
         "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
-        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
+    # new in round 9 (swapped for the p3_p5_p9_field_ops pad,
+    # r05-green): PIT star join over the medallion SCD-2 silver layer
+        "g_fact_sales_pit": _q_g_fact_sales_pit,
     # new in round 9 (swapped for the p6_filter_eq pad, r05-green):
     # SCD-2 point-in-time validity join w/ gap-NULL semantics
         "j9_scd2_pit": _q_j9_scd2_pit,
@@ -4127,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- driver cap boundary (entry 50) — remainder of the r05
     # ---- tranche sits first behind the cap (next round's refresh
     # ---- candidates, oldest verdicts first)
+        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
         "p8_compound_filter": _q_p8_compound_filter,
         "f8_isin": _q_f8_isin,
@@ -5168,6 +5231,7 @@ def oracle_sql() -> dict[str, str]:
         "g_dim_customers_faithful": _SQL_DIM_CUSTOMERS,
         "g_dim_products": _SQL_DIM_PRODUCTS,
         "g_fact_sales": _SQL_FACT_SALES,
+        "g_fact_sales_pit": _SQL_FACT_SALES_PIT,
         # runner-wired twin: identical result contract, rows travelled
         # through the materialized bronze/silver/gold catalog DAG
         "g_pipeline_runner": _SQL_FACT_SALES,
