@@ -281,6 +281,10 @@ def main() -> None:
         # alongside q24's sessionize so the whole family has a baseline
         "q26_transitions": (qs["x2_transitions"], False),
         "q27_interarrival": (qs["x2_interarrival"], False),
+        # point-in-time star join (round 9): asof union-walk at fact
+        # scale (~600k facts x SCD-2 product versions at sf0.1) + the
+        # medallion silver repair chain feeding it
+        "q28_pit_star": (qs["g_fact_sales_pit"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

@@ -92,6 +92,7 @@ AUDIT = [
     "m_decode_jpeg",
     "j9_scd2_pit",
     "t_cluster_split",
+    "g_fact_sales_pit",
 ]
 
 
