@@ -291,8 +291,15 @@ def _next_marker(b: bytes, pos: int):
 
 def parse_jpeg_header(b: bytes):
     """(width, height, n_components) from the SOF0 of a BASELINE JPEG;
-    None for non-JPEG or non-baseline (progressive etc.) payloads —
-    header walk only, no entropy decode."""
+    None for non-JPEG, non-baseline (progressive etc.) or truncated
+    payloads — header walk only, no entropy decode, never raises."""
+    try:
+        return _parse_jpeg_header_inner(b)
+    except (IndexError, struct.error):
+        return None
+
+
+def _parse_jpeg_header_inner(b: bytes):
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2

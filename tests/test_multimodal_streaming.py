@@ -1176,3 +1176,53 @@ def test_stream_quarantine_replay_same_batch_id_is_noop(spark):
     assert len(_snap(spark, gt)) == 3
     spark.sql(f"DROP TABLE IF EXISTS {gt}")
     spark.sql(f"DROP TABLE IF EXISTS {qt}")
+
+
+def test_media_decoders_never_crash_on_fuzzed_bytes():
+    """Untrusted-blob contract: arbitrary byte soup — including inputs
+    that start with valid magic numbers and then go wrong — must come
+    back as None (fall through a tier) or a well-formed tuple, never an
+    exception. Deterministic fuzz: seeded RNG + structured prefixes."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_header,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        _parse_bmp,
+        _parse_wav,
+        encode_png,
+    )
+
+    rng = random.Random(1234)
+    magics = [
+        b"", b"\xff\xd8", b"\xff\xd8\xff\xe0", b"\x89PNG\r\n\x1a\n",
+        b"BM", b"RIFF....WAVE",
+    ]
+    real_jpeg = encode_jpeg(9, 7, bytes(range(63)), channels=1)
+    real_png = encode_png(5, 3, bytes(45), channels=3)
+    for trial in range(300):
+        prefix = rng.choice(magics)
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        blob = prefix + body
+        for fn in (decode_jpeg, parse_jpeg_header, _decode_png, _parse_bmp, _parse_wav):
+            out = fn(blob)
+            assert out is None or isinstance(out, tuple)
+    # truncations and single-byte corruptions of REAL payloads
+    for real, fns in (
+        (real_jpeg, (decode_jpeg, parse_jpeg_header)),
+        (real_png, (_decode_png,)),
+    ):
+        for cut in range(0, len(real), 7):
+            for fn in fns:
+                out = fn(real[:cut])
+                assert out is None or isinstance(out, tuple)
+        for _ in range(150):
+            i = rng.randrange(len(real))
+            mut = real[:i] + bytes([rng.randrange(256)]) + real[i + 1:]
+            for fn in fns:
+                out = fn(mut)
+                assert out is None or isinstance(out, tuple)
