@@ -2,6 +2,7 @@
 unchanged on Structured-Streaming DataFrames."""
 
 from .events import (  # noqa: F401
+    compact_batch_partitions,
     dedup_events,
     interval_join,
     run_available_now,

@@ -638,6 +638,53 @@ def _land_batch_partition(df: DataFrame, sink: str, batch_id: int) -> None:
     _dynamic_partition_overwrite(stamped, sink, "_batch_id")
 
 
+def compact_batch_partitions(
+    spark: SparkSession,
+    table: str,
+    keep_last: int = 1,
+    archive_id: int = -1,
+) -> dict:
+    """Maintenance for ``_batch_id``-partitioned sinks (quarantine,
+    span-dedup): fold every partition except the newest ``keep_last``
+    into ONE archive partition (``_batch_id = archive_id``), then drop
+    the folded partitions — a long-running stream otherwise accretes
+    one small partition per micro-batch forever. Replay-safe:
+    Structured Streaming only ever redelivers the most recent
+    uncommitted batch id, so with ``keep_last >= 1`` a replayed batch
+    still finds (and overwrites) its own partition.
+
+    Run while the stream is STOPPED. The archive write and the
+    partition drops are not one transaction (plain catalog partitions
+    have none — the snapshot-versioned tables in ``sources/versioned``
+    are the transactional tier): a crash between them leaves the
+    folded rows present twice until compaction is re-run after
+    clearing the archive partition. Returns
+    ``{"folded_partitions": n, "archived_rows": m}``.
+    """
+    part_rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+    ids = sorted(
+        int(r[0].split("=", 1)[1])
+        for r in part_rows
+        if int(r[0].split("=", 1)[1]) != archive_id
+    )
+    fold = ids[: max(0, len(ids) - keep_last)]
+    if not fold:
+        return {"folded_partitions": 0, "archived_rows": 0}
+    t = spark.table(table)
+    merged = t.filter(
+        F.col("_batch_id").isin(fold + [archive_id])
+    ).withColumn("_batch_id", F.lit(archive_id))
+    # reads the table being overwritten: materialize first
+    merged = merged.localCheckpoint(eager=True)
+    n_rows = merged.count()
+    _dynamic_partition_overwrite(merged, table, "_batch_id")
+    for bid in fold:
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION (_batch_id={bid})"
+        )
+    return {"folded_partitions": len(fold), "archived_rows": n_rows}
+
+
 def stream_frequency_sketch(
     sdf: DataFrame,
     table: str,

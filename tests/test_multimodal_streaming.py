@@ -936,6 +936,48 @@ def test_stream_histogram_sketch_merges_batches_into_table(spark, tmp_path):
     assert qs == qd
 
 
+def test_compact_batch_partitions_folds_and_preserves_rows(spark):
+    """Folding all but the newest batch partitions into the archive
+    must preserve the exact row multiset, keep the newest id intact
+    (the replay window), and be idempotent — a second compact with
+    nothing to fold is a no-op; later batches fold into the SAME
+    archive without losing earlier archived rows."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _land_batch_partition,
+        compact_batch_partitions,
+    )
+
+    t = "compact_sink_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    mk = lambda rows: spark.createDataFrame(rows, "event_id long, v long")
+    _land_batch_partition(mk([(1, 10), (2, 20)]), t, 0)
+    _land_batch_partition(mk([(3, 30)]), t, 1)
+    _land_batch_partition(mk([(4, 40)]), t, 2)
+    before = sorted((r.event_id, r.v) for r in spark.table(t).collect())
+
+    res = compact_batch_partitions(spark, t, keep_last=1)
+    assert res == {"folded_partitions": 2, "archived_rows": 3}
+    after = spark.table(t)
+    assert sorted((r.event_id, r.v) for r in after.collect()) == before
+    ids = {r[0] for r in after.select("_batch_id").distinct().collect()}
+    assert ids == {-1, 2}  # archive + the newest (replay-window) id
+    # idempotent when nothing left to fold
+    assert compact_batch_partitions(spark, t, keep_last=1) == {
+        "folded_partitions": 0, "archived_rows": 0,
+    }
+    # a later batch folds into the SAME archive, earlier rows intact
+    _land_batch_partition(mk([(5, 50)]), t, 3)
+    res2 = compact_batch_partitions(spark, t, keep_last=1)
+    assert res2["folded_partitions"] == 1 and res2["archived_rows"] == 4
+    final = sorted((r.event_id, r.v) for r in spark.table(t).collect())
+    assert final == sorted(before + [(5, 50)])
+    ids2 = {r[0] for r in spark.table(t).select("_batch_id").distinct().collect()}
+    assert ids2 == {-1, 3}
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_sketch_state_replay_guard_skips_applied_batch(spark):
     """Additive sketch state must not re-add a crash-redelivered batch:
     the whole-table _applied_batch stamp (atomic with the staged swap)
