@@ -4107,11 +4107,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verdict predates r05. Tranche-C pads are swap-eligible one-for-one
     for oracle-backed round-9 additions (annotate swaps inline).
 
-    r10 rotation plan: front the remainder of the r05 tranche (the 26
-    entries immediately behind the cap, f16_date_arith onward) plus any
-    tranche-C pads displaced by round-9 swaps, and fill the remainder
-    from the r06-verified tranche (v_cosine_topk onward, oldest first).
-    Run the registry meta-test after reordering."""
+    r10 rotation plan: front the 31 r05-latest entries immediately
+    behind the cap — the five tranche-C pads displaced by the round-9
+    swaps (p3_p5_p9_field_ops, p6_filter_eq, p8_compound_filter,
+    f8_isin, f_trim_upper; displaced by g_fact_sales_pit, j9_scd2_pit,
+    t_cluster_split, m_decode_jpeg, x2_sessionize_chunked
+    respectively) plus the 26 r05 remainder (f16_date_arith onward) —
+    and fill the remaining 19 slots from the r06-verified tranche
+    (v_cosine_topk onward, oldest first). Round-10 oracle-backed
+    additions swap one-for-one against the r06 pads. Run the registry
+    meta-test after reordering."""
     return {
     # ---- r09 tranche A: the fourteen r04-green pads displaced by the
     # ---- round-7 swaps, rotating back as promised (oldest oracle-
