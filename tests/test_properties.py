@@ -1067,3 +1067,56 @@ def test_scd2_pit_join_equals_naive_between_join(spark, versions, facts):
         .collect()
     )
     assert got == naive
+
+
+@given(
+    n=st.integers(2, 12),
+    edges=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@PROP
+def test_cluster_split_matches_python_closure(spark, n, edges):
+    """On ARBITRARY pair graphs (self-loops, duplicates, dangling ids
+    outside the row set), cluster_split's labels must equal a plain
+    Python union-find closure restricted to the rows, every cluster
+    must co-travel into one split, and no row may be lost or
+    duplicated."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        cluster_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(99, 99)], "id_a long, id_b long"
+    ) if edges else spark.createDataFrame([], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.split)
+           for r in cluster_split(df, "doc_id", pairs).collect()}
+    assert sorted(out) == list(range(1, n + 1))  # no loss, no dup
+    # python union-find over ALL edge endpoints
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # expected label = min reachable id (including ids outside the row
+    # set — connected_components labels by graph membership)
+    groups: dict[int, list[int]] = {}
+    for v in set(parent) | {v for e in edges for v in e}:
+        groups.setdefault(find(v), []).append(v)
+    label = {v: min(vs) for root, vs in groups.items() for v in vs}
+    for i in range(1, n + 1):
+        assert out[i][0] == label.get(i, i)
+    # co-travel: same cluster -> same split
+    by_cluster: dict[int, set] = {}
+    for i in range(1, n + 1):
+        by_cluster.setdefault(out[i][0], set()).add(out[i][1])
+    assert all(len(s) == 1 for s in by_cluster.values())
