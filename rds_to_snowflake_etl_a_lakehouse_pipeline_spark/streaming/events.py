@@ -642,47 +642,63 @@ def compact_batch_partitions(
     spark: SparkSession,
     table: str,
     keep_last: int = 1,
-    archive_id: int = -1,
 ) -> dict:
     """Maintenance for ``_batch_id``-partitioned sinks (quarantine,
-    span-dedup): fold every partition except the newest ``keep_last``
-    into ONE archive partition (``_batch_id = archive_id``), then drop
-    the folded partitions — a long-running stream otherwise accretes
-    one small partition per micro-batch forever. Replay-safe:
-    Structured Streaming only ever redelivers the most recent
-    uncommitted batch id, so with ``keep_last >= 1`` a replayed batch
-    still finds (and overwrites) its own partition.
+    span-dedup): fold every non-negative partition except the newest
+    ``keep_last`` into one NEW archive partition, then drop the folded
+    originals — a long-running stream otherwise accretes one small
+    partition per micro-batch forever. Replay-safe: Structured
+    Streaming only ever redelivers the most recent uncommitted batch
+    id, so with ``keep_last >= 1`` a replayed batch still finds (and
+    overwrites) its own partition.
 
-    Run while the stream is STOPPED. The archive write and the
-    partition drops are not one transaction (plain catalog partitions
-    have none — the snapshot-versioned tables in ``sources/versioned``
-    are the transactional tier): a crash between them leaves the
-    folded rows present twice until compaction is re-run after
-    clearing the archive partition. Returns
-    ``{"folded_partitions": n, "archived_rows": m}``.
+    Each run archives into ``_batch_id = -(max folded id + 1)`` — a
+    fresh negative id per compaction, never touched again — so a run
+    costs O(newly folded rows), NOT O(total archived history), and a
+    crash between the archive write and the drops is self-healing:
+    re-running folds the same ids into the same archive id via dynamic
+    overwrite (identical rows), then finishes the drops. Archive
+    partitions accumulate one per compaction (coarse — run weekly, get
+    weekly archives) and are excluded from later folds. Run while the
+    stream is STOPPED. Returns
+    ``{"folded_partitions": n, "archived_rows": m, "archive_id": a}``.
     """
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): the newest batch "
+            "partition is the streaming replay window — folding it lets a "
+            "crash-redelivered batch duplicate its rows beside the archive"
+        )
     part_rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
     ids = sorted(
-        int(r[0].split("=", 1)[1])
+        bid
         for r in part_rows
-        if int(r[0].split("=", 1)[1]) != archive_id
+        for bid in [int(r[0].split("=", 1)[1])]
+        if bid >= 0
     )
-    fold = ids[: max(0, len(ids) - keep_last)]
+    fold = ids[: len(ids) - keep_last]
     if not fold:
-        return {"folded_partitions": 0, "archived_rows": 0}
-    t = spark.table(table)
-    merged = t.filter(
-        F.col("_batch_id").isin(fold + [archive_id])
-    ).withColumn("_batch_id", F.lit(archive_id))
-    # reads the table being overwritten: materialize first
-    merged = merged.localCheckpoint(eager=True)
+        return {"folded_partitions": 0, "archived_rows": 0, "archive_id": None}
+    archive_id = -(max(fold) + 1)
+    merged = (
+        spark.table(table)
+        .filter(F.col("_batch_id").isin(fold))
+        .withColumn("_batch_id", F.lit(archive_id))
+        # reads the table being overwritten: materialize first
+        # (folded-rows-sized, never total-history-sized)
+        .localCheckpoint(eager=True)
+    )
     n_rows = merged.count()
     _dynamic_partition_overwrite(merged, table, "_batch_id")
     for bid in fold:
         spark.sql(
             f"ALTER TABLE {table} DROP IF EXISTS PARTITION (_batch_id={bid})"
         )
-    return {"folded_partitions": len(fold), "archived_rows": n_rows}
+    return {
+        "folded_partitions": len(fold),
+        "archived_rows": n_rows,
+        "archive_id": archive_id,
+    }
 
 
 def stream_frequency_sketch(

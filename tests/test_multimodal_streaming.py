@@ -958,23 +958,27 @@ def test_compact_batch_partitions_folds_and_preserves_rows(spark):
     before = sorted((r.event_id, r.v) for r in spark.table(t).collect())
 
     res = compact_batch_partitions(spark, t, keep_last=1)
-    assert res == {"folded_partitions": 2, "archived_rows": 3}
+    assert res == {"folded_partitions": 2, "archived_rows": 3, "archive_id": -2}
     after = spark.table(t)
     assert sorted((r.event_id, r.v) for r in after.collect()) == before
     ids = {r[0] for r in after.select("_batch_id").distinct().collect()}
-    assert ids == {-1, 2}  # archive + the newest (replay-window) id
+    assert ids == {-2, 2}  # archive + the newest (replay-window) id
     # idempotent when nothing left to fold
     assert compact_batch_partitions(spark, t, keep_last=1) == {
-        "folded_partitions": 0, "archived_rows": 0,
+        "folded_partitions": 0, "archived_rows": 0, "archive_id": None,
     }
-    # a later batch folds into the SAME archive, earlier rows intact
+    # a later compaction writes a NEW archive of only the newly folded
+    # rows — O(fold), never O(archived history); old archives untouched
     _land_batch_partition(mk([(5, 50)]), t, 3)
     res2 = compact_batch_partitions(spark, t, keep_last=1)
-    assert res2["folded_partitions"] == 1 and res2["archived_rows"] == 4
+    assert res2 == {"folded_partitions": 1, "archived_rows": 1, "archive_id": -3}
     final = sorted((r.event_id, r.v) for r in spark.table(t).collect())
     assert final == sorted(before + [(5, 50)])
     ids2 = {r[0] for r in spark.table(t).select("_batch_id").distinct().collect()}
-    assert ids2 == {-1, 3}
+    assert ids2 == {-3, -2, 3}
+    # replay-window guard: folding the newest partition is refused
+    with pytest.raises(ValueError, match="keep_last"):
+        compact_batch_partitions(spark, t, keep_last=0)
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -1253,10 +1257,20 @@ def test_media_decoders_never_crash_on_fuzzed_bytes():
         for fn in (decode_jpeg, parse_jpeg_header, _decode_png, _parse_bmp, _parse_wav):
             out = fn(blob)
             assert out is None or isinstance(out, tuple)
-    # truncations and single-byte corruptions of REAL payloads
+    # truncations and single-byte corruptions of REAL payloads — every
+    # decode tier, not just the compressed ones
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    real_bmp = encode_bmp(6, 4, bytes(72))
+    real_wav = encode_wav(8000, 1, b"\x01\x02" * 40)
     for real, fns in (
         (real_jpeg, (decode_jpeg, parse_jpeg_header)),
         (real_png, (_decode_png,)),
+        (real_bmp, (_parse_bmp,)),
+        (real_wav, (_parse_wav,)),
     ):
         for cut in range(0, len(real), 7):
             for fn in fns:

@@ -1089,12 +1089,15 @@ def test_cluster_split_matches_python_closure(spark, n, edges):
     )
 
     df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
-    pairs = spark.createDataFrame(
-        edges or [(99, 99)], "id_a long, id_b long"
-    ) if edges else spark.createDataFrame([], "id_a long, id_b long")
-    out = {r.doc_id: (r.cluster_id, r.split)
-           for r in cluster_split(df, "doc_id", pairs).collect()}
-    assert sorted(out) == list(range(1, n + 1))  # no loss, no dup
+    pairs = (
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    rows = cluster_split(df, "doc_id", pairs).collect()
+    # no loss AND no duplication: the raw row multiset, not a dict view
+    assert sorted(r.doc_id for r in rows) == list(range(1, n + 1))
+    out = {r.doc_id: (r.cluster_id, r.split) for r in rows}
     # python union-find over ALL edge endpoints
     parent: dict[int, int] = {}
     def find(x):
