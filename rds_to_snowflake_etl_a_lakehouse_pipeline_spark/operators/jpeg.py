@@ -350,6 +350,7 @@ def _decode_jpeg_inner(b: bytes, max_pixels: int):
     restart_interval = 0
     pos = 2
     scan = None
+    adobe_transform = None
     while pos + 4 <= len(b):
         nm = _next_marker(b, pos)
         if nm is None:
@@ -399,6 +400,9 @@ def _decode_jpeg_inner(b: bytes, max_pixels: int):
             return None  # not baseline sequential Huffman
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xEE:  # APP14 (Adobe): carries the color transform
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif m == 0xDA:  # SOS
             ns = seg[0]
             scan = []
@@ -410,6 +414,16 @@ def _decode_jpeg_inner(b: bytes, max_pixels: int):
         pos = after + seglen
     if scan is None or not comps or w == 0:
         return None
+    if len(comps) == 3:
+        # tier-1 contract is correctness: only the YCbCr convention is
+        # implemented, and a rare-but-spec-legal RGB-coded baseline
+        # JPEG (Adobe APP14 transform=0, or 'R','G','B' component ids)
+        # would decode with silently wrong colors — return None so it
+        # falls through to the PIL tier / stub instead
+        if adobe_transform == 0:
+            return None
+        if [c[0] for c in comps] == [0x52, 0x47, 0x42]:  # 'R','G','B'
+            return None
     if len(comps) == 1:
         # a single-component scan is NON-interleaved (T.81 A.2.2):
         # sampling factors only express ratios vs other components, so

@@ -578,18 +578,71 @@ def stream_versioned_merge(
     q.awaitTermination()
 
 
-def _replay_guarded_state(spark: SparkSession, table: str, batch_id: int):
+_STREAM_ID_CACHE: dict[str, str] = {}
+
+
+def _checkpoint_stream_id(spark: SparkSession, checkpoint_dir: str) -> str:
+    """The Structured Streaming query id persisted in the checkpoint's
+    ``metadata`` file — STABLE across restarts from the same checkpoint
+    (unlike ``runId``, which changes per start and would break crash
+    replay), and FRESH for a new/cleared checkpoint directory. This is
+    the scope every replay stamp must carry: bare batch ids restart at
+    0 when a stream is re-pointed at a new checkpoint, so a stamp that
+    is only a batch id collides with stale history in a reused state
+    table. Cached per directory (the id never changes for a dir);
+    falls back to the directory path itself if the metadata file is
+    unreadable (pre-start probing — still checkpoint-scoped)."""
+    sid = _STREAM_ID_CACHE.get(checkpoint_dir)
+    if sid is not None:
+        return sid
+    import json
+
+    path = checkpoint_dir.rstrip("/") + "/metadata"
+    try:
+        local = path[7:] if path.startswith("file://") else path
+        with open(local, encoding="utf-8") as fh:
+            sid = json.loads(fh.read())["id"]
+    except (OSError, KeyError, ValueError):
+        try:  # non-local checkpoint (HDFS/S3): read through Spark
+            txt = "".join(r[0] for r in spark.read.text(path).collect())
+            sid = json.loads(txt)["id"]
+        except Exception:
+            sid = checkpoint_dir
+    _STREAM_ID_CACHE[checkpoint_dir] = sid
+    return sid
+
+
+def _stream_stamp(stream_id: str, batch_id: int) -> int:
+    """Checkpoint-scoped replay stamp: a deterministic 64-bit hash of
+    (stream id, batch id). Deterministic so a crash-redelivered batch
+    reproduces its own stamp (the skip still works across process
+    restarts); stream-scoped so a FRESH checkpoint whose batch ids
+    restart at 0 can never collide with stamps a previous stream left
+    in a reused state table (bare-id stamps silently DROPPED such a
+    batch). Stays a bigint so every existing ``_applied_batch`` /
+    ``_src_batch`` column and partition schema is unchanged; legacy
+    bare-id stamps compare unequal to any hashed stamp (2^-64 chance),
+    which is exactly the correct "not applied by this stream" answer."""
+    import hashlib
+
+    h = hashlib.sha256(f"{stream_id}\x00{batch_id}".encode()).digest()
+    return int.from_bytes(h[:8], "big", signed=True)
+
+
+def _replay_guarded_state(spark: SparkSession, table: str, stamp: int):
     """Whole-table crash-replay guard for additive state (sketches):
-    the state carries the last applied ``_applied_batch`` (atomic with
-    the data — same stage-and-swap); returns None when this exact
-    batch id was already merged (skip), else the state WITHOUT the
+    the state carries the last applied stamp (``_applied_batch``,
+    atomic with the data — same stage-and-swap); returns None when this
+    exact stamp was already merged (skip), else the state WITHOUT the
     stamp column, ready to union with the batch. Without this, a batch
     redelivered after a crash-before-checkpoint would re-ADD its
-    counts into the sketch."""
+    counts into the sketch. ``stamp`` is the checkpoint-scoped
+    :func:`_stream_stamp`, never a bare batch id — see its docstring
+    for the fresh-checkpoint collision this prevents."""
     state = spark.table(table)
     if "_applied_batch" in state.columns:
         last = state.select(F.first("_applied_batch")).first()[0]
-        if last is not None and last == batch_id:
+        if last is not None and last == stamp:
             return None
         state = state.drop("_applied_batch")
     return state
@@ -613,7 +666,9 @@ def _dynamic_partition_overwrite(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def _land_batch_partition(df: DataFrame, sink: str, batch_id: int) -> None:
+def _land_batch_partition(
+    df: DataFrame, sink: str, batch_id: int, stream_id: str | None = None
+) -> None:
     """Land one micro-batch's rows in the sink's own ``_batch_id``
     partition via DYNAMIC partition overwrite — a batch redelivered
     after a crash-before-checkpoint overwrites its partition with
@@ -621,21 +676,189 @@ def _land_batch_partition(df: DataFrame, sink: str, batch_id: int) -> None:
     the quarantine and span-dedup sinks; batch-grain partitions double
     as compaction/triage units at scale.
 
+    ``stream_id`` (the checkpoint's :func:`_checkpoint_stream_id`)
+    guards the overwrite against CHECKPOINT CHANGES: batch ids restart
+    at 0 under a fresh checkpoint, so without the guard a reused sink's
+    old ``_batch_id=0`` partition would be silently REPLACED by the new
+    stream's batch 0 — data loss, not duplication. The sink records its
+    writer's stream id in table metadata; on mismatch every existing
+    non-negative partition is first folded into an archive partition
+    (:func:`_fold_batch_partitions` — the old stream will never replay
+    into this sink again, so its replay window may close), then the new
+    id is recorded and landing proceeds. Sinks that predate the
+    metadata adopt the current stream id on first contact (the past is
+    unverifiable; collisions before adoption are undetectable).
+
     LEGACY sinks (created by the pre-partitioning append path, no
     ``_batch_id`` column) keep plain appends — their original
     at-least-once contract — instead of failing the stream on a
     column-count mismatch."""
-    from ..sources.io import write_table
+    from ..sources.io import get_table_meta, set_table_meta, write_table
 
     spark = df.sparkSession
     stamped = df.withColumn("_batch_id", F.lit(batch_id))
     if not spark.catalog.tableExists(sink):
         write_table(stamped, sink, partition_by=["_batch_id"])
+        if stream_id is not None:
+            set_table_meta(spark, sink, stream_id=stream_id)
         return
     if "_batch_id" not in spark.table(sink).columns:
         write_table(df, sink, mode="append")
         return
+    if stream_id is not None:
+        recorded = get_table_meta(spark, sink).get("stream_id")
+        if recorded is None:
+            set_table_meta(spark, sink, stream_id=stream_id)
+        elif recorded != stream_id:
+            _resume_pending_fold(spark, sink)  # finish any crashed fold
+            ids = _batch_partition_ids(spark, sink)
+            if ids:
+                _fold_batch_partitions(spark, sink, max(ids))
+            set_table_meta(spark, sink, stream_id=stream_id)
     _dynamic_partition_overwrite(stamped, sink, "_batch_id")
+
+
+def _batch_partition_ids(spark: SparkSession, table: str) -> list[int]:
+    """Sorted non-negative ``_batch_id`` partition values (live batch
+    partitions; negatives are compaction archives)."""
+    part_rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+    return sorted(
+        bid
+        for r in part_rows
+        for bid in [int(r[0].split("=", 1)[1])]
+        if bid >= 0
+    )
+
+
+def _next_archive_id(spark: SparkSession, table: str) -> int:
+    """Allocate a fresh archive partition id: one below the most
+    negative existing id. NOT derived from the folded batch ids —
+    batch ids restart at 0 under a fresh checkpoint (see
+    :func:`_land_batch_partition`), so an id-derived archive slot
+    could collide with (and dynamic-overwrite away) an archive from a
+    previous stream epoch."""
+    part_rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+    negs = [
+        bid
+        for r in part_rows
+        for bid in [int(r[0].split("=", 1)[1])]
+        if bid < 0
+    ]
+    return (min(negs) if negs else 0) - 1
+
+
+def _pending_fold(spark: SparkSession, table: str):
+    """Read the fold manifest: ``(max_fold, archive_id, phase)`` or
+    None. The manifest is a table property written ATOMICALLY before
+    any data moves, so every crash window inside a fold is resumable
+    from it (see :func:`_fold_batch_partitions`)."""
+    from ..sources.io import get_table_meta
+
+    raw = get_table_meta(spark, table).get("pending_fold")
+    if not raw:
+        return None
+    max_fold, archive_id, phase = raw.split(":")
+    return int(max_fold), int(archive_id), phase
+
+
+def _set_pending_fold(
+    spark: SparkSession, table: str, max_fold: int, archive_id: int, phase: str
+) -> None:
+    from ..sources.io import set_table_meta
+
+    set_table_meta(
+        spark, table, pending_fold=f"{max_fold}:{archive_id}:{phase}"
+    )
+
+
+def _clear_pending_fold(spark: SparkSession, table: str) -> None:
+    from ..sources.io import _INDEX_META_PREFIX
+
+    spark.sql(
+        f"ALTER TABLE {table} UNSET TBLPROPERTIES IF EXISTS "
+        f"('{_INDEX_META_PREFIX}pending_fold')"
+    )
+
+
+def _fold_batch_partitions(
+    spark: SparkSession, table: str, max_fold: int
+) -> dict:
+    """Fold every live ``_batch_id`` partition ``<= max_fold`` into one
+    fresh archive partition, MANIFEST-FIRST so any crash resumes
+    exactly (never re-deriving the plan from post-crash state — the
+    bug class where new batches landing after a crash enlarge the fold
+    set, a different archive id is computed, and the still-undropped
+    rows are archived a second time beside the stale partial archive):
+
+    1. write manifest ``(max_fold, archive_id, staged)`` — atomic
+       catalog op, fixes the plan;
+    2. dynamic-overwrite the folded rows into ``archive_id`` (a crash
+       mid-write leaves at worst a partial archive partition, healed
+       because resume RE-OVERWRITES from the still-present sources);
+    3. advance manifest to ``archived`` — from here the archive is the
+       source of truth;
+    4. drop the folded source partitions (each idempotent);
+    5. clear the manifest.
+
+    Resume (:func:`_resume_pending_fold`) re-enters at the recorded
+    phase: ``staged`` ⇒ no source was dropped yet, so re-overwriting
+    the SAME archive id from sources is exact; ``archived`` ⇒ sources
+    still present are leftovers of an interrupted drop loop — just
+    finish dropping them. Both are idempotent under repeated crashes.
+    """
+    ids = [b for b in _batch_partition_ids(spark, table) if b <= max_fold]
+    if not ids:
+        return {"folded_partitions": 0, "archived_rows": 0, "archive_id": None}
+    archive_id = _next_archive_id(spark, table)
+    _set_pending_fold(spark, table, max_fold, archive_id, "staged")
+    return _execute_fold(spark, table, max_fold, archive_id, "staged")
+
+
+def _execute_fold(
+    spark: SparkSession,
+    table: str,
+    max_fold: int,
+    archive_id: int,
+    phase: str,
+) -> dict:
+    """Run a manifested fold from ``phase`` to completion (see
+    :func:`_fold_batch_partitions` for the protocol)."""
+    ids = [b for b in _batch_partition_ids(spark, table) if b <= max_fold]
+    n_rows = 0
+    if phase == "staged":
+        if ids:
+            merged = (
+                spark.table(table)
+                .filter(F.col("_batch_id").isin(ids))
+                .withColumn("_batch_id", F.lit(archive_id))
+                # reads the table being overwritten: materialize first
+                # (folded-rows-sized, never total-history-sized)
+                .localCheckpoint(eager=True)
+            )
+            n_rows = merged.count()
+            _dynamic_partition_overwrite(merged, table, "_batch_id")
+        _set_pending_fold(spark, table, max_fold, archive_id, "archived")
+    for bid in ids:
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION (_batch_id={bid})"
+        )
+    _clear_pending_fold(spark, table)
+    return {
+        "folded_partitions": len(ids),
+        "archived_rows": n_rows if phase == "staged" else None,
+        "archive_id": archive_id if ids else None,
+    }
+
+
+def _resume_pending_fold(spark: SparkSession, table: str) -> dict | None:
+    """Complete a fold a previous run crashed inside of, from its
+    manifest. Returns the completion stats, or None when no fold was
+    pending. Safe to call any time the owning stream is stopped."""
+    pending = _pending_fold(spark, table)
+    if pending is None:
+        return None
+    max_fold, archive_id, phase = pending
+    return _execute_fold(spark, table, max_fold, archive_id, phase)
 
 
 def compact_batch_partitions(
@@ -652,16 +875,21 @@ def compact_batch_partitions(
     id, so with ``keep_last >= 1`` a replayed batch still finds (and
     overwrites) its own partition.
 
-    Each run archives into ``_batch_id = -(max folded id + 1)`` — a
-    fresh negative id per compaction, never touched again — so a run
-    costs O(newly folded rows), NOT O(total archived history), and a
-    crash between the archive write and the drops is self-healing:
-    re-running folds the same ids into the same archive id via dynamic
-    overwrite (identical rows), then finishes the drops. Archive
+    Archive ids are allocated downward (``min existing negative − 1``,
+    never derived from batch ids, which restart under a fresh
+    checkpoint), one per compaction, never touched again — so a run
+    costs O(newly folded rows), NOT O(total archived history). Every
+    fold is MANIFEST-FIRST (``_fold_batch_partitions``): a crash in any
+    window — before the archive lands, mid-archive, between archive and
+    drops, mid-drops — resumes from the recorded plan on the next call,
+    never duplicating rows even if new batches landed in between (the
+    fold set is pinned by the manifest, not recomputed). Archive
     partitions accumulate one per compaction (coarse — run weekly, get
     weekly archives) and are excluded from later folds. Run while the
     stream is STOPPED. Returns
-    ``{"folded_partitions": n, "archived_rows": m, "archive_id": a}``.
+    ``{"folded_partitions": n, "archived_rows": m, "archive_id": a}``
+    for the new fold (resume of a crashed prior fold happens first and
+    is reported under ``"resumed"`` when one existed).
     """
     if keep_last < 1:
         raise ValueError(
@@ -669,36 +897,16 @@ def compact_batch_partitions(
             "partition is the streaming replay window — folding it lets a "
             "crash-redelivered batch duplicate its rows beside the archive"
         )
-    part_rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
-    ids = sorted(
-        bid
-        for r in part_rows
-        for bid in [int(r[0].split("=", 1)[1])]
-        if bid >= 0
-    )
+    resumed = _resume_pending_fold(spark, table)
+    ids = _batch_partition_ids(spark, table)
     fold = ids[: len(ids) - keep_last]
     if not fold:
-        return {"folded_partitions": 0, "archived_rows": 0, "archive_id": None}
-    archive_id = -(max(fold) + 1)
-    merged = (
-        spark.table(table)
-        .filter(F.col("_batch_id").isin(fold))
-        .withColumn("_batch_id", F.lit(archive_id))
-        # reads the table being overwritten: materialize first
-        # (folded-rows-sized, never total-history-sized)
-        .localCheckpoint(eager=True)
-    )
-    n_rows = merged.count()
-    _dynamic_partition_overwrite(merged, table, "_batch_id")
-    for bid in fold:
-        spark.sql(
-            f"ALTER TABLE {table} DROP IF EXISTS PARTITION (_batch_id={bid})"
-        )
-    return {
-        "folded_partitions": len(fold),
-        "archived_rows": n_rows,
-        "archive_id": archive_id,
-    }
+        out = {"folded_partitions": 0, "archived_rows": 0, "archive_id": None}
+    else:
+        out = _fold_batch_partitions(spark, table, max(fold))
+    if resumed is not None:
+        out["resumed"] = resumed
+    return out
 
 
 def stream_frequency_sketch(
@@ -740,8 +948,11 @@ def stream_frequency_sketch(
         batch_sketch = cms_sketch(
             batch_df, keys, value_col, depth=depth, width=width, seed=seed
         )
+        stamp = _stream_stamp(
+            _checkpoint_stream_id(spark, checkpoint_dir), batch_id
+        )
         if spark.catalog.tableExists(table):
-            state = _replay_guarded_state(spark, table, batch_id)
+            state = _replay_guarded_state(spark, table, stamp)
             if state is None:  # this exact batch already merged
                 return
             merged = cms_merge(state.unionByName(batch_sketch), keys)
@@ -750,7 +961,7 @@ def stream_frequency_sketch(
             merged = merged.localCheckpoint(eager=True)
         else:
             merged = batch_sketch
-        write_table(merged.withColumn("_applied_batch", F.lit(batch_id)), table)
+        write_table(merged.withColumn("_applied_batch", F.lit(stamp)), table)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)
@@ -793,8 +1004,11 @@ def stream_histogram_sketch(
             return
         spark = batch_df.sparkSession
         batch_sketch = hist_sketch(batch_df, keys, value_col, lo, hi, n_bins)
+        stamp = _stream_stamp(
+            _checkpoint_stream_id(spark, checkpoint_dir), batch_id
+        )
         if spark.catalog.tableExists(table):
-            state = _replay_guarded_state(spark, table, batch_id)
+            state = _replay_guarded_state(spark, table, stamp)
             if state is None:  # this exact batch already merged
                 return
             merged = hist_merge(
@@ -802,7 +1016,7 @@ def stream_histogram_sketch(
             ).localCheckpoint(eager=True)
         else:
             merged = batch_sketch
-        write_table(merged.withColumn("_applied_batch", F.lit(batch_id)), table)
+        write_table(merged.withColumn("_applied_batch", F.lit(stamp)), table)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)
@@ -844,18 +1058,22 @@ def stream_span_dedup(
     def _mask(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # batch_id threading makes the whole step replay-exact: the
+        # stamp threading makes the whole step replay-exact: the
         # probe EXCLUDES index rows this batch stamped (so a replay
         # after the index extension doesn't mask the batch against its
         # own spans), the re-append anti-joins to a no-op, and the
         # sink lands in the batch's own partition via dynamic
-        # overwrite (identical rows, never a duplicate copy)
+        # overwrite (identical rows, never a duplicate copy). The
+        # stamp is checkpoint-scoped (_stream_stamp): a fresh
+        # checkpoint whose ids restart at 0 can never alias stale
+        # _src_batch rows a previous stream left in a reused index.
+        sid = _checkpoint_stream_id(batch_df.sparkSession, checkpoint_dir)
         masked = span_incremental_dedup(
             batch_df.sparkSession, table, batch_df,
             id_col=id_col, text_col=text_col, k=k, append=True,
-            batch_id=batch_id,
+            batch_id=_stream_stamp(sid, batch_id),
         )
-        _land_batch_partition(masked, sink_table, batch_id)
+        _land_batch_partition(masked, sink_table, batch_id, stream_id=sid)
 
     q = (
         sdf.writeStream.foreachBatch(_mask)
@@ -946,9 +1164,15 @@ def stream_sessionize(
     ``session_stats`` emits. Runs with trigger=availableNow and blocks.
     """
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = _stream_stamp(
+            _checkpoint_stream_id(batch_df.sparkSession, checkpoint_dir),
+            batch_id,
+        )
         _sessionize_merge_batch(
             batch_df, batch_id, table, key_col, ts_col, gap_seconds,
-            state_partitions=state_partitions,
+            state_partitions=state_partitions, stamp=stamp,
         )
 
     q = (
@@ -970,16 +1194,32 @@ def _sessionize_merge_batch(
     ts_col: str,
     gap_seconds: int,
     state_partitions: int = 64,
+    stamp: int | None = None,
 ) -> None:
     """One :func:`stream_sessionize` micro-batch, exposed at module
     level so the crash-replay contract is directly testable: firing the
     SAME batch id twice must leave the state table unchanged, and a
-    batch must rewrite only the state partitions its keys hash into."""
+    batch must rewrite only the state partitions its keys hash into.
+    ``stamp`` is the checkpoint-scoped replay stamp (defaults to the
+    bare batch id for direct batch-mode calls; the streaming wrapper
+    always passes :func:`_stream_stamp`).
+
+    The state table's partition modulus is part of its physical
+    contract: a key's state row lives in the partition the modulus in
+    force AT WRITE TIME hashed it into, so probing with a different
+    ``state_partitions`` would silently miss existing rows and accrue
+    duplicate sessions. The modulus is therefore recorded in table
+    metadata at creation and VALIDATED on every batch — a mismatch
+    raises instead of corrupting (tables from before the metadata
+    existed adopt the caller's value on first contact, which is only
+    safe if the caller kept it constant — documented caveat)."""
     from ..operators.windows import sessionize
-    from ..sources.io import write_table
+    from ..sources.io import check_table_meta, get_table_meta, set_table_meta, write_table
 
     if batch_df.isEmpty():
         return
+    if stamp is None:
+        stamp = batch_id
     gap_us = gap_seconds * 1_000_000
     spark = batch_df.sparkSession
     bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(state_partitions))
@@ -1000,17 +1240,18 @@ def _sessionize_merge_batch(
     if not spark.catalog.tableExists(table):
         merged = (
             _fuse_intervals(batch_iv, key_col, gap_us)
-            .withColumn("_applied_batch", F.lit(batch_id))
+            .withColumn("_applied_batch", F.lit(stamp))
             .withColumn("_kb", bucket)
         )
         write_table(merged, table, partition_by=["_kb"])
+        set_table_meta(spark, table, state_partitions=state_partitions)
         return
 
     state = spark.table(table)
     if "_kb" not in state.columns:
         # legacy unpartitioned state (pre-round-9 layout): full
         # stage-and-swap rewrite with the whole-table replay stamp
-        state = _replay_guarded_state(spark, table, batch_id)
+        state = _replay_guarded_state(spark, table, stamp)
         if state is None:  # this exact batch already applied
             return
         touched_keys = batch_iv.select(key_col).distinct()
@@ -1018,8 +1259,16 @@ def _sessionize_merge_batch(
         untouched = state.join(F.broadcast(touched_keys), key_col, "leftanti")
         fused = _fuse_intervals(touched.unionByName(batch_iv), key_col, gap_us)
         merged = untouched.unionByName(fused).localCheckpoint(eager=True)
-        write_table(merged.withColumn("_applied_batch", F.lit(batch_id)), table)
+        write_table(merged.withColumn("_applied_batch", F.lit(stamp)), table)
         return
+
+    # raises on a state_partitions mismatch with the recorded physical
+    # modulus (silent mis-bucketing would duplicate sessions); tables
+    # from before the metadata adopt the caller's value here
+    if "state_partitions" in get_table_meta(spark, table):
+        check_table_meta(spark, table, state_partitions=state_partitions)
+    else:
+        set_table_meta(spark, table, state_partitions=state_partitions)
 
     batch_iv = batch_iv.withColumn("_kb", bucket)
     # touched partitions: bounded by state_partitions, tiny collect
@@ -1027,12 +1276,12 @@ def _sessionize_merge_batch(
         r[0] for r in batch_iv.select("_kb").distinct().collect()
     )
     # per-partition replay guard: a partition already stamped with this
-    # batch id was fully rewritten before the crash — skip exactly it
+    # batch's stamp was fully rewritten before the crash — skip exactly it
     done_kb = {
         r[0]
         for r in state.filter(
             F.col("_kb").isin(touched_kb)
-            & (F.col("_applied_batch") == batch_id)
+            & (F.col("_applied_batch") == stamp)
         ).select("_kb").distinct().collect()
     }
     todo_kb = [b for b in touched_kb if b not in done_kb]
@@ -1049,7 +1298,7 @@ def _sessionize_merge_batch(
         fuse_rows.drop("_kb").unionByName(biv.drop("_kb")), key_col, gap_us
     ).withColumn("_kb", bucket)
     out = bystanders.unionByName(fused).withColumn(
-        "_applied_batch", F.lit(batch_id)
+        "_applied_batch", F.lit(stamp)
     )
     # the plan reads the table being overwritten: materialize first
     # (touched-partitions-sized, not total-state-sized)
@@ -1103,8 +1352,10 @@ def stream_quarantine(
     (Batch-id partitioning also gives the dead-letter side natural
     batch-grain triage/replay and compaction units at scale.)"""
     def _route(batch_df: DataFrame, batch_id: int) -> None:
+        sid = _checkpoint_stream_id(batch_df.sparkSession, checkpoint_dir)
         _quarantine_route_batch(
-            batch_df, batch_id, good_table, quarantine_table, rules
+            batch_df, batch_id, good_table, quarantine_table, rules,
+            stream_id=sid,
         )
 
     q = (
@@ -1124,20 +1375,24 @@ def _quarantine_route_batch(
     good_table: str,
     quarantine_table: str,
     rules,
+    stream_id: str | None = None,
 ) -> None:
     """One :func:`stream_quarantine` micro-batch, exposed at module
     level so the crash-replay contract is directly testable: each
     batch lands in its own ``_batch_id`` partition via DYNAMIC
     partition overwrite (:func:`_land_batch_partition`), so re-firing
     a batch id replaces that partition with identical rows — both
-    sinks byte-stable under replay."""
+    sinks byte-stable under replay. ``stream_id`` scopes that
+    overwrite to the owning checkpoint (see
+    :func:`_land_batch_partition` — a fresh checkpoint's batch 0 must
+    not replace an old stream's partition 0)."""
     from ..plans.dq import quarantine_split
 
     if batch_df.isEmpty():
         return
     good, bad = quarantine_split(batch_df, rules)
-    _land_batch_partition(good, good_table, batch_id)
-    _land_batch_partition(bad, quarantine_table, batch_id)
+    _land_batch_partition(good, good_table, batch_id, stream_id=stream_id)
+    _land_batch_partition(bad, quarantine_table, batch_id, stream_id=stream_id)
 
 
 def stream_incremental_distinct(
@@ -1166,9 +1421,9 @@ def stream_incremental_distinct(
     State grows only with NEW tuples — redelivered or repeated events
     are absorbed by the anti-join, making the sink idempotent at the
     tuple level. Runs with trigger=availableNow and blocks."""
-    from ..sources.io import write_table
+    import re
 
-    bucket_by = (state_buckets, list(cols)) if state_buckets else None
+    from ..sources.io import get_table_meta, set_table_meta, write_table
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1176,14 +1431,26 @@ def stream_incremental_distinct(
         spark = batch_df.sparkSession
         fresh = batch_df.select(*cols).distinct()
         if spark.catalog.tableExists(table):
-            # a legacy (pre-bucketing) state table must keep appending
-            # unbucketed — a mismatched bucket spec on append is an error
-            ddl = spark.sql(f"SHOW CREATE TABLE {table}").first()[0]
-            bb = bucket_by if "CLUSTERED BY" in ddl else None
+            # the bucket spec is FIXED at table creation: appends must
+            # reuse the table's actual bucket count, IGNORING the
+            # caller's state_buckets — a caller restarting with a
+            # different value would otherwise fail every batch with a
+            # bucket-spec mismatch. Recorded in table metadata at
+            # creation; tables from before the metadata fall back to
+            # parsing the DDL ("INTO n BUCKETS"), and legacy
+            # pre-bucketing tables keep appending unbucketed.
+            n = get_table_meta(spark, table).get("state_buckets")
+            if n is None:
+                ddl = spark.sql(f"SHOW CREATE TABLE {table}").first()[0]
+                m = re.search(r"INTO (\d+) BUCKETS", ddl)
+                n = m.group(1) if m and "CLUSTERED BY" in ddl else "0"
+            bb = (int(n), list(cols)) if int(n) else None
             fresh = fresh.join(spark.table(table), cols, "left_anti")
             write_table(fresh, table, mode="append", bucket_by=bb)
         else:
+            bucket_by = (state_buckets, list(cols)) if state_buckets else None
             write_table(fresh, table, bucket_by=bucket_by)
+            set_table_meta(spark, table, state_buckets=state_buckets or 0)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)

@@ -958,11 +958,11 @@ def test_compact_batch_partitions_folds_and_preserves_rows(spark):
     before = sorted((r.event_id, r.v) for r in spark.table(t).collect())
 
     res = compact_batch_partitions(spark, t, keep_last=1)
-    assert res == {"folded_partitions": 2, "archived_rows": 3, "archive_id": -2}
+    assert res == {"folded_partitions": 2, "archived_rows": 3, "archive_id": -1}
     after = spark.table(t)
     assert sorted((r.event_id, r.v) for r in after.collect()) == before
     ids = {r[0] for r in after.select("_batch_id").distinct().collect()}
-    assert ids == {-2, 2}  # archive + the newest (replay-window) id
+    assert ids == {-1, 2}  # archive + the newest (replay-window) id
     # idempotent when nothing left to fold
     assert compact_batch_partitions(spark, t, keep_last=1) == {
         "folded_partitions": 0, "archived_rows": 0, "archive_id": None,
@@ -971,11 +971,11 @@ def test_compact_batch_partitions_folds_and_preserves_rows(spark):
     # rows — O(fold), never O(archived history); old archives untouched
     _land_batch_partition(mk([(5, 50)]), t, 3)
     res2 = compact_batch_partitions(spark, t, keep_last=1)
-    assert res2 == {"folded_partitions": 1, "archived_rows": 1, "archive_id": -3}
+    assert res2 == {"folded_partitions": 1, "archived_rows": 1, "archive_id": -2}
     final = sorted((r.event_id, r.v) for r in spark.table(t).collect())
     assert final == sorted(before + [(5, 50)])
     ids2 = {r[0] for r in spark.table(t).select("_batch_id").distinct().collect()}
-    assert ids2 == {-3, -2, 3}
+    assert ids2 == {-2, -1, 3}
     # replay-window guard: folding the newest partition is refused
     with pytest.raises(ValueError, match="keep_last"):
         compact_batch_partitions(spark, t, keep_last=0)
@@ -1282,3 +1282,230 @@ def test_media_decoders_never_crash_on_fuzzed_bytes():
             for fn in fns:
                 out = fn(mut)
                 assert out is None or isinstance(out, tuple)
+
+
+def test_compact_batch_partitions_resumes_crashed_fold(spark):
+    """The fold is manifest-first: a crash in ANY window (after manifest,
+    after archive, mid-drops) resumes exactly on the next call — even
+    when NEW batches landed in between — never duplicating rows. This
+    simulates each crash window by driving the internal phases."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _execute_fold,
+        _land_batch_partition,
+        _next_archive_id,
+        _set_pending_fold,
+        compact_batch_partitions,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "event_id long, v long")
+
+    # crash window 1: manifest written (phase=staged), nothing else ran;
+    # a NEW batch lands before the resume — it must NOT join the fold
+    t = "compact_crash_staged_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for bid, rows in [(0, [(1, 10)]), (1, [(2, 20)]), (2, [(3, 30)])]:
+        _land_batch_partition(mk(rows), t, bid)
+    _set_pending_fold(spark, t, max_fold=1, archive_id=-1, phase="staged")
+    _land_batch_partition(mk([(4, 40)]), t, 3)  # lands mid-crash
+    res = compact_batch_partitions(spark, t, keep_last=2)
+    # resume folded ids {0,1} into the MANIFESTED archive -1; the new
+    # top-level fold then had nothing to do (ids {2,3} minus keep 2)
+    assert res["resumed"] == {
+        "folded_partitions": 2, "archived_rows": 2, "archive_id": -1,
+    }
+    assert res["folded_partitions"] == 0
+    rows = sorted((r.event_id, r.v) for r in spark.table(t).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30), (4, 40)]  # no dup, no loss
+    ids = {r[0] for r in spark.table(t).select("_batch_id").distinct().collect()}
+    assert ids == {-1, 2, 3}
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # crash window 2: archive committed, manifest advanced to
+    # phase=archived, but the source drops never ran — resume must ONLY
+    # finish the drops (re-archiving would duplicate rows beside the
+    # completed archive)
+    t = "compact_crash_archived_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for bid, rows in [(0, [(1, 10)]), (1, [(2, 20)]), (2, [(3, 30)])]:
+        _land_batch_partition(mk(rows), t, bid)
+    aid = _next_archive_id(spark, t)
+    _set_pending_fold(spark, t, max_fold=1, archive_id=aid, phase="staged")
+    _execute_fold(spark, t, 1, aid, "staged")  # completes fully...
+    # ...then simulate the crash having happened between the archive
+    # commit and the drops: re-land the sources and restore the manifest
+    _land_batch_partition(mk([(1, 10)]), t, 0)
+    _land_batch_partition(mk([(2, 20)]), t, 1)
+    _set_pending_fold(spark, t, max_fold=1, archive_id=aid, phase="archived")
+    res = compact_batch_partitions(spark, t, keep_last=1)
+    assert res["resumed"]["folded_partitions"] == 2
+    assert res["resumed"]["archived_rows"] is None  # drops only
+    rows = sorted((r.event_id, r.v) for r in spark.table(t).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]  # exactly once
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_land_batch_partition_rebases_on_new_stream_id(spark):
+    """A sink reused under a FRESH checkpoint (batch ids restart at 0)
+    must not let the new stream's batch 0 overwrite the old stream's
+    partition 0: the recorded stream id mismatch folds all existing
+    batch partitions into an archive first, then lands the new batch."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _land_batch_partition,
+    )
+
+    t = "rebase_sink_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    mk = lambda rows: spark.createDataFrame(rows, "event_id long, v long")
+    _land_batch_partition(mk([(1, 10)]), t, 0, stream_id="stream-A")
+    _land_batch_partition(mk([(2, 20)]), t, 1, stream_id="stream-A")
+    # same stream replay: overwrites its own partition (idempotent)
+    _land_batch_partition(mk([(2, 20)]), t, 1, stream_id="stream-A")
+    assert spark.table(t).count() == 2
+    # new checkpoint: ids restart at 0 — old batch-0 rows must survive
+    _land_batch_partition(mk([(9, 90)]), t, 0, stream_id="stream-B")
+    rows = sorted((r.event_id, r.v) for r in spark.table(t).collect())
+    assert rows == [(1, 10), (2, 20), (9, 90)]
+    ids = {r[0] for r in spark.table(t).select("_batch_id").distinct().collect()}
+    assert ids == {-1, 0}  # old stream archived, new batch 0 live
+    # second stream-B batch does not re-fold
+    _land_batch_partition(mk([(10, 100)]), t, 1, stream_id="stream-B")
+    assert spark.table(t).count() == 4
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sessionize_state_partitions_mismatch_raises(spark):
+    """The sessionize state table's partition modulus is physical: a
+    batch probing with a different state_partitions would silently miss
+    existing state rows and duplicate sessions — it must raise."""
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _sessionize_merge_batch,
+    )
+
+    t = "sess_modulus_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long, ts timestamp")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    _sessionize_merge_batch(
+        mk([(1, t0)]), 0, t, "user_id", "ts", 1800, state_partitions=16
+    )
+    with _pytest.raises(ValueError, match="state_partitions"):
+        _sessionize_merge_batch(
+            mk([(1, t0)]), 1, t, "user_id", "ts", 1800, state_partitions=32
+        )
+    # matching modulus proceeds
+    _sessionize_merge_batch(
+        mk([(2, t0)]), 1, t, "user_id", "ts", 1800, state_partitions=16
+    )
+    assert spark.table(t).count() == 2
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sessionize_fresh_checkpoint_stamp_never_false_skips(spark):
+    """Bare batch ids restart at 0 under a new checkpoint: with the
+    checkpoint-scoped stamp, a reused state table must still APPLY the
+    new stream's batch 0 instead of silently skipping it because an old
+    partition happens to carry stamp 0."""
+    import datetime as dt
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _sessionize_merge_batch,
+        _stream_stamp,
+    )
+
+    t = "sess_fresh_ckpt_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long, ts timestamp")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # old stream, batch 0
+    _sessionize_merge_batch(
+        mk([(1, t0)]), 0, t, "user_id", "ts", 1800,
+        stamp=_stream_stamp("ckpt-old", 0),
+    )
+    # new checkpoint, ALSO batch 0, same key partition — must apply
+    _sessionize_merge_batch(
+        mk([(1, t0 + dt.timedelta(hours=6))]), 0, t, "user_id", "ts", 1800,
+        stamp=_stream_stamp("ckpt-new", 0),
+    )
+    assert spark.table(t).count() == 2  # two sessions, nothing dropped
+    # true replay under the SAME checkpoint still skips
+    _sessionize_merge_batch(
+        mk([(1, t0 + dt.timedelta(hours=6))]), 0, t, "user_id", "ts", 1800,
+        stamp=_stream_stamp("ckpt-new", 0),
+    )
+    assert spark.table(t).count() == 2
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_distinct_reuses_recorded_bucket_count(spark, tmp_path):
+    """Appends to an existing distinct-state table must reuse the bucket
+    count recorded at creation, ignoring the caller's state_buckets — a
+    restart with a different value otherwise fails every batch with a
+    bucket-spec AnalysisException."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_incremental_distinct,
+    )
+
+    t = "distinct_bucket_reuse_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    feed = str(tmp_path / "feed")
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long")
+    mk([(1,), (2,)]).coalesce(1).write.mode("append").parquet(feed)
+    sdf = spark.readStream.schema("user_id long").parquet(feed)
+    stream_incremental_distinct(
+        sdf, t, str(tmp_path / "ck1"), ["user_id"], state_buckets=8
+    )
+    # restart with a DIFFERENT state_buckets: must append under the
+    # recorded 8, not fail on a 32-vs-8 bucket mismatch
+    mk([(2,), (3,)]).coalesce(1).write.mode("append").parquet(feed)
+    sdf2 = spark.readStream.schema("user_id long").parquet(feed)
+    stream_incremental_distinct(
+        sdf2, t, str(tmp_path / "ck1"), ["user_id"], state_buckets=32
+    )
+    got = sorted(r[0] for r in spark.table(t).collect())
+    assert got == [1, 2, 3]
+    ddl = spark.sql(f"SHOW CREATE TABLE {t}").first()[0]
+    assert "INTO 8 BUCKETS" in ddl
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_jpeg_rgb_coded_baseline_falls_through():
+    """Tier-1 only implements the YCbCr convention: a spec-legal
+    RGB-coded baseline JPEG (Adobe APP14 transform=0, or component ids
+    'R','G','B') must return None — falling through to the PIL tier —
+    instead of decoding with silently wrong colors."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 8, 8
+    rgb = bytes((x * 3 + c) % 256 for x in range(w * h) for c in range(3))
+    blob = encode_jpeg(w, h, rgb, channels=3, quality=92)
+    assert decode_jpeg(blob) is not None  # sanity: plain YCbCr decodes
+
+    # inject an Adobe APP14 segment (transform=0 = RGB-coded) after SOI
+    app14 = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0])  # transform byte=0
+    seg = b"\xff\xee" + (len(app14) + 2).to_bytes(2, "big") + app14
+    adobe_rgb = blob[:2] + seg + blob[2:]
+    assert decode_jpeg(adobe_rgb) is None
+
+    # transform=1 (YCbCr) stays decodable
+    app14_y = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1])
+    seg_y = b"\xff\xee" + (len(app14_y) + 2).to_bytes(2, "big") + app14_y
+    assert decode_jpeg(blob[:2] + seg_y + blob[2:]) is not None
+
+    # component-id convention 'R','G','B': patch SOF0 + SOS ids 1,2,3
+    patched = bytearray(blob)
+    sof = patched.find(b"\xff\xc0")
+    assert sof >= 0
+    for i, cid in enumerate(b"RGB"):
+        patched[sof + 4 + 6 + 3 * i] = cid  # SOF0 component ids
+    sos = patched.find(b"\xff\xda")
+    assert sos >= 0
+    for i, cid in enumerate(b"RGB"):
+        patched[sos + 5 + 2 * i] = cid  # SOS component selectors
+    assert decode_jpeg(bytes(patched)) is None
