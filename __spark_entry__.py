@@ -4093,112 +4093,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only, and entries ROTATE
     across rounds so every registered query keeps a driver verdict
-    against CURRENT testdata. Round 9 executes the rotation exactly as
-    seeded in rounds 7/8 (round 8 shipped no commits, so this is the
-    carried-over plan): tranche A = the fourteen r04-green pads
-    displaced by the round-7 swaps plus the four r04-latest entries
-    displaced in round 6 — the oldest oracle-backed verdicts in the
-    registry; tranche B = the eight sanctioned rows-only r04 entries
-    (minhash/simhash/LSH/IVF/approx sketch internals — each holds an
-    oracle-green exact twin and bound pytests; their rotation refresh
-    was the registry's oldest debt); tranche C = twenty-four refresh
-    pads over the r05-verified tranche, oldest first (er_resolve, then
-    er_golden onward). After this round no registered query's newest
-    verdict predates r05. Tranche-C pads are swap-eligible one-for-one
-    for oracle-backed round-9 additions (annotate swaps inline).
+    against CURRENT testdata. Round 10 executes the rotation exactly
+    as seeded in round 9: tranche A = the five tranche-C pads the
+    round-9 swaps displaced (p3_p5_p9_field_ops, p6_filter_eq,
+    p8_compound_filter, f8_isin, f_trim_upper — the oldest r05-latest
+    verdicts in the registry); tranche B = the 26-entry r05 remainder
+    (f16_date_arith onward); tranche C = nineteen refresh pads over
+    the r06-verified tranche, oldest first (v_cosine_topk onward).
+    After this round no registered query's newest verdict predates
+    r06. Tranche-C pads are swap-eligible one-for-one for
+    oracle-backed round-10 additions (annotate swaps inline).
 
-    r10 rotation plan: front the 31 r05-latest entries immediately
-    behind the cap — the five tranche-C pads displaced by the round-9
-    swaps (p3_p5_p9_field_ops, p6_filter_eq, p8_compound_filter,
-    f8_isin, f_trim_upper; displaced by g_fact_sales_pit, j9_scd2_pit,
-    t_cluster_split, m_decode_jpeg, x2_sessionize_chunked
-    respectively) plus the 26 r05 remainder (f16_date_arith onward) —
-    and fill the remaining 19 slots from the r06-verified tranche
-    (v_cosine_topk onward, oldest first). Round-10 oracle-backed
-    additions swap one-for-one against the r06 pads. Run the registry
-    meta-test after reordering."""
+    r11 rotation plan: front the r06 remainder — the 31 entries from
+    v_mmr_rerank through m_media_decode (the oldest verdicts left
+    after this round) — and fill the remaining 19 slots from the
+    r08-verified tranche (a1_profile onward, oldest first). Round-11
+    oracle-backed additions swap one-for-one against the r08 pads.
+    Run the registry meta-test after reordering."""
     return {
-    # ---- r09 tranche A: the fourteen r04-green pads displaced by the
-    # ---- round-7 swaps, rotating back as promised (oldest oracle-
-    # ---- backed verdicts in the registry)
-        "a1_unpivot": _q_a1_unpivot,
-        "j_salted_skew": _q_j_salted_skew,
-        "s7_warehouse_sink": _q_s7_warehouse_sink,
-        "t_apply_mixture": _q_t_apply_mixture,
-        "t_best_per_lang": _q_t_best_per_lang,
-        "t_mixture_weights": _q_t_mixture_weights,
-        "t_pack_sequences": _q_t_pack_sequences,
-        "t_stratified_sample": _q_t_stratified_sample,
-        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
-        "w5_moving_avg": _q_w5_moving_avg,
-        "d_cosine_dedup": _q_d_cosine_dedup,
-        "d_exact_dedup": _q_d_exact_dedup,
-        "d_ngram_jaccard": _q_d_ngram_jaccard,
-        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
-    # ---- r09 tranche A': the four remaining r04-latest oracle-backed
-    # ---- entries (displaced in r06) — after this round NO registered
-    # ---- query's newest verdict predates r05
-        "x2_interval_join": _q_x2_interval_join,
-        "x2_range_join": _q_x2_range_join,
-        "x1_tumbling_window": _q_x1_tumbling_window,
-        "x1_session_window": _q_x1_session_window,
-    # ---- r09 tranche B: the eight sanctioned rows-only r04 entries
-    # ---- (sketch/ANN internals; each has an oracle-green exact twin
-    # ---- up front plus bound pytests) — their rotation refresh was
-    # ---- the oldest debt in the registry
-        "a1_approx_distinct": _q_a1_approx_distinct,
-        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
-        "d_minhash_dedup": _q_d_minhash_dedup,
-        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
-        "d_simhash_pairs": _q_d_simhash_pairs,
-        "v_ivf_index_topk": _q_v_ivf_index_topk,
-        "v_ivf_topk": _q_v_ivf_topk,
-        "v_lsh_topk": _q_v_lsh_topk,
-    # ---- r09 tranche C: refresh pads over the r05-verified tranche,
-    # ---- oldest first (er_resolve, then er_golden onward); swap-
-    # ---- eligible one-for-one for oracle-backed round-9 additions
-        "er_resolve": _q_er_resolve,
-        "er_golden": _q_er_golden,
-        "er_incremental": _q_er_incremental,
-        "x1_er_stream": _q_x1_er_stream,
-        "a1_groupby_agg": _q_a1_groupby_agg,
-        "j4_j5_fact_join": _q_j4_j5_fact_join,
-        "a1_cube": _q_a1_cube,
-        "a1_rollup": _q_a1_rollup,
-        "a1_grouping_sets": _q_a1_grouping_sets,
-        "a1_pivot": _q_a1_pivot,
-        "a1_percentile": _q_a1_percentile,
-        "t_global_shuffle": _q_t_global_shuffle,
-        "a1_count_distinct": _q_a1_count_distinct,
-        "s4_csv_source": _q_s4_csv_source,
-        "s4_json_source": _q_s4_json_source,
-        "s5_parquet_scan": _q_s5_parquet_scan,
-        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
-        "p1_projection": _q_p1_projection,
-        "p2_projection_rename": _q_p2_projection_rename,
-    # new in round 9 (swapped for the p3_p5_p9_field_ops pad,
-    # r05-green): PIT star join over the medallion SCD-2 silver layer
-        "g_fact_sales_pit": _q_g_fact_sales_pit,
-    # new in round 9 (swapped for the p6_filter_eq pad, r05-green):
-    # SCD-2 point-in-time validity join w/ gap-NULL semantics
-        "j9_scd2_pit": _q_j9_scd2_pit,
-    # new in round 9 (swapped for the p8_compound_filter pad,
-    # r05-green): leakage-safe cluster-aware train/val/test split
-        "t_cluster_split": _q_t_cluster_split,
-    # new in round 9 (swapped for the f8_isin pad, r05-green): real
-    # pure-Python baseline-JPEG codec roundtrip w/ arithmetic oracle
-        "m_decode_jpeg": _q_m_decode_jpeg,
-    # new in round 9 (swapped for the f_trim_upper pad, r05-green):
-    # skew-bounded chunked sessionization, same oracle as x2_sessionize
-        "x2_sessionize_chunked": _q_x2_sessionize_chunked,
-    # ---- driver cap boundary (entry 50) — remainder of the r05
-    # ---- tranche sits first behind the cap (next round's refresh
-    # ---- candidates, oldest verdicts first)
+    # ---- r10 tranche A: the five tranche-C pads displaced by the
+    # ---- round-9 swaps (oldest r05-latest verdicts in the registry)
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
         "p8_compound_filter": _q_p8_compound_filter,
         "f8_isin": _q_f8_isin,
         "f_trim_upper": _q_f_trim_upper,
+    # ---- r10 tranche B: the 26-entry r05 remainder (f16_date_arith
+    # ---- onward) — after this round no registered query's newest
+    # ---- verdict predates r06
         "f16_date_arith": _q_f16_date_arith,
         "r8_recompute_amount": _q_r8_recompute_amount,
         "j1_j2_enrich": _q_j1_j2_enrich,
@@ -4225,7 +4147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_curation_pipeline": _q_t_curation_pipeline,
         "v_l2_norm": _q_v_l2_norm,
         "s11_versioned_merge": _q_s11_versioned_merge,
-    # ---- r06-verified tranche
+    # ---- r10 tranche C: refresh pads over the r06-verified tranche,
+    # ---- oldest first (v_cosine_topk onward); swap-eligible one-for-
+    # ---- one for oracle-backed round-10 additions (annotate inline)
         "v_cosine_topk": _q_v_cosine_topk,
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
@@ -4245,6 +4169,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_semi_anti_join": _q_j6_semi_anti_join,
         "a1_cms_topk": _q_a1_cms_topk,
         "x1_cms_stream": _q_x1_cms_stream,
+    # ---- behind the cap: the r09-verified window (rotated out),
+    # ---- then the rest unchanged
+        "a1_unpivot": _q_a1_unpivot,
+        "j_salted_skew": _q_j_salted_skew,
+        "s7_warehouse_sink": _q_s7_warehouse_sink,
+        "t_apply_mixture": _q_t_apply_mixture,
+        "t_best_per_lang": _q_t_best_per_lang,
+        "t_mixture_weights": _q_t_mixture_weights,
+        "t_pack_sequences": _q_t_pack_sequences,
+        "t_stratified_sample": _q_t_stratified_sample,
+        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
+        "w5_moving_avg": _q_w5_moving_avg,
+        "d_cosine_dedup": _q_d_cosine_dedup,
+        "d_exact_dedup": _q_d_exact_dedup,
+        "d_ngram_jaccard": _q_d_ngram_jaccard,
+        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
+        "x2_interval_join": _q_x2_interval_join,
+        "x2_range_join": _q_x2_range_join,
+        "x1_tumbling_window": _q_x1_tumbling_window,
+        "x1_session_window": _q_x1_session_window,
+        "a1_approx_distinct": _q_a1_approx_distinct,
+        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
+        "d_simhash_pairs": _q_d_simhash_pairs,
+        "v_ivf_index_topk": _q_v_ivf_index_topk,
+        "v_ivf_topk": _q_v_ivf_topk,
+        "v_lsh_topk": _q_v_lsh_topk,
+        "er_resolve": _q_er_resolve,
+        "er_golden": _q_er_golden,
+        "er_incremental": _q_er_incremental,
+        "x1_er_stream": _q_x1_er_stream,
+        "a1_groupby_agg": _q_a1_groupby_agg,
+        "j4_j5_fact_join": _q_j4_j5_fact_join,
+        "a1_cube": _q_a1_cube,
+        "a1_rollup": _q_a1_rollup,
+        "a1_grouping_sets": _q_a1_grouping_sets,
+        "a1_pivot": _q_a1_pivot,
+        "a1_percentile": _q_a1_percentile,
+        "t_global_shuffle": _q_t_global_shuffle,
+        "a1_count_distinct": _q_a1_count_distinct,
+        "s4_csv_source": _q_s4_csv_source,
+        "s4_json_source": _q_s4_json_source,
+        "s5_parquet_scan": _q_s5_parquet_scan,
+        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
+        "p1_projection": _q_p1_projection,
+        "p2_projection_rename": _q_p2_projection_rename,
+        "g_fact_sales_pit": _q_g_fact_sales_pit,
+        "j9_scd2_pit": _q_j9_scd2_pit,
+        "t_cluster_split": _q_t_cluster_split,
+        "m_decode_jpeg": _q_m_decode_jpeg,
+        "x2_sessionize_chunked": _q_x2_sessionize_chunked,
         "v_mmr_rerank": _q_v_mmr_rerank,
         "v_knn_classify": _q_v_knn_classify,
         "t_weighted_sample": _q_t_weighted_sample,
@@ -4276,8 +4252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_funnel": _q_x2_funnel,
         "t_bm25_topk": _q_t_bm25_topk,
         "m_media_decode": _q_m_media_decode,
-    # ---- r08-verified tranche (the displaced round-8 front-50 — the
-    # ---- freshest verdicts in the registry, so they queue last)
         "a1_profile": _q_a1_profile,
         "x2_resample_ffill": _q_x2_resample_ffill,
         "a1_hist_quantile": _q_a1_hist_quantile,
