@@ -4089,6 +4089,206 @@ def _q_t_apply_mixture(spark, sf_dir):
     return out.select("doc_id", "lang", "copy_idx")
 
 
+# ---- reference-corpus parity: the medallion pipeline over the
+# ---- reference's OWN CRM/ERP CSV extracts (its de-facto acceptance
+# ---- test, SURVEY §5 item 3) — not synthetic shapes. sf_dir is
+# ---- ignored; the corpus is fixed. DuckDB replays the identical CSV
+# ---- reads, so the hash compare is parity on the real data.
+
+def _reference_sources(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.reference_corpus import (
+        load_reference_sources,
+    )
+
+    return load_reference_sources(spark)
+
+
+def _q_g_reference_dim_customers(spark, sf_dir):
+    """gold dim_customers over the real corpus: exercises R1 (5 real
+    duplicate cst_ids), R2/R3 (padded names/codes), R4 (11,042 NAS ids,
+    hyphenated loc ids), R10 (16 genuinely future birthdates), R11,
+    J1+J2 and W2 on 18,484 surviving customers."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
+        gold_dim_customers,
+        silver_crm_cust_info,
+        silver_erp_cust_az12,
+        silver_erp_loc_a101,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.reference_corpus import (
+        REFERENCE_AS_OF,
+    )
+
+    src = _reference_sources(spark)
+    cust = silver_crm_cust_info(src["crm_cust_info"])
+    az12 = silver_erp_cust_az12(src["erp_cust_az12"], as_of=REFERENCE_AS_OF)
+    loc = silver_erp_loc_a101(src["erp_loc_a101"])
+    dim = gold_dim_customers(cust, az12, loc)
+    return dim.withColumn("birthdate", F.col("birthdate").cast("string")).withColumn(
+        "create_date", F.col("create_date").cast("string")
+    )
+
+
+def _q_g_reference_fact_sales(spark, sf_dir):
+    """gold fact_sales over the real corpus: R7 (19 zero/short integer
+    dates), R8 (20 sales!=qty*price rows), R9 (12 NULL/non-positive
+    prices), J4+J5 against both real dims; 60,398 facts out, none
+    dropped (left joins)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
+        gold_dim_products,
+        gold_fact_sales,
+        silver_crm_prd_info,
+        silver_crm_sales_details,
+        silver_erp_px_cat_g1v2,
+    )
+
+    src = _reference_sources(spark)
+    sales = silver_crm_sales_details(src["crm_sales_details"])
+    dim_prod = gold_dim_products(
+        silver_crm_prd_info(src["crm_prd_info"]),
+        silver_erp_px_cat_g1v2(src["erp_px_cat_g1v2"]),
+    )
+    dim_cust = _q_g_reference_dim_customers(spark, sf_dir).select(
+        "customer_key", "customer_id"
+    )
+    fact = gold_fact_sales(sales, dim_prod, dim_cust)
+    return (
+        fact.withColumn("order_date", F.col("order_date").cast("string"))
+        .withColumn("shipping_date", F.col("shipping_date").cast("string"))
+        .withColumn("due_date", F.col("due_date").cast("string"))
+    )
+
+
+_REF_BASE = "/root/reference/datasets"
+
+_SQL_REF_CUST = (
+    f"rawc AS (SELECT * FROM read_csv('{_REF_BASE}/crm/cust_info.csv', "
+    "header=true, columns={'cst_id':'INTEGER','cst_key':'VARCHAR',"
+    "'cst_firstname':'VARCHAR','cst_lastname':'VARCHAR',"
+    "'cst_marital_status':'VARCHAR','cst_gndr':'VARCHAR',"
+    "'cst_create_date':'DATE'})), "
+    "silver_cust AS (SELECT cst_id, cst_key, "
+    "trim(cst_firstname) AS cst_firstname, trim(cst_lastname) AS cst_lastname, "
+    "CASE upper(trim(cst_marital_status)) WHEN 'S' THEN 'Single' "
+    "WHEN 'M' THEN 'Married' ELSE 'n/a' END AS cst_marital_status, "
+    "CASE upper(trim(cst_gndr)) WHEN 'F' THEN 'Female' WHEN 'M' THEN 'Male' "
+    "ELSE 'n/a' END AS cst_gndr, cst_create_date FROM ("
+    "SELECT * FROM rawc QUALIFY row_number() OVER (PARTITION BY cst_id "
+    "ORDER BY cst_create_date DESC) = 1) WHERE cst_id IS NOT NULL)"
+)
+
+_SQL_REF_AZ12 = (
+    f"rawaz AS (SELECT * FROM read_csv('{_REF_BASE}/erp/CUST_AZ12.csv', "
+    "header=true, columns={'cid':'VARCHAR','bdate':'DATE','gen':'VARCHAR'})), "
+    "silver_az12 AS (SELECT "
+    "CASE WHEN cid LIKE 'NAS%' THEN substring(cid, 4) ELSE cid END AS cid, "
+    "CASE WHEN bdate > DATE '2026-01-01' THEN NULL ELSE bdate END AS bdate, "
+    "CASE upper(trim(gen)) WHEN 'F' THEN 'Female' WHEN 'FEMALE' THEN 'Female' "
+    "WHEN 'M' THEN 'Male' WHEN 'MALE' THEN 'Male' ELSE 'n/a' END AS gen "
+    "FROM rawaz)"
+)
+
+_SQL_REF_LOC = (
+    f"rawloc AS (SELECT * FROM read_csv('{_REF_BASE}/erp/LOC_A101.csv', "
+    "header=true, columns={'cid':'VARCHAR','cntry':'VARCHAR'})), "
+    "silver_loc AS (SELECT regexp_replace(cid, '-', '', 'g') AS cid, "
+    "CASE WHEN trim(cntry) IS NULL OR trim(cntry) = '' THEN 'n/a' "
+    "WHEN trim(cntry) = 'DE' THEN 'Germany' "
+    "WHEN trim(cntry) IN ('US', 'USA') THEN 'United States' "
+    "ELSE trim(cntry) END AS cntry FROM rawloc)"
+)
+
+_SQL_REF_DIMC = (
+    "dimc AS (SELECT row_number() OVER (ORDER BY ci.cst_id) AS customer_key, "
+    "ci.cst_id AS customer_id, ci.cst_key AS customer_number, "
+    "ci.cst_firstname AS first_name, ci.cst_lastname AS last_name, "
+    "la.cntry AS country, ci.cst_marital_status AS marital_status, "
+    "CASE WHEN ci.cst_gndr IS NOT NULL AND ci.cst_gndr <> 'n/a' THEN ci.cst_gndr "
+    "ELSE coalesce(ca.gen, 'n/a') END AS gender, "
+    "CAST(ca.bdate AS VARCHAR) AS birthdate, "
+    "CAST(ci.cst_create_date AS VARCHAR) AS create_date "
+    "FROM silver_cust ci LEFT JOIN silver_az12 ca ON ci.cst_key = ca.cid "
+    "LEFT JOIN silver_loc la ON ci.cst_key = la.cid)"
+)
+
+_SQL_REF_DIM_CUSTOMERS = (
+    f"WITH {_SQL_REF_CUST}, {_SQL_REF_AZ12}, {_SQL_REF_LOC}, {_SQL_REF_DIMC} "
+    "SELECT * FROM dimc"
+)
+
+_SQL_REF_PRD = (
+    f"rawp AS (SELECT * FROM read_csv('{_REF_BASE}/crm/prd_info.csv', "
+    "header=true, columns={'prd_id':'INTEGER','prd_key':'VARCHAR',"
+    "'prd_nm':'VARCHAR','prd_cost':'INTEGER','prd_line':'VARCHAR',"
+    "'prd_start_dt':'DATE','prd_end_dt':'DATE'})), "
+    # the raw prd_end_dt is ignored: R6 recomputes it (SCD-2 close over
+    # the SPLIT key, matching silver_crm_prd_info)
+    "silver_prd AS (SELECT prd_id, "
+    "replace(substring(prd_key, 1, 5), '-', '_') AS cat_id, "
+    "substring(prd_key, 7) AS prd_key, prd_nm, "
+    "coalesce(prd_cost, 0) AS prd_cost, "
+    "CASE upper(trim(prd_line)) WHEN 'M' THEN 'Mountain' WHEN 'R' THEN 'Road' "
+    "WHEN 'S' THEN 'Other Sales' WHEN 'T' THEN 'Touring' ELSE 'n/a' END "
+    "AS prd_line, prd_start_dt, "
+    "CAST(lead(prd_start_dt) OVER (PARTITION BY substring(prd_key, 7) "
+    "ORDER BY prd_start_dt) - INTERVAL 1 DAY AS DATE) AS prd_end_dt "
+    "FROM rawp)"
+)
+
+_SQL_REF_CATS = (
+    f"cats AS (SELECT * FROM read_csv('{_REF_BASE}/erp/PX_CAT_G1V2.csv', "
+    "header=true, columns={'id':'VARCHAR','cat':'VARCHAR','subcat':'VARCHAR',"
+    "'maintenance':'VARCHAR'}))"
+)
+
+_SQL_REF_DIMP = (
+    "dimp AS (SELECT row_number() OVER (ORDER BY pn.prd_start_dt, pn.prd_key) "
+    "AS product_key, pn.prd_key AS product_number "
+    "FROM silver_prd pn LEFT JOIN cats pc ON pn.cat_id = pc.id "
+    "WHERE pn.prd_end_dt IS NULL)"
+)
+
+_SQL_REF_SALES = (
+    f"rawsd AS (SELECT * FROM read_csv('{_REF_BASE}/crm/sales_details.csv', "
+    "header=true, columns={'sls_ord_num':'VARCHAR','sls_prd_key':'VARCHAR',"
+    "'sls_cust_id':'INTEGER','sls_order_dt':'INTEGER','sls_ship_dt':'INTEGER',"
+    "'sls_due_dt':'INTEGER','sls_sales':'INTEGER','sls_quantity':'INTEGER',"
+    "'sls_price':'INTEGER'})), "
+    "silver_sales AS (SELECT sls_ord_num, sls_prd_key, sls_cust_id, "
+    "CASE WHEN sls_order_dt = 0 OR length(CAST(sls_order_dt AS VARCHAR)) <> 8 "
+    "THEN NULL ELSE CAST(try_strptime(CAST(sls_order_dt AS VARCHAR), '%Y%m%d') "
+    "AS DATE) END AS sls_order_dt, "
+    "CASE WHEN sls_ship_dt = 0 OR length(CAST(sls_ship_dt AS VARCHAR)) <> 8 "
+    "THEN NULL ELSE CAST(try_strptime(CAST(sls_ship_dt AS VARCHAR), '%Y%m%d') "
+    "AS DATE) END AS sls_ship_dt, "
+    "CASE WHEN sls_due_dt = 0 OR length(CAST(sls_due_dt AS VARCHAR)) <> 8 "
+    "THEN NULL ELSE CAST(try_strptime(CAST(sls_due_dt AS VARCHAR), '%Y%m%d') "
+    "AS DATE) END AS sls_due_dt, "
+    "CAST(CASE WHEN sls_sales IS NULL OR sls_sales <= 0 "
+    "OR sls_sales <> sls_quantity * abs(sls_price) "
+    "THEN sls_quantity * abs(sls_price) ELSE sls_sales END AS DOUBLE) "
+    "AS sls_sales_f, sls_quantity, sls_price FROM rawsd), "
+    "silver_sd AS (SELECT sls_ord_num, sls_prd_key, sls_cust_id, sls_order_dt, "
+    "sls_ship_dt, sls_due_dt, sls_sales_f AS sls_sales, sls_quantity, "
+    "CASE WHEN sls_price IS NULL OR sls_price <= 0 THEN sls_sales_f / "
+    "(CASE WHEN sls_quantity <> 0 THEN sls_quantity ELSE 1 END) "
+    "ELSE CAST(sls_price AS DOUBLE) END AS sls_price FROM silver_sales)"
+)
+
+_SQL_REF_FACT_SALES = (
+    f"WITH {_SQL_REF_CUST}, {_SQL_REF_AZ12}, {_SQL_REF_LOC}, {_SQL_REF_DIMC}, "
+    f"{_SQL_REF_PRD}, {_SQL_REF_CATS}, {_SQL_REF_DIMP}, {_SQL_REF_SALES} "
+    "SELECT sd.sls_ord_num AS order_number, pr.product_key, cu.customer_key, "
+    "CAST(sd.sls_order_dt AS VARCHAR) AS order_date, "
+    "CAST(sd.sls_ship_dt AS VARCHAR) AS shipping_date, "
+    "CAST(sd.sls_due_dt AS VARCHAR) AS due_date, "
+    "sd.sls_sales AS sales_amount, sd.sls_quantity AS quantity, "
+    "sd.sls_price AS price "
+    "FROM silver_sd sd "
+    "LEFT JOIN dimp pr ON sd.sls_prd_key = pr.product_number "
+    "LEFT JOIN dimc cu ON sd.sls_cust_id = cu.customer_id"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only, and entries ROTATE
@@ -4167,10 +4367,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_span_dedup": _q_t_span_dedup,
         "d_span_index_dedup": _q_d_span_index_dedup,
         "j6_semi_anti_join": _q_j6_semi_anti_join,
+    # round-10 additions, swapped one-for-one for the last two r06 pads
+    # (a1_cms_topk, x1_cms_stream — displaced behind the cap): the
+    # medallion pipeline over the reference's REAL CRM/ERP CSVs
+        "g_reference_dim_customers": _q_g_reference_dim_customers,
+        "g_reference_fact_sales": _q_g_reference_fact_sales,
+    # ---- behind the cap: the two pads displaced by the round-10
+    # ---- swaps, then the r09-verified window (rotated out), then the
+    # ---- rest unchanged
         "a1_cms_topk": _q_a1_cms_topk,
         "x1_cms_stream": _q_x1_cms_stream,
-    # ---- behind the cap: the r09-verified window (rotated out),
-    # ---- then the rest unchanged
         "a1_unpivot": _q_a1_unpivot,
         "j_salted_skew": _q_j_salted_skew,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -5210,6 +5416,8 @@ def oracle_sql() -> dict[str, str]:
         "g_dim_customers_faithful": _SQL_DIM_CUSTOMERS,
         "g_dim_products": _SQL_DIM_PRODUCTS,
         "g_fact_sales": _SQL_FACT_SALES,
+        "g_reference_dim_customers": _SQL_REF_DIM_CUSTOMERS,
+        "g_reference_fact_sales": _SQL_REF_FACT_SALES,
         "g_fact_sales_pit": _SQL_FACT_SALES_PIT,
         # runner-wired twin: identical result contract, rows travelled
         # through the materialized bronze/silver/gold catalog DAG
