@@ -4289,6 +4289,77 @@ _SQL_REF_FACT_SALES = (
 )
 
 
+def _q_m_image_ahash_pairs(spark, sf_dir):
+    """Image perceptual near-dup — the multimodal twin of MinHash
+    (operators/multimodal.py::image_perceptual_hash + image_hash_pairs,
+    round 10): per document a deterministic 16×16 gray gradient
+    (px = a·x + b·y + k with a = 1 + g%7, b = 1 + g%5, g = doc_id//2,
+    and a brightness offset k = 7·(doc_id%2) + g%5) is encoded as a
+    REAL BMP, decoded back through the real pixel tier, aHashed
+    (area-mean 8×8 grid, exact rational compares), and Hamming-banded
+    into near-dup pairs (≤ 2). The brightness term k CANCELS in aHash,
+    so even/odd siblings pair at hamming 0 through the actual
+    decode→hash path; the oracle recomputes every hash ARITHMETICALLY
+    from the closed form (bit(i,j) = a(4i+1) + b(4j+1) > 15(a+b)) and
+    scores all pairs — any decode, luma, downsample, banding, or
+    bit_count defect hash-mismatches. Banding recall is total here by
+    pigeonhole (4 bands > max_hamming 2)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        image_hash_pairs,
+        image_perceptual_hash,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 2
+                a, b, k = 1 + g % 7, 1 + g % 5, 7 * (did % 2) + g % 5
+                px = bytes(
+                    v
+                    for y in range(16)
+                    for x in range(16)
+                    for v in (a * x + b * y + k,) * 3
+                )
+                blobs.append(encode_bmp(16, 16, px))
+            pdf["content"] = blobs
+            yield pdf
+
+    blobs = d.mapInPandas(make, "doc_id long, content binary")
+    hashes = image_perceptual_hash(blobs, "content", method="ahash")
+    pairs = image_hash_pairs(hashes, "doc_id", "phash", max_hamming=2)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+_SQL_IMAGE_AHASH_PAIRS = (
+    "WITH params AS (SELECT doc_id, "
+    "1 + (doc_id // 2) % 7 AS a, 1 + (doc_id // 2) % 5 AS b FROM documents), "
+    "grid AS (SELECT i.i, j.j FROM generate_series(0, 7) i(i), "
+    "generate_series(0, 7) j(j)), "
+    # closed-form aHash of the 16x16 gradient a*x + b*y + k: cell (i,j)
+    # mean = a(2i+.5) + b(2j+.5) + k, mean of means = 7.5(a+b) + k; the
+    # brightness k cancels -> bit = a(4i+1) + b(4j+1) > 15(a+b)
+    "uh AS (SELECT doc_id, sum(CASE WHEN a * (4 * i + 1) + b * (4 * j + 1) "
+    "> 15 * (a + b) THEN CAST(1 AS HUGEINT) << (j * 8 + i) "
+    "ELSE CAST(0 AS HUGEINT) END) AS u FROM params, grid GROUP BY doc_id), "
+    "hashes AS (SELECT doc_id, CAST(u - CASE WHEN u >= CAST("
+    "'9223372036854775808' AS HUGEINT) THEN CAST("
+    "'18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT) AS h FROM uh) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming "
+    "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.h, b.h)) <= 2"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only, and entries ROTATE
@@ -4366,7 +4437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r12_current_rows": _q_r12_current_rows,
         "t_span_dedup": _q_t_span_dedup,
         "d_span_index_dedup": _q_d_span_index_dedup,
-        "j6_semi_anti_join": _q_j6_semi_anti_join,
+    # round-10 addition, swapped for the r06 pad j6_semi_anti_join
+    # (displaced behind the cap): perceptual image near-dup over the
+    # real BMP codec + aHash + Hamming banding
+        "m_image_ahash_pairs": _q_m_image_ahash_pairs,
     # round-10 additions, swapped one-for-one for the last two r06 pads
     # (a1_cms_topk, x1_cms_stream — displaced behind the cap): the
     # medallion pipeline over the reference's REAL CRM/ERP CSVs
@@ -4377,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- rest unchanged
         "a1_cms_topk": _q_a1_cms_topk,
         "x1_cms_stream": _q_x1_cms_stream,
+        "j6_semi_anti_join": _q_j6_semi_anti_join,
         "a1_unpivot": _q_a1_unpivot,
         "j_salted_skew": _q_j_salted_skew,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -5418,6 +5493,7 @@ def oracle_sql() -> dict[str, str]:
         "g_fact_sales": _SQL_FACT_SALES,
         "g_reference_dim_customers": _SQL_REF_DIM_CUSTOMERS,
         "g_reference_fact_sales": _SQL_REF_FACT_SALES,
+        "m_image_ahash_pairs": _SQL_IMAGE_AHASH_PAIRS,
         "g_fact_sales_pit": _SQL_FACT_SALES_PIT,
         # runner-wired twin: identical result contract, rows travelled
         # through the materialized bronze/silver/gold catalog DAG

@@ -228,6 +228,225 @@ def _decode_png(b: bytes, max_pixels: int = _MAX_PNG_PIXELS):
     return w, h, ch, bytes(out)
 
 
+def _decode_bmp(b: bytes):
+    """(width, height, channels, top-down row-major pixel bytes) for an
+    uncompressed 24/32-bpp BMP — the full-pixel sibling of
+    :func:`_parse_bmp` (which stops at the header). Channel order is
+    whatever the writer stored; this library's :func:`encode_bmp`
+    stores R,G,B. None when ``b`` is not such a BMP."""
+    p = _parse_bmp(b)
+    if p is None:
+        return None
+    w, h, ch, off, bottom_up = p
+    stride = (w * ch + 3) & ~3
+    if len(b) < off + stride * h:
+        return None
+    rows = []
+    ys = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in ys:
+        rs = off + y * stride
+        rows.append(b[rs : rs + w * ch])
+    return w, h, ch, b"".join(rows)
+
+
+def decode_pixels(b: bytes):
+    """(width, height, channels, top-down row-major pixel bytes) through
+    the REAL decode tiers — BMP, PNG, baseline JPEG, then PIL when
+    importable; None when no real tier decodes (callers fall through or
+    skip — never a fake, pixels feed perceptual hashing where a fake
+    would manufacture dedup pairs)."""
+    out = _decode_bmp(b)
+    if out is None:
+        out = _decode_png(b)
+    if out is None:
+        from .jpeg import decode_jpeg
+
+        out = decode_jpeg(b)
+    if out is None and _HAVE_PIL and (
+        b[:4] == b"\x89PNG" or b[:3] == b"\xff\xd8\xff"
+    ):  # pragma: no cover - PIL not in this container
+        import io
+
+        with Image.open(io.BytesIO(b)) as im:
+            px = im.tobytes()
+            out = (im.width, im.height, len(im.getbands()), px)
+    return out
+
+
+def _luma_plane(w: int, h: int, ch: int, px: bytes):
+    """Integer luma per pixel: gray passes through; RGB(A) uses the
+    exact integer BT.601 form ``(299R + 587G + 114B) // 1000`` (so a
+    gray image re-encoded as RGB hashes IDENTICALLY: 1000v//1000 = v);
+    gray+alpha takes the gray sample. Returns a list of ints."""
+    if ch == 1:
+        return list(px)
+    if ch == 2:
+        return list(px[0::2])
+    step = ch  # 3 or 4; alpha ignored
+    return [
+        (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
+        for i in range(0, len(px), step)
+    ]
+
+
+def _perceptual_hash_int(b: bytes, method: str = "ahash", hash_size: int = 8):
+    """Unsigned perceptual hash of one image blob, or None when no real
+    tier decodes it. ``ahash``: downsample luma to hash_size² cells
+    (area mean), bit = cell mean STRICTLY above the mean of cell means
+    (strict > makes flat images hash 0, and brightness offsets cancel).
+    ``dhash``: (hash_size+1)×hash_size grid, bit = right cell > left
+    cell (gradient sign — robust to global brightness AND contrast).
+    Bit order: row-major, bit index = row * hash_size + col (MSB-free
+    plain indexing; bit i is ``(hash >> i) & 1``)."""
+    dec = decode_pixels(b)
+    if dec is None:
+        return None
+    w, h, ch, px = dec
+    if w == 0 or h == 0:
+        return None
+    luma = _luma_plane(w, h, ch, px)
+    gw = hash_size + (1 if method == "dhash" else 0)
+    gh = hash_size
+    # area-mean downsample: cell (i, j) covers x in [i*w//gw, (i+1)*w//gw)
+    cells = []
+    for j in range(gh):
+        y0, y1 = j * h // gh, max((j + 1) * h // gh, j * h // gh + 1)
+        for i in range(gw):
+            x0, x1 = i * w // gw, max((i + 1) * w // gw, i * w // gw + 1)
+            s = 0
+            for y in range(y0, min(y1, h)):
+                row = y * w
+                s += sum(luma[row + x0 : row + min(x1, w)])
+            n = (min(y1, h) - y0) * (min(x1, w) - x0)
+            cells.append((s, n))
+    bits = 0
+    if method == "dhash":
+        for j in range(gh):
+            for i in range(hash_size):
+                left = cells[j * gw + i]
+                right = cells[j * gw + i + 1]
+                # exact rational compare: r_s/r_n > l_s/l_n
+                if right[0] * left[1] > left[0] * right[1]:
+                    bits |= 1 << (j * hash_size + i)
+    else:
+        from fractions import Fraction
+
+        # exact rational arithmetic: no float rounding may ever flip a
+        # bit, or the SQL oracle (integer arithmetic) and re-encode
+        # invariance tests become tolerance games
+        means = [Fraction(s, n) for s, n in cells]
+        mean_of_means = sum(means) / len(means)
+        for idx, m in enumerate(means):
+            if m > mean_of_means:
+                bits |= 1 << idx
+    return bits
+
+
+def image_perceptual_hash(
+    df: DataFrame,
+    content_col: str = "content",
+    method: str = "ahash",
+    hash_size: int = 8,
+    out_col: str = "phash",
+) -> DataFrame:
+    """Append a 64-bit perceptual hash (``ahash`` / ``dhash``, signed
+    bigint — the unsigned value two's-complement-wrapped) of each image
+    blob, decoded through the REAL tiers (:func:`decode_pixels`);
+    NULL for blobs no real tier decodes. Visually-identical re-encodes
+    (PNG→JPEG, brightness shifts) land at Hamming distance ≈ 0, which
+    makes this the multimodal twin of text MinHash: hash once, then
+    near-dup on the hashes (:func:`image_hash_pairs`) without ever
+    comparing pixels across rows. Per-blob CPU inside an Arrow batch;
+    payload-bounded, embarrassingly parallel, zero shuffles."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(f"unknown perceptual hash method {method!r}")
+    if hash_size * hash_size != 64:
+        raise ValueError("hash_size must be 8 (64-bit hash contract)")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint"
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            hs = []
+            for data in pdf[content_col]:
+                b = bytes(data) if data is not None else b""
+                v = _perceptual_hash_int(b, method, hash_size)
+                if v is not None and v >= 1 << 63:
+                    v -= 1 << 64  # two's-complement into signed bigint
+                hs.append(v)
+            pdf[out_col] = pd.array(hs, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def image_hash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate image pairs (id_a < id_b, hamming ≤ max_hamming)
+    from perceptual hashes, Hamming-BUCKETED so it scales: the 64-bit
+    hash splits into ``64/band_bits`` bands, candidates are pairs that
+    agree EXACTLY on at least one band (hash-join per band — by
+    pigeonhole any pair within hamming < n_bands must share a band, so
+    recall is total for max_hamming ≤ n_bands − 1 and near-total
+    above), then one ``bit_count(xor)`` filter scores the survivors.
+    Cost is Σ band-bucket², never n² — the same banding spine as
+    text SimHash (``dedup.simhash_near_dups``), reused for pixels."""
+    n_bands = 64 // band_bits
+    h = F.col(hash_col)
+    sk = df.select(F.col(id_col).alias("_id"), h.alias("_ph")).filter(
+        h.isNotNull()
+    )
+    banded = sk.select(
+        "_id",
+        "_ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("_ph"), b * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("_id", "_ph", "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._ph").alias("ph_a"),
+            F.col("b._ph").alias("ph_b"),
+        )
+        .distinct()  # a pair sharing k bands must emit once, not k times
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def _resize_png(b: bytes, tw: int, th: int) -> bytes | None:
     """True nearest-neighbor resample of a decoded PNG, re-encoded as
     PNG with the same channel count. None when ``b`` is not an 8-bit

@@ -1509,3 +1509,53 @@ def test_jpeg_rgb_coded_baseline_falls_through():
     for i, cid in enumerate(b"RGB"):
         patched[sos + 5 + 2 * i] = cid  # SOS component selectors
     assert decode_jpeg(bytes(patched)) is None
+
+
+def test_image_perceptual_hash_pairs_re_encodes(spark):
+    """The multimodal MinHash twin: visually-identical images pair at
+    tiny Hamming distance regardless of container (BMP vs PNG vs a
+    LOSSY JPEG re-encode) or a global brightness shift, while a
+    different image stays far away; NULL hash for undecodable blobs."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_hash_pairs,
+        image_perceptual_hash,
+    )
+
+    w = h = 16
+    grad = [2 * x + y for y in range(h) for x in range(w)]
+    bright = [v + 9 for v in grad]
+    other = [3 * y + (x % 5) * 7 for y in range(h) for x in range(w)]
+    rgb = lambda vals: bytes(v for v in vals for _ in range(3))
+    rows = [
+        (1, encode_bmp(w, h, rgb(grad))),           # BMP, RGB
+        (2, encode_png(w, h, bytes(grad), 1)),      # PNG, gray
+        (3, encode_jpeg(w, h, bytes(grad), channels=1, quality=95)),  # lossy
+        (4, encode_bmp(w, h, rgb(bright))),         # brightness shift
+        (5, encode_bmp(w, h, rgb(other))),          # genuinely different
+        (6, b"not an image at all"),                # undecodable -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    for method in ("ahash", "dhash"):
+        hashed = image_perceptual_hash(df, "content", method=method)
+        hs = {r.doc_id: r.phash for r in hashed.collect()}
+        assert hs[6] is None
+        assert hs[1] == hs[2] == hs[4]  # container + brightness invariant
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in image_hash_pairs(hashed, max_hamming=6).collect()
+        }
+        # every pair among the four same-image encodings found
+        for a in (1, 2, 3, 4):
+            for b in (1, 2, 3, 4):
+                if a < b:
+                    assert (a, b) in pairs, (method, a, b)
+                    assert pairs[(a, b)] <= 6
+        # the JPEG re-encode is lossy but lands within the threshold
+        assert pairs[(1, 3)] >= 0
+        # the different image never pairs with the gradient family
+        assert not any(5 in p for p in pairs)
