@@ -515,6 +515,7 @@ def stream_versioned_merge(
     checkpoint_dir: str,
     partition_by: list[str] | None = None,
     tiebreakers: tuple[str, ...] = (),
+    allow_new_columns: bool = False,
     query_name: str = "stream_versioned_merge",
 ):
     """Streaming CDC landing into a :class:`~..sources.versioned.
@@ -541,6 +542,19 @@ def stream_versioned_merge(
     bounds each commit's rewrite to the touched partitions (see
     ``VersionedTable.merge``'s key-migration contract).
 
+    ``allow_new_columns`` opts into ADDITIVE schema evolution
+    mid-stream — the same contract as batch
+    ``VersionedTable.merge(allow_new_columns=True)``: a micro-batch
+    carrying columns the table has never seen commits them (existing
+    rows read back NULL there; time travel shows each version's own
+    schema). A standing CDC landing must survive an upstream column
+    add without operator intervention; the default stays False and an
+    unexpected new column FAILS the stream loudly (it previously was
+    silently projected away — dropped CDC data). Columns may only be
+    added, never removed or retyped — under evolution a batch MISSING
+    a known column lands NULL for it on the rows it carries (its rows
+    ARE the key's newest version).
+
     Runs with trigger=availableNow and blocks until drained.
     """
     from ..operators.windows import dedupe_latest
@@ -559,13 +573,29 @@ def stream_versioned_merge(
         relevant = vt.read().join(
             b.select(*keys).distinct(), list(keys), "leftsemi"
         )
+        if allow_new_columns:
+            # both directions null-fill: the batch may carry brand-new
+            # columns (table rows read NULL) and may lack old ones
+            merged_in = relevant.unionByName(b, allowMissingColumns=True)
+        else:
+            extra = [c for c in b.columns if c not in relevant.columns]
+            if extra:
+                raise ValueError(
+                    f"micro-batch carries columns {extra} the versioned "
+                    f"table at {root!r} does not have; pass "
+                    "allow_new_columns=True to opt into additive schema "
+                    "evolution (the same contract as batch merge) — the "
+                    "default fails loudly rather than silently dropping "
+                    "CDC data"
+                )
+            merged_in = relevant.unionByName(b.select(*relevant.columns))
         resolved = dedupe_latest(
-            relevant.unionByName(b.select(*relevant.columns)),
+            merged_in,
             list(keys),
             order_col,
             tiebreakers=list(tiebreakers),
         )
-        vt.merge(resolved, list(keys))
+        vt.merge(resolved, list(keys), allow_new_columns=allow_new_columns)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)

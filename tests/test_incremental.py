@@ -184,3 +184,77 @@ def test_stream_versioned_merge_commits_snapshot_per_batch(spark, tmp_path):
     # time travel: version 1 is exactly batch 1 post-dedup
     v1 = {r["k"]: r["v"] for r in vt.read(version=1).collect()}
     assert v1 == {2: "b-v2", 3: "c"}
+
+
+def test_stream_versioned_merge_schema_evolution(spark, tmp_path):
+    """A standing CDC landing must survive an upstream column add
+    mid-stream: with allow_new_columns=True a micro-batch carrying a
+    brand-new column commits it (older keys read NULL there; time
+    travel shows each version's own schema); the DEFAULT fails loudly
+    on the new column instead of silently dropping the CDC data."""
+    import datetime as dt
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
+        VersionedTable,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_versioned_merge,
+    )
+
+    root = str(tmp_path / "vt_evo")
+    src = str(tmp_path / "feed_evo")
+    b1 = spark.createDataFrame(
+        [(1, "a", dt.datetime(2020, 1, 1)), (2, "b", dt.datetime(2020, 1, 1))],
+        "k int, v string, ts timestamp",
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    sdf1 = spark.readStream.schema("k int, v string, ts timestamp").parquet(
+        src + "/*"
+    )
+    stream_versioned_merge(
+        sdf1, root, ("k",), "ts", checkpoint_dir=str(tmp_path / "ck1"),
+        allow_new_columns=True,
+    )
+
+    # batch 2 carries a NEW column (upstream ALTER TABLE ADD COLUMN)
+    import time
+
+    time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [(2, "b2", dt.datetime(2020, 1, 2), "EU"), (3, "c", dt.datetime(2020, 1, 2), "US")],
+        "k int, v string, ts timestamp, region string",
+    )
+    b2.coalesce(1).write.parquet(src + "/f2")
+    sdf2 = spark.readStream.schema(
+        "k int, v string, ts timestamp, region string"
+    ).parquet(src + "/*")
+    stream_versioned_merge(
+        sdf2, root, ("k",), "ts", checkpoint_dir=str(tmp_path / "ck1"),
+        allow_new_columns=True,
+    )
+
+    vt = VersionedTable(spark, root)
+    cur = {r["k"]: (r["v"], r["region"]) for r in vt.read().collect()}
+    # new column committed; pre-evolution key reads NULL there
+    assert cur == {1: ("a", None), 2: ("b2", "EU"), 3: ("c", "US")}
+    # time travel shows both schemas
+    assert "region" not in vt.read(version=1).columns
+    assert "region" in vt.read(version=2).columns
+
+    # default (no opt-in): the new column fails the stream loudly
+    b3 = spark.createDataFrame(
+        [(4, "d", dt.datetime(2020, 1, 3), "APAC", 1.5)],
+        "k int, v string, ts timestamp, region string, score double",
+    )
+    time.sleep(1.1)
+    b3.coalesce(1).write.parquet(src + "/f3")
+    sdf3 = spark.readStream.schema(
+        "k int, v string, ts timestamp, region string, score double"
+    ).parquet(src + "/*")
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises((ValueError, StreamingQueryException), match="allow_new_columns"):
+        stream_versioned_merge(
+            sdf3, root, ("k",), "ts", checkpoint_dir=str(tmp_path / "ck2")
+        )
