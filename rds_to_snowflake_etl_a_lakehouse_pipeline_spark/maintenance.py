@@ -1,0 +1,240 @@
+"""One-call operability for every standing-state surface the engine
+maintains. Each index/state family already ships its own
+build/probe/append/compact/health verbs; a long-running deployment
+accumulates MANY of them (minhash + span + IVF indexes, ER indexes,
+sessionize state, incremental-distinct state, batch-partitioned
+quarantine/span sinks, versioned tables), and the runbook question is
+always the same: *which of my standing tables need attention, and do
+it*. :func:`health_sweep` answers the first half in one call by
+auto-discovering the engine's tables from the catalog (every standing
+index records its family under the ``spark_graft.index.kind`` table
+property; state tables are recognized by their recorded contract keys
+and partition layout); :func:`run_maintenance` optionally executes the
+recommended compactions.
+
+Everything here is CONSTANT-TIME per table relative to data size —
+manifest reads, file listings, partition listings, one-row stats reads
+— so the sweep is safe to run on a schedule against a lake with
+thousands of standing tables. The only data-sized work is inside the
+``apply=True`` compactions themselves, each of which is the family's
+own documented maintenance verb with its own bounded-cost story.
+
+What each family reports / applies:
+
+========================  ==========================================  ==============================
+family (how recognized)    health                                      apply action
+========================  ==========================================  ==============================
+minhash / span / ivf       ``io.index_table_health`` (files per        ``io.compact_index_table``
+(``kind`` property)        bucket/cell); ivf adds quantizer drift
+                           from the ``*_drift_stats`` companion
+er (``kind='er'``)         the above + ``entity.er_index_health``      ``entity.er_compact_index``
+                           (relabel-log size)
+sessionize state           partition count + files per partition       — (state compacts itself as
+(``state_partitions``)                                                 sessions fuse; report only)
+distinct state             files per bucket                            ``io.compact_index_table``
+(``state_buckets``)                                                    semantics via bucket rewrite
+batch sinks                live ``_batch_id`` partitions + a pending   ``events.compact_batch_
+(``_batch_id`` partition)  crashed-fold manifest                       partitions`` (+ fold resume)
+versioned tables           ``VersionedTable.health`` (manifest creep)  ``VersionedTable.compact``
+(explicit ``roots``)
+========================  ==========================================  ==============================
+
+Versioned tables live at filesystem roots, not in the catalog, so they
+are passed explicitly; everything else is discovered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# batch sinks: recommend folding once this many live micro-batch
+# partitions accrete (coarse — one fold per sweep keeps it bounded)
+MAX_LIVE_BATCH_PARTITIONS = 16
+MAX_FILES_PER_BUCKET = 8.0
+
+
+def _partition_cols(spark: SparkSession, table: str) -> list[str]:
+    return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+
+
+def classify_table(spark: SparkSession, table: str) -> str | None:
+    """The standing-state family of a catalog table, or None for tables
+    this engine doesn't maintain (user data, sinks without state
+    contracts). Constant-time: one SHOW TBLPROPERTIES + column listing."""
+    from .sources.io import get_table_meta
+
+    meta = get_table_meta(spark, table)
+    kind = meta.get("kind")
+    if kind in ("minhash", "span", "ivf", "er"):
+        return kind
+    if "state_partitions" in meta:
+        return "session_state"
+    if "state_buckets" in meta:
+        return "distinct_state"
+    if "_batch_id" in _partition_cols(spark, table):
+        return "batch_sink"
+    return None
+
+
+def table_health(spark: SparkSession, table: str, family: str) -> dict:
+    """One table's health report (family from :func:`classify_table`)."""
+    from .sources.io import get_table_meta, index_table_health
+    from .streaming.events import _batch_partition_ids, _pending_fold
+
+    if family in ("minhash", "span", "ivf"):
+        rep = index_table_health(spark, table, MAX_FILES_PER_BUCKET)
+        if family == "ivf" and spark.catalog.tableExists(f"{table}_drift_stats"):
+            # the build-time quantizer baseline; per-append drift ratios
+            # are measured (and reported) by ivf_append_index itself
+            row = spark.table(f"{table}_drift_stats").first()
+            rep["build_stats"] = row.asDict() if row is not None else None
+        return rep
+    if family == "er":
+        from .operators.entity import er_index_health
+
+        rep = index_table_health(spark, table, MAX_FILES_PER_BUCKET)
+        er = er_index_health(spark, table)
+        rep.update(er)
+        rep["compact_recommended"] = (
+            rep["compact_recommended"] or er["compact_recommended"]
+        )
+        return rep
+    if family == "session_state":
+        meta = get_table_meta(spark, table)
+        df = spark.table(table)
+        n_parts = int(meta.get("state_partitions", 0)) or 1
+        n_files = len(df.inputFiles())
+        return {
+            "state_partitions": n_parts,
+            "n_files": n_files,
+            "files_per_partition": round(n_files / n_parts, 2),
+            # sessionize state rewrites touched partitions whole each
+            # batch, so files never accrete per partition — flag only
+            # the pathological case
+            "compact_recommended": n_files / n_parts > MAX_FILES_PER_BUCKET,
+        }
+    if family == "distinct_state":
+        meta = get_table_meta(spark, table)
+        df = spark.table(table)
+        n_buckets = int(meta.get("state_buckets", 0)) or 1
+        n_files = len(df.inputFiles())
+        return {
+            "n_buckets": n_buckets,
+            "n_files": n_files,
+            "files_per_bucket": round(n_files / n_buckets, 2),
+            "compact_recommended": n_files / n_buckets > MAX_FILES_PER_BUCKET,
+        }
+    if family == "batch_sink":
+        live = _batch_partition_ids(spark, table)
+        pending = _pending_fold(spark, table)
+        return {
+            "live_batch_partitions": len(live),
+            "pending_fold": (
+                {"max_fold": pending[0], "archive_id": pending[1], "phase": pending[2]}
+                if pending
+                else None
+            ),
+            "compact_recommended": (
+                pending is not None or len(live) > MAX_LIVE_BATCH_PARTITIONS
+            ),
+        }
+    raise ValueError(f"unknown standing-state family {family!r}")
+
+
+def health_sweep(
+    spark: SparkSession,
+    versioned_roots: tuple[str, ...] = (),
+    database: str | None = None,
+) -> dict:
+    """Health of EVERY standing table the engine maintains, one call:
+    ``{"tables": {name: {"family", **health}}, "versioned": {root:
+    health}, "attention": [names whose report recommends action]}``.
+    Discovery walks the catalog (``database`` or the current one) and
+    classifies by recorded metadata — user tables are skipped, never
+    scanned. Constant-time per table (see module docstring)."""
+    reports: dict[str, dict] = {}
+    attention: list[str] = []
+    names = [
+        t.name
+        for t in spark.catalog.listTables(database)
+        if t.tableType != "VIEW"
+    ]
+    for name in sorted(names):
+        family = classify_table(spark, name)
+        if family is None:
+            continue
+        rep = {"family": family, **table_health(spark, name, family)}
+        reports[name] = rep
+        if rep.get("compact_recommended"):
+            attention.append(name)
+    versioned: dict[str, dict] = {}
+    for root in versioned_roots:
+        from .sources.versioned import VersionedTable
+
+        h = VersionedTable(spark, root).health()
+        versioned[root] = h
+        if h.get("compact_recommended"):
+            attention.append(root)
+    return {"tables": reports, "versioned": versioned, "attention": attention}
+
+
+def run_maintenance(
+    spark: SparkSession,
+    versioned_roots: tuple[str, ...] = (),
+    database: str | None = None,
+    apply: bool = False,
+    keep_last: int = 1,
+) -> dict:
+    """The runbook: :func:`health_sweep`, then (``apply=True``) execute
+    each flagged table's own maintenance verb — index compaction
+    (minhash/span/ivf/er), batch-sink folding (including resuming a
+    crashed fold from its manifest), versioned-table compaction. Each
+    action is the family's documented, bounded-cost operation; IVF
+    quantizer drift is REPORTED but never auto-rebuilt (a rebuild needs
+    the embedding corpus and a human decision). Run while the owning
+    streams are stopped. Returns the sweep plus
+    ``{"applied": {name: action}}``."""
+    sweep = health_sweep(spark, versioned_roots, database)
+    applied: dict[str, str] = {}
+    if apply:
+        for name in sweep["attention"]:
+            if name in sweep["versioned"]:
+                from .sources.versioned import VersionedTable
+
+                VersionedTable(spark, name).compact()
+                applied[name] = "versioned_compact"
+                continue
+            family = sweep["tables"][name]["family"]
+            if family in ("minhash", "span", "ivf"):
+                from .sources.io import compact_index_table
+
+                compact_index_table(spark, name)
+                applied[name] = "compact_index_table"
+            elif family == "distinct_state":
+                # same stage-and-swap as compact_index_table, with the
+                # bucket spec from the distinct-state contract (bucketed
+                # on ALL columns — the tuple IS the key)
+                from .sources.io import get_table_meta, set_table_meta, write_table
+
+                meta = get_table_meta(spark, name)
+                n = int(meta.get("state_buckets", 0))
+                rows = spark.table(name).distinct().localCheckpoint(eager=True)
+                write_table(
+                    rows, name,
+                    bucket_by=(n, rows.columns) if n else None,
+                )
+                set_table_meta(spark, name, **meta)
+                applied[name] = "distinct_state_rewrite"
+            elif family == "er":
+                from .operators.entity import er_compact_index
+
+                er_compact_index(spark, name)
+                applied[name] = "er_compact_index"
+            elif family == "batch_sink":
+                from .streaming.events import compact_batch_partitions
+
+                compact_batch_partitions(spark, name, keep_last=keep_last)
+                applied[name] = "compact_batch_partitions"
+            # session_state: no action (self-compacting), report only
+    sweep["applied"] = applied
+    return sweep
