@@ -285,6 +285,10 @@ def main() -> None:
         # scale (~600k facts x SCD-2 product versions at sf0.1) + the
         # medallion silver repair chain feeding it
         "q28_pit_star": (qs["g_fact_sales_pit"], True),
+        # image perceptual near-dup (round 10): encode + REAL decode +
+        # aHash of one BMP per document inside Arrow batches, then the
+        # Hamming-banded pair join — the multimodal dedup hot path
+        "q29_image_phash": (qs["m_image_ahash_pairs"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11
@@ -332,7 +336,14 @@ def main() -> None:
     samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
     timings: dict[str, float] = {}
     for name, (fn, wide) in bench.items():
-        timings[name] = min(_time(fn, wide) for _ in range(samples))
+        t = min(_time(fn, wide) for _ in range(samples))
+        # sub-second queries are scheduling-noise dominated (a 0.3 s
+        # query flipped ±25% between rounds on identical code): give
+        # them one extra sample so min-of-3 stays inside the regression
+        # gate's band. Costs at most ~1 s per sub-second query.
+        if t < 1.0 and samples < 3:
+            t = min(t, _time(fn, wide))
+        timings[name] = t
 
     # Regression gate: compare against the latest recorded round. Even
     # with min-of-N a slow window can still leak through, so any query

@@ -550,7 +550,7 @@ def cluster_split(
     src: str = "id_a",
     dst: str = "id_b",
     splits=None,
-    algorithm: str = "label",
+    algorithm: str = "star",
     storage: str = "checkpoint",
 ) -> DataFrame:
     """Leakage-safe train/val/test assignment: rows are first joined
@@ -569,6 +569,17 @@ def cluster_split(
     scan-fused md5 arithmetic; the split itself adds zero shuffles.
     Deterministic across runs/engines (md5, not rand), so reruns and
     SQL oracles reproduce the identical assignment.
+
+    ``algorithm`` defaults to ``"star"`` (diameter-INDEPENDENT, ~log n
+    rounds) — deliberately stricter than ``cc_dedup``'s label default:
+    a component wider than label propagation's round budget only WARNS
+    there (under-deleting is a soft failure), but here a split
+    component puts near-duplicates of test documents into train — the
+    exact leakage this operator exists to prevent. Measured on a 200k-
+    node CHAIN (the adversarial worst case, SCALE.md round 10): label
+    propagation split it into thousands of pieces at max_iter=20 while
+    star converged. Pass ``algorithm="label"`` only when the pair
+    graph is known shallow (ordinary near-dup quasi-cliques).
     """
     from ..functions.text import DEFAULT_SPLITS, hash_split
     from .dedup import connected_components

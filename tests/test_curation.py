@@ -791,3 +791,40 @@ def test_one_hot_sanitized_name_collisions_get_rank_suffix(spark):
         for rid in (1, 3, 4, 5)
     }
     assert len(set(hit_cols.values())) == 4, hit_cols
+
+
+def test_cluster_split_survives_deep_chain(spark):
+    """Adversarial pair graph: one 3,000-link CHAIN (diameter far past
+    label propagation's round budget). The star default must still
+    produce ONE cluster in ONE split — a split chain would put
+    near-duplicates of test docs into train, the exact leakage this
+    operator exists to prevent; label propagation at max_iter=20 only
+    warns and returns the split labels (why it is no longer the
+    default here)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        cluster_split,
+    )
+
+    n = 3000
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = cluster_split(ids, "doc_id", chain)
+    groups = out.groupBy("cluster_id", "split").count().collect()
+    assert len(groups) == 1 and groups[0]["count"] == n
+    assert groups[0]["cluster_id"] == 0
+
+    # the label path on the same graph does NOT converge: it warns and
+    # returns split components — documented, which is why cluster_split
+    # defaults to star
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lbl = cluster_split(ids, "doc_id", chain, algorithm="label")
+        n_clusters = lbl.select("cluster_id").distinct().count()
+    assert n_clusters > 1
+    assert any("did not converge" in str(w.message) for w in caught)

@@ -93,6 +93,10 @@ AUDIT = [
     "j9_scd2_pit",
     "t_cluster_split",
     "g_fact_sales_pit",
+    # round-10 additions
+    "m_image_ahash_pairs",
+    "g_reference_dim_customers",
+    "g_reference_fact_sales",
 ]
 
 

@@ -273,6 +273,39 @@ def main() -> None:
         .first()[0],
     )
 
+    # pathological cluster_split: ONE giant near-dup component (every
+    # doc chained to the next) vs a many-tiny-clusters control of the
+    # same size — the giant component concentrates one label's
+    # join-back, the documented worst case for the md5 cluster split
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        cluster_split,
+    )
+
+    n_chain = mult * 20_000
+    ids = spark.range(n_chain).select(F.col("id").alias("doc_id"))
+    chain_pairs = spark.range(n_chain - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    tiny_pairs = spark.range(n_chain // 2).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+
+    def _giant():
+        out = cluster_split(ids, "doc_id", chain_pairs)
+        return out.groupBy("cluster_id", "split").count().collect()
+
+    def _tiny():
+        out = cluster_split(ids, "doc_id", tiny_pairs)
+        return out.groupBy("split").count().collect()
+
+    giant = stage("cluster_split_giant_component", _giant)
+    # correctness of the worst case: one cluster, one split, no leakage
+    assert len(giant) == 1 and giant[0]["count"] == n_chain, giant
+    stats["cluster_split_giant_rows"] = n_chain
+    stats["cluster_split_tiny_splits"] = {
+        r["split"]: r["count"] for r in stage("cluster_split_tiny_control", _tiny)
+    }
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
