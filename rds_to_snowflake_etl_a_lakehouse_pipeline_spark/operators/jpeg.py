@@ -10,10 +10,13 @@ encoder (4:4:4, quality-scaled Annex K quantization tables, standard
 Annex K Huffman tables) exists so fixtures can be generated in a
 container with no imaging libraries at all.
 
-Out of scope (falls through to the PIL tier when importable, else the
-deterministic stub): progressive and arithmetic-coded JPEG, 12-bit
-precision, CMYK. These return None from every function here — callers
-fall through, never crash.
+Progressive (SOF2) JPEGs dispatch to the sibling
+``operators/jpeg_progressive.py`` (spectral selection + successive
+approximation — same dependency-free tier). Out of scope (falls through
+to the PIL tier when importable, else the deterministic stub):
+arithmetic-coded JPEG, 12-bit precision, CMYK, hierarchical. These
+return None from every function here — callers fall through, never
+crash.
 
 Performance note: this is per-blob CPU work inside an Arrow batch
 (``mapInPandas``) — payload-bounded, never corpus-bounded. The IDCT is
@@ -290,9 +293,10 @@ def _next_marker(b: bytes, pos: int):
 
 
 def parse_jpeg_header(b: bytes):
-    """(width, height, n_components) from the SOF0 of a BASELINE JPEG;
-    None for non-JPEG, non-baseline (progressive etc.) or truncated
-    payloads — header walk only, no entropy decode, never raises."""
+    """(width, height, n_components) from the SOF0/SOF2 of a baseline
+    or progressive Huffman JPEG; None for non-JPEG, other processes
+    (lossless, arithmetic, 12-bit) or truncated payloads — header walk
+    only, no entropy decode, never raises."""
     try:
         return _parse_jpeg_header_inner(b)
     except (IndexError, struct.error):
@@ -314,25 +318,26 @@ def _parse_jpeg_header_inner(b: bytes):
             pos = after
             continue
         (seglen,) = struct.unpack_from(">H", b, after)
-        if m == 0xC0:  # SOF0 baseline only
+        if m in (0xC0, 0xC2):  # baseline or progressive Huffman
             prec, h, w, nc = struct.unpack_from(">BHHB", b, after + 2)
             if prec != 8 or w == 0 or h == 0 or nc not in (1, 3):
                 return None
             return w, h, nc
-        if m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                  0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic
         pos = after + seglen
     return None
 
 
 def decode_jpeg(b: bytes, max_pixels: int = 1 << 26):
     """(width, height, channels, top-down row-major pixel bytes) for a
-    baseline sequential JPEG — gray (1 ch) or YCbCr (3 ch, any h/v
-    sampling incl. 4:2:0), restart markers supported. None when ``b``
-    is not such a JPEG (caller falls through a tier). Pixels may
-    differ from the encoder's source by small quantization error —
-    JPEG is lossy; tests pin a tolerance, not bytes."""
+    baseline sequential OR progressive Huffman JPEG — gray (1 ch) or
+    YCbCr (3 ch, any h/v sampling incl. 4:2:0), restart markers
+    supported; SOF2 dispatches to ``jpeg_progressive``. None when ``b``
+    is neither (caller falls through a tier). Pixels may differ from
+    the encoder's source by small quantization error — JPEG is lossy;
+    tests pin a tolerance, not bytes."""
     try:
         return _decode_jpeg_inner(b, max_pixels)
     except (IndexError, struct.error, KeyError, ZeroDivisionError):
@@ -395,9 +400,13 @@ def _decode_jpeg_inner(b: bytes, max_pixels: int):
                 # then 3 bytes per component
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append([cid, hv >> 4, hv & 15, tq])
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m == 0xC2:  # SOF2: progressive Huffman — own decode path
+            from .jpeg_progressive import decode_progressive
+
+            return decode_progressive(b, max_pixels)
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            return None  # not baseline sequential Huffman
+            return None  # not baseline/progressive Huffman
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xEE:  # APP14 (Adobe): carries the color transform
@@ -496,6 +505,14 @@ def _decode_jpeg_inner(b: bytes, max_pixels: int):
                             )
             mcu_count += 1
 
+    return _finish_pixels(comps, planes, w, h, mcux, mcuy, hmax, vmax)
+
+
+def _finish_pixels(comps, planes, w, h, mcux, mcuy, hmax, vmax):
+    """Assemble decoded component planes into the output pixel buffer:
+    crop the MCU padding, nearest-upsample chroma, YCbCr→RGB. Shared by
+    the baseline and progressive decoders — the entropy layers differ,
+    the pixel pipeline is identical."""
     nc = len(comps)
     if nc == 1:
         plane = planes[0]
@@ -602,6 +619,31 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return t, (v if v > 0 else v + (1 << t) - 1)
 
 
+def _quant_block(
+    plane: bytes, pw: int, ph: int, x0: int, y0: int, q: list[int]
+) -> list[int]:
+    """FDCT + quantize one 8x8 block sampled at (x0, y0) from a plane
+    of size (pw, ph), edge-clamped — natural-order integer coefficients
+    (shared by the baseline and progressive encoders, so both produce
+    IDENTICAL coefficients for the same source and quality)."""
+    block = [0] * 64
+    for yy in range(8):
+        sy = min(y0 + yy, ph - 1)
+        for xx in range(8):
+            sx = min(x0 + xx, pw - 1)
+            block[yy * 8 + xx] = plane[sy * pw + sx]
+    coef = _fdct_2d(block)
+    if _np is not None:
+        c = _np.asarray(coef) / _np.asarray(q, dtype=_np.float64)
+        # round half away from zero, matching the pure-path int() trunc
+        return _np.trunc(c + _np.where(c >= 0, 0.5, -0.5)).astype(int).tolist()
+    quant = [0] * 64
+    for k in range(64):
+        c = coef[k] / q[k]
+        quant[k] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+    return quant
+
+
 def _encode_block(
     bw: _BitWriter,
     plane: bytes,
@@ -615,24 +657,8 @@ def _encode_block(
     pred: list[int],
     ci: int,
 ) -> None:
-    """FDCT + quantize + Huffman-encode one 8x8 block sampled at
-    (x0, y0) from a plane of size (pw, ph), edge-clamped."""
-    block = [0] * 64
-    for yy in range(8):
-        sy = min(y0 + yy, ph - 1)
-        for xx in range(8):
-            sx = min(x0 + xx, pw - 1)
-            block[yy * 8 + xx] = plane[sy * pw + sx]
-    coef = _fdct_2d(block)
-    if _np is not None:
-        c = _np.asarray(coef) / _np.asarray(q, dtype=_np.float64)
-        # round half away from zero, matching the pure-path int() trunc
-        quant = _np.trunc(c + _np.where(c >= 0, 0.5, -0.5)).astype(int).tolist()
-    else:
-        quant = [0] * 64
-        for k in range(64):
-            c = coef[k] / q[k]
-            quant[k] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+    """Huffman-encode one quantized 8x8 block (baseline sequential)."""
+    quant = _quant_block(plane, pw, ph, x0, y0, q)
     diff = quant[0] - pred[ci]
     pred[ci] = quant[0]
     t, bits = _mag_bits(diff)
@@ -666,23 +692,14 @@ def _encode_block(
         bw.write(ln, code)
 
 
-def encode_jpeg(
-    width: int, height: int, pixels: bytes, channels: int = 3,
-    quality: int = 90, subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Serialize a top-down row-major 8-bit buffer (gray or RGB) as a
-    BASELINE sequential JPEG (quality-scaled Annex K quant tables,
-    standard Annex K Huffman tables) — the fixture-side inverse of
-    :func:`decode_jpeg`, dependency-free. Lossy: roundtrip matches
-    within quantization error, exactness is not the contract.
-
-    ``subsampling``: ``"444"`` (one block per component per MCU) or
-    ``"420"`` (RGB only: 2x2 luma blocks + one block each of 2x-
-    downsampled Cb/Cr per MCU — the dominant real-world layout).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (resets DC prediction), exercising the decoder's resync
-    path."""
+def _prepare_planes(
+    width: int, height: int, pixels: bytes, channels: int,
+    quality: int, subsampling: str,
+):
+    """Validate, color-convert, and (optionally) subsample the input
+    into per-component planes with their quant tables and sampling
+    factors — the shared front half of the baseline and progressive
+    encoders. Returns (planes, dims, hv, qts, qluma, qchroma)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if len(pixels) != width * height * channels:
@@ -750,6 +767,32 @@ def encode_jpeg(
     else:
         dims = [(width, height)] * channels
         hv = [(1, 1)] * channels
+    return planes, dims, hv, qts, qluma, qchroma
+
+
+
+def encode_jpeg(
+    width: int, height: int, pixels: bytes, channels: int = 3,
+    quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize a top-down row-major 8-bit buffer (gray or RGB) as a
+    BASELINE sequential JPEG (quality-scaled Annex K quant tables,
+    standard Annex K Huffman tables) — the fixture-side inverse of
+    :func:`decode_jpeg`, dependency-free. Lossy: roundtrip matches
+    within quantization error, exactness is not the contract.
+
+    ``subsampling``: ``"444"`` (one block per component per MCU) or
+    ``"420"`` (RGB only: 2x2 luma blocks + one block each of 2x-
+    downsampled Cb/Cr per MCU — the dominant real-world layout).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (resets DC prediction), exercising the decoder's resync
+    path."""
+    planes, dims, hv, qts, qluma, qchroma = _prepare_planes(
+        width, height, pixels, channels, quality, subsampling
+    )
+    if subsampling == "420" and channels != 3:
+        subsampling = "444"
 
     enc_dc = [_HuffEncoder(*_DC_LUMA), _HuffEncoder(*_DC_CHROMA)]
     enc_ac = [_HuffEncoder(*_AC_LUMA), _HuffEncoder(*_AC_CHROMA)]

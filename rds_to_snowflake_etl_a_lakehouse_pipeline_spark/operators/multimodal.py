@@ -11,10 +11,13 @@ Decode tiers, in preference order per blob:
    IDCT decode incl. 4:2:0 chroma and restart markers, plus a
    matching encoder — ``operators/jpeg.py``). These run in THIS
    container and prove the whole path on genuine bytes.
-2. **Real, optional dependency**: progressive/arithmetic JPEG and
-   exotic PNG variants through PIL when importable (not in this
-   container) — also the throughput path for bulk decode (libjpeg-
-   turbo beats per-blob pure Python by orders of magnitude).
+   Progressive (SOF2) JPEG decodes in the same dependency-free tier
+   (``operators/jpeg_progressive.py`` — spectral selection +
+   successive approximation, with a matching encoder for fixtures).
+2. **Real, optional dependency**: arithmetic-coded JPEG and exotic
+   PNG variants through PIL when importable (not in this container)
+   — also the throughput path for bulk decode (libjpeg-turbo beats
+   per-blob pure Python by orders of magnitude).
 3. **Deterministic fake**: anything else falls back to a clearly-marked
    sha256-derived stub so the Spark plumbing (schema, Arrow batching,
    frame explode) stays fully testable; ``require_real_decode`` is the
@@ -588,21 +591,26 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
-def require_real_decode(progressive_jpeg: bool = False) -> None:
+def require_real_decode(
+    progressive_jpeg: bool = False, arithmetic_jpeg: bool = False
+) -> None:
     """Guard for callers that must not silently get stub decodes.
     Every shipped format now decodes for REAL without dependencies:
     BMP and WAV via pure-Python/stdlib parsers, 8-bit non-interlaced
-    PNG via the stdlib-zlib tier (:func:`_decode_png`), and baseline
-    sequential JPEG — the overwhelmingly dominant JPEG process — via
-    the pure-Python Huffman+IDCT codec (``operators/jpeg.py``), so by
-    default this guard passes unconditionally. The ONE residual stub
-    path is progressive/arithmetic-coded JPEG, which needs PIL: pass
-    ``progressive_jpeg=True`` to assert on that tier specifically."""
-    if progressive_jpeg and not _HAVE_PIL:
+    PNG via the stdlib-zlib tier (:func:`_decode_png`), baseline
+    sequential JPEG via the pure-Python Huffman+IDCT codec
+    (``operators/jpeg.py``), and — as of round 10 — progressive (SOF2)
+    JPEG via ``operators/jpeg_progressive.py``, so this guard passes
+    unconditionally for both (``progressive_jpeg`` is kept for callers
+    that pinned it). The ONE residual stub path is arithmetic-coded
+    JPEG (rare, patent-era legacy), which needs PIL: pass
+    ``arithmetic_jpeg=True`` to assert on that tier specifically."""
+    if arithmetic_jpeg and not _HAVE_PIL:
         raise NotImplementedError(
-            "progressive/arithmetic JPEG decoding needs PIL, which "
-            "this container lacks; baseline JPEG (and BMP/WAV/PNG) "
-            "decodes for real via the dependency-free codecs"
+            "arithmetic-coded JPEG decoding needs PIL, which this "
+            "container lacks; baseline AND progressive Huffman JPEG "
+            "(and BMP/WAV/PNG) decode for real via the dependency-free "
+            "codecs"
         )
 
 

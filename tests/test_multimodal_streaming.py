@@ -425,10 +425,11 @@ def test_png_decode_rejects_decompression_bombs():
 
 
 def test_jpeg_tier_guard_and_pil_cross_validation(spark):
-    """Baseline JPEG decodes for real without PIL (round 9), so the
-    default guard passes unconditionally; only the residual
-    progressive-JPEG tier still demands PIL. With PIL, a PIL-written
-    PNG must decode to the same dims through our pure tier."""
+    """Baseline (round 9) AND progressive (round 10) JPEG decode for
+    real without PIL, so the guard passes unconditionally for both;
+    only the residual arithmetic-coded tier still demands PIL. With
+    PIL, a PIL-written PNG must decode to the same dims through our
+    pure tier."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
         _HAVE_PIL,
         decode_images,
@@ -436,9 +437,10 @@ def test_jpeg_tier_guard_and_pil_cross_validation(spark):
     )
 
     require_real_decode()  # baseline JPEG is dependency-free now
+    require_real_decode(progressive_jpeg=True)  # so is progressive now
     if not _HAVE_PIL:
-        with pytest.raises(NotImplementedError, match="progressive"):
-            require_real_decode(progressive_jpeg=True)
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            require_real_decode(arithmetic_jpeg=True)
         return
     import io as _io
 
@@ -1264,10 +1266,16 @@ def test_media_decoders_never_crash_on_fuzzed_bytes():
         encode_wav,
     )
 
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
     real_bmp = encode_bmp(6, 4, bytes(72))
     real_wav = encode_wav(8000, 1, b"\x01\x02" * 40)
+    real_prog = encode_jpeg_progressive(9, 7, bytes(range(63)), channels=1)
     for real, fns in (
         (real_jpeg, (decode_jpeg, parse_jpeg_header)),
+        (real_prog, (decode_jpeg, parse_jpeg_header)),
         (real_png, (_decode_png,)),
         (real_bmp, (_parse_bmp,)),
         (real_wav, (_parse_wav,)),
@@ -1559,3 +1567,59 @@ def test_image_perceptual_hash_pairs_re_encodes(spark):
         assert pairs[(1, 3)] >= 0
         # the different image never pairs with the gradient family
         assert not any(5 in p for p in pairs)
+
+
+def test_progressive_jpeg_roundtrip_matches_baseline(spark):
+    """Progressive (SOF2) JPEG decodes for REAL, dependency-free: both
+    encoders quantize through the same pipeline, so the progressive
+    encode of an image must decode to the EXACT pixels of the baseline
+    encode at the same quality — across gray/RGB, 4:4:4/4:2:0, odd
+    dims, and content from flat to pure noise. Also: the decode_images
+    tier reports progressive dims, the perceptual hash pipeline treats
+    a progressive re-encode as the same image, and require_real_decode
+    passes for the progressive tier without PIL."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_header,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_images,
+        image_hash_pairs,
+        image_perceptual_hash,
+    )
+
+    rng = random.Random(99)
+    for q in (40, 85):
+        for (w, h, ch, sub) in [
+            (16, 16, 3, "444"), (24, 16, 3, "420"), (17, 13, 3, "444"),
+            (33, 9, 1, "444"), (8, 8, 1, "444"),
+        ]:
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            base = encode_jpeg(w, h, px, channels=ch, quality=q, subsampling=sub)
+            prog = encode_jpeg_progressive(
+                w, h, px, channels=ch, quality=q, subsampling=sub
+            )
+            db, dp = decode_jpeg(base), decode_jpeg(prog)
+            assert dp is not None and db == dp, (q, w, h, ch, sub)
+            assert parse_jpeg_header(prog) == (w, h, ch)
+
+    # the Spark decode tier reports progressive dims (no fake fallback)
+    grad = bytes((2 * x + y) % 200 for y in range(16) for x in range(16))
+    pj = encode_jpeg_progressive(16, 16, grad, channels=1, quality=92)
+    bj = encode_jpeg(16, 16, grad, channels=1, quality=92)
+    df = spark.createDataFrame(
+        [(1, bj), (2, pj)], "doc_id long, content binary"
+    )
+    dims = {r.doc_id: (r.width, r.height, r.channels)
+            for r in decode_images(df).collect()}
+    assert dims == {1: (16, 16, 1), 2: (16, 16, 1)}
+    # and the perceptual near-dup layer pairs the two encodings
+    hashed = image_perceptual_hash(df, "content")
+    pairs = image_hash_pairs(hashed, max_hamming=6).collect()
+    assert len(pairs) == 1 and pairs[0]["id_a"] == 1 and pairs[0]["id_b"] == 2
