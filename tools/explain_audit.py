@@ -95,6 +95,7 @@ AUDIT = [
     "g_fact_sales_pit",
     # round-10 additions
     "m_image_ahash_pairs",
+    "m_decode_progressive",
     "g_reference_dim_customers",
     "g_reference_fact_sales",
 ]
