@@ -21,6 +21,8 @@ Spark-first:
   on ``df.observe()``.
 - ``streaming``  — event-time windowed analytics (tumbling/sliding/
   session), batch-first with Structured-Streaming twins.
+- ``maintenance`` — one-call health sweep + runbook over every standing
+  surface (indexes, state tables, batch sinks, versioned tables).
 
 Everything is DataFrame-API-first so Catalyst/AQE does the optimizing:
 predicate pushdown, column pruning, broadcast selection, AQE skew handling.

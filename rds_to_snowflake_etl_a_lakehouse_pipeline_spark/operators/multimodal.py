@@ -300,13 +300,21 @@ def _perceptual_hash_int(b: bytes, method: str = "ahash", hash_size: int = 8):
     ``dhash``: (hash_size+1)×hash_size grid, bit = right cell > left
     cell (gradient sign — robust to global brightness AND contrast).
     Bit order: row-major, bit index = row * hash_size + col (MSB-free
-    plain indexing; bit i is ``(hash >> i) & 1``)."""
+    plain indexing; bit i is ``(hash >> i) & 1``).
+
+    All arithmetic is EXACT integers/rationals in both the numpy fast
+    path (grid-divisible dims) and the pure fallback — the two produce
+    bit-identical hashes (pinned by pytest), so the SQL oracle's
+    closed-form replay never depends on which path ran."""
     dec = decode_pixels(b)
     if dec is None:
         return None
     w, h, ch, px = dec
     if w == 0 or h == 0:
         return None
+    fast = _phash_numpy(w, h, ch, px, method, hash_size)
+    if fast is not None:
+        return fast
     luma = _luma_plane(w, h, ch, px)
     gw = hash_size + (1 if method == "dhash" else 0)
     gh = hash_size
@@ -342,6 +350,48 @@ def _perceptual_hash_int(b: bytes, method: str = "ahash", hash_size: int = 8):
         for idx, m in enumerate(means):
             if m > mean_of_means:
                 bits |= 1 << idx
+    return bits
+
+
+def _phash_numpy(w, h, ch, px, method, hash_size):
+    """Vectorized perceptual hash for grid-divisible dims; None when
+    numpy is absent or the dims don't divide the grid (pure path then).
+    Integer-exact: int64 sums, cross-multiplied comparisons — never a
+    float, so the bits match the pure path's rationals exactly."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        return None
+    gw = hash_size + (1 if method == "dhash" else 0)
+    gh = hash_size
+    if w % gw or h % gh or w < gw or h < gh:
+        return None
+    arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+    if ch == 1:
+        luma = arr.reshape(h, w)
+    elif ch == 2:
+        luma = arr.reshape(h, w, 2)[:, :, 0]
+    else:
+        a = arr.reshape(h, w, ch)
+        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    # equal-size cells: exact integer cell sums
+    s = luma.reshape(gh, h // gh, gw, w // gw).sum(axis=(1, 3))
+    bits = 0
+    if method == "dhash":
+        # equal cell sizes ⇒ mean compare reduces to sum compare
+        cmp = s[:, 1:] > s[:, :-1]
+        for j in range(gh):
+            for i in range(hash_size):
+                if cmp[j, i]:
+                    bits |= 1 << (j * hash_size + i)
+    else:
+        total = int(s.sum())
+        n_cells = gw * gh
+        cmp = s * n_cells > total
+        for j in range(gh):
+            for i in range(gw):
+                if cmp[j, i]:
+                    bits |= 1 << (j * gw + i)
     return bits
 
 

@@ -1623,3 +1623,27 @@ def test_progressive_jpeg_roundtrip_matches_baseline(spark):
     hashed = image_perceptual_hash(df, "content")
     pairs = image_hash_pairs(hashed, max_hamming=6).collect()
     assert len(pairs) == 1 and pairs[0]["id_a"] == 1 and pairs[0]["id_b"] == 2
+
+
+def test_perceptual_hash_numpy_and_pure_paths_agree():
+    """The vectorized hash path must be bit-identical to the pure
+    rational path (the SQL oracle's closed-form replay must never
+    depend on which ran) — both methods, grid-divisible and ragged
+    dims."""
+    import random
+
+    import rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal as mm
+
+    rng = random.Random(17)
+    for w, h in [(16, 16), (24, 32), (8, 8), (17, 13), (18, 16), (27, 24)]:
+        vals = [rng.randrange(256) for _ in range(w * h)]
+        blob = mm.encode_bmp(w, h, bytes(v for v in vals for _ in range(3)))
+        for method in ("ahash", "dhash"):
+            fast = mm._perceptual_hash_int(blob, method)
+            orig = mm._phash_numpy
+            mm._phash_numpy = lambda *a, **k: None
+            try:
+                pure = mm._perceptual_hash_int(blob, method)
+            finally:
+                mm._phash_numpy = orig
+            assert fast == pure, (w, h, method)
