@@ -4420,6 +4420,39 @@ def _q_m_decode_progressive(spark, sf_dir):
     )
 
 
+def _q_g_reference_dim_products(spark, sf_dir):
+    """gold dim_products over the real corpus, completing the gold trio
+    on the reference's own data: R4 key surgery on 397 real product
+    keys, R5 (2 real NULL costs), R3 padded line codes, R6/R12 SCD-2
+    close + current-rows (397 versions → 295 current), J3 broadcast to
+    the real 37-row category dim (one id, CO_PE, genuinely unmatched —
+    null-extends)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.plans.medallion import (
+        gold_dim_products,
+        silver_crm_prd_info,
+        silver_erp_px_cat_g1v2,
+    )
+
+    src_tables = _reference_sources(spark)
+    dim = gold_dim_products(
+        silver_crm_prd_info(src_tables["crm_prd_info"]),
+        silver_erp_px_cat_g1v2(src_tables["erp_px_cat_g1v2"]),
+    )
+    return dim.withColumn("start_date", F.col("start_date").cast("string"))
+
+
+_SQL_REF_DIM_PRODUCTS = (
+    f"WITH {_SQL_REF_PRD}, {_SQL_REF_CATS} "
+    "SELECT row_number() OVER (ORDER BY pn.prd_start_dt, pn.prd_key) "
+    "AS product_key, pn.prd_id AS product_id, pn.prd_key AS product_number, "
+    "pn.prd_nm AS product_name, pn.cat_id AS category_id, pc.cat AS category, "
+    "pc.subcat AS subcategory, pc.maintenance, pn.prd_cost AS cost, "
+    "pn.prd_line AS product_line, CAST(pn.prd_start_dt AS VARCHAR) AS start_date "
+    "FROM silver_prd pn LEFT JOIN cats pc ON pn.cat_id = pc.id "
+    "WHERE pn.prd_end_dt IS NULL"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only, and entries ROTATE
@@ -4435,12 +4468,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r06. Tranche-C pads are swap-eligible one-for-one for
     oracle-backed round-10 additions (annotate swaps inline).
 
-    r11 rotation plan: front the r06 remainder — the 31 entries from
-    v_mmr_rerank through m_media_decode (the oldest verdicts left
-    after this round) — and fill the remaining 19 slots from the
-    r08-verified tranche (a1_profile onward, oldest first). Round-11
-    oracle-backed additions swap one-for-one against the r08 pads.
-    Run the registry meta-test after reordering."""
+    r11 rotation plan: front the five tranche-C pads displaced by
+    the round-10 swaps (t_span_dedup, d_span_index_dedup,
+    j6_semi_anti_join, a1_cms_topk, x1_cms_stream — displaced by
+    g_reference_dim_products, m_decode_progressive,
+    m_image_ahash_pairs, g_reference_dim_customers,
+    g_reference_fact_sales respectively; they carry r06/r05-era
+    verdicts and missed the r10 window), then the r06 remainder
+    (v_mmr_rerank through m_media_decode, 31 entries), filling the
+    rest of the 50 from the r08-verified tranche (a1_profile onward,
+    oldest first). Round-11 oracle-backed additions swap one-for-one
+    against the r08 pads. Run the registry meta-test after
+    reordering."""
     return {
     # ---- r10 tranche A: the five tranche-C pads displaced by the
     # ---- round-9 swaps (oldest r05-latest verdicts in the registry)
@@ -4495,7 +4534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_null_if_future": _q_r10_null_if_future,
         "r11_prefer_source": _q_r11_prefer_source,
         "r12_current_rows": _q_r12_current_rows,
-        "t_span_dedup": _q_t_span_dedup,
+    # round-10 addition, swapped for the r06 pad t_span_dedup
+    # (displaced behind the cap): the real-corpus gold trio's third leg
+        "g_reference_dim_products": _q_g_reference_dim_products,
     # round-10 addition, swapped for the r06 pad d_span_index_dedup
     # (displaced behind the cap): the progressive-JPEG decode tier
         "m_decode_progressive": _q_m_decode_progressive,
@@ -4515,6 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_cms_stream": _q_x1_cms_stream,
         "j6_semi_anti_join": _q_j6_semi_anti_join,
         "d_span_index_dedup": _q_d_span_index_dedup,
+        "t_span_dedup": _q_t_span_dedup,
         "a1_unpivot": _q_a1_unpivot,
         "j_salted_skew": _q_j_salted_skew,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -5556,6 +5598,7 @@ def oracle_sql() -> dict[str, str]:
         "g_fact_sales": _SQL_FACT_SALES,
         "g_reference_dim_customers": _SQL_REF_DIM_CUSTOMERS,
         "g_reference_fact_sales": _SQL_REF_FACT_SALES,
+        "g_reference_dim_products": _SQL_REF_DIM_PRODUCTS,
         "m_image_ahash_pairs": _SQL_IMAGE_AHASH_PAIRS,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts
