@@ -98,6 +98,7 @@ AUDIT = [
     "m_decode_progressive",
     "g_reference_dim_customers",
     "g_reference_fact_sales",
+    "g_reference_dim_products",
 ]
 
 
