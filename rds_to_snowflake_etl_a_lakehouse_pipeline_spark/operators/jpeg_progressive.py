@@ -609,13 +609,16 @@ _SCRIPT_1 = [
 def encode_jpeg_progressive(
     width: int, height: int, pixels: bytes, channels: int = 3,
     quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize a top-down row-major 8-bit buffer (gray or RGB) as a
     PROGRESSIVE (SOF2) JPEG. Quantizes through the same pipeline as the
     baseline :func:`~.jpeg.encode_jpeg`, so at equal quality the two
     files decode to identical pixels; each scan carries its own optimal
-    Huffman table(s). Restart intervals are not emitted (the decoder
-    supports them for foreign files)."""
+    Huffman table(s). ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (DC scans) / blocks (AC scans) in EVERY scan —
+    resetting DC prediction and EOB runs at each boundary, exercising
+    the decoder's progressive resync path."""
     planes, dims, hv, qts, qluma, qchroma = _prepare_planes(
         width, height, pixels, channels, quality, subsampling
     )
@@ -640,41 +643,48 @@ def encode_jpeg_progressive(
 
     script = _SCRIPT_3 if channels == 3 else _SCRIPT_1
 
-    def run_scan(spec, sinks) -> None:
+    def run_scan(spec, sinks, bw=None) -> None:
         """Drive one scan through per-table-class sinks; deterministic,
         so the counting pass and the emitting pass see identical
-        symbol streams."""
+        symbol streams. ``bw`` is the emitting pass's bit writer (None
+        in the counting pass): restart markers flush + land there,
+        while the entropy-state resets (DC pred, EOB run) happen in
+        BOTH passes so the symbol streams stay identical."""
+        rst = [0]
+
+        def emit_rst() -> None:
+            if bw is not None:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst[0]])
+                rst[0] = (rst[0] + 1) % 8
+
+        ri = restart_interval
         if spec["ss"] == 0 and spec["ci"] is None:
-            if spec["ah"] == 0:
-                pred = [0] * channels
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        for ci in range(channels):
-                            ch, cv = hv[ci]
-                            bw_i = mcux * ch
-                            for by in range(cv):
-                                for bx in range(ch):
-                                    blk = coefs[ci][
-                                        (my * cv + by) * bw_i + mx * ch + bx
-                                    ]
+            pred = [0] * channels
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and n and n % ri == 0:
+                        pred = [0] * channels
+                        emit_rst()
+                    for ci in range(channels):
+                        ch, cv = hv[ci]
+                        bw_i = mcux * ch
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = coefs[ci][
+                                    (my * cv + by) * bw_i + mx * ch + bx
+                                ]
+                                if spec["ah"] == 0:
                                     _enc_dc_first(
                                         sinks[min(ci, 1)], blk[0],
                                         spec["al"], pred, ci,
                                     )
-            else:
-                for my in range(mcuy):
-                    for mx in range(mcux):
-                        for ci in range(channels):
-                            ch, cv = hv[ci]
-                            bw_i = mcux * ch
-                            for by in range(cv):
-                                for bx in range(ch):
-                                    blk = coefs[ci][
-                                        (my * cv + by) * bw_i + mx * ch + bx
-                                    ]
+                                else:
                                     sinks[0].bits(
                                         1, (blk[0] >> spec["al"]) & 1
                                     )
+                    n += 1
         else:
             ci = spec["ci"]
             ch, cv = hv[ci]
@@ -684,10 +694,16 @@ def encode_jpeg_progressive(
             bw_i = mcux * ch
             state = _AcRunState(sinks[0])
             fn = _enc_ac_first if spec["ah"] == 0 else _enc_ac_refine
+            n = 0
             for by in range(cbh):
                 for bx in range(cbw):
+                    if ri and n and n % ri == 0:
+                        # an EOB run never spans a restart boundary
+                        state.flush_eobrun()
+                        emit_rst()
                     fn(state, coefs[ci][by * bw_i + bx],
                        spec["ss"], spec["se"], spec["al"])
+                    n += 1
             state.flush_eobrun()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -705,6 +721,8 @@ def encode_jpeg_progressive(
             0 if ci == 0 else 1,
         )
     out += seg(0xC2, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     for spec in script:
         is_dc = spec["ss"] == 0
@@ -715,7 +733,7 @@ def encode_jpeg_progressive(
         )
         bw = _BitWriter()
         if n_tables == 0:
-            run_scan(spec, [_RawBits(bw), _RawBits(bw)])
+            run_scan(spec, [_RawBits(bw), _RawBits(bw)], bw=bw)
         else:
             counters = [_SymbolCounter() for _ in range(n_tables)]
             run_scan(spec, counters + counters[-1:])
@@ -729,7 +747,7 @@ def encode_jpeg_progressive(
                 _SymbolWriter(bw, _HuffEncoder(tbits, tvals))
                 for tbits, tvals in tables
             ]
-            run_scan(spec, writers + writers[-1:])
+            run_scan(spec, writers + writers[-1:], bw=bw)
         bw.flush()
         if spec["ci"] is None:
             sos = bytes([channels])

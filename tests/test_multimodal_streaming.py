@@ -1608,6 +1608,12 @@ def test_progressive_jpeg_roundtrip_matches_baseline(spark):
             db, dp = decode_jpeg(base), decode_jpeg(prog)
             assert dp is not None and db == dp, (q, w, h, ch, sub)
             assert parse_jpeg_header(prog) == (w, h, ch)
+            # restart markers in every scan: resync path stays exact
+            rst = encode_jpeg_progressive(
+                w, h, px, channels=ch, quality=q, subsampling=sub,
+                restart_interval=2,
+            )
+            assert decode_jpeg(rst) == db, ("restart", q, w, h, ch, sub)
 
     # the Spark decode tier reports progressive dims (no fake fallback)
     grad = bytes((2 * x + y) % 200 for y in range(16) for x in range(16))
