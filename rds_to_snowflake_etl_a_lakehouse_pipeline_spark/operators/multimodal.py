@@ -442,6 +442,7 @@ def image_hash_pairs(
     hash_col: str = "phash",
     max_hamming: int = 6,
     band_bits: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs (id_a < id_b, hamming ≤ max_hamming)
     from perceptual hashes, Hamming-BUCKETED so it scales: the 64-bit
@@ -451,7 +452,16 @@ def image_hash_pairs(
     recall is total for max_hamming ≤ n_bands − 1 and near-total
     above), then one ``bit_count(xor)`` filter scores the survivors.
     Cost is Σ band-bucket², never n² — the same banding spine as
-    text SimHash (``dedup.simhash_near_dups``), reused for pixels."""
+    text SimHash (``dedup.simhash_near_dups``), reused for pixels.
+
+    ``max_bucket_size`` is the hot-bucket dial, same trade as MinHash's
+    (``dedup.minhash_query_index``): a real lake holds floods of
+    near-identical boilerplate images (solid-color thumbnails, blank
+    scans — aHash 0) whose shared band buckets would go quadratic; a
+    capped (band, value) bucket is EXCLUDED from candidate generation,
+    so a flooded bucket costs nothing and pairs that ALSO share a cold
+    band still surface. None (default) keeps recall total — correct
+    for oracle-checked runs; set a cap at corpus scale."""
     n_bands = 64 // band_bits
     h = F.col(hash_col)
     sk = df.select(F.col(id_col).alias("_id"), h.alias("_ph")).filter(
@@ -475,6 +485,15 @@ def image_hash_pairs(
             )
         ).alias("bv"),
     ).select("_id", "_ph", "bv.band", "bv.val")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "val")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1653,3 +1653,29 @@ def test_perceptual_hash_numpy_and_pure_paths_agree():
             finally:
                 mm._phash_numpy = orig
             assert fast == pure, (w, h, method)
+
+
+def test_image_hash_pairs_hot_bucket_cap(spark):
+    """max_bucket_size excludes flooded (band, value) buckets from
+    candidate generation — a lake's blank-thumbnail flood (identical
+    hashes, every band hot) contributes ZERO pairs under the cap,
+    while a genuine near-dup pair sharing a COLD band still surfaces;
+    uncapped recall is total (the oracle-checked default)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        image_hash_pairs,
+    )
+
+    flood = [(i, 0) for i in range(40)]  # 40 blank images, hash 0
+    # a near-dup pair: differs only inside band 0 (hamming 2) — bands
+    # 1-3 are cold buckets shared by exactly these two rows
+    pair = [(100, 0x7777_0001), (101, 0x7777_0002)]
+    df = spark.createDataFrame(flood + pair, "doc_id long, phash long")
+
+    uncapped = image_hash_pairs(df, max_hamming=2)
+    assert uncapped.count() == 40 * 39 // 2 + 1  # flood all-pairs + ours
+
+    capped = image_hash_pairs(df, max_hamming=2, max_bucket_size=8)
+    rows = [(r.id_a, r.id_b) for r in capped.collect()]
+    assert rows == [(100, 101)]  # flood gone, cold-band pair survives
