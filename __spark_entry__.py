@@ -4339,6 +4339,95 @@ def _q_m_image_ahash_pairs(spark, sf_dir):
     )
 
 
+def _q_m_audio_fp_pairs(spark, sf_dir):
+    """Audio spectral near-dup — the AUDIO twin of image aHash and
+    text MinHash (operators/multimodal.py::audio_spectral_hash +
+    audio_hash_pairs, round 10): per document a real RIFF/PCM WAV is
+    synthesized (8 windows x 512 samples at 8192 Hz; window w carries
+    nine bin-aligned sines at 448+304m Hz with amplitudes
+    700·(1 + (r4 + r7(w+1) + s(m+1)) mod 4), r4 = g%4, r7 = g%7,
+    s = 1 + (g%11)%3, g = doc_id//2 — s coprime to 4, so adjacent
+    bands NEVER tie), encoded through encode_wav, decoded back through
+    the real PCM tier, fingerprinted (rfft band energies, bit(w,m) =
+    E(w,m) > E(w,m+1)), and Hamming-banded into near-dup pairs (≤ 3).
+    Odd siblings re-encode at 0.4x volume (amplitude 280), which
+    CANCELS in the adjacent-band compares, so they pair at hamming 0
+    through the actual encode→decode→FFT path; the oracle recomputes
+    every hash ARITHMETICALLY from the closed form (bit = (r4 +
+    r7(w+1) + s(m+1))%4 > (r4 + r7(w+1) + s(m+2))%4 — sine energy is
+    monotone in amplitude and bin alignment kills leakage) and scores
+    all pairs — any WAV parse, mixdown, FFT, band-binning, banding, or
+    bit_count defect hash-mismatches. Banding recall is total by
+    pigeonhole (4 bands > max_hamming 3)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        audio_hash_pairs,
+        audio_spectral_hash,
+        encode_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        import numpy as np
+
+        n = np.arange(512)
+        sin_t = np.sin(2 * np.pi * np.outer(28 + 19 * np.arange(9), n) / 512)
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 2
+                r4, r7, s = g % 4, g % 7, 1 + (g % 11) % 3
+                base = 700 if did % 2 == 0 else 280
+                amps = np.array(
+                    [
+                        [
+                            base * (1 + (r4 + r7 * (w + 1) + s * (m + 1)) % 4)
+                            for m in range(9)
+                        ]
+                        for w in range(8)
+                    ],
+                    dtype=np.float64,
+                )
+                pcm = np.rint(amps @ sin_t).astype("<i2").tobytes()
+                blobs.append(encode_wav(8192, 1, pcm))
+            pdf["content"] = blobs
+            yield pdf
+
+    blobs = d.mapInPandas(make, "doc_id long, content binary")
+    hashes = audio_spectral_hash(blobs, "content")
+    pairs = audio_hash_pairs(hashes, "doc_id", "afp", max_hamming=3)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+_SQL_AUDIO_FP_PAIRS = (
+    "WITH params AS (SELECT doc_id, (doc_id // 2) % 4 AS r4, "
+    "(doc_id // 2) % 7 AS r7, 1 + ((doc_id // 2) % 11) % 3 AS s "
+    "FROM documents), "
+    "grid AS (SELECT w.w, m.m FROM generate_series(0, 7) w(w), "
+    "generate_series(0, 7) m(m)), "
+    # closed-form fingerprint: band m amplitude multiplier is
+    # 1 + (r4 + r7(w+1) + s(m+1)) % 4; energy is monotone in amplitude
+    # -> bit(w,m) = (r4 + r7(w+1) + s(m+1))%4 > (r4 + r7(w+1) + s(m+2))%4
+    "uh AS (SELECT doc_id, sum(CASE WHEN "
+    "(r4 + r7 * (w + 1) + s * (m + 1)) % 4 > "
+    "(r4 + r7 * (w + 1) + s * (m + 2)) % 4 "
+    "THEN CAST(1 AS HUGEINT) << (w * 8 + m) "
+    "ELSE CAST(0 AS HUGEINT) END) AS u FROM params, grid GROUP BY doc_id), "
+    "hashes AS (SELECT doc_id, CAST(u - CASE WHEN u >= CAST("
+    "'9223372036854775808' AS HUGEINT) THEN CAST("
+    "'18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT) AS h FROM uh) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming "
+    "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.h, b.h)) <= 3"
+)
+
+
 _SQL_IMAGE_AHASH_PAIRS = (
     "WITH params AS (SELECT doc_id, "
     "1 + (doc_id // 2) % 7 AS a, 1 + (doc_id // 2) % 5 AS b FROM documents), "
@@ -4468,13 +4557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r06. Tranche-C pads are swap-eligible one-for-one for
     oracle-backed round-10 additions (annotate swaps inline).
 
-    r11 rotation plan: front the five tranche-C pads displaced by
+    r11 rotation plan: front the six tranche-C pads displaced by
     the round-10 swaps (t_span_dedup, d_span_index_dedup,
-    j6_semi_anti_join, a1_cms_topk, x1_cms_stream — displaced by
-    g_reference_dim_products, m_decode_progressive,
+    j6_semi_anti_join, a1_cms_topk, x1_cms_stream, r12_current_rows
+    — displaced by g_reference_dim_products, m_decode_progressive,
     m_image_ahash_pairs, g_reference_dim_customers,
-    g_reference_fact_sales respectively; they carry r06/r05-era
-    verdicts and missed the r10 window), then the r06 remainder
+    g_reference_fact_sales, m_audio_fp_pairs respectively; they carry
+    r06/r05-era verdicts and missed the r10 window), then the r06
+    remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -4533,7 +4623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r9_backfill_price": _q_r9_backfill_price,
         "r10_null_if_future": _q_r10_null_if_future,
         "r11_prefer_source": _q_r11_prefer_source,
-        "r12_current_rows": _q_r12_current_rows,
     # round-10 addition, swapped for the r06 pad t_span_dedup
     # (displaced behind the cap): the real-corpus gold trio's third leg
         "g_reference_dim_products": _q_g_reference_dim_products,
@@ -4549,9 +4638,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # medallion pipeline over the reference's REAL CRM/ERP CSVs
         "g_reference_dim_customers": _q_g_reference_dim_customers,
         "g_reference_fact_sales": _q_g_reference_fact_sales,
-    # ---- behind the cap: the two pads displaced by the round-10
+    # round-10 addition, swapped for the r06 pad r12_current_rows
+    # (displaced behind the cap): audio spectral near-dup over the
+    # real WAV codec + FFT band-contour hash + Hamming banding
+        "m_audio_fp_pairs": _q_m_audio_fp_pairs,
+    # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "r12_current_rows": _q_r12_current_rows,
         "a1_cms_topk": _q_a1_cms_topk,
         "x1_cms_stream": _q_x1_cms_stream,
         "j6_semi_anti_join": _q_j6_semi_anti_join,
@@ -5600,6 +5694,7 @@ def oracle_sql() -> dict[str, str]:
         "g_reference_fact_sales": _SQL_REF_FACT_SALES,
         "g_reference_dim_products": _SQL_REF_DIM_PRODUCTS,
         "m_image_ahash_pairs": _SQL_IMAGE_AHASH_PAIRS,
+        "m_audio_fp_pairs": _SQL_AUDIO_FP_PAIRS,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts
             # the progressive roundtrip stayed inside the SAME pixel

@@ -436,7 +436,7 @@ def image_perceptual_hash(
     return df.mapInPandas(batches, schema=out_schema)
 
 
-def image_hash_pairs(
+def hamming_hash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "phash",
@@ -444,15 +444,17 @@ def image_hash_pairs(
     band_bits: int = 16,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate image pairs (id_a < id_b, hamming ≤ max_hamming)
-    from perceptual hashes, Hamming-BUCKETED so it scales: the 64-bit
-    hash splits into ``64/band_bits`` bands, candidates are pairs that
-    agree EXACTLY on at least one band (hash-join per band — by
-    pigeonhole any pair within hamming < n_bands must share a band, so
-    recall is total for max_hamming ≤ n_bands − 1 and near-total
-    above), then one ``bit_count(xor)`` filter scores the survivors.
-    Cost is Σ band-bucket², never n² — the same banding spine as
-    text SimHash (``dedup.simhash_near_dups``), reused for pixels.
+    """Near-duplicate pairs (id_a < id_b, hamming ≤ max_hamming) over
+    ANY 64-bit fingerprint column, Hamming-BUCKETED so it scales: the
+    64-bit hash splits into ``64/band_bits`` bands, candidates are
+    pairs that agree EXACTLY on at least one band (hash-join per band
+    — by pigeonhole any pair within hamming < n_bands must share a
+    band, so recall is total for max_hamming ≤ n_bands − 1 and
+    near-total above), then one ``bit_count(xor)`` filter scores the
+    survivors. Cost is Σ band-bucket², never n² — the same banding
+    spine as text SimHash (``dedup.simhash_near_dups``), reused for
+    image aHash/dHash (:func:`image_perceptual_hash`) and audio
+    spectral fingerprints (:func:`audio_spectral_hash`) alike.
 
     ``max_bucket_size`` is the hot-bucket dial, same trade as MinHash's
     (``dedup.minhash_query_index``): a real lake holds floods of
@@ -517,6 +519,201 @@ def image_hash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_hash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from perceptual hashes — the
+    multimodal twin of text MinHash. Thin front over
+    :func:`hamming_hash_pairs` (kept as the image-named entry point;
+    the banding mechanics and the ``max_bucket_size`` boilerplate-flood
+    dial are documented there)."""
+    return hamming_hash_pairs(
+        df, id_col, hash_col, max_hamming, band_bits, max_bucket_size
+    )
+
+
+def audio_hash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "afp",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs from spectral fingerprints
+    (:func:`audio_spectral_hash`) — same banded Hamming join as
+    images; the default ``max_hamming=3`` keeps banding recall total
+    by pigeonhole (4 bands > 3)."""
+    return hamming_hash_pairs(
+        df, id_col, hash_col, max_hamming, band_bits, max_bucket_size
+    )
+
+
+# ------------------------------------------------------------ audio hashing
+# Spectral-contour audio fingerprint, the audio twin of image aHash:
+# 8 time windows x 9 fixed frequency bands, bit(w, m) = band energy m
+# strictly above band energy m+1 in window w. Comparing ADJACENT band
+# energies inside one window cancels global volume exactly (the way a
+# brightness offset cancels in aHash), so a re-encode at a different
+# level lands at Hamming 0. This is the Haitsma–Kalker energy-contour
+# family (ISMIR 2002, "A Highly Robust Audio Fingerprinting System")
+# reduced to its sign-of-band-difference core.
+
+_AUDIO_BAND_EDGES_HZ = (300, 600, 900, 1200, 1500, 1800, 2100, 2400, 2700, 3000)
+
+
+def _pcm16_mono(b: bytes):
+    """(sample_rate, list-of-int mono samples) for a RIFF/PCM 16-bit
+    WAV (channels averaged with exact integer floor-mean), or None when
+    ``b`` is not one."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            sr = wf.getframerate()
+            ch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+    except Exception:
+        return None
+    x = struct.unpack(f"<{len(raw) // 2}h", raw)
+    if ch > 1:
+        x = [sum(x[i : i + ch]) // ch for i in range(0, len(x) - ch + 1, ch)]
+    return sr, list(x)
+
+
+def _audio_band_bins(sr: int, n: int, edges: tuple) -> list[tuple[int, int]]:
+    """Half-open rfft-bin ranges [k_lo, k_hi) per band for window
+    length ``n`` at sample rate ``sr`` — exact integer ceils, so the
+    numpy and pure paths always agree on band membership."""
+    top = n // 2 + 1
+    out = []
+    for m in range(len(edges) - 1):
+        k_lo = -(-edges[m] * n // sr)
+        k_hi = min(-(-edges[m + 1] * n // sr), top)
+        out.append((k_lo, k_hi))
+    return out
+
+
+def _audio_fp_numpy(sr: int, x, n_windows: int, edges: tuple):
+    """Vectorized fingerprint (rfft per window, band energies by bin
+    slices); None when numpy is absent (pure path then)."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        return None
+    n = len(x) // n_windows
+    w = np.asarray(x[: n * n_windows], dtype=np.float64).reshape(n_windows, n)
+    X = np.fft.rfft(w, axis=1)
+    mag2 = X.real * X.real + X.imag * X.imag
+    nb = len(edges) - 1
+    E = np.zeros((n_windows, nb))
+    for m, (k_lo, k_hi) in enumerate(_audio_band_bins(sr, n, edges)):
+        if k_lo < k_hi:
+            E[:, m] = mag2[:, k_lo:k_hi].sum(axis=1)
+    bits = 0
+    for wi in range(n_windows):
+        for m in range(nb - 1):
+            if E[wi, m] > E[wi, m + 1]:
+                bits |= 1 << (wi * 8 + m)
+    return bits
+
+
+def _audio_fp_pure(sr: int, x, n_windows: int, edges: tuple) -> int:
+    """Dependency-free fingerprint: direct DFT at exactly the bins each
+    band covers (Goertzel-shaped O(band_bins · n) per window — the
+    correctness fallback, not the throughput path)."""
+    import math
+
+    n = len(x) // n_windows
+    bins = _audio_band_bins(sr, n, edges)
+    nb = len(edges) - 1
+    bits = 0
+    for wi in range(n_windows):
+        win = x[wi * n : (wi + 1) * n]
+        E = []
+        for k_lo, k_hi in bins:
+            e = 0.0
+            for k in range(k_lo, k_hi):
+                re = im = 0.0
+                step = -2.0 * math.pi * k / n
+                for i, v in enumerate(win):
+                    re += v * math.cos(step * i)
+                    im += v * math.sin(step * i)
+                e += re * re + im * im
+            E.append(e)
+        for m in range(nb - 1):
+            if E[m] > E[m + 1]:
+                bits |= 1 << (wi * 8 + m)
+    return bits
+
+
+def _audio_fp_int(
+    b: bytes, n_windows: int = 8, edges: tuple = _AUDIO_BAND_EDGES_HZ
+):
+    """Unsigned 64-bit spectral fingerprint of one WAV blob, or None
+    when the blob is not 16-bit RIFF/PCM or is too short to fill the
+    window grid. numpy and pure paths compute the same DFT energies
+    (float summation order may differ; the comparisons that define
+    bits carry wide margins for any signal whose band contour is not
+    itself at the noise floor)."""
+    dec = _pcm16_mono(b)
+    if dec is None:
+        return None
+    sr, x = dec
+    if sr <= 0 or len(x) < n_windows:
+        return None
+    fast = _audio_fp_numpy(sr, x, n_windows, edges)
+    if fast is not None:
+        return fast
+    return _audio_fp_pure(sr, x, n_windows, edges)
+
+
+def audio_spectral_hash(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "afp",
+    n_windows: int = 8,
+) -> DataFrame:
+    """Append a 64-bit spectral-contour fingerprint (signed bigint —
+    the unsigned value two's-complement-wrapped, same convention as
+    :func:`image_perceptual_hash`) of each audio blob decoded through
+    the REAL RIFF/PCM tier; NULL for anything that tier can't decode.
+    Volume changes cancel bit-for-bit (adjacent-band energy compares),
+    so a re-encode at a different level near-dups at Hamming 0 via
+    :func:`audio_hash_pairs` — the audio twin of text MinHash and
+    image aHash. Per-blob CPU inside an Arrow batch; payload-bounded,
+    embarrassingly parallel, zero shuffles."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint"
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            hs = []
+            for data in pdf[content_col]:
+                b = bytes(data) if data is not None else b""
+                v = _audio_fp_int(b, n_windows)
+                if v is not None and v >= 1 << 63:
+                    v -= 1 << 64
+                hs.append(v)
+            pdf[out_col] = pd.array(hs, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def _resize_png(b: bytes, tw: int, th: int) -> bytes | None:

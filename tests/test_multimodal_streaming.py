@@ -1679,3 +1679,109 @@ def test_image_hash_pairs_hot_bucket_cap(spark):
     capped = image_hash_pairs(df, max_hamming=2, max_bucket_size=8)
     rows = [(r.id_a, r.id_b) for r in capped.collect()]
     assert rows == [(100, 101)]  # flood gone, cold-band pair survives
+
+
+def _tone_wav(sr, n_windows, win_len, amps_by_window, bin_freqs, volume=1.0):
+    """Fixture WAV: per window a sum of bin-aligned sines (zero
+    spectral leakage), amplitude table amps_by_window[w][m] at
+    bin_freqs[m] Hz. Bin alignment: f * win_len / sr must be integer."""
+    import math
+    import struct as st
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_wav,
+    )
+
+    samples = []
+    for w in range(n_windows):
+        for n in range(win_len):
+            v = 0.0
+            for amp, f in zip(amps_by_window[w], bin_freqs):
+                v += volume * amp * math.sin(2 * math.pi * f * n / sr)
+            samples.append(int(round(v)))
+    return encode_wav(sr, 1, st.pack(f"<{len(samples)}h", *samples))
+
+
+def _contour_amps(seed):
+    """9-band amplitude contour per window with no adjacent ties
+    (multiplier 1 + (seed + 2w + 3m) % 4; 3 is coprime to 4)."""
+    return [
+        [600 * (1 + (seed + 2 * w + 3 * m) % 4) for m in range(9)]
+        for w in range(8)
+    ]
+
+
+_AUDIO_BINS = [16 * (28 + 19 * m) for m in range(9)]  # 448+304m Hz, sr 8192
+
+
+def test_audio_spectral_hash_volume_invariant_pairs(spark):
+    """A volume re-encode (x0.35) of a clip fingerprints IDENTICALLY
+    (adjacent-band compares cancel gain) and surfaces as a Hamming-0
+    pair through the banded join; an unrelated contour does not pair."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        audio_hash_pairs,
+        audio_spectral_hash,
+    )
+
+    a = _tone_wav(8192, 8, 512, _contour_amps(0), _AUDIO_BINS)
+    a_quiet = _tone_wav(8192, 8, 512, _contour_amps(0), _AUDIO_BINS, volume=0.35)
+    other = _tone_wav(8192, 8, 512, _contour_amps(2), _AUDIO_BINS)
+    df = spark.createDataFrame(
+        [(1, a), (2, a_quiet), (3, other), (4, b"not audio")],
+        "doc_id long, content binary",
+    )
+    hashed = audio_spectral_hash(df)
+    rows = {r["doc_id"]: r["afp"] for r in hashed.collect()}
+    assert rows[1] is not None and rows[1] == rows[2]
+    assert rows[3] is not None and rows[3] != rows[1]
+    assert rows[4] is None
+    pairs = audio_hash_pairs(hashed).collect()
+    assert {(p["id_a"], p["id_b"], p["hamming"]) for p in pairs} >= {(1, 2, 0)}
+    assert all({p["id_a"], p["id_b"]} != {1, 3} for p in pairs)
+
+
+def test_audio_fp_pure_matches_numpy(spark):
+    """The dependency-free direct-DFT fallback computes the same bits
+    as the numpy rfft path on real fixture signals."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _AUDIO_BAND_EDGES_HZ,
+        _audio_fp_numpy,
+        _audio_fp_pure,
+        _pcm16_mono,
+    )
+
+    for seed in (0, 1, 3):
+        wav = _tone_wav(8192, 8, 128, _contour_amps(seed), _AUDIO_BINS)
+        sr, x = _pcm16_mono(wav)
+        fast = _audio_fp_numpy(sr, x, 8, _AUDIO_BAND_EDGES_HZ)
+        pure = _audio_fp_pure(sr, x, 8, _AUDIO_BAND_EDGES_HZ)
+        assert fast is not None and fast == pure
+
+
+def test_audio_fp_stereo_and_short_clips(spark):
+    """Stereo with duplicated channels hashes like its mono mixdown;
+    clips too short for the window grid and non-16-bit payloads are
+    NULL, never a crash."""
+    import struct as st
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _audio_fp_int,
+        encode_wav,
+    )
+
+    amps = _contour_amps(1)
+    mono = _tone_wav(8192, 8, 512, amps, _AUDIO_BINS)
+    # interleave the identical mono PCM into two channels
+    import wave as _w
+    import io as _io
+
+    with _w.open(_io.BytesIO(mono)) as wf:
+        pcm = wf.readframes(wf.getnframes())
+    vals = st.unpack(f"<{len(pcm) // 2}h", pcm)
+    stereo_pcm = st.pack(
+        f"<{2 * len(vals)}h", *[v for x in vals for v in (x, x)]
+    )
+    stereo = encode_wav(8192, 2, stereo_pcm)
+    assert _audio_fp_int(stereo) == _audio_fp_int(mono)
+    assert _audio_fp_int(encode_wav(8000, 1, b"\x01\x00" * 4)) is None
+    assert _audio_fp_int(b"RIFFxxxxWAVEgarbage") is None
