@@ -587,7 +587,10 @@ def _pcm16_mono(b: bytes):
             raw = wf.readframes(wf.getnframes())
     except Exception:
         return None
-    x = struct.unpack(f"<{len(raw) // 2}h", raw)
+    # a corrupt data chunk may carry an odd byte count — drop the
+    # trailing half-sample instead of letting unpack throw
+    n16 = len(raw) // 2
+    x = struct.unpack(f"<{n16}h", raw[: n16 * 2])
     if ch > 1:
         x = [sum(x[i : i + ch]) // ch for i in range(0, len(x) - ch + 1, ch)]
     return sr, list(x)

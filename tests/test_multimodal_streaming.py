@@ -1239,6 +1239,7 @@ def test_media_decoders_never_crash_on_fuzzed_bytes():
         parse_jpeg_header,
     )
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _audio_fp_int,
         _decode_png,
         _parse_bmp,
         _parse_wav,
@@ -1259,6 +1260,8 @@ def test_media_decoders_never_crash_on_fuzzed_bytes():
         for fn in (decode_jpeg, parse_jpeg_header, _decode_png, _parse_bmp, _parse_wav):
             out = fn(blob)
             assert out is None or isinstance(out, tuple)
+        fp = _audio_fp_int(blob)
+        assert fp is None or isinstance(fp, int)
     # truncations and single-byte corruptions of REAL payloads — every
     # decode tier, not just the compressed ones
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
@@ -1278,18 +1281,18 @@ def test_media_decoders_never_crash_on_fuzzed_bytes():
         (real_prog, (decode_jpeg, parse_jpeg_header)),
         (real_png, (_decode_png,)),
         (real_bmp, (_parse_bmp,)),
-        (real_wav, (_parse_wav,)),
+        (real_wav, (_parse_wav, _audio_fp_int)),
     ):
         for cut in range(0, len(real), 7):
             for fn in fns:
                 out = fn(real[:cut])
-                assert out is None or isinstance(out, tuple)
+                assert out is None or isinstance(out, (tuple, int))
         for _ in range(150):
             i = rng.randrange(len(real))
             mut = real[:i] + bytes([rng.randrange(256)]) + real[i + 1:]
             for fn in fns:
                 out = fn(mut)
-                assert out is None or isinstance(out, tuple)
+                assert out is None or isinstance(out, (tuple, int))
 
 
 def test_compact_batch_partitions_resumes_crashed_fold(spark):
