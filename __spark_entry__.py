@@ -4339,6 +4339,126 @@ def _q_m_image_ahash_pairs(spark, sf_dir):
     )
 
 
+_FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
+
+
+def _fp_index_fixture(spark, sf_dir):
+    """(doc_id, phash, b) fingerprint fixture for the standing-index
+    entries: class c = doc_id % 40 spread across all four 16-bit bands,
+    xor a 2-bit variant v4 = (doc_id // 40) % 4 in band 1 — same-class
+    docs sit at hamming ≤ 2 (near-dups iff popcount(v4a ^ v4b) ≤ 1),
+    cross-class docs differ in all 4 bands (hamming ≥ 4, never pair at
+    max_hamming 1). b = doc_id % 2 splits the corpus into two arrival
+    batches. Pure Catalyst arithmetic, exactly replayable in SQL."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    fp = (F.col("doc_id") % 40) * F.lit(_FP_SPREAD)
+    v4 = ((F.col("doc_id") / 40).cast("long") % 4) * 65536
+    return d.select(
+        "doc_id",
+        fp.bitwiseXOR(v4).alias("phash"),
+        (F.col("doc_id") % 2).cast("int").alias("b"),
+    )
+
+
+def _q_m_hash_index_dedup(spark, sf_dir):
+    """Standing fingerprint index, incremental form
+    (operators/multimodal.py::hamming_index_build +
+    hamming_incremental_dedup, round 10 — the media twin of
+    d_minhash_index_dedup): batch 1 (even doc_ids) self-dedups into an
+    empty bucketed index; batch 2 (odd) drops docs within hamming 1 of
+    the INDEXED SURVIVORS or of an earlier doc in its own batch, and
+    its survivors append. The oracle replays both batches' drop rules
+    as correlated EXISTS over the closed-form fingerprints (banding
+    recall is total by pigeonhole: 4 bands > max_hamming 1, so the
+    band-join is invisible to semantics) — any banding, bucket-join,
+    append, or NULL-handling defect hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+    )
+
+    table = "fp_idx_q_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    f = _fp_index_fixture(spark, sf_dir)
+    hamming_index_build(
+        spark.createDataFrame([], "doc_id long, phash long"), table
+    )
+    surv1 = hamming_incremental_dedup(
+        spark, table, f.filter(F.col("b") == 0).drop("b"), max_hamming=1
+    )
+    surv2 = hamming_incremental_dedup(
+        spark, table, f.filter(F.col("b") == 1).drop("b"), max_hamming=1
+    )
+    return surv1.select("doc_id", F.lit(1).alias("batch")).unionByName(
+        surv2.select("doc_id", F.lit(2).alias("batch"))
+    )
+
+
+def _q_x1_media_dedup_stream(spark, sf_dir):
+    """Streaming media dedup (streaming/events.stream_media_dedup):
+    the same two batches arrive as two availableNow drains of a file
+    stream (file 2 written only after drain 1 completes, so the
+    micro-batch split is exact), each probing + extending the standing
+    Hamming index via hamming_incremental_dedup under foreachBatch.
+    The final index therefore holds exactly the batch path's
+    survivors, and the oracle is the same closed-form EXISTS replay
+    projected to survivor ids."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_index_build,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_media_dedup,
+    )
+
+    table = "fp_idx_s_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    f = _fp_index_fixture(spark, sf_dir)
+    hamming_index_build(
+        spark.createDataFrame([], "doc_id long, phash long"), table
+    )
+    feed = tempfile.mkdtemp(prefix="fp-feed-") + "/feed"
+    ck = tempfile.mkdtemp(prefix="ck-fp-")
+    for b in (0, 1):
+        f.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        sdf = spark.readStream.schema("doc_id long, phash long").parquet(feed)
+        stream_media_dedup(sdf, table, ck, max_hamming=1)
+    return (
+        spark.table(table)
+        .select("doc_id", "fp")
+        .distinct()
+        .withColumn("batch", (F.col("doc_id") % 2 + 1).cast("int"))
+    )
+
+
+_SQL_FP_FIXTURE = (
+    "f AS (SELECT doc_id, xor((doc_id % 40) * 281479271743489, "
+    "((doc_id // 40) % 4) * 65536) AS h, doc_id % 2 AS b FROM documents), "
+    "s1 AS (SELECT doc_id, h FROM f WHERE b = 0 AND NOT EXISTS ("
+    "SELECT 1 FROM f a WHERE a.b = 0 AND a.doc_id < f.doc_id "
+    "AND bit_count(xor(a.h, f.h)) <= 1)), "
+    "s2 AS (SELECT doc_id, h FROM f WHERE b = 1 AND NOT EXISTS ("
+    "SELECT 1 FROM s1 WHERE bit_count(xor(s1.h, f.h)) <= 1) "
+    "AND NOT EXISTS (SELECT 1 FROM f a WHERE a.b = 1 "
+    "AND a.doc_id < f.doc_id AND bit_count(xor(a.h, f.h)) <= 1))"
+)
+
+_SQL_HASH_INDEX_DEDUP = (
+    f"WITH {_SQL_FP_FIXTURE} "
+    "SELECT doc_id, 1 AS batch FROM s1 "
+    "UNION ALL SELECT doc_id, 2 AS batch FROM s2"
+)
+
+_SQL_MEDIA_DEDUP_STREAM = (
+    f"WITH {_SQL_FP_FIXTURE} "
+    "SELECT doc_id, h AS fp, 1 AS batch FROM s1 "
+    "UNION ALL SELECT doc_id, h AS fp, 2 AS batch FROM s2"
+)
+
+
 def _q_m_audio_fp_pairs(spark, sf_dir):
     """Audio spectral near-dup — the AUDIO twin of image aHash and
     text MinHash (operators/multimodal.py::audio_spectral_hash +
@@ -4557,14 +4677,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r06. Tranche-C pads are swap-eligible one-for-one for
     oracle-backed round-10 additions (annotate swaps inline).
 
-    r11 rotation plan: front the six tranche-C pads displaced by
+    r11 rotation plan: front the eight tranche-C pads displaced by
     the round-10 swaps (t_span_dedup, d_span_index_dedup,
-    j6_semi_anti_join, a1_cms_topk, x1_cms_stream, r12_current_rows
-    — displaced by g_reference_dim_products, m_decode_progressive,
+    j6_semi_anti_join, a1_cms_topk, x1_cms_stream, r12_current_rows,
+    r11_prefer_source, r10_null_if_future — displaced by
+    g_reference_dim_products, m_decode_progressive,
     m_image_ahash_pairs, g_reference_dim_customers,
-    g_reference_fact_sales, m_audio_fp_pairs respectively; they carry
-    r06/r05-era verdicts and missed the r10 window), then the r06
-    remainder
+    g_reference_fact_sales, m_audio_fp_pairs, m_hash_index_dedup,
+    x1_media_dedup_stream respectively; they carry r06/r05-era
+    verdicts and missed the r10 window), then the r06 remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -4621,8 +4742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5_coalesce_zero": _q_r5_coalesce_zero,
         "r7_int_date": _q_r7_int_date,
         "r9_backfill_price": _q_r9_backfill_price,
-        "r10_null_if_future": _q_r10_null_if_future,
-        "r11_prefer_source": _q_r11_prefer_source,
     # round-10 addition, swapped for the r06 pad t_span_dedup
     # (displaced behind the cap): the real-corpus gold trio's third leg
         "g_reference_dim_products": _q_g_reference_dim_products,
@@ -4642,9 +4761,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (displaced behind the cap): audio spectral near-dup over the
     # real WAV codec + FFT band-contour hash + Hamming banding
         "m_audio_fp_pairs": _q_m_audio_fp_pairs,
+    # round-10 additions, swapped for the r06 pads r11_prefer_source /
+    # r10_null_if_future (displaced behind the cap): the standing
+    # Hamming fingerprint index — batch-incremental and streaming forms
+        "m_hash_index_dedup": _q_m_hash_index_dedup,
+        "x1_media_dedup_stream": _q_x1_media_dedup_stream,
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "r10_null_if_future": _q_r10_null_if_future,
+        "r11_prefer_source": _q_r11_prefer_source,
         "r12_current_rows": _q_r12_current_rows,
         "a1_cms_topk": _q_a1_cms_topk,
         "x1_cms_stream": _q_x1_cms_stream,
@@ -5695,6 +5821,8 @@ def oracle_sql() -> dict[str, str]:
         "g_reference_dim_products": _SQL_REF_DIM_PRODUCTS,
         "m_image_ahash_pairs": _SQL_IMAGE_AHASH_PAIRS,
         "m_audio_fp_pairs": _SQL_AUDIO_FP_PAIRS,
+        "m_hash_index_dedup": _SQL_HASH_INDEX_DEDUP,
+        "x1_media_dedup_stream": _SQL_MEDIA_DEDUP_STREAM,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts
             # the progressive roundtrip stayed inside the SAME pixel

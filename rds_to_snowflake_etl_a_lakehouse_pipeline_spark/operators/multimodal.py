@@ -35,7 +35,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 try:  # pragma: no cover - not installed in this environment
@@ -436,6 +436,39 @@ def image_perceptual_hash(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def _fp_band_explode(
+    df: DataFrame, id_col: str, hash_col: str, band_bits: int
+) -> DataFrame:
+    """(_id, _ph, band, val) — the 64-bit fingerprint split into
+    ``64/band_bits`` exact-match bands (NULL hashes filtered: an
+    undecodable blob can't near-dup). Shared by the all-pairs join
+    (:func:`hamming_hash_pairs`) and the standing-index family
+    (:func:`hamming_index_build` / probe / incremental)."""
+    n_bands = 64 // band_bits
+    h = F.col(hash_col)
+    sk = df.select(F.col(id_col).alias("_id"), h.alias("_ph")).filter(
+        h.isNotNull()
+    )
+    return sk.select(
+        "_id",
+        "_ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("_ph"), b * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("_id", "_ph", "bv.band", "bv.val")
+
+
 def hamming_hash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -464,29 +497,7 @@ def hamming_hash_pairs(
     so a flooded bucket costs nothing and pairs that ALSO share a cold
     band still surface. None (default) keeps recall total — correct
     for oracle-checked runs; set a cap at corpus scale."""
-    n_bands = 64 // band_bits
-    h = F.col(hash_col)
-    sk = df.select(F.col(id_col).alias("_id"), h.alias("_ph")).filter(
-        h.isNotNull()
-    )
-    banded = sk.select(
-        "_id",
-        "_ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftrightunsigned(F.col("_ph"), b * band_bits)
-                            .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        ).alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("_id", "_ph", "bv.band", "bv.val")
+    banded = _fp_band_explode(df, id_col, hash_col, band_bits)
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -949,6 +960,205 @@ def resize_images(
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# -------------------------------------------------- standing fingerprint index
+# The media twin of dedup.minhash_build_index / minhash_incremental_dedup:
+# a standing bucketed table of banded 64-bit fingerprints (image aHash,
+# audio spectral, text SimHash — any hamming_hash_pairs-compatible hash)
+# that arriving batches probe and extend, so a 100 TB ingest pipeline
+# near-dups each batch against everything seen WITHOUT a corpus re-scan.
+
+
+def hamming_index_build(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    band_bits: int = 16,
+    n_buckets: int = 32,
+) -> None:
+    """Write the banded fingerprint index as a bucketed catalog table
+    (id, fp, band, val), hash-bucketed on the band ``val``: every later
+    probe joins on (band, val), so the corpus side of that join is
+    pre-shuffled at write time and never moves again — incremental
+    batches pay only their own fingerprints. Banding parameters are
+    recorded as table properties and validated on every probe/append
+    (a mismatched ``band_bits`` would silently destroy recall)."""
+    from ..sources.io import set_table_meta, write_table
+
+    banded = _fp_band_explode(df, id_col, hash_col, band_bits).select(
+        F.col("_id").alias(id_col), F.col("_ph").alias("fp"), "band", "val"
+    )
+    write_table(banded, table, bucket_by=(n_buckets, ["val"]))
+    set_table_meta(
+        df.sparkSession,
+        table,
+        kind="hamming_fp",
+        band_bits=band_bits,
+        n_buckets=n_buckets,
+        bucket_cols="val",
+    )
+
+
+def _hamming_probe_pairs(
+    banded_new: DataFrame,
+    idx: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(new_id, corpus_id, hamming) candidates from the banded batch
+    against a banded index. ``max_bucket_size`` mirrors
+    :func:`hamming_hash_pairs`' flood dial: a hot (band, val) index
+    bucket (boilerplate thumbnails, silence clips) is EXCLUDED from
+    candidate generation — sized over only the buckets the batch hits,
+    so the guard costs O(batch), never O(index)."""
+    if max_bucket_size is not None:
+        hit = banded_new.select("band", "val").distinct()
+        idx_hit = idx.join(hit, ["band", "val"])
+        w = Window.partitionBy("band", "val")
+        idx = (
+            idx_hit.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    return (
+        banded_new.alias("n")
+        .join(
+            idx.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.val") == F.col("c.val")),
+        )
+        .select(
+            F.col("n._id").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.bit_count(F.col("n._ph").bitwiseXOR(F.col("c.fp"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+
+def hamming_index_probe(
+    spark,
+    table: str,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, hamming) for every new fingerprint within
+    ``max_hamming`` of an indexed one. Only the batch is banded and
+    shuffled; the corpus streams out of its bucketed table into the
+    (band, val) join. Recall is total for ``max_hamming < 64 //
+    band_bits`` by pigeonhole (see :func:`hamming_hash_pairs`)."""
+    from ..sources.io import check_table_meta
+
+    meta = check_table_meta(spark, table, kind="hamming_fp")
+    band_bits = int(meta["band_bits"])
+    banded = _fp_band_explode(new_df, id_col, hash_col, band_bits)
+    return _hamming_probe_pairs(
+        banded, spark.table(table), id_col, max_hamming, max_bucket_size
+    )
+
+
+def hamming_incremental_dedup(
+    spark,
+    table: str,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    append: bool = True,
+    max_bucket_size: int | None = None,
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """Incremental media curation: drop new documents whose fingerprint
+    is within ``max_hamming`` of the ALREADY-INDEXED corpus or of an
+    earlier (smaller-``id_col``) document in the same batch, then
+    (``append=True``) add the survivors' banded fingerprints to the
+    index — the media twin of ``dedup.minhash_incremental_dedup``, with
+    the same batch-cost contract: each batch pays its own fingerprints
+    plus one bucketed probe join, never a corpus re-scan.
+
+    Rows whose ``hash_col`` is NULL (no real tier decoded the blob)
+    SURVIVE but are not indexed: an undecodable payload can neither be
+    claimed a near-dup nor anchor future dedups — route those to a
+    quarantine/decode-retry path instead of silently dropping data.
+
+    The fingerprint column is computed by the CALLER
+    (:func:`image_perceptual_hash`, :func:`audio_spectral_hash`, or
+    text SimHash) — this operator is modality-agnostic.
+    ``max_bucket_size`` applies :func:`hamming_hash_pairs`' flood
+    semantics to BOTH joins — a hot (band, val) bucket is excluded
+    from candidate generation (pairs also sharing a cold band still
+    surface), bounding the self-join at O(cap·batch) and the probe at
+    O(cap·batch_hits). ``storage``
+    materializes the (id, fp) projection once so the probe join, the
+    within-batch self-join, and the survivor append don't re-run the
+    upstream decode (``dedup._materialize``)."""
+    from ..sources.io import check_table_meta, write_table
+    from .dedup import _materialize
+
+    meta = check_table_meta(spark, table, kind="hamming_fp")
+    band_bits = int(meta["band_bits"])
+    n_buckets = int(meta["n_buckets"])
+
+    fps = _materialize(
+        new_df.select(F.col(id_col), F.col(hash_col)).filter(
+            F.col(hash_col).isNotNull()
+        ),
+        storage,
+    )
+    banded = _fp_band_explode(fps, id_col, hash_col, band_bits)
+    vs_corpus = _hamming_probe_pairs(
+        banded, spark.table(table), id_col, max_hamming, max_bucket_size
+    ).select(F.col("new_id").alias(id_col))
+
+    within_banded = banded
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "val")
+        within_banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    within = (
+        within_banded.alias("a")
+        .join(
+            within_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(
+            F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
+            <= max_hamming
+        )
+        .select(F.col("b._id").alias(id_col))
+    )
+    losers = vs_corpus.unionByName(within).distinct()
+    # materialize BEFORE the append: the survivor plan reads the index
+    # table, and an un-pinned plan re-evaluated after the append would
+    # see the survivors' own just-appended fingerprints and drop them
+    # as dups of themselves (the same hazard minhash_incremental_dedup
+    # pins the same way)
+    survivors = _materialize(new_df.join(losers, id_col, "left_anti"), storage)
+
+    if append:
+        surv_banded = banded.join(
+            survivors.select(F.col(id_col).alias("_id")), "_id"
+        ).select(
+            F.col("_id").alias(id_col), F.col("_ph").alias("fp"), "band", "val"
+        )
+        write_table(
+            surv_banded, table, mode="append", bucket_by=(n_buckets, ["val"])
+        )
+    return survivors
 
 
 def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:

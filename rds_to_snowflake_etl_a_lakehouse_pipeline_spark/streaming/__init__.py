@@ -14,6 +14,7 @@ from .events import (  # noqa: F401
     stream_events_auto,
     stream_incremental_distinct,
     stream_incremental_merge,
+    stream_media_dedup,
     stream_quarantine,
     stream_sessionize,
     stream_static_join,

@@ -392,6 +392,61 @@ def stream_corpus_dedup(
     q.awaitTermination()
 
 
+def stream_media_dedup(
+    sdf: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    query_name: str = "stream_media_dedup",
+    append: bool = True,
+):
+    """Streaming MEDIA curation: every micro-batch of arriving
+    fingerprinted blobs is near-dup-checked against the persisted
+    Hamming index (and within itself) through
+    ``operators.multimodal.hamming_incremental_dedup``; survivors'
+    banded fingerprints append to the index so later batches dedup
+    against everything seen — the media twin of
+    :func:`stream_corpus_dedup`, with the same state story: state
+    lives in a bucketed catalog table, not the streaming state store,
+    so it survives restarts and is queryable/compactable like any
+    table (``maintenance.py`` sweeps it like the MinHash index).
+
+    The stream carries the HASH column (compute it in the stream
+    transform via ``image_perceptual_hash`` / ``audio_spectral_hash``
+    — both are plain ``mapInPandas``, streaming-legal); this wrapper
+    stays modality-agnostic. Runs with trigger=availableNow and blocks
+    until input is drained. ``append=False`` is the measure/dry-run
+    mode, as on the MinHash twin."""
+    from ..operators.multimodal import hamming_incremental_dedup
+
+    def _dedup(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hamming_incremental_dedup(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            id_col=id_col,
+            hash_col=hash_col,
+            max_hamming=max_hamming,
+            append=append,
+            max_bucket_size=max_bucket_size,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_dedup)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_entity_resolution(
     sdf: DataFrame,
     table: str,

@@ -1788,3 +1788,130 @@ def test_audio_fp_stereo_and_short_clips(spark):
     assert _audio_fp_int(stereo) == _audio_fp_int(mono)
     assert _audio_fp_int(encode_wav(8000, 1, b"\x01\x00" * 4)) is None
     assert _audio_fp_int(b"RIFFxxxxWAVEgarbage") is None
+
+
+def _fp_df(spark, rows):
+    """(doc_id, phash) fixture frame; phash may be None."""
+    return spark.createDataFrame(rows, "doc_id long, phash long")
+
+
+def test_hamming_index_build_probe_incremental(spark):
+    """The standing fingerprint index: batch 2 drops docs within
+    max_hamming of the indexed corpus OR of an earlier doc in its own
+    batch; NULL hashes survive but are never indexed; survivor
+    fingerprints extend the index for the next batch."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+        hamming_index_probe,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS fp_idx_t1")
+    # corpus: two distinct fingerprints
+    hamming_index_build(
+        _fp_df(spark, [(1, 0x1111), (2, 0x7777_0000_0000)]), "fp_idx_t1"
+    )
+    # probe: 3 is hamming-1 from doc 1; 4 shares no band value
+    probe = hamming_index_probe(
+        spark, "fp_idx_t1", _fp_df(spark, [(3, 0x1110), (4, 0x2222)])
+    )
+    assert {(r["new_id"], r["corpus_id"], r["hamming"]) for r in probe.collect()} == {
+        (3, 1, 1)
+    }
+    # incremental batch: 10 dups corpus doc 2; 11 is new; 12 dups 11
+    # within-batch (earlier smaller id wins); 13 has NULL hash
+    batch = _fp_df(
+        spark,
+        [(10, 0x7777_0000_0001), (11, 0x0F0F), (12, 0x0F0E), (13, None)],
+    )
+    surv = hamming_incremental_dedup(spark, "fp_idx_t1", batch)
+    assert {r["doc_id"] for r in surv.collect()} == {11, 13}
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.table("fp_idx_t1").select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 2, 11}  # 13's NULL hash is NOT indexed
+    # next batch dedups against the appended survivor 11
+    surv2 = hamming_incremental_dedup(
+        spark, "fp_idx_t1", _fp_df(spark, [(20, 0x0F0F), (21, 0xF0F0_0000)])
+    )
+    assert {r["doc_id"] for r in surv2.collect()} == {21}
+
+
+def test_hamming_incremental_hot_bucket_cap(spark):
+    """A flooded (band, val) bucket is excluded from candidate
+    generation under max_bucket_size: the flood batch survives intact
+    (no quadratic self-join), while a pair that ALSO shares a cold
+    band still dedups."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS fp_idx_t2")
+    hamming_index_build(_fp_df(spark, [(1, 0x0123_4567_89AB_CDEF)]), "fp_idx_t2")
+    # 40 docs share band 0 (val 0xAAAA) but carry unique vals in bands
+    # 1-3; docs 100/101 additionally agree on cold bands 2+3 at
+    # hamming 1 (band-1 single-bit flip)
+    rows = [
+        (
+            100 + i,
+            0xAAAA
+            | ((i + 1) << 16)
+            | ((2 * i + 1) << 32)
+            | ((3 * i + 1) << 48),
+        )
+        for i in range(40)
+    ]
+    rows[1] = (101, rows[0][1] ^ (1 << 16))  # cold-band near-dup of 100
+    surv = hamming_incremental_dedup(
+        spark,
+        "fp_idx_t2",
+        _fp_df(spark, rows),
+        max_hamming=3,
+        max_bucket_size=8,
+    )
+    ids = {r["doc_id"] for r in surv.collect()}
+    assert 100 in ids and 101 not in ids  # cold band still caught
+    assert len(ids) == 39  # nothing else dropped by the flooded band
+
+
+def test_stream_media_dedup_matches_batch_incremental(spark, tmp_path):
+    """Two deterministic micro-batches through stream_media_dedup land
+    the same survivor index as two direct hamming_incremental_dedup
+    calls — the stream is just the batch operator under foreachBatch."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_media_dedup,
+    )
+
+    b1 = [(1, 0x1234), (2, 0x1235), (3, 0xFF00_0000)]  # 2 dups 1
+    b2 = [(4, 0x1236), (5, 0xABCD_0000_0000)]  # 4 dups survivor 1
+    for t in ("fp_idx_s_batch", "fp_idx_s_stream"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        hamming_index_build(_fp_df(spark, []), t)
+    for rows in (b1, b2):
+        hamming_incremental_dedup(spark, "fp_idx_s_batch", _fp_df(spark, rows))
+
+    feed = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, phash long"
+    # two-run availableNow drain: file 2 written only after run 1
+    # finishes, so the batch split is exact and deterministic
+    for rows in (b1, b2):
+        _fp_df(spark, rows).coalesce(1).write.mode("append").parquet(feed)
+        sdf = spark.readStream.schema(schema).parquet(feed)
+        stream_media_dedup(sdf, "fp_idx_s_stream", ck)
+
+    batch_idx = {
+        tuple(r) for r in spark.table("fp_idx_s_batch").collect()
+    }
+    stream_idx = {
+        tuple(r) for r in spark.table("fp_idx_s_stream").collect()
+    }
+    assert batch_idx == stream_idx
+    surv_ids = {r["doc_id"] for r in spark.table("fp_idx_s_stream").select("doc_id").distinct().collect()}
+    assert surv_ids == {1, 3, 5}
