@@ -22,6 +22,9 @@ def standing_tables(spark, tmp_path):
         minhash_build_index,
         span_build_index,
     )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_index_build,
+    )
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.versioned import (
         VersionedTable,
     )
@@ -35,6 +38,7 @@ def standing_tables(spark, tmp_path):
         "span": "maint_span_idx",
         "sink": "maint_batch_sink",
         "session": "maint_sess_state",
+        "hamming": "maint_fp_idx",
     }
     for t in names.values():
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -43,6 +47,12 @@ def standing_tables(spark, tmp_path):
     )
     minhash_build_index(docs, names["minhash"])
     span_build_index(docs, names["span"])
+    hamming_index_build(
+        spark.createDataFrame(
+            [(i, i * 257) for i in range(6)], "doc_id long, phash long"
+        ),
+        names["hamming"],
+    )
     for bid in range(3):
         _land_batch_partition(
             spark.createDataFrame([(bid, bid * 10)], "event_id long, v long"),
@@ -92,9 +102,11 @@ def test_health_sweep_discovers_every_family(spark, standing_tables):
         names["span"]: "span",
         names["sink"]: "batch_sink",
         names["session"]: "session_state",
+        names["hamming"]: "hamming_fp",
     }
     # every report is the family's own health shape
     assert "files_per_bucket" in sweep["tables"][names["minhash"]]
+    assert "files_per_bucket" in sweep["tables"][names["hamming"]]
     assert "live_batch_partitions" in sweep["tables"][names["sink"]]
     assert sweep["tables"][names["sink"]]["live_batch_partitions"] == 3
     assert "files_per_partition" in sweep["tables"][names["session"]]
