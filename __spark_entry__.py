@@ -4339,6 +4339,66 @@ def _q_m_image_ahash_pairs(spark, sf_dir):
     )
 
 
+def _q_gr_pagerank(spark, sf_dir):
+    """Integer-mass PageRank (operators/graph.py::pagerank_integer,
+    round 10 — link-centrality quality prior for corpus curation):
+    a deterministic multigraph-free link graph over documents (i →
+    (7i+3) mod n, i → (13i+1) mod n, every 10th doc → hub 0, distinct)
+    runs 3 damped power iterations with exact int64 floor arithmetic,
+    so the ranks are BIT-identical in any engine — the oracle unrolls
+    the same 3 iterations as chained SQL aggregations. Exercises the
+    iterative-join shape (edge-sized join + dst aggregation per
+    iteration, checkpointed), the dangling convention, and the
+    teleport base."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 1) % n).alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3).distinct()
+    pr = pagerank_integer(edges, n_iter=3)
+    return pr.select(F.col("node").cast("long").alias("node"), "rank")
+
+
+def _sql_pagerank_oracle(n_iter: int = 3) -> str:
+    base = "WITH nn AS (SELECT count(*) AS n FROM documents), "
+    base += (
+        "e AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, (doc_id * 13 + 1) % (SELECT n FROM nn) "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0)), "
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), "
+        "nodes AS (SELECT doc_id AS node FROM documents), "
+        "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"
+    )
+    for k in range(1, n_iter + 1):
+        base += (
+            f", r{k} AS (SELECT nodes.node, CAST(150000000 + "
+            f"COALESCE(SUM((r.rank * 85) // (100 * deg.d)), 0) AS BIGINT) "
+            f"AS rank FROM nodes "
+            f"LEFT JOIN e ON e.dst = nodes.node "
+            f"LEFT JOIN deg ON deg.src = e.src "
+            f"LEFT JOIN r{k - 1} r ON r.node = e.src "
+            f"GROUP BY nodes.node)"
+        )
+    return base + f" SELECT node, rank FROM r{n_iter}"
+
+
+_SQL_GR_PAGERANK = _sql_pagerank_oracle(3)
+
+
 _FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
 
 
@@ -4677,15 +4737,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r06. Tranche-C pads are swap-eligible one-for-one for
     oracle-backed round-10 additions (annotate swaps inline).
 
-    r11 rotation plan: front the eight tranche-C pads displaced by
+    r11 rotation plan: front the nine tranche-C pads displaced by
     the round-10 swaps (t_span_dedup, d_span_index_dedup,
     j6_semi_anti_join, a1_cms_topk, x1_cms_stream, r12_current_rows,
-    r11_prefer_source, r10_null_if_future — displaced by
-    g_reference_dim_products, m_decode_progressive,
+    r11_prefer_source, r10_null_if_future, r9_backfill_price —
+    displaced by g_reference_dim_products, m_decode_progressive,
     m_image_ahash_pairs, g_reference_dim_customers,
     g_reference_fact_sales, m_audio_fp_pairs, m_hash_index_dedup,
-    x1_media_dedup_stream respectively; they carry r06/r05-era
-    verdicts and missed the r10 window), then the r06 remainder
+    x1_media_dedup_stream, gr_pagerank respectively; they carry
+    r06/r05-era verdicts and missed the r10 window), then the r06
+    remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -4741,7 +4802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_product_key_split": _q_r4_product_key_split,
         "r5_coalesce_zero": _q_r5_coalesce_zero,
         "r7_int_date": _q_r7_int_date,
-        "r9_backfill_price": _q_r9_backfill_price,
+    # round-10 addition, swapped for the r06 pad r9_backfill_price
+    # (displaced behind the cap): integer-exact link-graph PageRank
+        "gr_pagerank": _q_gr_pagerank,
     # round-10 addition, swapped for the r06 pad t_span_dedup
     # (displaced behind the cap): the real-corpus gold trio's third leg
         "g_reference_dim_products": _q_g_reference_dim_products,
@@ -4769,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "r9_backfill_price": _q_r9_backfill_price,
         "r10_null_if_future": _q_r10_null_if_future,
         "r11_prefer_source": _q_r11_prefer_source,
         "r12_current_rows": _q_r12_current_rows,
@@ -5823,6 +5887,7 @@ def oracle_sql() -> dict[str, str]:
         "m_audio_fp_pairs": _SQL_AUDIO_FP_PAIRS,
         "m_hash_index_dedup": _SQL_HASH_INDEX_DEDUP,
         "x1_media_dedup_stream": _SQL_MEDIA_DEDUP_STREAM,
+        "gr_pagerank": _SQL_GR_PAGERANK,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts
             # the progressive roundtrip stayed inside the SAME pixel

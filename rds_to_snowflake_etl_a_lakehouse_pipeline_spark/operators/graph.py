@@ -1,0 +1,180 @@
+"""Link-graph centrality for corpus quality priors.
+
+Web-scale training-data curation weighs documents by the link structure
+of their source pages (the Common-Crawl-derived pipelines behind most
+public LLM corpora use PageRank-family centrality as a quality prior
+next to the text-level filters in ``functions/text.py``). This module
+gives that tier the same Spark-first treatment as the dedup families:
+the iteration is a bounded chain of edge-sized joins + aggregations
+(one shuffle pair per iteration), checkpointed so the lineage never
+compounds, with NO driver-side graph materialization — node and edge
+sets only ever exist as DataFrames.
+
+Two arithmetic tiers:
+
+- ``pagerank`` (float): the standard damped power iteration — the
+  throughput tier for real corpora.
+- ``pagerank_integer``: the same iteration over integer mass with
+  floor division. Integer sums are exact and associative, so the
+  result is BIT-IDENTICAL across engines, partitionings, and retry
+  schedules — the tier a differential oracle (or a reproducibility
+  audit across cluster sizes) wants. Precision is ``1/scale`` per
+  node per hop; with the default ``scale=10**9`` the two tiers agree
+  to ~9 significant digits on graphs up to ~10**9 edges while staying
+  safely inside int64 (max intermediate = total_mass · damping_pct ≤
+  n · scale · 100 — overflow-guarded at plan-build time).
+
+Dangling nodes (no out-edges) RETAIN no mass to redistribute — their
+damped mass leaves the system, the simplest of the standard dangling
+conventions and the cheapest at scale (redistribution needs an extra
+all-nodes broadcast per iteration). Ranks therefore sum to less than
+the initial mass on graphs with dangling nodes; relative ordering, the
+only thing a quality prior consumes, is unaffected for typical link
+graphs. (Reference scope note: the reference pipeline has no graph
+tier at all — this is part of the LLM-data extension surface, like
+the dedup/similarity families.)
+
+At 100 TB: edges live in parquet pre-partitioned by ``dst`` (the
+aggregation key); each iteration is then one co-partitioned join on
+``src`` (rank side shuffles, edge side is the big static relation —
+AQE picks the strategy) plus one ``dst`` aggregation that reuses the
+layout. Iterations are O(|E|) each and the chain is cut every
+iteration by ``localCheckpoint``/``checkpoint`` via the same
+``storage`` dial as the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _materialize
+
+
+def _graph_parts(edges: DataFrame, src: str, dst: str, storage: str):
+    """(nodes, edges, out_degree) — distinct node set over both
+    endpoints, edge list as given (parallel edges count as weight),
+    out-degree per source. Materialized once; every iteration reuses
+    them."""
+    e = _materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), storage
+    )
+    nodes = _materialize(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        storage,
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    return nodes, e, deg
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` damped power iterations over
+    integer mass: every node starts at ``scale``; each iteration a
+    node keeps ``(100 - damping_pct)% · scale`` base mass and receives
+    ``(rank · damping_pct) // (100 · out_deg)`` along each in-edge
+    (floor division — exact int64 arithmetic end to end, so the
+    result is deterministic across engines and partitionings; see the
+    module docstring for the dangling-mass convention)."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    nodes, e, deg = _graph_parts(edges, src, dst, storage)
+    # overflow guard: worst case a single node absorbs all mass
+    n_nodes = nodes.count()
+    if n_nodes * scale > (1 << 62) // 100:
+        raise ValueError(
+            f"scale={scale} risks int64 overflow at {n_nodes} nodes; lower it"
+        )
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    edge_deg = e.join(deg, "src")  # static across iterations
+    for _ in range(n_iter):
+        contribs = (
+            edge_deg.join(ranks, F.col("src") == F.col("node"))
+            .select(
+                "dst",
+                F.expr(f"(rank * {damping_pct}) div (100 * _deg)").alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = _materialize(
+            nodes.join(contribs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            ),
+            storage,
+        )
+    return ranks
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """(node, rank) float PageRank — same iteration shape as
+    :func:`pagerank_integer` (which see, incl. the dangling-mass
+    convention) with standard real arithmetic, normalized so ranks
+    start at 1.0 per node. The throughput tier; use the integer tier
+    when bit-reproducibility across runs/engines matters more than
+    the last float digit."""
+    nodes, e, deg = _graph_parts(edges, src, dst, storage)
+    base = 1.0 - damping
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    edge_deg = e.join(deg, "src")
+    for _ in range(n_iter):
+        contribs = (
+            edge_deg.join(ranks, F.col("src") == F.col("node"))
+            .select(
+                "dst", (F.lit(damping) * F.col("rank") / F.col("_deg")).alias("_c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = _materialize(
+            nodes.join(contribs, F.col("node") == F.col("dst"), "left").select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
+            ),
+            storage,
+        )
+    return ranks
+
+
+def quality_prior_from_links(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    out_col: str = "link_prior",
+) -> DataFrame:
+    """Attach a (0, 1] link-centrality quality prior to a corpus:
+    integer PageRank max-normalized (rank / max_rank — one 1-row agg
+    broadcast back, NO global sort; a percentile would need one).
+    Documents absent from the link graph get NULL — distinguish "no
+    link evidence" from "linked but unpopular" downstream."""
+    pr = pagerank_integer(edges, src, dst, n_iter=n_iter)
+    top = pr.agg(F.max("rank").alias("_max"))
+    pct = pr.crossJoin(F.broadcast(top)).select(
+        F.col("node").alias(id_col),
+        (F.col("rank") / F.col("_max")).alias(out_col),
+    )
+    return docs.join(pct, id_col, "left")
