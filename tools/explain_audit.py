@@ -99,6 +99,9 @@ AUDIT = [
     "g_reference_dim_customers",
     "g_reference_fact_sales",
     "g_reference_dim_products",
+    "m_audio_fp_pairs",
+    "m_hash_index_dedup",
+    "gr_pagerank",
 ]
 
 
