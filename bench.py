@@ -231,6 +231,37 @@ def main() -> None:
             threshold=0.9, append=False,
         )
 
+    # q30 setup: standing Hamming fingerprint index (media near-dup
+    # steady state). Mostly-unique fingerprints (xxhash64 of a partner
+    # id) with planted hamming-1 neighbors: docs %10==7 neighbor their
+    # even predecessor (corpus dup), docs %10==9 neighbor doc-4 in the
+    # same odd batch (within-batch dup). Evens indexed untimed; the
+    # timed query probes + self-dedups the 2.5k-doc odd batch with
+    # append=False so every sample measures identical work.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+    )
+
+    fp_table = "bench_fp_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {fp_table}")
+    _partner = F.when(
+        F.col("doc_id") % 10 == 7, F.col("doc_id") - 1
+    ).when(F.col("doc_id") % 10 == 9, F.col("doc_id") - 4).otherwise(
+        F.col("doc_id")
+    )
+    _planted = (F.col("doc_id") % 10).isin(7, 9).cast("long")
+    _fpf = load(spark, sf_dir, "documents").select(
+        "doc_id", F.xxhash64(_partner).bitwiseXOR(_planted).alias("phash")
+    )
+    hamming_index_build(_fpf.filter(F.col("doc_id") % 2 == 0), fp_table)
+    _fp_odds = _fpf.filter(F.col("doc_id") % 2 == 1)
+
+    def q_hash_index_steady(spark, d):
+        return hamming_incremental_dedup(
+            spark, fp_table, _fp_odds, max_hamming=3, append=False
+        )
+
     bench = {
         "q1_lineitem_agg": (qs["a1_groupby_agg"], False),
         "q2_fact_join_agg": (q_fact_join_agg, False),
@@ -289,6 +320,11 @@ def main() -> None:
         # aHash of one BMP per document inside Arrow batches, then the
         # Hamming-banded pair join — the multimodal dedup hot path
         "q29_image_phash": (qs["m_image_ahash_pairs"], True),
+        # standing Hamming index steady state (round 10): a 2.5k-doc
+        # batch banded + probed against the 2.5k-fingerprint bucketed
+        # index + within-batch self-dedup — the media twin of q16's
+        # MinHash steady state
+        "q30_hash_index_steady": (q_hash_index_steady, True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11
