@@ -52,10 +52,11 @@ from .dedup import _materialize
 
 
 def _graph_parts(edges: DataFrame, src: str, dst: str, storage: str):
-    """(nodes, edges, out_degree) — distinct node set over both
-    endpoints, edge list as given (parallel edges count as weight),
-    out-degree per source. Materialized once; every iteration reuses
-    them."""
+    """(nodes, edge_deg) — distinct node set over both endpoints and
+    the edge list (parallel edges count as weight) pre-joined with its
+    source's out-degree. BOTH are materialized once, so the per-
+    iteration plan is exactly one edge⋈rank join + one dst aggregation
+    — the degree aggregation and the edge⋈degree join never re-run."""
     e = _materialize(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), storage
     )
@@ -66,7 +67,8 @@ def _graph_parts(edges: DataFrame, src: str, dst: str, storage: str):
         storage,
     )
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    return nodes, e, deg
+    edge_deg = _materialize(e.join(deg, "src"), storage)
+    return nodes, edge_deg
 
 
 def pagerank_integer(
@@ -87,7 +89,7 @@ def pagerank_integer(
     module docstring for the dangling-mass convention)."""
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
-    nodes, e, deg = _graph_parts(edges, src, dst, storage)
+    nodes, edge_deg = _graph_parts(edges, src, dst, storage)
     # overflow guard: worst case a single node absorbs all mass
     n_nodes = nodes.count()
     if n_nodes * scale > (1 << 62) // 100:
@@ -96,7 +98,6 @@ def pagerank_integer(
         )
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    edge_deg = e.join(deg, "src")  # static across iterations
     for _ in range(n_iter):
         contribs = (
             edge_deg.join(ranks, F.col("src") == F.col("node"))
@@ -134,10 +135,9 @@ def pagerank(
     start at 1.0 per node. The throughput tier; use the integer tier
     when bit-reproducibility across runs/engines matters more than
     the last float digit."""
-    nodes, e, deg = _graph_parts(edges, src, dst, storage)
+    nodes, edge_deg = _graph_parts(edges, src, dst, storage)
     base = 1.0 - damping
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    edge_deg = e.join(deg, "src")
     for _ in range(n_iter):
         contribs = (
             edge_deg.join(ranks, F.col("src") == F.col("node"))

@@ -469,6 +469,22 @@ def _fp_band_explode(
     ).select("_id", "_ph", "bv.band", "bv.val")
 
 
+def _cap_hot_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Exclude flooded (band, val) buckets from candidate generation —
+    the one flood convention every Hamming path shares (pairs, index
+    probe, within-batch self-join): a capped bucket costs nothing and
+    pairs that ALSO share a cold band still surface. No-op when
+    ``max_bucket_size`` is None."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band", "val")
+    return (
+        banded.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def hamming_hash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -497,16 +513,9 @@ def hamming_hash_pairs(
     so a flooded bucket costs nothing and pairs that ALSO share a cold
     band still surface. None (default) keeps recall total — correct
     for oracle-checked runs; set a cap at corpus scale."""
-    banded = _fp_band_explode(df, id_col, hash_col, band_bits)
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "val")
-        banded = (
-            banded.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+    banded = _cap_hot_buckets(
+        _fp_band_explode(df, id_col, hash_col, band_bits), max_bucket_size
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -687,6 +696,13 @@ def _audio_fp_int(
         return None
     sr, x = dec
     if sr <= 0 or len(x) < n_windows:
+        return None
+    # too short to fill the window grid: if NO band maps to any rfft
+    # bin at this window length, the fingerprint would be the
+    # degenerate all-zero hash (every clip pairing with every other) —
+    # that's absence of evidence, which the contract spells NULL
+    n = len(x) // n_windows
+    if all(k_lo >= k_hi for k_lo, k_hi in _audio_band_bins(sr, n, edges)):
         return None
     fast = _audio_fp_numpy(sr, x, n_windows, edges)
     if fast is not None:
@@ -1016,13 +1032,7 @@ def _hamming_probe_pairs(
     so the guard costs O(batch), never O(index)."""
     if max_bucket_size is not None:
         hit = banded_new.select("band", "val").distinct()
-        idx_hit = idx.join(hit, ["band", "val"])
-        w = Window.partitionBy("band", "val")
-        idx = (
-            idx_hit.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        idx = _cap_hot_buckets(idx.join(hit, ["band", "val"]), max_bucket_size)
     return (
         banded_new.alias("n")
         .join(
@@ -1097,10 +1107,11 @@ def hamming_incremental_dedup(
     semantics to BOTH joins — a hot (band, val) bucket is excluded
     from candidate generation (pairs also sharing a cold band still
     surface), bounding the self-join at O(cap·batch) and the probe at
-    O(cap·batch_hits). ``storage``
-    materializes the (id, fp) projection once so the probe join, the
-    within-batch self-join, and the survivor append don't re-run the
-    upstream decode (``dedup._materialize``)."""
+    O(cap·batch_hits). ``storage`` materializes the BATCH itself once
+    (``dedup._materialize``) so the fingerprint projection, the
+    within-batch self-join, the survivor anti-join, and the append all
+    reuse pinned blocks instead of re-running the caller's upstream
+    decode/FFT ``mapInPandas``."""
     from ..sources.io import check_table_meta, write_table
     from .dedup import _materialize
 
@@ -1108,25 +1119,21 @@ def hamming_incremental_dedup(
     band_bits = int(meta["band_bits"])
     n_buckets = int(meta["n_buckets"])
 
-    fps = _materialize(
-        new_df.select(F.col(id_col), F.col(hash_col)).filter(
-            F.col(hash_col).isNotNull()
-        ),
-        storage,
+    # ONE materialization of the batch itself: the (id, fp) projection,
+    # the within-batch self-join, the survivor anti-join, and the
+    # append all re-read the pinned blocks instead of re-running the
+    # caller's upstream decode/FFT mapInPandas (the dominant per-batch
+    # cost for media batches)
+    new_df = _materialize(new_df, storage)
+    fps = new_df.select(F.col(id_col), F.col(hash_col)).filter(
+        F.col(hash_col).isNotNull()
     )
     banded = _fp_band_explode(fps, id_col, hash_col, band_bits)
     vs_corpus = _hamming_probe_pairs(
         banded, spark.table(table), id_col, max_hamming, max_bucket_size
     ).select(F.col("new_id").alias(id_col))
 
-    within_banded = banded
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "val")
-        within_banded = (
-            banded.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+    within_banded = _cap_hot_buckets(banded, max_bucket_size)
     within = (
         within_banded.alias("a")
         .join(

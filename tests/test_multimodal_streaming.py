@@ -1788,6 +1788,15 @@ def test_audio_fp_stereo_and_short_clips(spark):
     assert _audio_fp_int(stereo) == _audio_fp_int(mono)
     assert _audio_fp_int(encode_wav(8000, 1, b"\x01\x00" * 4)) is None
     assert _audio_fp_int(b"RIFFxxxxWAVEgarbage") is None
+    # decodable but too short for the window grid (no band maps to any
+    # rfft bin): NULL, not the degenerate all-zero hash — two unrelated
+    # 16-sample clips must never pair at hamming 0
+    for seed in (b"\x11\x22", b"\x33\x44"):
+        assert _audio_fp_int(encode_wav(8192, 1, seed * 16)) is None
+    # and a clip JUST long enough (windows cover band bins again)
+    # fingerprints normally
+    long_enough = _tone_wav(8192, 8, 64, _contour_amps(0), _AUDIO_BINS)
+    assert _audio_fp_int(long_enough) is not None
 
 
 def _fp_df(spark, rows):
