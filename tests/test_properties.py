@@ -1123,3 +1123,76 @@ def test_cluster_split_matches_python_closure(spark, n, edges):
     for i in range(1, n + 1):
         by_cluster.setdefault(out[i][0], set()).add(out[i][1])
     assert all(len(s) == 1 for s in by_cluster.values())
+
+
+@given(
+    fps=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3)),
+        min_size=1,
+        max_size=24,
+    ),
+    cut=st.integers(0, 24),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hamming_incremental_matches_python_reference(spark, fps, cut):
+    """hamming_incremental_dedup over an arbitrary 2-batch split equals
+    a sequential Python replay of its contract: doc b is dropped iff a
+    smaller-id doc in the SAME batch, or any indexed survivor of an
+    EARLIER batch, is within max_hamming — regardless of banding,
+    bucketing, or partitioning. Fingerprints are (class, variant)
+    pairs: class spread over all four 16-bit bands, a ≤2-bit variant
+    xor'd into band 1 (same-class hamming ≤ 2, cross-class ≥ 4)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+    )
+
+    max_h = 1
+    rows = [
+        (i, (c * 0x0001_0001_0001_0001) ^ (v << 16))
+        for i, (c, v) in enumerate(fps)
+    ]
+    cut = min(cut, len(rows))
+    batches = [rows[:cut], rows[cut:]]
+
+    # sequential Python replay of the documented drop rule
+    indexed: list[tuple[int, int]] = []
+    surv_ref: set[int] = set()
+    for batch in batches:
+        kept = []
+        for i, h in batch:
+            dup = any(bin(h ^ h2).count("1") <= max_h for _, h2 in indexed)
+            dup = dup or any(
+                j < i and bin(h ^ h2).count("1") <= max_h for j, h2 in batch
+            )
+            if not dup:
+                kept.append((i, h))
+        indexed.extend(kept)
+        surv_ref.update(i for i, _ in kept)
+
+    table = "prop_fp_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    hamming_index_build(
+        spark.createDataFrame([], "doc_id long, phash long"), table
+    )
+    got: set[int] = set()
+    for batch in batches:
+        if not batch:
+            continue
+        surv = hamming_incremental_dedup(
+            spark,
+            table,
+            spark.createDataFrame(batch, "doc_id long, phash long"),
+            max_hamming=max_h,
+        )
+        got.update(r["doc_id"] for r in surv.collect())
+    assert got == surv_ref
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.table(table).select("doc_id").distinct().collect()
+    }
+    assert idx_ids == surv_ref
