@@ -93,11 +93,13 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
         from .operators.entity import er_index_health
 
         rep = index_table_health(spark, table, MAX_FILES_PER_BUCKET)
+        # save BEFORE update(): er_index_health carries its own
+        # compact_recommended, and update() would clobber the index
+        # file-creep verdict, turning the OR into er-OR-er
+        files_flag = rep["compact_recommended"]
         er = er_index_health(spark, table)
         rep.update(er)
-        rep["compact_recommended"] = (
-            rep["compact_recommended"] or er["compact_recommended"]
-        )
+        rep["compact_recommended"] = files_flag or er["compact_recommended"]
         return rep
     if family == "session_state":
         meta = get_table_meta(spark, table)
@@ -154,10 +156,16 @@ def health_sweep(
     scanned. Constant-time per table (see module docstring)."""
     reports: dict[str, dict] = {}
     attention: list[str] = []
+    # qualify with the listed table's own database: unqualified names
+    # would resolve against the CURRENT database, so sweeping (let
+    # alone compacting) database="analytics" from "default" would
+    # read/rewrite same-named tables in the wrong database. Temporary
+    # views (tableType TEMPORARY, not VIEW) are excluded too — SHOW
+    # TBLPROPERTIES on a temp view raises and would abort the sweep.
     names = [
-        t.name
+        f"{t.namespace[-1]}.{t.name}" if t.namespace else t.name
         for t in spark.catalog.listTables(database)
-        if t.tableType != "VIEW"
+        if t.tableType not in ("VIEW", "TEMPORARY") and not t.isTemporary
     ]
     for name in sorted(names):
         family = classify_table(spark, name)

@@ -791,8 +791,6 @@ def encode_jpeg(
     planes, dims, hv, qts, qluma, qchroma = _prepare_planes(
         width, height, pixels, channels, quality, subsampling
     )
-    if subsampling == "420" and channels != 3:
-        subsampling = "444"
 
     enc_dc = [_HuffEncoder(*_DC_LUMA), _HuffEncoder(*_DC_CHROMA)]
     enc_ac = [_HuffEncoder(*_AC_LUMA), _HuffEncoder(*_AC_CHROMA)]

@@ -54,14 +54,18 @@ except ImportError:
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     """Serialize a top-down RGB (3 bytes/px, row-major) buffer as a
-    24-bpp BI_RGB .bmp — the fixture-side inverse of :func:`_parse_bmp`
-    (rows are flipped to BMP's bottom-up order and padded to 4 bytes)."""
+    STANDARD 24-bpp BI_RGB .bmp — samples stored B,G,R and rows
+    bottom-up with 4-byte padding, so any external viewer/decoder
+    reads the colors correctly (the fixture-side inverse of
+    :func:`_decode_bmp`)."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb buffer must be width*height*3 bytes")
+    bgr = bytearray(rgb)
+    bgr[0::3], bgr[2::3] = bgr[2::3], bgr[0::3]
     row_raw = width * 3
     pad = b"\x00" * ((4 - row_raw % 4) % 4)
     rows = [
-        rgb[y * row_raw : (y + 1) * row_raw] + pad
+        bytes(bgr[y * row_raw : (y + 1) * row_raw]) + pad
         for y in range(height - 1, -1, -1)
     ]
     data = b"".join(rows)
@@ -88,21 +92,21 @@ def _parse_bmp(b: bytes):
 
 def _resize_bmp(b: bytes, tw: int, th: int) -> bytes | None:
     """True nearest-neighbor resample of a parsed BMP, re-encoded as
-    24-bpp BMP. None when ``b`` is not an uncompressed BMP."""
-    p = _parse_bmp(b)
+    24-bpp BMP. Rides :func:`_decode_bmp` (RGB pixel space) so the
+    channel order survives the round trip regardless of the source's
+    BGR storage; alpha is dropped. None when ``b`` is not an
+    uncompressed BMP."""
+    p = _decode_bmp(b)
     if p is None:
         return None
-    w, h, ch, off, bottom_up = p
-    stride = (w * ch + 3) & ~3
+    w, h, ch, px = p
     out = bytearray()
     for ty in range(th):
         sy = min(ty * h // th, h - 1)
-        yy = (h - 1 - sy) if bottom_up else sy
-        rs = off + yy * stride
+        rs = sy * w * ch
         for tx in range(tw):
             sx = min(tx * w // tw, w - 1)
-            px = b[rs + sx * ch : rs + sx * ch + 3]
-            out += px if len(px) == 3 else px.ljust(3, b"\x00")
+            out += px[rs + sx * ch : rs + sx * ch + 3].ljust(3, b"\x00")
     return encode_bmp(tw, th, bytes(out))
 
 
@@ -232,11 +236,14 @@ def _decode_png(b: bytes, max_pixels: int = _MAX_PNG_PIXELS):
 
 
 def _decode_bmp(b: bytes):
-    """(width, height, channels, top-down row-major pixel bytes) for an
-    uncompressed 24/32-bpp BMP — the full-pixel sibling of
-    :func:`_parse_bmp` (which stops at the header). Channel order is
-    whatever the writer stored; this library's :func:`encode_bmp`
-    stores R,G,B. None when ``b`` is not such a BMP."""
+    """(width, height, channels, top-down row-major RGB(A) pixel
+    bytes) for an uncompressed 24/32-bpp BMP — the full-pixel sibling
+    of :func:`_parse_bmp` (which stops at the header). BI_RGB stores
+    samples B,G,R(,A); they are swapped to R,G,B(,A) here so every
+    downstream consumer (luma, perceptual hashing, resize) sees the
+    same channel order as the PNG/JPEG tiers — an externally-produced
+    BMP of a red image must hash like its PNG re-encode. None when
+    ``b`` is not such a BMP."""
     p = _parse_bmp(b)
     if p is None:
         return None
@@ -249,7 +256,9 @@ def _decode_bmp(b: bytes):
     for y in ys:
         rs = off + y * stride
         rows.append(b[rs : rs + w * ch])
-    return w, h, ch, b"".join(rows)
+    px = bytearray(b"".join(rows))
+    px[0::ch], px[2::ch] = px[2::ch], px[0::ch]  # BGR(A) -> RGB(A)
+    return w, h, ch, bytes(px)
 
 
 def decode_pixels(b: bytes):

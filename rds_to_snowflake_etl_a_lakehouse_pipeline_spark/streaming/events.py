@@ -663,9 +663,6 @@ def stream_versioned_merge(
     q.awaitTermination()
 
 
-_STREAM_ID_CACHE: dict[str, str] = {}
-
-
 def _checkpoint_stream_id(spark: SparkSession, checkpoint_dir: str) -> str:
     """The Structured Streaming query id persisted in the checkpoint's
     ``metadata`` file — STABLE across restarts from the same checkpoint
@@ -674,27 +671,28 @@ def _checkpoint_stream_id(spark: SparkSession, checkpoint_dir: str) -> str:
     the scope every replay stamp must carry: bare batch ids restart at
     0 when a stream is re-pointed at a new checkpoint, so a stamp that
     is only a batch id collides with stale history in a reused state
-    table. Cached per directory (the id never changes for a dir);
-    falls back to the directory path itself if the metadata file is
-    unreadable (pre-start probing — still checkpoint-scoped)."""
-    sid = _STREAM_ID_CACHE.get(checkpoint_dir)
-    if sid is not None:
-        return sid
+    table. Deliberately NOT cached: a long-lived driver can clear and
+    recreate the same checkpoint directory (getting a new id), and a
+    cached entry would hand the NEW stream the OLD id — re-creating
+    exactly the stamp collision this function exists to prevent. The
+    read is one tiny file per micro-batch, noise next to the batch's
+    Spark jobs. Falls back to the directory path itself if the
+    metadata file is unreadable (pre-start probing — still
+    checkpoint-scoped, and never cached so the real id takes over the
+    moment the stream materializes it)."""
     import json
 
     path = checkpoint_dir.rstrip("/") + "/metadata"
     try:
         local = path[7:] if path.startswith("file://") else path
         with open(local, encoding="utf-8") as fh:
-            sid = json.loads(fh.read())["id"]
+            return json.loads(fh.read())["id"]
     except (OSError, KeyError, ValueError):
         try:  # non-local checkpoint (HDFS/S3): read through Spark
             txt = "".join(r[0] for r in spark.read.text(path).collect())
-            sid = json.loads(txt)["id"]
+            return json.loads(txt)["id"]
         except Exception:
-            sid = checkpoint_dir
-    _STREAM_ID_CACHE[checkpoint_dir] = sid
-    return sid
+            return checkpoint_dir
 
 
 def _stream_stamp(stream_id: str, batch_id: int) -> int:
@@ -704,17 +702,22 @@ def _stream_stamp(stream_id: str, batch_id: int) -> int:
     restarts); stream-scoped so a FRESH checkpoint whose batch ids
     restart at 0 can never collide with stamps a previous stream left
     in a reused state table (bare-id stamps silently DROPPED such a
-    batch). Stays a bigint so every existing ``_applied_batch`` /
-    ``_src_batch`` column and partition schema is unchanged; legacy
-    bare-id stamps compare unequal to any hashed stamp (2^-64 chance),
-    which is exactly the correct "not applied by this stream" answer."""
+    batch). Emits a bigint; state written pre-upgrade needs care at
+    the boundary — whole-table guards honor a legacy bare-id match
+    (:func:`_replay_guarded_state`), and legacy sessionize tables
+    whose ``_applied_batch`` column is 32-bit keep bare-id stamps
+    outright (``_sessionize_merge_batch`` detects the dtype) since a
+    positional insertInto of a 64-bit hash would fail ANSI store
+    assignment there."""
     import hashlib
 
     h = hashlib.sha256(f"{stream_id}\x00{batch_id}".encode()).digest()
     return int.from_bytes(h[:8], "big", signed=True)
 
 
-def _replay_guarded_state(spark: SparkSession, table: str, stamp: int):
+def _replay_guarded_state(
+    spark: SparkSession, table: str, stamp: int, batch_id: int | None = None
+):
     """Whole-table crash-replay guard for additive state (sketches):
     the state carries the last applied stamp (``_applied_batch``,
     atomic with the data — same stage-and-swap); returns None when this
@@ -723,11 +726,21 @@ def _replay_guarded_state(spark: SparkSession, table: str, stamp: int):
     redelivered after a crash-before-checkpoint would re-ADD its
     counts into the sketch. ``stamp`` is the checkpoint-scoped
     :func:`_stream_stamp`, never a bare batch id — see its docstring
-    for the fresh-checkpoint collision this prevents."""
+    for the fresh-checkpoint collision this prevents.
+
+    ``batch_id`` closes the upgrade window: state last stamped by
+    PRE-upgrade code carries a bare batch id, and a batch applied
+    then crash-redelivered across the upgrade must still skip — so a
+    legacy ``last == batch_id`` match is honored too (pre-upgrade
+    semantics, kept only until the first post-upgrade merge rewrites
+    the stamp; a 64-bit hashed stamp colliding with a small bare id
+    has ~2^-33 probability)."""
     state = spark.table(table)
     if "_applied_batch" in state.columns:
         last = state.select(F.first("_applied_batch")).first()[0]
-        if last is not None and last == stamp:
+        if last is not None and (
+            last == stamp or (batch_id is not None and last == batch_id)
+        ):
             return None
         state = state.drop("_applied_batch")
     return state
@@ -894,7 +907,49 @@ def _fold_batch_partitions(
     ids = [b for b in _batch_partition_ids(spark, table) if b <= max_fold]
     if not ids:
         return {"folded_partitions": 0, "archived_rows": 0, "archive_id": None}
+    # LEGACY upgrade guard: the pre-manifest fold archived into
+    # -(max_folded+1) and healed crashes by re-deriving that same id.
+    # A table carrying exactly that crash state (the derived negative
+    # partition exists, sources undropped, NO manifest) must not fold
+    # under a fresh id — the stale partial archive would keep its copy
+    # and the rows would be double-counted. But the state is ambiguous
+    # (the negative could be a COMPLETED legacy archive whose id the
+    # restarted stream's batch ids re-reached), so neither silent
+    # reuse (may overwrite real history) nor silent fresh-id (may
+    # duplicate) is safe: fail loud with the operator's two options.
+    from ..sources.io import get_table_meta, set_table_meta
+
+    legacy_candidate = -(max(ids) + 1)
+    part_rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+    negs = {
+        bid
+        for r in part_rows
+        for bid in [int(r[0].split("=", 1)[1])]
+        if bid < 0
+    }
+    # ...but only for tables that have never folded under THIS scheme:
+    # every manifest-scheme fold stamps fold_scheme below, and a table
+    # whose archives are all manifest-scheme can legitimately reach
+    # the candidate id again after a batch-id restart (the stream-id
+    # rebase path) — raising there would be a false positive forever.
+    if (
+        legacy_candidate in negs
+        and get_table_meta(spark, table).get("fold_scheme") != "manifest"
+    ):
+        raise RuntimeError(
+            f"{table}: partition _batch_id={legacy_candidate} looks like a "
+            "pre-manifest fold's archive for exactly the live batches about "
+            "to fold, with no fold manifest — either a legacy crashed fold "
+            "(re-archiving would duplicate its rows) or a completed legacy "
+            "archive after a batch-id restart (reusing its slot would "
+            "overwrite history). Resolve once by hand: if the live batch "
+            "partitions' rows are already IN that archive, drop the live "
+            f"partitions; otherwise ALTER TABLE {table} PARTITION "
+            f"(_batch_id={legacy_candidate}) RENAME to a lower id, then "
+            "re-run compaction."
+        )
     archive_id = _next_archive_id(spark, table)
+    set_table_meta(spark, table, fold_scheme="manifest")
     _set_pending_fold(spark, table, max_fold, archive_id, "staged")
     return _execute_fold(spark, table, max_fold, archive_id, "staged")
 
@@ -1037,7 +1092,7 @@ def stream_frequency_sketch(
             _checkpoint_stream_id(spark, checkpoint_dir), batch_id
         )
         if spark.catalog.tableExists(table):
-            state = _replay_guarded_state(spark, table, stamp)
+            state = _replay_guarded_state(spark, table, stamp, batch_id)
             if state is None:  # this exact batch already merged
                 return
             merged = cms_merge(state.unionByName(batch_sketch), keys)
@@ -1093,7 +1148,7 @@ def stream_histogram_sketch(
             _checkpoint_stream_id(spark, checkpoint_dir), batch_id
         )
         if spark.catalog.tableExists(table):
-            state = _replay_guarded_state(spark, table, stamp)
+            state = _replay_guarded_state(spark, table, stamp, batch_id)
             if state is None:  # this exact batch already merged
                 return
             merged = hist_merge(
@@ -1307,6 +1362,20 @@ def _sessionize_merge_batch(
         stamp = batch_id
     gap_us = gap_seconds * 1_000_000
     spark = batch_df.sparkSession
+    if spark.catalog.tableExists(table):
+        # LEGACY state tables (pre-stamp-upgrade) carry a 32-bit
+        # _applied_batch column: the partition-scoped write below is a
+        # positional insertInto, so a 64-bit hashed stamp would fail
+        # ANSI store assignment (or silently truncate under LEGACY
+        # policy, breaking the replay guard). Those tables keep their
+        # original bare-batch-id guard semantics; tables created by
+        # this version stamp bigint from birth.
+        fields = {
+            f.name: f.dataType.simpleString()
+            for f in spark.table(table).schema.fields
+        }
+        if fields.get("_applied_batch") == "int":
+            stamp = batch_id
     bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(state_partitions))
     s = sessionize(
         batch_df.select(key_col, ts_col), key_col, ts_col, gap_seconds
@@ -1325,7 +1394,7 @@ def _sessionize_merge_batch(
     if not spark.catalog.tableExists(table):
         merged = (
             _fuse_intervals(batch_iv, key_col, gap_us)
-            .withColumn("_applied_batch", F.lit(stamp))
+            .withColumn("_applied_batch", F.lit(stamp).cast("bigint"))
             .withColumn("_kb", bucket)
         )
         write_table(merged, table, partition_by=["_kb"])
@@ -1336,7 +1405,7 @@ def _sessionize_merge_batch(
     if "_kb" not in state.columns:
         # legacy unpartitioned state (pre-round-9 layout): full
         # stage-and-swap rewrite with the whole-table replay stamp
-        state = _replay_guarded_state(spark, table, stamp)
+        state = _replay_guarded_state(spark, table, stamp, batch_id)
         if state is None:  # this exact batch already applied
             return
         touched_keys = batch_iv.select(key_col).distinct()

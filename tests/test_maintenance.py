@@ -96,20 +96,27 @@ def test_health_sweep_discovers_every_family(spark, standing_tables):
 
     names, root = standing_tables
     sweep = health_sweep(spark, versioned_roots=(root,))
-    fam = {t: r["family"] for t, r in sweep["tables"].items() if t in names.values()}
+    # report keys are database-QUALIFIED so apply-mode actions can
+    # never resolve against the wrong current database
+    q = {k: f"default.{v}" for k, v in names.items()}
+    fam = {t: r["family"] for t, r in sweep["tables"].items() if t in q.values()}
     assert fam == {
-        names["minhash"]: "minhash",
-        names["span"]: "span",
-        names["sink"]: "batch_sink",
-        names["session"]: "session_state",
-        names["hamming"]: "hamming_fp",
+        q["minhash"]: "minhash",
+        q["span"]: "span",
+        q["sink"]: "batch_sink",
+        q["session"]: "session_state",
+        q["hamming"]: "hamming_fp",
     }
     # every report is the family's own health shape
-    assert "files_per_bucket" in sweep["tables"][names["minhash"]]
-    assert "files_per_bucket" in sweep["tables"][names["hamming"]]
-    assert "live_batch_partitions" in sweep["tables"][names["sink"]]
-    assert sweep["tables"][names["sink"]]["live_batch_partitions"] == 3
-    assert "files_per_partition" in sweep["tables"][names["session"]]
+    assert "files_per_bucket" in sweep["tables"][q["minhash"]]
+    assert "files_per_bucket" in sweep["tables"][q["hamming"]]
+    assert "live_batch_partitions" in sweep["tables"][q["sink"]]
+    assert sweep["tables"][q["sink"]]["live_batch_partitions"] == 3
+    assert "files_per_partition" in sweep["tables"][q["session"]]
+    # a temp view in the session must neither crash nor enter the sweep
+    spark.range(3).createOrReplaceTempView("maint_tmp_view")
+    sweep2 = health_sweep(spark, versioned_roots=(root,))
+    assert all("maint_tmp_view" not in k for k in sweep2["tables"])
     assert root in sweep["versioned"]
     assert "merges_since_compact" in sweep["versioned"][root]
 
@@ -142,17 +149,17 @@ def test_run_maintenance_applies_flagged_actions(spark, standing_tables):
     assert vt.health()["compact_recommended"]
 
     res = run_maintenance(spark, versioned_roots=(root,), apply=True)
-    assert res["applied"].get(names["sink"]) == "compact_batch_partitions"
+    assert res["applied"].get(f'default.{names["sink"]}') == "compact_batch_partitions"
     assert res["applied"].get(root) == "versioned_compact"
     # the fold resumed + completed: manifests clear, data intact
     rows = sorted(r.v for r in spark.table(names["sink"]).collect())
     assert rows == [0, 10, 20]
     assert not VersionedTable(spark, root).health()["compact_recommended"]
     # the healthy indexes were not rewritten
-    assert names["minhash"] not in res["applied"]
-    assert names["session"] not in res["applied"]
+    assert f'default.{names["minhash"]}' not in res["applied"]
+    assert f'default.{names["session"]}' not in res["applied"]
     # sweep after: nothing left flagged among our tables
     after = run_maintenance(spark, versioned_roots=(root,))
-    assert not [
-        n for n in after["attention"] if n in set(names.values()) | {root}
-    ]
+    flagged = set(after["attention"])
+    ours = {f"default.{v}" for v in names.values()} | {root}
+    assert not flagged & ours

@@ -197,11 +197,59 @@ def test_real_bmp_decode_and_resize(spark):
     assert (rd["width"], rd["height"], rd["channels"]) == (2, 1, 3)
     # ...whose pixels are true nearest-neighbor picks from the source
     # (top-down sy = ty*h//th = 0 -> row 0; sx = 0,2 -> red, blue).
-    # BMP stores rows bottom-up; single row here, raw BGR? we wrote RGB
-    # bytes verbatim, so compare verbatim.
+    # encode_bmp stores STANDARD BI_RGB sample order (B,G,R), so red
+    # lands as (0,0,255) and blue as (255,0,0) in the raw row.
     data_off = out[10] | (out[11] << 8) | (out[12] << 16) | (out[13] << 24)
     row = out[data_off : data_off + 6]
-    assert row == bytes([255, 0, 0, 0, 0, 255])
+    assert row == bytes([0, 0, 255, 255, 0, 0])
+
+
+def test_bmp_bgr_storage_matches_png_hash(spark):
+    """A STANDARD externally-produced BMP (B,G,R samples, bottom-up
+    rows — built by hand here, not via encode_bmp) of a color image
+    decodes to the same RGB pixels as its PNG re-encode and therefore
+    perceptual-hashes identically; a channel-order defect would give a
+    saturated red image blue's luma weight and break the pair."""
+    import struct as st
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp,
+        encode_png,
+        image_perceptual_hash,
+    )
+
+    # 8x8: left half red, right half green (distinct R/G/B weights)
+    rgb = bytes(
+        v
+        for y in range(8)
+        for x in range(8)
+        for v in ((255, 0, 0) if x < 4 else (0, 200, 0))
+    )
+    # hand-rolled standard BMP: BGR samples, bottom-up rows
+    row_raw = 8 * 3
+    rows = []
+    for y in range(7, -1, -1):
+        r = bytearray(rgb[y * row_raw : (y + 1) * row_raw])
+        r[0::3], r[2::3] = r[2::3], r[0::3]
+        rows.append(bytes(r))
+    data = b"".join(rows)
+    off = 54
+    hand_bmp = (
+        st.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+        + st.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+    # the decoder must give back the ORIGINAL RGB buffer
+    assert _decode_bmp(hand_bmp) == (8, 8, 3, rgb)
+    # and our own encoder must produce the identical standard file
+    assert encode_bmp(8, 8, rgb) == hand_bmp
+    df = spark.createDataFrame(
+        [(1, hand_bmp), (2, encode_png(8, 8, rgb, 3))],
+        "doc_id long, content binary",
+    )
+    hs = {r["doc_id"]: r["phash"] for r in image_perceptual_hash(df).collect()}
+    assert hs[1] is not None and hs[1] == hs[2]
 
 
 def test_real_wav_decode(spark):
@@ -1924,3 +1972,142 @@ def test_stream_media_dedup_matches_batch_incremental(spark, tmp_path):
     assert batch_idx == stream_idx
     surv_ids = {r["doc_id"] for r in spark.table("fp_idx_s_stream").select("doc_id").distinct().collect()}
     assert surv_ids == {1, 3, 5}
+
+
+def test_checkpoint_stream_id_tracks_recreated_metadata(spark, tmp_path):
+    """A cleared + recreated checkpoint dir gets a NEW id immediately
+    (no stale process-lifetime cache): stamps from the old stream can
+    never be reproduced by the new one."""
+    import json
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _checkpoint_stream_id,
+    )
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "stream-A"}))
+    assert _checkpoint_stream_id(spark, str(ck)) == "stream-A"
+    (ck / "metadata").write_text(json.dumps({"id": "stream-B"}))
+    assert _checkpoint_stream_id(spark, str(ck)) == "stream-B"
+    # pre-start probing (no metadata yet) falls back to the path and
+    # the REAL id takes over the moment the file exists
+    ck2 = tmp_path / "ck2"
+    ck2.mkdir()
+    assert _checkpoint_stream_id(spark, str(ck2)) == str(ck2)
+    (ck2 / "metadata").write_text(json.dumps({"id": "stream-C"}))
+    assert _checkpoint_stream_id(spark, str(ck2)) == "stream-C"
+
+
+def test_replay_guard_honors_legacy_bare_id_stamp(spark):
+    """State last stamped by PRE-upgrade code carries a bare batch id;
+    a batch applied then crash-redelivered across the upgrade must
+    still skip (legacy last == batch_id), while a different batch
+    merges normally."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        write_table,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _replay_guarded_state,
+        _stream_stamp,
+    )
+    from pyspark.sql import functions as F
+
+    t = "legacy_sketch_state"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_table(
+        spark.range(3).withColumn("_applied_batch", F.lit(5)), t
+    )
+    stamp5 = _stream_stamp("some-stream", 5)
+    assert _replay_guarded_state(spark, t, stamp5, 5) is None  # skip
+    got = _replay_guarded_state(spark, t, _stream_stamp("some-stream", 6), 6)
+    assert got is not None and "_applied_batch" not in got.columns
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sessionize_legacy_int_stamp_column_keeps_working(spark):
+    """A partitioned sessionize state table written by PRE-upgrade code
+    (32-bit _applied_batch) keeps accepting batches: the merge falls
+    back to bare-id stamps instead of failing the positional
+    insertInto with a long->int overflow, and replaying the same batch
+    id is still a no-op."""
+    import datetime as dt
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _sessionize_merge_batch,
+        _stream_stamp,
+    )
+
+    t = "legacy_sess_state"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    # create the table as post-upgrade code would, then DOWNGRADE the
+    # stamp column to int in place (what a round-9 table looks like)
+    _sessionize_merge_batch(
+        batch([(1, dt.datetime(2024, 1, 1, 0, 0, 0))]), 0, t,
+        "user_id", "ts", 1800, state_partitions=4, stamp=0,
+    )
+    legacy = spark.table(t).withColumn(
+        "_applied_batch", F.col("_applied_batch").cast("int")
+    )
+    legacy_rows = legacy.collect()
+    spark.sql(f"DROP TABLE {t}")
+    cols = [f"{f.name} {f.dataType.simpleString()}" for f in legacy.schema.fields]
+    spark.createDataFrame(legacy_rows, ", ".join(cols)).write.partitionBy(
+        "_kb"
+    ).saveAsTable(t)
+    spark.sql(
+        "ALTER TABLE legacy_sess_state SET TBLPROPERTIES "
+        "('spark_graft.index.state_partitions'='4')"
+    )
+    # a hashed-stamp batch against the legacy table must not blow up
+    hashed = _stream_stamp("new-stream", 1)
+    _sessionize_merge_batch(
+        batch([(1, dt.datetime(2024, 1, 1, 2, 0, 0))]), 1, t,
+        "user_id", "ts", 1800, state_partitions=4, stamp=hashed,
+    )
+    after = spark.table(t).count()
+    assert after == 2  # two sessions for user 1
+    # replaying the same batch id is a no-op (bare-id guard)
+    _sessionize_merge_batch(
+        batch([(1, dt.datetime(2024, 1, 1, 2, 0, 0))]), 1, t,
+        "user_id", "ts", 1800, state_partitions=4, stamp=hashed,
+    )
+    assert spark.table(t).count() == after
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fold_raises_on_ambiguous_legacy_partial_archive(spark):
+    """A pre-manifest table whose derived archive id exists beside
+    undropped sources (the legacy crashed-fold signature) fails LOUD
+    instead of silently duplicating or overwriting; once a table has
+    folded under the manifest scheme, the same partition shape is
+    legitimate (batch-id restart) and folds normally."""
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        set_table_meta,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _fold_batch_partitions,
+        _land_batch_partition,
+    )
+
+    t = "legacy_fold_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for bid in (0, 1, 2):
+        _land_batch_partition(
+            spark.createDataFrame([(bid,)], "v long"), t, bid
+        )
+    # plant the legacy derived archive -(max+1) = -3 with no manifest
+    _land_batch_partition(spark.createDataFrame([(99,)], "v long"), t, -3)
+    with _pytest.raises(RuntimeError, match="pre-manifest"):
+        _fold_batch_partitions(spark, t, max_fold=2)
+    # a manifest-scheme table with the same shape folds fine
+    set_table_meta(spark, t, fold_scheme="manifest")
+    res = _fold_batch_partitions(spark, t, max_fold=2)
+    assert res["folded_partitions"] == 3
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
