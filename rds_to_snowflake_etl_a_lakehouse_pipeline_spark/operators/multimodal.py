@@ -909,7 +909,15 @@ def require_real_decode(
     unconditionally for both (``progressive_jpeg`` is kept for callers
     that pinned it). The ONE residual stub path is arithmetic-coded
     JPEG (rare, patent-era legacy), which needs PIL: pass
-    ``arithmetic_jpeg=True`` to assert on that tier specifically."""
+    ``arithmetic_jpeg=True`` to assert on that tier specifically.
+
+    Why arithmetic stays gated rather than implemented: the QM-coder
+    depends on the exact 113-row Qe probability-transition table of
+    T.81 Table D.3, and this offline container has no authoritative
+    copy (no libjpeg sources, no PIL) to validate against — a
+    from-memory table would roundtrip against its own encoder while
+    silently mis-decoding real-world files, a false completeness
+    claim. The honest contract is this loud gate."""
     if arithmetic_jpeg and not _HAVE_PIL:
         raise NotImplementedError(
             "arithmetic-coded JPEG decoding needs PIL, which this "

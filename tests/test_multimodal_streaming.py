@@ -2111,3 +2111,29 @@ def test_fold_raises_on_ambiguous_legacy_partial_archive(spark):
     res = _fold_batch_partitions(spark, t, max_fold=2)
     assert res["folded_partitions"] == 3
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hamming_incremental_replay_after_append_is_idempotent(spark):
+    """The stream_media_dedup crash-replay contract: a batch
+    redelivered AFTER its survivors were appended finds each survivor
+    at hamming 0 against its own indexed fingerprint and appends
+    nothing — the index is byte-identical across the replay (the same
+    self-match idempotency the MinHash twin relies on)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+    )
+
+    t = "fp_idx_replay"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    hamming_index_build(_fp_df(spark, [(1, 0xBEEF)]), t)
+    batch = _fp_df(spark, [(10, 0xBEEE), (11, 0xCAFE_0000)])  # 10 dups 1
+    surv = hamming_incremental_dedup(spark, t, batch)
+    assert {r["doc_id"] for r in surv.collect()} == {11}
+    before = sorted(tuple(r) for r in spark.table(t).collect())
+    # crash-before-checkpoint: the SAME batch is delivered again
+    surv2 = hamming_incremental_dedup(spark, t, batch)
+    assert surv2.count() == 0  # every doc now matches the index
+    after = sorted(tuple(r) for r in spark.table(t).collect())
+    assert before == after
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
