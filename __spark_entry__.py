@@ -1434,6 +1434,40 @@ def _q_v_mmr_rerank(spark, sf_dir):
     return mmr_rerank(cand, k=10, lam=0.7)
 
 
+def _q_v_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval-training data
+    (operators/similarity.py::mine_hard_negatives, round 10 — the DPR/
+    Sentence-BERT recipe): vectors 0-2 are queries, each with two
+    labeled positives (q+10, q+20); the miner returns the top-10
+    most-similar non-positives per query after skipping the 2 most
+    suspicious survivors (exclude_top — unlabeled positives concentrate
+    at the head). The oracle replays scoring, the positive anti-join,
+    the semi-hard skip, and the rank window in SQL; rounding happens
+    BEFORE ranking on both sides so ties break identically."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") > 2)
+    positives = queries.select(
+        "query_id", (F.col("query_id") + 10).alias("vec_id")
+    ).unionByName(
+        queries.select("query_id", (F.col("query_id") + 20).alias("vec_id"))
+    )
+    return mine_hard_negatives(
+        corpus, queries, positives, k=10, exclude_top=2
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos_sim",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+    )
+
+
 def _q_v_knn_classify(spark, sf_dir):
     """kNN label propagation (operators/similarity.knn_classify):
     vectors 0-4 play the unlabeled queries, the rest of the embeddings
@@ -4737,16 +4771,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r06. Tranche-C pads are swap-eligible one-for-one for
     oracle-backed round-10 additions (annotate swaps inline).
 
-    r11 rotation plan: front the nine tranche-C pads displaced by
+    r11 rotation plan: front the ten tranche-C pads displaced by
     the round-10 swaps (t_span_dedup, d_span_index_dedup,
     j6_semi_anti_join, a1_cms_topk, x1_cms_stream, r12_current_rows,
-    r11_prefer_source, r10_null_if_future, r9_backfill_price —
-    displaced by g_reference_dim_products, m_decode_progressive,
-    m_image_ahash_pairs, g_reference_dim_customers,
-    g_reference_fact_sales, m_audio_fp_pairs, m_hash_index_dedup,
-    x1_media_dedup_stream, gr_pagerank respectively; they carry
-    r06/r05-era verdicts and missed the r10 window), then the r06
-    remainder
+    r11_prefer_source, r10_null_if_future, r9_backfill_price,
+    r7_int_date — displaced by g_reference_dim_products,
+    m_decode_progressive, m_image_ahash_pairs,
+    g_reference_dim_customers, g_reference_fact_sales,
+    m_audio_fp_pairs, m_hash_index_dedup, x1_media_dedup_stream,
+    gr_pagerank, v_hard_negatives respectively; they carry r06/r05-era
+    verdicts and missed the r10 window), then the r06 remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -4801,7 +4835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_key_surgery": _q_r4_key_surgery,
         "r4_product_key_split": _q_r4_product_key_split,
         "r5_coalesce_zero": _q_r5_coalesce_zero,
-        "r7_int_date": _q_r7_int_date,
+    # round-10 addition, swapped for the r06 pad r7_int_date
+    # (displaced behind the cap): hard-negative mining for
+    # retrieval-training data
+        "v_hard_negatives": _q_v_hard_negatives,
     # round-10 addition, swapped for the r06 pad r9_backfill_price
     # (displaced behind the cap): integer-exact link-graph PageRank
         "gr_pagerank": _q_gr_pagerank,
@@ -4832,6 +4869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "r7_int_date": _q_r7_int_date,
         "r9_backfill_price": _q_r9_backfill_price,
         "r10_null_if_future": _q_r10_null_if_future,
         "r11_prefer_source": _q_r11_prefer_source,
@@ -5599,6 +5637,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT e.vec_id AS vec_id, round({qdot} / ({enorm} * {qnorm}), 6) AS cos_sim "
             "FROM embeddings e, q WHERE e.vec_id <> 0 "
             "ORDER BY cos_sim DESC, vec_id LIMIT 20"
+        ),
+        "v_hard_negatives": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding "
+            "FROM embeddings WHERE vec_id <= 2), "
+            "pos AS (SELECT query_id, query_id + 10 AS vec_id FROM q "
+            "UNION ALL SELECT query_id, query_id + 20 FROM q), "
+            f"scored AS (SELECT q.query_id, e.vec_id, "
+            f"round({qdot} / ({enorm} * {qnorm}), 6) AS cos_sim "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id > 2), "
+            "neg AS (SELECT s.* FROM scored s WHERE NOT EXISTS ("
+            "SELECT 1 FROM pos WHERE pos.query_id = s.query_id "
+            "AND pos.vec_id = s.vec_id)), "
+            "ranked AS (SELECT query_id, vec_id, cos_sim, row_number() "
+            "OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) "
+            "AS r FROM neg) "
+            "SELECT query_id, vec_id, cos_sim, CAST(r - 2 AS INTEGER) "
+            "AS neg_rank FROM ranked WHERE r > 2 AND r <= 12"
         ),
         "v_knn_classify": (
             "WITH q AS (SELECT vec_id AS query_id, embedding "

@@ -879,6 +879,75 @@ def ivf_pq_index_topk(
     )
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    candidates: DataFrame | None = None,
+    exclude_top: int = 0,
+    max_sim: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training data
+    (the DPR / Sentence-BERT recipe): per query, the top-``k``
+    most-similar corpus items that are NOT known positives — the
+    negatives a contrastive loss learns most from. Returns
+    ``(query_id, vec_id, cos_sim, neg_rank)``.
+
+    ``positives`` is the labeled (query_id, id) relevance set,
+    anti-joined out. Two false-negative guards, both standard
+    practice: ``exclude_top`` skips the N most-similar survivors per
+    query (the "semi-hard" trick — unlabeled true positives
+    concentrate at the very top), and ``max_sim`` drops candidates
+    above a similarity ceiling (a near-duplicate of the positive is
+    almost surely relevant, not a negative).
+
+    ``candidates`` switches the retrieval tier: pass any
+    (query_id, id, cos_sim) frame — ``ivf_query_index`` output for
+    corpus scale, ``lsh_topk``, or None for exact
+    :func:`brute_force_topk` retrieval of ``k + exclude_top +
+    |positives per query|`` candidates (small-corpus default; the
+    ANN path is the 100 TB path, same contract). All downstream
+    filtering is pure Catalyst — one anti-join + one per-query window
+    on a candidate-sized frame, never corpus-sized."""
+    if candidates is None:
+        # enough exact candidates to survive the exclusions: k, the
+        # skipped head, and every labeled positive that might rank
+        per_q = (
+            positives.groupBy(query_id_col).count().agg(F.max("count")).first()
+        )
+        pos_cap = int(per_q[0] or 0)
+        candidates = brute_force_topk(
+            corpus,
+            queries,
+            k=k + exclude_top + pos_cap,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+    neg = candidates.join(
+        positives.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"
+    )
+    if max_sim is not None:
+        neg = neg.filter(F.col("cos_sim") <= max_sim)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        neg.withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") > exclude_top) & (F.col("_r") <= exclude_top + k))
+        .select(
+            query_id_col,
+            id_col,
+            "cos_sim",
+            (F.col("_r") - exclude_top).alias("neg_rank"),
+        )
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int = 10,

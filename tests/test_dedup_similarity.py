@@ -1965,3 +1965,51 @@ def test_ivf_index_generic_compact_and_health(spark):
         map(tuple, ivf_query_index(spark, "ivf_gc_idx", q, cents, k=5).collect())
     )
     assert before == after
+
+
+def test_mine_hard_negatives_contract(spark):
+    """Hard negatives: positives anti-joined out, semi-hard head
+    skipped, near-dup ceiling applied, ranks contiguous from 1."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    # 1-D embeddings: cosine == sign, so order by |value| is explicit;
+    # use 2-D (x, 1) rays so similarity to the query ray (1, 1) falls
+    # off monotonically as x moves away from 1
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 9)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    # similarity order from (1,1): 1 > 2 > 3 > ... > 8
+    positives = spark.createDataFrame(
+        [(0, 2)], "query_id long, vec_id long"
+    )
+    out = mine_hard_negatives(corpus, queries, positives, k=3)
+    rows = sorted(
+        (r["neg_rank"], r["vec_id"]) for r in out.collect()
+    )
+    # positive 2 removed; ranks 1..3 are vec 1, 3, 4
+    assert rows == [(1, 1), (2, 3), (3, 4)]
+    # exclude_top=1 skips the suspicious top survivor (vec 1)
+    out2 = mine_hard_negatives(corpus, queries, positives, k=3, exclude_top=1)
+    rows2 = sorted((r["neg_rank"], r["vec_id"]) for r in out2.collect())
+    assert rows2 == [(1, 3), (2, 4), (3, 5)]
+    # a max_sim ceiling drops the near-duplicates of the query ray
+    out3 = mine_hard_negatives(
+        corpus, queries, positives, k=3, max_sim=0.95
+    )
+    assert all(r["cos_sim"] <= 0.95 for r in out3.collect())
+    # caller-supplied ANN candidates flow through the same contract
+    cand = spark.createDataFrame(
+        [(0, 3, 0.9), (0, 2, 0.95), (0, 7, 0.5)],
+        "query_id long, vec_id long, cos_sim double",
+    )
+    out4 = mine_hard_negatives(
+        corpus, queries, positives, k=2, candidates=cand
+    )
+    rows4 = sorted((r["neg_rank"], r["vec_id"]) for r in out4.collect())
+    assert rows4 == [(1, 3), (2, 7)]  # positive 2 excluded
