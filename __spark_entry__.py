@@ -4433,6 +4433,93 @@ def _sql_pagerank_oracle(n_iter: int = 3) -> str:
 _SQL_GR_PAGERANK = _sql_pagerank_oracle(3)
 
 
+def _q_m_resample_audio(spark, sf_dir):
+    """Audio normalization tier (operators/multimodal.py::
+    resample_audio, round 10 — the audio twin of m_resize_images):
+    the m_audio_fp_pairs WAV fixture (8x512 samples at 8192 Hz per
+    doc) is resampled to 16384 Hz mono through the real PCM tier
+    inside one Arrow batch, the output re-decoded (decode_audio header
+    parse), and the spectral fingerprint recomputed on the RESAMPLED
+    bytes — band energies live at fixed Hz, so the fingerprint is
+    invariant and fp_invariant must be 1 everywhere. The oracle
+    recomputes the output's rate/duration arithmetically (n_out =
+    2·4096 exactly at a 2:1 ratio) and expects invariance — any
+    interpolation, re-encode, or header defect mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _audio_fp_int,
+        decode_audio,
+        encode_wav,
+        resample_audio,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        import numpy as np
+
+        n = np.arange(512)
+        sin_t = np.sin(2 * np.pi * np.outer(28 + 19 * np.arange(9), n) / 512)
+        for pdf in it:
+            blobs, fps = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 2
+                r4, r7, s = g % 4, g % 7, 1 + (g % 11) % 3
+                base = 700 if did % 2 == 0 else 280
+                amps = np.array(
+                    [
+                        [
+                            base * (1 + (r4 + r7 * (w + 1) + s * (m + 1)) % 4)
+                            for m in range(9)
+                        ]
+                        for w in range(8)
+                    ],
+                    dtype=np.float64,
+                )
+                pcm = np.rint(amps @ sin_t).astype("<i2").tobytes()
+                blob = encode_wav(8192, 1, pcm)
+                blobs.append(blob)
+                fp = _audio_fp_int(blob)
+                fps.append(fp - (1 << 64) if fp >= 1 << 63 else fp)
+            pdf["content"] = blobs
+            pdf["fp_src"] = fps
+            yield pdf
+
+    blobs = d.mapInPandas(make, "doc_id long, content binary, fp_src long")
+    res = resample_audio(blobs, target_sr=16384)
+
+    def check(it):
+        for pdf in it:
+            inv = []
+            for src_fp, out in zip(pdf["fp_src"], pdf["resampled"]):
+                fp2 = _audio_fp_int(bytes(out)) if out is not None else None
+                if fp2 is not None and fp2 >= 1 << 63:
+                    fp2 -= 1 << 64
+                inv.append(1 if fp2 == src_fp else 0)
+            pdf["fp_invariant"] = inv
+            yield pdf[["doc_id", "resampled", "fp_invariant"]]
+
+    checked = res.mapInPandas(
+        check, "doc_id long, resampled binary, fp_invariant int"
+    )
+    meta = decode_audio(checked, "resampled")
+    return meta.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        F.round("duration_seconds", 6).alias("duration_seconds"),
+        "fp_invariant",
+    )
+
+
+_SQL_RESAMPLE_AUDIO = (
+    # 4096 samples at 8192 Hz resampled 2:1 -> 8192 samples at
+    # 16384 Hz mono = exactly 0.5 s; the fingerprint is invariant
+    "SELECT doc_id, 16384 AS sample_rate, 1 AS n_channels, "
+    "0.5 AS duration_seconds, 1 AS fp_invariant FROM documents"
+)
+
+
 _FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
 
 
@@ -4779,8 +4866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     m_decode_progressive, m_image_ahash_pairs,
     g_reference_dim_customers, g_reference_fact_sales,
     m_audio_fp_pairs, m_hash_index_dedup, x1_media_dedup_stream,
-    gr_pagerank, v_hard_negatives respectively; they carry r06/r05-era
-    verdicts and missed the r10 window), then the r06 remainder
+    gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero
+    displaced by m_resample_audio; they carry r06/r05-era verdicts and
+    missed the r10 window), then the r06 remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -4834,7 +4922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_map_codes": _q_r3_map_codes,
         "r4_key_surgery": _q_r4_key_surgery,
         "r4_product_key_split": _q_r4_product_key_split,
-        "r5_coalesce_zero": _q_r5_coalesce_zero,
+    # round-10 addition, swapped for the r06 pad r5_coalesce_zero
+    # (displaced behind the cap): 16 kHz audio normalization with
+    # fingerprint invariance
+        "m_resample_audio": _q_m_resample_audio,
     # round-10 addition, swapped for the r06 pad r7_int_date
     # (displaced behind the cap): hard-negative mining for
     # retrieval-training data
@@ -4869,6 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "r5_coalesce_zero": _q_r5_coalesce_zero,
         "r7_int_date": _q_r7_int_date,
         "r9_backfill_price": _q_r9_backfill_price,
         "r10_null_if_future": _q_r10_null_if_future,
@@ -5943,6 +6035,7 @@ def oracle_sql() -> dict[str, str]:
         "m_hash_index_dedup": _SQL_HASH_INDEX_DEDUP,
         "x1_media_dedup_stream": _SQL_MEDIA_DEDUP_STREAM,
         "gr_pagerank": _SQL_GR_PAGERANK,
+        "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts
             # the progressive roundtrip stayed inside the SAME pixel

@@ -1185,6 +1185,78 @@ def hamming_incremental_dedup(
     return survivors
 
 
+def _resample_pcm(sr: int, x, target_sr: int):
+    """Linear-interpolation resample of mono int16 samples to
+    ``target_sr`` (numpy when available, pure-Python fallback) — the
+    standard normalization a speech-model pipeline applies before
+    featurization. Returns a list/array of int16-range ints."""
+    if sr == target_sr or not x:
+        return x
+    n_out = max(1, int(round(len(x) * target_sr / sr)))
+    try:
+        import numpy as np
+
+        pos = np.arange(n_out, dtype=np.float64) * (len(x) - 1) / max(n_out - 1, 1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, len(x) - 1)
+        frac = pos - lo
+        arr = np.asarray(x, dtype=np.float64)
+        out = arr[lo] * (1.0 - frac) + arr[hi] * frac
+        return np.clip(np.rint(out), -32768, 32767).astype(int).tolist()
+    except ImportError:  # pragma: no cover
+        out = []
+        step = (len(x) - 1) / max(n_out - 1, 1)
+        for i in range(n_out):
+            p = i * step
+            lo = int(p)
+            hi = min(lo + 1, len(x) - 1)
+            frac = p - lo
+            v = x[lo] * (1.0 - frac) + x[hi] * frac
+            out.append(max(-32768, min(32767, int(round(v)))))
+        return out
+
+
+def resample_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    target_sr: int = 16000,
+    out_col: str = "resampled",
+) -> DataFrame:
+    """Append each WAV blob re-encoded at ``target_sr`` mono (linear
+    interpolation over the real PCM tier — the audio twin of
+    :func:`resize_images`'s nearest-neighbor tier; a production
+    pipeline swaps in a windowed-sinc resampler behind the same Arrow
+    batch shape). NULL for blobs the PCM tier can't decode. The
+    spectral-contour fingerprint (:func:`audio_spectral_hash`) is
+    invariant under this normalization for band-limited content —
+    pinned by test — so hash-once-then-resample and resample-then-hash
+    agree."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} binary"
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            outs = []
+            for data in pdf[content_col]:
+                b = bytes(data) if data is not None else b""
+                dec = _pcm16_mono(b)
+                if dec is None or dec[0] <= 0:
+                    outs.append(None)
+                    continue
+                sr, x = dec
+                y = _resample_pcm(sr, x, target_sr)
+                outs.append(
+                    encode_wav(
+                        target_sr, 1, struct.pack(f"<{len(y)}h", *y)
+                    )
+                )
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Append (sample_rate, n_channels, duration_seconds) decoded from
     an audio binary column. REAL RIFF/PCM parse (stdlib ``wave``) for

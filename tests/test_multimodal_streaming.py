@@ -2137,3 +2137,29 @@ def test_hamming_incremental_replay_after_append_is_idempotent(spark):
     after = sorted(tuple(r) for r in spark.table(t).collect())
     assert before == after
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_resample_audio_preserves_spectral_fingerprint(spark):
+    """16 kHz normalization (resample_audio) through the real PCM tier:
+    the output is a decodable WAV at the target rate with ~2x the
+    samples, and the spectral-contour fingerprint is INVARIANT under
+    the resample (band energies live at fixed Hz, which linear
+    interpolation of band-limited content preserves) — so a pipeline
+    may hash before or after normalization interchangeably."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        _audio_fp_int,
+        _pcm16_mono,
+        resample_audio,
+    )
+
+    wav = _tone_wav(8192, 8, 512, _contour_amps(3), _AUDIO_BINS)
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"not audio")], "doc_id long, content binary"
+    )
+    rows = {r["doc_id"]: r["resampled"] for r in resample_audio(df, target_sr=16384).collect()}
+    assert rows[2] is None
+    out = bytes(rows[1])
+    sr, x = _pcm16_mono(out)
+    assert sr == 16384
+    assert abs(len(x) - 2 * 8 * 512) <= 2
+    assert _audio_fp_int(out) == _audio_fp_int(wav)
