@@ -785,16 +785,20 @@ def test_bmp_codec_roundtrip_and_resize_reference(spark, w, h, tw, th, data):
         o = (y * W + x) * 3
         return buf[o : o + 3]
 
-    # decode the resized BMP back to top-down raw rgb
-    _, _, _, off, bottom_up = p2
-    stride = (tw * 3 + 3) & ~3
+    # the codec stores STANDARD BI_RGB (B,G,R samples, bottom-up
+    # rows); compare in DECODED RGB pixel space — the contract every
+    # consumer (luma, hashing, resize) actually sees
+    dec = M._decode_bmp(out)
+    assert dec is not None and dec[:3] == (tw, th, 3)
+    dpx = dec[3]
     for ty in range(th):
-        yy = (th - 1 - ty) if bottom_up else ty
-        row = out[off + yy * stride : off + yy * stride + tw * 3]
         for tx in range(tw):
             sy = min(ty * h // th, h - 1)
             sx = min(tx * w // tw, w - 1)
-            assert row[tx * 3 : tx * 3 + 3] == px(rgb, w, sy, sx)
+            o = (ty * tw + tx) * 3
+            assert dpx[o : o + 3] == px(rgb, w, sy, sx)
+    # and the encode->decode roundtrip itself is pixel-exact
+    assert M._decode_bmp(bmp) == (w, h, 3, rgb)
 
 
 @given(
