@@ -51,22 +51,34 @@ from pyspark.sql import functions as F
 from .dedup import _materialize
 
 
-def _graph_parts(edges: DataFrame, src: str, dst: str, storage: str):
+def _graph_parts(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    storage: str,
+    weight_col: str | None = None,
+):
     """(nodes, edge_deg) — distinct node set over both endpoints and
     the edge list (parallel edges count as weight) pre-joined with its
-    source's out-degree. BOTH are materialized once, so the per-
-    iteration plan is exactly one edge⋈rank join + one dst aggregation
-    — the degree aggregation and the edge⋈degree join never re-run."""
-    e = _materialize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), storage
-    )
+    source's out-degree (weight SUM when ``weight_col`` is given, so a
+    source's mass splits proportionally). BOTH are materialized once,
+    so the per-iteration plan is exactly one edge⋈rank join + one dst
+    aggregation — the degree aggregation and the edge⋈degree join
+    never re-run."""
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    e = _materialize(edges.select(*cols), storage)
     nodes = _materialize(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct(),
         storage,
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    deg_expr = (
+        F.sum("_w") if weight_col is not None else F.count("*")
+    ).alias("_deg")
+    deg = e.groupBy("src").agg(deg_expr)
     edge_deg = _materialize(e.join(deg, "src"), storage)
     return nodes, edge_deg
 
@@ -128,32 +140,56 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     storage: str = "checkpoint",
+    weight_col: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """(node, rank) float PageRank — same iteration shape as
     :func:`pagerank_integer` (which see, incl. the dangling-mass
     convention) with standard real arithmetic, normalized so ranks
     start at 1.0 per node. The throughput tier; use the integer tier
     when bit-reproducibility across runs/engines matters more than
-    the last float digit."""
-    nodes, edge_deg = _graph_parts(edges, src, dst, storage)
+    the last float digit.
+
+    ``weight_col``: per-edge weight (link counts in a web graph) — a
+    source's damped mass splits proportionally to weight instead of
+    uniformly (the out-degree becomes the source's weight sum).
+    ``tol``: early stop once an iteration's L1 rank change drops below
+    it — real link graphs converge in far fewer hops than a safe fixed
+    ``n_iter``, and the check costs one 1-row aggregation per
+    iteration (skipped entirely when ``tol`` is None)."""
+    nodes, edge_deg = _graph_parts(edges, src, dst, storage, weight_col)
     base = 1.0 - damping
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    w = F.col("_w") if weight_col is not None else F.lit(1.0)
     for _ in range(n_iter):
         contribs = (
             edge_deg.join(ranks, F.col("src") == F.col("node"))
             .select(
-                "dst", (F.lit(damping) * F.col("rank") / F.col("_deg")).alias("_c")
+                "dst",
+                (F.lit(damping) * F.col("rank") * w / F.col("_deg")).alias("_c"),
             )
             .groupBy("dst")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = _materialize(
+        nxt = _materialize(
             nodes.join(contribs, F.col("node") == F.col("dst"), "left").select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
             ),
             storage,
         )
+        if tol is not None:
+            delta = (
+                nxt.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .first()[0]
+            )
+            ranks = nxt
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = nxt
     return ranks
 
 

@@ -91,3 +91,35 @@ def test_quality_prior_from_links(spark):
     assert rows[8] is None and rows[9] is None  # not in the link graph
     # node 2 is the in-degree hub: top prior
     assert rows[2] == 1.0
+
+
+def test_pagerank_weighted_and_early_stop(spark):
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    # node 0 links 1 (weight 9) and 2 (weight 1): 1 must outrank 2
+    e = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(e, n_iter=6, weight_col="w").collect()
+    }
+    assert r[1] > r[2]
+    # unweighted treats both out-edges equally
+    ru = {
+        row["node"]: row["rank"] for row in pagerank(e, n_iter=6).collect()
+    }
+    assert ru[1] == pytest.approx(ru[2])
+    # tol early-stop converges to the same fixed point as many hops
+    exact = {
+        row["node"]: row["rank"] for row in pagerank(e, n_iter=60).collect()
+    }
+    early = {
+        row["node"]: row["rank"]
+        for row in pagerank(e, n_iter=60, tol=1e-9).collect()
+    }
+    for v in exact:
+        assert early[v] == pytest.approx(exact[v], abs=1e-6)
