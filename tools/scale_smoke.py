@@ -306,6 +306,52 @@ def main() -> None:
         r["split"]: r["count"] for r in stage("cluster_split_tiny_control", _tiny)
     }
 
+    # standing Hamming fingerprint index: per-batch probe cost must be
+    # FLAT in the index size (the batch is fixed; the corpus side is
+    # pre-bucketed). Scaling shape: timings here should NOT track mult.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+    )
+
+    fp_n = mult * 10_000
+    fp_table = f"scale_fp_idx_{mult}x"
+    spark.sql(f"DROP TABLE IF EXISTS {fp_table}")
+    corpus_fp = spark.range(fp_n).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("phash")
+    )
+    batch_fp = spark.range(10_000_000, 10_005_000).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("phash")
+    )
+    stage("hamming_index_build", lambda: hamming_index_build(corpus_fp, fp_table))
+    stats["hamming_probe_survivors"] = stage(
+        "hamming_probe_5k_batch",
+        lambda: hamming_incremental_dedup(
+            spark, fp_table, batch_fp, max_hamming=3, append=False
+        ).count(),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {fp_table}")
+
+    # PageRank: per-hop cost is edge-sized — timings here SHOULD track
+    # mult (linear), never faster (n² would be a join defect)
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    pr_n = mult * 100_000
+    r = spark.range(pr_n)
+    pr_edges = r.select(
+        F.col("id").alias("src"), (F.abs(F.xxhash64("id")) % pr_n).alias("dst")
+    ).unionByName(
+        r.select(
+            F.col("id").alias("src"),
+            (F.abs(F.xxhash64("id", F.lit(7))) % pr_n).alias("dst"),
+        )
+    )
+    stats["pagerank_nodes"] = stage(
+        "pagerank_3_iters", lambda: pagerank_integer(pr_edges, n_iter=3).count()
+    )
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
