@@ -110,7 +110,7 @@ def pagerank_integer(
         )
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             edge_deg.join(ranks, F.col("src") == F.col("node"))
             .select(
@@ -120,7 +120,7 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = _materialize(
+        nxt = _materialize(
             nodes.join(contribs, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
@@ -130,6 +130,12 @@ def pagerank_integer(
             ),
             storage,
         )
+        # release the superseded round's blocks (the iterative-caller
+        # convention from dedup._materialize: under storage="persist"
+        # n_iter stale nodes-sized caches would otherwise pile up)
+        if i > 0 and storage == "persist":
+            ranks.unpersist()
+        ranks = nxt
     return ranks
 
 
@@ -161,7 +167,7 @@ def pagerank(
     base = 1.0 - damping
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     w = F.col("_w") if weight_col is not None else F.lit(1.0)
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             edge_deg.join(ranks, F.col("src") == F.col("node"))
             .select(
@@ -178,6 +184,7 @@ def pagerank(
             ),
             storage,
         )
+        done = False
         if tol is not None:
             delta = (
                 nxt.alias("a")
@@ -185,11 +192,14 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
                 .first()[0]
             )
-            ranks = nxt
-            if delta is not None and delta < tol:
-                break
-        else:
-            ranks = nxt
+            done = delta is not None and delta < tol
+        # release the superseded round's blocks (iterative-caller
+        # convention from dedup._materialize)
+        if i > 0 and storage == "persist":
+            ranks.unpersist()
+        ranks = nxt
+        if done:
+            break
     return ranks
 
 

@@ -907,26 +907,41 @@ def mine_hard_negatives(
 
     ``candidates`` switches the retrieval tier: pass any
     (query_id, id, cos_sim) frame — ``ivf_query_index`` output for
-    corpus scale, ``lsh_topk``, or None for exact
-    :func:`brute_force_topk` retrieval of ``k + exclude_top +
-    |positives per query|`` candidates (small-corpus default; the
-    ANN path is the 100 TB path, same contract). All downstream
-    filtering is pure Catalyst — one anti-join + one per-query window
-    on a candidate-sized frame, never corpus-sized."""
+    corpus scale, ``lsh_topk`` — or None for the exact default, which
+    scores the full corpus per query (the brute-force scoring pass
+    WITHOUT a pre-cut: a top-k budget cannot know how many rows the
+    exclusions will drop, so cutting early would under-fill the
+    negative pool). With an ANN candidate frame, over-retrieve by the
+    expected exclusion count — the trade every ANN consumer makes.
+    All downstream filtering is pure Catalyst — one anti-join + one
+    per-query window, candidate-sized."""
     if candidates is None:
-        # enough exact candidates to survive the exclusions: k, the
-        # skipped head, and every labeled positive that might rank
-        per_q = (
-            positives.groupBy(query_id_col).count().agg(F.max("count")).first()
+        # exact default: score the WHOLE corpus per query (the same
+        # work brute_force_topk does before its rank cut) and let the
+        # exclusions below pick from the full pool — a pre-cut top-k
+        # budget cannot know how many rows ``max_sim`` will drop, and
+        # under-filling the negative pool silently starves exactly the
+        # queries with near-duplicate heads that the ceiling targets
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("_qid"),
+                F.col(vec_col).alias("_qvec"),
+                l2_norm(F.col(vec_col)).alias("_qn"),
+            )
         )
-        pos_cap = int(per_q[0] or 0)
-        candidates = brute_force_topk(
-            corpus,
-            queries,
-            k=k + exclude_top + pos_cap,
-            id_col=id_col,
-            vec_col=vec_col,
-            query_id_col=query_id_col,
+        candidates = (
+            corpus.withColumn("_cn", l2_norm(F.col(vec_col)))
+            .crossJoin(q)
+            .select(
+                F.col("_qid").alias(query_id_col),
+                F.col(id_col),
+                F.round(
+                    cosine_from_norms(
+                        F.col(vec_col), F.col("_qvec"), "_cn", "_qn"
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
         )
     neg = candidates.join(
         positives.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"

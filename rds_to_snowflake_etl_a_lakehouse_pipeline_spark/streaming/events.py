@@ -688,8 +688,21 @@ def _checkpoint_stream_id(spark: SparkSession, checkpoint_dir: str) -> str:
         with open(local, encoding="utf-8") as fh:
             return json.loads(fh.read())["id"]
     except (OSError, KeyError, ValueError):
-        try:  # non-local checkpoint (HDFS/S3): read through Spark
-            txt = "".join(r[0] for r in spark.read.text(path).collect())
+        try:
+            # non-local checkpoint (HDFS/S3): one Hadoop FS open per
+            # micro-batch — a metadata HEAD+read, NOT a Spark job (the
+            # previous spark.read.text fallback scheduled a full job
+            # per batch just to fetch an 80-byte file)
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            stream = fs.open(p)
+            try:
+                txt = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
             return json.loads(txt)["id"]
         except Exception:
             return checkpoint_dir
@@ -731,10 +744,16 @@ def _replay_guarded_state(
     ``batch_id`` closes the upgrade window: state last stamped by
     PRE-upgrade code carries a bare batch id, and a batch applied
     then crash-redelivered across the upgrade must still skip — so a
-    legacy ``last == batch_id`` match is honored too (pre-upgrade
-    semantics, kept only until the first post-upgrade merge rewrites
-    the stamp; a 64-bit hashed stamp colliding with a small bare id
-    has ~2^-33 probability)."""
+    legacy ``last == batch_id`` match is honored too. This is exactly
+    pre-upgrade semantics, INCLUDING its known flaw: while the stamp
+    is still legacy, a brand-new stream (fresh checkpoint, ids restart
+    at 0) whose batch N coincides with the stale bare id N is skipped
+    — the same behavior the old code had, held only until the first
+    post-upgrade merge rewrites the stamp as a 64-bit hash (after
+    which a bare-id collision has ~2^-33 probability). Re-pointing a
+    NEW stream at an OLD state table without resetting it was already
+    outside the state-table contract; this keeps the failure no worse
+    than before while fixing the crash-redelivery over-count."""
     state = spark.table(table)
     if "_applied_batch" in state.columns:
         last = state.select(F.first("_applied_batch")).first()[0]
@@ -797,8 +816,15 @@ def _land_batch_partition(
     stamped = df.withColumn("_batch_id", F.lit(batch_id))
     if not spark.catalog.tableExists(sink):
         write_table(stamped, sink, partition_by=["_batch_id"])
+        # fold_scheme marks the sink as manifest-protocol from birth,
+        # so the legacy crashed-fold guard in _fold_batch_partitions
+        # can never false-positive on a table this code created
         if stream_id is not None:
-            set_table_meta(spark, sink, stream_id=stream_id)
+            set_table_meta(
+                spark, sink, stream_id=stream_id, fold_scheme="manifest"
+            )
+        else:
+            set_table_meta(spark, sink, fold_scheme="manifest")
         return
     if "_batch_id" not in spark.table(sink).columns:
         write_table(df, sink, mode="append")

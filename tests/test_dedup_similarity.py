@@ -1999,10 +1999,14 @@ def test_mine_hard_negatives_contract(spark):
     rows2 = sorted((r["neg_rank"], r["vec_id"]) for r in out2.collect())
     assert rows2 == [(1, 3), (2, 4), (3, 5)]
     # a max_sim ceiling drops the near-duplicates of the query ray
+    # WITHOUT starving the pool: the full k negatives still come back
+    # from below the ceiling, ranks contiguous from 1
     out3 = mine_hard_negatives(
         corpus, queries, positives, k=3, max_sim=0.95
     )
-    assert all(r["cos_sim"] <= 0.95 for r in out3.collect())
+    r3 = out3.collect()
+    assert all(r["cos_sim"] <= 0.95 for r in r3)
+    assert sorted(r["neg_rank"] for r in r3) == [1, 2, 3]
     # caller-supplied ANN candidates flow through the same contract
     cand = spark.createDataFrame(
         [(0, 3, 0.9), (0, 2, 0.95), (0, 7, 0.5)],

@@ -2102,8 +2102,19 @@ def test_fold_raises_on_ambiguous_legacy_partial_archive(spark):
         _land_batch_partition(
             spark.createDataFrame([(bid,)], "v long"), t, bid
         )
-    # plant the legacy derived archive -(max+1) = -3 with no manifest
+    # plant the legacy derived archive -(max+1) = -3 with no manifest,
+    # and strip the birth stamp to simulate a PRE-manifest table
+    # (sinks this code creates are stamped fold_scheme at birth and
+    # can never reach this guard)
     _land_batch_partition(spark.createDataFrame([(99,)], "v long"), t, -3)
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        _INDEX_META_PREFIX,
+    )
+
+    spark.sql(
+        f"ALTER TABLE {t} UNSET TBLPROPERTIES IF EXISTS "
+        f"('{_INDEX_META_PREFIX}fold_scheme')"
+    )
     with _pytest.raises(RuntimeError, match="pre-manifest"):
         _fold_batch_partitions(spark, t, max_fold=2)
     # a manifest-scheme table with the same shape folds fine
