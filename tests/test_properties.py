@@ -1200,3 +1200,46 @@ def test_hamming_incremental_matches_python_reference(spark, fps, cut):
         for r in spark.table(table).select("doc_id").distinct().collect()
     }
     assert idx_ids == surv_ref
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=20,
+    ),
+    n_iter=st.integers(1, 4),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_integer_property_matches_reference(spark, edges, n_iter):
+    """Integer-mass PageRank equals a dict-based sequential replay on
+    ARBITRARY multigraphs (self-loops, parallel edges, dangling nodes)
+    for any iteration count — the floor arithmetic is exact, so no
+    tolerance is needed."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    nodes = sorted({x for e in edges for x in e})
+    scale, dp = 10**9, 85
+    rank = {v: scale for v in nodes}
+    for _ in range(n_iter):
+        nxt = {v: (100 - dp) * scale // 100 for v in nodes}
+        for s, d in edges:
+            nxt[d] += rank[s] * dp // (100 * out[s])
+        rank = nxt
+
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            spark.createDataFrame(edges, "src long, dst long"), n_iter=n_iter
+        ).collect()
+    }
+    assert got == rank
