@@ -4404,7 +4404,15 @@ def _q_gr_pagerank(spark, sf_dir):
     return pr.select(F.col("node").cast("long").alias("node"), "rank")
 
 
-def _sql_pagerank_oracle(n_iter: int = 3) -> str:
+def _sql_pagerank_oracle(n_iter: int = 3, seed_pred: str | None = None) -> str:
+    """Unrolled integer-PageRank SQL over the shared edge fixture;
+    ``seed_pred`` (a boolean SQL expression over ``node``) switches to
+    the TrustRank form — init mass and teleport base only on seeds."""
+    init = "CAST(1000000000 AS BIGINT)"
+    tele = "150000000"
+    if seed_pred is not None:
+        init = f"CAST(CASE WHEN {seed_pred} THEN 1000000000 ELSE 0 END AS BIGINT)"
+        tele = f"CASE WHEN {seed_pred.replace('node', 'nodes.node')} THEN 150000000 ELSE 0 END"
     base = "WITH nn AS (SELECT count(*) AS n FROM documents), "
     base += (
         "e AS (SELECT DISTINCT src, dst FROM ("
@@ -4415,11 +4423,11 @@ def _sql_pagerank_oracle(n_iter: int = 3) -> str:
         "UNION ALL SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0)), "
         "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), "
         "nodes AS (SELECT doc_id AS node FROM documents), "
-        "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"
+        f"r0 AS (SELECT node, {init} AS rank FROM nodes)"
     )
     for k in range(1, n_iter + 1):
         base += (
-            f", r{k} AS (SELECT nodes.node, CAST(150000000 + "
+            f", r{k} AS (SELECT nodes.node, CAST({tele} + "
             f"COALESCE(SUM((r.rank * 85) // (100 * deg.d)), 0) AS BIGINT) "
             f"AS rank FROM nodes "
             f"LEFT JOIN e ON e.dst = nodes.node "
@@ -4431,6 +4439,39 @@ def _sql_pagerank_oracle(n_iter: int = 3) -> str:
 
 
 _SQL_GR_PAGERANK = _sql_pagerank_oracle(3)
+_SQL_GR_TRUSTRANK = _sql_pagerank_oracle(3, seed_pred="node % 25 = 0")
+
+
+def _q_gr_trustrank(spark, sf_dir):
+    """TrustRank (operators/graph.py::pagerank_integer with seeds —
+    Gyöngyi et al., VLDB 2004): the gr_pagerank link graph with every
+    25th document as a vetted seed; only seeds hold teleport mass, so
+    rank is trust flowing OUT of the seed set — the spam-demotion /
+    source-trust quality prior a web-corpus pipeline runs next to
+    plain centrality. Exact int64 arithmetic, same unrolled-SQL oracle
+    with the seed CASE; nodes unreachable from any seed must rank
+    exactly 0."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 1) % n).alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3).distinct()
+    seeds = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    pr = pagerank_integer(edges, n_iter=3, seeds=seeds)
+    return pr.select(F.col("node").cast("long").alias("node"), "rank")
 
 
 def _q_m_resample_audio(spark, sf_dir):
@@ -4867,8 +4908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     g_reference_dim_customers, g_reference_fact_sales,
     m_audio_fp_pairs, m_hash_index_dedup, x1_media_dedup_stream,
     gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero
-    displaced by m_resample_audio; they carry r06/r05-era verdicts and
-    missed the r10 window), then the r06 remainder
+    and r4_product_key_split displaced by m_resample_audio and
+    gr_trustrank; they carry r06/r05-era verdicts and missed the r10
+    window), then the r06 remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -4921,7 +4963,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_scd2_close": _q_w3_scd2_close,
         "r3_map_codes": _q_r3_map_codes,
         "r4_key_surgery": _q_r4_key_surgery,
-        "r4_product_key_split": _q_r4_product_key_split,
     # round-10 addition, swapped for the r06 pad r5_coalesce_zero
     # (displaced behind the cap): 16 kHz audio normalization with
     # fingerprint invariance
@@ -4930,9 +4971,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (displaced behind the cap): hard-negative mining for
     # retrieval-training data
         "v_hard_negatives": _q_v_hard_negatives,
-    # round-10 addition, swapped for the r06 pad r9_backfill_price
-    # (displaced behind the cap): integer-exact link-graph PageRank
+    # round-10 additions, swapped for the r06 pads r9_backfill_price /
+    # r4_product_key_split (displaced behind the cap): integer-exact
+    # link-graph PageRank and its seeded TrustRank form
         "gr_pagerank": _q_gr_pagerank,
+        "gr_trustrank": _q_gr_trustrank,
     # round-10 addition, swapped for the r06 pad t_span_dedup
     # (displaced behind the cap): the real-corpus gold trio's third leg
         "g_reference_dim_products": _q_g_reference_dim_products,
@@ -4960,6 +5003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "r4_product_key_split": _q_r4_product_key_split,
         "r5_coalesce_zero": _q_r5_coalesce_zero,
         "r7_int_date": _q_r7_int_date,
         "r9_backfill_price": _q_r9_backfill_price,
@@ -6035,6 +6079,7 @@ def oracle_sql() -> dict[str, str]:
         "m_hash_index_dedup": _SQL_HASH_INDEX_DEDUP,
         "x1_media_dedup_stream": _SQL_MEDIA_DEDUP_STREAM,
         "gr_pagerank": _SQL_GR_PAGERANK,
+        "gr_trustrank": _SQL_GR_TRUSTRANK,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

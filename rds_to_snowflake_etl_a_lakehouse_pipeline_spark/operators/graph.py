@@ -91,6 +91,7 @@ def pagerank_integer(
     damping_pct: int = 85,
     scale: int = 10**9,
     storage: str = "checkpoint",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped power iterations over
     integer mass: every node starts at ``scale``; each iteration a
@@ -98,7 +99,16 @@ def pagerank_integer(
     ``(rank · damping_pct) // (100 · out_deg)`` along each in-edge
     (floor division — exact int64 arithmetic end to end, so the
     result is deterministic across engines and partitionings; see the
-    module docstring for the dangling-mass convention)."""
+    module docstring for the dangling-mass convention).
+
+    ``seeds`` (a one-column node frame) switches to the PERSONALIZED
+    form — TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    only seed nodes start with mass and only they receive the teleport
+    base, so rank becomes trust FLOWING OUT of a vetted seed set
+    through the link graph — the standard spam-demotion / source-trust
+    prior a web-corpus curation pipeline runs next to plain PageRank.
+    Same exact-integer arithmetic; a node unreachable from any seed
+    ranks exactly 0."""
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     nodes, edge_deg = _graph_parts(edges, src, dst, storage)
@@ -109,7 +119,23 @@ def pagerank_integer(
             f"scale={scale} risks int64 overflow at {n_nodes} nodes; lower it"
         )
     base = (100 - damping_pct) * scale // 100
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    if seeds is not None:
+        seed_nodes = F.broadcast(
+            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        )
+        is_seed = F.when(F.col("_s").isNotNull(), True).otherwise(False)
+        marked = nodes.join(
+            seed_nodes.withColumn("_s", F.lit(1)), "node", "left"
+        ).select("node", is_seed.alias("_seed"))
+        marked = _materialize(marked, storage)
+        nodes = marked.select("node")
+        init = F.when(F.col("_seed"), F.lit(scale)).otherwise(F.lit(0))
+        base_col = F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
+        ranks = marked.select("node", init.cast("long").alias("rank"))
+        base_df = marked.select("node", base_col.cast("long").alias("_base"))
+    else:
+        ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+        base_df = nodes.select("node", F.lit(base).cast("long").alias("_base"))
     for i in range(n_iter):
         contribs = (
             edge_deg.join(ranks, F.col("src") == F.col("node"))
@@ -121,10 +147,10 @@ def pagerank_integer(
             .agg(F.sum("_c").alias("_in"))
         )
         nxt = _materialize(
-            nodes.join(contribs, F.col("node") == F.col("dst"), "left")
+            base_df.join(contribs, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
-                (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0)))
+                (F.col("_base") + F.coalesce(F.col("_in"), F.lit(0)))
                 .cast("long")
                 .alias("rank"),
             ),

@@ -123,3 +123,39 @@ def test_pagerank_weighted_and_early_stop(spark):
     }
     for v in exact:
         assert early[v] == pytest.approx(exact[v], abs=1e-6)
+
+
+def test_trustrank_seeded_propagation(spark):
+    """Seeded (personalized) integer PageRank == TrustRank: only seeds
+    hold teleport mass, trust flows along out-links, and nodes
+    unreachable from any seed rank exactly 0 — against the same
+    dict-based sequential replay."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    # 0 -> 1 -> 2; island 3 <-> 4 unreachable from the seed
+    edges = [(0, 1), (1, 2), (3, 4), (4, 3)]
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            spark.createDataFrame(edges, "src long, dst long"),
+            n_iter=4,
+            seeds=seeds,
+        ).collect()
+    }
+    # sequential replay with seed-only base/init
+    scale, dp = 10**9, 85
+    base = (100 - dp) * scale // 100
+    out = {0: 1, 1: 1, 3: 1, 4: 1}
+    rank = {v: (scale if v == 0 else 0) for v in range(5)}
+    for _ in range(4):
+        nxt = {v: (base if v == 0 else 0) for v in range(5)}
+        for s, d in edges:
+            nxt[d] += rank[s] * dp // (100 * out[s])
+        rank = nxt
+    assert got == rank
+    assert got[3] == 0 and got[4] == 0  # unreachable island holds no trust
+    assert got[0] == base  # the seed keeps exactly its teleport base
+    assert got[1] > got[2] > 0  # trust decays with distance from the seed
