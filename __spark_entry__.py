@@ -4561,6 +4561,62 @@ _SQL_RESAMPLE_AUDIO = (
 )
 
 
+def _q_t_canonical_urls(spark, sf_dir):
+    """URL canonicalization for crawl-level dedup
+    (functions/text.py::canonicalize_url, round 10): per document a
+    synthetic URL is built from doc_id arithmetic — even siblings get
+    the clean form, odd siblings the same fetch buried under an
+    UPPERCASED host, an explicit :80, a trailing slash, two tracking
+    params, shuffled param order, and a fragment. Canonicalization
+    must collapse both to the identical closed-form string the oracle
+    reconstructs arithmetically — any defect in scheme/host casing,
+    port stripping, tracking-param removal, param sorting, slash or
+    fragment handling hash-mismatches on the odd rows."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") / 2).cast("long")
+    a, b = (g % 5).cast("string"), (g % 4).cast("string")
+    hostpath_lc = F.concat(
+        F.lit("site"), (g % 50).cast("string"), F.lit(".example.com")
+    )
+    path = F.concat(
+        F.lit("/p"), (g % 7).cast("string"), F.lit("/q"), (g % 3).cast("string")
+    )
+    clean = F.concat(
+        F.lit("http://"), hostpath_lc, path, F.lit("?a="), a, F.lit("&b="), b
+    )
+    messy = F.concat(
+        F.lit("HTTP://"),
+        F.upper(hostpath_lc),
+        F.lit(":80"),
+        path,
+        F.lit("/?utm_campaign=x&b="),
+        b,
+        F.lit("&gclid=9&a="),
+        a,
+        F.lit("#frag"),
+    )
+    url = F.when(F.col("doc_id") % 2 == 0, clean).otherwise(messy)
+    return d.select(
+        "doc_id", canonicalize_url(url).alias("canonical_url")
+    )
+
+
+_SQL_CANONICAL_URLS = (
+    # closed-form expected canon: both siblings collapse to the clean
+    # form with params sorted (a= before b= lexicographically)
+    "SELECT doc_id, 'http://site' || CAST((doc_id // 2) % 50 AS VARCHAR) "
+    "|| '.example.com/p' || CAST((doc_id // 2) % 7 AS VARCHAR) "
+    "|| '/q' || CAST((doc_id // 2) % 3 AS VARCHAR) "
+    "|| '?a=' || CAST((doc_id // 2) % 5 AS VARCHAR) "
+    "|| '&b=' || CAST((doc_id // 2) % 4 AS VARCHAR) "
+    "AS canonical_url FROM documents"
+)
+
+
 _FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
 
 
@@ -4907,10 +4963,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     m_decode_progressive, m_image_ahash_pairs,
     g_reference_dim_customers, g_reference_fact_sales,
     m_audio_fp_pairs, m_hash_index_dedup, x1_media_dedup_stream,
-    gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero
-    and r4_product_key_split displaced by m_resample_audio and
-    gr_trustrank; they carry r06/r05-era verdicts and missed the r10
-    window), then the r06 remainder
+    gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero,
+    r4_product_key_split and r4_key_surgery displaced by
+    m_resample_audio, gr_trustrank and t_canonical_urls; they carry
+    r06/r05-era verdicts and missed the r10 window), then the r06
+    remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -4962,7 +5019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_dedup_latest": _q_w1_dedup_latest,
         "w3_scd2_close": _q_w3_scd2_close,
         "r3_map_codes": _q_r3_map_codes,
-        "r4_key_surgery": _q_r4_key_surgery,
+    # round-10 addition, swapped for the r06 pad r4_key_surgery
+    # (displaced behind the cap): crawl-grade URL canonicalization
+        "t_canonical_urls": _q_t_canonical_urls,
     # round-10 addition, swapped for the r06 pad r5_coalesce_zero
     # (displaced behind the cap): 16 kHz audio normalization with
     # fingerprint invariance
@@ -5003,6 +5062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "r4_key_surgery": _q_r4_key_surgery,
         "r4_product_key_split": _q_r4_product_key_split,
         "r5_coalesce_zero": _q_r5_coalesce_zero,
         "r7_int_date": _q_r7_int_date,
@@ -6080,6 +6140,7 @@ def oracle_sql() -> dict[str, str]:
         "x1_media_dedup_stream": _SQL_MEDIA_DEDUP_STREAM,
         "gr_pagerank": _SQL_GR_PAGERANK,
         "gr_trustrank": _SQL_GR_TRUSTRANK,
+        "t_canonical_urls": _SQL_CANONICAL_URLS,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

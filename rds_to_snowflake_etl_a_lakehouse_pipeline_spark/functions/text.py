@@ -564,3 +564,65 @@ def bm25_topk_queries(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# tracking-parameter prefixes stripped by canonicalize_url (the
+# standard crawl-dedup set: UTM campaign tags + click identifiers)
+TRACKING_PARAM_PREFIXES = ("utm_", "gclid", "fbclid", "mc_eid", "ref")
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a URL for crawl-level exact dedup — the
+    normalization a web pipeline applies before URL-keyed dedup or
+    frontier scheduling, where `HTTP://Example.com/a?utm_source=x&b=1#top`
+    and `http://example.com/a?b=1` are the same fetch:
+
+    - scheme and host lowercased (path/query case preserved)
+    - fragment dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https)
+    - tracking parameters removed (``TRACKING_PARAM_PREFIXES``)
+    - surviving query parameters SORTED (order-insensitive compare)
+    - trailing ``/`` dropped from non-root paths
+
+    Built entirely from split/filter/sort/join ARRAY ops (no regex
+    dialect dependence), so any ANSI engine with list functions
+    reproduces it term for term; strings without ``://`` pass through
+    untouched. Compose with ``dedup.exact_dedup`` on the output for
+    URL-grain dedup."""
+    c = _col(col)
+    nofrag = F.get(F.split(c, "#", 2), 0)
+    scheme = F.lower(F.get(F.split(nofrag, "://", 2), 0))
+    rest = F.get(F.split(nofrag, "://", 2), 1)  # NULL when no '://'
+    hp = F.lower(F.get(F.split(rest, "/", 2), 0))
+    pathq = F.get(F.split(rest, "/", 2), 1)  # NULL when no path
+    host = (
+        F.when(
+            (scheme == "http") & hp.endswith(":80"),
+            hp.substr(F.lit(1), F.length(hp) - 3),
+        )
+        .when(
+            (scheme == "https") & hp.endswith(":443"),
+            hp.substr(F.lit(1), F.length(hp) - 4),
+        )
+        .otherwise(hp)
+    )
+    path = F.coalesce(F.get(F.split(pathq, "\\?", 2), 0), F.lit(""))
+    query = F.get(F.split(pathq, "\\?", 2), 1)  # NULL when none
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAM_PREFIXES]),
+            lambda t: p.startswith(t),
+        ),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    out = F.concat(scheme, F.lit("://"), host, F.lit("/"), path)
+    out = F.when(
+        qcanon.isNotNull() & (qcanon != ""), F.concat(out, F.lit("?"), qcanon)
+    ).otherwise(out)
+    return F.when(rest.isNull(), c).otherwise(out)

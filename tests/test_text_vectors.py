@@ -392,3 +392,35 @@ def test_sign_project_deterministic_and_jl_distortion(spark):
     # JL distortion ~1/sqrt(32) ≈ 0.18; mean error well inside it
     assert sum(errs) / len(errs) < 0.2
     assert max(errs) < 0.6
+
+
+def test_canonicalize_url(spark):
+    """Crawl-grade URL canonicalization: tracking params stripped,
+    params sorted, scheme/host lowercased, default ports and fragments
+    and trailing slashes dropped — and equivalent fetches collapse to
+    byte-identical strings for exact dedup."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    pairs = [
+        # (messy, clean-equivalent)
+        ("HTTP://Ex.com:80/a/?utm_source=x&b=1&a=2#frag", "http://ex.com/a?a=2&b=1"),
+        ("https://Host.com:443/", "https://host.com/"),
+        ("https://host.com/p/q/?fbclid=zz&gclid=7", "https://host.com/p/q"),
+        ("http://h.com", "http://h.com/"),
+        ("http://h.com/path?", "http://h.com/path"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame(pairs, "messy string, want string")
+    rows = df.select(
+        canonicalize_url("messy").alias("got"), "want"
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r
+    # idempotent: canonicalizing a canonical URL is a no-op
+    again = df.select(
+        canonicalize_url(canonicalize_url("messy")).alias("g2"),
+        canonicalize_url("messy").alias("g1"),
+    ).collect()
+    assert all(r["g1"] == r["g2"] for r in again)
