@@ -4373,6 +4373,22 @@ def _q_m_image_ahash_pairs(spark, sf_dir):
     )
 
 
+def _gr_edge_fixture(docs, n):
+    """The shared deterministic link graph for the gr_* entries (and
+    their oracles' SQL twin — keep all three in sync): i -> (7i+3) mod
+    n, i -> (13i+1) mod n, every 10th doc -> hub 0, distinct."""
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 1) % n).alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return e1.unionByName(e2).unionByName(e3).distinct()
+
+
 def _q_gr_pagerank(spark, sf_dir):
     """Integer-mass PageRank (operators/graph.py::pagerank_integer,
     round 10 — link-centrality quality prior for corpus curation):
@@ -4389,30 +4405,34 @@ def _q_gr_pagerank(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    e1 = docs.select(
-        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
-    )
-    e2 = docs.select(
-        F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 1) % n).alias("dst")
-    )
-    e3 = docs.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
-    )
-    edges = e1.unionByName(e2).unionByName(e3).distinct()
+    edges = _gr_edge_fixture(docs, docs.count())
     pr = pagerank_integer(edges, n_iter=3)
     return pr.select(F.col("node").cast("long").alias("node"), "rank")
 
 
 def _sql_pagerank_oracle(n_iter: int = 3, seed_pred: str | None = None) -> str:
     """Unrolled integer-PageRank SQL over the shared edge fixture;
-    ``seed_pred`` (a boolean SQL expression over ``node``) switches to
-    the TrustRank form — init mass and teleport base only on seeds."""
+    ``seed_pred`` (a boolean SQL expression over ``doc_id``) switches
+    to the TrustRank form — init mass and teleport base only on
+    seeds, scoped once in a CTE (never textually rewritten)."""
     init = "CAST(1000000000 AS BIGINT)"
     tele = "150000000"
+    seeds_cte = ""
     if seed_pred is not None:
-        init = f"CAST(CASE WHEN {seed_pred} THEN 1000000000 ELSE 0 END AS BIGINT)"
-        tele = f"CASE WHEN {seed_pred.replace('node', 'nodes.node')} THEN 150000000 ELSE 0 END"
+        # a seeds CTE scopes the predicate once — no fragile textual
+        # qualification of the caller's expression
+        seeds_cte = (
+            f"sd AS (SELECT doc_id AS node FROM documents WHERE "
+            f"{seed_pred}), "
+        )
+        init = (
+            "CAST(CASE WHEN node IN (SELECT node FROM sd) "
+            "THEN 1000000000 ELSE 0 END AS BIGINT)"
+        )
+        tele = (
+            "CASE WHEN nodes.node IN (SELECT node FROM sd) "
+            "THEN 150000000 ELSE 0 END"
+        )
     base = "WITH nn AS (SELECT count(*) AS n FROM documents), "
     base += (
         "e AS (SELECT DISTINCT src, dst FROM ("
@@ -4423,6 +4443,7 @@ def _sql_pagerank_oracle(n_iter: int = 3, seed_pred: str | None = None) -> str:
         "UNION ALL SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0)), "
         "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), "
         "nodes AS (SELECT doc_id AS node FROM documents), "
+        f"{seeds_cte}"
         f"r0 AS (SELECT node, {init} AS rank FROM nodes)"
     )
     for k in range(1, n_iter + 1):
@@ -4439,7 +4460,7 @@ def _sql_pagerank_oracle(n_iter: int = 3, seed_pred: str | None = None) -> str:
 
 
 _SQL_GR_PAGERANK = _sql_pagerank_oracle(3)
-_SQL_GR_TRUSTRANK = _sql_pagerank_oracle(3, seed_pred="node % 25 = 0")
+_SQL_GR_TRUSTRANK = _sql_pagerank_oracle(3, seed_pred="doc_id % 25 = 0")
 
 
 def _q_gr_trustrank(spark, sf_dir):
@@ -4456,17 +4477,7 @@ def _q_gr_trustrank(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    e1 = docs.select(
-        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
-    )
-    e2 = docs.select(
-        F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 1) % n).alias("dst")
-    )
-    e3 = docs.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
-    )
-    edges = e1.unionByName(e2).unionByName(e3).distinct()
+    edges = _gr_edge_fixture(docs, docs.count())
     seeds = docs.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("node")
     )

@@ -566,9 +566,11 @@ def bm25_topk_queries(
     )
 
 
-# tracking-parameter prefixes stripped by canonicalize_url (the
-# standard crawl-dedup set: UTM campaign tags + click identifiers)
-TRACKING_PARAM_PREFIXES = ("utm_", "gclid", "fbclid", "mc_eid", "ref")
+# tracking parameters stripped by canonicalize_url: utm_* by KEY
+# PREFIX (case-insensitive), the rest by exact key match — 'ref' must
+# not swallow refid=/refresh= (distinct resources)
+TRACKING_PARAM_KEYS = ("gclid", "fbclid", "mc_eid", "ref")
+TRACKING_PARAM_PREFIXES = ("utm_",)
 
 
 def canonicalize_url(col: Column | str) -> Column:
@@ -577,24 +579,29 @@ def canonicalize_url(col: Column | str) -> Column:
     frontier scheduling, where `HTTP://Example.com/a?utm_source=x&b=1#top`
     and `http://example.com/a?b=1` are the same fetch:
 
-    - scheme and host lowercased (path/query case preserved)
+    - scheme and host lowercased (path and query VALUES preserved)
     - fragment dropped
     - default ports stripped (``:80`` for http, ``:443`` for https)
-    - tracking parameters removed (``TRACKING_PARAM_PREFIXES``)
+    - tracking parameters removed, keys matched case-insensitively
+      (``utm_*`` by prefix; ``TRACKING_PARAM_KEYS`` by exact key)
     - surviving query parameters SORTED (order-insensitive compare)
-    - trailing ``/`` dropped from non-root paths
+    - ALL trailing ``/`` dropped from non-root paths (idempotent)
 
-    Built entirely from split/filter/sort/join ARRAY ops (no regex
-    dialect dependence), so any ANSI engine with list functions
-    reproduces it term for term; strings without ``://`` pass through
-    untouched. Compose with ``dedup.exact_dedup`` on the output for
-    URL-grain dedup."""
+    Built from split/filter/sort/join ARRAY ops plus one trailing-slash
+    regex (``/+$`` — identical in Java regex and RE2), so any ANSI
+    engine with list functions reproduces it term for term; strings
+    without ``://`` pass through untouched. Compose with
+    ``dedup.exact_dedup`` on the output for URL-grain dedup."""
     c = _col(col)
     nofrag = F.get(F.split(c, "#", 2), 0)
     scheme = F.lower(F.get(F.split(nofrag, "://", 2), 0))
     rest = F.get(F.split(nofrag, "://", 2), 1)  # NULL when no '://'
-    hp = F.lower(F.get(F.split(rest, "/", 2), 0))
-    pathq = F.get(F.split(rest, "/", 2), 1)  # NULL when no path
+    # '?' binds BEFORE the first '/': http://h.com?a=1 has no path and
+    # its query must never be absorbed into the host
+    hostpath = F.get(F.split(rest, "\\?", 2), 0)
+    query = F.get(F.split(rest, "\\?", 2), 1)  # NULL when none
+    hp = F.lower(F.get(F.split(hostpath, "/", 2), 0))
+    path = F.coalesce(F.get(F.split(hostpath, "/", 2), 1), F.lit(""))
     host = (
         F.when(
             (scheme == "http") & hp.endswith(":80"),
@@ -606,21 +613,18 @@ def canonicalize_url(col: Column | str) -> Column:
         )
         .otherwise(hp)
     )
-    path = F.coalesce(F.get(F.split(pathq, "\\?", 2), 0), F.lit(""))
-    query = F.get(F.split(pathq, "\\?", 2), 1)  # NULL when none
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~F.exists(
+
+    def _kept(p):
+        key = F.lower(F.get(F.split(p, "=", 2), 0))
+        tracked = F.exists(
             F.array(*[F.lit(t) for t in TRACKING_PARAM_PREFIXES]),
-            lambda t: p.startswith(t),
-        ),
-    )
+            lambda t: key.startswith(t),
+        ) | key.isin(*TRACKING_PARAM_KEYS)
+        return (p != "") & ~tracked
+
+    params = F.filter(F.split(query, "&"), _kept)
     qcanon = F.array_join(F.array_sort(params), "&")
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        path.substr(F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
+    path = F.regexp_replace(path, "/+$", "")
     out = F.concat(scheme, F.lit("://"), host, F.lit("/"), path)
     out = F.when(
         qcanon.isNotNull() & (qcanon != ""), F.concat(out, F.lit("?"), qcanon)

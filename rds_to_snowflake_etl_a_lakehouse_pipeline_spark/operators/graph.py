@@ -120,15 +120,21 @@ def pagerank_integer(
         )
     base = (100 - damping_pct) * scale // 100
     if seeds is not None:
-        seed_nodes = F.broadcast(
-            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        # seeds JOIN the node set: a vetted seed with no links must
+        # still rank at its teleport base, never silently vanish (a
+        # missing row downstream reads as zero trust — the inversion
+        # of what the seed list asserts). No broadcast hint — seed
+        # sets are routinely domain-scale; AQE picks the strategy.
+        seed_nodes = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct()
+        marked = _materialize(
+            nodes.unionByName(seed_nodes)
+            .distinct()
+            .join(seed_nodes.withColumn("_s", F.lit(1)), "node", "left")
+            .select("node", F.col("_s").isNotNull().alias("_seed")),
+            storage,
         )
-        is_seed = F.when(F.col("_s").isNotNull(), True).otherwise(False)
-        marked = nodes.join(
-            seed_nodes.withColumn("_s", F.lit(1)), "node", "left"
-        ).select("node", is_seed.alias("_seed"))
-        marked = _materialize(marked, storage)
-        nodes = marked.select("node")
         init = F.when(F.col("_seed"), F.lit(scale)).otherwise(F.lit(0))
         base_col = F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
         ranks = marked.select("node", init.cast("long").alias("rank"))

@@ -159,3 +159,14 @@ def test_trustrank_seeded_propagation(spark):
     assert got[3] == 0 and got[4] == 0  # unreachable island holds no trust
     assert got[0] == base  # the seed keeps exactly its teleport base
     assert got[1] > got[2] > 0  # trust decays with distance from the seed
+    # a vetted seed ABSENT from the link graph still ranks at its
+    # teleport base — it must never silently vanish from the output
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(
+            spark.createDataFrame(edges, "src long, dst long"),
+            n_iter=2,
+            seeds=spark.createDataFrame([(0,), (99,)], "node long"),
+        ).collect()
+    }
+    assert got2[99] == base

@@ -411,6 +411,17 @@ def test_canonicalize_url(spark):
         ("http://h.com", "http://h.com/"),
         ("http://h.com/path?", "http://h.com/path"),
         ("not a url at all", "not a url at all"),
+        # '?' before any '/': the query must not be absorbed by host
+        ("http://h.com?b=2&a=1", "http://h.com/?a=1&b=2"),
+        ("http://h.com:80?a=1", "http://h.com/?a=1"),
+        # tracking keys match case-insensitively; values keep case
+        ("http://h.com/a?UTM_Source=x&B=1", "http://h.com/a?B=1"),
+        # 'ref' is an EXACT key: refid/refresh are real resources
+        ("http://shop.com/i?refid=1", "http://shop.com/i?refid=1"),
+        ("http://h.com/a?refresh=true", "http://h.com/a?refresh=true"),
+        ("http://shop.com/i?ref=aff", "http://shop.com/i"),
+        # ALL trailing slashes collapse (idempotence incl. '//')
+        ("http://h.com/a//", "http://h.com/a"),
     ]
     df = spark.createDataFrame(pairs, "messy string, want string")
     rows = df.select(
