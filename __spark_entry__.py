@@ -4628,6 +4628,67 @@ _SQL_CANONICAL_URLS = (
 )
 
 
+def _q_m_audio_quality(spark, sf_dir):
+    """Speech-corpus quality gates (operators/multimodal.py::
+    audio_quality_stats, round 10): per document a WAV is constructed
+    with EXACTLY doc_id%7 leading zeros, 100 body samples at
+    1000+doc_id%100, doc_id%5 full-scale (32767) samples, and
+    doc_id%3 trailing zeros — so every gate statistic has an integer
+    closed form the oracle reconstructs (n_clipped is recovered from
+    the 6-dp clipping_ratio × n_samples, exact for n ≤ 110). Any PCM
+    parse, mixdown, clipping, peak, or silence-run defect
+    hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        audio_quality_stats,
+        encode_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        import struct as st
+
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vals = (
+                    [0] * (did % 7)
+                    + [1000 + did % 100] * 100
+                    + [32767] * (did % 5)
+                    + [0] * (did % 3)
+                )
+                blobs.append(
+                    encode_wav(8000, 1, st.pack(f"<{len(vals)}h", *vals))
+                )
+            pdf["content"] = blobs
+            yield pdf
+
+    blobs = d.mapInPandas(make, "doc_id long, content binary")
+    s = audio_quality_stats(blobs)
+    return s.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "peak_abs",
+        F.round(F.col("clipping_ratio") * F.col("n_samples"))
+        .cast("long")
+        .alias("n_clipped"),
+        "leading_silence",
+        "trailing_silence",
+    )
+
+
+_SQL_AUDIO_QUALITY = (
+    "SELECT doc_id, 8000 AS sample_rate, "
+    "doc_id % 7 + 100 + doc_id % 5 + doc_id % 3 AS n_samples, "
+    "CASE WHEN doc_id % 5 > 0 THEN 32767 ELSE 1000 + doc_id % 100 END "
+    "AS peak_abs, doc_id % 5 AS n_clipped, "
+    "doc_id % 7 AS leading_silence, doc_id % 3 AS trailing_silence "
+    "FROM documents"
+)
+
+
 _FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
 
 
@@ -4975,10 +5036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     g_reference_dim_customers, g_reference_fact_sales,
     m_audio_fp_pairs, m_hash_index_dedup, x1_media_dedup_stream,
     gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero,
-    r4_product_key_split and r4_key_surgery displaced by
-    m_resample_audio, gr_trustrank and t_canonical_urls; they carry
-    r06/r05-era verdicts and missed the r10 window), then the r06
-    remainder
+    r4_product_key_split, r4_key_surgery and r3_map_codes displaced by
+    m_resample_audio, gr_trustrank, t_canonical_urls and
+    m_audio_quality; they carry r06/r05-era verdicts and missed the
+    r10 window), then the r06 remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -5029,7 +5090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f17_current_timestamp": _q_f17_current_timestamp,
         "w1_dedup_latest": _q_w1_dedup_latest,
         "w3_scd2_close": _q_w3_scd2_close,
-        "r3_map_codes": _q_r3_map_codes,
+    # round-10 addition, swapped for the r06 pad r3_map_codes
+    # (displaced behind the cap): speech-corpus audio quality gates
+        "m_audio_quality": _q_m_audio_quality,
     # round-10 addition, swapped for the r06 pad r4_key_surgery
     # (displaced behind the cap): crawl-grade URL canonicalization
         "t_canonical_urls": _q_t_canonical_urls,
@@ -5073,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "r3_map_codes": _q_r3_map_codes,
         "r4_key_surgery": _q_r4_key_surgery,
         "r4_product_key_split": _q_r4_product_key_split,
         "r5_coalesce_zero": _q_r5_coalesce_zero,
@@ -6152,6 +6216,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_pagerank": _SQL_GR_PAGERANK,
         "gr_trustrank": _SQL_GR_TRUSTRANK,
         "t_canonical_urls": _SQL_CANONICAL_URLS,
+        "m_audio_quality": _SQL_AUDIO_QUALITY,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

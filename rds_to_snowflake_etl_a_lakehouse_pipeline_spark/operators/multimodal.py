@@ -1185,6 +1185,78 @@ def hamming_incremental_dedup(
     return survivors
 
 
+def audio_quality_stats(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Append the standard speech-corpus quality gates per WAV blob —
+    the audio twin of the text tier's gopher/quality flags, decoded
+    through the real PCM tier (NULLs when that tier can't decode):
+
+    - ``n_samples`` / ``sample_rate`` (mono mixdown length)
+    - ``peak_abs``: max |sample| (a silent or near-silent clip gates)
+    - ``clipping_ratio``: fraction of samples at full scale ±32767
+      (saturated recordings distort features; round to 6 dp)
+    - ``leading_silence`` / ``trailing_silence``: run of exact zeros
+      at each end, in samples (trim targets; exact integers)
+
+    All statistics are exact integer arithmetic plus one 6-dp ratio,
+    so they replay in any engine; per-blob CPU inside Arrow batches,
+    zero shuffles. Typical gates: drop clipping_ratio > 0.01, trim
+    silence runs, drop peak_abs below a noise floor."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (
+        ", sample_rate int, n_samples bigint, peak_abs int,"
+        " clipping_ratio double, leading_silence bigint,"
+        " trailing_silence bigint"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            cols = {k: [] for k in (
+                "sample_rate", "n_samples", "peak_abs", "clipping_ratio",
+                "leading_silence", "trailing_silence",
+            )}
+            for data in pdf[content_col]:
+                b = bytes(data) if data is not None else b""
+                dec = _pcm16_mono(b)
+                if dec is None or not dec[1]:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                sr, x = dec
+                n = len(x)
+                peak = max(abs(v) for v in x)
+                clipped = sum(1 for v in x if v in (32767, -32768))
+                lead = next((i for i, v in enumerate(x) if v != 0), n)
+                trail = next(
+                    (i for i, v in enumerate(reversed(x)) if v != 0), n
+                )
+                if lead == n:  # all-zero clip: one full-length run
+                    trail = n
+                cols["sample_rate"].append(sr)
+                cols["n_samples"].append(n)
+                cols["peak_abs"].append(peak)
+                cols["clipping_ratio"].append(round(clipped / n, 6))
+                cols["leading_silence"].append(lead)
+                cols["trailing_silence"].append(trail)
+            pdf["sample_rate"] = pd.array(cols["sample_rate"], dtype="Int32")
+            pdf["n_samples"] = pd.array(cols["n_samples"], dtype="Int64")
+            pdf["peak_abs"] = pd.array(cols["peak_abs"], dtype="Int32")
+            pdf["clipping_ratio"] = cols["clipping_ratio"]
+            pdf["leading_silence"] = pd.array(
+                cols["leading_silence"], dtype="Int64"
+            )
+            pdf["trailing_silence"] = pd.array(
+                cols["trailing_silence"], dtype="Int64"
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def _resample_pcm(sr: int, x, target_sr: int):
     """Linear-interpolation resample of mono int16 samples to
     ``target_sr`` (numpy when available, pure-Python fallback) — the

@@ -2174,3 +2174,36 @@ def test_resample_audio_preserves_spectral_fingerprint(spark):
     assert sr == 16384
     assert abs(len(x) - 2 * 8 * 512) <= 2
     assert _audio_fp_int(out) == _audio_fp_int(wav)
+
+
+def test_audio_quality_stats_gates(spark):
+    """Speech-corpus quality gates: exact clipping counts, silence
+    runs, and peaks on constructed PCM; NULLs for undecodable blobs;
+    all-zero clips report full-length silence both ways."""
+    import struct as st
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        audio_quality_stats,
+        encode_wav,
+    )
+
+    def wav(vals):
+        return encode_wav(8000, 1, st.pack(f"<{len(vals)}h", *vals))
+
+    clips = {
+        1: wav([0, 0, 100, -200, 32767, -32768, 300, 0]),  # 2 clipped
+        2: wav([0] * 10),                                  # pure silence
+        3: wav([5] * 4),                                   # no silence
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in clips.items()] + [(4, b"mp3 junk")],
+        "doc_id long, content binary",
+    )
+    r = {x["doc_id"]: x for x in audio_quality_stats(df).collect()}
+    assert r[1]["n_samples"] == 8 and r[1]["peak_abs"] == 32768
+    assert r[1]["clipping_ratio"] == 0.25
+    assert (r[1]["leading_silence"], r[1]["trailing_silence"]) == (2, 1)
+    assert r[2]["peak_abs"] == 0 and r[2]["clipping_ratio"] == 0.0
+    assert (r[2]["leading_silence"], r[2]["trailing_silence"]) == (10, 10)
+    assert (r[3]["leading_silence"], r[3]["trailing_silence"]) == (0, 0)
+    assert r[4]["n_samples"] is None and r[4]["clipping_ratio"] is None
