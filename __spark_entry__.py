@@ -4689,6 +4689,58 @@ _SQL_AUDIO_QUALITY = (
 )
 
 
+def _q_m_image_exif(spark, sf_dir):
+    """EXIF provenance extraction (operators/multimodal.py::
+    parse_exif + extract_image_metadata, round 10): per document a
+    REAL baseline JPEG gets an APP1 TIFF block spliced after SOI —
+    little-endian for even doc_ids, BIG-endian for odd (both byte
+    orders driver-verified), orientation 1+doc%8, DateTimeOriginal
+    seconds = doc%60, camera Cam{doc%5}, GPS IFD present iff doc%3==0
+    — then the Spark tier re-extracts everything through the real
+    IFD walk. The oracle reconstructs every field arithmetically; any
+    marker-walk, endian, inline-vs-offset value, sub-IFD, or GPS-flag
+    defect hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_exif_app1,
+        extract_image_metadata,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        base = encode_jpeg(8, 8, bytes(range(64)), channels=1)
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                app1 = build_exif_app1(
+                    orientation=1 + did % 8,
+                    taken_at=f"2024:01:01 00:00:{did % 60:02d}",
+                    make=f"Cam{did % 5}",
+                    gps=(did % 3 == 0),
+                    byte_order="<" if did % 2 == 0 else ">",
+                )
+                blobs.append(base[:2] + app1 + base[2:])
+            pdf["content"] = blobs
+            yield pdf
+
+    blobs = d.mapInPandas(make, "doc_id long, content binary")
+    return extract_image_metadata(blobs).select(
+        "doc_id", "orientation", "taken_at", "camera", "has_gps"
+    )
+
+
+_SQL_IMAGE_EXIF = (
+    "SELECT doc_id, CAST(1 + doc_id % 8 AS INTEGER) AS orientation, "
+    "'2024:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') "
+    "AS taken_at, 'Cam' || CAST(doc_id % 5 AS VARCHAR) AS camera, "
+    "doc_id % 3 = 0 AS has_gps FROM documents"
+)
+
+
 _FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
 
 
@@ -5037,9 +5089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     m_audio_fp_pairs, m_hash_index_dedup, x1_media_dedup_stream,
     gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero,
     r4_product_key_split, r4_key_surgery and r3_map_codes displaced by
-    m_resample_audio, gr_trustrank, t_canonical_urls and
-    m_audio_quality; they carry r06/r05-era verdicts and missed the
-    r10 window), then the r06 remainder
+    m_resample_audio, gr_trustrank, t_canonical_urls, m_audio_quality
+    and m_image_exif (which also displaced w3_scd2_close); they carry
+    r06/r05-era verdicts and missed the r10 window), then the r06
+    remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -5089,7 +5142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
         "w1_dedup_latest": _q_w1_dedup_latest,
-        "w3_scd2_close": _q_w3_scd2_close,
+    # round-10 addition, swapped for the r06 pad w3_scd2_close (W3
+    # stays in-window via j9/g_fact_sales_pit/g_reference_dim_products):
+    # EXIF provenance extraction
+        "m_image_exif": _q_m_image_exif,
     # round-10 addition, swapped for the r06 pad r3_map_codes
     # (displaced behind the cap): speech-corpus audio quality gates
         "m_audio_quality": _q_m_audio_quality,
@@ -5136,6 +5192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "w3_scd2_close": _q_w3_scd2_close,
         "r3_map_codes": _q_r3_map_codes,
         "r4_key_surgery": _q_r4_key_surgery,
         "r4_product_key_split": _q_r4_product_key_split,
@@ -6217,6 +6274,7 @@ def oracle_sql() -> dict[str, str]:
         "gr_trustrank": _SQL_GR_TRUSTRANK,
         "t_canonical_urls": _SQL_CANONICAL_URLS,
         "m_audio_quality": _SQL_AUDIO_QUALITY,
+        "m_image_exif": _SQL_IMAGE_EXIF,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

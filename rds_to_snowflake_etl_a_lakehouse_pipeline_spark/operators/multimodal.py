@@ -1427,3 +1427,246 @@ def frame_hash_pairs(
     return set_jaccard_pairs(
         ex, threshold=threshold, max_df=max_df, storage=storage
     )
+
+
+# ----------------------------------------------------------------- EXIF tier
+# Provenance metadata for image curation: orientation (rotate-aware
+# dedup/display), capture time (temporal filtering), camera make/model
+# (device mixes), GPS presence (privacy gating — a pipeline typically
+# QUARANTINES geotagged images rather than reading coordinates).
+# Dependency-free TIFF 6.0 IFD walk over the JPEG APP1 segment, both
+# byte orders, offsets bounds-checked (untrusted-blob contract).
+
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_DATETIME = 0x0132
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_MODEL = 0x0110
+_EXIF_TAG_SUBIFD = 0x8769
+_EXIF_TAG_GPSIFD = 0x8825
+_EXIF_TAG_DT_ORIGINAL = 0x9003
+
+
+def _exif_ifd_entries(t: bytes, off: int, bo: str):
+    """Yield (tag, type, count, value_or_offset_bytes) for one IFD;
+    stops silently at any truncation (untrusted input)."""
+    if off + 2 > len(t):
+        return
+    n = struct.unpack_from(bo + "H", t, off)[0]
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(t):
+            return
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", t, e)
+        yield tag, typ, cnt, e + 8
+
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _exif_value(t: bytes, bo: str, typ: int, cnt: int, vpos: int):
+    """Decoded tag value (int for SHORT/LONG count 1, str for ASCII,
+    else None): inline when it fits 4 bytes, else at the offset."""
+    size = _EXIF_TYPE_SIZE.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    if total <= 4:
+        pos = vpos
+    else:
+        if vpos + 4 > len(t):
+            return None
+        pos = struct.unpack_from(bo + "I", t, vpos)[0]
+    if pos + total > len(t):
+        return None
+    if typ == 2:  # ASCII, NUL-terminated
+        raw = t[pos : pos + cnt]
+        return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    if typ == 3 and cnt == 1:
+        return struct.unpack_from(bo + "H", t, pos)[0]
+    if typ == 4 and cnt == 1:
+        return struct.unpack_from(bo + "I", t, pos)[0]
+    return None
+
+
+def parse_exif(b: bytes):
+    """EXIF provenance dict for a JPEG blob, or None when it carries
+    no parseable APP1/TIFF block: ``{orientation, taken_at, camera,
+    has_gps}`` (missing fields None/False). Walks SOI->APP1("Exif\\0\\0")
+    -> TIFF header (II/MM + 42) -> IFD0 (+ EXIF sub-IFD for
+    DateTimeOriginal, preferred over IFD0 DateTime); GPS presence is
+    detected from the GPS-IFD POINTER alone — coordinates are never
+    decoded (privacy gating wants a flag, not a location)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    tiff = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            break
+        m = b[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            break
+        seg_len = (b[i + 2] << 8) | b[i + 3]
+        if seg_len < 2 or i + 2 + seg_len > len(b):
+            break
+        if m == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = b[i + 10 : i + 2 + seg_len]
+            break
+        if m == 0xDA:  # entropy data begins: no EXIF ahead
+            break
+        i += 2 + seg_len
+    if tiff is None or len(tiff) < 8:
+        return None
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    if struct.unpack_from(bo + "H", tiff, 2)[0] != 42:
+        return None
+    ifd0 = struct.unpack_from(bo + "I", tiff, 4)[0]
+    out = {"orientation": None, "taken_at": None, "camera": None, "has_gps": False}
+    make = model = dt0 = dt_orig = None
+    sub_off = None
+    for tag, typ, cnt, vpos in _exif_ifd_entries(tiff, ifd0, bo):
+        if tag == _EXIF_TAG_ORIENTATION:
+            out["orientation"] = _exif_value(tiff, bo, typ, cnt, vpos)
+        elif tag == _EXIF_TAG_DATETIME:
+            dt0 = _exif_value(tiff, bo, typ, cnt, vpos)
+        elif tag == _EXIF_TAG_MAKE:
+            make = _exif_value(tiff, bo, typ, cnt, vpos)
+        elif tag == _EXIF_TAG_MODEL:
+            model = _exif_value(tiff, bo, typ, cnt, vpos)
+        elif tag == _EXIF_TAG_SUBIFD:
+            sub_off = _exif_value(tiff, bo, typ, cnt, vpos)
+        elif tag == _EXIF_TAG_GPSIFD:
+            out["has_gps"] = True
+    if sub_off is not None:
+        for tag, typ, cnt, vpos in _exif_ifd_entries(tiff, int(sub_off), bo):
+            if tag == _EXIF_TAG_DT_ORIGINAL:
+                dt_orig = _exif_value(tiff, bo, typ, cnt, vpos)
+    out["taken_at"] = dt_orig or dt0
+    if make or model:
+        out["camera"] = " ".join(x for x in (make, model) if x)
+    return out
+
+
+def build_exif_app1(
+    orientation: int | None = None,
+    taken_at: str | None = None,
+    make: str | None = None,
+    model: str | None = None,
+    gps: bool = False,
+    byte_order: str = "<",
+) -> bytes:
+    """Fixture-side minimal APP1 EXIF segment (inverse of
+    :func:`parse_exif`): IFD0 with the requested tags, an EXIF sub-IFD
+    carrying DateTimeOriginal, and an (empty) GPS IFD when ``gps``.
+    Splice after SOI: ``jpeg[:2] + build_exif_app1(...) + jpeg[2:]``."""
+    bo = byte_order
+    pre = b"II" if bo == "<" else b"MM"
+
+    entries0 = []
+    extra = bytearray()
+
+    def ascii_val(sv: str):
+        raw = sv.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            return 2, len(raw), raw.ljust(4, b"\x00")
+        off_pos = len(extra)
+        extra.extend(raw)
+        return 2, len(raw), ("OFF", off_pos)
+
+    if make is not None:
+        entries0.append((_EXIF_TAG_MAKE, *ascii_val(make)))
+    if model is not None:
+        entries0.append((_EXIF_TAG_MODEL, *ascii_val(model)))
+    if orientation is not None:
+        entries0.append(
+            (_EXIF_TAG_ORIENTATION, 3, 1,
+             struct.pack(bo + "H", orientation).ljust(4, b"\x00"))
+        )
+    if taken_at is not None:
+        entries0.append((_EXIF_TAG_DATETIME, *ascii_val(taken_at)))
+    sub_entries = []
+    if taken_at is not None:
+        sub_entries.append((_EXIF_TAG_DT_ORIGINAL, *ascii_val(taken_at)))
+
+    # layout: header(8) | IFD0 | subIFD | gpsIFD | extra strings
+    def ifd_size(n):
+        return 2 + 12 * n + 4
+
+    n0 = len(entries0) + (1 if sub_entries else 0) + (1 if gps else 0)
+    ifd0_off = 8
+    sub_off = ifd0_off + ifd_size(n0)
+    gps_off = sub_off + (ifd_size(len(sub_entries)) if sub_entries else 0)
+    extra_off = gps_off + (ifd_size(0) if gps else 0)
+
+    if sub_entries:
+        entries0.append(
+            (_EXIF_TAG_SUBIFD, 4, 1, struct.pack(bo + "I", sub_off))
+        )
+    if gps:
+        entries0.append(
+            (_EXIF_TAG_GPSIFD, 4, 1, struct.pack(bo + "I", gps_off))
+        )
+    entries0.sort(key=lambda e: e[0])  # TIFF requires ascending tags
+
+    def emit_ifd(entries):
+        out = bytearray(struct.pack(bo + "H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack(bo + "HHI", tag, typ, cnt)
+            if isinstance(val, tuple) and val[0] == "OFF":
+                out += struct.pack(bo + "I", extra_off + val[1])
+            else:
+                out += val
+        out += struct.pack(bo + "I", 0)  # next-IFD pointer
+        return bytes(out)
+
+    tiff = (
+        pre
+        + struct.pack(bo + "H", 42)
+        + struct.pack(bo + "I", ifd0_off)
+        + emit_ifd(entries0)
+        + (emit_ifd(sub_entries) if sub_entries else b"")
+        + (emit_ifd([]) if gps else b"")
+        + bytes(extra)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def extract_image_metadata(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Append EXIF provenance columns (orientation, taken_at, camera,
+    has_gps) decoded via :func:`parse_exif`; all-NULL/False rows for
+    blobs without parseable EXIF. The privacy-gating pattern: route
+    ``has_gps`` rows to a scrub/quarantine path before export."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", orientation int, taken_at string, camera string, has_gps boolean"
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ori, dt, cam, gps = [], [], [], []
+            for data in pdf[content_col]:
+                b = bytes(data) if data is not None else b""
+                m = parse_exif(b) or {}
+                ori.append(m.get("orientation"))
+                dt.append(m.get("taken_at"))
+                cam.append(m.get("camera"))
+                gps.append(bool(m.get("has_gps", False)))
+            pdf["orientation"] = pd.array(ori, dtype="Int32")
+            pdf["taken_at"] = dt
+            pdf["camera"] = cam
+            pdf["has_gps"] = gps
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)

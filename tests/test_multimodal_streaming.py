@@ -2207,3 +2207,75 @@ def test_audio_quality_stats_gates(spark):
     assert (r[2]["leading_silence"], r[2]["trailing_silence"]) == (10, 10)
     assert (r[3]["leading_silence"], r[3]["trailing_silence"]) == (0, 0)
     assert r[4]["n_samples"] is None and r[4]["clipping_ratio"] is None
+
+
+def test_exif_extraction_both_endians(spark):
+    """EXIF provenance through the Spark tier: orientation/timestamp/
+    camera/GPS flag from real APP1 TIFF blocks in BOTH byte orders;
+    DateTimeOriginal (sub-IFD) wins over IFD0 DateTime; images without
+    EXIF are all-NULL with has_gps False; GPS coordinates are never
+    decoded, only flagged."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_exif_app1,
+        extract_image_metadata,
+    )
+
+    base = encode_jpeg(8, 8, bytes(range(64)), channels=1)
+
+    def with_exif(bo, **kw):
+        return base[:2] + build_exif_app1(byte_order=bo, **kw) + base[2:]
+
+    df = spark.createDataFrame(
+        [
+            (1, with_exif("<", orientation=6, taken_at="2024:03:01 10:20:30",
+                          make="CamCo", model="X9", gps=True)),
+            (2, with_exif(">", orientation=3, make="M")),
+            (3, base),
+            (4, b"not an image"),
+        ],
+        "doc_id long, content binary",
+    )
+    r = {x["doc_id"]: x for x in extract_image_metadata(df).collect()}
+    assert r[1]["orientation"] == 6 and r[1]["has_gps"] is True
+    assert r[1]["taken_at"] == "2024:03:01 10:20:30"
+    assert r[1]["camera"] == "CamCo X9"
+    assert r[2]["orientation"] == 3 and r[2]["camera"] == "M"
+    assert r[2]["has_gps"] is False and r[2]["taken_at"] is None
+    assert r[3]["orientation"] is None and r[3]["has_gps"] is False
+    assert r[4]["orientation"] is None
+
+
+def test_parse_exif_never_crashes_on_fuzz():
+    """Untrusted-blob contract for the EXIF walker: byte soup,
+    truncations, and single-byte mutations of a REAL EXIF JPEG come
+    back as dict or None, never an exception."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_exif_app1,
+        parse_exif,
+    )
+
+    rng = random.Random(99)
+    base = encode_jpeg(6, 4, bytes(range(72))[:72], channels=3)
+    real = base[:2] + build_exif_app1(
+        orientation=1, taken_at="2020:01:01 00:00:00", make="A", gps=True
+    ) + base[2:]
+    for _ in range(200):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        out = parse_exif(b"\xff\xd8" + body)
+        assert out is None or isinstance(out, dict)
+    for cut in range(0, len(real), 5):
+        out = parse_exif(real[:cut])
+        assert out is None or isinstance(out, dict)
+    for _ in range(200):
+        i = rng.randrange(len(real))
+        mut = real[:i] + bytes([rng.randrange(256)]) + real[i + 1:]
+        out = parse_exif(mut)
+        assert out is None or isinstance(out, dict)
