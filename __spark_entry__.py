@@ -4741,6 +4741,47 @@ _SQL_IMAGE_EXIF = (
 )
 
 
+def _q_t_html_extract(spark, sf_dir):
+    """Web-corpus HTML extraction (functions/text.py::html_to_text,
+    round 10): per document a full HTML page is synthesized — script
+    AND style blocks carrying doc-dependent decoy text (which must
+    never leak), a comment, entity-escaped body text, block structure
+    — and extracted back to text. The oracle reconstructs the expected
+    extraction arithmetically; a leak from script/style/comments, a
+    broken entity decode, lost block newlines, or bad whitespace
+    collapse all hash-mismatch."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        html_to_text,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>.x{color:red}</style><script>var leak="),
+        did,
+        F.lit(';</script></head><body>  <h1>Title '), (F.col("doc_id") % 50).cast("string"),
+        F.lit("</h1><p>alpha &amp; beta "), did,
+        F.lit("</p><!-- hidden "), did,
+        F.lit(" --><div>row "), (F.col("doc_id") % 7).cast("string"),
+        F.lit("</div><ul><li>item "), (F.col("doc_id") % 3).cast("string"),
+        F.lit("</li></ul>tail&nbsp;"), did, F.lit("</body></html>"),
+    )
+    return d.select("doc_id", html_to_text(html).alias("text"))
+
+
+_SQL_HTML_EXTRACT = (
+    # <title> is an inline tag (not in the block-closer set), so the
+    # head text and the h1 share the first extracted line
+    "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) || "
+    "' Title ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) || "
+    "'alpha & beta ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+    "'row ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || "
+    "'item ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || "
+    "'tail ' || CAST(doc_id AS VARCHAR) AS text FROM documents"
+)
+
+
 _FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
 
 
@@ -5089,10 +5130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     m_audio_fp_pairs, m_hash_index_dedup, x1_media_dedup_stream,
     gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero,
     r4_product_key_split, r4_key_surgery and r3_map_codes displaced by
-    m_resample_audio, gr_trustrank, t_canonical_urls, m_audio_quality
-    and m_image_exif (which also displaced w3_scd2_close); they carry
-    r06/r05-era verdicts and missed the r10 window), then the r06
-    remainder
+    m_resample_audio, gr_trustrank, t_canonical_urls, m_audio_quality,
+    m_image_exif and t_html_extract (which also displaced
+    w3_scd2_close and w1_dedup_latest); they carry r06/r05-era
+    verdicts and missed the r10 window), then the r06 remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -5141,7 +5182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_cosine_topk": _q_v_cosine_topk,
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
-        "w1_dedup_latest": _q_w1_dedup_latest,
+    # round-10 addition, swapped for the r06 pad w1_dedup_latest (W1
+    # stays in-window via g_reference_dim_customers' silver dedup):
+    # web-corpus HTML extraction
+        "t_html_extract": _q_t_html_extract,
     # round-10 addition, swapped for the r06 pad w3_scd2_close (W3
     # stays in-window via j9/g_fact_sales_pit/g_reference_dim_products):
     # EXIF provenance extraction
@@ -5192,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "w1_dedup_latest": _q_w1_dedup_latest,
         "w3_scd2_close": _q_w3_scd2_close,
         "r3_map_codes": _q_r3_map_codes,
         "r4_key_surgery": _q_r4_key_surgery,
@@ -6275,6 +6320,7 @@ def oracle_sql() -> dict[str, str]:
         "t_canonical_urls": _SQL_CANONICAL_URLS,
         "m_audio_quality": _SQL_AUDIO_QUALITY,
         "m_image_exif": _SQL_IMAGE_EXIF,
+        "t_html_extract": _SQL_HTML_EXTRACT,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

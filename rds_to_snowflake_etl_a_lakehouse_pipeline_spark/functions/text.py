@@ -630,3 +630,46 @@ def canonicalize_url(col: Column | str) -> Column:
         qcanon.isNotNull() & (qcanon != ""), F.concat(out, F.lit("?"), qcanon)
     ).otherwise(out)
     return F.when(rest.isNull(), c).otherwise(out)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Boilerplate-free text from raw HTML — the first transform of
+    every web-corpus pipeline (the trafilatura/jusText niche reduced
+    to its deterministic core, as a pure-Catalyst column):
+
+    1. ``<script>``/``<style>`` blocks removed WITH their contents
+       (code/CSS must never leak into training text), comments removed
+    2. block-level closers/breaks (``</p> </div> </h1..6> </li> <br>``)
+       become newlines, so paragraph structure survives tag stripping
+    3. every remaining tag stripped
+    4. the six ubiquitous entities decoded (&amp; &lt; &gt; &quot;
+       &#39; &nbsp;) — &amp; LAST so ``&amp;lt;`` decodes to the
+       literal ``&lt;`` the author escaped, not to ``<``
+    5. horizontal whitespace collapsed, newline runs collapsed, ends
+       trimmed
+
+    Everything is JVM-side regexp_replace/trim — zero Python in the
+    hot path. For full-fidelity extraction (readability scoring,
+    main-content detection) plug a real extractor behind the same
+    column contract; this tier is the deterministic, oracle-checkable
+    baseline."""
+    c = _col(col)
+    # (?is): case-insensitive + dotall so multi-line blocks match
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>|<br\s*/?>",
+        "\n",
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    # trim() strips only spaces — ends may carry newlines too
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

@@ -435,3 +435,30 @@ def test_canonicalize_url(spark):
         canonicalize_url("messy").alias("g1"),
     ).collect()
     assert all(r["g1"] == r["g2"] for r in again)
+
+
+def test_html_to_text(spark):
+    """Web-corpus extraction: script/style contents never leak, block
+    structure becomes newlines, tags strip, entities decode (double-
+    escapes preserved), whitespace collapses; non-HTML passes through."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        html_to_text,
+    )
+
+    html = (
+        '<html><head><style>p { x: 1; }</style>'
+        '<script>var s = "<p>fake</p>";</script></head>'
+        "<body><h1>Head</h1><p>alpha &amp; beta</p><!-- no -->"
+        "<div>gamma</div><ul><li>one</li><li>two</li></ul>"
+        "A&amp;lt;B &nbsp; end</body></html>"
+    )
+    rows = spark.createDataFrame(
+        [(1, html), (2, "plain text"), (3, None), (4, "<p>x<br>y</p>")],
+        "i int, h string",
+    ).select("i", html_to_text("h").alias("t")).collect()
+    got = {r["i"]: r["t"] for r in rows}
+    assert got[1] == "Head\nalpha & beta\ngamma\none\ntwo\nA&lt;B end"
+    assert "fake" not in got[1] and "color" not in got[1]
+    assert got[2] == "plain text"
+    assert got[3] is None
+    assert got[4] == "x\ny"
