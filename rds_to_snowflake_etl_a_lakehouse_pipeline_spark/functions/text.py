@@ -657,6 +657,10 @@ def html_to_text(col: Column | str) -> Column:
     # (?is): case-insensitive + dotall so multi-line blocks match
     c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    # crawl-truncated pages end mid-block: an UNTERMINATED script/style
+    # must still never leak its contents into training text
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*$", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*$", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(
         c, r"(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>|<br\s*/?>",

@@ -1228,14 +1228,22 @@ def audio_quality_stats(
                     continue
                 sr, x = dec
                 n = len(x)
-                peak = max(abs(v) for v in x)
-                clipped = sum(1 for v in x if v in (32767, -32768))
-                lead = next((i for i, v in enumerate(x) if v != 0), n)
-                trail = next(
-                    (i for i, v in enumerate(reversed(x)) if v != 0), n
-                )
-                if lead == n:  # all-zero clip: one full-length run
-                    trail = n
+                try:
+                    import numpy as np
+
+                    a = np.asarray(x, dtype=np.int64)
+                    peak = int(np.abs(a).max())
+                    clipped = int(((a == 32767) | (a == -32768)).sum())
+                    nz = np.flatnonzero(a)
+                    lead = int(nz[0]) if nz.size else n
+                    trail = int(n - 1 - nz[-1]) if nz.size else n
+                except ImportError:  # pragma: no cover - numpy is baked in
+                    peak = max(abs(v) for v in x)
+                    clipped = sum(1 for v in x if v in (32767, -32768))
+                    lead = next((i for i, v in enumerate(x) if v != 0), n)
+                    trail = next(
+                        (i for i, v in enumerate(reversed(x)) if v != 0), n
+                    )
                 cols["sample_rate"].append(sr)
                 cols["n_samples"].append(n)
                 cols["peak_abs"].append(peak)
@@ -1504,11 +1512,12 @@ def parse_exif(b: bytes):
         if b[i] != 0xFF:
             break
         m = b[i + 1]
+        if m == 0xFF:  # optional fill bytes before a marker (B.1.1.2)
+            i += 1
+            continue
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
-        if i + 4 > len(b):
-            break
         seg_len = (b[i + 2] << 8) | b[i + 3]
         if seg_len < 2 or i + 2 + seg_len > len(b):
             break
@@ -1532,23 +1541,36 @@ def parse_exif(b: bytes):
     out = {"orientation": None, "taken_at": None, "camera": None, "has_gps": False}
     make = model = dt0 = dt_orig = None
     sub_off = None
+
+    # untrusted input may declare ANY type for ANY tag: each consumer
+    # takes only the python type it can carry (a bit-flipped type
+    # field must degrade to None, never crash the Spark task)
+    def _as_str(v):
+        return v if isinstance(v, str) else None
+
+    def _as_orientation(v):
+        return v if isinstance(v, int) and 1 <= v <= 8 else None
+
     for tag, typ, cnt, vpos in _exif_ifd_entries(tiff, ifd0, bo):
         if tag == _EXIF_TAG_ORIENTATION:
-            out["orientation"] = _exif_value(tiff, bo, typ, cnt, vpos)
+            out["orientation"] = _as_orientation(
+                _exif_value(tiff, bo, typ, cnt, vpos)
+            )
         elif tag == _EXIF_TAG_DATETIME:
-            dt0 = _exif_value(tiff, bo, typ, cnt, vpos)
+            dt0 = _as_str(_exif_value(tiff, bo, typ, cnt, vpos))
         elif tag == _EXIF_TAG_MAKE:
-            make = _exif_value(tiff, bo, typ, cnt, vpos)
+            make = _as_str(_exif_value(tiff, bo, typ, cnt, vpos))
         elif tag == _EXIF_TAG_MODEL:
-            model = _exif_value(tiff, bo, typ, cnt, vpos)
+            model = _as_str(_exif_value(tiff, bo, typ, cnt, vpos))
         elif tag == _EXIF_TAG_SUBIFD:
-            sub_off = _exif_value(tiff, bo, typ, cnt, vpos)
+            v = _exif_value(tiff, bo, typ, cnt, vpos)
+            sub_off = v if isinstance(v, int) else None
         elif tag == _EXIF_TAG_GPSIFD:
             out["has_gps"] = True
     if sub_off is not None:
-        for tag, typ, cnt, vpos in _exif_ifd_entries(tiff, int(sub_off), bo):
+        for tag, typ, cnt, vpos in _exif_ifd_entries(tiff, sub_off, bo):
             if tag == _EXIF_TAG_DT_ORIGINAL:
-                dt_orig = _exif_value(tiff, bo, typ, cnt, vpos)
+                dt_orig = _as_str(_exif_value(tiff, bo, typ, cnt, vpos))
     out["taken_at"] = dt_orig or dt0
     if make or model:
         out["camera"] = " ".join(x for x in (make, model) if x)

@@ -2279,3 +2279,34 @@ def test_parse_exif_never_crashes_on_fuzz():
         mut = real[:i] + bytes([rng.randrange(256)]) + real[i + 1:]
         out = parse_exif(mut)
         assert out is None or isinstance(out, dict)
+
+
+def test_parse_exif_type_confusion_and_fill_bytes():
+    """EVERY byte of a real APP1 flipped one at a time: parse_exif must
+    return dict-or-None with type-valid fields (a bit-flipped TIFF type
+    field must degrade, never crash or smuggle an int into a string
+    column); JPEG fill bytes (0xFF padding before markers, B.1.1.2)
+    must not hide the EXIF."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_exif_app1,
+        parse_exif,
+    )
+
+    base = encode_jpeg(8, 8, bytes(range(64)), channels=1)
+    app1 = build_exif_app1(
+        orientation=6, taken_at="2024:01:01 00:00:00", make="A", gps=True
+    )
+    blob = base[:2] + app1 + base[2:]
+    for i in range(2, 2 + len(app1)):
+        out = parse_exif(blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1:])
+        assert out is None or isinstance(out, dict)
+        if out is not None:
+            o = out.get("orientation")
+            assert o is None or (isinstance(o, int) and 1 <= o <= 8)
+            assert out.get("taken_at") is None or isinstance(out["taken_at"], str)
+            assert out.get("camera") is None or isinstance(out["camera"], str)
+    padded = base[:2] + b"\xff\xff\xff" + app1 + base[2:]
+    assert parse_exif(padded)["orientation"] == 6

@@ -462,3 +462,22 @@ def test_html_to_text(spark):
     assert got[2] == "plain text"
     assert got[3] is None
     assert got[4] == "x\ny"
+
+
+def test_html_to_text_truncated_script_never_leaks(spark):
+    """A crawl-truncated page ending mid-script/style must not leak
+    code into training text (the unterminated-block fallback pass)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        html_to_text,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, "<p>hi</p><script>var secret = 1;"),
+            (2, "<p>ok</p><style>.x{color:red}"),
+        ],
+        "i int, h string",
+    ).select("i", html_to_text("h").alias("t")).collect()
+    got = {r["i"]: r["t"] for r in rows}
+    assert got[1] == "hi" and "secret" not in got[1]
+    assert got[2] == "ok" and "color" not in got[2]
