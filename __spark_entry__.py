@@ -4782,6 +4782,89 @@ _SQL_HTML_EXTRACT = (
 )
 
 
+def _q_t_warc_pipeline(spark, sf_dir):
+    """The crawl-to-corpus chain in ONE driver-verified pass
+    (operators/multimodal.py::parse_warc/explode_warc +
+    functions/text.py::html_to_text/canonicalize_url, round 10): per
+    document a WARC/1.0 blob is built with a request record (must be
+    SKIPPED), and a 200 response whose target URI is the messy
+    closed-form URL of t_canonical_urls and whose HTTP body is the
+    decoy-laden HTML page of t_html_extract; the chain explodes the
+    records, strips the HTTP envelope, extracts the text, and
+    canonicalizes the URL. The oracle combines both closed forms —
+    any defect anywhere in the container walk, HTTP split, HTML
+    extraction, or URL normalization hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        canonicalize_url,
+        html_to_text,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_warc,
+        explode_warc,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 2
+                url = (
+                    f"HTTP://SITE{g % 50}.EXAMPLE.COM:80/p{g % 7}/q{g % 3}"
+                    f"/?utm_campaign=x&b={g % 4}&gclid=9&a={g % 5}#frag"
+                )
+                html = (
+                    f"<html><head><title>Doc {did}</title>"
+                    "<style>.x{color:red}</style>"
+                    f"<script>var leak={did};</script></head><body>  "
+                    f"<h1>Title {did % 50}</h1><p>alpha &amp; beta {did}"
+                    f"</p><!-- hidden {did} --><div>row {did % 7}</div>"
+                    f"<ul><li>item {did % 3}</li></ul>tail&nbsp;{did}"
+                    "</body></html>"
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html.encode()
+                )
+                blobs.append(
+                    build_warc(
+                        [
+                            ("request", url, b"GET / HTTP/1.1\r\n\r\n"),
+                            ("response", url, http),
+                        ]
+                    )
+                )
+            pdf["content"] = blobs
+            yield pdf
+
+    blobs = d.mapInPandas(make, "doc_id long, content binary")
+    recs = explode_warc(blobs)
+    return recs.select(
+        "doc_id",
+        "http_status",
+        canonicalize_url("target_uri").alias("canonical_url"),
+        html_to_text("body_text").alias("text"),
+    )
+
+
+_SQL_WARC_PIPELINE = (
+    "SELECT doc_id, 200 AS http_status, "
+    "'http://site' || CAST((doc_id // 2) % 50 AS VARCHAR) "
+    "|| '.example.com/p' || CAST((doc_id // 2) % 7 AS VARCHAR) "
+    "|| '/q' || CAST((doc_id // 2) % 3 AS VARCHAR) "
+    "|| '?a=' || CAST((doc_id // 2) % 5 AS VARCHAR) "
+    "|| '&b=' || CAST((doc_id // 2) % 4 AS VARCHAR) AS canonical_url, "
+    "'Doc ' || CAST(doc_id AS VARCHAR) || "
+    "' Title ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) || "
+    "'alpha & beta ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+    "'row ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || "
+    "'item ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || "
+    "'tail ' || CAST(doc_id AS VARCHAR) AS text FROM documents"
+)
+
+
 _FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
 
 
@@ -5131,9 +5214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero,
     r4_product_key_split, r4_key_surgery and r3_map_codes displaced by
     m_resample_audio, gr_trustrank, t_canonical_urls, m_audio_quality,
-    m_image_exif and t_html_extract (which also displaced
-    w3_scd2_close and w1_dedup_latest); they carry r06/r05-era
-    verdicts and missed the r10 window), then the r06 remainder
+    m_image_exif, t_html_extract and t_warc_pipeline (which also
+    displaced w3_scd2_close, w1_dedup_latest and
+    f17_current_timestamp); they carry r06/r05-era verdicts and missed
+    the r10 window), then the r06 remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -5181,7 +5265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- one for oracle-backed round-10 additions (annotate inline)
         "v_cosine_topk": _q_v_cosine_topk,
         "v_dot_product": _q_v_dot_product,
-        "f17_current_timestamp": _q_f17_current_timestamp,
+    # round-10 addition, swapped for the r06 pad f17_current_timestamp
+    # (displaced behind the cap): the WARC crawl-to-corpus chain
+        "t_warc_pipeline": _q_t_warc_pipeline,
     # round-10 addition, swapped for the r06 pad w1_dedup_latest (W1
     # stays in-window via g_reference_dim_customers' silver dedup):
     # web-corpus HTML extraction
@@ -5236,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "f17_current_timestamp": _q_f17_current_timestamp,
         "w1_dedup_latest": _q_w1_dedup_latest,
         "w3_scd2_close": _q_w3_scd2_close,
         "r3_map_codes": _q_r3_map_codes,
@@ -6321,6 +6408,7 @@ def oracle_sql() -> dict[str, str]:
         "m_audio_quality": _SQL_AUDIO_QUALITY,
         "m_image_exif": _SQL_IMAGE_EXIF,
         "t_html_extract": _SQL_HTML_EXTRACT,
+        "t_warc_pipeline": _SQL_WARC_PIPELINE,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

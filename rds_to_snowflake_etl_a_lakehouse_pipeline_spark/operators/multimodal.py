@@ -1692,3 +1692,138 @@ def extract_image_metadata(
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# ----------------------------------------------------------------- WARC tier
+# The web-corpus container (Common Crawl ships WARC/1.0, RFC-style
+# records): dependency-free record walk so the full chain WARC ->
+# html_to_text -> canonicalize_url -> dedup runs inside this engine.
+# At 100 TB: WARC files arrive via spark.read.format("binaryFile") (or
+# pre-chunked payload columns); the record explode is per-blob CPU in
+# Arrow batches, zero shuffles until the downstream dedup.
+
+
+def parse_warc(b: bytes, max_records: int = 100_000):
+    """List of records from a WARC/1.0 blob: ``{warc_type, target_uri,
+    http_status, body}`` (body = HTTP payload bytes for response
+    records, raw block otherwise; http_status None when the block is
+    not an HTTP message). Untrusted-input contract: any malformed
+    header/length stops the walk at the last good record — never an
+    exception, never an over-read."""
+    out = []
+    i = 0
+    n = len(b)
+    while i < n and len(out) < max_records:
+        # skip inter-record CRLFs
+        while i < n and b[i : i + 2] == b"\r\n":
+            i += 2
+        if i >= n:
+            break
+        end = b.find(b"\r\n\r\n", i)
+        if end < 0 or not b.startswith(b"WARC/", i):
+            break
+        headers = {}
+        for line in b[i:end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            break
+        if length < 0 or end + 4 + length > n:
+            break
+        block = b[end + 4 : end + 4 + length]
+        i = end + 4 + length
+        wtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
+        uri = headers.get(b"warc-target-uri", b"").decode(
+            "utf-8", "replace"
+        ) or None
+        status = None
+        body = block
+        if block.startswith(b"HTTP/"):
+            hdr_end = block.find(b"\r\n\r\n")
+            if hdr_end >= 0:
+                status_line = block[: block.find(b"\r\n")].split(b" ")
+                if len(status_line) >= 2 and status_line[1].isdigit():
+                    status = int(status_line[1])
+                body = block[hdr_end + 4 :]
+        out.append(
+            {
+                "warc_type": wtype,
+                "target_uri": uri,
+                "http_status": status,
+                "body": body,
+            }
+        )
+    return out
+
+
+def build_warc(records) -> bytes:
+    """Fixture-side WARC/1.0 writer (inverse of :func:`parse_warc`):
+    ``records`` = iterable of (warc_type, target_uri, block_bytes);
+    pass an HTTP response message as the block for response records."""
+    out = bytearray()
+    for wtype, uri, block in records:
+        hdr = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        if uri:
+            hdr += f"WARC-Target-URI: {uri}\r\n"
+        hdr += f"Content-Length: {len(block)}\r\n\r\n"
+        out += hdr.encode("ascii") + block + b"\r\n\r\n"
+    return bytes(out)
+
+
+def explode_warc(
+    df: DataFrame,
+    content_col: str = "content",
+    types: tuple = ("response",),
+    decode_body: bool = True,
+) -> DataFrame:
+    """Explode WARC blobs into one row per record of the requested
+    ``types`` (default: HTTP responses — the records a corpus
+    pipeline trains on; request/metadata records are skipped at the
+    parser, before any bytes move). Emits ``record_index, warc_type,
+    target_uri, http_status`` plus ``body`` (binary) or ``body_text``
+    (UTF-8, errors replaced) when ``decode_body``. Feed ``body_text``
+    to ``functions.text.html_to_text`` and ``target_uri`` to
+    ``canonicalize_url`` for the full crawl-to-corpus chain."""
+    body_field = "body_text string" if decode_body else "body binary"
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        if f.name != content_col
+    ) + (
+        ", record_index int, warc_type string, target_uri string,"
+        f" http_status int, {body_field}"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            passthrough = [c for c in pdf.columns if c != content_col]
+            for _, r in pdf.iterrows():
+                b = bytes(r[content_col]) if r[content_col] is not None else b""
+                for idx, rec in enumerate(parse_warc(b)):
+                    if rec["warc_type"] not in types:
+                        continue
+                    body = rec["body"]
+                    row = {c: r[c] for c in passthrough}
+                    row.update(
+                        record_index=idx,
+                        warc_type=rec["warc_type"],
+                        target_uri=rec["target_uri"],
+                        http_status=rec["http_status"],
+                    )
+                    if decode_body:
+                        row["body_text"] = body.decode("utf-8", "replace")
+                    else:
+                        row["body"] = body
+                    rows.append(row)
+            cols = passthrough + [
+                "record_index", "warc_type", "target_uri", "http_status",
+                "body_text" if decode_body else "body",
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=out_schema)

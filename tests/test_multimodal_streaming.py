@@ -2310,3 +2310,47 @@ def test_parse_exif_type_confusion_and_fill_bytes():
             assert out.get("camera") is None or isinstance(out["camera"], str)
     padded = base[:2] + b"\xff\xff\xff" + app1 + base[2:]
     assert parse_exif(padded)["orientation"] == 6
+
+
+def test_explode_warc_end_to_end_chain(spark):
+    """The crawl-to-corpus chain: WARC blobs explode to HTTP response
+    records (requests/metadata skipped), bodies decode, and the chain
+    composes with html_to_text + canonicalize_url; malformed blobs
+    yield zero rows, never a crash."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        canonicalize_url,
+        html_to_text,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_warc,
+        explode_warc,
+    )
+    from pyspark.sql import functions as F
+
+    def http(html):
+        body = html.encode()
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+
+    w1 = build_warc(
+        [
+            ("request", "http://A.com/p/?utm_s=1", b"GET /p HTTP/1.1\r\n\r\n"),
+            ("response", "http://A.com/p/?utm_source=1", http("<p>alpha</p>")),
+            ("response", "http://b.com/q", http("<h1>T</h1><p>beta</p>")),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, w1), (2, b"garbage bytes")], "file_id long, content binary"
+    )
+    out = explode_warc(df)
+    rows = out.collect()
+    assert {(r["file_id"], r["record_index"]) for r in rows} == {(1, 1), (1, 2)}
+    chain = out.select(
+        "file_id",
+        canonicalize_url("target_uri").alias("url"),
+        html_to_text("body_text").alias("text"),
+    ).collect()
+    got = {r["url"]: r["text"] for r in chain}
+    assert got["http://a.com/p"] == "alpha"
+    assert got["http://b.com/q"] == "T\nbeta"
