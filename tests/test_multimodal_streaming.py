@@ -2354,3 +2354,39 @@ def test_explode_warc_end_to_end_chain(spark):
     got = {r["url"]: r["text"] for r in chain}
     assert got["http://a.com/p"] == "alpha"
     assert got["http://b.com/q"] == "T\nbeta"
+
+
+def test_parse_warc_never_crashes_on_fuzz():
+    """Untrusted-container contract: byte soup, truncations, and
+    single-byte mutations of a REAL WARC come back as a (possibly
+    shorter) record list, never an exception or an over-read."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_warc,
+        parse_warc,
+    )
+
+    rng = random.Random(7)
+    real = build_warc(
+        [
+            ("request", "http://a.com/", b"GET / HTTP/1.1\r\n\r\n"),
+            ("response", "http://a.com/",
+             b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<p>body</p>"),
+            ("metadata", None, b"k: v"),
+        ]
+    )
+    for _ in range(200):
+        soup = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 150)))
+        assert isinstance(parse_warc(b"WARC/1.0\r\n" + soup), list)
+        assert isinstance(parse_warc(soup), list)
+    for cut in range(0, len(real), 3):
+        assert isinstance(parse_warc(real[:cut]), list)
+    for _ in range(300):
+        i = rng.randrange(len(real))
+        mut = real[:i] + bytes([rng.randrange(256)]) + real[i + 1:]
+        out = parse_warc(mut)
+        assert isinstance(out, list)
+        for rec in out:
+            assert rec["target_uri"] is None or isinstance(rec["target_uri"], str)
+            assert rec["http_status"] is None or isinstance(rec["http_status"], int)
