@@ -4865,6 +4865,50 @@ _SQL_WARC_PIPELINE = (
 )
 
 
+def _q_t_robots_filter(spark, sf_dir):
+    """Crawl-compliance frontier filtering (operators/curation.py::
+    robots_rules + robots_allowed, round 10): per sibling-pair g a
+    unique domain d{g}.example.com publishes "Disallow: /p{g%7}" with
+    the longest-match exception "Allow: /p{g%7}/q{g%3}"; even docs
+    request exactly the allowed subtree, odd docs a sibling path under
+    the disallow — so crawl_allowed must equal the doc's parity. The
+    oracle is the closed form; any group parsing, longest-match,
+    allow-tie, or domain-extraction defect hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") / 2).cast("long")
+    p, q = (g % 7).cast("string"), (g % 3).cast("string")
+    dom = F.concat(F.lit("d"), g.cast("string"), F.lit(".example.com"))
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /p"), p,
+        F.lit("\nAllow: /p"), p, F.lit("/q"), q, F.lit("\n"),
+    )
+    rules = robots_rules(
+        d.select(dom.alias("domain"), robots.alias("robots_txt")).distinct()
+    )
+    tail = F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("/q"), q)).otherwise(
+        F.lit("/x")
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("http://"), dom, F.lit("/p"), p, tail).alias("url"),
+    )
+    return robots_allowed(urls, rules).select("doc_id", "url", "crawl_allowed")
+
+
+_SQL_ROBOTS_FILTER = (
+    "SELECT doc_id, 'http://d' || CAST(doc_id // 2 AS VARCHAR) "
+    "|| '.example.com/p' || CAST((doc_id // 2) % 7 AS VARCHAR) || "
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN '/q' || CAST((doc_id // 2) % 3 AS VARCHAR) ELSE '/x' END AS url, "
+    "doc_id % 2 = 0 AS crawl_allowed FROM documents"
+)
+
+
 _FP_SPREAD = 0x0001_0001_0001_0001  # class id repeated in all 4 bands
 
 
@@ -5214,10 +5258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero,
     r4_product_key_split, r4_key_surgery and r3_map_codes displaced by
     m_resample_audio, gr_trustrank, t_canonical_urls, m_audio_quality,
-    m_image_exif, t_html_extract and t_warc_pipeline (which also
-    displaced w3_scd2_close, w1_dedup_latest and
-    f17_current_timestamp); they carry r06/r05-era verdicts and missed
-    the r10 window), then the r06 remainder
+    m_image_exif, t_html_extract, t_warc_pipeline and t_robots_filter
+    (which also displaced w3_scd2_close, w1_dedup_latest,
+    f17_current_timestamp and v_dot_product); they carry r06/r05-era
+    verdicts and missed the r10 window), then the r06 remainder
     (v_mmr_rerank through m_media_decode, 31 entries), filling the
     rest of the 50 from the r08-verified tranche (a1_profile onward,
     oldest first). Round-11 oracle-backed additions swap one-for-one
@@ -5264,7 +5308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- oldest first (v_cosine_topk onward); swap-eligible one-for-
     # ---- one for oracle-backed round-10 additions (annotate inline)
         "v_cosine_topk": _q_v_cosine_topk,
-        "v_dot_product": _q_v_dot_product,
+    # round-10 addition, swapped for the r06 pad v_dot_product
+    # (displaced behind the cap): robots.txt frontier filtering
+        "t_robots_filter": _q_t_robots_filter,
     # round-10 addition, swapped for the r06 pad f17_current_timestamp
     # (displaced behind the cap): the WARC crawl-to-corpus chain
         "t_warc_pipeline": _q_t_warc_pipeline,
@@ -5322,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- behind the cap: the pads displaced by the round-10
     # ---- swaps, then the r09-verified window (rotated out), then the
     # ---- rest unchanged
+        "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
         "w1_dedup_latest": _q_w1_dedup_latest,
         "w3_scd2_close": _q_w3_scd2_close,
@@ -6409,6 +6456,7 @@ def oracle_sql() -> dict[str, str]:
         "m_image_exif": _SQL_IMAGE_EXIF,
         "t_html_extract": _SQL_HTML_EXTRACT,
         "t_warc_pipeline": _SQL_WARC_PIPELINE,
+        "t_robots_filter": _SQL_ROBOTS_FILTER,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

@@ -594,3 +594,165 @@ def cluster_split(
         .withColumn("split", hash_split(cluster, splits or DEFAULT_SPLITS))
         .drop("component")
     )
+
+
+def robots_rules(
+    df,
+    content_col: str = "robots_txt",
+    domain_col: str = "domain",
+    agent: str = "*",
+):
+    """Parse per-domain ``robots.txt`` text into one row per
+    Allow/Disallow rule for the chosen ``agent`` group — the frontier
+    side of crawl compliance. RFC 9309 subset: literal path prefixes
+    (no ``*``/``$`` wildcards — the dominant case in real files;
+    wildcard rules are IGNORED rather than misapplied), group =
+    consecutive ``User-agent`` lines followed by rules. A specific
+    agent's group SHADOWS the ``*`` group when both exist for a
+    domain, per the RFC's group-selection rule.
+
+    The line walk is pure Catalyst: lines explode with an index and
+    each rule line picks up the nearest preceding ``User-agent`` run
+    via a max-over-preceding window — stateful parsing expressed as a
+    window, not Python. Returns ``(domain, directive, path_prefix)``.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("idx", "line"),
+    ).select(
+        "domain",
+        "idx",
+        F.lower(F.trim(F.regexp_replace("line", "#.*$", ""))).alias("lc"),
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("raw"),
+    )
+    is_ua = F.col("lc").startswith("user-agent:")
+    ua_val = F.when(is_ua, F.trim(F.expr("substring(raw, 12)")))
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # group id: a User-agent line NOT directly preceded by another
+    # User-agent line starts a new group; rules attach to the latest
+    prev_ua = F.lag(is_ua.cast("int"), 1, 0).over(
+        Window.partitionBy("domain").orderBy("idx")
+    )
+    lines = lines.withColumn(
+        "grp",
+        F.sum((is_ua.cast("int") * (1 - prev_ua))).over(w),
+    ).withColumn("ua", F.lower(ua_val))
+    # agents named by each group
+    group_agents = (
+        lines.filter(is_ua)
+        .groupBy("domain", "grp")
+        .agg(F.collect_set("ua").alias("agents"))
+    )
+    rules = (
+        lines.filter(
+            F.col("lc").startswith("allow:") | F.col("lc").startswith("disallow:")
+        )
+        .select(
+            "domain",
+            "grp",
+            F.when(F.col("lc").startswith("allow:"), F.lit("allow"))
+            .otherwise(F.lit("disallow"))
+            .alias("directive"),
+            F.trim(
+                F.when(
+                    F.col("lc").startswith("allow:"),
+                    F.expr("substring(raw, 7)"),
+                ).otherwise(F.expr("substring(raw, 10)"))
+            ).alias("path_prefix"),
+        )
+        .join(group_agents, ["domain", "grp"])
+    )
+    mine = F.array_contains("agents", agent.lower())
+    star = F.array_contains("agents", "*")
+    rules = rules.filter(mine | star).withColumn("_specific", mine)
+    # specific group shadows '*': keep specific rows where the domain
+    # has any, else the star rows
+    has_specific = rules.groupBy("domain").agg(
+        F.max(F.col("_specific").cast("int")).alias("_has")
+    )
+    rules = (
+        rules.join(has_specific, "domain")
+        .filter((F.col("_has") == 0) | F.col("_specific"))
+        # wildcard rules in the unsupported subset are dropped, and an
+        # empty Disallow: means allow-all (no rule)
+        .filter(
+            (F.length("path_prefix") > 0)
+            & ~F.col("path_prefix").contains("*")
+            & ~F.col("path_prefix").contains("$")
+        )
+        .select("domain", "directive", "path_prefix")
+        .distinct()
+    )
+    return rules
+
+
+def robots_allowed(
+    urls,
+    rules,
+    url_col: str = "url",
+    out_col: str = "crawl_allowed",
+):
+    """Append the RFC 9309 longest-match decision per URL: among the
+    domain's rules whose literal prefix matches the URL path, the
+    LONGEST wins; on a length tie Allow wins; no matching rule (or no
+    rules for the domain) = allowed. Join is domain-keyed + a
+    prefix-filtered candidate set — rule tables are tiny relative to
+    frontiers, so AQE broadcasts them; the per-URL winner is one
+    max_by aggregation, never a sort."""
+    u = urls.withColumn(
+        "_dom",
+        F.lower(F.get(F.split(F.get(F.split(F.col(url_col), "://", 2), 1), "/", 2), 0)),
+    ).withColumn(
+        "_path",
+        F.concat(
+            F.lit("/"),
+            F.coalesce(
+                F.get(F.split(F.get(F.split(F.col(url_col), "://", 2), 1), "/", 2), 1),
+                F.lit(""),
+            ),
+        ),
+    )
+    cand = (
+        u.join(
+            rules.select(
+                F.col("domain").alias("_dom"), "directive", "path_prefix"
+            ),
+            "_dom",
+            "left",
+        )
+        .withColumn(
+            "_hit",
+            F.col("path_prefix").isNotNull()
+            & F.col("_path").startswith(F.col("path_prefix")),
+        )
+    )
+    # winner per URL: longest matching prefix, allow beats disallow on
+    # ties (encode as 2*len + is_allow and take max)
+    score = F.when(
+        F.col("_hit"),
+        F.length("path_prefix") * 2
+        + (F.col("directive") == "allow").cast("int"),
+    )
+    verdict = (
+        cand.groupBy(*[F.col(c) for c in urls.columns])
+        .agg(
+            F.max_by(
+                F.col("directive") == "allow", F.coalesce(score, F.lit(-1))
+            ).alias("_best_allow"),
+            F.max(F.coalesce(score, F.lit(-1))).alias("_best"),
+        )
+        .withColumn(
+            out_col,
+            F.when(F.col("_best") < 0, F.lit(True)).otherwise(
+                F.col("_best_allow")
+            ),
+        )
+        .drop("_best_allow", "_best")
+    )
+    return verdict

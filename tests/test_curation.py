@@ -828,3 +828,59 @@ def test_cluster_split_survives_deep_chain(spark):
         n_clusters = lbl.select("cluster_id").distinct().count()
     assert n_clusters > 1
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_robots_rules_and_allowed(spark):
+    """RFC 9309 subset: group selection (specific shadows '*',
+    multi-agent groups), longest-prefix match with allow-wins ties,
+    comments stripped, wildcard rules dropped rather than misapplied,
+    empty Disallow = allow-all, unknown domains allowed."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    robots_a = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /tmp*\n# note\nUser-agent: gptbot\nDisallow: /\n"
+    )
+    robots_b = "User-agent: badbot\nUser-agent: gptbot\nDisallow: /blocked\n"
+    robots_c = "User-agent: *\nDisallow:\n"
+    dom = spark.createDataFrame(
+        [("a.com", robots_a), ("b.com", robots_b), ("c.com", robots_c)],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://a.com/public/x",),
+            ("http://a.com/private/secret",),
+            ("http://a.com/private/ok/y",),
+            ("http://a.com/tmp/z",),
+            ("http://b.com/blocked/z",),
+            ("http://b.com/open",),
+            ("http://c.com/anything",),
+            ("http://d.com/no/robots",),
+        ],
+        "url string",
+    )
+    # default agent '*': a.com star group applies; b.com has no '*'
+    star = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_allowed(urls, robots_rules(dom)).collect()
+    }
+    assert star["http://a.com/public/x"] is True
+    assert star["http://a.com/private/secret"] is False
+    assert star["http://a.com/private/ok/y"] is True  # longest match allows
+    assert star["http://a.com/tmp/z"] is True  # wildcard rule dropped
+    assert star["http://b.com/blocked/z"] is True  # no '*' group on b
+    assert star["http://c.com/anything"] is True  # empty Disallow
+    assert star["http://d.com/no/robots"] is True
+    # gptbot: a.com specific group (Disallow /) SHADOWS the '*' group
+    bot = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_allowed(urls, robots_rules(dom, agent="gptbot")).collect()
+    }
+    assert bot["http://a.com/public/x"] is False
+    assert bot["http://a.com/private/ok/y"] is False
+    assert bot["http://b.com/blocked/z"] is False  # multi-agent group
+    assert bot["http://b.com/open"] is True
