@@ -627,6 +627,10 @@ def robots_rules(
         F.lower(F.trim(F.regexp_replace("line", "#.*$", ""))).alias("lc"),
         F.trim(F.regexp_replace("line", "#.*$", "")).alias("raw"),
     )
+    # RFC 9309 allows empty lines between startgrouplines: strip them
+    # (post comment-removal) BEFORE the adjacency window, or a blank
+    # line inside a multi-agent run would split the group
+    lines = lines.filter(F.length("lc") > 0)
     is_ua = F.col("lc").startswith("user-agent:")
     ua_val = F.when(is_ua, F.trim(F.expr("substring(raw, 12)")))
     w = (
@@ -670,15 +674,20 @@ def robots_rules(
     )
     mine = F.array_contains("agents", agent.lower())
     star = F.array_contains("agents", "*")
-    rules = rules.filter(mine | star).withColumn("_specific", mine)
-    # specific group shadows '*': keep specific rows where the domain
-    # has any, else the star rows
-    has_specific = rules.groupBy("domain").agg(
-        F.max(F.col("_specific").cast("int")).alias("_has")
+    # specific group shadows '*' by GROUP EXISTENCE (RFC 9309): a
+    # specific group with no allow/disallow rules still shadows — the
+    # agent is then unrestricted, the '*' rules must NOT fall back in
+    has_specific = (
+        group_agents.filter(F.array_contains("agents", agent.lower()))
+        .select("domain")
+        .distinct()
+        .withColumn("_has", F.lit(1))
     )
     rules = (
-        rules.join(has_specific, "domain")
-        .filter((F.col("_has") == 0) | F.col("_specific"))
+        rules.filter(mine | star)
+        .withColumn("_specific", mine)
+        .join(has_specific, "domain", "left")
+        .filter(F.col("_has").isNull() | F.col("_specific"))
         # wildcard rules in the unsupported subset are dropped, and an
         # empty Disallow: means allow-all (no rule)
         .filter(
@@ -705,23 +714,38 @@ def robots_allowed(
     prefix-filtered candidate set — rule tables are tiny relative to
     frontiers, so AQE broadcasts them; the per-URL winner is one
     max_by aggregation, never a sort."""
-    u = urls.withColumn(
-        "_dom",
-        F.lower(F.get(F.split(F.get(F.split(F.col(url_col), "://", 2), 1), "/", 2), 0)),
-    ).withColumn(
+    # host extraction mirrors functions.text.canonicalize_url: '?'
+    # binds BEFORE the first '/' (a query-no-path URL must not absorb
+    # its query into the host and bypass every rule), default ports
+    # are stripped, and BOTH join sides are lowercased
+    rest = F.get(F.split(F.col(url_col), "://", 2), 1)
+    scheme = F.lower(F.get(F.split(F.col(url_col), "://", 2), 0))
+    hostpath = F.get(F.split(rest, "\\?", 2), 0)
+    hp = F.lower(F.get(F.split(hostpath, "/", 2), 0))
+    host = (
+        F.when(
+            (scheme == "http") & hp.endswith(":80"),
+            hp.substr(F.lit(1), F.length(hp) - 3),
+        )
+        .when(
+            (scheme == "https") & hp.endswith(":443"),
+            hp.substr(F.lit(1), F.length(hp) - 4),
+        )
+        .otherwise(hp)
+    )
+    u = urls.withColumn("_dom", host).withColumn(
         "_path",
         F.concat(
             F.lit("/"),
-            F.coalesce(
-                F.get(F.split(F.get(F.split(F.col(url_col), "://", 2), 1), "/", 2), 1),
-                F.lit(""),
-            ),
+            F.coalesce(F.get(F.split(hostpath, "/", 2), 1), F.lit("")),
         ),
-    )
+    ).withColumn("_rid", F.monotonically_increasing_id())
     cand = (
         u.join(
             rules.select(
-                F.col("domain").alias("_dom"), "directive", "path_prefix"
+                F.lower(F.col("domain")).alias("_dom"),
+                "directive",
+                "path_prefix",
             ),
             "_dom",
             "left",
@@ -740,7 +764,7 @@ def robots_allowed(
         + (F.col("directive") == "allow").cast("int"),
     )
     verdict = (
-        cand.groupBy(*[F.col(c) for c in urls.columns])
+        cand.groupBy(F.col("_rid"), *[F.col(c) for c in urls.columns])
         .agg(
             F.max_by(
                 F.col("directive") == "allow", F.coalesce(score, F.lit(-1))
@@ -753,6 +777,6 @@ def robots_allowed(
                 F.col("_best_allow")
             ),
         )
-        .drop("_best_allow", "_best")
+        .drop("_best_allow", "_best", "_rid")
     )
     return verdict

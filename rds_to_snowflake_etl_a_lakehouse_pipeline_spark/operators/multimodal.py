@@ -1744,7 +1744,7 @@ def parse_warc(b: bytes, max_records: int = 100_000):
         if block.startswith(b"HTTP/"):
             hdr_end = block.find(b"\r\n\r\n")
             if hdr_end >= 0:
-                status_line = block[: block.find(b"\r\n")].split(b" ")
+                status_line = block[: block.find(b"\r\n")].split()
                 if len(status_line) >= 2 and status_line[1].isdigit():
                     status = int(status_line[1])
                 body = block[hdr_end + 4 :]
@@ -1769,7 +1769,7 @@ def build_warc(records) -> bytes:
         if uri:
             hdr += f"WARC-Target-URI: {uri}\r\n"
         hdr += f"Content-Length: {len(block)}\r\n\r\n"
-        out += hdr.encode("ascii") + block + b"\r\n\r\n"
+        out += hdr.encode("utf-8") + block + b"\r\n\r\n"
     return bytes(out)
 
 
@@ -1789,11 +1789,18 @@ def explode_warc(
     ``canonicalize_url`` for the full crawl-to-corpus chain."""
     body_field = "body_text string" if decode_body else "body binary"
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-        if f.name != content_col
-    ) + (
-        ", record_index int, warc_type string, target_uri string,"
-        f" http_status int, {body_field}"
+        [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != content_col
+        ]
+        + [
+            "record_index int",
+            "warc_type string",
+            "target_uri string",
+            "http_status int",
+            body_field,
+        ]
     )
 
     def batches(it: Iterator) -> Iterator:

@@ -884,3 +884,45 @@ def test_robots_rules_and_allowed(spark):
     assert bot["http://a.com/private/ok/y"] is False
     assert bot["http://b.com/blocked/z"] is False  # multi-agent group
     assert bot["http://b.com/open"] is True
+
+
+def test_robots_edge_semantics(spark):
+    """Seventh-review regressions: query-no-path URLs and explicit
+    default ports cannot bypass rules; mixed-case rule domains match;
+    duplicate URL rows keep their cardinality; an empty specific group
+    SHADOWS '*' (unrestricted, per RFC 9309); a blank line inside a
+    User-agent run does not split the group."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    dom = spark.createDataFrame(
+        [
+            ("A.com", "User-agent: *\nDisallow: /\n"),
+            ("b.com",
+             "User-agent: gptbot\nCrawl-delay: 5\nUser-agent: *\nDisallow: /\n"),
+            ("c.com", "User-agent: a\n\nUser-agent: b\nDisallow: /x\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("http://a.com?p=1",), ("http://A.COM:80/any",), ("http://a.com/q",),
+         ("http://a.com/q",)],
+        "url string",
+    )
+    out = robots_allowed(urls, robots_rules(dom)).collect()
+    assert len(out) == 4  # duplicate row cardinality preserved
+    assert all(r["crawl_allowed"] is False for r in out)
+    # empty specific group shadows '*': gptbot unrestricted on b.com
+    bot = robots_allowed(
+        spark.createDataFrame([("http://b.com/page",)], "url string"),
+        robots_rules(dom, agent="gptbot"),
+    ).first()
+    assert bot["crawl_allowed"] is True
+    # blank line inside the UA run: agent 'a' shares b's Disallow
+    a_rules = robots_rules(dom, agent="a")
+    ra = robots_allowed(
+        spark.createDataFrame([("http://c.com/x/1",)], "url string"), a_rules
+    ).first()
+    assert ra["crawl_allowed"] is False

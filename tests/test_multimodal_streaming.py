@@ -2390,3 +2390,27 @@ def test_parse_warc_never_crashes_on_fuzz():
         for rec in out:
             assert rec["target_uri"] is None or isinstance(rec["target_uri"], str)
             assert rec["http_status"] is None or isinstance(rec["http_status"], int)
+
+
+def test_warc_edge_shapes(spark):
+    """Seventh-review regressions: a content-only frame explodes
+    without a schema error; sloppy multi-space HTTP status lines still
+    parse; non-ASCII target URIs round-trip build->parse."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_warc,
+        explode_warc,
+        parse_warc,
+    )
+
+    w = build_warc(
+        [
+            ("response", "http://a.com/café",
+             b"HTTP/1.1  200 OK\r\n\r\nbody"),
+        ]
+    )
+    recs = parse_warc(w)
+    assert recs[0]["target_uri"] == "http://a.com/café"
+    assert recs[0]["http_status"] == 200
+    df = spark.createDataFrame([(w,)], "content binary")  # no passthrough
+    rows = explode_warc(df).collect()
+    assert len(rows) == 1 and rows[0]["body_text"] == "body"
