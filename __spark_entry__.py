@@ -4791,9 +4791,13 @@ def _q_t_warc_pipeline(spark, sf_dir):
     closed-form URL of t_canonical_urls and whose HTTP body is the
     decoy-laden HTML page of t_html_extract; the chain explodes the
     records, strips the HTTP envelope, extracts the text, and
-    canonicalizes the URL. The oracle combines both closed forms —
-    any defect anywhere in the container walk, HTTP split, HTML
-    extraction, or URL normalization hash-mismatches."""
+    canonicalizes the URL. Round 11: odd documents ship in the REAL
+    Common Crawl container (.warc.gz, one gzip member per record) —
+    content is identical after decompression so the oracle is shared,
+    and any defect in the gzip member walk shows up as a hash
+    mismatch on exactly the odd half. Any defect anywhere in the
+    container walk, HTTP split, HTML extraction, or URL normalization
+    hash-mismatches."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
         canonicalize_url,
         html_to_text,
@@ -4833,7 +4837,8 @@ def _q_t_warc_pipeline(spark, sf_dir):
                         [
                             ("request", url, b"GET / HTTP/1.1\r\n\r\n"),
                             ("response", url, http),
-                        ]
+                        ],
+                        gzip_records=(did % 2 == 1),
                     )
                 )
             pdf["content"] = blobs

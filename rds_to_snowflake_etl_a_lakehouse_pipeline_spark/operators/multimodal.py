@@ -1703,13 +1703,30 @@ def extract_image_metadata(
 # Arrow batches, zero shuffles until the downstream dedup.
 
 
-def parse_warc(b: bytes, max_records: int = 100_000):
+def parse_warc(
+    b: bytes,
+    max_records: int = 100_000,
+    max_member_bytes: int = 64 * 1024 * 1024,
+):
     """List of records from a WARC/1.0 blob: ``{warc_type, target_uri,
     http_status, body}`` (body = HTTP payload bytes for response
     records, raw block otherwise; http_status None when the block is
-    not an HTTP message). Untrusted-input contract: any malformed
-    header/length stops the walk at the last good record — never an
-    exception, never an over-read."""
+    not an HTTP message). Accepts both plain WARC and the real Common
+    Crawl ``.warc.gz`` container (concatenated gzip members, one
+    member per record — detected by the ``\\x1f\\x8b`` magic; a single
+    whole-file member also works since each member's decompressed
+    bytes go through the same record walk). Untrusted-input contract:
+    any malformed header/length/gzip member stops the walk at the last
+    good record — never an exception, never an over-read; each gzip
+    member's output is capped at ``max_member_bytes`` (bomb guard),
+    and a nested-gzip member is treated as malformed rather than
+    recursed into (nesting-bomb guard)."""
+    if b[:2] == b"\x1f\x8b":
+        return _parse_warc_gz(b, max_records, max_member_bytes)
+    return _parse_warc_plain(b, max_records)
+
+
+def _parse_warc_plain(b: bytes, max_records: int):
     out = []
     i = 0
     n = len(b)
@@ -1759,17 +1776,48 @@ def parse_warc(b: bytes, max_records: int = 100_000):
     return out
 
 
-def build_warc(records) -> bytes:
+def _parse_warc_gz(b: bytes, max_records: int, max_member_bytes: int):
+    """Record walk over concatenated gzip members (the Common Crawl
+    ``.warc.gz`` layout: one gzip member per record). Each member is
+    decompressed with a bounded stdlib zlib stream and its bytes fed
+    through the plain record walk; a truncated member, corrupt CRC, or
+    member exceeding ``max_member_bytes`` stops at the last good
+    record (never raises, never over-reads)."""
+    import zlib
+
+    out = []
+    rest = b
+    while rest[:2] == b"\x1f\x8b" and len(out) < max_records:
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper, auto header
+        try:
+            plain = d.decompress(rest, max_member_bytes)
+            if d.unconsumed_tail:  # member larger than the bomb cap
+                break
+            if not d.eof:  # truncated member (no CRC trailer)
+                break
+        except zlib.error:  # corrupt deflate stream or bad CRC
+            break
+        out.extend(_parse_warc_plain(plain, max_records - len(out)))
+        rest = d.unused_data
+    return out
+
+
+def build_warc(records, gzip_records: bool = False) -> bytes:
     """Fixture-side WARC/1.0 writer (inverse of :func:`parse_warc`):
     ``records`` = iterable of (warc_type, target_uri, block_bytes);
-    pass an HTTP response message as the block for response records."""
+    pass an HTTP response message as the block for response records.
+    ``gzip_records=True`` emits the real Common Crawl ``.warc.gz``
+    container — one gzip member per record, concatenated."""
+    import gzip as _gzip
+
     out = bytearray()
     for wtype, uri, block in records:
         hdr = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
         if uri:
             hdr += f"WARC-Target-URI: {uri}\r\n"
         hdr += f"Content-Length: {len(block)}\r\n\r\n"
-        out += hdr.encode("utf-8") + block + b"\r\n\r\n"
+        rec = hdr.encode("utf-8") + block + b"\r\n\r\n"
+        out += _gzip.compress(rec, mtime=0) if gzip_records else rec
     return bytes(out)
 
 

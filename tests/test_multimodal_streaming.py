@@ -2414,3 +2414,86 @@ def test_warc_edge_shapes(spark):
     df = spark.createDataFrame([(w,)], "content binary")  # no passthrough
     rows = explode_warc(df).collect()
     assert len(rows) == 1 and rows[0]["body_text"] == "body"
+
+
+def test_parse_warc_gz_parity_and_guards(spark):
+    """Real Common Crawl container (.warc.gz, one gzip member per
+    record): the gzipped walk agrees record-for-record with the plain
+    walk; a whole-file single member also parses; truncated members,
+    corrupt CRCs, bomb-cap overruns, and nested-gzip members stop at
+    the last GOOD record instead of crashing; and explode_warc runs
+    the gzipped container through the same Spark chain unchanged."""
+    import gzip
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_warc,
+        explode_warc,
+        parse_warc,
+    )
+
+    recs = [
+        ("warcinfo", None, b"software: fixture"),
+        ("response", "http://a.example.com/x",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>alpha</p>"),
+        ("request", "http://a.example.com/x", b"GET /x HTTP/1.1\r\n\r\n"),
+        ("response", "http://b.example.com/café",
+         b"HTTP/1.1 404 NF\r\n\r\nmissing"),
+    ]
+    plain, gz = build_warc(recs), build_warc(recs, gzip_records=True)
+    assert gz[:2] == b"\x1f\x8b" and parse_warc(gz) == parse_warc(plain)
+    # a single whole-file member (the other layout in the wild)
+    assert parse_warc(gzip.compress(plain, mtime=0)) == parse_warc(plain)
+
+    one = build_warc(recs[1:2], gzip_records=True)  # single gzip member
+    # truncation mid-member 2: member-1 records survive
+    assert parse_warc((one + one)[: len(one) + 10]) == parse_warc(one)
+    # corrupt CRC in member 2: member-1 records survive
+    two = bytearray(one + one)
+    two[-3] ^= 0xFF
+    assert parse_warc(bytes(two)) == parse_warc(one)
+    # bomb cap: an over-cap member yields nothing, under-cap passes
+    bomb = gzip.compress(b"\x00" * 10_000, mtime=0)
+    assert parse_warc(bomb, max_member_bytes=100) == []
+    # nested gzip is malformed-not-recursed (nesting-bomb guard)
+    nested = gzip.compress(gz, mtime=0)
+    assert parse_warc(nested) == []
+    # same Spark-side chain, zero changes for the gz container
+    df = spark.createDataFrame(
+        [(1, gz), (2, plain)], "file_id long, content binary"
+    )
+    rows = explode_warc(df).collect()
+    assert {(r["file_id"], r["record_index"], r["body_text"]) for r in rows} == {
+        (1, 1, "<p>alpha</p>"), (1, 3, "missing"),
+        (2, 1, "<p>alpha</p>"), (2, 3, "missing"),
+    }
+
+
+def test_parse_warc_gz_fuzz():
+    """Gzip-container fuzz leg of the untrusted-input contract:
+    truncations at every offset and 300 single-byte mutations of a
+    real .warc.gz come back as a record list, never an exception."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_warc,
+        parse_warc,
+    )
+
+    rng = random.Random(11)
+    real = build_warc(
+        [
+            ("response", "http://a.com/",
+             b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<p>body</p>"),
+            ("metadata", None, b"k: v"),
+        ],
+        gzip_records=True,
+    )
+    for cut in range(0, len(real)):
+        assert isinstance(parse_warc(real[:cut]), list)
+    for _ in range(300):
+        i = rng.randrange(len(real))
+        mut = real[:i] + bytes([rng.randrange(256)]) + real[i + 1:]
+        out = parse_warc(mut)
+        assert isinstance(out, list)
+        for rec in out:
+            assert rec["target_uri"] is None or isinstance(rec["target_uri"], str)
