@@ -4872,13 +4872,19 @@ _SQL_WARC_PIPELINE = (
 
 def _q_t_robots_filter(spark, sf_dir):
     """Crawl-compliance frontier filtering (operators/curation.py::
-    robots_rules + robots_allowed, round 10): per sibling-pair g a
-    unique domain d{g}.example.com publishes "Disallow: /p{g%7}" with
-    the longest-match exception "Allow: /p{g%7}/q{g%3}"; even docs
-    request exactly the allowed subtree, odd docs a sibling path under
-    the disallow — so crawl_allowed must equal the doc's parity. The
-    oracle is the closed form; any group parsing, longest-match,
-    allow-tie, or domain-extraction defect hash-mismatches."""
+    robots_rules + robots_allowed, round 10; RFC 9309 wildcards round
+    11): per sibling-pair g a unique domain d{g}.example.com publishes
+    "Disallow: /p{g%7}" with the longest-match exception
+    "Allow: /p{g%7}/q{g%3}" and the wildcard rule
+    "Disallow: /p{g%7}/*.zip$". Doc requests by residue: odd docs hit
+    a sibling path under the literal disallow (blocked); doc_id%4==0
+    docs request .../f.zip — the anchored wildcard (spec 10) beats the
+    shorter Allow (spec 6), blocked; doc_id%8==6 docs request
+    .../fxzip — allowed only if the '.' in the wildcard is properly
+    regex-escaped; remaining evens hit the allowed subtree. Closed
+    form: crawl_allowed = even AND doc_id%4 != 0. Any group parsing,
+    longest-match, allow-tie, wildcard-compile, anchor, escape, or
+    domain-extraction defect hash-mismatches."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
         robots_allowed,
         robots_rules,
@@ -4890,13 +4896,17 @@ def _q_t_robots_filter(spark, sf_dir):
     dom = F.concat(F.lit("d"), g.cast("string"), F.lit(".example.com"))
     robots = F.concat(
         F.lit("User-agent: *\nDisallow: /p"), p,
-        F.lit("\nAllow: /p"), p, F.lit("/q"), q, F.lit("\n"),
+        F.lit("\nAllow: /p"), p, F.lit("/q"), q,
+        F.lit("\nDisallow: /p"), p, F.lit("/*.zip$\n"),
     )
     rules = robots_rules(
         d.select(dom.alias("domain"), robots.alias("robots_txt")).distinct()
     )
-    tail = F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("/q"), q)).otherwise(
-        F.lit("/x")
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/q"), q, F.lit("/f.zip")))
+        .when(F.col("doc_id") % 8 == 6, F.concat(F.lit("/q"), q, F.lit("/fxzip")))
+        .when(F.col("doc_id") % 2 == 0, F.concat(F.lit("/q"), q))
+        .otherwise(F.lit("/x"))
     )
     urls = d.select(
         "doc_id",
@@ -4908,9 +4918,13 @@ def _q_t_robots_filter(spark, sf_dir):
 _SQL_ROBOTS_FILTER = (
     "SELECT doc_id, 'http://d' || CAST(doc_id // 2 AS VARCHAR) "
     "|| '.example.com/p' || CAST((doc_id // 2) % 7 AS VARCHAR) || "
-    "CASE WHEN doc_id % 2 = 0 "
+    "CASE WHEN doc_id % 4 = 0 "
+    "THEN '/q' || CAST((doc_id // 2) % 3 AS VARCHAR) || '/f.zip' "
+    "WHEN doc_id % 8 = 6 "
+    "THEN '/q' || CAST((doc_id // 2) % 3 AS VARCHAR) || '/fxzip' "
+    "WHEN doc_id % 2 = 0 "
     "THEN '/q' || CAST((doc_id // 2) % 3 AS VARCHAR) ELSE '/x' END AS url, "
-    "doc_id % 2 = 0 AS crawl_allowed FROM documents"
+    "doc_id % 2 = 0 AND doc_id % 4 <> 0 AS crawl_allowed FROM documents"
 )
 
 

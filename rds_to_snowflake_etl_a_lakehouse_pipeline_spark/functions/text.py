@@ -569,11 +569,15 @@ def bm25_topk_queries(
 # tracking parameters stripped by canonicalize_url: utm_* by KEY
 # PREFIX (case-insensitive), the rest by exact key match — 'ref' must
 # not swallow refid=/refresh= (distinct resources)
-TRACKING_PARAM_KEYS = ("gclid", "fbclid", "mc_eid", "ref")
+TRACKING_PARAM_KEYS = ("gclid", "fbclid", "mc_eid")
 TRACKING_PARAM_PREFIXES = ("utm_",)
 
 
-def canonicalize_url(col: Column | str) -> Column:
+def canonicalize_url(
+    col: Column | str,
+    tracking_keys: tuple = TRACKING_PARAM_KEYS,
+    tracking_prefixes: tuple = TRACKING_PARAM_PREFIXES,
+) -> Column:
     """Canonical form of a URL for crawl-level exact dedup — the
     normalization a web pipeline applies before URL-keyed dedup or
     frontier scheduling, where `HTTP://Example.com/a?utm_source=x&b=1#top`
@@ -583,7 +587,12 @@ def canonicalize_url(col: Column | str) -> Column:
     - fragment dropped
     - default ports stripped (``:80`` for http, ``:443`` for https)
     - tracking parameters removed, keys matched case-insensitively
-      (``utm_*`` by prefix; ``TRACKING_PARAM_KEYS`` by exact key)
+      (``tracking_prefixes`` by prefix, default ``utm_*``;
+      ``tracking_keys`` by exact key, default ``gclid/fbclid/mc_eid``
+      — both tunable per corpus; ``ref`` is NOT in the default set
+      since some sites use it as a semantic parameter, pass
+      ``tracking_keys=(*TRACKING_PARAM_KEYS, "ref")`` for corpora
+      where it is tracking-only)
     - surviving query parameters SORTED (order-insensitive compare)
     - ALL trailing ``/`` dropped from non-root paths (idempotent)
 
@@ -616,10 +625,14 @@ def canonicalize_url(col: Column | str) -> Column:
 
     def _kept(p):
         key = F.lower(F.get(F.split(p, "=", 2), 0))
-        tracked = F.exists(
-            F.array(*[F.lit(t) for t in TRACKING_PARAM_PREFIXES]),
-            lambda t: key.startswith(t),
-        ) | key.isin(*TRACKING_PARAM_KEYS)
+        tracked = F.lit(False)
+        if tracking_prefixes:
+            tracked = F.exists(
+                F.array(*[F.lit(t.lower()) for t in tracking_prefixes]),
+                lambda t: key.startswith(t),
+            )
+        if tracking_keys:
+            tracked = tracked | key.isin(*[k.lower() for k in tracking_keys])
         return (p != "") & ~tracked
 
     params = F.filter(F.split(query, "&"), _kept)

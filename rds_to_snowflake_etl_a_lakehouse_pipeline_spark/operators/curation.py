@@ -604,18 +604,24 @@ def robots_rules(
 ):
     """Parse per-domain ``robots.txt`` text into one row per
     Allow/Disallow rule for the chosen ``agent`` group — the frontier
-    side of crawl compliance. RFC 9309 subset: literal path prefixes
-    (no ``*``/``$`` wildcards — the dominant case in real files;
-    wildcard rules are IGNORED rather than misapplied), group =
-    consecutive ``User-agent`` lines followed by rules. A specific
-    agent's group SHADOWS the ``*`` group when both exist for a
-    domain, per the RFC's group-selection rule.
+    side of crawl compliance. Full RFC 9309 matching semantics
+    (round 11): ``*`` matches any octet sequence and a trailing ``$``
+    anchors the end of the path (both MUST-support per the RFC;
+    elsewhere ``$`` is literal, the de-facto Google-parser reading);
+    group = consecutive ``User-agent`` lines followed by rules. A
+    specific agent's group SHADOWS the ``*`` group when both exist
+    for a domain, per the RFC's group-selection rule.
 
     The line walk is pure Catalyst: lines explode with an index and
     each rule line picks up the nearest preceding ``User-agent`` run
     via a max-over-preceding window — stateful parsing expressed as a
-    window, not Python. Returns ``(domain, directive, path_prefix)``.
-    """
+    window, not Python; wildcard patterns compile to anchored Java
+    regexes with ``regexp_replace`` chains (still Catalyst). Returns
+    ``(domain, directive, path_prefix, pattern_re, spec_len)``:
+    ``pattern_re`` is the compiled regex for wildcard rules (NULL for
+    literal prefixes, which match faster via ``startswith``) and
+    ``spec_len`` the RFC specificity = octet length of the raw
+    pattern (longest wins, Allow wins ties)."""
     from pyspark.sql import Window
 
     lines = df.select(
@@ -688,17 +694,38 @@ def robots_rules(
         .withColumn("_specific", mine)
         .join(has_specific, "domain", "left")
         .filter(F.col("_has").isNull() | F.col("_specific"))
-        # wildcard rules in the unsupported subset are dropped, and an
-        # empty Disallow: means allow-all (no rule)
-        .filter(
-            (F.length("path_prefix") > 0)
-            & ~F.col("path_prefix").contains("*")
-            & ~F.col("path_prefix").contains("$")
-        )
+        # an empty Disallow: means allow-all (no rule)
+        .filter(F.length("path_prefix") > 0)
         .select("domain", "directive", "path_prefix")
         .distinct()
     )
-    return rules
+    # compile wildcard patterns ('*' anywhere, '$' only as a trailing
+    # anchor) to anchored Java regexes, in Catalyst: strip the trailing
+    # anchor, escape every regex metachar EXCEPT '*', then turn each
+    # '*' into '.*'. Literal rules keep pattern_re NULL and match via
+    # the cheaper startswith in robots_allowed.
+    ends_dollar = F.col("path_prefix").endswith("$")
+    core = F.when(
+        ends_dollar,
+        F.expr("substring(path_prefix, 1, length(path_prefix) - 1)"),
+    ).otherwise(F.col("path_prefix"))
+    esc = F.regexp_replace(core, r"([\\\[\]{}()+?^$|.])", r"\\$1")
+    body = F.regexp_replace(esc, r"\*", ".*")
+    has_wild = F.col("path_prefix").contains("*") | ends_dollar
+    return rules.select(
+        "domain",
+        "directive",
+        "path_prefix",
+        F.when(
+            has_wild,
+            F.concat(
+                F.lit("^"),
+                body,
+                F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")),
+            ),
+        ).alias("pattern_re"),
+        F.length("path_prefix").alias("spec_len"),
+    )
 
 
 def robots_allowed(
@@ -708,12 +735,16 @@ def robots_allowed(
     out_col: str = "crawl_allowed",
 ):
     """Append the RFC 9309 longest-match decision per URL: among the
-    domain's rules whose literal prefix matches the URL path, the
-    LONGEST wins; on a length tie Allow wins; no matching rule (or no
-    rules for the domain) = allowed. Join is domain-keyed + a
-    prefix-filtered candidate set — rule tables are tiny relative to
-    frontiers, so AQE broadcasts them; the per-URL winner is one
-    max_by aggregation, never a sort."""
+    domain's rules matching the URL path (literal prefixes via
+    ``startswith``, wildcard rules via their compiled ``pattern_re``),
+    the most specific (longest raw pattern) wins; on a tie Allow
+    wins; no matching rule (or no rules for the domain) = allowed.
+    Join is domain-keyed — rule tables are tiny relative to frontiers,
+    so AQE broadcasts them; the per-URL winner is one max_by
+    aggregation keyed on a row id alone (caller columns ride through
+    a first(struct(...)), so map-typed caller columns work and caller
+    names can never collide with the rule columns, which are
+    ``__rb_``-prefixed internally)."""
     # host extraction mirrors functions.text.canonicalize_url: '?'
     # binds BEFORE the first '/' (a query-no-path URL must not absorb
     # its query into the host and bypass every rule), default ports
@@ -733,50 +764,58 @@ def robots_allowed(
         )
         .otherwise(hp)
     )
-    u = urls.withColumn("_dom", host).withColumn(
-        "_path",
+    clash = [c for c in urls.columns if c.startswith("__rb_")]
+    if clash:
+        raise ValueError(
+            f"robots_allowed reserves the '__rb_' column prefix: {clash}"
+        )
+    u = urls.withColumn("__rb_dom", host).withColumn(
+        "__rb_path",
         F.concat(
             F.lit("/"),
             F.coalesce(F.get(F.split(hostpath, "/", 2), 1), F.lit("")),
         ),
-    ).withColumn("_rid", F.monotonically_increasing_id())
-    cand = (
-        u.join(
-            rules.select(
-                F.lower(F.col("domain")).alias("_dom"),
-                "directive",
-                "path_prefix",
-            ),
-            "_dom",
-            "left",
-        )
-        .withColumn(
-            "_hit",
-            F.col("path_prefix").isNotNull()
-            & F.col("_path").startswith(F.col("path_prefix")),
-        )
+    ).withColumn("__rb_rid", F.monotonically_increasing_id())
+    cand = u.join(
+        rules.select(
+            F.lower(F.col("domain")).alias("__rb_dom"),
+            F.col("directive").alias("__rb_dir"),
+            F.col("path_prefix").alias("__rb_prefix"),
+            F.col("pattern_re").alias("__rb_re"),
+            F.col("spec_len").alias("__rb_len"),
+        ),
+        "__rb_dom",
+        "left",
+    ).withColumn(
+        "__rb_hit",
+        F.col("__rb_prefix").isNotNull()
+        & F.when(
+            F.col("__rb_re").isNotNull(),
+            F.regexp_like(F.col("__rb_path"), F.col("__rb_re")),
+        ).otherwise(F.col("__rb_path").startswith(F.col("__rb_prefix"))),
     )
-    # winner per URL: longest matching prefix, allow beats disallow on
-    # ties (encode as 2*len + is_allow and take max)
+    # winner per URL: most specific matching pattern, allow beats
+    # disallow on ties (encode as 2*spec_len + is_allow and take max)
     score = F.when(
-        F.col("_hit"),
-        F.length("path_prefix") * 2
-        + (F.col("directive") == "allow").cast("int"),
+        F.col("__rb_hit"),
+        F.col("__rb_len") * 2 + (F.col("__rb_dir") == "allow").cast("int"),
     )
     verdict = (
-        cand.groupBy(F.col("_rid"), *[F.col(c) for c in urls.columns])
+        cand.groupBy("__rb_rid")
         .agg(
-            F.max_by(
-                F.col("directive") == "allow", F.coalesce(score, F.lit(-1))
-            ).alias("_best_allow"),
-            F.max(F.coalesce(score, F.lit(-1))).alias("_best"),
-        )
-        .withColumn(
-            out_col,
-            F.when(F.col("_best") < 0, F.lit(True)).otherwise(
-                F.col("_best_allow")
+            F.first(F.struct(*[F.col(c) for c in urls.columns])).alias(
+                "__rb_row"
             ),
+            F.max_by(
+                F.col("__rb_dir") == "allow", F.coalesce(score, F.lit(-1))
+            ).alias("__rb_best_allow"),
+            F.max(F.coalesce(score, F.lit(-1))).alias("__rb_best"),
         )
-        .drop("_best_allow", "_best", "_rid")
+        .select(
+            "__rb_row.*",
+            F.when(F.col("__rb_best") < 0, F.lit(True))
+            .otherwise(F.col("__rb_best_allow"))
+            .alias(out_col),
+        )
     )
     return verdict

@@ -112,8 +112,20 @@ def pagerank_integer(
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     nodes, edge_deg = _graph_parts(edges, src, dst, storage)
-    # overflow guard: worst case a single node absorbs all mass
-    n_nodes = nodes.count()
+    # overflow guard: worst case a single node absorbs all mass. With
+    # seeds, teleport mass enters at every node of the UNION node∪seed
+    # set (a seed set largely outside the edge list still injects
+    # mass), so the guard must count that union, not graph nodes alone
+    if seeds is None:
+        n_nodes = nodes.count()
+    else:
+        n_nodes = (
+            nodes.unionByName(
+                seeds.select(F.col(seeds.columns[0]).alias("node"))
+            )
+            .distinct()
+            .count()
+        )
     if n_nodes * scale > (1 << 62) // 100:
         raise ValueError(
             f"scale={scale} risks int64 overflow at {n_nodes} nodes; lower it"

@@ -1456,12 +1456,20 @@ def _sessionize_merge_batch(
         r[0] for r in batch_iv.select("_kb").distinct().collect()
     )
     # per-partition replay guard: a partition already stamped with this
-    # batch's stamp was fully rewritten before the crash — skip exactly it
+    # batch's stamp was fully rewritten before the crash — skip exactly
+    # it. A legacy bare-batch-id stamp (bigint state written by
+    # pre-hashed-stamp code) is honored too, mirroring
+    # _replay_guarded_state's upgrade-window handling: a batch applied
+    # then crash-redelivered ACROSS the upgrade must still skip, or
+    # its n_events double once
     done_kb = {
         r[0]
         for r in state.filter(
             F.col("_kb").isin(touched_kb)
-            & (F.col("_applied_batch") == stamp)
+            & (
+                (F.col("_applied_batch") == stamp)
+                | (F.col("_applied_batch") == batch_id)
+            )
         ).select("_kb").distinct().collect()
     }
     todo_kb = [b for b in touched_kb if b not in done_kb]

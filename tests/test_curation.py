@@ -831,9 +831,9 @@ def test_cluster_split_survives_deep_chain(spark):
 
 
 def test_robots_rules_and_allowed(spark):
-    """RFC 9309 subset: group selection (specific shadows '*',
-    multi-agent groups), longest-prefix match with allow-wins ties,
-    comments stripped, wildcard rules dropped rather than misapplied,
+    """RFC 9309: group selection (specific shadows '*', multi-agent
+    groups), longest-match with allow-wins ties, comments stripped,
+    '*' wildcard rules applied (round 11 — previously dropped),
     empty Disallow = allow-all, unknown domains allowed."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
         robots_allowed,
@@ -871,7 +871,7 @@ def test_robots_rules_and_allowed(spark):
     assert star["http://a.com/public/x"] is True
     assert star["http://a.com/private/secret"] is False
     assert star["http://a.com/private/ok/y"] is True  # longest match allows
-    assert star["http://a.com/tmp/z"] is True  # wildcard rule dropped
+    assert star["http://a.com/tmp/z"] is False  # '/tmp*' wildcard applies
     assert star["http://b.com/blocked/z"] is True  # no '*' group on b
     assert star["http://c.com/anything"] is True  # empty Disallow
     assert star["http://d.com/no/robots"] is True
@@ -926,3 +926,86 @@ def test_robots_edge_semantics(spark):
         spark.createDataFrame([("http://c.com/x/1",)], "url string"), a_rules
     ).first()
     assert ra["crawl_allowed"] is False
+
+
+def test_robots_wildcard_semantics(spark):
+    """RFC 9309 wildcard matching (round 11): '*' spans any octets,
+    trailing '$' anchors the path end, mid-pattern '$' is literal,
+    regex metachars in patterns are escaped (.zip must not match
+    xzip), and specificity = raw pattern length so a long wildcard
+    Disallow beats a shorter literal Allow."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /p/*.zip$\n"
+        "Allow: /p\n"
+        "Disallow: /dl*\n"
+        "Disallow: /exact$\n"
+        "Disallow: /lit$eral\n"
+        "Disallow: *.png$\n"
+    )
+    dom = spark.createDataFrame(
+        [("w.com", robots)], "domain string, robots_txt string"
+    )
+    cases = {
+        "http://w.com/p/a/b.zip": False,   # '*' spans '/', '$' anchors
+        "http://w.com/p/a/b.zip2": True,   # '$' anchor: not an end match
+        "http://w.com/p/a/bxzip": True,    # '.' escaped: no regex dot
+        "http://w.com/p/ok": True,         # literal Allow, no wildcard hit
+        "http://w.com/dl": False,          # trailing '*' matches empty
+        "http://w.com/dload/x": False,     # trailing '*' spans rest
+        "http://w.com/exact": False,       # '$'-anchored exact path
+        "http://w.com/exact/sub": True,    # anchored rule only hits exact
+        "http://w.com/lit$eral/x": False,  # mid-pattern '$' is literal
+        "http://w.com/img/i.png": False,   # leading '*' wildcard
+    }
+    urls = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_allowed(urls, robots_rules(dom)).collect()
+    }
+    assert got == cases
+    rules = {
+        (r["path_prefix"], r["pattern_re"])
+        for r in robots_rules(dom).collect()
+    }
+    # literal rules keep a NULL pattern_re (startswith fast path)
+    assert ("/p", None) in rules
+    assert (r"/p/*.zip$", r"^/p/.*\.zip$") in rules
+
+
+def test_robots_allowed_caller_column_safety(spark):
+    """Round-11 hardening: map-typed caller columns survive (the
+    verdict aggregates on the row id alone, caller columns ride a
+    first(struct)), caller columns named like rule columns don't
+    collide, and the reserved '__rb_' prefix is refused loudly."""
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    dom = spark.createDataFrame(
+        [("m.com", "User-agent: *\nDisallow: /x\n")],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(dom)
+    urls = spark.createDataFrame(
+        [("http://m.com/x/1", {"k": "v"}, "callerdir"),
+         ("http://m.com/ok", {"k2": "v2"}, "callerdir2")],
+        "url string, meta map<string,string>, directive string",
+    )
+    out = {
+        r["url"]: (r["crawl_allowed"], r["meta"], r["directive"])
+        for r in robots_allowed(urls, rules).collect()
+    }
+    assert out["http://m.com/x/1"] == (False, {"k": "v"}, "callerdir")
+    assert out["http://m.com/ok"] == (True, {"k2": "v2"}, "callerdir2")
+    bad = spark.createDataFrame([("u", 1)], "url string, __rb_rid int")
+    with pytest.raises(ValueError, match="__rb_"):
+        robots_allowed(bad, rules)

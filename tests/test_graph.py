@@ -74,6 +74,18 @@ def test_pagerank_integer_overflow_guard(spark):
 
     with pytest.raises(ValueError, match="overflow"):
         pagerank_integer(_edges_df(spark), n_iter=1, scale=10**18)
+    # seeded form: teleport mass enters at node∪seed, so a seed set
+    # largely OUTSIDE the edge list must widen the guarded bound
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    cap = (1 << 62) // 100 // 10  # overflows at >=10 total nodes
+    seeds = spark.range(100).withColumnRenamed("id", "node")
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank_integer(edges, n_iter=1, scale=cap, seeds=seeds)
+    # same scale is fine when the union stays small
+    pagerank_integer(
+        edges, n_iter=1, scale=cap,
+        seeds=spark.createDataFrame([(0,)], "node long"),
+    ).collect()
 
 
 def test_quality_prior_from_links(spark):

@@ -1243,3 +1243,133 @@ def test_pagerank_integer_property_matches_reference(spark, edges, n_iter):
         ).collect()
     }
     assert got == rank
+
+
+# ------------------------------------------------------- robots.txt walk
+def _robots_replay(files, urls, agent):
+    """Driver-side RFC 9309 reference: group selection (specific
+    shadows '*', consecutive User-agent runs), wildcard matching
+    ('*' spans octets, trailing '$' anchors, mid '$' literal),
+    most-specific-wins (raw pattern octets), Allow wins ties, no
+    match = allowed. Pure Python, independent of the Catalyst plan."""
+    import re
+
+    rules_by_dom = {}
+    for dom, txt in files.items():
+        lines = [
+            s for s in
+            (re.sub(r"#.*$", "", ln).strip() for ln in txt.split("\n"))
+            if s
+        ]
+        groups, in_ua_run = [], False
+        for ln in lines:
+            low = ln.lower()
+            if low.startswith("user-agent:"):
+                if not in_ua_run:
+                    groups.append((set(), []))
+                groups[-1][0].add(ln[11:].strip().lower())
+                in_ua_run = True
+            else:
+                in_ua_run = False
+                if low.startswith("allow:"):
+                    d, pat = "allow", ln[6:].strip()
+                elif low.startswith("disallow:"):
+                    d, pat = "disallow", ln[9:].strip()
+                else:
+                    continue
+                if groups and pat:
+                    groups[-1][1].append((d, pat))
+        specific = [g for g in groups if agent.lower() in g[0]]
+        chosen = specific or [g for g in groups if "*" in g[0]]
+        rules_by_dom[dom.lower()] = [r for g in chosen for r in g[1]]
+
+    def match(pat, path):
+        if "*" in pat or pat.endswith("$"):
+            ends = pat.endswith("$")
+            core = pat[:-1] if ends else pat
+            rx = (
+                "^"
+                + ".*".join(re.escape(p) for p in core.split("*"))
+                + ("$" if ends else "")
+            )
+            return re.search(rx, path) is not None
+        return path.startswith(pat)
+
+    out = {}
+    for url in urls:
+        rest = url.split("://", 1)[1]
+        dom, slash, path = rest.partition("/")
+        path = slash + path if slash else "/"
+        best = -1
+        for d, pat in rules_by_dom.get(dom.lower(), []):
+            if match(pat, path):
+                best = max(best, 2 * len(pat) + (1 if d == "allow" else 0))
+        out[url] = best < 0 or best % 2 == 1
+    return out
+
+
+_ROBOTS_LINE = st.one_of(
+    st.builds(
+        lambda a: f"User-agent: {a}",
+        st.sampled_from(["*", "bot", "crawler", "BOT"]),
+    ),
+    st.builds(
+        lambda d, segs: f"{d}: {''.join(segs)}",
+        st.sampled_from(["Allow", "Disallow"]),
+        st.lists(
+            st.sampled_from(["/a", "/b", "a", "b", ".", "*", "$", "/", "zip"]),
+            min_size=0,
+            max_size=5,
+        ),
+    ),
+    st.just("# comment"),
+    st.just(""),
+    st.just("Crawl-delay: 5"),
+)
+
+
+@given(
+    texts=st.lists(
+        st.lists(_ROBOTS_LINE, min_size=1, max_size=12).map("\n".join),
+        min_size=1,
+        max_size=2,
+    ),
+    paths=st.lists(
+        st.lists(
+            st.sampled_from(["/a", "/b", "a", "b", ".", "$", "zip", "/"]),
+            min_size=0,
+            max_size=5,
+        ).map("".join),
+        min_size=1,
+        max_size=6,
+    ),
+    agent=st.sampled_from(["*", "bot"]),
+)
+@PROP
+def test_robots_matches_python_reference(spark, texts, paths, agent):
+    """Random robots.txt files (wildcards, anchors, comments, UA runs,
+    junk directives) and random URL paths: the Catalyst
+    robots_rules + robots_allowed verdict equals the pure-Python
+    RFC 9309 reference for both a named agent and '*'."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    files = {f"d{i}.com": t for i, t in enumerate(texts)}
+    urls = [
+        f"http://d{i % (len(texts) + 1)}.com{p if p.startswith('/') else '/' + p}"
+        for i, p in enumerate(paths)
+    ]
+    want = _robots_replay(files, urls, agent)
+    dom = spark.createDataFrame(
+        list(files.items()), "domain string, robots_txt string"
+    )
+    got = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_allowed(
+            spark.createDataFrame([(u,) for u in urls], "url string"),
+            robots_rules(dom, agent=agent),
+        ).collect()
+    }
+    assert got == {u: want[u] for u in urls}

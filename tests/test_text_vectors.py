@@ -416,10 +416,11 @@ def test_canonicalize_url(spark):
         ("http://h.com:80?a=1", "http://h.com/?a=1"),
         # tracking keys match case-insensitively; values keep case
         ("http://h.com/a?UTM_Source=x&B=1", "http://h.com/a?B=1"),
-        # 'ref' is an EXACT key: refid/refresh are real resources
+        # 'ref' left alone by default (semantic on some sites);
+        # refid/refresh are real resources either way
         ("http://shop.com/i?refid=1", "http://shop.com/i?refid=1"),
         ("http://h.com/a?refresh=true", "http://h.com/a?refresh=true"),
-        ("http://shop.com/i?ref=aff", "http://shop.com/i"),
+        ("http://shop.com/i?ref=aff", "http://shop.com/i?ref=aff"),
         # ALL trailing slashes collapse (idempotence incl. '//')
         ("http://h.com/a//", "http://h.com/a"),
     ]
@@ -435,6 +436,24 @@ def test_canonicalize_url(spark):
         canonicalize_url("messy").alias("g1"),
     ).collect()
     assert all(r["g1"] == r["g2"] for r in again)
+    # per-corpus tuning: opt 'ref' back into the strip set, or run
+    # with no tracking stripping at all
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        TRACKING_PARAM_KEYS,
+    )
+
+    tuned = spark.createDataFrame(
+        [("http://shop.com/i?ref=aff&gclid=1",)], "u string"
+    ).select(
+        canonicalize_url(
+            "u", tracking_keys=(*TRACKING_PARAM_KEYS, "ref")
+        ).alias("strip_ref"),
+        canonicalize_url("u", tracking_keys=(), tracking_prefixes=()).alias(
+            "keep_all"
+        ),
+    ).first()
+    assert tuned["strip_ref"] == "http://shop.com/i"
+    assert tuned["keep_all"] == "http://shop.com/i?gclid=1&ref=aff"
 
 
 def test_html_to_text(spark):
