@@ -600,7 +600,18 @@ def canonicalize_url(
     regex (``/+$`` — identical in Java regex and RE2), so any ANSI
     engine with list functions reproduces it term for term; strings
     without ``://`` pass through untouched. Compose with
-    ``dedup.exact_dedup`` on the output for URL-grain dedup."""
+    ``dedup.exact_dedup`` on the output for URL-grain dedup.
+
+    .. note:: **Canonical-key compatibility.** The canonical form is a
+       persistence key: dedup state, frontier tables and corpora keyed
+       on it only match across versions if the tracking lists match.
+       Round 11 REMOVED ``ref`` from the default ``tracking_keys`` (it
+       collides with semantic ``ref=`` parameters), so canonical forms
+       of ``ref=``-bearing URLs differ from earlier rounds' output —
+       duplicates can survive dedup against pre-round-11 state. When
+       upgrading an existing pipeline, either re-canonicalize persisted
+       keys with the current defaults or pin ``tracking_keys``
+       explicitly to the list the state was built with."""
     c = _col(col)
     nofrag = F.get(F.split(c, "#", 2), 0)
     scheme = F.lower(F.get(F.split(nofrag, "://", 2), 0))

@@ -621,7 +621,9 @@ def robots_rules(
     ``pattern_re`` is the compiled regex for wildcard rules (NULL for
     literal prefixes, which match faster via ``startswith``) and
     ``spec_len`` the RFC specificity = octet length of the raw
-    pattern (longest wins, Allow wins ties)."""
+    pattern (``octet_length``, not character count — a multi-byte
+    UTF-8 rule is as specific as its encoded bytes, RFC 9309 §2.2.2;
+    longest wins, Allow wins ties)."""
     from pyspark.sql import Window
 
     lines = df.select(
@@ -724,7 +726,7 @@ def robots_rules(
                 F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")),
             ),
         ).alias("pattern_re"),
-        F.length("path_prefix").alias("spec_len"),
+        F.octet_length("path_prefix").alias("spec_len"),
     )
 
 
@@ -735,9 +737,13 @@ def robots_allowed(
     out_col: str = "crawl_allowed",
 ):
     """Append the RFC 9309 longest-match decision per URL: among the
-    domain's rules matching the URL path (literal prefixes via
-    ``startswith``, wildcard rules via their compiled ``pattern_re``),
-    the most specific (longest raw pattern) wins; on a tie Allow
+    domain's rules matching the URL **path plus query** (RFC 9309 and
+    the Google reference parser match against everything after the
+    authority, so ``Disallow: /*?sessionid=`` blocks
+    ``/page?sessionid=abc`` and ``Disallow: /fish.php$`` does NOT
+    block ``/fish.php?id=1``; literal prefixes via ``startswith``,
+    wildcard rules via their compiled ``pattern_re``), the most
+    specific (longest raw pattern, in octets) wins; on a tie Allow
     wins; no matching rule (or no rules for the domain) = allowed.
     Join is domain-keyed — rule tables are tiny relative to frontiers,
     so AQE broadcasts them; the per-URL winner is one max_by
@@ -769,12 +775,19 @@ def robots_allowed(
         raise ValueError(
             f"robots_allowed reserves the '__rb_' column prefix: {clash}"
         )
+    # the matched string is everything after the authority, QUERY
+    # INCLUDED (RFC 9309 matches path+query — round-12 fix; the
+    # query-stripped form mis-applied every '?'-bearing wildcard
+    # rule). hp_raw is the raw host[:port] slice of `rest`, so the
+    # tail after it is '', '/path[?q]' or '?q'; a query-only URL
+    # normalizes to '/?q', an empty tail to '/'.
+    hp_raw = F.get(F.split(hostpath, "/", 2), 0)
+    tail = rest.substr(F.length(hp_raw) + 1, F.length(rest))
     u = urls.withColumn("__rb_dom", host).withColumn(
         "__rb_path",
-        F.concat(
-            F.lit("/"),
-            F.coalesce(F.get(F.split(hostpath, "/", 2), 1), F.lit("")),
-        ),
+        F.when(F.length(tail) == 0, F.lit("/"))
+        .when(tail.startswith("?"), F.concat(F.lit("/"), tail))
+        .otherwise(tail),
     ).withColumn("__rb_rid", F.monotonically_increasing_id())
     cand = u.join(
         rules.select(

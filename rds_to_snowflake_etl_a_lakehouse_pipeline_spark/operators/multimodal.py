@@ -1782,23 +1782,52 @@ def _parse_warc_gz(b: bytes, max_records: int, max_member_bytes: int):
     decompressed with a bounded stdlib zlib stream and its bytes fed
     through the plain record walk; a truncated member, corrupt CRC, or
     member exceeding ``max_member_bytes`` stops at the last good
-    record (never raises, never over-reads)."""
+    record (never raises, never over-reads).
+
+    The walk is LINEAR in blob size: an offset advances over a
+    memoryview and each decompressobj is fed bounded chunks until its
+    ``eof``, so ``unused_data`` stays chunk-sized. (The round-11 form
+    passed the whole remaining buffer per member and re-materialized
+    the tail each time — O(members × blob), tens of minutes of memcpy
+    on a real many-member Common Crawl .warc.gz and a CPU-DoS on an
+    adversarial many-tiny-member blob.)"""
     import zlib
 
     out = []
-    rest = b
-    while rest[:2] == b"\x1f\x8b" and len(out) < max_records:
+    mv = memoryview(b)
+    n = len(b)
+    pos = 0
+    chunk_sz = 128 * 1024
+    while n - pos >= 2 and mv[pos:pos + 2] == b"\x1f\x8b" and (
+        len(out) < max_records
+    ):
         d = zlib.decompressobj(wbits=47)  # gzip wrapper, auto header
-        try:
-            plain = d.decompress(rest, max_member_bytes)
-            if d.unconsumed_tail:  # member larger than the bomb cap
+        plain = bytearray()
+        bad = False
+        while not d.eof:
+            if pos >= n:  # truncated member (no CRC trailer)
+                bad = True
                 break
-            if not d.eof:  # truncated member (no CRC trailer)
+            chunk = mv[pos:pos + chunk_sz]
+            pos += len(chunk)
+            try:
+                # cap at max_member_bytes+1 so the bomb check below
+                # can distinguish "hit the cap" without ever passing
+                # max_length=0 (which zlib treats as unlimited)
+                plain += d.decompress(
+                    chunk, max_member_bytes + 1 - len(plain)
+                )
+            except zlib.error:  # corrupt deflate stream or bad CRC
+                bad = True
                 break
-        except zlib.error:  # corrupt deflate stream or bad CRC
+            if len(plain) > max_member_bytes:  # member exceeds the cap
+                bad = True
+                break
+        if bad:
             break
-        out.extend(_parse_warc_plain(plain, max_records - len(out)))
-        rest = d.unused_data
+        # member ended mid-chunk: rewind past the unread remainder
+        pos -= len(d.unused_data)
+        out.extend(_parse_warc_plain(bytes(plain), max_records - len(out)))
     return out
 
 

@@ -1424,7 +1424,16 @@ def _sessionize_merge_batch(
             .withColumn("_kb", bucket)
         )
         write_table(merged, table, partition_by=["_kb"])
-        set_table_meta(spark, table, state_partitions=state_partitions)
+        set_table_meta(
+            spark,
+            table,
+            state_partitions=state_partitions,
+            # stamp_mode records whether this table has ever been
+            # written with hashed (checkpoint-scoped) stamps; the
+            # replay guard only honors legacy bare batch ids while
+            # this says otherwise (see the upgrade-window note below)
+            stamp_mode="hashed" if stamp != batch_id else "bare",
+        )
         return
 
     state = spark.table(table)
@@ -1445,7 +1454,8 @@ def _sessionize_merge_batch(
     # raises on a state_partitions mismatch with the recorded physical
     # modulus (silent mis-bucketing would duplicate sessions); tables
     # from before the metadata adopt the caller's value here
-    if "state_partitions" in get_table_meta(spark, table):
+    meta = get_table_meta(spark, table)
+    if "state_partitions" in meta:
         check_table_meta(spark, table, state_partitions=state_partitions)
     else:
         set_table_meta(spark, table, state_partitions=state_partitions)
@@ -1458,18 +1468,23 @@ def _sessionize_merge_batch(
     # per-partition replay guard: a partition already stamped with this
     # batch's stamp was fully rewritten before the crash — skip exactly
     # it. A legacy bare-batch-id stamp (bigint state written by
-    # pre-hashed-stamp code) is honored too, mirroring
-    # _replay_guarded_state's upgrade-window handling: a batch applied
-    # then crash-redelivered ACROSS the upgrade must still skip, or
-    # its n_events double once
+    # pre-hashed-stamp code) is honored ONLY while the table's
+    # stamp_mode metadata says it predates hashed stamps — the
+    # one-batch upgrade window where a batch applied pre-upgrade can
+    # be crash-redelivered post-upgrade (its n_events would double).
+    # The flag flips to 'hashed' on the first successful post-upgrade
+    # write below, closing the window: without the gate, a state
+    # table reused under a NEW checkpoint (batch ids restart at 0)
+    # whose untouched partitions still carry bare stamps would
+    # forever skip colliding batch ids and silently drop events
+    honor_bare = stamp != batch_id and meta.get("stamp_mode") != "hashed"
+    guard = F.col("_applied_batch") == stamp
+    if honor_bare:
+        guard = guard | (F.col("_applied_batch") == batch_id)
     done_kb = {
         r[0]
         for r in state.filter(
-            F.col("_kb").isin(touched_kb)
-            & (
-                (F.col("_applied_batch") == stamp)
-                | (F.col("_applied_batch") == batch_id)
-            )
+            F.col("_kb").isin(touched_kb) & guard
         ).select("_kb").distinct().collect()
     }
     todo_kb = [b for b in touched_kb if b not in done_kb]
@@ -1492,6 +1507,10 @@ def _sessionize_merge_batch(
     # (touched-partitions-sized, not total-state-sized)
     out = out.localCheckpoint(eager=True)
     _dynamic_partition_overwrite(out, table, "_kb")
+    if stamp != batch_id and meta.get("stamp_mode") != "hashed":
+        # first successful hashed-stamp write: close the legacy
+        # bare-id upgrade window for every future batch
+        set_table_meta(spark, table, stamp_mode="hashed")
 
 
 def session_table_stats(spark: SparkSession, table: str, key_col: str = "user_id") -> DataFrame:

@@ -978,6 +978,57 @@ def test_robots_wildcard_semantics(spark):
     assert (r"/p/*.zip$", r"^/p/.*\.zip$") in rules
 
 
+def test_robots_query_string_matching(spark):
+    """RFC 9309 matches path+query (round-12 fix): the dominant
+    real-world wildcard use — 'Disallow: /*?sessionid=' — must block
+    '?sessionid='-bearing URLs, a '$'-anchored rule must NOT block the
+    same path with a query appended, literal prefixes extend into the
+    query string, and specificity counts octets (multi-byte UTF-8
+    patterns beat shorter ASCII ones that tie on characters)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /*?sessionid=\n"
+        "Disallow: /fish.php$\n"
+        "Disallow: /cgi?\n"
+    )
+    dom = spark.createDataFrame(
+        [("q.com", robots)], "domain string, robots_txt string"
+    )
+    cases = {
+        "http://q.com/page?sessionid=abc": False,  # wildcard sees query
+        "http://q.com?sessionid=abc": False,       # query-no-path → /?q
+        "http://q.com/page?other=1": True,
+        "http://q.com/fish.php": False,            # '$' anchors bare path
+        "http://q.com/fish.php?id=1": True,        # ...but not path+query
+        "http://q.com/cgi?x=1": False,             # literal prefix w/ '?'
+        "http://q.com/cgi": True,
+    }
+    urls = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["crawl_allowed"]
+        for r in robots_allowed(urls, robots_rules(dom)).collect()
+    }
+    assert got == cases
+    # octet specificity: 'Allow: /aé' (4 octets) outranks
+    # 'Disallow: /ab?' (... equal chars); pin via a direct tie-break
+    dom2 = spark.createDataFrame(
+        [("o.com", "User-agent: *\nAllow: /aé\nDisallow: /aéb\n")],
+        "domain string, robots_txt string",
+    )
+    r2 = robots_rules(dom2)
+    lens = {r["path_prefix"]: r["spec_len"] for r in r2.collect()}
+    assert lens["/aé"] == 4 and lens["/aéb"] == 5  # octets, not chars
+    verdict = robots_allowed(
+        spark.createDataFrame([("http://o.com/aéb",)], "url string"), r2
+    ).first()
+    assert verdict["crawl_allowed"] is False
+
+
 def test_robots_allowed_caller_column_safety(spark):
     """Round-11 hardening: map-typed caller columns survive (the
     verdict aggregates on the row id alone, caller columns ride a

@@ -1242,6 +1242,77 @@ def test_stream_sessionize_replay_same_batch_id_is_noop(spark):
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_stream_sessionize_legacy_stamp_window_closes(spark):
+    """Round-12 fix: the legacy bare-batch-id replay guard is a
+    one-batch UPGRADE WINDOW, not forever. A bucketed state table
+    written with bare stamps honors a colliding bare id on the first
+    hashed-stamp batch (crash redelivery across the upgrade), but once
+    any hashed-stamp batch commits, the window closes: a later batch
+    whose id collides with a stale bare stamp in an untouched
+    partition must APPLY, not silently drop its events (the
+    new-checkpoint batch-id-restart scenario)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _sessionize_merge_batch,
+        _stream_stamp,
+    )
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, sec long"
+    ).selectExpr("user_id", "to_timestamp(from_unixtime(sec)) AS ts")
+    # precondition: the three users hash to three distinct partitions
+    kb = {
+        r["user_id"]: r["kb"]
+        for r in spark.createDataFrame([(1,), (2,), (3,)], "user_id long")
+        .select("user_id", F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("kb"))
+        .collect()
+    }
+    assert len(set(kb.values())) == 3
+    t = "sess_stamp_window_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # legacy era: bare batch ids 0 (user 1) and 1 (user 2)
+    _sessionize_merge_batch(mk([(1, 0)]), 0, t, "user_id", "ts", 100)
+    _sessionize_merge_batch(mk([(2, 0)]), 1, t, "user_id", "ts", 100)
+    assert get_table_meta(spark, t).get("stamp_mode") == "bare"
+    ev = lambda u: (
+        spark.table(t).filter(F.col("user_id") == u)
+        .agg(F.sum("n_events")).first()[0]
+    )
+    # upgrade window: first hashed-stamp batch whose id collides with
+    # user 1's bare stamp is treated as a cross-upgrade redelivery
+    _sessionize_merge_batch(
+        mk([(1, 500)]), 0, t, "user_id", "ts", 100,
+        stamp=_stream_stamp("ckpt-a", 0),
+    )
+    assert ev(1) == 1  # skipped (window open)
+    assert get_table_meta(spark, t).get("stamp_mode") == "bare"
+    # a non-colliding hashed batch commits → window closes
+    _sessionize_merge_batch(
+        mk([(3, 0)]), 7, t, "user_id", "ts", 100,
+        stamp=_stream_stamp("ckpt-a", 7),
+    )
+    assert get_table_meta(spark, t).get("stamp_mode") == "hashed"
+    # post-closure: batch id 1 collides with user 2's stale bare stamp
+    # in an untouched partition — it must apply (pre-fix: dropped)
+    _sessionize_merge_batch(
+        mk([(2, 500)]), 1, t, "user_id", "ts", 100,
+        stamp=_stream_stamp("ckpt-a", 1),
+    )
+    assert ev(2) == 2
+    # hashed-stamp replay (same stamp) still a no-op after closure
+    before = _snap(spark, t)
+    _sessionize_merge_batch(
+        mk([(2, 500)]), 1, t, "user_id", "ts", 100,
+        stamp=_stream_stamp("ckpt-a", 1),
+    )
+    assert _snap(spark, t) == before
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_stream_quarantine_replay_same_batch_id_is_noop(spark):
     """Re-firing a quarantine batch id must leave BOTH sinks unchanged:
     each batch lands in its own _batch_id partition via dynamic
@@ -2466,6 +2537,53 @@ def test_parse_warc_gz_parity_and_guards(spark):
         (1, 1, "<p>alpha</p>"), (1, 3, "missing"),
         (2, 1, "<p>alpha</p>"), (2, 3, "missing"),
     }
+
+
+def test_parse_warc_gz_many_members_linear_walk():
+    """Round-12 fix: the gzip record walk is linear in member count
+    (offset over a memoryview, bounded chunks per decompressobj) — a
+    many-member container parses completely and fast, a member whose
+    COMPRESSED size spans multiple 128 KiB chunks round-trips, and
+    max_records stops the walk mid-container."""
+    import gzip
+    import random
+    import time
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_warc,
+        parse_warc,
+    )
+
+    # 4_000 tiny members: the round-11 quadratic walk took seconds
+    # here; the linear walk is well under a second — assert a loose
+    # wall bound so a quadratic regression fails loudly
+    recs = [
+        ("metadata", f"http://m.com/{i}", f"k: {i}".encode())
+        for i in range(4_000)
+    ]
+    blob = build_warc(recs, gzip_records=True)
+    t0 = time.monotonic()
+    out = parse_warc(blob, max_records=10_000)
+    assert time.monotonic() - t0 < 5.0
+    assert len(out) == 4_000
+    assert out[1234]["target_uri"] == "http://m.com/1234"
+    # max_records stops mid-container
+    assert len(parse_warc(blob, max_records=17)) == 17
+    # one member whose compressed size spans several 128 KiB chunks
+    # (incompressible body), followed by a normal member: both parse
+    rng = random.Random(7)
+    big_body = bytes(rng.randrange(256) for _ in range(600_000))
+    big = build_warc(
+        [("resource", "http://big.com/", big_body)], gzip_records=True
+    )
+    assert len(gzip.compress(big_body)) > 3 * 128 * 1024  # spans chunks
+    tail = build_warc([("metadata", "http://t.com/", b"k: v")],
+                      gzip_records=True)
+    got = parse_warc(big + tail, max_member_bytes=2_000_000)
+    assert [r["target_uri"] for r in got] == [
+        "http://big.com/", "http://t.com/",
+    ]
+    assert got[0]["body"] == big_body
 
 
 def test_parse_warc_gz_fuzz():

@@ -1249,9 +1249,11 @@ def test_pagerank_integer_property_matches_reference(spark, edges, n_iter):
 def _robots_replay(files, urls, agent):
     """Driver-side RFC 9309 reference: group selection (specific
     shadows '*', consecutive User-agent runs), wildcard matching
-    ('*' spans octets, trailing '$' anchors, mid '$' literal),
-    most-specific-wins (raw pattern octets), Allow wins ties, no
-    match = allowed. Pure Python, independent of the Catalyst plan."""
+    ('*' spans octets, trailing '$' anchors, mid '$' literal) against
+    the URL's PATH+QUERY (everything after the authority),
+    most-specific-wins (raw pattern encoded-octet length), Allow wins
+    ties, no match = allowed. Pure Python, independent of the
+    Catalyst plan."""
     import re
 
     rules_by_dom = {}
@@ -1298,12 +1300,21 @@ def _robots_replay(files, urls, agent):
     out = {}
     for url in urls:
         rest = url.split("://", 1)[1]
-        dom, slash, path = rest.partition("/")
-        path = slash + path if slash else "/"
+        # host ends at the first '/' OR '?' — the matched string is
+        # path+query ('?'-first URLs normalize to '/?q', bare hosts
+        # to '/'), mirroring robots_allowed
+        m = re.search(r"[/?]", rest)
+        if m is None:
+            dom, path = rest, "/"
+        else:
+            dom, tail = rest[: m.start()], rest[m.start():]
+            path = tail if tail.startswith("/") else "/" + tail
         best = -1
         for d, pat in rules_by_dom.get(dom.lower(), []):
             if match(pat, path):
-                best = max(best, 2 * len(pat) + (1 if d == "allow" else 0))
+                best = max(
+                    best, 2 * len(pat.encode()) + (1 if d == "allow" else 0)
+                )
         out[url] = best < 0 or best % 2 == 1
     return out
 
@@ -1317,7 +1328,10 @@ _ROBOTS_LINE = st.one_of(
         lambda d, segs: f"{d}: {''.join(segs)}",
         st.sampled_from(["Allow", "Disallow"]),
         st.lists(
-            st.sampled_from(["/a", "/b", "a", "b", ".", "*", "$", "/", "zip"]),
+            st.sampled_from(
+                ["/a", "/b", "a", "b", ".", "*", "$", "/", "zip",
+                 "?", "?sid=", "é"]
+            ),
             min_size=0,
             max_size=5,
         ),
@@ -1336,7 +1350,10 @@ _ROBOTS_LINE = st.one_of(
     ),
     paths=st.lists(
         st.lists(
-            st.sampled_from(["/a", "/b", "a", "b", ".", "$", "zip", "/"]),
+            st.sampled_from(
+                ["/a", "/b", "a", "b", ".", "$", "zip", "/",
+                 "?", "?sid=abc", "&x=1", "é"]
+            ),
             min_size=0,
             max_size=5,
         ).map("".join),
@@ -1358,7 +1375,10 @@ def test_robots_matches_python_reference(spark, texts, paths, agent):
 
     files = {f"d{i}.com": t for i, t in enumerate(texts)}
     urls = [
-        f"http://d{i % (len(texts) + 1)}.com{p if p.startswith('/') else '/' + p}"
+        # '?'-first paths stay bare (http://host?q) to exercise the
+        # query-binds-before-slash normalization on both sides
+        f"http://d{i % (len(texts) + 1)}.com"
+        f"{p if p.startswith(('/', '?')) else '/' + p}"
         for i, p in enumerate(paths)
     ]
     want = _robots_replay(files, urls, agent)
