@@ -5255,48 +5255,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's correctness
     harness verifies the FIRST 50 entries only, and entries ROTATE
     across rounds so every registered query keeps a driver verdict
-    against CURRENT testdata. Round 10 executes the rotation exactly
-    as seeded in round 9: tranche A = the five tranche-C pads the
-    round-9 swaps displaced (p3_p5_p9_field_ops, p6_filter_eq,
-    p8_compound_filter, f8_isin, f_trim_upper — the oldest r05-latest
-    verdicts in the registry); tranche B = the 26-entry r05 remainder
-    (f16_date_arith onward); tranche C = nineteen refresh pads over
-    the r06-verified tranche, oldest first (v_cosine_topk onward).
-    After this round no registered query's newest verdict predates
-    r06. Tranche-C pads are swap-eligible one-for-one for
-    oracle-backed round-10 additions (annotate swaps inline).
+    against CURRENT testdata. The r11 rotation plan (see git history)
+    was NOT executed — CORRECTNESS_r11.json is key-for-key identical
+    to r10 — so round 12 fronts the entire backlog: the 49 entries
+    whose newest driver verdict is r06, plus one r08 pad
+    (a1_profile) to fill the window. After this round no registered
+    query's newest driver verdict predates r08.
 
-    r11 rotation plan: front the ten tranche-C pads displaced by
-    the round-10 swaps (t_span_dedup, d_span_index_dedup,
-    j6_semi_anti_join, a1_cms_topk, x1_cms_stream, r12_current_rows,
-    r11_prefer_source, r10_null_if_future, r9_backfill_price,
-    r7_int_date — displaced by g_reference_dim_products,
-    m_decode_progressive, m_image_ahash_pairs,
-    g_reference_dim_customers, g_reference_fact_sales,
-    m_audio_fp_pairs, m_hash_index_dedup, x1_media_dedup_stream,
-    gr_pagerank, v_hard_negatives respectively — plus r5_coalesce_zero,
-    r4_product_key_split, r4_key_surgery and r3_map_codes displaced by
-    m_resample_audio, gr_trustrank, t_canonical_urls, m_audio_quality,
-    m_image_exif, t_html_extract, t_warc_pipeline and t_robots_filter
-    (which also displaced w3_scd2_close, w1_dedup_latest,
-    f17_current_timestamp and v_dot_product); they carry r06/r05-era
-    verdicts and missed the r10 window), then the r06 remainder
-    (v_mmr_rerank through m_media_decode, 31 entries), filling the
-    rest of the 50 from the r08-verified tranche (a1_profile onward,
-    oldest first). Round-11 oracle-backed additions swap one-for-one
-    against the r08 pads. Run the registry meta-test after
+    r13 rotation plan: front the remaining r08-verified tranche
+    (x2_resample_ffill, a1_hist_quantile, x1_hist_stream,
+    a1_outliers, t_bm25_batch, v_decontaminate, g_dim_customers,
+    g_dim_products, g_fact_sales, g_pipeline_runner, d_cc_dedup,
+    s9_dq_gate, s10_incremental_load, x2_asof_join, w4_merge_upsert,
+    x1_stateful_totals, s6_partition_pruning, e_json_extract,
+    t_bm25_conjunctive, x2_sessionize, x2_retention,
+    w6_rolling_median, x2_interarrival, x1_sessionize_stream,
+    m_decode_images, x2_asof_forward, v_sign_project,
+    s15_snapshot_drift, t_chunk_dedup, t_decontaminate,
+    t_gopher_flags, j7_bloom_join, t_dedupe_lines, a2_target_encode,
+    v_cosine_pairs, a2_feature_scale, a2_one_hot, and the
+    a2/x1/x2/j8/s16 remainder), filling the rest of the 50 from the
+    r09-verified tranche oldest-first. New oracle-backed additions
+    swap one-for-one against the fill pads. ENFORCE the plan with
+    ``python tools/check_rotation.py`` (fails when any entry's
+    newest driver verdict would exceed the staleness budget under
+    the current ordering) and run the registry meta-test after
     reordering."""
     return {
-    # ---- r10 tranche A: the five tranche-C pads displaced by the
-    # ---- round-9 swaps (oldest r05-latest verdicts in the registry)
+    # ---- r12 front-50: every entry whose newest driver verdict is
+    # ---- r06 (49 entries — the tranche the missed r11 rotation left
+    # ---- stale), plus one r08 pad to fill the window. After this
+    # ---- round no registered query's newest verdict predates r08.
+        "v_dot_product": _q_v_dot_product,
+        "f17_current_timestamp": _q_f17_current_timestamp,
+        "w1_dedup_latest": _q_w1_dedup_latest,
+        "w3_scd2_close": _q_w3_scd2_close,
+        "r3_map_codes": _q_r3_map_codes,
+        "r4_key_surgery": _q_r4_key_surgery,
+        "r4_product_key_split": _q_r4_product_key_split,
+        "r5_coalesce_zero": _q_r5_coalesce_zero,
+        "r7_int_date": _q_r7_int_date,
+        "r9_backfill_price": _q_r9_backfill_price,
+        "r10_null_if_future": _q_r10_null_if_future,
+        "r11_prefer_source": _q_r11_prefer_source,
+        "r12_current_rows": _q_r12_current_rows,
+        "a1_cms_topk": _q_a1_cms_topk,
+        "x1_cms_stream": _q_x1_cms_stream,
+        "j6_semi_anti_join": _q_j6_semi_anti_join,
+        "d_span_index_dedup": _q_d_span_index_dedup,
+        "t_span_dedup": _q_t_span_dedup,
+        "v_mmr_rerank": _q_v_mmr_rerank,
+        "v_knn_classify": _q_v_knn_classify,
+        "t_weighted_sample": _q_t_weighted_sample,
+        "t_pretrain_pipeline": _q_t_pretrain_pipeline,
+        "v_pq_topk": _q_v_pq_topk,
+        "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
+        "x1_versioned_stream": _q_x1_versioned_stream,
+        "t_corpus_report": _q_t_corpus_report,
+        "v_semantic_dedup": _q_v_semantic_dedup,
+        "t_quality_model": _q_t_quality_model,
+        "t_bpe_tokens": _q_t_bpe_tokens,
+        "a1_hll_rollup": _q_a1_hll_rollup,
+        "d_minhash_pairs": _q_d_minhash_pairs,
+        "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "t_winnow": _q_t_winnow,
+        "a1_approx_percentile": _q_a1_approx_percentile,
+        "o1_union": _q_o1_union,
+        "m_frame_sample": _q_m_frame_sample,
+        "m_decode_audio": _q_m_decode_audio,
+        "t_corpus_drift": _q_t_corpus_drift,
+        "d_containment_pairs": _q_d_containment_pairs,
+        "t_weighted_per_lang": _q_t_weighted_per_lang,
+        "s14_version_changes": _q_s14_version_changes,
+        "d_dup_stats": _q_d_dup_stats,
+        "v_int8_quantize": _q_v_int8_quantize,
+        "a1_rfm_segments": _q_a1_rfm_segments,
+        "m_video_dedup": _q_m_video_dedup,
+        "t_quality_deciles": _q_t_quality_deciles,
+        "x2_funnel": _q_x2_funnel,
+        "t_bm25_topk": _q_t_bm25_topk,
+        "m_media_decode": _q_m_media_decode,
+        "a1_profile": _q_a1_profile,
+    # ---- behind the cap: the r11 front-50 (all driver-green in r11)
+    # ---- and the r08/r09-verified remainder, relative order kept
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
         "p8_compound_filter": _q_p8_compound_filter,
         "f8_isin": _q_f8_isin,
         "f_trim_upper": _q_f_trim_upper,
-    # ---- r10 tranche B: the 26-entry r05 remainder (f16_date_arith
-    # ---- onward) — after this round no registered query's newest
-    # ---- verdict predates r06
         "f16_date_arith": _q_f16_date_arith,
         "r8_recompute_amount": _q_r8_recompute_amount,
         "j1_j2_enrich": _q_j1_j2_enrich,
@@ -5323,88 +5369,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_curation_pipeline": _q_t_curation_pipeline,
         "v_l2_norm": _q_v_l2_norm,
         "s11_versioned_merge": _q_s11_versioned_merge,
-    # ---- r10 tranche C: refresh pads over the r06-verified tranche,
-    # ---- oldest first (v_cosine_topk onward); swap-eligible one-for-
-    # ---- one for oracle-backed round-10 additions (annotate inline)
         "v_cosine_topk": _q_v_cosine_topk,
-    # round-10 addition, swapped for the r06 pad v_dot_product
-    # (displaced behind the cap): robots.txt frontier filtering
         "t_robots_filter": _q_t_robots_filter,
-    # round-10 addition, swapped for the r06 pad f17_current_timestamp
-    # (displaced behind the cap): the WARC crawl-to-corpus chain
         "t_warc_pipeline": _q_t_warc_pipeline,
-    # round-10 addition, swapped for the r06 pad w1_dedup_latest (W1
-    # stays in-window via g_reference_dim_customers' silver dedup):
-    # web-corpus HTML extraction
         "t_html_extract": _q_t_html_extract,
-    # round-10 addition, swapped for the r06 pad w3_scd2_close (W3
-    # stays in-window via j9/g_fact_sales_pit/g_reference_dim_products):
-    # EXIF provenance extraction
         "m_image_exif": _q_m_image_exif,
-    # round-10 addition, swapped for the r06 pad r3_map_codes
-    # (displaced behind the cap): speech-corpus audio quality gates
         "m_audio_quality": _q_m_audio_quality,
-    # round-10 addition, swapped for the r06 pad r4_key_surgery
-    # (displaced behind the cap): crawl-grade URL canonicalization
         "t_canonical_urls": _q_t_canonical_urls,
-    # round-10 addition, swapped for the r06 pad r5_coalesce_zero
-    # (displaced behind the cap): 16 kHz audio normalization with
-    # fingerprint invariance
         "m_resample_audio": _q_m_resample_audio,
-    # round-10 addition, swapped for the r06 pad r7_int_date
-    # (displaced behind the cap): hard-negative mining for
-    # retrieval-training data
         "v_hard_negatives": _q_v_hard_negatives,
-    # round-10 additions, swapped for the r06 pads r9_backfill_price /
-    # r4_product_key_split (displaced behind the cap): integer-exact
-    # link-graph PageRank and its seeded TrustRank form
         "gr_pagerank": _q_gr_pagerank,
         "gr_trustrank": _q_gr_trustrank,
-    # round-10 addition, swapped for the r06 pad t_span_dedup
-    # (displaced behind the cap): the real-corpus gold trio's third leg
         "g_reference_dim_products": _q_g_reference_dim_products,
-    # round-10 addition, swapped for the r06 pad d_span_index_dedup
-    # (displaced behind the cap): the progressive-JPEG decode tier
         "m_decode_progressive": _q_m_decode_progressive,
-    # round-10 addition, swapped for the r06 pad j6_semi_anti_join
-    # (displaced behind the cap): perceptual image near-dup over the
-    # real BMP codec + aHash + Hamming banding
         "m_image_ahash_pairs": _q_m_image_ahash_pairs,
-    # round-10 additions, swapped one-for-one for the last two r06 pads
-    # (a1_cms_topk, x1_cms_stream — displaced behind the cap): the
-    # medallion pipeline over the reference's REAL CRM/ERP CSVs
         "g_reference_dim_customers": _q_g_reference_dim_customers,
         "g_reference_fact_sales": _q_g_reference_fact_sales,
-    # round-10 addition, swapped for the r06 pad r12_current_rows
-    # (displaced behind the cap): audio spectral near-dup over the
-    # real WAV codec + FFT band-contour hash + Hamming banding
         "m_audio_fp_pairs": _q_m_audio_fp_pairs,
-    # round-10 additions, swapped for the r06 pads r11_prefer_source /
-    # r10_null_if_future (displaced behind the cap): the standing
-    # Hamming fingerprint index — batch-incremental and streaming forms
         "m_hash_index_dedup": _q_m_hash_index_dedup,
         "x1_media_dedup_stream": _q_x1_media_dedup_stream,
-    # ---- behind the cap: the pads displaced by the round-10
-    # ---- swaps, then the r09-verified window (rotated out), then the
-    # ---- rest unchanged
-        "v_dot_product": _q_v_dot_product,
-        "f17_current_timestamp": _q_f17_current_timestamp,
-        "w1_dedup_latest": _q_w1_dedup_latest,
-        "w3_scd2_close": _q_w3_scd2_close,
-        "r3_map_codes": _q_r3_map_codes,
-        "r4_key_surgery": _q_r4_key_surgery,
-        "r4_product_key_split": _q_r4_product_key_split,
-        "r5_coalesce_zero": _q_r5_coalesce_zero,
-        "r7_int_date": _q_r7_int_date,
-        "r9_backfill_price": _q_r9_backfill_price,
-        "r10_null_if_future": _q_r10_null_if_future,
-        "r11_prefer_source": _q_r11_prefer_source,
-        "r12_current_rows": _q_r12_current_rows,
-        "a1_cms_topk": _q_a1_cms_topk,
-        "x1_cms_stream": _q_x1_cms_stream,
-        "j6_semi_anti_join": _q_j6_semi_anti_join,
-        "d_span_index_dedup": _q_d_span_index_dedup,
-        "t_span_dedup": _q_t_span_dedup,
         "a1_unpivot": _q_a1_unpivot,
         "j_salted_skew": _q_j_salted_skew,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -5455,38 +5438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_cluster_split": _q_t_cluster_split,
         "m_decode_jpeg": _q_m_decode_jpeg,
         "x2_sessionize_chunked": _q_x2_sessionize_chunked,
-        "v_mmr_rerank": _q_v_mmr_rerank,
-        "v_knn_classify": _q_v_knn_classify,
-        "t_weighted_sample": _q_t_weighted_sample,
-        "t_pretrain_pipeline": _q_t_pretrain_pipeline,
-        "v_pq_topk": _q_v_pq_topk,
-        "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
-        "x1_versioned_stream": _q_x1_versioned_stream,
-        "t_corpus_report": _q_t_corpus_report,
-        "v_semantic_dedup": _q_v_semantic_dedup,
-        "t_quality_model": _q_t_quality_model,
-        "t_bpe_tokens": _q_t_bpe_tokens,
-        "a1_hll_rollup": _q_a1_hll_rollup,
-        "d_minhash_pairs": _q_d_minhash_pairs,
-        "x1_tumbling_stream": _q_x1_tumbling_stream,
-        "t_winnow": _q_t_winnow,
-        "a1_approx_percentile": _q_a1_approx_percentile,
-        "o1_union": _q_o1_union,
-        "m_frame_sample": _q_m_frame_sample,
-        "m_decode_audio": _q_m_decode_audio,
-        "t_corpus_drift": _q_t_corpus_drift,
-        "d_containment_pairs": _q_d_containment_pairs,
-        "t_weighted_per_lang": _q_t_weighted_per_lang,
-        "s14_version_changes": _q_s14_version_changes,
-        "d_dup_stats": _q_d_dup_stats,
-        "v_int8_quantize": _q_v_int8_quantize,
-        "a1_rfm_segments": _q_a1_rfm_segments,
-        "m_video_dedup": _q_m_video_dedup,
-        "t_quality_deciles": _q_t_quality_deciles,
-        "x2_funnel": _q_x2_funnel,
-        "t_bm25_topk": _q_t_bm25_topk,
-        "m_media_decode": _q_m_media_decode,
-        "a1_profile": _q_a1_profile,
         "x2_resample_ffill": _q_x2_resample_ffill,
         "a1_hist_quantile": _q_a1_hist_quantile,
         "x1_hist_stream": _q_x1_hist_stream,

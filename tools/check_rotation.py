@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Front-50 rotation staleness gate.
+
+The driver's correctness harness verifies only the FIRST 50 entries of
+``__spark_entry__.queries()`` each round, so the registration order IS
+the rotation schedule. This check simulates the next driver round under
+the current ordering and fails when any registered entry's newest
+driver verdict would exceed the staleness budget — the failure mode
+that actually happened in round 11, when the front-50 did not rotate
+and 50 entries' newest verdict aged to r06 (one to r03).
+
+Usage::
+
+    python tools/check_rotation.py [--budget N]
+
+* Reads every ``CORRECTNESS_r*.json`` in the repo root for the newest
+  driver verdict per query key (entries never driver-checked count as
+  round 0).
+* Projects the NEXT round = max seen round + 1, grants its verdict to
+  the current first-50 keys, and requires every registry entry's
+  projected newest verdict to be within ``--budget`` rounds (default
+  5) of the next round.
+* Exits 0 with a summary line on success; exits 1 listing the
+  over-budget keys (oldest first) otherwise.
+
+Run it after any ``queries()`` reorder and in the round's wrap-up —
+it is cheap (no Spark session; imports the registry module only).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def newest_verdicts(repo: str) -> tuple[dict[str, int], int]:
+    newest: dict[str, int] = {}
+    latest = 0
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        latest = max(latest, rnd)
+        for k in json.load(open(f)):
+            newest[k] = max(newest.get(k, 0), rnd)
+    return newest, latest
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument(
+        "--budget",
+        type=int,
+        default=5,
+        help="max rounds any entry's newest driver verdict may trail "
+        "the projected next round (default 5)",
+    )
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as ent  # noqa: E402
+
+    keys = list(ent.queries().keys())
+    newest, latest = newest_verdicts(REPO)
+    next_round = latest + 1
+    projected = {
+        k: max(newest.get(k, 0), next_round if i < 50 else 0)
+        for i, k in enumerate(keys)
+    }
+    floor = next_round - args.budget
+    over = sorted(
+        ((v, k) for k, v in projected.items() if v < floor),
+    )
+    fronted = sum(1 for k in keys[:50] if newest.get(k, 0) < floor)
+    if over:
+        print(
+            f"FAIL: {len(over)} of {len(keys)} entries would exceed the "
+            f"staleness budget after round r{next_round:02d} "
+            f"(newest verdict < r{floor:02d}):"
+        )
+        for v, k in over:
+            print(f"  r{v:02d}  {k}")
+        print(
+            "Reorder queries() so the oldest-verdict entries lead the "
+            "front-50 (see the queries() docstring rotation plan)."
+        )
+        return 1
+    worst = min(projected.values())
+    print(
+        f"OK: {len(keys)} entries; projected r{next_round:02d} front-50 "
+        f"refreshes {fronted} at-risk entries; worst projected newest "
+        f"verdict r{worst:02d} >= floor r{floor:02d} (budget "
+        f"{args.budget})."
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
