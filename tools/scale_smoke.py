@@ -352,6 +352,78 @@ def main() -> None:
         "pagerank_3_iters", lambda: pagerank_integer(pr_edges, n_iter=3).count()
     )
 
+    # crawl chain (round 12): gzip WARC walk -> HTTP strip -> HTML
+    # extract -> URL canonicalization -> RFC 9309 robots filter ->
+    # URL-grain exact dedup, at mult x documents. Cost model: the
+    # decode/extract stages are Arrow-batch bound (linear, no
+    # shuffle); robots is one domain-keyed broadcast join whose
+    # wildcard candidates evaluate regexp_like with a PER-ROW pattern
+    # column (no cross-row regex cache) — the stage to watch if the
+    # rule table grows; the dedup is one fingerprint shuffle. Timings
+    # here SHOULD track mult (linear).
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        canonicalize_url,
+        html_to_text,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        build_warc,
+        explode_warc,
+    )
+
+    def _make_warc(it):
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                url = (
+                    f"http://s{did % 500}.example.com/p{did % 7}"
+                    f"/a?x={did % 11}&sessionid={did}"
+                )
+                html = (
+                    f"<html><head><script>x={did}</script></head>"
+                    f"<body><h1>D{did}</h1><p>body {did}</p></body></html>"
+                )
+                http = b"HTTP/1.1 200 OK\r\n\r\n" + html.encode()
+                blobs.append(
+                    build_warc(
+                        [("response", url, http)],
+                        gzip_records=(did % 2 == 1),
+                    )
+                )
+            pdf = pdf[["doc_id"]].copy()
+            pdf["content"] = blobs
+            yield pdf
+
+    def _crawl():
+        blobs = docs.select("doc_id").mapInPandas(
+            _make_warc, "doc_id long, content binary"
+        )
+        recs = explode_warc(blobs).select(
+            "doc_id",
+            canonicalize_url("target_uri").alias("url"),
+            html_to_text("body_text").alias("text"),
+        )
+        sites = spark.range(500).select(
+            F.concat(
+                F.lit("s"), F.col("id").cast("string"),
+                F.lit(".example.com"),
+            ).alias("domain"),
+            F.lit(
+                "User-agent: *\nDisallow: /p1\n"
+                "Disallow: /*?*sessionid=*7\nAllow: /p3\n"
+            ).alias("robots_txt"),
+        )
+        kept = robots_allowed(recs, robots_rules(sites), url_col="url").filter(
+            F.col("crawl_allowed")
+        )
+        return exact_dedup(kept, ["url"], order_col="doc_id").count()
+
+    stats["crawl_chain_survivors"] = stage("crawl_chain", _crawl)
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
