@@ -7,6 +7,7 @@ from .io import (  # noqa: F401
     read_csv,
     read_jdbc,
     read_parquet,
+    snowflake_options,
     write_table,
 )
 from .layout import (  # noqa: F401

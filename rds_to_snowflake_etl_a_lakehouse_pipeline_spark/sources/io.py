@@ -94,19 +94,62 @@ def read_jdbc(
     **options: str,
 ) -> DataFrame:
     """S2/S3: JDBC source (MySQL ``jdbc:mysql://``, Postgres
-    ``jdbc:postgresql://``). With ``partition_column`` bounds, Spark opens
-    ``num_partitions`` parallel cursors — the scale path for RDS ingest;
-    without them the read is single-connection (dev only).
+    ``jdbc:postgresql://``). With ``partition_column``, Spark opens
+    ``num_partitions`` parallel cursors — the scale path for RDS
+    ingest; without it the read is single-connection (dev only).
+
+    Bounds are AUTO-DERIVED when omitted (round 12): giving
+    ``partition_column`` without ``lower_bound``/``upper_bound`` runs
+    ONE pushed-down ``SELECT MIN(col), MAX(col)`` probe over the same
+    connection and uses the result as stride bounds — the numbers the
+    reference's Glue catalog supplied implicitly
+    (bronze/crm_cust_info_bronze.py:24-27). An empty table falls back
+    to a single-connection read (no rows to stride over). Explicitly
+    passed bounds skip the probe (use them when the table is hot and
+    an index-backed MIN/MAX would still be a scan).
 
     Requires the matching JDBC driver jar on the classpath. Round-trip
-    (write + 4-cursor partitioned read) is exercised against embedded
-    Derby — the driver Spark ships — in
-    ``tests/test_io.py::test_jdbc_roundtrip_embedded_derby``; only the
-    URL/driver differ for MySQL/Postgres (the call shape is what the
-    reference's Glue catalog connection resolved to —
-    bronze/crm_cust_info_bronze.py:24-27).
+    (write + 4-cursor partitioned read, manual AND auto bounds) is
+    exercised against embedded Derby — the driver Spark ships — in
+    ``tests/test_io.py``; only the URL/driver differ for
+    MySQL/Postgres.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None and (
+        lower_bound is None or upper_bound is None
+    ):
+        # one-row, one-connection bounds probe, computed BY the
+        # database (MIN/MAX push down; nothing but two values move).
+        # Quote the column through Spark's own dialect registry so
+        # case-sensitive identifiers survive (Spark's JDBC writer
+        # quotes column names at CREATE, so an unquoted probe would
+        # get case-folded by the database — backticks on MySQL,
+        # double quotes on Postgres/Derby).
+        try:
+            qcol = (
+                spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+                .quoteIdentifier(partition_column)
+            )
+        except Exception:  # non-JVM session stub: fall back unquoted
+            qcol = partition_column
+        probe = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option(
+                "dbtable",
+                f"(SELECT MIN({qcol}) AS lo, "
+                f"MAX({qcol}) AS hi FROM {table}) bounds_probe",
+            )
+        )
+        for k, v in options.items():
+            probe = probe.option(k, v)
+        row = probe.load().first()
+        lo = row[0] if lower_bound is None else lower_bound
+        hi = row[1] if upper_bound is None else upper_bound
+        if lo is None or hi is None:  # empty table: nothing to stride
+            partition_column = None
+        else:
+            lower_bound, upper_bound = lo, hi
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -343,6 +386,26 @@ def connection_config(prefix: str, keys: tuple[str, ...]) -> dict[str, str]:
     return out
 
 
+def snowflake_options(prefix: str = "snowflake") -> dict[str, str]:
+    """The Snowflake connector option dict the reference builds by hand
+    (dim_customers_gold.py:72-78 / fact_sales_gold.py:78-84):
+    ``{PREFIX}_URL/USER/PASSWORD/DATABASE/WAREHOUSE`` env vars mapped to
+    the connector's ``sfURL/sfUser/sfPassword/sfDatabase/sfWarehouse``
+    keys. The env fetch of user+password stands in for the reference's
+    Secrets Manager call (utils.py:5-16) — same sourcing contract,
+    offline-testable. Missing vars are omitted so the connector's own
+    validation names what's absent."""
+    key_map = {
+        "url": "sfURL",
+        "user": "sfUser",
+        "password": "sfPassword",
+        "database": "sfDatabase",
+        "warehouse": "sfWarehouse",
+    }
+    cfg = connection_config(prefix, tuple(key_map))
+    return {key_map[k]: v for k, v in cfg.items()}
+
+
 @dataclass
 class WarehouseSink:
     """S7: warehouse sink abstraction (the reference's Snowflake writer,
@@ -354,27 +417,39 @@ class WarehouseSink:
     ``saveAsTable`` — the locally-testable stand-in. backend="jdbc" is
     tested against embedded Derby
     (``tests/test_io.py::test_jdbc_roundtrip_embedded_derby``);
-    backend="snowflake" builds the real connector write (needs the
-    Snowflake connector jar; untested offline).
+    backend="snowflake" builds the real connector write. The live
+    Snowflake write needs the connector jar + network, but its EXACT
+    contract — format, ``dbtable``, mode, secret-sourced credential
+    options — is pinned offline by :meth:`plan` plus
+    ``tests/test_io.py::test_warehouse_sink_snowflake_contract``
+    (a recording fake drives :meth:`write` end to end).
     """
 
     backend: str = "catalog"
     options: dict[str, str] = field(default_factory=dict)
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    def plan(self, table: str, mode: str = "overwrite") -> dict:
+        """The exact write the backend will issue, as data:
+        ``{"format", "mode", "options"}`` with ``dbtable`` folded into
+        options for connector backends. This IS the contract the live
+        write executes (``write`` consumes it verbatim), so tests pin
+        connector semantics without a jar or network."""
         if self.backend == "catalog":
-            write_table(df, table, mode=mode)
-        elif self.backend == "jdbc":
-            writer = df.write.format("jdbc").option("dbtable", table).mode(mode)
-            for k, v in self.options.items():
-                writer = writer.option(k, v)
-            writer.save()
-        elif self.backend == "snowflake":
-            writer = (
-                df.write.format("snowflake").option("dbtable", table).mode(mode)
-            )
-            for k, v in self.options.items():
-                writer = writer.option(k, v)
-            writer.save()
-        else:
+            return {"format": "catalog", "mode": mode, "options": {"table": table}}
+        if self.backend not in ("jdbc", "snowflake"):
             raise ValueError(f"unknown warehouse backend: {self.backend}")
+        return {
+            "format": self.backend,
+            "mode": mode,
+            "options": {**self.options, "dbtable": table},
+        }
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        p = self.plan(table, mode)
+        if p["format"] == "catalog":
+            write_table(df, table, mode=mode)
+            return
+        writer = df.write.format(p["format"]).mode(p["mode"])
+        for k, v in p["options"].items():
+            writer = writer.option(k, v)
+        writer.save()

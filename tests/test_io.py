@@ -84,6 +84,142 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert back.agg({"amount": "sum"}).first()[0] == sum(i * 1.5 for i in range(100))
 
 
+def test_read_jdbc_auto_bounds_derby(spark, tmp_path):
+    """Round 12: ``partition_column`` without bounds derives them from
+    a one-row pushed-down MIN/MAX probe — the auto-bounds produce the
+    SAME 4-cursor partitioned plan as manual bounds (the numbers the
+    reference's Glue catalog supplied implicitly,
+    crm_cust_info_bronze.py:24-27); an empty table degrades to a
+    single-connection read instead of striding over NULL bounds; a
+    single explicit bound keeps its value and probes only the other."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/autodb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(100)], "id int, amount double"
+    )
+    WarehouseSink(backend="jdbc", options={"url": url, "driver": driver}).write(
+        df, "auto_people"
+    )
+    auto = read_jdbc(
+        spark, url, "auto_people",
+        partition_column="id", num_partitions=4, driver=driver,
+    )
+    manual = read_jdbc(
+        spark, url, "auto_people",
+        partition_column="id", lower_bound=0, upper_bound=99,
+        num_partitions=4, driver=driver,
+    )
+    # same 4-cursor partitioned shape and same data as manual bounds
+    assert auto.rdd.getNumPartitions() == manual.rdd.getNumPartitions() == 4
+    assert auto.count() == 100
+    assert (
+        auto.agg({"amount": "sum"}).first()[0]
+        == manual.agg({"amount": "sum"}).first()[0]
+    )
+    # one explicit bound: the other is probed, partitioning survives
+    half = read_jdbc(
+        spark, url, "auto_people",
+        partition_column="id", lower_bound=50, num_partitions=4,
+        driver=driver,
+    )
+    assert half.rdd.getNumPartitions() == 4 and half.count() == 100
+    # empty table: NULL min/max falls back to a single connection
+    WarehouseSink(backend="jdbc", options={"url": url, "driver": driver}).write(
+        df.limit(0), "auto_empty"
+    )
+    empty = read_jdbc(
+        spark, url, "auto_empty",
+        partition_column="id", num_partitions=4, driver=driver,
+    )
+    assert empty.count() == 0 and empty.rdd.getNumPartitions() == 1
+
+
+def test_warehouse_sink_snowflake_contract(spark, monkeypatch):
+    """S7 contract test (the reference's broken positional
+    ``.options('dbtable', …)`` call, dim_customers_gold.py:81, with
+    its INTENDED semantics): for each of the three gold tables the
+    snowflake backend must issue format='snowflake', mode='overwrite',
+    and an option dict carrying dbtable plus the five
+    secret/env-sourced sf* credentials. A recording fake drives
+    write() end to end, so the pinned dict is what the live connector
+    would receive — only the jar/network are faked."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import (
+        snowflake_options,
+    )
+
+    for var, val in {
+        "SNOWFLAKE_URL": "acct.snowflakecomputing.com",
+        "SNOWFLAKE_USER": "etl_user",        # ← Secrets Manager stand-in
+        "SNOWFLAKE_PASSWORD": "s3cret",      # ← Secrets Manager stand-in
+        "SNOWFLAKE_DATABASE": "ANALYTICS",
+        "SNOWFLAKE_WAREHOUSE": "ETL_WH",
+    }.items():
+        monkeypatch.setenv(var, val)
+    creds = {
+        "sfURL": "acct.snowflakecomputing.com",
+        "sfUser": "etl_user",
+        "sfPassword": "s3cret",
+        "sfDatabase": "ANALYTICS",
+        "sfWarehouse": "ETL_WH",
+    }
+    assert snowflake_options() == creds
+    sink = WarehouseSink(backend="snowflake", options=snowflake_options())
+
+    calls = []
+
+    class FakeWriter:
+        def __init__(self):
+            self.fmt, self.mod, self.opts = None, None, {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def mode(self, m):
+            self.mod = m
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def save(self):
+            calls.append((self.fmt, self.mod, dict(self.opts)))
+
+    class FakeDF:
+        @property
+        def write(self):
+            return FakeWriter()
+
+    # the reference's three gold tables (dim_customers_gold.py:81,
+    # dim_products_gold.py:80, fact_sales_gold.py:88)
+    gold = [
+        "customer_sch.dim_customers",
+        "product_sch.dim_products",
+        "sales_sch.fact_sales",
+    ]
+    for t in gold:
+        sink.write(FakeDF(), t)
+        # plan() is the same contract as data
+        assert sink.plan(t) == {
+            "format": "snowflake",
+            "mode": "overwrite",
+            "options": {**creds, "dbtable": t},
+        }
+    assert calls == [
+        ("snowflake", "overwrite", {**creds, "dbtable": t}) for t in gold
+    ]
+    # caller's dbtable can never be clobbered by a same-named option
+    clash = WarehouseSink(
+        backend="snowflake", options={"dbtable": "WRONG", **creds}
+    )
+    assert clash.plan("sales_sch.fact_sales")["options"]["dbtable"] == (
+        "sales_sch.fact_sales"
+    )
+
+
 def test_connection_config_env(monkeypatch):
     monkeypatch.setenv("MYDB_USER", "u")
     monkeypatch.setenv("MYDB_PASSWORD", "p")
