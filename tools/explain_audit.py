@@ -102,6 +102,16 @@ AUDIT = [
     "m_audio_fp_pairs",
     "m_hash_index_dedup",
     "gr_pagerank",
+    # round-10 session-2 / round-11 crawl-chain additions
+    "gr_trustrank",
+    "v_hard_negatives",
+    "t_canonical_urls",
+    "t_html_extract",
+    "t_warc_pipeline",
+    "t_robots_filter",
+    "m_image_exif",
+    "m_audio_quality",
+    "m_resample_audio",
 ]
 
 
