@@ -4915,6 +4915,87 @@ def _q_t_robots_filter(spark, sf_dir):
     return robots_allowed(urls, rules).select("doc_id", "url", "crawl_allowed")
 
 
+def _q_t_frontier_schedule(spark, sf_dir):
+    """Politeness scheduling over a crawl frontier
+    (operators/curation.py::robots_directives + frontier_schedule,
+    round 12): 20 domains d{k}.example.com each publish a robots.txt
+    whose Crawl-delay is k%4+1 seconds (k%5==0 domains OMIT the line —
+    those fall back to the 1.0 s default) plus one Sitemap line (two
+    when k%3==0 — sitemaps are file-global). Every document becomes a
+    frontier URL on its doc_id%20 domain; the schedule assigns 0-based
+    per-domain slots in URL order and offset = slot × delay. Any
+    defect in the directive walk (group selection, delay parse,
+    global sitemap collection), the host extraction, the
+    default-delay fallback, or the slot window hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        frontier_schedule,
+        robots_directives,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 20
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://d"), k.cast("string"),
+            F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    rk = F.col("id")
+    robots = spark.range(20).select(
+        F.concat(
+            F.lit("d"), rk.cast("string"), F.lit(".example.com")
+        ).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(rk % 5 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("Crawl-delay: "), (rk % 4 + 1).cast("string"),
+                    F.lit("\n"),
+                )
+            ),
+            F.lit("Sitemap: http://sm/a.xml\n"),
+            F.when(
+                rk % 3 == 0, F.lit("Sitemap: http://sm/b.xml\n")
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    dirs = robots_directives(robots)
+    sched = frontier_schedule(urls, dirs, default_delay=1.0)
+    return sched.join(
+        F.broadcast(
+            dirs.select(
+                F.col("domain").alias("fetch_domain"),
+                F.size("sitemaps").alias("n_sitemaps"),
+            )
+        ),
+        "fetch_domain",
+    ).select(
+        "doc_id",
+        F.col("fetch_domain").alias("domain"),
+        "fetch_slot",
+        "fetch_offset_seconds",
+        "n_sitemaps",
+    )
+
+
+_SQL_FRONTIER_SCHEDULE = (
+    "WITH f AS (SELECT doc_id, doc_id % 20 AS k, "
+    "'p' || CAST(doc_id AS VARCHAR) AS leaf FROM documents), "
+    "s AS (SELECT doc_id, k, "
+    "row_number() OVER (PARTITION BY k ORDER BY leaf) - 1 AS fetch_slot "
+    "FROM f) "
+    "SELECT doc_id, "
+    "'d' || CAST(k AS VARCHAR) || '.example.com' AS domain, "
+    "fetch_slot, "
+    "CAST(round(fetch_slot * (CASE WHEN k % 5 = 0 THEN 1.0 "
+    "ELSE CAST(k % 4 + 1 AS DOUBLE) END), 6) AS DOUBLE) "
+    "AS fetch_offset_seconds, "
+    "CAST(CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_sitemaps "
+    "FROM s"
+)
+
+
 _SQL_ROBOTS_FILTER = (
     "SELECT doc_id, 'http://d' || CAST(doc_id // 2 AS VARCHAR) "
     "|| '.example.com/p' || CAST((doc_id // 2) % 7 AS VARCHAR) || "
@@ -5335,6 +5416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_funnel": _q_x2_funnel,
         "t_bm25_topk": _q_t_bm25_topk,
         "m_media_decode": _q_m_media_decode,
+    # round-12 oracle-backed addition, swapped for the r08 fill pad
+    # a1_profile (displaced to just behind the cap): crawl-frontier
+    # politeness scheduling (Crawl-delay/Sitemap directives + slots)
+        "t_frontier_schedule": _q_t_frontier_schedule,
         "a1_profile": _q_a1_profile,
     # ---- behind the cap: the r11 front-50 (all driver-green in r11)
     # ---- and the r08/r09-verified remainder, relative order kept
@@ -6427,6 +6512,7 @@ def oracle_sql() -> dict[str, str]:
         "t_html_extract": _SQL_HTML_EXTRACT,
         "t_warc_pipeline": _SQL_WARC_PIPELINE,
         "t_robots_filter": _SQL_ROBOTS_FILTER,
+        "t_frontier_schedule": _SQL_FRONTIER_SCHEDULE,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

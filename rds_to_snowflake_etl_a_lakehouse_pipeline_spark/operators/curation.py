@@ -596,34 +596,15 @@ def cluster_split(
     )
 
 
-def robots_rules(
-    df,
-    content_col: str = "robots_txt",
-    domain_col: str = "domain",
-    agent: str = "*",
-):
-    """Parse per-domain ``robots.txt`` text into one row per
-    Allow/Disallow rule for the chosen ``agent`` group — the frontier
-    side of crawl compliance. Full RFC 9309 matching semantics
-    (round 11): ``*`` matches any octet sequence and a trailing ``$``
-    anchors the end of the path (both MUST-support per the RFC;
-    elsewhere ``$`` is literal, the de-facto Google-parser reading);
-    group = consecutive ``User-agent`` lines followed by rules. A
-    specific agent's group SHADOWS the ``*`` group when both exist
-    for a domain, per the RFC's group-selection rule.
-
-    The line walk is pure Catalyst: lines explode with an index and
-    each rule line picks up the nearest preceding ``User-agent`` run
-    via a max-over-preceding window — stateful parsing expressed as a
-    window, not Python; wildcard patterns compile to anchored Java
-    regexes with ``regexp_replace`` chains (still Catalyst). Returns
-    ``(domain, directive, path_prefix, pattern_re, spec_len)``:
-    ``pattern_re`` is the compiled regex for wildcard rules (NULL for
-    literal prefixes, which match faster via ``startswith``) and
-    ``spec_len`` the RFC specificity = octet length of the raw
-    pattern (``octet_length``, not character count — a multi-byte
-    UTF-8 rule is as specific as its encoded bytes, RFC 9309 §2.2.2;
-    longest wins, Allow wins ties)."""
+def _robots_walk(df, content_col: str, domain_col: str):
+    """Shared robots.txt line walk (pure Catalyst): explode lines with
+    an index, strip comments, drop blanks, and attach each line to its
+    ``User-agent`` group (consecutive UA lines = one group; the group
+    id is a running sum over a preceding window). Returns
+    ``(lines, group_agents)`` — every non-blank line with its ``grp``,
+    and the lowercased agent set per group. Consumed by
+    :func:`robots_rules` (Allow/Disallow) and
+    :func:`robots_directives` (Crawl-delay/Sitemap)."""
     from pyspark.sql import Window
 
     lines = df.select(
@@ -655,47 +636,84 @@ def robots_rules(
         "grp",
         F.sum((is_ua.cast("int") * (1 - prev_ua))).over(w),
     ).withColumn("ua", F.lower(ua_val))
-    # agents named by each group
     group_agents = (
         lines.filter(is_ua)
         .groupBy("domain", "grp")
         .agg(F.collect_set("ua").alias("agents"))
     )
-    rules = (
-        lines.filter(
-            F.col("lc").startswith("allow:") | F.col("lc").startswith("disallow:")
-        )
-        .select(
-            "domain",
-            "grp",
-            F.when(F.col("lc").startswith("allow:"), F.lit("allow"))
-            .otherwise(F.lit("disallow"))
-            .alias("directive"),
-            F.trim(
-                F.when(
-                    F.col("lc").startswith("allow:"),
-                    F.expr("substring(raw, 7)"),
-                ).otherwise(F.expr("substring(raw, 10)"))
-            ).alias("path_prefix"),
-        )
-        .join(group_agents, ["domain", "grp"])
-    )
+    return lines, group_agents
+
+
+def _select_agent_group(body, group_agents, agent: str):
+    """RFC 9309 group selection over per-line rows carrying
+    ``(domain, grp)``: keep lines of the chosen agent's groups, falling
+    back to the ``*`` groups only for domains with NO specific group —
+    a specific group shadows ``*`` by GROUP EXISTENCE (an empty
+    specific group still shadows: the agent is then unrestricted)."""
     mine = F.array_contains("agents", agent.lower())
     star = F.array_contains("agents", "*")
-    # specific group shadows '*' by GROUP EXISTENCE (RFC 9309): a
-    # specific group with no allow/disallow rules still shadows — the
-    # agent is then unrestricted, the '*' rules must NOT fall back in
     has_specific = (
         group_agents.filter(F.array_contains("agents", agent.lower()))
         .select("domain")
         .distinct()
         .withColumn("_has", F.lit(1))
     )
-    rules = (
-        rules.filter(mine | star)
+    return (
+        body.join(group_agents, ["domain", "grp"])
+        .filter(mine | star)
         .withColumn("_specific", mine)
         .join(has_specific, "domain", "left")
         .filter(F.col("_has").isNull() | F.col("_specific"))
+        .drop("agents", "_specific", "_has")
+    )
+
+
+def robots_rules(
+    df,
+    content_col: str = "robots_txt",
+    domain_col: str = "domain",
+    agent: str = "*",
+):
+    """Parse per-domain ``robots.txt`` text into one row per
+    Allow/Disallow rule for the chosen ``agent`` group — the frontier
+    side of crawl compliance. Full RFC 9309 matching semantics
+    (round 11): ``*`` matches any octet sequence and a trailing ``$``
+    anchors the end of the path (both MUST-support per the RFC;
+    elsewhere ``$`` is literal, the de-facto Google-parser reading);
+    group = consecutive ``User-agent`` lines followed by rules. A
+    specific agent's group SHADOWS the ``*`` group when both exist
+    for a domain, per the RFC's group-selection rule.
+
+    The line walk is pure Catalyst: lines explode with an index and
+    each rule line picks up the nearest preceding ``User-agent`` run
+    via a max-over-preceding window — stateful parsing expressed as a
+    window, not Python; wildcard patterns compile to anchored Java
+    regexes with ``regexp_replace`` chains (still Catalyst). Returns
+    ``(domain, directive, path_prefix, pattern_re, spec_len)``:
+    ``pattern_re`` is the compiled regex for wildcard rules (NULL for
+    literal prefixes, which match faster via ``startswith``) and
+    ``spec_len`` the RFC specificity = octet length of the raw
+    pattern (``octet_length``, not character count — a multi-byte
+    UTF-8 rule is as specific as its encoded bytes, RFC 9309 §2.2.2;
+    longest wins, Allow wins ties)."""
+    lines, group_agents = _robots_walk(df, content_col, domain_col)
+    rules = lines.filter(
+        F.col("lc").startswith("allow:") | F.col("lc").startswith("disallow:")
+    ).select(
+        "domain",
+        "grp",
+        F.when(F.col("lc").startswith("allow:"), F.lit("allow"))
+        .otherwise(F.lit("disallow"))
+        .alias("directive"),
+        F.trim(
+            F.when(
+                F.col("lc").startswith("allow:"),
+                F.expr("substring(raw, 7)"),
+            ).otherwise(F.expr("substring(raw, 10)"))
+        ).alias("path_prefix"),
+    )
+    rules = (
+        _select_agent_group(rules, group_agents, agent)
         # an empty Disallow: means allow-all (no rule)
         .filter(F.length("path_prefix") > 0)
         .select("domain", "directive", "path_prefix")
@@ -832,3 +850,136 @@ def robots_allowed(
         )
     )
     return verdict
+
+
+def robots_directives(
+    df,
+    content_col: str = "robots_txt",
+    domain_col: str = "domain",
+    agent: str = "*",
+):
+    """Per-domain non-rule robots.txt directives — the other half of
+    crawl compliance after :func:`robots_rules`:
+
+    - ``crawl_delay`` (seconds, DOUBLE): from the chosen agent's
+      selected group (same RFC 9309 group selection as the rules —
+      a specific group shadows ``*`` even when it carries no delay);
+      the de-facto Crawl-delay extension every major crawler honors.
+      Multiple delay lines in the selected group(s) take the MINIMUM
+      — politeness is least-permissive. Unparseable values are NULL
+      (``try_cast`` — a junk delay must not crash the walk).
+    - ``sitemaps`` (sorted ``array<string>``): ``Sitemap:`` lines are
+      GLOBAL per the sitemaps protocol — they bind to the file, not a
+      group, so they collect across all groups with original case.
+
+    One row per input domain (domains without directives carry NULL /
+    empty array). Same pure-Catalyst line walk as the rules (shared
+    via ``_robots_walk``); feed the result to
+    :func:`frontier_schedule` for politeness scheduling."""
+    lines, group_agents = _robots_walk(df, content_col, domain_col)
+    delays = _select_agent_group(
+        lines.filter(F.col("lc").startswith("crawl-delay:")).select(
+            "domain",
+            "grp",
+            F.trim(F.expr("substring(raw, 13)")).try_cast("double").alias(
+                "_delay"
+            ),
+        ),
+        group_agents,
+        agent,
+    ).groupBy("domain").agg(F.min("_delay").alias("crawl_delay"))
+    sitemaps = (
+        lines.filter(F.col("lc").startswith("sitemap:"))
+        .select("domain", F.trim(F.expr("substring(raw, 9)")).alias("_sm"))
+        .filter(F.length("_sm") > 0)
+        .groupBy("domain")
+        .agg(F.array_sort(F.collect_set("_sm")).alias("sitemaps"))
+    )
+    doms = df.select(F.col(domain_col).alias("domain")).distinct()
+    return (
+        doms.join(delays, "domain", "left")
+        .join(sitemaps, "domain", "left")
+        .select(
+            "domain",
+            "crawl_delay",
+            F.coalesce("sitemaps", F.array().cast("array<string>")).alias(
+                "sitemaps"
+            ),
+        )
+    )
+
+
+def frontier_schedule(
+    urls,
+    directives=None,
+    url_col: str = "url",
+    default_delay: float = 1.0,
+    priority_col: str | None = None,
+    out_prefix: str = "fetch_",
+):
+    """Politeness scheduling for a crawl frontier: per-domain serial
+    fetch slots. Extracts the host from ``url_col`` (same
+    normalization as :func:`robots_allowed` — lowercased, default
+    ports stripped, ``?`` binds before ``/``), left-joins the
+    per-domain ``crawl_delay`` from :func:`robots_directives`
+    (``default_delay`` when the domain is absent or its delay NULL),
+    and appends::
+
+        <prefix>domain          the politeness key
+        <prefix>slot            0-based rank within the domain
+        <prefix>offset_seconds  slot * delay (6 dp)
+
+    Rank order: ``priority_col`` DESCENDING when given (higher
+    priority fetches first), then ``url_col`` ascending — fully
+    deterministic, so reruns and SQL oracles reproduce the schedule.
+
+    Scale: one domain-keyed exchange (the window) plus a broadcast
+    of the directives table (domains ≪ frontier). The per-domain
+    window is inherently serial BY DESIGN — politeness IS per-domain
+    serialization; a hot domain's schedule length is pages × delay,
+    which no partitioning can compress (the crawler, not the engine,
+    is the bottleneck there). Domain cardinality is web-scale high,
+    so the exchange itself is skew-tolerant."""
+    from pyspark.sql import Window
+
+    rest = F.get(F.split(F.col(url_col), "://", 2), 1)
+    scheme = F.lower(F.get(F.split(F.col(url_col), "://", 2), 0))
+    hostpath = F.get(F.split(rest, "\\?", 2), 0)
+    hp = F.lower(F.get(F.split(hostpath, "/", 2), 0))
+    host = (
+        F.when(
+            (scheme == "http") & hp.endswith(":80"),
+            hp.substr(F.lit(1), F.length(hp) - 3),
+        )
+        .when(
+            (scheme == "https") & hp.endswith(":443"),
+            hp.substr(F.lit(1), F.length(hp) - 4),
+        )
+        .otherwise(hp)
+    )
+    dom_col = f"{out_prefix}domain"
+    out = urls.withColumn(dom_col, host)
+    if directives is not None:
+        d = F.broadcast(
+            directives.select(
+                F.lower(F.col("domain")).alias(dom_col),
+                F.col("crawl_delay").alias("__fs_delay"),
+            )
+        )
+        out = out.join(d, dom_col, "left")
+    else:
+        out = out.withColumn("__fs_delay", F.lit(None).cast("double"))
+    order = [F.col(url_col).asc()]
+    if priority_col is not None:
+        order = [F.col(priority_col).desc()] + order
+    w = Window.partitionBy(dom_col).orderBy(*order)
+    slot = F.row_number().over(w) - 1
+    delay = F.coalesce(F.col("__fs_delay"), F.lit(float(default_delay)))
+    return (
+        out.withColumn(f"{out_prefix}slot", slot.cast("bigint"))
+        .withColumn(
+            f"{out_prefix}offset_seconds",
+            F.round(F.col(f"{out_prefix}slot") * delay, 6),
+        )
+        .drop("__fs_delay")
+    )

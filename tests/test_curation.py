@@ -1029,6 +1029,83 @@ def test_robots_query_string_matching(spark):
     assert verdict["crawl_allowed"] is False
 
 
+def test_robots_directives_and_frontier_schedule(spark):
+    """Round 12: Crawl-delay obeys the SAME group selection as rules
+    (specific shadows '*' by existence — an empty specific group means
+    NO delay), multiple delays take the min, junk values go NULL not
+    crash; Sitemap lines are GLOBAL (bind to the file, not a group);
+    frontier_schedule assigns deterministic per-domain serial slots
+    with offsets = slot × delay, default delay for unknown domains,
+    and priority-descending order when a priority column is given."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        frontier_schedule,
+        robots_directives,
+    )
+
+    dom = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: bot\nCrawl-delay: 2\nUser-agent: *\n"
+             "Crawl-delay: 10\nSitemap: http://A.com/s2.xml\n"
+             "Disallow: /x\nSitemap: http://a.com/s1.xml\n"),
+            ("b.com", "User-agent: *\nCrawl-delay: abc\n"),
+            ("c.com",
+             "User-agent: bot\nDisallow: /\nUser-agent: *\nCrawl-delay: 5\n"),
+            ("d.com", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 1\n"),
+            ("e.com", "# nothing\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    star = {
+        r["domain"]: (r["crawl_delay"], r["sitemaps"])
+        for r in robots_directives(dom).collect()
+    }
+    # sitemaps: global, case-preserved, sorted; '*' group delays
+    assert star["a.com"] == (
+        10.0, ["http://A.com/s2.xml", "http://a.com/s1.xml"]
+    )
+    assert star["b.com"] == (None, [])       # junk delay → NULL
+    assert star["c.com"] == (5.0, [])
+    assert star["d.com"] == (1.0, [])        # min of multiple
+    assert star["e.com"] == (None, [])
+    bot = {
+        r["domain"]: r["crawl_delay"]
+        for r in robots_directives(dom, agent="bot").collect()
+    }
+    assert bot["a.com"] == 2.0               # specific group's delay
+    assert bot["c.com"] is None              # empty-of-delay group SHADOWS
+
+    urls = spark.createDataFrame(
+        [("http://a.com/z", 1), ("http://A.COM:80/a", 1),
+         ("http://a.com/m", 9),              # higher priority first
+         ("http://zz.com/1", 1), ("http://zz.com/0", 1)],
+        "url string, prio int",
+    )
+    sched = {
+        r["url"]: (r["fetch_domain"], r["fetch_slot"],
+                   r["fetch_offset_seconds"])
+        for r in frontier_schedule(
+            urls, robots_directives(dom), priority_col="prio"
+        ).collect()
+    }
+    # a.com delay 10; priority 9 wins slot 0, then url order; default
+    # port + case fold into one politeness key
+    assert sched["http://a.com/m"] == ("a.com", 0, 0.0)
+    assert sched["http://A.COM:80/a"] == ("a.com", 1, 10.0)
+    assert sched["http://a.com/z"] == ("a.com", 2, 20.0)
+    # unknown domain: default_delay=1.0
+    assert sched["http://zz.com/0"] == ("zz.com", 0, 0.0)
+    assert sched["http://zz.com/1"] == ("zz.com", 1, 1.0)
+    # no directives at all: every domain gets the default
+    plain = frontier_schedule(urls.select("url"), default_delay=2.5)
+    offs = {
+        r["url"]: r["fetch_offset_seconds"] for r in plain.collect()
+    }
+    assert offs["http://a.com/z"] == 5.0     # slot 2 (url order) × 2.5
+
+
 def test_robots_allowed_caller_column_safety(spark):
     """Round-11 hardening: map-typed caller columns survive (the
     verdict aggregates on the row id alone, caller columns ride a
