@@ -942,6 +942,16 @@ def frontier_schedule(
     so the exchange itself is skew-tolerant."""
     from pyspark.sql import Window
 
+    reserved = {
+        f"{out_prefix}domain", f"{out_prefix}slot",
+        f"{out_prefix}offset_seconds", "__fs_delay",
+    }
+    clash = [c for c in urls.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"frontier_schedule reserves columns {sorted(reserved)}; "
+            f"rename or change out_prefix: {clash}"
+        )
     rest = F.get(F.split(F.col(url_col), "://", 2), 1)
     scheme = F.lower(F.get(F.split(F.col(url_col), "://", 2), 0))
     hostpath = F.get(F.split(rest, "\\?", 2), 0)

@@ -1104,6 +1104,13 @@ def test_robots_directives_and_frontier_schedule(spark):
         r["url"]: r["fetch_offset_seconds"] for r in plain.collect()
     }
     assert offs["http://a.com/z"] == 5.0     # slot 2 (url order) × 2.5
+    # reserved output columns are refused loudly, not clobbered
+    import pytest
+
+    with pytest.raises(ValueError, match="frontier_schedule reserves"):
+        frontier_schedule(
+            urls.withColumnRenamed("prio", "fetch_slot")
+        )
 
 
 def test_robots_allowed_caller_column_safety(spark):
