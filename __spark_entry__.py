@@ -4979,6 +4979,61 @@ def _q_t_frontier_schedule(spark, sf_dir):
     )
 
 
+def _q_t_sitemap_urls(spark, sf_dir):
+    """Sitemap discovery (operators/curation.py::parse_sitemaps,
+    round 12): even documents carry a namespaced <urlset> with two
+    <loc> entries — one entity-escaped (&amp;) and
+    whitespace-padded, one plain — odd documents a prefixed
+    <sitemapindex> naming one child sitemap. The walk must explode
+    per-loc, classify urlset vs index, decode XML entities, trim, and
+    accept namespace prefixes; any defect hash-mismatches against the
+    arithmetic reconstruction."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        parse_sitemaps,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    xml = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(
+                '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                'sitemap/0.9"><url><loc> http://s'
+            ),
+            ds, F.lit(".com/a?x=1&amp;y="), ds,
+            F.lit(" </loc><lastmod>2024-01-01</lastmod></url>"
+                  "<url><loc>http://s"),
+            ds, F.lit(".com/b"), ds, F.lit("</loc></url></urlset>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<sm:sitemapindex xmlns:sm='x'><sm:sitemap>"
+                  "<sm:loc>http://s"),
+            ds, F.lit(".com/sm"), ds,
+            F.lit(".xml</sm:loc></sm:sitemap></sm:sitemapindex>"),
+        )
+    )
+    return parse_sitemaps(d.withColumn("sitemap_xml", xml)).select(
+        "doc_id", "loc", "kind"
+    )
+
+
+_SQL_SITEMAP_URLS = (
+    "SELECT doc_id, 'http://s' || CAST(doc_id AS VARCHAR) "
+    "|| '.com/a?x=1&y=' || CAST(doc_id AS VARCHAR) AS loc, "
+    "'url' AS kind FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT doc_id, 'http://s' || CAST(doc_id AS VARCHAR) "
+    "|| '.com/b' || CAST(doc_id AS VARCHAR), 'url' "
+    "FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT doc_id, 'http://s' || CAST(doc_id AS VARCHAR) "
+    "|| '.com/sm' || CAST(doc_id AS VARCHAR) || '.xml', 'sitemap' "
+    "FROM documents WHERE doc_id % 2 = 1"
+)
+
+
 _SQL_FRONTIER_SCHEDULE = (
     "WITH f AS (SELECT doc_id, doc_id % 20 AS k, "
     "'p' || CAST(doc_id AS VARCHAR) AS leaf FROM documents), "
@@ -5572,6 +5627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_star_revenue": _q_j8_star_revenue,
         "s16_quarantine": _q_s16_quarantine,
         "x1_quarantine_stream": _q_x1_quarantine_stream,
+    # round-12 oracle-backed addition, behind the cap (the front-50 is
+    # fully committed to the staleness-rotation backlog this round;
+    # enters the driver window with the r13 rotation)
+        "t_sitemap_urls": _q_t_sitemap_urls,
     }
 
 
@@ -6513,6 +6572,7 @@ def oracle_sql() -> dict[str, str]:
         "t_warc_pipeline": _SQL_WARC_PIPELINE,
         "t_robots_filter": _SQL_ROBOTS_FILTER,
         "t_frontier_schedule": _SQL_FRONTIER_SCHEDULE,
+        "t_sitemap_urls": _SQL_SITEMAP_URLS,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

@@ -909,6 +909,53 @@ def robots_directives(
     )
 
 
+def parse_sitemaps(
+    df,
+    content_col: str = "sitemap_xml",
+    out_col: str = "loc",
+    kind_col: str = "kind",
+):
+    """Explode sitemap XML into one row per discovered location — the
+    discovery step between :func:`robots_directives` (which surfaces
+    the ``Sitemap:`` URLs) and :func:`frontier_schedule` (which
+    schedules the fetches). Appends ``out_col`` (the ``<loc>`` URL,
+    XML predefined entities decoded, whitespace trimmed) and
+    ``kind_col``: ``'sitemap'`` for ``<sitemapindex>`` children (child
+    sitemaps the crawler must fetch next — deliberately NOT recursed:
+    fetching is the crawler's job, and blind recursion over untrusted
+    XML is an amplification vector) else ``'url'`` for ``<urlset>``
+    pages. Rows whose XML has no ``<loc>`` disappear (a malformed or
+    empty sitemap contributes nothing).
+
+    Deliberately a JVM ``regexp_extract_all`` walk, NOT an XML parser:
+    crawled sitemaps are untrusted bytes and Spark's ``xpath`` THROWS
+    on the first malformed document (verified — one bad blob would
+    kill the whole stage), while the regex walk degrades per row.
+    Optional namespace prefixes on ``loc``/``sitemapindex`` are
+    accepted; ``<loc>`` content is ``[^<]*`` so the regex cannot
+    backtrack across elements. Pure Catalyst, zero Python."""
+    pref = r"(?:[A-Za-z0-9_.-]+:)?"
+    loc_re = rf"<{pref}loc\s*>\s*([^<]*?)\s*</{pref}loc\s*>"
+    is_index = F.regexp_like(
+        F.col(content_col), F.lit(rf"<{pref}sitemapindex[\s>]")
+    )
+    locs = F.regexp_extract_all(F.col(content_col), F.lit(loc_re), 1)
+    out = df.withColumn(
+        kind_col, F.when(is_index, F.lit("sitemap")).otherwise(F.lit("url"))
+    ).withColumn(out_col, F.explode(locs))
+    # XML predefined entities (the five from the XML spec; sitemaps
+    # REQUIRE URLs to be entity-escaped, so '&' always arrives as
+    # '&amp;'). '&amp;' decodes LAST or it would re-decode authors'
+    # escaped escapes.
+    decoded = F.col(out_col)
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return out.withColumn(out_col, decoded).drop(content_col)
+
+
 def frontier_schedule(
     urls,
     directives=None,

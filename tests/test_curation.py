@@ -1113,6 +1113,41 @@ def test_robots_directives_and_frontier_schedule(spark):
         )
 
 
+def test_parse_sitemaps(spark):
+    """Round 12: <urlset> pages come back kind='url' with XML entities
+    decoded and whitespace trimmed; <sitemapindex> children come back
+    kind='sitemap' (not recursed); namespace prefixes are accepted;
+    malformed XML degrades to zero rows instead of throwing (the
+    untrusted-input contract Spark's xpath cannot honor)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        parse_sitemaps,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> http://a.com/p?x=1&amp;y=2 </loc>"
+        "<lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>http://a.com/&quot;q&quot;</loc></url></urlset>"
+    )
+    index = (
+        "<sm:sitemapindex xmlns:sm='x'>"
+        "<sm:sitemap><sm:loc>http://a.com/sub.xml</sm:loc></sm:sitemap>"
+        "</sm:sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<bad"), (4, None)],
+        "id int, sitemap_xml string",
+    )
+    rows = {(r["id"], r["loc"], r["kind"]) for r in parse_sitemaps(df).collect()}
+    assert rows == {
+        (1, "http://a.com/p?x=1&y=2", "url"),
+        (1, 'http://a.com/"q"', "url"),
+        (2, "http://a.com/sub.xml", "sitemap"),
+    }
+    assert "sitemap_xml" not in parse_sitemaps(df).columns
+
+
 def test_robots_allowed_caller_column_safety(spark):
     """Round-11 hardening: map-typed caller columns survive (the
     verdict aggregates on the row id alone, caller columns ride a

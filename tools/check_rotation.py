@@ -66,15 +66,18 @@ def main() -> int:
     keys = list(ent.queries().keys())
     newest, latest = newest_verdicts(REPO)
     next_round = latest + 1
+    # an entry absent from every CORRECTNESS file is NEW, not stale:
+    # it gets the full budget from the round it appeared (treated as
+    # `latest`) to enter the front-50 window
     projected = {
-        k: max(newest.get(k, 0), next_round if i < 50 else 0)
+        k: max(newest.get(k, latest), next_round if i < 50 else 0)
         for i, k in enumerate(keys)
     }
     floor = next_round - args.budget
     over = sorted(
         ((v, k) for k, v in projected.items() if v < floor),
     )
-    fronted = sum(1 for k in keys[:50] if newest.get(k, 0) < floor)
+    fronted = sum(1 for k in keys[:50] if newest.get(k, latest) < floor)
     if over:
         print(
             f"FAIL: {len(over)} of {len(keys)} entries would exceed the "
