@@ -5394,9 +5394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against CURRENT testdata. The r11 rotation plan (see git history)
     was NOT executed — CORRECTNESS_r11.json is key-for-key identical
     to r10 — so round 12 fronts the entire backlog: the 49 entries
-    whose newest driver verdict is r06, plus one r08 pad
-    (a1_profile) to fill the window. After this round no registered
-    query's newest driver verdict predates r08.
+    whose newest driver verdict is r06, plus the round-12 addition
+    t_frontier_schedule (swapped for the r08 fill pad a1_profile,
+    displaced to just behind the cap). After this round no registered
+    query's newest driver verdict predates r08; the other round-12
+    addition (t_sitemap_urls) waits behind the cap for the r13
+    window.
 
     r13 rotation plan: front the remaining r08-verified tranche
     (x2_resample_ffill, a1_hist_quantile, x1_hist_stream,
@@ -5420,7 +5423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # ---- r12 front-50: every entry whose newest driver verdict is
     # ---- r06 (49 entries — the tranche the missed r11 rotation left
-    # ---- stale), plus one r08 pad to fill the window. After this
+    # ---- stale), plus the round-12 addition t_frontier_schedule
+    # ---- (swapped for the r08 fill pad a1_profile). After this
     # ---- round no registered query's newest verdict predates r08.
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
