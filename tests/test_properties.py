@@ -1338,8 +1338,88 @@ _ROBOTS_LINE = st.one_of(
     ),
     st.just("# comment"),
     st.just(""),
-    st.just("Crawl-delay: 5"),
+    st.builds(
+        lambda v: f"Crawl-delay: {v}",
+        st.sampled_from(["1", "2.5", "10", "abc", ""]),
+    ),
+    st.builds(
+        lambda s: f"Sitemap: {s}",
+        st.sampled_from(
+            ["http://x/a.xml", "http://x/B.xml", "http://y/c.xml"]
+        ),
+    ),
 )
+
+
+def _directives_replay(files, agent):
+    """Driver-side reference for robots_directives: same group
+    selection as the rules replay (specific shadows '*' by existence),
+    crawl_delay = min of the selected groups' parseable delay values
+    (None when none parse or none exist), sitemaps = sorted distinct
+    Sitemap values across the WHOLE file (global, case preserved)."""
+    import re
+
+    out = {}
+    for dom, txt in files.items():
+        lines = [
+            s for s in
+            (re.sub(r"#.*$", "", ln).strip() for ln in txt.split("\n"))
+            if s
+        ]
+        groups, in_ua_run, sitemaps = [], False, set()
+        for ln in lines:
+            low = ln.lower()
+            if low.startswith("user-agent:"):
+                if not in_ua_run:
+                    groups.append((set(), []))
+                groups[-1][0].add(ln[11:].strip().lower())
+                in_ua_run = True
+                continue
+            in_ua_run = False
+            if low.startswith("sitemap:"):
+                v = ln[8:].strip()
+                if v:
+                    sitemaps.add(v)
+            elif low.startswith("crawl-delay:") and groups:
+                try:
+                    groups[-1][1].append(float(ln[12:].strip()))
+                except ValueError:
+                    pass
+        specific = [g for g in groups if agent.lower() in g[0]]
+        chosen = specific or [g for g in groups if "*" in g[0]]
+        delays = [d for g in chosen for d in g[1]]
+        out[dom] = (min(delays) if delays else None, sorted(sitemaps))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(_ROBOTS_LINE, min_size=1, max_size=12).map("\n".join),
+        min_size=1,
+        max_size=3,
+    ),
+    agent=st.sampled_from(["*", "bot"]),
+)
+@PROP
+def test_robots_directives_match_python_reference(spark, texts, agent):
+    """Random robots.txt files (UA runs, junk/empty delays, repeated
+    sitemap lines, comments): robots_directives' per-domain
+    (crawl_delay, sitemaps) equals the pure-Python reference for both
+    a named agent and '*'."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_directives,
+    )
+
+    files = {f"d{i}.com": t for i, t in enumerate(texts)}
+    want = _directives_replay(files, agent)
+    dom = spark.createDataFrame(
+        list(files.items()), "domain string, robots_txt string"
+    )
+    got = {
+        r["domain"]: (r["crawl_delay"], r["sitemaps"])
+        for r in robots_directives(dom, agent=agent).collect()
+    }
+    assert got == want
 
 
 @given(
