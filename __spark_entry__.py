@@ -5019,6 +5019,59 @@ def _q_t_sitemap_urls(spark, sf_dir):
     )
 
 
+def _q_d_exact_index_dedup(spark, sf_dir):
+    """Standing exact seen-set (operators/dedup.py::exact_build_index
+    + exact_incremental_dedup, round 12) — the URL-frontier dedup of a
+    standing crawl. Seed index = the URLs of doc_id%5==0 docs (keys =
+    multiples of 5 mod 50). Batch 1 (odd docs, key doc_id%50, always
+    odd) drops its key-multiple-of-5 rows against the index and keeps
+    the min doc per remaining key; its survivors APPEND. Batch 2
+    (even docs, key (doc_id%50)+1 — all odd) must come back EMPTY:
+    every key is either a multiple of 5 (in the seed) or an odd
+    non-multiple batch 1 just appended — consecutive doc_ids from 0
+    guarantee coverage. A broken probe, window, or append emits
+    phantom batch-2 rows (or drops batch-1 ones) and
+    hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+        exact_incremental_dedup,
+    )
+
+    t = "q_exact_seen_index"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 50
+    url = F.concat(F.lit("http://f.com/"), k.cast("string"))
+    url2 = F.concat(F.lit("http://f.com/"), (k + 1).cast("string"))
+    exact_build_index(
+        d.filter(F.col("doc_id") % 5 == 0).select(url.alias("url")),
+        t,
+        ["url"],
+    )
+    s1 = exact_incremental_dedup(
+        spark, t,
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", url.alias("url")),
+        ["url"], order_col="doc_id",
+    )
+    s2 = exact_incremental_dedup(
+        spark, t,
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", url2.alias("url")),
+        ["url"], order_col="doc_id",
+    )
+    return s1.withColumn("batch", F.lit(1)).unionByName(
+        s2.withColumn("batch", F.lit(2))
+    ).select("doc_id", "url", "batch")
+
+
+_SQL_EXACT_INDEX_DEDUP = (
+    "WITH odd AS (SELECT doc_id, doc_id % 50 AS k, "
+    "row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rn "
+    "FROM documents WHERE doc_id % 2 = 1) "
+    "SELECT doc_id, 'http://f.com/' || CAST(k AS VARCHAR) AS url, "
+    "CAST(1 AS INT) AS batch FROM odd WHERE k % 5 <> 0 AND rn = 1"
+)
+
+
 _SQL_SITEMAP_URLS = (
     "SELECT doc_id, 'http://s' || CAST(doc_id AS VARCHAR) "
     "|| '.com/a?x=1&y=' || CAST(doc_id AS VARCHAR) AS loc, "
@@ -5635,6 +5688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fully committed to the staleness-rotation backlog this round;
     # enters the driver window with the r13 rotation)
         "t_sitemap_urls": _q_t_sitemap_urls,
+        "d_exact_index_dedup": _q_d_exact_index_dedup,
     }
 
 
@@ -6577,6 +6631,7 @@ def oracle_sql() -> dict[str, str]:
         "t_robots_filter": _SQL_ROBOTS_FILTER,
         "t_frontier_schedule": _SQL_FRONTIER_SCHEDULE,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,
+        "d_exact_index_dedup": _SQL_EXACT_INDEX_DEDUP,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

@@ -126,6 +126,20 @@ def exact_dedup(
     differently (plain ``concat_ws`` silently skips NULLs and lets
     separator-containing values collide).
     """
+    fp = _exact_fingerprint(content_cols)
+    order = order_col or content_cols[0]
+    w = Window.partitionBy(fp).orderBy(F.col(order).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _exact_fingerprint(content_cols: list[str]) -> Column:
+    """md5 over the injective length-prefixed encoding documented on
+    :func:`exact_dedup` — shared by the one-shot dedup and the
+    standing seen-set index so both produce the identical key."""
     enc = [
         F.when(F.col(c).isNull(), F.lit("N")).otherwise(
             F.concat(
@@ -136,14 +150,108 @@ def exact_dedup(
         )
         for c in content_cols
     ]
-    fp = F.md5(F.concat(*enc))
+    return F.md5(F.concat(*enc))
+
+
+def exact_build_index(
+    df: DataFrame,
+    table: str,
+    content_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Write the standing SEEN-SET for exact dedup: the distinct
+    content fingerprints of ``df`` as a catalog table hash-bucketed on
+    ``fp`` — the exact-equality member of the standing-index family
+    (MinHash :func:`minhash_build_index`, Hamming
+    ``multimodal.hamming_index_build``, spans
+    :func:`span_build_index`). The crawl-tier use is the URL frontier:
+    canonicalize arriving URLs, dedup each batch against every URL
+    ever fetched, never re-scan the corpus.
+
+    The probe is a fingerprint anti-join: the index side streams out
+    of its bucketed layout pre-shuffled, so per-batch cost tracks the
+    BATCH. One md5 per row, no skew (fingerprints are uniform by
+    construction). A DIGEST of ``content_cols`` is recorded in table
+    metadata and validated on every probe — a column-list mismatch
+    would silently fingerprint different content and nothing would
+    ever match. (The digest, not the raw list: Spark's property
+    redaction masks read-back values matching ``(?i)url`` etc., and
+    'url' is exactly the column a frontier index keys on.)"""
+    from ..sources.io import set_table_meta, write_table
+
+    fps = df.select(_exact_fingerprint(content_cols).alias("fp")).distinct()
+    write_table(fps, table, bucket_by=(n_buckets, ["fp"]))
+    set_table_meta(
+        df.sparkSession,
+        table,
+        kind="exact",
+        n_buckets=n_buckets,
+        bucket_cols="fp",
+        content_sig=_content_cols_sig(content_cols),
+    )
+
+
+def _content_cols_sig(content_cols: list[str]) -> str:
+    import hashlib
+
+    return hashlib.md5(",".join(content_cols).encode()).hexdigest()
+
+
+def exact_incremental_dedup(
+    spark,
+    table: str,
+    new_df: DataFrame,
+    content_cols: list[str],
+    order_col: str | None = None,
+    append: bool = True,
+    n_buckets: int | None = None,
+    storage: str = "checkpoint",
+) -> DataFrame:
+    """Drop new rows whose exact content was ALREADY SEEN — by the
+    indexed corpus or by an earlier row of the same batch (min
+    ``order_col`` survives, matching :func:`exact_dedup`) — then
+    (``append=True``) add the survivors' fingerprints so the next
+    batch dedups against everything that came before. The exact twin
+    of :func:`minhash_incremental_dedup`: each batch pays one md5 per
+    row, one within-batch window, and one anti-join against the
+    bucketed index; the index is never re-scanned.
+
+    Survivors are MATERIALIZED before the append (``storage`` as in
+    :func:`_materialize`) — a lazy survivor plan re-read after the
+    append would find its own fingerprints in the index and drop every
+    row as a duplicate of itself (the same hazard the Hamming index
+    documents)."""
+    from ..sources.io import check_table_meta, write_table
+
+    meta = check_table_meta(
+        spark,
+        table,
+        content_sig=_content_cols_sig(content_cols),
+        n_buckets=n_buckets,
+    )
+    if n_buckets is None:
+        n_buckets = int(meta.get("n_buckets", 32))
+    batch = new_df.withColumn("_fp", _exact_fingerprint(content_cols))
     order = order_col or content_cols[0]
-    w = Window.partitionBy(fp).orderBy(F.col(order).asc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
+    w = Window.partitionBy("_fp").orderBy(F.col(order).asc())
+    self_kept = (
+        batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    idx = spark.table(table)
+    survivors = _materialize(
+        self_kept.join(idx, self_kept["_fp"] == idx["fp"], "left_anti"),
+        storage,
+    )
+    if append:
+        write_table(
+            survivors.select(F.col("_fp").alias("fp")),
+            table,
+            mode="append",
+            bucket_by=(n_buckets, ["fp"]),
+        )
+    return survivors.drop("_fp")
 
 
 def minhash_signature(

@@ -43,6 +43,61 @@ def test_exact_dedup_deterministic(spark, docs):
     assert kept == [1, 3, 4, 5]  # doc 2 (dup of 1) dropped, min id kept
 
 
+def test_exact_incremental_dedup_seen_set(spark):
+    """Round 12: the standing exact seen-set (URL-frontier form of the
+    incremental index family). Batch rows already in the index drop;
+    within-batch dups keep the min order row; survivors' fingerprints
+    append so the NEXT batch drops them; append=False is a pure
+    dry-run; a content_cols mismatch against the recorded contract
+    raises instead of silently fingerprinting different content."""
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+        exact_incremental_dedup,
+    )
+
+    t = "exact_seen_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, url string")
+    exact_build_index(mk([(0, "http://a/0"), (1, "http://a/1")]), t, ["url"])
+    # batch 1: one indexed repeat, one within-batch dup pair, one new
+    b1 = mk([(10, "http://a/1"), (11, "http://a/2"),
+             (12, "http://a/2"), (13, "http://a/3")])
+    s1 = sorted(
+        r["doc_id"]
+        for r in exact_incremental_dedup(
+            spark, t, b1, ["url"], order_col="doc_id"
+        ).collect()
+    )
+    assert s1 == [11, 13]
+    # batch 2: b1 survivors are now seen; dry-run doesn't extend
+    b2 = mk([(20, "http://a/2"), (21, "http://a/4")])
+    s2 = sorted(
+        r["doc_id"]
+        for r in exact_incremental_dedup(
+            spark, t, b2, ["url"], order_col="doc_id", append=False
+        ).collect()
+    )
+    assert s2 == [21]
+    s2b = sorted(
+        r["doc_id"]
+        for r in exact_incremental_dedup(
+            spark, t, b2, ["url"], order_col="doc_id", append=False
+        ).collect()
+    )
+    assert s2b == [21]  # dry-run did not extend the index
+    # survivors keep the caller's schema (no fingerprint leak)
+    out = exact_incremental_dedup(
+        spark, t, b2, ["url"], order_col="doc_id", append=False
+    )
+    assert out.columns == ["doc_id", "url"]
+    # recorded content_cols contract is enforced
+    with pytest.raises(ValueError):
+        exact_incremental_dedup(spark, t, b2, ["doc_id"], append=False)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
