@@ -5072,6 +5072,59 @@ _SQL_EXACT_INDEX_DEDUP = (
 )
 
 
+def _q_x1_frontier_stream(spark, sf_dir):
+    """Streaming URL-frontier dedup
+    (streaming/events.stream_exact_dedup): the same two batches as
+    d_exact_index_dedup arrive as two availableNow drains of a file
+    stream (file 2 written only after drain 1, so the micro-batch
+    split is exact), each probing + extending the standing exact
+    seen-set under foreachBatch with replay-exact stamp threading.
+    The sink must hold exactly the batch path's survivors — batch 2
+    still provably empty iff drain 1's append landed."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_exact_dedup,
+    )
+
+    idx = "exact_seen_s_" + _fixture_key(sf_dir)
+    sink = "exact_sink_s_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 50
+    url = F.concat(F.lit("http://f.com/"), k.cast("string"))
+    url2 = F.concat(F.lit("http://f.com/"), (k + 1).cast("string"))
+    exact_build_index(
+        d.filter(F.col("doc_id") % 5 == 0).select(url.alias("url")),
+        idx,
+        ["url"],
+    )
+    feed = tempfile.mkdtemp(prefix="frontier-feed-") + "/feed"
+    ck = tempfile.mkdtemp(prefix="ck-frontier-")
+    batches = [
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", url.alias("url")),
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", url2.alias("url")),
+    ]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(feed)
+        sdf = spark.readStream.schema("doc_id long, url string").parquet(feed)
+        stream_exact_dedup(sdf, idx, sink, ck, ["url"], order_col="doc_id")
+    return spark.table(sink).select("doc_id", "url")
+
+
+_SQL_FRONTIER_STREAM = (
+    "WITH odd AS (SELECT doc_id, doc_id % 50 AS k, "
+    "row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rn "
+    "FROM documents WHERE doc_id % 2 = 1) "
+    "SELECT doc_id, 'http://f.com/' || CAST(k AS VARCHAR) AS url "
+    "FROM odd WHERE k % 5 <> 0 AND rn = 1"
+)
+
+
 _SQL_SITEMAP_URLS = (
     "SELECT doc_id, 'http://s' || CAST(doc_id AS VARCHAR) "
     "|| '.com/a?x=1&y=' || CAST(doc_id AS VARCHAR) AS loc, "
@@ -5689,6 +5742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enters the driver window with the r13 rotation)
         "t_sitemap_urls": _q_t_sitemap_urls,
         "d_exact_index_dedup": _q_d_exact_index_dedup,
+        "x1_frontier_stream": _q_x1_frontier_stream,
     }
 
 
@@ -6632,6 +6686,7 @@ def oracle_sql() -> dict[str, str]:
         "t_frontier_schedule": _SQL_FRONTIER_SCHEDULE,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,
         "d_exact_index_dedup": _SQL_EXACT_INDEX_DEDUP,
+        "x1_frontier_stream": _SQL_FRONTIER_STREAM,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

@@ -179,7 +179,12 @@ def exact_build_index(
     'url' is exactly the column a frontier index keys on.)"""
     from ..sources.io import set_table_meta, write_table
 
-    fps = df.select(_exact_fingerprint(content_cols).alias("fp")).distinct()
+    fps = df.select(
+        _exact_fingerprint(content_cols).alias("fp"),
+        # provenance stamp for replay-exact streaming appends (see
+        # exact_incremental_dedup's batch_id); build rows carry NULL
+        F.lit(None).cast("bigint").alias("_src_batch"),
+    ).distinct()
     write_table(fps, table, bucket_by=(n_buckets, ["fp"]))
     set_table_meta(
         df.sparkSession,
@@ -206,6 +211,7 @@ def exact_incremental_dedup(
     append: bool = True,
     n_buckets: int | None = None,
     storage: str = "checkpoint",
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Drop new rows whose exact content was ALREADY SEEN — by the
     indexed corpus or by an earlier row of the same batch (min
@@ -220,7 +226,17 @@ def exact_incremental_dedup(
     :func:`_materialize`) — a lazy survivor plan re-read after the
     append would find its own fingerprints in the index and drop every
     row as a duplicate of itself (the same hazard the Hamming index
-    documents)."""
+    documents).
+
+    ``batch_id`` makes the step REPLAY-EXACT for streaming callers
+    (:func:`~..streaming.events.stream_exact_dedup`), the same stamp
+    threading as ``span_incremental_dedup``: appended fingerprints
+    carry the stamp in ``_src_batch``, the probe EXCLUDES index rows
+    this batch stamped (a crash-redelivered batch must not drop its
+    own rows as dups of themselves), and the append anti-joins
+    against the current fingerprint set so a replay re-appends
+    nothing. Pass the checkpoint-scoped ``_stream_stamp``, never a
+    bare micro-batch id."""
     from ..sources.io import check_table_meta, write_table
 
     meta = check_table_meta(
@@ -240,16 +256,24 @@ def exact_incremental_dedup(
         .drop("_rn")
     )
     idx = spark.table(table)
+    probe_idx = idx
+    if batch_id is not None and "_src_batch" in idx.columns:
+        probe_idx = idx.filter(
+            F.col("_src_batch").isNull() | (F.col("_src_batch") != batch_id)
+        )
     survivors = _materialize(
-        self_kept.join(idx, self_kept["_fp"] == idx["fp"], "left_anti"),
+        self_kept.join(probe_idx, self_kept["_fp"] == probe_idx["fp"], "left_anti"),
         storage,
     )
     if append:
+        new_fps = _materialize(
+            survivors.select(F.col("_fp").alias("fp"))
+            .join(idx.select("fp"), "fp", "left_anti")
+            .withColumn("_src_batch", F.lit(batch_id).cast("bigint")),
+            storage,
+        )
         write_table(
-            survivors.select(F.col("_fp").alias("fp")),
-            table,
-            mode="append",
-            bucket_by=(n_buckets, ["fp"]),
+            new_fps, table, mode="append", bucket_by=(n_buckets, ["fp"])
         )
     return survivors.drop("_fp")
 

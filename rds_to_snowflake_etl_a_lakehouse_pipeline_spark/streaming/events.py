@@ -1252,6 +1252,60 @@ def stream_span_dedup(
     q.awaitTermination()
 
 
+def stream_exact_dedup(
+    sdf: DataFrame,
+    table: str,
+    sink_table: str,
+    checkpoint_dir: str,
+    content_cols: list[str],
+    order_col: str | None = None,
+    query_name: str = "stream_exact_dedup",
+):
+    """Streaming EXACT seen-set curation — the URL-frontier form:
+    every micro-batch of arriving rows is dropped against the
+    persisted fingerprint index (and within itself, min ``order_col``
+    surviving) through ``operators.dedup.exact_incremental_dedup``;
+    survivors land in ``sink_table`` and their fingerprints extend the
+    index, so later batches dedup against everything ever streamed.
+    The exact-equality sibling of :func:`stream_corpus_dedup`
+    (near-dup), :func:`stream_media_dedup` (Hamming) and
+    :func:`stream_span_dedup` (substrings): state lives in a bucketed
+    catalog table, not the streaming state store — restart-proof,
+    queryable, compactable, and unlike ``dedup_events``'s
+    dropDuplicates state it never grows a per-key state-store entry.
+
+    Replay-exact via the same stamp threading as
+    :func:`stream_span_dedup`: the probe excludes index rows this
+    batch stamped (a crash-redelivered batch must not drop its own
+    rows), the re-append anti-joins to a no-op, and the sink lands in
+    the batch's own partition via dynamic overwrite. The stamp is
+    checkpoint-scoped (:func:`_stream_stamp`), so a fresh checkpoint
+    whose ids restart at 0 can never alias stale ``_src_batch`` rows.
+    Runs with trigger=availableNow and blocks until input drains."""
+    from ..operators.dedup import exact_incremental_dedup
+
+    def _dedup(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sid = _checkpoint_stream_id(batch_df.sparkSession, checkpoint_dir)
+        survivors = exact_incremental_dedup(
+            batch_df.sparkSession, table, batch_df, content_cols,
+            order_col=order_col, append=True,
+            batch_id=_stream_stamp(sid, batch_id),
+        )
+        _land_batch_partition(survivors, sink_table, batch_id, stream_id=sid)
+
+    q = (
+        sdf.writeStream.foreachBatch(_dedup)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _fuse_intervals(intervals: DataFrame, key_col: str, gap_us: int) -> DataFrame:
     """Fuse per-key session intervals whose inter-interval gap is at
     most ``gap_us``: running-max end (not lag — out-of-order batches

@@ -98,6 +98,50 @@ def test_exact_incremental_dedup_seen_set(spark):
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_exact_incremental_dedup_stamped_replay(spark):
+    """Replay-exactness of the seen-set append (round 12, the
+    stream_exact_dedup contract): re-running a batch with the SAME
+    stamp after its fingerprints were appended must return the SAME
+    survivors (the probe excludes self-stamped rows) and append
+    nothing new; a DIFFERENT stamp (a genuinely new batch) must drop
+    the now-seen content."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+        exact_incremental_dedup,
+    )
+
+    t = "exact_seen_replay_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, url string")
+    exact_build_index(mk([(0, "http://a/0")]), t, ["url"])
+    b = mk([(10, "http://a/0"), (11, "http://a/1")])
+    s1 = sorted(
+        r["doc_id"]
+        for r in exact_incremental_dedup(
+            spark, t, b, ["url"], order_col="doc_id", batch_id=777
+        ).collect()
+    )
+    assert s1 == [11]
+    n_fps = spark.table(t).count()
+    # crash-redelivery: same stamp → same survivors, no index growth
+    s1b = sorted(
+        r["doc_id"]
+        for r in exact_incremental_dedup(
+            spark, t, b, ["url"], order_col="doc_id", batch_id=777
+        ).collect()
+    )
+    assert s1b == [11]
+    assert spark.table(t).count() == n_fps
+    # a NEW stamp sees the appended fingerprint and drops the repeat
+    s2 = exact_incremental_dedup(
+        spark, t, b, ["url"], order_col="doc_id", batch_id=778
+    ).collect()
+    assert s2 == []
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5

@@ -1242,6 +1242,62 @@ def test_stream_sessionize_replay_same_batch_id_is_noop(spark):
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_stream_exact_dedup_frontier(spark, tmp_path):
+    """Streaming URL-frontier dedup against the persisted exact
+    seen-set: a batch-2 repeat of a batch-1 SURVIVOR must drop (the
+    index accreted batch 1), within-batch dups keep the min order row,
+    and the sink holds exactly the survivors."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_exact_dedup,
+    )
+
+    idx, sink = "stream_exact_idx", "stream_exact_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    exact_build_index(
+        spark.createDataFrame([(0, "http://a/seed")], "doc_id long, url string"),
+        idx,
+        ["url"],
+    )
+    feed = str(tmp_path / "feed")
+    schema = "doc_id long, url string"
+    # batch 1: indexed repeat (drop), within-batch dup pair (min id
+    # survives), one new URL
+    spark.createDataFrame(
+        [(10, "http://a/seed"), (11, "http://a/x"),
+         (12, "http://a/x"), (13, "http://a/y")], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # batch 2: repeat of batch 1's survivor (drop) + a new URL
+    spark.createDataFrame(
+        [(20, "http://a/y"), (21, "http://a/z")], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_exact_dedup(
+        sdf, idx, sink, checkpoint_dir=str(tmp_path / "ck"),
+        content_cols=["url"], order_col="doc_id",
+    )
+    landed = {
+        (r["doc_id"], r["url"])
+        for r in spark.table(sink).select("doc_id", "url").collect()
+    }
+    assert landed == {
+        (11, "http://a/x"), (13, "http://a/y"), (21, "http://a/z"),
+    }
+    # the index accreted exactly the survivor fingerprints
+    assert spark.table(idx).count() == 4  # seed + x + y + z
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    spark.sql(f"DROP TABLE IF EXISTS {sink}")
+
+
 def test_stream_sessionize_legacy_stamp_window_closes(spark):
     """Round-12 fix: the legacy bare-batch-id replay guard is a
     one-batch UPGRADE WINDOW, not forever. A bucketed state table
