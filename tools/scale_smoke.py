@@ -424,6 +424,44 @@ def main() -> None:
 
     stats["crawl_chain_survivors"] = stage("crawl_chain", _crawl)
 
+    # standing exact seen-set (round 12): per-batch probe cost must be
+    # FLAT in the index size — the index side streams out of its
+    # fp-bucketed layout, the batch pays one md5 + one window + one
+    # anti-join. Scaling shape: this timing should NOT track mult.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+        exact_incremental_dedup,
+    )
+
+    seen_n = mult * 20_000
+    seen_table = f"scale_exact_seen_{mult}x"
+    spark.sql(f"DROP TABLE IF EXISTS {seen_table}")
+    corpus_urls = spark.range(seen_n).select(
+        F.concat(F.lit("http://u/"), F.col("id").cast("string")).alias("url")
+    )
+    stage(
+        "exact_seen_build",
+        lambda: exact_build_index(corpus_urls, seen_table, ["url"]),
+    )
+    # fixed 5k batch: half already seen, half new
+    batch_urls = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("http://u/"),
+            F.when(F.col("id") % 2 == 0, F.col("id"))
+            .otherwise(F.col("id") + 100_000_000)
+            .cast("string"),
+        ).alias("url"),
+    )
+    stats["exact_seen_survivors"] = stage(
+        "exact_seen_probe_5k_batch",
+        lambda: exact_incremental_dedup(
+            spark, seen_table, batch_urls, ["url"],
+            order_col="doc_id", append=False,
+        ).count(),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {seen_table}")
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
