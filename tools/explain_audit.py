@@ -112,6 +112,10 @@ AUDIT = [
     "m_image_exif",
     "m_audio_quality",
     "m_resample_audio",
+    # round-12 additions (crawl-frontier tier)
+    "t_frontier_schedule",
+    "t_sitemap_urls",
+    "d_exact_index_dedup",
 ]
 
 
