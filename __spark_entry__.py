@@ -5504,8 +5504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     t_frontier_schedule (swapped for the r08 fill pad a1_profile,
     displaced to just behind the cap). After this round no registered
     query's newest driver verdict predates r08; the other round-12
-    addition (t_sitemap_urls) waits behind the cap for the r13
-    window.
+    additions (t_sitemap_urls, d_exact_index_dedup,
+    x1_frontier_stream) wait behind the cap for the r13 window.
 
     r13 rotation plan: front the remaining r08-verified tranche
     (x2_resample_ffill, a1_hist_quantile, x1_hist_stream,
