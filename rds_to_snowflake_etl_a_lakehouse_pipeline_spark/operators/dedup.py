@@ -247,6 +247,10 @@ def exact_incremental_dedup(
     )
     if n_buckets is None:
         n_buckets = int(meta.get("n_buckets", 32))
+    if "_fp" in new_df.columns:
+        raise ValueError(
+            "exact_incremental_dedup reserves the '_fp' column; rename it"
+        )
     batch = new_df.withColumn("_fp", _exact_fingerprint(content_cols))
     order = order_col or content_cols[0]
     w = Window.partitionBy("_fp").orderBy(F.col(order).asc())
