@@ -5140,6 +5140,83 @@ _SQL_SITEMAP_URLS = (
 )
 
 
+def _q_x1_frontier_schedule_stream(spark, sf_dir):
+    """Streaming politeness scheduling
+    (streaming/events.stream_frontier_schedule): the t_frontier_schedule
+    fixture split into two availableNow drains — odd documents then
+    even — against the same 20-domain directives. Batch-2 slots must
+    CONTINUE each domain's counter where batch 1 stopped (state = a
+    hash-partitioned next_slot table with replay-exact stamps), so the
+    combined sink equals one global per-domain ranking ordered
+    batch-then-doc_id. Any defect in the counter state, the stamp
+    algebra, the delay join, or the default fallback
+    hash-mismatches."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_directives,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_frontier_schedule,
+    )
+
+    st = "frontier_state_s_" + _fixture_key(sf_dir)
+    sk = "frontier_sink_s_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    spark.sql(f"DROP TABLE IF EXISTS {sk}")
+    rk = F.col("id")
+    robots = spark.range(20).select(
+        F.concat(
+            F.lit("d"), rk.cast("string"), F.lit(".example.com")
+        ).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(rk % 5 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("Crawl-delay: "), (rk % 4 + 1).cast("string"),
+                    F.lit("\n"),
+                )
+            ),
+        ).alias("robots_txt"),
+    )
+    dirs = robots_directives(robots)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 20
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://d"), k.cast("string"),
+            F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    feed = tempfile.mkdtemp(prefix="fsched-feed-") + "/feed"
+    ck = tempfile.mkdtemp(prefix="ck-fsched-")
+    for par in (1, 0):  # odd batch first, then even
+        urls.filter(F.col("doc_id") % 2 == par).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        sdf = spark.readStream.schema("doc_id long, url string").parquet(feed)
+        stream_frontier_schedule(
+            sdf, st, sk, ck, directives=dirs, order_col="doc_id"
+        )
+    return spark.table(sk).select(
+        "doc_id", "fetch_domain", "fetch_slot", "fetch_offset_seconds"
+    )
+
+
+_SQL_FRONTIER_SCHEDULE_STREAM = (
+    "WITH p AS (SELECT doc_id, doc_id % 20 AS k, "
+    "row_number() OVER (PARTITION BY doc_id % 20 "
+    "ORDER BY doc_id % 2 DESC, doc_id) - 1 AS fetch_slot "
+    "FROM documents) "
+    "SELECT doc_id, 'd' || CAST(k AS VARCHAR) || '.example.com' "
+    "AS fetch_domain, fetch_slot, "
+    "CAST(round(fetch_slot * (CASE WHEN k % 5 = 0 THEN 1.0 "
+    "ELSE CAST(k % 4 + 1 AS DOUBLE) END), 6) AS DOUBLE) "
+    "AS fetch_offset_seconds FROM p"
+)
+
+
 _SQL_FRONTIER_SCHEDULE = (
     "WITH f AS (SELECT doc_id, doc_id % 20 AS k, "
     "'p' || CAST(doc_id AS VARCHAR) AS leaf FROM documents), "
@@ -5743,6 +5820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_sitemap_urls": _q_t_sitemap_urls,
         "d_exact_index_dedup": _q_d_exact_index_dedup,
         "x1_frontier_stream": _q_x1_frontier_stream,
+        "x1_frontier_schedule_stream": _q_x1_frontier_schedule_stream,
     }
 
 
@@ -6687,6 +6765,7 @@ def oracle_sql() -> dict[str, str]:
         "t_sitemap_urls": _SQL_SITEMAP_URLS,
         "d_exact_index_dedup": _SQL_EXACT_INDEX_DEDUP,
         "x1_frontier_stream": _SQL_FRONTIER_STREAM,
+        "x1_frontier_schedule_stream": _SQL_FRONTIER_SCHEDULE_STREAM,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

@@ -748,6 +748,30 @@ def robots_rules(
     )
 
 
+def _url_host(url_col: str) -> Column:
+    """Lowercased host[:non-default-port] of a URL column — the
+    politeness/compliance key shared by :func:`robots_allowed`,
+    :func:`frontier_schedule` and the streaming scheduler. Mirrors
+    ``functions.text.canonicalize_url``: ``?`` binds BEFORE the first
+    ``/`` (a query-no-path URL must not absorb its query into the
+    host) and default ports (``:80`` http / ``:443`` https) strip."""
+    rest = F.get(F.split(F.col(url_col), "://", 2), 1)
+    scheme = F.lower(F.get(F.split(F.col(url_col), "://", 2), 0))
+    hostpath = F.get(F.split(rest, "\\?", 2), 0)
+    hp = F.lower(F.get(F.split(hostpath, "/", 2), 0))
+    return (
+        F.when(
+            (scheme == "http") & hp.endswith(":80"),
+            hp.substr(F.lit(1), F.length(hp) - 3),
+        )
+        .when(
+            (scheme == "https") & hp.endswith(":443"),
+            hp.substr(F.lit(1), F.length(hp) - 4),
+        )
+        .otherwise(hp)
+    )
+
+
 def robots_allowed(
     urls,
     rules,
@@ -774,20 +798,8 @@ def robots_allowed(
     # its query into the host and bypass every rule), default ports
     # are stripped, and BOTH join sides are lowercased
     rest = F.get(F.split(F.col(url_col), "://", 2), 1)
-    scheme = F.lower(F.get(F.split(F.col(url_col), "://", 2), 0))
     hostpath = F.get(F.split(rest, "\\?", 2), 0)
-    hp = F.lower(F.get(F.split(hostpath, "/", 2), 0))
-    host = (
-        F.when(
-            (scheme == "http") & hp.endswith(":80"),
-            hp.substr(F.lit(1), F.length(hp) - 3),
-        )
-        .when(
-            (scheme == "https") & hp.endswith(":443"),
-            hp.substr(F.lit(1), F.length(hp) - 4),
-        )
-        .otherwise(hp)
-    )
+    host = _url_host(url_col)
     clash = [c for c in urls.columns if c.startswith("__rb_")]
     if clash:
         raise ValueError(
@@ -999,23 +1011,8 @@ def frontier_schedule(
             f"frontier_schedule reserves columns {sorted(reserved)}; "
             f"rename or change out_prefix: {clash}"
         )
-    rest = F.get(F.split(F.col(url_col), "://", 2), 1)
-    scheme = F.lower(F.get(F.split(F.col(url_col), "://", 2), 0))
-    hostpath = F.get(F.split(rest, "\\?", 2), 0)
-    hp = F.lower(F.get(F.split(hostpath, "/", 2), 0))
-    host = (
-        F.when(
-            (scheme == "http") & hp.endswith(":80"),
-            hp.substr(F.lit(1), F.length(hp) - 3),
-        )
-        .when(
-            (scheme == "https") & hp.endswith(":443"),
-            hp.substr(F.lit(1), F.length(hp) - 4),
-        )
-        .otherwise(hp)
-    )
     dom_col = f"{out_prefix}domain"
-    out = urls.withColumn(dom_col, host)
+    out = urls.withColumn(dom_col, _url_host(url_col))
     if directives is not None:
         d = F.broadcast(
             directives.select(

@@ -1306,6 +1306,220 @@ def stream_exact_dedup(
     q.awaitTermination()
 
 
+def stream_frontier_schedule(
+    sdf: DataFrame,
+    state_table: str,
+    sink_table: str,
+    checkpoint_dir: str,
+    directives: DataFrame | None = None,
+    url_col: str = "url",
+    default_delay: float = 1.0,
+    order_col: str | None = None,
+    state_partitions: int = 64,
+    query_name: str = "stream_frontier_schedule",
+):
+    """Streaming politeness scheduling — the stateful twin of
+    ``operators.curation.frontier_schedule`` for a CONTINUOUS crawl:
+    every micro-batch of discovered URLs gets per-domain serial fetch
+    slots that CONTINUE where the previous batch stopped (state = one
+    ``next_slot`` counter per domain in a hash-partitioned catalog
+    table), offsets = slot × the domain's ``crawl_delay`` from
+    ``directives`` (:func:`~..operators.curation.robots_directives`;
+    ``default_delay`` when absent). Scheduled rows land in
+    ``sink_table``'s per-batch partition.
+
+    Replay-exact (see :func:`_frontier_schedule_merge_batch`): slots
+    are recomputed from the PRE-batch counters even when a crash left
+    some state partitions already advanced, so a redelivered batch
+    overwrites its sink partition with identical rows and advances
+    only the partitions that missed. Runs with trigger=availableNow
+    and blocks until input drains."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sid = _checkpoint_stream_id(batch_df.sparkSession, checkpoint_dir)
+        _frontier_schedule_merge_batch(
+            batch_df, batch_id, state_table, sink_table, directives,
+            url_col, default_delay, order_col,
+            state_partitions=state_partitions,
+            stamp=_stream_stamp(sid, batch_id), stream_id=sid,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _frontier_schedule_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_table: str,
+    sink_table: str,
+    directives: DataFrame | None,
+    url_col: str,
+    default_delay: float,
+    order_col: str | None,
+    state_partitions: int = 64,
+    stamp: int | None = None,
+    stream_id: str | None = None,
+) -> None:
+    """One :func:`stream_frontier_schedule` micro-batch, module-level
+    so the crash-replay contract is directly testable. Write order and
+    replay algebra:
+
+    1. Within-batch slots (``_bslot``) and per-domain counts
+       (``_bcnt``) come from one domain-keyed window.
+    2. The PRE-batch base for each domain is its state ``next_slot`` —
+       EXCEPT domains whose state partition already carries this
+       batch's stamp (a crash between the partition-scoped state
+       overwrite and the checkpoint commit): their counter already
+       includes this batch, so base = ``next_slot − _bcnt``. Slots are
+       therefore identical across replays regardless of which
+       partitions the crash caught.
+    3. The sink partition lands FIRST (dynamic overwrite — idempotent
+       by construction), THEN the touched state partitions that are
+       not yet stamped advance (bystander domains sharing a rewritten
+       partition copy forward unchanged).
+
+    The legacy bare-batch-id stamp acceptance is gated on the same
+    ``stamp_mode`` table-meta window as sessionize state — it closes
+    on the first hashed-stamp commit."""
+    from ..operators.curation import _url_host
+    from ..sources.io import (
+        check_table_meta,
+        get_table_meta,
+        set_table_meta,
+        write_table,
+    )
+
+    reserved = {
+        "fetch_domain", "fetch_slot", "fetch_offset_seconds",
+        "__fs_delay", "_kb", "_bslot", "_bcnt", "_base", "next_slot",
+    }
+    clash = [c for c in batch_df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"stream_frontier_schedule reserves columns {sorted(reserved)}:"
+            f" {clash}"
+        )
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    if stamp is None:
+        stamp = batch_id
+    from pyspark.sql import Window
+
+    b = batch_df.withColumn("fetch_domain", _url_host(url_col))
+    order = [F.col(order_col or url_col).asc()]
+    w = Window.partitionBy("fetch_domain").orderBy(*order)
+    b = (
+        b.withColumn("_bslot", F.row_number().over(w) - 1)
+        .withColumn("_bcnt", F.count("*").over(Window.partitionBy("fetch_domain")))
+    )
+    if directives is not None:
+        b = b.join(
+            directives.select(
+                F.lower(F.col("domain")).alias("fetch_domain"),
+                F.col("crawl_delay").alias("__fs_delay"),
+            ),
+            "fetch_domain",
+            "left",
+        )
+    else:
+        b = b.withColumn("__fs_delay", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("__fs_delay"), F.lit(float(default_delay)))
+    bucket = F.pmod(F.xxhash64(F.col("fetch_domain")), F.lit(state_partitions))
+    b = b.withColumn("_kb", bucket).localCheckpoint(eager=True)
+
+    exists = spark.catalog.tableExists(state_table)
+    done_kb: set = set()
+    if exists:
+        meta = get_table_meta(spark, state_table)
+        if "state_partitions" in meta:
+            check_table_meta(spark, state_table, state_partitions=state_partitions)
+        else:
+            set_table_meta(spark, state_table, state_partitions=state_partitions)
+        state = spark.table(state_table)
+        touched_kb = sorted(r[0] for r in b.select("_kb").distinct().collect())
+        honor_bare = stamp != batch_id and meta.get("stamp_mode") != "hashed"
+        guard = F.col("_applied_batch") == stamp
+        if honor_bare:
+            guard = guard | (F.col("_applied_batch") == batch_id)
+        done_kb = {
+            r[0]
+            for r in state.filter(F.col("_kb").isin(touched_kb) & guard)
+            .select("_kb").distinct().collect()
+        }
+        joined = b.join(
+            state.select("fetch_domain", "next_slot"), "fetch_domain", "left"
+        )
+        ns = F.coalesce(F.col("next_slot"), F.lit(0))
+        # stamped partitions already include this batch in the counter
+        base = F.when(
+            F.col("_kb").isin(sorted(done_kb)) if done_kb else F.lit(False),
+            ns - F.col("_bcnt"),
+        ).otherwise(ns)
+        joined = joined.withColumn("_base", base).drop("next_slot")
+    else:
+        meta = {}
+        joined = b.withColumn("_base", F.lit(0).cast("bigint"))
+    slot = (F.col("_base") + F.col("_bslot")).cast("bigint")
+    sched = joined.select(
+        *[c for c in batch_df.columns],
+        "fetch_domain",
+        slot.alias("fetch_slot"),
+        F.round(slot * delay, 6).alias("fetch_offset_seconds"),
+        "_kb",
+        "_bcnt",
+        "_base",
+    ).localCheckpoint(eager=True)
+    _land_batch_partition(
+        sched.drop("_kb", "_bcnt", "_base"), sink_table, batch_id,
+        stream_id=stream_id,
+    )
+
+    adv = (
+        sched.groupBy("fetch_domain", "_kb")
+        .agg((F.first("_base") + F.first("_bcnt")).alias("next_slot"))
+    )
+    if not exists:
+        out = adv.withColumn("_applied_batch", F.lit(stamp).cast("bigint"))
+        write_table(
+            out.select("fetch_domain", "next_slot", "_applied_batch", "_kb"),
+            state_table,
+            partition_by=["_kb"],
+        )
+        set_table_meta(
+            spark, state_table,
+            state_partitions=state_partitions,
+            stamp_mode="hashed" if stamp != batch_id else "bare",
+        )
+        return
+    todo_kb = [k for k in touched_kb if k not in done_kb]
+    if not todo_kb:
+        return
+    adv_todo = adv.filter(F.col("_kb").isin(todo_kb))
+    pstate = spark.table(state_table).filter(F.col("_kb").isin(todo_kb))
+    bystanders = pstate.join(
+        F.broadcast(adv_todo.select("fetch_domain")), "fetch_domain", "leftanti"
+    ).drop("_applied_batch")
+    out = (
+        bystanders.select("fetch_domain", "next_slot", "_kb")
+        .unionByName(adv_todo.select("fetch_domain", "next_slot", "_kb"))
+        .withColumn("_applied_batch", F.lit(stamp).cast("bigint"))
+        .select("fetch_domain", "next_slot", "_applied_batch", "_kb")
+        .localCheckpoint(eager=True)
+    )
+    _dynamic_partition_overwrite(out, state_table, "_kb")
+    if stamp != batch_id and meta.get("stamp_mode") != "hashed":
+        set_table_meta(spark, state_table, stamp_mode="hashed")
+
+
 def _fuse_intervals(intervals: DataFrame, key_col: str, gap_us: int) -> DataFrame:
     """Fuse per-key session intervals whose inter-interval gap is at
     most ``gap_us``: running-max end (not lag — out-of-order batches

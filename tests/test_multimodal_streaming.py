@@ -1298,6 +1298,103 @@ def test_stream_exact_dedup_frontier(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {sink}")
 
 
+def test_stream_frontier_schedule_continuity_and_replay(spark, tmp_path):
+    """Streaming politeness scheduling: batch-2 slots CONTINUE the
+    per-domain counters batch 1 left (offsets keep multiplying the
+    domain's crawl delay), unknown domains use the default delay, the
+    end-to-end wrapper drains a real file stream, and the merge batch
+    is replay-exact — re-firing the same stamp leaves sink AND state
+    byte-identical, including the crash window where the state
+    partition advanced but the checkpoint didn't (slots recompute from
+    the PRE-batch base)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_directives,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _frontier_schedule_merge_batch,
+        stream_frontier_schedule,
+    )
+
+    dirs = robots_directives(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nCrawl-delay: 10\n")],
+            "domain string, robots_txt string",
+        )
+    )
+    st, sk = "frontier_state_t", "frontier_sink_t"
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    spark.sql(f"DROP TABLE IF EXISTS {sk}")
+    feed = str(tmp_path / "feed")
+    schema = "doc_id long, url string"
+    spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, "http://a.com/y"), (3, "http://b.com/1")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(feed)
+    spark.createDataFrame(
+        [(4, "http://a.com/z"), (5, "http://b.com/2")], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_frontier_schedule(
+        sdf, st, sk, checkpoint_dir=str(tmp_path / "ck"),
+        directives=dirs, order_col="doc_id",
+    )
+    got = {
+        r["doc_id"]: (r["fetch_domain"], r["fetch_slot"],
+                      r["fetch_offset_seconds"])
+        for r in spark.table(sk).collect()
+    }
+    assert got == {
+        1: ("a.com", 0, 0.0), 2: ("a.com", 1, 10.0),
+        3: ("b.com", 0, 0.0),
+        4: ("a.com", 2, 20.0),           # continues after batch 1
+        5: ("b.com", 1, 1.0),            # default delay domain
+    }
+    state = {
+        r["fetch_domain"]: r["next_slot"] for r in spark.table(st).collect()
+    }
+    assert state == {"a.com": 3, "b.com": 2}
+    # replay-exactness: re-fire a batch with its original stamp — the
+    # state partitions are already stamped, so slots recompute from
+    # the PRE-batch base and both tables stay byte-identical (this IS
+    # the advanced-state crash window: state committed, checkpoint
+    # not)
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _checkpoint_stream_id,
+        _stream_stamp,
+    )
+
+    sid = _checkpoint_stream_id(spark, str(tmp_path / "ck"))
+    sink_before, state_before = _snap(spark, sk), _snap(spark, st)
+    _frontier_schedule_merge_batch(
+        spark.createDataFrame(
+            [(4, "http://a.com/z"), (5, "http://b.com/2")], schema
+        ),
+        1, st, sk, dirs, "url", 1.0, "doc_id",
+        stamp=_stream_stamp(sid, 1), stream_id=sid,
+    )
+    assert _snap(spark, sk) == sink_before
+    assert _snap(spark, st) == state_before
+    # reserved caller columns are refused loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="reserves"):
+        _frontier_schedule_merge_batch(
+            spark.createDataFrame(
+                [(1, "http://a.com/x", 5)],
+                "doc_id long, url string, fetch_slot int",
+            ),
+            9, st, sk, None, "url", 1.0, "doc_id",
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    spark.sql(f"DROP TABLE IF EXISTS {sk}")
+
+
 def test_stream_sessionize_legacy_stamp_window_closes(spark):
     """Round-12 fix: the legacy bare-batch-id replay guard is a
     one-batch UPGRADE WINDOW, not forever. A bucketed state table
