@@ -1455,8 +1455,17 @@ def _frontier_schedule_merge_batch(
             for r in state.filter(F.col("_kb").isin(touched_kb) & guard)
             .select("_kb").distinct().collect()
         }
+        # batch domains can only live in touched buckets: filtering
+        # first turns the base join's state side into a
+        # partition-pruned scan of ≤len(touched_kb) partitions instead
+        # of a full-table shuffle per micro-batch (at web scale the
+        # state is domain-count-sized; the batch is not)
         joined = b.join(
-            state.select("fetch_domain", "next_slot"), "fetch_domain", "left"
+            state.filter(F.col("_kb").isin(touched_kb)).select(
+                "fetch_domain", "next_slot"
+            ),
+            "fetch_domain",
+            "left",
         )
         ns = F.coalesce(F.col("next_slot"), F.lit(0))
         # stamped partitions already include this batch in the counter
