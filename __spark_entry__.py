@@ -786,6 +786,56 @@ def _q_t_repetition_ratio(spark, sf_dir):
     return d.select("doc_id", lf.repetition_ratio("text").alias("rep_ratio"))
 
 
+def _q_t_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/curation.py::dsir_importance +
+    dsir_select; Xie et al., NeurIPS 2023): hashed-unigram bucket
+    distributions (256 md5 buckets) of the English subset vs the whole
+    corpus give per-bucket log ratios; each document scores the sum of
+    its tokens' ratios and the top 200 by (rounded score, doc_id) are
+    kept — exact top-k mode, the Gumbel path is pytest-pinned. The
+    oracle replays tokenization, md5 bucketing, Laplace smoothing,
+    ratio fit and scoring end to end; any drift in any stage reorders
+    the boundary and hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        dsir_select,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sel = dsir_select(d, d.filter(F.col("lang") == "en"), k=200)
+    return sel.select("doc_id", "dsir_logw")
+
+
+_DSIR_BKT = (
+    "(((strpos('0123456789abcdef', substr(md5(f),1,1))-1)*4096"
+    " + (strpos('0123456789abcdef', substr(md5(f),2,1))-1)*256"
+    " + (strpos('0123456789abcdef', substr(md5(f),3,1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(md5(f),4,1))-1)) % 256)"
+)
+
+_SQL_DSIR_SELECT = (
+    "WITH tok AS (SELECT doc_id, lang, "
+    "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS f "
+    "FROM documents), "
+    f"tf AS (SELECT doc_id, lang, {_DSIR_BKT} AS b FROM tok "
+    "WHERE f <> ''), "
+    "tn AS (SELECT count(*) AS n FROM tf WHERE lang = 'en'), "
+    "rn AS (SELECT count(*) AS n FROM tf), "
+    "tc AS (SELECT b, count(*) AS c FROM tf WHERE lang = 'en' GROUP BY 1), "
+    "rc AS (SELECT b, count(*) AS c FROM tf GROUP BY 1), "
+    "spine AS (SELECT CAST(range AS INT) AS b FROM range(256)), "
+    "ratio AS (SELECT spine.b AS b, "
+    "ln((coalesce(tc.c, 0) + 1.0) / ((SELECT n FROM tn) + 256.0)) "
+    "- ln((coalesce(rc.c, 0) + 1.0) / ((SELECT n FROM rn) + 256.0)) AS lr "
+    "FROM spine LEFT JOIN tc ON spine.b = tc.b "
+    "LEFT JOIN rc ON spine.b = rc.b), "
+    "sc AS (SELECT tf.doc_id, round(sum(r.lr), 6) AS dsir_logw "
+    "FROM tf JOIN ratio r ON tf.b = r.b GROUP BY 1) "
+    "SELECT d.doc_id, coalesce(sc.dsir_logw, 0.0) AS dsir_logw "
+    "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id "
+    "ORDER BY dsir_logw DESC, d.doc_id LIMIT 200"
+)
+
+
 def _q_t_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test split (80/10/10) keyed on
     doc_id — stable across runs/engines/partitioning, leak-proof for
@@ -5821,6 +5871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact_index_dedup": _q_d_exact_index_dedup,
         "x1_frontier_stream": _q_x1_frontier_stream,
         "x1_frontier_schedule_stream": _q_x1_frontier_schedule_stream,
+        "t_dsir_select": _q_t_dsir_select,
     }
 
 
@@ -6766,6 +6817,7 @@ def oracle_sql() -> dict[str, str]:
         "d_exact_index_dedup": _SQL_EXACT_INDEX_DEDUP,
         "x1_frontier_stream": _SQL_FRONTIER_STREAM,
         "x1_frontier_schedule_stream": _SQL_FRONTIER_SCHEDULE_STREAM,
+        "t_dsir_select": _SQL_DSIR_SELECT,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

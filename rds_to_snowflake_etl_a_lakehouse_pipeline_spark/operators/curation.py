@@ -921,6 +921,142 @@ def robots_directives(
     )
 
 
+def dsir_importance(
+    df,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    smoothing: float = 1.0,
+    bigrams: bool = False,
+    out_col: str = "dsir_logw",
+):
+    """DSIR importance weights — Data Selection via Importance
+    Resampling (Xie et al., NeurIPS 2023): fit hashed n-gram bucket
+    distributions over a small TARGET corpus (the distribution you
+    want more of) and the RAW corpus, then score each raw document by
+    the sum of its tokens' per-bucket log probability ratios
+    ``log p_target(b) − log p_raw(b)`` (Laplace-smoothed). High
+    ``out_col`` = looks like the target. Feed to :func:`dsir_select`
+    for the resampling step.
+
+    Spark shape: one tokenize pass per corpus (scan-fused split +
+    explode, zero Python), two bucket-count aggregations (B ≪ corpus,
+    map-side combined), the B-row log-ratio table BROADCAST into the
+    scoring join, one doc-keyed sum. Bucketing is md5-based
+    (``functions.text.hash_bucket``) so any SQL engine reproduces the
+    identical buckets — the oracle replays the whole pipeline.
+    Documents with no tokens score 0.0 (log ratio of an empty
+    product). Scores round to 6 dp so cross-engine float-sum
+    association noise (~1e-12) can't flip a comparison.
+
+    ``bigrams=True`` adds adjacent-pair features (the paper's
+    unigram+bigram hashing); parity for that path is pinned by a
+    Python replay in pytest rather than the SQL oracle."""
+    from ..functions.text import hash_bucket
+
+    total_buckets = n_buckets
+
+    def feats(frame, keep_id: bool):
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+        base = frame.withColumn("_toks", toks)
+        arr = F.col("_toks")
+        if bigrams:
+            bg = F.expr(
+                "transform(slice(_toks, 1, greatest(size(_toks)-1, 0)), "
+                "(t, i) -> concat(t, ' ', _toks[i+1]))"
+            )
+            arr = F.concat(arr, bg)
+        cols = [F.col(id_col)] if keep_id else []
+        return base.select(*cols, F.explode(arr).alias("_f")).withColumn(
+            "_bkt", hash_bucket(F.col("_f"), total_buckets)
+        )
+
+    tfeat = feats(target, keep_id=False)
+    rfeat = feats(df, keep_id=True)
+    t_tot = tfeat.count()
+    tcnt = tfeat.groupBy("_bkt").agg(F.count("*").alias("_tc"))
+    r_tot = rfeat.count()
+    rcnt = rfeat.groupBy("_bkt").agg(F.count("*").alias("_rc"))
+    spine = df.sparkSession.range(total_buckets).select(
+        F.col("id").cast("int").alias("_bkt")
+    )
+    a, b_ = float(smoothing), float(total_buckets)
+    ratio = (
+        spine.join(tcnt, "_bkt", "left")
+        .join(rcnt, "_bkt", "left")
+        .select(
+            "_bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + a)
+                    / F.lit(t_tot + a * b_)
+                )
+                - F.log(
+                    (F.coalesce(F.col("_rc"), F.lit(0)) + a)
+                    / F.lit(r_tot + a * b_)
+                )
+            ).alias("_lr"),
+        )
+    )
+    scores = (
+        rfeat.join(F.broadcast(ratio), "_bkt")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_lr"), 6).alias(out_col))
+    )
+    return df.join(scores, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0.0))
+    )
+
+
+def dsir_select(
+    df,
+    target,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    smoothing: float = 1.0,
+    bigrams: bool = False,
+    gumbel: bool = False,
+    seed: int = 17,
+):
+    """DSIR selection: keep the ``k`` raw documents that most resemble
+    the target distribution. ``gumbel=False`` is exact top-k by
+    importance weight (ties broken by ``id_col``). ``gumbel=True`` is
+    the paper's Gumbel-top-k trick — sampling WITHOUT replacement
+    proportionally to the (softmax of) importance weights — with the
+    Gumbel noise derived from an md5 uniform over ``(id, seed)`` so
+    the draw is deterministic across runs, engines and partitionings
+    (the same no-``rand()`` rule as ``hash_split``). Both paths
+    compile to TakeOrderedAndProject — no single-partition sort."""
+    from ..operators.curation import _det_bucket
+
+    w = dsir_importance(
+        df, target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, smoothing=smoothing, bigrams=bigrams,
+    )
+    key = F.col("dsir_logw")
+    if gumbel:
+        u = (
+            _det_bucket(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"/g{seed}")),
+                16**8,
+            )
+            + 0.5
+        ) / float(16**8)
+        key = key + (-F.log(-F.log(u)))
+    return (
+        w.withColumn("_dsir_key", key)
+        .orderBy(F.desc("_dsir_key"), F.col(id_col).asc())
+        .limit(k)
+        .drop("_dsir_key")
+    )
+
+
 def parse_sitemaps(
     df,
     content_col: str = "sitemap_xml",

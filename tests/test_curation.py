@@ -1113,6 +1113,87 @@ def test_robots_directives_and_frontier_schedule(spark):
         )
 
 
+def test_dsir_importance_and_select(spark):
+    """Round 12 (Xie et al., NeurIPS 2023): target-like documents must
+    outscore off-target ones; the unigram+bigram path matches a pure-
+    Python replay of the whole pipeline (tokenize → md5 bucket →
+    Laplace distributions → log-ratio sum); empty documents score 0.0;
+    Gumbel selection is deterministic across calls (md5-derived noise,
+    no rand())."""
+    import hashlib
+    import math
+    import re
+
+    import pytest as pt
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha gamma"), (101, "beta alpha beta")],
+        "doc_id long, text string",
+    )
+    raw_rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "zeta eta theta iota"),
+        (3, "alpha zeta beta eta"),
+        (4, ""),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance(raw, target, bigrams=True).collect()
+    }
+    assert got[4] == 0.0
+    assert got[1] > got[3] > got[2]  # target-like > mixed > off-target
+
+    # pure-Python replay of the unigram+bigram pipeline
+    B, a = 256, 1.0
+
+    def feats(text):
+        t = [x for x in re.split(r"\s+", text.lower().strip()) if x]
+        return t + [f"{u} {v}" for u, v in zip(t, t[1:])]
+
+    def bkt(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:4], 16) % B
+
+    t_b = [bkt(f) for tx in
+           ["alpha beta alpha gamma", "beta alpha beta"] for f in feats(tx)]
+    r_b = [bkt(f) for _, tx in raw_rows for f in feats(tx)]
+    tc = {b: t_b.count(b) for b in set(t_b)}
+    rc = {b: r_b.count(b) for b in set(r_b)}
+    T, R = len(t_b), len(r_b)
+
+    def lr(b):
+        return math.log((tc.get(b, 0) + a) / (T + a * B)) - math.log(
+            (rc.get(b, 0) + a) / (R + a * B)
+        )
+
+    for did, tx in raw_rows:
+        want = round(sum(lr(bkt(f)) for f in feats(tx)), 6) if tx else 0.0
+        assert got[did] == pt.approx(want, abs=2e-6)
+
+    # Gumbel selection: deterministic, k respected, same draw twice
+    s1 = sorted(
+        r["doc_id"]
+        for r in dsir_select(raw, target, k=2, gumbel=True).collect()
+    )
+    s2 = sorted(
+        r["doc_id"]
+        for r in dsir_select(raw, target, k=2, gumbel=True).collect()
+    )
+    assert s1 == s2 and len(s1) == 2
+    # exact mode: top-k by weight then id (same feature space as `got`)
+    exact = [
+        r["doc_id"]
+        for r in dsir_select(raw, target, k=2, bigrams=True).collect()
+    ]
+    ranked = sorted(got, key=lambda d: (-got[d], d))[:2]
+    assert sorted(exact) == sorted(ranked)
+
+
 def test_parse_sitemaps(spark):
     """Round 12: <urlset> pages come back kind='url' with XML entities
     decoded and whitespace trimmed; <sitemapindex> children come back
