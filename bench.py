@@ -369,6 +369,11 @@ def main() -> None:
         # extract + canonicalize + RFC 9309 robots (path+query
         # wildcards) + URL dedup over every document at sf0.1
         "q31_crawl_chain": (q_crawl_chain, True),
+        # DSIR data selection (round 12): two tokenize passes, two
+        # bucket aggs, broadcast ratio table, one doc-keyed scoring
+        # sum + TakeOrdered top-k — English-target selection over the
+        # whole corpus at sf0.1
+        "q32_dsir_select": (qs["t_dsir_select"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

@@ -975,32 +975,35 @@ def dsir_importance(
             "_bkt", hash_bucket(F.col("_f"), total_buckets)
         )
 
+    import math
+
     tfeat = feats(target, keep_id=False)
     rfeat = feats(df, keep_id=True)
-    t_tot = tfeat.count()
-    tcnt = tfeat.groupBy("_bkt").agg(F.count("*").alias("_tc"))
-    r_tot = rfeat.count()
-    rcnt = rfeat.groupBy("_bkt").agg(F.count("*").alias("_rc"))
-    spine = df.sparkSession.range(total_buckets).select(
-        F.col("id").cast("int").alias("_bkt")
-    )
+    # ONE pass per corpus: the B-row bucket histograms come back to
+    # the driver (bounded: B = n_buckets, a parameter — the paper uses
+    # 10k; keep it ≪ 1e6) and the totals + smoothed log-ratio table
+    # are built driver-side, so no corpus pass runs twice just to
+    # count rows and the ratio table is a literal broadcast
+    tcounts = {
+        r["_bkt"]: r["_tc"]
+        for r in tfeat.groupBy("_bkt").agg(F.count("*").alias("_tc")).collect()
+    }
+    rcounts = {
+        r["_bkt"]: r["_rc"]
+        for r in rfeat.groupBy("_bkt").agg(F.count("*").alias("_rc")).collect()
+    }
+    t_tot, r_tot = sum(tcounts.values()), sum(rcounts.values())
     a, b_ = float(smoothing), float(total_buckets)
-    ratio = (
-        spine.join(tcnt, "_bkt", "left")
-        .join(rcnt, "_bkt", "left")
-        .select(
-            "_bkt",
+    ratio = df.sparkSession.createDataFrame(
+        [
             (
-                F.log(
-                    (F.coalesce(F.col("_tc"), F.lit(0)) + a)
-                    / F.lit(t_tot + a * b_)
-                )
-                - F.log(
-                    (F.coalesce(F.col("_rc"), F.lit(0)) + a)
-                    / F.lit(r_tot + a * b_)
-                )
-            ).alias("_lr"),
-        )
+                b,
+                math.log((tcounts.get(b, 0) + a) / (t_tot + a * b_))
+                - math.log((rcounts.get(b, 0) + a) / (r_tot + a * b_)),
+            )
+            for b in range(total_buckets)
+        ],
+        "_bkt int, _lr double",
     )
     scores = (
         rfeat.join(F.broadcast(ratio), "_bkt")

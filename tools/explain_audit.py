@@ -112,10 +112,11 @@ AUDIT = [
     "m_image_exif",
     "m_audio_quality",
     "m_resample_audio",
-    # round-12 additions (crawl-frontier tier)
+    # round-12 additions (crawl-frontier tier + data selection)
     "t_frontier_schedule",
     "t_sitemap_urls",
     "d_exact_index_dedup",
+    "t_dsir_select",
 ]
 
 
