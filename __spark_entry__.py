@@ -5632,7 +5632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displaced to just behind the cap). After this round no registered
     query's newest driver verdict predates r08; the other round-12
     additions (t_sitemap_urls, d_exact_index_dedup,
-    x1_frontier_stream) wait behind the cap for the r13 window.
+    x1_frontier_stream, x1_frontier_schedule_stream, t_dsir_select)
+    wait behind the cap for the r13 window.
 
     r13 rotation plan: front the remaining r08-verified tranche
     (x2_resample_ffill, a1_hist_quantile, x1_hist_stream,
