@@ -1036,8 +1036,6 @@ def dsir_select(
     the draw is deterministic across runs, engines and partitionings
     (the same no-``rand()`` rule as ``hash_split``). Both paths
     compile to TakeOrderedAndProject — no single-partition sort."""
-    from ..operators.curation import _det_bucket
-
     w = dsir_importance(
         df, target, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets, smoothing=smoothing, bigrams=bigrams,
