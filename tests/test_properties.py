@@ -1473,3 +1473,150 @@ def test_robots_matches_python_reference(spark, texts, paths, agent):
         ).collect()
     }
     assert got == {u: want[u] for u in urls}
+
+
+# ------------------------------------------- round-12 crawl-frontier tier
+@given(
+    paths=st.lists(
+        st.sampled_from(["/a", "/b", "/a/b", "/c?x=1", "/a?y=2"]),
+        min_size=1,
+        max_size=12,
+    ),
+    doms=st.lists(st.sampled_from(["a.com", "B.com", "c.com"]),
+                  min_size=1, max_size=12),
+    delays=st.dictionaries(
+        st.sampled_from(["a.com", "b.com"]),
+        st.sampled_from([0.5, 2.0, 7.0]),
+        max_size=2,
+    ),
+)
+@PROP
+def test_frontier_schedule_matches_python_reference(
+    spark, paths, doms, delays
+):
+    """Random frontiers + partial delay tables: slots are dense
+    0..n−1 per politeness domain (case/port folded), offsets equal
+    slot × the domain's delay (default 1.0 when absent), ordering by
+    URL ascending — all replayed by a pure-Python reference."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        frontier_schedule,
+    )
+
+    n = min(len(paths), len(doms))
+    urls = [f"http://{doms[i]}{paths[i]}" for i in range(n)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    dirs = spark.createDataFrame(
+        [(d, v) for d, v in delays.items()],
+        "domain string, crawl_delay double",
+    ) if delays else None
+    got = {
+        (r["url"], i): (r["fetch_domain"], r["fetch_slot"],
+                        r["fetch_offset_seconds"])
+        for i, r in enumerate(
+            frontier_schedule(df, dirs).orderBy("url").collect()
+        )
+    }
+    # Python reference over the same (url order is the tiebreak)
+    by_dom: dict = {}
+    for u in sorted(urls):
+        d = u.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0].lower()
+        by_dom.setdefault(d, []).append(u)
+    want = {}
+    seen: dict = {}
+    for i, r in enumerate(sorted(urls)):
+        d = r.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0].lower()
+        slot = seen.get(d, 0)
+        seen[d] = slot + 1
+        delay = delays.get(d, 1.0)
+        want[(r, i)] = (d, slot, round(slot * delay, 6))
+    assert got == want
+
+
+@given(
+    locs=st.lists(
+        st.sampled_from(
+            ["http://x/a", "http://x/b?q=1&r=2", "http://y/π", "http://z/\"c\""]
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    index=st.booleans(),
+    prefix=st.sampled_from(["", "sm:"]),
+)
+@PROP
+def test_parse_sitemaps_roundtrip(spark, locs, index, prefix):
+    """Generated sitemap XML (urlset or sitemapindex, optional
+    namespace prefix, entity-escaped locs) round-trips: every loc
+    comes back decoded in order-insensitive set equality with the
+    right kind; an empty list yields zero rows."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        parse_sitemaps,
+    )
+
+    esc = lambda s: (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+    )
+    tag = "sitemap" if index else "url"
+    root = "sitemapindex" if index else "urlset"
+    p = prefix
+    xmlns = " xmlns:sm='x'" if p else ""
+    body = "".join(
+        f"<{p}{tag}><{p}loc> {esc(s)} </{p}loc></{p}{tag}>" for s in locs
+    )
+    xml = f"<{p}{root}{xmlns}>{body}</{p}{root}>"
+    df = spark.createDataFrame([(1, xml)], "id int, sitemap_xml string")
+    rows = [(r["loc"], r["kind"]) for r in parse_sitemaps(df).collect()]
+    kind = "sitemap" if index else "url"
+    assert sorted(rows) == sorted((s, kind) for s in locs)
+
+
+@given(
+    batches=st.lists(
+        st.lists(st.sampled_from(["u1", "u2", "u3", "u4", "u5"]),
+                 min_size=1, max_size=4),
+        min_size=1,
+        max_size=3,
+    ),
+    seed=st.lists(st.sampled_from(["u1", "u9"]), max_size=2),
+)
+@PROP
+def test_exact_seen_set_matches_python_replay(spark, batches, seed):
+    """Random batch sequences against the standing exact seen-set
+    equal a pure-Python set replay: per batch, first occurrence of an
+    unseen value survives (min order), everything else drops, and
+    survivors extend the seen set for later batches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+        exact_incremental_dedup,
+    )
+
+    t = "prop_exact_seen_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    exact_build_index(
+        spark.createDataFrame([(s,) for s in seed] or [("zzz",)],
+                              "url string"),
+        t,
+        ["url"],
+    )
+    seen = set(seed) if seed else {"zzz"}
+    next_id = 0
+    for batch in batches:
+        rows = [(next_id + i, u) for i, u in enumerate(batch)]
+        next_id += len(batch)
+        got = sorted(
+            r["doc_id"]
+            for r in exact_incremental_dedup(
+                spark, t,
+                spark.createDataFrame(rows, "doc_id long, url string"),
+                ["url"], order_col="doc_id",
+            ).collect()
+        )
+        want = []
+        batch_seen = set()
+        for did, u in rows:
+            if u not in seen and u not in batch_seen:
+                want.append(did)
+                batch_seen.add(u)
+        seen |= batch_seen
+        assert got == sorted(want)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
