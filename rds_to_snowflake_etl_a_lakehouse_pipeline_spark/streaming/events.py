@@ -1415,7 +1415,14 @@ def _frontier_schedule_merge_batch(
     from pyspark.sql import Window
 
     b = batch_df.withColumn("fetch_domain", _url_host(url_col))
-    order = [F.col(order_col or url_col).asc()]
+    # url tiebreak keeps slot assignment deterministic when order_col
+    # values collide — replay-exactness requires the SAME slots on
+    # every recomputation of a redelivered batch
+    order = (
+        [F.col(order_col).asc(), F.col(url_col).asc()]
+        if order_col
+        else [F.col(url_col).asc()]
+    )
     w = Window.partitionBy("fetch_domain").orderBy(*order)
     b = (
         b.withColumn("_bslot", F.row_number().over(w) - 1)
