@@ -25,7 +25,7 @@ What each family reports / applies:
 family (how recognized)    health                                      apply action
 ========================  ==========================================  ==============================
 minhash / span / ivf /     ``io.index_table_health`` (files per        ``io.compact_index_table``
-hamming_fp                 bucket/cell); ivf adds quantizer drift
+hamming_fp / exact         bucket/cell); ivf adds quantizer drift
 (``kind`` property)        from the ``*_drift_stats`` companion
 er (``kind='er'``)         the above + ``entity.er_index_health``      ``entity.er_compact_index``
                            (relabel-log size)
@@ -65,7 +65,7 @@ def classify_table(spark: SparkSession, table: str) -> str | None:
 
     meta = get_table_meta(spark, table)
     kind = meta.get("kind")
-    if kind in ("minhash", "span", "ivf", "er", "hamming_fp"):
+    if kind in ("minhash", "span", "ivf", "er", "hamming_fp", "exact"):
         return kind
     if "state_partitions" in meta:
         return "session_state"
@@ -81,7 +81,7 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
     from .sources.io import get_table_meta, index_table_health
     from .streaming.events import _batch_partition_ids, _pending_fold
 
-    if family in ("minhash", "span", "ivf", "hamming_fp"):
+    if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
         rep = index_table_health(spark, table, MAX_FILES_PER_BUCKET)
         if family == "ivf" and spark.catalog.tableExists(f"{table}_drift_stats"):
             # the build-time quantizer baseline; per-append drift ratios
@@ -213,7 +213,7 @@ def run_maintenance(
                 applied[name] = "versioned_compact"
                 continue
             family = sweep["tables"][name]["family"]
-            if family in ("minhash", "span", "ivf", "hamming_fp"):
+            if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
                 from .sources.io import compact_index_table
 
                 compact_index_table(spark, name)

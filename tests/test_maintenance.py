@@ -5,6 +5,7 @@ apply-mode execution of each family's own compaction verb."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 TEXT = (
     "the quick brown fox jumps over the lazy dog and keeps on running "
@@ -39,6 +40,7 @@ def standing_tables(spark, tmp_path):
         "sink": "maint_batch_sink",
         "session": "maint_sess_state",
         "hamming": "maint_fp_idx",
+        "exact": "maint_exact_seen",
     }
     for t in names.values():
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -53,6 +55,26 @@ def standing_tables(spark, tmp_path):
         ),
         names["hamming"],
     )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+        exact_incremental_dedup,
+    )
+
+    exact_build_index(
+        docs.select(F.concat(F.lit("http://m/"), "doc_id").alias("url")),
+        names["exact"],
+        ["url"],
+    )
+    # a few appends so the seen-set has the small-file creep the
+    # sweep measures
+    for i in (10, 20):
+        exact_incremental_dedup(
+            spark, names["exact"],
+            spark.createDataFrame(
+                [(i, f"http://m/{i}")], "doc_id long, url string"
+            ),
+            ["url"], order_col="doc_id",
+        )
     for bid in range(3):
         _land_batch_partition(
             spark.createDataFrame([(bid, bid * 10)], "event_id long, v long"),
@@ -106,10 +128,12 @@ def test_health_sweep_discovers_every_family(spark, standing_tables):
         q["sink"]: "batch_sink",
         q["session"]: "session_state",
         q["hamming"]: "hamming_fp",
+        q["exact"]: "exact",
     }
     # every report is the family's own health shape
     assert "files_per_bucket" in sweep["tables"][q["minhash"]]
     assert "files_per_bucket" in sweep["tables"][q["hamming"]]
+    assert "files_per_bucket" in sweep["tables"][q["exact"]]
     assert "live_batch_partitions" in sweep["tables"][q["sink"]]
     assert sweep["tables"][q["sink"]]["live_batch_partitions"] == 3
     assert "files_per_partition" in sweep["tables"][q["session"]]
