@@ -786,6 +786,47 @@ def _q_t_repetition_ratio(spark, sf_dir):
     return d.select("doc_id", lf.repetition_ratio("text").alias("rep_ratio"))
 
 
+def _q_t_normalize_text(spark, sf_dir):
+    """Unicode normalization (functions/text.py::normalize_text,
+    round 12): odd documents carry a DECOMPOSED suffix (e + U+0301,
+    O + U+0308), even documents the precomposed equivalents; after
+    NFC + lowercase + whitespace collapse both parities must emit the
+    byte-identical canonical form. The oracle replays with DuckDB's
+    nfc_normalize; any drift in the Arrow normalization kernel, the
+    option ordering (lowercase must follow composition), or NULL
+    passthrough hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    raw = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.lit("Cafe\u0301  nO\u0308el\t"),   # decomposed
+        ).otherwise(F.lit("Caf\u00e9  n\u00d6el\t")),  # precomposed
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("  "),
+    )
+    return d.select(
+        "doc_id",
+        normalize_text(
+            raw, form="NFC", lowercase=True, collapse_whitespace=True
+        ).alias("norm_text"),
+    )
+
+
+_SQL_NORMALIZE_TEXT = (
+    "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
+    "CASE WHEN doc_id % 2 = 1 "
+    "THEN 'Cafe' || chr(769) || '  nO' || chr(776) || 'el' || chr(9) "
+    "ELSE 'Caf' || chr(233) || '  n' || chr(214) || 'el' || chr(9) END "
+    "|| 'Doc ' || CAST(doc_id AS VARCHAR) || '  ')), "
+    "'\\s+', ' ', 'g')) AS norm_text FROM documents"
+)
+
+
 def _q_t_dsir_select(spark, sf_dir):
     """DSIR data selection (operators/curation.py::dsir_importance +
     dsir_select; Xie et al., NeurIPS 2023): hashed-unigram bucket
@@ -5632,8 +5673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displaced to just behind the cap). After this round no registered
     query's newest driver verdict predates r08; the other round-12
     additions (t_sitemap_urls, d_exact_index_dedup,
-    x1_frontier_stream, x1_frontier_schedule_stream, t_dsir_select)
-    wait behind the cap for the r13 window.
+    x1_frontier_stream, x1_frontier_schedule_stream, t_dsir_select,
+    t_normalize_text) wait behind the cap for the r13 window.
 
     r13 rotation plan: front the remaining r08-verified tranche
     (x2_resample_ffill, a1_hist_quantile, x1_hist_stream,
@@ -5873,6 +5914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_frontier_stream": _q_x1_frontier_stream,
         "x1_frontier_schedule_stream": _q_x1_frontier_schedule_stream,
         "t_dsir_select": _q_t_dsir_select,
+        "t_normalize_text": _q_t_normalize_text,
     }
 
 
@@ -6819,6 +6861,7 @@ def oracle_sql() -> dict[str, str]:
         "x1_frontier_stream": _SQL_FRONTIER_STREAM,
         "x1_frontier_schedule_stream": _SQL_FRONTIER_SCHEDULE_STREAM,
         "t_dsir_select": _SQL_DSIR_SELECT,
+        "t_normalize_text": _SQL_NORMALIZE_TEXT,
         "m_resample_audio": _SQL_RESAMPLE_AUDIO,
         "m_decode_progressive": (
             # dims are pure doc_id arithmetic; within_tol = 1 asserts

@@ -11,6 +11,7 @@ n_chars)`` fixture, but the functions take any string Column.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -571,6 +572,44 @@ def bm25_topk_queries(
 # not swallow refid=/refresh= (distinct resources)
 TRACKING_PARAM_KEYS = ("gclid", "fbclid", "mc_eid")
 TRACKING_PARAM_PREFIXES = ("utm_",)
+
+
+def normalize_text(
+    col: Column | str,
+    form: str = "NFC",
+    lowercase: bool = False,
+    collapse_whitespace: bool = False,
+) -> Column:
+    """Unicode normalization — the canonical first transform before any
+    byte-identity operation (exact dedup, URL keys, tokenization):
+    visually-identical strings with different codepoint sequences
+    (``é`` vs ``e + U+0301``) must fingerprint identically or
+    duplicates survive every downstream dedup. ``form`` is one of
+    NFC/NFKC/NFD/NFKD (NFC for identity keys, NFKC when compatibility
+    folds — ligatures, width variants — should collapse too).
+
+    Spark has no built-in ICU normalizer, so the normalization itself
+    is an Arrow-batched ``pandas_udf`` over ``Series.str.normalize``
+    (vectorized stdlib ``unicodedata`` — never row-at-a-time Python);
+    the optional ``lowercase`` / ``collapse_whitespace`` steps stay
+    JVM-side AFTER it (lowercasing pre-composed and combining forms
+    agrees only post-normalization). NULLs pass through. The NFC form
+    is oracle-replayable (DuckDB ``nfc_normalize``); the other forms
+    are pinned against ``unicodedata`` in pytest."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    out = _norm(_col(col))
+    if lowercase:
+        out = F.lower(out)
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
 
 
 def canonicalize_url(

@@ -394,6 +394,53 @@ def test_sign_project_deterministic_and_jl_distortion(spark):
     assert max(errs) < 0.6
 
 
+def test_normalize_text(spark):
+    """Round 12: NFC composes combining sequences (e+U+0301 == \u00e9
+    byte keys), NFKC additionally folds compatibility forms (the fi
+    ligature), all four forms match stdlib unicodedata on mixed
+    fixtures, lowercase/whitespace options run AFTER normalization,
+    NULLs pass through, and an unknown form is refused."""
+    import unicodedata
+
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "Cafe\u0301"), (2, "Caf\u00e9"), (3, "\ufb01le"),
+        (4, "  A\u0301B\tC  "), (5, None), (6, "ascii only"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    nfc = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_text("t").alias("n")).collect()}
+    assert nfc[1] == nfc[2] == "Caf\u00e9"
+    assert nfc[3] == "\ufb01le"  # NFC keeps the ligature
+    assert nfc[5] is None
+    nfkc = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_text("t", form="NFKC").alias("n")).collect()}
+    assert nfkc[3] == "file"  # NFKC folds the ligature
+    # all four forms == unicodedata on every fixture
+    for form in ("NFC", "NFKC", "NFD", "NFKD"):
+        got = {r["id"]: r["n"] for r in df.select(
+            "id", normalize_text("t", form=form).alias("n")).collect()}
+        for i, t in rows:
+            assert got[i] == (
+                unicodedata.normalize(form, t) if t is not None else None
+            )
+    # options compose AFTER normalization: the combining mark joins its
+    # base BEFORE lowercasing, whitespace collapses + trims
+    full = {r["id"]: r["n"] for r in df.select(
+        "id",
+        normalize_text("t", lowercase=True, collapse_whitespace=True)
+        .alias("n")).collect()}
+    assert full[4] == "\u00e1b c"
+    assert full[1] == "caf\u00e9"
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text("t", form="NFX")
+
+
 def test_canonicalize_url(spark):
     """Crawl-grade URL canonicalization: tracking params stripped,
     params sorted, scheme/host lowercased, default ports and fragments
