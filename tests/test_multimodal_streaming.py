@@ -1380,6 +1380,40 @@ def test_stream_frontier_schedule_continuity_and_replay(spark, tmp_path):
     )
     assert _snap(spark, sk) == sink_before
     assert _snap(spark, st) == state_before
+    # PARTIAL-advance crash window: rewrite b.com's state row back to
+    # its pre-batch value (counter rolled back, stamp cleared) while
+    # a.com's partition stays stamped — the exact state a crash in the
+    # middle of the partition-scoped overwrite leaves. Re-firing the
+    # batch must land the IDENTICAL sink rows (a.com recomputes its
+    # base as next_slot − batch count, b.com from its unadvanced
+    # counter) and re-advance only b.com's partition.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _dynamic_partition_overwrite,
+    )
+
+    kb = {
+        r["fetch_domain"]: r["_kb"] for r in spark.table(st).collect()
+    }
+    assert kb["a.com"] != kb["b.com"]  # precondition: separate buckets
+    pre_b1 = spark.table(st).filter(
+        (F.col("fetch_domain") == "b.com")
+    ).select(
+        "fetch_domain", F.lit(1).cast("bigint").alias("next_slot"),
+        F.lit(0).cast("bigint").alias("_applied_batch"), "_kb",
+    ).localCheckpoint(eager=True)
+    _dynamic_partition_overwrite(pre_b1, st, "_kb")
+    _frontier_schedule_merge_batch(
+        spark.createDataFrame(
+            [(4, "http://a.com/z"), (5, "http://b.com/2")], schema
+        ),
+        1, st, sk, dirs, "url", 1.0, "doc_id",
+        stamp=_stream_stamp(sid, 1), stream_id=sid,
+    )
+    assert _snap(spark, sk) == sink_before
+    assert {
+        r["fetch_domain"]: r["next_slot"]
+        for r in spark.table(st).collect()
+    } == {"a.com": 3, "b.com": 2}
     # reserved caller columns are refused loudly
     import pytest
 
