@@ -5128,7 +5128,7 @@ def _q_d_exact_index_dedup(spark, sf_dir):
         exact_incremental_dedup,
     )
 
-    t = "q_exact_seen_index"
+    t = "q_exact_seen_" + _fixture_key(sf_dir)
     spark.sql(f"DROP TABLE IF EXISTS {t}")
     d = load(spark, sf_dir, "documents").select("doc_id")
     k = F.col("doc_id") % 50

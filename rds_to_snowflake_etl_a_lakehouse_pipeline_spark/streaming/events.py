@@ -1386,9 +1386,12 @@ def _frontier_schedule_merge_batch(
        not yet stamped advance (bystander domains sharing a rewritten
        partition copy forward unchanged).
 
-    The legacy bare-batch-id stamp acceptance is gated on the same
-    ``stamp_mode`` table-meta window as sessionize state — it closes
-    on the first hashed-stamp commit."""
+    Unlike sessionize state, the replay guard honors ONLY the exact
+    stamp — no legacy bare-id window: this operator was born with
+    hashed stamps (no pre-hashed state exists), and a bare-id false
+    collision would not merely skip a batch but corrupt the base
+    arithmetic (a partition wrongly counted "advanced by this batch"
+    under-schedules every slot by the batch count)."""
     from ..operators.curation import _url_host
     from ..sources.io import (
         check_table_meta,
@@ -1429,11 +1432,15 @@ def _frontier_schedule_merge_batch(
         .withColumn("_bcnt", F.count("*").over(Window.partitionBy("fetch_domain")))
     )
     if directives is not None:
+        # aggregate by LOWERED domain before the join: duplicate or
+        # case-variant directive rows would otherwise multiply every
+        # frontier row for that domain and hand the copies distinct
+        # slots (min = least-permissive delay wins, matching
+        # robots_directives' own multi-delay rule)
         b = b.join(
-            directives.select(
-                F.lower(F.col("domain")).alias("fetch_domain"),
-                F.col("crawl_delay").alias("__fs_delay"),
-            ),
+            directives.groupBy(
+                F.lower(F.col("domain")).alias("fetch_domain")
+            ).agg(F.min("crawl_delay").alias("__fs_delay")),
             "fetch_domain",
             "left",
         )
@@ -1453,14 +1460,19 @@ def _frontier_schedule_merge_batch(
             set_table_meta(spark, state_table, state_partitions=state_partitions)
         state = spark.table(state_table)
         touched_kb = sorted(r[0] for r in b.select("_kb").distinct().collect())
-        honor_bare = stamp != batch_id and meta.get("stamp_mode") != "hashed"
-        guard = F.col("_applied_batch") == stamp
-        if honor_bare:
-            guard = guard | (F.col("_applied_batch") == batch_id)
+        # the replay guard honors ONLY the exact stamp — no legacy
+        # bare-id window: this operator is new with hashed stamps, so
+        # no pre-hashed state exists to honor, and a bare-id false
+        # collision would not merely skip (as in sessionize) but
+        # corrupt the base arithmetic below (a partition wrongly
+        # counted "advanced by this batch" computes base =
+        # next_slot − count and under-schedules every slot)
         done_kb = {
             r[0]
-            for r in state.filter(F.col("_kb").isin(touched_kb) & guard)
-            .select("_kb").distinct().collect()
+            for r in state.filter(
+                F.col("_kb").isin(touched_kb)
+                & (F.col("_applied_batch") == stamp)
+            ).select("_kb").distinct().collect()
         }
         # batch domains can only live in touched buckets: filtering
         # first turns the base join's state side into a
@@ -1513,7 +1525,6 @@ def _frontier_schedule_merge_batch(
         set_table_meta(
             spark, state_table,
             state_partitions=state_partitions,
-            stamp_mode="hashed" if stamp != batch_id else "bare",
         )
         return
     todo_kb = [k for k in touched_kb if k not in done_kb]
@@ -1532,8 +1543,6 @@ def _frontier_schedule_merge_batch(
         .localCheckpoint(eager=True)
     )
     _dynamic_partition_overwrite(out, state_table, "_kb")
-    if stamp != batch_id and meta.get("stamp_mode") != "hashed":
-        set_table_meta(spark, state_table, stamp_mode="hashed")
 
 
 def _fuse_intervals(intervals: DataFrame, key_col: str, gap_us: int) -> DataFrame:
@@ -1771,6 +1780,34 @@ def _sessionize_merge_batch(
             F.col("_kb").isin(touched_kb) & guard
         ).select("_kb").distinct().collect()
     }
+    if honor_bare and done_kb:
+        # close the window ON THE SKIP PATH too: partitions whose
+        # guard hit was the legacy BARE id get restamped with the
+        # hashed stamp (rows otherwise unchanged), then the flag
+        # flips. Without this, a batch fully skipped by bare-id
+        # collisions would return before the post-write flip and the
+        # "one-batch" window could stay open indefinitely (repeating
+        # the new-checkpoint drop on every restart); restamping —
+        # rather than only flipping the flag — keeps a crash-refire
+        # of a GENUINE cross-upgrade redelivery idempotent (the
+        # refire skips via the hashed stamp instead of re-applying).
+        legacy_kb = sorted(
+            r[0]
+            for r in state.filter(
+                F.col("_kb").isin(sorted(done_kb))
+                & (F.col("_applied_batch") == batch_id)
+                & (F.col("_applied_batch") != stamp)
+            ).select("_kb").distinct().collect()
+        )
+        if legacy_kb:
+            restamped = (
+                state.filter(F.col("_kb").isin(legacy_kb))
+                .withColumn("_applied_batch", F.lit(stamp).cast("bigint"))
+                .localCheckpoint(eager=True)
+            )
+            _dynamic_partition_overwrite(restamped, table, "_kb")
+        set_table_meta(spark, table, stamp_mode="hashed")
+        meta = {**meta, "stamp_mode": "hashed"}
     todo_kb = [b for b in touched_kb if b not in done_kb]
     if not todo_kb:
         return

@@ -1470,19 +1470,24 @@ def test_stream_sessionize_legacy_stamp_window_closes(spark):
         .agg(F.sum("n_events")).first()[0]
     )
     # upgrade window: first hashed-stamp batch whose id collides with
-    # user 1's bare stamp is treated as a cross-upgrade redelivery
+    # user 1's bare stamp is treated as a cross-upgrade redelivery —
+    # skipped, AND the window closes IMMEDIATELY (the colliding
+    # partition restamps to the hashed stamp, the flag flips) even
+    # though the batch wrote nothing: a fully-skipped batch must not
+    # leave the window open for the next restart (round-12 review fix)
     _sessionize_merge_batch(
         mk([(1, 500)]), 0, t, "user_id", "ts", 100,
         stamp=_stream_stamp("ckpt-a", 0),
     )
-    assert ev(1) == 1  # skipped (window open)
-    assert get_table_meta(spark, t).get("stamp_mode") == "bare"
-    # a non-colliding hashed batch commits → window closes
-    _sessionize_merge_batch(
-        mk([(3, 0)]), 7, t, "user_id", "ts", 100,
-        stamp=_stream_stamp("ckpt-a", 7),
-    )
+    assert ev(1) == 1  # skipped (cross-upgrade redelivery honored)
     assert get_table_meta(spark, t).get("stamp_mode") == "hashed"
+    # crash-refire of that same skipped batch: still skipped, via the
+    # hashed restamp (idempotent skip, no double-apply)
+    _sessionize_merge_batch(
+        mk([(1, 500)]), 0, t, "user_id", "ts", 100,
+        stamp=_stream_stamp("ckpt-a", 0),
+    )
+    assert ev(1) == 1
     # post-closure: batch id 1 collides with user 2's stale bare stamp
     # in an untouched partition — it must apply (pre-fix: dropped)
     _sessionize_merge_batch(
@@ -1490,6 +1495,12 @@ def test_stream_sessionize_legacy_stamp_window_closes(spark):
         stamp=_stream_stamp("ckpt-a", 1),
     )
     assert ev(2) == 2
+    # genuinely new keys still apply after the closure
+    _sessionize_merge_batch(
+        mk([(3, 0)]), 7, t, "user_id", "ts", 100,
+        stamp=_stream_stamp("ckpt-a", 7),
+    )
+    assert ev(3) == 1
     # hashed-stamp replay (same stamp) still a no-op after closure
     before = _snap(spark, t)
     _sessionize_merge_batch(

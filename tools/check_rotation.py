@@ -14,12 +14,16 @@ Usage::
     python tools/check_rotation.py [--budget N]
 
 * Reads every ``CORRECTNESS_r*.json`` in the repo root for the newest
-  driver verdict per query key (entries never driver-checked count as
-  round 0).
+  driver verdict per query key.
+* Entries never driver-checked are NEW: their grace anchor is the
+  round at which the checker FIRST SAW them, persisted in
+  ``tools/rotation_first_seen.json`` — anchoring to "the latest round"
+  on every run would renew the grace forever and a forgotten new
+  entry would never trip the gate.
 * Projects the NEXT round = max seen round + 1, grants its verdict to
   the current first-50 keys, and requires every registry entry's
-  projected newest verdict to be within ``--budget`` rounds (default
-  5) of the next round.
+  projected newest verdict (or first-seen anchor) to be within
+  ``--budget`` rounds (default 5) of the next round.
 * Exits 0 with a summary line on success; exits 1 listing the
   over-budget keys (oldest first) otherwise.
 
@@ -66,11 +70,27 @@ def main() -> int:
     keys = list(ent.queries().keys())
     newest, latest = newest_verdicts(REPO)
     next_round = latest + 1
-    # an entry absent from every CORRECTNESS file is NEW, not stale:
-    # it gets the full budget from the round it appeared (treated as
-    # `latest`) to enter the front-50 window
+    # an entry absent from every CORRECTNESS file is NEW, not stale —
+    # but its grace must be anchored to the round it FIRST appeared
+    # (persisted), not re-anchored to `latest` each run, or the grace
+    # renews forever and a never-fronted entry never trips the gate
+    seen_path = os.path.join(REPO, "tools", "rotation_first_seen.json")
+    try:
+        first_seen = json.load(open(seen_path))
+    except (OSError, json.JSONDecodeError):
+        first_seen = {}
+    changed = False
+    for k in keys:
+        if k not in newest and k not in first_seen:
+            first_seen[k] = latest
+            changed = True
+    if changed:
+        json.dump(first_seen, open(seen_path, "w"), indent=0, sort_keys=True)
     projected = {
-        k: max(newest.get(k, latest), next_round if i < 50 else 0)
+        k: max(
+            newest.get(k, first_seen.get(k, latest)),
+            next_round if i < 50 else 0,
+        )
         for i, k in enumerate(keys)
     }
     floor = next_round - args.budget
