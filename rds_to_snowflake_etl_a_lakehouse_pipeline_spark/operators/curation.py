@@ -1151,11 +1151,15 @@ def frontier_schedule(
     dom_col = f"{out_prefix}domain"
     out = urls.withColumn(dom_col, _url_host(url_col))
     if directives is not None:
+        # aggregate by LOWERED domain first: duplicate or case-variant
+        # directive rows would otherwise multiply every frontier row
+        # for that domain and hand the copies distinct slots (min =
+        # least-permissive delay, matching robots_directives' own
+        # multi-delay rule)
         d = F.broadcast(
-            directives.select(
-                F.lower(F.col("domain")).alias(dom_col),
-                F.col("crawl_delay").alias("__fs_delay"),
-            )
+            directives.groupBy(
+                F.lower(F.col("domain")).alias(dom_col)
+            ).agg(F.min("crawl_delay").alias("__fs_delay"))
         )
         out = out.join(d, dom_col, "left")
     else:

@@ -1104,6 +1104,20 @@ def test_robots_directives_and_frontier_schedule(spark):
         r["url"]: r["fetch_offset_seconds"] for r in plain.collect()
     }
     assert offs["http://a.com/z"] == 5.0     # slot 2 (url order) × 2.5
+    # duplicate / case-variant directive rows must not multiply
+    # frontier rows into conflicting slots (review fix: the join
+    # aggregates by lowered domain, min delay wins)
+    dup_dirs = spark.createDataFrame(
+        [("a.com", 10.0), ("A.COM", 4.0), ("a.com", 10.0)],
+        "domain string, crawl_delay double",
+    )
+    dup_out = frontier_schedule(urls.select("url"), dup_dirs)
+    assert dup_out.count() == urls.count()
+    a_rows = {
+        r["fetch_slot"]: r["fetch_offset_seconds"]
+        for r in dup_out.filter(F.col("fetch_domain") == "a.com").collect()
+    }
+    assert a_rows == {0: 0.0, 1: 4.0, 2: 8.0}  # min delay, dense slots
     # reserved output columns are refused loudly, not clobbered
     import pytest
 
