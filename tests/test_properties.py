@@ -1620,3 +1620,79 @@ def test_exact_seen_set_matches_python_replay(spark, batches, seed):
         seen |= batch_seen
         assert got == sorted(want)
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@given(
+    raw=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "zeta", "é"]),
+                 min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    tgt=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "qq"]),
+                 min_size=1, max_size=5).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    bigrams=st.booleans(),
+)
+@PROP
+def test_dsir_importance_matches_python_reference(spark, raw, tgt, bigrams):
+    """Random raw/target corpora (empty docs, multi-byte tokens,
+    unigram and bigram feature spaces): dsir_importance equals a
+    pure-Python replay of tokenize → md5 bucket → Laplace
+    distributions → log-ratio sum, to the same 6-dp rounding."""
+    import hashlib
+    import math
+    import re
+
+    import pytest as pt
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        dsir_importance,
+    )
+
+    B, a = 256, 1.0
+
+    def feats(text):
+        t = [x for x in re.split(r"\s+", text.lower().strip()) if x]
+        if bigrams:
+            return t + [f"{u} {v}" for u, v in zip(t, t[1:])]
+        return t
+
+    def bkt(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:4], 16) % B
+
+    t_b = [bkt(f) for tx in tgt for f in feats(tx)]
+    r_b = [bkt(f) for tx in raw for f in feats(tx)]
+    tc = {b: t_b.count(b) for b in set(t_b)}
+    rc = {b: r_b.count(b) for b in set(r_b)}
+    T, R = len(t_b), len(r_b)
+
+    def lr(b):
+        return math.log((tc.get(b, 0) + a) / (T + a * B)) - math.log(
+            (rc.get(b, 0) + a) / (R + a * B)
+        )
+
+    want = {
+        i: (round(sum(lr(bkt(f)) for f in feats(tx)), 6) if feats(tx) else 0.0)
+        for i, tx in enumerate(raw)
+    }
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance(
+            spark.createDataFrame(
+                [(i, tx) for i, tx in enumerate(raw)],
+                "doc_id long, text string",
+            ),
+            spark.createDataFrame(
+                [(i, tx) for i, tx in enumerate(tgt)],
+                "doc_id long, text string",
+            ),
+            bigrams=bigrams,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pt.approx(want[k], abs=2e-6)
