@@ -420,15 +420,17 @@ def main() -> None:
     # self-resetting so every sample measures identical work.
     samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name, (fn, wide) in bench.items():
-        t = min(_time(fn, wide) for _ in range(samples))
+        ts = [_time(fn, wide) for _ in range(samples)]
         # sub-second queries are scheduling-noise dominated (a 0.3 s
         # query flipped ±25% between rounds on identical code): give
         # them one extra sample so min-of-3 stays inside the regression
         # gate's band. Costs at most ~1 s per sub-second query.
-        if t < 1.0 and samples < 3:
-            t = min(t, _time(fn, wide))
-        timings[name] = t
+        if min(ts) < 1.0 and samples < 3:
+            ts.append(_time(fn, wide))
+        all_samples[name] = ts
+        timings[name] = min(ts)
 
     # Regression gate: compare against the latest recorded round. Even
     # with min-of-N a slow window can still leak through, so any query
@@ -446,7 +448,9 @@ def main() -> None:
         # samples in a row (observed: q13 at exactly 1.3x in one run,
         # back to 1.06x the next); stop as soon as one sample clears.
         for _ in range(2):
-            timings[name] = min(timings[name], _time(fn, wide))
+            t = _time(fn, wide)
+            all_samples[name].append(t)
+            timings[name] = min(timings[name], t)
             if timings[name] <= threshold * prev[name]:
                 break
     regressions = {
@@ -467,6 +471,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "regressions": regressions,
+                # per-query max/min sample ratio: variance context for
+                # reading the regression list — a broad band here means
+                # the box was noisy during the run (host contention),
+                # not that the code drifted (see the round-12 A/B)
+                "noise": {
+                    n: round(max(ts) / min(ts), 2)
+                    for n, ts in all_samples.items()
+                    if min(ts) > 0
+                },
             }
         )
     )
