@@ -5,6 +5,13 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query is timed end-to-end (plan + execute). Wide results are
 executed via the ``noop`` sink so nothing funnels through the driver;
 small aggregates are collected.
+
+Noise contract (BASELINE.md "Bench noise contract"): every query is
+min-of-N (N=2, 3 for sub-second queries); a fixed code-independent
+calibration workload is timed alongside and its drift vs the previous
+recorded round widens the regression threshold (host contention divides
+out); suspects are re-timed up to twice before being flagged. A flag
+that survives all of that is a code regression, not box noise.
 """
 
 from __future__ import annotations
@@ -31,11 +38,13 @@ def _exec(df, wide: bool):
         df.collect()
 
 
-def _previous_round_queries() -> dict[str, float]:
-    """Per-query timings from the newest ``BENCH_r{N}.json`` the driver
-    recorded beside this file (empty dict when none exists — round 1)."""
+def _previous_round_queries() -> tuple[dict[str, float], float | None]:
+    """(per-query timings, calibration seconds) from the newest
+    ``BENCH_r{N}.json`` the driver recorded beside this file (empty
+    dict / None when none exists — round 1, or rounds before the
+    calibration field landed)."""
     root = os.path.dirname(os.path.abspath(__file__))
-    best_n, best = -1, {}
+    best_n, best, best_cal = -1, {}, None
     for fname in os.listdir(root):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
         if not m:
@@ -48,7 +57,58 @@ def _previous_round_queries() -> dict[str, float]:
             continue
         if int(m.group(1)) > best_n and qs:
             best_n, best = int(m.group(1)), qs
-    return best
+            cal = parsed.get("calibration") or {}
+            best_cal = cal.get("sec") if isinstance(cal, dict) else None
+    return best, best_cal
+
+
+def _calibration(spark, sf_dir: str, _time) -> float:
+    """Fixed-shape, code-independent reference workload timed alongside
+    every round so host drift can be divided out of the regression gate
+    (BASELINE.md "Bench noise contract"). Deliberately touches only
+    pyspark built-ins + a trivial Arrow kernel — no repo operator code —
+    so its round-over-round ratio measures the BOX, not the code:
+
+    * a lineitem scan + filter + 2-key shuffle agg (JVM/codegen+shuffle
+      cost component), and
+    * an Arrow pandas_udf identity pass over 200k rows (Python worker
+      round-trip cost component, the part host contention hits hardest).
+
+    min-of-3 like every headline query.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cal_kernel(s: pd.Series) -> pd.Series:
+        return s * 1.0000001
+
+    def _cal(spark, d):
+        li = load(spark, d, "lineitem")
+        jvm = (
+            li.filter(F.col("l_quantity") > 10)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_extendedprice").alias("s"),
+                F.avg("l_discount").alias("a"),
+                F.count("*").alias("n"),
+            )
+        )
+        py = (
+            spark.range(200_000, numPartitions=32)
+            .select(_cal_kernel(F.col("id").cast("double")).alias("v"))
+            .agg(F.sum("v").alias("sv"))
+        )
+        return jvm.unionByName(
+            py.select(
+                F.lit("CAL").alias("l_returnflag"),
+                F.lit("CAL").alias("l_linestatus"),
+                F.col("sv").alias("s"),
+                F.lit(0.0).alias("a"),
+                F.lit(0).cast("long").alias("n"),
+            )
+        )
+
+    return min(_time(lambda s, d: _cal(s, d), False) for _ in range(3))
 
 
 def main() -> None:
@@ -412,6 +472,13 @@ def main() -> None:
         _exec(fn(spark, sf_dir), wide)
         return round(time.time() - t0, 3)
 
+    # Calibration BEFORE the headline queries: a fixed code-independent
+    # workload whose round-over-round ratio estimates host drift. The
+    # regression gate below scales its threshold by this drift so a
+    # contended box doesn't manufacture code-regression flags (and a
+    # fast box doesn't hide real ones). See BASELINE.md.
+    cal_sec = _calibration(spark, sf_dir, _time)
+
     # min-of-N timing (round 9): two consecutive rounds showed ±40%
     # per-query drift on byte-identical code, so a single sample is
     # noise-dominated. Every query runs N times (default 2) and keeps
@@ -437,10 +504,19 @@ def main() -> None:
     # over threshold is re-timed and the best sample kept; only a
     # repeatably-slow query is flagged.
     threshold = 1.3
-    prev = _previous_round_queries()
+    prev, prev_cal = _previous_round_queries()
+    # host-drift normalization: if the calibration workload itself runs
+    # e.g. 1.5x slower than last round's recorded run, the box (not the
+    # code) drifted — widen the gate by that factor. Never NARROW the
+    # gate below `threshold` (a faster box must not excuse a real
+    # regression from re-timing).
+    cal_drift = (
+        round(cal_sec / prev_cal, 3) if prev_cal and prev_cal > 0 else None
+    )
+    eff_threshold = threshold * max(1.0, cal_drift or 1.0)
     suspects = [
         n for n, t in timings.items()
-        if n in prev and prev[n] > 0 and t > threshold * prev[n]
+        if n in prev and prev[n] > 0 and t > eff_threshold * prev[n]
     ]
     for name in suspects:
         fn, wide = bench[name]
@@ -451,13 +527,13 @@ def main() -> None:
             t = _time(fn, wide)
             all_samples[name].append(t)
             timings[name] = min(timings[name], t)
-            if timings[name] <= threshold * prev[name]:
+            if timings[name] <= eff_threshold * prev[name]:
                 break
     regressions = {
         n: {"prev": prev[n], "now": timings[n],
             "ratio": round(timings[n] / prev[n], 2)}
         for n in suspects
-        if timings[n] > threshold * prev[n]
+        if timings[n] > eff_threshold * prev[n]
     }
     if regressions:
         print(f"REGRESSIONS vs previous round: {regressions}", file=sys.stderr)
@@ -471,6 +547,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "regressions": regressions,
+                # fixed code-independent workload (scan+agg + Arrow
+                # round-trip), min-of-3: drift > 1 means the box ran
+                # slower than the previous recorded round and the
+                # regression threshold was widened accordingly
+                "calibration": {
+                    "sec": cal_sec,
+                    "prev_sec": prev_cal,
+                    "drift": cal_drift,
+                    "effective_threshold": round(eff_threshold, 3),
+                },
                 # per-query max/min sample ratio: variance context for
                 # reading the regression list — a broad band here means
                 # the box was noisy during the run (host contention),

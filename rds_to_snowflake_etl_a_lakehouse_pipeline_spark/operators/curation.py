@@ -797,7 +797,12 @@ def robots_allowed(
     # binds BEFORE the first '/' (a query-no-path URL must not absorb
     # its query into the host and bypass every rule), default ports
     # are stripped, and BOTH join sides are lowercased
-    rest = F.get(F.split(F.col(url_col), "://", 2), 1)
+    # fragment stripped FIRST (like canonicalize_url): RFC 9309 and
+    # the Google parser match path+query only, so a wildcard rule like
+    # 'Disallow: /*?x=' must not see fragment content ('/page#?x=1')
+    rest = F.get(
+        F.split(F.get(F.split(F.col(url_col), "://", 2), 1), "#", 2), 0
+    )
     hostpath = F.get(F.split(rest, "\\?", 2), 0)
     host = _url_host(url_col)
     clash = [c for c in urls.columns if c.startswith("__rb_")]
@@ -978,7 +983,15 @@ def dsir_importance(
     import math
 
     tfeat = feats(target, keep_id=False)
-    rfeat = feats(df, keep_id=True)
+    # ONE tokenize pass over the raw corpus, materialized: the bucket
+    # features feed BOTH the histogram collect below and the scoring
+    # join, so without materialization the dominant cost (tokenize +
+    # explode + md5 of every raw document) would run twice.
+    # localCheckpoint truncates lineage and stores only the two
+    # narrow columns (id, int bucket) — tokens themselves are never
+    # persisted; at corpus scale that is ~16 bytes/token spilled to
+    # local disk vs re-reading and re-hashing the full text corpus.
+    rfeat = feats(df, keep_id=True).select(id_col, "_bkt").localCheckpoint()
     # ONE pass per corpus: the B-row bucket histograms come back to
     # the driver (bounded: B = n_buckets, a parameter — the paper uses
     # 10k; keep it ≪ 1e6) and the totals + smoothed log-ratio table

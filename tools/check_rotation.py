@@ -58,9 +58,15 @@ def main() -> int:
     ap.add_argument(
         "--budget",
         type=int,
-        default=5,
+        default=6,
         help="max rounds any entry's newest driver verdict may trail "
-        "the projected next round (default 5)",
+        "the projected next round. Default 6 = ceil(N/50) + 1 for the "
+        "current ~210-entry registry: a full re-verification cycle "
+        "through the 50-slot window takes ceil(N/50) rounds at best, "
+        "and one extra round absorbs the slots each round spends on "
+        "newly added entries (see the queries() docstring rotation "
+        "arithmetic). A tighter budget than the cycle length fails "
+        "spuriously no matter how the registry is ordered.",
     )
     args = ap.parse_args()
 
@@ -97,7 +103,13 @@ def main() -> int:
     over = sorted(
         ((v, k) for k, v in projected.items() if v < floor),
     )
-    fronted = sum(1 for k in keys[:50] if newest.get(k, latest) < floor)
+    # never-verified entries anchor to first_seen (NOT `latest`, which
+    # would count them as fresh and understate the at-risk refresh)
+    fronted = sum(
+        1
+        for k in keys[:50]
+        if newest.get(k, first_seen.get(k, latest)) < floor
+    )
     if over:
         print(
             f"FAIL: {len(over)} of {len(keys)} entries would exceed the "
