@@ -9,9 +9,13 @@ small aggregates are collected.
 Noise contract (BASELINE.md "Bench noise contract"): every query is
 min-of-N (N=2, 3 for sub-second queries); a fixed code-independent
 calibration workload is timed alongside and its drift vs the previous
-recorded round widens the regression threshold (host contention divides
-out); suspects are re-timed up to twice before being flagged. A flag
-that survives all of that is a code regression, not box noise.
+recorded round scales the regression threshold symmetrically with a
+0.8 floor (host contention divides out; a fast box narrows the gate);
+suspects are re-timed up to twice before being flagged. A flag that
+survives all of that is a code regression, not box noise. Every run
+persists its full payload to ``bench_sidecar.json`` (keyed by SF,
+stamped with the round) because the driver's ``BENCH_r{N}.json``
+keeps only a 2000-char stdout tail the payload outgrew in round 12.
 """
 
 from __future__ import annotations
@@ -38,11 +42,37 @@ def _exec(df, wide: bool):
         df.collect()
 
 
-def _previous_round_queries() -> tuple[dict[str, float], float | None]:
-    """(per-query timings, calibration seconds) from the newest
-    ``BENCH_r{N}.json`` the driver recorded beside this file (empty
-    dict / None when none exists — round 1, or rounds before the
-    calibration field landed)."""
+_SIDECAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_sidecar.json"
+)
+
+
+def _current_round() -> int:
+    """This run's round number = newest driver-recorded round + 1.
+    The driver writes ``BENCH_r{N}.json`` AFTER running bench, so while
+    bench executes the newest recording on disk is the previous round."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    best = 0
+    for fname in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def _previous_round_queries(sf_key: str) -> tuple[dict[str, float], float | None]:
+    """(per-query timings, calibration seconds) of the newest prior
+    recording — whichever is newer of:
+
+    * the newest ``BENCH_r{N}.json`` whose ``parsed`` payload survived
+      the driver's tail capture (since round 12 the printed line
+      exceeds the ~2000-char capture so ``parsed`` is null there), and
+    * bench's own sidecar ``bench_sidecar.json``, written by every run
+      precisely because the driver recordings truncate (ADVICE r13) —
+      keyed by SF so an sf0.01 iteration run never becomes the sf0.1
+      baseline, and stamped with the round it ran in.
+
+    Empty dict / None when neither exists (round 1)."""
     root = os.path.dirname(os.path.abspath(__file__))
     best_n, best, best_cal = -1, {}, None
     for fname in os.listdir(root):
@@ -59,7 +89,36 @@ def _previous_round_queries() -> tuple[dict[str, float], float | None]:
             best_n, best = int(m.group(1)), qs
             cal = parsed.get("calibration") or {}
             best_cal = cal.get("sec") if isinstance(cal, dict) else None
+    try:
+        with open(_SIDECAR) as f:
+            side = json.load(f).get(sf_key) or {}
+        # >=: a same-round sidecar (e.g. a local sf0.1 run earlier in
+        # the round) is fresher than the prior round's driver record.
+        if side.get("queries") and int(side.get("round", -1)) >= best_n:
+            best = side["queries"]
+            best_cal = (side.get("calibration") or {}).get("sec")
+    except (OSError, json.JSONDecodeError, ValueError, TypeError):
+        pass
     return best, best_cal
+
+
+def _write_sidecar(sf_key: str, payload: dict, rnd: int) -> None:
+    """Persist the full payload beside the script, keyed by SF. The
+    driver's BENCH_r{N}.json keeps only a 2000-char stdout tail, which
+    the payload outgrew in round 12 — this file is the durable copy
+    the next round's regression gate reads."""
+    try:
+        with open(_SIDECAR) as f:
+            side = json.load(f)
+        if not isinstance(side, dict):
+            side = {}
+    except (OSError, json.JSONDecodeError):
+        side = {}
+    side[sf_key] = dict(payload, round=rnd)
+    tmp = _SIDECAR + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(side, f, indent=1, sort_keys=True)
+    os.replace(tmp, _SIDECAR)
 
 
 def _calibration(spark, sf_dir: str, _time) -> float:
@@ -504,16 +563,21 @@ def main() -> None:
     # over threshold is re-timed and the best sample kept; only a
     # repeatably-slow query is flagged.
     threshold = 1.3
-    prev, prev_cal = _previous_round_queries()
+    rnd = _current_round()
+    sf_key = f"sf{sf}" if sf is not None else sf_dir
+    prev, prev_cal = _previous_round_queries(sf_key)
     # host-drift normalization: if the calibration workload itself runs
     # e.g. 1.5x slower than last round's recorded run, the box (not the
-    # code) drifted — widen the gate by that factor. Never NARROW the
-    # gate below `threshold` (a faster box must not excuse a real
-    # regression from re-timing).
+    # code) drifted — widen the gate by that factor. Applied
+    # SYMMETRICALLY with a 0.8 floor: on a faster-than-baseline box the
+    # gate narrows (so a real code regression masked by a box speedup
+    # still gets re-timed), but never below 0.8x of the base threshold
+    # (the calibration workload has its own ~±20% noise band and a
+    # lucky-fast calibration sample must not manufacture flags).
     cal_drift = (
         round(cal_sec / prev_cal, 3) if prev_cal and prev_cal > 0 else None
     )
-    eff_threshold = threshold * max(1.0, cal_drift or 1.0)
+    eff_threshold = threshold * max(0.8, cal_drift) if cal_drift else threshold
     suspects = [
         n for n, t in timings.items()
         if n in prev and prev[n] > 0 and t > eff_threshold * prev[n]
@@ -538,9 +602,7 @@ def main() -> None:
     if regressions:
         print(f"REGRESSIONS vs previous round: {regressions}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline query wall-clock, local[32]",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
@@ -566,9 +628,12 @@ def main() -> None:
                     for n, ts in all_samples.items()
                     if min(ts) > 0
                 },
-            }
-        )
-    )
+    }
+    # durable copy FIRST (the stdout line below is tail-truncated in
+    # the driver's recording — see _write_sidecar), then the one line
+    # the driver contract requires.
+    _write_sidecar(sf_key, payload, rnd)
+    print(json.dumps(payload))
     spark.stop()
 
 

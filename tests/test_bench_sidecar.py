@@ -1,0 +1,111 @@
+"""bench.py's durable-recording helpers (no Spark session needed).
+
+The driver's ``BENCH_r{N}.json`` captures only a ~2000-char stdout
+tail, which the payload outgrew in round 12 (``parsed: null`` since) —
+so bench.py persists its own sidecar and the next run's regression
+baseline is whichever is newer of the newest PARSEABLE driver record
+and the sidecar entry for the same SF (BASELINE.md "Bench noise
+contract" §4). These tests exercise that resolution order plus the
+round-number inference, by pointing the helpers at a temp dir.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture
+def helpers(tmp_path):
+    """Exec the pure helper block of bench.py against tmp_path (the
+    module itself imports pyspark + the entry registry at import time,
+    which these tests don't need)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "bench.py")).read()
+    block = src[src.index("_SIDECAR = ") : src.index("def _calibration")]
+    block = block.replace(
+        "os.path.dirname(os.path.abspath(__file__))", repr(str(tmp_path))
+    )
+    ns: dict = {}
+    exec("import json, os, re\n" + block, ns)
+    return ns, tmp_path
+
+
+def _driver_record(tmp_path, n, parsed):
+    with open(tmp_path / f"BENCH_r{n:02d}.json", "w") as f:
+        json.dump({"parsed": parsed}, f)
+
+
+def test_round_one_is_empty(helpers):
+    ns, _ = helpers
+    assert ns["_current_round"]() == 1
+    assert ns["_previous_round_queries"]("sf0.1") == ({}, None)
+
+
+def test_parseable_driver_record_is_baseline(helpers):
+    ns, tmp = helpers
+    _driver_record(tmp, 3, {"queries": {"q1": 1.0}, "calibration": {"sec": 0.5}})
+    assert ns["_current_round"]() == 4
+    assert ns["_previous_round_queries"]("sf0.1") == ({"q1": 1.0}, 0.5)
+
+
+def test_same_round_sidecar_beats_driver_record(helpers):
+    """A local sf0.1 run earlier in the same round is fresher than the
+    prior round's driver record (>= comparison)."""
+    ns, tmp = helpers
+    _driver_record(tmp, 3, {"queries": {"q1": 1.0}, "calibration": {"sec": 0.5}})
+    ns["_write_sidecar"](
+        "sf0.1", {"queries": {"q1": 2.0}, "calibration": {"sec": 0.7}}, 3
+    )
+    assert ns["_previous_round_queries"]("sf0.1") == ({"q1": 2.0}, 0.7)
+
+
+def test_newer_driver_record_beats_stale_sidecar(helpers):
+    ns, tmp = helpers
+    ns["_write_sidecar"](
+        "sf0.1", {"queries": {"q1": 2.0}, "calibration": {"sec": 0.7}}, 3
+    )
+    _driver_record(tmp, 5, {"queries": {"q1": 3.0}, "calibration": {"sec": 0.9}})
+    assert ns["_previous_round_queries"]("sf0.1") == ({"q1": 3.0}, 0.9)
+
+
+def test_truncated_driver_record_falls_through_to_sidecar(helpers):
+    """The actual round-12/13 failure mode: the newest driver record
+    has ``parsed: null`` (tail overflow) — the sidecar written in that
+    round must be found, not round N-2's stale parseable record."""
+    ns, tmp = helpers
+    _driver_record(tmp, 5, {"queries": {"q1": 3.0}, "calibration": {"sec": 0.9}})
+    _driver_record(tmp, 6, None)
+    ns["_write_sidecar"](
+        "sf0.1", {"queries": {"q1": 4.0}, "calibration": {"sec": 1.1}}, 6
+    )
+    assert ns["_previous_round_queries"]("sf0.1") == ({"q1": 4.0}, 1.1)
+
+
+def test_sf_keys_are_isolated(helpers):
+    """An sf0.01 iteration run must never become the sf0.1 baseline."""
+    ns, tmp = helpers
+    _driver_record(tmp, 5, {"queries": {"q1": 3.0}, "calibration": {"sec": 0.9}})
+    ns["_write_sidecar"](
+        "sf0.01", {"queries": {"q1": 0.1}, "calibration": {"sec": 0.2}}, 6
+    )
+    assert ns["_previous_round_queries"]("sf0.1") == ({"q1": 3.0}, 0.9)
+    assert ns["_previous_round_queries"]("sf0.01") == ({"q1": 0.1}, 0.2)
+
+
+def test_corrupt_sidecar_is_ignored(helpers):
+    ns, tmp = helpers
+    _driver_record(tmp, 5, {"queries": {"q1": 3.0}, "calibration": {"sec": 0.9}})
+    (tmp / "bench_sidecar.json").write_text("{not json")
+    assert ns["_previous_round_queries"]("sf0.1") == ({"q1": 3.0}, 0.9)
+
+
+def test_sidecar_write_is_atomic_and_merging(helpers):
+    ns, tmp = helpers
+    ns["_write_sidecar"]("sf0.1", {"queries": {"q1": 1.0}}, 2)
+    ns["_write_sidecar"]("sf0.01", {"queries": {"q1": 0.1}}, 2)
+    side = json.loads((tmp / "bench_sidecar.json").read_text())
+    assert set(side) == {"sf0.1", "sf0.01"}
+    assert side["sf0.1"]["round"] == 2
+    assert not os.path.exists(tmp / "bench_sidecar.json.tmp")

@@ -23,7 +23,13 @@ Usage::
 * Projects the NEXT round = max seen round + 1, grants its verdict to
   the current first-50 keys, and requires every registry entry's
   projected newest verdict (or first-seen anchor) to be within
-  ``--budget`` rounds (default 5) of the next round.
+  ``--budget`` rounds (default 6) of the next round.
+
+Margin note: the budget-6 relaxation (round 13) left ZERO margin —
+the six r08-verified entries deferred out of the r13 window project
+exactly at the floor (r08 >= r08), so round 14's window MUST front
+them (it does — see the ``queries()`` docstring schedule); any further
+deferral fails this gate.
 * Exits 0 with a summary line on success; exits 1 listing the
   over-budget keys (oldest first) otherwise.
 
