@@ -1140,7 +1140,16 @@ def frontier_schedule(
 
     Rank order: ``priority_col`` DESCENDING when given (higher
     priority fetches first), then ``url_col`` ascending — fully
-    deterministic, so reruns and SQL oracles reproduce the schedule.
+    deterministic (reruns and SQL oracles reproduce the schedule)
+    PROVIDED (priority, url) is unique per domain; a frontier is
+    URL-deduped upstream (``exact_dedup`` on url), so duplicates mean
+    a pipeline bug. Rows duplicated on both keys would rank
+    nondeterministically — the streaming twin
+    (:func:`~..streaming.events.stream_frontier_schedule`) adds an
+    all-columns hash tie-break instead because its replay-exactness
+    guarantee must hold for arbitrary redelivered batches; batch
+    reruns can simply be re-planned, so here the precondition is
+    documented rather than the plan widened.
 
     Scale: one domain-keyed exchange (the window) plus a broadcast
     of the directives table (domains ≪ frontier). The per-domain

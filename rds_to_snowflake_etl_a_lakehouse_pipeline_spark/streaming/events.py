@@ -1332,8 +1332,14 @@ def stream_frontier_schedule(
     are recomputed from the PRE-batch counters even when a crash left
     some state partitions already advanced, so a redelivered batch
     overwrites its sink partition with identical rows and advances
-    only the partitions that missed. Runs with trigger=availableNow
-    and blocks until input drains."""
+    only the partitions that missed. Slot assignment within a batch is
+    itself deterministic for ANY input: the rank window orders by
+    (``order_col``, url, xxhash64 of every batch column), so rows
+    duplicated on both explicit keys still rank identically on every
+    recomputation — rows identical in every column are interchangeable
+    and all others order by the hash (distinct rows colliding on all
+    three is a 64-bit-hash collision, negligible). Runs with
+    trigger=availableNow and blocks until input drains."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         sid = _checkpoint_stream_id(batch_df.sparkSession, checkpoint_dir)
@@ -1418,13 +1424,20 @@ def _frontier_schedule_merge_batch(
     from pyspark.sql import Window
 
     b = batch_df.withColumn("fetch_domain", _url_host(url_col))
-    # url tiebreak keeps slot assignment deterministic when order_col
-    # values collide — replay-exactness requires the SAME slots on
-    # every recomputation of a redelivered batch
+    # tiebreak chain keeps slot assignment deterministic — replay
+    # exactness requires the SAME slots on every recomputation of a
+    # redelivered batch: url breaks order_col collisions, and a final
+    # xxhash64 over ALL batch columns breaks (order_col, url)
+    # duplicates (rows differing in any other column order by the
+    # hash; rows identical in EVERY column are interchangeable, so
+    # either assignment yields the same output set). Residual
+    # nondeterminism needs distinct rows colliding on order_col, url
+    # AND the 64-bit hash — negligible.
+    all_cols_hash = F.xxhash64(*[F.col(c) for c in batch_df.columns])
     order = (
-        [F.col(order_col).asc(), F.col(url_col).asc()]
+        [F.col(order_col).asc(), F.col(url_col).asc(), all_cols_hash.asc()]
         if order_col
-        else [F.col(url_col).asc()]
+        else [F.col(url_col).asc(), all_cols_hash.asc()]
     )
     w = Window.partitionBy("fetch_domain").orderBy(*order)
     b = (

@@ -1429,6 +1429,77 @@ def test_stream_frontier_schedule_continuity_and_replay(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {sk}")
 
 
+def test_stream_frontier_schedule_duplicate_rows_replay_identical(spark):
+    """Round-14 fix (ADVICE r13): rows duplicated on BOTH explicit rank
+    keys (order_col AND url) used to get nondeterministic row_number
+    assignment, so a crash-replay recomputation could emit a
+    differently-permuted sink partition. The all-columns hash
+    tie-break makes slot assignment deterministic for arbitrary
+    batches: re-firing a duplicate-bearing batch with its original
+    stamp must land the byte-identical sink partition, on a stamped
+    state (pure recompute) AND from the pre-batch state (full redo).
+
+    The batch carries both duplicate flavors on a.com: two rows
+    differing only in a non-key column (tag x/y — hash orders them
+    deterministically) and two FULLY identical rows (interchangeable,
+    so any assignment is the same row set)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _frontier_schedule_merge_batch,
+        _stream_stamp,
+    )
+
+    st, sk = "frontier_state_dup", "frontier_sink_dup"
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    spark.sql(f"DROP TABLE IF EXISTS {sk}")
+    schema = "doc_id long, url string, tag string"
+    rows = [
+        (1, "http://a.com/x", "x"),   # dup pair 1: same (doc_id, url),
+        (1, "http://a.com/x", "y"),   #   different tag
+        (2, "http://a.com/z", "z"),   # dup pair 2: fully identical
+        (2, "http://a.com/z", "z"),
+        (3, "http://b.com/1", "q"),
+    ]
+    batch = spark.createDataFrame(rows, schema)
+    sid = "dup-stream"
+    _frontier_schedule_merge_batch(
+        batch, 0, st, sk, None, "url", 1.0, "doc_id",
+        stamp=_stream_stamp(sid, 0), stream_id=sid,
+    )
+    sink_before, state_before = _snap(spark, sk), _snap(spark, st)
+    # the tag-x row must rank before or after tag-y CONSISTENTLY; both
+    # a.com/z copies occupy the remaining two slots either way
+    slots = {
+        (r["doc_id"], r["url"], r["tag"]): r["fetch_slot"]
+        for r in spark.table(sk).collect()
+    }
+    assert sorted(
+        s for (d, u, t), s in slots.items() if u == "http://a.com/x"
+    ) == [0, 1]
+    assert {r["next_slot"] for r in spark.table(st).collect()} == {4, 1}
+    # replay 1: stamped state (the recompute path) — 3 independent
+    # re-fires to catch nondeterministic permutations, not luck
+    for _ in range(3):
+        _frontier_schedule_merge_batch(
+            spark.createDataFrame(rows, schema), 0, st, sk, None,
+            "url", 1.0, "doc_id",
+            stamp=_stream_stamp(sid, 0), stream_id=sid,
+        )
+        assert _snap(spark, sk) == sink_before
+        assert _snap(spark, st) == state_before
+    # replay 2: drop the state entirely (pre-batch crash: sink partition
+    # half-written, state not committed) — the full redo must also land
+    # the identical partition
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    _frontier_schedule_merge_batch(
+        spark.createDataFrame(rows, schema), 0, st, sk, None,
+        "url", 1.0, "doc_id",
+        stamp=_stream_stamp(sid, 0), stream_id=sid,
+    )
+    assert _snap(spark, sk) == sink_before
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    spark.sql(f"DROP TABLE IF EXISTS {sk}")
+
+
 def test_stream_sessionize_legacy_stamp_window_closes(spark):
     """Round-12 fix: the legacy bare-batch-id replay guard is a
     one-batch UPGRADE WINDOW, not forever. A bucketed state table
