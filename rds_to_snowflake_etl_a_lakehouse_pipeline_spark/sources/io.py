@@ -31,6 +31,7 @@ lifecycle itself is not re-invented per family.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,14 +100,23 @@ def read_jdbc(
     ingest; without it the read is single-connection (dev only).
 
     Bounds are AUTO-DERIVED when omitted (round 12): giving
-    ``partition_column`` without ``lower_bound``/``upper_bound`` runs
-    ONE pushed-down ``SELECT MIN(col), MAX(col)`` probe over the same
-    connection and uses the result as stride bounds — the numbers the
-    reference's Glue catalog supplied implicitly
+    ``partition_column`` with EITHER bound missing runs ONE pushed-down
+    ``SELECT MIN(col), MAX(col)`` probe over the same connection and
+    fills the missing side(s) — an explicitly passed bound is kept and
+    only its counterpart comes from the probe; the probe is skipped
+    only when BOTH bounds are passed (use that when the table is hot
+    and an index-backed MIN/MAX would still be a scan). These are the
+    numbers the reference's Glue catalog supplied implicitly
     (bronze/crm_cust_info_bronze.py:24-27). An empty table falls back
-    to a single-connection read (no rows to stride over). Explicitly
-    passed bounds skip the probe (use them when the table is hot and
-    an index-backed MIN/MAX would still be a scan).
+    to a single-connection read (no rows to stride over).
+
+    Because the probe interpolates ``table`` and ``partition_column``
+    into SQL text, the auto-bounds path REQUIRES both to be
+    identifier-shaped (dotted ``schema.table`` allowed) and raises
+    ``ValueError`` otherwise — the injection surface is closed rather
+    than trusted. Callers with exotic names (quoted specials) or
+    subquery dbtables must pass both bounds explicitly; the non-probe
+    path hands ``table`` to Spark's JDBC reader untouched.
 
     Requires the matching JDBC driver jar on the classpath. Round-trip
     (write + 4-cursor partitioned read, manual AND auto bounds) is
@@ -118,6 +128,23 @@ def read_jdbc(
     if partition_column is not None and (
         lower_bound is None or upper_bound is None
     ):
+        # identifier gate BEFORE interpolating into the probe SQL:
+        # table/partition_column may carry catalog-config strings, and
+        # an unvalidated value would splice arbitrary SQL into the
+        # probe connection. $ and # cover Oracle/temp-table idioms.
+        _ident = re.compile(r"[A-Za-z_][A-Za-z0-9_$#]*")
+        if not all(_ident.fullmatch(seg) for seg in table.split(".")) or not table:
+            raise ValueError(
+                "read_jdbc auto-bounds probe requires an identifier-"
+                f"shaped table (got {table!r}); pass lower_bound and "
+                "upper_bound explicitly for quoted/subquery dbtables"
+            )
+        if not _ident.fullmatch(partition_column):
+            raise ValueError(
+                "read_jdbc auto-bounds probe requires an identifier-"
+                f"shaped partition_column (got {partition_column!r}); "
+                "pass both bounds explicitly to skip the probe"
+            )
         # one-row, one-connection bounds probe, computed BY the
         # database (MIN/MAX push down; nothing but two values move).
         # Quote the column through Spark's own dialect registry so

@@ -136,6 +136,46 @@ def test_read_jdbc_auto_bounds_derby(spark, tmp_path):
     assert empty.count() == 0 and empty.rdd.getNumPartitions() == 1
 
 
+def test_read_jdbc_probe_rejects_non_identifier_names(spark, tmp_path):
+    """Round 14 (ADVICE r13): the auto-bounds probe interpolates
+    ``table``/``partition_column`` into SQL text, so the probe path
+    refuses anything not identifier-shaped — a malicious or
+    subquery-bearing value raises ValueError BEFORE any connection is
+    opened (url can be bogus), and the same strings are fine when both
+    bounds are explicit (no interpolation happens; Spark's reader gets
+    dbtable verbatim, as its API contract allows subqueries there)."""
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/nope;create=true"
+    evil_table = "people; DROP TABLE users--"
+    with pytest.raises(ValueError, match="identifier-shaped table"):
+        read_jdbc(spark, url, evil_table, partition_column="id")
+    with pytest.raises(ValueError, match="identifier-shaped table"):
+        read_jdbc(
+            spark, url, "(SELECT * FROM t) q", partition_column="id"
+        )
+    with pytest.raises(ValueError, match="identifier-shaped partition_column"):
+        read_jdbc(
+            spark, url, "schema1.people",
+            partition_column="id) FROM users--",
+        )
+    # dotted schema.table and $/# identifier idioms pass the gate (the
+    # probe then fails on the bogus URL, proving the gate ran first)
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    real_url = f"jdbc:derby:{tmp_path}/identdb;create=true"
+    df = spark.createDataFrame([(1, 1.0), (9, 2.0)], "id int, amount double")
+    WarehouseSink(
+        backend="jdbc", options={"url": real_url, "driver": driver}
+    ).write(df, "ok_tbl")
+    got = read_jdbc(
+        spark, real_url, "ok_tbl", partition_column="id",
+        num_partitions=2, driver=driver,
+    )
+    assert got.count() == 2
+
+
 def test_warehouse_sink_snowflake_contract(spark, monkeypatch):
     """S7 contract test (the reference's broken positional
     ``.options('dbtable', …)`` call, dim_customers_gold.py:81, with
