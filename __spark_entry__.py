@@ -5325,6 +5325,106 @@ _SQL_FRONTIER_SCHEDULE = (
 )
 
 
+def _q_t_crawl_tick(spark, sf_dir):
+    """End-to-end crawl tick over standing state
+    (operators/curation.py::crawl_tick, round 14): three ticks
+    (doc_id%3, run in order) of sitemap-XML batches against one
+    standing seen-set + frontier-counter pair. Per doc: domain
+    k=doc_id%20, leaf=(doc_id//20)%10 (so URLs REPEAT across ticks and
+    must dedup against the seen-set while slots CONTINUE the
+    counters); the loc is uppercase-host + fragment + entity-escaped
+    (canonicalizer must fold all three); doc_id%10==9 docs carry a
+    <sitemapindex> child instead (discovered, never scheduled);
+    domains k%4==0 disallow /p1 (blocked URLs never enter the seen
+    set); delays k%4+1 except k%5==0 domains (default 1.0). The
+    oracle replays the whole composition: the combined fetched table
+    equals one global per-domain ranking of the robots-surviving
+    first-occurrence URLs ordered (tick, doc_id). Any defect in the
+    sitemap walk, canonicalization, RFC 9309 matching, seen-set
+    algebra, counter continuation, or the delay join hash-mismatches."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        crawl_tick,
+    )
+
+    key = _fixture_key(sf_dir)
+    seen, state, fetched = (
+        f"crawl_seen_{key}", f"crawl_state_{key}", f"crawl_fetched_{key}"
+    )
+    for t in (seen, state, fetched):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rk = F.col("id")
+    robots = spark.range(20).select(
+        F.concat(
+            F.lit("d"), rk.cast("string"), F.lit(".example.com")
+        ).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(rk % 4 == 0, F.lit("Disallow: /p1\n")).otherwise(F.lit("")),
+            F.when(rk % 5 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("Crawl-delay: "), (rk % 4 + 1).cast("string"),
+                    F.lit("\n"),
+                )
+            ),
+        ).alias("robots_txt"),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 20).cast("string")
+    leaf = ((F.col("doc_id") / 20).cast("bigint") % 10).cast("string")
+    xml = F.when(
+        F.col("doc_id") % 10 == 9,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>http://d"), k,
+            F.lit(".example.com/child.xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset><url><loc>HTTP://D"), k,
+            F.lit(".example.com/p"), leaf,
+            F.lit("?a=1&amp;b=2#frag</loc></url></urlset>"),
+        )
+    )
+    batches = d.withColumn("sitemap_xml", xml)
+    out = None
+    for tick in (0, 1, 2):
+        out = crawl_tick(
+            spark,
+            batches.filter(F.col("doc_id") % 3 == tick),
+            tick,
+            seen_table=seen, frontier_state_table=state,
+            fetched_table=fetched, robots_df=robots,
+        )
+    result = out.sparkSession.table(fetched).select(
+        "doc_id", "url", "fetch_domain", "fetch_slot",
+        "fetch_offset_seconds", "sim_fp", "sim_status",
+        F.col("_batch_id").cast("bigint").alias("tick"),
+    )
+    return result
+
+
+_SQL_CRAWL_TICK = (
+    "WITH d AS (SELECT doc_id, doc_id % 20 AS k, "
+    "(doc_id // 20) % 10 AS leaf, doc_id % 3 AS tick "
+    "FROM documents WHERE doc_id % 10 <> 9), "
+    "c AS (SELECT *, 'http://d' || CAST(k AS VARCHAR) || "
+    "'.example.com/p' || CAST(leaf AS VARCHAR) || '?a=1&b=2' AS url "
+    "FROM d WHERE NOT (k % 4 = 0 AND leaf = 1)), "
+    "f AS (SELECT *, row_number() OVER (PARTITION BY url "
+    "ORDER BY tick, doc_id) AS rn FROM c), "
+    "s AS (SELECT doc_id, k, tick, url, "
+    "row_number() OVER (PARTITION BY k ORDER BY tick, doc_id) - 1 "
+    "AS fetch_slot FROM f WHERE rn = 1) "
+    "SELECT doc_id, url, "
+    "'d' || CAST(k AS VARCHAR) || '.example.com' AS fetch_domain, "
+    "fetch_slot, "
+    "CAST(round(fetch_slot * (CASE WHEN k % 5 = 0 THEN 1.0 "
+    "ELSE CAST(k % 4 + 1 AS DOUBLE) END), 6) AS DOUBLE) "
+    "AS fetch_offset_seconds, "
+    "md5(url) AS sim_fp, CAST(200 AS INT) AS sim_status, "
+    "CAST(tick AS BIGINT) AS tick FROM s"
+)
+
+
 _SQL_ROBOTS_FILTER = (
     "SELECT doc_id, 'http://d' || CAST(doc_id // 2 AS VARCHAR) "
     "|| '.example.com/p' || CAST((doc_id // 2) % 7 AS VARCHAR) || "
@@ -5701,6 +5801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- tranche. The tranche's last six defer one round (they
     # ---- LEAD the r14 window, see the docstring schedule) so the
     # ---- never-sampled code gets its first driver rows now.
+        "t_crawl_tick": _q_t_crawl_tick,
         "t_sitemap_urls": _q_t_sitemap_urls,
         "d_exact_index_dedup": _q_d_exact_index_dedup,
         "x1_frontier_stream": _q_x1_frontier_stream,
@@ -6853,6 +6954,7 @@ def oracle_sql() -> dict[str, str]:
         "t_warc_pipeline": _SQL_WARC_PIPELINE,
         "t_robots_filter": _SQL_ROBOTS_FILTER,
         "t_frontier_schedule": _SQL_FRONTIER_SCHEDULE,
+        "t_crawl_tick": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,
         "d_exact_index_dedup": _SQL_EXACT_INDEX_DEDUP,
         "x1_frontier_stream": _SQL_FRONTIER_STREAM,

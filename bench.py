@@ -493,6 +493,13 @@ def main() -> None:
         # sum + TakeOrdered top-k — English-target selection over the
         # whole corpus at sf0.1
         "q32_dsir_select": (qs["t_dsir_select"], True),
+        # end-to-end crawl tick (round 14): 3 ticks of sitemap
+        # discovery + canonicalize + RFC 9309 robots + standing
+        # seen-set probe + politeness scheduling with per-domain
+        # counter continuation; the fixture drops and rebuilds its
+        # state tables on every invocation, so each min-of-N sample
+        # measures the identical three-tick composition
+        "q33_crawl_tick": (qs["t_crawl_tick"], True),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

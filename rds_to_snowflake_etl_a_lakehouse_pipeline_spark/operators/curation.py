@@ -1200,3 +1200,111 @@ def frontier_schedule(
         )
         .drop("__fs_delay")
     )
+
+
+def crawl_tick(
+    spark,
+    batch,
+    tick_id: int,
+    *,
+    seen_table: str,
+    frontier_state_table: str,
+    fetched_table: str,
+    robots_df=None,
+    content_col: str = "sitemap_xml",
+    url_col: str = "url",
+    order_col: str = "doc_id",
+    default_delay: float = 1.0,
+    canonicalize: bool = True,
+    seen_buckets: int = 32,
+    state_partitions: int = 64,
+):
+    """ONE tick of a continuous crawler — the end-to-end composition of
+    the crawl tier over standing state, driver-facing (round 14; the
+    reference has no crawl tier, this extends it for LLM-corpus
+    construction):
+
+    1. **Discover**: :func:`parse_sitemaps` explodes the batch's
+       sitemap XML into candidate URLs (``url_col``). ``<sitemapindex>``
+       children (``kind='sitemap'``) are NOT scheduled — fetching child
+       sitemaps is the next tick's input, by the same non-recursion
+       rule as :func:`parse_sitemaps` itself.
+    2. **Canonicalize** (``canonicalize=True``):
+       :func:`~..functions.text.canonicalize_url`, so the seen-set and
+       politeness keys can't be split by case/port/fragment/tracking
+       variants.
+    3. **Robots filter** (``robots_df`` = (domain, robots_txt)):
+       :func:`robots_rules` + :func:`robots_allowed`, RFC 9309
+       longest-match; disallowed URLs never reach the seen-set (a URL
+       blocked today must be fetchable when the rules change).
+    4. **Seen-set probe + advance**: ``dedup.exact_incremental_dedup``
+       against the standing ``seen_table`` (created empty on the first
+       tick), stamped with ``tick_id`` — already-fetched URLs drop,
+       survivors' fingerprints append so the NEXT tick dedups against
+       everything ever scheduled. Within a tick the min-``order_col``
+       copy survives.
+    5. **Fetch-sim**: a deterministic stand-in for the network fetch
+       (``sim_fp`` = md5 of the canonical URL, ``sim_status`` = 200) —
+       clearly simulation: a real deployment swaps this column pair for
+       its fetcher's output; everything else in the tick is real.
+    6. **Schedule + land**: the streaming politeness machinery
+       (``streaming.events._frontier_schedule_merge_batch``) assigns
+       per-domain serial slots CONTINUING ``frontier_state_table``'s
+       counters (delays from :func:`robots_directives` over
+       ``robots_df``; ``default_delay`` fallback) and lands the tick in
+       ``fetched_table``'s own ``_batch_id=tick_id`` partition.
+
+    Replay-exact for the crash-redelivery window: both state advances
+    are stamped with ``tick_id``, so re-running the MOST RECENT tick —
+    whatever the crash caught mid-write — overwrites its sink
+    partition with identical rows and advances only the state
+    partitions that missed (the same algebra pytest pins for the
+    streaming twins). Ticks must run in order with unique, monotone
+    ``tick_id``s; re-firing an OLD tick after later ticks committed is
+    outside the contract (later ticks already advanced the counters —
+    the same rule as streaming checkpoint ordering, which never
+    redelivers behind the committed offset).
+
+    Returns the landed partition (all batch columns except
+    ``content_col``/kind, plus ``fetch_domain``/``fetch_slot``/
+    ``fetch_offset_seconds`` and the fetch-sim pair).
+
+    Scale shape (SCALE.md "crawl_tick"): per-tick cost tracks the
+    BATCH — one Arrow-free Catalyst sitemap walk, one broadcast rules
+    join, one fingerprint anti-join against the bucketed seen-set
+    (index streams pre-shuffled out of its layout, never re-scanned),
+    one domain-keyed window, one partition-scoped state overwrite.
+    Nothing rescans the corpus; standing tables grow by exactly the
+    survivors."""
+    from ..functions.text import canonicalize_url
+    from ..sources.io import write_table
+    from ..streaming.events import _frontier_schedule_merge_batch
+    from .dedup import exact_build_index, exact_incremental_dedup
+
+    urls = parse_sitemaps(batch, content_col=content_col, out_col=url_col)
+    urls = urls.filter(F.col("kind") == "url").drop("kind")
+    if canonicalize:
+        urls = urls.withColumn(url_col, canonicalize_url(url_col))
+    directives = None
+    if robots_df is not None:
+        allowed = robots_allowed(urls, robots_rules(robots_df), url_col=url_col)
+        urls = allowed.filter(F.col("crawl_allowed")).drop("crawl_allowed")
+        directives = robots_directives(robots_df)
+    if not spark.catalog.tableExists(seen_table):
+        exact_build_index(
+            urls.limit(0), seen_table, [url_col], n_buckets=seen_buckets
+        )
+    fresh = exact_incremental_dedup(
+        spark, seen_table, urls, [url_col],
+        order_col=order_col, batch_id=tick_id,
+    )
+    fetched = fresh.withColumn("sim_fp", F.md5(F.col(url_col))).withColumn(
+        "sim_status", F.lit(200)
+    )
+    _frontier_schedule_merge_batch(
+        fetched, tick_id, frontier_state_table, fetched_table,
+        directives, url_col, default_delay, order_col,
+        state_partitions=state_partitions,
+        stamp=tick_id, stream_id=f"crawl_tick:{seen_table}",
+    )
+    return spark.table(fetched_table).filter(F.col("_batch_id") == tick_id)

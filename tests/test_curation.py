@@ -1274,3 +1274,109 @@ def test_robots_allowed_caller_column_safety(spark):
     bad = spark.createDataFrame([("u", 1)], "url string, __rb_rid int")
     with pytest.raises(ValueError, match="__rb_"):
         robots_allowed(bad, rules)
+
+
+def test_crawl_tick_standing_state_and_replay(spark):
+    """Round 14: the end-to-end crawl tick (discover -> canonicalize ->
+    robots -> seen-set probe -> fetch-sim -> politeness schedule ->
+    land) over THREE ticks of standing state, then crash-redelivery of
+    the latest tick.
+
+    Pinned behaviors: sitemapindex children are never scheduled; the
+    canonicalizer folds case/fragment/entity variants into one seen-set
+    key; robots-disallowed URLs neither schedule nor enter the seen set
+    (tick 3 can fetch a URL tick 1 was blocked from only if rules
+    change — here the block persists); cross-tick URL repeats drop
+    against the seen set while per-domain slots CONTINUE the counters;
+    within-tick duplicates keep the min order_col; re-firing the latest
+    tick leaves fetched/seen/state byte-identical (re-firing an OLD
+    tick is documented as outside the contract)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        crawl_tick,
+    )
+
+    tables = ("ctk_seen", "ctk_state", "ctk_fetched")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    robots = spark.createDataFrame(
+        [
+            ("d0.example.com", "User-agent: *\nDisallow: /p1\nCrawl-delay: 2\n"),
+            ("d1.example.com", "User-agent: *\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, sitemap_xml string"
+    )
+
+    def xml(k, leaf):
+        # uppercase host + fragment + escaped & — all folded away by
+        # canonicalize_url before the seen-set and politeness keys
+        return (
+            f"<urlset><url><loc>HTTP://D{k}.example.com/p{leaf}"
+            f"?a=1&amp;b=2#f</loc></url></urlset>"
+        )
+
+    kw = dict(
+        seen_table="ctk_seen", frontier_state_table="ctk_state",
+        fetched_table="ctk_fetched", robots_df=robots,
+    )
+    # tick 0: d0/p0 ok, d0/p1 robots-blocked, d1/p0 ok, one child
+    # sitemap (never scheduled)
+    child = (
+        "<sitemapindex><sitemap><loc>http://d0.example.com/sm.xml"
+        "</loc></sitemap></sitemapindex>"
+    )
+    r0 = crawl_tick(
+        spark, mk([(1, xml(0, 0)), (2, xml(0, 1)), (3, xml(1, 0)), (4, child)]),
+        0, **kw,
+    )
+    got0 = sorted(
+        (r["doc_id"], r["url"], r["fetch_slot"], r["fetch_offset_seconds"])
+        for r in r0.collect()
+    )
+    assert got0 == [
+        (1, "http://d0.example.com/p0?a=1&b=2", 0, 0.0),
+        (3, "http://d1.example.com/p0?a=1&b=2", 0, 0.0),
+    ]
+    # tick 1: p0 repeats drop on both domains; new p2/p1 slots CONTINUE
+    # (d0 slot 1 x delay 2 = 2.0; d1 slot 1 x default 1.0)
+    r1 = crawl_tick(
+        spark,
+        mk([(5, xml(0, 0)), (6, xml(0, 2)), (7, xml(1, 0)), (8, xml(1, 1))]),
+        1, **kw,
+    )
+    got1 = sorted(
+        (r["doc_id"], r["url"], r["fetch_slot"], r["fetch_offset_seconds"])
+        for r in r1.collect()
+    )
+    assert got1 == [
+        (6, "http://d0.example.com/p2?a=1&b=2", 1, 2.0),
+        (8, "http://d1.example.com/p1?a=1&b=2", 1, 1.0),
+    ]
+    # tick 2: within-tick duplicate — min doc_id survives, one slot
+    b2 = [(10, xml(1, 2)), (9, xml(1, 2))]
+    r2 = crawl_tick(spark, mk(b2), 2, **kw)
+    assert [
+        (r["doc_id"], r["fetch_slot"]) for r in r2.collect()
+    ] == [(9, 2)]
+    # fetch-sim pair present and deterministic (md5 of canonical url)
+    row = r2.first()
+    assert row["sim_status"] == 200 and len(row["sim_fp"]) == 32
+    # crash-redelivery: re-fire the LATEST tick twice — fetched, seen
+    # and state must stay byte-identical each time
+    snap = lambda t: sorted(map(str, spark.table(t).collect()))  # noqa: E731
+    before = {t: snap(t) for t in tables}
+    for _ in range(2):
+        crawl_tick(spark, mk(b2), 2, **kw)
+        for t in tables:
+            assert snap(t) == before[t], t
+    # the robots block persisted across all ticks: p1 on d0 was never
+    # fetched and never entered the seen set
+    fetched_urls = {
+        r["url"] for r in spark.table("ctk_fetched").collect()
+    }
+    assert "http://d0.example.com/p1?a=1&b=2" not in fetched_urls
+    assert spark.table("ctk_seen").count() == 5  # p0,p2 on d0; p0,p1,p2 on d1
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
