@@ -1505,10 +1505,13 @@ def _q_v_mmr_rerank(spark, sf_dir):
     """Retrieve-then-diversify: brute-force top-40 candidates for 3
     query vectors, MMR re-rank (lam=0.7) to a diverse top-10 per query
     (operators/similarity.mmr_rerank — applyInPandas per query group,
-    candidate-sized, never corpus-sized). Rows-only: greedy selection
-    is not SQL-expressible; lam=1.0 == plain relevance order is pinned
-    against brute_force_topk by test, and the retrieval tier itself is
-    the oracle-green v_cosine_pairs/v_cosine_topk shape."""
+    candidate-sized, never corpus-sized). Oracle-backed since round 14:
+    pairwise sims round to 6 dp before the greedy comparison (the
+    mine_hard_negatives round-before-rank rule), so the whole greedy
+    selection — zero-floored redundancy penalty, (rel desc, id asc)
+    tie-breaks, lam arithmetic in IEEE doubles — replays as a DuckDB
+    recursive CTE picking one candidate per query per step. lam=1.0 ==
+    plain relevance order additionally pinned by pytest."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
         brute_force_topk,
         mmr_rerank,
@@ -1523,6 +1526,67 @@ def _q_v_mmr_rerank(spark, sf_dir):
         corpus.select("vec_id", "embedding"), "vec_id"
     )
     return mmr_rerank(cand, k=10, lam=0.7)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine between two 64-dim float lists, rounded 6 dp —
+    the same expression the oracle-green v_cosine_topk uses."""
+    def sq(v):
+        return (
+            f"sqrt(list_sum(list_transform({v}, "
+            "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+        )
+    return (
+        "round(list_sum(list_transform(range(1,65), "
+        f"i -> CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE)))"
+        f" / ({sq(a)} * {sq(b)}), 6)"
+    )
+
+
+# Greedy MMR as a recursive CTE: `sel` carries ONE row per query per
+# step (the latest pick + the picked-id list); each recursion ranks the
+# remaining candidates by the MMR score — lam in IEEE doubles exactly
+# as numpy computes it, redundancy penalty = greatest(0, max pairwise
+# sim to picked) on 6-dp-rounded sims, ties (rel desc, id asc) — and
+# keeps rn=1. UNION ALL accumulates the 10 picks per query.
+_SQL_MMR_RERANK = (
+    "WITH RECURSIVE "
+    "corpus AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id NOT IN (0,1,2)), "
+    "q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+    "WHERE vec_id IN (0,1,2)), "
+    "scored AS (SELECT q.query_id, e.vec_id, "
+    + _sql_cos("e.embedding", "q.embedding")
+    + " AS rel FROM corpus e, q), "
+    "cand AS (SELECT query_id, vec_id, rel FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY rel DESC, vec_id) AS rn FROM scored) WHERE rn <= 40), "
+    "pair AS (SELECT a.query_id, a.vec_id AS x, b.vec_id AS y, "
+    + _sql_cos("ea.embedding", "eb.embedding")
+    + " AS sim FROM cand a JOIN corpus ea ON ea.vec_id = a.vec_id "
+    "JOIN cand b ON b.query_id = a.query_id "
+    "JOIN corpus eb ON eb.vec_id = b.vec_id), "
+    "sel AS ("
+    "SELECT query_id, vec_id, rel, 1 AS mmr_rank, [vec_id] AS picked "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT query_id, vec_id, rel, mmr_rank + 1, "
+    "list_append(picked, vec_id) FROM ("
+    "SELECT s.query_id, c.vec_id, c.rel, s.mmr_rank, s.picked, "
+    "row_number() OVER (PARTITION BY s.query_id ORDER BY "
+    "CAST(0.7 AS DOUBLE)*c.rel - "
+    "(CAST(1.0 AS DOUBLE)-CAST(0.7 AS DOUBLE)) * "
+    "greatest(CAST(0 AS DOUBLE), (SELECT max(p.sim) FROM pair p "
+    "WHERE p.query_id = s.query_id AND p.x = c.vec_id "
+    "AND list_contains(s.picked, p.y))) DESC, "
+    "c.rel DESC, c.vec_id ASC) AS rn "
+    "FROM sel s JOIN cand c ON c.query_id = s.query_id "
+    "AND NOT list_contains(s.picked, c.vec_id) "
+    "WHERE s.mmr_rank < 10) WHERE rn = 1) "
+    "SELECT query_id, vec_id, rel AS cos_sim, "
+    "CAST(mmr_rank AS INT) AS mmr_rank FROM sel"
+)
 
 
 def _q_v_hard_negatives(spark, sf_dir):
@@ -1864,17 +1928,24 @@ def _q_v_lsh_topk(spark, sf_dir):
 
 def _q_v_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (operators/similarity.py::
-    pq_train/pq_encode/pq_topk): the memory tier of the ANN story —
-    m=8 one-byte codes replace 64 floats on the corpus side (64×), and
+    pq_encode/pq_topk): the memory tier of the ANN story — m=8
+    one-byte codes replace 64 floats on the corpus side (64×), and
     queries score codes via per-query lookup tables, never touching
-    corpus floats. Rows-only: quantization distortion is by
-    construction (recall pinned ≥ 0.4 vs the exact tier in
-    test_pq_topk_recall_vs_exact; exact twin v_cosine_topk is
-    oracle-checked)."""
+    corpus floats. Oracle-backed since round 14 with an ARITHMETIC
+    codebook — centroid (j,c,t) = (((j·64+c)·8+t) mod 17 − 8) / 8, all
+    exact binary fractions in [−1, 1] — so the entire encode (argmin
+    over expanded ‖v‖²−2v·c+‖c‖² with the constant ‖v‖² term shared
+    across codes) and ADC scoring (per-subspace squared-diff tables,
+    summed, rounded 6 dp, ranked dist-then-id) replays in DuckDB
+    arithmetic. pq_train (the k-means fit) stays pytest-pinned
+    (test_pq_topk_recall_vs_exact runs the trained path end-to-end);
+    the exact twin v_cosine_topk remains the recall baseline."""
+    import numpy as np
+
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        PQCodebook,
         pq_encode,
         pq_topk,
-        pq_train,
     )
 
     e = load(spark, sf_dir, "embeddings")
@@ -1882,8 +1953,50 @@ def _q_v_pq_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cb = pq_train(corpus, m=8, n_codes=64)
-    return pq_topk(pq_encode(corpus, cb), q, cb, k=10)
+    idx = np.arange(8 * 64 * 8).reshape(8, 64, 8)
+    books = (idx % 17 - 8) / 8.0
+    cb = PQCodebook(books, dim=64, seed=0)
+    return pq_topk(pq_encode(corpus, cb), q, cb, k=10).select(
+        # _adc_scored rebuilds query ids as literals (int32 when they
+        # fit); cast back to the input's long so schemas line up
+        F.col("query_id").cast("long").alias("query_id"),
+        "vec_id", "adc_dist", "rank",
+    )
+
+
+# PQ replay: cb = the arithmetic codebook; enc = per (vector, subspace)
+# the argmin-distance code using the SAME expanded form as pq_encode
+# (the shared ||v||^2 term drops out of the argmin, so only exact
+# -2*v.c and ||c||^2 terms order the codes — summation-order-safe);
+# qd = per (query, subspace, code) partial squared distances; final
+# score = sum of m lookups, rounded 6, ranked (dist, id).
+_SQL_PQ_TOPK = (
+    "WITH cb AS (SELECT j, c, t, "
+    "(CAST(((j*64 + c)*8 + t) % 17 AS DOUBLE) - 8) / 8 AS val "
+    "FROM range(8) _j(j), range(64) _c(c), range(8) _t(t)), "
+    "corpus AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id >= 3), "
+    "q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+    "WHERE vec_id < 3), "
+    "enc_d AS (SELECT e.vec_id, cb.j, cb.c, "
+    "sum(CAST(e.embedding[cb.j*8 + cb.t + 1] AS DOUBLE) * cb.val) "
+    "AS vc, sum(cb.val * cb.val) AS cc "
+    "FROM corpus e, cb GROUP BY e.vec_id, cb.j, cb.c), "
+    "code AS (SELECT vec_id, j, c FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY vec_id, j "
+    "ORDER BY -2*vc + cc, c) AS rn FROM enc_d) WHERE rn = 1), "
+    "qd AS (SELECT q.query_id, cb.j, cb.c, "
+    "sum((CAST(q.embedding[cb.j*8 + cb.t + 1] AS DOUBLE) - cb.val) * "
+    "(CAST(q.embedding[cb.j*8 + cb.t + 1] AS DOUBLE) - cb.val)) AS pd "
+    "FROM q, cb GROUP BY q.query_id, cb.j, cb.c), "
+    "adc AS (SELECT qd.query_id, code.vec_id, "
+    "round(sum(qd.pd), 6) AS adc_dist "
+    "FROM code JOIN qd ON qd.j = code.j AND qd.c = code.c "
+    "GROUP BY qd.query_id, code.vec_id) "
+    "SELECT query_id, vec_id, adc_dist, CAST(rank AS INT) AS rank FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY adc_dist, vec_id) AS rank FROM adc) WHERE rank <= 10"
+)
 
 
 def _q_v_decontaminate(spark, sf_dir):
@@ -6631,6 +6744,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, quality FROM dedup WHERE rn = 1"
         ),
         "v_l2_norm": f"SELECT vec_id, round({norm_sql}, 6) AS norm FROM embeddings",
+        "v_mmr_rerank": _SQL_MMR_RERANK,
+        "v_pq_topk": _SQL_PQ_TOPK,
         "v_dot_product": (
             f"SELECT e1.vec_id AS vec_id, round({dot64}, 6) AS dot "
             "FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1"

@@ -971,6 +971,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     score_col: str = "cos_sim",
+    sim_round: int | None = 6,
 ) -> DataFrame:
     """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
     of per-query candidate sets: greedily pick the candidate maximizing
@@ -987,7 +988,20 @@ def mmr_rerank(
 
     Returns ``(query_id, id, score, mmr_rank)`` with ``mmr_rank``
     1-based in selection order. Deterministic: equal MMR scores break
-    toward the candidate earlier in (relevance desc, id asc) order.
+    toward the candidate earlier in (relevance desc, id asc) order,
+    and pairwise similarities are rounded to ``sim_round`` decimals
+    BEFORE the greedy comparison (round 14) — the same
+    round-before-rank rule as :func:`mine_hard_negatives`, which makes
+    the whole greedy selection replayable by a SQL engine computing
+    cosines independently (6 dp ties on raw doubles would otherwise
+    break on engine-specific last-ulp noise). ``sim_round=None``
+    restores raw-double comparisons.
+
+    The redundancy penalty FLOORS AT ZERO: ``max_sim`` accumulates
+    from 0, so a candidate anti-similar to everything picked pays no
+    penalty but earns no diversity BONUS either (raw MMR would let a
+    negative max cosine inflate the score above pure relevance). The
+    DuckDB oracle replays this as ``greatest(0, max(sim))``.
 
     Scale: greedy selection is inherently sequential PER QUERY but
     queries are independent — ``applyInPandas`` groups by query id, so
@@ -1041,7 +1055,10 @@ def mmr_rerank(
             best = int(np.argmax(score))
             picked.append(best)
             cand[best] = False
-            max_sim = np.maximum(max_sim, V @ V[best])
+            sims = V @ V[best]
+            if sim_round is not None:
+                sims = np.round(sims, sim_round)
+            max_sim = np.maximum(max_sim, sims)
         sel = pdf.iloc[picked]
         return pd.DataFrame(
             {
