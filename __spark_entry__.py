@@ -5880,100 +5880,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across rounds so every registered query keeps a driver verdict
     against CURRENT testdata.
 
-    r13 window (this ordering): the six round-12 additions that have
-    never had a driver verdict (t_sitemap_urls, d_exact_index_dedup,
-    x1_frontier_stream, x1_frontier_schedule_stream, t_dsir_select,
-    t_normalize_text) followed by the 44 oldest entries of the
-    r08-verified tranche — all 50 oracle-backed, so every driver slot
-    this round is hash-checkable (r12 burned 11/50 on rows-only
-    entries). The tranche's last six (x1_stream_enrich,
-    x1_stream_warehouse, x1_retention_stream, j8_star_revenue,
-    s16_quarantine, x1_quarantine_stream) defer ONE round and sit
-    immediately behind the cap.
+    r14 window (this ordering): the round-14 addition (t_crawl_tick)
+    and the two entries whose oracles are NEW this round
+    (v_mmr_rerank, v_pq_topk — their first hash-checked driver rows),
+    then the six r08-verified entries deferred out of the r13 window
+    (they projected exactly at the budget floor — mandatory), then 41
+    oracle-backed r09-tranche entries oldest-first. All 50 slots are
+    hash-checkable; the r09 tranche's eight sanctioned rows-only
+    entries defer to r15 (where they project exactly at the floor —
+    they MUST lead that window) along with the tranche's last entry.
 
-    Rotation arithmetic (why the budget is 6, not 5): 206+ registered
+    Rotation arithmetic (why the budget is 6, not 5): 207 registered
     entries cycle through a 50-slot window, so a full re-verification
     pass takes ceil(N/50) >= 5 rounds even with ZERO slots spent on
     newly added queries — and every round adds oracle-backed entries
     that must be sampled soon after they land. A 5-round budget is
     therefore only satisfiable when the verdict cohorts are already
-    perfectly smoothed; the inherited cohorts are lumpy (four blocks
-    of exactly 50), so rounds 13-14 smooth them: r14 = the six
-    deferred r08 entries + the r09 tranche oldest-first; r15 = the
-    r09 remainder + the r11 tranche; r16/r17 = the r12 tranche and
-    round-13+ additions. From r15 on the worst projected verdict sits
-    strictly above the floor (margin), with ~8 spare slots per round
-    for new entries. ENFORCE with ``python tools/check_rotation.py``
-    (fails when any entry's newest driver verdict would exceed the
-    staleness budget under the current ordering) and run the registry
-    meta-test after reordering."""
+    perfectly smoothed; the inherited cohorts are lumpy (blocks of
+    exactly 50), so rounds 13-15 smooth them: r15 = the eight deferred
+    r09 rows-only entries + the r09/r11 remainder; r16/r17 = the r12
+    tranche and the r13 front-50. From r15 on the worst projected
+    verdict sits strictly above the floor (margin), with ~8 spare
+    slots per round for new entries. ENFORCE with
+    ``python tools/check_rotation.py`` (fails when any entry's newest
+    driver verdict would exceed the staleness budget under the current
+    ordering) and run the registry meta-test after reordering."""
     return {
-    # ---- r13 front-50 (all 50 oracle-backed / hash-checkable):
-    # ---- the six round-12 additions that have never had a driver
-    # ---- verdict, then the 44 oldest entries of the r08-verified
-    # ---- tranche. The tranche's last six defer one round (they
-    # ---- LEAD the r14 window, see the docstring schedule) so the
-    # ---- never-sampled code gets its first driver rows now.
+    # ---- r14 front-50 (all 50 oracle-backed / hash-checkable):
+    # ---- the round-14 addition + the two newly-oracle-backed
+    # ---- entries (their new SQL gets driver hash rows now), then
+    # ---- the six r08-verified entries deferred out of the r13
+    # ---- window (zero rotation margin — see check_rotation.py),
+    # ---- then the r09-verified tranche oldest-first.
         "t_crawl_tick": _q_t_crawl_tick,
-        "t_sitemap_urls": _q_t_sitemap_urls,
-        "d_exact_index_dedup": _q_d_exact_index_dedup,
-        "x1_frontier_stream": _q_x1_frontier_stream,
-        "x1_frontier_schedule_stream": _q_x1_frontier_schedule_stream,
-        "t_dsir_select": _q_t_dsir_select,
-        "t_normalize_text": _q_t_normalize_text,
-        "a1_profile": _q_a1_profile,
-        "x2_resample_ffill": _q_x2_resample_ffill,
-        "a1_hist_quantile": _q_a1_hist_quantile,
-        "x1_hist_stream": _q_x1_hist_stream,
-        "a1_outliers": _q_a1_outliers,
-        "t_bm25_batch": _q_t_bm25_batch,
-        "v_decontaminate": _q_v_decontaminate,
-        "g_dim_customers": _q_g_dim_customers,
-        "g_dim_products": _q_g_dim_products,
-        "g_fact_sales": _q_g_fact_sales,
-        "g_pipeline_runner": _q_g_pipeline_runner,
-        "d_cc_dedup": _q_d_cc_dedup,
-        "s9_dq_gate": _q_s9_dq_gate,
-        "s10_incremental_load": _q_s10_incremental_load,
-        "x2_asof_join": _q_x2_asof_join,
-        "w4_merge_upsert": _q_w4_merge_upsert,
-        "x1_stateful_totals": _q_x1_stateful_totals,
-        "s6_partition_pruning": _q_s6_partition_pruning,
-        "e_json_extract": _q_e_json_extract,
-        "t_bm25_conjunctive": _q_t_bm25_conjunctive,
-        "x2_sessionize": _q_x2_sessionize,
-        "x2_retention": _q_x2_retention,
-        "w6_rolling_median": _q_w6_rolling_median,
-        "x2_interarrival": _q_x2_interarrival,
-        "x1_sessionize_stream": _q_x1_sessionize_stream,
-        "m_decode_images": _q_m_decode_images,
-        "x2_asof_forward": _q_x2_asof_forward,
-        "v_sign_project": _q_v_sign_project,
-        "s15_snapshot_drift": _q_s15_snapshot_drift,
-        "t_chunk_dedup": _q_t_chunk_dedup,
-        "t_decontaminate": _q_t_decontaminate,
-        "t_gopher_flags": _q_t_gopher_flags,
-        "j7_bloom_join": _q_j7_bloom_join,
-        "t_dedupe_lines": _q_t_dedupe_lines,
-        "a2_target_encode": _q_a2_target_encode,
-        "v_cosine_pairs": _q_v_cosine_pairs,
-        "a2_feature_scale": _q_a2_feature_scale,
-        "a2_one_hot": _q_a2_one_hot,
-        "x1_interval_stream": _q_x1_interval_stream,
-        "x1_session_stream": _q_x1_session_stream,
-        "x2_transitions": _q_x2_transitions,
-        "x1_sliding_stream": _q_x1_sliding_stream,
-        "x1_sliding_window": _q_x1_sliding_window,
-        "x1_stream_dedup": _q_x1_stream_dedup,
-    # ---- behind the cap, in forward rotation order ----
-    # r14 leaders: the six r08-verified entries deferred above
+        "v_mmr_rerank": _q_v_mmr_rerank,
+        "v_pq_topk": _q_v_pq_topk,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_retention_stream": _q_x1_retention_stream,
         "j8_star_revenue": _q_j8_star_revenue,
         "s16_quarantine": _q_s16_quarantine,
         "x1_quarantine_stream": _q_x1_quarantine_stream,
-    # r14 fill / r15 leaders: the r09-verified tranche
         "a1_unpivot": _q_a1_unpivot,
         "j_salted_skew": _q_j_salted_skew,
         "s7_warehouse_sink": _q_s7_warehouse_sink,
@@ -5992,14 +5939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_range_join": _q_x2_range_join,
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,
-        "a1_approx_distinct": _q_a1_approx_distinct,
-        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
-        "d_minhash_dedup": _q_d_minhash_dedup,
-        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
-        "d_simhash_pairs": _q_d_simhash_pairs,
-        "v_ivf_index_topk": _q_v_ivf_index_topk,
-        "v_ivf_topk": _q_v_ivf_topk,
-        "v_lsh_topk": _q_v_lsh_topk,
         "er_resolve": _q_er_resolve,
         "er_golden": _q_er_golden,
         "er_incremental": _q_er_incremental,
@@ -6023,6 +5962,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_scd2_pit": _q_j9_scd2_pit,
         "t_cluster_split": _q_t_cluster_split,
         "m_decode_jpeg": _q_m_decode_jpeg,
+    # ---- behind the cap, in forward rotation order ----
+    # r15 leaders: the r09 remainder — the eight sanctioned rows-only
+    # entries (sketch/ANN internals whose exact twins are oracle-green
+    # + pytest-pinned) deferred out of the r14 window so all 50 of its
+    # driver slots stay hash-checkable, plus the tranche's last entry.
+    # At r15 they project exactly at the budget-6 floor (r09 >= r09) —
+    # they MUST front then; check_rotation.py enforces it.
+        "a1_approx_distinct": _q_a1_approx_distinct,
+        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
+        "d_simhash_pairs": _q_d_simhash_pairs,
+        "v_ivf_index_topk": _q_v_ivf_index_topk,
+        "v_ivf_topk": _q_v_ivf_topk,
+        "v_lsh_topk": _q_v_lsh_topk,
         "x2_sessionize_chunked": _q_x2_sessionize_chunked,
     # r15/r16: the r11-verified tranche
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
@@ -6094,11 +6048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_semi_anti_join": _q_j6_semi_anti_join,
         "d_span_index_dedup": _q_d_span_index_dedup,
         "t_span_dedup": _q_t_span_dedup,
-        "v_mmr_rerank": _q_v_mmr_rerank,
         "v_knn_classify": _q_v_knn_classify,
         "t_weighted_sample": _q_t_weighted_sample,
         "t_pretrain_pipeline": _q_t_pretrain_pipeline,
-        "v_pq_topk": _q_v_pq_topk,
         "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
         "x1_versioned_stream": _q_x1_versioned_stream,
         "t_corpus_report": _q_t_corpus_report,
@@ -6126,6 +6078,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bm25_topk": _q_t_bm25_topk,
         "m_media_decode": _q_m_media_decode,
         "t_frontier_schedule": _q_t_frontier_schedule,
+    # r17/r18: the r13-verified tranche (the r13 front-50)
+        "t_sitemap_urls": _q_t_sitemap_urls,
+        "d_exact_index_dedup": _q_d_exact_index_dedup,
+        "x1_frontier_stream": _q_x1_frontier_stream,
+        "x1_frontier_schedule_stream": _q_x1_frontier_schedule_stream,
+        "t_dsir_select": _q_t_dsir_select,
+        "t_normalize_text": _q_t_normalize_text,
+        "a1_profile": _q_a1_profile,
+        "x2_resample_ffill": _q_x2_resample_ffill,
+        "a1_hist_quantile": _q_a1_hist_quantile,
+        "x1_hist_stream": _q_x1_hist_stream,
+        "a1_outliers": _q_a1_outliers,
+        "t_bm25_batch": _q_t_bm25_batch,
+        "v_decontaminate": _q_v_decontaminate,
+        "g_dim_customers": _q_g_dim_customers,
+        "g_dim_products": _q_g_dim_products,
+        "g_fact_sales": _q_g_fact_sales,
+        "g_pipeline_runner": _q_g_pipeline_runner,
+        "d_cc_dedup": _q_d_cc_dedup,
+        "s9_dq_gate": _q_s9_dq_gate,
+        "s10_incremental_load": _q_s10_incremental_load,
+        "x2_asof_join": _q_x2_asof_join,
+        "w4_merge_upsert": _q_w4_merge_upsert,
+        "x1_stateful_totals": _q_x1_stateful_totals,
+        "s6_partition_pruning": _q_s6_partition_pruning,
+        "e_json_extract": _q_e_json_extract,
+        "t_bm25_conjunctive": _q_t_bm25_conjunctive,
+        "x2_sessionize": _q_x2_sessionize,
+        "x2_retention": _q_x2_retention,
+        "w6_rolling_median": _q_w6_rolling_median,
+        "x2_interarrival": _q_x2_interarrival,
+        "x1_sessionize_stream": _q_x1_sessionize_stream,
+        "m_decode_images": _q_m_decode_images,
+        "x2_asof_forward": _q_x2_asof_forward,
+        "v_sign_project": _q_v_sign_project,
+        "s15_snapshot_drift": _q_s15_snapshot_drift,
+        "t_chunk_dedup": _q_t_chunk_dedup,
+        "t_decontaminate": _q_t_decontaminate,
+        "t_gopher_flags": _q_t_gopher_flags,
+        "j7_bloom_join": _q_j7_bloom_join,
+        "t_dedupe_lines": _q_t_dedupe_lines,
+        "a2_target_encode": _q_a2_target_encode,
+        "v_cosine_pairs": _q_v_cosine_pairs,
+        "a2_feature_scale": _q_a2_feature_scale,
+        "a2_one_hot": _q_a2_one_hot,
+        "x1_interval_stream": _q_x1_interval_stream,
+        "x1_session_stream": _q_x1_session_stream,
+        "x2_transitions": _q_x2_transitions,
+        "x1_sliding_stream": _q_x1_sliding_stream,
+        "x1_sliding_window": _q_x1_sliding_window,
+        "x1_stream_dedup": _q_x1_stream_dedup,
     }
 
 

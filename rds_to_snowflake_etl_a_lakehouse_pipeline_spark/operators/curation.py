@@ -777,6 +777,7 @@ def robots_allowed(
     rules,
     url_col: str = "url",
     out_col: str = "crawl_allowed",
+    _dedup_rules: bool = True,
 ):
     """Append the RFC 9309 longest-match decision per URL: among the
     domain's rules matching the URL **path plus query** (RFC 9309 and
@@ -824,14 +825,28 @@ def robots_allowed(
         .when(tail.startswith("?"), F.concat(F.lit("/"), tail))
         .otherwise(tail),
     ).withColumn("__rb_rid", F.monotonically_increasing_id())
+    rule_side = rules.select(
+        F.lower(F.col("domain")).alias("__rb_dom"),
+        F.col("directive").alias("__rb_dir"),
+        F.col("path_prefix").alias("__rb_prefix"),
+        F.col("pattern_re").alias("__rb_re"),
+        F.col("spec_len").alias("__rb_len"),
+    )
+    if _dedup_rules:
+        # exact-duplicate rules (same domain/verdict/pattern — common
+        # when several matched agent groups repeat the same lines)
+        # each multiply EVERY frontier row for that domain in the
+        # candidate join and re-run its regexp; the winner is a max_by
+        # over the candidates, invariant to duplicates, so dropping
+        # them is free semantics-wise and linear savings cost-wise
+        # (round 14 A/B in SCALE.md: 8x duplication ≈ 6x candidate
+        # work removed). The dedup itself is one tiny shuffle of the
+        # rules table — domains × unique rules, never frontier-sized.
+        rule_side = rule_side.dropDuplicates(
+            ["__rb_dom", "__rb_dir", "__rb_prefix", "__rb_re", "__rb_len"]
+        )
     cand = u.join(
-        rules.select(
-            F.lower(F.col("domain")).alias("__rb_dom"),
-            F.col("directive").alias("__rb_dir"),
-            F.col("path_prefix").alias("__rb_prefix"),
-            F.col("pattern_re").alias("__rb_re"),
-            F.col("spec_len").alias("__rb_len"),
-        ),
+        rule_side,
         "__rb_dom",
         "left",
     ).withColumn(

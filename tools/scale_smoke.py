@@ -462,6 +462,80 @@ def main() -> None:
     )
     spark.sql(f"DROP TABLE IF EXISTS {seen_table}")
 
+    # politeness skew (round 14): one mega-domain holds 50% of the
+    # frontier (mult*20k URLs total), the rest spread over 10k domains.
+    # The per-domain rank window puts the mega-domain in ONE task —
+    # politeness is per-domain serialization BY DESIGN (see
+    # frontier_schedule's docstring) — so the scaling shape to watch
+    # is: does the hot task stay LINEAR in its row count (a sort +
+    # running count), or does something quadratic/spilly hide in it?
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        frontier_schedule,
+    )
+
+    frontier_n = mult * 20_000
+    mega = F.col("id") % 2 == 0
+    frontier = spark.range(frontier_n).select(
+        F.concat(
+            F.lit("http://"),
+            F.when(mega, F.lit("mega.example.com")).otherwise(
+                F.concat(
+                    F.lit("d"), (F.col("id") % 10_000).cast("string"),
+                    F.lit(".example.com"),
+                )
+            ),
+            F.lit("/p"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    stats["frontier_skew_rows"] = stage(
+        "frontier_skew_mega_domain",
+        lambda: frontier_schedule(frontier).count(),
+    )
+
+    # robots wildcard pre-dedup A/B (round 14): every matched agent
+    # group repeating the same 4 wildcard rules 8x (common in real
+    # robots.txt: one block per product bot, identical rules). Without
+    # the dedup every duplicate re-runs its regexp against EVERY
+    # frontier row of the domain; with it the candidate join shrinks
+    # by the duplication factor. Semantics identical (max_by winner is
+    # duplicate-invariant) — A/B'd via the _dedup_rules knob.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    wild_rules = robots_rules(
+        spark.range(500).select(
+            F.concat(
+                F.lit("w"), F.col("id").cast("string"), F.lit(".example.com")
+            ).alias("domain"),
+            F.lit(
+                "User-agent: *\n"
+                + (
+                    "Disallow: /*?a=3\nDisallow: /p6/*.zip$\n"
+                    "Disallow: /*?*session=*9\nAllow: /p3/*.html$\n"
+                )
+                * 8
+            ).alias("robots_txt"),
+        )
+    ).localCheckpoint(eager=True)
+    wild_urls = spark.range(frontier_n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("http://w"), (F.col("id") % 500).cast("string"),
+            F.lit(".example.com/p"), (F.col("id") % 9).cast("string"),
+            F.lit("/x.zip?a="), (F.col("id") % 5).cast("string"),
+            F.lit("&session="), F.col("id").cast("string"),
+        ).alias("url"),
+    ).localCheckpoint(eager=True)
+    for label, dedup in (("dup8_raw", False), ("dup8_dedup", True)):
+        stats[f"robots_wild_{label}_allowed"] = stage(
+            f"robots_wildcard_{label}",
+            lambda d=dedup: robots_allowed(
+                wild_urls, wild_rules, _dedup_rules=d
+            ).filter(F.col("crawl_allowed")).count(),
+        )
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
