@@ -492,32 +492,37 @@ def main() -> None:
         lambda: frontier_schedule(frontier).count(),
     )
 
-    # robots wildcard pre-dedup A/B (round 14): every matched agent
-    # group repeating the same 4 wildcard rules 8x (common in real
-    # robots.txt: one block per product bot, identical rules). Without
-    # the dedup every duplicate re-runs its regexp against EVERY
-    # frontier row of the domain; with it the candidate join shrinks
-    # by the duplication factor. Semantics identical (max_by winner is
-    # duplicate-invariant) — A/B'd via the _dedup_rules knob.
+    # robots wildcard pre-dedup A/B (round 14): an externally-built
+    # rule table carrying each domain's 4 wildcard rules 8x over —
+    # robots_rules itself already dedupes repeated LINES, so the
+    # duplication that reaches robots_allowed in practice comes from
+    # unioned multi-snapshot/multi-crawl rule tables (simulated here
+    # by an 8x self-union). Without the dedup every duplicate re-runs
+    # its regexp against EVERY frontier row of the domain; with it the
+    # candidate join shrinks by the duplication factor. Semantics
+    # identical (max_by winner is duplicate-invariant) — A/B'd via the
+    # _dedup_rules knob.
+    import functools
+
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
         robots_allowed,
         robots_rules,
     )
 
-    wild_rules = robots_rules(
+    wild_base = robots_rules(
         spark.range(500).select(
             F.concat(
                 F.lit("w"), F.col("id").cast("string"), F.lit(".example.com")
             ).alias("domain"),
             F.lit(
                 "User-agent: *\n"
-                + (
-                    "Disallow: /*?a=3\nDisallow: /p6/*.zip$\n"
-                    "Disallow: /*?*session=*9\nAllow: /p3/*.html$\n"
-                )
-                * 8
+                "Disallow: /*?a=3\nDisallow: /p6/*.zip$\n"
+                "Disallow: /*?*session=*9\nAllow: /p3/*.html$\n"
             ).alias("robots_txt"),
         )
+    )
+    wild_rules = functools.reduce(
+        lambda a, b: a.unionByName(b), [wild_base] * 8
     ).localCheckpoint(eager=True)
     wild_urls = spark.range(frontier_n).select(
         F.col("id").alias("doc_id"),
