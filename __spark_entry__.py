@@ -5515,6 +5515,81 @@ def _q_t_crawl_tick(spark, sf_dir):
     return result
 
 
+def _q_x1_crawl_stream(spark, sf_dir):
+    """Streaming crawl tick (streaming/events.stream_crawl_tick,
+    round 14): the t_crawl_tick fixture's three tick batches drained
+    as three availableNow micro-batches through ONE checkpoint — the
+    full chain (sitemap walk → canonicalize → robots → standing
+    seen-set → fetch-sim → politeness counters) runs inside
+    foreachBatch with checkpoint-scoped stamps on BOTH state advances.
+    The combined fetched table must equal the batch composition's
+    global per-domain ranking (same oracle as t_crawl_tick); any
+    defect in the stamp threading, the per-batch seen-set algebra, or
+    the counter continuation hash-mismatches."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_crawl_tick,
+    )
+
+    key = _fixture_key(sf_dir)
+    seen, state, fetched = (
+        f"crawl_seen_s_{key}", f"crawl_state_s_{key}", f"crawl_fetched_s_{key}"
+    )
+    for t in (seen, state, fetched):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rk = F.col("id")
+    robots = spark.range(20).select(
+        F.concat(
+            F.lit("d"), rk.cast("string"), F.lit(".example.com")
+        ).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(rk % 4 == 0, F.lit("Disallow: /p1\n")).otherwise(F.lit("")),
+            F.when(rk % 5 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("Crawl-delay: "), (rk % 4 + 1).cast("string"),
+                    F.lit("\n"),
+                )
+            ),
+        ).alias("robots_txt"),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 20).cast("string")
+    leaf = ((F.col("doc_id") / 20).cast("bigint") % 10).cast("string")
+    xml = F.when(
+        F.col("doc_id") % 10 == 9,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>http://d"), k,
+            F.lit(".example.com/child.xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset><url><loc>HTTP://D"), k,
+            F.lit(".example.com/p"), leaf,
+            F.lit("?a=1&amp;b=2#frag</loc></url></urlset>"),
+        )
+    )
+    batches = d.withColumn("sitemap_xml", xml)
+    feed = tempfile.mkdtemp(prefix="crawl-feed-") + "/feed"
+    ck = tempfile.mkdtemp(prefix="ck-crawl-")
+    for tick in (0, 1, 2):
+        batches.filter(F.col("doc_id") % 3 == tick).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        sdf = spark.readStream.schema("doc_id long, sitemap_xml string").parquet(
+            feed
+        )
+        stream_crawl_tick(
+            sdf, seen, state, fetched, ck, robots_df=robots,
+        )
+    return spark.table(fetched).select(
+        "doc_id", "url", "fetch_domain", "fetch_slot",
+        "fetch_offset_seconds", "sim_fp", "sim_status",
+        F.col("_batch_id").cast("bigint").alias("tick"),
+    )
+
+
 _SQL_CRAWL_TICK = (
     "WITH d AS (SELECT doc_id, doc_id % 20 AS k, "
     "(doc_id // 20) % 10 AS leaf, doc_id % 3 AS tick "
@@ -5913,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- window (zero rotation margin — see check_rotation.py),
     # ---- then the r09-verified tranche oldest-first.
         "t_crawl_tick": _q_t_crawl_tick,
+        "x1_crawl_stream": _q_x1_crawl_stream,
         "v_mmr_rerank": _q_v_mmr_rerank,
         "v_pq_topk": _q_v_pq_topk,
         "x1_stream_enrich": _q_x1_stream_enrich,
@@ -7073,6 +7149,7 @@ def oracle_sql() -> dict[str, str]:
         "t_robots_filter": _SQL_ROBOTS_FILTER,
         "t_frontier_schedule": _SQL_FRONTIER_SCHEDULE,
         "t_crawl_tick": _SQL_CRAWL_TICK,
+        "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,
         "d_exact_index_dedup": _SQL_EXACT_INDEX_DEDUP,
         "x1_frontier_stream": _SQL_FRONTIER_STREAM,

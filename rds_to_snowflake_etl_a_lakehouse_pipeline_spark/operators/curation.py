@@ -1291,8 +1291,47 @@ def crawl_tick(
     one domain-keyed window, one partition-scoped state overwrite.
     Nothing rescans the corpus; standing tables grow by exactly the
     survivors."""
+    _crawl_tick_apply(
+        spark, batch, tick_id,
+        seen_table=seen_table,
+        frontier_state_table=frontier_state_table,
+        fetched_table=fetched_table,
+        robots_df=robots_df, content_col=content_col, url_col=url_col,
+        order_col=order_col, default_delay=default_delay,
+        canonicalize=canonicalize, seen_buckets=seen_buckets,
+        state_partitions=state_partitions,
+        stamp=tick_id, stream_id=f"crawl_tick:{seen_table}",
+    )
+    return spark.table(fetched_table).filter(F.col("_batch_id") == tick_id)
+
+
+def _crawl_tick_apply(
+    spark,
+    batch,
+    tick_id: int,
+    *,
+    seen_table: str,
+    frontier_state_table: str,
+    fetched_table: str,
+    robots_df,
+    content_col: str,
+    url_col: str,
+    order_col: str,
+    default_delay: float,
+    canonicalize: bool,
+    seen_buckets: int,
+    state_partitions: int,
+    stamp: int,
+    stream_id: str,
+) -> None:
+    """The tick body shared by :func:`crawl_tick` (stamp = tick id)
+    and ``streaming.events.stream_crawl_tick`` (checkpoint-scoped
+    ``_stream_stamp``, so a fresh checkpoint whose batch ids restart
+    at 0 can never alias stale state stamps). Both state advances —
+    the seen-set append and the frontier counter overwrite — carry the
+    SAME stamp, which is what makes the whole tick one replay-exact
+    unit rather than two independently-replayable halves."""
     from ..functions.text import canonicalize_url
-    from ..sources.io import write_table
     from ..streaming.events import _frontier_schedule_merge_batch
     from .dedup import exact_build_index, exact_incremental_dedup
 
@@ -1311,7 +1350,7 @@ def crawl_tick(
         )
     fresh = exact_incremental_dedup(
         spark, seen_table, urls, [url_col],
-        order_col=order_col, batch_id=tick_id,
+        order_col=order_col, batch_id=stamp,
     )
     fetched = fresh.withColumn("sim_fp", F.md5(F.col(url_col))).withColumn(
         "sim_status", F.lit(200)
@@ -1320,6 +1359,5 @@ def crawl_tick(
         fetched, tick_id, frontier_state_table, fetched_table,
         directives, url_col, default_delay, order_col,
         state_partitions=state_partitions,
-        stamp=tick_id, stream_id=f"crawl_tick:{seen_table}",
+        stamp=stamp, stream_id=stream_id,
     )
-    return spark.table(fetched_table).filter(F.col("_batch_id") == tick_id)

@@ -1558,6 +1558,68 @@ def _frontier_schedule_merge_batch(
     _dynamic_partition_overwrite(out, state_table, "_kb")
 
 
+def stream_crawl_tick(
+    sdf: DataFrame,
+    seen_table: str,
+    frontier_state_table: str,
+    fetched_table: str,
+    checkpoint_dir: str,
+    robots_df: DataFrame | None = None,
+    content_col: str = "sitemap_xml",
+    url_col: str = "url",
+    order_col: str = "doc_id",
+    default_delay: float = 1.0,
+    canonicalize: bool = True,
+    seen_buckets: int = 32,
+    state_partitions: int = 64,
+    query_name: str = "stream_crawl_tick",
+):
+    """The CONTINUOUS form of ``operators.curation.crawl_tick``: every
+    micro-batch of fetched sitemap payloads runs the full crawl tick —
+    sitemap discovery → URL canonicalization → RFC 9309 robots filter
+    → standing exact seen-set probe+advance → fetch-sim → politeness
+    scheduling continuing the per-domain counters — and lands in
+    ``fetched_table``'s own batch partition. One checkpoint drives the
+    WHOLE tick: both state advances (seen-set fingerprints, frontier
+    counters) carry the same checkpoint-scoped stamp
+    (:func:`_stream_stamp`), so a crash anywhere mid-tick redelivers
+    the batch and replays it byte-identically — the composed guarantee
+    the per-operator streaming twins (:func:`stream_exact_dedup`,
+    :func:`stream_frontier_schedule`) each pin individually.
+
+    ``robots_df`` is static per the streaming contract (rules change →
+    restart the query; a stream-joined rules table would race the
+    batch boundary). Runs with trigger=availableNow and blocks until
+    input drains."""
+    from ..operators.curation import _crawl_tick_apply
+
+    def _tick(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sid = _checkpoint_stream_id(batch_df.sparkSession, checkpoint_dir)
+        _crawl_tick_apply(
+            batch_df.sparkSession, batch_df, batch_id,
+            seen_table=seen_table,
+            frontier_state_table=frontier_state_table,
+            fetched_table=fetched_table,
+            robots_df=robots_df, content_col=content_col,
+            url_col=url_col, order_col=order_col,
+            default_delay=default_delay, canonicalize=canonicalize,
+            seen_buckets=seen_buckets, state_partitions=state_partitions,
+            stamp=_stream_stamp(sid, batch_id), stream_id=sid,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_tick)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _fuse_intervals(intervals: DataFrame, key_col: str, gap_us: int) -> DataFrame:
     """Fuse per-key session intervals whose inter-interval gap is at
     most ``gap_us``: running-max end (not lag — out-of-order batches

@@ -2884,3 +2884,82 @@ def test_parse_warc_gz_fuzz():
         assert isinstance(out, list)
         for rec in out:
             assert rec["target_uri"] is None or isinstance(rec["target_uri"], str)
+
+
+def test_stream_crawl_tick_matches_batch_composition(spark, tmp_path):
+    """Round 14: the streaming crawl tick drained over three
+    micro-batches produces the BYTE-IDENTICAL fetched table as three
+    batch crawl_tick calls on the same splits — seen-set dedup,
+    robots blocks, per-domain counter continuation, fetch-sim columns
+    and batch partitioning all included. One checkpoint drives the
+    whole chain, so the equality also pins the stamp threading across
+    BOTH state tables."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        crawl_tick,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_crawl_tick,
+    )
+
+    tables = ("sctm_seen", "sctm_state", "sctm_fetched",
+              "bctm_seen", "bctm_state", "bctm_fetched")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    robots = spark.createDataFrame(
+        [
+            ("d0.example.com", "User-agent: *\nDisallow: /p1\nCrawl-delay: 2\n"),
+            ("d1.example.com", "User-agent: *\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+
+    def xml(k, leaf):
+        return (
+            f"<urlset><url><loc>HTTP://D{k}.example.com/p{leaf}"
+            f"?a=1&amp;b=2#f</loc></url></urlset>"
+        )
+
+    ticks = [
+        [(1, xml(0, 0)), (2, xml(0, 1)), (3, xml(1, 0))],
+        [(5, xml(0, 0)), (6, xml(0, 2)), (7, xml(1, 0)), (8, xml(1, 1))],
+        [(10, xml(1, 2)), (9, xml(1, 2))],
+    ]
+    schema = "doc_id long, sitemap_xml string"
+    for i, b in enumerate(ticks):
+        crawl_tick(
+            spark, spark.createDataFrame(b, schema), i,
+            seen_table="bctm_seen", frontier_state_table="bctm_state",
+            fetched_table="bctm_fetched", robots_df=robots,
+        )
+    feed = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+    for b in ticks:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        sdf = spark.readStream.schema(schema).parquet(feed)
+        stream_crawl_tick(
+            sdf, "sctm_seen", "sctm_state", "sctm_fetched", ck,
+            robots_df=robots,
+        )
+    cols = [
+        "doc_id", "url", "fetch_domain", "fetch_slot",
+        "fetch_offset_seconds", "sim_fp", "sim_status", "_batch_id",
+    ]
+    batch_rows = sorted(
+        map(str, spark.table("bctm_fetched").select(*cols).collect())
+    )
+    stream_rows = sorted(
+        map(str, spark.table("sctm_fetched").select(*cols).collect())
+    )
+    assert batch_rows == stream_rows and len(batch_rows) == 5
+    # the streaming seen-set matches the batch one's fingerprints
+    assert (
+        spark.table("sctm_seen").select("fp").exceptAll(
+            spark.table("bctm_seen").select("fp")
+        ).isEmpty()
+    )
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
