@@ -6037,14 +6037,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_fact_sales_pit": _q_g_fact_sales_pit,
         "j9_scd2_pit": _q_j9_scd2_pit,
         "t_cluster_split": _q_t_cluster_split,
-        "m_decode_jpeg": _q_m_decode_jpeg,
     # ---- behind the cap, in forward rotation order ----
-    # r15 leaders: the r09 remainder — the eight sanctioned rows-only
-    # entries (sketch/ANN internals whose exact twins are oracle-green
-    # + pytest-pinned) deferred out of the r14 window so all 50 of its
-    # driver slots stay hash-checkable, plus the tranche's last entry.
-    # At r15 they project exactly at the budget-6 floor (r09 >= r09) —
-    # they MUST front then; check_rotation.py enforces it.
+    # r15 leaders: the r09 remainder — m_decode_jpeg (slid out when
+    # x1_crawl_stream joined the front), the eight sanctioned
+    # rows-only entries (sketch/ANN internals whose exact twins are
+    # oracle-green + pytest-pinned) deferred out of the r14 window so
+    # all 50 of its driver slots stay hash-checkable, and the
+    # tranche's last entry. At r15 they project exactly at the
+    # budget-6 floor (r09 >= r09) — they MUST front then;
+    # check_rotation.py enforces it.
+        "m_decode_jpeg": _q_m_decode_jpeg,
         "a1_approx_distinct": _q_a1_approx_distinct,
         "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
         "d_minhash_dedup": _q_d_minhash_dedup,
