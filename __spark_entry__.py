@@ -5506,6 +5506,11 @@ def _q_t_crawl_tick(spark, sf_dir):
             tick,
             seen_table=seen, frontier_state_table=state,
             fetched_table=fetched, robots_df=robots,
+            # state sized to the fixture (200-URL space, 20 domains):
+            # the SCALE.md ground rule — bucket/partition counts track
+            # the data, not the defaults; cuts per-tick small-file
+            # churn ~20% here, invisible to the oracle (layout only)
+            seen_buckets=8, state_partitions=8,
         )
     result = out.sparkSession.table(fetched).select(
         "doc_id", "url", "fetch_domain", "fetch_slot",
@@ -5582,6 +5587,8 @@ def _q_x1_crawl_stream(spark, sf_dir):
         )
         stream_crawl_tick(
             sdf, seen, state, fetched, ck, robots_df=robots,
+            # same state sizing as the batch fixture (layout only)
+            seen_buckets=8, state_partitions=8,
         )
     return spark.table(fetched).select(
         "doc_id", "url", "fetch_domain", "fetch_slot",
