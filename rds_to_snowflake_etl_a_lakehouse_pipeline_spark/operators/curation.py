@@ -1302,6 +1302,24 @@ def crawl_tick(
         state_partitions=state_partitions,
         stamp=tick_id, stream_id=f"crawl_tick:{seen_table}",
     )
+    if not spark.catalog.tableExists(fetched_table):
+        # every tick so far produced zero survivors (all blocked /
+        # duplicate / loc-less), so nothing has ever landed and the
+        # sink doesn't exist — synthesize the landed schema empty
+        # rather than throwing TABLE_OR_VIEW_NOT_FOUND at the caller
+        empty = parse_sitemaps(
+            batch.limit(0), content_col=content_col, out_col=url_col
+        ).drop("kind")
+        return (
+            empty.withColumn("sim_fp", F.md5(F.col(url_col)))
+            .withColumn("sim_status", F.lit(200))
+            .withColumn("fetch_domain", F.lit(None).cast("string"))
+            .withColumn("fetch_slot", F.lit(None).cast("bigint"))
+            .withColumn(
+                "fetch_offset_seconds", F.lit(None).cast("double")
+            )
+            .withColumn("_batch_id", F.lit(tick_id))
+        )
     return spark.table(fetched_table).filter(F.col("_batch_id") == tick_id)
 
 

@@ -1380,3 +1380,47 @@ def test_crawl_tick_standing_state_and_replay(spark):
     assert spark.table("ctk_seen").count() == 5  # p0,p2 on d0; p0,p1,p2 on d1
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_crawl_tick_empty_first_tick_returns_empty_frame(spark):
+    """Round-14 edge: a first tick whose every candidate is
+    robots-blocked (or loc-less) lands nothing, so the sink table does
+    not exist yet — crawl_tick must return an empty frame with the
+    landed schema instead of throwing TABLE_OR_VIEW_NOT_FOUND, and a
+    later productive tick must still land normally with slot 0."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.curation import (
+        crawl_tick,
+    )
+
+    tables = ("cte_seen", "cte_state", "cte_fetched")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    robots = spark.createDataFrame(
+        [("d0.example.com", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    kw = dict(
+        seen_table="cte_seen", frontier_state_table="cte_state",
+        fetched_table="cte_fetched", robots_df=robots,
+    )
+    blocked = spark.createDataFrame(
+        [(1, "<urlset><url><loc>http://d0.example.com/x</loc></url></urlset>")],
+        "doc_id long, sitemap_xml string",
+    )
+    r0 = crawl_tick(spark, blocked, 0, **kw)
+    assert r0.count() == 0
+    assert set(r0.columns) == {
+        "doc_id", "url", "sim_fp", "sim_status", "fetch_domain",
+        "fetch_slot", "fetch_offset_seconds", "_batch_id",
+    }
+    assert not spark.catalog.tableExists("cte_fetched")
+    # a later productive tick lands with a fresh slot counter
+    ok = spark.createDataFrame(
+        [(2, "<urlset><url><loc>http://d1.example.com/y</loc></url></urlset>")],
+        "doc_id long, sitemap_xml string",
+    )
+    r1 = crawl_tick(spark, ok, 1, **kw)
+    rows = r1.collect()
+    assert len(rows) == 1 and rows[0]["fetch_slot"] == 0
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
