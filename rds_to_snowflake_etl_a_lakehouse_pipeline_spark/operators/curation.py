@@ -1230,6 +1230,7 @@ def crawl_tick(
     url_col: str = "url",
     order_col: str = "doc_id",
     default_delay: float = 1.0,
+    priority_col: str | None = None,
     canonicalize: bool = True,
     seen_buckets: int = 32,
     state_partitions: int = 64,
@@ -1266,7 +1267,9 @@ def crawl_tick(
        (``streaming.events._frontier_schedule_merge_batch``) assigns
        per-domain serial slots CONTINUING ``frontier_state_table``'s
        counters (delays from :func:`robots_directives` over
-       ``robots_df``; ``default_delay`` fallback) and lands the tick in
+       ``robots_df``; ``default_delay`` fallback; ``priority_col``
+       DESC leads the within-tick rank when given — committed slots
+       from earlier ticks are never reordered) and lands the tick in
        ``fetched_table``'s own ``_batch_id=tick_id`` partition.
 
     Replay-exact for the crash-redelivery window: both state advances
@@ -1298,6 +1301,7 @@ def crawl_tick(
         fetched_table=fetched_table,
         robots_df=robots_df, content_col=content_col, url_col=url_col,
         order_col=order_col, default_delay=default_delay,
+        priority_col=priority_col,
         canonicalize=canonicalize, seen_buckets=seen_buckets,
         state_partitions=state_partitions,
         stamp=tick_id, stream_id=f"crawl_tick:{seen_table}",
@@ -1341,6 +1345,7 @@ def _crawl_tick_apply(
     state_partitions: int,
     stamp: int,
     stream_id: str,
+    priority_col: str | None = None,
 ) -> None:
     """The tick body shared by :func:`crawl_tick` (stamp = tick id)
     and ``streaming.events.stream_crawl_tick`` (checkpoint-scoped
@@ -1376,6 +1381,7 @@ def _crawl_tick_apply(
     _frontier_schedule_merge_batch(
         fetched, tick_id, frontier_state_table, fetched_table,
         directives, url_col, default_delay, order_col,
+        priority_col=priority_col,
         state_partitions=state_partitions,
         stamp=stamp, stream_id=stream_id,
     )

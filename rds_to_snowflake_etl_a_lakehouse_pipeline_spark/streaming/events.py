@@ -1315,6 +1315,7 @@ def stream_frontier_schedule(
     url_col: str = "url",
     default_delay: float = 1.0,
     order_col: str | None = None,
+    priority_col: str | None = None,
     state_partitions: int = 64,
     query_name: str = "stream_frontier_schedule",
 ):
@@ -1334,6 +1335,10 @@ def stream_frontier_schedule(
     overwrites its sink partition with identical rows and advances
     only the partitions that missed. Slot assignment within a batch is
     itself deterministic for ANY input: the rank window orders by
+    (``priority_col`` DESC when given — higher priority fetches first
+    within the batch, matching the batch scheduler's rank order;
+    priority can never reorder slots a previous batch committed, so
+    cross-batch priority means sorting the FEED), then
     (``order_col``, url, xxhash64 of every batch column), so rows
     duplicated on both explicit keys still rank identically on every
     recomputation — rows identical in every column are interchangeable
@@ -1346,6 +1351,7 @@ def stream_frontier_schedule(
         _frontier_schedule_merge_batch(
             batch_df, batch_id, state_table, sink_table, directives,
             url_col, default_delay, order_col,
+            priority_col=priority_col,
             state_partitions=state_partitions,
             stamp=_stream_stamp(sid, batch_id), stream_id=sid,
         )
@@ -1370,6 +1376,7 @@ def _frontier_schedule_merge_batch(
     url_col: str,
     default_delay: float,
     order_col: str | None,
+    priority_col: str | None = None,
     state_partitions: int = 64,
     stamp: int | None = None,
     stream_id: str | None = None,
@@ -1439,6 +1446,14 @@ def _frontier_schedule_merge_batch(
         if order_col
         else [F.col(url_col).asc(), all_cols_hash.asc()]
     )
+    if priority_col is not None:
+        # same rank order as the batch frontier_schedule: higher
+        # priority fetches first WITHIN this batch; counters still
+        # continue across batches (priority can never reorder slots a
+        # previous batch committed — a streaming scheduler is
+        # append-only by construction, so cross-batch priority means
+        # sorting the FEED, not the scheduler)
+        order = [F.col(priority_col).desc()] + order
     w = Window.partitionBy("fetch_domain").orderBy(*order)
     b = (
         b.withColumn("_bslot", F.row_number().over(w) - 1)
@@ -1569,6 +1584,7 @@ def stream_crawl_tick(
     url_col: str = "url",
     order_col: str = "doc_id",
     default_delay: float = 1.0,
+    priority_col: str | None = None,
     canonicalize: bool = True,
     seen_buckets: int = 32,
     state_partitions: int = 64,
@@ -1604,7 +1620,8 @@ def stream_crawl_tick(
             fetched_table=fetched_table,
             robots_df=robots_df, content_col=content_col,
             url_col=url_col, order_col=order_col,
-            default_delay=default_delay, canonicalize=canonicalize,
+            default_delay=default_delay, priority_col=priority_col,
+            canonicalize=canonicalize,
             seen_buckets=seen_buckets, state_partitions=state_partitions,
             stamp=_stream_stamp(sid, batch_id), stream_id=sid,
         )

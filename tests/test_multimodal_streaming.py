@@ -2963,3 +2963,49 @@ def test_stream_crawl_tick_matches_batch_composition(spark, tmp_path):
     )
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_frontier_schedule_priority_within_batch(spark, tmp_path):
+    """Round 14: priority_col ranks higher-priority URLs first WITHIN
+    a micro-batch (matching the batch scheduler's order), while
+    counters still continue across batches — a later batch's
+    high-priority row cannot steal a slot an earlier batch committed."""
+    from pyspark.sql import functions as F
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_frontier_schedule,
+    )
+
+    st, sk = "frontier_state_prio", "frontier_sink_prio"
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    spark.sql(f"DROP TABLE IF EXISTS {sk}")
+    schema = "doc_id long, url string, prio int"
+    feed = str(tmp_path / "feed")
+    # batch 1: low doc_id has LOW priority -> must rank after
+    spark.createDataFrame(
+        [(1, "http://a.com/x", 1), (2, "http://a.com/y", 5)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    sdf = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    stream_frontier_schedule(
+        sdf, st, sk, checkpoint_dir=str(tmp_path / "ck"),
+        order_col="doc_id", priority_col="prio",
+    )
+    # batch 2: highest priority yet — still slots AFTER batch 1
+    spark.createDataFrame(
+        [(3, "http://a.com/z", 9)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    sdf = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    stream_frontier_schedule(
+        sdf, st, sk, checkpoint_dir=str(tmp_path / "ck"),
+        order_col="doc_id", priority_col="prio",
+    )
+    got = {
+        r["doc_id"]: r["fetch_slot"] for r in spark.table(sk).collect()
+    }
+    assert got == {2: 0, 1: 1, 3: 2}
+    spark.sql(f"DROP TABLE IF EXISTS {st}")
+    spark.sql(f"DROP TABLE IF EXISTS {sk}")
