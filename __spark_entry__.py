@@ -444,12 +444,14 @@ def _q_a1_cms_topk(spark, sf_dir):
     per-day CMS grids of event user_ids, merged across days WITHOUT
     rescanning events, then candidate users ranked by estimated event
     count — the persisted-sketch pattern for incremental heavy-hitter
-    tracking. Rows-only: cell hashing is engine-internal; CMS
-    guarantees (never underestimates, overestimate <= (e/width)·N)
-    are pinned by test_cms_lookup_never_underestimates_* and merge
-    losslessness by test_cms_merge_equals_sketch_of_union; the exact
-    twin (plain groupBy count top-k) is the oracle-green o1_topk
-    shape."""
+    tracking. Oracle-backed since round 14 via the md5 hash family
+    (the pq_topk pattern): the DuckDB oracle recomputes the identical
+    depth×width counter grid cell for cell, the min-over-rows lookup,
+    and the top-20 ranking — hash-checking the counting machinery
+    itself. The xxhash64 default stays the scale path, pinned by
+    test_cms_lookup_never_underestimates_* and
+    test_cms_merge_equals_sketch_of_union; the exact twin (plain
+    groupBy count top-k) remains the oracle-green o1_topk shape."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
         cms_lookup,
         cms_merge,
@@ -457,11 +459,16 @@ def _q_a1_cms_topk(spark, sf_dir):
     )
 
     ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    fine = cms_sketch(ev, ["day"], "user_id", depth=5, width=4096)
+    fine = cms_sketch(
+        ev, ["day"], "user_id", depth=5, width=4096, hash_impl="md5"
+    )
     merged = cms_merge(fine, [])
     probes = ev.select("user_id").distinct()
     return (
-        cms_lookup(merged, probes, "user_id", depth=5, width=4096)
+        cms_lookup(
+            merged, probes, "user_id", depth=5, width=4096,
+            hash_impl="md5",
+        )
         .orderBy(F.desc("est_count"), "user_id")
         .limit(20)
     )
@@ -3602,9 +3609,9 @@ def _q_x1_cms_stream(spark, sf_dir):
     then the top-20 candidates rank by sketch estimate over the WHOLE
     streamed history. Because CMS merge is lossless (sum of grids ==
     grid of union, pinned by test_stream_frequency_sketch_*), this is
-    the batch a1_cms_topk computed incrementally — identical rows.
-    Rows-only for the same reason as its batch twin (cell hashing is
-    engine-internal)."""
+    the batch a1_cms_topk computed incrementally — identical rows,
+    and (round 14) hash-checked against the same md5-family DuckDB
+    oracle as the batch twin."""
     import tempfile
 
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
@@ -3624,7 +3631,8 @@ def _q_x1_cms_stream(spark, sf_dir):
     with tempfile.TemporaryDirectory() as ck:
         stream_frequency_sketch(
             sdf, table, ck, keys=["day"], value_col="user_id",
-            depth=5, width=4096, query_name="x1_cms_stream",
+            depth=5, width=4096, hash_impl="md5",
+            query_name="x1_cms_stream",
         )
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
         cms_merge,
@@ -3633,7 +3641,10 @@ def _q_x1_cms_stream(spark, sf_dir):
     merged = cms_merge(spark.table(table), [])
     probes = ev.select("user_id").distinct()
     return (
-        cms_lookup(merged, probes, "user_id", depth=5, width=4096)
+        cms_lookup(
+            merged, probes, "user_id", depth=5, width=4096,
+            hash_impl="md5",
+        )
         .orderBy(F.desc("est_count"), "user_id")
         .limit(20)
     )
@@ -5597,6 +5608,27 @@ def _q_x1_crawl_stream(spark, sf_dir):
     )
 
 
+_SQL_CMS_TOPK = (
+    "WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL), "
+    "cells AS (SELECT user_id, r, "
+    "('0x'||substr(md5(user_id::VARCHAR || '#' || "
+    "CAST(42 + r AS VARCHAR)),1,8))::BIGINT % 4096 AS bucket "
+    "FROM ev, range(5) _r(r)), "
+    "grid AS (SELECT r AS row, bucket, count(*) AS cnt "
+    "FROM cells GROUP BY r, bucket), "
+    "probes AS (SELECT DISTINCT user_id FROM ev), "
+    "pc AS (SELECT user_id, r, "
+    "('0x'||substr(md5(user_id::VARCHAR || '#' || "
+    "CAST(42 + r AS VARCHAR)),1,8))::BIGINT % 4096 AS bucket "
+    "FROM probes, range(5) _r(r)), "
+    "est AS (SELECT pc.user_id, min(coalesce(g.cnt, 0)) AS est_count "
+    "FROM pc LEFT JOIN grid g ON g.row = pc.r AND g.bucket = pc.bucket "
+    "GROUP BY pc.user_id) "
+    "SELECT user_id, est_count FROM est "
+    "ORDER BY est_count DESC, user_id LIMIT 20"
+)
+
+
 _SQL_CRAWL_TICK = (
     "WITH d AS (SELECT doc_id, doc_id % 20 AS k, "
     "(doc_id // 20) % 10 AS leaf, doc_id % 3 AS tick "
@@ -7158,6 +7190,8 @@ def oracle_sql() -> dict[str, str]:
         "t_robots_filter": _SQL_ROBOTS_FILTER,
         "t_frontier_schedule": _SQL_FRONTIER_SCHEDULE,
         "t_crawl_tick": _SQL_CRAWL_TICK,
+        "a1_cms_topk": _SQL_CMS_TOPK,
+        "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,
         "d_exact_index_dedup": _SQL_EXACT_INDEX_DEDUP,

@@ -77,16 +77,37 @@ def sketch_estimate(sketch_col: Column | str = "distinct_sketch") -> Column:
 # map-side partial aggregation, no Python.
 
 
-def _cms_cells(value: Column, depth: int, width: int, seed: int) -> Column:
-    """array<struct<row, bucket>> — the depth cells a value touches."""
+def _cms_cells(
+    value: Column, depth: int, width: int, seed: int,
+    hash_impl: str = "xxhash64",
+) -> Column:
+    """array<struct<row, bucket>> — the depth cells a value touches.
+
+    ``hash_impl``: ``"xxhash64"`` (default — native-binary hashing,
+    the fastest JVM path) or ``"md5"`` (hashes the value's STRING
+    form, like curation's ``_det_bucket``) — any ANSI engine computes
+    the identical grid, so md5-family sketches are DuckDB-oracle
+    replayable cell for cell (round 14; the a1_cms_topk /
+    x1_cms_stream registry entries use it — the pq_topk pattern:
+    hash-check the counting machinery with the replayable family,
+    keep the fast family as the default scale path under the pytest
+    bound/merge pins). Sketch and lookup must agree on the family,
+    exactly like depth/width/seed."""
+    if hash_impl == "md5":
+        def bucket(r: int) -> Column:
+            h = F.md5(F.concat(value.cast("string"), F.lit(f"#{seed + r}")))
+            return F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                F.lit(width),
+            )
+    elif hash_impl == "xxhash64":
+        def bucket(r: int) -> Column:
+            return F.pmod(F.xxhash64(value, F.lit(seed + r)), F.lit(width))
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
     return F.array(
         *[
-            F.struct(
-                F.lit(r).alias("row"),
-                F.pmod(F.xxhash64(value, F.lit(seed + r)), F.lit(width)).alias(
-                    "bucket"
-                ),
-            )
+            F.struct(F.lit(r).alias("row"), bucket(r).alias("bucket"))
             for r in range(depth)
         ]
     )
@@ -99,6 +120,7 @@ def cms_sketch(
     depth: int = 5,
     width: int = 2048,
     seed: int = 42,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Per-key count-min sketch of ``value_col`` occurrence counts —
     the ingest-time pass. Returns ``keys + (row, bucket, cnt)`` cell
@@ -107,7 +129,7 @@ def cms_sketch(
     occurrences in the sketched group); never underestimates. NULL
     values are skipped (count them separately if needed)."""
     cells = F.explode(
-        _cms_cells(F.col(value_col), depth, width, seed)
+        _cms_cells(F.col(value_col), depth, width, seed, hash_impl)
     ).alias("_cell")
     return (
         df.filter(F.col(value_col).isNotNull())
@@ -135,6 +157,7 @@ def cms_lookup(
     width: int = 2048,
     seed: int = 42,
     est_col: str = "est_count",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Point-frequency estimates for ``probes[value_col]`` against a
     single merged sketch (no grouping keys): min over the depth
@@ -147,7 +170,9 @@ def cms_lookup(
     probes are candidate-sized, so this join is broadcast-small."""
     exploded = probes.select(
         F.col(value_col).alias("_probe"),
-        F.explode(_cms_cells(F.col(value_col), depth, width, seed)).alias("_cell"),
+        F.explode(
+            _cms_cells(F.col(value_col), depth, width, seed, hash_impl)
+        ).alias("_cell"),
     ).select("_probe", F.col("_cell.row").alias("row"), F.col("_cell.bucket").alias("bucket"))
     joined = exploded.join(sketch, ["row", "bucket"], "left").select(
         "_probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("_c")

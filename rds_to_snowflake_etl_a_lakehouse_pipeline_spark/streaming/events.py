@@ -1084,6 +1084,7 @@ def stream_frequency_sketch(
     depth: int = 5,
     width: int = 4096,
     seed: int = 42,
+    hash_impl: str = "xxhash64",
     query_name: str = "stream_frequency_sketch",
 ):
     """Streaming heavy-hitter state: each micro-batch is count-min
@@ -1112,7 +1113,8 @@ def stream_frequency_sketch(
             return
         spark = batch_df.sparkSession
         batch_sketch = cms_sketch(
-            batch_df, keys, value_col, depth=depth, width=width, seed=seed
+            batch_df, keys, value_col, depth=depth, width=width, seed=seed,
+            hash_impl=hash_impl,
         )
         stamp = _stream_stamp(
             _checkpoint_stream_id(spark, checkpoint_dir), batch_id

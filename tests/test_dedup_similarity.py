@@ -2116,3 +2116,53 @@ def test_mine_hard_negatives_contract(spark):
     )
     rows4 = sorted((r["neg_rank"], r["vec_id"]) for r in out4.collect())
     assert rows4 == [(1, 3), (2, 7)]  # positive 2 excluded
+
+
+def test_cms_md5_family_matches_pure_python_grid(spark):
+    """Round 14: the md5 hash family (the oracle-replayable one the
+    a1_cms_topk/x1_cms_stream registry entries use) computes the
+    identical counter grid as a pure-Python replay of the documented
+    bucket formula — first 8 md5 hex chars of 'value#seed+r' mod
+    width — and lookups never underestimate, same as the xxhash64
+    default. An unknown family is refused loudly."""
+    import hashlib
+
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        cms_lookup,
+        cms_sketch,
+    )
+
+    vals = [7, 7, 7, 13, 13, 99, 100, 101, 102, 103]
+    df = spark.createDataFrame([(v,) for v in vals], "user_id long")
+    depth, width, seed = 3, 64, 42
+    grid = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(
+            df, [], "user_id", depth=depth, width=width, seed=seed,
+            hash_impl="md5",
+        ).collect()
+    }
+    expected: dict = {}
+    for v in vals:
+        for r in range(depth):
+            h = hashlib.md5(f"{v}#{seed + r}".encode()).hexdigest()
+            cell = (r, int(h[:8], 16) % width)
+            expected[cell] = expected.get(cell, 0) + 1
+    assert grid == expected
+    probes = spark.createDataFrame([(7,), (13,), (999,)], "user_id long")
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_lookup(
+            cms_sketch(
+                df, [], "user_id", depth=depth, width=width, seed=seed,
+                hash_impl="md5",
+            ),
+            probes, "user_id", depth=depth, width=width, seed=seed,
+            hash_impl="md5",
+        ).collect()
+    }
+    assert est[7] >= 3 and est[13] >= 2 and est[999] >= 0
+    with pytest.raises(ValueError, match="hash_impl"):
+        cms_sketch(df, [], "user_id", hash_impl="sha9000").collect()
