@@ -1692,8 +1692,26 @@ def _q_d_minhash_dedup(spark, sf_dir):
 
 
 def _q_d_simhash_pairs(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+    """SimHash near-dup candidate pairs (operators/dedup.py::simhash +
+    simhash_near_dups). Oracle-backed since round 14 via the md5 hash
+    family: the DuckDB oracle recomputes every 64-bit sign-sum sketch
+    bit for bit (±1 contributions per shingle bit position,
+    zero-floor sign fold, two's-complement MSB), the top-16-bit
+    bucket join, and the bit_count(xor) Hamming filter. Every 5th doc
+    gets a PLANTED near-dup copy (one trailing token, id+100000) so
+    the fixture yields dozens of pairs — natural near-dups are too
+    sparse at sf0.01 to make the hash sensitive to sketch defects.
+    The xxhash64 default stays the scale path (pinned by the simhash
+    pytest suite)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailingmark")).alias("text"),
+    )
+    return simhash_near_dups(
+        d.unionByName(copies), "doc_id", "text",
+        max_hamming=6, hash_impl="md5",
+    )
 
 
 def _q_d_cc_dedup(spark, sf_dir):
@@ -5608,6 +5626,9 @@ def _q_x1_crawl_stream(spark, sf_dir):
     )
 
 
+_SQL_SIMHASH_PAIRS = "WITH base AS (SELECT doc_id, text FROM documents), corpus AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' trailingmark' AS text FROM base WHERE doc_id % 5 = 0), t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus), s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, greatest(len(toks)-1, 0))]) AS sh FROM t), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s), bits AS (SELECT doc_id, p, CASE WHEN (('0x'||substr(md5(shingle),1,16))::UBIGINT >> (63 - p)) & 1 = 1 THEN 1 ELSE -1 END AS contrib FROM ex, range(64) _p(p)), sums AS (SELECT doc_id, p, sum(contrib) AS w FROM bits GROUP BY doc_id, p), sb AS (SELECT doc_id, p, CASE WHEN w > 0 THEN 1 ELSE 0 END AS b FROM sums), vals AS (SELECT doc_id, sum(CASE WHEN p = 0 THEN (CASE WHEN b = 1 THEN -9223372036854775808 ELSE 0 END) ELSE b * (1::BIGINT << (63 - greatest(p, 1))) END)::BIGINT AS sh, sum(CASE WHEN p < 16 THEN b * (1::BIGINT << (15 - least(p, 15))) ELSE 0 END)::BIGINT AS bucket FROM sb GROUP BY doc_id) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming FROM vals a JOIN vals b ON a.bucket = b.bucket AND a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 6"
+
+
 _SQL_CMS_TOPK = (
     "WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL), "
     "cells AS (SELECT user_id, r, "
@@ -7191,6 +7212,7 @@ def oracle_sql() -> dict[str, str]:
         "t_frontier_schedule": _SQL_FRONTIER_SCHEDULE,
         "t_crawl_tick": _SQL_CRAWL_TICK,
         "a1_cms_topk": _SQL_CMS_TOPK,
+        "d_simhash_pairs": _SQL_SIMHASH_PAIRS,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,

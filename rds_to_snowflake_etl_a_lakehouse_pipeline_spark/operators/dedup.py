@@ -1202,19 +1202,37 @@ def cc_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+def simhash(
+    text: Column, bits: int = 64, shingle_n: int = 2,
+    hash_impl: str = "xxhash64",
+) -> Column:
     """SimHash sketch: sign-sum of per-shingle hash bits → bigint.
 
-    Single pass over the shingle array: each xxhash64 is expanded to its
-    fixed-width two's-complement bit string (``bin`` + ``lpad``), the ±1
+    Single pass over the shingle array: each shingle hash is expanded
+    to its fixed-width bit string (``bin`` + ``lpad``), the ±1
     contributions are summed per position with ``zip_with``, and the sign
     vector folds MSB-first back into one bigint (wrap-around multiply is
     the desired two's-complement behavior; the session runs ANSI off).
     All higher-order functions — no Python UDFs, no per-bit passes.
-    """
+
+    ``hash_impl``: ``"xxhash64"`` (default, fastest JVM path) or
+    ``"md5"`` (first 16 hex chars → 64 bits via ``conv``) — the
+    md5 family is recomputable by any ANSI engine, so md5-family
+    simhashes are DuckDB-oracle replayable bit for bit (round 14, the
+    same pattern as the CMS hash family: the registry entry
+    hash-checks the sign-sum/bucket/Hamming machinery on the md5
+    family; the default stays the scale path under pytest pins)."""
     sh = _shingles(text, shingle_n)
+    if hash_impl == "md5":
+        def h64(s: Column) -> Column:
+            return F.conv(F.substring(F.md5(s), 1, 16), 16, 2)
+    elif hash_impl == "xxhash64":
+        def h64(s: Column) -> Column:
+            return F.bin(F.xxhash64(s))
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
     bit_strings = F.transform(
-        sh, lambda s: F.split(F.lpad(F.bin(F.xxhash64(s)), bits, "0"), "")
+        sh, lambda s: F.split(F.lpad(h64(s), bits, "0"), "")
     )
     sums = F.aggregate(
         bit_strings,
@@ -1238,12 +1256,15 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bucket_bits: int = 16,
     shingle_n: int = 2,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs whose simhashes agree on the top
     ``bucket_bits`` (bucket join) and are within ``max_hamming`` overall
-    (exact filter via bit_count(xor))."""
+    (exact filter via bit_count(xor)). ``hash_impl`` as in
+    :func:`simhash`."""
     sketched = df.select(
-        F.col(id_col).alias("_id"), simhash(F.col(text_col), 64, shingle_n).alias("_sh")
+        F.col(id_col).alias("_id"),
+        simhash(F.col(text_col), 64, shingle_n, hash_impl).alias("_sh"),
     ).withColumn("_bucket", F.shiftrightunsigned(F.col("_sh"), 64 - bucket_bits))
     a, b = sketched.alias("a"), sketched.alias("b")
     return (
