@@ -4028,9 +4028,13 @@ def _q_d_span_index_dedup(spark, sf_dir):
     batch; batch tokens covered by historical or within-batch
     duplicated 8-token spans are removed. DROP+rebuild keeps the query
     deterministic; append=False so re-runs measure identical work.
-    Rows-only by design (fingerprint internals mirror the hashing the
-    oracle can't replay incrementally); the one-shot equivalence to the
-    oracle-green t_span_dedup is pinned by
+    Oracle-backed since round 14: the fingerprints are an
+    implementation detail — the SEMANTICS (any historical span
+    occurrence outranks the batch; within the batch the first
+    occurrence by (doc_id, pos) survives) replay at the span-STRING
+    level in the same SQL shape as the green t_span_dedup oracle,
+    with the corpus/batch split on doc_id parity. The one-shot
+    equivalence stays pinned by
     test_span_incremental_matches_full_span_dedup_for_one_shot."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
         span_build_index,
@@ -5626,6 +5630,9 @@ def _q_x1_crawl_stream(spark, sf_dir):
     )
 
 
+_SQL_SPAN_INDEX_DEDUP = "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), spans AS (SELECT k.doc_id, CAST(s.i AS BIGINT) AS pos, array_to_string(k.t[CAST(s.i AS INT):CAST(s.i AS INT)+7], ' ') AS g FROM toks k CROSS JOIN LATERAL (SELECT unnest(range(1, len(k.t) - 8 + 2)) AS i) s), hist AS (SELECT DISTINCT g FROM spans WHERE doc_id % 2 = 0), bspans AS (SELECT doc_id, pos, g FROM spans WHERE doc_id % 2 = 1), hist_hits AS (SELECT b.doc_id, b.pos FROM bspans b JOIN hist USING (g)), dup_hits AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM bspans) WHERE cnt >= 2 AND rn >= 2), hits AS (SELECT doc_id, pos FROM hist_hits UNION SELECT doc_id, pos FROM dup_hits), kept AS (SELECT k.doc_id, s.i AS j, k.t[CAST(s.i AS INT)] AS tok FROM toks k CROSS JOIN LATERAL (SELECT unnest(range(1, len(k.t) + 1)) AS i) s WHERE k.doc_id % 2 = 1 AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = k.doc_id AND h.pos <= s.i AND s.i <= h.pos + 7)), agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS kt, count(*) AS nk FROM kept GROUP BY doc_id) SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.kt, '') END AS deduped_text, CASE WHEN d.text IS NULL THEN NULL ELSE CAST(len(string_split_regex(trim(d.text), '\\s+')) - coalesce(a.nk, 0) AS BIGINT) END AS n_tokens_removed FROM documents d LEFT JOIN agg a USING (doc_id) WHERE d.doc_id % 2 = 1"
+
+
 _SQL_SIMHASH_PAIRS = "WITH base AS (SELECT doc_id, text FROM documents), corpus AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' trailingmark' AS text FROM base WHERE doc_id % 5 = 0), t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus), s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, greatest(len(toks)-1, 0))]) AS sh FROM t), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s), bits AS (SELECT doc_id, p, CASE WHEN (('0x'||substr(md5(shingle),1,16))::UBIGINT >> (63 - p)) & 1 = 1 THEN 1 ELSE -1 END AS contrib FROM ex, range(64) _p(p)), sums AS (SELECT doc_id, p, sum(contrib) AS w FROM bits GROUP BY doc_id, p), sb AS (SELECT doc_id, p, CASE WHEN w > 0 THEN 1 ELSE 0 END AS b FROM sums), vals AS (SELECT doc_id, sum(CASE WHEN p = 0 THEN (CASE WHEN b = 1 THEN -9223372036854775808 ELSE 0 END) ELSE b * (1::BIGINT << (63 - greatest(p, 1))) END)::BIGINT AS sh, sum(CASE WHEN p < 16 THEN b * (1::BIGINT << (15 - least(p, 15))) ELSE 0 END)::BIGINT AS bucket FROM sb GROUP BY doc_id) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming FROM vals a JOIN vals b ON a.bucket = b.bucket AND a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 6"
 
 
@@ -7213,6 +7220,7 @@ def oracle_sql() -> dict[str, str]:
         "t_crawl_tick": _SQL_CRAWL_TICK,
         "a1_cms_topk": _SQL_CMS_TOPK,
         "d_simhash_pairs": _SQL_SIMHASH_PAIRS,
+        "d_span_index_dedup": _SQL_SPAN_INDEX_DEDUP,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,
