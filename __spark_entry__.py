@@ -1928,8 +1928,13 @@ def _q_d_cosine_dedup(spark, sf_dir):
 def _q_d_cosine_dedup_lsh(spark, sf_dir):
     """Scale path for the semantic tier: hyperplane-LSH bucketed
     candidates (4 tables × 4 planes), exact cosine filter within
-    buckets. Approximate by construction (recall < 1 at cos 0.4) —
-    rows-only check; d_cosine_dedup is the exact baseline."""
+    buckets, greedy min-id survivor. Oracle-backed since round 14 via
+    the md5 plane family (±1 Rademacher planes, table t regenerated
+    from sign_matrix(64, 4, 7+t)): the DuckDB oracle recomputes every
+    table's bucket signature, the within-bucket candidate union, the
+    cosine threshold and the id_b loser set — so recall is no longer
+    "approximate by construction" to the checker, it is replayed
+    exactly. d_cosine_dedup stays the exact all-pairs baseline."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
         embedding_cosine_dedup,
     )
@@ -1937,18 +1942,28 @@ def _q_d_cosine_dedup_lsh(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return embedding_cosine_dedup(
         e, "vec_id", "embedding", threshold=0.4, impl="lsh",
-        n_planes=4, n_tables=4,
+        n_planes=4, n_tables=4, plane_impl="md5",
     ).select("vec_id", "label")
 
 
 def _q_v_lsh_topk(spark, sf_dir):
-    # rows-only: approximate by construction (recall < 1); the exact
-    # baseline v_cosine_topk is the oracle-checked reference.
+    """Multi-table sign-LSH top-k (operators/similarity.py::lsh_topk).
+    Oracle-backed since round 14 via the md5 plane family (±1
+    Rademacher hyperplanes regenerated from md5 parity — Charikar SRP
+    is valid for any symmetric plane distribution, and ±1 weights make
+    every per-plane product exact in doubles): the DuckDB oracle
+    regenerates the 64×64 sign matrix, recomputes all 8 tables' 8-bit
+    bucket signatures for corpus and queries, replays the 1-bit
+    multiprobe expansion, the bucket join, candidate dedup, exact
+    cosine and the (cos desc, id) ranking. The gaussian default stays
+    the scale path; recall-vs-exact is pinned by pytest."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e.filter(F.col("vec_id") >= 3), q, k=10, dim=64)
+    return lsh_topk(
+        e.filter(F.col("vec_id") >= 3), q, k=10, dim=64, plane_impl="md5"
+    )
 
 
 def _q_v_pq_topk(spark, sf_dir):
@@ -5630,6 +5645,12 @@ def _q_x1_crawl_stream(spark, sf_dir):
     )
 
 
+_SQL_COSINE_DEDUP_LSH = "WITH m AS (SELECT t, k, j, CASE WHEN ('0x'||substr(md5(CAST(7 + t AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)),1,1))::INT < 8 THEN 1.0 ELSE -1.0 END AS s FROM range(4) _t(t), range(4) _k(k), range(64) _j(j)), bits AS (SELECT e.vec_id, m.t, m.k, CASE WHEN sum(CAST(e.embedding[m.j + 1] AS DOUBLE) * m.s) > 0 THEN 1 ELSE 0 END AS bit FROM embeddings e, m GROUP BY e.vec_id, m.t, m.k), bk AS (SELECT vec_id, t, sum(bit * (1::BIGINT << k))::BIGINT AS bucket FROM bits GROUP BY vec_id, t), cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id), pairs AS (SELECT id_a, id_b, round(list_sum(list_transform(range(1,65), i -> CAST(e1.embedding[i] AS DOUBLE)*CAST(e2.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos FROM cand JOIN embeddings e1 ON e1.vec_id = cand.id_a JOIN embeddings e2 ON e2.vec_id = cand.id_b), losers AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= 0.4) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM losers)"
+
+
+_SQL_LSH_TOPK = "WITH m AS (SELECT k, j, CASE WHEN ('0x'||substr(md5('42:' || CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)),1,1))::INT < 8 THEN 1.0 ELSE -1.0 END AS s FROM range(64) _k(k), range(64) _j(j)), corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3), qv AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3), cd AS (SELECT e.vec_id, m.k // 8 AS t, m.k % 8 AS i, CASE WHEN sum(CAST(e.embedding[m.j + 1] AS DOUBLE) * m.s) > 0 THEN 1 ELSE 0 END AS bit FROM corpus e, m GROUP BY e.vec_id, m.k), cb AS (SELECT vec_id, t, sum(bit * (1::BIGINT << i))::BIGINT AS bucket FROM cd GROUP BY vec_id, t), qd AS (SELECT q.query_id, m.k // 8 AS t, m.k % 8 AS i, CASE WHEN sum(CAST(q.embedding[m.j + 1] AS DOUBLE) * m.s) > 0 THEN 1 ELSE 0 END AS bit FROM qv q, m GROUP BY q.query_id, m.k), qb AS (SELECT query_id, t, sum(bit * (1::BIGINT << i))::BIGINT AS bucket FROM qd GROUP BY query_id, t), probes AS (SELECT DISTINCT query_id, t, xor(bucket, o) AS bucket FROM qb, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS o)), cand AS (SELECT DISTINCT p.query_id, c0.vec_id FROM probes p JOIN cb c0 ON c0.t = p.t AND c0.bucket = p.bucket), scored AS (SELECT cand.query_id, cand.vec_id, round(list_sum(list_transform(range(1,65), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim FROM cand JOIN corpus c ON c.vec_id = cand.vec_id JOIN qv q ON q.query_id = cand.query_id) SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM scored) WHERE rank <= 10"
+
+
 _SQL_SPAN_INDEX_DEDUP = "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), spans AS (SELECT k.doc_id, CAST(s.i AS BIGINT) AS pos, array_to_string(k.t[CAST(s.i AS INT):CAST(s.i AS INT)+7], ' ') AS g FROM toks k CROSS JOIN LATERAL (SELECT unnest(range(1, len(k.t) - 8 + 2)) AS i) s), hist AS (SELECT DISTINCT g FROM spans WHERE doc_id % 2 = 0), bspans AS (SELECT doc_id, pos, g FROM spans WHERE doc_id % 2 = 1), hist_hits AS (SELECT b.doc_id, b.pos FROM bspans b JOIN hist USING (g)), dup_hits AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM bspans) WHERE cnt >= 2 AND rn >= 2), hits AS (SELECT doc_id, pos FROM hist_hits UNION SELECT doc_id, pos FROM dup_hits), kept AS (SELECT k.doc_id, s.i AS j, k.t[CAST(s.i AS INT)] AS tok FROM toks k CROSS JOIN LATERAL (SELECT unnest(range(1, len(k.t) + 1)) AS i) s WHERE k.doc_id % 2 = 1 AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = k.doc_id AND h.pos <= s.i AND s.i <= h.pos + 7)), agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS kt, count(*) AS nk FROM kept GROUP BY doc_id) SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.kt, '') END AS deduped_text, CASE WHEN d.text IS NULL THEN NULL ELSE CAST(len(string_split_regex(trim(d.text), '\\s+')) - coalesce(a.nk, 0) AS BIGINT) END AS n_tokens_removed FROM documents d LEFT JOIN agg a USING (doc_id) WHERE d.doc_id % 2 = 1"
 
 
@@ -7221,6 +7242,8 @@ def oracle_sql() -> dict[str, str]:
         "a1_cms_topk": _SQL_CMS_TOPK,
         "d_simhash_pairs": _SQL_SIMHASH_PAIRS,
         "d_span_index_dedup": _SQL_SPAN_INDEX_DEDUP,
+        "v_lsh_topk": _SQL_LSH_TOPK,
+        "d_cosine_dedup_lsh": _SQL_COSINE_DEDUP_LSH,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,

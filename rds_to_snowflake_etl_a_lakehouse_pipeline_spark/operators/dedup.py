@@ -1292,6 +1292,7 @@ def embedding_cosine_pairs(
     n_planes: int = 8,
     n_tables: int = 2,
     seed: int = 7,
+    plane_impl: str = "gaussian",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity
     (id_a < id_b, cos_sim ≥ threshold) — the fifth dedup tier, for
@@ -1307,9 +1308,21 @@ def embedding_cosine_pairs(
     ≈ 1−(1−0.28)^2 ≈ 0.48 per table pair... in practice near-dup pairs
     (cos ≥ 0.95) land together in ≥1 of the tables almost always.
     Cost: shuffles on bucket keys, candidate volume ∝ bucket sizes —
-    never n². Deterministic for a fixed ``seed``.
+    never n². Deterministic for a fixed ``seed``. ``plane_impl`` as in
+    :func:`~.similarity.lsh_topk` — "md5" swaps the gaussian
+    hyperplanes for ±1 Rademacher planes regenerated from md5 parity
+    (table t uses ``sign_matrix(dim, n_planes, seed + t)``), making
+    the bucketing DuckDB-oracle replayable (round 14).
     """
+    from ..functions.vectors import sign_matrix
     from .similarity import _hyperplanes, lsh_signature
+
+    if plane_impl == "md5":
+        planes_for = lambda t: sign_matrix(dim, n_planes, seed + t)  # noqa: E731
+    elif plane_impl == "gaussian":
+        planes_for = lambda t: _hyperplanes(dim, n_planes, seed + t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown plane_impl: {plane_impl!r}")
 
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.vectors import (
         cosine_from_norms,
@@ -1337,7 +1350,7 @@ def embedding_cosine_pairs(
             F.col(vec_col).alias("_v"),
             l2_norm(F.col(vec_col)).alias("_n"),
             *[
-                lsh_signature(F.col(vec_col), _hyperplanes(dim, n_planes, seed + t))
+                lsh_signature(F.col(vec_col), planes_for(t))
                 .alias(f"_b{t}")
                 for t in range(n_tables)
             ],

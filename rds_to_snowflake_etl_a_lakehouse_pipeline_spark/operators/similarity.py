@@ -519,6 +519,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    plane_impl: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH.
 
@@ -537,8 +538,25 @@ def lsh_topk(
 
     Output schema matches :func:`brute_force_topk`; rank is within the
     probed candidate set, so recall < 1.0 by construction.
+
+    ``plane_impl``: ``"gaussian"`` (default — numpy standard-normal
+    hyperplanes) or ``"md5"`` (±1 Rademacher planes regenerated from
+    md5 parity via ``functions.vectors.sign_matrix`` — Charikar's SRP
+    is valid for any symmetric plane distribution, and the md5 family
+    is recomputable by any ANSI engine, so md5-family LSH is
+    DuckDB-oracle replayable bucket for bucket; round 14, the same
+    pattern as the CMS/simhash hash families. ±1 planes also make
+    every per-plane product EXACT in doubles — float32 × ±1 — so the
+    sign of each dot is engine-stable away from exact zero).
     """
-    all_planes = _hyperplanes(dim, n_tables * n_planes, seed)
+    if plane_impl == "md5":
+        from ..functions.vectors import sign_matrix
+
+        all_planes = sign_matrix(dim, n_tables * n_planes, seed)
+    elif plane_impl == "gaussian":
+        all_planes = _hyperplanes(dim, n_tables * n_planes, seed)
+    else:
+        raise ValueError(f"unknown plane_impl: {plane_impl!r}")
 
     # One numpy matmul per Arrow batch computes EVERY table's bucket at
     # once ((batch × dim) @ (dim × T·b) → sign bits → per-table packed
