@@ -1679,11 +1679,20 @@ def _q_d_containment_pairs(spark, sf_dir):
 
 
 def _q_d_minhash_pairs(spark, sf_dir):
-    # rows-only: candidate selection depends on Spark's xxhash64, which
-    # DuckDB cannot reproduce; exact-Jaccard semantics are oracle-checked
-    # via d_ngram_jaccard and pytest covers the LSH guarantees.
+    """Banded MinHash-LSH candidate pairs (operators/dedup.py::
+    minhash_lsh_pairs). Oracle-backed since round 14 via the md5 hash
+    family (impl="md5": base hash = first 8 md5 hex chars of the
+    shingle, 2-universal mix a·x+b mod 2⁶³ with md5-derived odd/offset
+    coefficients): the DuckDB oracle recomputes all 64 signature
+    components per document, the 16-band bucket grouping (by the band
+    slice VALUES — Spark's xxhash64 bucket key is a pure optimization
+    over slice equality), the candidate self-join and the
+    component-agreement Jaccard estimate at threshold 0.5. The crc32
+    arrow default stays the scale path (q11's bench workload,
+    unchanged); exact-Jaccard semantics remain oracle-checked via
+    d_ngram_jaccard."""
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5, impl="md5")
 
 
 def _q_d_minhash_dedup(spark, sf_dir):
@@ -5645,6 +5654,9 @@ def _q_x1_crawl_stream(spark, sf_dir):
     )
 
 
+_SQL_MINHASH_PAIRS = "WITH coef AS (SELECT i, ('0x'||substr(md5('a:1:' || CAST(i AS VARCHAR)),1,15))::BIGINT | 1 AS a, ('0x'||substr(md5('b:1:' || CAST(i AS VARCHAR)),1,15))::BIGINT AS b FROM range(64) _i(i)), toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), s AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, greatest(len(t)-2, 0))]) AS sh FROM toks), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) > 0), xs AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS x FROM ex), h AS (SELECT xs.doc_id, coef.i, min(((coef.a::HUGEINT * xs.x + coef.b) % 9223372036854775808)::BIGINT) AS hv FROM xs, coef GROUP BY xs.doc_id, coef.i), sig AS (SELECT doc_id, list(hv ORDER BY i) AS sg FROM h GROUP BY doc_id), bandkey AS (SELECT doc_id, band, array_to_string([CAST(sg[4*band + r + 1] AS VARCHAR) for r in [0,1,2,3]], ',') AS key, sg FROM sig, range(16) _b(band)), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sg AS sga, b.sg AS sgb FROM bandkey a JOIN bandkey b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), est AS (SELECT id_a, id_b, round(CAST(list_sum(list_transform(range(1,65), k -> CASE WHEN sga[k] = sgb[k] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0, 6) AS jaccard_est FROM cand) SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5"
+
+
 _SQL_COSINE_DEDUP_LSH = "WITH m AS (SELECT t, k, j, CASE WHEN ('0x'||substr(md5(CAST(7 + t AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)),1,1))::INT < 8 THEN 1.0 ELSE -1.0 END AS s FROM range(4) _t(t), range(4) _k(k), range(64) _j(j)), bits AS (SELECT e.vec_id, m.t, m.k, CASE WHEN sum(CAST(e.embedding[m.j + 1] AS DOUBLE) * m.s) > 0 THEN 1 ELSE 0 END AS bit FROM embeddings e, m GROUP BY e.vec_id, m.t, m.k), bk AS (SELECT vec_id, t, sum(bit * (1::BIGINT << k))::BIGINT AS bucket FROM bits GROUP BY vec_id, t), cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id), pairs AS (SELECT id_a, id_b, round(list_sum(list_transform(range(1,65), i -> CAST(e1.embedding[i] AS DOUBLE)*CAST(e2.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos FROM cand JOIN embeddings e1 ON e1.vec_id = cand.id_a JOIN embeddings e2 ON e2.vec_id = cand.id_b), losers AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= 0.4) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM losers)"
 
 
@@ -7244,6 +7256,7 @@ def oracle_sql() -> dict[str, str]:
         "d_span_index_dedup": _SQL_SPAN_INDEX_DEDUP,
         "v_lsh_topk": _SQL_LSH_TOPK,
         "d_cosine_dedup_lsh": _SQL_COSINE_DEDUP_LSH,
+        "d_minhash_pairs": _SQL_MINHASH_PAIRS,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,

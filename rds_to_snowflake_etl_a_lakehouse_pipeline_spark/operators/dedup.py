@@ -300,7 +300,9 @@ def minhash_signature(
     return F.when(F.size(sh) > 0, sig)
 
 
-def _minhash_signature_udf(num_hashes: int, shingle_n: int, seed: int):
+def _minhash_signature_udf(
+    num_hashes: int, shingle_n: int, seed: int, hash_impl: str = "crc32"
+):
     """Vectorized (Arrow batch) minhash straight from text.
 
     Tokenize (``\\s+`` split, same as :func:`_shingles`), build distinct
@@ -311,13 +313,49 @@ def _minhash_signature_udf(num_hashes: int, shingle_n: int, seed: int):
     with segment minima via ``minimum.reduceat``. The pure-Catalyst
     :func:`minhash_signature` needs num_hashes interpreted higher-order
     passes instead (~60× slower measured at sf0.01).
+
+    ``hash_impl="md5"`` (round 14) swaps every engine-opaque piece for
+    md5-derived arithmetic so the WHOLE signature is replayable by any
+    ANSI engine (the CMS/simhash/LSH family pattern): base hash x =
+    first 8 md5 hex chars of the shingle (32-bit, crc32's range),
+    coefficients a_i = md5("a:seed:i") first 15 hex | 1 (60-bit odd)
+    and b_i = md5("b:seed:i") first 15 hex, and the mix keeps only the
+    LOW 63 BITS ((a·x+b) mod 2⁶³ — (v mod 2⁶⁴) & (2⁶³−1) ≡ v mod 2⁶³,
+    so numpy's natural uint64 wrap plus a mask equals DuckDB's HUGEINT
+    modulo), keeping every value signed-positive in both engines. The
+    crc32 default stays the scale path.
     """
     import re
-    import zlib
 
-    rng = np.random.default_rng(seed)
-    a = (rng.integers(1, 2**62, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    if hash_impl == "md5":
+        import hashlib
+
+        def _h15(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        a = np.array(
+            [_h15(f"a:{seed}:{i}") | 1 for i in range(num_hashes)],
+            dtype=np.uint64,
+        )
+        b = np.array(
+            [_h15(f"b:{seed}:{i}") for i in range(num_hashes)],
+            dtype=np.uint64,
+        )
+
+        def base_hash(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        mask = np.uint64((1 << 63) - 1)
+    elif hash_impl == "crc32":
+        import zlib
+
+        rng = np.random.default_rng(seed)
+        a = (rng.integers(1, 2**62, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+        base_hash = lambda s: zlib.crc32(s.encode())  # noqa: E731
+        mask = None
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
     ws = re.compile(r"\s+")
 
     @pandas_udf("array<bigint>")
@@ -335,7 +373,7 @@ def _minhash_signature_udf(num_hashes: int, shingle_n: int, seed: int):
             if not sh:
                 lens.append(0)
                 continue
-            flat.extend(zlib.crc32(s.encode()) for s in sh)
+            flat.extend(base_hash(s) for s in sh)
             lens.append(len(sh))
         if not flat:
             return pd.Series([None] * len(texts))
@@ -350,6 +388,8 @@ def _minhash_signature_udf(num_hashes: int, shingle_n: int, seed: int):
         with np.errstate(over="ignore"):
             np.multiply(a[:, None], hv[None, :], out=mixed)
             np.add(mixed, b[:, None], out=mixed)
+        if mask is not None:
+            np.bitwise_and(mixed, mask, out=mixed)
         offsets = np.concatenate(([0], np.cumsum(lens_arr[lens_arr > 0])[:-1]))
         mins = np.minimum.reduceat(mixed, offsets, axis=1).astype(np.int64)
         out, j = [], 0
@@ -368,21 +408,23 @@ def with_minhash_signature_arrow(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 1,
+    hash_impl: str = "crc32",
 ) -> DataFrame:
     """Append an ``array<bigint>`` minhash signature (Arrow fast path)."""
-    sig = _minhash_signature_udf(num_hashes, shingle_n, seed)
+    sig = _minhash_signature_udf(num_hashes, shingle_n, seed, hash_impl)
     return df.withColumn(out_col, sig(F.col(text_col)))
 
 
 def _signature_table(df, id_col, text_col, num_hashes, shingle_n, impl):
     """Narrow (_id, _sig) MinHash signature table (Arrow kernel by
     default; Catalyst reference impl for oracle parity checks)."""
-    if impl == "arrow":
+    if impl in ("arrow", "md5"):
         sig = with_minhash_signature_arrow(
             _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col))),
             text_col,
             num_hashes=num_hashes,
             shingle_n=shingle_n,
+            hash_impl="md5" if impl == "md5" else "crc32",
         ).select("_id", "_sig")
     else:
         sig = df.select(
