@@ -417,25 +417,35 @@ def _q_a1_grouping_sets(spark, sf_dir):
 
 def _q_a1_hll_rollup(spark, sf_dir):
     """Mergeable distinct-count sketches (operators/sketches.py):
-    per-(status, priority) DataSketches-HLL sketches of distinct
+    per-(status, priority) register-level HLL sketches of distinct
     customers, merged up to per-status WITHOUT rescanning orders — the
     persisted-sketch pattern a 100 TB pipeline uses for incremental
-    distinct counts. Rows-only: sketch estimates are engine internals;
-    the exact twin a1_count_distinct is oracle-green, and
-    test_hll_sketches_merge_losslessly pins merge-of-sketches ==
-    sketch-of-union plus a 5% error bound against the exact count."""
+    distinct counts. Oracle-backed since round 14 via the md5 hash
+    family (the minhash/CMS pattern): the sketch is sparse
+    (key, register, rho) ROWS, so the DuckDB oracle recomputes every
+    register (low 10 md5 bits), every rho (leading zeros of the
+    remaining 50 bits + 1, via exact base-2 string length), the
+    lossless max-merge, and the Flajolet estimator whose Σ2^(-rho)
+    denominator is carried as an exact integer — hash-checking the
+    sketch machinery itself. The DataSketches binary tier
+    (distinct_sketches/rollup_sketches, a1_approx_distinct) stays the
+    JVM-native scale path, pinned by
+    test_hll_sketches_merge_losslessly; the exact twin
+    a1_count_distinct remains oracle-green."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
-        distinct_sketches,
-        rollup_sketches,
-        sketch_estimate,
+        hll_register_estimate,
+        hll_register_merge,
+        hll_register_sketch,
     )
 
     o = load(spark, sf_dir, "orders")
-    fine = distinct_sketches(
-        o, ["o_orderstatus", "o_orderpriority"], "o_custkey", lgk=13
+    fine = hll_register_sketch(
+        o, ["o_orderstatus", "o_orderpriority"], "o_custkey", p=10,
+        hash_impl="md5",
     )
-    return rollup_sketches(fine, ["o_orderstatus"]).select(
-        "o_orderstatus", sketch_estimate().alias("approx_customers")
+    merged = hll_register_merge(fine, ["o_orderstatus"])
+    return hll_register_estimate(
+        merged, ["o_orderstatus"], p=10, out_col="approx_customers"
     )
 
 
@@ -1696,8 +1706,17 @@ def _q_d_minhash_pairs(spark, sf_dir):
 
 
 def _q_d_minhash_dedup(spark, sf_dir):
+    """Greedy MinHash-LSH dedup (operators/dedup.py::minhash_lsh_dedup).
+    Oracle-backed since round 14 via the md5 hash family — the DuckDB
+    oracle replays d_minhash_pairs' full signature/band/estimate
+    pipeline, then applies the documented greedy semantics exactly:
+    survivors are the documents whose doc_id never appears as id_b in
+    a thresholded pair (one anti-join). The crc32 arrow default stays
+    the scale path — bench q11 pins that workload unchanged — and the
+    transitive (connected-component) semantics stay oracle-checked via
+    d_cc_dedup's recursive-CTE closure."""
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(d, "doc_id", "text", threshold=0.5)
+    return minhash_lsh_dedup(d, "doc_id", "text", threshold=0.5, impl="md5")
 
 
 def _q_d_simhash_pairs(spark, sf_dir):
@@ -4023,10 +4042,16 @@ def _q_d_minhash_index_dedup(spark, sf_dir):
     — the text-tier twin of the IVF vector index): even doc_ids are
     indexed as the standing corpus, odd doc_ids arrive as a batch and
     keep only documents that near-dup neither the index nor an earlier
-    batch document. Rows-only by design (sketch internals); the exact
-    twin d_ngram_jaccard and the d_minhash_* queries are the
-    oracle-anchored relatives, and pytest proves the index/append
-    behavior on known corpora."""
+    batch document. Oracle-backed since round 14 via the md5 hash
+    family (same replayable signature as d_minhash_pairs, at the index
+    path's shingle_n=5): the DuckDB oracle recomputes every 5-gram
+    signature, the 16-band slice-key grouping (the bucketed table's
+    xxhash64 key is a pure optimization over slice equality), the
+    batch-vs-corpus probe AND the within-batch self-join at
+    threshold 0.5 (>= 32/64 matching components — exact integer
+    compare, no float), and the anti-join survivor rule. The crc32
+    arrow default stays the scale path (bench q16/q22 pin it);
+    append/maintenance behavior stays pytest-pinned."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
         minhash_build_index,
         minhash_incremental_dedup,
@@ -4037,9 +4062,9 @@ def _q_d_minhash_index_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
-    minhash_build_index(corpus, table)
+    minhash_build_index(corpus, table, impl="md5")
     surv = minhash_incremental_dedup(
-        spark, table, batch, threshold=0.5, append=False
+        spark, table, batch, threshold=0.5, append=False, impl="md5"
     )
     return surv.select("doc_id").orderBy("doc_id")
 
@@ -5657,6 +5682,77 @@ def _q_x1_crawl_stream(spark, sf_dir):
 _SQL_MINHASH_PAIRS = "WITH coef AS (SELECT i, ('0x'||substr(md5('a:1:' || CAST(i AS VARCHAR)),1,15))::BIGINT | 1 AS a, ('0x'||substr(md5('b:1:' || CAST(i AS VARCHAR)),1,15))::BIGINT AS b FROM range(64) _i(i)), toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), s AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in generate_series(1, greatest(len(t)-2, 0))]) AS sh FROM toks), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) > 0), xs AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS x FROM ex), h AS (SELECT xs.doc_id, coef.i, min(((coef.a::HUGEINT * xs.x + coef.b) % 9223372036854775808)::BIGINT) AS hv FROM xs, coef GROUP BY xs.doc_id, coef.i), sig AS (SELECT doc_id, list(hv ORDER BY i) AS sg FROM h GROUP BY doc_id), bandkey AS (SELECT doc_id, band, array_to_string([CAST(sg[4*band + r + 1] AS VARCHAR) for r in [0,1,2,3]], ',') AS key, sg FROM sig, range(16) _b(band)), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sg AS sga, b.sg AS sgb FROM bandkey a JOIN bandkey b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), est AS (SELECT id_a, id_b, round(CAST(list_sum(list_transform(range(1,65), k -> CASE WHEN sga[k] = sgb[k] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0, 6) AS jaccard_est FROM cand) SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5"
 
 
+# Register-level HLL rollup: replay the md5 register/rho geometry, the
+# lossless per-register max-merge (fine grain collapses out — merging
+# per-(status,priority) maxima equals sketching per-status directly),
+# and the Flajolet estimator. The Σ2^(-rho) denominator is the exact
+# integer Σ2^(51-rho) (absent registers contribute 2^51 each), so no
+# float aggregation order exists to drift between engines; the literal
+# double expressions mirror the Python/Spark evaluation order.
+_SQL_HLL_ROLLUP = (
+    "WITH h AS (SELECT o_orderstatus, "
+    "('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h FROM orders), "
+    "reg AS (SELECT o_orderstatus, h % 1024 AS register, "
+    "51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM h), "
+    "mx AS (SELECT o_orderstatus, register, max(rho) AS rho FROM reg GROUP BY 1, 2), "
+    "agg AS (SELECT o_orderstatus, sum((1::BIGINT << (51 - rho)))::BIGINT AS s_hit, "
+    "count(*) AS n_regs FROM mx GROUP BY 1), "
+    "est AS (SELECT o_orderstatus, "
+    "(0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2251799813685248.0 "
+    "/ CAST(s_hit + (1024 - n_regs) * 2251799813685248 AS DOUBLE) AS e_raw, "
+    "1024 - n_regs AS zeros FROM agg) "
+    "SELECT o_orderstatus, CAST(round(CASE WHEN e_raw <= 2560.0 AND zeros > 0 "
+    "THEN 1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) ELSE e_raw END, 0) AS BIGINT) "
+    "AS approx_customers FROM est"
+)
+
+
+# Standing-index incremental dedup: same md5 signature family as the
+# pairs oracle but at the INDEX path's shingle_n=5 (minhash_build_index
+# default). Corpus = even doc_ids (the indexed standard), batch = odd;
+# a batch doc loses if any band slice matches a corpus doc with >= 32
+# of 64 signature components equal (threshold 0.5, exact integer
+# compare), or an earlier (smaller-id) batch doc likewise. Survivors =
+# the batch anti-joined on the loser set — including sub-5-token and
+# empty docs, which have no signature and always survive.
+_SQL_MINHASH_INDEX_DEDUP = (
+    "WITH coef AS (SELECT i, ('0x'||substr(md5('a:1:' || CAST(i AS VARCHAR)),1,15))::BIGINT | 1 AS a, "
+    "('0x'||substr(md5('b:1:' || CAST(i AS VARCHAR)),1,15))::BIGINT AS b FROM range(64) _i(i)), "
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents "
+    "WHERE text IS NOT NULL AND trim(text) <> ''), "
+    "s AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') "
+    "for i in generate_series(1, greatest(len(t)-4, 0))]) AS sh FROM toks), "
+    "ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) > 0), "
+    "xs AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,8))::BIGINT AS x FROM ex), "
+    "h AS (SELECT xs.doc_id, coef.i, min(((coef.a::HUGEINT * xs.x + coef.b) % 9223372036854775808)::BIGINT) AS hv "
+    "FROM xs, coef GROUP BY xs.doc_id, coef.i), "
+    "sig AS (SELECT doc_id, list(hv ORDER BY i) AS sg FROM h GROUP BY doc_id), "
+    "bandkey AS (SELECT doc_id, band, array_to_string([CAST(sg[4*band + r + 1] AS VARCHAR) "
+    "for r in [0,1,2,3]], ',') AS key, sg FROM sig, range(16) _b(band)), "
+    "corp AS (SELECT * FROM bandkey WHERE doc_id % 2 = 0), "
+    "bat AS (SELECT * FROM bandkey WHERE doc_id % 2 = 1), "
+    "vsc AS (SELECT DISTINCT n.doc_id FROM bat n JOIN corp c ON n.band = c.band AND n.key = c.key "
+    "WHERE list_sum(list_transform(range(1,65), k -> CASE WHEN n.sg[k] = c.sg[k] THEN 1 ELSE 0 END)) >= 32), "
+    "within AS (SELECT DISTINCT b.doc_id FROM bat a JOIN bat b "
+    "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
+    "WHERE list_sum(list_transform(range(1,65), k -> CASE WHEN a.sg[k] = b.sg[k] THEN 1 ELSE 0 END)) >= 32) "
+    "SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 1 "
+    "AND d.doc_id NOT IN (SELECT doc_id FROM vsc UNION SELECT doc_id FROM within) "
+    "ORDER BY d.doc_id"
+)
+
+
+# Greedy dedup = the pairs pipeline above + the documented survivor
+# rule (drop every id_b): reuse _SQL_MINHASH_PAIRS verbatim as a CTE
+# so the two oracles can never drift apart.
+_SQL_MINHASH_DEDUP = (
+    "WITH pairs AS (" + _SQL_MINHASH_PAIRS + ") "
+    "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars "
+    "FROM documents d "
+    "WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)"
+)
+
+
 _SQL_COSINE_DEDUP_LSH = "WITH m AS (SELECT t, k, j, CASE WHEN ('0x'||substr(md5(CAST(7 + t AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)),1,1))::INT < 8 THEN 1.0 ELSE -1.0 END AS s FROM range(4) _t(t), range(4) _k(k), range(64) _j(j)), bits AS (SELECT e.vec_id, m.t, m.k, CASE WHEN sum(CAST(e.embedding[m.j + 1] AS DOUBLE) * m.s) > 0 THEN 1 ELSE 0 END AS bit FROM embeddings e, m GROUP BY e.vec_id, m.t, m.k), bk AS (SELECT vec_id, t, sum(bit * (1::BIGINT << k))::BIGINT AS bucket FROM bits GROUP BY vec_id, t), cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id), pairs AS (SELECT id_a, id_b, round(list_sum(list_transform(range(1,65), i -> CAST(e1.embedding[i] AS DOUBLE)*CAST(e2.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos FROM cand JOIN embeddings e1 ON e1.vec_id = cand.id_a JOIN embeddings e2 ON e2.vec_id = cand.id_b), losers AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= 0.4) SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM losers)"
 
 
@@ -7257,6 +7353,9 @@ def oracle_sql() -> dict[str, str]:
         "v_lsh_topk": _SQL_LSH_TOPK,
         "d_cosine_dedup_lsh": _SQL_COSINE_DEDUP_LSH,
         "d_minhash_pairs": _SQL_MINHASH_PAIRS,
+        "d_minhash_dedup": _SQL_MINHASH_DEDUP,
+        "d_minhash_index_dedup": _SQL_MINHASH_INDEX_DEDUP,
+        "a1_hll_rollup": _SQL_HLL_ROLLUP,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,

@@ -10,8 +10,9 @@ Noise contract (BASELINE.md "Bench noise contract"): every query is
 min-of-N (N=2, 3 for sub-second queries); a fixed code-independent
 calibration workload is timed alongside and its drift vs the previous
 recorded round scales the regression threshold symmetrically with a
-0.8 floor (host contention divides out; a fast box narrows the gate);
-suspects are re-timed up to twice before being flagged. A flag that
+0.8 floor (host contention divides out; a fast box narrows the gate,
+but never below an absolute 1.15x — the per-query scheduling-noise
+band); suspects are re-timed up to twice before being flagged. A flag that
 survives all of that is a code regression, not box noise. Every run
 persists its full payload to ``bench_sidecar.json`` (keyed by SF,
 stamped with the round) because the driver's ``BENCH_r{N}.json``
@@ -198,6 +199,19 @@ def main() -> None:
                 F.count("*").alias("n_items"),
             )
         )
+
+    def q_minhash_dedup(spark, d):
+        # q11's historical workload, byte-identical since r11: greedy
+        # MinHash-LSH dedup on the crc32 ARROW kernel (the scale path).
+        # The registry's d_minhash_dedup entry switched to the md5
+        # oracle family in round 14 — benching that would change what
+        # q11 measures, so the arrow workload is pinned here instead.
+        from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+            minhash_lsh_dedup,
+        )
+
+        docs = load(spark, d, "documents")
+        return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
 
     def q_curation_compose(spark, d):
         # curation tier composed: per-language stratified downsample ->
@@ -432,7 +446,7 @@ def main() -> None:
         "q8_session_window": (qs["x1_session_window"], True),
         "q9_exact_dedup": (qs["t_exact_dedup"], True),
         "q10_rollup": (qs["a1_rollup"], False),
-        "q11_minhash_dedup": (qs["d_minhash_dedup"], True),
+        "q11_minhash_dedup": (q_minhash_dedup, True),
         "q12_lsh_topk": (qs["v_lsh_topk"], False),
         "q13_gold_pipeline": (qs["g_fact_sales"], True),
         "q14_cc_dedup": (qs["d_cc_dedup"], True),
@@ -585,6 +599,13 @@ def main() -> None:
         round(cal_sec / prev_cal, 3) if prev_cal and prev_cal > 0 else None
     )
     eff_threshold = threshold * max(0.8, cal_drift) if cal_drift else threshold
+    # Absolute floor on the NARROWED gate: per-query scheduling noise
+    # is ±15% on byte-identical code even on a calm box (the recorded
+    # noise maps show max/min spreads of 1.1-2.0x), so a
+    # faster-than-baseline box must not narrow the gate into that band
+    # — the first calibrated run (drift 0.749) flagged two 1.06x
+    # wiggles as regressions before this floor existed.
+    eff_threshold = max(1.15, eff_threshold)
     suspects = [
         n for n, t in timings.items()
         if n in prev and prev[n] > 0 and t > eff_threshold * prev[n]

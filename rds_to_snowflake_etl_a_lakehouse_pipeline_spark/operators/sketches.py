@@ -58,6 +58,126 @@ def sketch_estimate(sketch_col: Column | str = "distinct_sketch") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Register-level HLL: mergeable distinct sketches as ordinary rows
+# ---------------------------------------------------------------------------
+#
+# The open-representation twin of the DataSketches tier above (same
+# pattern as the CMS grid below): the sketch is not an opaque binary
+# blob but SPARSE (key..., register, rho) rows — one row per touched
+# register, absent register ⇒ rho 0 — so any engine that can hash and
+# MAX can build, merge, and read it. Merge is lossless by construction
+# (registers only grow: max-of-maxes == max-of-union), and the
+# Flajolet et al. (2007) estimator is replayed from the register rows
+# alone. ``hash_impl="md5"`` makes every piece replayable by any ANSI
+# engine (the minhash/CMS md5-family pattern — this is what the DuckDB
+# oracle hash-checks); ``"xxhash64"`` is the native-speed scale path.
+#
+# Cross-engine determinism note: the estimator's denominator
+# Σ 2^(-rho) is accumulated as the INTEGER Σ 2^(51-rho) (every term a
+# power of two ≤ 2^51, ≤ m terms — exact in BIGINT), so aggregation
+# order can never perturb a float sum; the only floats are a fixed
+# closed-form expression of that integer.
+
+
+def _hll_register_cols(
+    value: Column, p: int, hash_impl: str
+) -> tuple[Column, Column]:
+    """(register, rho) for one value: register = low ``p`` hash bits,
+    rho = leading-zero count of the remaining ``60-p`` bits + 1
+    (md5 path: 60-bit hash from the first 15 hex chars, the replayable
+    family; xxhash64 path: low 60 bits of the native hash)."""
+    m = 1 << p
+    if hash_impl == "md5":
+        h = F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    elif hash_impl == "xxhash64":
+        # low 60 bits: non-negative, same register/rho geometry as md5
+        h = F.xxhash64(value.cast("string")).bitwiseAND(F.lit((1 << 60) - 1))
+    else:
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
+    register = F.pmod(h, F.lit(m))
+    # integer shift, never a float division: h is non-negative < 2^60
+    w = F.shiftrightunsigned(h, p)
+    # bit length via base-2 string (exact integer op in both engines;
+    # floor(log2(w)) would ride a float through a 50-bit integer).
+    # conv() emits no leading zeros, but conv(0) is "0" (length 1),
+    # so the all-zero window is special-cased to bitlen 0.
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    rho = F.lit(61 - p) - bitlen
+    return register, rho
+
+
+def hll_register_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: int = 10,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Per-key register-level HLL sketch of ``value_col``'s distinct
+    count — the ingest-time pass. Output: (keys..., register, rho)
+    sparse rows, ≤ 2^p per group. One shuffle with map-side partial
+    MAX; persist keyed by the finest useful grouping."""
+    register, rho = _hll_register_cols(F.col(value_col), p, hash_impl)
+    return (
+        df.select(*keys, register.alias("register"), rho.alias("rho"))
+        .groupBy(*keys, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_register_merge(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge register sketches up to a coarser grouping — rows in, rows
+    out, re-mergeable (day → month → year). Lossless: registers only
+    grow, so max-of-maxes equals the sketch of the union exactly."""
+    return sketches.groupBy(*keys, "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_register_estimate(
+    sketches: DataFrame,
+    keys: list[str],
+    p: int = 10,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Distinct-count estimate per key group from register rows:
+    raw HLL estimate alpha_m * m^2 / Σ 2^(-rho) with the small-range
+    linear-counting correction (E ≤ 2.5m and empty registers present
+    ⇒ m·ln(m/zeros)), rounded to a BIGINT. The Σ 2^(-rho) denominator
+    is carried as the exact integer Σ 2^(61-p-rho) (see module note;
+    p=10 ⇒ Σ 2^(51-rho))."""
+    m = 1 << p
+    # rho <= 61 - p, so 2^(shift - rho) stays a non-negative BIGINT
+    # power and the full sum is bounded by m * 2^shift = 2^61 < 2^63
+    shift = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketches.groupBy(*keys).agg(
+        # F.shiftleft only takes a literal bit count; the per-row shift
+        # needs the SQL form (BIGINT base so 2^50 never overflows INT)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - rho)")).alias(
+            "_s_hit"
+        ),
+        F.count("*").alias("_n_regs"),
+    )
+    s_total = F.col("_s_hit") + (F.lit(m) - F.col("_n_regs")) * F.lit(
+        1 << shift
+    ).cast("long")
+    zeros = F.lit(m) - F.col("_n_regs")
+    e_raw = (
+        F.lit(alpha * m * m * float(1 << shift)) / s_total.cast("double")
+    )
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *keys, F.round(e, 0).cast("long").alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch: mergeable approximate frequencies / heavy hitters
 # ---------------------------------------------------------------------------
 #

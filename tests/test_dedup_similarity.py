@@ -1242,6 +1242,66 @@ def test_hll_sketches_merge_losslessly(spark):
     assert abs(total - true_total) / true_total < 0.05
 
 
+def test_hll_register_sketches_merge_losslessly(spark):
+    """Same property for the register-level (open-representation) HLL
+    tier, on both hash families: merging fine-grain register sketches
+    estimates identically to sketching the union directly, within the
+    p=10 error bound (~3.25% rsd; assert 3 sigma) of the exact count."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hll_register_estimate,
+        hll_register_merge,
+        hll_register_sketch,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4).alias("day"),
+        (F.col("id") % 2).alias("src"),
+        (F.pmod(F.xxhash64("id"), 5000)).alias("user"),
+    )
+    truth = {
+        r["day"]: r["n"]
+        for r in df.groupBy("day").agg(
+            F.countDistinct("user").alias("n")).collect()
+    }
+    for impl in ("md5", "xxhash64"):
+        fine = hll_register_sketch(df, ["day", "src"], "user", hash_impl=impl)
+        merged = hll_register_merge(fine, ["day"])
+        direct = hll_register_sketch(df, ["day"], "user", hash_impl=impl)
+        m = {
+            r["day"]: r["approx_distinct"]
+            for r in hll_register_estimate(merged, ["day"]).collect()
+        }
+        d = {
+            r["day"]: r["approx_distinct"]
+            for r in hll_register_estimate(direct, ["day"]).collect()
+        }
+        assert set(m) == set(d) == set(truth)
+        for day in truth:
+            assert m[day] == d[day], impl  # lossless merge
+            assert abs(m[day] - truth[day]) / truth[day] < 0.10, impl
+        # global rollup (no keys) matches too
+        total = hll_register_estimate(
+            hll_register_merge(fine, []), []
+        ).collect()[0]["approx_distinct"]
+        true_total = df.select(F.countDistinct("user")).collect()[0][0]
+        assert abs(total - true_total) / true_total < 0.10, impl
+
+
+def test_hll_register_small_range_linear_counting(spark):
+    """A tiny cardinality lands in the linear-counting branch and comes
+    back near-exact (registers are mostly empty, ln(m/zeros) is tight)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hll_register_estimate,
+        hll_register_sketch,
+    )
+
+    df = spark.range(0, 40).select(F.col("id").alias("user"))
+    est = hll_register_estimate(
+        hll_register_sketch(df, [], "user"), []
+    ).collect()[0]["approx_distinct"]
+    assert abs(est - 40) <= 2
+
+
 def test_decontaminate_semantic_drops_bench_neighbors(spark):
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
         decontaminate_semantic,
