@@ -6152,14 +6152,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against CURRENT testdata.
 
     r14 window (this ordering): the round-14 addition (t_crawl_tick)
-    and the two entries whose oracles are NEW this round
-    (v_mmr_rerank, v_pq_topk — their first hash-checked driver rows),
-    then the six r08-verified entries deferred out of the r13 window
-    (they projected exactly at the budget floor — mandatory), then 41
-    oracle-backed r09-tranche entries oldest-first. All 50 slots are
-    hash-checkable; the r09 tranche's eight sanctioned rows-only
-    entries defer to r15 (where they project exactly at the floor —
-    they MUST lead that window) along with the tranche's last entry.
+    and the TWELVE entries whose oracles are new this round — the two
+    first-time oracles (v_mmr_rerank, v_pq_topk) plus the ten
+    md5-family conversions (minhash pairs/dedup/index, simhash,
+    span-index, cosine-LSH, sign-LSH, CMS batch+stream, HLL register
+    rollup) whose semantics changed when they gained replayable
+    hashes — then the six r08-verified entries deferred out of the
+    r13 window (they projected exactly at the budget floor —
+    mandatory), then the r09-verified tranche oldest-first. All 50
+    slots are hash-checkable; the fronting displaced ten r09 entries
+    to r15 (where they project exactly at the floor — they MUST lead
+    that window) alongside the tranche's sanctioned rows-only
+    remainder.
 
     Rotation arithmetic (why the budget is 6, not 5): 207 registered
     entries cycle through a 50-slot window, so a full re-verification
@@ -6178,8 +6182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordering) and run the registry meta-test after reordering."""
     return {
     # ---- r14 front-50 (all 50 oracle-backed / hash-checkable):
-    # ---- the round-14 addition + the two newly-oracle-backed
-    # ---- entries (their new SQL gets driver hash rows now), then
+    # ---- the round-14 addition + the TWELVE entries whose oracles
+    # ---- (or semantics — the md5-family conversions) are new this
+    # ---- round and need their first hash-checked driver rows, then
     # ---- the six r08-verified entries deferred out of the r13
     # ---- window (zero rotation margin — see check_rotation.py),
     # ---- then the r09-verified tranche oldest-first.
@@ -6187,6 +6192,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_crawl_stream": _q_x1_crawl_stream,
         "v_mmr_rerank": _q_v_mmr_rerank,
         "v_pq_topk": _q_v_pq_topk,
+        "d_minhash_pairs": _q_d_minhash_pairs,
+        "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
+        "d_simhash_pairs": _q_d_simhash_pairs,
+        "d_span_index_dedup": _q_d_span_index_dedup,
+        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        "v_lsh_topk": _q_v_lsh_topk,
+        "a1_cms_topk": _q_a1_cms_topk,
+        "x1_cms_stream": _q_x1_cms_stream,
+        "a1_hll_rollup": _q_a1_hll_rollup,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_retention_stream": _q_x1_retention_stream,
@@ -6217,18 +6232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_er_stream": _q_x1_er_stream,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
-        "a1_cube": _q_a1_cube,
-        "a1_rollup": _q_a1_rollup,
-        "a1_grouping_sets": _q_a1_grouping_sets,
-        "a1_pivot": _q_a1_pivot,
-        "a1_percentile": _q_a1_percentile,
         "t_global_shuffle": _q_t_global_shuffle,
-        "a1_count_distinct": _q_a1_count_distinct,
-        "s4_csv_source": _q_s4_csv_source,
-        "s4_json_source": _q_s4_json_source,
-        "s5_parquet_scan": _q_s5_parquet_scan,
         "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
-        "p1_projection": _q_p1_projection,
         "p2_projection_rename": _q_p2_projection_rename,
         "g_fact_sales_pit": _q_g_fact_sales_pit,
         "j9_scd2_pit": _q_j9_scd2_pit,
@@ -6244,14 +6249,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_rotation.py enforces it.
         "m_decode_jpeg": _q_m_decode_jpeg,
         "a1_approx_distinct": _q_a1_approx_distinct,
-        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
-        "d_minhash_dedup": _q_d_minhash_dedup,
-        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
-        "d_simhash_pairs": _q_d_simhash_pairs,
         "v_ivf_index_topk": _q_v_ivf_index_topk,
         "v_ivf_topk": _q_v_ivf_topk,
-        "v_lsh_topk": _q_v_lsh_topk,
         "x2_sessionize_chunked": _q_x2_sessionize_chunked,
+    # displaced from the r14 window by the md5-conversion fronting
+    # (their r09 verdicts project at the r15 floor — front them then)
+        "a1_cube": _q_a1_cube,
+        "a1_rollup": _q_a1_rollup,
+        "a1_grouping_sets": _q_a1_grouping_sets,
+        "a1_pivot": _q_a1_pivot,
+        "a1_percentile": _q_a1_percentile,
+        "a1_count_distinct": _q_a1_count_distinct,
+        "s4_csv_source": _q_s4_csv_source,
+        "s4_json_source": _q_s4_json_source,
+        "s5_parquet_scan": _q_s5_parquet_scan,
+        "p1_projection": _q_p1_projection,
     # r15/r16: the r11-verified tranche
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -6317,10 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_null_if_future": _q_r10_null_if_future,
         "r11_prefer_source": _q_r11_prefer_source,
         "r12_current_rows": _q_r12_current_rows,
-        "a1_cms_topk": _q_a1_cms_topk,
-        "x1_cms_stream": _q_x1_cms_stream,
         "j6_semi_anti_join": _q_j6_semi_anti_join,
-        "d_span_index_dedup": _q_d_span_index_dedup,
         "t_span_dedup": _q_t_span_dedup,
         "v_knn_classify": _q_v_knn_classify,
         "t_weighted_sample": _q_t_weighted_sample,
@@ -6331,8 +6340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_semantic_dedup": _q_v_semantic_dedup,
         "t_quality_model": _q_t_quality_model,
         "t_bpe_tokens": _q_t_bpe_tokens,
-        "a1_hll_rollup": _q_a1_hll_rollup,
-        "d_minhash_pairs": _q_d_minhash_pairs,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "t_winnow": _q_t_winnow,
         "a1_approx_percentile": _q_a1_approx_percentile,

@@ -267,20 +267,16 @@ def test_registry_contract_consistency():
     assert unknown == [], f"oracle_sql keys without queries(): {unknown}"
     front = qs[:50]
     rows_only_front = [q for q in front if q not in oracles]
-    # sketch/ANN/model internals are the only sanctioned rows-only
-    # entries — each has an oracle-green exact twin and/or a bound
+    # Engine-internal sketches (Spark-native HLL / Greenwald-Khanna),
+    # MLlib-trained models (KMeans IVF cells, SemDeDup, LBFGS logistic
+    # quality classifier) and the learned BPE vocabulary are the only
+    # sanctioned rows-only entries left after the round-14 md5-family
+    # conversions — each has an oracle-green exact twin and a bound
     # pytest (see COVERAGE.md)
     assert set(rows_only_front) <= {
-        "d_minhash_pairs", "d_minhash_dedup", "d_minhash_index_dedup",
-        "d_simhash_pairs", "d_cosine_dedup_lsh", "v_lsh_topk",
-        "v_ivf_topk", "v_ivf_index_topk", "a1_approx_distinct",
-        "a1_approx_percentile",
-        # round-5 additions rotated into the r06 window: span/CMS/HLL
-        # sketch state, PQ/MMR/SemDeDup ANN internals, learned-model
-        # outputs (quality classifier, BPE)
-        "d_span_index_dedup", "a1_cms_topk", "x1_cms_stream",
-        "v_mmr_rerank", "v_pq_topk", "v_semantic_dedup",
-        "t_quality_model", "t_bpe_tokens", "a1_hll_rollup",
+        "a1_approx_distinct", "a1_approx_percentile",
+        "v_ivf_topk", "v_ivf_index_topk", "v_semantic_dedup",
+        "t_quality_model", "t_bpe_tokens",
     }, f"unexpected rows-only queries in the verified window: {rows_only_front}"
 
 
