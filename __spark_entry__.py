@@ -3711,6 +3711,39 @@ def _q_x1_cms_stream(spark, sf_dir):
     )
 
 
+def _q_x1_hll_stream(spark, sf_dir):
+    """Streaming distinct-count state: per-event_type register-level
+    HLL sketches of distinct users, max-merged across micro-batches
+    into a persisted register table
+    (streaming/events.py::stream_distinct_sketch), then estimated over
+    the WHOLE streamed history. Register max-merge is lossless AND
+    idempotent (redelivery cannot inflate a max), so the drained
+    stream equals the batch sketch of all events — hash-checked
+    against the same md5-family DuckDB oracle shape as the batch twin
+    a1_hll_rollup."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hll_register_estimate,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_distinct_sketch,
+    )
+
+    table = "hll_stream_q_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sdf = _stream_events_src(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ck:
+        stream_distinct_sketch(
+            sdf, table, ck, keys=["event_type"], value_col="user_id",
+            hash_impl="md5", query_name="x1_hll_stream",
+        )
+    state = spark.table(table).drop("_applied_batch")
+    return hll_register_estimate(
+        state, ["event_type"], out_col="approx_users"
+    )
+
+
 def _q_x1_stateful_totals(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals. Drained with availableNow over a single input file
@@ -5684,26 +5717,36 @@ _SQL_MINHASH_PAIRS = "WITH coef AS (SELECT i, ('0x'||substr(md5('a:1:' || CAST(i
 
 # Register-level HLL rollup: replay the md5 register/rho geometry, the
 # lossless per-register max-merge (fine grain collapses out — merging
-# per-(status,priority) maxima equals sketching per-status directly),
-# and the Flajolet estimator. The Σ2^(-rho) denominator is the exact
-# integer Σ2^(51-rho) (absent registers contribute 2^51 each), so no
-# float aggregation order exists to drift between engines; the literal
+# per-(status,priority) maxima equals sketching per-status directly,
+# and a drained micro-batch stream equals the batch sketch), and the
+# Flajolet estimator. The Σ2^(-rho) denominator is the exact integer
+# Σ2^(51-rho) (absent registers contribute 2^51 each), so no float
+# aggregation order exists to drift between engines; the literal
 # double expressions mirror the Python/Spark evaluation order.
-_SQL_HLL_ROLLUP = (
-    "WITH h AS (SELECT o_orderstatus, "
-    "('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h FROM orders), "
-    "reg AS (SELECT o_orderstatus, h % 1024 AS register, "
-    "51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM h), "
-    "mx AS (SELECT o_orderstatus, register, max(rho) AS rho FROM reg GROUP BY 1, 2), "
-    "agg AS (SELECT o_orderstatus, sum((1::BIGINT << (51 - rho)))::BIGINT AS s_hit, "
-    "count(*) AS n_regs FROM mx GROUP BY 1), "
-    "est AS (SELECT o_orderstatus, "
-    "(0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2251799813685248.0 "
-    "/ CAST(s_hit + (1024 - n_regs) * 2251799813685248 AS DOUBLE) AS e_raw, "
-    "1024 - n_regs AS zeros FROM agg) "
-    "SELECT o_orderstatus, CAST(round(CASE WHEN e_raw <= 2560.0 AND zeros > 0 "
-    "THEN 1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) ELSE e_raw END, 0) AS BIGINT) "
-    "AS approx_customers FROM est"
+def _sql_hll_register(table: str, key_col: str, value_col: str, out_col: str) -> str:
+    return (
+        f"WITH h AS (SELECT {key_col}, "
+        f"('0x'||substr(md5(CAST({value_col} AS VARCHAR)),1,15))::BIGINT AS h FROM {table}), "
+        f"reg AS (SELECT {key_col}, h % 1024 AS register, "
+        "51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM h), "
+        f"mx AS (SELECT {key_col}, register, max(rho) AS rho FROM reg GROUP BY 1, 2), "
+        f"agg AS (SELECT {key_col}, sum((1::BIGINT << (51 - rho)))::BIGINT AS s_hit, "
+        "count(*) AS n_regs FROM mx GROUP BY 1), "
+        f"est AS (SELECT {key_col}, "
+        "(0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2251799813685248.0 "
+        "/ CAST(s_hit + (1024 - n_regs) * 2251799813685248 AS DOUBLE) AS e_raw, "
+        "1024 - n_regs AS zeros FROM agg) "
+        f"SELECT {key_col}, CAST(round(CASE WHEN e_raw <= 2560.0 AND zeros > 0 "
+        "THEN 1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) ELSE e_raw END, 0) AS BIGINT) "
+        f"AS {out_col} FROM est"
+    )
+
+
+_SQL_HLL_ROLLUP = _sql_hll_register(
+    "orders", "o_orderstatus", "o_custkey", "approx_customers"
+)
+_SQL_HLL_STREAM = _sql_hll_register(
+    "events", "event_type", "user_id", "approx_users"
 )
 
 
@@ -6202,6 +6245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_cms_topk": _q_a1_cms_topk,
         "x1_cms_stream": _q_x1_cms_stream,
         "a1_hll_rollup": _q_a1_hll_rollup,
+        "x1_hll_stream": _q_x1_hll_stream,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_retention_stream": _q_x1_retention_stream,
@@ -6232,7 +6276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_er_stream": _q_x1_er_stream,
         "a1_groupby_agg": _q_a1_groupby_agg,
         "j4_j5_fact_join": _q_j4_j5_fact_join,
-        "t_global_shuffle": _q_t_global_shuffle,
         "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
         "p2_projection_rename": _q_p2_projection_rename,
         "g_fact_sales_pit": _q_g_fact_sales_pit,
@@ -6264,6 +6307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_json_source": _q_s4_json_source,
         "s5_parquet_scan": _q_s5_parquet_scan,
         "p1_projection": _q_p1_projection,
+        "t_global_shuffle": _q_t_global_shuffle,
     # r15/r16: the r11-verified tranche
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -7363,6 +7407,7 @@ def oracle_sql() -> dict[str, str]:
         "d_minhash_dedup": _SQL_MINHASH_DEDUP,
         "d_minhash_index_dedup": _SQL_MINHASH_INDEX_DEDUP,
         "a1_hll_rollup": _SQL_HLL_ROLLUP,
+        "x1_hll_stream": _SQL_HLL_STREAM,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,

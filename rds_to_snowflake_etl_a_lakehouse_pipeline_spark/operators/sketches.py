@@ -115,7 +115,7 @@ def hll_register_sketch(
     keys: list[str],
     value_col: str,
     p: int = 10,
-    hash_impl: str = "md5",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Per-key register-level HLL sketch of ``value_col``'s distinct
     count — the ingest-time pass. Output: (keys..., register, rho)

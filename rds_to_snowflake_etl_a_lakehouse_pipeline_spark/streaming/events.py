@@ -1142,6 +1142,72 @@ def stream_frequency_sketch(
     q.awaitTermination()
 
 
+def stream_distinct_sketch(
+    sdf: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    value_col: str = "user_id",
+    p: int = 10,
+    hash_impl: str = "xxhash64",
+    query_name: str = "stream_distinct_sketch",
+):
+    """Streaming distinct-count state — the HLL member of the sketch
+    trio's streaming twins (:func:`stream_frequency_sketch` =
+    frequencies, :func:`stream_histogram_sketch` = quantiles): each
+    micro-batch is register-sketched
+    (``operators.sketches.hll_register_sketch``) and max-merged into
+    the persisted register table, so distinct counts over the WHOLE
+    stream history are answerable at any time without replaying
+    events. State is BOUNDED at ``keys × 2^p`` register rows
+    regardless of stream length.
+
+    Unlike the additive CMS/histogram sketches, register max-merge is
+    IDEMPOTENT — a crash-redelivered batch merged twice cannot inflate
+    the registers — so the ``_applied_batch`` replay guard here only
+    skips the wasted state rewrite; correctness never depended on it.
+    Runs with trigger=availableNow and blocks until input is drained.
+    """
+    from ..operators.sketches import hll_register_merge, hll_register_sketch
+    from ..sources.io import write_table
+
+    keys = keys or []
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sketch = hll_register_sketch(
+            batch_df, keys, value_col, p=p, hash_impl=hash_impl
+        )
+        stamp = _stream_stamp(
+            _checkpoint_stream_id(spark, checkpoint_dir), batch_id
+        )
+        if spark.catalog.tableExists(table):
+            state = _replay_guarded_state(spark, table, stamp, batch_id)
+            if state is None:  # this exact batch already merged
+                return
+            merged = hll_register_merge(
+                state.unionByName(batch_sketch), keys
+            )
+            # the union reads the table being overwritten: materialize
+            # the (bounded, register-count-sized) merge before the swap
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = batch_sketch
+        write_table(merged.withColumn("_applied_batch", F.lit(stamp)), table)
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_histogram_sketch(
     sdf: DataFrame,
     table: str,

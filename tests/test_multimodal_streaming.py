@@ -878,6 +878,67 @@ def test_stream_frequency_sketch_merges_batches_into_table(spark, tmp_path):
     assert est[3] >= 38  # the hot key's history survived the merge
 
 
+def test_stream_distinct_sketch_merges_batches_into_table(spark, tmp_path):
+    """Streaming HLL register state: the persisted registers after two
+    micro-batches must equal the registers of the concatenated stream
+    (max-merge losslessness end-to-end), and the estimate over them
+    must land near the true distinct count. A third, redelivered-batch
+    merge must be a no-op (max-merge idempotence + the replay guard)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.sketches import (
+        hll_register_estimate,
+        hll_register_sketch,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_distinct_sketch,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS stream_hll")
+    feed = str(tmp_path / "hll_feed")
+    schema = "user_id long"
+    b1 = [(i,) for i in range(300)]            # users 0-299
+    b2 = [(i,) for i in range(200, 500)]       # overlap 200-299, new to 499
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(feed)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(feed)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_distinct_sketch(
+        sdf, "stream_hll", checkpoint_dir=str(tmp_path / "hll_ck"),
+        keys=[], value_col="user_id",
+    )
+
+    whole = spark.createDataFrame(b1 + b2, schema)
+    direct = hll_register_sketch(whole, [], "user_id")
+    streamed = spark.table("stream_hll").drop("_applied_batch")
+    assert streamed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(streamed).count() == 0
+
+    est = hll_register_estimate(streamed, []).collect()[0]["approx_distinct"]
+    assert abs(est - 500) / 500 < 0.15
+
+    # replay the same feed against the SAME state table from a fresh
+    # checkpoint (new stream id -> stamps differ -> the guard admits
+    # the batches): registers must not change — max-merge idempotence
+    sdf2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_distinct_sketch(
+        sdf2, "stream_hll", checkpoint_dir=str(tmp_path / "hll_ck2"),
+        keys=[], value_col="user_id",
+    )
+    # the swap ran in foreachBatch's cloned session; this session's
+    # file-listing cache still points at the pre-replay files
+    spark.catalog.refreshTable("stream_hll")
+    replayed = spark.table("stream_hll").drop("_applied_batch")
+    assert replayed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(replayed).count() == 0
+
+
 def test_stream_span_dedup_masks_across_microbatches(spark, tmp_path):
     """Batch 2's copy of a batch-1 document must be emptied (the index
     accreted batch 1's spans before batch 2 probed), and the masked
