@@ -12,7 +12,9 @@ calibration workload is timed alongside and its drift vs the previous
 recorded round scales the regression threshold symmetrically with a
 0.8 floor (host contention divides out; a fast box narrows the gate,
 but never below an absolute 1.15x — the per-query scheduling-noise
-band); suspects are re-timed up to twice before being flagged. A flag that
+band); suspects are re-timed up to twice, and only a suspect that was
+ALSO over the gate in the previous run records as a regression
+(cross-run persistence). A flag that
 survives all of that is a code regression, not box noise. Every run
 persists its full payload to ``bench_sidecar.json`` (keyed by SF,
 stamped with the round) because the driver's ``BENCH_r{N}.json``
@@ -120,6 +122,26 @@ def _write_sidecar(sf_key: str, payload: dict, rnd: int) -> None:
     with open(tmp, "w") as f:
         json.dump(side, f, indent=1, sort_keys=True)
     os.replace(tmp, _SIDECAR)
+
+
+def _previous_suspects(sf_key: str) -> set[str]:
+    """Query names that exceeded the gate in the PREVIOUS bench run for
+    this SF — the cross-run persistence input to the regression gate
+    (BASELINE.md "Bench noise contract" §3): a suspect is only RECORDED
+    as a regression when it exceeded the gate in two consecutive runs.
+    Rationale: with ~33 queries at ±20-40% scheduling noise, almost
+    every run draws ONE random slow window past a ~1.3x gate even
+    after re-times (observed across three same-code runs: q21/q29,
+    then q11/q15, then q14 — never the same query twice), while a real
+    code regression is slow in EVERY run. Falls back to the old
+    format's recorded ``regressions`` keys; empty when no sidecar
+    exists (then there is no baseline either, so no suspects arise)."""
+    try:
+        with open(_SIDECAR) as f:
+            side = json.load(f).get(sf_key) or {}
+        return set(side.get("suspects") or side.get("regressions") or [])
+    except (OSError, json.JSONDecodeError, AttributeError, TypeError):
+        return set()
 
 
 def _calibration(spark, sf_dir: str, _time) -> float:
@@ -621,12 +643,23 @@ def main() -> None:
             timings[name] = min(timings[name], t)
             if timings[name] <= eff_threshold * prev[name]:
                 break
-    regressions = {
+    suspects_now = {
         n: {"prev": prev[n], "now": timings[n],
             "ratio": round(timings[n] / prev[n], 2)}
         for n in suspects
         if timings[n] > eff_threshold * prev[n]
     }
+    # Cross-run persistence (BASELINE.md contract §3): a suspect only
+    # RECORDS as a regression when the same query also exceeded the
+    # gate in the previous run — one run's slow window is noise, two
+    # consecutive runs' is code.
+    prev_suspects = _previous_suspects(sf_key)
+    regressions = {n: v for n, v in suspects_now.items() if n in prev_suspects}
+    if suspects_now:
+        print(
+            f"suspects this run (recorded, escalate if repeated): "
+            f"{suspects_now}", file=sys.stderr,
+        )
     if regressions:
         print(f"REGRESSIONS vs previous round: {regressions}", file=sys.stderr)
 
@@ -637,6 +670,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "regressions": regressions,
+                # every over-gate query THIS run (regressions = the
+                # subset also suspect in the previous run; see
+                # _previous_suspects)
+                "suspects": sorted(suspects_now),
                 # fixed code-independent workload (scan+agg + Arrow
                 # round-trip), min-of-3: drift > 1 means the box ran
                 # slower than the previous recorded round and the

@@ -109,3 +109,33 @@ def test_sidecar_write_is_atomic_and_merging(helpers):
     assert set(side) == {"sf0.1", "sf0.01"}
     assert side["sf0.1"]["round"] == 2
     assert not os.path.exists(tmp / "bench_sidecar.json.tmp")
+
+
+def test_previous_suspects_reads_new_format(helpers):
+    ns, _ = helpers
+    ns["_write_sidecar"](
+        "sf0.1", {"queries": {"q1": 1.0}, "suspects": ["q14", "q15"]}, 3
+    )
+    assert ns["_previous_suspects"]("sf0.1") == {"q14", "q15"}
+
+
+def test_previous_suspects_falls_back_to_old_regressions(helpers):
+    """A sidecar written before the suspects field existed recorded its
+    over-gate queries under regressions — those were that run's
+    suspects, so the persistence rule still sees them."""
+    ns, _ = helpers
+    ns["_write_sidecar"](
+        "sf0.1",
+        {"queries": {"q1": 1.0},
+         "regressions": {"q14": {"prev": 3.6, "now": 5.2, "ratio": 1.44}}},
+        3,
+    )
+    assert ns["_previous_suspects"]("sf0.1") == {"q14"}
+
+
+def test_previous_suspects_empty_without_sidecar(helpers):
+    ns, _ = helpers
+    assert ns["_previous_suspects"]("sf0.1") == set()
+    ns["_write_sidecar"]("sf0.01", {"queries": {}, "suspects": ["q9"]}, 3)
+    # sf keys stay isolated
+    assert ns["_previous_suspects"]("sf0.1") == set()

@@ -28,6 +28,7 @@ AUDIT = [
     "x2_asof_join",
     "x2_range_join",
     "d_cosine_dedup_lsh",
+    "a1_hll_rollup",
     "t_winnow",
     "t_curation_pipeline",
     "j_salted_skew",
