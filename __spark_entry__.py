@@ -2088,19 +2088,24 @@ def _q_v_decontaminate(spark, sf_dir):
 
 def _q_v_semantic_dedup(spark, sf_dir):
     """SemDeDup tier (operators/dedup.py::semantic_dedup): KMeans cells
-    over the embedding space, one Arrow matmul per cell, greedy min-id
-    survivors. Rows-only by design — KMeans cell boundaries are not
-    reproducible in SQL; the exact all-pairs twin d_cosine_dedup is the
-    oracle-checked baseline, and
-    test_semantic_dedup_matches_exact_on_separated_clusters pins
-    survivor equality with the exact tier when no pair crosses cells."""
+    over the embedding space, within-cell cosine pairs, greedy min-id
+    survivors. Oracle-backed since round 14 via the grid-KMeans impl
+    (similarity.py::grid_kmeans_fit — md5-seeded init,
+    quantized-integer centroid sums, fixed Lloyd rounds) with
+    Catalyst-fold within-cell cosines: the DuckDB oracle replays the
+    trainer, the cell assignment, every in-cell pair at threshold 0.4,
+    and the greedy anti-join. MLlib + the Arrow matmul kernel stay the
+    scale path, pinned by
+    test_semantic_dedup_matches_exact_on_separated_clusters; the exact
+    all-pairs twin d_cosine_dedup remains oracle-green."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
         semantic_dedup,
     )
 
     e = load(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        e, "vec_id", "embedding", threshold=0.4, n_clusters=8, seed=42
+        e, "vec_id", "embedding", threshold=0.4, n_clusters=8, seed=42,
+        impl="grid",
     ).select("vec_id", "label")
 
 
@@ -4036,8 +4041,15 @@ def _q_p3_p5_p9_field_ops(spark, sf_dir):
 
 
 def _q_v_ivf_topk(spark, sf_dir):
-    # rows-only: KMeans cell assignment is approximate/engine-specific;
-    # v_cosine_topk and v_cosine_pairs are the exact oracle-checked twins.
+    """IVF approximate top-k (operators/similarity.py::ivf_topk).
+    Oracle-backed since round 14 via the deterministic grid-KMeans
+    trainer (impl="grid" — md5-seeded init, quantized-integer centroid
+    sums so no float aggregation order exists, fixed Lloyd rounds,
+    tie-broken assignments): the DuckDB oracle replays the init, every
+    Lloyd iteration, the corpus assignment, the n_probe=4 query probe,
+    and the in-cell cosine ranking. MLlib KMeans stays the scale-path
+    default (impl="mllib"), pinned by the IVF recall pytest; the exact
+    twins v_cosine_topk / v_cosine_pairs remain oracle-green."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
         ivf_topk,
     )
@@ -4046,14 +4058,18 @@ def _q_v_ivf_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e.filter(F.col("vec_id") >= 3), q, k=10)
+    return ivf_topk(e.filter(F.col("vec_id") >= 3), q, k=10, impl="grid")
 
 
 def _q_v_ivf_index_topk(spark, sf_dir):
-    # rows-only (same reason as v_ivf_topk). The write-once/query-many
-    # form: builds the cell-PARTITIONED catalog index table, then
-    # queries it with a static partition filter (directories pruned at
-    # listing time — asserted in tests/test_dedup_similarity.py).
+    """Write-once/query-many IVF: the cell-PARTITIONED catalog index
+    table, queried with a static partition filter (directories pruned
+    at listing time — asserted in tests/test_dedup_similarity.py).
+    Oracle-backed since round 14 via the grid-KMeans impl on BOTH the
+    build and the probe — cells, probes, and the cosine ranking are
+    the same replayable arithmetic as v_ivf_topk, and partition
+    pruning is layout-only, so the two entries share one DuckDB
+    oracle. MLlib stays the scale-path default."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
         ivf_build_index,
         ivf_query_index,
@@ -4063,10 +4079,12 @@ def _q_v_ivf_index_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    table = "ivf_index_grid_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     centroids = ivf_build_index(
-        e.filter(F.col("vec_id") >= 3), "ivf_index_embeddings", n_clusters=16
+        e.filter(F.col("vec_id") >= 3), table, n_clusters=16, impl="grid"
     )
-    return ivf_query_index(spark, "ivf_index_embeddings", q, centroids, k=10)
+    return ivf_query_index(spark, table, q, centroids, k=10, impl="grid")
 
 
 def _q_d_minhash_index_dedup(spark, sf_dir):
@@ -5802,6 +5820,112 @@ _SQL_COSINE_DEDUP_LSH = "WITH m AS (SELECT t, k, j, CASE WHEN ('0x'||substr(md5(
 _SQL_LSH_TOPK = "WITH m AS (SELECT k, j, CASE WHEN ('0x'||substr(md5('42:' || CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)),1,1))::INT < 8 THEN 1.0 ELSE -1.0 END AS s FROM range(64) _k(k), range(64) _j(j)), corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3), qv AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3), cd AS (SELECT e.vec_id, m.k // 8 AS t, m.k % 8 AS i, CASE WHEN sum(CAST(e.embedding[m.j + 1] AS DOUBLE) * m.s) > 0 THEN 1 ELSE 0 END AS bit FROM corpus e, m GROUP BY e.vec_id, m.k), cb AS (SELECT vec_id, t, sum(bit * (1::BIGINT << i))::BIGINT AS bucket FROM cd GROUP BY vec_id, t), qd AS (SELECT q.query_id, m.k // 8 AS t, m.k % 8 AS i, CASE WHEN sum(CAST(q.embedding[m.j + 1] AS DOUBLE) * m.s) > 0 THEN 1 ELSE 0 END AS bit FROM qv q, m GROUP BY q.query_id, m.k), qb AS (SELECT query_id, t, sum(bit * (1::BIGINT << i))::BIGINT AS bucket FROM qd GROUP BY query_id, t), probes AS (SELECT DISTINCT query_id, t, xor(bucket, o) AS bucket FROM qb, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS o)), cand AS (SELECT DISTINCT p.query_id, c0.vec_id FROM probes p JOIN cb c0 ON c0.t = p.t AND c0.bucket = p.bucket), scored AS (SELECT cand.query_id, cand.vec_id, round(list_sum(list_transform(range(1,65), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos_sim FROM cand JOIN corpus c ON c.vec_id = cand.vec_id JOIN qv q ON q.query_id = cand.query_id) SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM scored) WHERE rank <= 10"
 
 
+# Deterministic grid-KMeans replay (similarity.py::grid_kmeans_fit):
+# md5-seeded init, quantized-integer centroid sums (exact BIGINTs — no
+# float aggregation order), float(s)/float(n) centroid division, and
+# squared-L2 folds in array order with (d, cell) tie-breaks. The CTE
+# chain below IS the Lloyd loop, one block per iteration; empty cells
+# keep their previous centroid via the LEFT JOIN + COALESCE.
+def _sql_grid_kmeans_ctes(src: str, k: int, iters: int, dim: int = 64) -> str:
+    d_expr = (
+        "list_sum(list_transform(range(1,{n}), j -> "
+        "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]) * "
+        "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j])))".format(n=dim + 1)
+    )
+    parts = [
+        f"cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, "
+        f"list_transform(vq, x -> CAST(x AS DOUBLE)) AS cvec FROM {src} "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})"
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"dist{i} AS (SELECT c.vec_id, c.vq, ct.cell, {d_expr} AS d "
+            f"FROM {src} c, cent{p} ct)"
+        )
+        parts.append(
+            f"asg{i} AS (SELECT vec_id, vq, cell FROM (SELECT *, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn "
+            f"FROM dist{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"upd{i} AS (SELECT cell, list(CAST(s AS DOUBLE)/CAST(n AS DOUBLE) ORDER BY j) AS cvec "
+            f"FROM (SELECT cell, j, sum(vq[j]) AS s, count(*) AS n "
+            f"FROM asg{i}, range(1,{dim + 1}) r(j) GROUP BY cell, j) GROUP BY cell)"
+        )
+        parts.append(
+            f"cent{i} AS (SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec "
+            f"FROM cent{p} p LEFT JOIN upd{i} u ON u.cell = p.cell)"
+        )
+    return ", ".join(parts)
+
+
+_SQL_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) AS BIGINT))"
+)
+_SQL_COS64 = (
+    "round(list_sum(list_transform(range(1,65), i -> "
+    "CAST(c.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
+)
+
+_SQL_IVF_TOPK = (
+    "WITH corpq AS (SELECT vec_id, embedding, " + _SQL_QUANT + " AS vq "
+    "FROM embeddings WHERE vec_id >= 3), "
+    + _sql_grid_kmeans_ctes("corpq", k=16, iters=2)
+    + ", fdist AS (SELECT c.vec_id, ct.cell, "
+    "list_sum(list_transform(range(1,65), j -> "
+    "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]) * (CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]))) AS d "
+    "FROM corpq c, cent2 ct), "
+    "fasg AS (SELECT vec_id, cell FROM (SELECT *, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fdist) WHERE rn = 1), "
+    "qq AS (SELECT vec_id AS query_id, embedding, " + _SQL_QUANT + " AS vq "
+    "FROM embeddings WHERE vec_id < 3), "
+    "qdist AS (SELECT c.query_id, ct.cell, "
+    "list_sum(list_transform(range(1,65), j -> "
+    "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]) * (CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]))) AS d "
+    "FROM qq c, cent2 ct), "
+    "probes AS (SELECT query_id, cell FROM (SELECT *, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn FROM qdist) WHERE rn <= 4), "
+    "cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN fasg a ON a.cell = p.cell), "
+    "scored AS (SELECT cand.query_id, cand.vec_id, " + _SQL_COS64 + " AS cos_sim "
+    "FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id "
+    "JOIN (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3) q "
+    "ON q.query_id = cand.query_id) "
+    "SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank "
+    "FROM scored) WHERE rank <= 10"
+)
+
+
+# SemDeDup replay: same grid-KMeans CTE chain at k=8 over ALL non-null
+# embeddings, final cell assignment with the trained centroids, in-cell
+# cosine pairs at threshold 0.4, greedy drop of every id_b.
+_SQL_SEMANTIC_DEDUP = (
+    "WITH corpq AS (SELECT vec_id, embedding, " + _SQL_QUANT + " AS vq "
+    "FROM embeddings WHERE embedding IS NOT NULL), "
+    + _sql_grid_kmeans_ctes("corpq", k=8, iters=2)
+    + ", fdist AS (SELECT c.vec_id, ct.cell, "
+    "list_sum(list_transform(range(1,65), j -> "
+    "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]) * (CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]))) AS d "
+    "FROM corpq c, cent2 ct), "
+    "fasg AS (SELECT vec_id, cell FROM (SELECT *, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fdist) WHERE rn = 1), "
+    "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+    _SQL_COS64.replace("q.embedding", "e2.embedding").replace(
+        "c.embedding", "e1.embedding"
+    ) + " AS cos_sim "
+    "FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id "
+    "JOIN embeddings e1 ON e1.vec_id = a.vec_id "
+    "JOIN embeddings e2 ON e2.vec_id = b.vec_id), "
+    "losers AS (SELECT DISTINCT id_b FROM pairs WHERE cos_sim >= 0.4) "
+    "SELECT vec_id, label FROM embeddings "
+    "WHERE vec_id NOT IN (SELECT id_b FROM losers)"
+)
+
+
 _SQL_SPAN_INDEX_DEDUP = "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), spans AS (SELECT k.doc_id, CAST(s.i AS BIGINT) AS pos, array_to_string(k.t[CAST(s.i AS INT):CAST(s.i AS INT)+7], ' ') AS g FROM toks k CROSS JOIN LATERAL (SELECT unnest(range(1, len(k.t) - 8 + 2)) AS i) s), hist AS (SELECT DISTINCT g FROM spans WHERE doc_id % 2 = 0), bspans AS (SELECT doc_id, pos, g FROM spans WHERE doc_id % 2 = 1), hist_hits AS (SELECT b.doc_id, b.pos FROM bspans b JOIN hist USING (g)), dup_hits AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM bspans) WHERE cnt >= 2 AND rn >= 2), hits AS (SELECT doc_id, pos FROM hist_hits UNION SELECT doc_id, pos FROM dup_hits), kept AS (SELECT k.doc_id, s.i AS j, k.t[CAST(s.i AS INT)] AS tok FROM toks k CROSS JOIN LATERAL (SELECT unnest(range(1, len(k.t) + 1)) AS i) s WHERE k.doc_id % 2 = 1 AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = k.doc_id AND h.pos <= s.i AND s.i <= h.pos + 7)), agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS kt, count(*) AS nk FROM kept GROUP BY doc_id) SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.kt, '') END AS deduped_text, CASE WHEN d.text IS NULL THEN NULL ELSE CAST(len(string_split_regex(trim(d.text), '\\s+')) - coalesce(a.nk, 0) AS BIGINT) END AS n_tokens_removed FROM documents d LEFT JOIN agg a USING (doc_id) WHERE d.doc_id % 2 = 1"
 
 
@@ -6194,19 +6318,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across rounds so every registered query keeps a driver verdict
     against CURRENT testdata.
 
-    r14 window (this ordering): the round-14 addition (t_crawl_tick)
-    and the TWELVE entries whose oracles are new this round — the two
-    first-time oracles (v_mmr_rerank, v_pq_topk) plus the ten
-    md5-family conversions (minhash pairs/dedup/index, simhash,
-    span-index, cosine-LSH, sign-LSH, CMS batch+stream, HLL register
-    rollup) whose semantics changed when they gained replayable
-    hashes — then the six r08-verified entries deferred out of the
-    r13 window (they projected exactly at the budget floor —
-    mandatory), then the r09-verified tranche oldest-first. All 50
-    slots are hash-checkable; the fronting displaced ten r09 entries
-    to r15 (where they project exactly at the floor — they MUST lead
-    that window) alongside the tranche's sanctioned rows-only
-    remainder.
+    r14 window (this ordering): the round-14 additions (t_crawl_tick,
+    x1_crawl_stream, x1_hll_stream) and the FIFTEEN entries whose
+    oracles are new this round — the two first-time oracles
+    (v_mmr_rerank, v_pq_topk), the ten md5-family conversions
+    (minhash pairs/dedup/index, simhash, span-index, cosine-LSH,
+    sign-LSH, CMS batch+stream, HLL register rollup), and the three
+    grid-KMeans conversions (v_ivf_topk, v_ivf_index_topk,
+    v_semantic_dedup) whose semantics changed when they gained
+    replayable trainers — then the six r08-verified entries deferred
+    out of the r13 window (they projected exactly at the budget floor
+    — mandatory), then the r09-verified tranche oldest-first. All 50
+    slots are hash-checkable; the fronting displaced fourteen r09
+    entries to r15 (where they project exactly at the floor — they
+    MUST lead that window) alongside the tranche's sanctioned
+    rows-only remainder.
 
     Rotation arithmetic (why the budget is 6, not 5): 207 registered
     entries cycle through a 50-slot window, so a full re-verification
@@ -6246,6 +6372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_cms_stream": _q_x1_cms_stream,
         "a1_hll_rollup": _q_a1_hll_rollup,
         "x1_hll_stream": _q_x1_hll_stream,
+        "v_ivf_topk": _q_v_ivf_topk,
+        "v_ivf_index_topk": _q_v_ivf_index_topk,
+        "v_semantic_dedup": _q_v_semantic_dedup,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_retention_stream": _q_x1_retention_stream,
@@ -6266,9 +6395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
         "g_dim_customers_faithful": _q_g_dim_customers_faithful,
-        "x2_interval_join": _q_x2_interval_join,
-        "x2_range_join": _q_x2_range_join,
-        "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,
         "er_resolve": _q_er_resolve,
         "er_golden": _q_er_golden,
@@ -6292,8 +6418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_rotation.py enforces it.
         "m_decode_jpeg": _q_m_decode_jpeg,
         "a1_approx_distinct": _q_a1_approx_distinct,
-        "v_ivf_index_topk": _q_v_ivf_index_topk,
-        "v_ivf_topk": _q_v_ivf_topk,
         "x2_sessionize_chunked": _q_x2_sessionize_chunked,
     # displaced from the r14 window by the md5-conversion fronting
     # (their r09 verdicts project at the r15 floor — front them then)
@@ -6308,6 +6432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_parquet_scan": _q_s5_parquet_scan,
         "p1_projection": _q_p1_projection,
         "t_global_shuffle": _q_t_global_shuffle,
+        "x2_interval_join": _q_x2_interval_join,
+        "x2_range_join": _q_x2_range_join,
+        "x1_tumbling_window": _q_x1_tumbling_window,
     # r15/r16: the r11-verified tranche
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -6381,7 +6508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
         "x1_versioned_stream": _q_x1_versioned_stream,
         "t_corpus_report": _q_t_corpus_report,
-        "v_semantic_dedup": _q_v_semantic_dedup,
         "t_quality_model": _q_t_quality_model,
         "t_bpe_tokens": _q_t_bpe_tokens,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
@@ -7408,6 +7534,11 @@ def oracle_sql() -> dict[str, str]:
         "d_minhash_index_dedup": _SQL_MINHASH_INDEX_DEDUP,
         "a1_hll_rollup": _SQL_HLL_ROLLUP,
         "x1_hll_stream": _SQL_HLL_STREAM,
+        "v_ivf_topk": _SQL_IVF_TOPK,
+        # identical semantics to v_ivf_topk (partition pruning is
+        # layout-only), so the index entry shares its oracle
+        "v_ivf_index_topk": _SQL_IVF_TOPK,
+        "v_semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,

@@ -1601,6 +1601,7 @@ def semantic_pairs(
     fit_fraction: float | None = None,
     fit_target_rows: int = 100_000,
     max_cluster_size: int = 100_000,
+    impl: str = "mllib",
 ) -> DataFrame:
     """SemDeDup-style candidate pairs: k-means-cluster the embedding
     space, then compare ONLY within clusters (Abbas et al. 2023,
@@ -1631,17 +1632,83 @@ def semantic_pairs(
     :func:`embedding_cosine_pairs` oracle on samples). Deterministic
     for a fixed seed/data.
 
+    ``impl="grid"`` (round 14): cells come from the deterministic
+    :func:`~.similarity.grid_kmeans_fit` trainer and the within-cell
+    cosines from a Catalyst fold instead of the numpy matmul — every
+    step replayable by any ANSI engine (the v_semantic_dedup oracle).
+    MLlib + the Arrow matmul kernel stay the scale-path default.
+
     Returns ``(id_a, id_b, cos_sim, cell)`` with id_a < id_b,
     cos_sim ≥ threshold.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from .similarity import _bounded_fit
 
     vec = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col)
     )
+    if impl == "grid":
+        from ..functions.vectors import cosine_from_norms, l2_norm
+        from .similarity import grid_assign_cells, grid_kmeans_fit
+
+        if n_clusters <= 1:
+            assigned = vec.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_vec"),
+                F.lit(0).alias("_cell"),
+            )
+        else:
+            cents = grid_kmeans_fit(vec, id_col, vec_col, k=n_clusters)
+            assigned = grid_assign_cells(
+                vec, id_col, vec_col, cents, keep_cols=[vec_col]
+            ).select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_vec"),
+                F.col("cell").alias("_cell"),
+            )
+        over = (
+            assigned.groupBy("_cell")
+            .count()
+            .filter(F.col("count") > max_cluster_size)
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"semantic_pairs: cell {over[0]['_cell']} has "
+                f"{over[0]['count']} rows > max_cluster_size="
+                f"{max_cluster_size}; increase n_clusters "
+                "(cost is quadratic per cell)"
+            )
+        a = assigned.select(
+            F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
+            l2_norm(F.col("_vec")).alias("_na"),
+            F.col("_cell").alias("cell"),
+        )
+        b = assigned.select(
+            F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),
+            l2_norm(F.col("_vec")).alias("_nb"),
+            F.col("_cell").alias("cell"),
+        )
+        return (
+            a.join(b, ["cell"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    cosine_from_norms(F.col("_va"), F.col("_vb"), "_na", "_nb"),
+                    6,
+                ).alias("cos_sim"),
+                F.col("cell").cast("int").alias("cell"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    if impl != "mllib":
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     if n_clusters <= 1:
         # degenerate single cell (exact all-pairs through the same
         # kernel — MLlib KMeans requires k >= 2)

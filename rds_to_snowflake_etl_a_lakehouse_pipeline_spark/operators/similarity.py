@@ -116,6 +116,146 @@ def _bounded_fit(
     return c_vec.sample(fit_target_rows / n, seed=seed)
 
 
+GRID_QUANT = 1 << 20  # quantization scale for the replayable KMeans path
+
+
+def grid_kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    quant: int = GRID_QUANT,
+) -> list[list[float]]:
+    """Deterministic, cross-engine-replayable Lloyd KMeans — the md5
+    family's answer to "KMeans cells are engine internals" (same
+    pattern as the minhash/CMS/HLL md5 impls): every step is a pure
+    function of the data that any ANSI engine reproduces bit for bit,
+    so IVF/SemDeDup cell boundaries become oracle-checkable.
+
+    - **Init**: the ``k`` vectors with the smallest
+      ``(md5(cast(id as string)), id)`` — a seeded sample any engine
+      can order identically.
+    - **Quantized geometry**: coordinates are ``round(x * 2^20)``
+      BIGINTs, so per-cell centroid SUMS are exact integers — no float
+      aggregation order exists to drift between engines (the HLL
+      register trick). Centroids are ``float(s)/float(n)`` doubles:
+      one correctly-rounded division of exact integers, identical in
+      Python, Spark, and DuckDB (sums stay far below 2^53).
+    - **Assignment**: squared-L2 fold over the quantized coords in
+      array order (deterministic IEEE sequence), ties broken by cell
+      id, as a plain broadcast join + row_number — no UDF.
+    - **Fixed ``iters``** Lloyd rounds; an empty cell keeps its
+      previous centroid.
+
+    Returns centroids in QUANTIZED units (divide by ``quant`` for raw
+    space). MLlib KMeans remains the scale-path default everywhere —
+    this trainer exists for oracle parity and costs ``iters`` extra
+    n×k assignment passes, fine on the bounded fit samples it runs on.
+    """
+    spark = df.sparkSession
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(quant)), 0).cast(
+            "long"
+        ),
+    )
+    base = df.select(F.col(id_col).alias("_id"), vq.alias("_vq"))
+    init = (
+        base.select(
+            "_id", "_vq", F.md5(F.col("_id").cast("string")).alias("_h")
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(v) for v in r["_vq"]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        asg = grid_assign_cells(base, "_id", "_vq", centroids, quantized=True)
+        sums = (
+            asg.select("cell", F.posexplode("_vq").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        centroids = [
+            [
+                float(by_cell[ci][p][0]) / float(by_cell[ci][p][1])
+                for p in range(dim)
+            ]
+            if ci in by_cell
+            else centroids[ci]  # empty cell keeps its previous centroid
+            for ci in range(k)
+        ]
+    return centroids
+
+
+def _grid_centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(ci, [float(v) for v in c]) for ci, c in enumerate(centroids)],
+        "cell int, _cvec array<double>",
+    )
+
+
+def grid_assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    quant: int = GRID_QUANT,
+    quantized: bool = False,
+    n_probe: int = 1,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign every row its ``n_probe`` nearest centroids (quantized
+    squared-L2, ties by cell id) — the replayable twin of the MLlib
+    transform / numpy probe. Broadcast k-row centroid table, one
+    row_number window keyed by the row id; no UDF, no Python in the
+    scan. ``quantized=True`` means ``vec_col`` already holds the
+    round(x·quant) BIGINT coords."""
+    spark = df.sparkSession
+    vqc = (
+        F.col(vec_col)
+        if quantized
+        else F.transform(
+            F.col(vec_col),
+            lambda x: F.round(
+                x.cast("double") * F.lit(float(quant)), 0
+            ).cast("long"),
+        )
+    )
+    extra = [F.col(c) for c in (keep_cols or [])]
+    dist = (
+        df.select(F.col(id_col), *extra, vqc.alias("_vq"))
+        .crossJoin(F.broadcast(_grid_centroids_df(spark, centroids)))
+        .select(
+            F.col(id_col),
+            *extra,
+            "_vq",
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_vq"),
+                    F.col("_cvec"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("_d"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("_d", "cell")
+    return (
+        dist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .drop("_d", "_rn")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,6 +268,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "mllib",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -144,37 +285,65 @@ def ivf_topk(
     n_probe/n_clusters bounds the fraction of the corpus scanned per
     query. At 100 TB, persist the assigned corpus as a bucketed table
     partitioned by cell id so probes prune partitions.
+
+    ``impl="grid"`` (round 14) swaps the trainer for
+    :func:`grid_kmeans_fit` and both assignment passes for
+    :func:`grid_assign_cells`, making cell boundaries — and therefore
+    the whole approximate result — replayable by any ANSI engine (the
+    DuckDB oracle recomputes the init, every Lloyd round, both
+    assignments, and the in-cell cosine ranking). MLlib stays the
+    scale-path default.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if impl == "grid":
+        centroids_q = grid_kmeans_fit(
+            corpus, id_col, vec_col, k=n_clusters,
+        )
+        indexed = grid_assign_cells(
+            corpus, id_col, vec_col, centroids_q, keep_cols=[vec_col]
+        ).drop("_vq")
+        probes = grid_assign_cells(
+            queries, query_id_col, vec_col, centroids_q,
+            n_probe=n_probe, keep_cols=[vec_col],
+        ).select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+            "cell",
+        ).withColumnRenamed("cell", "_cell")
+        indexed = indexed.withColumnRenamed("cell", "_cell")
+    elif impl == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    c_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
-    fit_df = _bounded_fit(c_vec, fit_fraction, seed, fit_target_rows)
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
-    ).fit(fit_df)
-    indexed = model.transform(c_vec).select(
-        F.col(id_col), F.col(vec_col), F.col("_cell")
-    )
+        c_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+        fit_df = _bounded_fit(c_vec, fit_fraction, seed, fit_target_rows)
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
+        ).fit(fit_df)
+        indexed = model.transform(c_vec).select(
+            F.col(id_col), F.col(vec_col), F.col("_cell")
+        )
 
-    centroids = np.stack([np.asarray(ct, dtype=np.float64) for ct in model.clusterCenters()])
+        centroids = np.stack([np.asarray(ct, dtype=np.float64) for ct in model.clusterCenters()])
 
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
-            return pd.Series([], dtype=object)
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        # squared euclidean to every centroid: ||v||² - 2 v·c + ||c||²
-        d = (V**2).sum(1)[:, None] - 2 * V @ centroids.T + (centroids**2).sum(1)[None, :]
-        nearest = np.argsort(d, axis=1)[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in nearest])
+        @pandas_udf("array<int>")
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+                return pd.Series([], dtype=object)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            # squared euclidean to every centroid: ||v||² - 2 v·c + ||c||²
+            d = (V**2).sum(1)[:, None] - 2 * V @ centroids.T + (centroids**2).sum(1)[None, :]
+            nearest = np.argsort(d, axis=1)[:, :n_probe]
+            return pd.Series([row.astype("int32").tolist() for row in nearest])
 
-    probes = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
-        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
-    )
+        probes = queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+            F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        )
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
     cand = (
         indexed.withColumn("_cn", l2_norm(F.col(vec_col)))
         .join(F.broadcast(probes), "_cell")
@@ -249,6 +418,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pq_codebook: "PQCodebook | None" = None,
+    impl: str = "mllib",
 ) -> list[list[float]]:
     """Materialize the IVF index :func:`ivf_topk` computes on the fly:
     fit the KMeans coarse quantizer, assign every corpus vector its
@@ -271,27 +441,49 @@ def ivf_build_index(
     and recommends a rebuild when the quantizer has drifted. The stats
     pass scans the just-written index table, not the raw corpus — no
     second ``model.transform``.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``impl="grid"`` (round 14) trains with the deterministic
+    :func:`grid_kmeans_fit` and assigns with :func:`grid_assign_cells`
+    instead of MLlib, making the whole index replayable by any ANSI
+    engine (the v_ivf_index_topk oracle). Grid centroids — including
+    the RETURNED matrix, the fingerprint, and the drift stats — live
+    in QUANTIZED units (coordinate × 2^20); the ``impl`` is recorded
+    in the table meta so appends re-quantize their batches to match.
+    """
     from ..sources.io import write_table
 
-    c_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
-    fit_df = _bounded_fit(c_vec, fit_fraction, seed, fit_target_rows)
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
-    ).fit(fit_df)
-    indexed = model.transform(c_vec).select(
-        F.col(id_col), F.col(vec_col), F.col("_cell")
-    )
+    if impl == "grid":
+        centroids_q = grid_kmeans_fit(corpus, id_col, vec_col, k=n_clusters)
+        indexed = (
+            grid_assign_cells(
+                corpus, id_col, vec_col, centroids_q, keep_cols=[vec_col]
+            )
+            .drop("_vq")
+            .withColumnRenamed("cell", "_cell")
+            .select(F.col(id_col), F.col(vec_col), F.col("_cell"))
+        )
+        centroids = centroids_q
+    elif impl == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+        fit_df = _bounded_fit(c_vec, fit_fraction, seed, fit_target_rows)
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell"
+        ).fit(fit_df)
+        indexed = model.transform(c_vec).select(
+            F.col(id_col), F.col(vec_col), F.col("_cell")
+        )
+        centroids = [list(map(float, ct)) for ct in model.clusterCenters()]
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
     if pq_codebook is not None:
         # persist ADC codes beside the vectors: ivf_pq_index_topk then
         # reads only (id, _cell, pq_code) — the m-byte column — and
         # never touches the float vectors at query time
         indexed = pq_encode(indexed, pq_codebook, vec_col=vec_col)
     write_table(indexed, table, partition_by=["_cell"])
-    centroids = [list(map(float, ct)) for ct in model.clusterCenters()]
 
     spark = corpus.sparkSession
     from ..sources.io import set_table_meta
@@ -303,12 +495,27 @@ def ivf_build_index(
         n_clusters=n_clusters,
         dim=len(centroids[0]),
         pq=str(pq_codebook is not None).lower(),
+        impl=impl,
         centroid_fp=_centroid_fingerprint(centroids),
         partition_cols="_cell",
     )
+    # grid centroids live in quantized units: measure drift in the
+    # same units so build stats and append batches stay comparable
+    dist_vec = (
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(
+                x.cast("double") * F.lit(float(GRID_QUANT)), 0
+            ),
+        )
+        if impl == "grid"
+        else F.col(vec_col)
+    )
     stats = (
         spark.table(table)
-        .withColumn("_dist", _centroid_dist(vec_col, "_cell", centroids))
+        .withColumn("_qv", dist_vec)
+        .withColumn("_dist", _centroid_dist("_qv", "_cell", centroids))
+        .drop("_qv")
         .agg(
             F.avg("_dist").alias("mean_dist"),
             F.expr("approx_percentile(_dist, 0.95, 10000)").alias("p95_dist"),
@@ -360,12 +567,22 @@ def ivf_append_index(
     _check_centroids(new_vectors.sparkSession, table, centroids)
     C = np.asarray(centroids, dtype=np.float64)
     dim = C.shape[1]
+    # grid-built indexes store centroids in quantized units (see
+    # ivf_build_index impl="grid"): re-quantize batch vectors to match
+    # before the nearest-centroid assignment
+    from ..sources.io import get_table_meta
+
+    _is_grid = (
+        get_table_meta(new_vectors.sparkSession, table).get("impl") == "grid"
+    )
 
     @pandas_udf("int")
     def nearest_cell(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
             return pd.Series([], dtype="int32")
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if _is_grid:
+            V = np.round(V * float(GRID_QUANT))
         d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
@@ -395,8 +612,17 @@ def ivf_append_index(
         to_write = pq_encode(assigned, pq_codebook, vec_col=vec_col)
     write_table(to_write, table, mode="append", partition_by=["_cell"])
 
+    _dv = (
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(GRID_QUANT)), 0),
+        )
+        if _is_grid
+        else F.col(vec_col)
+    )
     row = (
-        assigned.withColumn("_dist", _centroid_dist(vec_col, "_cell", centroids))
+        assigned.withColumn("_qv", _dv)
+        .withColumn("_dist", _centroid_dist("_qv", "_cell", centroids))
         .agg(
             F.avg("_dist").alias("mean_dist"),
             F.expr("approx_percentile(_dist, 0.95, 10000)").alias("p95_dist"),
@@ -458,6 +684,7 @@ def ivf_query_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "mllib",
 ) -> DataFrame:
     """Top-k against a persisted :func:`ivf_build_index` table.
 
@@ -472,25 +699,48 @@ def ivf_query_index(
     the probe set exceeds half the cells the filter (which would prune
     almost nothing) is skipped entirely — the probe join alone carries
     the semantics (see :func:`_pruned_index_scan`).
+
+    ``impl="grid"``: for indexes built with the deterministic trainer
+    (quantized-unit centroids) the probe runs through
+    :func:`grid_assign_cells` — same quantization, same tie-breaks —
+    so the whole query is engine-replayable. Partition pruning is
+    unchanged (layout only).
     """
     _check_centroids(spark, table, centroids)
     C = np.asarray(centroids, dtype=np.float64)
 
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
-            return pd.Series([], dtype=object)
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
-        nearest = np.argsort(d, axis=1)[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in nearest])
+    if impl == "grid":
+        probes = (
+            grid_assign_cells(
+                queries, query_id_col, vec_col, centroids,
+                n_probe=n_probe, keep_cols=[vec_col],
+            )
+            .select(
+                F.col(query_id_col).alias("_qid"),
+                F.col(vec_col).alias("_qvec"),
+                l2_norm(F.col(vec_col)).alias("_qn"),
+                F.col("cell").alias("_cell"),
+            )
+        )
+    elif impl == "mllib":
 
-    probes = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        F.col(vec_col).alias("_qvec"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
-        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
-    )
+        @pandas_udf("array<int>")
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+                return pd.Series([], dtype=object)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
+            nearest = np.argsort(d, axis=1)[:, :n_probe]
+            return pd.Series([row.astype("int32").tolist() for row in nearest])
+
+        probes = queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+            F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        )
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
     indexed = _pruned_index_scan(spark, table, probes, len(C))
     cand = (
         indexed.withColumn("_cn", l2_norm(F.col(vec_col)))

@@ -268,14 +268,12 @@ def test_registry_contract_consistency():
     front = qs[:50]
     rows_only_front = [q for q in front if q not in oracles]
     # Engine-internal sketches (Spark-native HLL / Greenwald-Khanna),
-    # MLlib-trained models (KMeans IVF cells, SemDeDup, LBFGS logistic
-    # quality classifier) and the learned BPE vocabulary are the only
-    # sanctioned rows-only entries left after the round-14 md5-family
-    # conversions — each has an oracle-green exact twin and a bound
-    # pytest (see COVERAGE.md)
+    # the LBFGS-trained quality classifier, and the learned BPE
+    # vocabulary are the only sanctioned rows-only entries left after
+    # the round-14 md5-family + grid-KMeans conversions — each has an
+    # oracle-green exact twin and a bound pytest (see COVERAGE.md)
     assert set(rows_only_front) <= {
         "a1_approx_distinct", "a1_approx_percentile",
-        "v_ivf_topk", "v_ivf_index_topk", "v_semantic_dedup",
         "t_quality_model", "t_bpe_tokens",
     }, f"unexpected rows-only queries in the verified window: {rows_only_front}"
 

@@ -211,6 +211,94 @@ def test_ivf_topk_full_probe_equals_exact(spark):
     assert full == exact
 
 
+def test_grid_kmeans_is_partitioning_invariant(spark):
+    """The determinism claim the grid trainer's oracle rests on: the
+    trained centroids are a pure function of the DATA — identical under
+    any physical partitioning, because the only aggregations are exact
+    integer sums and counts. Also: full-probe grid IVF degenerates to
+    exact search, like the MLlib path."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        grid_kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    c1 = grid_kmeans_fit(corpus.repartition(1), k=8)
+    c32 = grid_kmeans_fit(corpus.repartition(32, "label"), k=8)
+    assert c1 == c32  # bit-identical, not approximately equal
+
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(
+            corpus, queries, k=10, n_clusters=8, n_probe=8, impl="grid"
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_grid_ivf_recall_on_testdata(spark):
+    # the grid trainer must cluster well enough that a 4-of-16 probe
+    # keeps useful recall of the exact top-10 (same bar as LSH)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    e = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    a = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            corpus, queries, k=10, n_clusters=16, n_probe=4, impl="grid"
+        ).collect()
+    }
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"grid IVF recall too low: {recall}"
+
+
+def test_semantic_dedup_grid_matches_mllib_shape(spark):
+    """The grid SemDeDup path must keep the contract of the mllib one:
+    NULL embeddings survive, survivors are a subset of the input, and
+    on well-separated clusters it equals the exact all-pairs dedup."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        embedding_cosine_dedup,
+        semantic_dedup,
+    )
+
+    rows = []
+    for i in range(40):  # two tight clusters + a null
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [v + (i % 7) * 1e-4 for v in base]))
+    rows.append((100, None))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99, n_clusters=2,
+            impl="grid",
+        ).collect()
+    )
+    exact = sorted(
+        r["vec_id"]
+        for r in embedding_cosine_dedup(
+            df, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    )
+    assert 100 in got  # NULL embedding survives
+    assert got == exact
+
+
 def test_lsh_topk_recall_on_testdata(spark):
     # LSH must retrieve most of the exact top-10 on the real fixture
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
