@@ -560,30 +560,34 @@ def _q_t_quality_score(spark, sf_dir):
 
 def _q_t_quality_model(spark, sf_dir):
     """Trained quality-classifier tier (functions/quality_model.py):
-    logistic regression fit on a labeled seed (here: the oracle-green
-    heuristic quality_score thresholded at its corpus median — a
-    self-contained deterministic labeling), then the whole corpus
-    scored in one JVM model.transform pass. Rows-only: classifier
-    probabilities are model internals, not SQL-expressible; the
-    heuristic twin t_quality_score is the oracle baseline, and
-    separation/determinism are pinned in tests/test_text_vectors.py."""
+    a model fit on a labeled seed (the oracle-green heuristic
+    quality_score split at its exact corpus median via percent_rank —
+    deterministic, no approxQuantile), then the whole corpus scored in
+    one scan pass. Oracle-backed since round 14 via the
+    nearest-centroid impl (the grid-KMeans pattern applied to
+    classification): per-class means of QUANTIZED-integer features are
+    exact sums/counts, so the DuckDB oracle replays the features, the
+    label split, both centroids, and every scoring decision. The LBFGS
+    logistic regression stays the scale-path trainer
+    (fit_quality_classifier), pinned by tests/test_text_vectors.py;
+    the heuristic twin t_quality_score remains the oracle baseline.
+    The label window is seed-sized by contract (a fit sample), so its
+    single-partition sort is bounded like t_tfidf_topterms'
+    adjudicated driver-bounded aggregates."""
+    from pyspark.sql import Window as W
+
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.quality_model import (
-        fit_quality_classifier,
-        score_quality,
+        fit_quality_centroids,
+        score_quality_centroids,
     )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    med = (
-        d.select(lf.quality_score("text").alias("q"))
-        .stat.approxQuantile("q", [0.5], 0.001)[0]
-    )
+    w = W.orderBy(lf.quality_score("text"), F.col("doc_id"))
     labeled = d.withColumn(
-        "label", (lf.quality_score("text") >= F.lit(med)).cast("int")
+        "label", (F.percent_rank().over(w) >= 0.5).cast("int")
     )
-    model = fit_quality_classifier(labeled, "text", "label")
-    return score_quality(d, model, "text").select(
-        "doc_id", (F.col("quality_prob") >= 0.5).alias("keep")
-    )
+    cents = fit_quality_centroids(labeled, "text", "label")
+    return score_quality_centroids(d, cents, "text").select("doc_id", "keep")
 
 
 def _q_t_bpe_tokens(spark, sf_dir):
@@ -5900,6 +5904,86 @@ _SQL_IVF_TOPK = (
 )
 
 
+# Nearest-centroid quality model replay (quality_model.py round-14
+# tier): quantized features -> percent_rank median label split ->
+# exact-integer class centroids -> per-doc squared-distance decision.
+def _sql_quality_model() -> str:
+    tok = (
+        "CASE WHEN text IS NULL THEN NULL WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    ntd = f"CAST(coalesce({tok}, 0) AS DOUBLE)"
+    ncd = "CAST(length(text) AS DOUBLE)"
+    mwl = f"(CASE WHEN {ntd} > 0 THEN {ncd} / {ntd} ELSE 0.0 END)"
+
+    def ratio(p: str) -> str:
+        return (
+            f"(CASE WHEN {ncd} > 0 THEN "
+            f"CAST(length(regexp_replace(text, '{p}', '', 'g')) AS DOUBLE) / {ncd} "
+            "ELSE 0.0 END)"
+        )
+
+    stop = (
+        f"round(CASE WHEN {ntd} > 0 THEN "
+        "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "t -> list_contains(['the','and','of','is'], t))) AS DOUBLE) "
+        f"/ {ntd} ELSE 0.0 END, 6)"
+    )
+    rep = (
+        "COALESCE(round(CASE WHEN text IS NULL THEN NULL "
+        "WHEN (len(string_split_regex(trim(text), '\\s+')) - 1) > 0 THEN "
+        "1.0 - CAST(len(list_distinct(list_transform("
+        "range(1, len(string_split_regex(trim(text), '\\s+'))), "
+        "i -> string_split_regex(trim(text), '\\s+')[i] || ' ' || "
+        "string_split_regex(trim(text), '\\s+')[i+1]))) AS DOUBLE) "
+        "/ CAST(len(string_split_regex(trim(text), '\\s+')) - 1 AS DOUBLE) "
+        "ELSE 0.0 END, 6), 0.0)"
+    )
+    feats = [
+        f"({ntd} / ({ntd} + 50.0))",
+        f"({mwl} / ({mwl} + 5.0))",
+        ratio("[^A-Za-z]"),
+        ratio("[^0-9]"),
+        ratio("[^!-/:-@\\[-`{-~]"),
+        ratio("[^A-Z]"),
+        stop,
+        rep,
+    ]
+    fq = ", ".join(
+        f"CAST(round({f} * 1048576.0, 0) AS BIGINT)" for f in feats
+    )
+    quality = (
+        "round(CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 ELSE "
+        "0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE)) "
+        "+ 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE)) "
+        "+ 0.2 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) END, 6)"
+    )
+    dsq = (
+        "list_sum(list_transform(range(1,9), j -> "
+        "(CAST(f.fq[j] AS DOUBLE) - {c}.cvec[j]) * "
+        "(CAST(f.fq[j] AS DOUBLE) - {c}.cvec[j])))"
+    )
+    return (
+        f"WITH feat AS (SELECT doc_id, [{fq}] AS fq FROM documents), "
+        f"lab AS (SELECT doc_id, CASE WHEN percent_rank() OVER "
+        f"(ORDER BY {quality}, doc_id) >= 0.5 THEN 1 ELSE 0 END AS label FROM documents), "
+        "cs AS (SELECT label, j, sum(fq[j]) AS s, count(*) AS n "
+        "FROM feat JOIN lab USING (doc_id), range(1,9) r(j) GROUP BY label, j), "
+        "cent AS (SELECT label, list(CAST(s AS DOUBLE)/CAST(n AS DOUBLE) ORDER BY j) AS cvec "
+        "FROM cs GROUP BY label), "
+        "dd AS (SELECT f.doc_id, "
+        + dsq.format(c="c1") + " AS d1, " + dsq.format(c="c0") + " AS d0 "
+        "FROM feat f, (SELECT cvec FROM cent WHERE label = 1) c1, "
+        "(SELECT cvec FROM cent WHERE label = 0) c0) "
+        "SELECT doc_id, d1 <= d0 AS keep FROM dd"
+    )
+
+
+_SQL_QUALITY_MODEL = _sql_quality_model()
+
+
 # SemDeDup replay: same grid-KMeans CTE chain at k=8 over ALL non-null
 # embeddings, final cell assignment with the trained centroids, in-cell
 # cosine pairs at threshold 0.4, greedy drop of every id_b.
@@ -6319,17 +6403,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against CURRENT testdata.
 
     r14 window (this ordering): the round-14 additions (t_crawl_tick,
-    x1_crawl_stream, x1_hll_stream) and the FIFTEEN entries whose
+    x1_crawl_stream, x1_hll_stream) and the SIXTEEN entries whose
     oracles are new this round — the two first-time oracles
     (v_mmr_rerank, v_pq_topk), the ten md5-family conversions
     (minhash pairs/dedup/index, simhash, span-index, cosine-LSH,
-    sign-LSH, CMS batch+stream, HLL register rollup), and the three
+    sign-LSH, CMS batch+stream, HLL register rollup), the three
     grid-KMeans conversions (v_ivf_topk, v_ivf_index_topk,
-    v_semantic_dedup) whose semantics changed when they gained
-    replayable trainers — then the six r08-verified entries deferred
-    out of the r13 window (they projected exactly at the budget floor
-    — mandatory), then the r09-verified tranche oldest-first. All 50
-    slots are hash-checkable; the fronting displaced fourteen r09
+    v_semantic_dedup), and the nearest-centroid t_quality_model —
+    all entries whose semantics changed when they gained replayable
+    trainers/hashes — then the six r08-verified entries deferred out
+    of the r13 window (they projected exactly at the budget floor —
+    mandatory), then the r09-verified tranche oldest-first. All 50
+    slots are hash-checkable; the fronting displaced fifteen r09
     entries to r15 (where they project exactly at the floor — they
     MUST lead that window) alongside the tranche's sanctioned
     rows-only remainder.
@@ -6375,6 +6460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ivf_topk": _q_v_ivf_topk,
         "v_ivf_index_topk": _q_v_ivf_index_topk,
         "v_semantic_dedup": _q_v_semantic_dedup,
+        "t_quality_model": _q_t_quality_model,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_retention_stream": _q_x1_retention_stream,
@@ -6395,7 +6481,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact_dedup": _q_d_exact_dedup,
         "d_ngram_jaccard": _q_d_ngram_jaccard,
         "g_dim_customers_faithful": _q_g_dim_customers_faithful,
-        "x1_session_window": _q_x1_session_window,
         "er_resolve": _q_er_resolve,
         "er_golden": _q_er_golden,
         "er_incremental": _q_er_incremental,
@@ -6435,6 +6520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_interval_join": _q_x2_interval_join,
         "x2_range_join": _q_x2_range_join,
         "x1_tumbling_window": _q_x1_tumbling_window,
+        "x1_session_window": _q_x1_session_window,
     # r15/r16: the r11-verified tranche
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
@@ -6508,7 +6594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
         "x1_versioned_stream": _q_x1_versioned_stream,
         "t_corpus_report": _q_t_corpus_report,
-        "t_quality_model": _q_t_quality_model,
         "t_bpe_tokens": _q_t_bpe_tokens,
         "x1_tumbling_stream": _q_x1_tumbling_stream,
         "t_winnow": _q_t_winnow,
@@ -7539,6 +7624,7 @@ def oracle_sql() -> dict[str, str]:
         # layout-only), so the index entry shares its oracle
         "v_ivf_index_topk": _SQL_IVF_TOPK,
         "v_semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "t_quality_model": _SQL_QUALITY_MODEL,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,

@@ -267,14 +267,13 @@ def test_registry_contract_consistency():
     assert unknown == [], f"oracle_sql keys without queries(): {unknown}"
     front = qs[:50]
     rows_only_front = [q for q in front if q not in oracles]
-    # Engine-internal sketches (Spark-native HLL / Greenwald-Khanna),
-    # the LBFGS-trained quality classifier, and the learned BPE
-    # vocabulary are the only sanctioned rows-only entries left after
-    # the round-14 md5-family + grid-KMeans conversions — each has an
-    # oracle-green exact twin and a bound pytest (see COVERAGE.md)
+    # Engine-internal sketches (Spark-native HLL / Greenwald-Khanna)
+    # and the learned BPE vocabulary are the only sanctioned rows-only
+    # entries left after the round-14 md5-family + grid-KMeans +
+    # nearest-centroid conversions — each has an oracle-green exact
+    # twin and a bound pytest (see COVERAGE.md)
     assert set(rows_only_front) <= {
-        "a1_approx_distinct", "a1_approx_percentile",
-        "t_quality_model", "t_bpe_tokens",
+        "a1_approx_distinct", "a1_approx_percentile", "t_bpe_tokens",
     }, f"unexpected rows-only queries in the verified window: {rows_only_front}"
 
 

@@ -242,6 +242,34 @@ def test_quality_scoring_is_deterministic_and_jvm_side(spark):
     assert "BatchEvalPython" not in plan  # featurization stays in Catalyst
 
 
+def test_quality_centroids_separate_holdout_and_are_partition_invariant(spark):
+    """The deterministic nearest-centroid tier must (a) separate the
+    same synthetic clean-vs-garbage corpus the LBFGS test uses, and
+    (b) train to BIT-IDENTICAL centroids under any physical
+    partitioning — the property its DuckDB oracle rests on (exact
+    integer feature sums)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.quality_model import (
+        fit_quality_centroids,
+        score_quality_centroids,
+    )
+
+    corpus = _quality_corpus(spark)
+    train = corpus.filter(F.col("doc_id") % 3 != 0)
+    test = corpus.filter(F.col("doc_id") % 3 == 0)
+    c1 = fit_quality_centroids(train.repartition(1), "text", "label")
+    c32 = fit_quality_centroids(train.repartition(32, "text"), "text", "label")
+    assert c1 == c32  # bit-identical, not approximately equal
+
+    scored = score_quality_centroids(test, c1, "text")
+    acc = scored.withColumn(
+        "_ok", (F.col("keep") == (F.col("label") == 1)).cast("int")
+    ).agg(F.avg("_ok")).collect()[0][0]
+    assert acc >= 0.95
+    # scoring is pure Catalyst: no Python in the scan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 # --- learned BPE tokenizer (functions/bpe.py) ----------------------------
 
 
