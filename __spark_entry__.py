@@ -594,11 +594,17 @@ def _q_t_bpe_tokens(spark, sf_dir):
     """Learned-BPE token counting (functions/bpe.py): merge table
     learned driver-side from a seeded bounded sample (Sennrich BPE),
     applied corpus-wide as an Arrow kernel with a distinct-word cache.
-    Rows-only: the learned vocabulary is not SQL-expressible; the
-    whitespace/regex twins t_token_count / t_regex_tokens are the
-    oracle-checked baselines, and tests/test_text_vectors.py pins
-    determinism, losslessness, and parity with the driver-side
-    reference segmenter."""
+    Rows-only — the one trainer the round-14 replayable-family program
+    (md5 hashes, grid KMeans, nearest-centroid) deliberately left: the
+    merge loop AND the per-word lowest-rank-first segmentation are
+    both iterative with data-dependent depth, so a SQL replay would be
+    ~10³ chained CTEs (120 merge rounds × pair-count/argmax/greedy
+    re-segmentation, plus ~60 unrolled single-merge steps per distinct
+    word) — strictly worse as a check than the existing pytest replay
+    against an independent pure-Python reference segmenter
+    (tests/test_text_vectors.py: determinism, losslessness, and
+    byte-parity on real corpus words). The whitespace/regex twins
+    t_token_count / t_regex_tokens are the oracle-checked baselines."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.bpe import (
         bpe_token_count,
         learn_bpe,
