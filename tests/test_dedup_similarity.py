@@ -244,6 +244,71 @@ def test_grid_kmeans_is_partitioning_invariant(spark):
     assert full == exact
 
 
+def test_grid_kmeans_matches_pure_python_replay(spark):
+    """Triangulate the grid trainer against an independent pure-Python
+    replay of its documented arithmetic (md5 init, HALF_UP quantize,
+    left-to-right squared-L2 folds, (d, cell) tie-breaks, exact integer
+    centroid sums, empty cells keep previous) — the same
+    replay-the-spec check the DSIR and BPE tiers carry. Exact equality,
+    over several random datasets including duplicate vectors (ties)."""
+    import hashlib
+    import math
+    import random
+
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        GRID_QUANT,
+        grid_kmeans_fit,
+    )
+
+    def py_replay(rows, k, iters=2, dim=4):
+        def quant(x):
+            v = float(np.float32(x)) * float(GRID_QUANT)
+            return int(math.floor(v + 0.5)) if v >= 0 else -int(
+                math.floor(-v + 0.5)
+            )
+
+        data = [(i, [quant(x) for x in vec]) for i, vec in rows]
+        init = sorted(data, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))[:k]
+        cents = [[float(v) for v in r[1]] for r in init]
+        for _ in range(iters):
+            sums = {}
+            for rid, vq in data:
+                best = None
+                for ci, c in enumerate(cents):
+                    d = 0.0
+                    for x, y in zip(vq, c):
+                        d = d + (float(x) - y) * (float(x) - y)
+                    if best is None or (d, ci) < best[:2]:
+                        best = (d, ci)
+                ci = best[1]
+                s, n = sums.get(ci, ([0] * dim, 0))
+                sums[ci] = ([a + b for a, b in zip(s, vq)], n + 1)
+            cents = [
+                [float(s) / float(n) for s in sums[ci][0]]
+                if ci in sums
+                else cents[ci]
+                for ci, n in ((ci, sums.get(ci, (None, 0))[1]) for ci in range(k))
+            ]
+        return cents
+
+    rng = random.Random(77)
+    for trial in range(3):
+        n, k, dim = rng.choice([(7, 2, 4), (25, 3, 4), (40, 5, 4)])
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        if trial == 2:  # duplicate vectors: exercise distance ties
+            rows = [(i, rows[i % 5][1]) for i in range(n)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in rows], "vec_id bigint, embedding array<float>"
+        )
+        got = grid_kmeans_fit(df, k=k, iters=2)
+        want = py_replay(rows, k=k, dim=dim)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_grid_ivf_recall_on_testdata(spark):
     # the grid trainer must cluster well enough that a 4-of-16 probe
     # keeps useful recall of the exact top-10 (same bar as LSH)
