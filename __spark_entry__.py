@@ -3759,6 +3759,59 @@ def _q_x1_hll_stream(spark, sf_dir):
     )
 
 
+def _q_x1_ann_stream(spark, sf_dir):
+    """Streaming ANN ingest steady state
+    (streaming/events.py::stream_ivf_append): a grid-IVF index is
+    built on the even-id half of the corpus (centroids trained there),
+    the odd-id half arrives as two embedding micro-batches appended
+    through the standing index's exact grid assignment, then the
+    queries probe the accreted index. Because grid appends assign
+    through the SAME exact Catalyst path as the build, the drained
+    stream equals one index over the whole corpus with even-trained
+    centroids — the DuckDB oracle replays the even-only training, the
+    full-corpus assignment, the probes, and the cosine ranking."""
+    import tempfile
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_ivf_append,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 3)
+    table = "ann_stream_q_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    centroids = ivf_build_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), table, n_clusters=16,
+        impl="grid",
+    )
+    odds = corpus.filter(F.col("vec_id") % 2 == 1)
+    feed = tempfile.mkdtemp(prefix="ann-stream-feed-")
+    for res in (1, 3):
+        odds.filter(F.col("vec_id") % 4 == res).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in odds.schema.fields
+    )
+    sdf = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    with tempfile.TemporaryDirectory() as ck:
+        stream_ivf_append(
+            sdf, table, centroids, ck, query_name="x1_ann_stream"
+        )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_query_index(spark, table, q, centroids, k=10, impl="grid")
+
+
 def _q_x1_stateful_totals(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals. Drained with availableNow over a single input file
@@ -5990,6 +6043,40 @@ def _sql_quality_model() -> str:
 _SQL_QUALITY_MODEL = _sql_quality_model()
 
 
+# Streaming ANN ingest replay: centroids trained on the EVEN half only
+# (the built index), every corpus vector assigned with them (appends go
+# through the same exact grid assignment as the build), then the
+# standard probe + cosine ranking.
+_SQL_ANN_STREAM = (
+    "WITH corpq AS (SELECT vec_id, embedding, " + _SQL_QUANT + " AS vq "
+    "FROM embeddings WHERE vec_id >= 3), "
+    "corpe AS (SELECT * FROM corpq WHERE vec_id % 2 = 0), "
+    + _sql_grid_kmeans_ctes("corpe", k=16, iters=2)
+    + ", fdist AS (SELECT c.vec_id, ct.cell, "
+    "list_sum(list_transform(range(1,65), j -> "
+    "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]) * (CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]))) AS d "
+    "FROM corpq c, cent2 ct), "
+    "fasg AS (SELECT vec_id, cell FROM (SELECT *, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fdist) WHERE rn = 1), "
+    "qq AS (SELECT vec_id AS query_id, embedding, " + _SQL_QUANT + " AS vq "
+    "FROM embeddings WHERE vec_id < 3), "
+    "qdist AS (SELECT c.query_id, ct.cell, "
+    "list_sum(list_transform(range(1,65), j -> "
+    "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]) * (CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]))) AS d "
+    "FROM qq c, cent2 ct), "
+    "probes AS (SELECT query_id, cell FROM (SELECT *, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn FROM qdist) WHERE rn <= 4), "
+    "cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN fasg a ON a.cell = p.cell), "
+    "scored AS (SELECT cand.query_id, cand.vec_id, " + _SQL_COS64 + " AS cos_sim "
+    "FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id "
+    "JOIN (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3) q "
+    "ON q.query_id = cand.query_id) "
+    "SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank "
+    "FROM scored) WHERE rank <= 10"
+)
+
+
 # SemDeDup replay: same grid-KMeans CTE chain at k=8 over ALL non-null
 # embeddings, final cell assignment with the trained centroids, in-cell
 # cosine pairs at threshold 0.4, greedy drop of every id_b.
@@ -6467,6 +6554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ivf_index_topk": _q_v_ivf_index_topk,
         "v_semantic_dedup": _q_v_semantic_dedup,
         "t_quality_model": _q_t_quality_model,
+        "x1_ann_stream": _q_x1_ann_stream,
         "x1_stream_enrich": _q_x1_stream_enrich,
         "x1_stream_warehouse": _q_x1_stream_warehouse,
         "x1_retention_stream": _q_x1_retention_stream,
@@ -6497,16 +6585,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_projection_rename": _q_p2_projection_rename,
         "g_fact_sales_pit": _q_g_fact_sales_pit,
         "j9_scd2_pit": _q_j9_scd2_pit,
-        "t_cluster_split": _q_t_cluster_split,
     # ---- behind the cap, in forward rotation order ----
     # r15 leaders: the r09 remainder — m_decode_jpeg (slid out when
-    # x1_crawl_stream joined the front), the eight sanctioned
-    # rows-only entries (sketch/ANN internals whose exact twins are
-    # oracle-green + pytest-pinned) deferred out of the r14 window so
-    # all 50 of its driver slots stay hash-checkable, and the
-    # tranche's last entry. At r15 they project exactly at the
-    # budget-6 floor (r09 >= r09) — they MUST front then;
-    # check_rotation.py enforces it.
+    # x1_crawl_stream joined the front), the remaining sanctioned
+    # rows-only entries (engine-internal sketches + the learned BPE
+    # vocabulary, exact twins oracle-green + pytest-pinned) deferred
+    # out of the r14 window so all 50 of its driver slots stay
+    # hash-checkable, and the displaced r09 tranche below. At r15 they
+    # project exactly at the budget-6 floor (r09 >= r09) — they MUST
+    # front then; check_rotation.py enforces it.
+        "t_cluster_split": _q_t_cluster_split,
         "m_decode_jpeg": _q_m_decode_jpeg,
         "a1_approx_distinct": _q_a1_approx_distinct,
         "x2_sessionize_chunked": _q_x2_sessionize_chunked,
@@ -7631,6 +7719,7 @@ def oracle_sql() -> dict[str, str]:
         "v_ivf_index_topk": _SQL_IVF_TOPK,
         "v_semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "t_quality_model": _SQL_QUALITY_MODEL,
+        "x1_ann_stream": _SQL_ANN_STREAM,
         "x1_cms_stream": _SQL_CMS_TOPK,
         "x1_crawl_stream": _SQL_CRAWL_TICK,
         "t_sitemap_urls": _SQL_SITEMAP_URLS,

@@ -576,25 +576,39 @@ def ivf_append_index(
         get_table_meta(new_vectors.sparkSession, table).get("impl") == "grid"
     )
 
-    @pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
-            return pd.Series([], dtype="int32")
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        if _is_grid:
-            V = np.round(V * float(GRID_QUANT))
-        d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
-
     # size(NULL) is NULL, so this single predicate drops NULL and
     # ragged vectors alike before they reach the kernel
     n_input = new_vectors.count()
     valid = new_vectors.filter(F.size(F.col(vec_col)) == dim)
-    # one narrow checkpoint so the assignment kernel runs once for the
-    # write AND the drift agg (batch-sized, not corpus-sized)
-    assigned = valid.select(
-        F.col(id_col), F.col(vec_col), nearest_cell(F.col(vec_col)).alias("_cell")
-    ).localCheckpoint(eager=True)
+    if _is_grid:
+        # grid indexes assign through the SAME exact Catalyst path the
+        # build used (quantized fold, (d, cell) tie-break) — so an
+        # appended index is bit-identical to building over the union,
+        # and the x1_ann_stream oracle can replay appends exactly
+        assigned = (
+            grid_assign_cells(valid, id_col, vec_col, centroids, keep_cols=[vec_col])
+            .drop("_vq")
+            .withColumnRenamed("cell", "_cell")
+            .select(F.col(id_col), F.col(vec_col), F.col("_cell"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+
+        @pandas_udf("int")
+        def nearest_cell(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+                return pd.Series([], dtype="int32")
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+        # one narrow checkpoint so the assignment kernel runs once for
+        # the write AND the drift agg (batch-sized, not corpus-sized)
+        assigned = valid.select(
+            F.col(id_col),
+            F.col(vec_col),
+            nearest_cell(F.col(vec_col)).alias("_cell"),
+        ).localCheckpoint(eager=True)
     to_write = assigned
     spark = new_vectors.sparkSession
     index_has_codes = "pq_code" in spark.table(table).columns

@@ -1208,6 +1208,60 @@ def stream_distinct_sketch(
     q.awaitTermination()
 
 
+def stream_ivf_append(
+    sdf: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_name: str = "stream_ivf_append",
+):
+    """Streaming ANN ingest: each micro-batch of embeddings is assigned
+    to its nearest EXISTING centroid and appended into the standing
+    cell-partitioned IVF index
+    (``operators.similarity.ivf_append_index`` — which also measures
+    quantizer drift per batch). The vector twin of
+    :func:`stream_corpus_dedup`'s index accretion: state is the index
+    table itself — restart-proof, queryable, compactable — and later
+    probes (``ivf_query_index``) see old and streamed vectors alike.
+
+    Replay idempotence comes from an id anti-join, not stamps: vector
+    ids are globally unique by the ingest contract (an id IS the
+    vector's identity), so a crash-redelivered batch's ids already
+    exist in the index and the re-append is a no-op. This is weaker
+    than the ``_src_batch`` stamp threading of the dedup streams —
+    which must also exclude same-batch index rows from their probes —
+    but appends have no probe step, so id uniqueness is sufficient.
+    Runs with trigger=availableNow and blocks until input is drained.
+    """
+    from ..operators.similarity import ivf_append_index
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        existing = spark.table(table).select(F.col(id_col))
+        fresh = batch_df.join(existing, on=id_col, how="left_anti")
+        ivf_append_index(
+            fresh, table, centroids, id_col=id_col, vec_col=vec_col
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_append)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # appends ran in foreachBatch's cloned session; invalidate the
+    # caller session's file-listing cache so post-drain probes see the
+    # streamed rows
+    sdf.sparkSession.catalog.refreshTable(table)
+
+
 def stream_histogram_sketch(
     sdf: DataFrame,
     table: str,

@@ -939,6 +939,75 @@ def test_stream_distinct_sketch_merges_batches_into_table(spark, tmp_path):
     assert direct.exceptAll(replayed).count() == 0
 
 
+def test_stream_ivf_append_accretes_and_replays_idempotently(spark, tmp_path):
+    """Streaming ANN ingest: after two appended micro-batches the
+    standing grid index must equal the index built over the whole
+    corpus with the SAME (first-half-trained) centroids — grid appends
+    assign through the exact build path — and a full redelivery from a
+    fresh checkpoint must be a no-op (id anti-join idempotence)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        grid_assign_cells,
+        ivf_build_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_ivf_append,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    base = df.filter(F.col("vec_id") < 30)
+    arriving = df.filter(F.col("vec_id") >= 30)
+
+    spark.sql("DROP TABLE IF EXISTS stream_ivf")
+    cents = ivf_build_index(base, "stream_ivf", n_clusters=4, impl="grid")
+
+    feed = str(tmp_path / "ivf_feed")
+    arriving.filter(F.col("vec_id") < 45).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    arriving.filter(F.col("vec_id") >= 45).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    schema = "vec_id bigint, embedding array<float>"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_ivf_append(
+        sdf, "stream_ivf", cents, checkpoint_dir=str(tmp_path / "ivf_ck")
+    )
+
+    got = {
+        r["vec_id"]: r["_cell"]
+        for r in spark.table("stream_ivf").select("vec_id", "_cell").collect()
+    }
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in grid_assign_cells(df, "vec_id", "embedding", cents).collect()
+    }
+    assert got == want  # every vector present, exact build-path cells
+
+    # full redelivery from a fresh checkpoint: ids already indexed, so
+    # the re-append must change nothing
+    sdf2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_ivf_append(
+        sdf2, "stream_ivf", cents, checkpoint_dir=str(tmp_path / "ivf_ck2")
+    )
+    again = {
+        r["vec_id"]: r["_cell"]
+        for r in spark.table("stream_ivf").select("vec_id", "_cell").collect()
+    }
+    assert again == want
+
+
 def test_stream_span_dedup_masks_across_microbatches(spark, tmp_path):
     """Batch 2's copy of a batch-1 document must be emptied (the index
     accreted batch 1's spans before batch 2 probed), and the masked
