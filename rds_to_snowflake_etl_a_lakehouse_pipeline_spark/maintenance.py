@@ -88,6 +88,30 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
             # are measured (and reported) by ivf_append_index itself
             row = spark.table(f"{table}_drift_stats").first()
             rep["build_stats"] = row.asDict() if row is not None else None
+        if family == "ivf":
+            # per-append drift reports persist in the {table}_drift_log
+            # companion (ivf_append_index log_drift=True — the default,
+            # so streamed ingests leave a trail); the flag resets when
+            # ivf_retrain_index clears the log. Constant-time: the log
+            # is one row per append, aggregated, never a data scan.
+            rep["retrain_recommended"] = False
+            if spark.catalog.tableExists(f"{table}_drift_log"):
+                from pyspark.sql import functions as F
+
+                agg = (
+                    spark.table(f"{table}_drift_log")
+                    .agg(
+                        F.count("*").alias("n_appends"),
+                        F.max("drift_ratio").alias("max_drift_ratio"),
+                        F.max(
+                            F.col("rebuild_recommended").cast("int")
+                        ).alias("any_flagged"),
+                    )
+                    .first()
+                )
+                rep["n_appends_logged"] = agg["n_appends"]
+                rep["max_drift_ratio"] = agg["max_drift_ratio"]
+                rep["retrain_recommended"] = bool(agg["any_flagged"])
         return rep
     if family == "er":
         from .operators.entity import er_index_health
@@ -173,7 +197,7 @@ def health_sweep(
             continue
         rep = {"family": family, **table_health(spark, name, family)}
         reports[name] = rep
-        if rep.get("compact_recommended"):
+        if rep.get("compact_recommended") or rep.get("retrain_recommended"):
             attention.append(name)
     versioned: dict[str, dict] = {}
     for root in versioned_roots:
@@ -192,16 +216,26 @@ def run_maintenance(
     database: str | None = None,
     apply: bool = False,
     keep_last: int = 1,
+    retrain_ivf: bool = False,
 ) -> dict:
     """The runbook: :func:`health_sweep`, then (``apply=True``) execute
     each flagged table's own maintenance verb — index compaction
     (minhash/span/ivf/er), batch-sink folding (including resuming a
     crashed fold from its manifest), versioned-table compaction. Each
-    action is the family's documented, bounded-cost operation; IVF
-    quantizer drift is REPORTED but never auto-rebuilt (a rebuild needs
-    the embedding corpus and a human decision). Run while the owning
-    streams are stopped. Returns the sweep plus
-    ``{"applied": {name: action}}``."""
+    action is the family's documented, bounded-cost operation. Run
+    while the owning streams are stopped. Returns the sweep plus
+    ``{"applied": {name: action}}``.
+
+    IVF quantizer drift: flagged tables (``retrain_recommended`` from
+    the persisted per-append drift log) are retrained via
+    ``similarity.ivf_retrain_index`` only when ``retrain_ivf=True`` —
+    it is a data-sized rebuild (one bounded fit + one assignment pass
+    over the index), not a constant-cost compaction, and it ROTATES the
+    centroid matrix (probes holding the old matrix are rejected until
+    they pick up the new one), so it stays opt-in rather than riding
+    the generic ``apply``. The index carries everything the retrain
+    needs; PQ-coded indexes are skipped with a note (the rebuild needs
+    the caller-held codebook — call ``ivf_retrain_index`` directly)."""
     sweep = health_sweep(spark, versioned_roots, database)
     applied: dict[str, str] = {}
     if apply:
@@ -213,7 +247,25 @@ def run_maintenance(
                 applied[name] = "versioned_compact"
                 continue
             family = sweep["tables"][name]["family"]
-            if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
+            if family == "ivf" and sweep["tables"][name].get(
+                "retrain_recommended"
+            ):
+                if not retrain_ivf:
+                    applied[name] = "retrain_skipped (pass retrain_ivf=True)"
+                    continue
+                from .sources.io import get_table_meta
+
+                if get_table_meta(spark, name).get("pq") == "true":
+                    applied[name] = (
+                        "retrain_skipped (PQ index needs its codebook; "
+                        "call ivf_retrain_index directly)"
+                    )
+                    continue
+                from .operators.similarity import ivf_retrain_index
+
+                ivf_retrain_index(spark, name)
+                applied[name] = "ivf_retrain_index"
+            elif family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
                 from .sources.io import compact_index_table
 
                 compact_index_table(spark, name)

@@ -384,6 +384,34 @@ def _drift_stats_table(table: str) -> str:
     return f"{table}_drift_stats"
 
 
+def _drift_log_table(table: str) -> str:
+    return f"{table}_drift_log"
+
+
+def _centroids_table(table: str) -> str:
+    return f"{table}_centroids"
+
+
+def ivf_load_centroids(spark, table: str) -> list[list[float]]:
+    """Recover the centroid matrix :func:`ivf_build_index` persisted
+    beside ``table`` (the ``{table}_centroids`` companion), validated
+    against the index's recorded fingerprint — the session-independent
+    way for probes to obtain the CURRENT matrix, including after a
+    maintenance :func:`ivf_retrain_index` rotated it (probes still
+    holding the pre-retrain matrix are rejected by every entry point;
+    this is how they re-sync). k × dim rows — a driver-side collect by
+    design."""
+    rows = spark.table(_centroids_table(table)).orderBy("cell").collect()
+    centroids = [list(r["centroid"]) for r in rows]
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"{_centroids_table(table)} is not a dense 0..k-1 cell map; "
+            "rebuild the index"
+        )
+    _check_centroids(spark, table, centroids)
+    return centroids
+
+
 def _centroid_fingerprint(centroids: list[list[float]]) -> str:
     """Stable md5 of the centroid matrix (values rounded to 9 dp) —
     recorded as index metadata at build time and validated on every
@@ -419,6 +447,7 @@ def ivf_build_index(
     vec_col: str = "embedding",
     pq_codebook: "PQCodebook | None" = None,
     impl: str = "mllib",
+    n_id_buckets: int = 8,
 ) -> list[list[float]]:
     """Materialize the IVF index :func:`ivf_topk` computes on the fly:
     fit the KMeans coarse quantizer, assign every corpus vector its
@@ -430,9 +459,12 @@ def ivf_build_index(
     (``fit_fraction``, else the size-aware ``fit_target_rows`` bound of
     :func:`_bounded_fit`), the assignment is one JVM model.transform pass,
     and queries (:func:`ivf_query_index`) never rescan or re-cluster.
-    Returns the centroid matrix to hand to ``ivf_query_index`` (at
-    warehouse scale you would store it beside the table; it is
-    n_clusters × dim floats — tiny).
+    Returns the centroid matrix to hand to ``ivf_query_index``, and
+    ALSO persists it beside the table as the ``{table}_centroids``
+    companion (n_clusters × dim floats — tiny), so probes in other
+    sessions — and probes resuming after a maintenance retrain rotated
+    the matrix — recover it with :func:`ivf_load_centroids` instead of
+    holding driver state.
 
     Also records the BUILD-TIME quantization-distance distribution
     (mean / p95 distance of each corpus vector to its assigned
@@ -449,6 +481,16 @@ def ivf_build_index(
     the RETURNED matrix, the fingerprint, and the drift stats — live
     in QUANTIZED units (coordinate × 2^20); the ``impl`` is recorded
     in the table meta so appends re-quantize their batches to match.
+
+    The layout is cell-partitioned AND id-bucketed
+    (``n_id_buckets`` hash buckets on ``id_col``, recorded in the
+    table meta so appends match the spec): probes prune by the
+    ``_cell`` directories as before, while the streaming-ingest
+    replay guard (:func:`~..streaming.events.stream_ivf_append`'s id
+    anti-join) streams the id column out of the bucketed layout
+    PRE-SHUFFLED — per-batch probe cost tracks the batch, not the
+    monotonically growing index, the same flat-probe property the
+    exact seen-set measures (``dedup.exact_build_index``).
     """
     from ..sources.io import write_table
 
@@ -483,7 +525,12 @@ def ivf_build_index(
         # reads only (id, _cell, pq_code) — the m-byte column — and
         # never touches the float vectors at query time
         indexed = pq_encode(indexed, pq_codebook, vec_col=vec_col)
-    write_table(indexed, table, partition_by=["_cell"])
+    write_table(
+        indexed,
+        table,
+        partition_by=["_cell"],
+        bucket_by=(n_id_buckets, [id_col]),
+    )
 
     spark = corpus.sparkSession
     from ..sources.io import set_table_meta
@@ -498,7 +545,23 @@ def ivf_build_index(
         impl=impl,
         centroid_fp=_centroid_fingerprint(centroids),
         partition_cols="_cell",
+        n_buckets=n_id_buckets,
+        bucket_cols=id_col,
     )
+    # persist the centroid matrix beside the table (k × dim — tiny):
+    # other sessions, and probes resuming after ivf_retrain_index
+    # rotated the matrix, recover it with ivf_load_centroids
+    write_table(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ),
+        _centroids_table(table),
+    )
+    # a fresh build means a fresh quantizer: per-append drift reports
+    # against the OLD centroids are meaningless now (this also resets
+    # maintenance's retrain_recommended after ivf_retrain_index)
+    spark.sql(f"DROP TABLE IF EXISTS {_drift_log_table(table)}")
     # grid centroids live in quantized units: measure drift in the
     # same units so build stats and append batches stay comparable
     dist_vec = (
@@ -534,6 +597,7 @@ def ivf_append_index(
     vec_col: str = "embedding",
     drift_threshold: float = 1.5,
     pq_codebook: "PQCodebook | None" = None,
+    log_drift: bool = True,
 ) -> dict:
     """Incrementally extend a persisted :func:`ivf_build_index` table:
     assign each new vector to its nearest EXISTING centroid (one numpy
@@ -552,9 +616,19 @@ def ivf_append_index(
     p95 exceeds ``drift_threshold ×`` the build p95 (an
     out-of-distribution batch quantizes visibly worse; an
     in-distribution one tracks the build stats). Rebuild cost is one
-    fit on a bounded sample plus one assignment pass. Indexes built
-    before stats existed yield ``build_p95=None`` and no
-    recommendation.
+    fit on a bounded sample plus one assignment pass
+    (:func:`ivf_retrain_index` is that action, runnable straight off
+    the standing table). Indexes built before stats existed yield
+    ``build_p95=None`` and no recommendation.
+
+    ``log_drift=True`` also APPENDS the report as one row to the
+    ``{table}_drift_log`` companion, so the recommendation persists
+    past the caller (the streaming ingest's per-batch dict is
+    otherwise dropped on the floor) and ``maintenance.table_health``
+    can flag ``retrain_recommended`` from a constant-time read of the
+    log instead of rescanning any data. :func:`ivf_retrain_index`
+    clears the log, resetting the flag. One extra one-row write per
+    append; pass ``log_drift=False`` on paths that cannot afford it.
 
     Input hygiene: external incremental batches are the one path fed by
     arbitrary upstreams, so NULL or wrong-dimension embeddings are
@@ -572,8 +646,17 @@ def ivf_append_index(
     # before the nearest-centroid assignment
     from ..sources.io import get_table_meta
 
-    _is_grid = (
-        get_table_meta(new_vectors.sparkSession, table).get("impl") == "grid"
+    _meta = get_table_meta(new_vectors.sparkSession, table)
+    _is_grid = _meta.get("impl") == "grid"
+    # indexes built since the id-bucketed layout landed record their
+    # bucket spec; appends MUST match it (Spark rejects an unbucketed
+    # append into a bucketed table). Pre-bucketing indexes record none
+    # and keep appending plain cell-partitioned files.
+    _n_id_buckets = int(_meta.get("n_buckets", 0) or 0)
+    _id_bucket_spec = (
+        (_n_id_buckets, _meta["bucket_cols"].split(","))
+        if _n_id_buckets and "bucket_cols" in _meta
+        else None
     )
 
     # size(NULL) is NULL, so this single predicate drops NULL and
@@ -624,7 +707,13 @@ def ivf_append_index(
                 "for indexes built with one"
             )
         to_write = pq_encode(assigned, pq_codebook, vec_col=vec_col)
-    write_table(to_write, table, mode="append", partition_by=["_cell"])
+    write_table(
+        to_write,
+        table,
+        mode="append",
+        partition_by=["_cell"],
+        bucket_by=_id_bucket_spec,
+    )
 
     _dv = (
         F.transform(
@@ -655,7 +744,7 @@ def ivf_append_index(
     drift_ratio = (
         batch_p95 / build_p95 if batch_p95 is not None and build_p95 else None
     )
-    return {
+    report = {
         "n_appended": row["n"],
         "n_dropped": n_input - row["n"],
         "batch_mean_dist": row["mean_dist"],
@@ -667,6 +756,97 @@ def ivf_append_index(
             drift_ratio is not None and drift_ratio > drift_threshold
         ),
     }
+    if log_drift:
+        log_row = spark.createDataFrame(
+            [
+                (
+                    int(report["n_appended"]),
+                    int(report["n_dropped"]),
+                    report["batch_mean_dist"],
+                    report["batch_p95_dist"],
+                    report["drift_ratio"],
+                    report["rebuild_recommended"],
+                )
+            ],
+            "n_appended bigint, n_dropped bigint, batch_mean_dist double, "
+            "batch_p95_dist double, drift_ratio double, "
+            "rebuild_recommended boolean",
+        ).withColumn("logged_at", F.current_timestamp())
+        log_row.write.mode("append").format("parquet").saveAsTable(
+            _drift_log_table(table)
+        )
+    return report
+
+
+def ivf_retrain_index(
+    spark,
+    table: str,
+    n_clusters: int | None = None,
+    seed: int = 42,
+    pq_codebook: "PQCodebook | None" = None,
+    n_id_buckets: int | None = None,
+) -> list[list[float]]:
+    """The quantizer-drift REMEDIATION :func:`ivf_append_index`'s
+    report recommends: re-fit the coarse quantizer over the standing
+    index's CURRENT contents (old + every streamed append), re-assign
+    every vector to the new cells, and swap the rebuilt layout into
+    place — recall decayed by out-of-distribution appends is restored
+    because the new centroids cover where the data actually lives now.
+    Everything is read off the table itself: no raw-corpus access, no
+    caller-held state. Cost = one bounded-sample fit + one assignment
+    pass + one write — the same shape as the original build.
+
+    Parameters default from the table's recorded contract
+    (``n_clusters`` / ``impl`` / id-bucket spec), so
+    ``ivf_retrain_index(spark, table)`` is the whole runbook call;
+    PQ-coded indexes must pass the SAME codebook the build used (codes
+    are re-derived for the new layout). The rebuild is fail-safe
+    (``write_table``'s stage-then-swap) and updates the recorded
+    centroid fingerprint, so probes still holding the PRE-drift
+    centroid matrix are REJECTED rather than silently probing the
+    wrong cells — callers pick up the returned matrix. The
+    ``{table}_drift_log`` companion is cleared, resetting
+    ``maintenance.table_health``'s ``retrain_recommended`` flag; the
+    build-time ``{table}_drift_stats`` baseline is re-recorded by the
+    rebuild so future appends measure drift against the NEW quantizer.
+    """
+    from ..sources.io import get_table_meta
+
+    meta = get_table_meta(spark, table)
+    if meta.get("kind") != "ivf":
+        raise ValueError(
+            f"{table!r} is not an IVF index (kind={meta.get('kind')!r})"
+        )
+    if meta.get("pq") == "true" and pq_codebook is None:
+        raise ValueError(
+            f"{table} stores PQ codes; retrain must pass the SAME "
+            "codebook so rebuilt rows carry codes"
+        )
+    k = n_clusters or int(meta.get("n_clusters", 16))
+    impl = meta.get("impl", "mllib")
+    nb = n_id_buckets or int(meta.get("n_buckets", 0) or 8)
+    # build writes (id_col, vec_col, _cell[, pq_code]) in that order —
+    # the column order IS the contract (names are caller-chosen)
+    cols = spark.table(table).columns
+    id_col, vec_col = cols[0], cols[1]
+    # materialize the corpus before the swap: the rebuild overwrites
+    # the very table this plan reads
+    corpus = (
+        spark.table(table).select(id_col, vec_col).localCheckpoint(eager=True)
+    )
+    centroids = ivf_build_index(
+        corpus,
+        table,
+        n_clusters=k,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        pq_codebook=pq_codebook,
+        impl=impl,
+        n_id_buckets=nb,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {_drift_log_table(table)}")
+    return centroids
 
 
 def _pruned_index_scan(spark, table: str, probes: DataFrame, n_cells: int):

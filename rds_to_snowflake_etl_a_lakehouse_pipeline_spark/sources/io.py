@@ -362,8 +362,12 @@ def index_table_health(
     n_files = len(df.inputFiles())
     meta = get_table_meta(spark, table)
     # bucketed families record n_buckets; the cell-partitioned IVF
-    # family records n_clusters — either is the per-append file fanout
-    n_buckets = int(meta.get("n_buckets", 0) or meta.get("n_clusters", 0)) or 1
+    # family records n_clusters — the per-append file fanout is the
+    # one recorded, or their PRODUCT for the combined layout (IVF is
+    # cell-partitioned AND id-bucketed since the flat-probe fix)
+    _b = int(meta.get("n_buckets", 0) or 0)
+    _c = int(meta.get("n_clusters", 0) or 0)
+    n_buckets = (_b * _c if _b and _c else _b or _c) or 1
     ratio = n_files / n_buckets
     return {
         "n_files": n_files,
@@ -383,14 +387,22 @@ def compact_index_table(spark: SparkSession, table: str) -> None:
     (minhash) both tolerate row dedup by construction."""
     meta = get_table_meta(spark, table)
     rows = spark.table(table).distinct()
-    if "bucket_cols" in meta and "n_buckets" in meta:
+    bucket_by = (
+        (int(meta["n_buckets"]), meta["bucket_cols"].split(","))
+        if "bucket_cols" in meta and "n_buckets" in meta
+        else None
+    )
+    partition_by = (
+        meta["partition_cols"].split(",") if "partition_cols" in meta else None
+    )
+    if bucket_by or partition_by:
+        # the IVF family records BOTH (cell-partitioned for probe
+        # pruning, id-bucketed for the flat streaming replay probe) —
+        # a compaction that dropped either half would silently change
+        # the layout contract the probes rely on
         write_table(
-            rows,
-            table,
-            bucket_by=(int(meta["n_buckets"]), meta["bucket_cols"].split(",")),
+            rows, table, partition_by=partition_by, bucket_by=bucket_by
         )
-    elif "partition_cols" in meta:
-        write_table(rows, table, partition_by=meta["partition_cols"].split(","))
     else:
         raise ValueError(
             f"{table!r} records no bucket/partition layout metadata; only "

@@ -1234,6 +1234,16 @@ def stream_ivf_append(
     which must also exclude same-batch index rows from their probes —
     but appends have no probe step, so id uniqueness is sufficient.
     Runs with trigger=availableNow and blocks until input is drained.
+
+    Probe cost is INDEX-SIZE-INDEPENDENT in shuffle terms: the IVF
+    index is id-bucketed as well as cell-partitioned (see
+    ``ivf_build_index``), so the anti-join's index side streams out of
+    the bucketed layout pre-shuffled — only the micro-batch (small by
+    construction) is exchanged, the same flat-probe shape as the exact
+    seen-set (``dedup.exact_incremental_dedup``); SCALE.md records the
+    1×/10×/40× A/B. The id-column SCAN still grows with the index, but
+    scanning one sorted parquet column is cheap and creep resets at
+    every ``compact_index_table``.
     """
     from ..operators.similarity import ivf_append_index
 

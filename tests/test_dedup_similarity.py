@@ -2254,14 +2254,23 @@ def test_ivf_index_generic_compact_and_health(spark):
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     spark.sql("DROP TABLE IF EXISTS ivf_gc_idx")
     spark.sql("DROP TABLE IF EXISTS ivf_gc_idx_drift_stats")
-    cents = ivf_build_index(corpus, "ivf_gc_idx", n_clusters=4, seed=1)
+    cents = ivf_build_index(
+        corpus, "ivf_gc_idx", n_clusters=4, seed=1, n_id_buckets=2
+    )
+    h_build = index_table_health(spark, "ivf_gc_idx")
     for i in range(3):
         b = spark.createDataFrame(
             [(100 + i, [0.5 + i, 0.5, 1.0])], "vec_id long, embedding array<double>"
         )
         ivf_append_index(b, "ivf_gc_idx", cents)
-    h = index_table_health(spark, "ivf_gc_idx", max_files_per_bucket=1.0)
-    assert h["n_buckets"] == 4 and h["compact_recommended"]
+    # fanout denominator is the combined layout's product (4 cells ×
+    # 2 id buckets); three 1-row appends = 3 new files over the build
+    h = index_table_health(
+        spark, "ivf_gc_idx", max_files_per_bucket=h_build["files_per_bucket"]
+    )
+    assert h["n_buckets"] == 8
+    assert h["n_files"] >= h_build["n_files"] + 3
+    assert h["compact_recommended"]
     q = spark.createDataFrame(
         [(9, [1.0, 2.0, 1.0])], "query_id long, embedding array<double>"
     )
@@ -2271,8 +2280,11 @@ def test_ivf_index_generic_compact_and_health(spark):
     compact_index_table(spark, "ivf_gc_idx")
     h2 = index_table_health(spark, "ivf_gc_idx", max_files_per_bucket=1.0)
     assert h2["n_files"] <= h["n_files"] - 2
-    # contract metadata (incl. centroid fingerprint) survives
-    assert get_table_meta(spark, "ivf_gc_idx")["partition_cols"] == "_cell"
+    # contract metadata (incl. centroid fingerprint) survives, and the
+    # compaction preserved BOTH halves of the layout contract
+    meta2 = get_table_meta(spark, "ivf_gc_idx")
+    assert meta2["partition_cols"] == "_cell"
+    assert meta2["bucket_cols"] == "vec_id" and meta2["n_buckets"] == "2"
     after = sorted(
         map(tuple, ivf_query_index(spark, "ivf_gc_idx", q, cents, k=5).collect())
     )

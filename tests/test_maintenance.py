@@ -187,3 +187,133 @@ def test_run_maintenance_applies_flagged_actions(spark, standing_tables):
     flagged = set(after["attention"])
     ours = {f"default.{v}" for v in names.values()} | {root}
     assert not flagged & ours
+
+
+def test_ivf_drift_retrain_restores_recall(spark):
+    """The full quantizer-drift runbook: a drifted hot mode straddling
+    an old-cell Voronoi boundary splits its neighbors across two cells
+    (recall@10 at n_probe=1 degrades), the append's persisted drift log
+    makes health_sweep flag retrain_recommended WITHOUT scanning data,
+    run_maintenance(retrain_ivf=True) rebuilds the quantizer off the
+    standing table itself, and recall is restored — with stale centroid
+    matrices rejected and the new matrix recoverable from the persisted
+    companion."""
+    import math
+    import random
+
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_append_index,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_query_index,
+    )
+
+    t = "maint_ivf_drift"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+    rng = random.Random(7)
+    rows, vid = [], 0
+    for blob in (0.0, 90.0, 180.0, 270.0):
+        for _ in range(25):
+            a = math.radians(blob + rng.uniform(-2, 2))
+            rows.append((vid, [math.cos(a), math.sin(a)]))
+            vid += 1
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents0 = ivf_build_index(base, t, n_clusters=4, seed=42)
+
+    # drifted hot mode: a tight blob at 45 deg, radius 5 — exactly on
+    # the old 0/90-cell boundary, so its points split across two old
+    # cells by jitter sign; quantization distance ~4 vs build ~0
+    drift_rows = []
+    for _ in range(60):
+        a = math.radians(45.0 + rng.uniform(-1, 1))
+        drift_rows.append((vid, [5 * math.cos(a), 5 * math.sin(a)]))
+        vid += 1
+    drifted = spark.createDataFrame(
+        drift_rows, "vec_id long, embedding array<double>"
+    )
+    rep = ivf_append_index(drifted, t, cents0)
+    assert rep["rebuild_recommended"] and rep["drift_ratio"] > 1.5
+
+    # health flags it from the persisted per-append log (no data scan)
+    sweep = health_sweep(spark)
+    key = f"default.{t}"
+    assert sweep["tables"][key]["retrain_recommended"]
+    assert sweep["tables"][key]["max_drift_ratio"] > 1.5
+    assert key in sweep["attention"]
+
+    # recall@10 at n_probe=1 for boundary queries vs exact cosine
+    # truth. The trained centroids sit NEAR (not exactly at) the blob
+    # means, so the 0/90-cell Voronoi boundary is near-but-not-exactly
+    # 45 deg — bisect the EMPIRICAL boundary angle from the actual
+    # matrix and place the queries there, where their true neighbor
+    # sets straddle the two old cells.
+    import numpy as np
+
+    C0 = np.asarray(cents0)
+
+    def cell_of(theta):
+        p = np.array(
+            [5 * math.cos(math.radians(theta)), 5 * math.sin(math.radians(theta))]
+        )
+        return int(((p - C0) ** 2).sum(1).argmin())
+
+    lo, hi = 44.0, 46.0
+    assert cell_of(lo) != cell_of(hi)  # the blob straddles a boundary
+    c_lo = cell_of(lo)
+    for _ in range(40):
+        mid = (lo + hi) / 2
+        if cell_of(mid) == c_lo:
+            lo = mid
+        else:
+            hi = mid
+    bnd = (lo + hi) / 2
+    # keep margin to the blob edges so both sides hold real neighbors
+    assert 44.2 < bnd < 45.8, bnd
+    qs = spark.createDataFrame(
+        [
+            (qi, [5 * math.cos(math.radians(bnd + d)),
+                  5 * math.sin(math.radians(bnd + d))])
+            for qi, d in enumerate((-0.05, 0.0, 0.05))
+        ],
+        "query_id long, embedding array<double>",
+    )
+    corpus = spark.table(t).select("vec_id", "embedding")
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, qs, k=10).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_query_index(
+                spark, t, qs, cents, k=10, n_probe=1
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_before = recall(cents0)
+    assert r_before < 0.8, r_before
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=True)
+    assert out["applied"][key] == "ivf_retrain_index"
+    # probes holding the pre-retrain matrix are rejected, not silently
+    # probing the wrong cells; they re-sync from the persisted companion
+    with pytest.raises(ValueError):
+        ivf_query_index(spark, t, qs, cents0, k=10, n_probe=1)
+    cents1 = ivf_load_centroids(spark, t)
+    r_after = recall(cents1)
+    assert r_after >= 0.9, (r_before, r_after)
+
+    # the retrain cleared the drift log: flag reset until new appends
+    sweep2 = health_sweep(spark)
+    assert not sweep2["tables"][key]["retrain_recommended"]

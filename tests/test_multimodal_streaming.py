@@ -1008,6 +1008,45 @@ def test_stream_ivf_append_accretes_and_replays_idempotently(spark, tmp_path):
     assert again == want
 
 
+def test_stream_ivf_replay_probe_does_not_reshuffle_index_side(spark):
+    """stream_ivf_append's replay guard (the id anti-join) must read
+    the IVF index WITHOUT an exchange on the index side: the table is
+    id-bucketed as well as cell-partitioned, so only the (small)
+    micro-batch shuffles into the bucket layout — per-batch probe cost
+    tracks the batch, not the growing index (the flat-probe claim
+    SCALE.md's streaming-ANN row makes, mirroring the exact seen-set
+    and ER index probes)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+    )
+
+    rows = [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(50)]
+    base = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    spark.sql("DROP TABLE IF EXISTS ivf_plan_idx")
+    spark.sql("DROP TABLE IF EXISTS ivf_plan_idx_drift_stats")
+    ivf_build_index(base, "ivf_plan_idx", n_clusters=4, impl="grid")
+    batch = spark.createDataFrame(
+        [(100, [1.0, 1.0]), (101, [2.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = batch.join(
+            spark.table("ivf_plan_idx").select("vec_id"),
+            on="vec_id",
+            how="left_anti",
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # exactly one hash exchange: the batch side; the bucketed scan
+        # of the index feeds the SMJ directly
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_stream_span_dedup_masks_across_microbatches(spark, tmp_path):
     """Batch 2's copy of a batch-1 document must be emptied (the index
     accreted batch 1's spans before batch 2 probed), and the masked

@@ -77,7 +77,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     stats: dict[str, int] = {"n_docs": n_docs, "n_base": n_base, "n_emb": n_emb}
 
+    # SCALE_SMOKE_ONLY=substr[,substr...] runs only matching stages —
+    # used for the per-multiplier A/Bs (e.g. the seen-set / IVF probe
+    # flatness tables in SCALE.md) without paying the full smoke at
+    # each multiplier. Skipped stages return None into stats.
+    only = os.environ.get("SCALE_SMOKE_ONLY")
+
+    def enabled(name):
+        return not only or any(s in name for s in only.split(","))
+
     def stage(name, fn):
+        if not enabled(name):
+            return None
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 2)
@@ -143,24 +154,25 @@ def main() -> None:
         VersionedTable,
     )
 
-    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="scale-vt-"))
-    vt_docs = docs.withColumn("part", F.pmod(F.col("doc_id"), F.lit(16)))
-    stage("versioned_write", lambda: vt.write(vt_docs, partition_by=["part"]))
-    merge_times = []
-    for i in range(8):
-        b = vt_docs.filter(F.pmod(F.col("doc_id"), 200) == i).withColumn(
-            "text", F.concat(F.col("text"), F.lit(f" merged{i}"))
+    if enabled("versioned"):
+        vt = VersionedTable(spark, tempfile.mkdtemp(prefix="scale-vt-"))
+        vt_docs = docs.withColumn("part", F.pmod(F.col("doc_id"), F.lit(16)))
+        stage("versioned_write", lambda: vt.write(vt_docs, partition_by=["part"]))
+        merge_times = []
+        for i in range(8):
+            b = vt_docs.filter(F.pmod(F.col("doc_id"), 200) == i).withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" merged{i}"))
+            )
+            t0 = time.time()
+            vt.merge(b, keys=["doc_id"])
+            merge_times.append(round(time.time() - t0, 2))
+        timings["versioned_merge_each"] = merge_times
+        stats["versioned_versions"] = len(vt.versions())
+        stage(
+            "versioned_compact_zorder",
+            lambda: vt.compact(zorder=["doc_id"], target_partitions=32),
         )
-        t0 = time.time()
-        vt.merge(b, keys=["doc_id"])
-        merge_times.append(round(time.time() - t0, 2))
-    timings["versioned_merge_each"] = merge_times
-    stats["versioned_versions"] = len(vt.versions())
-    stage(
-        "versioned_compact_zorder",
-        lambda: vt.compact(zorder=["doc_id"], target_partitions=32),
-    )
-    stats["versioned_rows"] = stage("versioned_read", lambda: vt.read().count())
+        stats["versioned_rows"] = stage("versioned_read", lambda: vt.read().count())
 
     # entity resolution: full resolve on a mult-x dirty corpus, then the
     # incremental steady state — index built once, one base-sized batch
@@ -172,92 +184,93 @@ def main() -> None:
         resolve_entities,
     )
 
-    cust = load(spark, sf_dir, "customer")
-    er_copies = [
-        cust.select(
-            (F.col("c_custkey") + F.lit(i * 10_000_000)).cast("bigint").alias("id"),
-            F.concat(F.col("c_name"), F.lit(f"-{i:02d}")).alias("name"),
+    if enabled("er_"):
+        cust = load(spark, sf_dir, "customer")
+        er_copies = [
+            cust.select(
+                (F.col("c_custkey") + F.lit(i * 10_000_000)).cast("bigint").alias("id"),
+                F.concat(F.col("c_name"), F.lit(f"-{i:02d}")).alias("name"),
+            )
+            for i in range(mult)
+        ]
+        er_corpus = er_copies[0]
+        for c in er_copies[1:]:
+            er_corpus = er_corpus.unionByName(c)
+        er_corpus = er_corpus.repartition(32).localCheckpoint(eager=True)
+        stats["er_rows"] = er_corpus.count()
+        # block on the 9-digit customer number (copy-mark-invariant), so the
+        # mult near-dup variants of each customer share a block and resolve
+        # into one entity; block size == mult, bounded
+        er_key = F.substring("name", 10, 9)
+        resolved = stage(
+            "er_full_resolve",
+            lambda: resolve_entities(
+                er_corpus, "id", "name", er_key, threshold=0.8
+            ).localCheckpoint(eager=True),
         )
-        for i in range(mult)
-    ]
-    er_corpus = er_copies[0]
-    for c in er_copies[1:]:
-        er_corpus = er_corpus.unionByName(c)
-    er_corpus = er_corpus.repartition(32).localCheckpoint(eager=True)
-    stats["er_rows"] = er_corpus.count()
-    # block on the 9-digit customer number (copy-mark-invariant), so the
-    # mult near-dup variants of each customer share a block and resolve
-    # into one entity; block size == mult, bounded
-    er_key = F.substring("name", 10, 9)
-    resolved = stage(
-        "er_full_resolve",
-        lambda: resolve_entities(
-            er_corpus, "id", "name", er_key, threshold=0.8
-        ).localCheckpoint(eager=True),
-    )
-    stats["er_entities"] = resolved.select("entity_id").distinct().count()
-    er_idx = f"er_scale_idx_{mult}x"
-    spark.sql(f"DROP TABLE IF EXISTS {er_idx}")
-    spark.sql(f"DROP TABLE IF EXISTS {er_idx}__relabel")
-    stage(
-        "er_index_build",
-        lambda: er_build_index(resolved, er_idx, "id", "name", er_key),
-    )
-    er_batch = cust.select(
-        (F.col("c_custkey") + F.lit(900_000_000)).cast("bigint").alias("id"),
-        F.concat(F.col("c_name"), F.lit("-zz")).alias("name"),
-    )
-    stats["er_batch_rows"] = stage(
-        "er_incremental_batch",
-        lambda: er_incremental(
-            spark, er_idx, er_batch, "id", "name", er_key, threshold=0.8
-        ).count(),
-    )
+        stats["er_entities"] = resolved.select("entity_id").distinct().count()
+        er_idx = f"er_scale_idx_{mult}x"
+        spark.sql(f"DROP TABLE IF EXISTS {er_idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {er_idx}__relabel")
+        stage(
+            "er_index_build",
+            lambda: er_build_index(resolved, er_idx, "id", "name", er_key),
+        )
+        er_batch = cust.select(
+            (F.col("c_custkey") + F.lit(900_000_000)).cast("bigint").alias("id"),
+            F.concat(F.col("c_name"), F.lit("-zz")).alias("name"),
+        )
+        stats["er_batch_rows"] = stage(
+            "er_incremental_batch",
+            lambda: er_incremental(
+                spark, er_idx, er_batch, "id", "name", er_key, threshold=0.8
+            ).count(),
+        )
 
-    # adversarial bridge-heavy feed: each batch deliberately BRIDGES
-    # previously-separate entities (the worst case for the relabel log —
-    # every batch row is a merge event). Measures closure growth per
-    # batch and that er_index_health tracks it; the auto-compact knob
-    # is exercised on the final batch. Closure size should equal the
-    # cumulative merge count, and per-batch time should stay flat.
-    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
-        er_index_health,
-    )
+        # adversarial bridge-heavy feed: each batch deliberately BRIDGES
+        # previously-separate entities (the worst case for the relabel log —
+        # every batch row is a merge event). Measures closure growth per
+        # batch and that er_index_health tracks it; the auto-compact knob
+        # is exercised on the final batch. Closure size should equal the
+        # cumulative merge count, and per-batch time should stay flat.
+        from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+            er_index_health,
+        )
 
-    br_idx = f"er_bridge_idx_{mult}x"
-    spark.sql(f"DROP TABLE IF EXISTS {br_idx}")
-    spark.sql(f"DROP TABLE IF EXISTS {br_idx}__relabel")
-    # seed: two far-apart variants per customer that do NOT match each
-    # other (threshold 0.95) -> 2 entities per customer
-    seed = cust.select(
-        F.col("c_custkey").cast("bigint").alias("id"),
-        F.concat(F.col("c_name"), F.lit("-aaaaaa")).alias("name"),
-    ).unionByName(
-        cust.select(
-            (F.col("c_custkey") + F.lit(50_000_000)).cast("bigint").alias("id"),
-            F.concat(F.col("c_name"), F.lit("-zzzzzz")).alias("name"),
+        br_idx = f"er_bridge_idx_{mult}x"
+        spark.sql(f"DROP TABLE IF EXISTS {br_idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {br_idx}__relabel")
+        # seed: two far-apart variants per customer that do NOT match each
+        # other (threshold 0.95) -> 2 entities per customer
+        seed = cust.select(
+            F.col("c_custkey").cast("bigint").alias("id"),
+            F.concat(F.col("c_name"), F.lit("-aaaaaa")).alias("name"),
+        ).unionByName(
+            cust.select(
+                (F.col("c_custkey") + F.lit(50_000_000)).cast("bigint").alias("id"),
+                F.concat(F.col("c_name"), F.lit("-zzzzzz")).alias("name"),
+            )
         )
-    )
-    seed_resolved = resolve_entities(seed, "id", "name", er_key, threshold=0.95)
-    er_build_index(seed_resolved, br_idx, "id", "name", er_key)
-    bridge_times, closure_sizes = [], []
-    for i in range(3):
-        # each batch bridges 1/3 of the customers: a mid-distance
-        # variant similar to BOTH seed variants at a lower threshold
-        bb = cust.filter(F.pmod(F.col("c_custkey"), 3) == i).select(
-            (F.col("c_custkey") + F.lit((i + 2) * 100_000_000))
-            .cast("bigint").alias("id"),
-            F.concat(F.col("c_name"), F.lit("-aaazzz")).alias("name"),
-        )
-        t0 = time.time()
-        er_incremental(
-            spark, br_idx, bb, "id", "name", er_key, threshold=0.6,
-            auto_compact_relabels=(10 ** 9 if i < 2 else 1),
-        )
-        bridge_times.append(round(time.time() - t0, 2))
-        closure_sizes.append(er_index_health(spark, br_idx)["n_relabel_entries"])
-    timings["er_bridge_batch_each"] = bridge_times
-    stats["er_bridge_closure_sizes"] = closure_sizes  # last = 0 (auto-compacted)
+        seed_resolved = resolve_entities(seed, "id", "name", er_key, threshold=0.95)
+        er_build_index(seed_resolved, br_idx, "id", "name", er_key)
+        bridge_times, closure_sizes = [], []
+        for i in range(3):
+            # each batch bridges 1/3 of the customers: a mid-distance
+            # variant similar to BOTH seed variants at a lower threshold
+            bb = cust.filter(F.pmod(F.col("c_custkey"), 3) == i).select(
+                (F.col("c_custkey") + F.lit((i + 2) * 100_000_000))
+                .cast("bigint").alias("id"),
+                F.concat(F.col("c_name"), F.lit("-aaazzz")).alias("name"),
+            )
+            t0 = time.time()
+            er_incremental(
+                spark, br_idx, bb, "id", "name", er_key, threshold=0.6,
+                auto_compact_relabels=(10 ** 9 if i < 2 else 1),
+            )
+            bridge_times.append(round(time.time() - t0, 2))
+            closure_sizes.append(er_index_health(spark, br_idx)["n_relabel_entries"])
+        timings["er_bridge_batch_each"] = bridge_times
+        stats["er_bridge_closure_sizes"] = closure_sizes  # last = 0 (auto-compacted)
 
     # span-level exact substring dedup: the replicated corpus shares
     # every 8-token span across copies, so the duplicated-span set is
@@ -298,13 +311,14 @@ def main() -> None:
         out = cluster_split(ids, "doc_id", tiny_pairs)
         return out.groupBy("split").count().collect()
 
-    giant = stage("cluster_split_giant_component", _giant)
-    # correctness of the worst case: one cluster, one split, no leakage
-    assert len(giant) == 1 and giant[0]["count"] == n_chain, giant
-    stats["cluster_split_giant_rows"] = n_chain
-    stats["cluster_split_tiny_splits"] = {
-        r["split"]: r["count"] for r in stage("cluster_split_tiny_control", _tiny)
-    }
+    if enabled("cluster_split"):
+        giant = stage("cluster_split_giant_component", _giant)
+        # correctness of the worst case: one cluster, one split, no leakage
+        assert len(giant) == 1 and giant[0]["count"] == n_chain, giant
+        stats["cluster_split_giant_rows"] = n_chain
+        stats["cluster_split_tiny_splits"] = {
+            r["split"]: r["count"] for r in stage("cluster_split_tiny_control", _tiny)
+        }
 
     # standing Hamming fingerprint index: per-batch probe cost must be
     # FLAT in the index size (the batch is fixed; the corpus side is
@@ -540,6 +554,65 @@ def main() -> None:
                 wild_urls, wild_rules, _dedup_rules=d
             ).filter(F.col("crawl_allowed")).count(),
         )
+
+    # streaming-ANN replay probe (round 15): stream_ivf_append's id
+    # anti-join against the standing IVF index. The index is id-bucketed
+    # as well as cell-partitioned, so the index side streams out of its
+    # bucketed layout pre-shuffled — this timing should NOT track mult
+    # (the same flat-probe contract the exact seen-set stage measures).
+    # The append stage is the rest of the per-batch work (nearest-cell
+    # assignment + partitioned bucketed write) — batch-sized too.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+    )
+
+    ivf_n = mult * 20_000
+    ivf_table = f"scale_ivf_idx_{mult}x"
+    spark.sql(f"DROP TABLE IF EXISTS {ivf_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {ivf_table}_drift_stats")
+    dim8 = [
+        (
+            F.pmod(F.xxhash64(F.col("id") + F.lit(j)), F.lit(1000)) / 500.0
+            - 1.0
+        ).cast("double")
+        for j in range(8)
+    ]
+    ivf_corpus = spark.range(ivf_n).select(
+        F.col("id").alias("vec_id"), F.array(*dim8).alias("embedding")
+    )
+    ivf_cents = stage(
+        "ivf_seen_build",
+        lambda: ivf_build_index(ivf_corpus, ivf_table, n_clusters=16),
+    )
+    # fixed 5k batch: half already indexed, half new
+    ivf_batch = (
+        spark.range(5_000)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.col("id"))
+            .otherwise(F.col("id") + 900_000_000)
+            .alias("vec_id"),
+            F.col("id"),
+        )
+        .select("vec_id", F.array(*dim8).alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    fresh = stage(
+        "ivf_seen_probe_5k_batch",
+        lambda: ivf_batch.join(
+            spark.table(ivf_table).select("vec_id"),
+            on="vec_id",
+            how="left_anti",
+        ).localCheckpoint(eager=True),
+    )
+    if fresh is not None:
+        stats["ivf_seen_fresh"] = fresh.count()
+        stats["ivf_seen_appended"] = stage(
+            "ivf_seen_append_5k_batch",
+            lambda: ivf_append_index(fresh, ivf_table, ivf_cents)["n_appended"],
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {ivf_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {ivf_table}_drift_stats")
 
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
