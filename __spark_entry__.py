@@ -594,17 +594,16 @@ def _q_t_bpe_tokens(spark, sf_dir):
     """Learned-BPE token counting (functions/bpe.py): merge table
     learned driver-side from a seeded bounded sample (Sennrich BPE),
     applied corpus-wide as an Arrow kernel with a distinct-word cache.
-    Rows-only — the one trainer the round-14 replayable-family program
-    (md5 hashes, grid KMeans, nearest-centroid) deliberately left: the
-    merge loop AND the per-word lowest-rank-first segmentation are
-    both iterative with data-dependent depth, so a SQL replay would be
-    ~10³ chained CTEs (120 merge rounds × pair-count/argmax/greedy
-    re-segmentation, plus ~60 unrolled single-merge steps per distinct
-    word) — strictly worse as a check than the existing pytest replay
-    against an independent pure-Python reference segmenter
+    Rows-only at THIS vocab size: a 120-merge SQL replay would be
+    ~10³ chained CTEs — strictly worse as a check than the pytest
+    replay against an independent pure-Python reference segmenter
     (tests/test_text_vectors.py: determinism, losslessness, and
-    byte-parity on real corpus words). The whitespace/regex twins
-    t_token_count / t_regex_tokens are the oracle-checked baselines."""
+    byte-parity on real corpus words). The ALGORITHM is oracle-checked
+    end-to-end by t_bpe_tokens_small (round 15): the identical
+    learn+segment code at 8 merges, hash-verified against a DuckDB
+    replay of both the merge learning and the segmentation. The
+    whitespace/regex twins t_token_count / t_regex_tokens are the
+    oracle-checked baselines."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.bpe import (
         bpe_token_count,
         learn_bpe,
@@ -612,6 +611,31 @@ def _q_t_bpe_tokens(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     merges = learn_bpe(d, "text", num_merges=120, sample_rows=2000, seed=7)
+    return d.select(
+        "doc_id", bpe_token_count("text", merges).alias("n_bpe_tokens")
+    )
+
+
+def _q_t_bpe_tokens_small(spark, sf_dir):
+    """The oracle-backed twin of t_bpe_tokens: 8 merges learned over
+    the WHOLE corpus (sample_rows is set above any test SF so the
+    seeded sampling is a no-op and the merge table is a pure function
+    of the table contents — replayable by any engine). The DuckDB
+    oracle replays BOTH halves: merge learning as 8 chained
+    pair-count/argmax/apply CTE rounds over a ``|sym||sym|``-delimited
+    vocab, and segmentation as 8 sequential ``replace`` passes — valid
+    because a learned merge's pair can never contain a LATER merge's
+    product (symbols only coarsen), so sequential-by-rank equals the
+    kernel's greedy lowest-rank-first loop. The 120-merge production
+    path stays pytest-pinned in t_bpe_tokens (a full-vocab SQL replay
+    would be ~10^3 CTEs)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.functions.bpe import (
+        bpe_token_count,
+        learn_bpe,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe(d, "text", num_merges=8, sample_rows=1_000_000_000)
     return d.select(
         "doc_id", bpe_token_count("text", merges).alias("n_bpe_tokens")
     )
@@ -1576,6 +1600,67 @@ def _sql_cos(a: str, b: str) -> str:
 # as numpy computes it, redundancy penalty = greatest(0, max pairwise
 # sim to picked) on 6-dp-rounded sims, ties (rel desc, id asc) — and
 # keeps rn=1. UNION ALL accumulates the 10 picks per query.
+def _sql_bpe_small(n_merges: int = 8) -> str:
+    """DuckDB replay of t_bpe_tokens_small: BPE merge learning as
+    ``n_merges`` chained (pair-count → deterministic argmax → apply)
+    CTE rounds over a ``|a||b||…|``-delimited symbol-string vocab,
+    then segmentation as the same merges applied as SEQUENTIAL
+    ``replace`` passes per word occurrence. Sequential-by-rank equals
+    the engine's greedy lowest-rank-first inference because a merge's
+    pair can never contain a later merge's product (learning only
+    coarsens symbols), and the double-bar encoding makes each replace
+    boundary-safe and left-to-right non-overlapping exactly like the
+    Python loop. Precondition (holds for the testdata corpus, single
+    chars + '</w>' only): text contains no '|'."""
+    parts = [
+        "WITH corpus AS MATERIALIZED (SELECT doc_id, lower(text) AS t "
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), ",
+        "words AS MATERIALIZED (SELECT doc_id, w FROM corpus, "
+        "UNNEST(regexp_split_to_array(t, '\\s+')) AS u(w) WHERE w <> ''), ",
+        "vocab0 AS MATERIALIZED (SELECT "
+        "regexp_replace(w, '(.)', '|\\1|', 'g') || '|</w>|' AS sym, "
+        "COUNT(*) AS cnt FROM words GROUP BY 1), ",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"vocab{r - 1}"
+        parts.append(
+            f"pairs{r} AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, "
+            f"SUM(cnt) AS c FROM (SELECT regexp_split_to_array(trim(sym, '|'), "
+            f"'\\|\\|') AS syms, cnt FROM {prev}), "
+            f"UNNEST(range(1, len(syms))) AS t(i) GROUP BY 1, 2), "
+        )
+        parts.append(
+            f"best{r} AS MATERIALIZED (SELECT a, b, "
+            f"'|' || a || '||' || b || '|' AS pat, "
+            f"'|' || a || b || '|' AS rep FROM pairs{r} "
+            f"ORDER BY c DESC, a, b LIMIT 1), "
+        )
+        parts.append(
+            f"vocab{r} AS MATERIALIZED (SELECT replace(sym, "
+            f"(SELECT pat FROM best{r}), (SELECT rep FROM best{r})) AS sym, "
+            f"cnt FROM {prev}), "
+        )
+    seg = "regexp_replace(w, '(.)', '|\\1|', 'g') || '|</w>|'"
+    for r in range(1, n_merges + 1):
+        seg = (
+            f"replace({seg}, (SELECT pat FROM best{r}), "
+            f"(SELECT rep FROM best{r}))"
+        )
+    parts.append(
+        f"wc AS MATERIALIZED (SELECT doc_id, "
+        f"(length({seg}) - length(replace({seg}, '|', ''))) // 2 AS n "
+        f"FROM words) "
+    )
+    parts.append(
+        "SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS INT) AS n_bpe_tokens "
+        "FROM documents d LEFT JOIN (SELECT doc_id, SUM(n) AS n FROM wc "
+        "GROUP BY doc_id) s ON s.doc_id = d.doc_id"
+    )
+    return "".join(parts)
+
+
+_SQL_BPE_SMALL = _sql_bpe_small(8)
+
 _SQL_MMR_RERANK = (
     "WITH RECURSIVE "
     "corpus AS (SELECT vec_id, embedding FROM embeddings "
@@ -6495,111 +6580,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across rounds so every registered query keeps a driver verdict
     against CURRENT testdata.
 
-    r14 window (this ordering): the round-14 additions (t_crawl_tick,
-    x1_crawl_stream, x1_hll_stream) and the SIXTEEN entries whose
-    oracles are new this round — the two first-time oracles
-    (v_mmr_rerank, v_pq_topk), the ten md5-family conversions
-    (minhash pairs/dedup/index, simhash, span-index, cosine-LSH,
-    sign-LSH, CMS batch+stream, HLL register rollup), the three
-    grid-KMeans conversions (v_ivf_topk, v_ivf_index_topk,
-    v_semantic_dedup), and the nearest-centroid t_quality_model —
-    all entries whose semantics changed when they gained replayable
-    trainers/hashes — then the six r08-verified entries deferred out
-    of the r13 window (they projected exactly at the budget floor —
-    mandatory), then the r09-verified tranche oldest-first. All 50
-    slots are hash-checkable; the fronting displaced fifteen r09
-    entries to r15 (where they project exactly at the floor — they
-    MUST lead that window) alongside the tranche's sanctioned
-    rows-only remainder.
+    r15 window (this ordering): the round-15 addition
+    (t_bpe_tokens_small — the 8-merge oracle-backed BPE twin, needing
+    its first driver verdict), then the ENTIRE r09-verified remainder
+    (19 entries, which projected exactly at the budget-6 floor this
+    round — mandatory; includes the sanctioned rows-only
+    a1_approx_distinct), then 30 of the 50 r11-verified entries in
+    registration order. The r11 remainder (20 entries) leads r16,
+    where it projects r11 >= floor r10; after this window the worst
+    projected verdict sits at r11 vs floor r09 — two rounds of
+    restored margin.
 
-    Rotation arithmetic (why the budget is 6, not 5): 207 registered
+    Rotation arithmetic (why the budget is 6, not 5): 211 registered
     entries cycle through a 50-slot window, so a full re-verification
     pass takes ceil(N/50) >= 5 rounds even with ZERO slots spent on
     newly added queries — and every round adds oracle-backed entries
     that must be sampled soon after they land. A 5-round budget is
     therefore only satisfiable when the verdict cohorts are already
     perfectly smoothed; the inherited cohorts are lumpy (blocks of
-    exactly 50), so rounds 13-15 smooth them: r15 = the eight deferred
-    r09 rows-only entries + the r09/r11 remainder; r16/r17 = the r12
-    tranche and the r13 front-50. From r15 on the worst projected
-    verdict sits strictly above the floor (margin), with ~8 spare
-    slots per round for new entries. ENFORCE with
+    exactly 50), so rounds 13-16 smooth them: r16 = the 20-entry r11
+    remainder + 30 of the r12 tranche; r17 = the r12 remainder + the
+    r13 tranche's head. From r15 on the worst projected verdict sits
+    strictly above the floor (margin), with ~10 spare slots per round
+    for new entries. ENFORCE with
     ``python tools/check_rotation.py`` (fails when any entry's newest
     driver verdict would exceed the staleness budget under the current
-    ordering) and run the registry meta-test after reordering."""
+    ordering) and run the registry meta-test after reordering
+    (tests/test_curation.py::test_registry_contract_consistency)."""
     return {
-    # ---- r14 front-50 (all 50 oracle-backed / hash-checkable):
-    # ---- the round-14 addition + the TWELVE entries whose oracles
-    # ---- (or semantics — the md5-family conversions) are new this
-    # ---- round and need their first hash-checked driver rows, then
-    # ---- the six r08-verified entries deferred out of the r13
-    # ---- window (zero rotation margin — see check_rotation.py),
-    # ---- then the r09-verified tranche oldest-first.
-        "t_crawl_tick": _q_t_crawl_tick,
-        "x1_crawl_stream": _q_x1_crawl_stream,
-        "v_mmr_rerank": _q_v_mmr_rerank,
-        "v_pq_topk": _q_v_pq_topk,
-        "d_minhash_pairs": _q_d_minhash_pairs,
-        "d_minhash_dedup": _q_d_minhash_dedup,
-        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
-        "d_simhash_pairs": _q_d_simhash_pairs,
-        "d_span_index_dedup": _q_d_span_index_dedup,
-        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
-        "v_lsh_topk": _q_v_lsh_topk,
-        "a1_cms_topk": _q_a1_cms_topk,
-        "x1_cms_stream": _q_x1_cms_stream,
-        "a1_hll_rollup": _q_a1_hll_rollup,
-        "x1_hll_stream": _q_x1_hll_stream,
-        "v_ivf_topk": _q_v_ivf_topk,
-        "v_ivf_index_topk": _q_v_ivf_index_topk,
-        "v_semantic_dedup": _q_v_semantic_dedup,
-        "t_quality_model": _q_t_quality_model,
-        "x1_ann_stream": _q_x1_ann_stream,
-        "x1_stream_enrich": _q_x1_stream_enrich,
-        "x1_stream_warehouse": _q_x1_stream_warehouse,
-        "x1_retention_stream": _q_x1_retention_stream,
-        "j8_star_revenue": _q_j8_star_revenue,
-        "s16_quarantine": _q_s16_quarantine,
-        "x1_quarantine_stream": _q_x1_quarantine_stream,
-        "a1_unpivot": _q_a1_unpivot,
-        "j_salted_skew": _q_j_salted_skew,
-        "s7_warehouse_sink": _q_s7_warehouse_sink,
-        "t_apply_mixture": _q_t_apply_mixture,
-        "t_best_per_lang": _q_t_best_per_lang,
-        "t_mixture_weights": _q_t_mixture_weights,
-        "t_pack_sequences": _q_t_pack_sequences,
-        "t_stratified_sample": _q_t_stratified_sample,
-        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
-        "w5_moving_avg": _q_w5_moving_avg,
-        "d_cosine_dedup": _q_d_cosine_dedup,
-        "d_exact_dedup": _q_d_exact_dedup,
-        "d_ngram_jaccard": _q_d_ngram_jaccard,
-        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
-        "er_resolve": _q_er_resolve,
-        "er_golden": _q_er_golden,
-        "er_incremental": _q_er_incremental,
-        "x1_er_stream": _q_x1_er_stream,
-        "a1_groupby_agg": _q_a1_groupby_agg,
-        "j4_j5_fact_join": _q_j4_j5_fact_join,
-        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
-        "p2_projection_rename": _q_p2_projection_rename,
-        "g_fact_sales_pit": _q_g_fact_sales_pit,
-        "j9_scd2_pit": _q_j9_scd2_pit,
-    # ---- behind the cap, in forward rotation order ----
-    # r15 leaders: the r09 remainder — m_decode_jpeg (slid out when
-    # x1_crawl_stream joined the front), the remaining sanctioned
-    # rows-only entries (engine-internal sketches + the learned BPE
-    # vocabulary, exact twins oracle-green + pytest-pinned) deferred
-    # out of the r14 window so all 50 of its driver slots stay
-    # hash-checkable, and the displaced r09 tranche below. At r15 they
-    # project exactly at the budget-6 floor (r09 >= r09) — they MUST
-    # front then; check_rotation.py enforces it.
+    # ---- r15 front-50: the round-15 addition (t_bpe_tokens_small,
+    # ---- needs its first driver verdict), then the ENTIRE r09-verified
+    # ---- remainder (19 entries — they project exactly at the budget-6
+    # ---- floor this round and MUST front; includes the sanctioned
+    # ---- rows-only a1_approx_distinct), then the r11 tranche
+    # ---- oldest-registered-first (30 of 50).
+        "t_bpe_tokens_small": _q_t_bpe_tokens_small,
         "t_cluster_split": _q_t_cluster_split,
         "m_decode_jpeg": _q_m_decode_jpeg,
         "a1_approx_distinct": _q_a1_approx_distinct,
         "x2_sessionize_chunked": _q_x2_sessionize_chunked,
-    # displaced from the r14 window by the md5-conversion fronting
-    # (their r09 verdicts project at the r15 floor — front them then)
         "a1_cube": _q_a1_cube,
         "a1_rollup": _q_a1_rollup,
         "a1_grouping_sets": _q_a1_grouping_sets,
@@ -6615,7 +6634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_range_join": _q_x2_range_join,
         "x1_tumbling_window": _q_x1_tumbling_window,
         "x1_session_window": _q_x1_session_window,
-    # r15/r16: the r11-verified tranche
         "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
         "p6_filter_eq": _q_p6_filter_eq,
         "p8_compound_filter": _q_p8_compound_filter,
@@ -6646,6 +6664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_chunk_documents": _q_t_chunk_documents,
         "t_curation_pipeline": _q_t_curation_pipeline,
         "v_l2_norm": _q_v_l2_norm,
+    # ---- behind the cap, in forward rotation order ----
+    # r16 leaders: the r11 remainder (project r11 >= floor r10 at r16)
         "s11_versioned_merge": _q_s11_versioned_merge,
         "v_cosine_topk": _q_v_cosine_topk,
         "t_robots_filter": _q_t_robots_filter,
@@ -6759,6 +6779,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_sliding_stream": _q_x1_sliding_stream,
         "x1_sliding_window": _q_x1_sliding_window,
         "x1_stream_dedup": _q_x1_stream_dedup,
+    # r18/r19: the r14-verified tranche (the r14 front-50, freshest)
+        "t_crawl_tick": _q_t_crawl_tick,
+        "x1_crawl_stream": _q_x1_crawl_stream,
+        "v_mmr_rerank": _q_v_mmr_rerank,
+        "v_pq_topk": _q_v_pq_topk,
+        "d_minhash_pairs": _q_d_minhash_pairs,
+        "d_minhash_dedup": _q_d_minhash_dedup,
+        "d_minhash_index_dedup": _q_d_minhash_index_dedup,
+        "d_simhash_pairs": _q_d_simhash_pairs,
+        "d_span_index_dedup": _q_d_span_index_dedup,
+        "d_cosine_dedup_lsh": _q_d_cosine_dedup_lsh,
+        "v_lsh_topk": _q_v_lsh_topk,
+        "a1_cms_topk": _q_a1_cms_topk,
+        "x1_cms_stream": _q_x1_cms_stream,
+        "a1_hll_rollup": _q_a1_hll_rollup,
+        "x1_hll_stream": _q_x1_hll_stream,
+        "v_ivf_topk": _q_v_ivf_topk,
+        "v_ivf_index_topk": _q_v_ivf_index_topk,
+        "v_semantic_dedup": _q_v_semantic_dedup,
+        "t_quality_model": _q_t_quality_model,
+        "x1_ann_stream": _q_x1_ann_stream,
+        "x1_stream_enrich": _q_x1_stream_enrich,
+        "x1_stream_warehouse": _q_x1_stream_warehouse,
+        "x1_retention_stream": _q_x1_retention_stream,
+        "j8_star_revenue": _q_j8_star_revenue,
+        "s16_quarantine": _q_s16_quarantine,
+        "x1_quarantine_stream": _q_x1_quarantine_stream,
+        "a1_unpivot": _q_a1_unpivot,
+        "j_salted_skew": _q_j_salted_skew,
+        "s7_warehouse_sink": _q_s7_warehouse_sink,
+        "t_apply_mixture": _q_t_apply_mixture,
+        "t_best_per_lang": _q_t_best_per_lang,
+        "t_mixture_weights": _q_t_mixture_weights,
+        "t_pack_sequences": _q_t_pack_sequences,
+        "t_stratified_sample": _q_t_stratified_sample,
+        "w2_surrogate_two_phase": _q_w2_surrogate_two_phase,
+        "w5_moving_avg": _q_w5_moving_avg,
+        "d_cosine_dedup": _q_d_cosine_dedup,
+        "d_exact_dedup": _q_d_exact_dedup,
+        "d_ngram_jaccard": _q_d_ngram_jaccard,
+        "g_dim_customers_faithful": _q_g_dim_customers_faithful,
+        "er_resolve": _q_er_resolve,
+        "er_golden": _q_er_golden,
+        "er_incremental": _q_er_incremental,
+        "x1_er_stream": _q_x1_er_stream,
+        "a1_groupby_agg": _q_a1_groupby_agg,
+        "j4_j5_fact_join": _q_j4_j5_fact_join,
+        "s6_s1_table_roundtrip": _q_s6_s1_table_roundtrip,
+        "p2_projection_rename": _q_p2_projection_rename,
+        "g_fact_sales_pit": _q_g_fact_sales_pit,
+        "j9_scd2_pit": _q_j9_scd2_pit,
     }
 
 
@@ -7378,6 +7449,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "v_l2_norm": f"SELECT vec_id, round({norm_sql}, 6) AS norm FROM embeddings",
         "v_mmr_rerank": _SQL_MMR_RERANK,
+        "t_bpe_tokens_small": _SQL_BPE_SMALL,
         "v_pq_topk": _SQL_PQ_TOPK,
         "v_dot_product": (
             f"SELECT e1.vec_id AS vec_id, round({dot64}, 6) AS dot "

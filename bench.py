@@ -417,6 +417,80 @@ def main() -> None:
             spark, fp_table, _fp_odds, max_hamming=3, append=False
         )
 
+    # q34 setup: standing IVF vector index (streaming-ANN steady
+    # state, round 15). Evens indexed untimed; each timed sample
+    # streams a 3-micro-batch feed of 1k FRESH-id odd vectors through
+    # stream_ivf_append (replay anti-join vs the id-bucketed index +
+    # nearest-cell assignment + partitioned bucketed append + drift
+    # log), then probes the grown index with ivf_query_index. Feeds
+    # are pre-written untimed with per-sample id offsets so every
+    # sample appends the same-size batch of genuinely new ids; the
+    # per-batch probe is flat in index size (SCALE.md 1x/10x/40x), so
+    # samples stay comparable as the index accretes across them.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    ivf_bench_table = "bench_ivf_idx"
+    for _t in (
+        ivf_bench_table,
+        f"{ivf_bench_table}_drift_stats",
+        f"{ivf_bench_table}_drift_log",
+        f"{ivf_bench_table}_centroids",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {_t}")
+    _emb_all = load(spark, sf_dir, "embeddings")
+    ivf_bench_cents = ivf_build_index(
+        _emb_all.filter(F.col("vec_id") % 2 == 0),
+        ivf_bench_table,
+        n_clusters=16,
+        seed=42,
+    )
+    _ann_odds = _emb_all.filter(F.col("vec_id") % 2 == 1)
+    ann_feed_root = _tempfile.mkdtemp(prefix="bench-ann-feed-")
+    for _s in range(8):  # >= samples + sub-second + gate re-times
+        for _j in range(3):
+            _ann_odds.filter(F.col("vec_id") % 3 == _j).select(
+                (F.col("vec_id") + F.lit((_s + 1) * 1_000_000)).alias(
+                    "vec_id"
+                ),
+                "embedding",
+            ).coalesce(1).write.mode("append").parquet(
+                f"{ann_feed_root}/s{_s}"
+            )
+    _ann_queries = (
+        _emb_all.filter(F.col("vec_id") < 30)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    _ann_sample = {"i": 0}
+
+    def q_ann_index_steady(spark, d):
+        from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+            stream_ivf_append,
+        )
+
+        i = min(_ann_sample["i"], 7)
+        _ann_sample["i"] += 1
+        sdf = (
+            spark.readStream.schema(_ann_odds.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{ann_feed_root}/s{i}")
+        )
+        with _tempfile.TemporaryDirectory() as ck:
+            stream_ivf_append(
+                sdf,
+                ivf_bench_table,
+                ivf_bench_cents,
+                checkpoint_dir=ck,
+                query_name="bench_q34",
+            )
+        return ivf_query_index(
+            spark, ivf_bench_table, _ann_queries, ivf_bench_cents,
+            k=10, n_probe=4,
+        )
+
     def q_crawl_chain(spark, d):
         # the crawl-to-corpus chain end-to-end (round 12): per-record
         # gzip WARC walk (odd docs ship the real .warc.gz container) ->
@@ -536,6 +610,11 @@ def main() -> None:
         # state tables on every invocation, so each min-of-N sample
         # measures the identical three-tick composition
         "q33_crawl_tick": (qs["t_crawl_tick"], True),
+        # streaming-ANN steady state (round 15): one 3-micro-batch
+        # ingest tick into the standing id-bucketed IVF index + a
+        # 30-query n_probe=4 probe of the grown index — the vector twin
+        # of q22's corpus-dedup and q30's Hamming steady states
+        "q34_ann_index_steady": (q_ann_index_steady, False),
     }
 
     # Warm the JVM/session and the Python/Arrow worker pool so q1/q11

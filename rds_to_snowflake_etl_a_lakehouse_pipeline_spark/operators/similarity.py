@@ -408,6 +408,11 @@ def ivf_load_centroids(spark, table: str) -> list[list[float]]:
             f"{_centroids_table(table)} is not a dense 0..k-1 cell map; "
             "rebuild the index"
         )
+    # the companion stores doubles; build-time centroids are doubles
+    # for BOTH impls (grid Lloyd means are exact-integer-sum divisions,
+    # still fractional doubles), and parquet double roundtrip is
+    # lossless — so the loaded matrix is bit-identical to the built one
+    # and the fingerprint check below proves it
     _check_centroids(spark, table, centroids)
     return centroids
 
@@ -592,7 +597,7 @@ def ivf_build_index(
 def ivf_append_index(
     new_vectors: DataFrame,
     table: str,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     drift_threshold: float = 1.5,
@@ -638,6 +643,11 @@ def ivf_append_index(
     """
     from ..sources.io import write_table
 
+    if centroids is None:
+        # no-driver-state form: resolve the CURRENT matrix from the
+        # persisted companion (also how appenders resume after a
+        # maintenance retrain rotated it)
+        centroids = ivf_load_centroids(new_vectors.sparkSession, table)
     _check_centroids(new_vectors.sparkSession, table, centroids)
     C = np.asarray(centroids, dtype=np.float64)
     dim = C.shape[1]
@@ -872,7 +882,7 @@ def ivf_query_index(
     spark,
     table: str,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
@@ -899,7 +909,15 @@ def ivf_query_index(
     :func:`grid_assign_cells` — same quantization, same tie-breaks —
     so the whole query is engine-replayable. Partition pruning is
     unchanged (layout only).
+
+    ``centroids=None`` loads the matrix from the persisted
+    ``{table}_centroids`` companion (:func:`ivf_load_centroids`) — the
+    no-driver-state form, and the way probes resume after a
+    maintenance retrain rotated the matrix. An explicitly passed
+    matrix is still fingerprint-validated against the index.
     """
+    if centroids is None:
+        centroids = ivf_load_centroids(spark, table)
     _check_centroids(spark, table, centroids)
     C = np.asarray(centroids, dtype=np.float64)
 

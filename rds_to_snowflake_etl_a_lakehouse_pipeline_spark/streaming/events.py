@@ -1211,8 +1211,8 @@ def stream_distinct_sketch(
 def stream_ivf_append(
     sdf: DataFrame,
     table: str,
-    centroids: list[list[float]],
-    checkpoint_dir: str,
+    centroids: list[list[float]] | None = None,
+    checkpoint_dir: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_name: str = "stream_ivf_append",
@@ -1244,8 +1244,20 @@ def stream_ivf_append(
     1×/10×/40× A/B. The id-column SCAN still grows with the index, but
     scanning one sorted parquet column is cheap and creep resets at
     every ``compact_index_table``.
+
+    ``centroids=None`` resolves the CURRENT matrix from the persisted
+    ``{table}_centroids`` companion once at stream start — the
+    no-driver-state form, and how an ingest restarts cleanly after a
+    maintenance ``ivf_retrain_index`` rotated the matrix (a stream
+    still holding the pre-retrain matrix fails fast on the fingerprint
+    check instead of mis-binning).
     """
-    from ..operators.similarity import ivf_append_index
+    from ..operators.similarity import ivf_append_index, ivf_load_centroids
+
+    if checkpoint_dir is None:
+        raise ValueError("stream_ivf_append requires checkpoint_dir")
+    if centroids is None:
+        centroids = ivf_load_centroids(sdf.sparkSession, table)
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -2391,3 +2391,79 @@ def test_cms_md5_family_matches_pure_python_grid(spark):
     assert est[7] >= 3 and est[13] >= 2 and est[999] >= 0
     with pytest.raises(ValueError, match="hash_impl"):
         cms_sketch(df, [], "user_id", hash_impl="sha9000").collect()
+
+
+def test_ivf_retrain_pq_index_keeps_codes(spark):
+    """ivf_retrain_index on a PQ-coded index: demands the original
+    codebook (rebuilt rows must carry codes), re-derives codes for the
+    rebuilt layout off the stored float vectors, rotates the persisted
+    centroid companion, and preserves both halves of the layout
+    contract (cell partitions + id buckets)."""
+    import numpy as np
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_retrain_index,
+        pq_train,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=4, n_codes=16)
+    t = "ivfpq_rt"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    ivf_build_index(df, t, n_clusters=2, pq_codebook=cb)
+    with pytest.raises(ValueError, match="SAME"):
+        ivf_retrain_index(spark, t)
+    new_cents = ivf_retrain_index(spark, t, pq_codebook=cb)
+    assert ivf_load_centroids(spark, t) == new_cents
+    tbl = spark.table(t)
+    assert tbl.count() == 80
+    assert tbl.filter(F.col("pq_code").isNull()).count() == 0
+    meta = get_table_meta(spark, t)
+    assert meta["partition_cols"] == "_cell"
+    assert meta["bucket_cols"] == "vec_id"
+
+
+def test_ivf_companion_centroids_resolve_when_none(spark):
+    """centroids=None on probe/append resolves the persisted
+    {table}_centroids companion and matches an explicitly-passed
+    matrix bit-for-bit (parquet double roundtrip is lossless, proven
+    by the fingerprint check inside the loader)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_query_index,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t = "ivf_none_cents"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    cents = ivf_build_index(df, t, n_clusters=4, impl="grid")
+    loaded = ivf_load_centroids(spark, t)
+    assert loaded == cents  # double roundtrip is exact
+    q = spark.createDataFrame(
+        [(1, [2.0, 3.0])], "query_id long, embedding array<double>"
+    )
+    explicit = sorted(
+        map(tuple, ivf_query_index(spark, t, q, cents, k=5, impl="grid").collect())
+    )
+    resolved = sorted(
+        map(tuple, ivf_query_index(spark, t, q, None, k=5, impl="grid").collect())
+    )
+    assert explicit == resolved
+    extra = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rep = ivf_append_index(extra, t)  # centroids resolved from companion
+    assert rep["n_appended"] == 1
