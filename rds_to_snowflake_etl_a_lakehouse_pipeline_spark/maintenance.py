@@ -235,7 +235,11 @@ def run_maintenance(
     they pick up the new one), so it stays opt-in rather than riding
     the generic ``apply``. The index carries everything the retrain
     needs; PQ-coded indexes are skipped with a note (the rebuild needs
-    the caller-held codebook — call ``ivf_retrain_index`` directly)."""
+    the caller-held codebook — call ``ivf_retrain_index`` directly).
+    When the drift is one or two overfull cells rather than a globally
+    stale quantizer, ``similarity.ivf_split_hot_cells`` is the cheaper
+    surgical alternative (rewrites only the hot partitions) — invoked
+    directly, not through this generic sweep."""
     sweep = health_sweep(spark, versioned_roots, database)
     applied: dict[str, str] = {}
     if apply:

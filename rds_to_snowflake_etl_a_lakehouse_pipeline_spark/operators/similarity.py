@@ -538,24 +538,53 @@ def ivf_build_index(
     )
 
     spark = corpus.sparkSession
-    from ..sources.io import set_table_meta
+    _finalize_index_contract(
+        spark,
+        table,
+        centroids,
+        impl=impl,
+        pq=pq_codebook is not None,
+        n_id_buckets=n_id_buckets,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return centroids
+
+
+def _finalize_index_contract(
+    spark,
+    table: str,
+    centroids: list[list[float]],
+    impl: str,
+    pq: bool,
+    n_id_buckets: int,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Record everything that makes an IVF table self-describing after
+    its rows changed quantizer: contract metadata (incl. the rotated
+    centroid fingerprint — stale matrices are rejected from here on),
+    the persisted ``{table}_centroids`` companion other sessions
+    resolve, a FRESH drift baseline (one read-only scan of the index),
+    and a cleared per-append drift log (reports against the old
+    centroids are meaningless, and this resets maintenance's
+    ``retrain_recommended``). Shared by build, retrain, and hot-cell
+    split — the three paths that rotate the matrix."""
+    from ..sources.io import set_table_meta, write_table
 
     set_table_meta(
         spark,
         table,
         kind="ivf",
-        n_clusters=n_clusters,
+        n_clusters=len(centroids),
         dim=len(centroids[0]),
-        pq=str(pq_codebook is not None).lower(),
+        pq=str(pq).lower(),
         impl=impl,
         centroid_fp=_centroid_fingerprint(centroids),
         partition_cols="_cell",
         n_buckets=n_id_buckets,
         bucket_cols=id_col,
     )
-    # persist the centroid matrix beside the table (k × dim — tiny):
-    # other sessions, and probes resuming after ivf_retrain_index
-    # rotated the matrix, recover it with ivf_load_centroids
     write_table(
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -563,9 +592,6 @@ def ivf_build_index(
         ),
         _centroids_table(table),
     )
-    # a fresh build means a fresh quantizer: per-append drift reports
-    # against the OLD centroids are meaningless now (this also resets
-    # maintenance's retrain_recommended after ivf_retrain_index)
     spark.sql(f"DROP TABLE IF EXISTS {_drift_log_table(table)}")
     # grid centroids live in quantized units: measure drift in the
     # same units so build stats and append batches stay comparable
@@ -591,7 +617,6 @@ def ivf_build_index(
         )
     )
     write_table(stats, _drift_stats_table(table))
-    return centroids
 
 
 def ivf_append_index(
@@ -782,9 +807,11 @@ def ivf_append_index(
             "batch_p95_dist double, drift_ratio double, "
             "rebuild_recommended boolean",
         ).withColumn("logged_at", F.current_timestamp())
-        log_row.write.mode("append").format("parquet").saveAsTable(
-            _drift_log_table(table)
-        )
+        # through write_table for the orphan-directory retry: a prior
+        # session's dropped index can leave an unregistered
+        # {table}_drift_log directory behind, and a raw saveAsTable
+        # append would die on LOCATION_ALREADY_EXISTS
+        write_table(log_row, _drift_log_table(table), mode="append")
     return report
 
 
@@ -856,6 +883,145 @@ def ivf_retrain_index(
         n_id_buckets=nb,
     )
     spark.sql(f"DROP TABLE IF EXISTS {_drift_log_table(table)}")
+    return centroids
+
+
+def ivf_split_hot_cells(
+    spark,
+    table: str,
+    max_cell_fraction: float = 0.25,
+    seed: int = 42,
+    fit_target_rows: int = 100_000,
+) -> list[list[float]]:
+    """The INCREMENTAL drift remediation: split only the cells that
+    got hot, touching only their partitions. Where
+    :func:`ivf_retrain_index` re-fits and rewrites the WHOLE index
+    (one fit + one assignment pass + one full write — the right call
+    when the quantizer is globally stale), a drifted ingest more often
+    produces one or two overfull cells (every out-of-distribution
+    vector crams into its nearest old cell); splitting those in place
+    costs a bounded 2-means fit per hot cell plus a DYNAMIC PARTITION
+    OVERWRITE of just the hot and newly-created cell directories — at
+    100 TB that is a rewrite of the skewed percent, not the corpus.
+    Untouched cells' files are left byte-identical (pinned by test),
+    and the id-bucket spec is preserved because ``insertInto`` on a
+    bucketed catalog table writes bucket-aligned files (also pinned).
+
+    Mechanics per hot cell (row count > ``max_cell_fraction`` × index
+    rows, needs ≥ 2 rows): fit k=2 on the cell's own vectors (bounded
+    sample, impl-aware — grid cells re-fit with the deterministic
+    trainer in quantized units, mllib cells with seeded KMeans), child
+    A keeps the old cell id, child B appends as cell ``len(matrix)``;
+    a split where one child ends up empty (all-identical vectors) is
+    skipped. PQ codes ride along untouched — they encode the vector,
+    not the cell. Finishes by rotating the index contract
+    (:func:`_finalize_index_contract`): new ``{table}_centroids``
+    companion + fingerprint (stale matrices rejected), fresh drift
+    baseline, cleared drift log. Returns the new centroid matrix;
+    probes pick it up via :func:`ivf_load_centroids`.
+    """
+    from ..sources.io import get_table_meta
+
+    meta = get_table_meta(spark, table)
+    if meta.get("kind") != "ivf":
+        raise ValueError(
+            f"{table!r} is not an IVF index (kind={meta.get('kind')!r})"
+        )
+    centroids = [list(c) for c in ivf_load_centroids(spark, table)]
+    impl = meta.get("impl", "mllib")
+    n_id_buckets = int(meta.get("n_buckets", 0) or 8)
+    cols = spark.table(table).columns
+    id_col, vec_col = cols[0], cols[1]
+    data_cols = [c for c in cols if c != "_cell"]
+
+    sizes = {
+        r["_cell"]: r["n"]
+        for r in spark.table(table)
+        .groupBy("_cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    hot = sorted(
+        c
+        for c, n in sizes.items()
+        if total and n > max_cell_fraction * total and n >= 2
+    )
+    if not hot:
+        return centroids
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for cell in hot:
+            rows_c = spark.table(table).filter(F.col("_cell") == cell)
+            if impl == "grid":
+                sub = grid_kmeans_fit(
+                    rows_c, id_col, vec_col, k=2, iters=2
+                )
+                assigned = (
+                    grid_assign_cells(
+                        rows_c,
+                        id_col,
+                        vec_col,
+                        sub,
+                        keep_cols=[c for c in data_cols if c != id_col],
+                    )
+                    .drop("_vq")
+                    .withColumnRenamed("cell", "_child")
+                )
+            else:
+                from pyspark.ml.clustering import KMeans
+                from pyspark.ml.functions import array_to_vector
+
+                c_vec = rows_c.withColumn(
+                    "_v", array_to_vector(F.col(vec_col))
+                )
+                fit_df = _bounded_fit(c_vec, None, seed, fit_target_rows)
+                model = KMeans(
+                    k=2, seed=seed, featuresCol="_v", predictionCol="_child"
+                ).fit(fit_df)
+                assigned = model.transform(c_vec).drop("_v")
+                sub = [list(map(float, ct)) for ct in model.clusterCenters()]
+            assigned = assigned.localCheckpoint(eager=True)
+            counts = {
+                r["_child"]: r["n"]
+                for r in assigned.groupBy("_child")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if len(counts) < 2:
+                # degenerate cell (all-identical vectors): nothing to
+                # split; keep the old centroid and move on
+                continue
+            new_id = len(centroids)
+            out = assigned.select(
+                *data_cols,
+                F.when(F.col("_child") == 0, F.lit(cell))
+                .otherwise(F.lit(new_id))
+                .cast("int")
+                .alias("_cell"),
+            )
+            # positional insert: out's column order matches the table
+            # (data cols in table order, partition col last)
+            out.write.mode("overwrite").insertInto(table)
+            centroids[cell] = list(sub[0])
+            centroids.append(list(sub[1]))
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    spark.catalog.refreshTable(table)
+    _finalize_index_contract(
+        spark,
+        table,
+        centroids,
+        impl=impl,
+        pq=meta.get("pq") == "true",
+        n_id_buckets=n_id_buckets,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
     return centroids
 
 

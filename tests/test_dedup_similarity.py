@@ -2467,3 +2467,95 @@ def test_ivf_companion_centroids_resolve_when_none(spark):
     )
     rep = ivf_append_index(extra, t)  # centroids resolved from companion
     assert rep["n_appended"] == 1
+
+
+def test_ivf_split_hot_cells_partition_scoped(spark):
+    """Hot-cell split: a drifted blob crams one cell past the hot
+    threshold; ivf_split_hot_cells splits ONLY that cell (2-means on
+    its own rows), rewriting just the hot + new cell directories —
+    untouched cells' files stay byte-identical — while rows are
+    preserved exactly, the matrix grows to k+1, the stale matrix is
+    rejected, and probes with the rotated matrix find the drifted
+    region in its own cell."""
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_query_index,
+        ivf_split_hot_cells,
+    )
+
+    t = "ivf_split_hot"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    import random
+
+    rng = random.Random(5)
+    rows, vid = [], 0
+    for cx, cy in ((0.0, 0.0), (10.0, 0.0), (0.0, 10.0)):
+        for _ in range(20):
+            rows.append(
+                (vid, [cx + rng.uniform(-0.3, 0.3), cy + rng.uniform(-0.3, 0.3)])
+            )
+            vid += 1
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents0 = ivf_build_index(base, t, n_clusters=3, seed=11)
+
+    drift_rows = []
+    for _ in range(30):
+        drift_rows.append(
+            (vid, [60.0 + rng.uniform(-0.5, 0.5), 40.0 + rng.uniform(-0.5, 0.5)])
+        )
+        vid += 1
+    drifted = spark.createDataFrame(
+        drift_rows, "vec_id long, embedding array<double>"
+    )
+    ivf_append_index(drifted, t, cents0)
+
+    sizes = {
+        r["_cell"]: r["n"]
+        for r in spark.table(t).groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    }
+    hot_cell = max(sizes, key=sizes.get)
+    assert sizes[hot_cell] == 50  # its own blob + all 30 drifted rows
+    ids_before = sorted(r["vec_id"] for r in spark.table(t).collect())
+    files_before = {
+        c: sorted(f for f in spark.table(t).inputFiles() if f"_cell={c}/" in f)
+        for c in sizes
+        if c != hot_cell
+    }
+
+    new_cents = ivf_split_hot_cells(spark, t, max_cell_fraction=0.25)
+    assert len(new_cents) == 4
+    assert ivf_load_centroids(spark, t) == new_cents
+
+    # rows preserved exactly; hot cell split into two non-empty cells
+    assert sorted(r["vec_id"] for r in spark.table(t).collect()) == ids_before
+    sizes2 = {
+        r["_cell"]: r["n"]
+        for r in spark.table(t).groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(sizes2) == 4
+    assert {sizes2[hot_cell], sizes2[3]} == {20, 30}
+    # untouched cells' files are byte-identical (partition-scoped write)
+    for c, before in files_before.items():
+        after = sorted(
+            f for f in spark.table(t).inputFiles() if f"_cell={c}/" in f
+        )
+        assert after == before, c
+
+    # stale matrix rejected; rotated matrix finds the drifted region
+    q = spark.createDataFrame(
+        [(1, [60.0, 40.0])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        ivf_query_index(spark, t, q, cents0, k=5, n_probe=1)
+    got = {
+        r["vec_id"]
+        for r in ivf_query_index(spark, t, q, new_cents, k=5, n_probe=1).collect()
+    }
+    assert got <= {r[0] for r in drift_rows} and len(got) == 5
+    # drift log cleared by the contract rotation
+    assert not spark.catalog.tableExists(f"{t}_drift_log")

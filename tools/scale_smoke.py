@@ -569,8 +569,8 @@ def main() -> None:
 
     ivf_n = mult * 20_000
     ivf_table = f"scale_ivf_idx_{mult}x"
-    spark.sql(f"DROP TABLE IF EXISTS {ivf_table}")
-    spark.sql(f"DROP TABLE IF EXISTS {ivf_table}_drift_stats")
+    for suffix in ("", "_drift_stats", "_drift_log", "_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {ivf_table}{suffix}")
     dim8 = [
         (
             F.pmod(F.xxhash64(F.col("id") + F.lit(j)), F.lit(1000)) / 500.0
@@ -611,8 +611,8 @@ def main() -> None:
             "ivf_seen_append_5k_batch",
             lambda: ivf_append_index(fresh, ivf_table, ivf_cents)["n_appended"],
         )
-    spark.sql(f"DROP TABLE IF EXISTS {ivf_table}")
-    spark.sql(f"DROP TABLE IF EXISTS {ivf_table}_drift_stats")
+    for suffix in ("", "_drift_stats", "_drift_log", "_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {ivf_table}{suffix}")
 
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
