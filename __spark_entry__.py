@@ -4235,6 +4235,54 @@ def _q_v_ivf_index_topk(spark, sf_dir):
     return ivf_query_index(spark, table, q, centroids, k=10, impl="grid")
 
 
+def _q_v_ivf_split_topk(spark, sf_dir):
+    """The round-15 drift-remediation tier, oracle-backed END TO END:
+    build a grid IVF index on three quarters of the corpus, stream in
+    a drifted quarter (synthetic out-of-distribution vectors, element
+    j = (vec_id % 5) + 3 + (j % 2) — integer-valued, so float32
+    storage and the ×2^20 quantization are EXACT in both engines) that
+    crams into one cell past the 0.3 hot fraction, run
+    ``ivf_split_hot_cells`` (bounded grid 2-means over the hot cell's
+    own rows + dynamic partition overwrite of only the hot and new
+    cell directories), then probe the 5-cell index at n_probe=2. The
+    DuckDB oracle replays every stage: the k=4 grid fit, the append
+    assignment, the size/fraction hot-cell detection, the k=2 sub-fit
+    (same md5-seeded init over the hot rows), the child reassignment
+    (child 0 keeps the hot id, child 1 becomes cell 4), and the cosine
+    ranking. Fixture margin: at every shipped SF exactly one cell
+    exceeds 0.3 (runner-up ≤ 0.26) — verified at sf0.001/0.01/0.1."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+        ivf_split_hot_cells,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    t = "ivf_split_q_" + _fixture_key(sf_dir)
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    a = e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") % 4 != 0)).select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_build_index(a, t, n_clusters=4, impl="grid")
+    drift = e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") % 4 == 0)).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: ((F.col("vec_id") % 5) + 3 + (j % 2)).cast("float"),
+        ).alias("embedding"),
+    )
+    ivf_append_index(drift, t, cents)
+    new_cents = ivf_split_hot_cells(spark, t, max_cell_fraction=0.3)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_query_index(
+        spark, t, q, new_cents, k=10, n_probe=2, impl="grid"
+    )
+
+
 def _q_d_minhash_index_dedup(spark, sf_dir):
     """Write-once MinHash index + incremental batch dedup
     (operators/dedup.py::minhash_build_index / minhash_incremental_dedup
@@ -5974,36 +6022,42 @@ _SQL_LSH_TOPK = "WITH m AS (SELECT k, j, CASE WHEN ('0x'||substr(md5('42:' || CA
 # squared-L2 folds in array order with (d, cell) tie-breaks. The CTE
 # chain below IS the Lloyd loop, one block per iteration; empty cells
 # keep their previous centroid via the LEFT JOIN + COALESCE.
-def _sql_grid_kmeans_ctes(src: str, k: int, iters: int, dim: int = 64) -> str:
+def _sql_grid_kmeans_ctes(
+    src: str, k: int, iters: int, dim: int = 64, prefix: str = ""
+) -> str:
+    """``prefix`` namespaces the generated CTEs (cent0, dist1, ...) so
+    one oracle can run TWO grid fits — e.g. v_ivf_split_topk's k=4
+    build plus the k=2 sub-fit over the hot cell's own rows."""
     d_expr = (
         "list_sum(list_transform(range(1,{n}), j -> "
         "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]) * "
         "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j])))".format(n=dim + 1)
     )
+    x = prefix
     parts = [
-        f"cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, "
+        f"{x}cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, "
         f"list_transform(vq, x -> CAST(x AS DOUBLE)) AS cvec FROM {src} "
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})"
     ]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(
-            f"dist{i} AS (SELECT c.vec_id, c.vq, ct.cell, {d_expr} AS d "
-            f"FROM {src} c, cent{p} ct)"
+            f"{x}dist{i} AS (SELECT c.vec_id, c.vq, ct.cell, {d_expr} AS d "
+            f"FROM {src} c, {x}cent{p} ct)"
         )
         parts.append(
-            f"asg{i} AS (SELECT vec_id, vq, cell FROM (SELECT *, "
+            f"{x}asg{i} AS (SELECT vec_id, vq, cell FROM (SELECT *, "
             f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn "
-            f"FROM dist{i}) WHERE rn = 1)"
+            f"FROM {x}dist{i}) WHERE rn = 1)"
         )
         parts.append(
-            f"upd{i} AS (SELECT cell, list(CAST(s AS DOUBLE)/CAST(n AS DOUBLE) ORDER BY j) AS cvec "
+            f"{x}upd{i} AS (SELECT cell, list(CAST(s AS DOUBLE)/CAST(n AS DOUBLE) ORDER BY j) AS cvec "
             f"FROM (SELECT cell, j, sum(vq[j]) AS s, count(*) AS n "
-            f"FROM asg{i}, range(1,{dim + 1}) r(j) GROUP BY cell, j) GROUP BY cell)"
+            f"FROM {x}asg{i}, range(1,{dim + 1}) r(j) GROUP BY cell, j) GROUP BY cell)"
         )
         parts.append(
-            f"cent{i} AS (SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec "
-            f"FROM cent{p} p LEFT JOIN upd{i} u ON u.cell = p.cell)"
+            f"{x}cent{i} AS (SELECT p.cell, COALESCE(u.cvec, p.cvec) AS cvec "
+            f"FROM {x}cent{p} p LEFT JOIN {x}upd{i} u ON u.cell = p.cell)"
         )
     return ", ".join(parts)
 
@@ -6040,6 +6094,62 @@ _SQL_IVF_TOPK = (
     "cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN fasg a ON a.cell = p.cell), "
     "scored AS (SELECT cand.query_id, cand.vec_id, " + _SQL_COS64 + " AS cos_sim "
     "FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id "
+    "JOIN (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3) q "
+    "ON q.query_id = cand.query_id) "
+    "SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank "
+    "FROM scored) WHERE rank <= 10"
+)
+
+
+# Round-15 drift-remediation oracle: replays build -> drifted append ->
+# hot-cell detection -> grid 2-means sub-fit -> child reassignment ->
+# 5-cell probe, end to end (see _q_v_ivf_split_topk's docstring).
+_SQL_D64 = (
+    "list_sum(list_transform(range(1,65), j -> "
+    "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j]) * "
+    "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j])))"
+)
+
+_SQL_IVF_SPLIT_TOPK = (
+    "WITH corpq AS (SELECT vec_id, embedding, " + _SQL_QUANT + " AS vq "
+    "FROM embeddings WHERE vec_id >= 3 AND vec_id % 4 <> 0), "
+    + _sql_grid_kmeans_ctes("corpq", k=4, iters=2)
+    + ", driftq AS (SELECT vec_id, "
+    "list_transform(range(1,65), j -> CAST((vec_id % 5) + 3 + (j % 2) AS DOUBLE)) AS embedding, "
+    "list_transform(range(1,65), j -> CAST(((vec_id % 5) + 3 + (j % 2)) * 1048576 AS BIGINT)) AS vq "
+    "FROM embeddings WHERE vec_id >= 3 AND vec_id % 4 = 0), "
+    "fdistA AS (SELECT c.vec_id, c.vq, ct.cell, " + _SQL_D64 + " AS d FROM corpq c, cent2 ct), "
+    "fasgA AS (SELECT vec_id, vq, cell FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fdistA) WHERE rn = 1), "
+    "fdistB AS (SELECT c.vec_id, c.vq, ct.cell, " + _SQL_D64 + " AS d FROM driftq c, cent2 ct), "
+    "fasgB AS (SELECT vec_id, vq, cell FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fdistB) WHERE rn = 1), "
+    "allasg AS (SELECT * FROM fasgA UNION ALL SELECT * FROM fasgB), "
+    "cellcounts AS (SELECT cell, count(*) AS n FROM allasg GROUP BY cell), "
+    "hot AS (SELECT cell FROM cellcounts WHERE n > 0.3 * "
+    "(SELECT sum(n) FROM cellcounts) AND n >= 2), "
+    "hotrows AS (SELECT vec_id, vq FROM allasg WHERE cell = (SELECT cell FROM hot)), "
+    + _sql_grid_kmeans_ctes("hotrows", k=2, iters=2, prefix="s_")
+    + ", childdist AS (SELECT c.vec_id, ct.cell, " + _SQL_D64 + " AS d FROM hotrows c, s_cent2 ct), "
+    "childasg AS (SELECT vec_id, cell AS child FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM childdist) WHERE rn = 1), "
+    "finalasg AS (SELECT vec_id, cell FROM allasg WHERE cell <> (SELECT cell FROM hot) "
+    "UNION ALL SELECT vec_id, CASE WHEN child = 0 THEN (SELECT cell FROM hot) "
+    "ELSE 4 END AS cell FROM childasg), "
+    "newcent AS (SELECT p.cell, CASE WHEN p.cell = (SELECT cell FROM hot) "
+    "THEN (SELECT cvec FROM s_cent2 WHERE cell = 0) ELSE p.cvec END AS cvec FROM cent2 p "
+    "UNION ALL SELECT 4 AS cell, (SELECT cvec FROM s_cent2 WHERE cell = 1) AS cvec), "
+    "qq AS (SELECT vec_id AS query_id, embedding, " + _SQL_QUANT + " AS vq "
+    "FROM embeddings WHERE vec_id < 3), "
+    "qdist AS (SELECT c.query_id, ct.cell, " + _SQL_D64 + " AS d FROM qq c, newcent ct), "
+    "probes AS (SELECT query_id, cell FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY d, cell) AS rn FROM qdist) WHERE rn <= 2), "
+    "cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN finalasg a ON a.cell = p.cell), "
+    "allemb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3 AND vec_id % 4 <> 0 "
+    "UNION ALL SELECT vec_id, embedding FROM driftq), "
+    "scored AS (SELECT cand.query_id, cand.vec_id, " + _SQL_COS64 + " AS cos_sim "
+    "FROM cand JOIN allemb c ON c.vec_id = cand.vec_id "
     "JOIN (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3) q "
     "ON q.query_id = cand.query_id) "
     "SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM "
@@ -6580,16 +6690,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across rounds so every registered query keeps a driver verdict
     against CURRENT testdata.
 
-    r15 window (this ordering): the round-15 addition
-    (t_bpe_tokens_small — the 8-merge oracle-backed BPE twin, needing
-    its first driver verdict), then the ENTIRE r09-verified remainder
-    (19 entries, which projected exactly at the budget-6 floor this
-    round — mandatory; includes the sanctioned rows-only
-    a1_approx_distinct), then 30 of the 50 r11-verified entries in
-    registration order. The r11 remainder (20 entries) leads r16,
-    where it projects r11 >= floor r10; after this window the worst
-    projected verdict sits at r11 vs floor r09 — two rounds of
-    restored margin.
+    r15 window (this ordering): the two round-15 additions
+    (t_bpe_tokens_small — the 8-merge oracle-backed BPE twin — and
+    v_ivf_split_topk — the hot-cell-split drift remediation replayed
+    end-to-end; both need their first driver verdict), then the
+    ENTIRE r09-verified remainder (19 entries, which projected
+    exactly at the budget-6 floor this round — mandatory; includes
+    the sanctioned rows-only a1_approx_distinct), then 29 of the 50
+    r11-verified entries in registration order. The r11 remainder
+    (21 entries) leads r16, where it projects r11 >= floor r10;
+    after this window the worst projected verdict sits at r11 vs
+    floor r09 — two rounds of restored margin.
 
     Rotation arithmetic (why the budget is 6, not 5): 211 registered
     entries cycle through a 50-slot window, so a full re-verification
@@ -6608,13 +6719,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordering) and run the registry meta-test after reordering
     (tests/test_curation.py::test_registry_contract_consistency)."""
     return {
-    # ---- r15 front-50: the round-15 addition (t_bpe_tokens_small,
-    # ---- needs its first driver verdict), then the ENTIRE r09-verified
-    # ---- remainder (19 entries — they project exactly at the budget-6
-    # ---- floor this round and MUST front; includes the sanctioned
-    # ---- rows-only a1_approx_distinct), then the r11 tranche
-    # ---- oldest-registered-first (30 of 50).
+    # ---- r15 front-50: the two round-15 additions (t_bpe_tokens_small,
+    # ---- v_ivf_split_topk — both need their first driver verdict),
+    # ---- then the ENTIRE r09-verified remainder (19 entries — they
+    # ---- project exactly at the budget-6 floor this round and MUST
+    # ---- front; includes the sanctioned rows-only
+    # ---- a1_approx_distinct), then the r11 tranche
+    # ---- oldest-registered-first (29 of 50).
         "t_bpe_tokens_small": _q_t_bpe_tokens_small,
+        "v_ivf_split_topk": _q_v_ivf_split_topk,
         "t_cluster_split": _q_t_cluster_split,
         "m_decode_jpeg": _q_m_decode_jpeg,
         "a1_approx_distinct": _q_a1_approx_distinct,
@@ -6663,9 +6776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_hash_split": _q_t_hash_split,
         "t_chunk_documents": _q_t_chunk_documents,
         "t_curation_pipeline": _q_t_curation_pipeline,
-        "v_l2_norm": _q_v_l2_norm,
     # ---- behind the cap, in forward rotation order ----
     # r16 leaders: the r11 remainder (project r11 >= floor r10 at r16)
+        "v_l2_norm": _q_v_l2_norm,
         "s11_versioned_merge": _q_s11_versioned_merge,
         "v_cosine_topk": _q_v_cosine_topk,
         "t_robots_filter": _q_t_robots_filter,
@@ -7450,6 +7563,7 @@ def oracle_sql() -> dict[str, str]:
         "v_l2_norm": f"SELECT vec_id, round({norm_sql}, 6) AS norm FROM embeddings",
         "v_mmr_rerank": _SQL_MMR_RERANK,
         "t_bpe_tokens_small": _SQL_BPE_SMALL,
+        "v_ivf_split_topk": _SQL_IVF_SPLIT_TOPK,
         "v_pq_topk": _SQL_PQ_TOPK,
         "v_dot_product": (
             f"SELECT e1.vec_id AS vec_id, round({dot64}, 6) AS dot "

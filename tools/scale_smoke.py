@@ -614,6 +614,47 @@ def main() -> None:
     for suffix in ("", "_drift_stats", "_drift_log", "_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {ivf_table}{suffix}")
 
+    # drift remediation A/B (round 15): the SAME drifted index state
+    # built twice — 20% of rows out-of-distribution, crammed into one
+    # hot cell — remediated once by ivf_split_hot_cells (rewrites only
+    # the hot + new cell directories) and once by ivf_retrain_index
+    # (refit + full rewrite). The ratio is the rewrite-share argument:
+    # split cost tracks the HOT CELL (drift share + one cell's corpus
+    # share, here ~25% of rows at k=16), retrain tracks the corpus; at
+    # production k (thousands of cells) the hot share — and the split
+    # cost — shrinks toward the drift itself.
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_retrain_index,
+        ivf_split_hot_cells,
+    )
+
+    drift_n = mult * 5_000
+    driftvec = spark.range(10_000_000, 10_000_000 + drift_n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.lit(50.0) + (F.col("id") % 5 + j % 2).cast("double"))
+                for j in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    for variant, act in (
+        ("split", lambda t: ivf_split_hot_cells(spark, t, max_cell_fraction=0.15)),
+        ("retrain", lambda t: ivf_retrain_index(spark, t)),
+    ):
+        if not enabled("ivf_remed"):
+            break
+        rt = f"scale_ivf_remed_{variant}_{mult}x"
+        for suffix in ("", "_drift_stats", "_drift_log", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {rt}{suffix}")
+        cents = ivf_build_index(ivf_corpus, rt, n_clusters=16)
+        ivf_append_index(driftvec, rt, cents)
+        out = stage(f"ivf_remed_{variant}", lambda a=act, t=rt: a(t))
+        stats[f"ivf_remed_{variant}_k"] = len(out) if out else None
+        stats[f"ivf_remed_{variant}_rows"] = spark.table(rt).count()
+        for suffix in ("", "_drift_stats", "_drift_log", "_centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {rt}{suffix}")
+
     print(json.dumps({"multiplier": mult, "timings": timings, "stats": stats}))
     spark.stop()
 
