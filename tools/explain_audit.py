@@ -118,6 +118,9 @@ AUDIT = [
     "t_sitemap_urls",
     "d_exact_index_dedup",
     "t_dsir_select",
+    # round-15 additions (drift remediation + BPE twin)
+    "t_bpe_tokens_small",
+    "v_ivf_split_topk",
 ]
 
 
@@ -129,7 +132,12 @@ def main() -> None:
 
     spark = get_spark("explain-audit")
     qs = ent.queries()
+    # optional comma-list substring filter (argv[2]) for auditing a
+    # round's additions without replaying the whole list
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     for name in AUDIT:
+        if only and not any(s in name for s in only):
+            continue
         plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         print(
             f"{name}: broadcast_joins="
