@@ -2559,3 +2559,79 @@ def test_ivf_split_hot_cells_partition_scoped(spark):
     assert got <= {r[0] for r in drift_rows} and len(got) == 5
     # drift log cleared by the contract rotation
     assert not spark.catalog.tableExists(f"{t}_drift_log")
+
+
+def test_ivf_split_preserves_pq_codes(spark):
+    """Splitting a hot cell of a PQ-coded index carries pq_code through
+    the rewrite untouched (codes encode the vector, not the cell) and
+    needs no codebook — unlike retrain, which re-derives codes."""
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_split_hot_cells,
+        pq_train,
+    )
+
+    t = "ivfpq_split"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=4, n_codes=16)
+    cents = ivf_build_index(df, t, n_clusters=2, pq_codebook=cb)
+    # TIGHT drifted blob (sigma 0.01) so every drifted vector lands in
+    # the same nearest-of-two cells — one hot cell, not two
+    drift = spark.createDataFrame(
+        [
+            (100 + i, (rng.standard_normal(16) * 0.01 + 30.0).tolist())
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_append_index(drift, t, cents, pq_codebook=cb)
+    codes_before = {
+        r["vec_id"]: list(r["pq_code"]) for r in spark.table(t).collect()
+    }
+    new_cents = ivf_split_hot_cells(spark, t, max_cell_fraction=0.5)
+    assert len(new_cents) == 3
+    codes_after = {
+        r["vec_id"]: list(r["pq_code"]) for r in spark.table(t).collect()
+    }
+    assert codes_after == codes_before  # byte-identical codes, all rows
+
+
+def test_ivf_split_skips_degenerate_hot_cell(spark):
+    """A hot cell of ALL-IDENTICAL vectors cannot be split (2-means
+    puts every row in one child): the split skips it, the matrix is
+    unchanged, and probes with the ORIGINAL matrix keep working (no
+    contract rotation happened... the fingerprint re-records the same
+    matrix, so the old handle stays valid)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_split_hot_cells,
+    )
+
+    t = "ivf_split_degen"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    # three point-masses: the (0,0) mass is hot (20 of 30 rows) AND
+    # all-identical — the degenerate case a 2-means cannot separate
+    rows = (
+        [(i, [0.0, 0.0]) for i in range(20)]
+        + [(100 + i, [10.0, 0.0]) for i in range(5)]
+        + [(200 + i, [0.0, 10.0]) for i in range(5)]
+    )
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_build_index(base, t, n_clusters=3, seed=3)
+    new_cents = ivf_split_hot_cells(spark, t, max_cell_fraction=0.5)
+    assert new_cents == [list(c) for c in cents]  # unchanged matrix
+    assert spark.table(t).count() == 30
+    out = ivf_query_index(spark, t,
+        spark.createDataFrame([(1, [0.0, 0.0])],
+                              "query_id long, embedding array<double>"),
+        cents, k=3, n_probe=1)
+    assert out.count() == 3  # original handle still valid
