@@ -892,6 +892,7 @@ def ivf_split_hot_cells(
     max_cell_fraction: float = 0.25,
     seed: int = 42,
     fit_target_rows: int = 100_000,
+    rounds: int = 1,
 ) -> list[list[float]]:
     """The INCREMENTAL drift remediation: split only the cells that
     got hot, touching only their partitions. Where
@@ -919,6 +920,14 @@ def ivf_split_hot_cells(
     companion + fingerprint (stale matrices rejected), fresh drift
     baseline, cleared drift log. Returns the new centroid matrix;
     probes pick it up via :func:`ivf_load_centroids`.
+
+    One pass may leave a CHILD still over the fraction (a 70% cell
+    splitting 40/30 against a 0.25 bound): ``rounds > 1`` re-detects
+    and re-splits until no cell is hot, every split produced no
+    progress (all degenerate), or the round budget runs out — each
+    extra round touches only the still-hot partitions, so cost stays
+    proportional to the remaining skew. If nothing split at all, the
+    contract is left untouched (no fingerprint rotation).
     """
     from ..sources.io import get_table_meta
 
@@ -934,83 +943,94 @@ def ivf_split_hot_cells(
     id_col, vec_col = cols[0], cols[1]
     data_cols = [c for c in cols if c != "_cell"]
 
-    sizes = {
-        r["_cell"]: r["n"]
-        for r in spark.table(table)
-        .groupBy("_cell")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    total = sum(sizes.values())
-    hot = sorted(
-        c
-        for c, n in sizes.items()
-        if total and n > max_cell_fraction * total and n >= 2
-    )
-    if not hot:
-        return centroids
-
+    changed = False
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        for cell in hot:
-            rows_c = spark.table(table).filter(F.col("_cell") == cell)
-            if impl == "grid":
-                sub = grid_kmeans_fit(
-                    rows_c, id_col, vec_col, k=2, iters=2
-                )
-                assigned = (
-                    grid_assign_cells(
-                        rows_c,
-                        id_col,
-                        vec_col,
-                        sub,
-                        keep_cols=[c for c in data_cols if c != id_col],
-                    )
-                    .drop("_vq")
-                    .withColumnRenamed("cell", "_child")
-                )
-            else:
-                from pyspark.ml.clustering import KMeans
-                from pyspark.ml.functions import array_to_vector
-
-                c_vec = rows_c.withColumn(
-                    "_v", array_to_vector(F.col(vec_col))
-                )
-                fit_df = _bounded_fit(c_vec, None, seed, fit_target_rows)
-                model = KMeans(
-                    k=2, seed=seed, featuresCol="_v", predictionCol="_child"
-                ).fit(fit_df)
-                assigned = model.transform(c_vec).drop("_v")
-                sub = [list(map(float, ct)) for ct in model.clusterCenters()]
-            assigned = assigned.localCheckpoint(eager=True)
-            counts = {
-                r["_child"]: r["n"]
-                for r in assigned.groupBy("_child")
+        for _ in range(max(1, rounds)):
+            spark.catalog.refreshTable(table)
+            sizes = {
+                r["_cell"]: r["n"]
+                for r in spark.table(table)
+                .groupBy("_cell")
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
-            if len(counts) < 2:
-                # degenerate cell (all-identical vectors): nothing to
-                # split; keep the old centroid and move on
-                continue
-            new_id = len(centroids)
-            out = assigned.select(
-                *data_cols,
-                F.when(F.col("_child") == 0, F.lit(cell))
-                .otherwise(F.lit(new_id))
-                .cast("int")
-                .alias("_cell"),
+            total = sum(sizes.values())
+            hot = sorted(
+                c
+                for c, n in sizes.items()
+                if total and n > max_cell_fraction * total and n >= 2
             )
-            # positional insert: out's column order matches the table
-            # (data cols in table order, partition col last)
-            out.write.mode("overwrite").insertInto(table)
-            centroids[cell] = list(sub[0])
-            centroids.append(list(sub[1]))
+            if not hot:
+                break
+            round_changed = False
+            for cell in hot:
+                rows_c = spark.table(table).filter(F.col("_cell") == cell)
+                if impl == "grid":
+                    sub = grid_kmeans_fit(
+                        rows_c, id_col, vec_col, k=2, iters=2
+                    )
+                    assigned = (
+                        grid_assign_cells(
+                            rows_c,
+                            id_col,
+                            vec_col,
+                            sub,
+                            keep_cols=[c for c in data_cols if c != id_col],
+                        )
+                        .drop("_vq")
+                        .withColumnRenamed("cell", "_child")
+                    )
+                else:
+                    from pyspark.ml.clustering import KMeans
+                    from pyspark.ml.functions import array_to_vector
+
+                    c_vec = rows_c.withColumn(
+                        "_v", array_to_vector(F.col(vec_col))
+                    )
+                    fit_df = _bounded_fit(c_vec, None, seed, fit_target_rows)
+                    model = KMeans(
+                        k=2, seed=seed, featuresCol="_v",
+                        predictionCol="_child",
+                    ).fit(fit_df)
+                    assigned = model.transform(c_vec).drop("_v")
+                    sub = [
+                        list(map(float, ct)) for ct in model.clusterCenters()
+                    ]
+                assigned = assigned.localCheckpoint(eager=True)
+                counts = {
+                    r["_child"]: r["n"]
+                    for r in assigned.groupBy("_child")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                if len(counts) < 2:
+                    # degenerate cell (all-identical vectors): nothing
+                    # to split; keep the old centroid and move on
+                    continue
+                new_id = len(centroids)
+                out = assigned.select(
+                    *data_cols,
+                    F.when(F.col("_child") == 0, F.lit(cell))
+                    .otherwise(F.lit(new_id))
+                    .cast("int")
+                    .alias("_cell"),
+                )
+                # positional insert: out's column order matches the
+                # table (data cols in table order, partition col last)
+                out.write.mode("overwrite").insertInto(table)
+                centroids[cell] = list(sub[0])
+                centroids.append(list(sub[1]))
+                round_changed = changed = True
+            if not round_changed:
+                break  # every hot cell degenerate: no progress possible
     finally:
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
+    if not changed:
+        return centroids
     spark.catalog.refreshTable(table)
     _finalize_index_contract(
         spark,

@@ -2635,3 +2635,45 @@ def test_ivf_split_skips_degenerate_hot_cell(spark):
                               "query_id long, embedding array<double>"),
         cents, k=3, n_probe=1)
     assert out.count() == 3  # original handle still valid
+
+
+def test_ivf_split_rounds_until_no_hot_cell(spark):
+    """One split pass can leave a CHILD still over the fraction; extra
+    rounds re-detect and re-split until no cell is hot — each round
+    touching only the still-hot partitions."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_split_hot_cells,
+    )
+
+    t = "ivf_split_rounds"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    import random
+
+    rng = random.Random(21)
+    rows, vid = [], 0
+    for cx in (0.0, 3.0, 6.0, 50.0):
+        for _ in range(20):
+            rows.append((vid, [cx + rng.uniform(-0.1, 0.1), 0.0]))
+            vid += 1
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_build_index(base, t, n_clusters=2, seed=7)
+
+    def max_fraction():
+        sizes = [
+            r["n"]
+            for r in spark.table(t)
+            .groupBy("_cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        return max(sizes) / sum(sizes)
+
+    assert max_fraction() > 0.3  # three blobs crammed into one cell
+    ivf_split_hot_cells(spark, t, max_cell_fraction=0.3, rounds=1)
+    assert max_fraction() > 0.3  # one pass is not enough here
+    cents = ivf_split_hot_cells(spark, t, max_cell_fraction=0.3, rounds=3)
+    assert max_fraction() <= 0.3
+    assert len(cents) == 4
+    assert spark.table(t).count() == 80  # every row preserved
