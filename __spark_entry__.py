@@ -636,6 +636,15 @@ def _q_t_bpe_tokens_small(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     merges = learn_bpe(d, "text", num_merges=8, sample_rows=1_000_000_000)
+    # the SQL replay unconditionally performs 8 merge rounds, while
+    # learn_bpe stops early when the best pair count is < 2 or no
+    # pairs remain — on a corpus too sparse for 8 merges the two
+    # sides would silently diverge (and an empty best{r} CTE nulls
+    # the oracle's token counts). Fail loudly instead.
+    assert len(merges) == 8, (
+        f"t_bpe_tokens_small: learn_bpe stopped at {len(merges)} merges "
+        "(corpus too sparse?); the DuckDB replay assumes exactly 8"
+    )
     return d.select(
         "doc_id", bpe_token_count("text", merges).alias("n_bpe_tokens")
     )

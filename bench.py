@@ -471,7 +471,15 @@ def main() -> None:
             stream_ivf_append,
         )
 
-        i = min(_ann_sample["i"], 7)
+        # 8 pre-written feeds, one per invocation (samples + sub-second
+        # + gate re-times). Reusing a feed would silently time an EMPTY
+        # append (its ids are already indexed, the replay anti-join
+        # drops every row) — fail loudly instead of skewing min-of-N.
+        i = _ann_sample["i"]
+        assert i < 8, (
+            f"q34 feed exhaustion: invocation {i} exceeds the 8 "
+            "pre-written feeds; raise the feed count"
+        )
         _ann_sample["i"] += 1
         sdf = (
             spark.readStream.schema(_ann_odds.schema)

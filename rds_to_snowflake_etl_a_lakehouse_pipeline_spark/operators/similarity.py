@@ -572,6 +572,16 @@ def _finalize_index_contract(
     split — the three paths that rotate the matrix."""
     from ..sources.io import set_table_meta, write_table
 
+    # pre-bucketing indexes (n_id_buckets=0) record NO bucket spec:
+    # writing n_buckets/bucket_cols for files that are not actually
+    # bucket-aligned would make ivf_append_index attempt a bucketed
+    # append into an unbucketed table and inflate index_table_health's
+    # fanout denominator
+    bucket_meta = (
+        {"n_buckets": n_id_buckets, "bucket_cols": id_col}
+        if n_id_buckets
+        else {}
+    )
     set_table_meta(
         spark,
         table,
@@ -582,8 +592,7 @@ def _finalize_index_contract(
         impl=impl,
         centroid_fp=_centroid_fingerprint(centroids),
         partition_cols="_cell",
-        n_buckets=n_id_buckets,
-        bucket_cols=id_col,
+        **bucket_meta,
     )
     write_table(
         spark.createDataFrame(
@@ -909,9 +918,13 @@ def ivf_split_hot_cells(
     bucketed catalog table writes bucket-aligned files (also pinned).
 
     Mechanics per hot cell (row count > ``max_cell_fraction`` × index
-    rows, needs ≥ 2 rows): fit k=2 on the cell's own vectors (bounded
-    sample, impl-aware — grid cells re-fit with the deterministic
-    trainer in quantized units, mllib cells with seeded KMeans), child
+    rows, needs ≥ 2 rows): fit k=2 on the cell's own vectors, impl-aware
+    — grid cells re-fit with the deterministic trainer in quantized
+    units over ALL of the cell's rows by design (the full-cell fit is
+    what makes the DuckDB oracle replay exact; a hot cell is already a
+    bounded fraction of the index), mllib cells with seeded KMeans on a
+    ``fit_target_rows``-bounded sample (the only sample-bounded path);
+    child
     A keeps the old cell id, child B appends as cell ``len(matrix)``;
     a split where one child ends up empty (all-identical vectors) is
     skipped. PQ codes ride along untouched — they encode the vector,
@@ -938,7 +951,10 @@ def ivf_split_hot_cells(
         )
     centroids = [list(c) for c in ivf_load_centroids(spark, table)]
     impl = meta.get("impl", "mllib")
-    n_id_buckets = int(meta.get("n_buckets", 0) or 8)
+    # `or 0`, matching ivf_append_index: a legacy pre-bucketing index
+    # has unbucketed files, and recording a fabricated spec here would
+    # poison every later append (bucketed append into unbucketed files)
+    n_id_buckets = int(meta.get("n_buckets", 0) or 0)
     cols = spark.table(table).columns
     id_col, vec_col = cols[0], cols[1]
     data_cols = [c for c in cols if c != "_cell"]
