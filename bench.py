@@ -781,11 +781,26 @@ def main() -> None:
                     if min(ts) > 0
                 },
     }
-    # durable copy FIRST (the stdout line below is tail-truncated in
-    # the driver's recording — see _write_sidecar), then the one line
-    # the driver contract requires.
+    # durable copy FIRST (the driver records only the ~2000-char TAIL
+    # of stdout — see _write_sidecar), then the FULL payload for human
+    # readers, then LAST a compact line (total + 2-dp per-query times
+    # only, ~1.2 KB) so the tail the driver captures is always one
+    # valid JSON document matching the contract shape.
     _write_sidecar(sf_key, payload, rnd)
     print(json.dumps(payload))
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": sf,
+        "regressions": sorted(regressions),
+        "suspects": sorted(suspects_now),
+        # kept in the compact line so a driver record can serve as the
+        # next round's calibration baseline even without the sidecar
+        "calibration": {"sec": cal_sec, "drift": cal_drift},
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -51,6 +51,20 @@ from pyspark.sql import SparkSession
 # partitions accrete (coarse — one fold per sweep keeps it bounded)
 MAX_LIVE_BATCH_PARTITIONS = 16
 MAX_FILES_PER_BUCKET = 8.0
+# IVF drift shape: drift counts as LOCALIZED (hot-cell split fixes it)
+# when EVERY drift-flagged append crammed at least this fraction of its
+# rows into its single hottest cell — the signature of an
+# out-of-distribution blob binning whole to ONE nearest old cell, the
+# case a partition-scoped split provably fixes. Deliberately strict:
+# a blob straddling a Voronoi boundary splits ~60/40 across two cells
+# and a split of just the hotter cell leaves the other shard stranded
+# (recall stays degraded) — anything short of near-total concentration
+# goes to the always-correct full retrain.
+SPLIT_TOP_CELL_FRACTION = 0.9
+# split budget: hot-cell splits may grow the centroid matrix to at most
+# this multiple of base_n_clusters (the k of the last full fit) before
+# run_maintenance escalates to a full retrain at the base k
+IVF_SPLIT_BUDGET_FACTOR = 4.0
 
 
 def _partition_cols(spark: SparkSession, table: str) -> list[str]:
@@ -98,20 +112,51 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
             if spark.catalog.tableExists(f"{table}_drift_log"):
                 from pyspark.sql import functions as F
 
-                agg = (
-                    spark.table(f"{table}_drift_log")
-                    .agg(
-                        F.count("*").alias("n_appends"),
-                        F.max("drift_ratio").alias("max_drift_ratio"),
-                        F.max(
-                            F.col("rebuild_recommended").cast("int")
-                        ).alias("any_flagged"),
+                log = spark.table(f"{table}_drift_log")
+                flagged = F.col("rebuild_recommended")
+                aggs = [
+                    F.count("*").alias("n_appends"),
+                    F.max("drift_ratio").alias("max_drift_ratio"),
+                    F.max(flagged.cast("int")).alias("any_flagged"),
+                ]
+                # per-append cell skew (logged by ivf_append_index since
+                # the skew columns landed) distinguishes localized from
+                # global drift; a legacy log without them can only say
+                # "retrain" (the always-correct remediation)
+                has_skew = "batch_top_cell_fraction" in log.columns
+                if has_skew:
+                    aggs.append(
+                        F.min(
+                            F.when(
+                                flagged, F.col("batch_top_cell_fraction")
+                            )
+                        ).alias("min_flagged_top_frac")
                     )
-                    .first()
-                )
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                flagged
+                                & F.col(
+                                    "batch_top_cell_fraction"
+                                ).isNull(),
+                                1,
+                            ).otherwise(0)
+                        ).alias("n_flagged_unmeasured")
+                    )
+                agg = log.agg(*aggs).first()
                 rep["n_appends_logged"] = agg["n_appends"]
                 rep["max_drift_ratio"] = agg["max_drift_ratio"]
                 rep["retrain_recommended"] = bool(agg["any_flagged"])
+                if rep["retrain_recommended"]:
+                    frac = agg["min_flagged_top_frac"] if has_skew else None
+                    localized = bool(
+                        has_skew
+                        and not agg["n_flagged_unmeasured"]
+                        and frac is not None
+                        and frac >= SPLIT_TOP_CELL_FRACTION
+                    )
+                    rep["drift_localized"] = localized
+                    rep["remediation"] = "split" if localized else "retrain"
         return rep
     if family == "er":
         from .operators.entity import er_index_health
@@ -210,6 +255,63 @@ def health_sweep(
     return {"tables": reports, "versioned": versioned, "attention": attention}
 
 
+def _remediate_ivf(
+    spark: SparkSession,
+    name: str,
+    rep: dict,
+    split_budget_factor: float,
+    split_rounds: int,
+) -> str:
+    """Pick and run the drift remediation the log's SHAPE calls for:
+
+    - localized drift (``rep["remediation"] == "split"`` — every
+      flagged append crammed into one hot cell) → hot-cell split,
+      rewriting only the hot partitions (measured 5.2× cheaper than a
+      retrain at the 10× smoke; PQ codes ride through untouched) —
+      bounded by the split budget (``split_budget_factor ×
+      base_n_clusters`` cells);
+    - global drift, an exhausted split budget, or a localized flag
+      with no currently-hot cell (the split is a no-op there and would
+      never clear the flag) → full :func:`ivf_retrain_index` at the
+      base k, resolving a PQ index's persisted codebook companion.
+
+    Returns the action string for the ``applied`` report."""
+    from .operators.similarity import (
+        ivf_retrain_index,
+        ivf_split_hot_cells,
+        pq_load_codebook,
+    )
+    from .sources.io import get_table_meta
+
+    meta = get_table_meta(spark, name)
+    base_k = int(
+        meta.get("base_n_clusters", 0) or meta.get("n_clusters", 16)
+    )
+    cur_k = int(meta.get("n_clusters", 0) or base_k)
+    budget = max(base_k + 1, int(split_budget_factor * base_k))
+    if rep.get("remediation") == "split" and cur_k < budget:
+        new_cents = ivf_split_hot_cells(
+            spark, name, rounds=split_rounds, max_cells=budget
+        )
+        if len(new_cents) > cur_k:
+            return "ivf_split_hot_cells"
+        # nothing actually split (no currently-hot cell, or only
+        # degenerate ones): the flag would never clear — escalate
+    if meta.get("pq") == "true":
+        try:
+            cb = pq_load_codebook(spark, name)
+        except Exception:
+            return (
+                "retrain_skipped (PQ index predates the persisted "
+                f"{name}_pq_codebook companion; call ivf_retrain_index "
+                "with the codebook directly)"
+            )
+        ivf_retrain_index(spark, name, n_clusters=base_k, pq_codebook=cb)
+    else:
+        ivf_retrain_index(spark, name, n_clusters=base_k)
+    return "ivf_retrain_index"
+
+
 def run_maintenance(
     spark: SparkSession,
     versioned_roots: tuple[str, ...] = (),
@@ -217,6 +319,8 @@ def run_maintenance(
     apply: bool = False,
     keep_last: int = 1,
     retrain_ivf: bool = False,
+    ivf_split_budget_factor: float = IVF_SPLIT_BUDGET_FACTOR,
+    ivf_split_rounds: int = 3,
 ) -> dict:
     """The runbook: :func:`health_sweep`, then (``apply=True``) execute
     each flagged table's own maintenance verb — index compaction
@@ -224,22 +328,25 @@ def run_maintenance(
     crashed fold from its manifest), versioned-table compaction. Each
     action is the family's documented, bounded-cost operation. Run
     while the owning streams are stopped. Returns the sweep plus
-    ``{"applied": {name: action}}``.
+    ``{"applied": {name: "action[; action]"}}`` (a table flagged for
+    both drift and file creep gets BOTH verbs).
 
     IVF quantizer drift: flagged tables (``retrain_recommended`` from
-    the persisted per-append drift log) are retrained via
-    ``similarity.ivf_retrain_index`` only when ``retrain_ivf=True`` —
-    it is a data-sized rebuild (one bounded fit + one assignment pass
-    over the index), not a constant-cost compaction, and it ROTATES the
-    centroid matrix (probes holding the old matrix are rejected until
-    they pick up the new one), so it stays opt-in rather than riding
-    the generic ``apply``. The index carries everything the retrain
-    needs; PQ-coded indexes are skipped with a note (the rebuild needs
-    the caller-held codebook — call ``ivf_retrain_index`` directly).
-    When the drift is one or two overfull cells rather than a globally
-    stale quantizer, ``similarity.ivf_split_hot_cells`` is the cheaper
-    surgical alternative (rewrites only the hot partitions) — invoked
-    directly, not through this generic sweep."""
+    the persisted per-append drift log) are remediated only when
+    ``retrain_ivf=True`` — both remediations are data-sized rewrites
+    that ROTATE the centroid matrix (probes holding the old matrix are
+    rejected until they pick it back up), so they stay opt-in rather
+    than riding the generic ``apply``. WHICH remediation runs is chosen
+    from the drift log's cell-skew shape (:func:`_remediate_ivf`):
+    localized drift → ``ivf_split_hot_cells`` (partition-scoped, PQ
+    codes ride through), global drift or an exhausted split budget
+    (``ivf_split_budget_factor × base_n_clusters`` cells — the bound
+    that keeps k finite under long-lived drifting ingest) → full
+    ``ivf_retrain_index`` at the base k, resolving a PQ index's
+    persisted codebook companion; only a PRE-companion PQ index is
+    skipped with a note. A full retrain rewrites every file and
+    subsumes compaction; a split rewrites only the hot partitions, so a
+    split table flagged for file creep is additionally compacted."""
     sweep = health_sweep(spark, versioned_roots, database)
     applied: dict[str, str] = {}
     if apply:
@@ -250,30 +357,33 @@ def run_maintenance(
                 VersionedTable(spark, name).compact()
                 applied[name] = "versioned_compact"
                 continue
-            family = sweep["tables"][name]["family"]
-            if family == "ivf" and sweep["tables"][name].get(
-                "retrain_recommended"
-            ):
+            rep = sweep["tables"][name]
+            family = rep["family"]
+            acts: list[str] = []
+            retrained = False
+            if family == "ivf" and rep.get("retrain_recommended"):
                 if not retrain_ivf:
-                    applied[name] = "retrain_skipped (pass retrain_ivf=True)"
-                    continue
-                from .sources.io import get_table_meta
-
-                if get_table_meta(spark, name).get("pq") == "true":
-                    applied[name] = (
-                        "retrain_skipped (PQ index needs its codebook; "
-                        "call ivf_retrain_index directly)"
+                    acts.append("retrain_skipped (pass retrain_ivf=True)")
+                else:
+                    act = _remediate_ivf(
+                        spark,
+                        name,
+                        rep,
+                        ivf_split_budget_factor,
+                        ivf_split_rounds,
                     )
-                    continue
-                from .operators.similarity import ivf_retrain_index
+                    acts.append(act)
+                    retrained = act == "ivf_retrain_index"
+            if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
+                # a full retrain just rewrote every file — compaction is
+                # subsumed; a split (or a skipped retrain) leaves file
+                # creep in untouched partitions, so the compactor still
+                # runs when flagged
+                if rep.get("compact_recommended") and not retrained:
+                    from .sources.io import compact_index_table
 
-                ivf_retrain_index(spark, name)
-                applied[name] = "ivf_retrain_index"
-            elif family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
-                from .sources.io import compact_index_table
-
-                compact_index_table(spark, name)
-                applied[name] = "compact_index_table"
+                    compact_index_table(spark, name)
+                    acts.append("compact_index_table")
             elif family == "distinct_state":
                 # same stage-and-swap as compact_index_table, with the
                 # bucket spec from the distinct-state contract (bucketed
@@ -300,5 +410,7 @@ def run_maintenance(
                 compact_batch_partitions(spark, name, keep_last=keep_last)
                 applied[name] = "compact_batch_partitions"
             # session_state: no action (self-compacting), report only
+            if acts:
+                applied[name] = "; ".join(acts)
     sweep["applied"] = applied
     return sweep

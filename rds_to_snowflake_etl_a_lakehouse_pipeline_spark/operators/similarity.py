@@ -548,6 +548,16 @@ def ivf_build_index(
         id_col=id_col,
         vec_col=vec_col,
     )
+    from ..sources.io import set_table_meta
+
+    # the k of the LAST FULL FIT, preserved verbatim by hot-cell splits
+    # (which only append cells): maintenance's split budget is a
+    # multiple of this, so repeated drift cannot ratchet the budget up
+    set_table_meta(spark, table, base_n_clusters=n_clusters)
+    if pq_codebook is not None:
+        # persist the codebook beside the index so retrains and
+        # other-session appends need no caller-held object
+        pq_save_codebook(spark, table, pq_codebook)
     return centroids
 
 
@@ -740,10 +750,18 @@ def ivf_append_index(
     spark = new_vectors.sparkSession
     index_has_codes = "pq_code" in spark.table(table).columns
     if index_has_codes and pq_codebook is None:
-        raise ValueError(
-            f"{table} stores PQ codes (built with pq_codebook=...); "
-            "appends must pass the SAME codebook so new rows carry codes"
-        )
+        # resolve the build's persisted companion (bit-identical to
+        # the trained object) before giving up — the codebook twin of
+        # centroids=None resolution above
+        try:
+            pq_codebook = pq_load_codebook(spark, table)
+        except Exception:
+            raise ValueError(
+                f"{table} stores PQ codes (built with pq_codebook=...) "
+                f"and has no {_pq_codebook_table(table)} companion to "
+                "resolve; appends must pass the SAME codebook so new "
+                "rows carry codes"
+            )
     if pq_codebook is not None:
         if not index_has_codes:
             raise ValueError(
@@ -767,16 +785,28 @@ def ivf_append_index(
         if _is_grid
         else F.col(vec_col)
     )
-    row = (
+    # ONE aggregation job for both the global drift stats and the
+    # per-cell skew: rollup("_cell") emits every per-cell row PLUS the
+    # grand-total grouping set (grouping()=1) — _cell is never NULL by
+    # construction, but the grouping flag is what distinguishes the
+    # total, not the NULL marker. Was two jobs per append before r16;
+    # in the streaming steady state every per-batch job is overhead.
+    stats_rows = (
         assigned.withColumn("_qv", _dv)
         .withColumn("_dist", _centroid_dist("_qv", "_cell", centroids))
+        .rollup("_cell")
         .agg(
             F.avg("_dist").alias("mean_dist"),
             F.expr("approx_percentile(_dist, 0.95, 10000)").alias("p95_dist"),
             F.count("*").alias("n"),
+            F.grouping("_cell").alias("_is_total"),
         )
-        .first()
+        .collect()
     )
+    row = next((r for r in stats_rows if r["_is_total"] == 1), None)
+    if row is None:  # empty grouping-set output (no input rows at all)
+        row = {"mean_dist": None, "p95_dist": None, "n": 0}
+    cell_rows = [r for r in stats_rows if r["_is_total"] == 0]
     build_mean = build_p95 = None
     try:
         srow = spark.table(_drift_stats_table(table)).first()
@@ -787,6 +817,20 @@ def ivf_append_index(
     batch_p95 = row["p95_dist"]
     drift_ratio = (
         batch_p95 / build_p95 if batch_p95 is not None and build_p95 else None
+    )
+    # the batch's CELL SKEW — what fraction crammed into its single
+    # hottest cell — is the signal that distinguishes LOCALIZED drift
+    # (an out-of-distribution blob whose vectors all bin to one nearest
+    # old cell: ivf_split_hot_cells fixes it by rewriting only that
+    # partition) from GLOBAL drift (far-from-centroid vectors spread
+    # across many cells: only a full ivf_retrain_index helps).
+    # maintenance.table_health reads it off the log to CHOOSE the
+    # remediation. cell_rows came free with the rollup above.
+    n_assigned = sum(r["n"] for r in cell_rows)
+    top = (
+        max(cell_rows, key=lambda r: (r["n"], -r["_cell"]))
+        if cell_rows
+        else None
     )
     report = {
         "n_appended": row["n"],
@@ -799,29 +843,65 @@ def ivf_append_index(
         "rebuild_recommended": bool(
             drift_ratio is not None and drift_ratio > drift_threshold
         ),
+        "batch_top_cell": int(top["_cell"]) if top is not None else None,
+        "batch_top_cell_fraction": (
+            top["n"] / n_assigned if top is not None and n_assigned else None
+        ),
+        "batch_n_cells": len(cell_rows),
     }
     if log_drift:
-        log_row = spark.createDataFrame(
-            [
-                (
-                    int(report["n_appended"]),
-                    int(report["n_dropped"]),
-                    report["batch_mean_dist"],
-                    report["batch_p95_dist"],
-                    report["drift_ratio"],
-                    report["rebuild_recommended"],
-                )
-            ],
-            "n_appended bigint, n_dropped bigint, batch_mean_dist double, "
-            "batch_p95_dist double, drift_ratio double, "
-            "rebuild_recommended boolean",
-        ).withColumn("logged_at", F.current_timestamp())
-        # through write_table for the orphan-directory retry: a prior
-        # session's dropped index can leave an unregistered
-        # {table}_drift_log directory behind, and a raw saveAsTable
-        # append would die on LOCATION_ALREADY_EXISTS
-        write_table(log_row, _drift_log_table(table), mode="append")
+        ivf_append_drift_reports(spark, table, [report])
     return report
+
+
+def ivf_append_drift_reports(spark, table: str, reports: list[dict]) -> None:
+    """Append :func:`ivf_append_index` report dict(s) to the
+    ``{table}_drift_log`` companion in ONE write job. The batch form
+    exists for the streaming ingest (``stream_ivf_append``), which
+    buffers its per-micro-batch reports and flushes them post-drain —
+    one companion write per RUN instead of one per batch (the 1-row
+    write was a whole Spark job of per-batch overhead in the steady
+    state). The log is advisory (it drives ``retrain_recommended``,
+    never correctness), so a crash losing an unflushed buffer only
+    delays the flag until future appends re-measure the drift."""
+    if not reports:
+        return
+    from ..sources.io import write_table
+
+    log_row = spark.createDataFrame(
+        [
+            (
+                int(r["n_appended"]),
+                int(r["n_dropped"]),
+                r["batch_mean_dist"],
+                r["batch_p95_dist"],
+                r["drift_ratio"],
+                bool(r["rebuild_recommended"]),
+                r["batch_top_cell"],
+                r["batch_top_cell_fraction"],
+                int(r["batch_n_cells"]),
+            )
+            for r in reports
+        ],
+        "n_appended bigint, n_dropped bigint, batch_mean_dist double, "
+        "batch_p95_dist double, drift_ratio double, "
+        "rebuild_recommended boolean, batch_top_cell int, "
+        "batch_top_cell_fraction double, batch_n_cells int",
+    ).withColumn("logged_at", F.current_timestamp())
+    tgt = _drift_log_table(table)
+    # a LEGACY log (written before the skew columns existed) keeps
+    # its narrower schema — saveAsTable append rejects new columns,
+    # and widening someone's standing log in place is not ours to do
+    if spark.catalog.tableExists(tgt):
+        have = set(spark.table(tgt).columns)
+        missing = [c for c in log_row.columns if c not in have]
+        if missing:
+            log_row = log_row.drop(*missing)
+    # through write_table for the orphan-directory retry: a prior
+    # session's dropped index can leave an unregistered
+    # {table}_drift_log directory behind, and a raw saveAsTable
+    # append would die on LOCATION_ALREADY_EXISTS
+    write_table(log_row, tgt, mode="append")
 
 
 def ivf_retrain_index(
@@ -864,10 +944,15 @@ def ivf_retrain_index(
             f"{table!r} is not an IVF index (kind={meta.get('kind')!r})"
         )
     if meta.get("pq") == "true" and pq_codebook is None:
-        raise ValueError(
-            f"{table} stores PQ codes; retrain must pass the SAME "
-            "codebook so rebuilt rows carry codes"
-        )
+        try:
+            pq_codebook = pq_load_codebook(spark, table)
+        except Exception:
+            raise ValueError(
+                f"{table} stores PQ codes and has no "
+                f"{_pq_codebook_table(table)} companion to resolve; "
+                "retrain must pass the SAME codebook so rebuilt rows "
+                "carry codes"
+            )
     k = n_clusters or int(meta.get("n_clusters", 16))
     impl = meta.get("impl", "mllib")
     nb = n_id_buckets or int(meta.get("n_buckets", 0) or 8)
@@ -902,6 +987,7 @@ def ivf_split_hot_cells(
     seed: int = 42,
     fit_target_rows: int = 100_000,
     rounds: int = 1,
+    max_cells: int | None = None,
 ) -> list[list[float]]:
     """The INCREMENTAL drift remediation: split only the cells that
     got hot, touching only their partitions. Where
@@ -941,6 +1027,17 @@ def ivf_split_hot_cells(
     extra round touches only the still-hot partitions, so cost stays
     proportional to the remaining skew. If nothing split at all, the
     contract is left untouched (no fingerprint rotation).
+
+    ``max_cells`` bounds centroid-matrix growth: splits only ever
+    APPEND a cell, so a long-lived drifting ingest that is repeatedly
+    split would grow k without bound — and every probe's nearest-cell
+    argmin and every :func:`ivf_query_index` broadcast carries the
+    full matrix. Splitting stops (mid-round if need be) once the
+    matrix reaches ``max_cells``; ``maintenance.run_maintenance``
+    derives it from the recorded ``base_n_clusters`` (the k of the
+    last full fit) and ESCALATES to :func:`ivf_retrain_index` at the
+    base k when the budget is exhausted — the fit-everything
+    remediation is also the one that resets k.
     """
     from ..sources.io import get_table_meta
 
@@ -960,10 +1057,13 @@ def ivf_split_hot_cells(
     data_cols = [c for c in cols if c != "_cell"]
 
     changed = False
+    budget_hit = False
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         for _ in range(max(1, rounds)):
+            if budget_hit:
+                break
             spark.catalog.refreshTable(table)
             sizes = {
                 r["_cell"]: r["n"]
@@ -982,6 +1082,9 @@ def ivf_split_hot_cells(
                 break
             round_changed = False
             for cell in hot:
+                if max_cells is not None and len(centroids) >= max_cells:
+                    budget_hit = True
+                    break
                 rows_c = spark.table(table).filter(F.col("_cell") == cell)
                 if impl == "grid":
                     sub = grid_kmeans_fit(
@@ -1373,6 +1476,63 @@ def pq_train(
         ]
     )
     return PQCodebook(books, dim, seed)
+
+
+def _pq_codebook_table(table: str) -> str:
+    return f"{table}_pq_codebook"
+
+
+def pq_save_codebook(spark, table: str, codebook: PQCodebook) -> None:
+    """Persist an index's product-quantizer codebook as the
+    ``{table}_pq_codebook`` companion (m × n_codes rows of
+    array<double> sub-centroids — kilobytes), the PQ twin of the
+    ``{table}_centroids`` companion: maintenance retrains and
+    other-session appends resolve it instead of requiring the caller
+    to hold the trained object. Doubles round-trip parquet exactly, so
+    the loaded codebook encodes bit-identically to the saved one.
+    :func:`ivf_build_index` calls this whenever it writes PQ codes."""
+    from ..sources.io import set_table_meta, write_table
+
+    rows = [
+        (j, c, [float(x) for x in codebook.codebooks[j, c]])
+        for j in range(codebook.m)
+        for c in range(codebook.n_codes)
+    ]
+    write_table(
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        ),
+        _pq_codebook_table(table),
+    )
+    set_table_meta(
+        spark,
+        _pq_codebook_table(table),
+        kind="pq_codebook",
+        m=codebook.m,
+        n_codes=codebook.n_codes,
+        dim=codebook.dim,
+        seed=codebook.seed,
+    )
+
+
+def pq_load_codebook(spark, table: str) -> PQCodebook:
+    """Rehydrate the :func:`pq_save_codebook` companion of ``table``.
+    Raises if the companion is missing (an index built before the
+    companion existed) or not a dense (m × n_codes) grid."""
+    companion = _pq_codebook_table(table)
+    from ..sources.io import get_table_meta
+
+    meta = get_table_meta(spark, companion)
+    m, n_codes = int(meta["m"]), int(meta["n_codes"])
+    rows = spark.table(companion).orderBy("subspace", "code").collect()
+    if len(rows) != m * n_codes or [
+        (r["subspace"], r["code"]) for r in rows
+    ] != [(j, c) for j in range(m) for c in range(n_codes)]:
+        raise ValueError(f"{companion} is not a dense (m x n_codes) grid")
+    books = np.asarray(
+        [r["centroid"] for r in rows], dtype=np.float64
+    ).reshape(m, n_codes, -1)
+    return PQCodebook(books, int(meta["dim"]), int(meta["seed"]))
 
 
 def pq_encode(

@@ -1221,7 +1221,9 @@ def stream_ivf_append(
     to its nearest EXISTING centroid and appended into the standing
     cell-partitioned IVF index
     (``operators.similarity.ivf_append_index`` — which also measures
-    quantizer drift per batch). The vector twin of
+    quantizer drift per batch; the per-batch reports are buffered and
+    flushed to the ``{table}_drift_log`` companion in ONE write after
+    the drain, not a 1-row write job per batch). The vector twin of
     :func:`stream_corpus_dedup`'s index accretion: state is the index
     table itself — restart-proof, queryable, compactable — and later
     probes (``ivf_query_index``) see old and streamed vectors alike.
@@ -1246,27 +1248,62 @@ def stream_ivf_append(
     every ``compact_index_table``.
 
     ``centroids=None`` resolves the CURRENT matrix from the persisted
-    ``{table}_centroids`` companion once at stream start — the
-    no-driver-state form, and how an ingest restarts cleanly after a
-    maintenance ``ivf_retrain_index`` rotated the matrix (a stream
-    still holding the pre-retrain matrix fails fast on the fingerprint
-    check instead of mis-binning).
+    ``{table}_centroids`` companion at stream start. The held matrix is
+    additionally RE-CHECKED every micro-batch against the table's
+    recorded fingerprint (one constant-time SHOW TBLPROPERTIES — no
+    Spark job): when a maintenance ``ivf_retrain_index`` /
+    ``ivf_split_hot_cells`` rotates the matrix mid-stream, the next
+    batch reloads the companion and bins against the NEW cells instead
+    of dying on the stale-matrix check — maintenance is non-disruptive
+    to running ingests (rows are never mis-binned: the reload happens
+    BEFORE assignment, and the rotation itself is stage-and-swap).
     """
-    from ..operators.similarity import ivf_append_index, ivf_load_centroids
+    from ..operators.similarity import (
+        _centroid_fingerprint,
+        ivf_append_drift_reports,
+        ivf_append_index,
+        ivf_load_centroids,
+    )
+    from ..sources.io import get_table_meta
 
     if checkpoint_dir is None:
         raise ValueError("stream_ivf_append requires checkpoint_dir")
     if centroids is None:
         centroids = ivf_load_centroids(sdf.sparkSession, table)
+    held = {"cents": centroids, "fp": _centroid_fingerprint(centroids)}
+    reports: list[dict] = []
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        recorded = get_table_meta(spark, table).get("centroid_fp")
+        if recorded and recorded != held["fp"]:
+            # maintenance rotated the quantizer since the last batch:
+            # resync from the companion instead of failing the batch
+            held["cents"] = ivf_load_centroids(spark, table)
+            held["fp"] = _centroid_fingerprint(held["cents"])
         existing = spark.table(table).select(F.col(id_col))
-        fresh = batch_df.join(existing, on=id_col, how="left_anti")
-        ivf_append_index(
-            fresh, table, centroids, id_col=id_col, vec_col=vec_col
+        # checkpoint the replay guard ONCE: ivf_append_index executes
+        # its input plan twice (drop-count + assignment), and without
+        # this the index-side id scan of the anti-join ran twice per
+        # micro-batch — the single most expensive plan in the steady
+        # state (SCALE.md, streaming-ANN per-batch job audit)
+        fresh = batch_df.join(existing, on=id_col, how="left_anti").localCheckpoint(
+            eager=True
+        )
+        # log_drift=False: buffer the per-batch report and flush ONE
+        # companion write post-drain instead of a 1-row write job per
+        # batch (see ivf_append_drift_reports for the crash story)
+        reports.append(
+            ivf_append_index(
+                fresh,
+                table,
+                held["cents"],
+                id_col=id_col,
+                vec_col=vec_col,
+                log_drift=False,
+            )
         )
 
     q = (
@@ -1282,6 +1319,7 @@ def stream_ivf_append(
     # caller session's file-listing cache so post-drain probes see the
     # streamed rows
     sdf.sparkSession.catalog.refreshTable(table)
+    ivf_append_drift_reports(sdf.sparkSession, table, reports)
 
 
 def stream_histogram_sketch(

@@ -1637,15 +1637,20 @@ def test_ivf_pq_composition_prunes_and_ranks(spark, tmp_path):
 
 
 def test_ivf_append_requires_matching_pq_codebook(spark):
-    """Appending to a PQ-enabled index without the codebook must raise
-    (silent schema drift would leave codeless rows the query path then
-    mis-scores); appending WITH it carries codes; passing a codebook to
-    a plain index also raises."""
+    """Appending to a PQ-enabled index without a caller-held codebook
+    resolves the build's persisted ``{table}_pq_codebook`` companion
+    (bit-identical — doubles round-trip parquet exactly, so the codes
+    match what the caller-held object would produce); a LEGACY index
+    with no companion must still raise (silent schema drift would
+    leave codeless rows the query path then mis-scores); passing a
+    codebook to a plain index also raises."""
     import numpy as np
 
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
         ivf_append_index,
         ivf_build_index,
+        pq_encode,
+        pq_load_codebook,
         pq_train,
     )
 
@@ -1653,17 +1658,30 @@ def test_ivf_append_requires_matching_pq_codebook(spark):
     rows = [(i, rng.standard_normal(16).tolist()) for i in range(100)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cb = pq_train(df, m=4, n_codes=16)
-    spark.sql("DROP TABLE IF EXISTS ivfpq_app")
+    for s in ("ivfpq_app", "ivfpq_app_pq_codebook"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
     cents = ivf_build_index(df, "ivfpq_app", n_clusters=2, pq_codebook=cb)
     batch = spark.createDataFrame(
         [(200, rng.standard_normal(16).tolist())], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="SAME codebook"):
-        ivf_append_index(batch, "ivfpq_app", cents)
-    out = ivf_append_index(batch, "ivfpq_app", cents, pq_codebook=cb)
+    # companion round-trips the trained object bit-identically, so the
+    # resolved codebook encodes the SAME codes the caller-held one does
+    loaded = pq_load_codebook(spark, "ivfpq_app")
+    assert (loaded.codebooks == cb.codebooks).all()
+    want = pq_encode(batch, cb).first()["pq_code"]
+    out = ivf_append_index(batch, "ivfpq_app", cents)  # no codebook passed
     assert out["n_appended"] == 1
     got = spark.table("ivfpq_app").filter(F.col("vec_id") == 200).collect()
-    assert got[0].pq_code is not None and len(got[0].pq_code) == 4
+    assert got[0].pq_code == want and len(got[0].pq_code) == 4
+    # legacy PQ index (predates the companion): still a hard error
+    spark.sql("DROP TABLE IF EXISTS ivfpq_app_pq_codebook")
+    batch2 = spark.createDataFrame(
+        [(201, rng.standard_normal(16).tolist())], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="SAME codebook"):
+        ivf_append_index(batch2, "ivfpq_app", cents)
+    out2 = ivf_append_index(batch2, "ivfpq_app", cents, pq_codebook=cb)
+    assert out2["n_appended"] == 1
     # plain index + codebook is also a misuse
     spark.sql("DROP TABLE IF EXISTS ivf_plain_app")
     cents2 = ivf_build_index(df, "ivf_plain_app", n_clusters=2)
@@ -2394,11 +2412,13 @@ def test_cms_md5_family_matches_pure_python_grid(spark):
 
 
 def test_ivf_retrain_pq_index_keeps_codes(spark):
-    """ivf_retrain_index on a PQ-coded index: demands the original
-    codebook (rebuilt rows must carry codes), re-derives codes for the
-    rebuilt layout off the stored float vectors, rotates the persisted
-    centroid companion, and preserves both halves of the layout
-    contract (cell partitions + id buckets)."""
+    """ivf_retrain_index on a PQ-coded index: resolves the persisted
+    ``{table}_pq_codebook`` companion when no codebook is passed (a
+    LEGACY index with no companion still raises — rebuilt rows must
+    carry codes), re-derives codes for the rebuilt layout off the
+    stored float vectors, rotates the persisted centroid companion,
+    and preserves both halves of the layout contract (cell partitions
+    + id buckets)."""
     import numpy as np
     import pytest
 
@@ -2417,12 +2437,23 @@ def test_ivf_retrain_pq_index_keeps_codes(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cb = pq_train(df, m=4, n_codes=16)
     t = "ivfpq_rt"
-    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+    for s in (
+        t,
+        f"{t}_drift_stats",
+        f"{t}_drift_log",
+        f"{t}_centroids",
+        f"{t}_pq_codebook",
+    ):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
     ivf_build_index(df, t, n_clusters=2, pq_codebook=cb)
+    # legacy index (companion missing): codebook-less retrain raises
+    spark.sql(f"DROP TABLE IF EXISTS {t}_pq_codebook")
     with pytest.raises(ValueError, match="SAME"):
         ivf_retrain_index(spark, t)
-    new_cents = ivf_retrain_index(spark, t, pq_codebook=cb)
+    # retrain WITH the codebook re-persists the companion; from then
+    # on a codebook-less retrain resolves it
+    ivf_retrain_index(spark, t, pq_codebook=cb)
+    new_cents = ivf_retrain_index(spark, t)
     assert ivf_load_centroids(spark, t) == new_cents
     tbl = spark.table(t)
     assert tbl.count() == 80

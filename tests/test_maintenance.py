@@ -317,3 +317,289 @@ def test_ivf_drift_retrain_restores_recall(spark):
     # the retrain cleared the drift log: flag reset until new appends
     sweep2 = health_sweep(spark)
     assert not sweep2["tables"][key]["retrain_recommended"]
+
+
+def test_ivf_localized_drift_chooses_split(spark):
+    """Drift-shape-aware remediation (round 16): an out-of-distribution
+    blob that bins WHOLE into one nearest old cell logs
+    batch_top_cell_fraction = 1.0, health classifies the drift as
+    localized (remediation="split"), and run_maintenance applies the
+    partition-scoped ivf_split_hot_cells instead of a full retrain —
+    the drifted region lands in its own cell, n_probe=1 probes at the
+    blob return the exact neighbors, and the contract rotation clears
+    the flag."""
+    import math
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_append_index,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_query_index,
+    )
+
+    t = "maint_ivf_local"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+    rng = random.Random(11)
+    rows, vid = [], 0
+    for blob in (0.0, 90.0, 180.0, 270.0):
+        for _ in range(25):
+            a = math.radians(blob + rng.uniform(-2, 2))
+            rows.append((vid, [math.cos(a), math.sin(a)]))
+            vid += 1
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents0 = ivf_build_index(base, t, n_clusters=4, seed=42)
+
+    # the blob sits at 10 deg, radius 5 — squarely inside the 0-deg
+    # cell's Voronoi region, so every drifted vector bins to ONE cell
+    drift_rows = []
+    for _ in range(60):
+        a = math.radians(10.0 + rng.uniform(-1, 1))
+        drift_rows.append((vid, [5 * math.cos(a), 5 * math.sin(a)]))
+        vid += 1
+    drifted = spark.createDataFrame(
+        drift_rows, "vec_id long, embedding array<double>"
+    )
+    rep = ivf_append_index(drifted, t, cents0)
+    assert rep["rebuild_recommended"] and rep["drift_ratio"] > 1.5
+    assert rep["batch_top_cell_fraction"] == 1.0
+    assert rep["batch_n_cells"] == 1
+
+    key = f"default.{t}"
+    sweep = health_sweep(spark)
+    assert sweep["tables"][key]["retrain_recommended"]
+    assert sweep["tables"][key]["drift_localized"] is True
+    assert sweep["tables"][key]["remediation"] == "split"
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=True)
+    assert out["applied"][key].startswith("ivf_split_hot_cells")
+    cents1 = ivf_load_centroids(spark, t)
+    # the sweep's split iterates until no cell is hot: the 85-row hot
+    # cell splits 25/60, and the 60-row child (0.375 > 0.25) splits
+    # again — so k grows by 2, and no cell exceeds the hot fraction
+    assert len(cents1) == 6
+    sizes = [
+        r["n"]
+        for r in spark.table(t).groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) <= 0.25 * sum(sizes)
+    assert spark.table(t).count() == 160  # every row preserved
+
+    # the drifted region now lives in its own cell: n_probe=1 probes
+    # at the blob return the exact cosine top-k
+    qs = spark.createDataFrame(
+        [(qi, [5 * math.cos(math.radians(10.0 + d)),
+               5 * math.sin(math.radians(10.0 + d))])
+         for qi, d in enumerate((-0.3, 0.0, 0.3))],
+        "query_id long, embedding array<double>",
+    )
+    corpus = spark.table(t).select("vec_id", "embedding")
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, qs, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_query_index(spark, t, qs, cents1, k=10, n_probe=2).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
+
+    # contract rotation cleared the log: flag reset until new appends
+    sweep2 = health_sweep(spark)
+    assert not sweep2["tables"][key]["retrain_recommended"]
+
+
+def test_ivf_pq_remediated_through_sweep(spark):
+    """A PQ-coded index is remediated THROUGH the sweep with no
+    caller-held codebook: localized drift -> hot-cell split (codes
+    ride through byte-identically), then global drift -> full retrain
+    resolving the persisted {t}_pq_codebook companion. Before round 16
+    the sweep skipped PQ indexes entirely."""
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        pq_train,
+    )
+
+    t = "maint_ivf_pq"
+    for s in (
+        t,
+        f"{t}_drift_stats",
+        f"{t}_drift_log",
+        f"{t}_centroids",
+        f"{t}_pq_codebook",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+    rng = np.random.default_rng(23)
+    rows, vid = [], 0
+    for off in (3.0, -3.0):
+        for _ in range(30):
+            v = rng.normal(0, 0.1, 16)
+            v[0] += off
+            rows.append((vid, v.tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=4, n_codes=16)
+    ivf_build_index(df, t, n_clusters=2, seed=42, pq_codebook=cb)
+    key = f"default.{t}"
+
+    # localized drift: a far blob along +dim1, nearer the +3 cell —
+    # bins whole to one cell; codebook auto-resolved from the companion
+    loc_rows = []
+    for _ in range(40):
+        v = rng.normal(0, 0.1, 16)
+        v[0] += 3.0
+        v[1] += 30.0
+        loc_rows.append((vid, v.tolist()))
+        vid += 1
+    rep = ivf_append_index(
+        spark.createDataFrame(loc_rows, "vec_id long, embedding array<double>"),
+        t,
+        None,
+    )
+    assert rep["rebuild_recommended"]
+    assert rep["batch_top_cell_fraction"] == 1.0
+    assert health_sweep(spark)["tables"][key]["remediation"] == "split"
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=True)
+    assert out["applied"][key].startswith("ivf_split_hot_cells")
+    tbl = spark.table(t)
+    assert tbl.count() == 100
+    assert tbl.filter(F.col("pq_code").isNull()).count() == 0  # codes rode
+
+    # global drift: far rows split ~50/50 across cells -> retrain,
+    # codebook resolved from the companion (caller holds nothing)
+    glob_rows = []
+    for i in range(40):
+        v = rng.normal(0, 0.1, 16)
+        v[2] += -40.0 if i % 2 else 40.0
+        glob_rows.append((vid, v.tolist()))
+        vid += 1
+    rep2 = ivf_append_index(
+        spark.createDataFrame(glob_rows, "vec_id long, embedding array<double>"),
+        t,
+        None,
+    )
+    assert rep2["rebuild_recommended"]
+    assert rep2["batch_top_cell_fraction"] < 0.9
+    assert health_sweep(spark)["tables"][key]["remediation"] == "retrain"
+
+    out2 = run_maintenance(spark, apply=True, retrain_ivf=True)
+    assert out2["applied"][key] == "ivf_retrain_index"
+    tbl2 = spark.table(t)
+    assert tbl2.count() == 140
+    assert tbl2.filter(F.col("pq_code").isNull()).count() == 0
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+
+    meta = get_table_meta(spark, t)
+    assert meta["n_clusters"] == "2"  # retrain reset k to the base fit
+    assert not health_sweep(spark)["tables"][key]["retrain_recommended"]
+
+
+def test_ivf_split_budget_escalates_to_retrain(spark):
+    """Bounded centroid growth (round 16): splits only ever append
+    cells, so the sweep caps the matrix at ivf_split_budget_factor x
+    base_n_clusters and ESCALATES to a full retrain at the base k once
+    the budget is exhausted — N rounds of inject-drift -> maintain
+    keep len(centroids) under the bound with exact recall preserved."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_append_index,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_query_index,
+    )
+
+    t = "maint_ivf_budget"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    import random
+
+    rng = random.Random(31)
+
+    def blob(cx, cy, n, start):
+        return [
+            (start + i, [cx + rng.uniform(-0.2, 0.2), cy + rng.uniform(-0.2, 0.2)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(
+        blob(0.0, 0.0, 20, 0) + blob(100.0, 0.0, 20, 100),
+        "vec_id long, embedding array<double>",
+    )
+    ivf_build_index(base, t, n_clusters=2, seed=13)
+    key = f"default.{t}"
+    budget = 3  # max(base_k + 1, int(1.5 * 2))
+
+    # round 1: localized drift at (0, 50) -> bins whole to the (0,0)
+    # cell -> split within budget (k: 2 -> 3)
+    ivf_append_index(
+        spark.createDataFrame(
+            blob(0.0, 50.0, 30, 1000), "vec_id long, embedding array<double>"
+        ),
+        t,
+        None,
+    )
+    out1 = run_maintenance(
+        spark, apply=True, retrain_ivf=True, ivf_split_budget_factor=1.5
+    )
+    assert out1["applied"][key].startswith("ivf_split_hot_cells")
+    assert len(ivf_load_centroids(spark, t)) == 3
+
+    # round 2: another localized blob at (50, 50) — but the budget is
+    # exhausted (cur_k == 3), so the sweep escalates to a full retrain
+    # at base_n_clusters, resetting k
+    ivf_append_index(
+        spark.createDataFrame(
+            blob(50.0, 50.0, 40, 2000), "vec_id long, embedding array<double>"
+        ),
+        t,
+        None,
+    )
+    sweep = health_sweep(spark)
+    assert sweep["tables"][key]["remediation"] == "split"  # shape says split
+    out2 = run_maintenance(
+        spark, apply=True, retrain_ivf=True, ivf_split_budget_factor=1.5
+    )
+    assert out2["applied"][key] == "ivf_retrain_index"  # ...budget says no
+    cents = ivf_load_centroids(spark, t)
+    assert len(cents) == 2 <= budget  # k reset to the base fit
+    assert spark.table(t).count() == 110
+
+    # recall preserved: probing every cell returns the exact top-k
+    qs = spark.createDataFrame(
+        [(0, [0.0, 50.0]), (1, [50.0, 50.0]), (2, [100.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    corpus = spark.table(t).select("vec_id", "embedding")
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, qs, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_query_index(
+            spark, t, qs, cents, k=5, n_probe=len(cents)
+        ).collect()
+    }
+    assert got == truth

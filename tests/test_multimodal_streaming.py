@@ -3178,3 +3178,80 @@ def test_stream_frontier_schedule_priority_within_batch(spark, tmp_path):
     assert got == {2: 0, 1: 1, 3: 2}
     spark.sql(f"DROP TABLE IF EXISTS {st}")
     spark.sql(f"DROP TABLE IF EXISTS {sk}")
+
+
+def test_stream_ivf_append_resyncs_after_midstream_rotation(spark, tmp_path):
+    """Round 16: a maintenance retrain that rotates the centroid matrix
+    between micro-batches must NOT kill the ingest — the next batch
+    detects the rotated fingerprint (constant-time meta read), reloads
+    the companion, and bins against the NEW cells. Simulated exactly as
+    a running stream sees it: same checkpoint, stale caller-held
+    matrix, new feed file after the rotation."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        _centroid_fingerprint,
+        grid_assign_cells,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_retrain_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_ivf_append,
+    )
+
+    import random
+
+    rng = random.Random(17)
+    t = "stream_ivf_resync"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    base = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1), rng.uniform(-1, 1)]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents0 = ivf_build_index(base, t, n_clusters=2, impl="grid")
+
+    feed = str(tmp_path / "resync_feed")
+    ck = str(tmp_path / "resync_ck")
+    schema = "vec_id bigint, embedding array<float>"
+    # batch 1: a far blob — shifts the subsequent refit so the retrain
+    # genuinely rotates the matrix
+    spark.createDataFrame(
+        [(100 + i, [8.0 + rng.uniform(-0.2, 0.2), 8.0]) for i in range(10)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(feed)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    stream_ivf_append(sdf, t, cents0, checkpoint_dir=ck)
+    assert spark.table(t).count() == 40
+
+    # maintenance rotates the matrix while the ingest is "running"
+    cents1 = ivf_retrain_index(spark, t)
+    assert _centroid_fingerprint(cents1) != _centroid_fingerprint(cents0)
+
+    # batch 2 arrives; the ingest still holds the PRE-rotation matrix.
+    # Same checkpoint -> only the new file is processed; the per-batch
+    # fingerprint check reloads the companion instead of raising.
+    spark.createDataFrame(
+        [(200 + i, [rng.uniform(-1, 1), 8.0]) for i in range(10)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    sdf2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    stream_ivf_append(sdf2, t, cents0, checkpoint_dir=ck)  # stale handle
+
+    got = {
+        r["vec_id"]: r["_cell"]
+        for r in spark.table(t).filter(F.col("vec_id") >= 200).collect()
+    }
+    assert len(got) == 10  # the batch appended, the stream survived
+    # and every row was binned by the NEW matrix (no mis-binning)
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in grid_assign_cells(
+            spark.table(t).filter(F.col("vec_id") >= 200).select(
+                "vec_id", "embedding"
+            ),
+            "vec_id",
+            "embedding",
+            cents1,
+        ).collect()
+    }
+    assert got == want
+    assert ivf_load_centroids(spark, t) == cents1

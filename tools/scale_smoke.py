@@ -614,6 +614,84 @@ def main() -> None:
     for suffix in ("", "_drift_stats", "_drift_log", "_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {ivf_table}{suffix}")
 
+    # streaming-ANN steady-state per-batch overhead A/B (round 16):
+    # the SAME 3-micro-batch ingest run twice — once with the r15
+    # foreachBatch body (anti-join executed TWICE per batch by
+    # ivf_append_index's drop-count + assignment passes, one 1-row
+    # drift-log write job per batch, separate drift-agg and cell-agg
+    # jobs) and once through the current stream_ivf_append (anti-join
+    # checkpointed once, drift+skew fused into one rollup job, log
+    # rows buffered and flushed in one post-drain write). Wall-clock
+    # and DAGScheduler job counts both recorded: the steady state is
+    # dominated by fixed per-batch job overhead, so jobs-per-batch IS
+    # the cost model at sf0.1.
+    if enabled("ann_steady"):
+        from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+            stream_ivf_append,
+        )
+
+        def _total_jobs():
+            # DAGScheduler.nextJobId is an AtomicInteger; py4j returns
+            # its primitive int value directly
+            return spark._jsc.sc().dagScheduler().nextJobId()
+
+        for variant in ("before", "after"):
+            st = f"scale_ann_steady_{variant}_{mult}x"
+            for suffix in ("", "_drift_stats", "_drift_log", "_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {st}{suffix}")
+            st_cents = ivf_build_index(ivf_corpus, st, n_clusters=16)
+            feed = tempfile.mkdtemp(prefix=f"ann_steady_{variant}_")
+            for b in range(3):
+                spark.range(5_000).select(
+                    (F.col("id") + F.lit(800_000_000 + b * 1_000_000)).alias(
+                        "vec_id"
+                    ),
+                    F.array(*dim8).alias("embedding"),
+                ).coalesce(1).write.mode("append").parquet(feed)
+            ck = tempfile.mkdtemp(prefix=f"ann_steady_ck_{variant}_")
+            # q34's exact shape: ONE availableNow drain, 3 micro-batches
+            schema = "vec_id bigint, embedding array<double>"
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+            )
+
+            def _run_before(sdf=sdf):
+                def _legacy(b_df, b_id):  # the r15 foreachBatch body
+                    if b_df.isEmpty():
+                        return
+                    sp = b_df.sparkSession
+                    existing = sp.table(st).select(F.col("vec_id"))
+                    fresh = b_df.join(existing, on="vec_id", how="left_anti")
+                    ivf_append_index(fresh, st, st_cents)
+
+                q = (
+                    sdf.writeStream.foreachBatch(_legacy)
+                    .outputMode("update")
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                spark.catalog.refreshTable(st)
+
+            def _run_after(sdf=sdf):
+                stream_ivf_append(
+                    sdf, st, st_cents, checkpoint_dir=ck,
+                    query_name=f"ann_steady_{variant}",
+                )
+
+            j0 = _total_jobs()
+            stage(
+                f"ann_steady_{variant}",
+                _run_before if variant == "before" else _run_after,
+            )
+            stats[f"ann_steady_{variant}_jobs"] = _total_jobs() - j0
+            stats[f"ann_steady_{variant}_rows"] = spark.table(st).count()
+            for suffix in ("", "_drift_stats", "_drift_log", "_centroids"):
+                spark.sql(f"DROP TABLE IF EXISTS {st}{suffix}")
+
     # drift remediation A/B (round 15): the SAME drifted index state
     # built twice — 20% of rows out-of-distribution, crammed into one
     # hot cell — remediated once by ivf_split_hot_cells (rewrites only
