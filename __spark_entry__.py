@@ -4292,6 +4292,79 @@ def _q_v_ivf_split_topk(spark, sf_dir):
     )
 
 
+def _q_v_ivf_maintain_topk(spark, sf_dir):
+    """Round 16: the drift-shape-AWARE maintenance choose-path,
+    oracle-backed end to end. Same fixture as v_ivf_split_topk (grid
+    build on three quarters, drifted quarter whose vectors all bin to
+    ONE cell), but the remediation is picked and executed by
+    ``maintenance.run_maintenance`` off the persisted drift log: the
+    append logs batch_top_cell_fraction = 1.0, ``table_health``
+    classifies the drift LOCALIZED (>= 0.9 concentration bar), and the
+    sweep — scoped to this table via ``tables=(t,)`` so a shared
+    warehouse is never touched — applies ``ivf_split_hot_cells``
+    within the split budget. The final index state is therefore
+    hash-identical to the direct-split entry, and the SAME DuckDB
+    replay (k=4 grid fit, append assignment, 0.3-fraction hot-cell
+    detection, md5-seeded 2-means sub-fit, child reassignment, 5-cell
+    probe at n_probe=2) verifies both the CHOICE and the surgery: had
+    the sweep retrained instead (k=4 refit over the drifted union),
+    every cell assignment would differ and the value hash would
+    mismatch. The asserted ``applied`` action makes a wrong choice
+    fail loudly rather than ambiguously."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_query_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    t = "ivf_maint_q_" + _fixture_key(sf_dir)
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    a = e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") % 4 != 0)).select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_build_index(a, t, n_clusters=4, impl="grid")
+    # CONSTANT pattern (no %5 spread): every drifted vector is the
+    # same far point, so the whole batch bins to ONE nearest old cell
+    # and the logged batch_top_cell_fraction is exactly 1.0 — the
+    # localized shape the >= 0.9 bar requires (the split entry's
+    # 5-pattern drift splits ~80/20 over two cells and correctly
+    # classifies as GLOBAL -> retrain)
+    drift = e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") % 4 == 0)).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (F.lit(3) + (j % 2)).cast("float"),
+        ).alias("embedding"),
+    )
+    ivf_append_index(drift, t, cents)
+    out = run_maintenance(
+        spark,
+        apply=True,
+        retrain_ivf=True,
+        ivf_split_fraction=0.3,
+        ivf_split_rounds=1,
+        tables=(t,),
+    )
+    applied = out["applied"].get(f"default.{t}") or out["applied"].get(t, "")
+    assert applied.startswith("ivf_split_hot_cells"), (
+        f"maintenance chose {applied!r}, expected the hot-cell split "
+        f"(drift log shape: {out['tables']})"
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_query_index(
+        spark, t, q, ivf_load_centroids(spark, t), k=10, n_probe=2,
+        impl="grid",
+    )
+
+
 def _q_d_minhash_index_dedup(spark, sf_dir):
     """Write-once MinHash index + incremental batch dedup
     (operators/dedup.py::minhash_build_index / minhash_incremental_dedup
@@ -6120,13 +6193,21 @@ _SQL_D64 = (
     "(CAST(c.vq[j] AS DOUBLE) - ct.cvec[j])))"
 )
 
-_SQL_IVF_SPLIT_TOPK = (
+def _sql_ivf_split_topk(drift_expr: str) -> str:
+    """The v_ivf_split_topk replay, parameterized by the synthetic
+    drift vector's element expression (a function of ``vec_id`` and
+    element index ``j``, integer-valued so float32 storage and the
+    x2^20 quantization stay exact): v_ivf_split_topk uses the
+    5-pattern spread, v_ivf_maintain_topk the fully-concentrated
+    constant pattern (every drifted vector bins to ONE cell, which is
+    what makes maintenance classify the drift as localized)."""
+    return (
     "WITH corpq AS (SELECT vec_id, embedding, " + _SQL_QUANT + " AS vq "
     "FROM embeddings WHERE vec_id >= 3 AND vec_id % 4 <> 0), "
     + _sql_grid_kmeans_ctes("corpq", k=4, iters=2)
     + ", driftq AS (SELECT vec_id, "
-    "list_transform(range(1,65), j -> CAST((vec_id % 5) + 3 + (j % 2) AS DOUBLE)) AS embedding, "
-    "list_transform(range(1,65), j -> CAST(((vec_id % 5) + 3 + (j % 2)) * 1048576 AS BIGINT)) AS vq "
+    f"list_transform(range(1,65), j -> CAST({drift_expr} AS DOUBLE)) AS embedding, "
+    f"list_transform(range(1,65), j -> CAST(({drift_expr}) * 1048576 AS BIGINT)) AS vq "
     "FROM embeddings WHERE vec_id >= 3 AND vec_id % 4 = 0), "
     "fdistA AS (SELECT c.vec_id, c.vq, ct.cell, " + _SQL_D64 + " AS d FROM corpq c, cent2 ct), "
     "fasgA AS (SELECT vec_id, vq, cell FROM (SELECT *, row_number() OVER "
@@ -6164,7 +6245,11 @@ _SQL_IVF_SPLIT_TOPK = (
     "SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM "
     "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank "
     "FROM scored) WHERE rank <= 10"
-)
+    )
+
+
+_SQL_IVF_SPLIT_TOPK = _sql_ivf_split_topk("(vec_id % 5) + 3 + (j % 2)")
+_SQL_IVF_MAINTAIN_TOPK = _sql_ivf_split_topk("3 + (j % 2)")
 
 
 # Nearest-centroid quality model replay (quality_model.py round-14
@@ -6699,94 +6784,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across rounds so every registered query keeps a driver verdict
     against CURRENT testdata.
 
-    r15 window (this ordering): the two round-15 additions
-    (t_bpe_tokens_small — the 8-merge oracle-backed BPE twin — and
-    v_ivf_split_topk — the hot-cell-split drift remediation replayed
-    end-to-end; both need their first driver verdict), then the
-    ENTIRE r09-verified remainder (19 entries, which projected
-    exactly at the budget-6 floor this round — mandatory; includes
-    the sanctioned rows-only a1_approx_distinct), then 29 of the 50
-    r11-verified entries in registration order. The r11 remainder
-    (21 entries) leads r16, where it projects r11 >= floor r10;
-    after this window the worst projected verdict sits at r11 vs
-    floor r09 — two rounds of restored margin.
+    r16 window (this ordering): the round-16 addition
+    (v_ivf_maintain_topk — the drift-shape-aware maintenance
+    choose-path, needs its first driver verdict), then the ENTIRE
+    21-entry r11-verified remainder (mandatory this round: it projects
+    r11 >= floor r10 at the budget-6 gate), then the first 28 of the
+    41-entry r12-verified tranche in registration order. After this
+    window the worst projected verdict sits at r12 vs floor r10 — two
+    rounds of margin held. r17 = the 13-entry r12 remainder + the r13
+    tranche's head (37); r18 = the r13 remainder + the r14 tranche's
+    head; the r15-verified tranche (last round's front-50) rotates
+    last as the freshest cohort.
 
-    Rotation arithmetic (why the budget is 6, not 5): 211 registered
+    Rotation arithmetic (why the budget is 6, not 5): 213 registered
     entries cycle through a 50-slot window, so a full re-verification
     pass takes ceil(N/50) >= 5 rounds even with ZERO slots spent on
     newly added queries — and every round adds oracle-backed entries
     that must be sampled soon after they land. A 5-round budget is
     therefore only satisfiable when the verdict cohorts are already
     perfectly smoothed; the inherited cohorts are lumpy (blocks of
-    exactly 50), so rounds 13-16 smooth them: r16 = the 20-entry r11
-    remainder + 30 of the r12 tranche; r17 = the r12 remainder + the
-    r13 tranche's head. From r15 on the worst projected verdict sits
-    strictly above the floor (margin), with ~10 spare slots per round
-    for new entries. ENFORCE with
+    exactly 50), so rounds 13-17 smooth them. From r15 on the worst
+    projected verdict sits strictly above the floor (margin), with
+    ~10 spare slots per round for new entries. ENFORCE with
     ``python tools/check_rotation.py`` (fails when any entry's newest
     driver verdict would exceed the staleness budget under the current
     ordering) and run the registry meta-test after reordering
     (tests/test_curation.py::test_registry_contract_consistency)."""
     return {
-    # ---- r15 front-50: the two round-15 additions (t_bpe_tokens_small,
-    # ---- v_ivf_split_topk — both need their first driver verdict),
-    # ---- then the ENTIRE r09-verified remainder (19 entries — they
-    # ---- project exactly at the budget-6 floor this round and MUST
-    # ---- front; includes the sanctioned rows-only
-    # ---- a1_approx_distinct), then the r11 tranche
-    # ---- oldest-registered-first (29 of 50).
-        "t_bpe_tokens_small": _q_t_bpe_tokens_small,
-        "v_ivf_split_topk": _q_v_ivf_split_topk,
-        "t_cluster_split": _q_t_cluster_split,
-        "m_decode_jpeg": _q_m_decode_jpeg,
-        "a1_approx_distinct": _q_a1_approx_distinct,
-        "x2_sessionize_chunked": _q_x2_sessionize_chunked,
-        "a1_cube": _q_a1_cube,
-        "a1_rollup": _q_a1_rollup,
-        "a1_grouping_sets": _q_a1_grouping_sets,
-        "a1_pivot": _q_a1_pivot,
-        "a1_percentile": _q_a1_percentile,
-        "a1_count_distinct": _q_a1_count_distinct,
-        "s4_csv_source": _q_s4_csv_source,
-        "s4_json_source": _q_s4_json_source,
-        "s5_parquet_scan": _q_s5_parquet_scan,
-        "p1_projection": _q_p1_projection,
-        "t_global_shuffle": _q_t_global_shuffle,
-        "x2_interval_join": _q_x2_interval_join,
-        "x2_range_join": _q_x2_range_join,
-        "x1_tumbling_window": _q_x1_tumbling_window,
-        "x1_session_window": _q_x1_session_window,
-        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
-        "p6_filter_eq": _q_p6_filter_eq,
-        "p8_compound_filter": _q_p8_compound_filter,
-        "f8_isin": _q_f8_isin,
-        "f_trim_upper": _q_f_trim_upper,
-        "f16_date_arith": _q_f16_date_arith,
-        "r8_recompute_amount": _q_r8_recompute_amount,
-        "j1_j2_enrich": _q_j1_j2_enrich,
-        "j3_broadcast_join": _q_j3_broadcast_join,
-        "w2_surrogate_key": _q_w2_surrogate_key,
-        "o1_topk": _q_o1_topk,
-        "o1_set_except": _q_o1_set_except,
-        "o1_intersect": _q_o1_intersect,
-        "s13_orc_roundtrip": _q_s13_orc_roundtrip,
-        "m_resize_images": _q_m_resize_images,
-        "t_charlm_score": _q_t_charlm_score,
-        "t_token_count": _q_t_token_count,
-        "t_quality_score": _q_t_quality_score,
-        "t_language_id": _q_t_language_id,
-        "t_doc_fingerprint": _q_t_doc_fingerprint,
-        "t_regex_tokens": _q_t_regex_tokens,
-        "t_exact_dedup": _q_t_exact_dedup,
-        "t_repetition_ratio": _q_t_repetition_ratio,
-        "t_pii_scrub": _q_t_pii_scrub,
-        "t_vocab_topk": _q_t_vocab_topk,
-        "t_tfidf_topterms": _q_t_tfidf_topterms,
-        "t_hash_split": _q_t_hash_split,
-        "t_chunk_documents": _q_t_chunk_documents,
-        "t_curation_pipeline": _q_t_curation_pipeline,
-    # ---- behind the cap, in forward rotation order ----
-    # r16 leaders: the r11 remainder (project r11 >= floor r10 at r16)
+    # ---- r16 front-50: the round-16 addition (first driver verdict),
+    # ---- then the ENTIRE r11-verified remainder (21 entries —
+    # ---- mandatory this round), then the r12-verified tranche
+    # ---- oldest-registered-first (28 of 41).
+        "v_ivf_maintain_topk": _q_v_ivf_maintain_topk,
         "v_l2_norm": _q_v_l2_norm,
         "s11_versioned_merge": _q_s11_versioned_merge,
         "v_cosine_topk": _q_v_cosine_topk,
@@ -6808,7 +6837,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_audio_fp_pairs": _q_m_audio_fp_pairs,
         "m_hash_index_dedup": _q_m_hash_index_dedup,
         "x1_media_dedup_stream": _q_x1_media_dedup_stream,
-    # r16/r17: the r12-verified tranche (incl. the r12 front-50)
         "v_dot_product": _q_v_dot_product,
         "f17_current_timestamp": _q_f17_current_timestamp,
         "w1_dedup_latest": _q_w1_dedup_latest,
@@ -6837,6 +6865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_union": _q_o1_union,
         "m_frame_sample": _q_m_frame_sample,
         "m_decode_audio": _q_m_decode_audio,
+    # ---- behind the cap, in forward rotation order ----
+    # r17 leaders: the r12-tranche remainder (13)
         "t_corpus_drift": _q_t_corpus_drift,
         "d_containment_pairs": _q_d_containment_pairs,
         "t_weighted_per_lang": _q_t_weighted_per_lang,
@@ -6901,7 +6931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_sliding_stream": _q_x1_sliding_stream,
         "x1_sliding_window": _q_x1_sliding_window,
         "x1_stream_dedup": _q_x1_stream_dedup,
-    # r18/r19: the r14-verified tranche (the r14 front-50, freshest)
+    # r18/r19: the r14-verified tranche (the r14 front-50)
         "t_crawl_tick": _q_t_crawl_tick,
         "x1_crawl_stream": _q_x1_crawl_stream,
         "v_mmr_rerank": _q_v_mmr_rerank,
@@ -6952,6 +6982,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_projection_rename": _q_p2_projection_rename,
         "g_fact_sales_pit": _q_g_fact_sales_pit,
         "j9_scd2_pit": _q_j9_scd2_pit,
+    # r19/r20: the r15-verified tranche (the r15 front-50, freshest)
+        "t_bpe_tokens_small": _q_t_bpe_tokens_small,
+        "v_ivf_split_topk": _q_v_ivf_split_topk,
+        "t_cluster_split": _q_t_cluster_split,
+        "m_decode_jpeg": _q_m_decode_jpeg,
+        "a1_approx_distinct": _q_a1_approx_distinct,
+        "x2_sessionize_chunked": _q_x2_sessionize_chunked,
+        "a1_cube": _q_a1_cube,
+        "a1_rollup": _q_a1_rollup,
+        "a1_grouping_sets": _q_a1_grouping_sets,
+        "a1_pivot": _q_a1_pivot,
+        "a1_percentile": _q_a1_percentile,
+        "a1_count_distinct": _q_a1_count_distinct,
+        "s4_csv_source": _q_s4_csv_source,
+        "s4_json_source": _q_s4_json_source,
+        "s5_parquet_scan": _q_s5_parquet_scan,
+        "p1_projection": _q_p1_projection,
+        "t_global_shuffle": _q_t_global_shuffle,
+        "x2_interval_join": _q_x2_interval_join,
+        "x2_range_join": _q_x2_range_join,
+        "x1_tumbling_window": _q_x1_tumbling_window,
+        "x1_session_window": _q_x1_session_window,
+        "p3_p5_p9_field_ops": _q_p3_p5_p9_field_ops,
+        "p6_filter_eq": _q_p6_filter_eq,
+        "p8_compound_filter": _q_p8_compound_filter,
+        "f8_isin": _q_f8_isin,
+        "f_trim_upper": _q_f_trim_upper,
+        "f16_date_arith": _q_f16_date_arith,
+        "r8_recompute_amount": _q_r8_recompute_amount,
+        "j1_j2_enrich": _q_j1_j2_enrich,
+        "j3_broadcast_join": _q_j3_broadcast_join,
+        "w2_surrogate_key": _q_w2_surrogate_key,
+        "o1_topk": _q_o1_topk,
+        "o1_set_except": _q_o1_set_except,
+        "o1_intersect": _q_o1_intersect,
+        "s13_orc_roundtrip": _q_s13_orc_roundtrip,
+        "m_resize_images": _q_m_resize_images,
+        "t_charlm_score": _q_t_charlm_score,
+        "t_token_count": _q_t_token_count,
+        "t_quality_score": _q_t_quality_score,
+        "t_language_id": _q_t_language_id,
+        "t_doc_fingerprint": _q_t_doc_fingerprint,
+        "t_regex_tokens": _q_t_regex_tokens,
+        "t_exact_dedup": _q_t_exact_dedup,
+        "t_repetition_ratio": _q_t_repetition_ratio,
+        "t_pii_scrub": _q_t_pii_scrub,
+        "t_vocab_topk": _q_t_vocab_topk,
+        "t_tfidf_topterms": _q_t_tfidf_topterms,
+        "t_hash_split": _q_t_hash_split,
+        "t_chunk_documents": _q_t_chunk_documents,
+        "t_curation_pipeline": _q_t_curation_pipeline,
     }
 
 
@@ -7573,6 +7654,12 @@ def oracle_sql() -> dict[str, str]:
         "v_mmr_rerank": _SQL_MMR_RERANK,
         "t_bpe_tokens_small": _SQL_BPE_SMALL,
         "v_ivf_split_topk": _SQL_IVF_SPLIT_TOPK,
+        # the maintenance choose-path must land in EXACTLY the index
+        # state the direct hot-cell split produces (same replay shape,
+        # fully-concentrated drift pattern): a wrong choice — full
+        # retrain — re-fits k=4 over the drifted union and every cell
+        # assignment, hence the value hash, diverges
+        "v_ivf_maintain_topk": _SQL_IVF_MAINTAIN_TOPK,
         "v_pq_topk": _SQL_PQ_TOPK,
         "v_dot_product": (
             f"SELECT e1.vec_id AS vec_id, round({dot64}, 6) AS dot "

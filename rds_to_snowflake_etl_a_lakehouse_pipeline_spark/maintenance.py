@@ -216,13 +216,18 @@ def health_sweep(
     spark: SparkSession,
     versioned_roots: tuple[str, ...] = (),
     database: str | None = None,
+    tables: tuple[str, ...] | None = None,
 ) -> dict:
     """Health of EVERY standing table the engine maintains, one call:
     ``{"tables": {name: {"family", **health}}, "versioned": {root:
     health}, "attention": [names whose report recommends action]}``.
     Discovery walks the catalog (``database`` or the current one) and
     classifies by recorded metadata — user tables are skipped, never
-    scanned. Constant-time per table (see module docstring)."""
+    scanned. Constant-time per table (see module docstring).
+    ``tables`` scopes the sweep to the named tables only (bare or
+    db-qualified) — the "maintain just this index" form, and how a
+    caller sharing a warehouse avoids sweeping (let alone compacting)
+    tables it does not own."""
     reports: dict[str, dict] = {}
     attention: list[str] = []
     # qualify with the listed table's own database: unqualified names
@@ -236,6 +241,11 @@ def health_sweep(
         for t in spark.catalog.listTables(database)
         if t.tableType not in ("VIEW", "TEMPORARY") and not t.isTemporary
     ]
+    if tables is not None:
+        want = set(tables)
+        names = [
+            n for n in names if n in want or n.split(".", 1)[-1] in want
+        ]
     for name in sorted(names):
         family = classify_table(spark, name)
         if family is None:
@@ -261,6 +271,7 @@ def _remediate_ivf(
     rep: dict,
     split_budget_factor: float,
     split_rounds: int,
+    split_fraction: float,
 ) -> str:
     """Pick and run the drift remediation the log's SHAPE calls for:
 
@@ -291,7 +302,11 @@ def _remediate_ivf(
     budget = max(base_k + 1, int(split_budget_factor * base_k))
     if rep.get("remediation") == "split" and cur_k < budget:
         new_cents = ivf_split_hot_cells(
-            spark, name, rounds=split_rounds, max_cells=budget
+            spark,
+            name,
+            max_cell_fraction=split_fraction,
+            rounds=split_rounds,
+            max_cells=budget,
         )
         if len(new_cents) > cur_k:
             return "ivf_split_hot_cells"
@@ -321,6 +336,8 @@ def run_maintenance(
     retrain_ivf: bool = False,
     ivf_split_budget_factor: float = IVF_SPLIT_BUDGET_FACTOR,
     ivf_split_rounds: int = 3,
+    ivf_split_fraction: float = 0.25,
+    tables: tuple[str, ...] | None = None,
 ) -> dict:
     """The runbook: :func:`health_sweep`, then (``apply=True``) execute
     each flagged table's own maintenance verb — index compaction
@@ -347,7 +364,7 @@ def run_maintenance(
     skipped with a note. A full retrain rewrites every file and
     subsumes compaction; a split rewrites only the hot partitions, so a
     split table flagged for file creep is additionally compacted."""
-    sweep = health_sweep(spark, versioned_roots, database)
+    sweep = health_sweep(spark, versioned_roots, database, tables=tables)
     applied: dict[str, str] = {}
     if apply:
         for name in sweep["attention"]:
@@ -371,6 +388,7 @@ def run_maintenance(
                         rep,
                         ivf_split_budget_factor,
                         ivf_split_rounds,
+                        ivf_split_fraction,
                     )
                     acts.append(act)
                     retrained = act == "ivf_retrain_index"

@@ -121,6 +121,8 @@ AUDIT = [
     # round-15 additions (drift remediation + BPE twin)
     "t_bpe_tokens_small",
     "v_ivf_split_topk",
+    # round-16 addition (drift-shape-aware maintenance choose-path)
+    "v_ivf_maintain_topk",
 ]
 
 
