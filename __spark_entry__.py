@@ -4365,6 +4365,62 @@ def _q_v_ivf_maintain_topk(spark, sf_dir):
     )
 
 
+def _q_v_ivf_merge_topk(spark, sf_dir):
+    """Round 16: the cold-cell merge (ivf_merge_cold_cells — the
+    defragmentation counterpart of the hot-cell split), oracle-backed
+    end to end. Corpus: skewed constant blobs derived from vec_id
+    (masses 40/40/18/2%, integer-valued patterns so float32 storage
+    and the x2^20 quantization are exact in both engines), grid-built
+    at k=4. WHATEVER cell composition the md5-seeded fit lands on,
+    every cell's mass is a sum of whole blobs, so the 0.1 cold
+    threshold has margin by construction and at least one cell (the
+    2% sliver, or an empty cell when init collides inside a constant
+    blob) is always cold while the largest always survives. The merge
+    folds the cold rows into their nearest surviving cell, drops the
+    cold partitions, and restores the dense 0..k-1 id invariant by
+    swap-remove renumbering; the DuckDB oracle replays the fit, the
+    cold detection over the FULL matrix range (empty cells included),
+    the reassignment (survivor-position tie-break), the closed-form
+    renumber mapping (holes below S ascending x survivor ids >= S
+    descending == the loop's outcome), and the 2-probe cosine top-10
+    over the shrunk matrix. Queries probe blobs 0/1/2 (query vectors
+    = the blob patterns for vec_id < 3)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_merge_cold_cells,
+        ivf_query_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    t = "ivf_merge_q_" + _fixture_key(sf_dir)
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    m = F.col("vec_id") % 100
+    pat = (
+        F.when(m < 40, 0).when(m < 80, 1).when(m < 98, 2).otherwise(3)
+    )
+    corpus = e.filter(F.col("vec_id") >= 3).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (pat * 10 + 3 + (j % 2)).cast("float"),
+        ).alias("embedding"),
+    )
+    ivf_build_index(corpus, t, n_clusters=4, impl="grid")
+    merged = ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    assert len(merged) < 4, "fixture expects at least one cold cell"
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (F.col("vec_id") * 10 + 3 + (j % 2)).cast("float"),
+        ).alias("embedding"),
+    )
+    return ivf_query_index(
+        spark, t, q, merged, k=10, n_probe=2, impl="grid"
+    )
+
+
 def _q_d_minhash_index_dedup(spark, sf_dir):
     """Write-once MinHash index + incremental batch dedup
     (operators/dedup.py::minhash_build_index / minhash_incremental_dedup
@@ -6252,6 +6308,84 @@ _SQL_IVF_SPLIT_TOPK = _sql_ivf_split_topk("(vec_id % 5) + 3 + (j % 2)")
 _SQL_IVF_MAINTAIN_TOPK = _sql_ivf_split_topk("3 + (j % 2)")
 
 
+# Cold-cell merge replay (v_ivf_merge_topk, round 16): a skewed
+# constant-blob corpus (blob masses 40/40/18/2% of ids, integer-valued
+# patterns -> float32 + x2^20 exact) is grid-built at k=4 — WHATEVER
+# cell composition the md5-seeded fit lands on (blob-per-cell,
+# shared cells + empty cells, ...), every cell's mass is a sum of
+# whole blobs, so the 0.1 cold threshold is never borderline and at
+# least one cell is always cold (the 2% sliver or an empty cell)
+# while the largest (>= 25% by pigeonhole) always survives. The SQL
+# replays the fit, the full assignment, the cold detection over the
+# COMPLETE 0..k-1 matrix range (empty cells included), the
+# nearest-surviving-centroid reassignment of the cold rows
+# (tie-break by survivor position, = grid_assign_cells over the
+# survivor list), the swap-remove renumbering in closed form (holes
+# below S=|survivors| ascending pair with survivor ids >= S
+# descending — provably the loop's outcome), and the 2-probe cosine
+# top-10 over the shrunk matrix.
+_SQL_IVF_MERGE_TOPK = (
+    "WITH corpq AS (SELECT vec_id, "
+    "list_transform(range(1,65), j -> CAST("
+    "(CASE WHEN vec_id % 100 < 40 THEN 0 WHEN vec_id % 100 < 80 THEN 1 "
+    "WHEN vec_id % 100 < 98 THEN 2 ELSE 3 END) * 10 + 3 + (j % 2) "
+    "AS DOUBLE)) AS embedding, "
+    "list_transform(range(1,65), j -> CAST(("
+    "(CASE WHEN vec_id % 100 < 40 THEN 0 WHEN vec_id % 100 < 80 THEN 1 "
+    "WHEN vec_id % 100 < 98 THEN 2 ELSE 3 END) * 10 + 3 + (j % 2)"
+    ") * 1048576 AS BIGINT)) AS vq "
+    "FROM embeddings WHERE vec_id >= 3), "
+    + _sql_grid_kmeans_ctes("corpq", k=4, iters=2)
+    + ", fdist AS (SELECT c.vec_id, c.vq, ct.cell, " + _SQL_D64 + " AS d "
+    "FROM corpq c, cent2 ct), "
+    "fasg AS (SELECT vec_id, vq, cell FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM fdist) WHERE rn = 1), "
+    "cellcounts AS (SELECT r.cell, COALESCE(cnt.n, 0) AS n FROM "
+    "(SELECT CAST(unnest(range(4)) AS INT) AS cell) r LEFT JOIN "
+    "(SELECT cell, count(*) AS n FROM fasg GROUP BY cell) cnt USING (cell)), "
+    "cold AS (SELECT cell FROM cellcounts "
+    "WHERE n < 0.1 * (SELECT sum(n) FROM cellcounts)), "
+    "surv AS (SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS pos "
+    "FROM cellcounts WHERE cell NOT IN (SELECT cell FROM cold)), "
+    "sn AS (SELECT count(*) AS s FROM surv), "
+    "holes AS (SELECT cell AS hole, row_number() OVER (ORDER BY cell) AS rn "
+    "FROM cold WHERE cell < (SELECT s FROM sn)), "
+    "movers AS (SELECT cell, row_number() OVER (ORDER BY cell DESC) AS rn "
+    "FROM surv WHERE cell >= (SELECT s FROM sn)), "
+    "remap AS (SELECT surv.cell AS old, CASE WHEN surv.cell < (SELECT s FROM sn) "
+    "THEN surv.cell ELSE (SELECT hole FROM holes JOIN movers USING (rn) "
+    "WHERE movers.cell = surv.cell) END AS new FROM surv), "
+    "coldrows AS (SELECT f.vec_id, f.vq FROM fasg f "
+    "JOIN cold ON f.cell = cold.cell), "
+    "colddist AS (SELECT c.vec_id, ct.cell, ct.pos, " + _SQL_D64 + " AS d "
+    "FROM coldrows c, (SELECT s.cell, s.pos, ct2.cvec FROM surv s "
+    "JOIN cent2 ct2 ON ct2.cell = s.cell) ct), "
+    "coldasg AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY d, pos) AS rn FROM colddist) WHERE rn = 1), "
+    "finalasg AS (SELECT f.vec_id, r.new AS cell FROM fasg f "
+    "JOIN remap r ON f.cell = r.old "
+    "UNION ALL SELECT ca.vec_id, r.new AS cell FROM coldasg ca "
+    "JOIN remap r ON ca.cell = r.old), "
+    "newcent AS (SELECT r.new AS cell, ct.cvec FROM cent2 ct "
+    "JOIN remap r ON ct.cell = r.old), "
+    "qq AS (SELECT vec_id AS query_id, "
+    "list_transform(range(1,65), j -> CAST(vec_id * 10 + 3 + (j % 2) AS DOUBLE)) AS embedding, "
+    "list_transform(range(1,65), j -> CAST((vec_id * 10 + 3 + (j % 2)) * 1048576 AS BIGINT)) AS vq "
+    "FROM embeddings WHERE vec_id < 3), "
+    "qdist AS (SELECT c.query_id, ct.cell, " + _SQL_D64 + " AS d "
+    "FROM qq c, newcent ct), "
+    "probes AS (SELECT query_id, cell FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY d, cell) AS rn FROM qdist) WHERE rn <= 2), "
+    "cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN finalasg a ON a.cell = p.cell), "
+    "scored AS (SELECT cand.query_id, cand.vec_id, " + _SQL_COS64 + " AS cos_sim "
+    "FROM cand JOIN corpq c ON c.vec_id = cand.vec_id "
+    "JOIN qq q ON q.query_id = cand.query_id) "
+    "SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank "
+    "FROM scored) WHERE rank <= 10"
+)
+
+
 # Nearest-centroid quality model replay (quality_model.py round-14
 # tier): quantized features -> percent_rank median label split ->
 # exact-integer class centroids -> per-doc squared-distance decision.
@@ -6784,19 +6918,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across rounds so every registered query keeps a driver verdict
     against CURRENT testdata.
 
-    r16 window (this ordering): the round-16 addition
+    r16 window (this ordering): the two round-16 additions
     (v_ivf_maintain_topk — the drift-shape-aware maintenance
-    choose-path, needs its first driver verdict), then the ENTIRE
-    21-entry r11-verified remainder (mandatory this round: it projects
-    r11 >= floor r10 at the budget-6 gate), then the first 28 of the
+    choose-path — and v_ivf_merge_topk — the cold-cell merge; both
+    need their first driver verdict), then the ENTIRE 21-entry
+    r11-verified remainder (mandatory this round: it projects r11 >=
+    floor r10 at the budget-6 gate), then the first 27 of the
     41-entry r12-verified tranche in registration order. After this
     window the worst projected verdict sits at r12 vs floor r10 — two
-    rounds of margin held. r17 = the 13-entry r12 remainder + the r13
-    tranche's head (37); r18 = the r13 remainder + the r14 tranche's
+    rounds of margin held. r17 = the 14-entry r12 remainder + the r13
+    tranche's head (36); r18 = the r13 remainder + the r14 tranche's
     head; the r15-verified tranche (last round's front-50) rotates
     last as the freshest cohort.
 
-    Rotation arithmetic (why the budget is 6, not 5): 213 registered
+    Rotation arithmetic (why the budget is 6, not 5): 214 registered
     entries cycle through a 50-slot window, so a full re-verification
     pass takes ceil(N/50) >= 5 rounds even with ZERO slots spent on
     newly added queries — and every round adds oracle-backed entries
@@ -6811,11 +6946,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordering) and run the registry meta-test after reordering
     (tests/test_curation.py::test_registry_contract_consistency)."""
     return {
-    # ---- r16 front-50: the round-16 addition (first driver verdict),
+    # ---- r16 front-50: the two round-16 additions (first driver
+    # ---- verdicts),
     # ---- then the ENTIRE r11-verified remainder (21 entries —
     # ---- mandatory this round), then the r12-verified tranche
-    # ---- oldest-registered-first (28 of 41).
+    # ---- oldest-registered-first (27 of 41).
         "v_ivf_maintain_topk": _q_v_ivf_maintain_topk,
+        "v_ivf_merge_topk": _q_v_ivf_merge_topk,
         "v_l2_norm": _q_v_l2_norm,
         "s11_versioned_merge": _q_s11_versioned_merge,
         "v_cosine_topk": _q_v_cosine_topk,
@@ -6866,7 +7003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample": _q_m_frame_sample,
         "m_decode_audio": _q_m_decode_audio,
     # ---- behind the cap, in forward rotation order ----
-    # r17 leaders: the r12-tranche remainder (13)
+    # r17 leaders: the r12-tranche remainder (14)
         "t_corpus_drift": _q_t_corpus_drift,
         "d_containment_pairs": _q_d_containment_pairs,
         "t_weighted_per_lang": _q_t_weighted_per_lang,
@@ -7660,6 +7797,9 @@ def oracle_sql() -> dict[str, str]:
         # retrain — re-fits k=4 over the drifted union and every cell
         # assignment, hence the value hash, diverges
         "v_ivf_maintain_topk": _SQL_IVF_MAINTAIN_TOPK,
+        # cold-cell merge: fit + cold detection + fold + closed-form
+        # swap-remove renumber + probe, replayed end to end
+        "v_ivf_merge_topk": _SQL_IVF_MERGE_TOPK,
         "v_pq_topk": _SQL_PQ_TOPK,
         "v_dot_product": (
             f"SELECT e1.vec_id AS vec_id, round({dot64}, 6) AS dot "

@@ -1164,6 +1164,168 @@ def ivf_split_hot_cells(
     return centroids
 
 
+def ivf_merge_cold_cells(
+    spark,
+    table: str,
+    min_cell_fraction: float = 0.01,
+) -> list[list[float]]:
+    """The defragmentation counterpart of :func:`ivf_split_hot_cells`:
+    RETIRE cells that went cold (row count < ``min_cell_fraction`` ×
+    index rows — the aftermath of deletes, compaction-era data aging
+    out, or a retrain-then-drift cycle leaving stranded slivers) and
+    fold their rows into the nearest SURVIVING cell. Where the split
+    bounds k from above (with maintenance's budget), the merge pulls k
+    back down when the matrix has fragmented — every probe's
+    nearest-cell argmin and every broadcast carries the full matrix,
+    and a directory layout of sliver partitions wastes listing and
+    min-file overhead at scale.
+
+    Partition-scoped like the split: the cold rows (small by
+    definition) are re-assigned with one bounded kernel pass and
+    APPENDED bucket-aligned into their new cells, the cold partitions
+    are dropped, and the dense 0..k-1 cell-id invariant (what lets
+    the matrix be positional everywhere) is restored by swap-remove —
+    each hole is filled by RENUMBERING the current highest cell into
+    it (one partition rewrite per hole, not a corpus rewrite). PQ
+    codes ride through untouched — they encode the vector, not the
+    cell. Ends with the same contract rotation as build/retrain/split
+    (fingerprint, centroid companion, fresh drift baseline, cleared
+    log); a merge that finds nothing cold leaves the contract
+    untouched and returns the matrix unchanged.
+
+    Raises if the fraction would retire EVERY cell (fraction ≥ 1/k
+    territory) — a merge must leave at least one survivor."""
+    from ..sources.io import get_table_meta
+
+    meta = get_table_meta(spark, table)
+    if meta.get("kind") != "ivf":
+        raise ValueError(
+            f"{table!r} is not an IVF index (kind={meta.get('kind')!r})"
+        )
+    centroids = [list(c) for c in ivf_load_centroids(spark, table)]
+    impl = meta.get("impl", "mllib")
+    n_id_buckets = int(meta.get("n_buckets", 0) or 0)
+    cols = spark.table(table).columns
+    id_col, vec_col = cols[0], cols[1]
+    data_cols = [c for c in cols if c != "_cell"]
+
+    sizes = {
+        r["_cell"]: r["n"]
+        for r in spark.table(table)
+        .groupBy("_cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    # a matrix cell with NO partition directory is maximally cold
+    cold = sorted(
+        c
+        for c in range(len(centroids))
+        if sizes.get(c, 0) < min_cell_fraction * total
+    )
+    if not cold:
+        return centroids
+    survivors = [c for c in range(len(centroids)) if c not in set(cold)]
+    if not survivors:
+        raise ValueError(
+            f"min_cell_fraction={min_cell_fraction} would retire every "
+            f"cell of {table}; a merge must leave a survivor"
+        )
+
+    cold_rows = spark.table(table).filter(F.col("_cell").isin(cold))
+    if impl == "grid":
+        surv_cents = [centroids[c] for c in survivors]
+        moved = (
+            grid_assign_cells(
+                cold_rows,
+                id_col,
+                vec_col,
+                surv_cents,
+                keep_cols=[c for c in data_cols if c != id_col],
+            )
+            .drop("_vq")
+            .withColumnRenamed("cell", "_surv_pos")
+        )
+    else:
+        C = np.asarray([centroids[c] for c in survivors], dtype=np.float64)
+
+        @pandas_udf("int")
+        def nearest_surv(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+        moved = cold_rows.select(
+            *data_cols, nearest_surv(F.col(vec_col)).alias("_surv_pos")
+        )
+    pos_to_cell = F.create_map(
+        *[F.lit(x) for i, c in enumerate(survivors) for x in (i, c)]
+    )
+    moved = moved.select(
+        *data_cols,
+        pos_to_cell[F.col("_surv_pos")].cast("int").alias("_cell"),
+    ).localCheckpoint(eager=True)
+
+    from ..sources.io import write_table
+
+    write_table(
+        moved,
+        table,
+        mode="append",
+        partition_by=["_cell"],
+        bucket_by=(
+            (n_id_buckets, meta["bucket_cols"].split(","))
+            if n_id_buckets and "bucket_cols" in meta
+            else None
+        ),
+    )
+    for c in cold:
+        if c in sizes:  # no directory exists for an empty matrix cell
+            spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (_cell={c})")
+
+    # swap-remove renumbering: fill each hole (a retired id) with the
+    # current HIGHEST surviving id so ids stay dense 0..k-1 — one
+    # partition rewrite per hole, smallest-possible surgery
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        holes = sorted(cold)
+        live = sorted(survivors)
+        new_centroids = [list(c) for c in centroids]
+        while holes and live and live[-1] > holes[0]:
+            h, m = holes.pop(0), live.pop()
+            spark.catalog.refreshTable(table)
+            mover = (
+                spark.table(table)
+                .filter(F.col("_cell") == m)
+                .select(*data_cols, F.lit(h).cast("int").alias("_cell"))
+                .localCheckpoint(eager=True)
+            )
+            mover.write.mode("overwrite").insertInto(table)
+            spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS PARTITION (_cell={m})"
+            )
+            new_centroids[h] = new_centroids[m]
+            # h is now occupied by m's centroid; m's old slot retires
+        new_centroids = new_centroids[: len(survivors)]
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    spark.catalog.refreshTable(table)
+    _finalize_index_contract(
+        spark,
+        table,
+        new_centroids,
+        impl=impl,
+        pq=meta.get("pq") == "true",
+        n_id_buckets=n_id_buckets,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return new_centroids
+
+
 def _pruned_index_scan(spark, table: str, probes: DataFrame, n_cells: int):
     """Index scan with a LITERAL ``_cell IN (...)`` static partition
     filter — short-circuited: once the probed-cell set exceeds half of

@@ -2775,3 +2775,127 @@ def test_ivf_split_preserves_missing_bucket_spec(spark):
     rep = ivf_append_index(extra, t)
     assert rep["n_appended"] == 1
     assert spark.table(t).count() == 41
+
+
+def test_ivf_merge_cold_cells_retires_and_renumbers(spark):
+    """Round 16: ivf_merge_cold_cells retires underfull cells —
+    their rows fold into the nearest SURVIVING cell, the cold
+    partitions are dropped, the dense 0..k-1 id invariant is restored
+    by swap-remove renumbering (one partition rewrite per hole), the
+    contract rotates (stale matrices rejected), and probes over the
+    shrunk matrix return the exact top-k. A second merge with nothing
+    cold is a no-op that leaves the contract untouched."""
+    import random
+
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_merge_cold_cells,
+        ivf_query_index,
+    )
+
+    t = "ivf_merge_cold"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = random.Random(41)
+    rows, vid = [], 0
+    for cx, cy, n in ((0.0, 0.0, 40), (10.0, 0.0, 40), (0.0, 10.0, 2), (10.0, 10.0, 2)):
+        for _ in range(n):
+            rows.append((vid, [cx + rng.uniform(-0.2, 0.2), cy + rng.uniform(-0.2, 0.2)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents0 = ivf_build_index(df, t, n_clusters=4, seed=19)
+    sizes0 = {
+        r["_cell"]: r["n"]
+        for r in spark.table(t).groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(sizes0.values()) == [2, 2, 40, 40]  # two sliver cells
+
+    merged = ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    assert len(merged) == 2
+    assert ivf_load_centroids(spark, t) == merged
+    cells = {r["_cell"] for r in spark.table(t).select("_cell").distinct().collect()}
+    assert cells == {0, 1}  # dense ids after renumbering
+    assert spark.table(t).count() == 84  # every row preserved
+
+    # stale (pre-merge) matrix rejected; rotated matrix is exact:
+    # probing every surviving cell equals brute force
+    qs = spark.createDataFrame(
+        [(0, [0.0, 10.0]), (1, [10.0, 10.0]), (2, [0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError):
+        ivf_query_index(spark, t, qs, cents0, k=5, n_probe=1)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(df, qs, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_query_index(spark, t, qs, merged, k=5, n_probe=2).collect()
+    }
+    assert got == truth
+    # each sliver folded into its NEAREST survivor, so a sliver query
+    # probing one cell still finds its whole blob
+    near = {
+        r["vec_id"]
+        for r in ivf_query_index(spark, t, qs.limit(1), merged, k=2, n_probe=1).collect()
+    }
+    assert near == {80, 81}  # the (0,10) sliver pair
+
+    # nothing cold now: no-op, contract untouched (old handle works)
+    again = ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    assert again == merged
+    assert ivf_query_index(spark, t, qs, merged, k=5, n_probe=2).count() == 15
+
+    # retiring EVERY cell is refused
+    with pytest.raises(ValueError, match="survivor"):
+        ivf_merge_cold_cells(spark, t, min_cell_fraction=1.1)
+
+
+def test_ivf_merge_cold_cells_preserves_pq_codes_and_buckets(spark):
+    """Merged (moved + renumbered) rows keep their PQ codes untouched
+    (codes encode the vector, not the cell) and the id-bucket spec
+    survives the append + renumber — the same layout-contract rides
+    the split already guarantees."""
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_merge_cold_cells,
+        pq_train,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+
+    t = "ivf_merge_pq"
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_pq_codebook",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = np.random.default_rng(7)
+    rows = []
+    for off, n in ((4.0, 30), (-4.0, 30), (40.0, 2)):
+        for _ in range(n):
+            v = rng.normal(0, 0.1, 16)
+            v[0] += off
+            rows.append((len(rows), v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=4, n_codes=16)
+    ivf_build_index(df, t, n_clusters=3, seed=3, pq_codebook=cb)
+    codes_before = {
+        r["vec_id"]: r["pq_code"] for r in spark.table(t).collect()
+    }
+    merged = ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    assert len(merged) == 2
+    after = spark.table(t).collect()
+    assert len(after) == 62
+    assert {r["vec_id"]: r["pq_code"] for r in after} == codes_before
+    meta = get_table_meta(spark, t)
+    assert meta["n_clusters"] == "2"
+    assert meta["bucket_cols"] == "vec_id"  # bucket spec survived

@@ -121,8 +121,10 @@ AUDIT = [
     # round-15 additions (drift remediation + BPE twin)
     "t_bpe_tokens_small",
     "v_ivf_split_topk",
-    # round-16 addition (drift-shape-aware maintenance choose-path)
+    # round-16 additions (drift-shape-aware maintenance choose-path,
+    # cold-cell merge)
     "v_ivf_maintain_topk",
+    "v_ivf_merge_topk",
 ]
 
 
