@@ -449,7 +449,15 @@ def main() -> None:
     )
     _ann_odds = _emb_all.filter(F.col("vec_id") % 2 == 1)
     ann_feed_root = _tempfile.mkdtemp(prefix="bench-ann-feed-")
-    for _s in range(8):  # >= samples + sub-second + gate re-times
+    # one pre-written feed per possible invocation: samples + the
+    # sub-second extra sample (taken when samples < 3) + up to 2 gate
+    # re-times. Derived from the env knob, NOT a constant — a raised
+    # SPARK_GRAFT_BENCH_SAMPLES must grow the feed pool with it or the
+    # exhaustion assert below kills the whole run.
+    _ann_n_feeds = max(
+        1, int(_os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
+    ) + 3
+    for _s in range(_ann_n_feeds):
         for _j in range(3):
             _ann_odds.filter(F.col("vec_id") % 3 == _j).select(
                 (F.col("vec_id") + F.lit((_s + 1) * 1_000_000)).alias(
@@ -471,14 +479,14 @@ def main() -> None:
             stream_ivf_append,
         )
 
-        # 8 pre-written feeds, one per invocation (samples + sub-second
-        # + gate re-times). Reusing a feed would silently time an EMPTY
-        # append (its ids are already indexed, the replay anti-join
-        # drops every row) — fail loudly instead of skewing min-of-N.
+        # one pre-written feed per invocation. Reusing a feed would
+        # silently time an EMPTY append (its ids are already indexed,
+        # the replay anti-join drops every row) — fail loudly instead
+        # of skewing min-of-N.
         i = _ann_sample["i"]
-        assert i < 8, (
-            f"q34 feed exhaustion: invocation {i} exceeds the 8 "
-            "pre-written feeds; raise the feed count"
+        assert i < _ann_n_feeds, (
+            f"q34 feed exhaustion: invocation {i} exceeds the "
+            f"{_ann_n_feeds} pre-written feeds; raise the feed count"
         )
         _ann_sample["i"] += 1
         sdf = (

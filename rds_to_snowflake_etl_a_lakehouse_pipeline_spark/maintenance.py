@@ -298,6 +298,14 @@ def _remediate_ivf(
     base_k = int(
         meta.get("base_n_clusters", 0) or meta.get("n_clusters", 16)
     )
+    if "base_n_clusters" not in meta:
+        # legacy index built (and possibly already split) before the
+        # base anchor existed: its current k is the best base we have,
+        # but RECORD it now so repeated sweeps ratchet the budget off a
+        # FIXED anchor instead of each round's freshly inflated k
+        from .sources.io import set_table_meta
+
+        set_table_meta(spark, name, base_n_clusters=base_k)
     cur_k = int(meta.get("n_clusters", 0) or base_k)
     budget = max(base_k + 1, int(split_budget_factor * base_k))
     if rep.get("remediation") == "split" and cur_k < budget:

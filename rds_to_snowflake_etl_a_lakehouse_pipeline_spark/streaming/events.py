@@ -1223,7 +1223,11 @@ def stream_ivf_append(
     (``operators.similarity.ivf_append_index`` — which also measures
     quantizer drift per batch; the per-batch reports are buffered and
     flushed to the ``{table}_drift_log`` companion in ONE write after
-    the drain, not a 1-row write job per batch). The vector twin of
+    the drain, not a 1-row write job per batch — and a mid-stream
+    matrix rotation DROPS the pre-rotation buffer, since the rotation
+    cleared the log and re-baselined). A PQ-coded index's persisted
+    codebook companion is resolved once at stream start (and on
+    resync), never per batch. The vector twin of
     :func:`stream_corpus_dedup`'s index accretion: state is the index
     table itself — restart-proof, queryable, compactable — and later
     probes (``ivf_query_index``) see old and streamed vectors alike.
@@ -1263,14 +1267,38 @@ def stream_ivf_append(
         ivf_append_drift_reports,
         ivf_append_index,
         ivf_load_centroids,
+        pq_load_codebook,
     )
     from ..sources.io import get_table_meta
 
     if checkpoint_dir is None:
         raise ValueError("stream_ivf_append requires checkpoint_dir")
+    spark0 = sdf.sparkSession
     if centroids is None:
-        centroids = ivf_load_centroids(sdf.sparkSession, table)
-    held = {"cents": centroids, "fp": _centroid_fingerprint(centroids)}
+        centroids = ivf_load_centroids(spark0, table)
+
+    def _codebook():
+        # resolve the PQ companion ONCE per stream (and again on
+        # resync), not per batch: ivf_append_index would otherwise
+        # re-collect the m x n_codes companion every micro-batch —
+        # exactly the fixed per-batch overhead this path sheds
+        if "pq_code" in spark0.table(table).columns:
+            try:
+                return pq_load_codebook(spark0, table)
+            except Exception:
+                raise ValueError(
+                    f"{table} stores PQ codes and has no "
+                    f"{table}_pq_codebook companion; streaming appends "
+                    "need the persisted codebook (rebuild the index, or "
+                    "pq_save_codebook the original)"
+                )
+        return None
+
+    held = {
+        "cents": centroids,
+        "fp": _centroid_fingerprint(centroids),
+        "cb": _codebook(),
+    }
     reports: list[dict] = []
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
@@ -1280,9 +1308,16 @@ def stream_ivf_append(
         recorded = get_table_meta(spark, table).get("centroid_fp")
         if recorded and recorded != held["fp"]:
             # maintenance rotated the quantizer since the last batch:
-            # resync from the companion instead of failing the batch
+            # resync from the companion instead of failing the batch.
+            # Buffered PRE-rotation drift reports are DROPPED — the
+            # rotation already cleared the drift log and re-baselined,
+            # and reports measured against the retired centroids would
+            # re-arm retrain_recommended (with stale cell ids) on a
+            # freshly remediated index.
             held["cents"] = ivf_load_centroids(spark, table)
             held["fp"] = _centroid_fingerprint(held["cents"])
+            held["cb"] = _codebook()
+            reports.clear()
         existing = spark.table(table).select(F.col(id_col))
         # checkpoint the replay guard ONCE: ivf_append_index executes
         # its input plan twice (drop-count + assignment), and without
@@ -1302,6 +1337,7 @@ def stream_ivf_append(
                 held["cents"],
                 id_col=id_col,
                 vec_col=vec_col,
+                pq_codebook=held["cb"],
                 log_drift=False,
             )
         )

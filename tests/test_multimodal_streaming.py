@@ -3255,3 +3255,58 @@ def test_stream_ivf_append_resyncs_after_midstream_rotation(spark, tmp_path):
     }
     assert got == want
     assert ivf_load_centroids(spark, t) == cents1
+
+
+def test_stream_ivf_append_pq_codebook_resolved_once(spark, tmp_path):
+    """Streaming onto a PQ-coded index resolves the persisted codebook
+    companion ONCE at stream start (never per batch) and appended rows
+    carry codes identical to a direct pq_encode with the original
+    codebook; a PQ index with no companion fails at stream start with
+    a pointed error."""
+    import numpy as np
+    import pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        pq_encode,
+        pq_train,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_ivf_append,
+    )
+
+    t = "stream_ivf_pq"
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_pq_codebook",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = np.random.default_rng(29)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = pq_train(df, m=4, n_codes=16)
+    cents = ivf_build_index(df, t, n_clusters=2, pq_codebook=cb)
+
+    feed = str(tmp_path / "pq_feed")
+    schema = "vec_id bigint, embedding array<double>"
+    batch = spark.createDataFrame(
+        [(100 + i, rng.standard_normal(16).tolist()) for i in range(8)], schema
+    ).localCheckpoint(eager=True)
+    batch.coalesce(1).write.mode("append").parquet(feed)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    stream_ivf_append(sdf, t, cents, checkpoint_dir=str(tmp_path / "pq_ck"))
+
+    got = {
+        r["vec_id"]: r["pq_code"]
+        for r in spark.table(t).filter(F.col("vec_id") >= 100).collect()
+    }
+    want = {
+        r["vec_id"]: r["pq_code"] for r in pq_encode(batch, cb).collect()
+    }
+    assert got == want and len(got) == 8
+
+    # legacy PQ index (no companion): the stream fails FAST and loudly
+    spark.sql(f"DROP TABLE IF EXISTS {t}_pq_codebook")
+    sdf2 = spark.readStream.schema(schema).parquet(feed)
+    with pytest.raises(ValueError, match="persisted codebook"):
+        stream_ivf_append(sdf2, t, cents, checkpoint_dir=str(tmp_path / "pq_ck2"))

@@ -616,15 +616,19 @@ def main() -> None:
 
     # streaming-ANN steady-state per-batch overhead A/B (round 16):
     # the SAME 3-micro-batch ingest run twice — once with the r15
-    # foreachBatch body (anti-join executed TWICE per batch by
-    # ivf_append_index's drop-count + assignment passes, one 1-row
-    # drift-log write job per batch, separate drift-agg and cell-agg
-    # jobs) and once through the current stream_ivf_append (anti-join
-    # checkpointed once, drift+skew fused into one rollup job, log
-    # rows buffered and flushed in one post-drain write). Wall-clock
-    # and DAGScheduler job counts both recorded: the steady state is
-    # dominated by fixed per-batch job overhead, so jobs-per-batch IS
-    # the cost model at sf0.1.
+    # foreachBatch BODY (anti-join not checkpointed, so
+    # ivf_append_index's drop-count + assignment passes execute the
+    # index-side scan TWICE per batch; one 1-row drift-log write job
+    # per batch) and once through the current stream_ivf_append
+    # (anti-join checkpointed once, log rows buffered and flushed in
+    # one post-drain write). Both legs call the CURRENT append kernel,
+    # so the A/B isolates exactly those two per-batch costs; the
+    # rollup fusion inside the kernel (drift stats + cell skew in one
+    # agg) is present in both legs and is roughly cost-neutral vs
+    # r15's kernel (one drift-agg job then, one rollup job now — the
+    # skew columns came free). Wall-clock and DAGScheduler job counts
+    # both recorded: the steady state is dominated by fixed per-batch
+    # job overhead, so jobs-per-batch IS the cost model at sf0.1.
     if enabled("ann_steady"):
         from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
             stream_ivf_append,
