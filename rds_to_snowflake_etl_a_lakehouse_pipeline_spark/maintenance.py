@@ -65,6 +65,19 @@ SPLIT_TOP_CELL_FRACTION = 0.9
 # this multiple of base_n_clusters (the k of the last full fit) before
 # run_maintenance escalates to a full retrain at the base k
 IVF_SPLIT_BUDGET_FACTOR = 4.0
+# IVF fragmentation: a cell holding less than this fraction of the
+# MEAN cell size (total/k — relative to the mean so the bar scales
+# with k: a fraction-of-total bar would flag every cell of a healthy
+# large-k index), or an empty matrix slot, is a SLIVER — the aftermath
+# of deletes, data aging out, or a retrain-then-drift cycle. Slivers
+# cost at scale (every probe's argmin and every broadcast carries the
+# full matrix; sliver partition directories waste listing + min-file
+# overhead), and the bounded fix is ivf_merge_cold_cells. Health flags
+# ``merge_recommended`` at this bar; run_maintenance applies the merge
+# at the same default (``ivf_merge_fraction``, converted to the verb's
+# fraction-of-total by dividing by the current k), so a flag always
+# clears when the verb runs.
+IVF_MERGE_COLD_FRACTION = 0.1
 
 
 def _partition_cols(spark: SparkSession, table: str) -> list[str]:
@@ -157,6 +170,44 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
                     )
                     rep["drift_localized"] = localized
                     rep["remediation"] = "split" if localized else "retrain"
+        if family == "ivf":
+            # fragmentation: per-cell row counts over the FULL matrix
+            # range (an empty matrix slot is maximally cold). The
+            # groupBy is on the PARTITION column with a bare count —
+            # a zero-data-column scan whose cost is proportional to
+            # the file count (parquet row counts come from footers),
+            # the same order as the file listing above, never a data
+            # read. A pending {table}_merge_manifest means a prior
+            # merge crashed mid-plan: flag it so the sweep RESUMES it
+            # (ivf_merge_cold_cells picks the recorded plan back up).
+            from pyspark.sql import functions as F
+
+            rep["merge_recommended"] = False
+            rep["pending_merge"] = spark.catalog.tableExists(
+                f"{table}_merge_manifest"
+            )
+            k = int(get_table_meta(spark, table).get("n_clusters", 0) or 0)
+            if k > 1:
+                counts = {
+                    r["_cell"]: r["n"]
+                    for r in spark.table(table)
+                    .groupBy("_cell")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                total = sum(counts.values())
+                n_cold = sum(
+                    1
+                    for c in range(k)
+                    if counts.get(c, 0)
+                    < IVF_MERGE_COLD_FRACTION * total / k
+                )
+                rep["n_cold_cells"] = n_cold
+                # a merge must leave a survivor — all-cold (an empty
+                # index) is not fragmentation, it's absence of data
+                rep["merge_recommended"] = 0 < n_cold < k
+            if rep["pending_merge"]:
+                rep["merge_recommended"] = True
         return rep
     if family == "er":
         from .operators.entity import er_index_health
@@ -252,7 +303,11 @@ def health_sweep(
             continue
         rep = {"family": family, **table_health(spark, name, family)}
         reports[name] = rep
-        if rep.get("compact_recommended") or rep.get("retrain_recommended"):
+        if (
+            rep.get("compact_recommended")
+            or rep.get("retrain_recommended")
+            or rep.get("merge_recommended")
+        ):
             attention.append(name)
     versioned: dict[str, dict] = {}
     for root in versioned_roots:
@@ -345,6 +400,7 @@ def run_maintenance(
     ivf_split_budget_factor: float = IVF_SPLIT_BUDGET_FACTOR,
     ivf_split_rounds: int = 3,
     ivf_split_fraction: float = 0.25,
+    ivf_merge_fraction: float = IVF_MERGE_COLD_FRACTION,
     tables: tuple[str, ...] | None = None,
 ) -> dict:
     """The runbook: :func:`health_sweep`, then (``apply=True``) execute
@@ -369,9 +425,22 @@ def run_maintenance(
     that keeps k finite under long-lived drifting ingest) → full
     ``ivf_retrain_index`` at the base k, resolving a PQ index's
     persisted codebook companion; only a PRE-companion PQ index is
-    skipped with a note. A full retrain rewrites every file and
-    subsumes compaction; a split rewrites only the hot partitions, so a
-    split table flagged for file creep is additionally compacted."""
+    skipped with a note.
+
+    IVF fragmentation (round 17): a table whose health reports
+    ``merge_recommended`` (sliver/empty cells at the
+    ``IVF_MERGE_COLD_FRACTION`` bar, or a crashed merge's pending
+    manifest) gets ``ivf_merge_cold_cells`` at ``ivf_merge_fraction``
+    under the same ``retrain_ivf`` opt-in — the merge rotates the
+    centroid matrix exactly like the drift remediations, and a pending
+    manifest is RESUMED rather than re-planned. A full retrain subsumes
+    the merge (it reassigns every row at the base k).
+
+    A full retrain rewrites every file and subsumes compaction; a
+    split/merge rewrites only the touched partitions, so the
+    compaction decision is RE-MEASURED after one ran (the
+    pre-remediation ratio is stale) and the compactor runs when the
+    fresh ratio warrants it."""
     sweep = health_sweep(spark, versioned_roots, database, tables=tables)
     applied: dict[str, str] = {}
     if apply:
@@ -400,12 +469,68 @@ def run_maintenance(
                     )
                     acts.append(act)
                     retrained = act == "ivf_retrain_index"
+            drift_acted = any(
+                a in ("ivf_split_hot_cells", "ivf_retrain_index")
+                for a in acts
+            )
+            if (
+                family == "ivf"
+                and rep.get("merge_recommended")
+                and not drift_acted
+            ):
+                # fragmentation (sliver/empty cells, or a crashed
+                # merge's pending manifest to resume): fold the cold
+                # cells under the SAME matrix-rotation opt-in as the
+                # drift remediations — the merge rotates the contract
+                # too. ONE rotation per sweep: a retrain subsumes the
+                # merge (it reassigns every row at the base k), and a
+                # split just invalidated the pre-remediation cell
+                # sizes this report measured — the NEXT sweep
+                # re-measures and merges if still fragmented.
+                if not retrain_ivf:
+                    acts.append("merge_skipped (pass retrain_ivf=True)")
+                else:
+                    from .operators.similarity import ivf_merge_cold_cells
+                    from .sources.io import get_table_meta
+
+                    before = int(
+                        get_table_meta(spark, name).get("n_clusters", 0) or 0
+                    )
+                    # ivf_merge_fraction is relative to the MEAN cell
+                    # size (like the health bar); the verb takes a
+                    # fraction of TOTAL — divide by the current k
+                    merged = ivf_merge_cold_cells(
+                        spark,
+                        name,
+                        min_cell_fraction=ivf_merge_fraction / max(before, 1),
+                    )
+                    if len(merged) < before:
+                        acts.append("ivf_merge_cold_cells")
+                    else:
+                        acts.append(
+                            "merge_noop (no cell below ivf_merge_fraction)"
+                        )
             if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
                 # a full retrain just rewrote every file — compaction is
-                # subsumed; a split (or a skipped retrain) leaves file
-                # creep in untouched partitions, so the compactor still
-                # runs when flagged
-                if rep.get("compact_recommended") and not retrained:
+                # subsumed; a split/merge (or a skipped retrain) leaves
+                # file creep in untouched partitions, so the compactor
+                # still runs when flagged — but re-measure AFTER a
+                # split/merge: those rewrote partitions, so the
+                # pre-remediation file/bucket ratio is stale in both
+                # directions (a split's extra per-cell files may now
+                # warrant the compaction the old report skipped, and
+                # vice versa)
+                compact_flag = rep.get("compact_recommended")
+                if any(
+                    a in ("ivf_split_hot_cells", "ivf_merge_cold_cells")
+                    for a in acts
+                ):
+                    from .sources.io import index_table_health
+
+                    compact_flag = index_table_health(
+                        spark, name, MAX_FILES_PER_BUCKET
+                    )["compact_recommended"]
+                if compact_flag and not retrained:
                     from .sources.io import compact_index_table
 
                     compact_index_table(spark, name)

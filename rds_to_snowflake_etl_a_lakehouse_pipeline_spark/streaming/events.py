@@ -1355,7 +1355,27 @@ def stream_ivf_append(
     # caller session's file-listing cache so post-drain probes see the
     # streamed rows
     sdf.sparkSession.catalog.refreshTable(table)
-    ivf_append_drift_reports(sdf.sparkSession, table, reports)
+    _flush_ivf_drift_reports(sdf.sparkSession, table, held["fp"], reports)
+
+
+def _flush_ivf_drift_reports(
+    spark, table: str, held_fp: str, reports: list[dict]
+) -> None:
+    """Post-drain drift-log flush, fingerprint-guarded exactly like the
+    per-batch resync: a rotation (maintenance retrain/split/merge from
+    another session) landing between the LAST micro-batch and this
+    flush would write reports measured against the retired matrix into
+    the freshly cleared log, re-arming ``retrain_recommended`` with
+    stale cell ids — so the buffer is dropped when the table's recorded
+    fingerprint no longer matches the one the reports were measured
+    against. One constant-time SHOW TBLPROPERTIES, then one write."""
+    from ..operators.similarity import ivf_append_drift_reports
+    from ..sources.io import get_table_meta
+
+    recorded = get_table_meta(spark, table).get("centroid_fp")
+    if recorded and recorded != held_fp:
+        reports = []
+    ivf_append_drift_reports(spark, table, reports)
 
 
 def stream_histogram_sketch(
