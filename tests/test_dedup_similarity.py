@@ -2899,3 +2899,154 @@ def test_ivf_merge_cold_cells_preserves_pq_codes_and_buckets(spark):
     meta = get_table_meta(spark, t)
     assert meta["n_clusters"] == "2"
     assert meta["bucket_cols"] == "vec_id"  # bucket spec survived
+
+
+def _build_merge_crash_fixture(spark, t):
+    """A deterministically fragmented index for the merge crash-safety
+    tests: four 40-row blobs build four healthy cells, then partition
+    ``_cell=0`` is thinned to 2 rows by a dynamic partition overwrite
+    (the engine's own delete mechanics) — forcing cold == [0] with
+    survivors [1, 2, 3] REGARDLESS of which blob the fit put where, so
+    the plan always has a real renumber move (hole 0 <- cell 3). Relying
+    on KMeans to land a sliver blob on a low cell id is partitioning-
+    dependent and flaky. Returns the post-thinning corpus (122 rows)."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+    )
+
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_merge_manifest",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = random.Random(41)
+    rows, vid = [], 0
+    for cx, cy in ((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)):
+        for _ in range(40):
+            rows.append(
+                (vid, [cx + rng.uniform(-0.2, 0.2), cy + rng.uniform(-0.2, 0.2)])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_build_index(df, t, n_clusters=4, seed=19)
+    keep = (
+        spark.table(t)
+        .filter(F.col("_cell") == 0)
+        .orderBy("vec_id")
+        .limit(2)
+        .select("vec_id", "embedding", "_cell")
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        keep.write.mode("overwrite").insertInto(t)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(t)
+    return spark.table(t).select("vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+
+
+def _assert_merged_converged(spark, t, df):
+    """Post-merge invariants every crash-resume must restore: every row
+    exactly once, dense 0..2 cells, rotated contract, exact probes."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_load_centroids,
+        ivf_query_index,
+    )
+
+    assert not spark.catalog.tableExists(f"{t}_merge_manifest")
+    assert spark.table(t).count() == 122
+    dup = (
+        spark.table(t).groupBy("vec_id").count().filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0  # a crashed fold/renumber duplicated nothing
+    cells = {
+        r["_cell"] for r in spark.table(t).select("_cell").distinct().collect()
+    }
+    assert cells == {0, 1, 2}
+    merged = ivf_load_centroids(spark, t)
+    assert len(merged) == 3
+    qs = spark.createDataFrame(
+        [(0, [0.0, 10.0]), (1, [10.0, 10.0]), (2, [0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(df, qs, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_query_index(spark, t, qs, merged, k=5, n_probe=3).collect()
+    }
+    assert got == truth
+
+
+def test_ivf_merge_crash_windows_resume_and_converge(spark, monkeypatch):
+    """Round 17 (ADVICE r16): ivf_merge_cold_cells is crash-safe and
+    idempotent. The decided plan persists to a {table}_merge_manifest
+    before any mutation, the fold anti-joins moved ids out of the
+    destination before the dynamic overwrite, and the renumber is one
+    overwrite job + one drop statement — so a merge killed at ANY of
+    its three windows (after the fold write, after the renumber write,
+    inside the contract rotation) resumes the recorded plan on re-run
+    and converges to exactly the clean-run state. The round-16 design
+    appended cold rows before dropping the cold partitions: a crash
+    between the two duplicated every cold row PERMANENTLY (re-running
+    appended a second copy). This test fault-injects each window."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    real_drop = sim._drop_cell_partitions
+    real_finalize = sim._finalize_index_contract
+
+    def crash_at(which, t):
+        """Return (patcher, boom_cls) arming a one-shot fault."""
+        state = {"n": 0}
+        if which == "fold_drop":  # after the fold write, before drops
+            def bomb(spark_, table, cells):
+                if table == t and cells:
+                    state["n"] += 1
+                    if state["n"] == 1:
+                        raise RuntimeError("injected: crash before cold drops")
+                return real_drop(spark_, table, cells)
+            return ("_drop_cell_partitions", bomb)
+        if which == "renumber_drop":  # after renumber write, before drops
+            def bomb(spark_, table, cells):
+                # first drop call = cold partitions (let it through),
+                # second = renumber source partitions (crash)
+                if table == t and cells:
+                    state["n"] += 1
+                    if state["n"] == 2:
+                        raise RuntimeError("injected: crash before source drops")
+                return real_drop(spark_, table, cells)
+            return ("_drop_cell_partitions", bomb)
+        def bomb(spark_, table, *a, **kw):  # inside the contract rotation
+            if table == t and state["n"] == 0:
+                state["n"] = 1
+                raise RuntimeError("injected: crash inside finalize")
+            return real_finalize(spark_, table, *a, **kw)
+        return ("_finalize_index_contract", bomb)
+
+    for i, which in enumerate(("fold_drop", "renumber_drop", "finalize")):
+        t = f"ivf_merge_crash_{i}"
+        df = _build_merge_crash_fixture(spark, t)
+        name, bomb = crash_at(which, t)
+        monkeypatch.setattr(sim, name, bomb)
+        with pytest.raises(RuntimeError, match="injected"):
+            sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+        monkeypatch.setattr(sim, name, real_drop if name == "_drop_cell_partitions" else real_finalize)
+        # the pending plan is visible (maintenance flags it for resume)
+        assert spark.catalog.tableExists(f"{t}_merge_manifest")
+        sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+        _assert_merged_converged(spark, t, df)
+        for s in (
+            t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {s}")

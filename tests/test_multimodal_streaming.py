@@ -3310,3 +3310,145 @@ def test_stream_ivf_append_pq_codebook_resolved_once(spark, tmp_path):
     sdf2 = spark.readStream.schema(schema).parquet(feed)
     with pytest.raises(ValueError, match="persisted codebook"):
         stream_ivf_append(sdf2, t, cents, checkpoint_dir=str(tmp_path / "pq_ck2"))
+
+
+def test_stream_ivf_append_resyncs_after_midstream_merge(spark, tmp_path):
+    """Round 17 (VERDICT r16 backlog #4): the merge is the DANGEROUS
+    rotation direction for a held matrix — it SHRINKS k and renumbers
+    cell ids (retrain/split only move or append cells), so a stale
+    handle that kept binning would write rows into retired/renamed
+    partitions. Same shape as the retrain resync test: batch 1 lands,
+    ivf_merge_cold_cells rotates mid-stream, batch 2 arrives with the
+    PRE-merge handle and must bin by the renumbered matrix."""
+    import random
+
+    import numpy as np
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        _centroid_fingerprint,
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_merge_cold_cells,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        stream_ivf_append,
+    )
+
+    t = "stream_ivf_merge_resync"
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_merge_manifest",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = random.Random(47)
+    rows, vid = [], 0
+    for cx, cy in ((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)):
+        for _ in range(40):
+            rows.append(
+                (vid, [cx + rng.uniform(-0.2, 0.2), cy + rng.uniform(-0.2, 0.2)])
+            )
+            vid += 1
+    base = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents0 = ivf_build_index(base, t, n_clusters=4, seed=19)
+    # thin _cell=0 to two rows: a deterministic sliver whichever blob
+    # the fit put there (see the merge crash tests)
+    keep = (
+        spark.table(t).filter(F.col("_cell") == 0).orderBy("vec_id").limit(2)
+        .select("vec_id", "embedding", "_cell").localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        keep.write.mode("overwrite").insertInto(t)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(t)
+
+    feed = str(tmp_path / "merge_resync_feed")
+    ck = str(tmp_path / "merge_resync_ck")
+    schema = "vec_id bigint, embedding array<double>"
+    spark.createDataFrame(
+        [(500 + i, [20.0 + rng.uniform(-0.1, 0.1), 20.0]) for i in range(5)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(feed)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    stream_ivf_append(sdf, t, cents0, checkpoint_dir=ck)
+    assert spark.table(t).count() == 127
+
+    # maintenance merges the sliver while the ingest is "running":
+    # k shrinks 4 -> 3 and the top cell renumbers into hole 0
+    merged = ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    assert len(merged) == 3
+    assert _centroid_fingerprint(merged) != _centroid_fingerprint(cents0)
+
+    spark.createDataFrame(
+        [(600 + i, [-10.0 + rng.uniform(-0.1, 0.1), -10.0]) for i in range(8)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(feed)
+    sdf2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    stream_ivf_append(sdf2, t, cents0, checkpoint_dir=ck)  # stale handle
+
+    got = {
+        r["vec_id"]: r["_cell"]
+        for r in spark.table(t).filter(F.col("vec_id") >= 600).collect()
+    }
+    assert len(got) == 8  # the batch appended, the stream survived
+    C = np.asarray(merged)
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"])
+        for r in spark.table(t).filter(F.col("vec_id") >= 600).collect()
+    }
+    want = {
+        v: int(np.argmin(((C - e) ** 2).sum(axis=1))) for v, e in emb.items()
+    }
+    assert got == want  # binned by the RENUMBERED matrix, no mis-bins
+    assert ivf_load_centroids(spark, t) == merged
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_post_drain_flush_drops_stale_drift_reports(spark):
+    """Round 17 (ADVICE r16): the post-drain drift-log flush re-checks
+    the table's centroid fingerprint — a rotation landing between the
+    last micro-batch and the flush would otherwise write reports
+    measured against the retired matrix into the freshly cleared log,
+    re-arming retrain_recommended with stale cell ids."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        _centroid_fingerprint,
+        ivf_build_index,
+        ivf_retrain_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _flush_ivf_drift_reports,
+    )
+
+    t = "flush_guard_ivf"
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    base = spark.createDataFrame(
+        [(i, [float(i % 2) * 10 + 0.01 * i, 0.0]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents0 = ivf_build_index(base, t, n_clusters=2, seed=5)
+    report = {
+        "n_appended": 1, "n_dropped": 0, "batch_mean_dist": 9.0,
+        "batch_p95_dist": 9.0, "drift_ratio": 9.0,
+        "rebuild_recommended": True, "batch_top_cell": 0,
+        "batch_top_cell_fraction": 1.0, "batch_n_cells": 1,
+    }
+    fp0 = _centroid_fingerprint(cents0)
+    _flush_ivf_drift_reports(spark, t, fp0, [dict(report)])
+    assert spark.table(f"{t}_drift_log").count() == 1  # matching fp: kept
+
+    # retrain at a different k: a same-k refit of unchanged,
+    # well-separated blobs converges to the SAME centroids (same
+    # fingerprint), which would not exercise the guard
+    cents1 = ivf_retrain_index(spark, t, n_clusters=3)
+    assert _centroid_fingerprint(cents1) != fp0
+    _flush_ivf_drift_reports(spark, t, fp0, [dict(report)])  # stale buffer
+    assert (
+        not spark.catalog.tableExists(f"{t}_drift_log")
+        or spark.table(f"{t}_drift_log").count() == 0
+    )
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
