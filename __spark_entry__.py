@@ -4421,6 +4421,78 @@ def _q_v_ivf_merge_topk(spark, sf_dir):
     )
 
 
+def _q_v_ivf_maintain_merge_topk(spark, sf_dir):
+    """Round 17: the maintenance sweep CHOOSES the cold-cell merge —
+    the fragmentation counterpart of v_ivf_maintain_topk's drift
+    choose-path. Same skewed constant-blob fixture as v_ivf_merge_topk
+    (masses 40/40/18/2%, integer-valued patterns), grid-built at k=4:
+    ``table_health`` flags ``merge_recommended`` off the per-cell row
+    counts (the 2% sliver — or an empty matrix slot — is always below
+    the fraction-of-mean bar, while the largest cell, >= 25% by
+    pigeonhole, always survives), the drift log is clean (no appends,
+    so retrain_recommended stays False), and ``run_maintenance`` under
+    the ``retrain_ivf`` opt-in applies ``ivf_merge_cold_cells`` at
+    ``ivf_merge_fraction=0.4`` of the mean — exactly the direct
+    entry's 0.1-of-total bar at k=4, so the final index state is
+    hash-identical to v_ivf_merge_topk and the SAME DuckDB replay
+    (fit, full-range cold detection, nearest-surviving fold,
+    closed-form swap-remove renumber, 2-probe top-10) verifies both
+    the CHOICE and the surgery. The asserted ``applied`` action makes
+    a wrong choice fail loudly rather than ambiguously."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_query_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    t = "ivf_maintmerge_q_" + _fixture_key(sf_dir)
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_merge_manifest",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    m = F.col("vec_id") % 100
+    pat = (
+        F.when(m < 40, 0).when(m < 80, 1).when(m < 98, 2).otherwise(3)
+    )
+    corpus = e.filter(F.col("vec_id") >= 3).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (pat * 10 + 3 + (j % 2)).cast("float"),
+        ).alias("embedding"),
+    )
+    ivf_build_index(corpus, t, n_clusters=4, impl="grid")
+    out = run_maintenance(
+        spark,
+        apply=True,
+        retrain_ivf=True,
+        ivf_merge_fraction=0.4,
+        tables=(t,),
+    )
+    applied = out["applied"].get(f"default.{t}") or out["applied"].get(t, "")
+    assert applied.startswith("ivf_merge_cold_cells"), (
+        f"maintenance chose {applied!r}, expected the cold-cell merge "
+        f"(health report: {out['tables']})"
+    )
+    merged = ivf_load_centroids(spark, t)
+    assert len(merged) < 4, "fixture expects at least one cold cell"
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (F.col("vec_id") * 10 + 3 + (j % 2)).cast("float"),
+        ).alias("embedding"),
+    )
+    return ivf_query_index(
+        spark, t, q, merged, k=10, n_probe=2, impl="grid"
+    )
+
+
 def _q_d_minhash_index_dedup(spark, sf_dir):
     """Write-once MinHash index + incremental batch dedup
     (operators/dedup.py::minhash_build_index / minhash_incremental_dedup
@@ -6918,18 +6990,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across rounds so every registered query keeps a driver verdict
     against CURRENT testdata.
 
-    r16 window (this ordering): the two round-16 additions
-    (v_ivf_maintain_topk — the drift-shape-aware maintenance
-    choose-path — and v_ivf_merge_topk — the cold-cell merge; both
-    need their first driver verdict), then the ENTIRE 21-entry
-    r11-verified remainder (mandatory this round: it projects r11 >=
-    floor r10 at the budget-6 gate), then the first 27 of the
-    41-entry r12-verified tranche in registration order. After this
-    window the worst projected verdict sits at r12 vs floor r10 — two
-    rounds of margin held. r17 = the 14-entry r12 remainder + the r13
-    tranche's head (36); r18 = the r13 remainder + the r14 tranche's
-    head; the r15-verified tranche (last round's front-50) rotates
-    last as the freshest cohort.
+    r17 window (this ordering): the round-17 addition
+    (v_ivf_maintain_merge_topk — the sweep-chosen cold-cell merge;
+    needs its first driver verdict), then the ENTIRE 14-entry
+    r12-verified remainder (mandatory this round: it projects r12 >=
+    floor r11 at the budget-6 gate), then the first 35 of the
+    50-entry r13-verified tranche in registration order. After this
+    window the worst projected verdict sits at r13 vs floor r11 — two
+    rounds of margin held. r18 = the 15-entry r13 remainder + the r14
+    tranche's head (35); r19 = the r14 remainder + the r15 tranche's
+    head; the r16-verified tranche (last round's front-50) rotates
+    last as the freshest cohort. The full ordering is now generated
+    BY verdict age (newest driver verdict ascending, registration
+    position as the tie-break, never-verified entries first), which
+    is the self-maintaining form of the same schedule.
 
     Rotation arithmetic (why the budget is 6, not 5): 214 registered
     entries cycle through a 50-slot window, so a full re-verification
@@ -6946,64 +7020,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordering) and run the registry meta-test after reordering
     (tests/test_curation.py::test_registry_contract_consistency)."""
     return {
-    # ---- r16 front-50: the two round-16 additions (first driver
-    # ---- verdicts),
-    # ---- then the ENTIRE r11-verified remainder (21 entries —
-    # ---- mandatory this round), then the r12-verified tranche
-    # ---- oldest-registered-first (27 of 41).
-        "v_ivf_maintain_topk": _q_v_ivf_maintain_topk,
-        "v_ivf_merge_topk": _q_v_ivf_merge_topk,
-        "v_l2_norm": _q_v_l2_norm,
-        "s11_versioned_merge": _q_s11_versioned_merge,
-        "v_cosine_topk": _q_v_cosine_topk,
-        "t_robots_filter": _q_t_robots_filter,
-        "t_warc_pipeline": _q_t_warc_pipeline,
-        "t_html_extract": _q_t_html_extract,
-        "m_image_exif": _q_m_image_exif,
-        "m_audio_quality": _q_m_audio_quality,
-        "t_canonical_urls": _q_t_canonical_urls,
-        "m_resample_audio": _q_m_resample_audio,
-        "v_hard_negatives": _q_v_hard_negatives,
-        "gr_pagerank": _q_gr_pagerank,
-        "gr_trustrank": _q_gr_trustrank,
-        "g_reference_dim_products": _q_g_reference_dim_products,
-        "m_decode_progressive": _q_m_decode_progressive,
-        "m_image_ahash_pairs": _q_m_image_ahash_pairs,
-        "g_reference_dim_customers": _q_g_reference_dim_customers,
-        "g_reference_fact_sales": _q_g_reference_fact_sales,
-        "m_audio_fp_pairs": _q_m_audio_fp_pairs,
-        "m_hash_index_dedup": _q_m_hash_index_dedup,
-        "x1_media_dedup_stream": _q_x1_media_dedup_stream,
-        "v_dot_product": _q_v_dot_product,
-        "f17_current_timestamp": _q_f17_current_timestamp,
-        "w1_dedup_latest": _q_w1_dedup_latest,
-        "w3_scd2_close": _q_w3_scd2_close,
-        "r3_map_codes": _q_r3_map_codes,
-        "r4_key_surgery": _q_r4_key_surgery,
-        "r4_product_key_split": _q_r4_product_key_split,
-        "r5_coalesce_zero": _q_r5_coalesce_zero,
-        "r7_int_date": _q_r7_int_date,
-        "r9_backfill_price": _q_r9_backfill_price,
-        "r10_null_if_future": _q_r10_null_if_future,
-        "r11_prefer_source": _q_r11_prefer_source,
-        "r12_current_rows": _q_r12_current_rows,
-        "j6_semi_anti_join": _q_j6_semi_anti_join,
-        "t_span_dedup": _q_t_span_dedup,
-        "v_knn_classify": _q_v_knn_classify,
-        "t_weighted_sample": _q_t_weighted_sample,
-        "t_pretrain_pipeline": _q_t_pretrain_pipeline,
-        "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
-        "x1_versioned_stream": _q_x1_versioned_stream,
-        "t_corpus_report": _q_t_corpus_report,
-        "t_bpe_tokens": _q_t_bpe_tokens,
-        "x1_tumbling_stream": _q_x1_tumbling_stream,
-        "t_winnow": _q_t_winnow,
-        "a1_approx_percentile": _q_a1_approx_percentile,
-        "o1_union": _q_o1_union,
-        "m_frame_sample": _q_m_frame_sample,
+    # ---- r17 front-50: the round-17 addition (first driver
+    # ---- verdict: the sweep-chosen cold-cell merge), then the
+    # ---- ENTIRE 14-entry r12-verified remainder (mandatory this
+    # ---- round), then the r13-verified tranche
+    # ---- oldest-registered-first (35 of 50).
+        "v_ivf_maintain_merge_topk": _q_v_ivf_maintain_merge_topk,
         "m_decode_audio": _q_m_decode_audio,
-    # ---- behind the cap, in forward rotation order ----
-    # r17 leaders: the r12-tranche remainder (14)
         "t_corpus_drift": _q_t_corpus_drift,
         "d_containment_pairs": _q_d_containment_pairs,
         "t_weighted_per_lang": _q_t_weighted_per_lang,
@@ -7017,7 +7040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bm25_topk": _q_t_bm25_topk,
         "m_media_decode": _q_m_media_decode,
         "t_frontier_schedule": _q_t_frontier_schedule,
-    # r17/r18: the r13-verified tranche (the r13 front-50)
         "t_sitemap_urls": _q_t_sitemap_urls,
         "d_exact_index_dedup": _q_d_exact_index_dedup,
         "x1_frontier_stream": _q_x1_frontier_stream,
@@ -7053,6 +7075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_asof_forward": _q_x2_asof_forward,
         "v_sign_project": _q_v_sign_project,
         "s15_snapshot_drift": _q_s15_snapshot_drift,
+    # ---- behind the cap, in forward rotation order ----
+    # r18 leaders: the r13-tranche remainder (15)
         "t_chunk_dedup": _q_t_chunk_dedup,
         "t_decontaminate": _q_t_decontaminate,
         "t_gopher_flags": _q_t_gopher_flags,
@@ -7119,7 +7143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_projection_rename": _q_p2_projection_rename,
         "g_fact_sales_pit": _q_g_fact_sales_pit,
         "j9_scd2_pit": _q_j9_scd2_pit,
-    # r19/r20: the r15-verified tranche (the r15 front-50, freshest)
+    # r19: the r15-verified tranche (the r15 front-50)
         "t_bpe_tokens_small": _q_t_bpe_tokens_small,
         "v_ivf_split_topk": _q_v_ivf_split_topk,
         "t_cluster_split": _q_t_cluster_split,
@@ -7170,6 +7194,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_hash_split": _q_t_hash_split,
         "t_chunk_documents": _q_t_chunk_documents,
         "t_curation_pipeline": _q_t_curation_pipeline,
+    # r19/r20: the r16-verified tranche (last round's front-50,
+    # the freshest cohort — rotates last)
+        "v_ivf_maintain_topk": _q_v_ivf_maintain_topk,
+        "v_ivf_merge_topk": _q_v_ivf_merge_topk,
+        "v_l2_norm": _q_v_l2_norm,
+        "s11_versioned_merge": _q_s11_versioned_merge,
+        "v_cosine_topk": _q_v_cosine_topk,
+        "t_robots_filter": _q_t_robots_filter,
+        "t_warc_pipeline": _q_t_warc_pipeline,
+        "t_html_extract": _q_t_html_extract,
+        "m_image_exif": _q_m_image_exif,
+        "m_audio_quality": _q_m_audio_quality,
+        "t_canonical_urls": _q_t_canonical_urls,
+        "m_resample_audio": _q_m_resample_audio,
+        "v_hard_negatives": _q_v_hard_negatives,
+        "gr_pagerank": _q_gr_pagerank,
+        "gr_trustrank": _q_gr_trustrank,
+        "g_reference_dim_products": _q_g_reference_dim_products,
+        "m_decode_progressive": _q_m_decode_progressive,
+        "m_image_ahash_pairs": _q_m_image_ahash_pairs,
+        "g_reference_dim_customers": _q_g_reference_dim_customers,
+        "g_reference_fact_sales": _q_g_reference_fact_sales,
+        "m_audio_fp_pairs": _q_m_audio_fp_pairs,
+        "m_hash_index_dedup": _q_m_hash_index_dedup,
+        "x1_media_dedup_stream": _q_x1_media_dedup_stream,
+        "v_dot_product": _q_v_dot_product,
+        "f17_current_timestamp": _q_f17_current_timestamp,
+        "w1_dedup_latest": _q_w1_dedup_latest,
+        "w3_scd2_close": _q_w3_scd2_close,
+        "r3_map_codes": _q_r3_map_codes,
+        "r4_key_surgery": _q_r4_key_surgery,
+        "r4_product_key_split": _q_r4_product_key_split,
+        "r5_coalesce_zero": _q_r5_coalesce_zero,
+        "r7_int_date": _q_r7_int_date,
+        "r9_backfill_price": _q_r9_backfill_price,
+        "r10_null_if_future": _q_r10_null_if_future,
+        "r11_prefer_source": _q_r11_prefer_source,
+        "r12_current_rows": _q_r12_current_rows,
+        "j6_semi_anti_join": _q_j6_semi_anti_join,
+        "t_span_dedup": _q_t_span_dedup,
+        "v_knn_classify": _q_v_knn_classify,
+        "t_weighted_sample": _q_t_weighted_sample,
+        "t_pretrain_pipeline": _q_t_pretrain_pipeline,
+        "s12_zorder_roundtrip": _q_s12_zorder_roundtrip,
+        "x1_versioned_stream": _q_x1_versioned_stream,
+        "t_corpus_report": _q_t_corpus_report,
+        "t_bpe_tokens": _q_t_bpe_tokens,
+        "x1_tumbling_stream": _q_x1_tumbling_stream,
+        "t_winnow": _q_t_winnow,
+        "a1_approx_percentile": _q_a1_approx_percentile,
+        "o1_union": _q_o1_union,
+        "m_frame_sample": _q_m_frame_sample,
     }
 
 
@@ -7800,6 +7876,13 @@ def oracle_sql() -> dict[str, str]:
         # cold-cell merge: fit + cold detection + fold + closed-form
         # swap-remove renumber + probe, replayed end to end
         "v_ivf_merge_topk": _SQL_IVF_MERGE_TOPK,
+        # round 17: the SWEEP chooses (and runs) the merge off the
+        # fragmentation health signal; the final index state must be
+        # hash-identical to the direct-merge entry, so the SAME replay
+        # verifies the choice — a wrong choice (retrain refits k=4 and
+        # every assignment diverges; a skip leaves 4 cells) breaks the
+        # hash, and the asserted applied action breaks loudly first
+        "v_ivf_maintain_merge_topk": _SQL_IVF_MERGE_TOPK,
         "v_pq_topk": _SQL_PQ_TOPK,
         "v_dot_product": (
             f"SELECT e1.vec_id AS vec_id, round({dot64}, 6) AS dot "

@@ -105,6 +105,67 @@ def _previous_round_queries(sf_key: str) -> tuple[dict[str, float], float | None
     return best, best_cal
 
 
+# the driver records only a ~2000-char stdout TAIL; the LAST printed
+# line must therefore stay one complete JSON document under that cap
+# (round 12's failure mode: the tail cut an oversized line mid-document
+# and BENCH_r12 recorded parsed=null). 1900 leaves slack for the
+# trailing newline and tail-boundary jitter.
+_COMPACT_BUDGET = 1900
+
+
+def compact_line(
+    metric: str,
+    value: float,
+    timings: dict,
+    sf,
+    regressions,
+    suspects,
+    calibration: dict,
+    budget: int = _COMPACT_BUDGET,
+) -> str:
+    """Render the compact last stdout line — ALWAYS valid JSON, ALWAYS
+    within ``budget`` chars (round 17: the r16 fix shrank the line but
+    nothing stopped query growth — or a pathological all-queries
+    regression list — from overflowing it again). Degradation ladder,
+    first form that fits wins:
+
+    1. the full compact form (per-query 2-dp timings + name lists);
+    2. regressions/suspects collapsed to counts — the lists are the
+       only fields that can grow by O(n_queries) in one bad run;
+    3. per-query timings dropped too (counts + total only) — the
+       driver contract minimum (metric/value/unit/sf) always survives.
+
+    ``tests/test_bench_sidecar.py`` pins the CURRENT query set plus 30
+    synthetic extra queries at worst-case float width under form 1."""
+    base = {"metric": metric, "value": value, "unit": "sec"}
+    q2 = {n: round(t, 2) for n, t in timings.items()}
+    forms = [
+        {
+            **base, "queries": q2, "sf": sf,
+            "regressions": sorted(regressions),
+            "suspects": sorted(suspects),
+            "calibration": calibration,
+        },
+        {
+            **base, "queries": q2, "sf": sf,
+            "n_regressions": len(regressions),
+            "n_suspects": len(suspects),
+            "calibration": calibration,
+        },
+        {
+            **base, "sf": sf, "n_queries": len(timings),
+            "n_regressions": len(regressions),
+            "n_suspects": len(suspects),
+            "calibration": calibration,
+        },
+    ]
+    for form in forms:
+        s = json.dumps(form)
+        if len(s) <= budget:
+            return s
+    return json.dumps(base)  # unreachable at sane metric-string length
+
+
 def _write_sidecar(sf_key: str, payload: dict, rnd: int) -> None:
     """Persist the full payload beside the script, keyed by SF. The
     driver's BENCH_r{N}.json keeps only a 2000-char stdout tail, which
@@ -276,8 +337,12 @@ def main() -> None:
         # near-dups of the corpus or of earlier batch rows; hot-bucket
         # capped on both joins.
         batch = load(spark, d, "documents").filter(F.col("doc_id") % 10 == 0)
+        # log_skew=False pins the r16-benched uninstrumented per-batch
+        # body (the q11 crc32 precedent) — the round-17 skew report is
+        # one extra bounded agg that would change what q16 measures
         return minhash_incremental_dedup(
-            spark, inc_table, batch, append=False, max_bucket_size=64
+            spark, inc_table, batch, append=False, max_bucket_size=64,
+            log_skew=False,
         )
 
     # q17 setup: commit the base versioned table ONCE (untimed — the
@@ -366,9 +431,10 @@ def main() -> None:
             .parquet(stream_src)
         )
         with _tempfile.TemporaryDirectory() as ck:
+            # log_skew=False: same uninstrumented-body pin as q16
             stream_corpus_dedup(
                 sdf, inc_table, ck, append=False, max_bucket_size=64,
-                query_name="bench_q22",
+                query_name="bench_q22", log_skew=False,
             )
         return spark.range(1).select(F.lit("drained").alias("status"))
 
@@ -796,19 +862,19 @@ def main() -> None:
     # valid JSON document matching the contract shape.
     _write_sidecar(sf_key, payload, rnd)
     print(json.dumps(payload))
-    compact = {
-        "metric": payload["metric"],
-        "value": payload["value"],
-        "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in timings.items()},
-        "sf": sf,
-        "regressions": sorted(regressions),
-        "suspects": sorted(suspects_now),
-        # kept in the compact line so a driver record can serve as the
-        # next round's calibration baseline even without the sidecar
-        "calibration": {"sec": cal_sec, "drift": cal_drift},
-    }
-    print(json.dumps(compact))
+    # calibration kept in the compact line so a driver record can serve
+    # as the next round's baseline even without the sidecar
+    print(
+        compact_line(
+            payload["metric"],
+            payload["value"],
+            timings,
+            sf,
+            regressions,
+            suspects_now,
+            {"sec": cal_sec, "drift": cal_drift},
+        )
+    )
     spark.stop()
 
 

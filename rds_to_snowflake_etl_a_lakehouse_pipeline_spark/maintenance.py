@@ -110,6 +110,32 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
 
     if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
         rep = index_table_health(spark, table, MAX_FILES_PER_BUCKET)
+        if family == "minhash" and spark.catalog.tableExists(
+            f"{table}_skew_log"
+        ):
+            # per-probe bucket-skew reports persist in the
+            # {table}_skew_log companion (minhash_incremental_dedup /
+            # stream_corpus_dedup with a probe cap — round 17, the
+            # text-tier twin of the IVF drift log). cap_truncating:
+            # some logged probe hit a bucket over the cap, i.e. star
+            # semantics traded away per-member pair recall in that
+            # bucket — the silent quality loss this flag surfaces.
+            # Constant-time: the log is one row per probe batch.
+            from pyspark.sql import functions as F
+
+            log = spark.table(f"{table}_skew_log")
+            agg = log.agg(
+                F.count("*").alias("n_probes_logged"),
+                F.max("max_bucket_rows").alias("max_bucket_rows"),
+                F.max("sum_sq_bucket_rows").alias("max_sum_sq_bucket_rows"),
+                F.max(
+                    (F.col("n_capped_buckets") > 0).cast("int")
+                ).alias("any_capped"),
+            ).first()
+            rep["n_probes_logged"] = agg["n_probes_logged"]
+            rep["max_bucket_rows"] = agg["max_bucket_rows"]
+            rep["max_sum_sq_bucket_rows"] = agg["max_sum_sq_bucket_rows"]
+            rep["cap_truncating"] = bool(agg["any_capped"])
         if family == "ivf" and spark.catalog.tableExists(f"{table}_drift_stats"):
             # the build-time quantizer baseline; per-append drift ratios
             # are measured (and reported) by ivf_append_index itself
@@ -307,6 +333,7 @@ def health_sweep(
             rep.get("compact_recommended")
             or rep.get("retrain_recommended")
             or rep.get("merge_recommended")
+            or rep.get("cap_truncating")
         ):
             attention.append(name)
     versioned: dict[str, dict] = {}
@@ -510,6 +537,17 @@ def run_maintenance(
                         acts.append(
                             "merge_noop (no cell below ivf_merge_fraction)"
                         )
+            if family == "minhash" and rep.get("cap_truncating"):
+                # no safe automatic verb: the pairs the probe cap
+                # already star-capped are gone, and the standing fix is
+                # parameter retuning (more bands / a larger cap) or
+                # upstream boilerplate filtering — both human calls.
+                # The note keeps the flag visible in the applied report.
+                acts.append(
+                    "bucket_skew_noted (probe cap is star-capping hot "
+                    "buckets; consider more bands, a larger cap, or "
+                    "boilerplate filtering)"
+                )
             if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
                 # a full retrain just rewrote every file — compaction is
                 # subsumed; a split/merge (or a skipped retrain) leaves

@@ -510,6 +510,10 @@ def minhash_build_index(
         num_hashes // bands,
     ).select(F.col("_id").alias(id_col), F.col("_sig").alias("sig"), "band", "bucket")
     write_table(banded, table, bucket_by=(n_buckets, ["bucket"]))
+    # a rebuild invalidates the per-append skew history (bucket keys
+    # re-derive from the fresh corpus) — clear it like the IVF family
+    # clears its drift log on every matrix rotation
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {_skew_log_table(table)}")
     set_table_meta(
         df.sparkSession,
         table,
@@ -520,6 +524,82 @@ def minhash_build_index(
         n_buckets=n_buckets,
         bucket_cols="bucket",
     )
+
+
+def _skew_log_table(table: str) -> str:
+    return f"{table}_skew_log"
+
+
+def minhash_batch_skew_report(
+    idx: DataFrame, banded: DataFrame, max_bucket_size: int | None
+) -> dict:
+    """Bucket-skew measurement for ONE probe batch against a standing
+    MinHash index — the text-tier twin of ``ivf_append_index``'s drift
+    report. Sized over only the (band, bucket) keys THIS batch hits
+    (the same semi-join bound as :func:`_split_index_hot_buckets`), so
+    the cost is O(batch), never O(index): ``sum_sq_bucket_rows`` is the
+    Σbucket² probe-work proxy that hot-bucket growth inflates, and
+    ``n_capped_buckets`` counts hit buckets over the probe cap — i.e.
+    buckets where star semantics are CURRENTLY trading away per-member
+    pair recall, the thing the cap truncates silently. One small agg
+    job; the caller decides whether to persist
+    (:func:`minhash_append_skew_reports`) or buffer (streaming)."""
+    hit = banded.select("band", "bucket").distinct()
+    sizes = (
+        idx.join(hit, ["band", "bucket"])
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    cap = max_bucket_size
+    row = sizes.agg(
+        F.count("*").alias("n_hit_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_rows"),
+        F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0)).alias(
+            "sum_sq_bucket_rows"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("n") > F.lit(cap if cap is not None else 2**62), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_capped_buckets"),
+    ).first()
+    return {
+        "n_hit_buckets": int(row["n_hit_buckets"]),
+        "max_bucket_rows": int(row["max_bucket_rows"]),
+        "sum_sq_bucket_rows": int(row["sum_sq_bucket_rows"]),
+        "n_capped_buckets": int(row["n_capped_buckets"]),
+        "cap": cap,
+    }
+
+
+def minhash_append_skew_reports(spark, table: str, reports: list[dict]) -> None:
+    """Append probe-batch skew report dict(s) to the
+    ``{table}_skew_log`` companion in ONE write job — same batching
+    contract as ``similarity.ivf_append_drift_reports`` (streaming
+    buffers per-batch reports and flushes post-drain; the log is
+    advisory, so a crash losing a buffer only delays the health flag
+    until later batches re-measure)."""
+    if not reports:
+        return
+    from ..sources.io import write_table
+
+    log_row = spark.createDataFrame(
+        [
+            (
+                int(r["n_hit_buckets"]),
+                int(r["max_bucket_rows"]),
+                int(r["sum_sq_bucket_rows"]),
+                int(r["n_capped_buckets"]),
+                None if r["cap"] is None else int(r["cap"]),
+            )
+            for r in reports
+        ],
+        "n_hit_buckets bigint, max_bucket_rows bigint, "
+        "sum_sq_bucket_rows bigint, n_capped_buckets bigint, cap bigint",
+    ).withColumn("logged_at", F.current_timestamp())
+    write_table(log_row, _skew_log_table(table), mode="append")
 
 
 def _split_index_hot_buckets(
@@ -645,6 +725,8 @@ def minhash_incremental_dedup(
     n_buckets: int | None = None,
     max_bucket_size: int | None = None,
     storage: str = "checkpoint",
+    log_skew: bool | None = None,
+    skew_sink: list | None = None,
     **sig_kwargs,
 ) -> DataFrame:
     """Incremental corpus curation: drop new documents that are
@@ -684,7 +766,19 @@ def minhash_incremental_dedup(
     on executor loss), ``"persist"`` (lineage kept, survives executor
     loss — use on preemptible clusters), or ``"table"`` (written stage
     table, survives full job restarts). See :func:`_materialize`.
-    """
+
+    ``log_skew`` (round 17): per-batch bucket-skew measurement into the
+    ``{table}_skew_log`` companion (:func:`minhash_batch_skew_report` —
+    Σbucket² probe-work proxy + the count of hit buckets over the cap,
+    i.e. where star semantics are trading away per-member recall RIGHT
+    NOW). Defaults to ON exactly when ``max_bucket_size`` is set — the
+    signal matters when a cap is silently truncating, and an uncapped
+    probe stays byte-identical to the pre-r17 plan. ``skew_sink``
+    redirects the report into a caller-held buffer instead of a 1-row
+    write job (the streaming wrapper flushes ONE write post-drain, the
+    same batching contract as the IVF drift log).
+    ``maintenance.table_health`` turns the log into a
+    ``cap_truncating`` health flag."""
     num_hashes = sig_kwargs.get("num_hashes", 64)
     bands = sig_kwargs.get("bands", 16)
     shingle_n = sig_kwargs.get("shingle_n", 5)
@@ -778,6 +872,15 @@ def minhash_incremental_dedup(
         within = within.unionByName(within_star)
     losers = vs_corpus.unionByName(within).distinct()
     survivors = _materialize(new_df.join(losers, id_col, "left_anti"), storage)
+
+    if log_skew is None:
+        log_skew = max_bucket_size is not None
+    if log_skew:
+        report = minhash_batch_skew_report(idx, banded, max_bucket_size)
+        if skew_sink is not None:
+            skew_sink.append(report)
+        else:
+            minhash_append_skew_reports(spark, table, [report])
 
     if append:
         from ..sources.io import write_table

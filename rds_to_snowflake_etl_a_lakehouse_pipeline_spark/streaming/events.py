@@ -341,6 +341,7 @@ def stream_corpus_dedup(
     max_bucket_size: int | None = None,
     query_name: str = "stream_corpus_dedup",
     append: bool = True,
+    log_skew: bool | None = None,
     **sig_kwargs,
 ):
     """Streaming corpus curation: every micro-batch of arriving
@@ -363,8 +364,22 @@ def stream_corpus_dedup(
     signed and probed (identical per-batch cost) but survivors'
     signatures don't extend the index — used by the bench's streaming
     steady-state query so regression re-times measure identical work.
-    """
-    from ..operators.dedup import minhash_incremental_dedup
+
+    ``log_skew`` (round 17): per-batch bucket-skew reports — defaulted
+    ON when ``max_bucket_size`` is set, like the batch API — are
+    BUFFERED and flushed to the ``{table}_skew_log`` companion in ONE
+    post-drain write, the same batching contract as
+    ``stream_ivf_append``'s drift log (the bench's q22 pins the
+    uninstrumented per-batch body with ``log_skew=False``, the q11
+    crc32 precedent)."""
+    from ..operators.dedup import (
+        minhash_append_skew_reports,
+        minhash_incremental_dedup,
+    )
+
+    reports: list[dict] = []
+    if log_skew is None:
+        log_skew = max_bucket_size is not None
 
     def _dedup(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -378,6 +393,8 @@ def stream_corpus_dedup(
             threshold=threshold,
             append=append,
             max_bucket_size=max_bucket_size,
+            log_skew=log_skew,
+            skew_sink=reports if log_skew else None,
             **sig_kwargs,
         )
 
@@ -390,6 +407,7 @@ def stream_corpus_dedup(
         .start()
     )
     q.awaitTermination()
+    minhash_append_skew_reports(sdf.sparkSession, table, reports)
 
 
 def stream_media_dedup(

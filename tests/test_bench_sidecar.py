@@ -139,3 +139,87 @@ def test_previous_suspects_empty_without_sidecar(helpers):
     ns["_write_sidecar"]("sf0.01", {"queries": {}, "suspects": ["q9"]}, 3)
     # sf keys stay isolated
     assert ns["_previous_suspects"]("sf0.1") == set()
+
+
+def _bench_query_names():
+    """The CURRENT headline query set, scraped from bench.py's targets
+    dict — the budget test must track growth automatically."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "bench.py")).read()
+    names = re.findall(r'"(q\d+[a-z0-9_]*)":', src)
+    assert len(names) >= 30, names  # sanity: the scrape found the dict
+    return sorted(set(names))
+
+
+def test_compact_line_budget_with_headroom(helpers):
+    """Round 17 (VERDICT r16 backlog #3): the compact last line must
+    stay under the driver's ~2000-char stdout tail FOREVER. Two-part
+    contract: (a) the CURRENT query set at worst-case float width
+    renders the FULL form with ≥ 400 chars of slack (~12 more typical
+    query names before any degradation), and (b) ten extra queries on
+    top of that still keep per-query timings in the line — growth
+    degrades the line gracefully (see the ladder test) instead of
+    overflowing the tail, which was round 12's parsed=null failure."""
+    ns, _ = helpers
+    names = _bench_query_names()
+    worst = {n: 99999.99 for n in names}
+    line = ns["compact_line"](
+        "headline query wall-clock, local[32]",
+        9999999.999,
+        worst,
+        0.1,
+        [],
+        [],
+        {"sec": 99.999, "drift": 1.234},
+    )
+    doc = json.loads(line)
+    assert len(line) <= ns["_COMPACT_BUDGET"] - 400 <= 1550
+    assert doc["queries"] == worst  # full form fit
+    assert doc["regressions"] == [] and doc["suspects"] == []
+
+    plus10 = dict(worst, **{
+        f"q{50 + i}_next_rounds_steady_state_{i:02d}": 99999.99
+        for i in range(10)
+    })
+    line = ns["compact_line"](
+        "headline query wall-clock, local[32]",
+        9999999.999, plus10, 0.1, [], [],
+        {"sec": 99.999, "drift": 1.234},
+    )
+    doc = json.loads(line)
+    assert len(line) <= ns["_COMPACT_BUDGET"]
+    assert len(doc["queries"]) == len(plus10)  # timings still present
+
+
+def test_compact_line_degrades_to_valid_json(helpers):
+    """A pathological run (every query in both regressions and
+    suspects, or an absurd query count) degrades the line — name lists
+    to counts, then timings to counts — but NEVER past valid JSON with
+    the driver-contract minimum (metric/value/unit/sf)."""
+    ns, _ = helpers
+    names = _bench_query_names()
+    timings = {n: 99999.99 for n in names}
+    # every query regressed AND suspect: the only O(n)-growable lists
+    line = ns["compact_line"](
+        "headline query wall-clock, local[32]",
+        9999999.999, timings, 0.1, list(names), list(names),
+        {"sec": 99.999, "drift": 1.234},
+    )
+    doc = json.loads(line)
+    assert len(line) <= ns["_COMPACT_BUDGET"]
+    if "regressions" not in doc:  # degraded: counts survive
+        assert doc["n_regressions"] == len(names)
+    # absurd growth: 400 queries still yields a valid in-budget line
+    big = {f"q{i}_very_long_synthetic_query_name_{i:03d}": 12345.67
+           for i in range(400)}
+    line = ns["compact_line"](
+        "headline query wall-clock, local[32]", 1.0, big, 0.1,
+        list(big), list(big), {"sec": 1.0, "drift": 1.0},
+    )
+    doc = json.loads(line)
+    assert len(line) <= ns["_COMPACT_BUDGET"]
+    for k in ("metric", "value", "unit", "sf"):
+        assert k in doc
+    assert doc["n_queries"] == 400

@@ -785,3 +785,87 @@ def test_maintenance_remeasures_compaction_after_merge(spark, monkeypatch):
     monkeypatch.setattr(sio, "index_table_health", real)
     for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_minhash_bucket_skew_flag_detects_cap_truncation(spark):
+    """Round 17 (VERDICT r16 backlog #5): the MinHash index gets a
+    quality signal equivalent to IVF's drift log. A boilerplate cluster
+    over the probe cap makes every probe into that bucket a SILENT
+    recall trade (star semantics: per-member pairs collapse to the
+    representative) — the per-probe skew log records it, the health
+    sweep raises ``cap_truncating``, and run_maintenance surfaces the
+    note. The recall impact is demonstrated, not assumed: the capped
+    probe returns 1 pair where the uncapped probe returns 20."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+        minhash_query_index,
+    )
+
+    t = "maint_mh_skew"
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    # 20 identical boilerplate docs: every (band, bucket) key of the
+    # shared signature holds 20 rows — far over the cap of 4
+    boiler = TEXT + " standard footer all rights reserved"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(20)]
+        + [(100 + i, TEXT + f" unique tail {i} " + "x" * i) for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    minhash_build_index(corpus, t)
+    assert not spark.catalog.tableExists(f"{t}_skew_log")  # fresh build
+
+    batch = spark.createDataFrame(
+        [(200, boiler), (201, "completely different quick text about rivers")],
+        "doc_id bigint, text string",
+    )
+    # RECALL IMPACT: uncapped, the boilerplate probe matches every
+    # member; capped, only the threshold-exempt representative pair
+    # survives — 20 pairs collapse to 1, silently
+    uncapped = minhash_query_index(spark, t, batch, threshold=0.8)
+    capped = minhash_query_index(
+        spark, t, batch, threshold=0.8, max_bucket_size=4
+    )
+    n_un = uncapped.filter(F.col("new_id") == 200).count()
+    n_cap = capped.filter(F.col("new_id") == 200).count()
+    assert n_un == 20 and n_cap == 1
+
+    # the probe-side log records exactly that condition...
+    surv = minhash_incremental_dedup(
+        spark, t, batch, threshold=0.8, append=False, max_bucket_size=4
+    )
+    assert {r["doc_id"] for r in surv.collect()} == {201}
+    log = spark.table(f"{t}_skew_log").collect()
+    assert len(log) == 1
+    assert log[0]["n_capped_buckets"] > 0
+    # >= 20: a band slice can hash the near-boilerplate tails into the
+    # boilerplate bucket too — the floor is the 20 identical docs
+    assert log[0]["max_bucket_rows"] >= 20
+    assert log[0]["cap"] == 4
+
+    # ...the health sweep raises the flag and names the table...
+    sweep = health_sweep(spark, tables=(t,))
+    rep = sweep["tables"][f"default.{t}"]
+    assert rep["cap_truncating"] is True
+    assert rep["max_bucket_rows"] >= 20
+    assert f"default.{t}" in sweep["attention"]
+
+    # ...and the apply-mode sweep surfaces the (human-action) note
+    out = run_maintenance(spark, apply=True, tables=(t,))
+    assert "bucket_skew_noted" in out["applied"].get(f"default.{t}", "")
+
+    # an UNCAPPED probe stays byte-identical to the pre-r17 plan:
+    # no log row is added (log_skew defaults off without a cap)
+    minhash_incremental_dedup(spark, t, batch, threshold=0.8, append=False)
+    assert spark.table(f"{t}_skew_log").count() == 1
+
+    # a rebuild clears the skew history like a retrain clears drift
+    minhash_build_index(corpus, t)
+    assert not spark.catalog.tableExists(f"{t}_skew_log")
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
