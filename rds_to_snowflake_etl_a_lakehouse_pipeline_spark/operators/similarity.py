@@ -1225,6 +1225,23 @@ def _mark_fold_done(spark, table: str) -> None:
     )
 
 
+def _merge_renumber_plan(
+    cold: list[int], survivors: list[int]
+) -> list[tuple[int, int]]:
+    """The swap-remove renumbering plan, decided up front in closed
+    form: holes (retired ids) below S=|survivors| ascending pair with
+    survivor ids >= S descending. Provably the sequential
+    swap-remove loop's outcome — hole and source slots are disjoint,
+    so the batched application equals the sequential one (property-
+    tested against a step-by-step simulation in
+    tests/test_merge_plan_properties.py)."""
+    holes, live = list(cold), sorted(survivors)
+    moves: list[tuple[int, int]] = []
+    while holes and live and live[-1] > holes[0]:
+        moves.append((holes.pop(0), live.pop()))
+    return moves
+
+
 def _merged_matrix(
     centroids: list[list[float]],
     moves: list[tuple[int, int]],
@@ -1539,14 +1556,7 @@ def ivf_merge_cold_cells(
                 f"min_cell_fraction={min_cell_fraction} would retire every "
                 f"cell of {table}; a merge must leave a survivor"
             )
-        # swap-remove renumbering plan, decided up front in closed
-        # form: holes below S=|survivors| ascending pair with survivor
-        # ids >= S descending (provably the sequential loop's outcome;
-        # hole and source slots are disjoint, so batch == sequential)
-        holes, live = list(cold), sorted(survivors)
-        moves = []
-        while holes and live and live[-1] > holes[0]:
-            moves.append((holes.pop(0), live.pop()))
+        moves = _merge_renumber_plan(cold, survivors)
         write_table(
             spark.createDataFrame(
                 [
