@@ -428,6 +428,37 @@ def _remediate_ivf(
     return "ivf_retrain_index"
 
 
+def _apply_merge(
+    spark: SparkSession, name: str, ivf_merge_fraction: float
+) -> tuple[str, bool]:
+    """Run ``ivf_merge_cold_cells`` for the sweep; return
+    ``(act_string, acted)``. ``ivf_merge_fraction`` is relative to the
+    MEAN cell size (like the health bar); the verb takes a fraction of
+    TOTAL — divide by the current k. Truthful act accounting (round 17
+    review): a RESUMABLE pending manifest counts as acted even when k
+    no longer shrinks (a crash after finalize's meta write leaves k
+    already at the merged value, but partitions were rewritten either
+    way — the compaction re-measure must fire); a stale plan the verb
+    retired without a fresh merge is reported as the noop it was."""
+    from .operators.similarity import (
+        _merge_manifest_resumable,
+        ivf_merge_cold_cells,
+    )
+    from .sources.io import get_table_meta
+
+    pending = spark.catalog.tableExists(f"{name}_merge_manifest")
+    resumable = pending and _merge_manifest_resumable(spark, name)
+    before = int(get_table_meta(spark, name).get("n_clusters", 0) or 0)
+    merged = ivf_merge_cold_cells(
+        spark, name, min_cell_fraction=ivf_merge_fraction / max(before, 1)
+    )
+    if resumable or len(merged) < before:
+        return "ivf_merge_cold_cells", True
+    if pending:
+        return "merge_noop (stale plan retired; nothing cold re-decided)", False
+    return "merge_noop (no cell below ivf_merge_fraction)", False
+
+
 def run_maintenance(
     spark: SparkSession,
     versioned_roots: tuple[str, ...] = (),
@@ -511,25 +542,10 @@ def run_maintenance(
                 if not retrain_ivf:
                     acts.append("merge_skipped (pass retrain_ivf=True)")
                 else:
-                    from .operators.similarity import ivf_merge_cold_cells
-                    from .sources.io import get_table_meta
-
-                    before = int(
-                        get_table_meta(spark, name).get("n_clusters", 0) or 0
+                    act, merge_acted = _apply_merge(
+                        spark, name, ivf_merge_fraction
                     )
-                    ivf_merge_cold_cells(
-                        spark,
-                        name,
-                        min_cell_fraction=ivf_merge_fraction / max(before, 1),
-                    )
-                    # the act ran regardless of whether k still shrank:
-                    # a crash AFTER finalize's meta write leaves k
-                    # already at the merged value, and partitions were
-                    # rewritten either way — record it so the applied
-                    # report is truthful and the compaction re-measure
-                    # below fires
-                    acts.append("ivf_merge_cold_cells")
-                    merge_acted = True
+                    acts.append(act)
             if (
                 family == "ivf"
                 and rep.get("retrain_recommended")
@@ -571,26 +587,10 @@ def run_maintenance(
                 if not retrain_ivf:
                     acts.append("merge_skipped (pass retrain_ivf=True)")
                 else:
-                    from .operators.similarity import ivf_merge_cold_cells
-                    from .sources.io import get_table_meta
-
-                    before = int(
-                        get_table_meta(spark, name).get("n_clusters", 0) or 0
+                    act, merge_acted = _apply_merge(
+                        spark, name, ivf_merge_fraction
                     )
-                    # ivf_merge_fraction is relative to the MEAN cell
-                    # size (like the health bar); the verb takes a
-                    # fraction of TOTAL — divide by the current k
-                    merged = ivf_merge_cold_cells(
-                        spark,
-                        name,
-                        min_cell_fraction=ivf_merge_fraction / max(before, 1),
-                    )
-                    if len(merged) < before:
-                        acts.append("ivf_merge_cold_cells")
-                    else:
-                        acts.append(
-                            "merge_noop (no cell below ivf_merge_fraction)"
-                        )
+                    acts.append(act)
             if family == "minhash" and rep.get("cap_truncating"):
                 # no safe automatic verb: the pairs the probe cap
                 # already star-capped are gone, and the standing fix is

@@ -499,6 +499,21 @@ def ivf_build_index(
     """
     from ..sources.io import write_table
 
+    _spark = corpus.sparkSession
+    if _spark.catalog.tableExists(table):
+        # rebuilding over an existing index: a crashed merge's pending
+        # plan fences this too — dropping it here and overwriting would
+        # be safe for the DATA, but a crash between the overwrite and
+        # the manifest drop would leave the old plan resumable against
+        # the brand-new rows (replaying fold/renumber decided for the
+        # retired layout). Resume the merge first; it converges from
+        # any crash state, then the rebuild proceeds clean.
+        _refuse_pending_merge(_spark, table, "a rebuild")
+    else:
+        # no index table: a manifest here is an orphan of a dropped
+        # index (companions outlive a manual DROP TABLE) — retire it
+        _drop_merge_manifest(_spark, table)
+
     if impl == "grid":
         centroids_q = grid_kmeans_fit(corpus, id_col, vec_col, k=n_clusters)
         indexed = (
@@ -538,11 +553,6 @@ def ivf_build_index(
     )
 
     spark = corpus.sparkSession
-    # a full rebuild from a fresh corpus supersedes any crashed merge's
-    # pending plan (the half-merged rows it indexed are gone) — retire
-    # it so the next merge re-decides against the new layout instead of
-    # resuming a plan for a table that no longer exists
-    _drop_merge_manifest(spark, table)
     _finalize_index_contract(
         spark,
         table,
@@ -1207,6 +1217,32 @@ def _drop_merge_manifest(spark, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {_merge_manifest_table(table)}")
 
 
+def _merge_manifest_resumable(spark, table: str) -> bool:
+    """True when a pending merge manifest exists AND is valid to
+    resume: the table's recorded centroid fingerprint still matches
+    the matrix the plan was decided against — the pre-merge print
+    (rotation not yet committed) or the post-merge one (a crash landed
+    after finalize's meta write). A manifest predating the fingerprint
+    columns is treated as RESUMABLE (resuming a legacy plan is the
+    safe default; retiring it and re-deciding from the half-mutated
+    table is the round-16 duplication bug). With build/retrain/split
+    all refusing to rotate over a pending manifest, a mismatch here
+    means out-of-band interference (manual meta edits, restored
+    backups) — defense-in-depth, not a normal path. Shared with
+    ``maintenance.run_maintenance`` so the applied report can tell a
+    resumed merge from a retired stale plan."""
+    man_t = _merge_manifest_table(table)
+    if not spark.catalog.tableExists(man_t):
+        return False
+    man = spark.table(man_t).first().asDict()
+    if man.get("pre_fp") is None and man.get("post_fp") is None:
+        return True
+    from ..sources.io import get_table_meta
+
+    recorded = get_table_meta(spark, table).get("centroid_fp")
+    return recorded in (man.get("pre_fp"), man.get("post_fp"))
+
+
 def _mark_fold_done(spark, table: str) -> None:
     """Commit point between the fold and the cold-partition drops: the
     marker's existence is what lets a resume distinguish 'moved rows
@@ -1465,14 +1501,18 @@ def ivf_merge_cold_cells(
     RESUMES the recorded plan instead of re-deciding from the
     half-mutated table — but ONLY while the table still carries the
     matrix the plan was decided against (pre- or post-merge
-    fingerprint); an out-of-band rebuild having rotated the matrix
-    retires the manifest and the merge re-decides fresh.
-    ``ivf_retrain_index`` / ``ivf_split_hot_cells`` refuse to run over
-    a pending manifest (they would bake half-folded duplicates into
-    the rebuilt layout); ``maintenance.run_maintenance`` resumes a
-    pending merge BEFORE considering drift remediation for the same
-    reason. The manifest is dropped only after the contract rotation
-    commits.
+    fingerprint; legacy manifests without fingerprints resume
+    unconditionally); out-of-band interference having rotated the
+    matrix retires the manifest and the merge re-decides fresh.
+    ``ivf_build_index`` / ``ivf_retrain_index`` /
+    ``ivf_split_hot_cells`` ALL refuse to rotate over a pending
+    manifest (a retrain/split would bake the half-folded duplicates
+    into the rebuilt layout; a rebuild crashing before it could retire
+    the plan would leave it resumable against brand-new rows) — resume
+    the merge first, it converges from any crash state.
+    ``maintenance.run_maintenance`` resumes a pending merge BEFORE
+    considering drift remediation for the same reason. The manifest is
+    dropped only after the contract rotation commits.
 
     Raises if the fraction would retire EVERY cell (fraction ≥ 1/k
     territory) — a merge must leave at least one survivor."""
@@ -1494,31 +1534,27 @@ def ivf_merge_cold_cells(
     man_t = _merge_manifest_table(table)
     resuming = False
     if spark.catalog.tableExists(man_t):
-        # resume the recorded plan — NEVER re-decide from the table:
-        # a crashed fold/renumber leaves row counts mid-flight, and a
-        # fresh cold detection against them would pick a different
-        # (wrong) plan for the same merge. The ORIGINAL matrix comes
-        # from the manifest too, not the companion: a crash inside
-        # _finalize_index_contract may have already rotated the
-        # fingerprint (or the companion itself), and the recorded plan
-        # indexes the pre-merge matrix.
-        man = spark.table(man_t).first().asDict()
-        # STALENESS GUARD (round 17 review): the plan is resumable only
-        # while the table still carries the matrix it was decided
-        # against — either the pre-merge fingerprint (rotation not yet
-        # committed) or the post-merge one (a crash landed after
-        # _finalize_index_contract's meta write). Any OTHER recorded
-        # fingerprint means an intervening build rotated the matrix
-        # out from under the manifest; resuming would reassign healthy
-        # cells against retired centroids and overwrite the fresh
-        # companion with the retired matrix. Drop the stale plan and
-        # re-decide from the (rotated, healthy) table instead.
-        # ivf_retrain_index / ivf_split_hot_cells refuse to run over a
-        # pending manifest, so this guard only fires on out-of-band
-        # rotations (a direct rebuild from a new corpus).
-        recorded_fp = meta.get("centroid_fp")
-        if recorded_fp in (man.get("pre_fp"), man.get("post_fp")):
+        # STALENESS GUARD (round 17 review): resume only while the
+        # table still carries the matrix the plan was decided against
+        # (pre- or post-merge fingerprint; legacy manifests without
+        # fingerprints resume unconditionally — see
+        # _merge_manifest_resumable). A mismatch means out-of-band
+        # interference rotated the matrix under the manifest; resuming
+        # would reassign healthy cells against retired centroids and
+        # overwrite the fresh companion with the retired matrix —
+        # retire the plan and re-decide from the current table instead.
+        if _merge_manifest_resumable(spark, table):
+            # resume the recorded plan — NEVER re-decide from the
+            # table: a crashed fold/renumber leaves row counts
+            # mid-flight, and a fresh cold detection against them
+            # would pick a different (wrong) plan for the same merge.
+            # The ORIGINAL matrix comes from the manifest too, not the
+            # companion: a crash inside _finalize_index_contract may
+            # have already rotated the fingerprint (or the companion
+            # itself), and the recorded plan indexes the pre-merge
+            # matrix.
             resuming = True
+            man = spark.table(man_t).first().asDict()
             centroids = [list(c) for c in json.loads(man["cents"])]
             cold = [int(x) for x in man["cold"].split(",") if x != ""]
             survivors = [

@@ -3096,12 +3096,13 @@ def test_ivf_pending_merge_fences_other_rotations(spark, monkeypatch):
     """Round 17 review: a crashed merge's pending manifest must not be
     rotated out from under — a retrain/split over the half-merged
     layout would reassign the duplicated cold rows into the rebuilt
-    index permanently, and a later resume would then replay a plan
-    indexed against the retired matrix. Pins all three fences:
-    ivf_retrain_index and ivf_split_hot_cells REFUSE to run while the
-    manifest is pending; a full ivf_build_index from a fresh corpus
-    (which replaces every row the plan indexed) RETIRES the manifest so
-    the next merge re-decides instead of resuming."""
+    index permanently, and a rebuild crashing before it could retire
+    the plan would leave it resumable against brand-new rows. ALL
+    THREE matrix-rotating verbs therefore REFUSE while the manifest is
+    pending; resuming the merge (which converges from any crash state)
+    is the one path forward, after which every verb runs normally. An
+    orphaned manifest whose index table was dropped out from under it
+    is retired by a fresh build (nothing half-merged remains)."""
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
         similarity as sim,
     )
@@ -3125,21 +3126,42 @@ def test_ivf_pending_merge_fences_other_rotations(spark, monkeypatch):
         sim.ivf_retrain_index(spark, t)
     with pytest.raises(ValueError, match="pending.*merge_manifest"):
         sim.ivf_split_hot_cells(spark, t, max_cell_fraction=0.25)
-    # both refused before mutating anything: plan still pending
+    with pytest.raises(ValueError, match="pending.*merge_manifest"):
+        sim.ivf_build_index(df, t, n_clusters=4, seed=19)
+    # all three refused before mutating anything: plan still pending,
+    # index rows untouched by the refused verbs
     assert spark.catalog.tableExists(f"{t}_merge_manifest")
 
-    # a full rebuild from a fresh corpus supersedes the plan entirely
+    # the one path forward: resume the merge — it converges — and the
+    # fences lift
+    sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
+    _assert_merged_converged(spark, t, df)
     sim.ivf_build_index(df, t, n_clusters=4, seed=19)
-    assert not spark.catalog.tableExists(f"{t}_merge_manifest")
-    assert not spark.catalog.tableExists(f"{t}_merge_fold_done")
     assert spark.table(t).count() == 122
     dups = (
         spark.table(t).groupBy("vec_id").count().filter(F.col("count") > 1)
     )
     assert dups.count() == 0  # the rebuild holds exactly one copy per id
-    # and the next merge re-decides fresh (resume would need a manifest)
-    cents = sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)
-    _assert_merged_converged(spark, t, df) if len(cents) == 3 else None
+
+    # an ORPHANED manifest (index table dropped, companion left) does
+    # not block a fresh build: nothing half-merged remains, so the
+    # build retires it and proceeds
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        write_table,
+    )
+
+    write_table(
+        spark.createDataFrame(
+            [("", "", "", "[]", None, None)],
+            "cold string, survivors string, moves string, "
+            "cents string, pre_fp string, post_fp string",
+        ),
+        f"{t}_merge_manifest",
+    )
+    sim.ivf_build_index(df, t, n_clusters=4, seed=19)
+    assert not spark.catalog.tableExists(f"{t}_merge_manifest")
+    assert spark.table(t).count() == 122
     for s in (
         t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
     ):
