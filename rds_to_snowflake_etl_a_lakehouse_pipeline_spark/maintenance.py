@@ -243,6 +243,13 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
                 # a merge must leave a survivor — all-cold (an empty
                 # index) is not fragmentation, it's absence of data
                 rep["merge_recommended"] = 0 < n_cold < k
+                # STRANDED cells: partition ids at/beyond the matrix —
+                # a split crashed between its child write and the
+                # contract rotation, so those rows are invisible to
+                # every probe (no centroid routes there). Recovery is
+                # ivf_adopt_stranded_cells, applied by run_maintenance
+                # under the retrain_ivf opt-in.
+                rep["stranded_cells"] = sum(1 for c in counts if c >= k)
             if rep["pending_merge"]:
                 rep["merge_recommended"] = True
         return rep
@@ -335,6 +342,34 @@ def health_sweep(
             n for n in names if n in want or n.split(".", 1)[-1] in want
         ]
     for name in sorted(names):
+        if name.endswith("__stage"):
+            # a write_table stage-and-swap that never finished. Two
+            # states: the base table DANGLES (crash between the drop
+            # and the rename — the staged data is unreachable until
+            # the rename completes; heal_interrupted_swap is strictly
+            # recovery) or the base still EXISTS (crash between the
+            # stage commit and the drop — the overwrite never returned
+            # to its caller, so the base stays authoritative and the
+            # stage is reclaimable space). Flag both; run_maintenance
+            # applies the matching verb. write_table itself self-heals
+            # the dangling state on the next overwrite of the same
+            # name — the sweep covers tables never rewritten again.
+            base = name[: -len("__stage")]
+            # existence checked against the CATALOG, not the (possibly
+            # `tables`-scoped) listing — a filtered-out base table must
+            # still veto the rename
+            base_exists = spark.catalog.tableExists(base)
+            reports[name] = {
+                "family": "interrupted_swap",
+                "base_table": base,
+                "base_exists": base_exists,
+                "action": (
+                    "drop_stale_stage" if base_exists
+                    else "heal_interrupted_swap"
+                ),
+            }
+            attention.append(name)
+            continue
         family = classify_table(spark, name)
         if family is None:
             continue
@@ -345,6 +380,7 @@ def health_sweep(
             or rep.get("retrain_recommended")
             or rep.get("merge_recommended")
             or rep.get("cap_truncating")
+            or rep.get("stranded_cells")
         ):
             attention.append(name)
     versioned: dict[str, dict] = {}
@@ -527,6 +563,22 @@ def run_maintenance(
                 continue
             rep = sweep["tables"][name]
             family = rep["family"]
+            if family == "interrupted_swap":
+                # a write_table stage-and-swap that never finished:
+                # dangling base -> complete the rename (strictly
+                # recovery: the staged data is unreachable otherwise);
+                # base still present -> the crashed overwrite never
+                # returned to its caller, so the base stays
+                # authoritative and the stage is reclaimed
+                if rep["base_exists"]:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                    applied[name] = "drop_stale_stage"
+                else:
+                    from .sources.io import heal_interrupted_swap
+
+                    heal_interrupted_swap(spark, rep["base_table"])
+                    applied[name] = "heal_interrupted_swap"
+                continue
             acts: list[str] = []
             retrained = False
             merge_acted = False
@@ -546,6 +598,27 @@ def run_maintenance(
                         spark, name, ivf_merge_fraction
                     )
                     acts.append(act)
+            if (
+                family == "ivf"
+                and rep.get("stranded_cells")
+                and not merge_acted
+            ):
+                # a split crashed between its child write and the
+                # contract rotation: the stranded rows are invisible to
+                # every probe until adopted. Correctness-restoring, so
+                # it outranks drift/fragmentation for the sweep's one
+                # matrix rotation — under the same retrain_ivf opt-in
+                # (adoption rotates the contract like the others).
+                if not retrain_ivf:
+                    acts.append("adopt_skipped (pass retrain_ivf=True)")
+                else:
+                    from .operators.similarity import (
+                        ivf_adopt_stranded_cells,
+                    )
+
+                    ivf_adopt_stranded_cells(spark, name)
+                    acts.append("ivf_adopt_stranded_cells")
+                    merge_acted = True  # a rotation ran this sweep
             if (
                 family == "ivf"
                 and rep.get("retrain_recommended")

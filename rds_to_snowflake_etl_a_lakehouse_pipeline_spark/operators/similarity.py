@@ -1036,6 +1036,15 @@ def ivf_split_hot_cells(
     baseline, cleared drift log. Returns the new centroid matrix;
     probes pick it up via :func:`ivf_load_centroids`.
 
+    CRASH RECOVERY (round 17 audit): a split killed between its child
+    write and the contract rotation strands the child partition beyond
+    the matrix — invisible to every probe. Every split therefore
+    begins by ADOPTING stranded cells (:func:`_adopt_stranded_cells`:
+    re-attach each with its own mean vector, force the rotation), and
+    :func:`ivf_adopt_stranded_cells` is the adoption-only recovery
+    verb ``maintenance.run_maintenance`` applies when ``table_health``
+    reports ``stranded_cells``.
+
     One pass may leave a CHILD still over the fraction (a 70% cell
     splitting 40/30 against a 0.25 bound): ``rounds > 1`` re-detects
     and re-splits until no cell is hot, every split produced no
@@ -1073,7 +1082,16 @@ def ivf_split_hot_cells(
     id_col, vec_col = cols[0], cols[1]
     data_cols = [c for c in cols if c != "_cell"]
 
-    changed = False
+    # adopt any STRANDED cells first (partition ids beyond the recorded
+    # matrix — a previous split crashed between its child-partition
+    # write and the contract rotation, leaving those rows invisible to
+    # every probe and, were one hot, an index error waiting in the loop
+    # below). Adoption extends the matrix with the stranded partitions'
+    # own mean vectors and forces the finalize, restoring visibility.
+    centroids, adopted = _adopt_stranded_cells(
+        spark, table, centroids, impl, vec_col
+    )
+    changed = bool(adopted)
     budget_hit = False
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1179,6 +1197,90 @@ def ivf_split_hot_cells(
         vec_col=vec_col,
     )
     return centroids
+
+
+def _adopt_stranded_cells(
+    spark,
+    table: str,
+    centroids: list[list[float]],
+    impl: str,
+    vec_col: str,
+) -> tuple[list[list[float]], list[int]]:
+    """Adopt STRANDED cells — partition ids at/beyond the recorded
+    matrix length. The one way these arise is a hot-cell split crashing
+    between its child-partition write and the contract rotation: the
+    child rows live under ``_cell = old_k`` but the matrix still has
+    ``old_k`` slots, so no probe ever routes there (silent recall
+    loss) and a later split that found the stranded cell hot would
+    index past the matrix. Recovery is positional adoption: stranded
+    ids are contiguous from ``len(centroids)`` (children are appended
+    sequentially), and each adopted centroid is the partition's own
+    per-dimension mean — for a converged 2-means child that IS its
+    center, and the matrix entry is only a probe-routing hint either
+    way. Grid-impl means are taken in quantized units, matching the
+    rest of the grid contract. One bounded agg over only the stranded
+    partitions. Empty stranded partitions (a crash after the directory
+    was created but before rows landed) are simply dropped.
+
+    Returns (extended_matrix, adopted_ids); the caller must finalize
+    the contract when any were adopted. Raises (with retrain advice)
+    on non-contiguous stranded ids — unreachable through this
+    library's own verbs, but adopting positionally past a gap would
+    mis-route every probe."""
+    present = _cell_partition_ids(spark, table)
+    stranded = sorted(c for c in present if c >= len(centroids))
+    if not stranded:
+        return centroids, []
+    dim = len(centroids[0])
+    qv = (
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(GRID_QUANT)), 0),
+        )
+        if impl == "grid"
+        else F.col(vec_col)
+    )
+    stats = {
+        r["_cell"]: r
+        for r in spark.table(table)
+        .filter(F.col("_cell").isin(stranded))
+        .select(F.col("_cell"), qv.alias("_v"))
+        .groupBy("_cell")
+        .agg(
+            *[
+                F.avg(F.element_at("_v", d + 1)).alias(f"m{d}")
+                for d in range(dim)
+            ]
+        )
+        .collect()
+    }
+    empty = [s for s in stranded if s not in stats]
+    if empty:
+        _drop_cell_partitions(spark, table, empty)
+    live = [s for s in stranded if s in stats]
+    out = [list(c) for c in centroids]
+    for s in live:
+        if s != len(out):
+            raise ValueError(
+                f"stranded cells {live} of {table} are not contiguous "
+                f"with the matrix (k={len(centroids)}); positional "
+                "adoption would mis-route probes — run ivf_retrain_index"
+            )
+        out.append([float(stats[s][f"m{d}"]) for d in range(dim)])
+    return out, live
+
+
+def ivf_adopt_stranded_cells(spark, table: str) -> list[list[float]]:
+    """Recovery verb for the split's crash window: re-attach any
+    stranded cell partitions (see :func:`_adopt_stranded_cells`) and
+    rotate the contract, WITHOUT splitting anything new —
+    ``max_cell_fraction=2.0`` can never flag a hot cell, so the call
+    is adoption + finalize only. ``maintenance.table_health`` reports
+    ``stranded_cells`` and ``run_maintenance`` applies this verb under
+    the ``retrain_ivf`` opt-in (it rotates the matrix like the other
+    remediations). Idempotent: a table with nothing stranded returns
+    the matrix unchanged without rotating."""
+    return ivf_split_hot_cells(spark, table, max_cell_fraction=2.0)
 
 
 def _merge_manifest_table(table: str) -> str:

@@ -246,6 +246,15 @@ def write_table(
     if bucket_by:
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    if mode == "overwrite":
+        # self-heal a swap interrupted between its DROP and RENAME: the
+        # stage holds the fully-materialized new data (saveAsTable
+        # registers the stage only on commit) and the table name
+        # dangles — complete the rename so this write's own
+        # stage-and-swap (and any reader racing it) sees a table again.
+        # maintenance.health_sweep flags the same state for indexes
+        # that are never rewritten again.
+        heal_interrupted_swap(spark, table)
     if mode == "overwrite" and spark.catalog.tableExists(table):
         stage = f"{table}__stage"
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
@@ -259,6 +268,30 @@ def write_table(
             spark.sql(f"MSCK REPAIR TABLE {table}")
     else:
         _save_with_orphan_retry(spark, writer, table)
+
+
+def heal_interrupted_swap(spark: SparkSession, table: str) -> bool:
+    """Complete a :func:`write_table` overwrite that crashed between
+    dropping the old table and renaming ``{table}__stage`` into place:
+    the stage is the COMMITTED new content (``saveAsTable`` registers
+    it only after the write succeeds), so when the base name dangles
+    the rename is strictly recovery — without it the data is
+    unreachable and every read of ``table`` fails. Partition entries
+    are re-derived after the move (the rename relocates the managed
+    directory but not the catalog's partition list). Returns True when
+    a swap was completed. The OTHER interrupted state — base AND stage
+    both present (crash between the stage commit and the drop) — is
+    deliberately NOT completed here: the overwrite never returned to
+    its caller, so the current base table stays authoritative and the
+    next overwrite (or ``maintenance.run_maintenance``) discards the
+    stale stage."""
+    stage = f"{table}__stage"
+    if spark.catalog.tableExists(table) or not spark.catalog.tableExists(stage):
+        return False
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    if any(c.isPartition for c in spark.catalog.listColumns(table)):
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+    return True
 
 
 def _save_with_orphan_retry(spark: SparkSession, writer, table: str) -> None:

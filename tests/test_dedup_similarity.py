@@ -3166,3 +3166,132 @@ def test_ivf_pending_merge_fences_other_rotations(spark, monkeypatch):
         t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def _stranded_split_state(spark, t, monkeypatch):
+    """Build the split's crash-window state: a hot two-mode cell whose
+    split wrote the child partitions but crashed inside the contract
+    rotation — partition ids {0..4} with a 4-slot matrix, so the rows
+    under the stranded id are invisible to every probe. Returns
+    (full_corpus_df, stranded_vec_ids)."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_merge_manifest", f"{t}_merge_fold_done",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = random.Random(47)
+    rows, vid = [], 0
+    for cx, cy in ((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)):
+        for _ in range(40):
+            rows.append(
+                (vid, [cx + rng.uniform(-0.2, 0.2), cy + rng.uniform(-0.2, 0.2)])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sim.ivf_build_index(df, t, n_clusters=4, seed=19)
+    # overfill the (0,0) cell with a SECOND mode at (2,2) — still
+    # nearest to the (0,0) centroid, so direct assignment matches the
+    # argmin contract — making that cell hot (120 of 280 rows) and its
+    # 2-means split non-degenerate
+    cents = sim.ivf_load_centroids(spark, t)
+    c0 = min(
+        range(len(cents)),
+        key=lambda i: (cents[i][0] - 0.0) ** 2 + (cents[i][1] - 0.0) ** 2,
+    )
+    extra = [
+        (1000 + i, [2.0 + rng.uniform(-0.2, 0.2), 2.0 + rng.uniform(-0.2, 0.2)])
+        for i in range(80)
+    ]
+    extra_df = spark.createDataFrame(
+        [(v, e, c0) for v, e in extra],
+        "vec_id long, embedding array<double>, _cell int",
+    )
+    extra_df.write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+    full = df.unionByName(
+        spark.createDataFrame(extra, "vec_id long, embedding array<double>")
+    ).localCheckpoint(eager=True)
+
+    real_finalize = sim._finalize_index_contract
+    state = {"n": 0}
+
+    def bomb(spark_, table, *a, **kw):
+        if table == t and state["n"] == 0:
+            state["n"] = 1
+            raise RuntimeError("injected: crash inside finalize")
+        return real_finalize(spark_, table, *a, **kw)
+
+    monkeypatch.setattr(sim, "_finalize_index_contract", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        sim.ivf_split_hot_cells(spark, t, max_cell_fraction=0.25, rounds=1)
+    monkeypatch.setattr(sim, "_finalize_index_contract", real_finalize)
+
+    assert len(sim.ivf_load_centroids(spark, t)) == 4  # rotation lost
+    parts = sim._cell_partition_ids(spark, t)
+    assert parts == {0, 1, 2, 3, 4}  # ...but the child partition landed
+    stranded = {
+        r["vec_id"]
+        for r in spark.table(t).filter(F.col("_cell") == 4).collect()
+    }
+    assert stranded  # rows really live beyond the matrix
+    return full, stranded
+
+
+def test_ivf_split_crash_strands_cells_and_adoption_recovers(
+    spark, monkeypatch
+):
+    """Round 17 crash-window audit: a split crashing between its child
+    write and the contract rotation strands the child partition beyond
+    the matrix — no probe routes there (silent recall loss), and a
+    later split that found it hot would index past the matrix. First
+    DEMONSTRATE the hole (probes miss every stranded row that
+    brute-force truth includes), then pin the recovery:
+    ivf_adopt_stranded_cells re-attaches the partition with its own
+    mean vector and rotates the contract, after which probes are exact
+    again. A plain re-run of ivf_split_hot_cells adopts the same way
+    (the adoption runs at split start)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    t = "ivf_split_strand"
+    full, stranded = _stranded_split_state(spark, t, monkeypatch)
+    qs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 2.0])],
+        "query_id long, embedding array<double>",
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.brute_force_topk(full, qs, k=5).collect()
+    }
+    cents = sim.ivf_load_centroids(spark, t)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_query_index(
+            spark, t, qs, cents, k=5, n_probe=len(cents)
+        ).collect()
+    }
+    # the hole: truth reaches stranded rows, probes cannot
+    assert {v for _, v in truth} & stranded
+    assert not {v for _, v in got} & stranded
+    assert got != truth
+
+    adopted = sim.ivf_adopt_stranded_cells(spark, t)
+    assert len(adopted) == 5  # matrix extended over the stranded cell
+    got2 = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_query_index(
+            spark, t, qs, adopted, k=5, n_probe=len(adopted)
+        ).collect()
+    }
+    assert got2 == truth
+    # idempotent: nothing stranded -> matrix unchanged, no rotation
+    assert sim.ivf_adopt_stranded_cells(spark, t) == adopted
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")

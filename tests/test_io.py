@@ -525,3 +525,61 @@ def test_jdbc_filter_pushes_down_to_source(spark, tmp_path):
     assert "PushedFilters:" in plan
     assert "GreaterThan(ID,50)" in plan or "GreaterThan(id,50)" in plan
     assert filtered.count() == 49  # 51..99 — the pushed scan is correct
+
+
+def test_heal_interrupted_swap_completes_dangling_rename(spark):
+    """write_table's stage-and-swap has one window where the table name
+    dangles: a crash between DROP TABLE and the stage RENAME leaves the
+    committed new data unreachable in {table}__stage. heal_interrupted_
+    swap completes the rename (strictly recovery) — and write_table
+    itself self-heals the state before its next overwrite, so a
+    retried pipeline never trips over its own crash."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        heal_interrupted_swap,
+    )
+
+    t = "io_swap_heal"
+    for s in (t, f"{t}__stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    v2 = spark.createDataFrame([(1, "new"), (2, "new")], "id int, v string")
+    # simulate the crash state: stage committed, base dropped
+    write_table(v2, f"{t}__stage")
+    assert not spark.catalog.tableExists(t)
+
+    assert heal_interrupted_swap(spark, t) is True
+    assert spark.catalog.tableExists(t)
+    assert not spark.catalog.tableExists(f"{t}__stage")
+    assert {r["v"] for r in spark.table(t).collect()} == {"new"}
+    # idempotent: nothing pending -> no-op
+    assert heal_interrupted_swap(spark, t) is False
+
+    # write-side self-heal: recreate the crash state, then a plain
+    # overwrite must succeed and leave no stage behind
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}__stage")
+    assert not spark.catalog.tableExists(t)
+    v3 = spark.createDataFrame([(9, "v3")], "id int, v string")
+    write_table(v3, t)
+    assert {r["v"] for r in spark.table(t).collect()} == {"v3"}
+    assert not spark.catalog.tableExists(f"{t}__stage")
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_heal_interrupted_swap_partitioned_recovers_partitions(spark):
+    """The rename relocates the managed directory but not the catalog's
+    partition entries — the heal must MSCK so a partitioned table reads
+    its rows back (the same recovery the normal swap does)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        heal_interrupted_swap,
+    )
+
+    t = "io_swap_heal_part"
+    for s in (t, f"{t}__stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "id int, v string, p int"
+    )
+    write_table(df, f"{t}__stage", partition_by=["p"])
+    assert heal_interrupted_swap(spark, t) is True
+    assert spark.table(t).count() == 2
+    assert {r["p"] for r in spark.table(t).select("p").collect()} == {0, 1}
+    spark.sql(f"DROP TABLE IF EXISTS {t}")

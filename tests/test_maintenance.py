@@ -1094,3 +1094,151 @@ def test_minhash_skew_flush_drops_stale_epoch(spark):
     assert spark.table(f"{t}_skew_log").count() == 1
     for s in (t, f"{t}_skew_log"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_sweep_flags_and_heals_interrupted_swaps(spark):
+    """Round 17 review follow-through: the stage-and-swap crash window
+    audited across the OTHER multi-phase verbs. A {t}__stage whose base
+    dangles is flagged by the sweep and healed under apply (the staged
+    data is unreachable otherwise); a stale stage whose base survived
+    is flagged and RECLAIMED, never promoted — the crashed overwrite
+    never returned to its caller, so the base stays authoritative."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        write_table,
+    )
+
+    dangle, stale = "maint_swap_dangle", "maint_swap_stale"
+    for s in (dangle, f"{dangle}__stage", stale, f"{stale}__stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    # dangling: stage committed, base gone (crash between drop+rename)
+    write_table(
+        spark.createDataFrame([(1, "v2")], "id int, v string"),
+        f"{dangle}__stage",
+    )
+    # stale: base authoritative, stage from a crash before the drop
+    write_table(
+        spark.createDataFrame([(1, "v1")], "id int, v string"), stale
+    )
+    write_table(
+        spark.createDataFrame([(1, "v2")], "id int, v string"),
+        f"{stale}__stage",
+    )
+
+    sweep = health_sweep(
+        spark,
+        tables=(dangle, f"{dangle}__stage", stale, f"{stale}__stage"),
+    )
+    d_rep = sweep["tables"][f"default.{dangle}__stage"]
+    s_rep = sweep["tables"][f"default.{stale}__stage"]
+    assert d_rep["family"] == "interrupted_swap"
+    assert d_rep["base_exists"] is False
+    assert d_rep["action"] == "heal_interrupted_swap"
+    assert s_rep["base_exists"] is True
+    assert s_rep["action"] == "drop_stale_stage"
+    assert f"default.{dangle}__stage" in sweep["attention"]
+    assert f"default.{stale}__stage" in sweep["attention"]
+
+    out = run_maintenance(
+        spark,
+        apply=True,
+        tables=(dangle, f"{dangle}__stage", stale, f"{stale}__stage"),
+    )
+    assert out["applied"][f"default.{dangle}__stage"] == "heal_interrupted_swap"
+    assert out["applied"][f"default.{stale}__stage"] == "drop_stale_stage"
+    # dangling base restored with the staged content
+    assert {r["v"] for r in spark.table(dangle).collect()} == {"v2"}
+    assert not spark.catalog.tableExists(f"{dangle}__stage")
+    # stale: base untouched, stage reclaimed
+    assert {r["v"] for r in spark.table(stale).collect()} == {"v1"}
+    assert not spark.catalog.tableExists(f"{stale}__stage")
+    for s in (dangle, stale):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_sweep_detects_and_adopts_stranded_cells(spark, monkeypatch):
+    """Round 17 crash-window audit, sweep side: rows stranded beyond
+    the matrix by a split that crashed before its contract rotation are
+    DETECTED by table_health (stranded_cells — the per-cell count scan
+    already walks every partition id) and re-attached by
+    run_maintenance under the retrain_ivf opt-in
+    (ivf_adopt_stranded_cells — a matrix rotation like the other
+    remediations). Without the opt-in the sweep only notes the skip."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    t = "maint_stranded_ivf"
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_merge_manifest", f"{t}_merge_fold_done",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = random.Random(53)
+    rows, vid = [], 0
+    for cx, cy in ((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)):
+        for _ in range(40):
+            rows.append(
+                (vid, [cx + rng.uniform(-0.2, 0.2), cy + rng.uniform(-0.2, 0.2)])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sim.ivf_build_index(df, t, n_clusters=4, seed=19)
+    cents = sim.ivf_load_centroids(spark, t)
+    c0 = min(
+        range(len(cents)),
+        key=lambda i: cents[i][0] ** 2 + cents[i][1] ** 2,
+    )
+    spark.createDataFrame(
+        [
+            (1000 + i, [2.0 + rng.uniform(-0.2, 0.2), 2.0 + rng.uniform(-0.2, 0.2)], c0)
+            for i in range(80)
+        ],
+        "vec_id long, embedding array<double>, _cell int",
+    ).write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+
+    real_finalize = sim._finalize_index_contract
+    state = {"n": 0}
+
+    def bomb(spark_, table, *a, **kw):
+        if table == t and state["n"] == 0:
+            state["n"] = 1
+            raise RuntimeError("injected")
+        return real_finalize(spark_, table, *a, **kw)
+
+    monkeypatch.setattr(sim, "_finalize_index_contract", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        sim.ivf_split_hot_cells(spark, t, max_cell_fraction=0.25, rounds=1)
+    monkeypatch.setattr(sim, "_finalize_index_contract", real_finalize)
+
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["stranded_cells"] == 1
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=False, tables=(t,))
+    assert "adopt_skipped" in out["applied"].get(f"default.{t}", "")
+    assert len(sim.ivf_load_centroids(spark, t)) == 4  # nothing rotated
+
+    out = run_maintenance(spark, apply=True, retrain_ivf=True, tables=(t,))
+    assert "ivf_adopt_stranded_cells" in out["applied"].get(f"default.{t}", "")
+    adopted = sim.ivf_load_centroids(spark, t)
+    assert len(adopted) == 5
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["stranded_cells"] == 0  # the flag cleared
+    # the visibility invariant is restored: every partition id routes
+    # through the matrix again (probe-level recovery — exact parity
+    # with brute force — is pinned by the verb-level test,
+    # test_ivf_split_crash_strands_cells_and_adoption_recovers)
+    assert max(sim._cell_partition_ids(spark, t)) < len(adopted)
+    assert spark.table(t).count() == 240  # no row lost by the adoption
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
