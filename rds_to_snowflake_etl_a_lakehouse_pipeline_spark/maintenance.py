@@ -224,7 +224,7 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
                 f"{table}_merge_manifest"
             )
             k = int(get_table_meta(spark, table).get("n_clusters", 0) or 0)
-            if k > 1:
+            if k >= 1:
                 counts = {
                     r["_cell"]: r["n"]
                     for r in spark.table(table)
@@ -232,6 +232,17 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
                     .agg(F.count("*").alias("n"))
                     .collect()
                 }
+                # STRANDED cells: partition ids at/beyond the matrix —
+                # a split crashed between its child write and the
+                # contract rotation, so those rows are invisible to
+                # every probe (no centroid routes there). Recovery is
+                # ivf_adopt_stranded_cells, applied by run_maintenance
+                # under the retrain_ivf opt-in. Computed for ANY k —
+                # a crashed split of a k=1 index strands cell 1 just
+                # the same (fragmentation below needs k > 1; this
+                # doesn't).
+                rep["stranded_cells"] = sum(1 for c in counts if c >= k)
+            if k > 1:
                 total = sum(counts.values())
                 n_cold = sum(
                     1
@@ -243,13 +254,6 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
                 # a merge must leave a survivor — all-cold (an empty
                 # index) is not fragmentation, it's absence of data
                 rep["merge_recommended"] = 0 < n_cold < k
-                # STRANDED cells: partition ids at/beyond the matrix —
-                # a split crashed between its child write and the
-                # contract rotation, so those rows are invisible to
-                # every probe (no centroid routes there). Recovery is
-                # ivf_adopt_stranded_cells, applied by run_maintenance
-                # under the retrain_ivf opt-in.
-                rep["stranded_cells"] = sum(1 for c in counts if c >= k)
             if rep["pending_merge"]:
                 rep["merge_recommended"] = True
         return rep
@@ -512,8 +516,17 @@ def run_maintenance(
     each flagged table's own maintenance verb — index compaction
     (minhash/span/ivf/er), batch-sink folding (including resuming a
     crashed fold from its manifest), versioned-table compaction. Each
-    action is the family's documented, bounded-cost operation. Run
-    while the owning streams are stopped. Returns the sweep plus
+    action is the family's documented, bounded-cost operation.
+
+    QUIESCENCE CONTRACT: apply-mode assumes the swept tables have no
+    concurrent writers — streaming OR batch. Every verb rewrites or
+    drops state (compaction stage-swaps the table, remediations rotate
+    the matrix, ``drop_stale_stage`` reclaims a ``__stage`` a racing
+    ``write_table`` may be about to rename); running them against a
+    live writer can lose that writer's in-flight work, exactly as
+    compacting under a concurrent append always could. Sweep-only mode
+    (``apply=False``) is read-only and safe anytime. Returns the sweep
+    plus
     ``{"applied": {name: "action[; action]"}}`` (a table flagged for
     both drift and file creep gets BOTH verbs).
 
@@ -600,27 +613,6 @@ def run_maintenance(
                     acts.append(act)
             if (
                 family == "ivf"
-                and rep.get("stranded_cells")
-                and not merge_acted
-            ):
-                # a split crashed between its child write and the
-                # contract rotation: the stranded rows are invisible to
-                # every probe until adopted. Correctness-restoring, so
-                # it outranks drift/fragmentation for the sweep's one
-                # matrix rotation — under the same retrain_ivf opt-in
-                # (adoption rotates the contract like the others).
-                if not retrain_ivf:
-                    acts.append("adopt_skipped (pass retrain_ivf=True)")
-                else:
-                    from .operators.similarity import (
-                        ivf_adopt_stranded_cells,
-                    )
-
-                    ivf_adopt_stranded_cells(spark, name)
-                    acts.append("ivf_adopt_stranded_cells")
-                    merge_acted = True  # a rotation ran this sweep
-            if (
-                family == "ivf"
                 and rep.get("retrain_recommended")
                 and not merge_acted
             ):
@@ -641,6 +633,33 @@ def run_maintenance(
                 a in ("ivf_split_hot_cells", "ivf_retrain_index")
                 for a in acts
             )
+            if (
+                family == "ivf"
+                and rep.get("stranded_cells")
+                and not drift_acted
+                and not merge_acted
+            ):
+                # a split crashed between its child write and the
+                # contract rotation: the stranded rows are invisible to
+                # every probe until adopted. Runs AFTER the drift
+                # branch on purpose — both drift remediations heal
+                # strands on their own (a retrain refits over every
+                # row including the stranded ones; a split begins by
+                # adopting), whereas adopting FIRST would clear the
+                # drift log and re-baseline the already-drifted data,
+                # silencing a pending global retrain forever. Same
+                # retrain_ivf opt-in (adoption rotates the contract
+                # like the other remediations).
+                if not retrain_ivf:
+                    acts.append("adopt_skipped (pass retrain_ivf=True)")
+                else:
+                    from .operators.similarity import (
+                        ivf_adopt_stranded_cells,
+                    )
+
+                    ivf_adopt_stranded_cells(spark, name)
+                    acts.append("ivf_adopt_stranded_cells")
+                    merge_acted = True  # a rotation ran this sweep
             if (
                 family == "ivf"
                 and rep.get("merge_recommended")

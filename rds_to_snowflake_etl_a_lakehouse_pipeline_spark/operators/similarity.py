@@ -119,6 +119,24 @@ def _bounded_fit(
 GRID_QUANT = 1 << 20  # quantization scale for the replayable KMeans path
 
 
+def _quantized_vec(vec_col: str, impl: str):
+    """The vector expression centroid/drift math runs on: grid
+    centroids live in quantized units (coordinate × ``GRID_QUANT``),
+    so grid-impl measurements re-quantize the stored floats to match;
+    mllib uses the raw vector. ONE definition shared by the drift
+    baseline (:func:`_finalize_index_contract`), the per-append drift
+    measure (:func:`ivf_append_index`), and stranded-cell adoption
+    (:func:`_adopt_stranded_cells`) — a drifted copy in any one of
+    them would silently break comparability between build stats and
+    append batches."""
+    if impl == "grid":
+        return F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(GRID_QUANT)), 0),
+        )
+    return F.col(vec_col)
+
+
 def grid_kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -629,16 +647,7 @@ def _finalize_index_contract(
     spark.sql(f"DROP TABLE IF EXISTS {_drift_log_table(table)}")
     # grid centroids live in quantized units: measure drift in the
     # same units so build stats and append batches stay comparable
-    dist_vec = (
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(
-                x.cast("double") * F.lit(float(GRID_QUANT)), 0
-            ),
-        )
-        if impl == "grid"
-        else F.col(vec_col)
-    )
+    dist_vec = _quantized_vec(vec_col, impl)
     stats = (
         spark.table(table)
         .withColumn("_qv", dist_vec)
@@ -792,14 +801,7 @@ def ivf_append_index(
         bucket_by=_id_bucket_spec,
     )
 
-    _dv = (
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * F.lit(float(GRID_QUANT)), 0),
-        )
-        if _is_grid
-        else F.col(vec_col)
-    )
+    _dv = _quantized_vec(vec_col, "grid" if _is_grid else "mllib")
     # ONE aggregation job for both the global drift stats and the
     # per-cell skew: rollup("_cell") emits every per-cell row PLUS the
     # grand-total grouping set (grouping()=1) — _cell is never NULL by
@@ -1218,9 +1220,23 @@ def _adopt_stranded_cells(
     per-dimension mean — for a converged 2-means child that IS its
     center, and the matrix entry is only a probe-routing hint either
     way. Grid-impl means are taken in quantized units, matching the
-    rest of the grid contract. One bounded agg over only the stranded
-    partitions. Empty stranded partitions (a crash after the directory
-    was created but before rows landed) are simply dropped.
+    rest of the grid contract (:func:`_quantized_vec`). Empty stranded
+    partitions (a crash after the directory was created but before
+    rows landed) are simply dropped.
+
+    The SAME mean pass also refreshes every in-range cell that has
+    rows (round 17 review): the crashed split rewrote its parent
+    cell's rows (child A) but the matrix update recording the new
+    parent centroid was lost with the crash, so the recorded centroid
+    is the mean of BOTH modes — queries near the surviving mode could
+    rank other cells ahead of it at realistic ``n_probe``. Since the
+    matrix entry is only a probe-routing hint, each present cell's
+    current mean is the best available value (a Lloyd position update
+    without reassignment; for unsplit cells the mean is what KMeans
+    recorded anyway, up to fit sampling). Cells with no partition keep
+    their recorded centroid. This runs ONLY when something is stranded
+    — a healthy split never takes this path, so oracle-replayed
+    matrices are untouched.
 
     Returns (extended_matrix, adopted_ids); the caller must finalize
     the contract when any were adopted. Raises (with retrain advice)
@@ -1232,18 +1248,10 @@ def _adopt_stranded_cells(
     if not stranded:
         return centroids, []
     dim = len(centroids[0])
-    qv = (
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * F.lit(float(GRID_QUANT)), 0),
-        )
-        if impl == "grid"
-        else F.col(vec_col)
-    )
+    qv = _quantized_vec(vec_col, impl)
     stats = {
         r["_cell"]: r
         for r in spark.table(table)
-        .filter(F.col("_cell").isin(stranded))
         .select(F.col("_cell"), qv.alias("_v"))
         .groupBy("_cell")
         .agg(
@@ -1258,7 +1266,12 @@ def _adopt_stranded_cells(
     if empty:
         _drop_cell_partitions(spark, table, empty)
     live = [s for s in stranded if s in stats]
-    out = [list(c) for c in centroids]
+    out = [
+        [float(stats[c][f"m{d}"]) for d in range(dim)]
+        if c in stats
+        else list(cent)
+        for c, cent in enumerate(centroids)
+    ]
     for s in live:
         if s != len(out):
             raise ValueError(

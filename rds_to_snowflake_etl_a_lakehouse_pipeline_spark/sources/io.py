@@ -189,6 +189,12 @@ def read_jdbc(
     return reader.load()
 
 
+# tables whose pre-write crash-recovery probe already ran this
+# process (see write_table); keyed by the caller's table string, so a
+# qualified/unqualified alias costs at most one duplicate probe
+_HEAL_CHECKED: set[str] = set()
+
+
 def write_table(
     df: DataFrame,
     table: str,
@@ -246,28 +252,45 @@ def write_table(
     if bucket_by:
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
-    if mode == "overwrite":
-        # self-heal a swap interrupted between its DROP and RENAME: the
-        # stage holds the fully-materialized new data (saveAsTable
-        # registers the stage only on commit) and the table name
-        # dangles — complete the rename so this write's own
-        # stage-and-swap (and any reader racing it) sees a table again.
-        # maintenance.health_sweep flags the same state for indexes
-        # that are never rewritten again.
+    # self-heal a swap interrupted between its DROP and RENAME: the
+    # stage holds the fully-materialized new data (saveAsTable
+    # registers the stage only on commit) and the table name dangles —
+    # complete the rename so this write (and any reader racing it)
+    # sees the committed table again. EVERY mode heals first: an
+    # append to a dangling base would otherwise create a fresh table
+    # of just the appended rows and flip the committed stage into
+    # "stale" — exactly the content the sweep would then reclaim.
+    # Memoized per process: the interrupted states the heal repairs
+    # can only PREDATE this session (a crash killed the session that
+    # created them; our own completed writes below leave the catalog
+    # consistent, and a write that raises mid-swap un-memoizes so its
+    # retry re-probes) — so one catalog probe per table amortizes the
+    # per-write cost to zero on the streaming append hot path.
+    # maintenance.health_sweep flags the same state for tables that
+    # are never written again.
+    if table not in _HEAL_CHECKED:
         heal_interrupted_swap(spark, table)
-    if mode == "overwrite" and spark.catalog.tableExists(table):
-        stage = f"{table}__stage"
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
-        _save_with_orphan_retry(spark, writer, stage)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
-        if partition_by:
-            # the rename moves the managed directory but NOT the
-            # catalog's partition entries — without recovery a swapped
-            # partitioned table lists zero partitions and reads empty
-            spark.sql(f"MSCK REPAIR TABLE {table}")
-    else:
-        _save_with_orphan_retry(spark, writer, table)
+        _HEAL_CHECKED.add(table)
+    try:
+        if mode == "overwrite" and spark.catalog.tableExists(table):
+            stage = f"{table}__stage"
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            _save_with_orphan_retry(spark, writer, stage)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+            if partition_by:
+                # the rename moves the managed directory but NOT the
+                # catalog's partition entries — without recovery a
+                # swapped partitioned table lists zero partitions and
+                # reads empty
+                spark.sql(f"MSCK REPAIR TABLE {table}")
+        else:
+            _save_with_orphan_retry(spark, writer, table)
+    except BaseException:
+        # the write may have died inside the swap (stage committed,
+        # base dropped) — a caught-and-retried write must re-probe
+        _HEAL_CHECKED.discard(table)
+        raise
 
 
 def heal_interrupted_swap(spark: SparkSession, table: str) -> bool:
@@ -284,14 +307,70 @@ def heal_interrupted_swap(spark: SparkSession, table: str) -> bool:
     deliberately NOT completed here: the overwrite never returned to
     its caller, so the current base table stays authoritative and the
     next overwrite (or ``maintenance.run_maintenance``) discards the
-    stale stage."""
+    stale stage. When nothing is pending, the call still repairs a
+    half-completed PREVIOUS heal/swap (renamed but killed before its
+    MSCK): a partitioned base listing zero partition entries is
+    re-repaired, closing the recovery verb's own crash window."""
     stage = f"{table}__stage"
     if spark.catalog.tableExists(table) or not spark.catalog.tableExists(stage):
+        # also repair the heal's OWN crash window: a heal (or swap)
+        # killed between its RENAME and MSCK leaves a partitioned base
+        # whose partition entries still point into the retired
+        # ``__stage`` directory (the rename moves the managed dir and
+        # retargets the TABLE location, but each partition keeps its
+        # old absolute path) — reads silently return empty until
+        # repaired. Detect-and-repair here, which every write_table
+        # call (any mode) routes through, so the table self-repairs on
+        # its next touch. Catalog-only cost: one listColumns, and for
+        # partitioned tables one SHOW PARTITIONS + two DESCRIBEs.
+        if spark.catalog.tableExists(table) and any(
+            c.isPartition for c in spark.catalog.listColumns(table)
+        ):
+            if _partitions_stale(spark, table):
+                spark.sql(f"MSCK REPAIR TABLE {table}")
         return False
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
     if any(c.isPartition for c in spark.catalog.listColumns(table)):
         spark.sql(f"MSCK REPAIR TABLE {table}")
     return True
+
+
+def _partitions_stale(spark: SparkSession, table: str) -> bool:
+    """True when a partitioned table's entries need MSCK: zero entries
+    registered, or the FIRST entry's location is not under the table's
+    root directory (a crashed rename leaves EVERY entry pointing into
+    the retired ``__stage`` path, so one probe decides). Best-effort:
+    an unparsable partition spec (exotic escaped values) falls back to
+    "stale" — MSCK is idempotent and merely re-lists the table dir."""
+    first = spark.sql(f"SHOW PARTITIONS {table}").head(1)
+    if not first:
+        return True
+    try:
+        from urllib.parse import unquote
+
+        spec = ", ".join(
+            "{}='{}'".format(k, unquote(v).replace("'", "\\'"))
+            for k, v in (
+                kv.split("=", 1) for kv in first[0][0].split("/")
+            )
+        )
+        part_loc = next(
+            r["data_type"]
+            for r in spark.sql(
+                f"DESCRIBE FORMATTED {table} PARTITION ({spec})"
+            ).collect()
+            if r["col_name"] == "Location"
+        )
+        root = next(
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            if r["col_name"] == "Location"
+        )
+        # trailing slash on the root avoids the "{table}__stage is a
+        # string-prefix of {table}" trap
+        return not part_loc.startswith(root.rstrip("/") + "/")
+    except Exception:  # noqa: BLE001 — detection only; repair is safe
+        return True
 
 
 def _save_with_orphan_retry(spark: SparkSession, writer, table: str) -> None:

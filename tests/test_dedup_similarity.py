@@ -3291,6 +3291,19 @@ def test_ivf_split_crash_strands_cells_and_adoption_recovers(
         ).collect()
     }
     assert got2 == truth
+    # the adoption also refreshed the crashed split's PARENT cell (its
+    # rows were rewritten but the matrix update was lost, leaving the
+    # recorded centroid at the mean of BOTH modes — a routing hazard
+    # at realistic n_probe): every present cell's centroid must now be
+    # its partition's own mean
+    by_cell: dict[int, list[list[float]]] = {}
+    for r in spark.table(t).select("_cell", "embedding").collect():
+        by_cell.setdefault(r["_cell"], []).append(list(r["embedding"]))
+    for c, vecs in by_cell.items():
+        want = [sum(v[d] for v in vecs) / len(vecs) for d in range(2)]
+        assert all(
+            abs(adopted[c][d] - want[d]) < 1e-9 for d in range(2)
+        ), (c, adopted[c], want)
     # idempotent: nothing stranded -> matrix unchanged, no rotation
     assert sim.ivf_adopt_stranded_cells(spark, t) == adopted
     for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):

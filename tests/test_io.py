@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import (
@@ -562,6 +563,115 @@ def test_heal_interrupted_swap_completes_dangling_rename(spark):
     assert {r["v"] for r in spark.table(t).collect()} == {"v3"}
     assert not spark.catalog.tableExists(f"{t}__stage")
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_mode_heals_dangling_swap_first(spark):
+    """Round 17 review: a non-overwrite write to a table whose swap
+    crashed between DROP and RENAME must heal FIRST. Without the heal,
+    the append would create a fresh table of just the appended rows and
+    flip the committed ``__stage`` into "stale" — the exact content the
+    maintenance sweep then reclaims, silently losing the committed
+    overwrite."""
+    t = "io_append_heals"
+    for s in (t, f"{t}__stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    staged = spark.createDataFrame(
+        [(1, "committed"), (2, "committed")], "id int, v string"
+    )
+    write_table(staged, f"{t}__stage")  # crash state: stage only
+    assert not spark.catalog.tableExists(t)
+
+    extra = spark.createDataFrame([(3, "appended")], "id int, v string")
+    write_table(extra, t, mode="append")
+    got = {(r["id"], r["v"]) for r in spark.table(t).collect()}
+    assert got == {(1, "committed"), (2, "committed"), (3, "appended")}
+    assert not spark.catalog.tableExists(f"{t}__stage")
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_heal_repairs_its_own_msck_crash_window(spark):
+    """Round 17 review: a heal (or swap) killed between its RENAME and
+    MSCK leaves a partitioned base whose partition entries still point
+    into the retired ``__stage`` directory (the rename retargets the
+    table location but each partition keeps its old absolute path) —
+    reads silently return ZERO rows. The next heal_interrupted_swap
+    call (every write_table routes through it, any mode) must detect
+    the stale locations and re-repair."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        heal_interrupted_swap,
+    )
+
+    t = "io_heal_msck_window"
+    for s in (t, f"{t}__stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "id int, v string, p int"
+    )
+    # simulate RENAME-done-MSCK-lost: stage write + manual rename —
+    # the partition entries survive but their locations are stale
+    write_table(df, f"{t}__stage", partition_by=["p"])
+    spark.sql(f"ALTER TABLE {t}__stage RENAME TO {t}")
+    spark.catalog.refreshTable(t)
+    assert spark.sql(f"SHOW PARTITIONS {t}").count() == 2  # entries live
+    assert spark.table(t).count() == 0  # ...but reads are silently empty
+
+    assert heal_interrupted_swap(spark, t) is False  # nothing pending
+    spark.catalog.refreshTable(t)
+    assert spark.table(t).count() == 2  # ...but the window was repaired
+    assert {r["p"] for r in spark.table(t).select("p").collect()} == {0, 1}
+
+    # healthy partitioned table: the probe must NOT cry stale (no
+    # gratuitous MSCK on every later write)
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        _partitions_stale,
+    )
+
+    assert _partitions_stale(spark, t) is False
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_write_table_heal_probe_memoized(spark, monkeypatch):
+    """The pre-write crash-recovery probe runs ONCE per table per
+    process (the states it repairs can only predate the session), so
+    repeated appends — the streaming micro-batch hot path — pay zero
+    catalog chatter. A write that raises mid-body un-memoizes, so a
+    caught-and-retried write re-probes."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import io
+
+    t = "io_heal_memo"
+    for s in (t, f"{t}__stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    io._HEAL_CHECKED.discard(t)
+    calls = {"n": 0}
+    real = io.heal_interrupted_swap
+
+    def counting(spark_, table_):
+        if table_ == t:
+            calls["n"] += 1
+        return real(spark_, table_)
+
+    monkeypatch.setattr(io, "heal_interrupted_swap", counting)
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    io.write_table(df, t)
+    io.write_table(df, t, mode="append")
+    io.write_table(df, t, mode="append")
+    assert calls["n"] == 1  # probed once, appends skipped it
+    assert spark.table(t).count() == 3
+
+    # a failing write un-memoizes: the retry probes again
+    def bomb(spark_, writer_, table_):
+        raise RuntimeError("injected")
+
+    real_save = io._save_with_orphan_retry
+    monkeypatch.setattr(io, "_save_with_orphan_retry", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        io.write_table(df, t, mode="append")
+    monkeypatch.setattr(io, "_save_with_orphan_retry", real_save)
+    io.write_table(df, t, mode="append")
+    assert calls["n"] == 2  # re-probed after the failure
+    assert spark.table(t).count() == 4
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    io._HEAL_CHECKED.discard(t)
 
 
 def test_heal_interrupted_swap_partitioned_recovers_partitions(spark):

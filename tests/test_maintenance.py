@@ -1242,3 +1242,107 @@ def test_sweep_detects_and_adopts_stranded_cells(spark, monkeypatch):
     assert spark.table(t).count() == 240  # no row lost by the adoption
     for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_stranded_detection_covers_k1_and_drift_outranks_adoption(
+    spark, monkeypatch
+):
+    """Round 17 review, two policy pins. (1) stranded_cells is computed
+    for ANY k — a crashed split of a k=1 index (its one cell is always
+    hot) strands cell 1 just the same, and the k>1 fragmentation guard
+    must not hide it. (2) When drift is ALSO flagged, the sweep runs
+    the drift remediation INSTEAD of adoption: a retrain refits over
+    every row including the stranded ones (healing them as a side
+    effect), whereas adopting first would clear the drift log and
+    re-baseline the drifted data, silencing the retrain forever."""
+    import random
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    t = "maint_stranded_k1"
+    for s in (
+        t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids",
+        f"{t}_merge_manifest", f"{t}_merge_fold_done",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rng = random.Random(59)
+    rows = [
+        (i, [rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2)])
+        for i in range(40)
+    ] + [
+        (100 + i, [8.0 + rng.uniform(-0.2, 0.2), 8.0 + rng.uniform(-0.2, 0.2)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=1 indexes arise through the engine's own verbs via a merge
+    # (MLlib refuses a k=1 fit): build k=2, thin one blob to a sliver,
+    # merge it away — one cell left holding both modes
+    sim.ivf_build_index(df, t, n_clusters=2, seed=19)
+    cents = sim.ivf_load_centroids(spark, t)
+    c_b = max(range(2), key=lambda i: cents[i][0] + cents[i][1])
+    keep = (
+        spark.table(t)
+        .filter(F.col("_cell") == c_b)
+        .orderBy("vec_id")
+        .limit(2)
+        .select("vec_id", "embedding", "_cell")
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        keep.write.mode("overwrite").insertInto(t)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshTable(t)
+    assert len(sim.ivf_merge_cold_cells(spark, t, min_cell_fraction=0.1)) == 1
+
+    real_finalize = sim._finalize_index_contract
+    state = {"n": 0}
+
+    def bomb(spark_, table, *a, **kw):
+        if table == t and state["n"] == 0:
+            state["n"] = 1
+            raise RuntimeError("injected")
+        return real_finalize(spark_, table, *a, **kw)
+
+    monkeypatch.setattr(sim, "_finalize_index_contract", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        sim.ivf_split_hot_cells(spark, t, max_cell_fraction=0.25, rounds=1)
+    monkeypatch.setattr(sim, "_finalize_index_contract", real_finalize)
+
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["stranded_cells"] == 1  # detected even at k=1
+    assert "merge_recommended" in rep  # and k=1 never recommends a merge
+    assert rep["merge_recommended"] is False
+
+    # drift ALSO flagged: the remediation must be the retrain, which
+    # heals the strand as a side effect — never adoption-first
+    sim.ivf_append_drift_reports(
+        spark,
+        t,
+        [{
+            "n_appended": 10, "n_dropped": 0,
+            "batch_mean_dist": 9.0, "batch_p95_dist": 12.0,
+            "drift_ratio": 8.0, "rebuild_recommended": True,
+            "batch_top_cell": 0, "batch_top_cell_fraction": 0.5,
+            "batch_n_cells": 1,
+        }],
+    )
+    out = run_maintenance(spark, apply=True, retrain_ivf=True, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    assert "ivf_retrain_index" in applied, applied
+    assert "ivf_adopt_stranded_cells" not in applied
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["stranded_cells"] == 0  # the retrain healed the strand
+    assert rep["retrain_recommended"] is False
+    # every row survived (40 blob-A + the 2 kept sliver rows)
+    assert spark.table(t).count() == 42
+    for s in (t, f"{t}_drift_stats", f"{t}_drift_log", f"{t}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
