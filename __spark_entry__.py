@@ -4526,6 +4526,39 @@ def _q_d_minhash_index_dedup(spark, sf_dir):
     return surv.select("doc_id").orderBy("doc_id")
 
 
+def _q_m_minhash_reband_dedup(spark, sf_dir):
+    """Banding retune from stored signatures
+    (operators/dedup.py::minhash_reband_index — the bounded verb the
+    ``cap_truncating`` health flag points to): the standing corpus
+    index is built at 8 bands, re-banded to 16 WITHOUT touching the
+    corpus text (one scan of the band-0 signature slice, one bucketed
+    rewrite — at 100 TB the signatures are orders of magnitude smaller
+    than the documents), then the odd batch dedups against it.
+    reband(8→16) ≡ build(16) because banding is a pure function of
+    (signature, band count), so the SAME DuckDB replay that greens
+    d_minhash_index_dedup (md5 family, 16-band slice-key grouping,
+    ≥ 32/64 integer threshold) hash-verifies the retune end to end: a
+    reband that derived any bucket from the wrong signature slice
+    would change the candidate set and fail the survivor hash."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_incremental_dedup,
+        minhash_reband_index,
+    )
+
+    table = "mh_reband_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    minhash_build_index(corpus, table, impl="md5", bands=8)
+    minhash_reband_index(spark, table, bands=16)
+    surv = minhash_incremental_dedup(
+        spark, table, batch, threshold=0.5, append=False, impl="md5"
+    )
+    return surv.select("doc_id").orderBy("doc_id")
+
+
 def _q_d_span_index_dedup(spark, sf_dir):
     """Persisted span-fingerprint index + incremental exact-substring
     dedup (operators/dedup.py::span_build_index /
@@ -7005,7 +7038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position as the tie-break, never-verified entries first), which
     is the self-maintaining form of the same schedule.
 
-    Rotation arithmetic (why the budget is 6, not 5): 215 registered
+    Rotation arithmetic (why the budget is 6, not 5): 216 registered
     entries cycle through a 50-slot window, so a full re-verification
     pass takes ceil(N/50) >= 5 rounds even with ZERO slots spent on
     newly added queries — and every round adds oracle-backed entries
@@ -7026,6 +7059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- round), then the r13-verified tranche
     # ---- oldest-registered-first (35 of 50).
         "v_ivf_maintain_merge_topk": _q_v_ivf_maintain_merge_topk,
+        "m_minhash_reband_dedup": _q_m_minhash_reband_dedup,
         "m_decode_audio": _q_m_decode_audio,
         "t_corpus_drift": _q_t_corpus_drift,
         "d_containment_pairs": _q_d_containment_pairs,
@@ -8216,6 +8250,10 @@ def oracle_sql() -> dict[str, str]:
         "d_minhash_pairs": _SQL_MINHASH_PAIRS,
         "d_minhash_dedup": _SQL_MINHASH_DEDUP,
         "d_minhash_index_dedup": _SQL_MINHASH_INDEX_DEDUP,
+        # reband(8→16) ≡ build(16): banding is a pure function of
+        # (signature, band count), so the 16-band replay verifies the
+        # retune — see _q_m_minhash_reband_dedup
+        "m_minhash_reband_dedup": _SQL_MINHASH_INDEX_DEDUP,
         "a1_hll_rollup": _SQL_HLL_ROLLUP,
         "x1_hll_stream": _SQL_HLL_STREAM,
         "v_ivf_topk": _SQL_IVF_TOPK,

@@ -684,15 +684,18 @@ def run_maintenance(
                     )
                     acts.append(act)
             if family == "minhash" and rep.get("cap_truncating"):
-                # no safe automatic verb: the pairs the probe cap
-                # already star-capped are gone, and the standing fix is
-                # parameter retuning (more bands / a larger cap) or
-                # upstream boilerplate filtering — both human calls.
-                # The note keeps the flag visible in the applied report.
+                # no safe AUTOMATIC verb: the pairs the probe cap
+                # already star-capped are gone, and retuning trades
+                # recall vs probe cost on the banding S-curve — a
+                # policy call. The bounded mechanism exists
+                # (dedup.minhash_reband_index re-bands from stored
+                # signatures, no corpus re-shingle); the note surfaces
+                # it without choosing for the operator.
                 acts.append(
                     "bucket_skew_noted (probe cap is star-capping hot "
-                    "buckets; consider more bands, a larger cap, or "
-                    "boilerplate filtering)"
+                    "buckets; minhash_reband_index retunes banding "
+                    "from the stored signatures, or raise the cap / "
+                    "filter boilerplate upstream)"
                 )
             if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
                 # a full retrain just rewrote every file — compaction is

@@ -536,6 +536,76 @@ def minhash_build_index(
     )
 
 
+def minhash_reband_index(spark, table: str, bands: int) -> None:
+    """Re-derive a standing MinHash index's banding from its STORED
+    signatures — the bounded retune verb the ``cap_truncating`` health
+    flag points to. Banding is a pure function of (signature, band
+    count), so the index alone suffices: one scan of the ``band = 0``
+    slice (one row per document, full signature riding on it), one
+    re-explode at the new band count, one bucketed rewrite through the
+    stage-and-swap. The corpus text is never touched — at 100 TB the
+    signatures are orders of magnitude smaller than the documents, so
+    retuning costs an index rewrite, not a corpus re-shingle.
+
+    ``reband(b_old → b_new)`` is exactly ``build(b_new)`` over the same
+    corpus (hash-verified by the ``m_minhash_reband_dedup`` oracle
+    entry): more bands = smaller slices = higher candidate recall at
+    the threshold S-curve's low end but hotter buckets (more probe
+    work, more cap pressure); fewer bands the reverse. The choice is a
+    recall/cost POLICY call, which is why the maintenance sweep only
+    surfaces the flag and points here instead of auto-applying (the
+    pairs already star-capped are gone either way — retuning changes
+    future probes only).
+
+    ``bands`` must divide the recorded ``num_hashes``. Probes validate
+    their band count against table meta (``check_table_meta``), so a
+    caller still probing with the old band count fails loudly instead
+    of silently joining on stale buckets. Rotation bumps
+    ``skew_epoch`` and clears the skew log like a rebuild — buffered
+    streaming skew reports measured under the old banding are dropped
+    at flush, never re-arming ``cap_truncating`` with stale keys.
+    """
+    from ..sources.io import get_table_meta, set_table_meta, write_table
+
+    meta = get_table_meta(spark, table)
+    if meta.get("kind") != "minhash":
+        raise ValueError(
+            f"{table} is not a minhash index (kind={meta.get('kind')!r})"
+        )
+    num_hashes = int(meta["num_hashes"])
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
+    n_buckets = int(meta["n_buckets"])
+    idx = spark.table(table)
+    id_col = next(
+        c for c in idx.columns if c not in ("sig", "band", "bucket")
+    )
+    docs = idx.filter(F.col("band") == 0).select(
+        F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
+    )
+    banded = _band_explode(docs, bands, num_hashes // bands).select(
+        F.col("_id").alias(id_col),
+        F.col("_sig").alias("sig"),
+        "band",
+        "bucket",
+    )
+    write_table(banded, table, bucket_by=(n_buckets, ["bucket"]))
+    spark.sql(f"DROP TABLE IF EXISTS {_skew_log_table(table)}")
+    set_table_meta(
+        spark,
+        table,
+        kind="minhash",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=int(meta["shingle_n"]),
+        n_buckets=n_buckets,
+        bucket_cols="bucket",
+        skew_epoch=int(meta.get("skew_epoch", 0) or 0) + 1,
+    )
+
+
 def _skew_log_table(table: str) -> str:
     return f"{table}_skew_log"
 

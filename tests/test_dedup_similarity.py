@@ -1052,6 +1052,80 @@ def test_minhash_index_build_query_incremental(spark):
     assert {r["doc_id"] for r in surv3.collect()} == {21}
 
 
+def test_minhash_reband_matches_direct_build(spark):
+    """Re-banding a standing index from its stored signatures must be
+    indistinguishable from building at the new band count directly —
+    banding is a pure function of (signature, bands). Probes after the
+    reband validate against the UPDATED meta (a stale-bands caller
+    fails loudly), the rotation bumps skew_epoch, and the skew log is
+    cleared like a rebuild."""
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_query_index,
+        minhash_reband_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+
+    t_re, t_direct = "mh_reband_test", "mh_reband_direct"
+    for s in (t_re, f"{t_re}_skew_log", t_direct):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    corpus = spark.createDataFrame(
+        [(i, base * 3 + f"tail {i % 7}") for i in range(24)],
+        "doc_id bigint, text string",
+    )
+    minhash_build_index(corpus, t_re, bands=8)
+    minhash_build_index(corpus, t_direct, bands=16)
+
+    # simulate accrued telemetry: the rotation must clear it
+    spark.createDataFrame(
+        [(1.0, 0, 0, 0, 0)],
+        "sum_sq_bucket_rows double, n_capped_buckets int, "
+        "n_capped_batch_buckets int, n_hit_buckets int, n_batch int",
+    ).write.saveAsTable(f"{t_re}_skew_log")
+    epoch0 = int(get_table_meta(spark, t_re)["skew_epoch"])
+
+    minhash_reband_index(spark, t_re, bands=16)
+
+    meta = get_table_meta(spark, t_re)
+    assert int(meta["bands"]) == 16
+    assert int(meta["skew_epoch"]) == epoch0 + 1
+    assert not spark.catalog.tableExists(f"{t_re}_skew_log")
+    # row-for-row identical banded content vs the direct 16-band build
+    cols = ["doc_id", "band", "bucket"]
+    got = {tuple(r) for r in spark.table(t_re).select(*cols).collect()}
+    want = {tuple(r) for r in spark.table(t_direct).select(*cols).collect()}
+    assert got == want and len(got) == 24 * 16
+
+    # probes at the new band count agree with the direct build; the
+    # old band count is refused (stale caller fails loudly)
+    batch = spark.createDataFrame(
+        [(100, base * 3 + "tail 3")], "doc_id bigint, text string"
+    )
+    hits_re = minhash_query_index(
+        spark, t_re, batch, bands=16, threshold=0.5
+    )
+    hits_direct = minhash_query_index(
+        spark, t_direct, batch, bands=16, threshold=0.5
+    )
+    assert sorted(map(tuple, hits_re.collect())) == sorted(
+        map(tuple, hits_direct.collect())
+    )
+    with _pytest.raises(ValueError):
+        minhash_query_index(spark, t_re, batch, bands=8, threshold=0.5)
+
+    # parameter validation: non-divisor band counts and non-minhash
+    # tables are refused before any mutation
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_reband_index(spark, t_re, bands=24)
+    for s in (t_re, t_direct):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
 def test_minhash_index_within_batch_dedup(spark):
     """Two near-identical docs arriving in the SAME batch: only the
     lower id survives (greedy within-batch pass), and only the survivor
