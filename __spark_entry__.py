@@ -6749,6 +6749,47 @@ def _q_m_hash_index_dedup(spark, sf_dir):
     )
 
 
+def _q_m_hamming_reband_dedup(spark, sf_dir):
+    """Band-width retune on a LIVE standing index
+    (operators/multimodal.py::hamming_reband_index — the media twin of
+    minhash_reband_index and the verb the family's ``cap_truncating``
+    flag points to): batch 1 (even doc_ids) self-dedups into the index
+    at the default 16-bit banding, the index is then re-banded to
+    8-bit width FROM ITS STORED FINGERPRINTS (one band-0 slice scan,
+    never a media re-decode), and batch 2 (odd) probes + appends under
+    the new banding. Pigeonhole recall is total at BOTH widths for
+    max_hamming 1 (4 bands > 1 and 8 bands > 1), so the semantics
+    replay in the same closed-form EXISTS oracle as m_hash_index_dedup
+    — but a broken reband is loudly visible: batch 2 re-explodes its
+    probes at the META-recorded 8-bit width, so an index left in
+    16-bit val space (a no-op reband) or re-derived from the wrong
+    fingerprint slices joins on disjoint (band, val) keys, loses every
+    candidate, and fails the survivor hash."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+        hamming_reband_index,
+    )
+
+    table = "fp_reband_q_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    f = _fp_index_fixture(spark, sf_dir)
+    hamming_index_build(
+        spark.createDataFrame([], "doc_id long, phash long"), table
+    )
+    surv1 = hamming_incremental_dedup(
+        spark, table, f.filter(F.col("b") == 0).drop("b"), max_hamming=1
+    )
+    surv1 = surv1.localCheckpoint(eager=True)  # pin before the rotation
+    hamming_reband_index(spark, table, band_bits=8)
+    surv2 = hamming_incremental_dedup(
+        spark, table, f.filter(F.col("b") == 1).drop("b"), max_hamming=1
+    )
+    return surv1.select("doc_id", F.lit(1).alias("batch")).unionByName(
+        surv2.select("doc_id", F.lit(2).alias("batch"))
+    )
+
+
 def _q_x1_media_dedup_stream(spark, sf_dir):
     """Streaming media dedup (streaming/events.stream_media_dedup):
     the same two batches arrive as two availableNow drains of a file
@@ -7038,7 +7079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position as the tie-break, never-verified entries first), which
     is the self-maintaining form of the same schedule.
 
-    Rotation arithmetic (why the budget is 6, not 5): 216 registered
+    Rotation arithmetic (why the budget is 6, not 5): 217 registered
     entries cycle through a 50-slot window, so a full re-verification
     pass takes ceil(N/50) >= 5 rounds even with ZERO slots spent on
     newly added queries — and every round adds oracle-backed entries
@@ -7060,6 +7101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- oldest-registered-first (35 of 50).
         "v_ivf_maintain_merge_topk": _q_v_ivf_maintain_merge_topk,
         "m_minhash_reband_dedup": _q_m_minhash_reband_dedup,
+        "m_hamming_reband_dedup": _q_m_hamming_reband_dedup,
         "m_decode_audio": _q_m_decode_audio,
         "t_corpus_drift": _q_t_corpus_drift,
         "d_containment_pairs": _q_d_containment_pairs,
@@ -8231,6 +8273,10 @@ def oracle_sql() -> dict[str, str]:
         "m_image_ahash_pairs": _SQL_IMAGE_AHASH_PAIRS,
         "m_audio_fp_pairs": _SQL_AUDIO_FP_PAIRS,
         "m_hash_index_dedup": _SQL_HASH_INDEX_DEDUP,
+        # reband(16→8) preserves semantics at max_hamming 1 (total
+        # pigeonhole recall at both widths), so the same EXISTS replay
+        # verifies the retune — see _q_m_hamming_reband_dedup
+        "m_hamming_reband_dedup": _SQL_HASH_INDEX_DEDUP,
         "x1_media_dedup_stream": _SQL_MEDIA_DEDUP_STREAM,
         "gr_pagerank": _SQL_GR_PAGERANK,
         "gr_trustrank": _SQL_GR_TRUSTRANK,

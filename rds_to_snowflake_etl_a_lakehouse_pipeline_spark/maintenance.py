@@ -110,21 +110,25 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
 
     if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
         rep = index_table_health(spark, table, MAX_FILES_PER_BUCKET)
-        if family == "minhash" and spark.catalog.tableExists(
+        if family in ("minhash", "hamming_fp") and spark.catalog.tableExists(
             f"{table}_skew_log"
         ):
             # per-probe bucket-skew reports persist in the
             # {table}_skew_log companion (minhash_incremental_dedup /
-            # stream_corpus_dedup with a probe cap — round 17, the
-            # text-tier twin of the IVF drift log). cap_truncating:
-            # some logged probe hit an INDEX bucket over the cap, OR
-            # carried a hot BATCH bucket whose members the within-batch
-            # star path dropped (n_capped_batch_buckets — the
-            # append=False steady state never grows index buckets, so
-            # the index-side count alone would miss active truncation)
-            # — either way star semantics traded away per-member pair
-            # recall, the silent quality loss this flag surfaces.
-            # Constant-time: the log is one row per probe batch.
+            # stream_corpus_dedup, and late-r17 their media twins
+            # hamming_incremental_dedup / stream_media_dedup, with a
+            # probe cap — the index-family twin of the IVF drift log;
+            # both families share the log schema so this aggregation
+            # serves both). cap_truncating: some logged probe hit an
+            # INDEX bucket over the cap, OR carried a hot BATCH bucket
+            # the within-batch path dropped (n_capped_batch_buckets —
+            # the append=False steady state never grows index buckets,
+            # so the index-side count alone would miss active
+            # truncation). MinHash star-caps (per-member recall traded
+            # for a representative pair); Hamming EXCLUDES the bucket
+            # outright — either way recall was silently traded, the
+            # loss this flag surfaces. Constant-time: one row per
+            # probe batch.
             from pyspark.sql import functions as F
 
             log = spark.table(f"{table}_skew_log")
@@ -696,6 +700,20 @@ def run_maintenance(
                     "buckets; minhash_reband_index retunes banding "
                     "from the stored signatures, or raise the cap / "
                     "filter boilerplate upstream)"
+                )
+            if family == "hamming_fp" and rep.get("cap_truncating"):
+                # same policy stance as the minhash note: the flood
+                # cap EXCLUDES hot (band, val) buckets outright, and
+                # retuning band_bits trades pigeonhole recall vs
+                # bucket heat — a policy call. The bounded mechanism
+                # (multimodal.hamming_reband_index, from stored
+                # fingerprints) is named, never auto-applied.
+                acts.append(
+                    "bucket_skew_noted (probe cap is excluding hot "
+                    "fingerprint buckets; hamming_reband_index "
+                    "retunes band width from the stored fingerprints, "
+                    "or raise the cap / quarantine boilerplate media "
+                    "upstream)"
                 )
             if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
                 # a full retrain just rewrote every file — compaction is

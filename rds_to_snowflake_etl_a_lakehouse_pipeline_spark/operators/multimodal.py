@@ -1017,21 +1017,172 @@ def hamming_index_build(
     pre-shuffled at write time and never moves again — incremental
     batches pay only their own fingerprints. Banding parameters are
     recorded as table properties and validated on every probe/append
-    (a mismatched ``band_bits`` would silently destroy recall)."""
-    from ..sources.io import set_table_meta, write_table
+    (a mismatched ``band_bits`` would silently destroy recall).
 
+    ``skew_epoch`` (late r17, the MinHash-index contract): a monotone
+    rebuild counter — streaming skew reports buffered under a retired
+    epoch are dropped at flush instead of re-arming ``cap_truncating``
+    against the fresh index; a rebuild also clears the skew log."""
+    from ..sources.io import get_table_meta, set_table_meta, write_table
+
+    spark = df.sparkSession
+    prev_epoch = 0
+    if spark.catalog.tableExists(table):
+        prev_epoch = int(get_table_meta(spark, table).get("skew_epoch", 0) or 0)
     banded = _fp_band_explode(df, id_col, hash_col, band_bits).select(
         F.col("_id").alias(id_col), F.col("_ph").alias("fp"), "band", "val"
     )
     write_table(banded, table, bucket_by=(n_buckets, ["val"]))
+    spark.sql(f"DROP TABLE IF EXISTS {table}_skew_log")
     set_table_meta(
-        df.sparkSession,
+        spark,
         table,
         kind="hamming_fp",
         band_bits=band_bits,
         n_buckets=n_buckets,
         bucket_cols="val",
+        skew_epoch=prev_epoch + 1,
     )
+
+
+def hamming_reband_index(spark, table: str, band_bits: int) -> None:
+    """Re-derive a standing Hamming index's banding from its STORED
+    fingerprints — the media twin of ``dedup.minhash_reband_index``
+    and the bounded retune verb the family's ``cap_truncating`` health
+    flag points to. Banding is a pure function of (fingerprint,
+    band_bits), and the full 64-bit fingerprint rides on every index
+    row, so the index alone suffices: one scan of the ``band = 0``
+    slice (one row per document), one re-explode at the new width, one
+    bucketed rewrite through the stage-and-swap — never a corpus
+    re-decode (at 100 TB the fingerprints are orders of magnitude
+    smaller than the media blobs they summarize).
+
+    The trade is the pigeonhole S-curve: SMALLER ``band_bits`` = more
+    bands = total recall up to a larger ``max_hamming``
+    (``max_hamming < 64/band_bits``) but hotter buckets (fewer
+    distinct vals per band = more candidates per probe = more cap
+    pressure); larger ``band_bits`` the reverse. A policy call, which
+    is why the maintenance sweep only surfaces the flag and points
+    here instead of auto-applying.
+
+    ``band_bits`` must divide 64. Probes validate against table meta
+    (``check_table_meta``), so a caller still probing at the old width
+    fails loudly instead of silently joining disjoint val spaces.
+    Rotation bumps ``skew_epoch`` and clears the skew log like a
+    rebuild."""
+    from ..sources.io import get_table_meta, set_table_meta, write_table
+
+    meta = get_table_meta(spark, table)
+    if meta.get("kind") != "hamming_fp":
+        raise ValueError(
+            f"{table} is not a hamming_fp index (kind={meta.get('kind')!r})"
+        )
+    if band_bits < 1 or 64 % band_bits != 0:
+        raise ValueError(f"band_bits={band_bits} must divide 64")
+    n_buckets = int(meta["n_buckets"])
+    idx = spark.table(table)
+    id_col = next(c for c in idx.columns if c not in ("fp", "band", "val"))
+    docs = idx.filter(F.col("band") == 0).select(F.col(id_col), F.col("fp"))
+    banded = _fp_band_explode(docs, id_col, "fp", band_bits).select(
+        F.col("_id").alias(id_col), F.col("_ph").alias("fp"), "band", "val"
+    )
+    write_table(banded, table, bucket_by=(n_buckets, ["val"]))
+    spark.sql(f"DROP TABLE IF EXISTS {table}_skew_log")
+    set_table_meta(
+        spark,
+        table,
+        kind="hamming_fp",
+        band_bits=band_bits,
+        n_buckets=n_buckets,
+        bucket_cols="val",
+        skew_epoch=int(meta.get("skew_epoch", 0) or 0) + 1,
+    )
+
+
+def hamming_batch_skew_report(
+    idx: DataFrame, banded: DataFrame, max_bucket_size: int | None
+) -> dict:
+    """Bucket-skew measurement for ONE probe batch against a standing
+    Hamming index — the media twin of ``dedup.minhash_batch_skew_report``
+    with the same stat names (so the health aggregation is shared) but
+    the family's harsher cap semantics: an over-cap (band, val) bucket
+    is EXCLUDED from candidate generation entirely (no star
+    representative), so ``n_capped_buckets`` counts index buckets whose
+    EVERY member just became invisible to this probe (a pair must
+    share a cold band to surface), and ``n_capped_batch_buckets`` the
+    within-batch buckets likewise dropped. Sized over only the keys
+    THIS batch hits — O(batch), never O(index) — in one fused agg."""
+    hit = banded.select("band", "val").distinct()
+    idx_sizes = (
+        idx.join(hit, ["band", "val"])
+        .groupBy("band", "val")
+        .agg(F.count("*").alias("n"))
+        .withColumn("_side", F.lit("index"))
+    )
+    batch_sizes = (
+        banded.groupBy("band", "val")
+        .agg(F.count("*").alias("n"))
+        .withColumn("_side", F.lit("batch"))
+    )
+    cap = max_bucket_size
+    capv = F.lit(cap if cap is not None else 2**62)
+    is_idx = F.col("_side") == "index"
+    row = idx_sizes.unionByName(batch_sizes).agg(
+        F.coalesce(
+            F.sum(F.when(is_idx, 1).otherwise(0)), F.lit(0)
+        ).alias("n_hit_buckets"),
+        F.coalesce(F.max(F.when(is_idx, F.col("n"))), F.lit(0)).alias(
+            "max_bucket_rows"
+        ),
+        F.coalesce(
+            F.sum(F.when(is_idx, F.col("n") * F.col("n"))), F.lit(0)
+        ).alias("sum_sq_bucket_rows"),
+        F.coalesce(
+            F.sum(F.when(is_idx & (F.col("n") > capv), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_capped_buckets"),
+        F.coalesce(
+            F.sum(F.when(~is_idx & (F.col("n") > capv), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_capped_batch_buckets"),
+    ).first()
+    return {
+        "n_hit_buckets": int(row["n_hit_buckets"]),
+        "max_bucket_rows": int(row["max_bucket_rows"]),
+        "sum_sq_bucket_rows": int(row["sum_sq_bucket_rows"]),
+        "n_capped_buckets": int(row["n_capped_buckets"]),
+        "n_capped_batch_buckets": int(row["n_capped_batch_buckets"]),
+        "cap": cap,
+    }
+
+
+def hamming_append_skew_reports(spark, table: str, reports: list[dict]) -> None:
+    """Append probe-batch skew report dict(s) to the
+    ``{table}_skew_log`` companion in ONE write job — identical
+    schema and batching contract as ``dedup.minhash_append_skew_reports``
+    (streaming buffers per-batch reports and flushes post-drain; the
+    log is advisory, so a lost buffer only delays the health flag)."""
+    if not reports:
+        return
+    from ..sources.io import write_table
+
+    log_row = spark.createDataFrame(
+        [
+            (
+                int(r["n_hit_buckets"]),
+                int(r["max_bucket_rows"]),
+                int(r["sum_sq_bucket_rows"]),
+                int(r["n_capped_buckets"]),
+                int(r.get("n_capped_batch_buckets", 0)),
+                None if r["cap"] is None else int(r["cap"]),
+            )
+            for r in reports
+        ],
+        "n_hit_buckets bigint, max_bucket_rows bigint, "
+        "sum_sq_bucket_rows bigint, n_capped_buckets bigint, "
+        "n_capped_batch_buckets bigint, cap bigint",
+    ).withColumn("logged_at", F.current_timestamp())
+    write_table(log_row, f"{table}_skew_log", mode="append")
 
 
 def _hamming_probe_pairs(
@@ -1103,6 +1254,8 @@ def hamming_incremental_dedup(
     append: bool = True,
     max_bucket_size: int | None = None,
     storage: str = "checkpoint",
+    log_skew: bool | None = None,
+    skew_sink: list | None = None,
 ) -> DataFrame:
     """Incremental media curation: drop new documents whose fingerprint
     is within ``max_hamming`` of the ALREADY-INDEXED corpus or of an
@@ -1128,7 +1281,15 @@ def hamming_incremental_dedup(
     (``dedup._materialize``) so the fingerprint projection, the
     within-batch self-join, the survivor anti-join, and the append all
     reuse pinned blocks instead of re-running the caller's upstream
-    decode/FFT ``mapInPandas``."""
+    decode/FFT ``mapInPandas``.
+
+    ``log_skew`` (late r17): per-batch bucket-skew measurement into
+    the ``{table}_skew_log`` companion
+    (:func:`hamming_batch_skew_report`) — defaults ON exactly when a
+    probe cap is set (uncapped probes stay plan-identical to the
+    benched body). ``skew_sink`` buffers the report dict instead of
+    writing (the streaming wrapper batches per-micro-batch reports
+    into one post-drain flush)."""
     from ..sources.io import check_table_meta, write_table
     from .dedup import _materialize
 
@@ -1172,6 +1333,17 @@ def hamming_incremental_dedup(
     # as dups of themselves (the same hazard minhash_incremental_dedup
     # pins the same way)
     survivors = _materialize(new_df.join(losers, id_col, "left_anti"), storage)
+
+    if log_skew is None:
+        log_skew = max_bucket_size is not None
+    if log_skew:
+        report = hamming_batch_skew_report(
+            spark.table(table), banded, max_bucket_size
+        )
+        if skew_sink is not None:
+            skew_sink.append(report)
+        else:
+            hamming_append_skew_reports(spark, table, [report])
 
     if append:
         surv_banded = banded.join(

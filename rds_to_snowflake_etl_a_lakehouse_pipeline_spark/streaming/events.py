@@ -444,6 +444,7 @@ def stream_media_dedup(
     max_bucket_size: int | None = None,
     query_name: str = "stream_media_dedup",
     append: bool = True,
+    log_skew: bool | None = None,
 ):
     """Streaming MEDIA curation: every micro-batch of arriving
     fingerprinted blobs is near-dup-checked against the persisted
@@ -461,8 +462,23 @@ def stream_media_dedup(
     — both are plain ``mapInPandas``, streaming-legal); this wrapper
     stays modality-agnostic. Runs with trigger=availableNow and blocks
     until input is drained. ``append=False`` is the measure/dry-run
-    mode, as on the MinHash twin."""
+    mode, as on the MinHash twin.
+
+    ``log_skew`` (late r17): per-batch bucket-skew reports — defaulted
+    ON when ``max_bucket_size`` is set, like the batch API — are
+    BUFFERED and flushed to the ``{table}_skew_log`` companion in ONE
+    post-drain write, epoch-guarded exactly like
+    :func:`_flush_minhash_skew_reports`: a ``hamming_index_build``
+    rebuild landing mid-drain re-derives every (band, val) key and
+    clears the log, so buffered reports measured against the retired
+    corpus are dropped instead of re-arming ``cap_truncating``."""
     from ..operators.multimodal import hamming_incremental_dedup
+    from ..sources.io import get_table_meta
+
+    reports: list[dict] = []
+    if log_skew is None:
+        log_skew = max_bucket_size is not None
+    held_epoch = get_table_meta(sdf.sparkSession, table).get("skew_epoch")
 
     def _dedup(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -476,6 +492,8 @@ def stream_media_dedup(
             max_hamming=max_hamming,
             append=append,
             max_bucket_size=max_bucket_size,
+            log_skew=log_skew,
+            skew_sink=reports if log_skew else None,
         )
 
     q = (
@@ -487,6 +505,26 @@ def stream_media_dedup(
         .start()
     )
     q.awaitTermination()
+    _flush_hamming_skew_reports(sdf.sparkSession, table, held_epoch, reports)
+
+
+def _flush_hamming_skew_reports(
+    spark, table: str, held_epoch, reports: list[dict]
+) -> None:
+    """Post-drain skew-log flush for the Hamming index, epoch-guarded
+    like :func:`_flush_minhash_skew_reports`: a rebuild (or reband)
+    from another session landing mid-drain re-derives every (band,
+    val) key and clears the log — buffered reports measured under the
+    retired epoch would re-arm ``cap_truncating`` on the fresh index,
+    so the buffer is dropped when the recorded epoch no longer
+    matches. One constant-time SHOW TBLPROPERTIES, then one write."""
+    from ..operators.multimodal import hamming_append_skew_reports
+    from ..sources.io import get_table_meta
+
+    recorded = get_table_meta(spark, table).get("skew_epoch")
+    if recorded != held_epoch:
+        reports = []
+    hamming_append_skew_reports(spark, table, reports)
 
 
 def stream_entity_resolution(

@@ -997,6 +997,130 @@ def test_minhash_bucket_skew_flag_detects_cap_truncation(spark):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+def test_hamming_skew_flag_detects_cap_exclusion(spark):
+    """Late r17: the Hamming fingerprint index gets the same quality
+    signal as the MinHash index — with the family's HARSHER cap
+    semantics (an over-cap bucket is EXCLUDED outright, no star
+    representative). The recall impact is demonstrated: the capped
+    probe loses the flooded bucket's matches entirely; the skew log
+    records it, the health sweep raises ``cap_truncating``, and
+    run_maintenance surfaces the hamming-specific note naming
+    hamming_reband_index."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_incremental_dedup,
+        hamming_index_build,
+        hamming_index_probe,
+    )
+
+    t = "maint_fp_skew"
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    # 20 identical boilerplate fingerprints (one thumbnail re-encoded
+    # 20 times): every (band, val) key holds 20 rows, over the cap of 4
+    boiler = 0x2AAA_BBBB_CCCC_DDDD
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(20)]
+        + [(100 + i, (i + 1) * 0x0101_0000_0300_0007) for i in range(5)],
+        "doc_id bigint, phash bigint",
+    )
+    hamming_index_build(corpus, t)
+    assert not spark.catalog.tableExists(f"{t}_skew_log")  # fresh build
+
+    batch = spark.createDataFrame(
+        [(200, boiler ^ 1), (201, 0x1234_5678_9ABC_0042)],
+        "doc_id bigint, phash bigint",
+    )
+    # RECALL IMPACT: uncapped, the boilerplate kin matches every
+    # member; capped, the flooded buckets are excluded and the probe
+    # finds NOTHING — 20 matches collapse to 0, silently
+    n_un = hamming_index_probe(spark, t, batch, max_hamming=2).count()
+    n_cap = hamming_index_probe(
+        spark, t, batch, max_hamming=2, max_bucket_size=4
+    ).count()
+    assert n_un == 20 and n_cap == 0
+
+    # the probe-side log records exactly that condition...
+    surv = hamming_incremental_dedup(
+        spark, t, batch, max_hamming=2, append=False, max_bucket_size=4
+    )
+    assert {r["doc_id"] for r in surv.collect()} == {200, 201}
+    log = spark.table(f"{t}_skew_log").collect()
+    assert len(log) == 1
+    assert log[0]["n_capped_buckets"] > 0
+    assert log[0]["max_bucket_rows"] >= 20
+    assert log[0]["cap"] == 4
+
+    # ...the health sweep raises the flag and names the table...
+    sweep = health_sweep(spark, tables=(t,))
+    rep = sweep["tables"][f"default.{t}"]
+    assert rep["cap_truncating"] is True
+    assert rep["max_bucket_rows"] >= 20
+    assert f"default.{t}" in sweep["attention"]
+
+    # ...and the apply-mode sweep surfaces the hamming-specific note
+    out = run_maintenance(spark, apply=True, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    assert "bucket_skew_noted" in applied
+    assert "hamming_reband_index" in applied
+
+    # an UNCAPPED probe stays plan-identical: no log row added
+    hamming_incremental_dedup(spark, t, batch, max_hamming=2, append=False)
+    assert spark.table(f"{t}_skew_log").count() == 1
+
+    # a rebuild clears the skew history like a retrain clears drift
+    hamming_index_build(corpus, t)
+    assert not spark.catalog.tableExists(f"{t}_skew_log")
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_hamming_skew_flush_drops_stale_epoch(spark, tmp_path):
+    """The streaming flush is epoch-guarded like the MinHash twin: a
+    rebuild landing mid-drain re-derives every (band, val) key and
+    clears the log, so the held buffer must be dropped — a fresh index
+    must not inherit cap_truncating measured against the retired
+    corpus."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_index_build,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _flush_hamming_skew_reports,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+
+    t = "maint_fp_skew_epoch"
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    corpus = spark.createDataFrame(
+        [(1, 0x1111), (2, 0x2222_0000)], "doc_id bigint, phash bigint"
+    )
+    hamming_index_build(corpus, t)
+    held = get_table_meta(spark, t).get("skew_epoch")
+    report = {
+        "n_hit_buckets": 1, "max_bucket_rows": 30,
+        "sum_sq_bucket_rows": 900, "n_capped_buckets": 1,
+        "n_capped_batch_buckets": 0, "cap": 4,
+    }
+    # same epoch: the buffer flushes
+    _flush_hamming_skew_reports(spark, t, held, [report])
+    assert spark.table(f"{t}_skew_log").count() == 1
+
+    # a rebuild rotates the epoch AND clears the log; a stale-held
+    # buffer must now be dropped, not written onto the fresh index
+    hamming_index_build(corpus, t)
+    assert not spark.catalog.tableExists(f"{t}_skew_log")
+    _flush_hamming_skew_reports(spark, t, held, [report])
+    assert not spark.catalog.tableExists(f"{t}_skew_log")
+    for s in (t, f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
 def test_minhash_skew_flag_detects_within_batch_star_capping(spark):
     """Round 17 review: the cap's OTHER truncation site. In the
     append=False steady state (the bench q16/q22 shape) a boilerplate

@@ -2442,6 +2442,80 @@ def test_hamming_incremental_hot_bucket_cap(spark):
     assert len(ids) == 39  # nothing else dropped by the flooded band
 
 
+def test_hamming_reband_matches_direct_build(spark):
+    """Re-banding a standing Hamming index from its STORED fingerprints
+    must be indistinguishable from building at the new band width
+    directly — banding is a pure function of (fingerprint, band_bits)
+    and the full 64-bit fingerprint rides on every index row. Probes
+    after the reband validate against the UPDATED meta (a stale-width
+    caller fails loudly), the rotation bumps skew_epoch, and the skew
+    log is cleared like a rebuild."""
+    import pytest as _pytest
+
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        hamming_index_build,
+        hamming_index_probe,
+        hamming_reband_index,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        check_table_meta,
+        get_table_meta,
+    )
+
+    t_re, t_direct = "fp_reband_t", "fp_reband_direct"
+    for s in (t_re, f"{t_re}_skew_log", t_direct):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    rows = [(i, (i % 17) * 0x0101_0101_0101_0101 ^ (i << 3)) for i in range(60)]
+    hamming_index_build(_fp_df(spark, rows), t_re, band_bits=16)
+    hamming_index_build(_fp_df(spark, rows), t_direct, band_bits=8)
+
+    # simulate accrued telemetry: the rotation must clear it
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 0, 8)],
+        "n_hit_buckets bigint, max_bucket_rows bigint, "
+        "sum_sq_bucket_rows bigint, n_capped_buckets bigint, "
+        "n_capped_batch_buckets bigint, cap bigint",
+    ).write.saveAsTable(f"{t_re}_skew_log")
+    epoch0 = int(get_table_meta(spark, t_re)["skew_epoch"])
+
+    hamming_reband_index(spark, t_re, band_bits=8)
+
+    meta = get_table_meta(spark, t_re)
+    assert int(meta["band_bits"]) == 8
+    assert int(meta["skew_epoch"]) == epoch0 + 1
+    assert not spark.catalog.tableExists(f"{t_re}_skew_log")
+    cols = ["doc_id", "band", "val"]
+    got = {tuple(r) for r in spark.table(t_re).select(*cols).collect()}
+    want = {tuple(r) for r in spark.table(t_direct).select(*cols).collect()}
+    assert got == want and len(got) == 60 * 8  # 8 bands at 8 bits
+
+    # probes agree with the direct 8-bit build; at 8 bands the
+    # pigeonhole recall guarantee now covers max_hamming up to 7
+    batch = _fp_df(spark, [(100, rows[3][1] ^ 0b11)])  # hamming-2 kin of 3
+    hits_re = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in hamming_index_probe(
+            spark, t_re, batch, max_hamming=5
+        ).collect()
+    }
+    hits_direct = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in hamming_index_probe(
+            spark, t_direct, batch, max_hamming=5
+        ).collect()
+    }
+    assert hits_re == hits_direct and (100, 3, 2) in hits_re
+
+    # a caller still asserting the OLD width fails the meta contract
+    with _pytest.raises(ValueError):
+        check_table_meta(spark, t_re, kind="hamming_fp", band_bits=16)
+    # validation: non-divisors of 64 and non-hamming tables refused
+    with _pytest.raises(ValueError, match="must divide"):
+        hamming_reband_index(spark, t_re, band_bits=12)
+    for s in (t_re, t_direct):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
 def test_stream_media_dedup_matches_batch_incremental(spark, tmp_path):
     """Two deterministic micro-batches through stream_media_dedup land
     the same survivor index as two direct hamming_incremental_dedup

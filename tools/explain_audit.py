@@ -125,6 +125,10 @@ AUDIT = [
     # cold-cell merge)
     "v_ivf_maintain_topk",
     "v_ivf_merge_topk",
+    # round-17 additions (sweep-chosen merge, banding retunes)
+    "v_ivf_maintain_merge_topk",
+    "m_minhash_reband_dedup",
+    "m_hamming_reband_dedup",
 ]
 
 
