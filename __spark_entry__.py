@@ -1970,6 +1970,52 @@ def _q_er_incremental(spark, sf_dir):
     return er_entity_labels(spark, table)
 
 
+def _q_er_reblock_incremental(spark, sf_dir):
+    """Blocking-key retune on a LIVE standing ER index
+    (operators/entity.py::er_reblock_index — the ER member of the r17
+    retune family, from the STORED record text, no re-resolution): the
+    clean base resolves and indexes under ``right(name, 6)``, the
+    even-id half of the typo feed resolves incrementally under that
+    key, the index is then REBLOCKED to the sharper ``right(text, 8)``
+    and the odd-id half resolves under the new key. In this fixture
+    the two keys induce IDENTICAL candidate topology (name tails are
+    the zero-padded customer number, so both keys block exactly by
+    customer; the typos live at the front of the string), so the final
+    labels replay in the same recursive-CTE oracle as er_incremental —
+    but a broken reblock is loudly visible: batch 2 blocks at 8 chars
+    against an index still carrying 6-char (or garbage) block keys,
+    joins nothing, resolves standalone, and fails the label hash."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_build_index,
+        er_entity_labels,
+        er_incremental,
+        er_reblock_index,
+        resolve_entities,
+    )
+
+    table = "er_reblock_" + _fixture_key(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__relabel")
+    dirty = _er_dirty_customers(spark, sf_dir)
+    key6 = F.expr("right(c_name, 6)")
+    base = dirty.filter(F.col("id") < 100000000)
+    batch = dirty.filter(F.col("id") >= 100000000)
+    er_build_index(
+        resolve_entities(base, "id", "c_name", key6, threshold=0.9),
+        table, "id", "c_name", key6,
+    )
+    er_incremental(
+        spark, table, batch.filter(F.col("id") % 2 == 0),
+        "id", "c_name", key6, threshold=0.9,
+    )
+    er_reblock_index(spark, table, F.expr("right(text, 8)"))
+    er_incremental(
+        spark, table, batch.filter(F.col("id") % 2 == 1),
+        "id", "c_name", F.expr("right(c_name, 8)"), threshold=0.9,
+    )
+    return er_entity_labels(spark, table)
+
+
 def _q_x1_er_stream(spark, sf_dir):
     """Streaming entity mastering
     (streaming/events.stream_entity_resolution): the typo-variant feed
@@ -7079,7 +7125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position as the tie-break, never-verified entries first), which
     is the self-maintaining form of the same schedule.
 
-    Rotation arithmetic (why the budget is 6, not 5): 217 registered
+    Rotation arithmetic (why the budget is 6, not 5): 218 registered
     entries cycle through a 50-slot window, so a full re-verification
     pass takes ceil(N/50) >= 5 rounds even with ZERO slots spent on
     newly added queries — and every round adds oracle-backed entries
@@ -7102,6 +7148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ivf_maintain_merge_topk": _q_v_ivf_maintain_merge_topk,
         "m_minhash_reband_dedup": _q_m_minhash_reband_dedup,
         "m_hamming_reband_dedup": _q_m_hamming_reband_dedup,
+        "er_reblock_incremental": _q_er_reblock_incremental,
         "m_decode_audio": _q_m_decode_audio,
         "t_corpus_drift": _q_t_corpus_drift,
         "d_containment_pairs": _q_d_containment_pairs,
@@ -8517,6 +8564,14 @@ def oracle_sql() -> dict[str, str]:
         # same oracle as er_resolve: er_incremental's contract is exact
         # equality with from-scratch resolution over the union
         "er_incremental": (
+            "WITH RECURSIVE " + _SQL_ER_CTES + " "
+            "SELECT base.id, coalesce(comp.component, base.id) AS entity_id "
+            "FROM base LEFT JOIN comp ON comp.id = base.id"
+        ),
+        # reblock(right-6 → right-8) is candidate-topology-invariant
+        # on this fixture (both keys block exactly by customer number;
+        # typos live at the front) — see _q_er_reblock_incremental
+        "er_reblock_incremental": (
             "WITH RECURSIVE " + _SQL_ER_CTES + " "
             "SELECT base.id, coalesce(comp.component, base.id) AS entity_id "
             "FROM base LEFT JOIN comp ON comp.id = base.id"

@@ -103,6 +103,49 @@ def classify_table(spark: SparkSession, table: str) -> str | None:
     return None
 
 
+def _skew_log_health(spark: SparkSession, table: str, rep: dict) -> None:
+    """Fold the ``{table}_skew_log`` companion into a health report —
+    shared by the three capped standing-index families (minhash,
+    hamming_fp, er — round 17; all three log the SAME schema, with
+    "bucket" meaning LSH bucket, fingerprint band-val, or ER block).
+    Per-probe skew reports persist via the family's
+    ``*_incremental``/stream path when a probe cap is set — the
+    index-family twin of the IVF drift log. ``cap_truncating``: some
+    logged probe hit an INDEX bucket over the cap, OR carried a hot
+    BATCH bucket the within-batch path dropped
+    (``n_capped_batch_buckets`` — the append=False steady state never
+    grows index buckets, so the index-side count alone would miss
+    active truncation). MinHash star-caps (per-member recall traded
+    for a representative pair); Hamming EXCLUDES the bucket; ER SKIPS
+    the block (precision-first) — either way recall was silently
+    traded, the loss this flag surfaces. Constant-time: the log is
+    one row per probe batch. No-op when no log exists."""
+    if not spark.catalog.tableExists(f"{table}_skew_log"):
+        return
+    from pyspark.sql import functions as F
+
+    log = spark.table(f"{table}_skew_log")
+    batch_capped = (
+        F.col("n_capped_batch_buckets")
+        if "n_capped_batch_buckets" in log.columns
+        else F.lit(0)  # legacy log predating the batch-side stat
+    )
+    agg = log.agg(
+        F.count("*").alias("n_probes_logged"),
+        F.max("max_bucket_rows").alias("max_bucket_rows"),
+        F.max("sum_sq_bucket_rows").alias("max_sum_sq_bucket_rows"),
+        F.max(
+            ((F.col("n_capped_buckets") > 0) | (batch_capped > 0)).cast(
+                "int"
+            )
+        ).alias("any_capped"),
+    ).first()
+    rep["n_probes_logged"] = agg["n_probes_logged"]
+    rep["max_bucket_rows"] = agg["max_bucket_rows"]
+    rep["max_sum_sq_bucket_rows"] = agg["max_sum_sq_bucket_rows"]
+    rep["cap_truncating"] = bool(agg["any_capped"])
+
+
 def table_health(spark: SparkSession, table: str, family: str) -> dict:
     """One table's health report (family from :func:`classify_table`)."""
     from .sources.io import get_table_meta, index_table_health
@@ -110,47 +153,8 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
 
     if family in ("minhash", "span", "ivf", "hamming_fp", "exact"):
         rep = index_table_health(spark, table, MAX_FILES_PER_BUCKET)
-        if family in ("minhash", "hamming_fp") and spark.catalog.tableExists(
-            f"{table}_skew_log"
-        ):
-            # per-probe bucket-skew reports persist in the
-            # {table}_skew_log companion (minhash_incremental_dedup /
-            # stream_corpus_dedup, and late-r17 their media twins
-            # hamming_incremental_dedup / stream_media_dedup, with a
-            # probe cap — the index-family twin of the IVF drift log;
-            # both families share the log schema so this aggregation
-            # serves both). cap_truncating: some logged probe hit an
-            # INDEX bucket over the cap, OR carried a hot BATCH bucket
-            # the within-batch path dropped (n_capped_batch_buckets —
-            # the append=False steady state never grows index buckets,
-            # so the index-side count alone would miss active
-            # truncation). MinHash star-caps (per-member recall traded
-            # for a representative pair); Hamming EXCLUDES the bucket
-            # outright — either way recall was silently traded, the
-            # loss this flag surfaces. Constant-time: one row per
-            # probe batch.
-            from pyspark.sql import functions as F
-
-            log = spark.table(f"{table}_skew_log")
-            batch_capped = (
-                F.col("n_capped_batch_buckets")
-                if "n_capped_batch_buckets" in log.columns
-                else F.lit(0)  # legacy log predating the batch-side stat
-            )
-            agg = log.agg(
-                F.count("*").alias("n_probes_logged"),
-                F.max("max_bucket_rows").alias("max_bucket_rows"),
-                F.max("sum_sq_bucket_rows").alias("max_sum_sq_bucket_rows"),
-                F.max(
-                    (
-                        (F.col("n_capped_buckets") > 0) | (batch_capped > 0)
-                    ).cast("int")
-                ).alias("any_capped"),
-            ).first()
-            rep["n_probes_logged"] = agg["n_probes_logged"]
-            rep["max_bucket_rows"] = agg["max_bucket_rows"]
-            rep["max_sum_sq_bucket_rows"] = agg["max_sum_sq_bucket_rows"]
-            rep["cap_truncating"] = bool(agg["any_capped"])
+        if family in ("minhash", "hamming_fp"):
+            _skew_log_health(spark, table, rep)
         if family == "ivf" and spark.catalog.tableExists(f"{table}_drift_stats"):
             # the build-time quantizer baseline; per-append drift ratios
             # are measured (and reported) by ivf_append_index itself
@@ -272,6 +276,7 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
         er = er_index_health(spark, table)
         rep.update(er)
         rep["compact_recommended"] = files_flag or er["compact_recommended"]
+        _skew_log_health(spark, table, rep)
         return rep
     if family == "session_state":
         meta = get_table_meta(spark, table)
@@ -756,10 +761,28 @@ def run_maintenance(
                 set_table_meta(spark, name, **meta)
                 applied[name] = "distinct_state_rewrite"
             elif family == "er":
-                from .operators.entity import er_compact_index
+                # compose: a table can be flagged for relabel/file
+                # creep (compaction verb) AND for block skew (note
+                # only — a skew flag alone must not trigger a
+                # pointless compaction)
+                if rep.get("compact_recommended"):
+                    from .operators.entity import er_compact_index
 
-                er_compact_index(spark, name)
-                applied[name] = "er_compact_index"
+                    er_compact_index(spark, name)
+                    acts.append("er_compact_index")
+                if rep.get("cap_truncating"):
+                    # same policy stance as the minhash/hamming notes:
+                    # skipped blocks mean the blocking key is
+                    # non-discriminative there; the bounded mechanism
+                    # (entity.er_reblock_index, from the stored record
+                    # text) is named, never auto-applied — key choice
+                    # is a precision/recall policy call.
+                    acts.append(
+                        "block_skew_noted (cap is skipping oversized "
+                        "blocks; er_reblock_index retunes the blocking "
+                        "key from the stored text — use a sharper or "
+                        "multi-blocking key)"
+                    )
             elif family == "batch_sink":
                 from .streaming.events import compact_batch_partitions
 

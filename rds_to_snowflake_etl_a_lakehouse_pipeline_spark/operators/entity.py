@@ -326,6 +326,12 @@ def er_build_index(
     (:func:`~..sources.io.check_table_meta`)."""
     from ..sources.io import set_table_meta, write_table
 
+    from ..sources.io import get_table_meta
+
+    spark = resolved.sparkSession
+    prev_epoch = 0
+    if spark.catalog.tableExists(table):
+        prev_epoch = int(get_table_meta(spark, table).get("skew_epoch", 0) or 0)
     bk = F.col(block_key) if isinstance(block_key, str) else block_key
     rows = resolved.select(
         F.col(id_col).alias("id"),
@@ -340,10 +346,163 @@ def er_build_index(
         table,
         bucket_by=(n_buckets, ["_blk"]),
     )
+    # a rebuild re-derives every block key from a new corpus — the
+    # skew history is measured against retired blocks; clear it and
+    # rotate the epoch so a mid-drain stream flush drops stale buffers
+    # (the minhash/hamming index contract)
+    spark.sql(f"DROP TABLE IF EXISTS {table}_skew_log")
     set_table_meta(
-        resolved.sparkSession, table, kind="er", n_buckets=n_buckets,
-        bucket_cols="_blk",
+        spark, table, kind="er", n_buckets=n_buckets,
+        bucket_cols="_blk", skew_epoch=prev_epoch + 1,
     )
+
+
+def er_reblock_index(spark, table: str, block_key: Column | str) -> None:
+    """Re-derive a standing ER index's blocking from its STORED record
+    text — the ER member of the r17 retune family
+    (``dedup.minhash_reband_index`` / ``multimodal.hamming_reband_index``)
+    and the verb the family's skipped-block health note points to.
+    Blocking is a pure function of (record text, key expression), and
+    the text rides on every index row, so the index alone suffices:
+    one distinct pass over ``(id, text, entity)`` (collapsing
+    multi-blocking rows), one key application, one bucketed rewrite
+    through the stage-and-swap. Entity labels and the relabel side
+    table are untouched — blocking only shapes FUTURE candidate
+    generation, so a key upgrade never re-resolves anything.
+
+    The use case is the skipped-block remediation the module docstring
+    prescribes: when ``max_block_size`` is skipping a non-discriminative
+    block (blank names, mega-stems), switch to a sharper or multi-
+    blocking key (array-typed keys explode, exactly as at build time)
+    WITHOUT re-scoring the corpus — at 100 TB the index rows are far
+    smaller than a full re-resolution.
+
+    ``block_key`` must be expressed over the INDEX's stored column
+    ``text`` (e.g. ``F.expr("right(text, 8)")``) — the original
+    caller-side column name was renamed at build time. As with build,
+    every later probe/append must pass the SAME new key verbatim; the
+    key expression itself is not recordable as metadata, so this
+    contract stays caller-owned. Rotation bumps ``skew_epoch`` and
+    clears the skew log like a rebuild."""
+    from ..sources.io import get_table_meta, set_table_meta, write_table
+
+    meta = get_table_meta(spark, table)
+    if meta.get("kind") != "er":
+        raise ValueError(
+            f"{table} is not an er index (kind={meta.get('kind')!r})"
+        )
+    n_buckets = int(meta["n_buckets"])
+    bk = F.col(block_key) if isinstance(block_key, str) else block_key
+    rows = (
+        spark.table(table)
+        .select("id", "text", "entity")
+        .distinct()
+        .withColumn("_blk", bk)
+    )
+    if isinstance(rows.schema["_blk"].dataType, ArrayType):
+        rows = rows.withColumn("_blk", F.explode("_blk"))
+    write_table(
+        rows.filter(F.col("_blk").isNotNull()),
+        table,
+        bucket_by=(n_buckets, ["_blk"]),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}_skew_log")
+    set_table_meta(
+        spark, table, kind="er", n_buckets=n_buckets, bucket_cols="_blk",
+        skew_epoch=int(meta.get("skew_epoch", 0) or 0) + 1,
+    )
+
+
+def er_batch_skew_report(
+    idx_blocks: DataFrame, batch_blocks: DataFrame, max_block_size: int | None
+) -> dict:
+    """Block-skew measurement for ONE probe batch against a standing
+    ER index — the ER member of the r17 skew-telemetry family, with
+    the family's own cap semantics: an over-cap block is SKIPPED
+    outright on both sides (precision-first — merging a
+    non-discriminative block through a representative would collapse
+    distinct entities), so ``n_capped_buckets`` counts hit index
+    blocks whose every member just became invisible to this batch and
+    ``n_capped_batch_buckets`` the batch-side blocks likewise dropped.
+    Stat names deliberately match the minhash/hamming log schema
+    ("bucket" = block here) so ``table_health``'s shared aggregation
+    serves all three families. Sized over only the blocks THIS batch
+    hits — O(batch), never O(index) — in one fused agg.
+
+    ``idx_blocks`` / ``batch_blocks`` carry a ``_blk`` column and one
+    row per (record, block key), UNCAPPED (the report measures what
+    the cap is about to drop)."""
+    hit = batch_blocks.select("_blk").distinct()
+    idx_sizes = (
+        idx_blocks.join(hit, "_blk")
+        .groupBy("_blk")
+        .agg(F.count("*").alias("n"))
+        .withColumn("_side", F.lit("index"))
+    )
+    batch_sizes = (
+        batch_blocks.groupBy("_blk")
+        .agg(F.count("*").alias("n"))
+        .withColumn("_side", F.lit("batch"))
+    )
+    cap = max_block_size
+    capv = F.lit(cap if cap is not None else 2**62)
+    is_idx = F.col("_side") == "index"
+    row = idx_sizes.unionByName(batch_sizes).agg(
+        F.coalesce(
+            F.sum(F.when(is_idx, 1).otherwise(0)), F.lit(0)
+        ).alias("n_hit_buckets"),
+        F.coalesce(F.max(F.when(is_idx, F.col("n"))), F.lit(0)).alias(
+            "max_bucket_rows"
+        ),
+        F.coalesce(
+            F.sum(F.when(is_idx, F.col("n") * F.col("n"))), F.lit(0)
+        ).alias("sum_sq_bucket_rows"),
+        F.coalesce(
+            F.sum(F.when(is_idx & (F.col("n") > capv), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_capped_buckets"),
+        F.coalesce(
+            F.sum(F.when(~is_idx & (F.col("n") > capv), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_capped_batch_buckets"),
+    ).first()
+    return {
+        "n_hit_buckets": int(row["n_hit_buckets"]),
+        "max_bucket_rows": int(row["max_bucket_rows"]),
+        "sum_sq_bucket_rows": int(row["sum_sq_bucket_rows"]),
+        "n_capped_buckets": int(row["n_capped_buckets"]),
+        "n_capped_batch_buckets": int(row["n_capped_batch_buckets"]),
+        "cap": cap,
+    }
+
+
+def er_append_skew_reports(spark, table: str, reports: list[dict]) -> None:
+    """Append probe-batch skew report dict(s) to the
+    ``{table}_skew_log`` companion in ONE write job — identical schema
+    and batching contract as the minhash/hamming twins (streaming
+    buffers per-batch reports, one post-drain flush; the log is
+    advisory, so a lost buffer only delays the health flag)."""
+    if not reports:
+        return
+    from ..sources.io import write_table
+
+    log_row = spark.createDataFrame(
+        [
+            (
+                int(r["n_hit_buckets"]),
+                int(r["max_bucket_rows"]),
+                int(r["sum_sq_bucket_rows"]),
+                int(r["n_capped_buckets"]),
+                int(r.get("n_capped_batch_buckets", 0)),
+                None if r["cap"] is None else int(r["cap"]),
+            )
+            for r in reports
+        ],
+        "n_hit_buckets bigint, max_bucket_rows bigint, "
+        "sum_sq_bucket_rows bigint, n_capped_buckets bigint, "
+        "n_capped_batch_buckets bigint, cap bigint",
+    ).withColumn("logged_at", F.current_timestamp())
+    write_table(log_row, f"{table}_skew_log", mode="append")
 
 
 def er_incremental(
@@ -362,6 +521,8 @@ def er_incremental(
     storage: str = "checkpoint",
     n_buckets: int | None = None,
     auto_compact_relabels: int | None = None,
+    log_skew: bool | None = None,
+    skew_sink: list | None = None,
 ) -> DataFrame:
     """Resolve an arriving batch against the standing index WITHOUT
     re-resolving the corpus: each batch pays its own blocking + one
@@ -386,6 +547,13 @@ def er_incremental(
     (precision-first, same rationale as :func:`er_candidate_pairs`);
     index block sizing counts only blocks the batch hits, so the guard
     costs O(batch), not O(index).
+
+    ``log_skew`` (late r17): per-batch block-skew measurement into the
+    ``{table}_skew_log`` companion (:func:`er_batch_skew_report`) —
+    defaults ON exactly when ``max_block_size`` is set (uncapped
+    probes stay plan-identical). ``skew_sink`` buffers the report dict
+    instead of writing (the streaming wrapper batches per-micro-batch
+    reports into one post-drain flush).
 
     Returns the batch's ``(id, entity_id)`` assignment. With
     ``append=True`` the batch rows join the index under their assigned
@@ -446,6 +614,20 @@ def er_incremental(
             F.coalesce("component", F.col("id")).alias("entity_id"),
         )
     )
+    if log_skew is None:
+        log_skew = max_block_size is not None
+    if log_skew:
+        # measured UNCAPPED on both sides (the report records what the
+        # cap is about to drop); the index side already carries _blk
+        report = er_batch_skew_report(
+            idx,
+            _blocked(batch, id_col, text_col, block_key, None),
+            max_block_size,
+        )
+        if skew_sink is not None:
+            skew_sink.append(report)
+        else:
+            er_append_skew_reports(spark, table, [report])
     if append:
         # anchors whose component label changed = entity merges; record
         # (old -> new) instead of rewriting the losing entity's rows
@@ -537,15 +719,22 @@ def er_compact_index(spark, table: str, n_buckets: int | None = None) -> None:
     collect grow; compaction resets it."""
     from ..sources.io import get_table_meta, set_table_meta, write_table
 
+    meta = get_table_meta(spark, table)
     if n_buckets is None:
-        n_buckets = int(get_table_meta(spark, table).get("n_buckets", 32))
+        n_buckets = int(meta.get("n_buckets", 32))
     rel = _relabel_closure(spark, table, enforce_cap=False)
     rows = _apply_relabels(spark.table(table), "entity", rel)
     # stage through a temp view snapshot: write_table's stage-and-swap
     # materializes before dropping, so reading the target is safe
     write_table(rows, table, bucket_by=(n_buckets, ["_blk"]))
+    # re-record the FULL metadata (the overwrite dropped the table's
+    # properties): compaction folds labels but does NOT re-derive
+    # block keys, so the skew history and its epoch stay valid
     set_table_meta(
-        spark, table, kind="er", n_buckets=n_buckets, bucket_cols="_blk"
+        spark, table, **{
+            **meta, "kind": "er", "n_buckets": n_buckets,
+            "bucket_cols": "_blk",
+        },
     )
     spark.sql(f"DROP TABLE IF EXISTS {_relabel_tbl(table)}")
 

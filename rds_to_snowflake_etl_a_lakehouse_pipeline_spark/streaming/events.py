@@ -537,6 +537,7 @@ def stream_entity_resolution(
     threshold: float = 0.9,
     max_block_size: int | None = None,
     query_name: str = "stream_entity_resolution",
+    log_skew: bool | None = None,
 ):
     """Streaming master-data resolution: every micro-batch of arriving
     records resolves against the standing ER index through
@@ -552,8 +553,21 @@ def stream_entity_resolution(
     file tracking; re-delivered records resolve onto themselves (their
     id already carries their entity, similarity 1.0 → same label).
     Runs with trigger=availableNow and blocks until input is drained.
-    """
+
+    ``log_skew`` (late r17): per-batch block-skew reports — defaulted
+    ON when ``max_block_size`` is set, like the batch API — are
+    BUFFERED and flushed to the ``{table}_skew_log`` companion in ONE
+    post-drain write, epoch-guarded exactly like the minhash/hamming
+    twins (an ``er_build_index`` rebuild or ``er_reblock_index``
+    landing mid-drain re-derives every block key and clears the log,
+    so stale buffered reports are dropped)."""
     from ..operators.entity import er_incremental
+    from ..sources.io import get_table_meta
+
+    reports: list[dict] = []
+    if log_skew is None:
+        log_skew = max_block_size is not None
+    held_epoch = get_table_meta(sdf.sparkSession, table).get("skew_epoch")
 
     def _resolve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -567,6 +581,8 @@ def stream_entity_resolution(
             block_key,
             threshold=threshold,
             max_block_size=max_block_size,
+            log_skew=log_skew,
+            skew_sink=reports if log_skew else None,
         )
 
     q = (
@@ -578,6 +594,26 @@ def stream_entity_resolution(
         .start()
     )
     q.awaitTermination()
+    _flush_er_skew_reports(sdf.sparkSession, table, held_epoch, reports)
+
+
+def _flush_er_skew_reports(
+    spark, table: str, held_epoch, reports: list[dict]
+) -> None:
+    """Post-drain skew-log flush for the ER index, epoch-guarded like
+    the minhash/hamming twins: a rebuild or reblock from another
+    session landing mid-drain re-derives every block key and clears
+    the log — buffered reports measured under the retired epoch would
+    re-arm ``cap_truncating`` on the fresh index, so the buffer is
+    dropped when the recorded epoch no longer matches. One
+    constant-time SHOW TBLPROPERTIES, then one write."""
+    from ..operators.entity import er_append_skew_reports
+    from ..sources.io import get_table_meta
+
+    recorded = get_table_meta(spark, table).get("skew_epoch")
+    if recorded != held_epoch:
+        reports = []
+    er_append_skew_reports(spark, table, reports)
 
 
 def interval_join(

@@ -505,3 +505,166 @@ def test_er_multi_field_weighted_similarity_via_struct(spark):
     }
     assert out[1] == out[2] == 1      # typo variant merges
     assert out[3] == 3 and out[4] == 4  # city conflict keeps 3 separate
+
+
+# ---- round 17: block-skew telemetry + reblock retune ----
+
+
+def test_er_skew_flag_and_reblock_recovers_match(spark):
+    """Late r17: the ER index joins the skew-telemetry family. A
+    non-discriminative block over the cap is SKIPPED outright
+    (precision-first), silently losing the true match inside it — the
+    probe log records it, health raises cap_truncating, the sweep
+    surfaces the note naming er_reblock_index, and the reblock itself
+    (a sharper key derived from the STORED text, no re-resolution)
+    demonstrably recovers the lost match."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_build_index,
+        er_incremental,
+        er_reblock_index,
+        resolve_entities,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+
+    t = "er_skew_idx"
+    for s in (t, f"{t}__relabel", f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    # 20 corpus records all ending "0000": right-4 blocking floods one
+    # block; right-8 tails are distinct per record (discriminative)
+    rows = [(1, "Alpha Corporation 0000")] + [
+        (i, f"Junk Record {i:02d}xx 0000") for i in range(2, 21)
+    ]
+    corpus = spark.createDataFrame(rows, "id long, name string")
+    key4 = F.expr("right(name, 4)")
+    resolved = resolve_entities(
+        corpus, "id", "name", key4, threshold=0.9, max_block_size=8
+    )
+    er_build_index(resolved, t, "id", "name", key4)
+    assert not spark.catalog.tableExists(f"{t}_skew_log")  # fresh build
+
+    # batch: a front-typo variant of record 1 (tail untouched, so both
+    # keys still co-block it with its true match)
+    batch = spark.createDataFrame(
+        [(100, "Alpa Corporation 0000")], "id long, name string"
+    )
+    # RECALL IMPACT: uncapped the match is found; capped, the flooded
+    # "0000" block is skipped on both sides and the match is lost
+    got_un = {
+        r.id: r.entity_id
+        for r in er_incremental(
+            spark, t, batch, "id", "name", key4, threshold=0.9,
+            append=False,
+        ).collect()
+    }
+    assert got_un[100] == 1
+    got_cap = {
+        r.id: r.entity_id
+        for r in er_incremental(
+            spark, t, batch, "id", "name", key4, threshold=0.9,
+            append=False, max_block_size=8,
+        ).collect()
+    }
+    assert got_cap[100] == 100  # silently its own entity
+
+    # the probe log recorded the skip...
+    log = spark.table(f"{t}_skew_log").collect()
+    assert len(log) == 1
+    assert log[0]["n_capped_buckets"] == 1
+    assert log[0]["max_bucket_rows"] == 20
+    assert log[0]["cap"] == 8
+
+    # ...health raises the flag, the sweep surfaces the er note
+    sweep = health_sweep(spark, tables=(t,))
+    rep = sweep["tables"][f"default.{t}"]
+    assert rep["cap_truncating"] is True
+    assert f"default.{t}" in sweep["attention"]
+    out = run_maintenance(spark, apply=True, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    assert "block_skew_noted" in applied
+    assert "er_reblock_index" in applied
+    assert "er_compact_index" not in applied  # skew alone: note only
+
+    # REMEDIATION: reblock to the sharper right-8 key from the stored
+    # text; the same capped probe now finds the match
+    epoch0 = int(get_table_meta(spark, t)["skew_epoch"])
+    er_reblock_index(spark, t, F.expr("right(text, 8)"))
+    meta = get_table_meta(spark, t)
+    assert int(meta["skew_epoch"]) == epoch0 + 1
+    assert not spark.catalog.tableExists(f"{t}_skew_log")  # cleared
+    key8 = F.expr("right(name, 8)")
+    got_fixed = {
+        r.id: r.entity_id
+        for r in er_incremental(
+            spark, t, batch, "id", "name", key8, threshold=0.9,
+            append=False, max_block_size=8,
+        ).collect()
+    }
+    assert got_fixed[100] == 1  # the lost match is back, cap intact
+    # the capped probe logged a CLEAN report against the new blocking
+    # (nothing skipped), so the flag stays down on the retuned index
+    log2 = spark.table(f"{t}_skew_log").collect()
+    assert len(log2) == 1 and log2[0]["n_capped_buckets"] == 0
+    rep2 = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep2["cap_truncating"] is False
+    for s in (t, f"{t}__relabel", f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_er_compact_preserves_skew_epoch_and_flush_guard(spark, tmp_path):
+    """Compaction folds relabels but does NOT re-derive block keys, so
+    the skew history and its epoch must survive it; a rebuild DOES
+    re-derive keys, so a stream flush holding a pre-rebuild epoch must
+    drop its buffer (the minhash/hamming guard, mirrored)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_build_index,
+        er_compact_index,
+        resolve_entities,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources.io import (
+        get_table_meta,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.streaming.events import (
+        _flush_er_skew_reports,
+    )
+
+    t = "er_skew_epoch_idx"
+    for s in (t, f"{t}__relabel", f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    corpus = spark.createDataFrame(
+        [(1, "Acme Corporation"), (2, "Initech Ltd")], "id long, name string"
+    )
+    key = F.expr("right(name, 4)")
+    er_build_index(
+        resolve_entities(corpus, "id", "name", key, threshold=0.9),
+        t, "id", "name", key,
+    )
+    held = get_table_meta(spark, t).get("skew_epoch")
+    report = {
+        "n_hit_buckets": 1, "max_bucket_rows": 30,
+        "sum_sq_bucket_rows": 900, "n_capped_buckets": 1,
+        "n_capped_batch_buckets": 0, "cap": 8,
+    }
+    _flush_er_skew_reports(spark, t, held, [report])
+    assert spark.table(f"{t}_skew_log").count() == 1
+
+    # compaction: epoch AND log survive (block keys unchanged)
+    er_compact_index(spark, t)
+    assert get_table_meta(spark, t).get("skew_epoch") == held
+    assert spark.table(f"{t}_skew_log").count() == 1
+
+    # rebuild: epoch rotates, log clears, stale-held flush drops
+    er_build_index(
+        resolve_entities(corpus, "id", "name", key, threshold=0.9),
+        t, "id", "name", key,
+    )
+    assert not spark.catalog.tableExists(f"{t}_skew_log")
+    _flush_er_skew_reports(spark, t, held, [report])
+    assert not spark.catalog.tableExists(f"{t}_skew_log")
+    for s in (t, f"{t}__relabel", f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")

@@ -129,6 +129,7 @@ AUDIT = [
     "v_ivf_maintain_merge_topk",
     "m_minhash_reband_dedup",
     "m_hamming_reband_dedup",
+    "er_reblock_incremental",
 ]
 
 
