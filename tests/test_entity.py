@@ -668,3 +668,51 @@ def test_er_compact_preserves_skew_epoch_and_flush_guard(spark, tmp_path):
     assert not spark.catalog.tableExists(f"{t}_skew_log")
     for s in (t, f"{t}__relabel", f"{t}_skew_log"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_sweep_compacts_er_and_composes_with_skew_note(spark):
+    """The sweep's er branch composes (late r17): a relabel log past
+    the health bar triggers er_compact_index through run_maintenance,
+    and when block skew is ALSO logged both the compaction and the
+    note appear — the skew flag alone must never imply a rewrite
+    (pinned separately in test_er_skew_flag_and_reblock_recovers_match)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.entity import (
+        er_append_skew_reports,
+        er_build_index,
+        resolve_entities,
+    )
+
+    t = "er_sweep_compact"
+    for s in (t, f"{t}__relabel", f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    corpus = spark.createDataFrame(
+        [(1, "Acme Corporation"), (2, "Initech Ltd")], "id long, name string"
+    )
+    key = F.expr("right(name, 4)")
+    er_build_index(
+        resolve_entities(corpus, "id", "name", key, threshold=0.9),
+        t, "id", "name", key,
+    )
+    # a relabel log past the 10k health bar (identity mappings are
+    # harmless to fold) + one capped skew report
+    spark.range(10_001).select(
+        (F.col("id") + 1_000_000).alias("old_id"),
+        (F.col("id") + 1_000_000).alias("new_id"),
+    ).write.saveAsTable(f"{t}__relabel")
+    er_append_skew_reports(spark, t, [{
+        "n_hit_buckets": 1, "max_bucket_rows": 30,
+        "sum_sq_bucket_rows": 900, "n_capped_buckets": 1,
+        "n_capped_batch_buckets": 0, "cap": 8,
+    }])
+
+    out = run_maintenance(spark, apply=True, tables=(t,))
+    applied = out["applied"].get(f"default.{t}", "")
+    assert "er_compact_index" in applied
+    assert "block_skew_noted" in applied
+    assert not spark.catalog.tableExists(f"{t}__relabel")  # folded
+    assert spark.table(t).count() == 2  # rows intact
+    for s in (t, f"{t}__relabel", f"{t}_skew_log"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
