@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -74,9 +75,29 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as ent
-    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if "--front50" in only:
+        # the driver's correctness window: the FIRST 50 registered
+        # entries, in registration order
+        only.discard("--front50")
+        only |= set(list(ent.queries().keys())[:50])
+    if os.environ.get("SPARK_GRAFT_BARE") == "1":
+        # driver simulation: the driver passes its OWN SparkSession
+        # (Spark-4 ANSI defaults, no repo confs) — entries must pin
+        # their own confs via session.load() to survive this shape
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-bare")
+            .getOrCreate()
+        )
+    else:
+        from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.session import (
+            get_spark,
+        )
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
