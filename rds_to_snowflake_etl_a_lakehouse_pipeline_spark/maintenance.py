@@ -146,6 +146,22 @@ def _skew_log_health(spark: SparkSession, table: str, rep: dict) -> None:
     rep["cap_truncating"] = bool(agg["any_capped"])
 
 
+def _layout_pending_health(spark: SparkSession, table: str, rep: dict) -> None:
+    """Surface an interrupted layout rewrite (index build / reband /
+    reblock crashed between its data swap and its contract commit —
+    see ``io.mark_layout_pending``). While pending, every probe
+    refuses via ``check_table_meta``, so the index is effectively DOWN
+    until the rewrite converges; the sweep resumes the recorded verb
+    when it is replayable (the integer-target rebands) and otherwise
+    surfaces the marker for the operator (builds need the corpus,
+    er reblocks need the caller's key expression)."""
+    from .sources.io import get_layout_pending
+
+    pending = get_layout_pending(spark, table)
+    if pending is not None:
+        rep["layout_pending"] = pending
+
+
 def table_health(spark: SparkSession, table: str, family: str) -> dict:
     """One table's health report (family from :func:`classify_table`)."""
     from .sources.io import get_table_meta, index_table_health
@@ -155,6 +171,7 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
         rep = index_table_health(spark, table, MAX_FILES_PER_BUCKET)
         if family in ("minhash", "hamming_fp"):
             _skew_log_health(spark, table, rep)
+            _layout_pending_health(spark, table, rep)
         if family == "ivf" and spark.catalog.tableExists(f"{table}_drift_stats"):
             # the build-time quantizer baseline; per-append drift ratios
             # are measured (and reported) by ivf_append_index itself
@@ -277,6 +294,7 @@ def table_health(spark: SparkSession, table: str, family: str) -> dict:
         rep.update(er)
         rep["compact_recommended"] = files_flag or er["compact_recommended"]
         _skew_log_health(spark, table, rep)
+        _layout_pending_health(spark, table, rep)
         return rep
     if family == "session_state":
         meta = get_table_meta(spark, table)
@@ -385,6 +403,22 @@ def health_sweep(
             continue
         family = classify_table(spark, name)
         if family is None:
+            # a layout rewrite (build/reband/reblock) that crashed
+            # after its swap destroyed the table's properties: the
+            # table is unclassifiable from metadata, but its pending
+            # marker carries the verb, target, and contract snapshot
+            # — report it so the sweep can resume/surface it (probes
+            # refuse via check_table_meta until then)
+            if not name.endswith("_retune_pending"):
+                from .sources.io import get_layout_pending
+
+                pending = get_layout_pending(spark, name)
+                if pending is not None:
+                    reports[name] = {
+                        "family": "layout_pending",
+                        "layout_pending": pending,
+                    }
+                    attention.append(name)
             continue
         rep = {"family": family, **table_health(spark, name, family)}
         reports[name] = rep
@@ -394,6 +428,7 @@ def health_sweep(
             or rep.get("merge_recommended")
             or rep.get("cap_truncating")
             or rep.get("stranded_cells")
+            or rep.get("layout_pending")
         ):
             attention.append(name)
     versioned: dict[str, dict] = {}
@@ -604,6 +639,37 @@ def run_maintenance(
             acts: list[str] = []
             retrained = False
             merge_acted = False
+            resumed_layout = False
+            if rep.get("layout_pending"):
+                # an index build/reband/reblock crashed between its
+                # data swap and its contract commit: probes refuse via
+                # check_table_meta until the rewrite converges, so
+                # this outranks every other verb for these families.
+                # The integer-target rebands are replayable from the
+                # marker (they re-derive from state surviving both
+                # layouts); builds need the corpus and er reblocks the
+                # caller's key expression, so those only get the note.
+                p = rep["layout_pending"]
+                if p["verb"] == "minhash_reband_index":
+                    from .operators.dedup import minhash_reband_index
+
+                    minhash_reband_index(spark, name, int(p["target"]))
+                    acts.append("minhash_reband_index (resumed)")
+                    resumed_layout = True
+                elif p["verb"] == "hamming_reband_index":
+                    from .operators.multimodal import hamming_reband_index
+
+                    hamming_reband_index(spark, name, int(p["target"]))
+                    acts.append("hamming_reband_index (resumed)")
+                    resumed_layout = True
+                else:
+                    acts.append(
+                        f"layout_pending_noted ({p['verb']} was "
+                        f"interrupted, target {p['target']!r}; probes "
+                        "refuse until it is re-run — builds need the "
+                        "corpus, er reblocks the caller's key "
+                        "expression)"
+                    )
             if family == "ivf" and rep.get("pending_merge"):
                 # a crashed merge's pending manifest MUST resume before
                 # any drift remediation: retrain/split read the
@@ -740,7 +806,9 @@ def run_maintenance(
                     compact_flag = index_table_health(
                         spark, name, MAX_FILES_PER_BUCKET
                     )["compact_recommended"]
-                if compact_flag and not retrained:
+                if compact_flag and not retrained and not resumed_layout:
+                    # a resumed reband just rewrote every file through
+                    # the stage-and-swap — compaction is subsumed
                     from .sources.io import compact_index_table
 
                     compact_index_table(spark, name)

@@ -502,7 +502,13 @@ def minhash_build_index(
     properties; probes/appends validate against them (a mismatched
     ``shingle_n``/``num_hashes`` silently estimates garbage jaccard).
     """
-    from ..sources.io import get_table_meta, set_table_meta, write_table
+    from ..sources.io import (
+        clear_layout_pending,
+        get_table_meta,
+        mark_layout_pending,
+        set_table_meta,
+        write_table,
+    )
 
     spark = df.sparkSession
     # monotone rebuild counter, the minhash twin of the IVF centroid
@@ -518,6 +524,16 @@ def minhash_build_index(
         bands,
         num_hashes // bands,
     ).select(F.col("_id").alias(id_col), F.col("_sig").alias("sig"), "band", "bucket")
+    # fail-loud window: a crash between the data swap and the contract
+    # commit below would leave new-layout data under the old recorded
+    # parameters — probes would silently join disjoint bucket spaces
+    mark_layout_pending(
+        spark, table, "minhash_build_index", str(bands),
+        snapshot={
+            "kind": "minhash", "num_hashes": num_hashes, "bands": bands,
+            "shingle_n": shingle_n, "n_buckets": n_buckets,
+        },
+    )
     write_table(banded, table, bucket_by=(n_buckets, ["bucket"]))
     # a rebuild invalidates the per-append skew history (bucket keys
     # re-derive from the fresh corpus) — clear it like the IVF family
@@ -534,6 +550,7 @@ def minhash_build_index(
         bucket_cols="bucket",
         skew_epoch=prev_epoch + 1,
     )
+    clear_layout_pending(spark, table)
 
 
 def minhash_reband_index(spark, table: str, bands: int) -> None:
@@ -564,10 +581,35 @@ def minhash_reband_index(spark, table: str, bands: int) -> None:
     ``skew_epoch`` and clears the skew log like a rebuild — buffered
     streaming skew reports measured under the old banding are dropped
     at flush, never re-arming ``cap_truncating`` with stale keys.
+
+    Crash-safe via the ``{table}_retune_pending`` marker
+    (``io.mark_layout_pending``): a crash between the data swap and
+    the contract commit leaves the marker in place, every probe
+    refuses (instead of silently joining disjoint bucket spaces), and
+    re-running the verb converges from ANY window — the band-0 slice
+    it re-derives from carries the full signature under both the old
+    and the new banding. ``run_maintenance(apply=True)`` resumes the
+    recorded target automatically.
     """
-    from ..sources.io import get_table_meta, set_table_meta, write_table
+    from ..sources.io import (
+        clear_layout_pending,
+        get_table_meta,
+        mark_layout_pending,
+        set_table_meta,
+        write_table,
+    )
+
+    from ..sources.io import get_layout_pending
 
     meta = get_table_meta(spark, table)
+    if not meta:
+        # a previous rewrite crashed after its swap destroyed the
+        # table's properties: restore the invariant contract from the
+        # marker's snapshot (the re-run re-derives the DATA from the
+        # band-0 slice either way)
+        pending = get_layout_pending(spark, table)
+        if pending is not None:
+            meta = pending["snapshot"]
     if meta.get("kind") != "minhash":
         raise ValueError(
             f"{table} is not a minhash index (kind={meta.get('kind')!r})"
@@ -591,6 +633,9 @@ def minhash_reband_index(spark, table: str, bands: int) -> None:
         "band",
         "bucket",
     )
+    mark_layout_pending(
+        spark, table, "minhash_reband_index", str(bands), snapshot=meta
+    )
     write_table(banded, table, bucket_by=(n_buckets, ["bucket"]))
     spark.sql(f"DROP TABLE IF EXISTS {_skew_log_table(table)}")
     set_table_meta(
@@ -604,6 +649,7 @@ def minhash_reband_index(spark, table: str, bands: int) -> None:
         bucket_cols="bucket",
         skew_epoch=int(meta.get("skew_epoch", 0) or 0) + 1,
     )
+    clear_layout_pending(spark, table)
 
 
 def _skew_log_table(table: str) -> str:

@@ -326,7 +326,11 @@ def er_build_index(
     (:func:`~..sources.io.check_table_meta`)."""
     from ..sources.io import set_table_meta, write_table
 
-    from ..sources.io import get_table_meta
+    from ..sources.io import (
+        clear_layout_pending,
+        get_table_meta,
+        mark_layout_pending,
+    )
 
     spark = resolved.sparkSession
     prev_epoch = 0
@@ -341,6 +345,14 @@ def er_build_index(
     )
     if isinstance(rows.schema["_blk"].dataType, ArrayType):
         rows = rows.withColumn("_blk", F.explode("_blk"))
+    # fail-loud window: a crash between the swap and the contract
+    # commit leaves the marker in place and probes refuse (the block
+    # key is caller-owned, so a half-committed rebuild is otherwise
+    # invisible to validation)
+    mark_layout_pending(
+        spark, table, "er_build_index", str(block_key),
+        snapshot={"kind": "er", "n_buckets": n_buckets},
+    )
     write_table(
         rows.filter(F.col("_blk").isNotNull()),
         table,
@@ -355,6 +367,7 @@ def er_build_index(
         spark, table, kind="er", n_buckets=n_buckets,
         bucket_cols="_blk", skew_epoch=prev_epoch + 1,
     )
+    clear_layout_pending(spark, table)
 
 
 def er_reblock_index(spark, table: str, block_key: Column | str) -> None:
@@ -383,10 +396,33 @@ def er_reblock_index(spark, table: str, block_key: Column | str) -> None:
     every later probe/append must pass the SAME new key verbatim; the
     key expression itself is not recordable as metadata, so this
     contract stays caller-owned. Rotation bumps ``skew_epoch`` and
-    clears the skew log like a rebuild."""
-    from ..sources.io import get_table_meta, set_table_meta, write_table
+    clears the skew log like a rebuild.
+
+    Crash-safe via the ``{table}_retune_pending`` marker
+    (``io.mark_layout_pending``): a crash between the swap and the
+    contract commit leaves the marker, probes refuse instead of
+    silently resolving standalone, and re-running the verb converges
+    from any window (the stored text survives both layouts). Because
+    the key is a Column expression the sweep cannot replay it — the
+    sweep surfaces the pending marker as a note; re-run with YOUR key
+    to converge."""
+    from ..sources.io import (
+        clear_layout_pending,
+        get_table_meta,
+        mark_layout_pending,
+        set_table_meta,
+        write_table,
+    )
+
+    from ..sources.io import get_layout_pending
 
     meta = get_table_meta(spark, table)
+    if not meta:
+        # restore the contract from a crashed rewrite's snapshot (the
+        # swap destroyed the table's properties with the table)
+        pending = get_layout_pending(spark, table)
+        if pending is not None:
+            meta = pending["snapshot"]
     if meta.get("kind") != "er":
         raise ValueError(
             f"{table} is not an er index (kind={meta.get('kind')!r})"
@@ -401,6 +437,9 @@ def er_reblock_index(spark, table: str, block_key: Column | str) -> None:
     )
     if isinstance(rows.schema["_blk"].dataType, ArrayType):
         rows = rows.withColumn("_blk", F.explode("_blk"))
+    mark_layout_pending(
+        spark, table, "er_reblock_index", str(block_key), snapshot=meta
+    )
     write_table(
         rows.filter(F.col("_blk").isNotNull()),
         table,
@@ -411,6 +450,7 @@ def er_reblock_index(spark, table: str, block_key: Column | str) -> None:
         spark, table, kind="er", n_buckets=n_buckets, bucket_cols="_blk",
         skew_epoch=int(meta.get("skew_epoch", 0) or 0) + 1,
     )
+    clear_layout_pending(spark, table)
 
 
 def er_batch_skew_report(

@@ -1023,7 +1023,13 @@ def hamming_index_build(
     rebuild counter — streaming skew reports buffered under a retired
     epoch are dropped at flush instead of re-arming ``cap_truncating``
     against the fresh index; a rebuild also clears the skew log."""
-    from ..sources.io import get_table_meta, set_table_meta, write_table
+    from ..sources.io import (
+        clear_layout_pending,
+        get_table_meta,
+        mark_layout_pending,
+        set_table_meta,
+        write_table,
+    )
 
     spark = df.sparkSession
     prev_epoch = 0
@@ -1031,6 +1037,16 @@ def hamming_index_build(
         prev_epoch = int(get_table_meta(spark, table).get("skew_epoch", 0) or 0)
     banded = _fp_band_explode(df, id_col, hash_col, band_bits).select(
         F.col("_id").alias(id_col), F.col("_ph").alias("fp"), "band", "val"
+    )
+    # fail-loud window: a crash between the swap and the contract
+    # commit would leave new-width vals under the old recorded
+    # band_bits — probes would silently join disjoint val spaces
+    mark_layout_pending(
+        spark, table, "hamming_index_build", str(band_bits),
+        snapshot={
+            "kind": "hamming_fp", "band_bits": band_bits,
+            "n_buckets": n_buckets,
+        },
     )
     write_table(banded, table, bucket_by=(n_buckets, ["val"]))
     spark.sql(f"DROP TABLE IF EXISTS {table}_skew_log")
@@ -1043,6 +1059,7 @@ def hamming_index_build(
         bucket_cols="val",
         skew_epoch=prev_epoch + 1,
     )
+    clear_layout_pending(spark, table)
 
 
 def hamming_reband_index(spark, table: str, band_bits: int) -> None:
@@ -1069,10 +1086,29 @@ def hamming_reband_index(spark, table: str, band_bits: int) -> None:
     (``check_table_meta``), so a caller still probing at the old width
     fails loudly instead of silently joining disjoint val spaces.
     Rotation bumps ``skew_epoch`` and clears the skew log like a
-    rebuild."""
-    from ..sources.io import get_table_meta, set_table_meta, write_table
+    rebuild. Crash-safe via the ``{table}_retune_pending`` marker
+    (``io.mark_layout_pending``): a crash between the swap and the
+    contract commit leaves the marker, probes refuse instead of
+    silently missing, and a re-run converges from any window (the
+    stored fingerprints survive both layouts);
+    ``run_maintenance(apply=True)`` resumes the recorded target."""
+    from ..sources.io import (
+        clear_layout_pending,
+        get_table_meta,
+        mark_layout_pending,
+        set_table_meta,
+        write_table,
+    )
+
+    from ..sources.io import get_layout_pending
 
     meta = get_table_meta(spark, table)
+    if not meta:
+        # restore the contract from a crashed rewrite's snapshot (the
+        # swap destroyed the table's properties with the table)
+        pending = get_layout_pending(spark, table)
+        if pending is not None:
+            meta = pending["snapshot"]
     if meta.get("kind") != "hamming_fp":
         raise ValueError(
             f"{table} is not a hamming_fp index (kind={meta.get('kind')!r})"
@@ -1086,6 +1122,9 @@ def hamming_reband_index(spark, table: str, band_bits: int) -> None:
     banded = _fp_band_explode(docs, id_col, "fp", band_bits).select(
         F.col("_id").alias(id_col), F.col("_ph").alias("fp"), "band", "val"
     )
+    mark_layout_pending(
+        spark, table, "hamming_reband_index", str(band_bits), snapshot=meta
+    )
     write_table(banded, table, bucket_by=(n_buckets, ["val"]))
     spark.sql(f"DROP TABLE IF EXISTS {table}_skew_log")
     set_table_meta(
@@ -1097,6 +1136,7 @@ def hamming_reband_index(spark, table: str, band_bits: int) -> None:
         bucket_cols="val",
         skew_epoch=int(meta.get("skew_epoch", 0) or 0) + 1,
     )
+    clear_layout_pending(spark, table)
 
 
 def hamming_batch_skew_report(

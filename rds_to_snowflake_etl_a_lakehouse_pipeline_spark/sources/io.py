@@ -432,12 +432,91 @@ def get_table_meta(spark: SparkSession, table: str) -> dict[str, str]:
     }
 
 
+def mark_layout_pending(
+    spark: SparkSession,
+    table: str,
+    verb: str,
+    target: str,
+    snapshot: dict | None = None,
+) -> None:
+    """Persist a one-row ``{table}_retune_pending`` marker BEFORE a
+    layout-deriving rewrite (index build / reband / reblock) mutates
+    the table. The rewrite's stage-and-swap is old-or-new per table,
+    but the CONTRACT update (``set_table_meta``) is a separate
+    statement — a crash between them leaves data derived under the new
+    parameters with the old parameters still recorded, and every later
+    probe then joins DISJOINT key spaces (old-width bands vs new-width
+    buckets, right-6 vs right-8 blocks) and silently returns nothing:
+    dedup passes everything through, ER resolves records standalone.
+    While the marker exists, :func:`check_table_meta` — the gate every
+    probe/append already passes through — refuses with recovery
+    advice, and :func:`clear_layout_pending` is called only after the
+    contract commit, so the window is fail-loud instead of
+    fail-silent. The verbs re-derive from state that survives both
+    the old and new layout (band-0 signature slice / stored
+    fingerprints / stored text), so a re-run from ANY window converges.
+
+    ``snapshot`` carries the table's PRE-rewrite contract metadata:
+    the swap destroys the table's properties along with the table, so
+    without the snapshot a resume could not recover the invariant
+    parameters (num_hashes, n_buckets, shingle_n, …) the re-run needs.
+    """
+    import json
+
+    spark.createDataFrame(
+        [(verb, target, json.dumps(snapshot or {}))],
+        "verb string, target string, snapshot string",
+    ).write.mode("overwrite").saveAsTable(f"{table}_retune_pending")
+
+
+def clear_layout_pending(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}_retune_pending")
+
+
+def get_layout_pending(spark: SparkSession, table: str) -> dict | None:
+    """The pending layout rewrite recorded for ``table``, or None:
+    ``{"verb", "target", "snapshot"}`` with ``snapshot`` the
+    pre-rewrite contract metadata (empty dict on legacy markers)."""
+    import json
+
+    t = f"{table}_retune_pending"
+    if not spark.catalog.tableExists(t):
+        return None
+    row = spark.table(t).first()
+    if row is None:
+        return None
+    snap = {}
+    if "snapshot" in row.__fields__:
+        try:
+            snap = json.loads(row["snapshot"])
+        except Exception:  # noqa: BLE001 — diagnostics only
+            snap = {}
+    return {"verb": row["verb"], "target": row["target"], "snapshot": snap}
+
+
 def check_table_meta(spark: SparkSession, table: str, **expected) -> dict[str, str]:
     """Validate probe/append parameters against a standing index's
     recorded contract. Raises ``ValueError`` listing every mismatching
     key; keys absent from the table's metadata are skipped (pre-metadata
     indexes stay usable). Returns the full recorded metadata so callers
-    can default unspecified parameters (e.g. ``n_buckets``) from it."""
+    can default unspecified parameters (e.g. ``n_buckets``) from it.
+
+    Also refuses (``RuntimeError``) while a ``{table}_retune_pending``
+    marker exists: an index build/reband/reblock crashed between its
+    data swap and its contract commit, so the recorded parameters may
+    not describe the data — probing would silently join disjoint key
+    spaces (see :func:`mark_layout_pending`). Re-run the recorded verb
+    (or ``maintenance.run_maintenance(apply=True)``, which resumes
+    integer retune targets automatically) to converge."""
+    pending = get_layout_pending(spark, table)
+    if pending is not None:
+        raise RuntimeError(
+            f"index {table!r} has an interrupted layout rewrite "
+            f"({pending['verb']}, target {pending['target']!r}): its data "
+            "and recorded contract may disagree, and probing would "
+            "silently join disjoint key spaces. Re-run the verb (or "
+            "maintenance.run_maintenance(apply=True)) to converge."
+        )
     meta = get_table_meta(spark, table)
     bad = {
         k: (meta[k], str(v))
