@@ -662,6 +662,42 @@ def run_maintenance(
                     hamming_reband_index(spark, name, int(p["target"]))
                     acts.append("hamming_reband_index (resumed)")
                     resumed_layout = True
+                elif p["verb"] == "compact_index_table":
+                    # compaction changes no layout — the re-run
+                    # restores the contract from the marker snapshot
+                    from .sources.io import compact_index_table
+
+                    compact_index_table(spark, name)
+                    acts.append("compact_index_table (resumed)")
+                    resumed_layout = True
+                elif p["verb"] == "er_compact_index":
+                    from .operators.entity import er_compact_index
+
+                    er_compact_index(spark, name)
+                    acts.append("er_compact_index (resumed)")
+                    resumed_layout = True
+                elif p["verb"] == "distinct_state_rewrite":
+                    from .sources.io import (
+                        clear_layout_pending,
+                        set_table_meta,
+                        write_table,
+                    )
+
+                    snap = p["snapshot"]
+                    n = int(snap.get("state_buckets", 0))
+                    rows = (
+                        spark.table(name)
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
+                    write_table(
+                        rows, name,
+                        bucket_by=(n, rows.columns) if n else None,
+                    )
+                    set_table_meta(spark, name, **snap)
+                    clear_layout_pending(spark, name)
+                    acts.append("distinct_state_rewrite (resumed)")
+                    resumed_layout = True
                 else:
                     acts.append(
                         f"layout_pending_noted ({p['verb']} was "
@@ -816,17 +852,30 @@ def run_maintenance(
             elif family == "distinct_state":
                 # same stage-and-swap as compact_index_table, with the
                 # bucket spec from the distinct-state contract (bucketed
-                # on ALL columns — the tuple IS the key)
-                from .sources.io import get_table_meta, set_table_meta, write_table
+                # on ALL columns — the tuple IS the key). Marker-guarded
+                # like every swap-then-meta rewrite: a crash between
+                # the swap and the meta re-record would leave a
+                # contract-less table the next sweep can't classify
+                from .sources.io import (
+                    clear_layout_pending,
+                    get_table_meta,
+                    mark_layout_pending,
+                    set_table_meta,
+                    write_table,
+                )
 
                 meta = get_table_meta(spark, name)
                 n = int(meta.get("state_buckets", 0))
                 rows = spark.table(name).distinct().localCheckpoint(eager=True)
+                mark_layout_pending(
+                    spark, name, "distinct_state_rewrite", "", snapshot=meta
+                )
                 write_table(
                     rows, name,
                     bucket_by=(n, rows.columns) if n else None,
                 )
                 set_table_meta(spark, name, **meta)
+                clear_layout_pending(spark, name)
                 applied[name] = "distinct_state_rewrite"
             elif family == "er":
                 # compose: a table can be flagged for relabel/file

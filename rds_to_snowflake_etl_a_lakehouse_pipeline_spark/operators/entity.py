@@ -759,13 +759,29 @@ def er_compact_index(spark, table: str, n_buckets: int | None = None) -> None:
     collect grow; compaction resets it."""
     from ..sources.io import get_table_meta, set_table_meta, write_table
 
+    from ..sources.io import (
+        clear_layout_pending,
+        get_layout_pending,
+        mark_layout_pending,
+    )
+
     meta = get_table_meta(spark, table)
+    if not meta:
+        # a previous compaction crashed after its swap wiped the
+        # properties: restore the contract from the marker snapshot
+        pending = get_layout_pending(spark, table)
+        if pending is not None:
+            meta = dict(pending["snapshot"])
     if n_buckets is None:
         n_buckets = int(meta.get("n_buckets", 32))
     rel = _relabel_closure(spark, table, enforce_cap=False)
     rows = _apply_relabels(spark.table(table), "entity", rel)
     # stage through a temp view snapshot: write_table's stage-and-swap
-    # materializes before dropping, so reading the target is safe
+    # materializes before dropping, so reading the target is safe.
+    # Marker-guarded (io.mark_layout_pending): a crash between the
+    # swap and the meta re-record would otherwise leave a
+    # contract-less index the sweep can't even classify
+    mark_layout_pending(spark, table, "er_compact_index", "", snapshot=meta)
     write_table(rows, table, bucket_by=(n_buckets, ["_blk"]))
     # re-record the FULL metadata (the overwrite dropped the table's
     # properties): compaction folds labels but does NOT re-derive
@@ -776,6 +792,7 @@ def er_compact_index(spark, table: str, n_buckets: int | None = None) -> None:
             "bucket_cols": "_blk",
         },
     )
+    clear_layout_pending(spark, table)
     spark.sql(f"DROP TABLE IF EXISTS {_relabel_tbl(table)}")
 
 

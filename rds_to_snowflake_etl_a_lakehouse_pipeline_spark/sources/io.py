@@ -575,8 +575,21 @@ def compact_index_table(spark: SparkSession, table: str) -> None:
     metadata re-recorded after the stage-and-swap. Resets the
     small-file creep :func:`index_table_health` measures; semantics
     are unchanged — existence-set indexes (span) and signature indexes
-    (minhash) both tolerate row dedup by construction."""
+    (minhash) both tolerate row dedup by construction.
+
+    Crash-safe via the ``{table}_retune_pending`` marker: the swap
+    destroys the table's properties, so a crash before the re-record
+    would otherwise leave a contract-less index — probes would skip
+    validation, appends would fall back to default bucket counts, and
+    the sweep could no longer classify the table. While the marker is
+    pending probes refuse, and a re-run (or the maintenance sweep's
+    auto-resume) restores the contract from the marker's snapshot —
+    the layout is unchanged by compaction, so the resume is exact."""
     meta = get_table_meta(spark, table)
+    if not meta:
+        pending = get_layout_pending(spark, table)
+        if pending is not None:
+            meta = dict(pending["snapshot"])
     rows = spark.table(table).distinct()
     bucket_by = (
         (int(meta["n_buckets"]), meta["bucket_cols"].split(","))
@@ -591,6 +604,9 @@ def compact_index_table(spark: SparkSession, table: str) -> None:
         # pruning, id-bucketed for the flat streaming replay probe) —
         # a compaction that dropped either half would silently change
         # the layout contract the probes rely on
+        mark_layout_pending(
+            spark, table, "compact_index_table", "", snapshot=meta
+        )
         write_table(
             rows, table, partition_by=partition_by, bucket_by=bucket_by
         )
@@ -601,6 +617,7 @@ def compact_index_table(spark: SparkSession, table: str) -> None:
             "compactable generically"
         )
     set_table_meta(spark, table, **meta)
+    clear_layout_pending(spark, table)
 
 
 def connection_config(prefix: str, keys: tuple[str, ...]) -> dict[str, str]:

@@ -1618,3 +1618,65 @@ def test_layout_pending_er_notes_and_manual_rerun_converges(
     assert got[100] == 1  # converged: probe under the new key matches
     for s in (t, f"{t}__relabel", f"{t}_skew_log", f"{t}_retune_pending"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_layout_pending_compact_crash_resumes_with_contract(
+    spark, monkeypatch
+):
+    """compact_index_table shares the swap-then-meta window: a crash
+    after its swap wipes the table's properties, leaving a
+    contract-less index probes would mis-validate and the sweep could
+    not even classify. The marker makes it fail-loud and the sweep
+    resumes the compaction, restoring the FULL contract (including
+    skew_epoch) from the snapshot."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators import (
+        dedup as dd,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import io
+
+    t = "maint_compact_pending"
+    for s in (t, f"{t}_skew_log", f"{t}_retune_pending"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    corpus = spark.createDataFrame(
+        [(i, f"compact pending fixture doc {i} " * 3) for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    dd.minhash_build_index(corpus, t)
+    meta_before = io.get_table_meta(spark, t)
+
+    real_set = io.set_table_meta
+    state = {"armed": True}
+
+    def bomb(spark_, table_, **props):
+        if table_ == t and state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("injected")
+        return real_set(spark_, table_, **props)
+
+    monkeypatch.setattr(io, "set_table_meta", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        io.compact_index_table(spark, t)
+    monkeypatch.setattr(io, "set_table_meta", real_set)
+
+    assert io.get_table_meta(spark, t) == {}  # the wipe is real
+    batch = spark.createDataFrame(
+        [(100, "compact pending fixture doc 3 " * 3)],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(RuntimeError, match="interrupted layout rewrite"):
+        dd.minhash_query_index(spark, t, batch, threshold=0.5)
+
+    rep = health_sweep(spark, tables=(t,))["tables"][f"default.{t}"]
+    assert rep["family"] == "layout_pending"
+    out = run_maintenance(spark, apply=True, tables=(t,))
+    assert "compact_index_table (resumed)" in out["applied"][f"default.{t}"]
+    assert not spark.catalog.tableExists(f"{t}_retune_pending")
+    assert io.get_table_meta(spark, t) == meta_before  # contract restored
+    hits = dd.minhash_query_index(spark, t, batch, threshold=0.5)
+    assert hits.count() > 0  # probes live again, index correct
+    for s in (t, f"{t}_skew_log", f"{t}_retune_pending"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
