@@ -409,7 +409,22 @@ def health_sweep(
             # marker carries the verb, target, and contract snapshot
             # — report it so the sweep can resume/surface it (probes
             # refuse via check_table_meta until then)
-            if not name.endswith("_retune_pending"):
+            if name.endswith("_retune_pending"):
+                # a marker whose BASE table is gone (index dropped
+                # while a rewrite was pending, or a first build that
+                # crashed before its table ever committed) is an
+                # orphan: nothing can resume it, and a later index
+                # REUSING the name would be spuriously refused by
+                # check_table_meta. Flag for reclaim.
+                base = name[: -len("_retune_pending")]
+                if not spark.catalog.tableExists(base):
+                    reports[name] = {
+                        "family": "orphan_retune_marker",
+                        "base_table": base,
+                        "action": "drop_orphan_retune_marker",
+                    }
+                    attention.append(name)
+            else:
                 from .sources.io import get_layout_pending
 
                 pending = get_layout_pending(spark, name)
@@ -620,6 +635,13 @@ def run_maintenance(
                 continue
             rep = sweep["tables"][name]
             family = rep["family"]
+            if family == "orphan_retune_marker":
+                # the base index is gone; nothing can resume the
+                # rewrite, and a future index reusing the name would
+                # be spuriously refused — reclaim the marker
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                applied[name] = "drop_orphan_retune_marker"
+                continue
             if family == "interrupted_swap":
                 # a write_table stage-and-swap that never finished:
                 # dangling base -> complete the rename (strictly

@@ -1680,3 +1680,35 @@ def test_layout_pending_compact_crash_resumes_with_contract(
     assert hits.count() > 0  # probes live again, index correct
     for s in (t, f"{t}_skew_log", f"{t}_retune_pending"):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_sweep_reclaims_orphan_retune_marker(spark):
+    """A pending marker whose base index was dropped (or whose first
+    build crashed before the table ever committed) can never be
+    resumed — and a future index REUSING the name would be spuriously
+    refused by check_table_meta. The sweep flags and reclaims it."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
+        health_sweep,
+        run_maintenance,
+    )
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.sources import io
+
+    t = "maint_orphan_marker"
+    for s in (t, f"{t}_retune_pending"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+    io.mark_layout_pending(
+        spark, t, "minhash_build_index", "16", snapshot={"kind": "minhash"}
+    )
+    # base never committed: the marker is an orphan
+    sweep = health_sweep(spark, tables=(t, f"{t}_retune_pending"))
+    rep = sweep["tables"][f"default.{t}_retune_pending"]
+    assert rep["family"] == "orphan_retune_marker"
+    assert rep["base_table"] == f"default.{t}"
+    out = run_maintenance(
+        spark, apply=True, tables=(t, f"{t}_retune_pending")
+    )
+    assert (
+        out["applied"][f"default.{t}_retune_pending"]
+        == "drop_orphan_retune_marker"
+    )
+    assert not spark.catalog.tableExists(f"{t}_retune_pending")
