@@ -270,11 +270,16 @@ def exact_incremental_dedup(
         storage,
     )
     if append:
-        new_fps = _materialize(
+        # the replay anti-join stays LAZY and runs inside the append
+        # write job itself (r17): its index scan snapshots the file set
+        # at plan time, append mode may read the destination table (only
+        # overwrite forbids it), and `survivors` is already materialized
+        # — so fusing saves one full checkpoint pass per batch, which in
+        # the crawl-tick / seen-set steady states is pure fixed cost
+        new_fps = (
             survivors.select(F.col("_fp").alias("fp"))
             .join(idx.select("fp"), "fp", "left_anti")
-            .withColumn("_src_batch", F.lit(batch_id).cast("bigint")),
-            storage,
+            .withColumn("_src_batch", F.lit(batch_id).cast("bigint"))
         )
         write_table(
             new_fps, table, mode="append", bucket_by=(n_buckets, ["fp"])

@@ -671,6 +671,7 @@ def ivf_append_index(
     drift_threshold: float = 1.5,
     pq_codebook: "PQCodebook | None" = None,
     log_drift: bool = True,
+    build_stats: "tuple | None" = None,
 ) -> dict:
     """Incrementally extend a persisted :func:`ivf_build_index` table:
     assign each new vector to its nearest EXISTING centroid (one numpy
@@ -708,6 +709,18 @@ def ivf_append_index(
     FILTERED OUT before assignment (a single NULL would otherwise fail
     the whole append inside the UDF) — the returned dict counts them in
     ``n_dropped``. Empty batches write nothing.
+
+    Per-batch job shape (r17 optimization round): the default (mllib)
+    path runs ONE checkpointed pass over the batch — invalid rows are
+    assigned the sentinel cell ``-1`` inside the kernel instead of a
+    separate Catalyst filter, so the single drift rollup also yields
+    ``n_dropped`` and the old per-append ``count()`` job is gone. The
+    drift-vs-build comparison reads the ``{table}_drift_stats``
+    companion unless ``build_stats=(mean, p95)`` is passed — streaming
+    ingest resolves it once per held centroid fingerprint instead of
+    one ``first()`` job per micro-batch (it rotates exactly when the
+    matrix does, so the fingerprint resync is the right invalidation
+    point).
     """
     from ..sources.io import write_table
 
@@ -737,16 +750,16 @@ def ivf_append_index(
         else None
     )
 
-    # size(NULL) is NULL, so this single predicate drops NULL and
-    # ragged vectors alike before they reach the kernel
-    n_input = new_vectors.count()
-    valid = new_vectors.filter(F.size(F.col(vec_col)) == dim)
     if _is_grid:
+        # size(NULL) is NULL, so this single predicate drops NULL and
+        # ragged vectors alike before they reach the assignment
+        n_input = new_vectors.count()
+        valid = new_vectors.filter(F.size(F.col(vec_col)) == dim)
         # grid indexes assign through the SAME exact Catalyst path the
         # build used (quantized fold, (d, cell) tie-break) — so an
         # appended index is bit-identical to building over the union,
         # and the x1_ann_stream oracle can replay appends exactly
-        assigned = (
+        stats_src = assigned = (
             grid_assign_cells(valid, id_col, vec_col, centroids, keep_cols=[vec_col])
             .drop("_vq")
             .withColumnRenamed("cell", "_cell")
@@ -754,22 +767,37 @@ def ivf_append_index(
             .localCheckpoint(eager=True)
         )
     else:
+        n_input = None  # derived from the drift rollup (r17: one fewer job)
 
         @pandas_udf("int")
         def nearest_cell(vecs: pd.Series) -> pd.Series:
-            if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
-                return pd.Series([], dtype="int32")
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
-            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+            # invalid rows (NULL / wrong-dim — the same rows the old
+            # Catalyst `size(vec) == dim` filter dropped) assign to the
+            # sentinel cell -1, so ONE checkpointed pass yields the
+            # write set, the drift stats AND the dropped-row count —
+            # the per-batch count job this replaced measured ~0.1 s of
+            # pure scheduling overhead in the streaming steady state
+            out = np.full(len(vecs), -1, dtype=np.int32)
+            ok = [
+                i for i, v in enumerate(vecs)
+                if v is not None and len(v) == dim
+            ]
+            if ok:
+                V = np.stack(
+                    [np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok]
+                )
+                d = (V**2).sum(1)[:, None] - 2 * V @ C.T + (C**2).sum(1)[None, :]
+                out[np.asarray(ok)] = np.argmin(d, axis=1).astype("int32")
+            return pd.Series(out)
 
         # one narrow checkpoint so the assignment kernel runs once for
         # the write AND the drift agg (batch-sized, not corpus-sized)
-        assigned = valid.select(
+        stats_src = new_vectors.select(
             F.col(id_col),
             F.col(vec_col),
             nearest_cell(F.col(vec_col)).alias("_cell"),
         ).localCheckpoint(eager=True)
+        assigned = stats_src.filter(F.col("_cell") >= 0)
     to_write = assigned
     spark = new_vectors.sparkSession
     index_has_codes = "pq_code" in spark.table(table).columns
@@ -808,9 +836,18 @@ def ivf_append_index(
     # construction, but the grouping flag is what distinguishes the
     # total, not the NULL marker. Was two jobs per append before r16;
     # in the streaming steady state every per-batch job is overhead.
+    # r17: the mllib path's sentinel-cell (-1) rows ride the SAME
+    # rollup — their NULL-guarded _dist keeps mean/p95 identical to
+    # the old valid-only aggregation (avg/approx_percentile ignore
+    # NULLs), and their group's n IS the old n_dropped.
     stats_rows = (
-        assigned.withColumn("_qv", _dv)
-        .withColumn("_dist", _centroid_dist("_qv", "_cell", centroids))
+        stats_src.withColumn("_qv", _dv)
+        .withColumn(
+            "_dist",
+            F.when(
+                F.col("_cell") >= 0, _centroid_dist("_qv", "_cell", centroids)
+            ),
+        )
         .rollup("_cell")
         .agg(
             F.avg("_dist").alias("mean_dist"),
@@ -823,14 +860,25 @@ def ivf_append_index(
     row = next((r for r in stats_rows if r["_is_total"] == 1), None)
     if row is None:  # empty grouping-set output (no input rows at all)
         row = {"mean_dist": None, "p95_dist": None, "n": 0}
-    cell_rows = [r for r in stats_rows if r["_is_total"] == 0]
-    build_mean = build_p95 = None
-    try:
-        srow = spark.table(_drift_stats_table(table)).first()
-        if srow is not None:
-            build_mean, build_p95 = srow["mean_dist"], srow["p95_dist"]
-    except Exception:
-        pass  # pre-stats index: drift unmeasurable, never fail the append
+    n_invalid = sum(
+        r["n"] for r in stats_rows
+        if r["_is_total"] == 0 and r["_cell"] == -1
+    )
+    if n_input is None:
+        n_input = row["n"]  # mllib path: sentinel rows make the rollup total
+    cell_rows = [
+        r for r in stats_rows if r["_is_total"] == 0 and r["_cell"] != -1
+    ]
+    if build_stats is not None:
+        build_mean, build_p95 = build_stats
+    else:
+        build_mean = build_p95 = None
+        try:
+            srow = spark.table(_drift_stats_table(table)).first()
+            if srow is not None:
+                build_mean, build_p95 = srow["mean_dist"], srow["p95_dist"]
+        except Exception:
+            pass  # pre-stats index: drift unmeasurable, never fail append
     batch_p95 = row["p95_dist"]
     drift_ratio = (
         batch_p95 / build_p95 if batch_p95 is not None and build_p95 else None
@@ -849,9 +897,10 @@ def ivf_append_index(
         if cell_rows
         else None
     )
+    n_appended = row["n"] - n_invalid
     report = {
-        "n_appended": row["n"],
-        "n_dropped": n_input - row["n"],
+        "n_appended": n_appended,
+        "n_dropped": n_input - n_appended,
         "batch_mean_dist": row["mean_dist"],
         "batch_p95_dist": batch_p95,
         "build_mean_dist": build_mean,

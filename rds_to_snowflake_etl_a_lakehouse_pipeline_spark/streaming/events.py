@@ -1380,6 +1380,7 @@ def stream_ivf_append(
     """
     from ..operators.similarity import (
         _centroid_fingerprint,
+        _drift_stats_table,
         ivf_append_drift_reports,
         ivf_append_index,
         ivf_load_centroids,
@@ -1392,6 +1393,21 @@ def stream_ivf_append(
     spark0 = sdf.sparkSession
     if centroids is None:
         centroids = ivf_load_centroids(spark0, table)
+    _is_grid = get_table_meta(spark0, table).get("impl") == "grid"
+
+    def _build_stats():
+        # resolve the build-time drift baseline ONCE per held matrix
+        # (r17): it rotates exactly when the centroid matrix does, so
+        # the fingerprint resync below is the right invalidation point
+        # — reading it per batch was one fixed-cost job per micro-batch
+        try:
+            srow = spark0.table(_drift_stats_table(table)).first()
+            if srow is not None:
+                return (srow["mean_dist"], srow["p95_dist"])
+        except Exception:
+            pass  # pre-stats index: drift unmeasurable (same fallback
+            # as ivf_append_index's own companion read)
+        return (None, None)
 
     def _codebook():
         # resolve the PQ companion ONCE per stream (and again on
@@ -1414,6 +1430,7 @@ def stream_ivf_append(
         "cents": centroids,
         "fp": _centroid_fingerprint(centroids),
         "cb": _codebook(),
+        "stats": _build_stats(),
     }
     reports: list[dict] = []
 
@@ -1433,16 +1450,20 @@ def stream_ivf_append(
             held["cents"] = ivf_load_centroids(spark, table)
             held["fp"] = _centroid_fingerprint(held["cents"])
             held["cb"] = _codebook()
+            held["stats"] = _build_stats()
             reports.clear()
         existing = spark.table(table).select(F.col(id_col))
-        # checkpoint the replay guard ONCE: ivf_append_index executes
-        # its input plan twice (drop-count + assignment), and without
-        # this the index-side id scan of the anti-join ran twice per
-        # micro-batch — the single most expensive plan in the steady
-        # state (SCALE.md, streaming-ANN per-batch job audit)
-        fresh = batch_df.join(existing, on=id_col, how="left_anti").localCheckpoint(
-            eager=True
-        )
+        # the replay-guard anti-join feeds ivf_append_index LAZILY: the
+        # default (mllib) append consumes its input exactly once, inside
+        # its own assignment checkpoint, so anti-join + nearest-cell
+        # kernel fuse into ONE job per batch (r17; the r16 shape paid a
+        # separate checkpoint job here because the old append body
+        # executed its input twice — drop-count + assignment). Grid
+        # appends still count their input, so the guard stays
+        # checkpointed on that path.
+        fresh = batch_df.join(existing, on=id_col, how="left_anti")
+        if _is_grid:
+            fresh = fresh.localCheckpoint(eager=True)
         # log_drift=False: buffer the per-batch report and flush ONE
         # companion write post-drain instead of a 1-row write job per
         # batch (see ivf_append_drift_reports for the crash story)
@@ -1455,6 +1476,7 @@ def stream_ivf_append(
                 vec_col=vec_col,
                 pq_codebook=held["cb"],
                 log_drift=False,
+                build_stats=held["stats"],
             )
         )
 
