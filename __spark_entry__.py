@@ -5169,20 +5169,24 @@ def _q_m_image_ahash_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id")
 
     def make(it):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:16, 0:16]  # y outer, x inner — row-major scan
         for pdf in it:
-            blobs = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                g = did // 2
-                a, b, k = 1 + g % 7, 1 + g % 5, 7 * (did % 2) + g % 5
-                px = bytes(
-                    v
-                    for y in range(16)
-                    for x in range(16)
-                    for v in (a * x + b * y + k,) * 3
-                )
-                blobs.append(encode_bmp(16, 16, px))
-            pdf["content"] = blobs
+            ids = pdf["doc_id"].to_numpy()
+            g = ids // 2
+            a, b = 1 + g % 7, 1 + g % 5
+            k = 7 * (ids % 2) + g % 5
+            # px[i, y, x] = a_i*x + b_i*y + k_i (max 191, no uint8 wrap),
+            # each gray value tripled into RGB — byte-identical to the
+            # per-pixel generator this replaces
+            px = (
+                a[:, None, None] * xx + b[:, None, None] * yy + k[:, None, None]
+            ).astype(np.uint8)
+            px3 = np.repeat(px.reshape(len(ids), 256), 3, axis=1)
+            pdf["content"] = [
+                encode_bmp(16, 16, row.tobytes()) for row in px3
+            ]
             yield pdf
 
     blobs = d.mapInPandas(make, "doc_id long, content binary")

@@ -521,33 +521,98 @@ def hamming_hash_pairs(
     capped (band, value) bucket is EXCLUDED from candidate generation,
     so a flooded bucket costs nothing and pairs that ALSO share a cold
     band still surface. None (default) keeps recall total — correct
-    for oracle-checked runs; set a cap at corpus scale."""
-    banded = _cap_hot_buckets(
-        _fp_band_explode(df, id_col, hash_col, band_bits), max_bucket_size
+    for oracle-checked runs; set a cap at corpus scale.
+
+    The banded self-join runs at DISTINCT-VALUE grain, not id grain:
+    near-dup floods share few fingerprint VALUES, so value pairs are
+    joined/deduped first (Σ bucket² over value multiplicities, then one
+    tiny ``bit_count`` filter) and only the survivors expand back to id
+    pairs — the candidate ``distinct()`` shuffles ≤ m² value rows, never
+    n_bands × id-pair rows. Bucket sizes for the cap are the SUMMED id
+    counts per (band, value) (every id of a value lands in the same
+    bucket), so capped semantics are bit-identical to the id-grain join:
+    a value whose every band bucket is flooded contributes no pairs, not
+    even within its own group."""
+    h = F.col(hash_col)
+    sk = (
+        df.select(F.col(id_col).alias("_id"), h.alias("_ph"))
+        .filter(h.isNotNull())
+        .distinct()  # id-grain candidate distinct collapses dup rows; keep that
     )
+    vals = sk.groupBy("_ph").agg(F.count("*").alias("_cnt"))
+    n_bands = 64 // band_bits
+    banded = vals.select(
+        "_ph",
+        "_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("_ph"), b * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("_ph", "_cnt", "bv.band", "bv.val")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "val")
+        banded = (
+            banded.withColumn("_bsz", F.sum("_cnt").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    vpairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._ph") < F.col("b._ph")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._ph").alias("ph_a"),
-            F.col("b._ph").alias("ph_b"),
-        )
-        .distinct()  # a pair sharing k bands must emit once, not k times
-    )
-    return (
-        cand.withColumn(
+        .select(F.col("a._ph").alias("ph_a"), F.col("b._ph").alias("ph_b"))
+        .distinct()  # a value pair sharing k bands must expand once, not k times
+        .withColumn(
             "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    cross = (
+        vpairs.join(
+            sk.select(F.col("_id").alias("_ida"), F.col("_ph").alias("ph_a")),
+            "ph_a",
+        )
+        .join(
+            sk.select(F.col("_id").alias("_idb"), F.col("_ph").alias("ph_b")),
+            "ph_b",
+        )
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    if max_hamming < 0:
+        return cross  # empty either way; keep the id-grain join's contract
+    within_src = sk
+    if max_bucket_size is not None:
+        # same-value pairs only surface when the value kept >= 1 band
+        within_src = sk.join(banded.select("_ph").distinct(), "_ph")
+    x, y = within_src.alias("x"), within_src.alias("y")
+    within = x.join(
+        y,
+        (F.col("x._ph") == F.col("y._ph")) & (F.col("x._id") < F.col("y._id")),
+    ).select(
+        F.col("x._id").alias("id_a"),
+        F.col("y._id").alias("id_b"),
+        F.lit(0).alias("hamming"),
+    )
+    return cross.unionByName(within)
 
 
 def image_hash_pairs(
