@@ -1260,28 +1260,42 @@ def connected_components(
         raise ValueError(f"unknown algorithm: {algorithm!r} (label|star)")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = _materialize(e.distinct(), storage)
-    labels = e.select(F.col("a").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
+    # pre-partition the static join side by its per-round key ONCE, so
+    # the propagation join never re-exchanges the edge list
+    e = _materialize(e.distinct().repartition("b"), storage)
+    # Round 1 fused into the init: against identity labels the neighbor
+    # join IS the edge list, so min(self ∪ N(self)) is one agg over e —
+    # no vertex-distinct pass, no first-round join.
+    labels = _materialize(
+        e.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("id"), F.least("a", "_mb").alias("comp")
+        ),
+        storage,
+        eager=False,
     )
-    changed = 0
-    prev_upd = None
-    for _ in range(max_iter):
+    changed = None
+    prev_upd = labels
+    for _ in range(max_iter - 1):
         nbr = e.join(
             labels.select(F.col("id").alias("_b"), "comp"),
             F.col("b") == F.col("_b"),
-        ).select(F.col("a").alias("id"), "comp")
+        ).select(F.col("a").alias("id"), "comp", F.lit(False).alias("_mine"))
         # ONE job per round: the lazy materialization is saved by the
         # convergence count itself (the count scans every row, saving
         # the blocks as a side effect), instead of an eager job
-        # followed by a separate change-count job. _old rides along
-        # so change detection needs no second join against the
-        # pre-update labels.
+        # followed by a separate change-count job. The old label rides
+        # the SAME aggregation as a self-tagged min (each id carries
+        # exactly one self row), so change detection costs no join.
         upd = _materialize(
-            labels.unionByName(nbr)
+            labels.select("id", "comp", F.lit(True).alias("_mine"))
+            .unionByName(nbr)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .join(labels.select("id", F.col("comp").alias("_old")), "id"),
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("_mine"), F.col("comp"))).alias("_old"),
+            ),
             storage,
             eager=False,
         )
@@ -1294,6 +1308,10 @@ def connected_components(
         prev_upd = upd
         if changed == 0:
             break
+    if changed is None:
+        # max_iter == 1: the only round is the fused init — converged
+        # iff no vertex left its identity label
+        changed = labels.filter(F.col("comp") != F.col("id")).count()
     if changed != 0:
         warnings.warn(
             f"connected_components did not converge in {max_iter} rounds "
