@@ -528,18 +528,29 @@ def hamming_hash_pairs(
     joined/deduped first (Σ bucket² over value multiplicities, then one
     tiny ``bit_count`` filter) and only the survivors expand back to id
     pairs — the candidate ``distinct()`` shuffles ≤ m² value rows, never
-    n_bands × id-pair rows. Bucket sizes for the cap are the SUMMED id
-    counts per (band, value) (every id of a value lands in the same
+    n_bands × id-pair rows. Bucket sizes for the cap are the SUMMED raw
+    row counts per (band, value) (every row of a value lands in the same
     bucket), so capped semantics are bit-identical to the id-grain join:
     a value whose every band bucket is flooded contributes no pairs, not
-    even within its own group."""
+    even within its own group.
+
+    Regime trade (measured, r17): with value multiplicity the collapse
+    is decisive (mult 8 at 400k rows: 2.14 s → 1.36 s; the mult ≈ 140
+    registry fixture: 0.28×), while an ALL-UNIQUE fingerprint corpus —
+    which generates ~no pairs either way — pays the extra value-grain
+    dedup/expansion shuffles (800k unique rows: 3.7 s → 6.8 s, bounded
+    at ~1.8×). Dedup-grade corpora are flood-heavy by construction
+    (that is why ``max_bucket_size`` exists), so value grain is the
+    default and only shape."""
     h = F.col(hash_col)
-    sk = (
-        df.select(F.col(id_col).alias("_id"), h.alias("_ph"))
-        .filter(h.isNotNull())
-        .distinct()  # id-grain candidate distinct collapses dup rows; keep that
+    raw = df.select(F.col(id_col).alias("_id"), h.alias("_ph")).filter(
+        h.isNotNull()
     )
-    vals = sk.groupBy("_ph").agg(F.count("*").alias("_cnt"))
+    # id-grain candidate distinct collapsed dup rows; keep that
+    sk = raw.distinct()
+    # RAW-row counts (not distinct), matching the id-grain join's bucket
+    # sizing, where duplicate (id, hash) rows each occupied a bucket slot
+    vals = raw.groupBy("_ph").agg(F.count("*").alias("_cnt"))
     n_bands = 64 // band_bits
     banded = vals.select(
         "_ph",

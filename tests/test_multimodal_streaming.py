@@ -2241,6 +2241,30 @@ def test_image_hash_pairs_hot_bucket_cap(spark):
     assert rows == [(100, 101)]  # flood gone, cold-band pair survives
 
 
+def test_image_hash_pairs_cap_counts_raw_rows(spark):
+    """Bucket sizing under the cap counts RAW rows, not distinct
+    (id, hash) pairs — the id-grain join's semantics, preserved by the
+    r17 value-grain rewrite: 5 ids x2 duplicate rows occupy 10 bucket
+    slots, so a cap of 8 floods them out while a cap of 12 keeps all
+    C(5,2) hamming-0 pairs (duplicate rows never duplicate a pair)."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.multimodal import (
+        image_hash_pairs,
+    )
+
+    rows = [(i, 0) for i in range(5)] * 2 + [(100, 0x7777_0001), (101, 0x7777_0002)]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+
+    tight = [(r.id_a, r.id_b) for r in image_hash_pairs(
+        df, max_hamming=2, max_bucket_size=8).collect()]
+    assert tight == [(100, 101)]  # 10 raw rows > 8: group capped out
+
+    loose = sorted((r.id_a, r.id_b) for r in image_hash_pairs(
+        df, max_hamming=2, max_bucket_size=12).collect())
+    expect = sorted([(a, b) for a in range(5) for b in range(a + 1, 5)]
+                    + [(100, 101)])
+    assert loose == expect  # 10 <= 12: all within-group pairs, once each
+
+
 def _tone_wav(sr, n_windows, win_len, amps_by_window, bin_freqs, volume=1.0):
     """Fixture WAV: per window a sum of bin-aligned sines (zero
     spectral leakage), amplitude table amps_by_window[w][m] at
