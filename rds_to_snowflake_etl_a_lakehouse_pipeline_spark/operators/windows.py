@@ -167,7 +167,10 @@ def surrogate_key_two_phase(
         return _single_bucket_key(df, keys, key_col)
 
     if materialize:
-        df = df.localCheckpoint(eager=True)
+        # lazy: the phase-0 count below is a full scan, so it
+        # materializes every checkpoint partition as a side effect —
+        # one job stands up the blocks AND the count (r17)
+        df = df.localCheckpoint(eager=False)
     cnt = df.select(keys[0]).count()  # narrow: column-pruned scan
     max_buckets = num_partitions or spark.sparkContext.defaultParallelism
     n_buckets = max(1, min(max_buckets, -(-cnt // rows_per_bucket)))
