@@ -546,11 +546,27 @@ def hamming_hash_pairs(
     raw = df.select(F.col(id_col).alias("_id"), h.alias("_ph")).filter(
         h.isNotNull()
     )
+    # The narrow (_id, _ph) projection fans out to every branch below
+    # (value counts, banded self-join, two expansion joins, the
+    # within-group self-join) — without materialization each branch
+    # re-executes the caller's UPSTREAM plan, which for perceptual
+    # hashes is the full media decode chain (~6 re-decodes of the
+    # corpus: the r17 after-plan showed the MapInPandas chain six
+    # times). At 100 TB the decode IS the dominant cost, so the two
+    # longs per row are checkpointed LAZILY (zero extra jobs: the
+    # pair query's own first pass materializes the blocks, exactly
+    # the surrogate-key/connected-components pattern) and every
+    # branch reads the blocks. Same treatment for the distinct-id
+    # set and the value-count table so their shuffles also run once
+    # instead of once per referencing join.
+    raw = raw.localCheckpoint(eager=False)
     # id-grain candidate distinct collapsed dup rows; keep that
-    sk = raw.distinct()
+    sk = raw.distinct().localCheckpoint(eager=False)
     # RAW-row counts (not distinct), matching the id-grain join's bucket
     # sizing, where duplicate (id, hash) rows each occupied a bucket slot
-    vals = raw.groupBy("_ph").agg(F.count("*").alias("_cnt"))
+    vals = raw.groupBy("_ph").agg(F.count("*").alias("_cnt")).localCheckpoint(
+        eager=False
+    )
     n_bands = 64 // band_bits
     banded = vals.select(
         "_ph",

@@ -142,6 +142,66 @@ def test_exact_incremental_dedup_stamped_replay(spark):
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_append_antijoin_scan_snapshots_files(spark):
+    """Pin the plan-time file-snapshot semantics the r17 append fusion
+    relies on (operators/dedup.py::exact_incremental_dedup): the
+    append's replay anti-join reads the DESTINATION table inside its
+    own append write, which is only correct while a parquet
+    catalog-table scan captures its file set when the plan is BUILT.
+    If a catalog/DSv2 migration ever turns that into
+    read-your-own-writes, this test fails loudly before the streaming
+    seen-set silently under-appends."""
+    t = "snapshot_pin_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.range(5).selectExpr("id AS fp").write.saveAsTable(t)
+    dest = spark.table(t)
+    planned = set(dest.inputFiles())
+    assert planned  # the scan has a concrete file snapshot
+    # the append's plan reads the destination (the fused-anti-join shape)
+    lazy = spark.range(3, 8).selectExpr("id AS fp").join(
+        dest, "fp", "left_anti"
+    )
+    lazy.write.mode("append").saveAsTable(t)
+    # 1. the in-flight write never fed back into its own anti-join:
+    #    exactly the pre-write-absent ids landed, each exactly once.
+    #    Read-your-own-writes would let committed output files re-enter
+    #    the anti-join mid-execution and UNDER-append (rows dropped as
+    #    "already present"); a doubled read would over-append.
+    assert sorted(r["fp"] for r in spark.table(t).collect()) == list(range(8))
+    # 2. replaying the SAME already-analyzed plan appends nothing new —
+    #    its fresh execution re-lists (append refreshed the table) and
+    #    every candidate row is now genuinely present
+    lazy2 = spark.range(3, 8).selectExpr("id AS fp").join(
+        spark.table(t), "fp", "left_anti"
+    )
+    lazy2.write.mode("append").saveAsTable(t)
+    assert sorted(r["fp"] for r in spark.table(t).collect()) == list(range(8))
+    # 3. a fresh plan over the table sees the appended files (the
+    #    refresh-on-append contract the NEXT batch's probe relies on)
+    assert set(spark.table(t).inputFiles()) > planned
+    # and the real operator composes the same way: the append extends
+    # the index by exactly the fresh fingerprints, each once
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        exact_build_index,
+        exact_incremental_dedup,
+    )
+
+    t2 = "snapshot_pin_idx_t"
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, url string")
+    exact_build_index(mk([(0, "http://a/0")]), t2, ["url"])
+    n0 = spark.table(t2).count()
+    out = exact_incremental_dedup(
+        spark, t2, mk([(1, "http://a/1"), (2, "http://a/2")]),
+        ["url"], order_col="doc_id",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    fps = [r["fp"] for r in spark.table(t2).collect()]
+    assert len(fps) == n0 + 2 and len(set(fps)) == len(fps)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
