@@ -1053,6 +1053,36 @@ def minhash_incremental_dedup(
     return survivors
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's ``sizeInBytes`` estimate for the optimized plan — free
+    (no job). None when the estimate is unavailable OR is the
+    "unknown" sentinel region (Catalyst assigns ``Long.MaxValue``-ish
+    defaults to plans it cannot size, e.g. through Python maps): an
+    unknown size must never trigger a size-gated code path."""
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 — best-effort; caller treats as unknown
+        return None
+    return est if 0 <= est < (1 << 60) else None
+
+
+def _pair_grain_decision(
+    df: DataFrame,
+    pair_grain: str,
+    narrow_min_input_bytes: int,
+) -> str:
+    """Resolve ``pair_grain="auto"`` to "wide" or "narrow" from the
+    input's free Catalyst size estimate (see :func:`minhash_lsh_pairs`
+    for the regime argument). Unknown estimate → "wide" (the current,
+    bench-validated shape)."""
+    if pair_grain in ("wide", "narrow"):
+        return pair_grain
+    if pair_grain != "auto":
+        raise ValueError(f"pair_grain must be auto|wide|narrow, got {pair_grain!r}")
+    est = _plan_size_bytes(df)
+    return "narrow" if est is not None and est >= narrow_min_input_bytes else "wide"
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -1065,6 +1095,8 @@ def minhash_lsh_pairs(
     persist_index: bool = True,
     max_bucket_size: int | None = None,
     storage: str = "checkpoint",
+    pair_grain: str = "auto",
+    narrow_min_input_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -1110,8 +1142,37 @@ def minhash_lsh_pairs(
     intentionally traded away (they reach each other through the hub),
     so set it only when downstream consumes components/dedup decisions
     rather than the raw pair list.
+
+    ``pair_grain`` (round 18 — the size-adaptive switch deferred from
+    round 17): shape of the banded self-join, results identical.
+
+    * ``"wide"`` — the candidate join carries the full signature
+      (``bands × num_hashes × 8`` ≈ 8 KiB/doc at defaults through the
+      band exchange) and each candidate's estimate is computed before
+      the pair-dedup. Fewest stages; the measured optimum at bench SF,
+      where per-stage fixed cost (~0.2–0.5 s locally) dominates.
+    * ``"narrow"`` — the 100 TB shape: the self-join and pair-dedup run
+      over ``(band, bucket, _id)`` only (~24 B/doc/band), and the two
+      signatures are re-attached at UNIQUE-pair grain from the
+      materialized index to compute the estimate once per pair. ~21×
+      fewer bytes per doc through the band exchange at defaults, paid
+      for with two extra joins + one extra narrow dedup shuffle —
+      measured LOSS at sf0.1 (4.4 → 6.1 s, r17) and win once the
+      banded signature bytes dominate the fixed stage cost.
+    * ``"auto"`` (default) — "narrow" when Catalyst's free input-size
+      estimate is at least ``narrow_min_input_bytes`` (default
+      256 MiB), else "wide". Derivation: banded signature shuffle bytes
+      = rows × bands × num_hashes × 8 ≈ input_bytes × (8 KiB /
+      avg_doc_bytes) at defaults, so a ≥256 MiB corpus (avg docs well
+      under 8 KiB — dedup-grade corpora by construction) shuffles
+      ≥ hundreds of MiB of signatures that the narrow shape avoids,
+      amortizing its ~2 s of extra fixed stage cost many times over;
+      an unknown estimate (e.g. a non-scan input behind a Python map)
+      falls back to "wide". See ``tools/smoke_minhash_narrow.py`` for
+      the measured crossover.
     """
     rows_per_band = num_hashes // bands
+    grain = _pair_grain_decision(df, pair_grain, narrow_min_input_bytes)
     sig = _signature_table(df, id_col, text_col, num_hashes, shingle_n, impl)
     if persist_index:
         # Materialize the narrow (_id, _sig) table — NOT the 16×-exploded
@@ -1129,6 +1190,69 @@ def minhash_lsh_pairs(
 
     def _est(sig_x, sig_y):
         return _jaccard_est(sig_x, sig_y, num_hashes)
+
+    if grain == "narrow":
+        # The candidate self-join and pair-dedup over (band, bucket,
+        # _id) only — Catalyst prunes ``_sig`` out of the band exchange
+        # (the bucket hash is computed before the shuffle). Signatures
+        # re-attach at UNIQUE-pair grain from the materialized index,
+        # so the estimate is computed once per pair instead of once per
+        # shared band. Identical output to the wide shape: the estimate
+        # is deterministic per (id_a, id_b), so dedup-then-threshold ==
+        # threshold-then-dedup.
+        slim = banded.select("band", "bucket", "_id")
+        hot_cand = None
+        if max_bucket_size is not None:
+            w_bucket = Window.partitionBy("band", "bucket")
+            w_rep = w_bucket.orderBy(F.col("_id").asc())
+            sized = slim.withColumn("_bsz", F.count("*").over(w_bucket))
+            hot_cand = (
+                sized.filter(F.col("_bsz") > max_bucket_size)
+                .withColumn("_rep_id", F.first("_id").over(w_rep))
+                .filter(F.col("_id") != F.col("_rep_id"))
+                .select(
+                    F.col("_rep_id").alias("id_a"), F.col("_id").alias("id_b")
+                )
+            )
+            slim = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+        a = slim.alias("a")
+        b = slim.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sig_a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
+        sig_b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
+
+        def _attach(p):
+            return (
+                p.join(sig_a, "id_a")
+                .join(sig_b, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.round(_est(F.col("_sig_a"), F.col("_sig_b")), 6).alias(
+                        "jaccard_est"
+                    ),
+                )
+            )
+
+        pairs = _attach(cand).filter(F.col("jaccard_est") >= threshold)
+        if hot_cand is not None:
+            # Star pairs stay threshold-exempt (connectivity edges —
+            # see the max_bucket_size docstring); deduped before the
+            # attach so a member flooded in several buckets re-attaches
+            # its signatures once.
+            pairs = pairs.unionByName(
+                _attach(hot_cand.dropDuplicates(["id_a", "id_b"]))
+            )
+        return pairs.dropDuplicates(["id_a", "id_b"])
 
     hot_pairs = None
     if max_bucket_size is not None:

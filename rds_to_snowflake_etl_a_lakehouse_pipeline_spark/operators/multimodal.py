@@ -2188,30 +2188,41 @@ def explode_warc(
         import pandas as pd
 
         for pdf in it:
-            rows = []
             passthrough = [c for c in pdf.columns if c != content_col]
-            for _, r in pdf.iterrows():
-                b = bytes(r[content_col]) if r[content_col] is not None else b""
+            # Column-wise packing: the previous iterrows() +
+            # list-of-dicts construction measured ~4x the parse cost
+            # itself at corpus grain (r18 micro-profile: 0.42 s vs
+            # 0.10 s per 5k docs single-core, identical output) — plain
+            # list appends + ONE DataFrame construction keep the Python
+            # interior parse-bound (guide §4.2).
+            pvals = [pdf[c].tolist() for c in passthrough]
+            pcols: dict = {c: [] for c in passthrough}
+            ri: list = []
+            wt: list = []
+            tu: list = []
+            hs: list = []
+            body_col: list = []
+            for i, b in enumerate(pdf[content_col].tolist()):
+                b = bytes(b) if b is not None else b""
                 for idx, rec in enumerate(parse_warc(b)):
                     if rec["warc_type"] not in types:
                         continue
+                    for c, vals in zip(passthrough, pvals):
+                        pcols[c].append(vals[i])
+                    ri.append(idx)
+                    wt.append(rec["warc_type"])
+                    tu.append(rec["target_uri"])
+                    hs.append(rec["http_status"])
                     body = rec["body"]
-                    row = {c: r[c] for c in passthrough}
-                    row.update(
-                        record_index=idx,
-                        warc_type=rec["warc_type"],
-                        target_uri=rec["target_uri"],
-                        http_status=rec["http_status"],
+                    body_col.append(
+                        body.decode("utf-8", "replace") if decode_body else body
                     )
-                    if decode_body:
-                        row["body_text"] = body.decode("utf-8", "replace")
-                    else:
-                        row["body"] = body
-                    rows.append(row)
-            cols = passthrough + [
-                "record_index", "warc_type", "target_uri", "http_status",
-                "body_text" if decode_body else "body",
-            ]
-            yield pd.DataFrame(rows, columns=cols)
+            data = dict(pcols)
+            data["record_index"] = ri
+            data["warc_type"] = wt
+            data["target_uri"] = tu
+            data["http_status"] = hs
+            data["body_text" if decode_body else "body"] = body_col
+            yield pd.DataFrame(data)
 
     return df.mapInPandas(batches, schema=out_schema)

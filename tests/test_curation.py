@@ -786,6 +786,7 @@ def test_one_hot_sanitized_name_collisions_get_rank_suffix(spark):
     assert len(set(hit_cols.values())) == 4, hit_cols
 
 
+@pytest.mark.slow
 def test_cluster_split_survives_deep_chain(spark):
     """Adversarial pair graph: one 3,000-link CHAIN (diameter far past
     label propagation's round budget). The star default must still
@@ -1269,6 +1270,7 @@ def test_robots_allowed_caller_column_safety(spark):
         robots_allowed(bad, rules)
 
 
+@pytest.mark.slow
 def test_crawl_tick_standing_state_and_replay(spark):
     """Round 14: the end-to-end crawl tick (discover -> canonicalize ->
     robots -> seen-set probe -> fetch-sim -> politeness schedule ->

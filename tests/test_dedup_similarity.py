@@ -514,6 +514,59 @@ def test_minhash_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert 1002 in kept_ids
 
 
+def test_minhash_pair_grain_narrow_matches_wide(spark):
+    """Round 18: the size-adaptive narrow pair shape (candidate join +
+    pair-dedup at (band, bucket, id) grain, signatures re-attached at
+    unique-pair grain) is results-identical to the wide shape — on a
+    plain near-dup corpus AND under a hot-bucket flood with the cap's
+    star pairs — and "auto" engages it only above the input-size
+    threshold, never on an unsizable plan."""
+    from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.dedup import (
+        _pair_grain_decision,
+    )
+
+    B = 60
+    boiler = (
+        "subscribe to our newsletter terms of service privacy policy all "
+        "rights reserved copyright contact us about careers press blog"
+    )
+    rows = [(i, boiler) for i in range(B)]
+    rows += [(1000, BASE), (1001, NEAR), (1002, FAR)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def key(rs):
+        return sorted((r["id_a"], r["id_b"], r["jaccard_est"]) for r in rs)
+
+    for kw in (
+        dict(num_hashes=64, bands=16, threshold=0.5),
+        dict(num_hashes=64, bands=16, threshold=0.5, max_bucket_size=10),
+    ):
+        wide = minhash_lsh_pairs(
+            df, "doc_id", "text", pair_grain="wide", **kw
+        ).collect()
+        narrow = minhash_lsh_pairs(
+            df, "doc_id", "text", pair_grain="narrow", **kw
+        ).collect()
+        assert key(wide) == key(narrow) and len(wide) > 0
+
+    # auto: an input with REAL Catalyst stats (range scan) resolves
+    # wide at the default threshold, narrow once its estimate crosses
+    # the threshold
+    rng = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text "), F.col("id").cast("string")).alias("text"),
+    )
+    assert _pair_grain_decision(rng, "auto", 256 << 20) == "wide"
+    assert _pair_grain_decision(rng, "auto", 1) == "narrow"
+    # a local-list DataFrame is RDD-backed in PySpark — no usable size
+    # estimate (Catalyst's defaultSizeInBytes sentinel); auto must stay
+    # wide even at the lowest threshold rather than size-gate on garbage
+    assert _pair_grain_decision(df, "auto", 1) == "wide"
+    with pytest.raises(ValueError):
+        _pair_grain_decision(df, "sideways", 1)
+
+
+@pytest.mark.slow
 def test_storage_persist_matches_checkpoint(spark):
     """storage="persist" (the preemptible-cluster durability knob:
     lineage kept, blocks recomputable on executor loss) produces
@@ -1770,6 +1823,7 @@ def test_ivf_pq_composition_prunes_and_ranks(spark, tmp_path):
     assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
 
 
+@pytest.mark.slow
 def test_ivf_append_requires_matching_pq_codebook(spark):
     """Appending to a PQ-enabled index without a caller-held codebook
     resolves the build's persisted ``{table}_pq_codebook`` companion
@@ -3122,6 +3176,7 @@ def _assert_merged_converged(spark, t, df):
     assert got == truth
 
 
+@pytest.mark.slow
 def test_ivf_merge_crash_windows_resume_and_converge(spark, monkeypatch):
     """Round 17 (ADVICE r16): ivf_merge_cold_cells is crash-safe and
     idempotent. The decided plan persists to a {table}_merge_manifest
@@ -3226,6 +3281,7 @@ def test_ivf_merge_crash_windows_resume_and_converge(spark, monkeypatch):
             spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_ivf_pending_merge_fences_other_rotations(spark, monkeypatch):
     """Round 17 review: a crashed merge's pending manifest must not be
     rotated out from under — a retrain/split over the half-merged
@@ -3377,6 +3433,7 @@ def _stranded_split_state(spark, t, monkeypatch):
     return full, stranded
 
 
+@pytest.mark.slow
 def test_ivf_split_crash_strands_cells_and_adoption_recovers(
     spark, monkeypatch
 ):

@@ -229,6 +229,7 @@ def test_er_incremental_bridge_merges_entities_and_compact(spark):
     assert labels2 == labels
 
 
+@pytest.mark.slow
 def test_er_relabel_health_warns_and_auto_compacts(spark):
     """The relabel-log guard: health() reports the log size, a merge
     batch past the threshold WARNS recommending compaction, and
@@ -510,6 +511,7 @@ def test_er_multi_field_weighted_similarity_via_struct(spark):
 # ---- round 17: block-skew telemetry + reblock retune ----
 
 
+@pytest.mark.slow
 def test_er_skew_flag_and_reblock_recovers_match(spark):
     """Late r17: the ER index joins the skew-telemetry family. A
     non-discriminative block over the cap is SKIPPED outright

@@ -105,6 +105,7 @@ def test_quality_prior_from_links(spark):
     assert rows[2] == 1.0
 
 
+@pytest.mark.slow
 def test_pagerank_weighted_and_early_stop(spark):
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.operators.graph import (
         pagerank,
@@ -137,6 +138,7 @@ def test_pagerank_weighted_and_early_stop(spark):
         assert early[v] == pytest.approx(exact[v], abs=1e-6)
 
 
+@pytest.mark.slow
 def test_trustrank_seeded_propagation(spark):
     """Seeded (personalized) integer PageRank == TrustRank: only seeds
     hold teleport mass, trust flows along out-links, and nodes

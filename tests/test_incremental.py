@@ -3,6 +3,8 @@ extraction, idempotent merge, inclusive-boundary semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from pyspark.sql import functions as F
@@ -47,6 +49,7 @@ def test_watermark_filters_stale_rows_and_merges_fresh(spark):
     assert got == {1: "a", 2: "b-updated", 3: "c"}
 
 
+@pytest.mark.slow
 def test_rerun_is_idempotent(spark):
     t = "inc_t_idem"
     spark.sql(f"DROP TABLE IF EXISTS {t}")

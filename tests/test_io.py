@@ -528,6 +528,7 @@ def test_jdbc_filter_pushes_down_to_source(spark, tmp_path):
     assert filtered.count() == 49  # 51..99 — the pushed scan is correct
 
 
+@pytest.mark.slow
 def test_heal_interrupted_swap_completes_dangling_rename(spark):
     """write_table's stage-and-swap has one window where the table name
     dangles: a crash between DROP TABLE and the stage RENAME leaves the
@@ -589,6 +590,7 @@ def test_append_mode_heals_dangling_swap_first(spark):
     spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_heal_repairs_its_own_msck_crash_window(spark):
     """Round 17 review: a heal (or swap) killed between its RENAME and
     MSCK leaves a partitioned base whose partition entries still point

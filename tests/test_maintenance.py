@@ -111,6 +111,7 @@ def standing_tables(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_health_sweep_discovers_every_family(spark, standing_tables):
     from rds_to_snowflake_etl_a_lakehouse_pipeline_spark.maintenance import (
         health_sweep,
@@ -145,6 +146,7 @@ def test_health_sweep_discovers_every_family(spark, standing_tables):
     assert "merges_since_compact" in sweep["versioned"][root]
 
 
+@pytest.mark.slow
 def test_run_maintenance_applies_flagged_actions(spark, standing_tables):
     """apply=True executes each flagged table's own verb: a crashed
     batch-sink fold resumes + folds, and a merge-heavy versioned table
@@ -189,6 +191,7 @@ def test_run_maintenance_applies_flagged_actions(spark, standing_tables):
     assert not flagged & ours
 
 
+@pytest.mark.slow
 def test_ivf_drift_retrain_restores_recall(spark):
     """The full quantizer-drift runbook: a drifted hot mode straddling
     an old-cell Voronoi boundary splits its neighbors across two cells
@@ -319,6 +322,7 @@ def test_ivf_drift_retrain_restores_recall(spark):
     assert not sweep2["tables"][key]["retrain_recommended"]
 
 
+@pytest.mark.slow
 def test_ivf_localized_drift_chooses_split(spark):
     """Drift-shape-aware remediation (round 16): an out-of-distribution
     blob that bins WHOLE into one nearest old cell logs
@@ -416,6 +420,7 @@ def test_ivf_localized_drift_chooses_split(spark):
     assert not sweep2["tables"][key]["retrain_recommended"]
 
 
+@pytest.mark.slow
 def test_ivf_pq_remediated_through_sweep(spark):
     """A PQ-coded index is remediated THROUGH the sweep with no
     caller-held codebook: localized drift -> hot-cell split (codes
@@ -512,6 +517,7 @@ def test_ivf_pq_remediated_through_sweep(spark):
     assert not health_sweep(spark)["tables"][key]["retrain_recommended"]
 
 
+@pytest.mark.slow
 def test_ivf_split_budget_escalates_to_retrain(spark):
     """Bounded centroid growth (round 16): splits only ever append
     cells, so the sweep caps the matrix at ivf_split_budget_factor x
@@ -649,6 +655,7 @@ def _fragmented_ivf(spark, t):
     )
 
 
+@pytest.mark.slow
 def test_maintenance_merges_cold_cells(spark):
     """Round 17 (VERDICT r16 backlog #2): the health sweep detects IVF
     fragmentation (merge_recommended — sliver cells at the
@@ -707,6 +714,7 @@ def test_maintenance_merges_cold_cells(spark):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_maintenance_resumes_crashed_merge(spark, monkeypatch):
     """A merge that crashed mid-plan leaves its {table}_merge_manifest
     pending; the sweep reports pending_merge (merge_recommended rides
@@ -749,6 +757,7 @@ def test_maintenance_resumes_crashed_merge(spark, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_maintenance_pending_merge_wins_over_drift(spark, monkeypatch):
     """Round 17 review: a crashed merge's pending manifest resumes
     BEFORE drift remediation — a retrain over the half-merged layout
@@ -816,6 +825,7 @@ def test_maintenance_pending_merge_wins_over_drift(spark, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_maintenance_records_resumed_merge_after_finalize_crash(
     spark, monkeypatch
 ):
@@ -875,6 +885,7 @@ def test_maintenance_records_resumed_merge_after_finalize_crash(
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_maintenance_remeasures_compaction_after_merge(spark, monkeypatch):
     """Round 17 (ADVICE r16): the compaction decision is re-measured
     AFTER a split/merge rewrote partitions instead of trusting the
@@ -913,6 +924,7 @@ def test_maintenance_remeasures_compaction_after_merge(spark, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_minhash_bucket_skew_flag_detects_cap_truncation(spark):
     """Round 17 (VERDICT r16 backlog #5): the MinHash index gets a
     quality signal equivalent to IVF's drift log. A boilerplate cluster
@@ -997,6 +1009,7 @@ def test_minhash_bucket_skew_flag_detects_cap_truncation(spark):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_hamming_skew_flag_detects_cap_exclusion(spark):
     """Late r17: the Hamming fingerprint index gets the same quality
     signal as the MinHash index — with the family's HARSHER cap
@@ -1283,6 +1296,7 @@ def test_sweep_flags_and_heals_interrupted_swaps(spark):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_sweep_detects_and_adopts_stranded_cells(spark, monkeypatch):
     """Round 17 crash-window audit, sweep side: rows stranded beyond
     the matrix by a split that crashed before its contract rotation are
@@ -1368,6 +1382,7 @@ def test_sweep_detects_and_adopts_stranded_cells(spark, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_stranded_detection_covers_k1_and_drift_outranks_adoption(
     spark, monkeypatch
 ):
@@ -1472,6 +1487,7 @@ def test_stranded_detection_covers_k1_and_drift_outranks_adoption(
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_layout_pending_marker_fails_loud_and_sweep_resumes(
     spark, monkeypatch
 ):
@@ -1552,6 +1568,7 @@ def test_layout_pending_marker_fails_loud_and_sweep_resumes(
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_layout_pending_er_notes_and_manual_rerun_converges(
     spark, monkeypatch
 ):

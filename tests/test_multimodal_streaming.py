@@ -939,6 +939,7 @@ def test_stream_distinct_sketch_merges_batches_into_table(spark, tmp_path):
     assert direct.exceptAll(replayed).count() == 0
 
 
+@pytest.mark.slow
 def test_stream_ivf_append_accretes_and_replays_idempotently(spark, tmp_path):
     """Streaming ANN ingest: after two appended micro-batches the
     standing grid index must equal the index built over the whole
@@ -1467,6 +1468,7 @@ def test_stream_exact_dedup_frontier(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {sink}")
 
 
+@pytest.mark.slow
 def test_stream_frontier_schedule_continuity_and_replay(spark, tmp_path):
     """Streaming politeness scheduling: batch-2 slots CONTINUE the
     per-domain counters batch 1 left (offsets keep multiplying the
@@ -1669,6 +1671,7 @@ def test_stream_frontier_schedule_duplicate_rows_replay_identical(spark):
     spark.sql(f"DROP TABLE IF EXISTS {sk}")
 
 
+@pytest.mark.slow
 def test_stream_sessionize_legacy_stamp_window_closes(spark):
     """Round-12 fix: the legacy bare-batch-id replay guard is a
     one-batch UPGRADE WINDOW, not forever. A bucketed state table
@@ -2540,6 +2543,7 @@ def test_hamming_reband_matches_direct_build(spark):
         spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+@pytest.mark.slow
 def test_stream_media_dedup_matches_batch_incremental(spark, tmp_path):
     """Two deterministic micro-batches through stream_media_dedup land
     the same survivor index as two direct hamming_incremental_dedup
@@ -3153,6 +3157,7 @@ def test_parse_warc_gz_fuzz():
             assert rec["target_uri"] is None or isinstance(rec["target_uri"], str)
 
 
+@pytest.mark.slow
 def test_stream_crawl_tick_matches_batch_composition(spark, tmp_path):
     """Round 14: the streaming crawl tick drained over three
     micro-batches produces the BYTE-IDENTICAL fetched table as three
@@ -3278,6 +3283,7 @@ def test_stream_frontier_schedule_priority_within_batch(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {sk}")
 
 
+@pytest.mark.slow
 def test_stream_ivf_append_resyncs_after_midstream_rotation(spark, tmp_path):
     """Round 16: a maintenance retrain that rotates the centroid matrix
     between micro-batches must NOT kill the ingest — the next batch
@@ -3410,6 +3416,7 @@ def test_stream_ivf_append_pq_codebook_resolved_once(spark, tmp_path):
         stream_ivf_append(sdf2, t, cents, checkpoint_dir=str(tmp_path / "pq_ck2"))
 
 
+@pytest.mark.slow
 def test_stream_ivf_append_resyncs_after_midstream_merge(spark, tmp_path):
     """Round 17 (VERDICT r16 backlog #4): the merge is the DANGEROUS
     rotation direction for a held matrix — it SHRINKS k and renumbers

@@ -11,6 +11,8 @@ so max_examples stays small); the properties themselves are the point:
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -364,6 +366,7 @@ def test_cdc_merge_is_arrival_order_invariant(spark, updates, cut, data):
     ),
 )
 @PROP
+@pytest.mark.slow
 def test_versioned_table_matches_dict_model(spark, ops):
     """Model-based check: any sequence of overwrite/append/merge/delete
     commits against a partitioned VersionedTable must equal folding the
@@ -496,6 +499,7 @@ def test_resolve_entities_matches_python_model(spark, names, threshold):
     cut=st.integers(1, 9),
 )
 @PROP
+@pytest.mark.slow
 def test_er_incremental_equals_full_resolution(spark, names, cut):
     """The er_incremental contract: for ANY corpus split, resolving the
     first part, indexing it, and incrementally resolving the second
@@ -1580,6 +1584,7 @@ def test_parse_sitemaps_roundtrip(spark, locs, index, prefix):
     seed=st.lists(st.sampled_from(["u1", "u9"]), max_size=2),
 )
 @PROP
+@pytest.mark.slow
 def test_exact_seen_set_matches_python_replay(spark, batches, seed):
     """Random batch sequences against the standing exact seen-set
     equal a pure-Python set replay: per batch, first occurrence of an
